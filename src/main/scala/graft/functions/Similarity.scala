@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity primitives over `ArrayType(FloatType)` embedding
+  * columns, built from codegen'd higher-order functions (`zip_with` +
+  * `aggregate`) so they stay inside whole-stage codegen — no UDFs.
+  *
+  * Elements are cast to double *before* the multiply and accumulated
+  * left-to-right, which makes the result bit-deterministic and matchable
+  * against an oracle engine doing the same.
+  */
+object Similarity {
+
+  /** dot(a, b) as a double, left-to-right summation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force exact top-k nearest neighbours by cosine similarity.
+    *
+    * Plan shape: `queries` is broadcast (it is the small side by
+    * construction — a handful of probe vectors), so the corpus is scanned
+    * exactly once with no shuffle of the big side; the per-query top-k is a
+    * window over the (small) joined result. At 100 TB corpus scale this is
+    * one pass + a k-row-per-query shuffle, which is the right baseline; the
+    * LSH variant below trades recall for pruning that single pass.
+    *
+    * Ties on the (rounded) score are broken by neighbour id so the result
+    * is fully deterministic.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scoreScale: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), scoreScale).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Approximate top-k: sign-random-projection LSH. Each vector is bucketed
+    * by the sign pattern of `nBits` fixed pseudo-random hyperplanes
+    * (deterministic: plane i's component for dimension d is derived from
+    * `xxhash64(i, d)`, so every executor computes identical planes with no
+    * driver-side state or broadcast of plane matrices).
+    *
+    * Candidates are corpus vectors sharing the query's bucket — the join is
+    * a hash join on `bucket`, so at scale each query probes one bucket
+    * instead of the full corpus. Recall < 1.0 by design; raise `nBits` for
+    * precision, lower it for recall.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def bucket(vec: Column): Column = {
+      // sign bit i = sign of sum_d plane(i, d) * vec[d], plane in {-1, +1}
+      val bits = (0 until nBits).map { i =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, d) => x.cast("double") *
+              when(pmod(xxhash64(lit(i), d), lit(2)) === 0, -1.0).otherwise(1.0)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
+      bits.reduce(_.bitwiseOR(_))
+    }
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      bucket(col(vecCol)).as("bucket"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      bucket(col(vecCol)).as("bucket"))
+    val scored = broadcast(q).join(c,
+        q("bucket") === c("bucket") && col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** All-pairs cosine over a bounded id range (near-duplicate detection by
+    * embedding). Caller bounds the id range; the self-join is equi-free so
+    * both sides must be small enough to broadcast one of them.
+    */
+  def cosinePairs(
+      vectors: DataFrame, maxId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vectors.filter(col(idCol) < maxId)
+      .select(col(idCol).as("qa"), col(vecCol).as("va"))
+    val b = vectors.filter(col(idCol) < maxId)
+      .select(col(idCol).as("qb"), col(vecCol).as("vb"))
+    broadcast(a).join(b, col("qa") < col("qb"))
+      .select(col("qa"), col("qb"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+  }
+}

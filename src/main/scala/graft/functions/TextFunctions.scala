@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: tokenization,
+  * token counting, n-gram shingling, quality metrics, a language-ID
+  * heuristic, and document fingerprinting. All are pure Column expressions
+  * (codegen'd, no UDFs), so they distribute trivially and push through
+  * Catalyst like any built-in.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (the testdata is space-separated words). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish sub-word-aware token count: words plus punctuation splits. */
+  def tokenCount(text: Column): Column =
+    size(split(text, "[\\s\\p{Punct}]+")).cast("bigint")
+
+  def wordCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** Word n-gram shingles (n consecutive words, space-joined), distinct.
+    * Guarded: Spark's `sequence(1, 0)` yields a *descending* [1, 0], so
+    * short documents must short-circuit to an empty array explicitly.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // -- quality scoring ------------------------------------------------------
+
+  /** Ratio of tokens that are in `stop`, rounded for oracle stability. */
+  def stopwordRatio(text: Column, stop: Seq[String], scale: Int = 4): Column = {
+    val w = tokens(text)
+    round(
+      size(filter(w, t => t.isInCollection(stop))).cast("double") /
+        size(w).cast("double"),
+      scale)
+  }
+
+  /** Punctuation-character ratio over total characters. */
+  def punctRatio(text: Column, scale: Int = 4): Column =
+    round(
+      (length(text) - length(regexp_replace(text, "\\p{Punct}", "")))
+        .cast("double") / length(text).cast("double"),
+      scale)
+
+  /** Mean word length in characters. */
+  def meanWordLen(text: Column, scale: Int = 3): Column = {
+    val w = tokens(text)
+    round(
+      aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("bigint"))
+        .cast("double") / size(w).cast("double"),
+      scale)
+  }
+
+  // -- language identification ---------------------------------------------
+
+  /** Stopword tables for the heuristic language identifier. Tiny on
+    * purpose: they broadcast as literals inside the expression tree.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "les", "des"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3"))
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts,
+    * ties broken by table order (first language wins), default "en" when
+    * nothing matches. Deterministic, so it can be mirrored in oracle SQL.
+    */
+  def languageId(text: Column): Column = {
+    val w = tokens(text)
+    val scores = stopwords.map { case (lang, stop) =>
+      lang -> size(filter(w, t => t.isInCollection(stop)))
+    }
+    // lang_i wins if its score is strictly greater than every earlier
+    // language's and >= every later one's (stable argmax, table order).
+    val best = scores.zipWithIndex.foldRight(lit("en")) {
+      case (((lang, score), i), rest) =>
+        val beatsEarlier = scores.take(i).map(_._2 < score)
+        val tiesLater = scores.drop(i + 1).map(_._2 <= score)
+        val isMax = (beatsEarlier ++ tiesLater :+ (score > 0))
+          .reduce(_ && _)
+        when(isMax, lit(lang)).otherwise(rest)
+    }
+    best
+  }
+
+  // -- fingerprinting -------------------------------------------------------
+
+  /** Rolling polynomial fingerprint over words, engine-portable: the
+    * per-word value uses only `ascii`/`length` (identical in DuckDB), and
+    * the accumulator stays under 2^63 via mod 1e9+7 (DuckDB raises on
+    * BIGINT overflow, so unbounded `acc * p + v` would not be mirrorable).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => pmod(
+        acc * 131L + ascii(w).cast("bigint") * 31L + length(w).cast("bigint"),
+        lit(1000000007L)))
+}

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Similarity, TextFunctions}
+import graft.operators.{Dedup, Multimodal}
+
+/** Training-data-pipeline extensions (SURVEY §2.B north star + the declared
+  * Q34–Q36): deduplication, similarity search, text analysis, multimodal
+  * plumbing. Queries whose kernels are engine-portable carry a DuckDB
+  * oracle; those built on engine-specific hashing (xxhash64 minhash /
+  * simhash, LSH bucketing) are declared rows-only.
+  */
+object Extensions {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- declared Q34–Q36 ------------------------------------------------
+    "q34_dedup_group" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("text")).as("distinct_docs"),
+             count(lit(1)).as("docs"))
+        .orderBy(col("lang").asc_nulls_first)),
+
+    "q35_similarity_dot" -> ((s, d) => {
+      val a = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qa"), col("embedding").as("va"))
+      val b = t(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qb"), col("embedding").as("vb"))
+      broadcast(a).join(b, col("qa") < col("qb"))
+        .select(col("qa"), col("qb"),
+          round(Similarity.dot(col("va"), col("vb")), 4).as("dp"))
+        .orderBy(col("qa").asc_nulls_first, col("qb").asc_nulls_first)
+    }),
+
+    "q36_wordcount" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc_nulls_last, col("word").asc_nulls_first)
+        .limit(20)),
+
+    // ---- dedup -----------------------------------------------------------
+    "q37_dedup_exact" -> ((s, d) =>
+      Dedup.exactKeepFirst(t(s, d, "documents"), "text", "doc_id")
+        .agg(count(lit(1)).as("n_unique"),
+             sum(col("dup_count")).cast("bigint").as("n_total"))),
+
+    "q40_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+          t(s, d, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", n = 3)
+        .orderBy(col("qa").asc_nulls_first, col("qb").asc_nulls_first)),
+
+    // rows-only (xxhash64-based; no portable oracle)
+    "q41_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id").asc_nulls_first)),
+
+    "q41b_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidatePairs(
+          t(s, d, "documents"), "doc_id", "text", numHashes = 32, bands = 16)
+        .orderBy(col("qa").asc_nulls_first, col("qb").asc_nulls_first)),
+
+    "q42_simhash" -> ((s, d) =>
+      Dedup.simhash64(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id").asc_nulls_first)),
+
+    // ---- similarity search ----------------------------------------------
+    "q43_neardup_cosine" -> ((s, d) =>
+      Similarity.cosinePairs(t(s, d, "embeddings"), maxId = 60)
+        .orderBy(col("cos").desc_nulls_last,
+                 col("qa").asc_nulls_first, col("qb").asc_nulls_first)
+        .limit(20)),
+
+    "q44_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+        .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+    }),
+
+    // rows-only (engine-specific LSH bucketing)
+    "q49_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 5), emb, k = 3, nBits = 4)
+        .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+    }),
+
+    // ---- text analysis ---------------------------------------------------
+    "q38_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.wordCount(col("text")).as("n_words"))
+        .orderBy(col("doc_id").asc_nulls_first)
+        .limit(200)),
+
+    "q39_quality" -> ((s, d) => {
+      val nw = TextFunctions.wordCount(col("text"))
+      t(s, d, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("bigint").as("n_ch"),
+          nw.as("n_words"),
+          TextFunctions.stopwordRatio(col("text"), Seq("the", "a"))
+            .as("stop_ratio"),
+          // single-space-joined words ⇒ word chars = len - (n_words - 1)
+          round((length(col("text")) - (nw - 1)).cast("double") /
+            nw.cast("double"), 3).as("mean_word_len"))
+        .orderBy(col("doc_id").asc_nulls_first)
+        .limit(200)
+    }),
+
+    "q45_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextFunctions.languageId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("lang").asc_nulls_first, col("predicted").asc_nulls_first)),
+
+    "q46_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id").asc_nulls_first)
+        .limit(200)),
+
+    // ---- multimodal plumbing --------------------------------------------
+    "q47_multimodal_features" -> ((s, d) => {
+      implicit val spark: SparkSession = s
+      Multimodal.extractFeatures(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("payload_len"))
+        .orderBy(col("media_id").asc_nulls_first)
+    }),
+
+    "q48_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"),
+          every = 8)
+        .orderBy(col("media_id").asc_nulls_first,
+                 col("frame_idx").asc_nulls_first))
+  )
+
+  private val langCase: String = {
+    // mirror of TextFunctions.languageId: stable argmax over stopword hits
+    val score = TextFunctions.stopwords.map { case (lang, stop) =>
+      lang -> ("len(list_filter(string_split(text, ' '), w -> w IN (" +
+        stop.map(w => s"'$w'").mkString(", ") + ")))")
+    }
+    val names = score.map(_._1)
+    val arms = names.zipWithIndex.map { case (lang, i) =>
+      val earlier = names.take(i).map(l => s"s_$l < s_$lang")
+      val later = names.drop(i + 1).map(l => s"s_$l <= s_$lang")
+      val conds = earlier ++ later :+ s"s_$lang > 0"
+      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+    }
+    val scoreDefs = score
+      .map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    s"""WITH scored AS (SELECT lang, $scoreDefs FROM documents)
+       |SELECT lang, CASE ${arms.mkString(" ")} ELSE 'en' END AS predicted
+       |FROM scored""".stripMargin
+  }
+
+  private val cosSql =
+    "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+  private def cosExpr(a: String, b: String): String =
+    s"${cosSql.format(a, b)} / (sqrt(${cosSql.format(a, a)}) * sqrt(${cosSql.format(b, b)}))"
+
+  val oracles: Map[String, String] = Map(
+    "q34_dedup_group" ->
+      """SELECT lang, COUNT(DISTINCT text) AS distinct_docs, COUNT(*) AS docs
+        |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin,
+    "q35_similarity_dot" ->
+      """SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS dp
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 10 AND b.vec_id < 10
+        |ORDER BY qa ASC NULLS FIRST, qb ASC NULLS FIRST""".stripMargin,
+    "q36_wordcount" ->
+      """SELECT w AS word, COUNT(*) AS c
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |GROUP BY w ORDER BY c DESC NULLS LAST, word ASC NULLS FIRST LIMIT 20""".stripMargin,
+    "q37_dedup_exact" ->
+      """SELECT COUNT(*) AS n_unique, CAST(SUM(dup_count) AS BIGINT) AS n_total
+        |FROM (SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |      FROM documents GROUP BY text) g""".stripMargin,
+    "q40_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct(list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+        |                i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+        |       FROM docs),
+        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS qa, b.doc_id AS qb, COUNT(*) AS shared
+        |           FROM sh a JOIN sh b USING (shingle)
+        |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT qa, qb, ROUND(CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared), 4) AS j
+        |FROM shared JOIN counts ca ON ca.doc_id = qa JOIN counts cb ON cb.doc_id = qb
+        |ORDER BY qa ASC NULLS FIRST, qb ASC NULLS FIRST""".stripMargin,
+    "q43_neardup_cosine" ->
+      s"""SELECT a.vec_id AS qa, b.vec_id AS qb,
+         |       ROUND(${cosExpr("a.embedding", "b.embedding")}, 4) AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 60 AND b.vec_id < 60
+         |ORDER BY cos DESC NULLS LAST, qa ASC NULLS FIRST, qb ASC NULLS FIRST LIMIT 20""".stripMargin,
+    "q44_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+         |scored AS (SELECT q_id, c.vec_id AS n_id,
+         |             ROUND(${cosExpr("q_vec", "c.embedding")}, 4) AS score
+         |           FROM q, embeddings c WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, n_id, score,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS BIGINT) AS rank
+         |           FROM scored)
+         |SELECT q_id, n_id, score, rank FROM ranked WHERE rank <= 3
+         |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+    "q38_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
+    "q39_quality" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_ch,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       ROUND(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 4) AS stop_ratio,
+        |       ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |             / len(string_split(text, ' ')), 3) AS mean_word_len
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
+    "q45_lang_id" ->
+      s"""WITH pred AS ($langCase)
+         |SELECT lang, predicted, COUNT(*) AS c FROM pred
+         |GROUP BY lang, predicted
+         |ORDER BY lang ASC NULLS FIRST, predicted ASC NULLS FIRST""".stripMargin,
+    "q46_fingerprint" ->
+      """SELECT doc_id,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |         list_transform(string_split(text, ' '),
+        |           w -> CAST(ascii(w) AS BIGINT) * 31 + length(w))),
+        |         (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
+    "q47_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(LENGTH(text) AS BIGINT) AS payload_len
+        |FROM documents ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+    "q48_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(doc_id % 32 + 1 AS INTEGER) AS n_frames,
+        |       CAST(unnest(range(0, doc_id % 32 + 1, 8)) AS INTEGER) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin
+  )
+}

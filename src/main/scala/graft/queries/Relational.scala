@@ -1,0 +1,407 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The declared relational surface (SURVEY.md §2.B, Q1–Q33): everything the
+  * reference exposes through its embedded DataFusion SQL engine, re-expressed
+  * with the Spark DataFrame API so Catalyst owns pushdown / join selection /
+  * whole-stage codegen. Small dimension tables (region, nation, supplier at
+  * these scale factors) are explicitly broadcast — at 100 TB the fact tables
+  * shuffle on their join keys and the dims ship to every executor.
+  *
+  * Every query fixes a total output order (all columns or a unique key, with
+  * explicit NULLS FIRST/LAST) and rounds double aggregates, per SURVEY §5.3,
+  * so results hash-match the DuckDB oracle.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / sources ------------------------------------------------
+    "q1_scan_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
+
+    "q3_view" -> ((s, d) => {
+      // SQL-view-as-source (reference table.rs:102-112): register the view,
+      // then query it; Spark's analyzer inlines the view plan so outer
+      // filters/projections push through, same as the reference's re-plan.
+      t(s, d, "orders")
+        .filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("big_orders")
+      s.table("big_orders").agg(
+        count(lit(1)).as("n"),
+        min(col("o_custkey")).as("mn"),
+        max(col("o_custkey")).as("mx"))
+    }),
+
+    // ---- projection / filter / predicates -------------------------------
+    "q4_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey").asc_nulls_first,
+                 col("l_linenumber").asc_nulls_first)
+        .limit(100)),
+
+    "q5_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_discount") >= 0.05 && col("l_quantity") < 25)
+        .agg(count(lit(1)).as("n"))),
+
+    "q6_predicates" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter((col("o_orderstatus") === "F" || col("o_orderstatus") === "O")
+          && col("o_orderkey").between(100, 900)
+          && col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          && col("o_custkey").isNotNull
+          && col("o_orderpriority").like("%H%"))
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- joins -----------------------------------------------------------
+    "q7_join_inner" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("c"))
+        .orderBy(col("n_name").asc_nulls_first)),
+
+    "q8_join_multiway" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("c"))
+        .orderBy(col("r_name").asc_nulls_first)),
+
+    "q9_join_left" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+        .limit(50)),
+
+    "q10_join_semi" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))),
+
+    "q11_join_anti" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))),
+
+    "q12_join_cross" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q13_join_theta" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      val cus = t(s, d, "customer")
+      // Non-equi conjunct rides on the equi key, so Catalyst still plans a
+      // hash join (equi keys) with the inequality as a post-join condition —
+      // no O(n*m) nested loop at scale.
+      sup.join(cus, sup("s_nationkey") === cus("c_nationkey")
+          && sup("s_acctbal") > cus("c_acctbal"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- aggregations ----------------------------------------------------
+    "q14_agg_tpch1" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("bigint")).as("sq"),
+          count(lit(1)).as("c"),
+          round(sum(col("l_extendedprice")), 2).as("sep"),
+          round(avg(col("l_discount")), 6).as("ad"),
+          min(col("l_orderkey")).as("mn"),
+          max(col("l_orderkey")).as("mx"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)),
+
+    "q15_count_distinct" -> ((s, d) =>
+      t(s, d, "orders").agg(countDistinct(col("o_custkey")).as("n"))),
+
+    "q16_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first,
+                 col("c").asc_nulls_first)),
+
+    "q17_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first,
+                 col("c").asc_nulls_first)),
+
+    "q18_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+        .orderBy(col("o_custkey").asc_nulls_first)),
+
+    // ---- window functions ------------------------------------------------
+    "q19_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 2)
+        .orderBy(col("o_custkey").asc_nulls_first, col("rn").asc_nulls_first)
+    }),
+
+    "q20_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+                lag(col("o_orderkey"), 1).over(w).as("prev_ok"))
+        .orderBy(col("o_custkey").asc_nulls_first,
+                 col("o_orderkey").asc_nulls_first)
+        .limit(100)
+    }),
+
+    "q21_window_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+                round(sum(col("o_totalprice")).over(w), 2).as("w"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+        .limit(100)
+    }),
+
+    // ---- sort / limit / top-k -------------------------------------------
+    "q22_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc_nulls_last,
+                 col("o_orderkey").asc_nulls_first)
+        .limit(25)),
+
+    // ---- set operations --------------------------------------------------
+    "q23_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy(col("k").asc_nulls_first)),
+
+    "q24_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(col("k").asc_nulls_first)),
+
+    "q25_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy(col("k").asc_nulls_first)),
+
+    // ---- scalar functions ------------------------------------------------
+    "q26_strings" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("u"),
+          substring(col("c_name"), 1, 8).as("s8"),
+          length(col("c_name")).cast("bigint").as("ln"),
+          regexp_replace(col("c_mktsegment"), "A", "_").as("rp"))
+        .orderBy(col("c_custkey").asc_nulls_first)
+        .limit(50)),
+
+    "q27_datetime_extract" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("y"),
+                 month(col("o_orderdate")).cast("bigint").as("m"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("y").asc_nulls_first, col("m").asc_nulls_first)),
+
+    "q28_date_trunc" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("mo"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("mo").asc_nulls_first)),
+
+    "q29_math" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .orderBy(col("l_orderkey").asc_nulls_first,
+                 col("l_linenumber").asc_nulls_first)
+        .limit(100)
+        .select(
+          col("l_orderkey"),
+          (abs(col("l_discount") - 0.05) > 0.001).as("far"),
+          round(col("l_extendedprice") / (lit(1.0) + col("l_tax")), 2)
+            .as("net"),
+          floor(col("l_quantity")).as("fq"),
+          (col("l_orderkey") % 7).as("m7"))),
+
+    "q30_conditional" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 150000, "big")
+            .when(col("o_totalprice") > 50000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("F")), lit("final"))
+            .as("st"))
+        .orderBy(col("o_orderkey").asc_nulls_first)
+        .limit(100)),
+
+    // ---- array / json ----------------------------------------------------
+    "q31_array_size" -> ((s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).cast("bigint").as("d"))
+        .orderBy(col("vec_id").asc_nulls_first)
+        .limit(20)),
+
+    "q32_json" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("k").asc_nulls_first)),
+
+    // ---- events hourly (batch form of the streaming pipeline) -----------
+    "q33_events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("sv"))
+        .orderBy(col("h").asc_nulls_first,
+                 col("event_type").asc_nulls_first))
+  )
+
+  /** DuckDB-dialect oracle for every query above. Aggregate outputs are cast
+    * so DuckDB's wider result types (HUGEINT sums, BIGINT extract/length)
+    * line up with Spark's. Semantic-equivalent SQL is permitted where
+    * dialects diverge (SURVEY §5.3).
+    */
+  val oracles: Map[String, String] = Map(
+    "q1_scan_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+    "q3_view" ->
+      """WITH big_orders AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000)
+        |SELECT COUNT(*) AS n, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM big_orders""".stripMargin,
+    "q4_project" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST LIMIT 100",
+    "q5_filter" ->
+      "SELECT COUNT(*) AS n FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 25",
+    "q6_predicates" ->
+      """SELECT COUNT(*) AS n FROM orders
+        |WHERE (o_orderstatus = 'F' OR o_orderstatus = 'O')
+        |  AND o_orderkey BETWEEN 100 AND 900
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_custkey IS NOT NULL
+        |  AND o_orderpriority LIKE '%H%'""".stripMargin,
+    "q7_join_inner" ->
+      """SELECT n_name, COUNT(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+    "q8_join_multiway" ->
+      """SELECT r_name, COUNT(*) AS c FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name ASC NULLS FIRST""".stripMargin,
+    "q9_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS c FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey ASC NULLS FIRST LIMIT 50""".stripMargin,
+    "q10_join_semi" ->
+      "SELECT COUNT(*) AS n FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q11_join_anti" ->
+      "SELECT COUNT(*) AS n FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q12_join_cross" ->
+      "SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
+    "q13_join_theta" ->
+      """SELECT COUNT(*) AS n FROM supplier s JOIN customer c
+        |ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal""".stripMargin,
+    "q14_agg_tpch1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |  COUNT(*) AS c,
+        |  ROUND(SUM(l_extendedprice), 2) AS sep,
+        |  ROUND(AVG(l_discount), 6) AS ad,
+        |  MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q15_count_distinct" ->
+      "SELECT COUNT(DISTINCT o_custkey) AS n FROM orders",
+    "q16_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, c ASC NULLS FIRST""".stripMargin,
+    "q17_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, c ASC NULLS FIRST""".stripMargin,
+    "q18_having" ->
+      """SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 3 ORDER BY o_custkey ASC NULLS FIRST""".stripMargin,
+    "q19_window_topk" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin,
+    "q20_window_lag" ->
+      """SELECT o_orderkey, o_custkey,
+        |       LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_ok
+        |FROM orders ORDER BY o_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST LIMIT 100""".stripMargin,
+    "q21_window_frame" ->
+      """SELECT o_orderkey,
+        |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS w
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST LIMIT 100""".stripMargin,
+    "q22_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST LIMIT 25""".stripMargin,
+    "q23_union" ->
+      """SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q24_intersect" ->
+      """SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q25_except" ->
+      """SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q26_strings" ->
+      """SELECT c_custkey, UPPER(c_mktsegment) AS u, SUBSTRING(c_name, 1, 8) AS s8,
+        |       CAST(LENGTH(c_name) AS BIGINT) AS ln, REPLACE(c_mktsegment, 'A', '_') AS rp
+        |FROM customer ORDER BY c_custkey ASC NULLS FIRST LIMIT 50""".stripMargin,
+    "q27_datetime_extract" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m, COUNT(*) AS c
+        |FROM orders GROUP BY 1, 2 ORDER BY y ASC NULLS FIRST, m ASC NULLS FIRST""".stripMargin,
+    "q28_date_trunc" ->
+      """SELECT CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS mo, COUNT(*) AS c
+        |FROM lineitem GROUP BY 1 ORDER BY mo ASC NULLS FIRST""".stripMargin,
+    "q29_math" ->
+      """SELECT l_orderkey, ABS(l_discount - 0.05) > 0.001 AS far,
+        |       ROUND(l_extendedprice / (1.0 + l_tax), 2) AS net,
+        |       CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
+        |       CAST(MOD(l_orderkey, 7) AS BIGINT) AS m7
+        |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST LIMIT 100""".stripMargin,
+    "q30_conditional" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 150000 THEN 'big'
+        |            WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket,
+        |       COALESCE(NULLIF(o_orderstatus, 'F'), 'final') AS st
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST LIMIT 100""".stripMargin,
+    "q31_array_size" ->
+      """SELECT vec_id, CAST(LEN(embedding) AS BIGINT) AS d FROM embeddings
+        |ORDER BY vec_id ASC NULLS FIRST LIMIT 20""".stripMargin,
+    "q32_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, COUNT(*) AS c
+        |FROM events GROUP BY 1 ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q33_events_hourly" ->
+      """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h, event_type, COUNT(*) AS c,
+        |       ROUND(SUM(value), 2) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY h ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface over the `events` table. The reference has
+  * no streaming engine at all (SURVEY §2.B "Streaming"); this is the
+  * Spark-native extension: the same hourly aggregation is defined once and
+  * applied to either a batch or a streaming DataFrame, so correctness of
+  * the streaming path is checked against the batch run (and the batch run
+  * against the DuckDB oracle, q33).
+  */
+object EventStream {
+
+  /** Hourly tumbling-window counts + value sums per event type.
+    * Works on both batch and streaming inputs (`window()` is supported in
+    * both); in streaming mode pair with [[withWatermark]].
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("sv"))
+      .select(col("w.start").as("h"), col("event_type"), col("c"), col("sv"))
+
+  /** Streaming variant: 2h watermark bounds state for late data. */
+  def hourlyAggStream(events: DataFrame): DataFrame =
+    hourlyAgg(events.withWatermark("ts", "2 hours"))
+
+  /** Sliding-window (1h window, 15m slide) value sums. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("c"))
+
+  /** Session windows per user with a 30-minute gap. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("sv"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("user_id"), col("c"), col("sv"))
+
+  /** Read the events parquet directory as a stream (file source), with the
+    * same nanos→micros ts normalization as the batch loader.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource requires a directory or glob; `[e]` makes the path a
+    // glob matching exactly events.parquet, with basePath = the directory.
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}

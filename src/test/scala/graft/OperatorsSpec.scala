@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Similarity, TextFunctions}
+import graft.operators.{Dedup, Multimodal}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles handles short documents") {
+    val df = Seq("one two three four", "one two", "").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("one two three", "two three four"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("wordCount / stopwordRatio / fingerprint are deterministic") {
+    val df = Seq(("a", "the fast cat the end")).toDF("id", "text")
+    val r1 = df.select(
+      TextFunctions.wordCount(col("text")),
+      TextFunctions.stopwordRatio(col("text"), Seq("the", "a")),
+      TextFunctions.fingerprint(col("text"))).head()
+    assert(r1.getLong(0) == 5)
+    assert(r1.getDouble(1) == 0.4)
+    val r2 = df.select(TextFunctions.fingerprint(col("text"))).head()
+    assert(r1.getLong(2) == r2.getLong(0))
+    assert(r1.getLong(2) >= 0 && r1.getLong(2) < 1000000007L)
+  }
+
+  test("languageId picks the dominant stopword language") {
+    val df = Seq(
+      "the cat is in the bag", // en
+      "el perro es un animal que ladra", // es
+      "xyzzy plugh").toDF("text") // no hits -> default en
+    val got = df.select(TextFunctions.languageId(col("text"))).collect()
+      .map(_.getString(0))
+    assert(got sameElements Array("en", "es", "en"))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again today"), // dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again today"), // near-dup
+    (4L, "completely different words forming another sentence entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exactKeepFirst keeps min id and counts dups") {
+    val got = Dedup.exactKeepFirst(docs, "text", "doc_id").collect()
+    assert(got.length == 3)
+    val dup = got.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min(1, 2)
+  }
+
+  test("minhash LSH finds the exact duplicate pair") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash of identical docs is identical, near-dup is close") {
+    val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val ham13 = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val ham14 = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(ham13 < ham14, s"near-dup $ham13 should beat unrelated $ham14")
+  }
+
+  test("ngram jaccard: dup pair = 1.0, near-dup in (0,1)") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
+    assert(!j.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot and cosine match hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("a"))).head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK ranks the nearest vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0L), vecs, k = 2).collect()
+      .sortBy(_.getLong(3))
+    assert(top.head.getLong(1) == 1L)   // rank 1 -> vec 1
+    assert(top(1).getLong(1) == 2L)     // rank 2 -> vec 2
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with scores") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.lshTopK(
+      emb.filter(col("vec_id") < 3), emb, k = 3, nBits = 4).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getLong(3) <= 3))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("extractFeatures is deterministic with fixed feature dim") {
+    implicit val s = spark
+    val media = Multimodal.asMediaTable(
+      Tables.load(spark, sf, "documents").limit(20), "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.length == 20)
+    assert(f1.forall(_.features.length == Multimodal.FakeDecoder.featureDim))
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(m => m.payload_len > 0))
+  }
+
+  test("sampleFrames strides over video frames only") {
+    implicit val s = spark
+    val media = Multimodal.asMediaTable(
+      Tables.load(spark, sf, "documents").limit(30), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, every = 8).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getInt(2) % 8 == 0))
+    // every sampled media item is a "video" (doc_id % 3 == 2)
+    assert(frames.forall(_.getLong(0) % 3 == 2))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Every declared query runs at sf0.001 and a handful of closed-form
+  * results are pinned exactly (counts derivable from FIXTURES.md).
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every declared query executes") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 counts all lineitem rows") {
+    val Row(n: Long) =
+      SparkEntry.queries("q1_scan_count")(spark, sf).head()
+    assert(n == Tables.load(spark, sf, "lineitem").count())
+  }
+
+  test("q12 cross join = |region| * |nation|") {
+    val Row(n: Long) =
+      SparkEntry.queries("q12_join_cross")(spark, sf).head()
+    assert(n == 5L * 25L)
+  }
+
+  test("q7 join groups cover all nations with customers") {
+    val rows = SparkEntry.queries("q7_join_inner")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.load(spark, sf, "customer").count())
+  }
+
+  test("q19 window top-k emits at most 2 rows per customer") {
+    val rows = SparkEntry.queries("q19_window_topk")(spark, sf).collect()
+    val perCust = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perCust.forall(_ <= 2))
+  }
+
+  test("q23/q24/q25 set algebra is consistent") {
+    val union = SparkEntry.queries("q23_union")(spark, sf).count()
+    val inter = SparkEntry.queries("q24_intersect")(spark, sf).count()
+    val excpt = SparkEntry.queries("q25_except")(spark, sf).count()
+    val cKeys = Tables.load(spark, sf, "customer")
+      .select("c_nationkey").distinct().count()
+    val sKeys = Tables.load(spark, sf, "supplier")
+      .select("s_nationkey").distinct().count()
+    assert(union == cKeys + sKeys - inter)
+    assert(excpt == cKeys - inter)
+  }
+}

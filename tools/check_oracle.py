@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read each Verify
+result parquet, run the corresponding oracle SQL in DuckDB over the same
+testdata tables, sort columns by name, and compare values row by row.
+Usage: check_oracle.py <verify_out_dir> <sf_dir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def frame_rows(df):
+    df = df[sorted(df.columns)]
+    out = []
+    for row in df.itertuples(index=False):
+        out.append("\t".join(norm_cell(v) for v in row))
+    return out
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = pd.read_parquet(f"{outdir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: no spark result ({e})")
+            n_fail += 1
+            continue
+        try:
+            want = con.sql(sql).arrow().to_pandas(date_as_object=True)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        g, w = frame_rows(got), frame_rows(want)
+        if sorted(got.columns.str.lower()) != sorted(want.columns.str.lower()):
+            print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(want.columns)}")
+            n_fail += 1
+        elif g == w:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            for i, (a, b) in enumerate(zip(g, w)):
+                if a != b:
+                    print(f"  first diff at row {i}:\n    spark: {a}\n    duck : {b}")
+                    break
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
