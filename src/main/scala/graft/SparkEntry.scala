@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Extensions, Relational}
+import graft.queries.{Extensions, IcebergQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     Relational.queries("q14_agg_tpch1")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Extensions.queries
+    Relational.queries ++ Extensions.queries ++ IcebergQueries.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Extensions.oracles
+    Relational.oracles ++ Extensions.oracles ++ IcebergQueries.oracles
 }

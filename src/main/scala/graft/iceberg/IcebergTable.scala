@@ -1,0 +1,191 @@
+package graft.iceberg
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+
+/** An Iceberg table read end-to-end from its filesystem metadata: the
+  * Spark-native counterpart of the reference's `DataFusionTable` scan path
+  * (`datafusion_iceberg/src/table.rs:94-296`):
+  *
+  *   metadata.json → manifest list → manifests → two-level pruning →
+  *   partition-grouped parquet scan with partition values re-injected.
+  *
+  * The heavy lifting (vectorized parquet, footer row-group skipping,
+  * whole-stage codegen) is delegated to Spark's built-in parquet source —
+  * our value-add is everything Spark cannot know: which files exist in the
+  * current snapshot, which survive manifest/file statistics pruning, and
+  * the partition values recorded only in metadata.
+  */
+final class IcebergTable(val tableDir: String, val conf: Configuration) {
+
+  val metadata: TableMetadata = TableMetadata.load(tableDir, conf)
+
+  /** field id → Spark type, for bounds decoding. */
+  private val typeById: Map[Int, DataType] =
+    metadata.schema.fields.flatMap { f =>
+      metadata.fieldIds.get(f.name).map(_ -> f.dataType)
+    }.toMap
+
+  /** Remap absolute paths written at commit time against the table's
+    * original `location` onto the directory the table actually lives in
+    * now (the fixture was committed at `/home/iceberg/...`,
+    * `v1.metadata.json:4`, but is read from the checked-out repo path —
+    * same relocation iceberg-rs's object-store root performs for the
+    * reference).
+    */
+  def resolve(path: String): String =
+    if (path.startsWith(metadata.location)) tableDir + path.stripPrefix(metadata.location)
+    else path
+
+  def manifests: Seq[ManifestFile] = metadata.currentSnapshot match {
+    case None => Nil
+    case Some(snap) => ManifestIO.readManifestList(resolve(snap.manifestList), conf)
+  }
+
+  // -- pruning ---------------------------------------------------------------
+
+  /** Manifest-level container stats: partition-summary bounds positionally
+    * aligned with the partition spec (reference `PruneManifests`,
+    * `pruning_statistics.rs:34-137`). Only identity-transform fields can
+    * answer for their source column; anything else yields None (keep).
+    */
+  private def manifestStats(m: ManifestFile)(attr: String): Option[ColStats] = {
+    val idx = metadata.partitionSpec.indexWhere(p => p.transform == "identity" && p.name == attr)
+    if (idx < 0 || idx >= m.partitions.size) None
+    else {
+      val s = m.partitions(idx)
+      val dt = metadata.partitionSpec.lift(idx)
+        .flatMap(p => typeById.get(p.sourceId))
+        .getOrElse(metadata.schema.fields.find(_.name == attr).map(_.dataType).getOrElse(NullType))
+      Some(ColStats(
+        lower = s.lowerBound.flatMap(SingleValue.decode(_, dt)),
+        upper = s.upperBound.flatMap(SingleValue.decode(_, dt)),
+        nullCount = Some(if (s.containsNull) 1L else 0L),
+        valueCount = None))
+    }
+  }
+
+  /** File-level container stats from manifest-entry bounds keyed by field
+    * id (reference `PruneDataFiles`, `pruning_statistics.rs:139-196`).
+    */
+  private def fileStats(f: DataFileEntry)(attr: String): Option[ColStats] =
+    metadata.fieldIds.get(attr).map { id =>
+      val dt = typeById.getOrElse(id, NullType)
+      ColStats(
+        lower = f.lowerBounds.get(id).flatMap(SingleValue.decode(_, dt)),
+        upper = f.upperBounds.get(id).flatMap(SingleValue.decode(_, dt)),
+        nullCount = f.nullValueCounts.get(id),
+        valueCount = f.valueCounts.get(id))
+    }
+
+  /** Two-level planning: prune manifests on partition summaries, read the
+    * survivors, prune files on column bounds (reference `table.rs:133-145`).
+    */
+  def planFiles(filters: Seq[Filter] = Nil): Seq[DataFileEntry] = {
+    val dataManifests = manifests.filter(_.content == 0)
+    val keptManifests =
+      if (filters.isEmpty) dataManifests
+      else dataManifests.filter(m => Pruning.mayMatchAll(filters, manifestStats(m)))
+    val entries = keptManifests.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
+    if (filters.isEmpty) entries
+    else entries.filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
+  }
+
+  /** Pruning diagnostics for tests: (manifests kept, total; files kept, total). */
+  def pruneCounts(filters: Seq[Filter]): (Int, Int, Int, Int) = {
+    val dataManifests = manifests.filter(_.content == 0)
+    val kept = dataManifests.filter(m => Pruning.mayMatchAll(filters, manifestStats(m)))
+    val all = dataManifests.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
+    val keptFiles = kept.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
+      .filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
+    (kept.size, dataManifests.size, keptFiles.size, all.size)
+  }
+
+  /** Exact row count from manifest-entry `record_count` sums — NOT the
+    * reference's `added_files_count` (a file count) bug
+    * (`statistics.rs:29-31`), which SURVEY §2.A A11 says not to replicate.
+    */
+  def rowCount(filters: Seq[Filter] = Nil): Long = planFiles(filters).map(_.recordCount).sum
+
+  def sizeInBytes(filters: Seq[Filter] = Nil): Long = planFiles(filters).map(_.fileSizeInBytes).sum
+
+  // -- scan ------------------------------------------------------------------
+
+  /** Columns physically present in the data files. Iceberg writers usually
+    * materialize identity-partition source columns in the files too (the
+    * fixture does); when they don't, partition values must come from
+    * metadata (reference `table.rs:240-279`). One footer read decides.
+    */
+  private def fileSchemaColumns(spark: SparkSession, sample: String): Set[String] =
+    try spark.read.parquet(sample).schema.fieldNames.toSet
+    catch { case _: Exception => Set.empty }
+
+  /** Build the DataFrame for the current snapshot. Pushed `filters` drive
+    * metadata pruning here AND are re-applied by Spark above the scan, so
+    * pruning can never change semantics.
+    */
+  def toDF(spark: SparkSession, filters: Seq[Filter] = Nil): DataFrame = {
+    val files = planFiles(filters)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metadata.schema)
+
+    val paths = files.map(f => resolve(f.filePath))
+    val partCols = metadata.identityPartitionColumns
+    val inFile = fileSchemaColumns(spark, paths.head)
+    val missing = partCols.filterNot(inFile.contains)
+
+    if (missing.isEmpty) {
+      // Fast path: single multi-file scan — vectorized reader, parquet
+      // footer pushdown, no per-group plan explosion at 100k+ files.
+      spark.read.schema(metadata.schema).parquet(paths: _*)
+    } else {
+      // Re-injection path (A6/A7): group by partition values, read each
+      // group once, attach the missing partition columns as typed
+      // literals from manifest metadata, union by name.
+      val dataSchema = StructType(metadata.schema.filterNot(f => missing.contains(f.name)))
+      val groups = files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
+      groups.map { case (values, gfiles) =>
+        val base = spark.read.schema(dataSchema).parquet(gfiles.map(f => resolve(f.filePath)): _*)
+        missing.zip(values).foldLeft(base) { case (df, (name, value)) =>
+          val dt = metadata.schema.fields.find(_.name == name).map(_.dataType).getOrElse(StringType)
+          df.withColumn(name, lit(value).cast(dt))
+        }.select(metadata.schema.fieldNames.map(col): _*)
+      }.reduce(_.unionByName(_))
+    }
+  }
+}
+
+object IcebergTable {
+  def apply(spark: SparkSession, tableDir: String): IcebergTable =
+    new IcebergTable(tableDir, spark.sessionState.newHadoopConf())
+
+  /** Translate pushed-down source filters back to `Column` predicates so
+    * the inner parquet scan gets its own footer-level pushdown too.
+    * Filters that don't translate are simply dropped here — Spark always
+    * re-applies the full predicate above the scan.
+    */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case org.apache.spark.sql.sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case org.apache.spark.sql.sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case org.apache.spark.sql.sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case org.apache.spark.sql.sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case org.apache.spark.sql.sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case org.apache.spark.sql.sources.In(a, vs)                => Some(col(a).isInCollection(vs.toSeq))
+    case org.apache.spark.sql.sources.IsNull(a)                => Some(col(a).isNull)
+    case org.apache.spark.sql.sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case org.apache.spark.sql.sources.And(l, r) =>
+      for (cl <- filterToColumn(l); cr <- filterToColumn(r)) yield cl && cr
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      for (cl <- filterToColumn(l); cr <- filterToColumn(r)) yield cl || cr
+    case org.apache.spark.sql.sources.Not(c)                   => filterToColumn(c).map(!_)
+    case org.apache.spark.sql.sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case org.apache.spark.sql.sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case org.apache.spark.sql.sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case _ => None
+  }
+}

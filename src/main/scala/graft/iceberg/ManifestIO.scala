@@ -1,0 +1,183 @@
+package graft.iceberg
+
+import java.nio.ByteBuffer
+
+import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Per-partition-field summary from the manifest list (`partitions` array):
+  * the stats the reference prunes whole manifests with
+  * (`pruning_statistics.rs:34-137`). Bounds stay raw bytes here; decoding
+  * is deferred to pruning time where the target type is known.
+  */
+final case class PartitionSummary(
+    containsNull: Boolean,
+    containsNan: Option[Boolean],
+    lowerBound: Option[Array[Byte]],
+    upperBound: Option[Array[Byte]])
+
+/** One manifest_file row of the manifest list. */
+final case class ManifestFile(
+    path: String,
+    length: Long,
+    partitionSpecId: Int,
+    content: Int, // 0 = data, 1 = deletes (v2); v1 is always data
+    partitions: Seq[PartitionSummary],
+    addedRowsCount: Option[Long],
+    existingRowsCount: Option[Long],
+    deletedRowsCount: Option[Long])
+
+/** One live data file from a manifest: the unit of file-level pruning
+  * (`pruning_statistics.rs:139-196`) and of scan planning
+  * (`table.rs:128-225`).
+  */
+final case class DataFileEntry(
+    filePath: String,
+    fileFormat: String,
+    /** partition values by partition-field name, already JVM-typed */
+    partition: Map[String, Any],
+    recordCount: Long,
+    fileSizeInBytes: Long,
+    valueCounts: Map[Int, Long],
+    nullValueCounts: Map[Int, Long],
+    nanValueCounts: Map[Int, Long],
+    lowerBounds: Map[Int, Array[Byte]],
+    upperBounds: Map[Int, Array[Byte]])
+
+/** Avro readers for Iceberg manifest lists and manifests, written against
+  * the embedded writer schema via avro-1.12 `GenericDatumReader` — the
+  * counterpart of what iceberg-rs hands the reference in
+  * `table.rs:128-145`. Field access is by-name and defensive (v1/v2 field
+  * spellings differ), per SURVEY §7.4.
+  */
+object ManifestIO {
+
+  private def open(path: String, conf: Configuration): DataFileReader[GenericRecord] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    // Manifests are small (KBs–MBs); buffer fully so any FS (local, s3a…)
+    // only needs a plain open, mirroring the reference's object-store reads.
+    val bytes = try in.readAllBytes() finally in.close()
+    new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
+  }
+
+  private def opt(rec: GenericRecord, name: String): Option[AnyRef] =
+    if (rec.getSchema.getField(name) == null) None else Option(rec.get(name))
+
+  private def optLong(rec: GenericRecord, names: String*): Option[Long] =
+    names.iterator.flatMap(n => opt(rec, n)).collectFirst {
+      case n: java.lang.Number => n.longValue
+    }
+
+  private def bb(v: AnyRef): Array[Byte] = v match {
+    case b: ByteBuffer =>
+      val out = new Array[Byte](b.remaining); b.duplicate.get(out); out
+    case a: Array[Byte] => a
+    case f: org.apache.avro.generic.GenericFixed => f.bytes
+  }
+
+  private def kvMap[V](v: AnyRef)(f: AnyRef => V): Map[Int, V] = v match {
+    case l: java.util.List[_] =>
+      val it = l.iterator
+      val b = Map.newBuilder[Int, V]
+      while (it.hasNext) {
+        val r = it.next().asInstanceOf[GenericRecord]
+        b += r.get("key").asInstanceOf[java.lang.Number].intValue -> f(r.get("value"))
+      }
+      b.result()
+    case m: java.util.Map[_, _] =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.map { case (k, value) =>
+        k.toString.toInt -> f(value.asInstanceOf[AnyRef])
+      }.toMap
+    case _ => Map.empty
+  }
+
+  /** JVM-ify an Avro value (Utf8 → String, ByteBuffer → bytes). */
+  private def jvm(v: AnyRef): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: ByteBuffer => bb(b)
+    case other => other
+  }
+
+  def readManifestList(path: String, conf: Configuration): Seq[ManifestFile] = {
+    val reader = open(path, conf)
+    try {
+      val out = ArrayBuffer.empty[ManifestFile]
+      while (reader.hasNext) {
+        val r = reader.next()
+        val parts = opt(r, "partitions").collect { case l: java.util.List[_] =>
+          val it = l.iterator; val b = ArrayBuffer.empty[PartitionSummary]
+          while (it.hasNext) {
+            val p = it.next().asInstanceOf[GenericRecord]
+            b += PartitionSummary(
+              containsNull = opt(p, "contains_null").exists(_.asInstanceOf[Boolean]),
+              containsNan = opt(p, "contains_nan").map(_.asInstanceOf[Boolean]),
+              lowerBound = opt(p, "lower_bound").map(bb),
+              upperBound = opt(p, "upper_bound").map(bb))
+          }
+          b.toSeq
+        }.getOrElse(Nil)
+        out += ManifestFile(
+          path = r.get("manifest_path").toString,
+          length = optLong(r, "manifest_length").getOrElse(0L),
+          partitionSpecId = optLong(r, "partition_spec_id").map(_.toInt).getOrElse(0),
+          content = optLong(r, "content").map(_.toInt).getOrElse(0),
+          partitions = parts,
+          addedRowsCount = optLong(r, "added_rows_count", "added_rows"),
+          existingRowsCount = optLong(r, "existing_rows_count", "existing_rows"),
+          deletedRowsCount = optLong(r, "deleted_rows_count", "deleted_rows"))
+      }
+      out.toSeq
+    } finally reader.close()
+  }
+
+  /** Live (status != DELETED) data files in one manifest. Iceberg status:
+    * 0 = EXISTING, 1 = ADDED, 2 = DELETED — deleted entries are dropped
+    * exactly as iceberg-rs drops them before the reference sees files.
+    */
+  def readManifest(path: String, conf: Configuration): Seq[DataFileEntry] = {
+    val reader = open(path, conf)
+    try {
+      val out = ArrayBuffer.empty[DataFileEntry]
+      while (reader.hasNext) {
+        val r = reader.next()
+        val status = optLong(r, "status").map(_.toInt).getOrElse(1)
+        if (status != 2) {
+          val df = r.get("data_file").asInstanceOf[GenericRecord]
+          // v2 manifests may carry delete files (content != 0): not data.
+          val content = optLong(df, "content").map(_.toInt).getOrElse(0)
+          if (content == 0) {
+            val partition = opt(df, "partition").collect { case p: GenericRecord =>
+              import scala.jdk.CollectionConverters._
+              p.getSchema.getFields.asScala.map { f =>
+                f.name -> jvm(p.get(f.pos).asInstanceOf[AnyRef])
+              }.toMap
+            }.getOrElse(Map.empty[String, Any])
+            out += DataFileEntry(
+              filePath = df.get("file_path").toString,
+              fileFormat = opt(df, "file_format").map(_.toString).getOrElse("PARQUET"),
+              partition = partition,
+              recordCount = optLong(df, "record_count").getOrElse(0L),
+              fileSizeInBytes = optLong(df, "file_size_in_bytes").getOrElse(0L),
+              valueCounts = opt(df, "value_counts")
+                .map(kvMap(_)(_.asInstanceOf[java.lang.Number].longValue)).getOrElse(Map.empty),
+              nullValueCounts = opt(df, "null_value_counts")
+                .map(kvMap(_)(_.asInstanceOf[java.lang.Number].longValue)).getOrElse(Map.empty),
+              nanValueCounts = opt(df, "nan_value_counts")
+                .map(kvMap(_)(_.asInstanceOf[java.lang.Number].longValue)).getOrElse(Map.empty),
+              lowerBounds = opt(df, "lower_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
+              upperBounds = opt(df, "upper_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty))
+          }
+        }
+      }
+      out.toSeq
+    } finally reader.close()
+  }
+}

@@ -1,0 +1,184 @@
+package graft.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Iceberg table-metadata model + parser (format-version 1 and 2).
+  *
+  * Mirrors what the reference reads through iceberg-rs when loading a
+  * filesystem table (reference `datafusion_iceberg/src/table.rs:314-327`
+  * drives the load; the fields parsed here are the ones its scan path
+  * consumes at `table.rs:94-296`): schema → StructType, partition spec,
+  * current snapshot → manifest-list location. No Iceberg jar exists in
+  * the image, so this is a from-scratch reader pinned to the spec.
+  */
+final case class PartitionField(name: String, transform: String, sourceId: Int, fieldId: Int)
+
+final case class IcebergSnapshot(
+    snapshotId: Long,
+    timestampMs: Long,
+    manifestList: String,
+    schemaId: Option[Int],
+    summary: Map[String, String])
+
+final case class TableMetadata(
+    formatVersion: Int,
+    location: String,
+    schema: StructType,
+    /** column name → iceberg field id, for bounds-map lookups */
+    fieldIds: Map[String, Int],
+    partitionSpec: Seq[PartitionField],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[IcebergSnapshot],
+    properties: Map[String, String]) {
+
+  def currentSnapshot: Option[IcebergSnapshot] =
+    currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
+
+  /** Source-column names of identity partition fields (the only transform
+    * the reference supports — fixture `v1.metadata.json:70`). */
+  def identityPartitionColumns: Seq[String] =
+    partitionSpec.filter(_.transform == "identity").map(_.name)
+}
+
+object TableMetadata {
+  private val mapper = new ObjectMapper()
+
+  /** Parse an Iceberg primitive/nested type string or node to a Spark type.
+    * Type table follows the Iceberg spec single-value/primitive list; the
+    * reference's supported pruning set is the same shape
+    * (`pruning_statistics.rs:202-242`).
+    */
+  def toSparkType(node: JsonNode): DataType =
+    if (node.isTextual) primitive(node.asText)
+    else node.get("type").asText match {
+      case "struct" =>
+        StructType(node.get("fields").elements.asScala.map { f =>
+          StructField(f.get("name").asText, toSparkType(f.get("type")),
+            nullable = !f.get("required").asBoolean)
+        }.toSeq)
+      case "list" =>
+        ArrayType(toSparkType(node.get("element")),
+          containsNull = !Option(node.get("element-required")).exists(_.asBoolean))
+      case "map" =>
+        MapType(toSparkType(node.get("key")), toSparkType(node.get("value")),
+          valueContainsNull = !Option(node.get("value-required")).exists(_.asBoolean))
+      case other => throw new IllegalArgumentException(s"unsupported iceberg type: $other")
+    }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
+  def primitive(t: String): DataType = t match {
+    case "boolean"       => BooleanType
+    case "int"           => IntegerType
+    case "long"          => LongType
+    case "float"         => FloatType
+    case "double"        => DoubleType
+    case "date"          => DateType
+    case "time"          => LongType // micros since midnight; Spark has no TIME column type
+    case "timestamp"     => TimestampNTZType
+    case "timestamptz"   => TimestampType
+    case "string"        => StringType
+    case "uuid"          => StringType
+    case "binary"        => BinaryType
+    case FixedRe(_)      => BinaryType
+    case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+    case other           => throw new IllegalArgumentException(s"unsupported iceberg primitive: $other")
+  }
+
+  private def schemaNode(root: JsonNode): JsonNode = {
+    val currentId = Option(root.get("current-schema-id")).map(_.asInt)
+    val fromList = Option(root.get("schemas")).flatMap { arr =>
+      val all = arr.elements.asScala.toSeq
+      currentId.flatMap(id => all.find(_.get("schema-id").asInt == id)).orElse(all.lastOption)
+    }
+    fromList.orElse(Option(root.get("schema")))
+      .getOrElse(throw new IllegalArgumentException("metadata has no schema"))
+  }
+
+  private def specFields(root: JsonNode): Seq[JsonNode] = {
+    val fromList = Option(root.get("partition-specs")).flatMap { arr =>
+      val all = arr.elements.asScala.toSeq
+      val defaultId = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0)
+      all.find(_.get("spec-id").asInt == defaultId).orElse(all.headOption)
+        .map(_.get("fields").elements.asScala.toSeq)
+    }
+    fromList.orElse(Option(root.get("partition-spec")).map(_.elements.asScala.toSeq))
+      .getOrElse(Seq.empty)
+  }
+
+  def fromJson(json: String): TableMetadata = {
+    val root = mapper.readTree(json)
+    val sn = schemaNode(root)
+    val fields = sn.get("fields").elements.asScala.toSeq
+    val schema = StructType(fields.map { f =>
+      StructField(f.get("name").asText, toSparkType(f.get("type")),
+        nullable = !f.get("required").asBoolean,
+        metadata = new MetadataBuilder()
+          .putLong("iceberg.field-id", f.get("id").asLong).build())
+    })
+    val fieldIds = fields.map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val spec = specFields(root).map { f =>
+      PartitionField(f.get("name").asText, f.get("transform").asText,
+        f.get("source-id").asInt, f.get("field-id").asInt)
+    }
+    val snapshots = Option(root.get("snapshots")).map(_.elements.asScala.toSeq).getOrElse(Nil)
+      .map { s =>
+        IcebergSnapshot(
+          snapshotId = s.get("snapshot-id").asLong,
+          timestampMs = Option(s.get("timestamp-ms")).map(_.asLong).getOrElse(0L),
+          manifestList = s.get("manifest-list").asText,
+          schemaId = Option(s.get("schema-id")).map(_.asInt),
+          summary = Option(s.get("summary"))
+            .map(n => n.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+            .getOrElse(Map.empty))
+      }
+    TableMetadata(
+      formatVersion = root.get("format-version").asInt,
+      location = root.get("location").asText,
+      schema = schema,
+      fieldIds = fieldIds,
+      partitionSpec = spec,
+      currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),
+      snapshots = snapshots,
+      properties = Option(root.get("properties"))
+        .map(n => n.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+        .getOrElse(Map.empty))
+  }
+
+  private val VersionedName = """(?:v(\d+)|(\d+)-[-0-9a-fA-F]+)\.metadata\.json""".r
+
+  /** Latest metadata file under `<tableDir>/metadata/`, supporting both
+    * `vN.metadata.json` (fixture style) and `NNNNN-uuid.metadata.json`
+    * (Spark-writer style) names. All I/O goes through Hadoop FileSystem so
+    * `file://`, `s3a://`, … work alike (reference A10 object-store
+    * indirection, `table.rs:116-126`, is this indirection in Spark).
+    */
+  def latestMetadataPath(tableDir: String, conf: Configuration): Path = {
+    val dir = new Path(tableDir, "metadata")
+    val fs = dir.getFileSystem(conf)
+    val candidates = fs.listStatus(dir).map(_.getPath).toSeq
+      .flatMap { p =>
+        p.getName match {
+          case VersionedName(v1, v2) => Some(Option(v1).getOrElse(v2).toLong -> p)
+          case _ => None
+        }
+      }
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(s"no metadata.json under $dir")
+    candidates.maxBy(_._1)._2
+  }
+
+  def load(tableDir: String, conf: Configuration): TableMetadata = {
+    val p = latestMetadataPath(tableDir, conf)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.iceberg
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.types._
+
+/** Iceberg single-value serialization decoder: the byte layout used for
+  * manifest `lower_bounds` / `upper_bounds` and partition-summary bounds.
+  *
+  * Same role as the reference's `bytes_to_any` + `any_iter_to_array`
+  * (`datafusion_iceberg/src/pruning_statistics.rs:198-243`), covering the
+  * same scalar set. Layout per the Iceberg spec Appendix D: fixed-width
+  * values little-endian, strings UTF-8, binary raw, decimals unscaled
+  * big-endian.
+  *
+  * Decoding is *advisory*: callers must treat `None` as "no statistics" and
+  * never prune on doubt (SURVEY §7.4 hard-parts rule).
+  */
+object SingleValue {
+
+  def decode(bytes: Array[Byte], dt: DataType): Option[Any] = {
+    if (bytes == null) return None
+    def le(n: Int): Option[ByteBuffer] =
+      if (bytes.length < n) None
+      else Some(ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN))
+    try dt match {
+      case BooleanType => bytes.headOption.map(_ != 0)
+      case IntegerType => le(4).map(_.getInt)
+      case DateType    => le(4).map(_.getInt)           // days since epoch
+      case LongType    => le(8).map(_.getLong)
+      case TimestampType | TimestampNTZType => le(8).map(_.getLong) // micros
+      case FloatType   => le(4).map(_.getFloat)
+      case DoubleType  => le(8).map(_.getDouble)
+      case StringType  => Some(new String(bytes, StandardCharsets.UTF_8))
+      case BinaryType  => Some(bytes)
+      case d: DecimalType =>
+        Some(BigDecimal(BigInt(bytes), d.scale)) // unscaled big-endian
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode a value that arrived as a JSON-ish string (partition values in
+    * some writers) to the Spark type — the reference smuggles partition
+    * values as JSON-encoded strings (`table.rs:152-158`). */
+  def fromString(s: String, dt: DataType): Option[Any] = {
+    if (s == null || s == "null") return None
+    try dt match {
+      case BooleanType => Some(s.toBoolean)
+      case IntegerType => Some(s.toInt)
+      case LongType    => Some(s.toLong)
+      case FloatType   => Some(s.toFloat)
+      case DoubleType  => Some(s.toDouble)
+      case StringType  => Some(s)
+      case DateType    => Some(java.sql.Date.valueOf(s))
+      case _: DecimalType => Some(BigDecimal(s))
+      case _ => None
+    } catch { case _: Exception => None }
+  }
+}

@@ -1,0 +1,362 @@
+package graft.iceberg.connector
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.analysis._
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.iceberg.{IcebergTable, TableMetadata}
+
+/** Filesystem-warehouse catalog plugin: `catalog.namespace.table` name
+  * resolution over a directory tree of Iceberg tables, plus persistent SQL
+  * views.
+  *
+  * Counterpart of the reference's catalog bridge
+  * (`datafusion_iceberg_catalog_rest/src/catalog.rs:23-52` +
+  * `schema.rs:23-63` + `mirror.rs:10-184`), with two deliberate
+  * divergences SURVEY §2.A calls for:
+  *
+  *  - **lazy** per-identifier load + cache instead of the reference's
+  *    eager full-catalog mirror (`mirror.rs:23-53` issues N+1 remote calls
+  *    at construction — at 100 TB / thousands of tables that's a
+  *    minutes-long startup; lazy costs one metadata read per first touch);
+  *  - create/drop commit **synchronously** — the reference spawns its
+  *    commit on a `LocalPool` it never polls (`mirror.rs:123-143`), so the
+  *    intended (not literal) behavior is implemented.
+  *
+  * Layout: `<warehouse>/<ns...>/<name>/metadata/vN.metadata.json` is a
+  * table; `.../metadata/vN.view.json` is a view; any other directory is a
+  * namespace. Register with:
+  * `spark.sql.catalog.lakehouse = graft.iceberg.connector.GraftCatalog`,
+  * `spark.sql.catalog.lakehouse.warehouse = /path/to/warehouse`.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private var conf: Configuration = _
+  private lazy val fs: FileSystem = warehouse.getFileSystem(conf)
+  private val mapper = new ObjectMapper()
+
+  /** Lazy table cache (A15 without the eager mirror). */
+  private val cache = new ConcurrentHashMap[String, SparkIcebergTable]()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    warehouse = new Path(Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse")))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirFor(parts: Seq[String]): Path =
+    parts.foldLeft(warehouse)((p, n) => new Path(p, n))
+
+  private def metaFiles(dir: Path, suffix: String): Seq[Path] =
+    try {
+      val md = new Path(dir, "metadata")
+      if (!fs.exists(md)) Nil
+      else fs.listStatus(md).map(_.getPath).filter(_.getName.endsWith(suffix)).toSeq
+    } catch { case _: Exception => Nil }
+
+  private def isTableDir(dir: Path): Boolean = metaFiles(dir, ".metadata.json").nonEmpty
+  private def isViewDir(dir: Path): Boolean = metaFiles(dir, ".view.json").nonEmpty
+
+  private def childDirs(dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath).toSeq
+
+  // -- SupportsNamespaces (A13/A14) -----------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    childDirs(warehouse).filterNot(d => isTableDir(d) || isViewDir(d))
+      .map(d => Array(d.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = dirFor(namespace.toSeq)
+    if (namespace.nonEmpty && !fs.exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    childDirs(dir).filterNot(d => isTableDir(d) || isViewDir(d))
+      .map(d => namespace :+ d.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = dirFor(namespace.toSeq)
+    namespace.isEmpty || (fs.exists(dir) && !isTableDir(dir) && !isViewDir(dir))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> dirFor(namespace.toSeq).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String], metadata: JMap[String, String]): Unit =
+    fs.mkdirs(dirFor(namespace.toSeq))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirFor(namespace.toSeq)
+    if (!fs.exists(dir)) false
+    else if (!cascade && childDirs(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    else fs.delete(dir, true)
+  }
+
+  // -- TableCatalog (A14/A16/A17) -------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirFor(namespace.toSeq)
+    if (namespace.nonEmpty && !fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    childDirs(dir).filter(isTableDir).map(d => Identifier.of(namespace, d.getName)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(dirFor(ident.namespace.toSeq :+ ident.name))
+
+  /** Tables resolve to Iceberg scans; view directories resolve to a
+    * SQL-backed table provider (the reference's view-expansion path,
+    * `table.rs:102-112`) because Spark's analyzer does not consult
+    * `ViewCatalog` during SELECT resolution.
+    */
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
+    val key = dir.toString
+    val cached = cache.get(key)
+    if (cached != null) cached
+    else if (isViewDir(dir)) {
+      val v = loadView(ident)
+      new GraftSqlViewTable(v.name, v.query, v.schema)
+    }
+    else if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    else {
+      val t = new SparkIcebergTable(
+        (ident.namespace :+ ident.name).mkString("."),
+        new IcebergTable(dir.toString, conf))
+      cache.put(key, t)
+      t
+    }
+  }
+
+  override def invalidateTable(ident: Identifier): Unit =
+    cache.remove(dirFor(ident.namespace.toSeq :+ ident.name).toString)
+
+  /** CREATE TABLE: commit a v0 metadata file (schema + identity partition
+    * spec, no snapshot) — parity with the reference registering a
+    * `(identifier, metadata_location)` pair (`mirror.rs:103-145`), done
+    * synchronously.
+    */
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"only identity partitioning is supported, got: $other")
+    }
+    val json = IcebergJson.tableMetadata(mapper, dir.toString, schema, partitionCols,
+      Option(properties).map(_.asScala.toMap).getOrElse(Map.empty))
+    write(new Path(dir, "metadata/v0.metadata.json"), json)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
+    invalidateTable(ident)
+    isTableDir(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    invalidateTable(oldIdent)
+    fs.rename(
+      dirFor(oldIdent.namespace.toSeq :+ oldIdent.name),
+      dirFor(newIdent.namespace.toSeq :+ newIdent.name))
+  }
+
+  // -- ViewCatalog (A12: persistent views) ----------------------------------
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    childDirs(dirFor(namespace)).filter(isViewDir)
+      .map(d => Identifier.of(namespace.toArray, d.getName)).toArray
+
+  override def viewExists(ident: Identifier): Boolean =
+    isViewDir(dirFor(ident.namespace.toSeq :+ ident.name))
+
+  override def loadView(ident: Identifier): View = {
+    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
+    val files = metaFiles(dir, ".view.json")
+    if (files.isEmpty) throw new NoSuchViewException(ident)
+    val latest = files.maxBy(_.getName)
+    val in = fs.open(latest)
+    val node = try mapper.readTree(in) finally in.close()
+    GraftView(
+      viewName = (ident.namespace :+ ident.name).mkString("."),
+      sql = node.get("sql").asText,
+      catalog = node.get("current-catalog").asText,
+      namespace = node.get("current-namespace").elements.asScala.map(_.asText).toArray,
+      viewSchema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType],
+      queryCols = node.get("query-column-names").elements.asScala.map(_.asText).toArray)
+  }
+
+  /** Persist the view SQL + schema as committed metadata — the durability
+    * the reference gets from `ViewBuilder…commit()` (`table.rs:393-403`),
+    * minus its object-store round-trip. A new session loading this catalog
+    * sees the view again (tested in `CatalogSpec`).
+    */
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
+    val node = mapper.createObjectNode()
+    node.put("format-version", 1)
+    node.put("sql", info.sql)
+    node.put("current-catalog", Option(info.currentCatalog).getOrElse(catalogName))
+    val nsArr = node.putArray("current-namespace")
+    Option(info.currentNamespace).getOrElse(Array.empty[String]).foreach(nsArr.add)
+    node.put("schema", info.schema.json)
+    val qc = node.putArray("query-column-names")
+    Option(info.queryColumnNames).getOrElse(Array.empty[String]).foreach(qc.add)
+    write(new Path(dir, "metadata/v1.view.json"),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException("alterView is not supported")
+
+  override def dropView(ident: Identifier): Boolean = {
+    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
+    isViewDir(dir) && fs.delete(dir, true)
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    fs.rename(
+      dirFor(oldIdent.namespace.toSeq :+ oldIdent.name),
+      dirFor(newIdent.namespace.toSeq :+ newIdent.name))
+  }
+
+  private def write(path: Path, content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+/** Persistent-view record: Spark's analyzer inlines `query()` and
+  * re-plans it, the same expansion the reference runs at scan time
+  * (`table.rs:102-112`).
+  */
+final case class GraftView(
+    viewName: String,
+    sql: String,
+    catalog: String,
+    namespace: Array[String],
+    viewSchema: StructType,
+    queryCols: Array[String]) extends View {
+  override def name(): String = viewName
+  override def query(): String = sql
+  override def currentCatalog(): String = catalog
+  override def currentNamespace(): Array[String] = namespace
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = queryCols
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): JMap[String, String] = Map.empty[String, String].asJava
+}
+
+/** Writer for minimal Iceberg v1 table-metadata JSON (CREATE TABLE). */
+object IcebergJson {
+
+  def icebergType(dt: DataType): String = dt match {
+    case BooleanType      => "boolean"
+    case IntegerType      => "int"
+    case ShortType | ByteType => "int"
+    case LongType         => "long"
+    case FloatType        => "float"
+    case DoubleType       => "double"
+    case DateType         => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType    => "timestamptz"
+    case StringType       => "string"
+    case BinaryType       => "binary"
+    case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new UnsupportedOperationException(s"cannot write type $other")
+  }
+
+  def tableMetadata(
+      mapper: ObjectMapper,
+      location: String,
+      schema: StructType,
+      partitionCols: Seq[String],
+      properties: Map[String, String]): String = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      location.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+    root.put("location", location)
+    root.put("last-updated-ms", 0L)
+    root.put("last-column-id", schema.size)
+    val fieldId = schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    def schemaNode(target: ObjectNode): Unit = {
+      target.put("type", "struct")
+      target.put("schema-id", 0)
+      val arr = target.putArray("fields")
+      schema.fields.foreach { f =>
+        val fn = arr.addObject()
+        fn.put("id", fieldId(f.name))
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        fn.put("type", icebergType(f.dataType))
+      }
+    }
+    schemaNode(root.putObject("schema"))
+    root.put("current-schema-id", 0)
+    schemaNode(root.putArray("schemas").addObject())
+    val specs = root.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0)
+    val sf = spec.putArray("fields")
+    partitionCols.zipWithIndex.foreach { case (c, i) =>
+      val f = sf.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", fieldId.getOrElse(c,
+        throw new IllegalArgumentException(s"partition column $c not in schema")))
+      f.put("field-id", 1000 + i)
+    }
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 1000 + partitionCols.size - 1)
+    root.put("default-sort-order-id", 0)
+    root.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
+    val props = root.putObject("properties")
+    properties.foreach { case (k, v) => props.put(k, v) }
+    root.put("current-snapshot-id", -1L)
+    root.putArray("snapshots")
+    mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
+  }
+}

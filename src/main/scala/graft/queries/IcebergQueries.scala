@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.iceberg.connector.GraftCatalog
+
+/** The reference's own surface (SURVEY §2.A): Iceberg fixture scans through
+  * the `lakehouse` catalog plugin — metadata → manifests → pruning → scan.
+  * Q2 is the reference's integration-test query (`table.rs:330`), expected
+  * {1 → 1.8, 2 → 0.9} (`table.rs:348-349`).
+  */
+object IcebergQueries {
+
+  val fixtureWarehouse = "/root/reference/datafusion_iceberg/tests/home/iceberg/warehouse"
+  private val fixtureGlob =
+    s"$fixtureWarehouse/nyc/taxis/data/*/*.parquet"
+
+  private def withCatalog(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.catalog.lakehouse", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.lakehouse.warehouse", fixtureWarehouse)
+    s
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_iceberg_fixture" -> ((s, _) =>
+      withCatalog(s).sql(
+        """SELECT vendor_id, ROUND(CAST(MIN(trip_distance) AS DOUBLE), 2) AS m
+          |FROM lakehouse.nyc.taxis
+          |GROUP BY vendor_id ORDER BY vendor_id ASC NULLS FIRST""".stripMargin)),
+
+    "q2b_catalog_count" -> ((s, _) =>
+      withCatalog(s).sql("SELECT COUNT(*) AS n FROM lakehouse.nyc.taxis")))
+
+  /** DuckDB sees the same bytes by reading the fixture's data files
+    * directly (all 4 are live in the current snapshot, so the file set is
+    * identical to the snapshot's).
+    */
+  val oracles: Map[String, String] = Map(
+    "q2_iceberg_fixture" ->
+      s"""SELECT vendor_id, ROUND(CAST(MIN(trip_distance) AS DOUBLE), 2) AS m
+         |FROM read_parquet('$fixtureGlob')
+         |GROUP BY vendor_id ORDER BY vendor_id ASC NULLS FIRST""".stripMargin,
+    "q2b_catalog_count" ->
+      s"SELECT COUNT(*) AS n FROM read_parquet('$fixtureGlob')")
+}
