@@ -52,38 +52,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Approximate top-k: sign-random-projection LSH. Each vector is bucketed
-    * by the sign pattern of `nBits` fixed pseudo-random hyperplanes
-    * (deterministic: plane i's component for dimension d is derived from
-    * `xxhash64(i, d)`, so every executor computes identical planes with no
-    * driver-side state or broadcast of plane matrices).
+  /** Approximate top-k: sign-random-projection LSH with `tables`
+    * independent hash tables. Each vector is bucketed per table by the
+    * sign pattern of `nBits` fixed pseudo-random hyperplanes
+    * (deterministic: table t / plane i's component for dimension d is
+    * derived from `xxhash64(t * nBits + i, d)`, so every executor computes
+    * identical planes with no driver-side state or broadcast of plane
+    * matrices).
     *
-    * Candidates are corpus vectors sharing the query's bucket — the join is
-    * a hash join on `bucket`, so at scale each query probes one bucket
-    * instead of the full corpus. Recall < 1.0 by design; raise `nBits` for
-    * precision, lower it for recall.
+    * Candidates are corpus vectors sharing any table's bucket with the
+    * query — the join is a hash join on `(table, bucket)`, so at scale
+    * each query probes `tables` buckets instead of the full corpus.
+    * Recall < 1.0 by design: raise `tables` for recall (OR over tables),
+    * raise `nBits` for precision (AND over bits) — the standard LSH
+    * recall/cost dials. An identical vector always lands in the same
+    * buckets, so exact duplicates are retrieved with probability 1 (the
+    * property the q49b oracle gate pins).
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int = 8,
+      tables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucket(vec: Column): Column = {
+    def bucket(vec: Column, table: Int): Column = {
       // sign bit i = sign of sum_d plane(i, d) * vec[d], plane in {-1, +1}
       val bits = (0 until nBits).map { i =>
         val proj = aggregate(
           zip_with(vec, sequence(lit(0), size(vec) - 1),
             (x, d) => x.cast("double") *
-              when(pmod(xxhash64(lit(i), d), lit(2)) === 0, -1.0).otherwise(1.0)),
+              when(pmod(xxhash64(lit(table * nBits + i), d), lit(2)) === 0, -1.0)
+                .otherwise(1.0)),
           lit(0.0), (acc, v) => acc + v)
         when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
       }
       bits.reduce(_.bitwiseOR(_))
     }
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      bucket(col(vecCol)).as("bucket"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
-      bucket(col(vecCol)).as("bucket"))
-    val scored = broadcast(q).join(c,
-        q("bucket") === c("bucket") && col("q_id") =!= col("n_id"))
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(array((0 until tables).map(t => bucket(col(vecCol), t)): _*))
+          .as(Seq("tbl", "bucket")))
+    val q = withBuckets(queries, "q_id", "q_vec")
+    val c = withBuckets(corpus, "n_id", "n_vec")
+    val scored = broadcast(q).join(c, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      // a pair can collide in several tables; score each candidate once
+      .dropDuplicates("q_id", "n_id")
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_vec"), col("n_vec")), 4).as("score"))
     val w = Window.partitionBy(col("q_id"))

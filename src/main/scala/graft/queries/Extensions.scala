@@ -55,9 +55,13 @@ object Extensions {
           "doc_id", "text", n = 3)
         .orderBy(col("qa").asc_nulls_first, col("qb").asc_nulls_first)),
 
-    // rows-only (xxhash64-based; no portable oracle)
+    // rows-only (xxhash64-based; no portable oracle). The array signature
+    // is collapsed to one scalar digest so the driver's sort/hash harness
+    // can gate the rows — the array API stays on Dedup.minhashSignatures
+    // for library callers.
     "q41_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), xxhash64(col("sig")).as("sig_digest"))
         .orderBy(col("doc_id").asc_nulls_first)),
 
     "q41b_minhash_pairs" -> ((s, d) =>
@@ -68,6 +72,47 @@ object Extensions {
     "q42_simhash" -> ((s, d) =>
       Dedup.simhash64(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id").asc_nulls_first)),
+
+    // ---- planted-duplicate recall gates (oracle-checked) -----------------
+    // The engine-specific hash internals (xxhash64 minhash/simhash, LSH
+    // bucketing) have no portable oracle, but their *retrieval contract*
+    // does: a cloned row must rediscover its source — identical input ⇒
+    // identical signature/bucket, deterministically. The oracle states the
+    // provable answer from first principles, so these gate the full
+    // pipeline (tokenize → hash → band/chunk/bucket join → rank) with an
+    // exact hash-match.
+    "q41c_minhash_clone_recall" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val clones = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.minhashCandidatePairs(
+          docs.unionByName(clones), "doc_id", "text", numHashes = 32, bands = 16)
+        .filter(col("qb") === col("qa") + 1000000L)
+        .agg(count(lit(1)).as("n_found"))
+    }),
+
+    "q42b_simhash_dup_parity" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val clones = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.simhashPairs(docs.unionByName(clones), "doc_id", "text", maxHamming = 0)
+        .filter(col("qb") === col("qa") + 1000000L)
+        .agg(count(lit(1)).as("n_found"))
+    }),
+
+    "q49b_lsh_clone_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val clones = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.lshTopK(clones, emb, k = 1, nBits = 4, tables = 2)
+        .select(col("q_id"), col("n_id"), col("score"))
+        .orderBy(col("q_id").asc_nulls_first)
+    }),
+
+    // approximate distinct (HLL) — engine-specific estimate, rows-only
+    "q15b_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .agg(approx_count_distinct(col("o_custkey")).as("n_approx"))),
 
     // ---- similarity search ----------------------------------------------
     "q43_neardup_cosine" -> ((s, d) =>
@@ -238,11 +283,21 @@ object Extensions {
         |           w -> CAST(ascii(w) AS BIGINT) * 31 + length(w))),
         |         (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
+    "q41c_minhash_clone_recall" ->
+      """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 200""",
+    "q42b_simhash_dup_parity" ->
+      """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 200""",
+    "q49b_lsh_clone_recall" ->
+      """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
     "q47_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |       CAST(LENGTH(text) AS BIGINT) AS payload_len
+        |       -- octet_length(encode(..)): byte count, matching Spark's
+        |       -- length(payload) on the UTF-8-encoded binary payload
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
         |FROM documents ORDER BY media_id ASC NULLS FIRST""".stripMargin,
     "q48_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(doc_id % 32 + 1 AS INTEGER) AS n_frames,
