@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Similarity, TextFunctions}
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, TemporalJoins}
 
 /** Training-data-pipeline extensions (SURVEY §2.B north star + the declared
   * Q34–Q36): deduplication, similarity search, text analysis, multimodal
@@ -113,6 +113,36 @@ object Extensions {
     "q15b_approx_distinct" -> ((s, d) =>
       t(s, d, "orders")
         .agg(approx_count_distinct(col("o_custkey")).as("n_approx"))),
+
+    // ---- temporal joins --------------------------------------------------
+    // click→purchase attribution: most recent click before each purchase
+    "q50_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      TemporalJoins.asOfJoin(purchases, clicks,
+          on = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+          rightCols = Seq("event_id", "ts"), prefix = "click_")
+        .select(col("event_id"), col("user_id"),
+          col("click_event_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+            .as("us_since_click"))
+        .orderBy(col("event_id").asc_nulls_first)
+    }),
+
+    // clicks within ±5 minutes of a purchase by the same user
+    "q51_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      TemporalJoins.rangeJoin(purchases, clicks,
+          on = Seq("user_id"), tsCol = "ts", toleranceSec = 300L,
+          aCols = Seq("event_id"), bCols = Seq("event_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("a_event_id")).as("n_purch"))
+    }),
 
     // ---- similarity search ----------------------------------------------
     "q43_neardup_cosine" -> ((s, d) =>
@@ -291,6 +321,22 @@ object Extensions {
       """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
+    "q50_asof_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  (SELECT r.event_id FROM events r
+        |   WHERE r.event_type = 'click' AND r.user_id = l.user_id AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS click_id,
+        |  CAST(epoch_us(l.ts) - (SELECT epoch_us(r.ts) FROM events r
+        |   WHERE r.event_type = 'click' AND r.user_id = l.user_id AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS BIGINT) AS us_since_click
+        |FROM events l WHERE l.event_type = 'purchase'
+        |ORDER BY l.event_id ASC NULLS FIRST""".stripMargin,
+    "q51_range_join" ->
+      """SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT l.event_id) AS n_purch
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND abs(epoch_us(r.ts) - epoch_us(l.ts)) <= 300000000""".stripMargin,
     "q47_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
