@@ -83,16 +83,27 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
 
   /** Two-level planning: prune manifests on partition summaries, read the
     * survivors, prune files on column bounds (reference `table.rs:133-145`).
+    *
+    * Surviving manifests are read in parallel: a 100 TB table has
+    * thousands of manifests, and serial driver-side Avro reads would
+    * dominate planning latency long before any task is scheduled.
     */
   def planFiles(filters: Seq[Filter] = Nil): Seq[DataFileEntry] = {
     val dataManifests = manifests.filter(_.content == 0)
     val keptManifests =
       if (filters.isEmpty) dataManifests
       else dataManifests.filter(m => Pruning.mayMatchAll(filters, manifestStats(m)))
-    val entries = keptManifests.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
+    val entries = readManifestsParallel(keptManifests)
     if (filters.isEmpty) entries
     else entries.filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
   }
+
+  private def readManifestsParallel(ms: Seq[ManifestFile]): Seq[DataFileEntry] =
+    if (ms.sizeIs <= 1) ms.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      ms.par.map(m => ManifestIO.readManifest(resolve(m.path), conf)).seq.toSeq.flatten
+    }
 
   /** Pruning diagnostics for tests: (manifests kept, total; files kept, total). */
   def pruneCounts(filters: Seq[Filter]): (Int, Int, Int, Int) = {
@@ -125,10 +136,13 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
 
   /** Build the DataFrame for the current snapshot. Pushed `filters` drive
     * metadata pruning here AND are re-applied by Spark above the scan, so
-    * pruning can never change semantics.
+    * pruning can never change semantics. `precomputed` lets a caller that
+    * already planned (e.g. the DSv2 scan, for statistics) avoid re-reading
+    * manifests.
     */
-  def toDF(spark: SparkSession, filters: Seq[Filter] = Nil): DataFrame = {
-    val files = planFiles(filters)
+  def toDF(spark: SparkSession, filters: Seq[Filter] = Nil,
+           precomputed: Option[Seq[DataFileEntry]] = None): DataFrame = {
+    val files = precomputed.getOrElse(planFiles(filters))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metadata.schema)

@@ -169,7 +169,7 @@ final class GraftScan(
       override def toString: String = description()
       override def buildScan(): RDD[Row] = {
         val spark = ctx.sparkSession
-        var df = table.toDF(spark, filters.toSeq)
+        var df = table.toDF(spark, filters.toSeq, precomputed = Some(files))
         // Re-apply pushed predicates inside the inner plan so the parquet
         // reader gets footer/row-group pushdown as well (A9).
         val residual = filters.toSeq.flatMap(IcebergTable.filterToColumn)

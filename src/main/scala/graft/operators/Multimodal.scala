@@ -83,4 +83,28 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(every)))
           .as("frame_idx"))
+
+  /** Resize image-kind items to `targetW` × `targetH`. The STUB kernel
+    * models the payload-size effect of a real resampler deterministically
+    * and portably — the resized payload is the first
+    * `ceil(len * (targetW*targetH)/(w*h))` bytes — so the operator is
+    * oracle-checkable end-to-end; a real deployment swaps the kernel body
+    * for an actual resampler and the schema/partitioning/metadata plumbing
+    * is unchanged. Non-image rows pass through untouched.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaItem] = {
+    import spark.implicits._
+    media.as[MediaItem].mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "image") m
+        else {
+          val ratio = (targetW.toLong * targetH).toDouble / (m.width.toLong * m.height)
+          val newLen = math.min(m.payload.length.toLong,
+            math.ceil(m.payload.length * ratio).toLong).toInt
+          m.copy(payload = m.payload.take(newLen), width = targetW, height = targetH)
+        }
+      }
+    }
+  }
 }

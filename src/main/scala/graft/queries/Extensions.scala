@@ -215,7 +215,19 @@ object Extensions {
           Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"),
           every = 8)
         .orderBy(col("media_id").asc_nulls_first,
-                 col("frame_idx").asc_nulls_first))
+                 col("frame_idx").asc_nulls_first)),
+
+    "q52_resize" -> ((s, d) => {
+      implicit val spark: SparkSession = s
+      Multimodal.resize(
+          Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text"),
+          targetW = 32, targetH = 32)
+        .toDF()
+        .filter(col("kind") === "image")
+        .select(col("media_id"), col("width"), col("height"),
+          length(col("payload")).cast("bigint").as("payload_len"))
+        .orderBy(col("media_id").asc_nulls_first)
+    })
   )
 
   private val langCase: String = {
@@ -349,6 +361,14 @@ object Extensions {
       """SELECT doc_id AS media_id, CAST(doc_id % 32 + 1 AS INTEGER) AS n_frames,
         |       CAST(unnest(range(0, doc_id % 32 + 1, 8)) AS INTEGER) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2
-        |ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin
+        |ORDER BY media_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin,
+    "q52_resize" ->
+      """SELECT doc_id AS media_id, CAST(32 AS INTEGER) AS width,
+        |       CAST(32 AS INTEGER) AS height,
+        |       CAST(least(octet_length(encode(text)),
+        |                  CAST(ceil(octet_length(encode(text)) * 0.25) AS BIGINT))
+        |            AS BIGINT) AS payload_len
+        |FROM documents WHERE doc_id % 3 = 0
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin
   )
 }
