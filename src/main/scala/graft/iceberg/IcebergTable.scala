@@ -2,7 +2,7 @@ package graft.iceberg
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, date_from_unix_date, lit, timestamp_micros}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 
@@ -53,6 +53,9 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
     * answer for their source column; anything else yields None (keep).
     */
   private def manifestStats(m: ManifestFile)(attr: String): Option[ColStats] = {
+    // positional summaries are only meaningful against the spec that wrote
+    // the manifest; a spec-evolved manifest must be kept, not mis-pruned
+    if (m.partitionSpecId != metadata.defaultSpecId) return None
     val idx = metadata.partitionSpec.indexWhere(p => p.transform == "identity" && p.name == attr)
     if (idx < 0 || idx >= m.partitions.size) None
     else {
@@ -73,7 +76,11 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
     */
   private def fileStats(f: DataFileEntry)(attr: String): Option[ColStats] =
     metadata.fieldIds.get(attr).map { id =>
-      val dt = typeById.getOrElse(id, NullType)
+      // uuid bounds are 16 raw bytes, not the string form filters compare
+      // against — refuse to decode them rather than prune unsoundly
+      val dt =
+        if (metadata.uuidFieldIds.contains(id)) NullType
+        else typeById.getOrElse(id, NullType)
       ColStats(
         lower = f.lowerBounds.get(id).flatMap(SingleValue.decode(_, dt)),
         upper = f.upperBounds.get(id).flatMap(SingleValue.decode(_, dt)),
@@ -125,6 +132,21 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
 
   // -- scan ------------------------------------------------------------------
 
+  /** Typed literal for a metadata partition value. Avro stores temporal
+    * partition values as raw integers (micros since epoch / days since
+    * epoch); a plain `lit(x).cast(TimestampType)` would misread the long
+    * as SECONDS and an int→date cast is not even allowed, so the temporal
+    * types get explicit converters.
+    */
+  private def partitionLiteral(value: Any, dt: DataType): Column = (value, dt) match {
+    case (null, _) => lit(null).cast(dt)
+    case (n: java.lang.Number, TimestampType) => timestamp_micros(lit(n.longValue))
+    case (n: java.lang.Number, TimestampNTZType) =>
+      timestamp_micros(lit(n.longValue)).cast(TimestampNTZType)
+    case (n: java.lang.Number, DateType) => date_from_unix_date(lit(n.intValue))
+    case _ => lit(value).cast(dt)
+  }
+
   /** Columns physically present in the data files. Iceberg writers usually
     * materialize identity-partition source columns in the files too (the
     * fixture does); when they don't, partition values must come from
@@ -166,7 +188,7 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
         val base = spark.read.schema(dataSchema).parquet(gfiles.map(f => resolve(f.filePath)): _*)
         missing.zip(values).foldLeft(base) { case (df, (name, value)) =>
           val dt = metadata.schema.fields.find(_.name == name).map(_.dataType).getOrElse(StringType)
-          df.withColumn(name, lit(value).cast(dt))
+          df.withColumn(name, partitionLiteral(value, dt))
         }.select(metadata.schema.fieldNames.map(col): _*)
       }.reduce(_.unionByName(_))
     }

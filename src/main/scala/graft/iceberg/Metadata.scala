@@ -32,6 +32,12 @@ final case class TableMetadata(
     /** column name → iceberg field id, for bounds-map lookups */
     fieldIds: Map[String, Int],
     partitionSpec: Seq[PartitionField],
+    /** spec id the `partitionSpec` belongs to — manifests written under a
+      * different spec id must not be pruned positionally against it */
+    defaultSpecId: Int,
+    /** field ids whose iceberg type is `uuid`: bounds are 16 raw bytes,
+      * not UTF-8, so stats decoding must refuse them (keep, never prune) */
+    uuidFieldIds: Set[Int],
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshot],
     properties: Map[String, String]) {
@@ -127,6 +133,10 @@ object TableMetadata {
       PartitionField(f.get("name").asText, f.get("transform").asText,
         f.get("source-id").asInt, f.get("field-id").asInt)
     }
+    val uuidIds = fields.collect {
+      case f if f.get("type").isTextual && f.get("type").asText == "uuid" =>
+        f.get("id").asInt
+    }.toSet
     val snapshots = Option(root.get("snapshots")).map(_.elements.asScala.toSeq).getOrElse(Nil)
       .map { s =>
         IcebergSnapshot(
@@ -144,6 +154,8 @@ object TableMetadata {
       schema = schema,
       fieldIds = fieldIds,
       partitionSpec = spec,
+      defaultSpecId = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0),
+      uuidFieldIds = uuidIds,
       currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),
       snapshots = snapshots,
       properties = Option(root.get("properties"))

@@ -39,22 +39,4 @@ object SingleValue {
       case _ => None
     } catch { case _: Exception => None }
   }
-
-  /** Decode a value that arrived as a JSON-ish string (partition values in
-    * some writers) to the Spark type — the reference smuggles partition
-    * values as JSON-encoded strings (`table.rs:152-158`). */
-  def fromString(s: String, dt: DataType): Option[Any] = {
-    if (s == null || s == "null") return None
-    try dt match {
-      case BooleanType => Some(s.toBoolean)
-      case IntegerType => Some(s.toInt)
-      case LongType    => Some(s.toLong)
-      case FloatType   => Some(s.toFloat)
-      case DoubleType  => Some(s.toDouble)
-      case StringType  => Some(s)
-      case DateType    => Some(java.sql.Date.valueOf(s))
-      case _: DecimalType => Some(BigDecimal(s))
-      case _ => None
-    } catch { case _: Exception => None }
-  }
 }

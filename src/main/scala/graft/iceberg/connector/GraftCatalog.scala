@@ -112,7 +112,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val dir = dirFor(namespace.toSeq)
     if (!fs.exists(dir)) false
     else if (!cascade && childDirs(dir).nonEmpty)
-      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      throw new NonEmptyNamespaceException(
+        namespace, s"namespace ${namespace.mkString(".")} is not empty", None)
     else fs.delete(dir, true)
   }
 
@@ -139,7 +140,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (cached != null) cached
     else if (isViewDir(dir)) {
       val v = loadView(ident)
-      new GraftSqlViewTable(v.name, v.query, v.schema)
+      new GraftSqlViewTable(v.name, v.query, v.schema,
+        v.currentCatalog, v.currentNamespace)
     }
     else if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     else {
@@ -191,9 +193,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     invalidateTable(oldIdent)
-    fs.rename(
+    renameDir(newIdent.namespace,
       dirFor(oldIdent.namespace.toSeq :+ oldIdent.name),
       dirFor(newIdent.namespace.toSeq :+ newIdent.name))
+  }
+
+  /** Hadoop `FileSystem.rename` reports failure by returning false, not by
+    * throwing — surface it. The destination namespace must already exist
+    * (creating it here would silently accept bogus targets, e.g. a
+    * `RENAME TO cat.ns.t` whose catalog prefix Spark passes through
+    * verbatim as a namespace level).
+    */
+  private def renameDir(to_ns: Array[String], from: Path, to: Path): Unit = {
+    if (!namespaceExists(to_ns)) throw new NoSuchNamespaceException(to_ns)
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(s"rename failed: $from -> $to")
   }
 
   // -- ViewCatalog (A12: persistent views) ----------------------------------
@@ -255,7 +269,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
     if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
-    fs.rename(
+    renameDir(newIdent.namespace,
       dirFor(oldIdent.namespace.toSeq :+ oldIdent.name),
       dirFor(newIdent.namespace.toSeq :+ newIdent.name))
   }

@@ -95,14 +95,40 @@ final class GraftScanBuilder(table: IcebergTable)
 final class GraftSqlViewTable(
     viewName: String,
     viewSql: String,
-    declaredSchema: StructType)
+    declaredSchema: StructType,
+    viewCatalog: String = null,
+    viewNamespace: Array[String] = Array.empty)
     extends Table with SupportsRead {
 
   override def name(): String = viewName
 
+  /** Analyze the view SQL in the context it was created in: relative table
+    * names inside the stored SQL must resolve against the view's own
+    * catalog/namespace, not the caller's current ones. The current context
+    * is restored afterwards; `spark.sql` analyzes eagerly, so the plan is
+    * bound before restoration.
+    */
+  private def analyzeInViewContext(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    if (viewCatalog == null || viewCatalog.isEmpty) return spark.sql(viewSql)
+    val prevCatalog = spark.catalog.currentCatalog()
+    val prevDb = try Some(spark.catalog.currentDatabase) catch { case _: Exception => None }
+    try {
+      spark.catalog.setCurrentCatalog(viewCatalog)
+      if (viewNamespace != null && viewNamespace.nonEmpty)
+        spark.sql(s"USE ${viewNamespace.map(n => s"`$n`").mkString(".")}")
+      spark.sql(viewSql)
+    } finally {
+      try {
+        spark.catalog.setCurrentCatalog(prevCatalog)
+        prevDb.foreach(db => spark.sql(s"USE `$db`"))
+      } catch { case _: Exception => () }
+    }
+  }
+
   override def schema(): StructType =
     if (declaredSchema.nonEmpty) declaredSchema
-    else org.apache.spark.sql.SparkSession.active.sql(viewSql).schema
+    else analyzeInViewContext(org.apache.spark.sql.SparkSession.active).schema
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -129,7 +155,7 @@ final class GraftSqlViewTable(
             override def schema: StructType = required
             override def toString: String = s"GraftView($viewName)"
             override def buildScan(): RDD[Row] = {
-              var df = ctx.sparkSession.sql(viewSql)
+              var df = analyzeInViewContext(ctx.sparkSession)
               val preds = filters.toSeq.flatMap(IcebergTable.filterToColumn)
               if (preds.nonEmpty) df = df.filter(preds.reduce(_ && _))
               df.select(required.fieldNames.toSeq.map(col): _*).rdd

@@ -53,25 +53,29 @@ object Dedup {
     // Shuffles: one hash partition on the doc id for the window; the
     // groupBy then reuses that partitioning. Shuffled rows are (id, long).
     import org.apache.spark.sql.expressions.Window
+    // Documents shorter than the shingle size (including null/empty text)
+    // fall back to ONE whole-text shingle in the same single scan: their
+    // token array is replaced by [coalesce(text, '')], so short exact
+    // duplicates still become dedup candidates and no document vanishes.
+    val toks0 = TextFunctions.tokens(col(textCol))
+    val isFull = coalesce(size(toks0) >= shingleSize, lit(false))
     val toks = df
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("ws"))
-      .select(col(idCol), size(col("ws")).as("nw"),
+      .select(col(idCol), isFull.as("full"),
+        when(isFull, toks0)
+          .otherwise(array(coalesce(col(textCol), lit("")))).as("ws"))
+      .select(col(idCol), col("full"), size(col("ws")).as("nw"),
         posexplode(col("ws")).as(Seq("pos", "w")))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // xxhash64 skips null children, so for the single whole-text row the
+    // null leads reduce it to xxhash64(text) — no special case needed
     val shingleHash = xxhash64(
       col("w") +: (1 until shingleSize).map(j => lead(col("w"), j).over(win)): _*)
     val sh = toks
-      .select(col(idCol), col("nw"), col("pos"), shingleHash.as("sh"))
-      .filter(col("pos") <= col("nw") - shingleSize) // complete shingles only
-    // documents shorter than the shingle size fall back to one whole-text
-    // shingle, so short exact duplicates still become dedup candidates
-    val shorts = df
-      .filter(size(TextFunctions.tokens(col(textCol))) < shingleSize)
-      .select(col(idCol), xxhash64(coalesce(col(textCol), lit(""))).as("sh"))
-    val all = sh.select(col(idCol), col("sh")).unionByName(shorts)
+      .select(col(idCol), col("full"), col("nw"), col("pos"), shingleHash.as("sh"))
+      .filter(!col("full") || col("pos") <= col("nw") - shingleSize)
     val minCols = (0 until numHashes).map(k =>
       min(xxhash64(lit(k), col("sh"))).as(s"h$k"))
-    all.groupBy(col(idCol))
+    sh.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol),
         array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
@@ -196,21 +200,25 @@ object Dedup {
     * shingle buckets, so one shingle shared by millions of documents at
     * 100 TB is a quadratic hot bucket. Shingles with document frequency
     * above the cap are dropped from the index before the join (standard
-    * inverted-index practice); pairs sharing ONLY ultra-common shingles
-    * are then missed, which is the intended trade. The default is far
-    * above anything in the declared test data, so declared-query results
-    * are exact.
+    * inverted-index practice); similarity is then exact Jaccard over the
+    * capped shingle universe — pairs sharing ONLY ultra-common shingles
+    * are missed, which is the intended trade. The default is far above
+    * anything in the declared test data, so declared-query results are
+    * exact over the full universe.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, scale: Int = 4, maxShingleDf: Long = 100000L): DataFrame = {
     val sh = df.select(col(idCol),
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select(col("shingle"))
     val indexed = sh.join(rare, Seq("shingle"))
+    // per-doc sizes over the SAME capped shingle universe as the shared
+    // counts, so reported Jaccard values stay internally consistent when
+    // the cap is active (pure set-space restriction, not a biased ratio)
+    val counts = indexed.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = indexed.select(col(idCol).as("qa"), col("shingle"))
     val b = indexed.select(col(idCol).as("qb"), col("shingle"))
     val shared = a.join(b, Seq("shingle"))

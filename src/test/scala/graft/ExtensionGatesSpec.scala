@@ -51,6 +51,16 @@ class ExtensionGatesSpec extends SparkSpec {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("minhash signatures cover null and empty text documents") {
+    import spark.implicits._
+    val docs = Seq((1L, null), (2L, null), (3L, ""), (4L, "real text content words"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+    assert(sig.count() == 4, "null-text docs must not vanish")
+    val sigs = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L), "two null-text docs are dedup candidates")
+  }
+
   test("guard rails: bad band split and unsafe hamming threshold are rejected") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
