@@ -104,6 +104,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Approximate top-k via IVF-flat: corpus vectors are assigned to their
+    * nearest of `nCentroids` centroid vectors (one bucket each); each query
+    * probes its `nProbe` nearest centroids' buckets only.
+    *
+    * Centroids are a deterministic pseudo-random corpus sample (the
+    * `nCentroids` vectors with the smallest `xxhash64(id)`) — no k-means
+    * iterations, no driver-side state; at scale the sample is a cheap
+    * 1-pass top-k and the centroid set broadcasts to every task. Corpus
+    * assignment is one scan; the candidate join is a hash join on the
+    * centroid id. An identical vector always shares its source's nearest
+    * centroid (deterministic tie-break on centroid id), so exact
+    * duplicates are retrieved with probability 1 when nProbe >= 1 — the
+    * property the q53 oracle gate pins.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("h", xxhash64(col("c_id")))
+      .orderBy(col("h").asc, col("c_id").asc)
+      .limit(nCentroids)
+      .drop("h")
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("c_dist").asc, col("c_id").asc)
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .join(broadcast(cents))
+        .withColumn("c_dist", -cosine(col(vec), col("c_vec")))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= keep)
+        .select(col(id), col(vec), col("c_id"))
+    }
+
+    val bucketed = assign(corpus, "n_id", "n_vec", keep = 1)
+    val probes = assign(queries, "q_id", "q_vec", keep = nProbe)
+    val scored = broadcast(probes).join(bucketed, Seq("c_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id") // a pair can appear via several probes
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("score"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** All-pairs cosine over a bounded id range (near-duplicate detection by
     * embedding). Caller bounds the id range; the self-join is equi-free so
     * both sides must be small enough to broadcast one of them.

@@ -109,6 +109,17 @@ object Extensions {
         .orderBy(col("q_id").asc_nulls_first)
     }),
 
+    // IVF-flat ANN: same provable clone-recall contract as q49b, different
+    // index family (coarse quantization instead of hash buckets)
+    "q53_ivf_clone_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val clones = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(clones, emb, k = 1, nCentroids = 16, nProbe = 2)
+        .select(col("q_id"), col("n_id"), col("score"))
+        .orderBy(col("q_id").asc_nulls_first)
+    }),
+
     // approximate distinct (HLL) — engine-specific estimate, rows-only
     "q15b_approx_distinct" -> ((s, d) =>
       t(s, d, "orders")
@@ -330,6 +341,10 @@ object Extensions {
     "q42b_simhash_dup_parity" ->
       """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 200""",
     "q49b_lsh_clone_recall" ->
+      """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
+    "q53_ivf_clone_recall" ->
       """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,

@@ -34,6 +34,15 @@ class ExtensionGatesSpec extends SparkSpec {
     }
   }
 
+  test("q53: IVF retrieves each cloned vector's source at score 1.0") {
+    val rows = Extensions.queries("q53_ivf_clone_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 100000L)
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
   test("q41 digest output is one scalar per document") {
     val df = Extensions.queries("q41_minhash_sig")(spark, sf)
     assert(df.schema.fieldNames.toSeq == Seq("doc_id", "sig_digest"))
