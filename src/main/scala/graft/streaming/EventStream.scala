@@ -44,6 +44,15 @@ object EventStream {
       .select(col("w.start").as("ws"), col("w.end").as("we"),
         col("user_id"), col("c"), col("sv"))
 
+  /** Streaming exact-once dedup for late/replayed events: watermark bounds
+    * the dedup state (ids older than the watermark are evicted), so state
+    * is O(events inside the watermark window), not O(stream). Works on
+    * batch inputs too (plain dropDuplicates semantics) for parity testing.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Read the events parquet directory as a stream (file source), with the
     * same nanos→micros ts normalization as the batch loader.
     */
