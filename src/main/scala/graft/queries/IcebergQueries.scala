@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
+import graft.Tables
 import graft.iceberg.connector.GraftCatalog
 
 /** The reference's own surface (SURVEY §2.A): Iceberg fixture scans through
@@ -29,7 +32,31 @@ object IcebergQueries {
           |GROUP BY vendor_id ORDER BY vendor_id ASC NULLS FIRST""".stripMargin)),
 
     "q2b_catalog_count" -> ((s, _) =>
-      withCatalog(s).sql("SELECT COUNT(*) AS n FROM lakehouse.nyc.taxis")))
+      withCatalog(s).sql("SELECT COUNT(*) AS n FROM lakehouse.nyc.taxis")),
+
+    // A12 full: the view is committed to catalog metadata and resolved
+    // back through loadTable's view-expansion path — not a session temp
+    // view (q3 covers that form)
+    "q3b_persistent_view" -> ((s, d) => {
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders")
+      s.conf.set("spark.sql.catalog.graftscratch", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftscratch.warehouse",
+        "/root/repo/target/q3b-warehouse")
+      val cat = s.sessionState.catalogManager.catalog("graftscratch")
+        .asInstanceOf[ViewCatalog]
+      val ident = Identifier.of(Array("views"), "big_orders")
+      new java.io.File("/root/repo/target/q3b-warehouse/views").mkdirs()
+      if (cat.viewExists(ident)) cat.dropView(ident)
+      cat.createView(new ViewInfo(ident,
+        "SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000",
+        "graftscratch", Array.empty[String],
+        StructType(Seq(StructField("o_custkey", LongType),
+          StructField("o_totalprice", org.apache.spark.sql.types.DoubleType))),
+        Array("o_custkey", "o_totalprice"), Array.empty, Array.empty,
+        new java.util.HashMap[String, String]()))
+      s.sql("""SELECT COUNT(*) AS n, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+              |FROM graftscratch.views.big_orders""".stripMargin)
+    }))
 
   /** DuckDB sees the same bytes by reading the fixture's data files
     * directly (all 4 are live in the current snapshot, so the file set is
@@ -41,5 +68,9 @@ object IcebergQueries {
          |FROM read_parquet('$fixtureGlob')
          |GROUP BY vendor_id ORDER BY vendor_id ASC NULLS FIRST""".stripMargin,
     "q2b_catalog_count" ->
-      s"SELECT COUNT(*) AS n FROM read_parquet('$fixtureGlob')")
+      s"SELECT COUNT(*) AS n FROM read_parquet('$fixtureGlob')",
+    "q3b_persistent_view" ->
+      """SELECT COUNT(*) AS n, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+        |FROM (SELECT o_custkey, o_totalprice FROM orders
+        |      WHERE o_totalprice > 100000) big_orders""".stripMargin)
 }
