@@ -25,6 +25,15 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Shared tail of every ANN variant: per-query top-k by (score desc,
+    * neighbour id asc) — one place for the tie-break contract. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force exact top-k nearest neighbours by cosine similarity.
     *
     * Plan shape: `queries` is broadcast (it is the small side by
@@ -46,10 +55,7 @@ object Similarity {
     val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_vec"), col("n_vec")), scoreScale).as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k: sign-random-projection LSH with `tables`
@@ -98,10 +104,7 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_vec"), col("n_vec")), 4).as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Approximate top-k via IVF-flat: corpus vectors are assigned to their
@@ -142,15 +145,13 @@ object Similarity {
 
     val bucketed = assign(corpus, "n_id", "n_vec", keep = 1)
     val probes = assign(queries, "q_id", "q_vec", keep = nProbe)
+    // corpus rows live in exactly one bucket (keep = 1), so a (q, n) pair
+    // meets through at most one c_id — no dedup needed before ranking
     val scored = broadcast(probes).join(bucketed, Seq("c_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id") // a pair can appear via several probes
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_vec"), col("n_vec")), 4).as("score"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** All-pairs cosine over a bounded id range (near-duplicate detection by

@@ -60,9 +60,12 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
     if (idx < 0 || idx >= m.partitions.size) None
     else {
       val s = m.partitions(idx)
-      val dt = metadata.partitionSpec.lift(idx)
-        .flatMap(p => typeById.get(p.sourceId))
-        .getOrElse(metadata.schema.fields.find(_.name == attr).map(_.dataType).getOrElse(NullType))
+      // uuid bounds are 16 raw bytes, not UTF-8 — refuse to decode (keep)
+      val sourceId = metadata.partitionSpec.lift(idx).map(_.sourceId)
+      val dt =
+        if (sourceId.exists(metadata.uuidFieldIds.contains)) NullType
+        else sourceId.flatMap(typeById.get)
+          .getOrElse(metadata.schema.fields.find(_.name == attr).map(_.dataType).getOrElse(NullType))
       Some(ColStats(
         lower = s.lowerBound.flatMap(SingleValue.decode(_, dt)),
         upper = s.upperBound.flatMap(SingleValue.decode(_, dt)),
@@ -142,7 +145,12 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
     case (null, _) => lit(null).cast(dt)
     case (n: java.lang.Number, TimestampType) => timestamp_micros(lit(n.longValue))
     case (n: java.lang.Number, TimestampNTZType) =>
-      timestamp_micros(lit(n.longValue)).cast(TimestampNTZType)
+      // NTZ is wall-clock: build the LocalDateTime directly so the value is
+      // session-timezone-independent (a cast via TimestampType would shift)
+      val us = n.longValue
+      lit(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
     case (n: java.lang.Number, DateType) => date_from_unix_date(lit(n.intValue))
     case _ => lit(value).cast(dt)
   }

@@ -105,23 +105,28 @@ final class GraftSqlViewTable(
   /** Analyze the view SQL in the context it was created in: relative table
     * names inside the stored SQL must resolve against the view's own
     * catalog/namespace, not the caller's current ones. The current context
-    * is restored afterwards; `spark.sql` analyzes eagerly, so the plan is
-    * bound before restoration.
+    * (catalog + full multi-part namespace) is captured and restored via
+    * the CatalogManager directly — no USE-statement round trip, so
+    * multi-part or quote-needing namespaces restore exactly. `spark.sql`
+    * analyzes eagerly, so the plan is bound before restoration. The switch
+    * briefly mutates session-global state; concurrent analysis on the same
+    * session during that window would see the view's context.
     */
   private def analyzeInViewContext(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     if (viewCatalog == null || viewCatalog.isEmpty) return spark.sql(viewSql)
-    val prevCatalog = spark.catalog.currentCatalog()
-    val prevDb = try Some(spark.catalog.currentDatabase) catch { case _: Exception => None }
+    val cm = spark.sessionState.catalogManager
+    val prevCatalog = cm.currentCatalog.name
+    val prevNamespace = cm.currentNamespace
     try {
-      spark.catalog.setCurrentCatalog(viewCatalog)
+      cm.setCurrentCatalog(viewCatalog)
       if (viewNamespace != null && viewNamespace.nonEmpty)
-        spark.sql(s"USE ${viewNamespace.map(n => s"`$n`").mkString(".")}")
+        cm.setCurrentNamespace(viewNamespace)
       spark.sql(viewSql)
     } finally {
       try {
-        spark.catalog.setCurrentCatalog(prevCatalog)
-        prevDb.foreach(db => spark.sql(s"USE `$db`"))
+        cm.setCurrentCatalog(prevCatalog)
+        cm.setCurrentNamespace(prevNamespace)
       } catch { case _: Exception => () }
     }
   }

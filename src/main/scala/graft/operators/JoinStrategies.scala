@@ -25,6 +25,8 @@ object JoinStrategies {
       fact: DataFrame, dim: DataFrame, keys: Seq[String],
       saltBuckets: Int = 8): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "inputs must not already contain a _salt column")
     val factSalted = fact.withColumn("_salt",
       pmod(xxhash64(struct(fact.columns.toSeq.map(col): _*)), lit(saltBuckets.toLong)))
     val dimSalted = dim.withColumn("_salt",

@@ -38,14 +38,15 @@ object IcebergQueries {
     // back through loadTable's view-expansion path — not a session temp
     // view (q3 covers that form)
     "q3b_persistent_view" -> ((s, d) => {
+      val warehouse = "/root/repo/target/q3b-warehouse"
       Tables.load(s, d, "orders").createOrReplaceTempView("orders")
       s.conf.set("spark.sql.catalog.graftscratch", classOf[GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graftscratch.warehouse",
-        "/root/repo/target/q3b-warehouse")
+      s.conf.set("spark.sql.catalog.graftscratch.warehouse", warehouse)
       val cat = s.sessionState.catalogManager.catalog("graftscratch")
         .asInstanceOf[ViewCatalog]
       val ident = Identifier.of(Array("views"), "big_orders")
-      new java.io.File("/root/repo/target/q3b-warehouse/views").mkdirs()
+      cat.asInstanceOf[GraftCatalog]
+        .createNamespace(Array("views"), new java.util.HashMap[String, String]())
       if (cat.viewExists(ident)) cat.dropView(ident)
       cat.createView(new ViewInfo(ident,
         "SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000",

@@ -44,14 +44,16 @@ object EventStream {
       .select(col("w.start").as("ws"), col("w.end").as("we"),
         col("user_id"), col("c"), col("sv"))
 
-  /** Streaming exact-once dedup for late/replayed events: watermark bounds
-    * the dedup state (ids older than the watermark are evicted), so state
-    * is O(events inside the watermark window), not O(stream). Works on
-    * batch inputs too (plain dropDuplicates semantics) for parity testing.
+  /** Exact-once dedup for late/replayed events. Streaming inputs use
+    * `dropDuplicatesWithinWatermark` so state is O(events inside the
+    * watermark window), not O(stream); batch inputs (where Spark rejects
+    * the watermark-bounded variant) use plain `dropDuplicates`, which has
+    * identical semantics when the whole input is one "batch".
     */
   def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Read the events parquet directory as a stream (file source), with the
     * same nanos→micros ts normalization as the batch loader.

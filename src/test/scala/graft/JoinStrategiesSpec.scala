@@ -33,6 +33,7 @@ class JoinStrategiesSpec extends SparkSpec {
   }
 
   test("bucketed tables join without an exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
     try {
       JoinStrategies.writeBucketed(
@@ -57,7 +58,7 @@ class JoinStrategiesSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_customer")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
 }

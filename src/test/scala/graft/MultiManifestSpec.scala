@@ -184,6 +184,7 @@ class MultiManifestSpec extends SparkSpec {
   }
 
   test("manifests of a non-default spec are never pruned positionally") {
+    table.manifests // force the lazy fixture even when this test runs alone
     // same table, but the manifest list claims spec-id 7 for m1: its
     // summary must be ignored (kept), not evaluated against default spec
     val m1 = new File(s"$root/metadata/m1.avro")
@@ -203,12 +204,15 @@ class MultiManifestSpec extends SparkSpec {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json"),
       java.nio.file.Files.readString(java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"))
         .replace("snap-1.avro", "snap-2.avro"))
-    val t2 = IcebergTable(spark, root)
-    // p = 1 would be "pruned" by the bogus [99,99] summary if the spec-id
-    // guard were missing; with it the manifest is kept and rows survive
-    assert(t2.planFiles(Seq(EqualTo("p", 1L))).size == 2)
-    assert(t2.toDF(spark, Seq(EqualTo("p", 1L))).filter("p = 1").count() == 2L)
-    new File(s"$root/metadata/v2.metadata.json").delete()
-    new File(s"$root/metadata/snap-2.avro").delete()
+    try {
+      val t2 = IcebergTable(spark, root)
+      // p = 1 would be "pruned" by the bogus [99,99] summary if the spec-id
+      // guard were missing; with it the manifest is kept and rows survive
+      assert(t2.planFiles(Seq(EqualTo("p", 1L))).size == 2)
+      assert(t2.toDF(spark, Seq(EqualTo("p", 1L))).filter("p = 1").count() == 2L)
+    } finally {
+      new File(s"$root/metadata/v2.metadata.json").delete()
+      new File(s"$root/metadata/snap-2.avro").delete()
+    }
   }
 }
