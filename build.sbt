@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage-codegen classes for a 60-query bench run are prolific;
+  // the JDK17 default (240m) can exhaust the code cache mid-run, turning
+  // later, unrelated queries interpreted (observed round 2: untouched
+  // queries regressed 4-10x once the wide generated aggregates ran first).
+  "-XX:ReservedCodeCacheSize=512m",
 )

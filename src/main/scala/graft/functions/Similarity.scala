@@ -1,29 +1,42 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnShim, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.catalyst.{DotProduct, NearestCentroids, SrpBuckets}
 
 /** Vector-similarity primitives over `ArrayType(FloatType)` embedding
-  * columns, built from codegen'd higher-order functions (`zip_with` +
-  * `aggregate`) so they stay inside whole-stage codegen — no UDFs.
+  * columns, built on native codegen'd Catalyst expressions
+  * ([[graft.functions.catalyst.DotProduct]] /
+  * [[graft.functions.catalyst.SrpBuckets]]) — tight primitive loops
+  * inside whole-stage codegen. Spark's higher-order functions
+  * (`aggregate`/`zip_with`) are CodegenFallback (interpreted, per-element
+  * boxing) and cost 3–11× on these kernels at bench scale, so they are
+  * deliberately not used here.
   *
-  * Elements are cast to double *before* the multiply and accumulated
+  * Elements are widened to double *before* the multiply and accumulated
   * left-to-right, which makes the result bit-deterministic and matchable
   * against an oracle engine doing the same.
   */
 object Similarity {
 
-  /** dot(a, b) as a double, left-to-right summation. */
+  /** dot(a, b) as a double, left-to-right summation. Codegen'd. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    GraftColumnShim.column(
+      DotProduct(GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** cosine(a, b). For joins, prefer precomputing [[l2Norm]] once per side
+    * (as every operator below does) — this convenience form recomputes
+    * both norms per output row.
+    */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Per-table SRP bucket ids for LSH — array<long>, codegen'd. */
+  def srpBuckets(vec: Column, nBits: Int, tables: Int): Column =
+    GraftColumnShim.column(
+      SrpBuckets(GraftColumnShim.expression(vec), nBits, tables))
 
   /** Shared tail of every ANN variant: per-query top-k by (score desc,
     * neighbour id asc) — one place for the tie-break contract. */
@@ -34,14 +47,20 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** cosine from a precomputed dot and per-side norms. */
+  private def cosFromNorms(d: Column, na: Column, nb: Column): Column =
+    d / (na * nb)
+
   /** Brute-force exact top-k nearest neighbours by cosine similarity.
     *
     * Plan shape: `queries` is broadcast (it is the small side by
     * construction — a handful of probe vectors), so the corpus is scanned
     * exactly once with no shuffle of the big side; the per-query top-k is a
-    * window over the (small) joined result. At 100 TB corpus scale this is
-    * one pass + a k-row-per-query shuffle, which is the right baseline; the
-    * LSH variant below trades recall for pruning that single pass.
+    * window over the (small) joined result. Each side's L2 norm is
+    * projected ONCE before the join — the per-pair work is a single dot
+    * product, not three. At 100 TB corpus scale this is one pass + a
+    * k-row-per-query shuffle, which is the right baseline; the LSH/IVF
+    * variants below trade recall for pruning that single pass.
     *
     * Ties on the (rounded) score are broken by neighbour id so the result
     * is fully deterministic.
@@ -50,21 +69,24 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       scoreScale: Int = 4): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2Norm(col(vecCol)).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2Norm(col(vecCol)).as("n_nrm"))
     val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), scoreScale).as("score"))
+        round(cosFromNorms(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")), scoreScale).as("score"))
     rankTopK(scored, k)
   }
 
   /** Approximate top-k: sign-random-projection LSH with `tables`
     * independent hash tables. Each vector is bucketed per table by the
-    * sign pattern of `nBits` fixed pseudo-random hyperplanes
-    * (deterministic: table t / plane i's component for dimension d is
-    * derived from `xxhash64(t * nBits + i, d)`, so every executor computes
-    * identical planes with no driver-side state or broadcast of plane
-    * matrices).
+    * sign pattern of `nBits` fixed pseudo-random hyperplanes (plane
+    * components derived from a splitmix64 mix of (table, bit, dim), so
+    * every executor computes identical planes with no driver-side state
+    * or broadcast of plane matrices — see
+    * [[graft.functions.catalyst.SrpBuckets]]).
     *
     * Candidates are corpus vectors sharing any table's bucket with the
     * query — the join is a hash join on `(table, bucket)`, so at scale
@@ -79,31 +101,20 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int = 8,
       tables: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    def bucket(vec: Column, table: Int): Column = {
-      // sign bit i = sign of sum_d plane(i, d) * vec[d], plane in {-1, +1}
-      val bits = (0 until nBits).map { i =>
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, d) => x.cast("double") *
-              when(pmod(xxhash64(lit(table * nBits + i), d), lit(2)) === 0, -1.0)
-                .otherwise(1.0)),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }
-      bits.reduce(_.bitwiseOR(_))
-    }
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+    def withBuckets(df: DataFrame, id: String, vec: String, nrm: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(array((0 until tables).map(t => bucket(col(vecCol), t)): _*))
+        l2Norm(col(vecCol)).as(nrm),
+        posexplode(srpBuckets(col(vecCol), nBits, tables))
           .as(Seq("tbl", "bucket")))
-    val q = withBuckets(queries, "q_id", "q_vec")
-    val c = withBuckets(corpus, "n_id", "n_vec")
+    val q = withBuckets(queries, "q_id", "q_vec", "q_nrm")
+    val c = withBuckets(corpus, "n_id", "n_vec", "n_nrm")
     val scored = broadcast(q).join(c, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       // a pair can collide in several tables; score each candidate once
       .dropDuplicates("q_id", "n_id")
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 4).as("score"))
+        round(cosFromNorms(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")), 4).as("score"))
     rankTopK(scored, k)
   }
 
@@ -113,60 +124,86 @@ object Similarity {
     *
     * Centroids are a deterministic pseudo-random corpus sample (the
     * `nCentroids` vectors with the smallest `xxhash64(id)`) — no k-means
-    * iterations, no driver-side state; at scale the sample is a cheap
-    * 1-pass top-k and the centroid set broadcasts to every task. Corpus
-    * assignment is one scan; the candidate join is a hash join on the
-    * centroid id. An identical vector always shares its source's nearest
-    * centroid (deterministic tie-break on centroid id), so exact
-    * duplicates are retrieved with probability 1 when nProbe >= 1 — the
-    * property the q53 oracle gate pins.
+    * iterations, no driver-side state. The sampled centroids (with
+    * precomputed norms) are folded into ONE broadcast row holding a
+    * sorted array of (c_id, c_vec, c_nrm) structs; assignment on BOTH
+    * sides is a purely map-side [[graft.functions.catalyst.NearestCentroids]]
+    * top-k over that array — **zero shuffle and zero row amplification**
+    * (round 2 shipped a `corpus × nCentroids` join + a corpus-wide window
+    * here, a 16× blowup the plan audit flagged). The candidate join is
+    * then a broadcast hash join on the centroid id.
+    *
+    * An identical vector always shares its source's nearest centroid
+    * (deterministic tie-break on centroid id), so exact duplicates are
+    * retrieved with probability 1 when nProbe >= 1 — the property the q53
+    * oracle gate pins.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus
+    val centArr = corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("h", xxhash64(col("c_id")))
       .orderBy(col("h").asc, col("c_id").asc)
       .limit(nCentroids)
-      .drop("h")
+      .select(col("c_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_nrm"))
+      .agg(sort_array(collect_list(struct(col("c_id"), col("c_vec"),
+        col("c_nrm")))).as("cents"))
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("c_dist").asc, col("c_id").asc)
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .join(broadcast(cents))
-        .withColumn("c_dist", -cosine(col(vec), col("c_vec")))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= keep)
-        .select(col(id), col(vec), col("c_id"))
-    }
+    // Both sides assign via one [[NearestCentroids]] call per row — a
+    // runtime loop over the broadcast centroid array (generated code is
+    // one static call, independent of nCentroids; an unrolled
+    // per-centroid expression tree would be Janino-hostile at real-world
+    // centroid counts). Corpus: argmax (k=1), purely map-side, zero
+    // shuffle and zero row amplification. Queries: top-nProbe ids,
+    // exploded — no window, no shuffle on either side.
+    def nearest(vec: String, k: Int): Column =
+      GraftColumnShim.column(NearestCentroids(
+        GraftColumnShim.expression(col(vec)),
+        GraftColumnShim.expression(col("cents")), k))
 
-    val bucketed = assign(corpus, "n_id", "n_vec", keep = 1)
-    val probes = assign(queries, "q_id", "q_vec", keep = nProbe)
-    // corpus rows live in exactly one bucket (keep = 1), so a (q, n) pair
-    // meets through at most one c_id — no dedup needed before ranking
+    val bucketed = corpus
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        l2Norm(col(vecCol)).as("n_nrm"))
+      .join(broadcast(centArr))
+      .withColumn("c_id", get(nearest("n_vec", 1), lit(0)))
+      .select(col("n_id"), col("n_vec"), col("n_nrm"), col("c_id"))
+
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        l2Norm(col(vecCol)).as("q_nrm"))
+      .join(broadcast(centArr))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"),
+        explode(nearest("q_vec", nProbe)).as("c_id"))
+
+    // corpus rows live in exactly one bucket, so a (q, n) pair meets
+    // through at most one c_id — no dedup needed before ranking
     val scored = broadcast(probes).join(bucketed, Seq("c_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_vec"), col("n_vec")), 4).as("score"))
+        round(cosFromNorms(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")), 4).as("score"))
     rankTopK(scored, k)
   }
 
   /** All-pairs cosine over a bounded id range (near-duplicate detection by
     * embedding). Caller bounds the id range; the self-join is equi-free so
-    * both sides must be small enough to broadcast one of them.
+    * both sides must be small enough to broadcast one of them. Norms are
+    * projected once per side before the join.
     */
   def cosinePairs(
       vectors: DataFrame, maxId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = vectors.filter(col(idCol) < maxId)
-      .select(col(idCol).as("qa"), col(vecCol).as("va"))
+      .select(col(idCol).as("qa"), col(vecCol).as("va"),
+        l2Norm(col(vecCol)).as("na"))
     val b = vectors.filter(col(idCol) < maxId)
-      .select(col(idCol).as("qb"), col(vecCol).as("vb"))
+      .select(col(idCol).as("qb"), col(vecCol).as("vb"),
+        l2Norm(col(vecCol)).as("nb"))
     broadcast(a).join(b, col("qa") < col("qb"))
       .select(col("qa"), col("qb"),
-        round(cosine(col("va"), col("vb")), 4).as("cos"))
+        round(cosFromNorms(dot(col("va"), col("vb")),
+          col("na"), col("nb")), 4).as("cos"))
   }
 }

@@ -148,20 +148,26 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on every
     * bit of `xxhash64(token)`; bit i of the signature is set iff the vote
     * sum is positive. One shuffle (the per-doc agg); everything else is
-    * map-side, codegen'd expressions.
+    * map-side.
+    *
+    * The vote aggregation is a single typed aggregate over a primitive
+    * 64-slot buffer ([[graft.functions.catalyst.SimhashVotes]]). Round 2
+    * used 64 separate `sum` columns; the generated aggregate class was big
+    * enough to blow the JIT method limit and pollute the JVM code cache
+    * for unrelated queries, which the round-2 bench caught as 4–10×
+    * regressions. Partial aggregation still applies — the shuffle carries
+    * one 512-byte buffer per (doc, map partition), not token rows.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sig.as("simhash"))
+    import org.apache.spark.sql.GraftColumnShim
+    val votes = GraftColumnShim.column(
+      graft.functions.catalyst.SimhashVotes(
+        GraftColumnShim.expression(xxhash64(col("tok"))))
+        .toAggregateExpression())
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(votes.as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming`.

@@ -82,7 +82,7 @@ object Extensions {
     // pipeline (tokenize → hash → band/chunk/bucket join → rank) with an
     // exact hash-match.
     "q41c_minhash_clone_recall" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"), col("text"))
       val clones = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       Dedup.minhashCandidatePairs(
@@ -92,7 +92,7 @@ object Extensions {
     }),
 
     "q42b_simhash_dup_parity" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("doc_id") < 200)
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"), col("text"))
       val clones = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       Dedup.simhashPairs(docs.unionByName(clones), "doc_id", "text", maxHamming = 0)
@@ -337,9 +337,9 @@ object Extensions {
         |         (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
     "q41c_minhash_clone_recall" ->
-      """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 200""",
+      """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 100""",
     "q42b_simhash_dup_parity" ->
-      """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 200""",
+      """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 100""",
     "q49b_lsh_clone_recall" ->
       """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id < 50

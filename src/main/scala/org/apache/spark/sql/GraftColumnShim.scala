@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's custom Catalyst expressions and the public
+  * `Column` API. Spark 4's `Column` wraps a `ColumnNode` rather than an
+  * `Expression`; the conversion helpers live in
+  * `org.apache.spark.sql.classic.ExpressionUtils` and are `private[sql]`,
+  * so this one-file shim re-exports exactly the two conversions the
+  * library needs. No Spark internals are modified.
+  */
+object GraftColumnShim {
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unwrap a Column to the Catalyst expression it resolves to. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -10,19 +10,19 @@ import graft.queries.Extensions
   */
 class ExtensionGatesSpec extends SparkSpec {
 
-  lazy val docsUnder200: Long =
-    Tables.load(spark, sf, "documents").filter(col("doc_id") < 200).count()
+  lazy val docsUnder100: Long =
+    Tables.load(spark, sf, "documents").filter(col("doc_id") < 100).count()
 
   test("q41c: minhash finds every planted clone pair") {
     val n = Extensions.queries("q41c_minhash_clone_recall")(spark, sf)
       .collect()(0).getLong(0)
-    assert(n == docsUnder200 && n > 0)
+    assert(n == docsUnder100 && n > 0)
   }
 
   test("q42b: simhash pairs every clone with its source at hamming 0") {
     val n = Extensions.queries("q42b_simhash_dup_parity")(spark, sf)
       .collect()(0).getLong(0)
-    assert(n == docsUnder200 && n > 0)
+    assert(n == docsUnder100 && n > 0)
   }
 
   test("q49b: LSH retrieves each cloned vector's source at score 1.0") {
