@@ -21,9 +21,16 @@ object Tables {
     * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
     * nanosecond long (legacy conf) and floor-truncate to a microsecond
     * TimestampType — the same truncation DuckDB's µs timestamps apply.
+    *
+    * The nanosAsLong conf belongs in the session builder (Verify, Bench
+    * and the test harness all set it); mutating session-global conf from
+    * a loader surprised callers, so an unset conf now fails fast with the
+    * fix spelled out instead of being silently flipped.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet carries TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession builder")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       // integer division — Double division would lose precision at 1e18 ns

@@ -19,9 +19,49 @@ import org.apache.spark.sql.types._
   * current snapshot, which survive manifest/file statistics pruning, and
   * the partition values recorded only in metadata.
   */
-final class IcebergTable(val tableDir: String, val conf: Configuration) {
+final class IcebergTable private (
+    val tableDir: String,
+    val conf: Configuration,
+    val metadata: TableMetadata,
+    /** Time travel: pin the scan to this snapshot instead of the current
+      * one (`VERSION AS OF` / `TIMESTAMP AS OF`). The reference has no
+      * time travel (SURVEY §2.C) but the snapshot list is already parsed;
+      * this is the first capability a lakehouse user asks for beyond
+      * current-snapshot reads.
+      */
+    val pinnedSnapshotId: Option[Long]) {
 
-  val metadata: TableMetadata = TableMetadata.load(tableDir, conf)
+  def this(tableDir: String, conf: Configuration) =
+    this(tableDir, conf, TableMetadata.load(tableDir, conf), None)
+
+  /** A view of this table pinned to snapshot `id` (shares the already-read
+    * metadata). Fails fast on unknown ids so a typo'd `VERSION AS OF`
+    * errors instead of silently scanning nothing.
+    */
+  def atSnapshot(id: Long): IcebergTable = {
+    if (!metadata.snapshots.exists(_.snapshotId == id))
+      throw new IllegalArgumentException(
+        s"snapshot $id not found in $tableDir (have: " +
+          metadata.snapshots.map(_.snapshotId).mkString(", ") + ")")
+    new IcebergTable(tableDir, conf, metadata, Some(id))
+  }
+
+  /** The snapshot current as of `timestampMs` (latest with commit time ≤
+    * the bound — Iceberg's `TIMESTAMP AS OF` contract). */
+  def asOfTimestamp(timestampMs: Long): IcebergTable = {
+    val candidates = metadata.snapshots.filter(_.timestampMs <= timestampMs)
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(
+        s"no snapshot at or before timestamp $timestampMs in $tableDir")
+    atSnapshot(candidates.maxBy(_.timestampMs).snapshotId)
+  }
+
+  /** The snapshot this table reads: pinned if time-traveling, else the
+    * metadata's current one. */
+  def snapshot: Option[IcebergSnapshot] = pinnedSnapshotId match {
+    case Some(id) => metadata.snapshots.find(_.snapshotId == id)
+    case None => metadata.currentSnapshot
+  }
 
   /** field id → Spark type, for bounds decoding. */
   private val typeById: Map[Int, DataType] =
@@ -40,7 +80,7 @@ final class IcebergTable(val tableDir: String, val conf: Configuration) {
     if (path.startsWith(metadata.location)) tableDir + path.stripPrefix(metadata.location)
     else path
 
-  def manifests: Seq[ManifestFile] = metadata.currentSnapshot match {
+  def manifests: Seq[ManifestFile] = snapshot match {
     case None => Nil
     case Some(snap) => ManifestIO.readManifestList(resolve(snap.manifestList), conf)
   }

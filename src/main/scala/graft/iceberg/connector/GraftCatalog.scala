@@ -35,8 +35,9 @@ import graft.iceberg.{IcebergTable, TableMetadata}
   *    intended (not literal) behavior is implemented.
   *
   * Layout: `<warehouse>/<ns...>/<name>/metadata/vN.metadata.json` is a
-  * table; `.../metadata/vN.view.json` is a view; any other directory is a
-  * namespace. Register with:
+  * table; `.../metadata/vN.view-metadata.json` is a view (Iceberg
+  * view-spec metadata format); any other directory is a namespace.
+  * Register with:
   * `spark.sql.catalog.lakehouse = graft.iceberg.connector.GraftCatalog`,
   * `spark.sql.catalog.lakehouse.warehouse = /path/to/warehouse`.
   */
@@ -48,8 +49,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   private lazy val fs: FileSystem = warehouse.getFileSystem(conf)
   private val mapper = new ObjectMapper()
 
-  /** Lazy table cache (A15 without the eager mirror). */
-  private val cache = new ConcurrentHashMap[String, SparkIcebergTable]()
+  /** Lazy table cache (A15 without the eager mirror), keyed by table dir
+    * and guarded by the latest metadata-file path: an external writer
+    * committing a new `metadata.json` naturally misses the cache (one
+    * cheap listStatus per load), so long-lived sessions never keep serving
+    * a stale snapshot.
+    */
+  private val cache = new ConcurrentHashMap[String, (String, SparkIcebergTable)]()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -72,7 +78,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     } catch { case _: Exception => Nil }
 
   private def isTableDir(dir: Path): Boolean = metaFiles(dir, ".metadata.json").nonEmpty
-  private def isViewDir(dir: Path): Boolean = metaFiles(dir, ".view.json").nonEmpty
+  private def isViewDir(dir: Path): Boolean = metaFiles(dir, ".view-metadata.json").nonEmpty
 
   private def childDirs(dir: Path): Seq[Path] =
     if (!fs.exists(dir)) Nil
@@ -135,23 +141,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     */
   override def loadTable(ident: Identifier): Table = {
     val dir = dirFor(ident.namespace.toSeq :+ ident.name)
-    val key = dir.toString
-    val cached = cache.get(key)
-    if (cached != null) cached
-    else if (isViewDir(dir)) {
+    if (isViewDir(dir)) {
       val v = loadView(ident)
       new GraftSqlViewTable(v.name, v.query, v.schema,
         v.currentCatalog, v.currentNamespace)
     }
     else if (!isTableDir(dir)) throw new NoSuchTableException(ident)
     else {
-      val t = new SparkIcebergTable(
-        (ident.namespace :+ ident.name).mkString("."),
-        new IcebergTable(dir.toString, conf))
-      cache.put(key, t)
-      t
+      val key = dir.toString
+      val metaPath = graft.iceberg.TableMetadata
+        .latestMetadataPath(key, conf).toString
+      val cached = cache.get(key)
+      if (cached != null && cached._1 == metaPath) cached._2
+      else {
+        val t = new SparkIcebergTable(
+          (ident.namespace :+ ident.name).mkString("."),
+          new IcebergTable(dir.toString, conf))
+        cache.put(key, (metaPath, t))
+        t
+      }
     }
   }
+
+  /** `VERSION AS OF <snapshot-id>` — Spark hands the version string
+    * through verbatim; only Iceberg snapshot ids are meaningful here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = loadIcebergTable(ident, s"time travel ($version)")
+    val snapId = version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF expects an Iceberg snapshot id, got '$version'"))
+    new SparkIcebergTable(base.name() + s"@$snapId", base.table.atSnapshot(snapId))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark passes MICROseconds since epoch; Iceberg
+    * snapshot commit times are milliseconds. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val base = loadIcebergTable(ident, "time travel (timestamp)")
+    val pinned = base.table.asOfTimestamp(Math.floorDiv(timestampMicros, 1000L))
+    new SparkIcebergTable(
+      base.name() + s"@${pinned.pinnedSnapshotId.get}", pinned)
+  }
+
+  private def loadIcebergTable(ident: Identifier, what: String): SparkIcebergTable =
+    loadTable(ident) match {
+      case t: SparkIcebergTable => t
+      case _ => throw new UnsupportedOperationException(
+        s"$what is only supported on Iceberg tables, not views: $ident")
+    }
 
   override def invalidateTable(ident: Identifier): Unit =
     cache.remove(dirFor(ident.namespace.toSeq :+ ident.name).toString)
@@ -219,42 +255,90 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def viewExists(ident: Identifier): Boolean =
     isViewDir(dirFor(ident.namespace.toSeq :+ ident.name))
 
+  /** Read a view from Iceberg view-spec metadata: current version id →
+    * version record → `spark`-dialect SQL representation + default
+    * catalog/namespace; schema by the version's schema-id, parsed from the
+    * Iceberg struct form.
+    */
   override def loadView(ident: Identifier): View = {
     val dir = dirFor(ident.namespace.toSeq :+ ident.name)
-    val files = metaFiles(dir, ".view.json")
+    val files = metaFiles(dir, ".view-metadata.json")
     if (files.isEmpty) throw new NoSuchViewException(ident)
     val latest = files.maxBy(_.getName)
     val in = fs.open(latest)
     val node = try mapper.readTree(in) finally in.close()
+    val currentId = node.get("current-version-id").asInt
+    val ver = node.get("versions").elements.asScala
+      .find(_.get("version-id").asInt == currentId)
+      .getOrElse(throw new IllegalStateException(
+        s"view $ident: current-version-id $currentId not in versions"))
+    val reps = ver.get("representations").elements.asScala.toSeq
+      .filter(_.get("type").asText == "sql")
+    val rep = reps.find(r => Option(r.get("dialect")).forall(_.asText == "spark"))
+      .orElse(reps.headOption)
+      .getOrElse(throw new IllegalStateException(
+        s"view $ident has no SQL representation"))
+    val schemaId = ver.get("schema-id").asInt
+    val schemaNode = node.get("schemas").elements.asScala
+      .find(_.get("schema-id").asInt == schemaId)
+      .getOrElse(throw new IllegalStateException(
+        s"view $ident: schema-id $schemaId not in schemas"))
+    val queryCols = Option(node.get("properties"))
+      .flatMap(p => Option(p.get(GraftCatalog.QueryColumnsProp)))
+      .map(t => mapper.readTree(t.asText).elements.asScala.map(_.asText).toArray)
+      .getOrElse(Array.empty[String])
     GraftView(
       viewName = (ident.namespace :+ ident.name).mkString("."),
-      sql = node.get("sql").asText,
-      catalog = node.get("current-catalog").asText,
-      namespace = node.get("current-namespace").elements.asScala.map(_.asText).toArray,
-      viewSchema = DataType.fromJson(node.get("schema").asText).asInstanceOf[StructType],
-      queryCols = node.get("query-column-names").elements.asScala.map(_.asText).toArray)
+      sql = rep.get("sql").asText,
+      catalog = Option(ver.get("default-catalog")).map(_.asText).getOrElse(catalogName),
+      namespace = Option(ver.get("default-namespace"))
+        .map(_.elements.asScala.map(_.asText).toArray).getOrElse(Array.empty),
+      viewSchema = graft.iceberg.TableMetadata.toSparkType(schemaNode)
+        .asInstanceOf[StructType],
+      queryCols = queryCols)
   }
 
-  /** Persist the view SQL + schema as committed metadata — the durability
-    * the reference gets from `ViewBuilder…commit()` (`table.rs:393-403`),
-    * minus its object-store round-trip. A new session loading this catalog
-    * sees the view again (tested in `CatalogSpec`).
+  /** Persist the view as **Iceberg view-spec metadata** (view-uuid +
+    * versions + SQL representations + Iceberg-format schema) — the same
+    * commit the reference runs through `ViewBuilder…commit()`
+    * (`table.rs:393-403`), and readable by any external Iceberg view
+    * consumer. Spark's `queryColumnNames` (not an Iceberg concept) rides
+    * in a JSON-array property. A new session loading this catalog sees
+    * the view again (tested in `CatalogSpec`).
     */
   override def createView(info: ViewInfo): View = {
     val ident = info.ident
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
     val dir = dirFor(ident.namespace.toSeq :+ ident.name)
-    val node = mapper.createObjectNode()
-    node.put("format-version", 1)
-    node.put("sql", info.sql)
-    node.put("current-catalog", Option(info.currentCatalog).getOrElse(catalogName))
-    val nsArr = node.putArray("current-namespace")
+    val nowMs = System.currentTimeMillis
+    val root = mapper.createObjectNode()
+    root.put("view-uuid", java.util.UUID.nameUUIDFromBytes(
+      dir.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+    root.put("format-version", 1)
+    root.put("location", dir.toString)
+    root.putArray("schemas").add(IcebergJson.viewSchemaNode(mapper, info.schema))
+    root.put("current-version-id", 1)
+    val ver = root.putArray("versions").addObject()
+    ver.put("version-id", 1)
+    ver.put("schema-id", 0)
+    ver.put("timestamp-ms", nowMs)
+    ver.putObject("summary").put("engine-name", "spark")
+    val rep = ver.putArray("representations").addObject()
+    rep.put("type", "sql")
+    rep.put("sql", info.sql)
+    rep.put("dialect", "spark")
+    ver.put("default-catalog", Option(info.currentCatalog).getOrElse(catalogName))
+    val nsArr = ver.putArray("default-namespace")
     Option(info.currentNamespace).getOrElse(Array.empty[String]).foreach(nsArr.add)
-    node.put("schema", info.schema.json)
-    val qc = node.putArray("query-column-names")
-    Option(info.queryColumnNames).getOrElse(Array.empty[String]).foreach(qc.add)
-    write(new Path(dir, "metadata/v1.view.json"),
-      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+    val vl = root.putArray("version-log").addObject()
+    vl.put("timestamp-ms", nowMs)
+    vl.put("version-id", 1)
+    val cols = mapper.createArrayNode()
+    Option(info.queryColumnNames).getOrElse(Array.empty[String]).foreach(cols.add)
+    root.putObject("properties")
+      .put(GraftCatalog.QueryColumnsProp, mapper.writeValueAsString(cols))
+    write(new Path(dir, "metadata/v1.view-metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
     loadView(ident)
   }
 
@@ -279,6 +363,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+}
+
+object GraftCatalog {
+  /** Property carrying Spark's view queryColumnNames (a JSON string
+    * array) inside Iceberg view-spec metadata, which has no such field. */
+  val QueryColumnsProp = "spark.query-column-names"
 }
 
 /** Persistent-view record: Spark's analyzer inlines `query()` and
@@ -320,6 +410,50 @@ object IcebergJson {
     case BinaryType       => "binary"
     case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
     case other => throw new UnsupportedOperationException(s"cannot write type $other")
+  }
+
+  /** An Iceberg-format schema node (struct with per-field ids, nested
+    * list/map/struct supported) for view-spec metadata. Field ids are
+    * assigned depth-first; views don't evolve schemas by id here, so the
+    * numbering only needs to be unique and stable per write.
+    */
+  def viewSchemaNode(mapper: ObjectMapper, schema: StructType): ObjectNode = {
+    var id = 0
+    def next(): Int = { id += 1; id }
+    def typeNode(dt: DataType): com.fasterxml.jackson.databind.JsonNode = dt match {
+      case s: StructType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "struct")
+        val arr = o.putArray("fields")
+        s.fields.foreach { f =>
+          val fn = arr.addObject()
+          fn.put("id", next())
+          fn.put("name", f.name)
+          fn.put("required", !f.nullable)
+          fn.set[ObjectNode]("type", typeNode(f.dataType))
+        }
+        o
+      case a: ArrayType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "list")
+        o.put("element-id", next())
+        o.put("element-required", !a.containsNull)
+        o.set[ObjectNode]("element", typeNode(a.elementType))
+        o
+      case m: MapType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "map")
+        o.put("key-id", next())
+        o.set[ObjectNode]("key", typeNode(m.keyType))
+        o.put("value-id", next())
+        o.put("value-required", !m.valueContainsNull)
+        o.set[ObjectNode]("value", typeNode(m.valueType))
+        o
+      case p => mapper.getNodeFactory.textNode(icebergType(p))
+    }
+    val root = typeNode(schema).asInstanceOf[ObjectNode]
+    root.put("schema-id", 0)
+    root
   }
 
   def tableMetadata(

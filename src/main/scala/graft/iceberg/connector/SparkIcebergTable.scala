@@ -164,7 +164,14 @@ final class GraftSqlViewTable(
               var df = analyzeInViewContext(ctx.sparkSession)
               val preds = filters.toSeq.flatMap(IcebergTable.filterToColumn)
               if (preds.nonEmpty) df = df.filter(preds.reduce(_ && _))
-              df.select(required.fieldNames.toSeq.map(col): _*)
+              // Cast to the declared view schema: with needConversion=false
+              // the rows pass through as InternalRows, so if the underlying
+              // table's types drifted since CREATE VIEW, serving them under
+              // the stored schema would reinterpret memory silently — the
+              // cast makes drift produce correct values (or an analysis
+              // error), never corruption.
+              df.select(required.fields.toSeq.map(f =>
+                  col(f.name).cast(f.dataType).as(f.name)): _*)
                 .queryExecution.toRdd.asInstanceOf[RDD[Row]]
             }
           }.asInstanceOf[T]

@@ -175,9 +175,16 @@ object Dedup {
     * 3 chunks, so at least one chunk matches exactly — recall 1.0. Beyond
     * 3 the guarantee breaks, so larger thresholds are rejected rather than
     * silently returning an incomplete pair set.
+    *
+    * Recall caveat: `maxBucket` (the quadratic-expansion skew guard)
+    * bounds the pigeonhole guarantee — a 16-bit chunk value shared by more
+    * than `maxBucket` documents (e.g. chunk 0 on sparse hashes at corpus
+    * scale) is dropped from pair enumeration, exactly like
+    * `ngramJaccardPairs`' document-frequency cap. Raise it if full recall
+    * matters more than the hot-bucket bound.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: the 4-chunk pigeonhole filter guarantees " +
         "full recall only for hamming <= 3")
@@ -189,7 +196,7 @@ object Dedup {
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "ck")))
     bucketPairs(chunked, Seq("chunk", "ck"),
-        Seq(col(idCol).as("_id"), col("simhash").as("_sig")), maxBucket = 10000)
+        Seq(col(idCol).as("_id"), col("simhash").as("_sig")), maxBucket)
       .select(col("a._id").as("qa"), col("b._id").as("qb"),
         expr("bit_count(a._sig ^ b._sig)").cast("bigint").as("hamming"))
       .distinct()

@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
 object JoinStrategies {
 
   /** Equi join with the build side replicated over `saltBuckets` salts:
-    * each fact row gets a deterministic salt (hash of the whole row, so
-    * retries/replays salt identically — no `rand()`), the dimension is
-    * replicated once per salt, and the join key becomes (key, salt). A
-    * hot key's rows now land on `saltBuckets` reducers instead of one.
+    * each fact row gets a salt from its physical position
+    * (`monotonically_increasing_id`, i.e. partition id + row-in-partition),
+    * the dimension is replicated once per salt, and the join key becomes
+    * (key, salt). A hot key's rows now land on `saltBuckets` reducers
+    * instead of one — including the common skew case where the hot rows
+    * are fully identical duplicates (a whole-row hash would send those to
+    * ONE salt and spread nothing), and without touching column values, so
+    * un-hashable column types (maps) are fine. Position-derived salts are
+    * stable under task retries of a deterministic source (a rescan yields
+    * the same partition contents in the same order) — the replay-safety
+    * `rand()` lacks — though not under a repartition of the input.
     *
     * Result-identical to `fact.join(dim, keys)`: every fact row matches
     * exactly the one dim replica carrying its salt. Worth it only when a
@@ -28,7 +35,7 @@ object JoinStrategies {
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "inputs must not already contain a _salt column")
     val factSalted = fact.withColumn("_salt",
-      pmod(xxhash64(struct(fact.columns.toSeq.map(col): _*)), lit(saltBuckets.toLong)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val dimSalted = dim.withColumn("_salt",
       explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
     factSalted.join(dimSalted, keys :+ "_salt").drop("_salt")

@@ -29,6 +29,11 @@ object TemporalJoins {
     *
     * Output: all columns of `left`, plus each `rightCols` column as
     * `<prefix><name>`.
+    *
+    * NULL join keys follow equi-join semantics (NULL never equals NULL):
+    * null-keyed left rows go straight to the NULL-fill output and
+    * null-keyed right rows can never match — without the split they would
+    * co-group in the window partition and incorrectly pair up.
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame,
@@ -37,15 +42,18 @@ object TemporalJoins {
     val rPayload = (rightCols :+ tieCol).distinct
     val rStructType = right.select(rPayload.map(col): _*).schema
     val lStructType = left.schema
+    val nullKey = on.map(col(_).isNull).reduce(_ || _)
+    val (leftKeyed, leftNullKeyed) = (left.filter(!nullKey), left.filter(nullKey))
+    val rightKeyed = right.filter(!nullKey)
 
-    val l2 = left.select(
+    val l2 = leftKeyed.select(
       on.map(col) ++ Seq(
         col(tsCol).as("_ts"),
         lit(1).as("_side"),
         lit(null).cast(LongType).as("_tie"),
         struct(left.columns.toSeq.map(col): _*).as("_l"),
         lit(null).cast(rStructType).as("_r")): _*)
-    val r2 = right.select(
+    val r2 = rightKeyed.select(
       on.map(col) ++ Seq(
         col(tsCol).as("_ts"),
         lit(0).as("_side"),
@@ -60,11 +68,15 @@ object TemporalJoins {
       .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l2.unionByName(r2)
+    val matched = l2.unionByName(r2)
       .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(col("_l.*") +:
         rightCols.map(c => col("_match").getField(c).as(s"$prefix$c")): _*)
+    val rTypeByName = rStructType.fields.map(f => f.name -> f.dataType).toMap
+    matched.unionByName(
+      leftNullKeyed.select(left.columns.toSeq.map(col) ++
+        rightCols.map(c => lit(null).cast(rTypeByName(c)).as(s"$prefix$c")): _*))
   }
 
   /** All (a, b) pairs on the same `on` key with

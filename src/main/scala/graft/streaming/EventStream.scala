@@ -59,7 +59,9 @@ object EventStream {
     * same nanos→micros ts normalization as the batch loader.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet carries TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession builder")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource requires a directory or glob; `[e]` makes the path a
     // glob matching exactly events.parquet, with basePath = the directory.

@@ -43,6 +43,26 @@ class TemporalJoinsSpec extends SparkSpec {
       13L -> None))      // no rights for user 3
   }
 
+  test("asOfJoin: NULL keys never match each other (equi-join semantics)") {
+    val l = Seq(
+      (10L, Option(1L), ts("2024-01-01 10:00:00")),
+      (11L, Option.empty[Long], ts("2024-01-01 10:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (100L, Option(1L), ts("2024-01-01 09:00:00")),
+      (101L, Option.empty[Long], ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val out = TemporalJoins.asOfJoin(l, r,
+        on = Seq("user_id"), tsCol = "ts", tieCol = "event_id",
+        rightCols = Seq("event_id"), prefix = "r_")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(x.fieldIndex("r_event_id"))) None
+         else Some(x.getLong(x.fieldIndex("r_event_id"))))).toMap
+    assert(out == Map(
+      10L -> Some(100L), // keyed row matches normally
+      11L -> None))      // NULL key: NULL-fill, NOT the null-keyed right row
+  }
+
   test("rangeJoin: inclusive boundary, cross-bucket matches, key isolation") {
     val a = Seq((1L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
     val b = Seq(

@@ -1,0 +1,173 @@
+package graft
+
+import java.io.File
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import graft.iceberg.IcebergTable
+import graft.iceberg.connector.GraftCatalog
+
+/** Time travel (`VERSION AS OF` / `TIMESTAMP AS OF`) over an in-test
+  * two-snapshot table, and the Iceberg view-spec metadata format
+  * round-trip. The snapshot list was already parsed in round 2
+  * (`Metadata.scala`); these gates pin that a pinned scan reads the OLD
+  * snapshot's file set, not the current one.
+  */
+class TimeTravelSpec extends SparkSpec {
+
+  val warehouse = "/root/repo/target/test-tt-warehouse"
+  val root = s"$warehouse/ns/tt"
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"}]}""".stripMargin)
+
+  private val manifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private def writeAvro(path: File, schema: Schema, records: Seq[GenericRecord]): Unit = {
+    path.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  /** Snapshot 1 (t=1000ms): files f1, f2. Snapshot 2 (t=2000ms, current):
+    * f1..f4. One manifest per snapshot generation.
+    */
+  lazy val table: IcebergTable = {
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteQuietly(new File(warehouse))
+    new File(s"$root/metadata").mkdirs()
+
+    def writeDataFile(name: String, id: Long): String = {
+      import spark.implicits._
+      val dir = new File(s"$root/data/$name")
+      Seq((id, s"row$id")).toDF("id", "tag").coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir.listFiles.find(_.getName.endsWith(".parquet")).get.toString
+    }
+    def manifestFor(name: String, paths: Seq[String]): File = {
+      val dfSchema = manifestSchema.getField("data_file").schema
+      val recs = paths.map { p =>
+        val df = new GenericData.Record(dfSchema)
+        df.put("file_path", p); df.put("file_format", "PARQUET")
+        df.put("record_count", 1L)
+        df.put("file_size_in_bytes", new File(p).length)
+        val e = new GenericData.Record(manifestSchema)
+        e.put("status", 1); e.put("data_file", df)
+        e.asInstanceOf[GenericRecord]
+      }
+      val f = new File(s"$root/metadata/$name.avro")
+      writeAvro(f, manifestSchema, recs)
+      f
+    }
+    def mlRec(m: File): GenericRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", m.toString)
+      r.put("manifest_length", m.length)
+      r.put("partition_spec_id", 0)
+      r
+    }
+    val gen1 = manifestFor("m1", Seq(writeDataFile("f1", 1L), writeDataFile("f2", 2L)))
+    val gen2 = manifestFor("m2", Seq(writeDataFile("f3", 3L), writeDataFile("f4", 4L)))
+    writeAvro(new File(s"$root/metadata/snap-1.avro"), manifestListSchema,
+      Seq(mlRec(gen1)))
+    writeAvro(new File(s"$root/metadata/snap-2.avro"), manifestListSchema,
+      Seq(mlRec(gen1), mlRec(gen2)))
+
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$root",
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "id", "required": false, "type": "long"},
+         |  {"id": 2, "name": "tag", "required": false, "type": "string"}]},
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 2,
+         |"snapshots": [
+         |  {"snapshot-id": 1, "timestamp-ms": 1000,
+         |   "manifest-list": "$root/metadata/snap-1.avro"},
+         |  {"snapshot-id": 2, "timestamp-ms": 2000,
+         |   "manifest-list": "$root/metadata/snap-2.avro"}]}""".stripMargin)
+
+    IcebergTable(spark, root)
+  }
+
+  test("current snapshot reads the full file set; pinned reads the old one") {
+    assert(table.planFiles().size == 4)
+    assert(table.atSnapshot(1L).planFiles().size == 2)
+    val oldIds = table.atSnapshot(1L).toDF(spark)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(oldIds == Set(1L, 2L))
+  }
+
+  test("asOfTimestamp picks the latest snapshot at or before the bound") {
+    assert(table.asOfTimestamp(1500L).pinnedSnapshotId.contains(1L))
+    assert(table.asOfTimestamp(2000L).pinnedSnapshotId.contains(2L))
+    intercept[IllegalArgumentException](table.asOfTimestamp(999L))
+    intercept[IllegalArgumentException](table.atSnapshot(42L))
+  }
+
+  test("SQL VERSION AS OF / TIMESTAMP AS OF resolve through the catalog") {
+    table.planFiles() // force the fixture
+    spark.conf.set("spark.sql.catalog.tt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tt.warehouse", warehouse)
+    assert(spark.sql("SELECT count(*) AS n FROM tt.ns.tt").collect()(0).getLong(0) == 4L)
+    assert(spark.sql("SELECT count(*) AS n FROM tt.ns.tt VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2L)
+    // TIMESTAMP AS OF takes a session-zone timestamp; snapshot 1 committed
+    // at epoch+1000ms, so one second after epoch (UTC session) sees it
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM tt.ns.tt TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+      .collect()(0).getLong(0) == 2L)
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM tt.ns.tt VERSION AS OF 42").collect())
+    assert(err.getMessage.contains("42"))
+  }
+
+  test("view-spec metadata format round-trips and resolves in SQL") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+    import org.apache.spark.sql.types._
+    table.planFiles() // force the fixture (creates the warehouse)
+    spark.conf.set("spark.sql.catalog.tt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tt.warehouse", warehouse)
+    val cat = spark.sessionState.catalogManager.catalog("tt").asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(Array("ns"), "small_ids")
+    if (cat.viewExists(ident)) cat.dropView(ident)
+    cat.createView(new ViewInfo(ident,
+      "SELECT id, tag FROM tt.ns.tt WHERE id <= 2", "tt", Array("ns"),
+      StructType(Seq(StructField("id", LongType), StructField("tag", StringType))),
+      Array("id", "tag"), Array.empty, Array.empty,
+      new java.util.HashMap[String, String]()))
+
+    // the committed file is Iceberg view-spec metadata, not a private shape
+    val f = new File(s"$warehouse/ns/small_ids/metadata/v1.view-metadata.json")
+    assert(f.exists)
+    val json = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    assert(json.get("view-uuid") != null)
+    assert(json.get("format-version").asInt == 1)
+    val ver = json.get("versions").elements.next()
+    val rep = ver.get("representations").elements.next()
+    assert(rep.get("type").asText == "sql" && rep.get("dialect").asText == "spark")
+    assert(json.get("schemas").elements.next().get("fields").size == 2)
+
+    val v = cat.loadView(ident)
+    assert(v.query.contains("id <= 2"))
+    assert(v.schema.fieldNames.toSeq == Seq("id", "tag"))
+    assert(v.queryColumnNames.toSeq == Seq("id", "tag"))
+    assert(spark.sql("SELECT count(*) AS n FROM tt.ns.small_ids")
+      .collect()(0).getLong(0) == 2L)
+  }
+}
