@@ -148,6 +148,22 @@ final class IcebergTable private (
     else entries.filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
   }
 
+  /** File-level pruning over already-planned entries — the runtime
+    * (dynamic) filtering hook: join-key values arriving at execution time
+    * shrink a static plan's file set without re-reading manifests. Sound
+    * for the same reason static pruning is (decode-doubt keeps). */
+  def pruneFiles(entries: Seq[DataFileEntry], filters: Seq[Filter]): Seq[DataFileEntry] =
+    if (filters.isEmpty) entries
+    else entries.filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
+
+  /** Identity-partition source columns NOT materialized in the data files
+    * (must be re-injected from metadata); decided by one footer read. */
+  def missingPartitionColumns(spark: SparkSession, files: Seq[DataFileEntry]): Seq[String] = {
+    if (files.isEmpty) return Nil
+    val inFile = fileSchemaColumns(spark, resolve(files.head.filePath))
+    metadata.identityPartitionColumns.filterNot(inFile.contains)
+  }
+
   private def readManifestsParallel(ms: Seq[ManifestFile]): Seq[DataFileEntry] =
     if (ms.sizeIs <= 1) ms.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
     else {
@@ -246,6 +262,13 @@ final class IcebergTable private (
 object IcebergTable {
   def apply(spark: SparkSession, tableDir: String): IcebergTable =
     new IcebergTable(tableDir, spark.sessionState.newHadoopConf())
+
+  /** A table whose metadata document was already fetched (e.g. inside a
+    * REST catalog's LoadTableResult): no metadata file read, scans resolve
+    * the absolute paths recorded in the document. */
+  def fromMetadata(location: String, conf: Configuration,
+                   metadata: TableMetadata): IcebergTable =
+    new IcebergTable(location, conf, metadata, None)
 
   /** Translate pushed-down source filters back to `Column` predicates so
     * the inner parquet scan gets its own footer-level pushdown too.

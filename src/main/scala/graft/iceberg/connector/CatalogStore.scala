@@ -1,0 +1,193 @@
+package graft.iceberg.connector
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.StructType
+
+import graft.iceberg.{IcebergTable, TableMetadata}
+
+/** Storage/transport seam behind [[GraftCatalog]]: where table and view
+  * metadata live and how commits happen. Two implementations:
+  *
+  *  - [[FsCatalogStore]] — a filesystem warehouse directory tree (the
+  *    layout documented on [[GraftCatalog]]);
+  *  - [[RestCatalogStore]] — an Iceberg-REST-spec catalog service, parity
+  *    with the reference's second crate
+  *    (`datafusion_iceberg_catalog_rest/src/catalog.rs:83-135` drives the
+  *    same create/load/drop/rename calls against `/v1/...` routes).
+  *
+  * The Spark-facing catalog class stays transport-agnostic: it converts
+  * between Spark's `Identifier`/exception types and these primitive
+  * signatures, and owns the load cache (keyed by [[tableToken]]).
+  */
+trait CatalogStore {
+
+  // -- namespaces ------------------------------------------------------------
+  /** Direct child namespaces of `parent` (empty parent = root). */
+  def listNamespaces(parent: Seq[String]): Seq[Seq[String]]
+  def namespaceExists(ns: Seq[String]): Boolean
+  def createNamespace(ns: Seq[String]): Unit
+  /** False when the namespace does not exist; non-cascade drops of
+    * non-empty namespaces must throw `IllegalStateException`. */
+  def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean
+
+  // -- tables ----------------------------------------------------------------
+  def listTables(ns: Seq[String]): Seq[String]
+  def tableExists(ns: Seq[String], name: String): Boolean
+  /** Freshness token for the load cache: a load may be served from cache
+    * while the token is unchanged. None = never cache (each load already
+    * fetches fresh metadata). */
+  def tableToken(ns: Seq[String], name: String): Option[String]
+  /** Load the Iceberg table (throws `NoSuchElementException` if absent). */
+  def loadIcebergTable(ns: Seq[String], name: String): IcebergTable
+  def createTable(ns: Seq[String], name: String, schema: StructType,
+                  partitionCols: Seq[String], properties: Map[String, String]): Unit
+  def dropTable(ns: Seq[String], name: String): Boolean
+  def renameTable(fromNs: Seq[String], fromName: String,
+                  toNs: Seq[String], toName: String): Unit
+
+  // -- views (Iceberg view-spec metadata JSON) -------------------------------
+  def isView(ns: Seq[String], name: String): Boolean
+  def listViews(ns: Seq[String]): Seq[String]
+  def loadViewJson(ns: Seq[String], name: String): JsonNode
+  def createView(ns: Seq[String], name: String, viewMetadataJson: String): Unit
+  def dropView(ns: Seq[String], name: String): Boolean
+  def renameView(fromNs: Seq[String], fromName: String,
+                 toNs: Seq[String], toName: String): Unit
+
+  /** Location a view committed under `ns.name` should record. */
+  def viewLocation(ns: Seq[String], name: String): String
+
+  /** Physical location of a namespace, when the store has one. */
+  def namespaceLocation(ns: Seq[String]): Option[String] = None
+}
+
+/** Filesystem-warehouse store: `<warehouse>/<ns...>/<name>/metadata/...`
+  * through Hadoop `FileSystem`, so `file://`, `s3a://`, … behave alike
+  * (the reference's object-store indirection, A10).
+  */
+final class FsCatalogStore(warehouse: Path, conf: Configuration) extends CatalogStore {
+
+  private lazy val fs: FileSystem = warehouse.getFileSystem(conf)
+  private val mapper = new ObjectMapper()
+
+  private def dirFor(parts: Seq[String]): Path =
+    parts.foldLeft(warehouse)((p, n) => new Path(p, n))
+
+  private def metaFiles(dir: Path, suffix: String): Seq[Path] =
+    try {
+      val md = new Path(dir, "metadata")
+      if (!fs.exists(md)) Nil
+      else fs.listStatus(md).map(_.getPath).filter(_.getName.endsWith(suffix)).toSeq
+    } catch { case _: Exception => Nil }
+
+  private def isTableDir(dir: Path): Boolean = metaFiles(dir, ".metadata.json").nonEmpty
+  private def isViewDir(dir: Path): Boolean = metaFiles(dir, ".view-metadata.json").nonEmpty
+
+  private def childDirs(dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath).toSeq
+
+  override def listNamespaces(parent: Seq[String]): Seq[Seq[String]] =
+    childDirs(dirFor(parent)).filterNot(d => isTableDir(d) || isViewDir(d))
+      .map(d => parent :+ d.getName)
+
+  override def namespaceExists(ns: Seq[String]): Boolean = {
+    val dir = dirFor(ns)
+    ns.isEmpty || (fs.exists(dir) && !isTableDir(dir) && !isViewDir(dir))
+  }
+
+  override def createNamespace(ns: Seq[String]): Unit = fs.mkdirs(dirFor(ns))
+
+  override def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean = {
+    val dir = dirFor(ns)
+    if (!fs.exists(dir)) false
+    else if (!cascade && childDirs(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
+    else fs.delete(dir, true)
+  }
+
+  override def listTables(ns: Seq[String]): Seq[String] =
+    childDirs(dirFor(ns)).filter(isTableDir).map(_.getName)
+
+  override def tableExists(ns: Seq[String], name: String): Boolean =
+    isTableDir(dirFor(ns :+ name))
+
+  /** Latest metadata file path: an external commit writes a new file and
+    * naturally misses the cache. */
+  override def tableToken(ns: Seq[String], name: String): Option[String] =
+    Some(TableMetadata.latestMetadataPath(dirFor(ns :+ name).toString, conf).toString)
+
+  override def loadIcebergTable(ns: Seq[String], name: String): IcebergTable =
+    new IcebergTable(dirFor(ns :+ name).toString, conf)
+
+  override def createTable(ns: Seq[String], name: String, schema: StructType,
+                           partitionCols: Seq[String],
+                           properties: Map[String, String]): Unit = {
+    val dir = dirFor(ns :+ name)
+    val json = IcebergJson.tableMetadata(mapper, dir.toString, schema,
+      partitionCols, properties)
+    write(new Path(dir, "metadata/v0.metadata.json"), json)
+  }
+
+  override def dropTable(ns: Seq[String], name: String): Boolean = {
+    val dir = dirFor(ns :+ name)
+    isTableDir(dir) && fs.delete(dir, true)
+  }
+
+  override def renameTable(fromNs: Seq[String], fromName: String,
+                           toNs: Seq[String], toName: String): Unit =
+    renameDir(toNs, dirFor(fromNs :+ fromName), dirFor(toNs :+ toName))
+
+  /** Hadoop `FileSystem.rename` reports failure by returning false, not by
+    * throwing — surface it. The destination namespace must already exist
+    * (creating it here would silently accept bogus targets, e.g. a
+    * `RENAME TO cat.ns.t` whose catalog prefix Spark passes through
+    * verbatim as a namespace level).
+    */
+  private def renameDir(toNs: Seq[String], from: Path, to: Path): Unit = {
+    if (!namespaceExists(toNs))
+      throw new NoSuchElementException(s"namespace ${toNs.mkString(".")} not found")
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(s"rename failed: $from -> $to")
+  }
+
+  override def isView(ns: Seq[String], name: String): Boolean =
+    isViewDir(dirFor(ns :+ name))
+
+  override def listViews(ns: Seq[String]): Seq[String] =
+    childDirs(dirFor(ns)).filter(isViewDir).map(_.getName)
+
+  override def loadViewJson(ns: Seq[String], name: String): JsonNode = {
+    val files = metaFiles(dirFor(ns :+ name), ".view-metadata.json")
+    if (files.isEmpty)
+      throw new NoSuchElementException(s"view ${(ns :+ name).mkString(".")} not found")
+    val in = fs.open(files.maxBy(_.getName))
+    try mapper.readTree(in) finally in.close()
+  }
+
+  override def createView(ns: Seq[String], name: String, viewMetadataJson: String): Unit =
+    write(new Path(dirFor(ns :+ name), "metadata/v1.view-metadata.json"), viewMetadataJson)
+
+  override def dropView(ns: Seq[String], name: String): Boolean = {
+    val dir = dirFor(ns :+ name)
+    isViewDir(dir) && fs.delete(dir, true)
+  }
+
+  override def renameView(fromNs: Seq[String], fromName: String,
+                          toNs: Seq[String], toName: String): Unit =
+    renameDir(toNs, dirFor(fromNs :+ fromName), dirFor(toNs :+ toName))
+
+  override def viewLocation(ns: Seq[String], name: String): String =
+    dirFor(ns :+ name).toString
+
+  override def namespaceLocation(ns: Seq[String]): Option[String] =
+    Some(dirFor(ns).toString)
+
+  private def write(path: Path, content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

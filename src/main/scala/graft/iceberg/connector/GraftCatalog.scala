@@ -7,24 +7,29 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.analysis._
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.iceberg.{IcebergTable, TableMetadata}
+import graft.iceberg.IcebergTable
 
-/** Filesystem-warehouse catalog plugin: `catalog.namespace.table` name
-  * resolution over a directory tree of Iceberg tables, plus persistent SQL
-  * views.
+/** Catalog plugin: `catalog.namespace.table` name resolution over Iceberg
+  * tables plus persistent SQL views, with the storage/transport behind a
+  * [[CatalogStore]] seam:
   *
-  * Counterpart of the reference's catalog bridge
-  * (`datafusion_iceberg_catalog_rest/src/catalog.rs:23-52` +
-  * `schema.rs:23-63` + `mirror.rs:10-184`), with two deliberate
-  * divergences SURVEY §2.A calls for:
+  *  - `spark.sql.catalog.<name>.warehouse = /path` → filesystem warehouse
+  *    ([[FsCatalogStore]]; layout: `<warehouse>/<ns...>/<name>/metadata/
+  *    vN.metadata.json` is a table, `.../vN.view-metadata.json` a view in
+  *    Iceberg view-spec format, any other directory a namespace);
+  *  - `spark.sql.catalog.<name>.uri = http://host/...` → Iceberg-REST-spec
+  *    catalog service ([[RestCatalogStore]]), parity with the reference's
+  *    REST crate (`datafusion_iceberg_catalog_rest/src/catalog.rs:23-52` +
+  *    `schema.rs:23-63` + `mirror.rs:10-184`).
+  *
+  * Two deliberate divergences SURVEY §2.A calls for:
   *
   *  - **lazy** per-identifier load + cache instead of the reference's
   *    eager full-catalog mirror (`mirror.rs:23-53` issues N+1 remote calls
@@ -33,132 +38,109 @@ import graft.iceberg.{IcebergTable, TableMetadata}
   *  - create/drop commit **synchronously** — the reference spawns its
   *    commit on a `LocalPool` it never polls (`mirror.rs:123-143`), so the
   *    intended (not literal) behavior is implemented.
-  *
-  * Layout: `<warehouse>/<ns...>/<name>/metadata/vN.metadata.json` is a
-  * table; `.../metadata/vN.view-metadata.json` is a view (Iceberg
-  * view-spec metadata format); any other directory is a namespace.
-  * Register with:
-  * `spark.sql.catalog.lakehouse = graft.iceberg.connector.GraftCatalog`,
-  * `spark.sql.catalog.lakehouse.warehouse = /path/to/warehouse`.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
 
   private var catalogName: String = _
-  private var warehouse: Path = _
-  private var conf: Configuration = _
-  private lazy val fs: FileSystem = warehouse.getFileSystem(conf)
+  private var store: CatalogStore = _
   private val mapper = new ObjectMapper()
 
-  /** Lazy table cache (A15 without the eager mirror), keyed by table dir
-    * and guarded by the latest metadata-file path: an external writer
-    * committing a new `metadata.json` naturally misses the cache (one
-    * cheap listStatus per load), so long-lived sessions never keep serving
-    * a stale snapshot.
+  /** Lazy table cache (A15 without the eager mirror), guarded by the
+    * store's freshness token (for the filesystem store, the latest
+    * metadata-file path): an external writer committing new metadata
+    * naturally misses the cache, so long-lived sessions never keep
+    * serving a stale snapshot. Stores that fetch fresh metadata on every
+    * load (REST) opt out via token = None.
     */
   private val cache = new ConcurrentHashMap[String, (String, SparkIcebergTable)]()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-    warehouse = new Path(Option(options.get("warehouse")).getOrElse(
-      throw new IllegalArgumentException(
-        s"catalog $name requires spark.sql.catalog.$name.warehouse")))
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    store = (Option(options.get("uri")), Option(options.get("warehouse"))) match {
+      case (Some(uri), _) =>
+        new RestCatalogStore(uri, conf, Option(options.get("token")))
+      case (None, Some(wh)) => new FsCatalogStore(new Path(wh), conf)
+      case _ => throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse " +
+          s"(filesystem) or spark.sql.catalog.$name.uri (Iceberg REST)")
+    }
   }
 
   override def name(): String = catalogName
 
-  private def dirFor(parts: Seq[String]): Path =
-    parts.foldLeft(warehouse)((p, n) => new Path(p, n))
-
-  private def metaFiles(dir: Path, suffix: String): Seq[Path] =
-    try {
-      val md = new Path(dir, "metadata")
-      if (!fs.exists(md)) Nil
-      else fs.listStatus(md).map(_.getPath).filter(_.getName.endsWith(suffix)).toSeq
-    } catch { case _: Exception => Nil }
-
-  private def isTableDir(dir: Path): Boolean = metaFiles(dir, ".metadata.json").nonEmpty
-  private def isViewDir(dir: Path): Boolean = metaFiles(dir, ".view-metadata.json").nonEmpty
-
-  private def childDirs(dir: Path): Seq[Path] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath).toSeq
-
   // -- SupportsNamespaces (A13/A14) -----------------------------------------
 
   override def listNamespaces(): Array[Array[String]] =
-    childDirs(warehouse).filterNot(d => isTableDir(d) || isViewDir(d))
-      .map(d => Array(d.getName)).toArray
+    store.listNamespaces(Nil).map(_.toArray).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
-    val dir = dirFor(namespace.toSeq)
-    if (namespace.nonEmpty && !fs.exists(dir))
+    if (namespace.nonEmpty && !store.namespaceExists(namespace.toSeq))
       throw new NoSuchNamespaceException(namespace)
-    childDirs(dir).filterNot(d => isTableDir(d) || isViewDir(d))
-      .map(d => namespace :+ d.getName).toArray
+    store.listNamespaces(namespace.toSeq).map(_.toArray).toArray
   }
 
-  override def namespaceExists(namespace: Array[String]): Boolean = {
-    val dir = dirFor(namespace.toSeq)
-    namespace.isEmpty || (fs.exists(dir) && !isTableDir(dir) && !isViewDir(dir))
-  }
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    store.namespaceExists(namespace.toSeq)
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    Map("location" -> dirFor(namespace.toSeq).toString).asJava
+    store.namespaceLocation(namespace.toSeq)
+      .map(l => Map("location" -> l)).getOrElse(Map.empty[String, String]).asJava
   }
 
   override def createNamespace(namespace: Array[String], metadata: JMap[String, String]): Unit =
-    fs.mkdirs(dirFor(namespace.toSeq))
+    store.createNamespace(namespace.toSeq)
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace is not supported")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dir = dirFor(namespace.toSeq)
-    if (!fs.exists(dir)) false
-    else if (!cascade && childDirs(dir).nonEmpty)
+    val ns = namespace.toSeq
+    if (!store.namespaceExists(ns)) false
+    else if (!cascade && (store.listNamespaces(ns).nonEmpty ||
+      store.listTables(ns).nonEmpty || store.listViews(ns).nonEmpty))
       throw new NonEmptyNamespaceException(
         namespace, s"namespace ${namespace.mkString(".")} is not empty", None)
-    else fs.delete(dir, true)
+    else store.dropNamespace(ns, cascade)
   }
 
   // -- TableCatalog (A14/A16/A17) -------------------------------------------
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = dirFor(namespace.toSeq)
-    if (namespace.nonEmpty && !fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
-    childDirs(dir).filter(isTableDir).map(d => Identifier.of(namespace, d.getName)).toArray
+    if (namespace.nonEmpty && !store.namespaceExists(namespace.toSeq))
+      throw new NoSuchNamespaceException(namespace)
+    store.listTables(namespace.toSeq).map(Identifier.of(namespace, _)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTableDir(dirFor(ident.namespace.toSeq :+ ident.name))
+    store.tableExists(ident.namespace.toSeq, ident.name)
 
-  /** Tables resolve to Iceberg scans; view directories resolve to a
+  /** Tables resolve to Iceberg scans; view identifiers resolve to a
     * SQL-backed table provider (the reference's view-expansion path,
     * `table.rs:102-112`) because Spark's analyzer does not consult
     * `ViewCatalog` during SELECT resolution.
     */
   override def loadTable(ident: Identifier): Table = {
-    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
-    if (isViewDir(dir)) {
+    val ns = ident.namespace.toSeq
+    if (store.isView(ns, ident.name)) {
       val v = loadView(ident)
       new GraftSqlViewTable(v.name, v.query, v.schema,
         v.currentCatalog, v.currentNamespace)
     }
-    else if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    else if (!store.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
     else {
-      val key = dir.toString
-      val metaPath = graft.iceberg.TableMetadata
-        .latestMetadataPath(key, conf).toString
-      val cached = cache.get(key)
-      if (cached != null && cached._1 == metaPath) cached._2
-      else {
-        val t = new SparkIcebergTable(
-          (ident.namespace :+ ident.name).mkString("."),
-          new IcebergTable(dir.toString, conf))
-        cache.put(key, (metaPath, t))
-        t
+      val fullName = (ident.namespace :+ ident.name).mkString(".")
+      store.tableToken(ns, ident.name) match {
+        case None => new SparkIcebergTable(fullName, store.loadIcebergTable(ns, ident.name))
+        case Some(token) =>
+          val cached = cache.get(fullName)
+          if (cached != null && cached._1 == token) cached._2
+          else {
+            val t = new SparkIcebergTable(fullName, store.loadIcebergTable(ns, ident.name))
+            cache.put(fullName, (token, t))
+            t
+          }
       }
     }
   }
@@ -190,10 +172,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
 
   override def invalidateTable(ident: Identifier): Unit =
-    cache.remove(dirFor(ident.namespace.toSeq :+ ident.name).toString)
+    cache.remove((ident.namespace :+ ident.name).mkString("."))
 
-  /** CREATE TABLE: commit a v0 metadata file (schema + identity partition
-    * spec, no snapshot) — parity with the reference registering a
+  /** CREATE TABLE: commit v0 metadata (schema + identity partition spec,
+    * no snapshot) — parity with the reference registering a
     * `(identifier, metadata_location)` pair (`mirror.rs:103-145`), done
     * synchronously.
     */
@@ -203,16 +185,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
     val partitionCols = partitions.toSeq.map {
       case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
       case other =>
         throw new UnsupportedOperationException(
           s"only identity partitioning is supported, got: $other")
     }
-    val json = IcebergJson.tableMetadata(mapper, dir.toString, schema, partitionCols,
+    store.createTable(ident.namespace.toSeq, ident.name, schema, partitionCols,
       Option(properties).map(_.asScala.toMap).getOrElse(Map.empty))
-    write(new Path(dir, "metadata/v0.metadata.json"), json)
     loadTable(ident)
   }
 
@@ -220,40 +200,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     throw new UnsupportedOperationException("alterTable is not supported")
 
   override def dropTable(ident: Identifier): Boolean = {
-    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
     invalidateTable(ident)
-    isTableDir(dir) && fs.delete(dir, true)
+    store.dropTable(ident.namespace.toSeq, ident.name)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    if (!store.namespaceExists(newIdent.namespace.toSeq))
+      throw new NoSuchNamespaceException(newIdent.namespace)
     invalidateTable(oldIdent)
-    renameDir(newIdent.namespace,
-      dirFor(oldIdent.namespace.toSeq :+ oldIdent.name),
-      dirFor(newIdent.namespace.toSeq :+ newIdent.name))
-  }
-
-  /** Hadoop `FileSystem.rename` reports failure by returning false, not by
-    * throwing — surface it. The destination namespace must already exist
-    * (creating it here would silently accept bogus targets, e.g. a
-    * `RENAME TO cat.ns.t` whose catalog prefix Spark passes through
-    * verbatim as a namespace level).
-    */
-  private def renameDir(to_ns: Array[String], from: Path, to: Path): Unit = {
-    if (!namespaceExists(to_ns)) throw new NoSuchNamespaceException(to_ns)
-    if (!fs.rename(from, to))
-      throw new IllegalStateException(s"rename failed: $from -> $to")
+    store.renameTable(oldIdent.namespace.toSeq, oldIdent.name,
+      newIdent.namespace.toSeq, newIdent.name)
   }
 
   // -- ViewCatalog (A12: persistent views) ----------------------------------
 
   override def listViews(namespace: String*): Array[Identifier] =
-    childDirs(dirFor(namespace)).filter(isViewDir)
-      .map(d => Identifier.of(namespace.toArray, d.getName)).toArray
+    store.listViews(namespace).map(Identifier.of(namespace.toArray, _)).toArray
 
   override def viewExists(ident: Identifier): Boolean =
-    isViewDir(dirFor(ident.namespace.toSeq :+ ident.name))
+    store.isView(ident.namespace.toSeq, ident.name)
 
   /** Read a view from Iceberg view-spec metadata: current version id →
     * version record → `spark`-dialect SQL representation + default
@@ -261,12 +228,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * Iceberg struct form.
     */
   override def loadView(ident: Identifier): View = {
-    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
-    val files = metaFiles(dir, ".view-metadata.json")
-    if (files.isEmpty) throw new NoSuchViewException(ident)
-    val latest = files.maxBy(_.getName)
-    val in = fs.open(latest)
-    val node = try mapper.readTree(in) finally in.close()
+    val node =
+      try store.loadViewJson(ident.namespace.toSeq, ident.name)
+      catch { case _: NoSuchElementException => throw new NoSuchViewException(ident) }
     val currentId = node.get("current-version-id").asInt
     val ver = node.get("versions").elements.asScala
       .find(_.get("version-id").asInt == currentId)
@@ -309,13 +273,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def createView(info: ViewInfo): View = {
     val ident = info.ident
     if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
-    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
+    val ns = ident.namespace.toSeq
+    val location = store.viewLocation(ns, ident.name)
     val nowMs = System.currentTimeMillis
     val root = mapper.createObjectNode()
     root.put("view-uuid", java.util.UUID.nameUUIDFromBytes(
-      dir.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+      location.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
     root.put("format-version", 1)
-    root.put("location", dir.toString)
+    root.put("location", location)
     root.putArray("schemas").add(IcebergJson.viewSchemaNode(mapper, info.schema))
     root.put("current-version-id", 1)
     val ver = root.putArray("versions").addObject()
@@ -337,7 +302,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     Option(info.queryColumnNames).getOrElse(Array.empty[String]).foreach(cols.add)
     root.putObject("properties")
       .put(GraftCatalog.QueryColumnsProp, mapper.writeValueAsString(cols))
-    write(new Path(dir, "metadata/v1.view-metadata.json"),
+    store.createView(ns, ident.name,
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root))
     loadView(ident)
   }
@@ -345,23 +310,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def alterView(ident: Identifier, changes: ViewChange*): View =
     throw new UnsupportedOperationException("alterView is not supported")
 
-  override def dropView(ident: Identifier): Boolean = {
-    val dir = dirFor(ident.namespace.toSeq :+ ident.name)
-    isViewDir(dir) && fs.delete(dir, true)
-  }
+  override def dropView(ident: Identifier): Boolean =
+    store.dropView(ident.namespace.toSeq, ident.name)
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
     if (viewExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
-    renameDir(newIdent.namespace,
-      dirFor(oldIdent.namespace.toSeq :+ oldIdent.name),
-      dirFor(newIdent.namespace.toSeq :+ newIdent.name))
-  }
-
-  private def write(path: Path, content: String): Unit = {
-    val out = fs.create(path, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    if (!store.namespaceExists(newIdent.namespace.toSeq))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    store.renameView(oldIdent.namespace.toSeq, oldIdent.name,
+      newIdent.namespace.toSeq, newIdent.name)
   }
 }
 
@@ -413,8 +371,8 @@ object IcebergJson {
   }
 
   /** An Iceberg-format schema node (struct with per-field ids, nested
-    * list/map/struct supported) for view-spec metadata. Field ids are
-    * assigned depth-first; views don't evolve schemas by id here, so the
+    * list/map/struct supported) for view-spec metadata and REST
+    * CreateTableRequest payloads. Field ids are assigned depth-first; the
     * numbering only needs to be unique and stable per write.
     */
   def viewSchemaNode(mapper: ObjectMapper, schema: StructType): ObjectNode = {

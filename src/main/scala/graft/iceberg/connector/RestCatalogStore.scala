@@ -1,0 +1,201 @@
+package graft.iceberg.connector
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.types.StructType
+
+import scala.jdk.CollectionConverters._
+
+import graft.iceberg.{IcebergTable, TableMetadata}
+
+/** Iceberg-REST-spec catalog client ([[CatalogStore]] over `/v1/...`
+  * routes) — parity with the reference's REST crate
+  * (`datafusion_iceberg_catalog_rest/src/catalog.rs:83-135`: the same
+  * namespace list/create, table create/load/drop/rename calls).
+  *
+  * Transport notes:
+  *  - `GET /v1/config` is consulted once for a route `prefix` override
+  *    (the standard multi-tenant deployment shape);
+  *  - multi-level namespaces are joined with the unit separator `%1F` in
+  *    paths, per the spec;
+  *  - `loadTable` parses the `LoadTableResult.metadata` document directly
+  *    — no second fetch — and scans proceed against the absolute file
+  *    paths inside it, so the data plane (parquet/manifest reads) still
+  *    goes through Hadoop FileSystem, exactly like the warehouse store;
+  *  - loads are never cached ([[tableToken]] = None): each load already
+  *    carries fresh metadata, which is the REST catalog's currency model;
+  *  - an optional bearer `token` rides on every request when configured.
+  *
+  * Views are not served over REST here (the reference's REST crate is
+  * namespaces + tables too); [[GraftCatalog]] surfaces a clear error.
+  */
+final class RestCatalogStore(
+    baseUri: String, conf: Configuration,
+    bearerToken: Option[String]) extends CatalogStore {
+
+  private val mapper = new ObjectMapper()
+  private val http = HttpClient.newHttpClient()
+
+  private val base = baseUri.stripSuffix("/")
+
+  /** Route prefix from /v1/config `overrides.prefix`, if the server sets
+    * one. Config fetch failures fall back to no prefix rather than
+    * failing catalog registration.
+    */
+  private lazy val routePrefix: String =
+    try {
+      val (code, body) = request("GET", s"$base/v1/config", None)
+      if (code / 100 != 2) ""
+      else Option(mapper.readTree(body).get("overrides"))
+        .flatMap(o => Option(o.get("prefix"))).map(p => p.asText + "/").getOrElse("")
+    } catch { case _: Exception => "" }
+
+  private def v1(path: String): String = s"$base/v1/$routePrefix$path"
+
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+  private def nsPath(ns: Seq[String]): String = enc(ns.mkString("\u001f"))
+
+  private def request(method: String, url: String,
+                      body: Option[String]): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .header("Content-Type", "application/json")
+    bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val req = (body match {
+      case Some(json) => b.method(method, HttpRequest.BodyPublishers.ofString(json))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def expect2xx(method: String, url: String, body: Option[String]): JsonNode = {
+    val (code, resp) = request(method, url, body)
+    if (code / 100 != 2)
+      throw new IllegalStateException(s"$method $url -> HTTP $code: $resp")
+    if (resp == null || resp.isEmpty) mapper.createObjectNode()
+    else mapper.readTree(resp)
+  }
+
+  // -- namespaces ------------------------------------------------------------
+
+  override def listNamespaces(parent: Seq[String]): Seq[Seq[String]] = {
+    val url = v1("namespaces") +
+      (if (parent.isEmpty) "" else s"?parent=${nsPath(parent)}")
+    val node = expect2xx("GET", url, None)
+    Option(node.get("namespaces")).map(_.elements.asScala.map(ns =>
+      ns.elements.asScala.map(_.asText).toSeq).toSeq).getOrElse(Nil)
+  }
+
+  override def namespaceExists(ns: Seq[String]): Boolean =
+    ns.isEmpty || request("GET", v1(s"namespaces/${nsPath(ns)}"), None)._1 / 100 == 2
+
+  override def createNamespace(ns: Seq[String]): Unit = {
+    val req = mapper.createObjectNode()
+    val arr = req.putArray("namespace")
+    ns.foreach(arr.add)
+    req.putObject("properties")
+    expect2xx("POST", v1("namespaces"), Some(mapper.writeValueAsString(req)))
+  }
+
+  override def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) return false
+    if (cascade) {
+      listTables(ns).foreach(dropTable(ns, _))
+      listNamespaces(ns).foreach(dropNamespace(_, cascade = true))
+    }
+    val (code, body) = request("DELETE", v1(s"namespaces/${nsPath(ns)}"), None)
+    if (code == 409)
+      throw new IllegalStateException(s"namespace ${ns.mkString(".")} is not empty")
+    if (code / 100 != 2 && code != 404)
+      throw new IllegalStateException(s"DROP NAMESPACE -> HTTP $code: $body")
+    code / 100 == 2
+  }
+
+  // -- tables ----------------------------------------------------------------
+
+  override def listTables(ns: Seq[String]): Seq[String] = {
+    val node = expect2xx("GET", v1(s"namespaces/${nsPath(ns)}/tables"), None)
+    Option(node.get("identifiers")).map(_.elements.asScala
+      .map(_.get("name").asText).toSeq).getOrElse(Nil)
+  }
+
+  override def tableExists(ns: Seq[String], name: String): Boolean =
+    request("GET", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)._1 / 100 == 2
+
+  override def tableToken(ns: Seq[String], name: String): Option[String] = None
+
+  override def loadIcebergTable(ns: Seq[String], name: String): IcebergTable = {
+    val (code, body) =
+      request("GET", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)
+    if (code == 404)
+      throw new NoSuchElementException(s"table ${(ns :+ name).mkString(".")} not found")
+    if (code / 100 != 2)
+      throw new IllegalStateException(s"loadTable -> HTTP $code: $body")
+    val result = mapper.readTree(body)
+    val metaNode = Option(result.get("metadata")).getOrElse(
+      throw new IllegalStateException("LoadTableResult has no metadata document"))
+    val metadata = TableMetadata.fromJson(mapper.writeValueAsString(metaNode))
+    IcebergTable.fromMetadata(metadata.location, conf, metadata)
+  }
+
+  override def createTable(ns: Seq[String], name: String, schema: StructType,
+                           partitionCols: Seq[String],
+                           properties: Map[String, String]): Unit = {
+    val req = mapper.createObjectNode()
+    req.put("name", name)
+    val schemaNode = IcebergJson.viewSchemaNode(mapper, schema)
+    req.set[JsonNode]("schema", schemaNode)
+    val fieldIds = schemaNode.get("fields").elements.asScala
+      .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+    val spec = req.putObject("partition-spec")
+    spec.put("spec-id", 0)
+    val sf = spec.putArray("fields")
+    partitionCols.zipWithIndex.foreach { case (c, i) =>
+      val f = sf.addObject()
+      f.put("name", c)
+      f.put("transform", "identity")
+      f.put("source-id", fieldIds.getOrElse(c,
+        throw new IllegalArgumentException(s"partition column $c not in schema")))
+      f.put("field-id", 1000 + i)
+    }
+    val props = req.putObject("properties")
+    properties.foreach { case (k, v) => props.put(k, v) }
+    expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/tables"),
+      Some(mapper.writeValueAsString(req)))
+  }
+
+  override def dropTable(ns: Seq[String], name: String): Boolean =
+    request("DELETE", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)._1 / 100 == 2
+
+  override def renameTable(fromNs: Seq[String], fromName: String,
+                           toNs: Seq[String], toName: String): Unit = {
+    val req = mapper.createObjectNode()
+    def ident(target: com.fasterxml.jackson.databind.node.ObjectNode,
+              ns: Seq[String], n: String): Unit = {
+      val arr = target.putArray("namespace")
+      ns.foreach(arr.add)
+      target.put("name", n)
+    }
+    ident(req.putObject("source"), fromNs, fromName)
+    ident(req.putObject("destination"), toNs, toName)
+    expect2xx("POST", v1("tables/rename"), Some(mapper.writeValueAsString(req)))
+  }
+
+  // -- views: not part of the REST surface we mirror -------------------------
+
+  private def viewsUnsupported: Nothing = throw new UnsupportedOperationException(
+    "views are not supported over the REST catalog (use a warehouse catalog)")
+
+  override def isView(ns: Seq[String], name: String): Boolean = false
+  override def listViews(ns: Seq[String]): Seq[String] = Nil
+  override def loadViewJson(ns: Seq[String], name: String): JsonNode = viewsUnsupported
+  override def createView(ns: Seq[String], name: String, json: String): Unit = viewsUnsupported
+  override def dropView(ns: Seq[String], name: String): Boolean = false
+  override def renameView(fromNs: Seq[String], fromName: String,
+                          toNs: Seq[String], toName: String): Unit = viewsUnsupported
+  override def viewLocation(ns: Seq[String], name: String): String = viewsUnsupported
+}

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
@@ -81,7 +81,23 @@ final class GraftScanBuilder(table: IcebergTable)
     * own global limit (hence `false`). */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-  override def build(): Scan = new GraftScan(table, filters, requiredSchema, limit)
+  /** Path choice: when every identity-partition source column is
+    * materialized in the data files (the common writer behavior, one
+    * footer read decides), build the native DSv2 Batch scan — it plans as
+    * `BatchScanExec`, which is the only physical node that invokes
+    * `SupportsRuntimeFiltering.filter` for dynamic file pruning. Tables
+    * needing metadata partition re-injection fall back to the V1 bridge,
+    * whose union-of-literal-groups plan a single parquet Batch cannot
+    * express.
+    */
+  override def build(): Scan = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val staticFiles = table.planFiles(filters.toSeq)
+    if (table.missingPartitionColumns(spark, staticFiles).isEmpty && limit.isEmpty)
+      new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles)
+    else
+      new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles))
+  }
 }
 
 /** A persistent SQL view served as a table provider — the reference's own
@@ -179,16 +195,83 @@ final class GraftSqlViewTable(
     }
 }
 
+/** The native DSv2 batch path: Spark's vectorized `ParquetScan` over the
+  * pruned file list (columnar batches straight into `BatchScanExec`, no
+  * V1 row bridge), plus `SupportsRuntimeFiltering` — at execution time a
+  * dim-side join filter arrives as In/EqualTo values and shrinks the file
+  * set via manifest-entry bounds BEFORE tasks are scheduled (dynamic file
+  * pruning, the DSv2 analogue of DPP). Pruning is best-effort by design:
+  * rows from spuriously-kept files are dropped by the join that produced
+  * the filter, so soundness never depends on bounds decoding.
+  */
+final class GraftBatchScan(
+    spark: org.apache.spark.sql.SparkSession,
+    table: IcebergTable,
+    filters: Array[Filter],
+    requiredSchema: StructType,
+    staticFiles: Seq[DataFileEntry])
+    extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var cached: (Seq[DataFileEntry], Scan) = _
+
+  private[graft] def currentFiles: Seq[DataFileEntry] =
+    table.pruneFiles(staticFiles, runtimeFilters.toSeq)
+
+  private def delegate: Scan = synchronized {
+    val files = currentFiles
+    if (cached == null || cached._1 != files)
+      cached = (files, org.apache.spark.sql.execution.datasources.GraftScanShims
+        .parquetBatchScan(spark,
+          files.map(f => (table.resolve(f.filePath), f.fileSizeInBytes)),
+          table.metadata.schema, requiredSchema, filters ++ runtimeFilters))
+    cached._2
+  }
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegate.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegate.toBatch.createReaderFactory()
+
+  override def description(): String =
+    s"GraftIcebergScan(files=${currentFiles.size}, pushed=${filters.mkString(", ")}, " +
+      s"runtime=${runtimeFilters.mkString(", ")})"
+
+  /** Post-static-pruning statistics (A11) — runtime filters arrive after
+    * planning, so they deliberately don't feed CBO here. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(staticFiles.map(_.fileSizeInBytes).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(staticFiles.map(_.recordCount).sum)
+  }
+
+  /** Every top-level column in the read schema can answer a runtime
+    * filter: manifest entries carry per-field bounds, not just partition
+    * values. (Restricted to the pruned output — Spark resolves these
+    * against the relation's columns and errors on absent ones.) */
+  override def filterAttributes(): Array[NamedReference] =
+    requiredSchema.fieldNames.map(Expressions.column)
+
+  override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
+}
+
 final class GraftScan(
     table: IcebergTable,
     filters: Array[Filter],
     requiredSchema: StructType,
-    limit: Option[Int])
+    limit: Option[Int],
+    precomputedFiles: Option[Seq[DataFileEntry]] = None)
     extends V1Scan with SupportsReportStatistics {
 
   /** Plan once: manifests are read a single time per query, shared by
     * statistics and execution. */
-  private lazy val files: Seq[DataFileEntry] = table.planFiles(filters.toSeq)
+  private lazy val files: Seq[DataFileEntry] =
+    precomputedFiles.getOrElse(table.planFiles(filters.toSeq))
 
   override def readSchema(): StructType = requiredSchema
 

@@ -1,0 +1,76 @@
+package org.apache.spark.sql.execution.datasources
+
+import scala.collection.mutable.LinkedHashMap
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A `PartitioningAwareFileIndex` over an explicit, already-planned file
+  * list: sizes come from Iceberg manifest metadata, so constructing it
+  * performs ZERO filesystem calls — unlike `InMemoryFileIndex`, which
+  * would stat every path on the driver (prohibitive at 100k+ files).
+  * Partition handling is empty by design: the planner injects this index
+  * only when partition source columns are materialized in the data files.
+  */
+final class GraftPrunedFileIndex(
+    spark: SparkSession,
+    files: Seq[(String, Long)]) // (resolved path, size in bytes)
+  extends PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
+
+  // Qualify paths (scheme + authority) exactly as the parent's lookups
+  // do — `allFiles()` resolves against `fs.makeQualified(rootPath)`, so an
+  // unqualified `/x/y` would never match its own `file:/x/y` key. One
+  // FileSystem handle; makeQualified is purely syntactic (no RPC).
+  private val statuses: Seq[FileStatus] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    files.map { case (p, len) =>
+      val raw = new Path(p)
+      new FileStatus(len, false, 1, 134217728L, 0L,
+        raw.getFileSystem(hconf).makeQualified(raw))
+    }
+  }
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override protected def leafFiles: LinkedHashMap[Path, FileStatus] = {
+    val m = LinkedHashMap.empty[Path, FileStatus]
+    statuses.foreach(s => m.put(s.getPath, s))
+    m
+  }
+
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  override def rootPaths: Seq[Path] = statuses.map(_.getPath)
+
+  override def refresh(): Unit = ()
+}
+
+/** Access shim for `private[sql]` scan machinery: builds Spark's own
+  * vectorized `ParquetScan` (whole-stage codegen, footer pushdown,
+  * columnar batches) over a [[GraftPrunedFileIndex]]. This is the
+  * execution engine behind the Iceberg DSv2 batch path — the library's
+  * value-add is the file list, Spark's is the reading.
+  */
+object GraftScanShims {
+  def parquetBatchScan(
+      spark: SparkSession,
+      files: Seq[(String, Long)],
+      dataSchema: StructType,
+      readSchema: StructType,
+      pushedFilters: Array[Filter]): Scan =
+    ParquetScan(
+      spark,
+      spark.sessionState.newHadoopConf(),
+      new GraftPrunedFileIndex(spark, files),
+      dataSchema,
+      readSchema,
+      StructType(Nil),
+      pushedFilters,
+      CaseInsensitiveStringMap.empty())
+}

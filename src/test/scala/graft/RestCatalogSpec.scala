@@ -1,0 +1,263 @@
+package graft
+
+import java.io.File
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.scalatest.BeforeAndAfterAll
+
+import scala.collection.mutable
+
+import graft.iceberg.connector.GraftCatalog
+
+/** The Iceberg-REST catalog path ([[graft.iceberg.connector.RestCatalogStore]])
+  * driven against an in-test HTTP stub that speaks the spec's `/v1` routes
+  * (config with prefix override, namespaces, tables, rename) over an
+  * in-memory tabular map — the round-trip parity gate for the reference's
+  * REST crate (`datafusion_iceberg_catalog_rest/src/catalog.rs:83-135`,
+  * which live-tests the same calls against a local server).
+  */
+class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private val mapper = new ObjectMapper()
+  private val namespaces = mutable.Set[String]()
+  private val tables = mutable.Map[(String, String), ObjectNode]()
+  private val dataRoot = "/root/repo/target/test-rest-warehouse"
+
+  @volatile private var server: HttpServer = _
+  private def port: Int = server.getAddress.getPort
+
+  // -- stub server -----------------------------------------------------------
+
+  private def json(x: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+    x.close()
+  }
+
+  private def handle(x: HttpExchange): Unit = try {
+    val path = x.getRequestURI.getPath
+    val method = x.getRequestMethod
+    def body: ObjectNode =
+      mapper.readTree(new String(x.getRequestBody.readAllBytes(), UTF_8))
+        .asInstanceOf[ObjectNode]
+    (method, path.stripPrefix("/v1/").split("/").toList) match {
+      case ("GET", "config" :: Nil) =>
+        json(x, 200, """{"defaults":{},"overrides":{"prefix":"testwh"}}""")
+      case ("GET", "testwh" :: "namespaces" :: Nil) =>
+        val arr = namespaces.toSeq.sorted
+          .map(n => s"""["${n}"]""").mkString(",")
+        json(x, 200, s"""{"namespaces":[$arr]}""")
+      case ("POST", "testwh" :: "namespaces" :: Nil) =>
+        val ns = body.get("namespace").elements.next().asText
+        namespaces += ns
+        json(x, 200, s"""{"namespace":["$ns"],"properties":{}}""")
+      case ("GET", "testwh" :: "namespaces" :: ns :: Nil) =>
+        if (namespaces.contains(ns))
+          json(x, 200, s"""{"namespace":["$ns"],"properties":{}}""")
+        else json(x, 404, """{"error":{"message":"no such namespace"}}""")
+      case ("DELETE", "testwh" :: "namespaces" :: ns :: Nil) =>
+        if (tables.keys.exists(_._1 == ns))
+          json(x, 409, """{"error":{"message":"namespace not empty"}}""")
+        else if (namespaces.remove(ns)) json(x, 204, "")
+        else json(x, 404, """{"error":{"message":"no such namespace"}}""")
+      case ("GET", "testwh" :: "namespaces" :: ns :: "tables" :: Nil) =>
+        val ids = tables.keys.filter(_._1 == ns).map(_._2).toSeq.sorted
+          .map(t => s"""{"namespace":["$ns"],"name":"$t"}""").mkString(",")
+        json(x, 200, s"""{"identifiers":[$ids]}""")
+      case ("POST", "testwh" :: "namespaces" :: ns :: "tables" :: Nil) =>
+        val req = body
+        val name = req.get("name").asText
+        val doc = mapper.createObjectNode()
+        doc.put("format-version", 2)
+        doc.put("location", s"$dataRoot/$ns/$name")
+        val schema = req.get("schema").asInstanceOf[ObjectNode]
+        if (schema.get("schema-id") == null) schema.put("schema-id", 0)
+        doc.putArray("schemas").add(schema)
+        doc.put("current-schema-id", 0)
+        val spec = Option(req.get("partition-spec"))
+          .map(_.asInstanceOf[ObjectNode]).getOrElse {
+            val s = mapper.createObjectNode()
+            s.put("spec-id", 0); s.putArray("fields"); s
+          }
+        doc.putArray("partition-specs").add(spec)
+        doc.put("default-spec-id", 0)
+        doc.put("current-snapshot-id", -1L)
+        doc.putArray("snapshots")
+        tables((ns, name)) = doc
+        json(x, 200, loadResult(ns, name, doc))
+      case ("GET", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        tables.get((ns, t)) match {
+          case Some(doc) => json(x, 200, loadResult(ns, t, doc))
+          case None => json(x, 404, """{"error":{"message":"no such table"}}""")
+        }
+      case ("DELETE", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        if (tables.remove((ns, t)).isDefined) json(x, 204, "")
+        else json(x, 404, """{"error":{"message":"no such table"}}""")
+      case ("POST", "testwh" :: "tables" :: "rename" :: Nil) =>
+        val req = body
+        def ident(k: String) = {
+          val n = req.get(k)
+          (n.get("namespace").elements.next().asText, n.get("name").asText)
+        }
+        tables.remove(ident("source")) match {
+          case Some(doc) => tables(ident("destination")) = doc; json(x, 200, "{}")
+          case None => json(x, 404, """{"error":{"message":"no such table"}}""")
+        }
+      case _ => json(x, 400, s"""{"error":{"message":"unhandled $method $path"}}""")
+    }
+  } catch {
+    case e: Exception => json(x, 500, s"""{"error":{"message":"${e.getMessage}"}}""")
+  }
+
+  private def loadResult(ns: String, t: String, doc: ObjectNode): String = {
+    val res = mapper.createObjectNode()
+    res.put("metadata-location", s"$dataRoot/$ns/$t/metadata/00001.metadata.json")
+    res.set[ObjectNode]("metadata", doc)
+    mapper.writeValueAsString(res)
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", handle(_))
+    server.start()
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    super.afterAll()
+  }
+
+  private def useRest(): Unit = {
+    spark.conf.set("spark.sql.catalog.restcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.restcat.uri", s"http://127.0.0.1:$port")
+  }
+
+  // -- a real one-snapshot table served through the stub ---------------------
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"}]}""".stripMargin)
+
+  private val manifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private def writeAvro(path: File, schema: Schema, records: Seq[GenericRecord]): Unit = {
+    path.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  /** Registers (nsdata, evts) in the stub: real parquet + manifest on
+    * disk, metadata document served over HTTP — the data plane stays on
+    * the filesystem exactly as a REST catalog deployment would have it.
+    */
+  private lazy val realTable: Unit = {
+    import org.apache.commons.io.FileUtils
+    import spark.implicits._
+    val root = s"$dataRoot/nsdata/evts"
+    FileUtils.deleteQuietly(new File(root))
+    val pdir = new File(s"$root/data/f1")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1)
+      .write.mode("overwrite").parquet(pdir.toString)
+    val pfile = pdir.listFiles.find(_.getName.endsWith(".parquet")).get
+    val dfSchema = manifestSchema.getField("data_file").schema
+    val entry = {
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", pfile.toString); df.put("file_format", "PARQUET")
+      df.put("record_count", 2L); df.put("file_size_in_bytes", pfile.length)
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 1); e.put("data_file", df)
+      e.asInstanceOf[GenericRecord]
+    }
+    val m = new File(s"$root/metadata/m1.avro")
+    writeAvro(m, manifestSchema, Seq(entry))
+    val mlRec = new GenericData.Record(manifestListSchema)
+    mlRec.put("manifest_path", m.toString)
+    mlRec.put("manifest_length", m.length)
+    mlRec.put("partition_spec_id", 0)
+    writeAvro(new File(s"$root/metadata/snap-1.avro"), manifestListSchema,
+      Seq(mlRec.asInstanceOf[GenericRecord]))
+    val doc = mapper.readTree(
+      s"""{"format-version": 2, "location": "$root",
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "id", "required": false, "type": "long"},
+         |  {"id": 2, "name": "tag", "required": false, "type": "string"}]},
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "timestamp-ms": 1000,
+         |  "manifest-list": "$root/metadata/snap-1.avro"}]}""".stripMargin)
+      .asInstanceOf[ObjectNode]
+    namespaces += "nsdata"
+    tables(("nsdata", "evts")) = doc
+  }
+
+  // -- gates -----------------------------------------------------------------
+
+  test("REST: namespace create/list/exists round-trip through /v1 routes") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    assert(namespaces.contains("rns"), "stub should have received the POST")
+    val ns = spark.sql("SHOW NAMESPACES IN restcat").collect().map(_.getString(0))
+    assert(ns.contains("rns"))
+  }
+
+  test("REST: create / load / drop table round-trip (reference catalog.rs parity)") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.t1")
+    spark.sql(
+      """CREATE TABLE restcat.rns.t1 (id BIGINT, name STRING, score DOUBLE)
+        |PARTITIONED BY (id)""".stripMargin)
+    assert(tables.contains(("rns", "t1")), "stub should hold the created table")
+    assert(spark.sql("SHOW TABLES IN restcat.rns").collect()
+      .map(_.getString(1)).contains("t1"))
+    val schema = spark.table("restcat.rns.t1").schema
+    assert(schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(spark.sql("SELECT COUNT(*) FROM restcat.rns.t1").collect()(0).getLong(0) == 0L)
+    spark.sql("DROP TABLE restcat.rns.t1")
+    assert(!tables.contains(("rns", "t1")))
+  }
+
+  test("REST: rename moves the identifier") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.src")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.dst")
+    spark.sql("CREATE TABLE restcat.rns.src (id BIGINT)")
+    // the target identifier is passed through verbatim (no catalog prefix
+    // stripping), so the catalog-relative form is the correct spelling
+    spark.sql("ALTER TABLE restcat.rns.src RENAME TO rns.dst")
+    assert(!tables.contains(("rns", "src")) && tables.contains(("rns", "dst")))
+    spark.sql("DROP TABLE restcat.rns.dst")
+  }
+
+  test("REST: scan executes against the metadata document in LoadTableResult") {
+    useRest()
+    realTable
+    val rows = spark.sql("SELECT id FROM restcat.nsdata.evts ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM restcat.nsdata.evts")
+      .collect()(0).getLong(0) == 2L)
+  }
+}
