@@ -1,0 +1,146 @@
+package graft.iceberg
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal Iceberg append writer: commits a DataFrame as a new snapshot
+  * (parquet data files → manifest → manifest list → next metadata.json).
+  *
+  * The reference has NO write path (SURVEY §2.C — its fixtures were
+  * committed by Spark upstream), so this is an extension, not parity: it
+  * makes the engine usable end-to-end (CREATE TABLE → append → scan /
+  * time travel) and feeds the q54 oracle gate. Deliberately minimal:
+  * append-only (no deletes/overwrites), no column bounds in manifests
+  * (pruning then keeps everything — sound, just unoptimized), identity
+  * partitioning not written (data files land unpartitioned).
+  *
+  * The data files themselves are written by Spark's parquet writer — the
+  * commit protocol here is only the metadata bookkeeping, all through
+  * Hadoop FileSystem so any object store works.
+  */
+object IcebergWriter {
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_rows_count","type":["null","long"],"default":null}
+      |]}""".stripMargin)
+
+  private val manifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private def writeAvro(fsPath: Path, conf: org.apache.hadoop.conf.Configuration,
+                        schema: Schema, records: Seq[GenericRecord]): Long = {
+    val fs = fsPath.getFileSystem(conf)
+    val out = fs.create(fsPath, true)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    try {
+      w.create(schema, out)
+      records.foreach(w.append)
+    } finally w.close()
+    fs.getFileStatus(fsPath).getLen
+  }
+
+  /** Commit `df` as a new append snapshot on the table at `tableDir`;
+    * returns the new snapshot id (1, 2, 3, … — deterministic). */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(tableDir, conf)
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+
+    // 1. data files
+    val dataDir = s"$tableDir/data/s$snapId"
+    df.write.mode("overwrite").parquet(dataDir)
+    val fs = new Path(dataDir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dataDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+    // exact per-file record counts in one scan, matched by file name
+    val counts: Map[String, Long] = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+
+    // 2. manifest for this snapshot's files
+    val dfSchema = manifestSchema.getField("data_file").schema
+    val entries = files.map { st =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", st.getPath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", counts.getOrElse(st.getPath.getName, 0L))
+      d.put("file_size_in_bytes", st.getLen)
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e.asInstanceOf[GenericRecord]
+    }
+    val manifestPath = new Path(s"$tableDir/metadata/m-s$snapId.avro")
+    val manifestLen = writeAvro(manifestPath, conf, manifestSchema, entries)
+    val added = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[Long]).sum
+
+    // 3. manifest list = previous snapshot's manifests + the new one
+    val prev: Seq[ManifestFile] = meta.currentSnapshot match {
+      case Some(s) => ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf)
+      case None => Nil
+    }
+    def mlRec(path: String, length: Long, rows: Option[Long]): GenericRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", length)
+      r.put("partition_spec_id", 0)
+      rows.foreach(n => r.put("added_rows_count", n))
+      r
+    }
+    val listRecs = prev.map(m =>
+      mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.addedRowsCount)) :+
+      mlRec(manifestPath.toString, manifestLen, Some(added))
+    val listPath = new Path(s"$tableDir/metadata/snap-$snapId.avro")
+    writeAvro(listPath, conf, manifestListSchema, listRecs)
+
+    // 4. next metadata.json: append the snapshot, move the current pointer
+    val mapper = new ObjectMapper()
+    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
+    val in = latest.getFileSystem(conf).open(latest)
+    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    val snap = mapper.createObjectNode()
+    snap.put("snapshot-id", snapId)
+    snap.put("timestamp-ms", System.currentTimeMillis)
+    snap.put("manifest-list", listPath.toString)
+    val snaps = Option(root.get("snapshots"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
+      .getOrElse(root.putArray("snapshots"))
+    snaps.add(snap)
+    root.put("current-snapshot-id", snapId)
+    root.put("last-updated-ms", System.currentTimeMillis)
+    val version = "v(\\d+)".r.findFirstMatchIn(latest.getName)
+      .map(_.group(1).toLong)
+      .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
+      .getOrElse(0L)
+    val next = new Path(s"$tableDir/metadata/v${version + 1}.metadata.json")
+    val out = next.getFileSystem(conf).create(next, false) // commit = create-new
+    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    snapId
+  }
+
+  /** Same relocation rule as IcebergTable.resolve, usable pre-load. */
+  private def resolveAgainst(meta: TableMetadata, tableDir: String, path: String): String =
+    if (path.startsWith(meta.location)) tableDir + path.stripPrefix(meta.location)
+    else path
+}

@@ -57,6 +57,41 @@ object IcebergQueries {
         new java.util.HashMap[String, String]()))
       s.sql("""SELECT COUNT(*) AS n, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
               |FROM graftscratch.views.big_orders""".stripMargin)
+    }),
+
+    // Write path + time travel end-to-end: CREATE TABLE metadata, two
+    // append snapshot commits (IcebergWriter), then VERSION AS OF reads
+    // the FIRST snapshot while the current read sees both. The oracle
+    // states the same split from the source table, so snapshot isolation
+    // is hash-gated, not just row-counted.
+    "q54_time_travel" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      import graft.iceberg.IcebergWriter
+      val warehouse = "/root/repo/target/q54-warehouse"
+      val tableDir = s"$warehouse/ns/region_tt"
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new Path(warehouse).getFileSystem(conf)
+      fs.delete(new Path(tableDir), true)
+      val region = Tables.load(s, d, "region")
+        .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"))
+      val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+        new com.fasterxml.jackson.databind.ObjectMapper(), tableDir,
+        region.schema, Nil, Map.empty)
+      val out = fs.create(new Path(s"$tableDir/metadata/v1.metadata.json"), true)
+      try out.write(metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val snap1 = IcebergWriter.append(s, tableDir,
+        region.filter(col("r_regionkey") < 3))
+      IcebergWriter.append(s, tableDir, region.filter(col("r_regionkey") >= 3))
+      s.conf.set("spark.sql.catalog.q54cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q54cat.warehouse", warehouse)
+      s.sql(
+        s"""SELECT v1.n_v1, v1.sk_v1, cur.n_cur FROM
+           |  (SELECT COUNT(*) AS n_v1, CAST(SUM(r_regionkey) AS BIGINT) AS sk_v1
+           |   FROM q54cat.ns.region_tt VERSION AS OF $snap1) v1
+           |CROSS JOIN
+           |  (SELECT COUNT(*) AS n_cur FROM q54cat.ns.region_tt) cur""".stripMargin)
     }))
 
   /** DuckDB sees the same bytes by reading the fixture's data files
@@ -73,5 +108,10 @@ object IcebergQueries {
     "q3b_persistent_view" ->
       """SELECT COUNT(*) AS n, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
         |FROM (SELECT o_custkey, o_totalprice FROM orders
-        |      WHERE o_totalprice > 100000) big_orders""".stripMargin)
+        |      WHERE o_totalprice > 100000) big_orders""".stripMargin,
+    "q54_time_travel" ->
+      """SELECT (SELECT COUNT(*) FROM region WHERE r_regionkey < 3) AS n_v1,
+        |       (SELECT CAST(SUM(r_regionkey) AS BIGINT) FROM region
+        |        WHERE r_regionkey < 3) AS sk_v1,
+        |       (SELECT COUNT(*) FROM region) AS n_cur""".stripMargin)
 }

@@ -137,6 +137,31 @@ class TimeTravelSpec extends SparkSpec {
     assert(err.getMessage.contains("42"))
   }
 
+  test("IcebergWriter chains appends: each snapshot sees cumulative files") {
+    import org.apache.commons.io.FileUtils
+    import spark.implicits._
+    import graft.iceberg.IcebergWriter
+    val dir = "/root/repo/target/test-writer-table"
+    FileUtils.deleteQuietly(new File(dir))
+    val df1 = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
+      df1.schema, Nil, Map.empty)
+    new File(s"$dir/metadata").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    val s1 = IcebergWriter.append(spark, dir, df1)
+    val s2 = IcebergWriter.append(spark, dir,
+      Seq((3L, "c"), (4L, "d"), (5L, "e")).toDF("id", "tag"))
+    assert(s1 == 1L && s2 == 2L)
+    val t = IcebergTable(spark, dir)
+    assert(t.pinnedSnapshotId.isEmpty && t.rowCount() == 5L)
+    assert(t.atSnapshot(s1).rowCount() == 2L)
+    assert(t.atSnapshot(s1).toDF(spark).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(t.toDF(spark).count() == 5L)
+  }
+
   test("view-spec metadata format round-trips and resolves in SQL") {
     import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
     import org.apache.spark.sql.types._
