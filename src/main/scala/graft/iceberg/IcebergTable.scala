@@ -131,8 +131,66 @@ final class IcebergTable private (
         valueCount = f.valueCounts.get(id))
     }
 
-  /** Two-level planning: prune manifests on partition summaries, read the
-    * survivors, prune files on column bounds (reference `table.rs:133-145`).
+  /** Partition-spec fields fed by a source column (by name), for the
+    * transform rewrite. uuid sources are refused (their raw-bytes bounds
+    * are undecodable, same rule as column stats). */
+  private val fieldsBySource: Map[String, Seq[PartitionTransforms.FieldInfo]] = {
+    val idToName = metadata.fieldIds.map(_.swap)
+    metadata.partitionSpec.zipWithIndex.flatMap { case (p, i) =>
+      for {
+        srcName <- idToName.get(p.sourceId)
+        if !metadata.uuidFieldIds.contains(p.sourceId)
+        dt <- typeById.get(p.sourceId)
+      } yield srcName -> PartitionTransforms.FieldInfo(i, p.transform, dt)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  }
+
+  private val VirtualAttr = """__graft_part_(\d+)""".r
+
+  /** Transformed-space summary bounds for a virtual partition attribute
+    * (same spec-evolution and decode-doubt rules as identity summaries). */
+  private def manifestVirtualStats(m: ManifestFile)(attr: String): Option[ColStats] =
+    attr match {
+      case VirtualAttr(i) =>
+        val idx = i.toInt
+        if (m.partitionSpecId != metadata.defaultSpecId) return None
+        if (idx >= m.partitions.size || idx >= metadata.partitionSpec.size) return None
+        val p = metadata.partitionSpec(idx)
+        val dt = {
+          val src = typeById.getOrElse(p.sourceId, NullType)
+          if (metadata.uuidFieldIds.contains(p.sourceId)) NullType
+          else PartitionTransforms.resultType(p.transform, src)
+        }
+        val s = m.partitions(idx)
+        Some(ColStats(
+          lower = s.lowerBound.flatMap(SingleValue.decode(_, dt)),
+          upper = s.upperBound.flatMap(SingleValue.decode(_, dt)),
+          nullCount = Some(if (s.containsNull) 1L else 0L),
+          valueCount = None))
+      case other => manifestStats(m)(other)
+    }
+
+  /** Exact per-file transformed partition value for a virtual attribute
+    * (each data file has ONE value per partition field). */
+  private def fileVirtualStats(f: DataFileEntry)(attr: String): Option[ColStats] =
+    attr match {
+      case VirtualAttr(i) =>
+        val idx = i.toInt
+        if (idx >= metadata.partitionSpec.size) return None
+        f.partition.get(metadata.partitionSpec(idx).name).map { v =>
+          ColStats(
+            lower = Option(v), upper = Option(v),
+            nullCount = Some(if (v == null) 1L else 0L),
+            valueCount = Some(1L))
+        }
+      case other => fileStats(f)(other)
+    }
+
+  /** Two-level planning: prune manifests on partition summaries (source
+    * columns are additionally rewritten into transformed partition space —
+    * `day(ts)`/`bucket(id)`/`truncate(s)` layouts prune too, see
+    * [[PartitionTransforms]]), read the survivors, prune files on column
+    * bounds + exact partition values (reference `table.rs:133-145`).
     *
     * Surviving manifests are read in parallel: a 100 TB table has
     * thousands of manifests, and serial driver-side Avro reads would
@@ -140,12 +198,19 @@ final class IcebergTable private (
     */
   def planFiles(filters: Seq[Filter] = Nil): Seq[DataFileEntry] = {
     val dataManifests = manifests.filter(_.content == 0)
+    val partFilters = filters.flatMap(
+      PartitionTransforms.rewrite(_, c => fieldsBySource.getOrElse(c, Nil)))
     val keptManifests =
       if (filters.isEmpty) dataManifests
-      else dataManifests.filter(m => Pruning.mayMatchAll(filters, manifestStats(m)))
+      else dataManifests.filter(m =>
+        Pruning.mayMatchAll(filters ++ partFilters, manifestVirtualStats(m)))
     val entries = readManifestsParallel(keptManifests)
+    // file-level partition values are positionally typed by the DEFAULT
+    // spec; a spec-evolved manifest's files must not be judged against it
+    val specUniform = keptManifests.forall(_.partitionSpecId == metadata.defaultSpecId)
+    val fileFilters = if (specUniform) filters ++ partFilters else filters
     if (filters.isEmpty) entries
-    else entries.filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
+    else entries.filter(f => Pruning.mayMatchAll(fileFilters, fileVirtualStats(f)))
   }
 
   /** File-level pruning over already-planned entries — the runtime
@@ -174,10 +239,15 @@ final class IcebergTable private (
   /** Pruning diagnostics for tests: (manifests kept, total; files kept, total). */
   def pruneCounts(filters: Seq[Filter]): (Int, Int, Int, Int) = {
     val dataManifests = manifests.filter(_.content == 0)
-    val kept = dataManifests.filter(m => Pruning.mayMatchAll(filters, manifestStats(m)))
+    val partFilters = filters.flatMap(
+      PartitionTransforms.rewrite(_, c => fieldsBySource.getOrElse(c, Nil)))
+    val kept = dataManifests.filter(m =>
+      Pruning.mayMatchAll(filters ++ partFilters, manifestVirtualStats(m)))
     val all = dataManifests.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
+    val specUniform = kept.forall(_.partitionSpecId == metadata.defaultSpecId)
+    val fileFilters = if (specUniform) filters ++ partFilters else filters
     val keptFiles = kept.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
-      .filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
+      .filter(f => Pruning.mayMatchAll(fileFilters, fileVirtualStats(f)))
     (kept.size, dataManifests.size, keptFiles.size, all.size)
   }
 
