@@ -295,6 +295,11 @@ final class IcebergTable private (
     * pruning can never change semantics. `precomputed` lets a caller that
     * already planned (e.g. the DSv2 scan, for statistics) avoid re-reading
     * manifests.
+    *
+    * Schema-evolution note: tables whose current schema RENAMES columns of
+    * old data files need field-id resolution —
+    * `spark.sql.parquet.fieldId.read.enabled=true` on the session for this
+    * direct path (the catalog scan path scopes it automatically).
     */
   def toDF(spark: SparkSession, filters: Seq[Filter] = Nil,
            precomputed: Option[Seq[DataFileEntry]] = None): DataFrame = {

@@ -62,9 +62,21 @@ object IcebergWriter {
     val meta = TableMetadata.load(tableDir, conf)
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
 
-    // 1. data files
+    // 1. data files — stamp each column with its Iceberg field id so the
+    // parquet footers carry ids (Spark embeds them when the schema
+    // metadata has `parquet.field.id`); written files then survive
+    // field-id-based schema evolution (renames) like any Iceberg writer's.
+    val idByName = meta.fieldIds
+    val stamped = df.select(df.schema.fields.toSeq.map { f =>
+      idByName.get(f.name) match {
+        case Some(id) => col(f.name).as(f.name,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id.toLong).build())
+        case None => col(f.name)
+      }
+    }: _*)
     val dataDir = s"$tableDir/data/s$snapId"
-    df.write.mode("overwrite").parquet(dataDir)
+    stamped.write.mode("overwrite").parquet(dataDir)
     val fs = new Path(dataDir).getFileSystem(conf)
     val files = fs.listStatus(new Path(dataDir))
       .filter(_.getPath.getName.endsWith(".parquet")).toSeq

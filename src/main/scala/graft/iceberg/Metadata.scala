@@ -123,10 +123,18 @@ object TableMetadata {
     val sn = schemaNode(root)
     val fields = sn.get("fields").elements.asScala.toSeq
     val schema = StructType(fields.map { f =>
+      // parquet.field.id: Spark's parquet reader resolves an id-bearing
+      // read schema BY FIELD ID (the Iceberg contract) — which is what
+      // makes schema-evolution RENAMES read old files correctly (a
+      // renamed column keeps its id; name-matching would yield nulls).
+      // Consequence: data files must carry ids, as the Iceberg spec
+      // requires of writers (IcebergWriter stamps them); a non-conformant
+      // id-less file now fails fast instead of mis-reading.
       StructField(f.get("name").asText, toSparkType(f.get("type")),
         nullable = !f.get("required").asBoolean,
         metadata = new MetadataBuilder()
-          .putLong("iceberg.field-id", f.get("id").asLong).build())
+          .putLong("iceberg.field-id", f.get("id").asLong)
+          .putLong("parquet.field.id", f.get("id").asLong).build())
     })
     val fieldIds = fields.map(f => f.get("name").asText -> f.get("id").asInt).toMap
     val spec = specFields(root).map { f =>

@@ -63,14 +63,20 @@ object GraftScanShims {
       files: Seq[(String, Long)],
       dataSchema: StructType,
       readSchema: StructType,
-      pushedFilters: Array[Filter]): Scan =
+      pushedFilters: Array[Filter]): Scan = {
+    val hconf = spark.sessionState.newHadoopConf()
+    // Iceberg resolves columns by field id, not name — that is what makes
+    // schema-evolution renames read old files correctly. Scoped to this
+    // scan's hadoopConf; no session conf is touched.
+    hconf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
     ParquetScan(
       spark,
-      spark.sessionState.newHadoopConf(),
+      hconf,
       new GraftPrunedFileIndex(spark, files),
       dataSchema,
       readSchema,
       StructType(Nil),
       pushedFilters,
       CaseInsensitiveStringMap.empty())
+  }
 }

@@ -89,8 +89,14 @@ class MultiManifestSpec extends SparkSpec {
 
     def writeDataFile(name: String, id: Long, p: Long, v: Double): (String, Double) = {
       import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.MetadataBuilder
       val dir = new File(s"$root/data/$name")
-      Seq((id, p, v)).toDF("id", "p", "v").coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      def fid(c: String, i: Long) =
+        col(c).as(c, new MetadataBuilder().putLong("parquet.field.id", i).build())
+      Seq((id, p, v)).toDF("id", "p", "v")
+        .select(fid("id", 1L), fid("p", 2L), fid("v", 3L))
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
       val part = dir.listFiles.find(_.getName.endsWith(".parquet")).get
       (part.toString, v)
     }

@@ -177,8 +177,15 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val root = s"$dataRoot/nsdata/evts"
     FileUtils.deleteQuietly(new File(root))
     val pdir = new File(s"$root/data/f1")
-    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").coalesce(1)
-      .write.mode("overwrite").parquet(pdir.toString)
+    locally {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.MetadataBuilder
+      Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+        .select(
+          col("id").as("id", new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+          col("tag").as("tag", new MetadataBuilder().putLong("parquet.field.id", 2L).build()))
+        .coalesce(1).write.mode("overwrite").parquet(pdir.toString)
+    }
     val pfile = pdir.listFiles.find(_.getName.endsWith(".parquet")).get
     val dfSchema = manifestSchema.getField("data_file").schema
     val entry = {

@@ -53,9 +53,16 @@ class TimeTravelSpec extends SparkSpec {
 
     def writeDataFile(name: String, id: Long): String = {
       import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.MetadataBuilder
       val dir = new File(s"$root/data/$name")
-      Seq((id, s"row$id")).toDF("id", "tag").coalesce(1)
-        .write.mode("overwrite").parquet(dir.toString)
+      // iceberg-conformant files carry parquet field ids (the reader
+      // resolves id-bearing schemas by id, erroring on id-less files)
+      Seq((id, s"row$id")).toDF("id", "tag")
+        .select(
+          col("id").as("id", new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+          col("tag").as("tag", new MetadataBuilder().putLong("parquet.field.id", 2L).build()))
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
       dir.listFiles.find(_.getName.endsWith(".parquet")).get.toString
     }
     def manifestFor(name: String, paths: Seq[String]): File = {
