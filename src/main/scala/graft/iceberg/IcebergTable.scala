@@ -2,7 +2,7 @@ package graft.iceberg
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, date_from_unix_date, lit, timestamp_micros}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 
@@ -230,11 +230,22 @@ final class IcebergTable private (
   }
 
   private def readManifestsParallel(ms: Seq[ManifestFile]): Seq[DataFileEntry] =
-    if (ms.sizeIs <= 1) ms.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
+    if (ms.sizeIs <= 1)
+      ms.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber))
     else {
       import scala.collection.parallel.CollectionConverters._
-      ms.par.map(m => ManifestIO.readManifest(resolve(m.path), conf)).seq.toSeq.flatten
+      ms.par.map(m => ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber))
+        .seq.toSeq.flatten
     }
+
+  /** Does the current snapshot carry delete manifests (v2 merge-on-read)?
+    * Manifest-list-only check — no manifest reads. */
+  def hasDeletes: Boolean = manifests.exists(_.content == 1)
+
+  /** Delete files (position + equality) of the scanned snapshot. */
+  def planDeletes(): Seq[DeleteFileEntry] =
+    manifests.filter(_.content == 1).flatMap(m =>
+      ManifestIO.readDeleteManifest(resolve(m.path), conf, m.sequenceNumber))
 
   /** Pruning diagnostics for tests: (manifests kept, total; files kept, total). */
   def pruneCounts(filters: Seq[Filter]): (Int, Int, Int, Int) = {
@@ -308,33 +319,140 @@ final class IcebergTable private (
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metadata.schema)
 
+    val deletes = if (hasDeletes) planDeletes() else Nil
     val paths = files.map(f => resolve(f.filePath))
     val partCols = metadata.identityPartitionColumns
     val inFile = fileSchemaColumns(spark, paths.head)
     val missing = partCols.filterNot(inFile.contains)
 
-    if (missing.isEmpty) {
-      // Fast path: single multi-file scan — vectorized reader, parquet
-      // footer pushdown, no per-group plan explosion at 100k+ files.
-      spark.read.schema(metadata.schema).parquet(paths: _*)
-    } else {
-      // Re-injection path (A6/A7): group by partition values, read each
-      // group once, attach the missing partition columns as typed
-      // literals from manifest metadata, union by name.
-      val dataSchema = StructType(metadata.schema.filterNot(f => missing.contains(f.name)))
-      val groups = files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
-      groups.map { case (values, gfiles) =>
-        val base = spark.read.schema(dataSchema).parquet(gfiles.map(f => resolve(f.filePath)): _*)
-        missing.zip(values).foldLeft(base) { case (df, (name, value)) =>
-          val dt = metadata.schema.fields.find(_.name == name).map(_.dataType).getOrElse(StringType)
-          df.withColumn(name, partitionLiteral(value, dt))
-        }.select(metadata.schema.fieldNames.map(col): _*)
-      }.reduce(_.unionByName(_))
+    // merge-on-read needs each row's (file, position) identity; the
+    // parquet source serves both as metadata columns with no extra IO
+    def withRowId(df: DataFrame): DataFrame =
+      if (deletes.isEmpty) df
+      else df.select(col("*"),
+        col("_metadata.file_path").as(IcebergTable.FpCol),
+        col("_metadata.row_index").as(IcebergTable.PosCol))
+
+    val base =
+      if (missing.isEmpty) {
+        // Fast path: single multi-file scan — vectorized reader, parquet
+        // footer pushdown, no per-group plan explosion at 100k+ files.
+        withRowId(spark.read.schema(metadata.schema).parquet(paths: _*))
+      } else {
+        // Re-injection path (A6/A7): group by partition values, read each
+        // group once, attach the missing partition columns as typed
+        // literals from manifest metadata, union by name.
+        val dataSchema = StructType(metadata.schema.filterNot(f => missing.contains(f.name)))
+        val keep = metadata.schema.fieldNames.toSeq ++
+          (if (deletes.isEmpty) Nil else Seq(IcebergTable.FpCol, IcebergTable.PosCol))
+        val groups = files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
+        groups.map { case (values, gfiles) =>
+          val group = withRowId(
+            spark.read.schema(dataSchema).parquet(gfiles.map(f => resolve(f.filePath)): _*))
+          missing.zip(values).foldLeft(group) { case (df, (name, value)) =>
+            val dt = metadata.schema.fields.find(_.name == name).map(_.dataType).getOrElse(StringType)
+            df.withColumn(name, partitionLiteral(value, dt))
+          }.select(keep.map(col): _*)
+        }.reduce(_.unionByName(_))
+      }
+
+    if (deletes.isEmpty) base
+    else applyDeletes(spark, base, files, deletes)
+      .select(metadata.schema.fieldNames.map(col): _*)
+  }
+
+  // -- merge-on-read (v2 delete files) ---------------------------------------
+
+  /** Normalize a file path for identity comparison: drop the scheme and
+    * collapse leading slashes, so `file:///x/y`, `file:/x/y` and `/x/y`
+    * all compare equal. Applied symmetrically to both sides. */
+  private def normPathExpr(c: Column): Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+
+  private def normPath(s: String): String =
+    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+
+  /** Relocate a stored file path onto the current table dir (the column
+    * form of [[resolve]]) — delete rows reference paths as written. */
+  private def resolveExpr(c: Column): Column =
+    if (metadata.location == tableDir) c
+    else when(c.startsWith(metadata.location),
+      concat(lit(tableDir),
+        substring(c, metadata.location.length + 1, Int.MaxValue))).otherwise(c)
+
+  /** Apply v2 delete files to the scanned rows — Spark-native
+    * merge-on-read:
+    *
+    *  - position deletes: LEFT ANTI join on (normalized file path, row
+    *    position), using the parquet `_metadata` columns for row identity;
+    *  - equality deletes: LEFT ANTI join on the delete file's equality
+    *    columns (null-safe), one join per distinct equality-id set;
+    *  - sequence gating per the spec: position deletes apply to data files
+    *    with data sequence number <= theirs, equality deletes with
+    *    strictly smaller; unknown sequence numbers (v1-style metadata)
+    *    conservatively apply.
+    *
+    * The anti joins are hash joins keyed on (path, pos) / equality
+    * columns; at scale the delete side is typically a small fraction of
+    * the data and broadcastable by AQE.
+    */
+  private def applyDeletes(spark: SparkSession, data: DataFrame,
+                           files: Seq[DataFileEntry],
+                           deletes: Seq[DeleteFileEntry]): DataFrame = {
+    import IcebergTable.{FpCol, PosCol}
+    // per-data-file sequence numbers, joined on by normalized path
+    // (driver-side list → broadcast; one row per file)
+    val seqRows = files.map(f =>
+      (normPath(resolve(f.filePath)), f.sequenceNumber.getOrElse(-1L)))
+    val seqDF = spark.createDataFrame(seqRows).toDF("__g_fpn", "__g_dataseq")
+    var out = data
+      .withColumn("__g_fpn", normPathExpr(col(FpCol)))
+      .join(broadcast(seqDF), Seq("__g_fpn"), "left")
+      .withColumn("__g_dataseq", coalesce(col("__g_dataseq"), lit(-1L)))
+
+    def deleteSeqDF(group: Seq[DeleteFileEntry]): DataFrame =
+      spark.createDataFrame(group.map(d =>
+        (normPath(resolve(d.filePath)), d.sequenceNumber.getOrElse(Long.MaxValue))))
+        .toDF("__g_delsrcn", "__g_delseq")
+
+    val posFiles = deletes.filter(_.content == 1)
+    if (posFiles.nonEmpty) {
+      val pd = spark.read.parquet(posFiles.map(d => resolve(d.filePath)): _*)
+        .select(
+          normPathExpr(resolveExpr(col("file_path"))).as("__g_dfpn"),
+          col("pos").as("__g_dpos"),
+          normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"))
+        .join(broadcast(deleteSeqDF(posFiles)), Seq("__g_delsrcn"))
+      out = out.join(pd,
+        out("__g_fpn") === pd("__g_dfpn") && out(PosCol) === pd("__g_dpos") &&
+          out("__g_dataseq") <= pd("__g_delseq"),
+        "left_anti")
     }
+
+    val idToName = metadata.fieldIds.map(_.swap)
+    deletes.filter(_.content == 2).groupBy(_.equalityIds).foreach {
+      case (eqIds, group) =>
+        val eqCols = eqIds.map(id => idToName.getOrElse(id,
+          throw new IllegalStateException(
+            s"equality delete references unknown field id $id in $tableDir")))
+        val ed = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
+          .select(eqCols.map(c => col(c).as(s"__g_del_$c")) :+
+            normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"): _*)
+          .join(broadcast(deleteSeqDF(group)), Seq("__g_delsrcn"))
+        val cond = eqCols.map(c => out(c) <=> ed(s"__g_del_$c")).reduce(_ && _) &&
+          out("__g_dataseq") < ed("__g_delseq")
+        out = out.join(ed, cond, "left_anti")
+    }
+    out
   }
 }
 
 object IcebergTable {
+  /** Helper column names carrying each row's file/position identity
+    * through the merge-on-read anti joins. */
+  private[iceberg] val FpCol = "__graft_file_path"
+  private[iceberg] val PosCol = "__graft_row_pos"
+
   def apply(spark: SparkSession, tableDir: String): IcebergTable =
     new IcebergTable(tableDir, spark.sessionState.newHadoopConf())
 

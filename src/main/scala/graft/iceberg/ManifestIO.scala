@@ -29,7 +29,10 @@ final case class ManifestFile(
     partitions: Seq[PartitionSummary],
     addedRowsCount: Option[Long],
     existingRowsCount: Option[Long],
-    deletedRowsCount: Option[Long])
+    deletedRowsCount: Option[Long],
+    /** v2 data sequence number — ADDED entries with a null entry-level
+      * sequence inherit it (Iceberg inheritance rule) */
+    sequenceNumber: Option[Long] = None)
 
 /** One live data file from a manifest: the unit of file-level pruning
   * (`pruning_statistics.rs:139-196`) and of scan planning
@@ -42,11 +45,25 @@ final case class DataFileEntry(
     partition: Map[String, Any],
     recordCount: Long,
     fileSizeInBytes: Long,
+    /** v2 data sequence number (delete files apply only to data with a
+      * strictly smaller one); None on v1 tables */
+    sequenceNumber: Option[Long],
     valueCounts: Map[Int, Long],
     nullValueCounts: Map[Int, Long],
     nanValueCounts: Map[Int, Long],
     lowerBounds: Map[Int, Array[Byte]],
     upperBounds: Map[Int, Array[Byte]])
+
+/** One delete file from a v2 delete manifest: content 1 = position
+  * deletes (rows of `file_path`, `pos`), content 2 = equality deletes
+  * (rows of the columns named by `equalityIds`).
+  */
+final case class DeleteFileEntry(
+    filePath: String,
+    content: Int,
+    equalityIds: Seq[Int],
+    recordCount: Long,
+    sequenceNumber: Option[Long])
 
 /** Avro readers for Iceberg manifest lists and manifests, written against
   * the embedded writer schema via avro-1.12 `GenericDatumReader` — the
@@ -132,7 +149,8 @@ object ManifestIO {
           partitions = parts,
           addedRowsCount = optLong(r, "added_rows_count", "added_rows"),
           existingRowsCount = optLong(r, "existing_rows_count", "existing_rows"),
-          deletedRowsCount = optLong(r, "deleted_rows_count", "deleted_rows"))
+          deletedRowsCount = optLong(r, "deleted_rows_count", "deleted_rows"),
+          sequenceNumber = optLong(r, "sequence_number", "seq_number"))
       }
       out.toSeq
     } finally reader.close()
@@ -142,7 +160,8 @@ object ManifestIO {
     * 0 = EXISTING, 1 = ADDED, 2 = DELETED — deleted entries are dropped
     * exactly as iceberg-rs drops them before the reference sees files.
     */
-  def readManifest(path: String, conf: Configuration): Seq[DataFileEntry] = {
+  def readManifest(path: String, conf: Configuration,
+                   inheritSeq: Option[Long] = None): Seq[DataFileEntry] = {
     val reader = open(path, conf)
     try {
       val out = ArrayBuffer.empty[DataFileEntry]
@@ -166,6 +185,8 @@ object ManifestIO {
               partition = partition,
               recordCount = optLong(df, "record_count").getOrElse(0L),
               fileSizeInBytes = optLong(df, "file_size_in_bytes").getOrElse(0L),
+              sequenceNumber = optLong(r, "sequence_number")
+                .orElse(if (status == 1) inheritSeq else None),
               valueCounts = opt(df, "value_counts")
                 .map(kvMap(_)(_.asInstanceOf[java.lang.Number].longValue)).getOrElse(Map.empty),
               nullValueCounts = opt(df, "null_value_counts")
@@ -174,6 +195,41 @@ object ManifestIO {
                 .map(kvMap(_)(_.asInstanceOf[java.lang.Number].longValue)).getOrElse(Map.empty),
               lowerBounds = opt(df, "lower_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
               upperBounds = opt(df, "upper_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty))
+          }
+        }
+      }
+      out.toSeq
+    } finally reader.close()
+  }
+
+  /** Live delete-file entries from a DELETE manifest (manifest-list
+    * content = 1): position deletes (content 2... see Iceberg spec:
+    * data_file.content 1 = POSITION_DELETES, 2 = EQUALITY_DELETES). */
+  def readDeleteManifest(path: String, conf: Configuration,
+                         inheritSeq: Option[Long] = None): Seq[DeleteFileEntry] = {
+    val reader = open(path, conf)
+    try {
+      val out = ArrayBuffer.empty[DeleteFileEntry]
+      while (reader.hasNext) {
+        val r = reader.next()
+        val status = optLong(r, "status").map(_.toInt).getOrElse(1)
+        if (status != 2) {
+          val df = r.get("data_file").asInstanceOf[GenericRecord]
+          val content = optLong(df, "content").map(_.toInt).getOrElse(0)
+          if (content == 1 || content == 2) {
+            val eqIds = opt(df, "equality_ids").collect {
+              case l: java.util.List[_] =>
+                val it = l.iterator; val b = ArrayBuffer.empty[Int]
+                while (it.hasNext) b += it.next().asInstanceOf[java.lang.Number].intValue
+                b.toSeq
+            }.getOrElse(Nil)
+            out += DeleteFileEntry(
+              filePath = df.get("file_path").toString,
+              content = content,
+              equalityIds = eqIds,
+              recordCount = optLong(df, "record_count").getOrElse(0L),
+              sequenceNumber = optLong(r, "sequence_number")
+                .orElse(if (status == 1) inheritSeq else None))
           }
         }
       }

@@ -93,7 +93,11 @@ final class GraftScanBuilder(table: IcebergTable)
   override def build(): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
     val staticFiles = table.planFiles(filters.toSeq)
-    if (table.missingPartitionColumns(spark, staticFiles).isEmpty && limit.isEmpty)
+    // merge-on-read tables take the V1 bridge: delete application is an
+    // anti-join AROUND the file scan, which a single parquet Batch cannot
+    // express (toDF builds it)
+    if (table.missingPartitionColumns(spark, staticFiles).isEmpty &&
+        limit.isEmpty && !table.hasDeletes)
       new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles)
     else
       new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles))

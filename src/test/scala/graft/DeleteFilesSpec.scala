@@ -1,0 +1,157 @@
+package graft
+
+import java.io.File
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+import graft.iceberg.IcebergTable
+import graft.iceberg.connector.GraftCatalog
+
+/** Merge-on-read (v2 delete files): position deletes remove rows by
+  * (file, position), equality deletes by column values, and sequence
+  * numbers gate application (position: data seq <= delete seq; equality:
+  * strictly smaller — a row re-appended AFTER an equality delete must
+  * survive it). The reference has no delete-file support
+  * (`total-delete-files: 0` in its fixture); this is a round-3 extension.
+  *
+  * Fixture: data f1 = ids 1,2,3 (seq 1), f2 = ids 4,5,6 (seq 1),
+  * f3 = id 7 (seq 3). Deletes at seq 2: positions (f1, 0) and (f2, 2)
+  * [ids 1 and 6], equality id IN (4, 7). Expected survivors:
+  * 2, 3, 5 (plain) and 7 (appended after the equality delete).
+  */
+class DeleteFilesSpec extends SparkSpec {
+
+  val root = "/root/repo/target/test-mor-table"
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"}]}""".stripMargin)
+
+  private val manifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |   "default":null}]}}]}""".stripMargin)
+
+  private def writeAvro(path: File, schema: Schema, records: Seq[GenericRecord]): Unit = {
+    path.getParentFile.mkdirs()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, path)
+    records.foreach(w.append)
+    w.close()
+  }
+
+  private def entry(content: Int, path: String, rows: Long, seq: Long,
+                    eqIds: Seq[Int] = Nil): GenericRecord = {
+    val dfSchema = manifestSchema.getField("data_file").schema
+    val df = new GenericData.Record(dfSchema)
+    df.put("content", content)
+    df.put("file_path", path)
+    df.put("file_format", "PARQUET")
+    df.put("record_count", rows)
+    df.put("file_size_in_bytes", new File(path).length)
+    if (eqIds.nonEmpty) {
+      val l = new java.util.ArrayList[Integer]()
+      eqIds.foreach(i => l.add(i))
+      df.put("equality_ids", l)
+    }
+    val e = new GenericData.Record(manifestSchema)
+    e.put("status", 1)
+    e.put("sequence_number", seq)
+    e.put("data_file", df)
+    e.asInstanceOf[GenericRecord]
+  }
+
+  lazy val table: IcebergTable = {
+    import org.apache.commons.io.FileUtils
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    FileUtils.deleteQuietly(new File(root))
+    new File(s"$root/metadata").mkdirs()
+
+    def fid(c: String, i: Long) =
+      col(c).as(c, new MetadataBuilder().putLong("parquet.field.id", i).build())
+    def writeData(name: String, rows: Seq[(Long, String)]): String = {
+      val dir = new File(s"$root/data/$name")
+      rows.toDF("id", "tag").select(fid("id", 1L), fid("tag", 2L))
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      dir.listFiles.find(_.getName.endsWith(".parquet")).get.toString
+    }
+    val f1 = writeData("f1", Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val f2 = writeData("f2", Seq((4L, "d"), (5L, "e"), (6L, "f")))
+    val f3 = writeData("f3", Seq((7L, "g")))
+
+    def writeDeletes(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val dir = new File(s"$root/data/$name")
+      df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      dir.listFiles.find(_.getName.endsWith(".parquet")).get.toString
+    }
+    val posDel = writeDeletes("pd1",
+      Seq((f1, 0L), (f2, 2L)).toDF("file_path", "pos"))
+    val eqDel = writeDeletes("ed1", Seq(4L, 7L).toDF("id"))
+
+    val mData = new File(s"$root/metadata/m-data.avro")
+    writeAvro(mData, manifestSchema, Seq(
+      entry(0, f1, 3, seq = 1), entry(0, f2, 3, seq = 1), entry(0, f3, 1, seq = 3)))
+    val mDel = new File(s"$root/metadata/m-del.avro")
+    writeAvro(mDel, manifestSchema, Seq(
+      entry(1, posDel, 2, seq = 2),
+      entry(2, eqDel, 2, seq = 2, eqIds = Seq(1))))
+
+    def mlRec(m: File, content: Int): GenericRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", m.toString)
+      r.put("manifest_length", m.length)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r
+    }
+    writeAvro(new File(s"$root/metadata/snap-1.avro"), manifestListSchema,
+      Seq(mlRec(mData, 0), mlRec(mDel, 1)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version": 2, "location": "$root",
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "id", "required": false, "type": "long"},
+         |  {"id": 2, "name": "tag", "required": false, "type": "string"}]},
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 1,
+         |"snapshots": [{"snapshot-id": 1, "timestamp-ms": 0,
+         |  "manifest-list": "$root/metadata/snap-1.avro"}]}""".stripMargin)
+    IcebergTable(spark, root)
+  }
+
+  test("position + equality deletes apply with sequence gating") {
+    assert(table.hasDeletes)
+    assert(table.planDeletes().map(_.content).sorted == Seq(1, 2))
+    val ids = table.toDF(spark).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L, 5L, 7L),
+      "1 and 6 go by position, 4 by equality; 7 (appended after the " +
+        "equality delete) must survive the sequence gate")
+  }
+
+  test("merge-on-read resolves through the catalog (V1 bridge path)") {
+    table.hasDeletes // force fixture
+    spark.conf.set("spark.sql.catalog.mor", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mor.warehouse", "/root/repo/target")
+    val rows = spark.sql(
+      "SELECT id, tag FROM mor.`test-mor-table` ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L, 5L, 7L))
+    assert(spark.sql("SELECT COUNT(*) FROM mor.`test-mor-table` WHERE tag > 'a'")
+      .collect()(0).getLong(0) == 4L)
+  }
+}
