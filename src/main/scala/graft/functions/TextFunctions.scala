@@ -61,13 +61,13 @@ object TextFunctions {
         .cast("double") / length(text).cast("double"),
       scale)
 
-  /** Mean word length in characters. */
+  /** Mean word length in characters (codegen'd char-length sum). */
   def meanWordLen(text: Column, scale: Int = 3): Column = {
     val w = tokens(text)
-    round(
-      aggregate(w, lit(0L), (acc, t) => acc + length(t).cast("bigint"))
-        .cast("double") / size(w).cast("double"),
-      scale)
+    val total = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.catalyst.SumCharLengths(
+        org.apache.spark.sql.GraftColumnShim.expression(w)))
+    round(total.cast("double") / size(w).cast("double"), scale)
   }
 
   // -- language identification ---------------------------------------------
@@ -107,15 +107,14 @@ object TextFunctions {
   // -- fingerprinting -------------------------------------------------------
 
   /** Rolling polynomial fingerprint over words, engine-portable: the
-    * per-word value uses only `ascii`/`length` (identical in DuckDB), and
-    * the accumulator stays under 2^63 via mod 1e9+7 (DuckDB raises on
-    * BIGINT overflow, so unbounded `acc * p + v` would not be mirrorable).
+    * per-word value uses only `ascii`/`length` semantics (identical in
+    * DuckDB), and the accumulator stays under 2^63 via mod 1e9+7 (DuckDB
+    * raises on BIGINT overflow, so unbounded `acc * p + v` would not be
+    * mirrorable). Codegen'd ([[graft.functions.catalyst.RollingFingerprint]])
+    * — the former `aggregate` higher-order call was interpreted.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      tokens(text),
-      lit(0L),
-      (acc, w) => pmod(
-        acc * 131L + ascii(w).cast("bigint") * 31L + length(w).cast("bigint"),
-        lit(1000000007L)))
+    org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.catalyst.RollingFingerprint(
+        org.apache.spark.sql.GraftColumnShim.expression(tokens(text))))
 }

@@ -342,6 +342,100 @@ object NearestCentroids {
   }
 }
 
+/** Rolling polynomial fingerprint over an array<string> of words:
+  * `acc = (acc * 131 + codepoint(w[0]) * 31 + numChars(w)) mod 1e9+7`,
+  * left-to-right — the codegen'd form of the former
+  * `aggregate(tokens, ...)` higher-order call (CodegenFallback), with
+  * identical per-word math (Spark's `ascii`/`length` semantics) so the
+  * engine-portable oracle still matches. Null array or null element ⇒
+  * null, as the HOF propagated.
+  */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"fingerprint expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    RollingFingerprint.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("fp")
+      s"""
+         |Long $boxed = graft.functions.catalyst.RollingFingerprint$$.MODULE$$.compute($a);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+object RollingFingerprint {
+  /** Boxed so a null element can yield SQL NULL through codegen. */
+  def compute(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val w = arr.getUTF8String(i)
+      val s = w.toString
+      val cp = if (s.isEmpty) 0L else s.codePointAt(0).toLong
+      acc = Math.floorMod(acc * 131L + cp * 31L + w.numChars().toLong, 1000000007L)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Sum of character lengths over array<string> (for mean-word-length
+  * style quality metrics) — codegen'd, null element ⇒ null. */
+case class SumCharLengths(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sumCharLengths expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SumCharLengths.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val boxed = ctx.freshName("scl")
+      s"""
+         |Long $boxed = graft.functions.catalyst.SumCharLengths$$.MODULE$$.compute($a);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SumCharLengths =
+    copy(child = newChild)
+}
+
+object SumCharLengths {
+  def compute(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      sum += arr.getUTF8String(i).numChars().toLong
+      i += 1
+    }
+    sum
+  }
+}
+
 /** SimHash bit-vote aggregate: each input hash votes ±1 on all 64 bits;
   * the result packs bit i iff its vote sum is strictly positive.
   *
