@@ -436,6 +436,89 @@ object SumCharLengths {
   }
 }
 
+/** MinHash signature aggregate: for hash family k (0 until numHashes),
+  * tracks `min(xxhash64(k, shingleHash))` over the group and returns the
+  * signature as array<long> — bit-identical to the former `numHashes`
+  * separate `min(xxhash64(lit(k), sh))` columns (the per-family seed
+  * `hashInt(k, 42)` is precomputed once; the running value is
+  * `hashLong(sh, seed_k)`, exactly Spark's `xxhash64(k, sh)` chain), but
+  * with ONE typed aggregate over a primitive buffer instead of a wide
+  * generated aggregate class. Partial aggregation still applies.
+  */
+case class MinHashAgg(
+    child: Expression,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  require(numHashes >= 1, s"numHashes=$numHashes out of range")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhashAgg expects bigint shingle hashes, got ${other.simpleString}")
+  }
+
+  @transient private lazy val seeds: Array[Long] = {
+    val f = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    Array.tabulate(numHashes)(k => f.hash(k, IntegerType, 42L))
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val sh = v.asInstanceOf[Long]
+      val f = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      var k = 0
+      while (k < numHashes) {
+        val h = f.hash(sh, LongType, seeds(k))
+        if (h < buf(k)) buf(k) = h
+        k += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var k = 0
+    while (k < numHashes) {
+      if (other(k) < buf(k)) buf(k) = other(k)
+      k += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(numHashes * 8)
+    var k = 0
+    while (k < numHashes) { bb.putLong(buf(k)); k += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](numHashes)
+    var k = 0
+    while (k < numHashes) { buf(k) = bb.getLong(); k += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashAgg =
+    copy(child = newChild)
+}
+
 /** SimHash bit-vote aggregate: each input hash votes ±1 on all 64 bits;
   * the result packs bit i iff its vote sum is strictly positive.
   *

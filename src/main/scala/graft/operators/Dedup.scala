@@ -73,12 +73,15 @@ object Dedup {
     val sh = toks
       .select(col(idCol), col("full"), col("nw"), col("pos"), shingleHash.as("sh"))
       .filter(!col("full") || col("pos") <= col("nw") - shingleSize)
-    val minCols = (0 until numHashes).map(k =>
-      min(xxhash64(lit(k), col("sh"))).as(s"h$k"))
-    sh.groupBy(col(idCol))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(k => col(s"h$k")): _*).as("sig"))
+    // one typed aggregate with a primitive numHashes-slot buffer (same
+    // class-size rationale as SimhashVotes; values bit-identical to the
+    // former per-family min(xxhash64(k, sh)) columns)
+    import org.apache.spark.sql.GraftColumnShim
+    val sigAgg = GraftColumnShim.column(
+      graft.functions.catalyst.MinHashAgg(
+        GraftColumnShim.expression(col("sh")), numHashes)
+        .toAggregateExpression())
+    sh.groupBy(col(idCol)).agg(sigAgg.as("sig"))
   }
 
   /** LSH banding: split the signature into `bands` bands of `numHashes /
