@@ -80,7 +80,13 @@ final class IcebergTable private (
     if (path.startsWith(metadata.location)) tableDir + path.stripPrefix(metadata.location)
     else path
 
-  def manifests: Seq[ManifestFile] = snapshot match {
+  /** Manifest list of the scanned snapshot — read ONCE per table instance
+    * (a scan touches it several times: planning, delete detection, delete
+    * planning; on an object store each re-read is a remote round trip).
+    * Freshness is the catalog's job: new commits produce new IcebergTable
+    * instances via the metadata-path cache token.
+    */
+  lazy val manifests: Seq[ManifestFile] = snapshot match {
     case None => Nil
     case Some(snap) => ManifestIO.readManifestList(resolve(snap.manifestList), conf)
   }

@@ -31,6 +31,8 @@ object IcebergWriter {
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"added_rows_count","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
@@ -110,17 +112,25 @@ object IcebergWriter {
         resolveAgainst(meta, tableDir, s.manifestList), conf)
       case None => Nil
     }
-    def mlRec(path: String, length: Long, rows: Option[Long]): GenericRecord = {
+    // Prior manifests are re-recorded with their content kind and
+    // sequence number intact — dropping either would turn a delete
+    // manifest back into a data manifest (resurrecting deleted rows) or
+    // break sequence gating on the next read.
+    def mlRec(path: String, length: Long, content: Int, seq: Option[Long],
+              rows: Option[Long]): GenericRecord = {
       val r = new GenericData.Record(manifestListSchema)
       r.put("manifest_path", path)
       r.put("manifest_length", length)
       r.put("partition_spec_id", 0)
+      r.put("content", content)
+      seq.foreach(n => r.put("sequence_number", n))
       rows.foreach(n => r.put("added_rows_count", n))
       r
     }
     val listRecs = prev.map(m =>
-      mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.addedRowsCount)) :+
-      mlRec(manifestPath.toString, manifestLen, Some(added))
+      mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
+        m.sequenceNumber, m.addedRowsCount)) :+
+      mlRec(manifestPath.toString, manifestLen, 0, Some(snapId), Some(added))
     val listPath = new Path(s"$tableDir/metadata/snap-$snapId.avro")
     writeAvro(listPath, conf, manifestListSchema, listRecs)
 

@@ -93,7 +93,13 @@ object PartitionTransforms {
         v match {
           case i: Int => Some(i - Math.floorMod(i, width))
           case l: Long => Some(l - Math.floorMod(l, width.toLong))
-          case s: String => Some(s.take(width))
+          case s: String =>
+            // Iceberg truncates strings by Unicode CODE POINTS, not UTF-16
+            // units — take(width) would split surrogate pairs and produce a
+            // wrong (unsoundly pruning) transformed value
+            val cps = s.codePointCount(0, s.length)
+            Some(if (cps <= width) s
+                 else s.substring(0, s.offsetByCodePoints(0, width)))
           case _ => None
         }
       case BucketRe(n) =>

@@ -83,7 +83,12 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     } catch { case _: Exception => Nil }
 
   private def isTableDir(dir: Path): Boolean = metaFiles(dir, ".metadata.json").nonEmpty
-  private def isViewDir(dir: Path): Boolean = metaFiles(dir, ".view-metadata.json").nonEmpty
+  // `.view.json` is the pre-view-spec format this catalog wrote before
+  // round 3; still recognized (and up-converted on read) so existing
+  // warehouses don't lose their views
+  private def isViewDir(dir: Path): Boolean =
+    metaFiles(dir, ".view-metadata.json").nonEmpty ||
+      metaFiles(dir, ".view.json").nonEmpty
 
   private def childDirs(dir: Path): Seq[Path] =
     if (!fs.exists(dir)) Nil
@@ -160,11 +165,53 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     childDirs(dirFor(ns)).filter(isViewDir).map(_.getName)
 
   override def loadViewJson(ns: Seq[String], name: String): JsonNode = {
-    val files = metaFiles(dirFor(ns :+ name), ".view-metadata.json")
-    if (files.isEmpty)
-      throw new NoSuchElementException(s"view ${(ns :+ name).mkString(".")} not found")
-    val in = fs.open(files.maxBy(_.getName))
-    try mapper.readTree(in) finally in.close()
+    val dir = dirFor(ns :+ name)
+    val files = metaFiles(dir, ".view-metadata.json")
+    if (files.nonEmpty) {
+      val in = fs.open(files.maxBy(_.getName))
+      try mapper.readTree(in) finally in.close()
+    } else {
+      val legacy = metaFiles(dir, ".view.json")
+      if (legacy.isEmpty)
+        throw new NoSuchElementException(s"view ${(ns :+ name).mkString(".")} not found")
+      val in = fs.open(legacy.maxBy(_.getName))
+      val old = try mapper.readTree(in) finally in.close()
+      legacyToViewSpec(old, dir.toString)
+    }
+  }
+
+  /** Up-convert the pre-round-3 private view JSON into the Iceberg
+    * view-spec shape the catalog reads, so old warehouses keep working. */
+  private def legacyToViewSpec(old: JsonNode, location: String): JsonNode = {
+    import org.apache.spark.sql.types.DataType
+    import scala.jdk.CollectionConverters._
+    val root = mapper.createObjectNode()
+    root.put("view-uuid", java.util.UUID.nameUUIDFromBytes(
+      location.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+    root.put("format-version", 1)
+    root.put("location", location)
+    val schema = DataType.fromJson(old.get("schema").asText)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    root.putArray("schemas").add(IcebergJson.viewSchemaNode(mapper, schema))
+    root.put("current-version-id", 1)
+    val ver = root.putArray("versions").addObject()
+    ver.put("version-id", 1)
+    ver.put("schema-id", 0)
+    ver.put("timestamp-ms", 0L)
+    val rep = ver.putArray("representations").addObject()
+    rep.put("type", "sql")
+    rep.put("sql", old.get("sql").asText)
+    rep.put("dialect", "spark")
+    Option(old.get("current-catalog")).foreach(c => ver.put("default-catalog", c.asText))
+    val nsArr = ver.putArray("default-namespace")
+    Option(old.get("current-namespace"))
+      .foreach(_.elements.asScala.foreach(n => nsArr.add(n.asText)))
+    val cols = mapper.createArrayNode()
+    Option(old.get("query-column-names"))
+      .foreach(_.elements.asScala.foreach(n => cols.add(n.asText)))
+    root.putObject("properties")
+      .put(GraftCatalog.QueryColumnsProp, mapper.writeValueAsString(cols))
+    root
   }
 
   override def createView(ns: Seq[String], name: String, viewMetadataJson: String): Unit =

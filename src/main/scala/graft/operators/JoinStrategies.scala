@@ -11,17 +11,20 @@ import org.apache.spark.sql.functions._
 object JoinStrategies {
 
   /** Equi join with the build side replicated over `saltBuckets` salts:
-    * each fact row gets a salt from its physical position
-    * (`monotonically_increasing_id`, i.e. partition id + row-in-partition),
-    * the dimension is replicated once per salt, and the join key becomes
-    * (key, salt). A hot key's rows now land on `saltBuckets` reducers
-    * instead of one — including the common skew case where the hot rows
-    * are fully identical duplicates (a whole-row hash would send those to
-    * ONE salt and spread nothing), and without touching column values, so
-    * un-hashable column types (maps) are fine. Position-derived salts are
-    * stable under task retries of a deterministic source (a rescan yields
-    * the same partition contents in the same order) — the replay-safety
-    * `rand()` lacks — though not under a repartition of the input.
+    * each fact row gets a deterministic salt (hash of its hashable
+    * columns), the dimension is replicated once per salt, and the join key
+    * becomes (key, salt). A hot key's rows now land on `saltBuckets`
+    * reducers instead of one.
+    *
+    * The salt MUST be a pure function of row content: a position-derived
+    * salt (`monotonically_increasing_id`) is not replay-safe when `fact`
+    * is shuffle output (re-fetched map tasks can renumber rows, losing or
+    * duplicating join rows under retries), and `rand()` is worse. The
+    * content hash's known limitation is the dual: rows that are FULLY
+    * identical across all hashable columns share a salt and are not
+    * spread — if duplicate-row skew is the problem, de-duplicate with a
+    * count first or rely on AQE's skew-join splitting. Map-typed columns
+    * (unhashable in Spark) are excluded from the salt.
     *
     * Result-identical to `fact.join(dim, keys)`: every fact row matches
     * exactly the one dim replica carrying its salt. Worth it only when a
@@ -34,11 +37,21 @@ object JoinStrategies {
     require(saltBuckets > 0, "saltBuckets must be positive")
     require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
       "inputs must not already contain a _salt column")
+    val hashable = fact.schema.fields.toSeq
+      .filterNot(f => hasMapType(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty, "fact has no hashable columns to salt by")
     val factSalted = fact.withColumn("_salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
+      pmod(xxhash64(struct(hashable: _*)), lit(saltBuckets.toLong)))
     val dimSalted = dim.withColumn("_salt",
       explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
     factSalted.join(dimSalted, keys :+ "_salt").drop("_salt")
+  }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
   }
 
   /** Write both sides bucketed by the join key so subsequent joins between

@@ -25,26 +25,32 @@ final class GraftPrunedFileIndex(
   // Qualify paths (scheme + authority) exactly as the parent's lookups
   // do — `allFiles()` resolves against `fs.makeQualified(rootPath)`, so an
   // unqualified `/x/y` would never match its own `file:/x/y` key. One
-  // FileSystem handle; makeQualified is purely syntactic (no RPC).
-  private val statuses: Seq[FileStatus] = {
-    val hconf = spark.sessionState.newHadoopConf()
-    files.map { case (p, len) =>
-      val raw = new Path(p)
-      new FileStatus(len, false, 1, 134217728L, 0L,
-        raw.getFileSystem(hconf).makeQualified(raw))
+  // FileSystem handle hoisted for the whole list; makeQualified itself is
+  // purely syntactic (no RPC).
+  private val statuses: Seq[FileStatus] =
+    if (files.isEmpty) Nil
+    else {
+      val hconf = spark.sessionState.newHadoopConf()
+      val fs = new Path(files.head._1).getFileSystem(hconf)
+      files.map { case (p, len) =>
+        new FileStatus(len, false, 1, 134217728L, 0L, fs.makeQualified(new Path(p)))
+      }
     }
-  }
 
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
 
-  override protected def leafFiles: LinkedHashMap[Path, FileStatus] = {
+  // lazy: the planner consults these several times per scan; at 100k+
+  // files rebuilding the maps per call is real driver CPU
+  private lazy val leafFileMap: LinkedHashMap[Path, FileStatus] = {
     val m = LinkedHashMap.empty[Path, FileStatus]
     statuses.foreach(s => m.put(s.getPath, s))
     m
   }
-
-  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+  private lazy val leafDirMap: Map[Path, Array[FileStatus]] =
     statuses.groupBy(_.getPath.getParent).view.mapValues(_.toArray).toMap
+
+  override protected def leafFiles: LinkedHashMap[Path, FileStatus] = leafFileMap
+  override protected def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] = leafDirMap
 
   override def rootPaths: Seq[Path] = statuses.map(_.getPath)
 

@@ -87,6 +87,33 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.sql("SHOW TABLES IN scratch.ns1").collect().map(_.getString(1)).contains("t1"))
   }
 
+  test("legacy .view.json views are still readable (up-converted)") {
+    import graft.iceberg.connector.GraftCatalog
+    useCatalogs()
+    val dir = new java.io.File(s"$scratch/ns1/legacy_v/metadata")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.getParentFile)
+    dir.mkdirs()
+    val sparkSchema = StructType(Seq(
+      StructField("r_regionkey", LongType), StructField("r_name", StringType)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/v1.view.json"),
+      s"""{"format-version": 1,
+         |"sql": "SELECT 1 AS r_regionkey, 'x' AS r_name",
+         |"current-catalog": "scratch", "current-namespace": [],
+         |"schema": ${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+             .build().writeValueAsString(sparkSchema.json)},
+         |"query-column-names": ["r_regionkey", "r_name"]}""".stripMargin)
+    val cat = spark.sessionState.catalogManager.catalog("scratch")
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(Array("ns1"), "legacy_v")
+    assert(cat.viewExists(ident))
+    val v = cat.loadView(ident)
+    assert(v.query.contains("SELECT 1"))
+    assert(v.schema.fieldNames.toSeq == Seq("r_regionkey", "r_name"))
+    val row = spark.sql("SELECT * FROM scratch.ns1.legacy_v").collect()(0)
+    assert(row.getLong(0) == 1L && row.getString(1) == "x")
+  }
+
   test("persistent view survives a new session (A12 full)") {
     useCatalogs()
     val cm = spark.sessionState.catalogManager

@@ -144,6 +144,24 @@ class DeleteFilesSpec extends SparkSpec {
         "equality delete) must survive the sequence gate")
   }
 
+  test("append on a merge-on-read table preserves its delete manifests") {
+    import org.apache.commons.io.FileUtils
+    import spark.implicits._
+    table.hasDeletes // force the fixture
+    val root2 = "/root/repo/target/test-mor-append"
+    FileUtils.deleteQuietly(new File(root2))
+    FileUtils.copyDirectory(new File(root), new File(root2))
+    // location in metadata still points at the original root: the copied
+    // table resolves data/manifest paths via the location remap
+    graft.iceberg.IcebergWriter.append(spark,
+      root2, Seq((100L, "z")).toDF("id", "tag"))
+    val t2 = IcebergTable(spark, root2)
+    assert(t2.hasDeletes, "delete manifests must survive the append commit")
+    val ids = t2.toDF(spark).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 3L, 5L, 7L, 100L),
+      "deletes still applied; appended row present")
+  }
+
   test("merge-on-read resolves through the catalog (V1 bridge path)") {
     table.hasDeletes // force fixture
     spark.conf.set("spark.sql.catalog.mor", classOf[GraftCatalog].getName)

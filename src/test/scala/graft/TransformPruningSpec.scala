@@ -46,6 +46,12 @@ class TransformPruningSpec extends SparkSpec {
     assert(PartitionTransforms.apply("truncate[10]", LongType, 37L).contains(30L))
     assert(PartitionTransforms.apply("truncate[10]", LongType, -7L).contains(-10L))
     assert(PartitionTransforms.apply("truncate[3]", StringType, "iceberg").contains("ice"))
+    // code-point truncation: a supplementary char counts as ONE code point
+    val emoji = new String(Character.toChars(0x1D54F)) // 2 UTF-16 units
+    assert(PartitionTransforms.apply("truncate[2]", StringType, emoji + "ab")
+      .contains(emoji + "a"))
+    assert(PartitionTransforms.apply("truncate[5]", StringType, emoji + "ab")
+      .contains(emoji + "ab"))
   }
 
   test("rewrite relaxes strict range bounds and refuses bucket ranges") {
