@@ -322,7 +322,12 @@ object NearestCentroids {
               dot += at(vec, d, vecFloat) * at(cvec, d, centFloat)
             d += 1
           }
-          val sim = dot / (vn * row.getDouble(2))
+          // a zero-norm vector or centroid would make sim NaN, and NaN
+          // fails every insertion comparison — rank such pairs as 0.0 so
+          // degenerate inputs still get a deterministic (id-ordered) probe
+          // list instead of silently vanishing from it
+          val cn = row.getDouble(2)
+          val sim = if (vn == 0.0 || cn == 0.0) 0.0 else dot / (vn * cn)
           // descending insertion; strict > keeps earlier entries on ties
           var j = filled
           while (j > 0 && sim > topSim(j - 1)) j -= 1

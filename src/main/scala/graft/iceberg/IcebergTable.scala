@@ -235,21 +235,35 @@ final class IcebergTable private (
     metadata.identityPartitionColumns.filterNot(inFile.contains)
   }
 
+  /** Parsed manifest contents keyed by manifest path. Spark may call
+    * ScanBuilder.build() (→ planFiles) several times while planning one
+    * query; manifest avro files are immutable and this instance is pinned
+    * to one snapshot, so re-reading them from an object store per build
+    * is pure waste. Concurrent-safe: planFiles runs manifest reads in
+    * parallel. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
+
+  private def readManifestCached(m: ManifestFile): Seq[DataFileEntry] =
+    manifestCache.computeIfAbsent(m.path,
+      _ => ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber))
+
   private def readManifestsParallel(ms: Seq[ManifestFile]): Seq[DataFileEntry] =
-    if (ms.sizeIs <= 1)
-      ms.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber))
+    if (ms.sizeIs <= 1) ms.flatMap(readManifestCached)
     else {
       import scala.collection.parallel.CollectionConverters._
-      ms.par.map(m => ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber))
-        .seq.toSeq.flatten
+      ms.par.map(readManifestCached).seq.toSeq.flatten
     }
 
   /** Does the current snapshot carry delete manifests (v2 merge-on-read)?
     * Manifest-list-only check — no manifest reads. */
   def hasDeletes: Boolean = manifests.exists(_.content == 1)
 
-  /** Delete files (position + equality) of the scanned snapshot. */
-  def planDeletes(): Seq[DeleteFileEntry] =
+  /** Delete files (position + equality) of the scanned snapshot.
+    * Cached for the same reason as [[manifestCache]]. */
+  def planDeletes(): Seq[DeleteFileEntry] = cachedDeletes
+
+  private lazy val cachedDeletes: Seq[DeleteFileEntry] =
     manifests.filter(_.content == 1).flatMap(m =>
       ManifestIO.readDeleteManifest(resolve(m.path), conf, m.sequenceNumber))
 

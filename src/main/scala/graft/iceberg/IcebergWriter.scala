@@ -33,8 +33,18 @@ object IcebergWriter {
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"content","type":"int"},
       |{"name":"sequence_number","type":["null","long"],"default":null},
-      |{"name":"added_rows_count","type":["null","long"],"default":null}
+      |{"name":"added_rows_count","type":["null","long"],"default":null},
+      |{"name":"partitions","type":["null",{"type":"array","items":
+      |  {"type":"record","name":"field_summary","fields":[
+      |    {"name":"contains_null","type":"boolean"},
+      |    {"name":"contains_nan","type":["null","boolean"],"default":null},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+      | "default":null}
       |]}""".stripMargin)
+
+  private val fieldSummarySchema =
+    manifestListSchema.getField("partitions").schema.getTypes.get(1).getElementType
 
   private val manifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
@@ -112,25 +122,40 @@ object IcebergWriter {
         resolveAgainst(meta, tableDir, s.manifestList), conf)
       case None => Nil
     }
-    // Prior manifests are re-recorded with their content kind and
-    // sequence number intact — dropping either would turn a delete
-    // manifest back into a data manifest (resurrecting deleted rows) or
-    // break sequence gating on the next read.
+    // Prior manifests are re-recorded with their content kind, sequence
+    // number, spec id, and partition summaries intact — dropping content
+    // or sequence would resurrect deleted rows / break sequence gating;
+    // relabeling an evolved spec id as 0 would misjudge old-spec partition
+    // tuples; dropping summaries would turn manifest pruning off for them.
     def mlRec(path: String, length: Long, content: Int, seq: Option[Long],
-              rows: Option[Long]): GenericRecord = {
+              rows: Option[Long], specId: Int,
+              parts: Seq[PartitionSummary]): GenericRecord = {
       val r = new GenericData.Record(manifestListSchema)
       r.put("manifest_path", path)
       r.put("manifest_length", length)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", specId)
       r.put("content", content)
       seq.foreach(n => r.put("sequence_number", n))
       rows.foreach(n => r.put("added_rows_count", n))
+      if (parts.nonEmpty) {
+        val arr = new java.util.ArrayList[GenericRecord](parts.size)
+        parts.foreach { p =>
+          val fr = new GenericData.Record(fieldSummarySchema)
+          fr.put("contains_null", p.containsNull)
+          p.containsNan.foreach(v => fr.put("contains_nan", v))
+          p.lowerBound.foreach(b => fr.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+          p.upperBound.foreach(b => fr.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+          arr.add(fr)
+        }
+        r.put("partitions", arr)
+      }
       r
     }
     val listRecs = prev.map(m =>
       mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
-        m.sequenceNumber, m.addedRowsCount)) :+
-      mlRec(manifestPath.toString, manifestLen, 0, Some(snapId), Some(added))
+        m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
+      mlRec(manifestPath.toString, manifestLen, 0, Some(snapId), Some(added),
+        meta.defaultSpecId, Nil)
     val listPath = new Path(s"$tableDir/metadata/snap-$snapId.avro")
     writeAvro(listPath, conf, manifestListSchema, listRecs)
 

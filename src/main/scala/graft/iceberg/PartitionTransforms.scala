@@ -59,6 +59,19 @@ object PartitionTransforms {
     case _ => false
   }
 
+  /** Transforms where T(x) is null iff x is null, which is what makes an
+    * IsNull/IsNotNull rewrite into transformed space sound. `void` (written
+    * by v1 spec evolution when a partition field is dropped) maps EVERY
+    * value to null, so treating its all-null stats as "source column is
+    * all null" would wrongly prune files under IsNotNull; unknown future
+    * transforms get the same refusal. */
+  def isNullPreserving(t: String): Boolean = t match {
+    case "identity" => true
+    case _ if isTemporal(t) => true
+    case TruncateRe(_) | BucketRe(_) => true
+    case _ => false
+  }
+
   /** Transform a filter value (post-[[Pruning.normalize]]: dates = epoch
     * days Int, timestamps = epoch micros Long). None = not computable →
     * do not rewrite.
@@ -209,8 +222,10 @@ object PartitionTransforms {
         if (isMonotone(fi.transform))
           apply(fi.transform, fi.sourceType, v).map(LessThanOrEqual(virtualName(fi.idx), _))
         else None)
-      case IsNull(c) => one(c)(fi => Some(IsNull(virtualName(fi.idx))))
-      case IsNotNull(c) => one(c)(fi => Some(IsNotNull(virtualName(fi.idx))))
+      case IsNull(c) => one(c)(fi =>
+        if (isNullPreserving(fi.transform)) Some(IsNull(virtualName(fi.idx))) else None)
+      case IsNotNull(c) => one(c)(fi =>
+        if (isNullPreserving(fi.transform)) Some(IsNotNull(virtualName(fi.idx))) else None)
       case _ => None
     }
   }

@@ -42,16 +42,22 @@ final class RestCatalogStore(
 
   private val base = baseUri.stripSuffix("/")
 
-  /** Route prefix from /v1/config `overrides.prefix`, if the server sets
-    * one. Config fetch failures fall back to no prefix rather than
-    * failing catalog registration.
+  /** Route prefix from /v1/config: `overrides.prefix` wins, else
+    * `defaults.prefix` (the spec's precedence — overrides beat client
+    * config, defaults fill in; multi-tenant catalogs commonly advertise
+    * the prefix under defaults). Config fetch failures fall back to no
+    * prefix rather than failing catalog registration.
     */
   private lazy val routePrefix: String =
     try {
       val (code, body) = request("GET", s"$base/v1/config", None)
       if (code / 100 != 2) ""
-      else Option(mapper.readTree(body).get("overrides"))
-        .flatMap(o => Option(o.get("prefix"))).map(p => p.asText + "/").getOrElse("")
+      else {
+        val root = mapper.readTree(body)
+        def prefixIn(section: String): Option[String] =
+          Option(root.get(section)).flatMap(o => Option(o.get("prefix"))).map(_.asText)
+        prefixIn("overrides").orElse(prefixIn("defaults")).map(_ + "/").getOrElse("")
+      }
     } catch { case _: Exception => "" }
 
   private def v1(path: String): String = s"$base/v1/$routePrefix$path"

@@ -169,6 +169,73 @@ class TimeTravelSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 5L)
   }
 
+  test("append preserves prior manifests' spec id and partition summaries") {
+    import org.apache.commons.io.FileUtils
+    import spark.implicits._
+    import graft.iceberg.{IcebergWriter, ManifestIO}
+    val dir = "/root/repo/target/test-writer-specid"
+    FileUtils.deleteQuietly(new File(dir))
+    val df1 = Seq((1L, "a")).toDF("id", "tag")
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
+      df1.schema, Nil, Map.empty)
+    new File(s"$dir/metadata").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    IcebergWriter.append(spark, dir, df1)
+
+    // relabel snapshot 1's manifest as written under an evolved spec (id 7)
+    // with a partition summary, as an external writer would record it
+    val conf = spark.sessionState.newHadoopConf()
+    val richSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"added_rows_count","type":["null","long"],"default":null},
+        |{"name":"partitions","type":["null",{"type":"array","items":
+        |  {"type":"record","name":"field_summary","fields":[
+        |    {"name":"contains_null","type":"boolean"},
+        |    {"name":"contains_nan","type":["null","boolean"],"default":null},
+        |    {"name":"lower_bound","type":["null","bytes"],"default":null},
+        |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
+        | "default":null}]}""".stripMargin)
+    val orig = ManifestIO.readManifestList(s"$dir/metadata/snap-1.avro", conf).head
+    val rec = new GenericData.Record(richSchema)
+    rec.put("manifest_path", orig.path)
+    rec.put("manifest_length", orig.length)
+    rec.put("partition_spec_id", 7)
+    rec.put("content", 0)
+    rec.put("sequence_number", 1L)
+    val summaries = new java.util.ArrayList[GenericRecord]()
+    val fs = new GenericData.Record(
+      richSchema.getField("partitions").schema.getTypes.get(1).getElementType)
+    fs.put("contains_null", false)
+    fs.put("lower_bound", java.nio.ByteBuffer.wrap(Array[Byte](1, 0, 0, 0)))
+    fs.put("upper_bound", java.nio.ByteBuffer.wrap(Array[Byte](9, 0, 0, 0)))
+    summaries.add(fs)
+    rec.put("partitions", summaries)
+    writeAvro(new File(s"$dir/metadata/snap-1.avro"), richSchema, Seq(rec))
+    // the writer created snap-1 through Hadoop's checksummed local FS;
+    // rewriting the file directly leaves a stale .crc sidecar behind
+    new File(s"$dir/metadata/.snap-1.avro.crc").delete()
+
+    IcebergWriter.append(spark, dir, Seq((2L, "b")).toDF("id", "tag"))
+    val after = ManifestIO.readManifestList(s"$dir/metadata/snap-2.avro", conf)
+    assert(after.size == 2)
+    val prior = after.find(_.path == orig.path).get
+    assert(prior.partitionSpecId == 7,
+      "re-recorded manifest must keep its evolved spec id, not be relabeled 0")
+    assert(prior.partitions.size == 1)
+    assert(!prior.partitions.head.containsNull)
+    assert(prior.partitions.head.lowerBound.get.toSeq == Seq[Byte](1, 0, 0, 0))
+    assert(prior.partitions.head.upperBound.get.toSeq == Seq[Byte](9, 0, 0, 0))
+    val fresh = after.find(_.path != orig.path).get
+    assert(fresh.partitionSpecId == 0 && fresh.partitions.isEmpty)
+  }
+
   test("view-spec metadata format round-trips and resolves in SQL") {
     import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
     import org.apache.spark.sql.types._

@@ -79,6 +79,26 @@ class TransformPruningSpec extends SparkSpec {
       "OR with an unrewritable arm must not rewrite")
   }
 
+  test("IsNull/IsNotNull rewrite only through null-preserving transforms") {
+    // void(x) is null for EVERY x (v1 spec evolution writes it when a
+    // partition field is dropped), so its all-null summary says nothing
+    // about the source column — rewriting IsNotNull through it would
+    // silently prune files that hold non-null matching rows
+    val voidFi = Seq(PartitionTransforms.FieldInfo(0, "void", LongType))
+    val vLookup = (c: String) => if (c == "id") voidFi else Nil
+    assert(PartitionTransforms.rewrite(IsNotNull("id"), vLookup).isEmpty)
+    assert(PartitionTransforms.rewrite(IsNull("id"), vLookup).isEmpty)
+    // unknown future transforms get the same refusal
+    val unk = (c: String) => Seq(PartitionTransforms.FieldInfo(0, "zorder[2]", LongType))
+    assert(PartitionTransforms.rewrite(IsNotNull("id"), unk).isEmpty)
+    // known null-preserving transforms still rewrite
+    val virt = PartitionTransforms.virtualName(0)
+    val bLk = (c: String) => Seq(PartitionTransforms.FieldInfo(0, "bucket[4]", LongType))
+    assert(PartitionTransforms.rewrite(IsNotNull("id"), bLk).contains(IsNotNull(virt)))
+    val dLk = (c: String) => Seq(PartitionTransforms.FieldInfo(0, "day", TimestampType))
+    assert(PartitionTransforms.rewrite(IsNull("id"), dLk).contains(IsNull(virt)))
+  }
+
   // -- end-to-end fixture: day-partitioned table ----------------------------
 
   private val manifestListSchema = new Schema.Parser().parse(
