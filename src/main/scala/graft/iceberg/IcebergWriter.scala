@@ -69,7 +69,19 @@ object IcebergWriter {
 
   /** Commit `df` as a new append snapshot on the table at `tableDir`;
     * returns the new snapshot id (1, 2, 3, … — deterministic). */
-  def append(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, tableDir: String, df: DataFrame): Long =
+    commit(spark, tableDir, df, carryPrior = true)
+
+  /** Commit `df` as a truncate-and-write snapshot: the new manifest list
+    * records ONLY this commit's manifest, so the current snapshot reads
+    * just the new rows. Prior snapshots (and their data files) stay on
+    * disk untouched — time travel to them still works; nothing is
+    * vacuumed. */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): Long =
+    commit(spark, tableDir, df, carryPrior = false)
+
+  private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
+                     carryPrior: Boolean): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(tableDir, conf)
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
@@ -117,10 +129,11 @@ object IcebergWriter {
       .get("record_count").asInstanceOf[Long]).sum
 
     // 3. manifest list = previous snapshot's manifests + the new one
+    // (append) or just the new one (overwrite/truncate)
     val prev: Seq[ManifestFile] = meta.currentSnapshot match {
-      case Some(s) => ManifestIO.readManifestList(
+      case Some(s) if carryPrior => ManifestIO.readManifestList(
         resolveAgainst(meta, tableDir, s.manifestList), conf)
-      case None => Nil
+      case _ => Nil
     }
     // Prior manifests are re-recorded with their content kind, sequence
     // number, spec id, and partition summaries intact — dropping content

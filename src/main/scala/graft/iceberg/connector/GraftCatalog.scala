@@ -131,13 +131,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     else if (!store.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
     else {
       val fullName = (ident.namespace :+ ident.name).mkString(".")
+      val w = store.supportsLocalCommit
       store.tableToken(ns, ident.name) match {
-        case None => new SparkIcebergTable(fullName, store.loadIcebergTable(ns, ident.name))
+        case None =>
+          new SparkIcebergTable(fullName, store.loadIcebergTable(ns, ident.name), w)
         case Some(token) =>
           val cached = cache.get(fullName)
           if (cached != null && cached._1 == token) cached._2
           else {
-            val t = new SparkIcebergTable(fullName, store.loadIcebergTable(ns, ident.name))
+            val t = new SparkIcebergTable(
+              fullName, store.loadIcebergTable(ns, ident.name), w)
             cache.put(fullName, (token, t))
             t
           }

@@ -37,6 +37,10 @@ final class RestCatalogStore(
     baseUri: String, conf: Configuration,
     bearerToken: Option[String]) extends CatalogStore {
 
+  /** The server owns the current-metadata pointer; a filesystem commit
+    * would not be visible to other readers of this catalog. */
+  override def supportsLocalCommit: Boolean = false
+
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
 

@@ -5,16 +5,17 @@ import java.util.{OptionalLong, Set => JSet}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.iceberg.{DataFileEntry, IcebergTable}
+import graft.iceberg.{DataFileEntry, IcebergTable, IcebergWriter}
 
 /** DataSource V2 face of an [[IcebergTable]] — the counterpart of the
   * reference's `impl TableProvider for DataFusionTable`
@@ -36,15 +37,26 @@ import graft.iceberg.{DataFileEntry, IcebergTable}
   * parquet footer pushdown still happens, and Spark re-checks all filters
   * above the scan, keeping pruning strictly an optimization.
   */
-final class SparkIcebergTable(tableName: String, val table: IcebergTable)
-    extends Table with SupportsRead {
+final class SparkIcebergTable(tableName: String, val table: IcebergTable,
+    writable: Boolean = true)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
 
   override def schema(): StructType = table.metadata.schema
 
+  /** Writes go through the V1 bridge ([[GraftWriteBuilder]]): the commit
+    * protocol is driver-side metadata bookkeeping around a distributed
+    * `df.write.parquet`, which `InsertableRelation` expresses exactly.
+    * Time-travel-pinned tables are read-only (writing "into the past"
+    * would fork history). */
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    (if (canWrite)
+       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+         TableCapability.TRUNCATE)
+     else Set(TableCapability.BATCH_READ)).asJava
+
+  private def canWrite: Boolean = writable && table.pinnedSnapshotId.isEmpty
 
   override def partitioning(): Array[Transform] =
     table.metadata.identityPartitionColumns.map(Expressions.identity).toArray
@@ -55,6 +67,40 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (!canWrite) throw new UnsupportedOperationException(
+      if (table.pinnedSnapshotId.nonEmpty)
+        s"$tableName is pinned to snapshot ${table.pinnedSnapshotId.get}; " +
+          "time-travel reads are read-only"
+      else s"$tableName is read-only: its catalog does not commit metadata " +
+        "locally (REST catalog commits are not supported yet)")
+    new GraftWriteBuilder(table)
+  }
+}
+
+/** INSERT INTO (append snapshot) and INSERT OVERWRITE (truncate snapshot)
+  * onto the [[IcebergWriter]] commit protocol. The reference has no write
+  * path at all (SURVEY §2.C) — this is the extension a real lakehouse
+  * user needs first after reads.
+  */
+final class GraftWriteBuilder(table: IcebergTable)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFirst = false
+
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        if (truncateFirst || overwrite)
+          IcebergWriter.overwrite(data.sparkSession, table.tableDir, data)
+        else
+          IcebergWriter.append(data.sparkSession, table.tableDir, data)
+      }
+    }
+  }
 }
 
 final class GraftScanBuilder(table: IcebergTable)

@@ -92,6 +92,39 @@ object IcebergQueries {
            |   FROM q54cat.ns.region_tt VERSION AS OF $snap1) v1
            |CROSS JOIN
            |  (SELECT COUNT(*) AS n_cur FROM q54cat.ns.region_tt) cur""".stripMargin)
+    }),
+
+    // SQL write surface end-to-end: CTAS (non-atomic createTable + write),
+    // INSERT INTO (append snapshot), INSERT OVERWRITE (truncate snapshot)
+    // — all through the DSv2 catalog, then a read back that the oracle
+    // restates from the source table. Overwrite semantics are hash-gated:
+    // a wrong truncate (rows surviving, or appends lost) changes the
+    // group counts.
+    "q55_sql_write" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q55-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q55")
+      s.conf.set("spark.sql.catalog.q55cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q55cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q55cat.ns")
+      s.sql(
+        """CREATE TABLE q55cat.ns.nation_w AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q55
+          |WHERE n_regionkey < 2""".stripMargin)
+      s.sql(
+        """INSERT INTO q55cat.ns.nation_w
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q55
+          |WHERE n_regionkey >= 2""".stripMargin)
+      s.sql(
+        """INSERT OVERWRITE q55cat.ns.nation_w
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q55
+          |WHERE n_regionkey <> 1""".stripMargin)
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+          |FROM q55cat.ns.nation_w
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }))
 
   /** DuckDB sees the same bytes by reading the fixture's data files
@@ -113,5 +146,9 @@ object IcebergQueries {
       """SELECT (SELECT COUNT(*) FROM region WHERE r_regionkey < 3) AS n_v1,
         |       (SELECT CAST(SUM(r_regionkey) AS BIGINT) FROM region
         |        WHERE r_regionkey < 3) AS sk_v1,
-        |       (SELECT COUNT(*) FROM region) AS n_cur""".stripMargin)
+        |       (SELECT COUNT(*) FROM region) AS n_cur""".stripMargin,
+    "q55_sql_write" ->
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+        |FROM nation WHERE n_regionkey <> 1
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 }

@@ -87,6 +87,46 @@ class CatalogSpec extends SparkSpec {
     assert(!spark.sql("SHOW TABLES IN scratch.ns1").collect().map(_.getString(1)).contains("t1"))
   }
 
+  test("SQL INSERT INTO appends a snapshot; INSERT OVERWRITE truncates") {
+    useCatalogs()
+    spark.sql("DROP TABLE IF EXISTS scratch.ns1.w1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.ns1")
+    spark.sql("CREATE TABLE scratch.ns1.w1 (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO scratch.ns1.w1 VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.w1")
+      .collect()(0).getLong(0) == 2L)
+    spark.sql("INSERT INTO scratch.ns1.w1 SELECT id + 10, upper(name) FROM scratch.ns1.w1")
+    assert(spark.sql("SELECT id FROM scratch.ns1.w1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 11L, 12L))
+    // each INSERT committed a snapshot; time travel sees the first alone
+    spark.sql("INSERT OVERWRITE scratch.ns1.w1 VALUES (99, 'z')")
+    assert(spark.sql("SELECT id, name FROM scratch.ns1.w1")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((99L, "z")))
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.w1 VERSION AS OF 1")
+      .collect()(0).getLong(0) == 2L)
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.w1 VERSION AS OF 2")
+      .collect()(0).getLong(0) == 4L)
+    // dataframe API rides the same path
+    spark.range(3).selectExpr("id + 100 AS id", "'df' AS name")
+      .writeTo("scratch.ns1.w1").append()
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.w1")
+      .collect()(0).getLong(0) == 4L)
+    spark.sql("DROP TABLE scratch.ns1.w1")
+  }
+
+  test("time-travel-pinned tables refuse writes") {
+    useCatalogs()
+    spark.sql("DROP TABLE IF EXISTS scratch.ns1.w2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.ns1")
+    spark.sql("CREATE TABLE scratch.ns1.w2 (id BIGINT)")
+    spark.sql("INSERT INTO scratch.ns1.w2 VALUES (1)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO scratch.ns1.w2 VERSION AS OF 1 VALUES (2)")
+    }
+    assert(e.getMessage != null)
+    spark.sql("DROP TABLE scratch.ns1.w2")
+  }
+
   test("legacy .view.json views are still readable (up-converted)") {
     import graft.iceberg.connector.GraftCatalog
     useCatalogs()
