@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * The reference has NO write path (SURVEY §2.C — its fixtures were
   * committed by Spark upstream), so this is an extension, not parity: it
   * makes the engine usable end-to-end (CREATE TABLE → append → scan /
-  * time travel) and feeds the q54 oracle gate. Deliberately minimal:
-  * append-only (no deletes/overwrites), no column bounds in manifests
-  * (pruning then keeps everything — sound, just unoptimized), identity
-  * partitioning not written (data files land unpartitioned).
+  * time travel) and feeds the q54/q55 oracle gates. Append and
+  * truncate-overwrite snapshots; partitioned tables (identity and all
+  * read-side transforms) cluster files by partition value and record
+  * exact partition tuples + manifest summaries, so written tables prune.
+  * Deliberately minimal: no delete files written, no column bounds in
+  * manifests (pruning then keeps everything — sound, just unoptimized).
   *
   * The data files themselves are written by Spark's parquet writer — the
   * commit protocol here is only the metadata bookkeeping, all through
@@ -54,6 +56,55 @@ object IcebergWriter {
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  /** Avro type of a transformed partition value, per its Spark result
+    * type (read back through `jvm()` these yield exactly the Int/Long/
+    * String shapes [[Pruning]] compares). */
+  private def avroPartType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => "\"int\""
+      case DateType => "{\"type\":\"int\",\"logicalType\":\"date\"}"
+      case LongType => "\"long\""
+      case TimestampType | TimestampNTZType =>
+        "{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}"
+      case StringType => "\"string\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case BooleanType => "\"boolean\""
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition value type ${other.simpleString}")
+    }
+  }
+
+  /** Manifest-entry schema: the static shape plus, for partitioned
+    * tables, the spec's `partition` record (field names = partition-spec
+    * field names, the key the read side's tuple lookup uses). */
+  private def manifestSchemaFor(
+      spec: Seq[PartitionField],
+      resultTypes: Seq[org.apache.spark.sql.types.DataType]): Schema = {
+    if (spec.isEmpty) return manifestSchema
+    val partFields = spec.zipWithIndex.map { case (p, i) =>
+      s"""{"name":"${p.name}","type":["null",${avroPartType(resultTypes(i))}],"default":null}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int"},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"file_path","type":"string"},
+         |  {"name":"file_format","type":"string"},
+         |  {"name":"record_count","type":"long"},
+         |  {"name":"file_size_in_bytes","type":"long"},
+         |  {"name":"partition","type":["null",
+         |    {"type":"record","name":"r102","fields":[$partFields]}],
+         |   "default":null}]}}]}""".stripMargin)
+  }
+
+  private def isNanValue(v: Any): Boolean = v match {
+    case f: Float => f.isNaN
+    case d: Double => d.isNaN
+    case _ => false
+  }
 
   private def writeAvro(fsPath: Path, conf: org.apache.hadoop.conf.Configuration,
                         schema: Schema, records: Seq[GenericRecord]): Long = {
@@ -100,31 +151,104 @@ object IcebergWriter {
       }
     }: _*)
     val dataDir = s"$tableDir/data/s$snapId"
-    stamped.write.mode("overwrite").parquet(dataDir)
-    val fs = new Path(dataDir).getFileSystem(conf)
-    val files = fs.listStatus(new Path(dataDir))
-      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-    // exact per-file record counts in one scan, matched by file name
-    val counts: Map[String, Long] = spark.read.parquet(dataDir)
-      .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
 
-    // 2. manifest for this snapshot's files
-    val dfSchema = manifestSchema.getField("data_file").schema
+    // Partitioned tables: compute each row's transformed partition value
+    // with the SAME transform code the read side prunes with
+    // ([[IcebergTransform]] → [[PartitionTransforms.apply]]), cluster the
+    // write by it (`partitionBy` — one partition value per data file,
+    // the Iceberg invariant), and record exact partition tuples +
+    // manifest summaries so everything this writer produces prunes.
+    // The derived `__gp_i` columns land in directory names, NOT in the
+    // data files; source columns stay in the files, so identity-
+    // partitioned tables still take the native vectorized batch path.
+    val spec = meta.partitionSpec
+    val idToName = idByName.map(_.swap)
+    val gpNames = spec.indices.map(i => s"__gp_$i")
+    val srcTypes = spec.map { p =>
+      val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
+        s"partition source field id ${p.sourceId} not in schema"))
+      df.schema(src).dataType
+    }
+    val resultTypes = spec.zipWithIndex.map { case (p, i) =>
+      PartitionTransforms.resultType(p.transform, srcTypes(i))
+    }
+    val writeDf = spec.zipWithIndex.foldLeft(stamped) { case (d, (p, i)) =>
+      val src = idToName(p.sourceId)
+      d.withColumn(gpNames(i), org.apache.spark.sql.GraftColumnShim.column(
+        IcebergTransform(p.transform,
+          org.apache.spark.sql.GraftColumnShim.expression(col(src)))))
+    }
+    if (spec.isEmpty) writeDf.write.mode("overwrite").parquet(dataDir)
+    else writeDf.write.mode("overwrite").partitionBy(gpNames: _*).parquet(dataDir)
+
+    val fs = new Path(dataDir).getFileSystem(conf)
+    def listParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) listParquet(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Nil
+      }
+    val files = listParquet(new Path(dataDir))
+    // exact per-file record counts AND partition tuples in one scan:
+    // Spark's partition discovery parses the __gp_i directory values back
+    // (unescaping included); cast pins the discovered type to the
+    // transform's result type
+    val rbAggs = count(lit(1)).as("c") +: spec.indices.map(i =>
+      first(col(gpNames(i)).cast(resultTypes(i))).as(gpNames(i)))
+    val info: Map[String, org.apache.spark.sql.Row] =
+      if (files.isEmpty) Map.empty
+      else spark.read.parquet(dataDir)
+        .groupBy(input_file_name().as("f")).agg(rbAggs.head, rbAggs.tail: _*)
+        .collect()
+        .map(r => new Path(r.getString(0)).getName -> r).toMap
+
+    // 2. manifest for this snapshot's files (exact partition tuple per
+    // file when the table is partitioned)
+    val mSchema = manifestSchemaFor(spec, resultTypes)
+    val dfSchema = mSchema.getField("data_file").schema
+    val partSchema =
+      if (spec.isEmpty) null
+      else dfSchema.getField("partition").schema.getTypes.get(1)
+    // row layout from the read-back agg: (file, count, gp_0, gp_1, …)
+    def normalizedPart(row: org.apache.spark.sql.Row, i: Int): Any =
+      Pruning.normalize(row.get(2 + i))
     val entries = files.map { st =>
+      val row = info.get(st.getPath.getName)
       val d = new GenericData.Record(dfSchema)
       d.put("file_path", st.getPath.toString)
       d.put("file_format", "PARQUET")
-      d.put("record_count", counts.getOrElse(st.getPath.getName, 0L))
+      d.put("record_count", row.map(_.getLong(1)).getOrElse(0L))
       d.put("file_size_in_bytes", st.getLen)
-      val e = new GenericData.Record(manifestSchema)
+      if (spec.nonEmpty) {
+        val pr = new GenericData.Record(partSchema)
+        spec.zipWithIndex.foreach { case (p, i) =>
+          pr.put(p.name, row.map(normalizedPart(_, i)).orNull)
+        }
+        d.put("partition", pr)
+      }
+      val e = new GenericData.Record(mSchema)
       e.put("status", 1)
       e.put("data_file", d)
       e.asInstanceOf[GenericRecord]
     }
     val manifestPath = new Path(s"$tableDir/metadata/m-s$snapId.avro")
-    val manifestLen = writeAvro(manifestPath, conf, manifestSchema, entries)
+    val manifestLen = writeAvro(manifestPath, conf, mSchema, entries)
+
+    // partition summaries for the new manifest's manifest-list entry —
+    // what manifest-level pruning reads before touching the manifest
+    val newSummaries: Seq[PartitionSummary] = spec.indices.map { i =>
+      val vals = files.flatMap(st =>
+        info.get(st.getPath.getName).map(normalizedPart(_, i)))
+      val nonNull = vals.filter(v => v != null && !isNanValue(v))
+      def pick(keepLeft: Int => Boolean): Option[Any] = nonNull.reduceOption {
+        (a, b) => if (Pruning.compare(a, b).exists(keepLeft)) a else b
+      }
+      PartitionSummary(
+        containsNull = vals.contains(null),
+        containsNan = Some(vals.exists(isNanValue)),
+        lowerBound = pick(_ <= 0).flatMap(SingleValue.encode(_, resultTypes(i))),
+        upperBound = pick(_ >= 0).flatMap(SingleValue.encode(_, resultTypes(i))))
+    }
     val added = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
       .get("record_count").asInstanceOf[Long]).sum
 
@@ -168,7 +292,7 @@ object IcebergWriter {
       mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
       mlRec(manifestPath.toString, manifestLen, 0, Some(snapId), Some(added),
-        meta.defaultSpecId, Nil)
+        meta.defaultSpecId, newSummaries)
     val listPath = new Path(s"$tableDir/metadata/snap-$snapId.avro")
     writeAvro(listPath, conf, manifestListSchema, listRecs)
 

@@ -39,4 +39,31 @@ object SingleValue {
       case _ => None
     } catch { case _: Exception => None }
   }
+
+  /** Inverse of [[decode]] for the writer: encodes a JVM value (post-
+    * [[Pruning.normalize]] — dates as epoch-day Int, timestamps as micros
+    * Long) into the spec's single-value byte layout. None = type not
+    * encodable → the writer records no bound (advisory stats, never
+    * required). */
+  def encode(v: Any, dt: DataType): Option[Array[Byte]] = {
+    if (v == null) return None
+    def le(n: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+      val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+      fill(b); b.array()
+    }
+    try dt match {
+      case BooleanType => Some(Array(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte))
+      case IntegerType | DateType =>
+        Some(le(4)(_.putInt(v.asInstanceOf[Number].intValue)))
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(le(8)(_.putLong(v.asInstanceOf[Number].longValue)))
+      case FloatType  => Some(le(4)(_.putFloat(v.asInstanceOf[Number].floatValue)))
+      case DoubleType => Some(le(8)(_.putDouble(v.asInstanceOf[Number].doubleValue)))
+      case StringType => Some(v.toString.getBytes(StandardCharsets.UTF_8))
+      case BinaryType => Some(v.asInstanceOf[Array[Byte]])
+      case d: DecimalType =>
+        Some(v.asInstanceOf[BigDecimal].underlying.unscaledValue.toByteArray)
+      case _ => None
+    } catch { case _: Exception => None }
+  }
 }

@@ -41,8 +41,10 @@ trait CatalogStore {
   def tableToken(ns: Seq[String], name: String): Option[String]
   /** Load the Iceberg table (throws `NoSuchElementException` if absent). */
   def loadIcebergTable(ns: Seq[String], name: String): IcebergTable
+  /** `partitionCols` entries are (sourceColumn, icebergTransform). */
   def createTable(ns: Seq[String], name: String, schema: StructType,
-                  partitionCols: Seq[String], properties: Map[String, String]): Unit
+                  partitionCols: Seq[(String, String)],
+                  properties: Map[String, String]): Unit
   def dropTable(ns: Seq[String], name: String): Boolean
   def renameTable(fromNs: Seq[String], fromName: String,
                   toNs: Seq[String], toName: String): Unit
@@ -136,7 +138,7 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     new IcebergTable(dirFor(ns :+ name).toString, conf)
 
   override def createTable(ns: Seq[String], name: String, schema: StructType,
-                           partitionCols: Seq[String],
+                           partitionCols: Seq[(String, String)],
                            properties: Map[String, String]): Unit = {
     val dir = dirFor(ns :+ name)
     val json = IcebergJson.tableMetadata(mapper, dir.toString, schema,

@@ -188,11 +188,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partitionCols = partitions.toSeq.map {
-      case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
-      case other =>
-        throw new UnsupportedOperationException(
-          s"only identity partitioning is supported, got: $other")
+    // Spark's transform surface → Iceberg transform strings. SQL forms:
+    // PARTITIONED BY (col), (days(ts)), (bucket(4, id)), (truncate(name, 3))
+    def refOf(t: Transform): String = t.references.head.fieldNames.mkString(".")
+    def intArg(t: Transform): Int = t.arguments.collectFirst {
+      case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        lit.value.asInstanceOf[Number].intValue
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform ${t.name} needs an integer argument: $t"))
+    val partitionCols: Seq[(String, String)] = partitions.toSeq.map { t =>
+      t.name match {
+        case "identity" => refOf(t) -> "identity"
+        case "years" | "year" => refOf(t) -> "year"
+        case "months" | "month" => refOf(t) -> "month"
+        case "days" | "day" => refOf(t) -> "day"
+        case "hours" | "hour" => refOf(t) -> "hour"
+        case "bucket" => refOf(t) -> s"bucket[${intArg(t)}]"
+        case "truncate" => refOf(t) -> s"truncate[${intArg(t)}]"
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform: $other")
+      }
     }
     store.createTable(ident.namespace.toSeq, ident.name, schema, partitionCols,
       Option(properties).map(_.asScala.toMap).getOrElse(Map.empty))
@@ -417,11 +432,24 @@ object IcebergJson {
     root
   }
 
+  /** Spec-field name for a (sourceCol, transform) pair — the Iceberg
+    * writer convention: identity keeps the column name; transforms
+    * suffix it (`ts_day`, `id_bucket`, `s_trunc`). */
+  def specFieldName(sourceCol: String, transform: String): String =
+    transform match {
+      case "identity" => sourceCol
+      case t =>
+        val base = t.takeWhile(_ != '[')
+        s"${sourceCol}_${if (base == "truncate") "trunc" else base}"
+    }
+
+  /** `partitionCols` entries are (sourceColumn, icebergTransform) —
+    * e.g. ("ts", "day"), ("id", "bucket[4]"), ("name", "identity"). */
   def tableMetadata(
       mapper: ObjectMapper,
       location: String,
       schema: StructType,
-      partitionCols: Seq[String],
+      partitionCols: Seq[(String, String)],
       properties: Map[String, String]): String = {
     val root = mapper.createObjectNode()
     root.put("format-version", 1)
@@ -450,10 +478,10 @@ object IcebergJson {
     val spec = specs.addObject()
     spec.put("spec-id", 0)
     val sf = spec.putArray("fields")
-    partitionCols.zipWithIndex.foreach { case (c, i) =>
+    partitionCols.zipWithIndex.foreach { case ((c, transform), i) =>
       val f = sf.addObject()
-      f.put("name", c)
-      f.put("transform", "identity")
+      f.put("name", specFieldName(c, transform))
+      f.put("transform", transform)
       f.put("source-id", fieldId.getOrElse(c,
         throw new IllegalArgumentException(s"partition column $c not in schema")))
       f.put("field-id", 1000 + i)

@@ -153,7 +153,7 @@ final class RestCatalogStore(
   }
 
   override def createTable(ns: Seq[String], name: String, schema: StructType,
-                           partitionCols: Seq[String],
+                           partitionCols: Seq[(String, String)],
                            properties: Map[String, String]): Unit = {
     val req = mapper.createObjectNode()
     req.put("name", name)
@@ -164,10 +164,10 @@ final class RestCatalogStore(
     val spec = req.putObject("partition-spec")
     spec.put("spec-id", 0)
     val sf = spec.putArray("fields")
-    partitionCols.zipWithIndex.foreach { case (c, i) =>
+    partitionCols.zipWithIndex.foreach { case ((c, transform), i) =>
       val f = sf.addObject()
-      f.put("name", c)
-      f.put("transform", "identity")
+      f.put("name", IcebergJson.specFieldName(c, transform))
+      f.put("transform", transform)
       f.put("source-id", fieldIds.getOrElse(c,
         throw new IllegalArgumentException(s"partition column $c not in schema")))
       f.put("field-id", 1000 + i)

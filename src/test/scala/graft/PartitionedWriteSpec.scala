@@ -1,0 +1,116 @@
+package graft
+
+import java.io.File
+
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+
+import graft.iceberg.IcebergTable
+import graft.iceberg.connector.GraftCatalog
+
+/** Partitioned WRITE path: transformed partition tuples and manifest
+  * summaries recorded at commit time must round-trip through the read
+  * side's pruning — the writer and pruner share one transform
+  * implementation ([[graft.iceberg.IcebergTransform]] →
+  * [[graft.iceberg.PartitionTransforms]]), and these tests pin that the
+  * loop actually closes: what this engine writes, it later prunes.
+  */
+class PartitionedWriteSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/test-pw-warehouse"
+
+  private def useCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.pw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pw.warehouse", warehouse)
+  }
+
+  test("day + bucket partitioned DDL, insert, read back, prune") {
+    useCatalog()
+    FileUtils.deleteQuietly(new File(warehouse))
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pw.ns")
+    spark.sql(
+      """CREATE TABLE pw.ns.ev (id BIGINT, ts TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (days(ts), bucket(4, id))""".stripMargin)
+    spark.sql(
+      """INSERT INTO pw.ns.ev VALUES
+        |(1, TIMESTAMP'2024-01-01 01:00:00', 1.0),
+        |(2, TIMESTAMP'2024-01-01 02:00:00', 2.0),
+        |(3, TIMESTAMP'2024-01-02 03:00:00', 3.0),
+        |(4, TIMESTAMP'2024-01-03 04:00:00', 4.0)""".stripMargin)
+
+    // values survive the round trip
+    assert(spark.sql("SELECT SUM(v) FROM pw.ns.ev").collect()(0).getDouble(0) == 10.0)
+    assert(spark.sql(
+      "SELECT id FROM pw.ns.ev WHERE ts >= TIMESTAMP'2024-01-02 00:00:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+
+    // a source-column ts filter prunes FILES through the day transform
+    val t = IcebergTable(spark, s"$warehouse/ns/ev")
+    val (mk, mt, fk, ft) = t.pruneCounts(Seq(
+      GreaterThanOrEqual("ts", java.time.Instant.parse("2024-01-02T00:00:00Z")),
+      LessThan("ts", java.time.Instant.parse("2024-01-03T00:00:00Z"))))
+    assert(ft >= 3, s"expected at least one file per day-bucket group, got $ft")
+    assert(fk < ft, s"day filter should prune files: kept $fk of $ft")
+    // the kept files contain exactly day 2024-01-02 (id = 3)
+    assert(spark.sql(
+      """SELECT id FROM pw.ns.ev
+        |WHERE ts >= TIMESTAMP'2024-01-02 00:00:00'
+        |  AND ts <  TIMESTAMP'2024-01-03 00:00:00'""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+    // bucket equality on id prunes too (spec-exact murmur3 both sides)
+    val (_, _, fkb, _) = t.pruneCounts(Seq(EqualTo("id", 1L)))
+    assert(fkb < ft, s"bucket filter should prune files: kept $fkb of $ft")
+    assert(spark.sql("SELECT v FROM pw.ns.ev WHERE id = 1")
+      .collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
+
+  test("manifest summaries prune whole manifests before any manifest read") {
+    useCatalog()
+    // appends create one manifest per snapshot: day-disjoint appends must
+    // prune at the MANIFEST level from the summary alone
+    spark.sql("INSERT INTO pw.ns.ev VALUES (5, TIMESTAMP'2024-06-01 00:00:00', 5.0)")
+    val t = IcebergTable(spark, s"$warehouse/ns/ev")
+    val (mk, mt, _, _) = t.pruneCounts(Seq(
+      GreaterThanOrEqual("ts", java.time.Instant.parse("2024-06-01T00:00:00Z"))))
+    assert(mt == 2, s"expected 2 manifests (2 snapshots), got $mt")
+    assert(mk == 1, s"summary should prune the January manifest: kept $mk of $mt")
+  }
+
+  test("identity partition write keeps source columns in files (native path)") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS pw.ns.idp")
+    spark.sql(
+      """CREATE TABLE pw.ns.idp (k BIGINT, region STRING)
+        |PARTITIONED BY (region)""".stripMargin)
+    spark.sql("INSERT INTO pw.ns.idp VALUES (1, 'eu'), (2, 'us'), (3, 'eu')")
+    val t = IcebergTable(spark, s"$warehouse/ns/idp")
+    // region stays in the data files: no metadata re-injection needed
+    assert(t.missingPartitionColumns(spark, t.planFiles()).isEmpty,
+      "identity source column must be materialized in the data files")
+    // one file per (task, partition value): exact counts vary with task
+    // layout, but every 'us' file must be pruned
+    val (_, _, fk, ft) = t.pruneCounts(Seq(EqualTo("region", "eu")))
+    assert(fk < ft, s"identity filter should prune files: kept $fk of $ft")
+    val usFiles = t.planFiles().count(_.partition.get("region").contains("us"))
+    assert(fk == ft - usFiles, s"all $usFiles us-files must be pruned")
+    assert(spark.sql("SELECT k FROM pw.ns.idp WHERE region = 'eu' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("truncate-transform string partition round-trips") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS pw.ns.tr")
+    spark.sql(
+      """CREATE TABLE pw.ns.tr (name STRING, n BIGINT)
+        |PARTITIONED BY (truncate(name, 2))""".stripMargin)
+    spark.sql("INSERT INTO pw.ns.tr VALUES ('alpha', 1), ('alto', 2), ('beta', 3)")
+    val t = IcebergTable(spark, s"$warehouse/ns/tr")
+    val (_, _, fk, ft) = t.pruneCounts(Seq(EqualTo("name", "beta")))
+    val beFiles = t.planFiles().count(_.partition.get("name_trunc").contains("be"))
+    assert(fk == beFiles && fk < ft,
+      s"only the 'be' files should survive: kept $fk of $ft ($beFiles 'be' files)")
+    assert(spark.sql("SELECT SUM(n) FROM pw.ns.tr WHERE name LIKE 'al%'")
+      .collect()(0).getLong(0) == 3L)
+  }
+}
