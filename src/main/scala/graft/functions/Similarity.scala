@@ -31,7 +31,8 @@ object Similarity {
     * (as every operator below does) — this convenience form recomputes
     * both norms per output row.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column =
+    cosFromNorms(dot(a, b), l2Norm(a), l2Norm(b))
 
   /** Per-table SRP bucket ids for LSH — array<long>, codegen'd. */
   def srpBuckets(vec: Column, nBits: Int, tables: Int): Column =
@@ -48,8 +49,12 @@ object Similarity {
   }
 
   /** cosine from a precomputed dot and per-side norms. */
+  /** Zero-norm vectors score 0.0 instead of raising DIVIDE_BY_ZERO under
+    * ANSI mode (or yielding NaN otherwise, which fails every ranking
+    * comparison and silently vanishes from top-k) — the same degenerate-
+    * input rule [[graft.functions.catalyst.NearestCentroids]] applies. */
   private def cosFromNorms(d: Column, na: Column, nb: Column): Column =
-    d / (na * nb)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
 
   /** Brute-force exact top-k nearest neighbours by cosine similarity.
     *
@@ -141,15 +146,12 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centArr = corpus
-      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .withColumn("h", xxhash64(col("c_id")))
-      .orderBy(col("h").asc, col("c_id").asc)
-      .limit(nCentroids)
-      .select(col("c_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_nrm"))
-      .agg(sort_array(collect_list(struct(col("c_id"), col("c_vec"),
-        col("c_nrm")))).as("cents"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
+    val centRows =
+      if (trainIters <= 0) sampleCentroids(corpus, nCentroids, idCol, vecCol)
+      else kmeansCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+    val centArr = centroidArray(centRows)
 
     // Both sides assign via one [[NearestCentroids]] call per row — a
     // runtime loop over the broadcast centroid array (generated code is
@@ -185,6 +187,108 @@ object Similarity {
         round(cosFromNorms(dot(col("q_vec"), col("n_vec")),
           col("q_nrm"), col("n_nrm")), 4).as("score"))
     rankTopK(scored, k)
+  }
+
+  /** Deterministic pseudo-random centroid sample: the `n` corpus vectors
+    * with the smallest `xxhash64(id)`, as (c_id, c_vec: array<double>,
+    * c_nrm) rows. Vectors are cast to double so sampled and k-means-
+    * refined centroids share one schema. */
+  private def sampleCentroids(corpus: DataFrame, n: Int,
+      idCol: String, vecCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"))
+      .withColumn("h", xxhash64(col("c_id")))
+      .orderBy(col("h").asc, col("c_id").asc)
+      .limit(n)
+      .select(col("c_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_nrm"))
+
+  /** Centroid rows folded into the ONE broadcast row [[ivfTopK]] assigns
+    * against (sorted for deterministic tie-breaks). */
+  private def centroidArray(rows: DataFrame): DataFrame =
+    rows.agg(sort_array(collect_list(struct(col("c_id"), col("c_vec"),
+      col("c_nrm")))).as("cents"))
+
+  /** Lloyd's k-means over the corpus, initialized from the deterministic
+    * sample — the training step behind `ivfTopK(trainIters = …)`.
+    *
+    * Per iteration: assignment is the same zero-shuffle map-side
+    * [[graft.functions.catalyst.NearestCentroids]] argmax over one
+    * broadcast centroid row that serving uses, and recentering is ONE
+    * hash aggregation with a primitive-buffer mean
+    * ([[graft.functions.catalyst.VectorMean]]) — no posexplode to
+    * corpus×dims rows, no per-dimension shuffle. Total cost: `iters`
+    * aggregations over the corpus, each one shuffle of nCentroids×dims
+    * partial sums per task. Clusters that lose every member keep their
+    * previous centroid, so k stays fixed and ids stay stable (centroid
+    * ids are the sample vectors' source ids throughout).
+    */
+  /** Farthest-first ("maxmin") init for [[kmeansCentroids]]: a bounded
+    * deterministic candidate sample (8× the centroid count, by minimal
+    * `xxhash64(id)`) is collected and greedily spread ON THE DRIVER —
+    * pick the hash-minimal vector, then repeatedly the candidate least
+    * cosine-similar to everything already picked. Lloyd's converges to a
+    * local optimum of its init; a plain random sample regularly lands two
+    * seeds in one cluster and leaves another uncovered, and no number of
+    * iterations repairs that. The collect is k-bounded (8·k rows), not
+    * corpus-bounded, so the driver does O(k²·dims) work regardless of
+    * corpus size. */
+  private def spreadCentroids(corpus: DataFrame, n: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val cand: Array[(Long, Seq[Double])] =
+      sampleCentroids(corpus, math.max(8 * n, n), idCol, vecCol)
+        .select(col("c_id"), col("c_vec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toSeq))
+    if (cand.isEmpty) return sampleCentroids(corpus, n, idCol, vecCol)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val picked = scala.collection.mutable.ArrayBuffer(cand.head)
+    val rest = scala.collection.mutable.ArrayBuffer(cand.tail: _*)
+    while (picked.size < n && rest.nonEmpty) {
+      // the candidate whose BEST similarity to the picked set is worst
+      val next = rest.minBy { case (id, v) =>
+        (picked.map(p => cos(p._2, v)).max, id) // id tiebreak: deterministic
+      }
+      picked += next
+      rest -= next
+    }
+    import spark.implicits._
+    picked.toSeq.map { case (id, v) => (id, v.toArray) }
+      .toDF("c_id", "c_vec")
+      .select(col("c_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_nrm"))
+  }
+
+  def kmeansCentroids(
+      corpus: DataFrame, nCentroids: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
+    var cents =
+      if (iters <= 0) sampleCentroids(corpus, nCentroids, idCol, vecCol)
+      else spreadCentroids(corpus, nCentroids, idCol, vecCol)
+    val meanAgg = GraftColumnShim.column(
+      graft.functions.catalyst.VectorMean(
+        GraftColumnShim.expression(col("v"))).toAggregateExpression())
+    for (_ <- 1 to iters) {
+      val arr = centroidArray(cents)
+      val assigned = corpus.select(col(vecCol).as("v"))
+        .join(broadcast(arr))
+        .select(get(GraftColumnShim.column(NearestCentroids(
+          GraftColumnShim.expression(col("v")),
+          GraftColumnShim.expression(col("cents")), 1)), lit(0)).as("c_id"),
+          col("v"))
+      val recentered = assigned.groupBy("c_id").agg(meanAgg.as("mv"))
+        .select(col("c_id"), col("mv").as("c_vec"), l2Norm(col("mv")).as("c_nrm"))
+      cents = recentered.unionByName(
+        cents.join(recentered.select("c_id"), Seq("c_id"), "left_anti"))
+    }
+    cents
   }
 
   /** All-pairs cosine over a bounded id range (near-duplicate detection by

@@ -534,6 +534,102 @@ case class MinHashAgg(
   * still applies (the buffer merges associatively), so the shuffle
   * carries one 512-byte buffer per (doc, partition), not tokens.
   */
+/** Element-wise mean of a numeric-array column as array<double> — the
+  * k-means recentering aggregate: ONE typed aggregate with a primitive
+  * buffer per group instead of dims× posexplode rows + a per-dimension
+  * shuffle. Buffer slot 0 holds the row count, slots 1..dims the running
+  * sums (sized lazily by the first non-null vector; later dimension
+  * mismatches are skipped, matching the kernels' null/length rules).
+  */
+case class VectorMean(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] with UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorKernels.isNumericArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vectorMean expects a numeric array, got ${child.dataType.simpleString}")
+
+  // lazy: child is unresolved at construction (the Column-shim path),
+  // so its dataType is only safe to inspect at execution time
+  private lazy val elemFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private lazy val elemInt: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case IntegerType | LongType => true
+      case _ => false
+    }
+
+  override def createAggregationBuffer(): Array[Double] = Array.empty[Double]
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val b = if (buf.isEmpty) new Array[Double](n + 1) else buf
+    if (b.length != n + 1) return b // dimension mismatch: skip the row
+    var i = 0
+    var ok = true
+    while (ok && i < n) { if (a.isNullAt(i)) ok = false; i += 1 }
+    if (!ok) return b
+    b(0) += 1.0
+    i = 0
+    while (i < n) {
+      b(i + 1) +=
+        (if (elemFloat) a.getFloat(i).toDouble
+         else if (elemInt) a.getLong(i).toDouble
+         else a.getDouble(i))
+      i += 1
+    }
+    b
+  }
+
+  override def merge(buf: Array[Double], other: Array[Double]): Array[Double] = {
+    if (other.isEmpty) return buf
+    if (buf.isEmpty) return other
+    if (buf.length != other.length) return buf
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Double]): Any = {
+    if (buf.isEmpty || buf(0) == 0.0) return null
+    val out = new Array[Double](buf.length - 1)
+    var i = 0
+    while (i < out.length) { out(i) = buf(i + 1) / buf(0); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putDouble(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Double](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getDouble(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorMean =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorMean =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorMean =
+    copy(child = newChild)
+}
+
 case class SimhashVotes(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

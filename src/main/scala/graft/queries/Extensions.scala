@@ -120,6 +120,20 @@ object Extensions {
         .orderBy(col("q_id").asc_nulls_first)
     }),
 
+    // IVF with k-means-TRAINED centroids (Lloyd's, 2 iterations): same
+    // clone-recall contract — training moves centroids but assignment
+    // stays deterministic on both sides, so exact duplicates still
+    // retrieve with probability 1
+    "q56_ivf_trained_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val clones = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.ivfTopK(clones, emb, k = 1, nCentroids = 16, nProbe = 2,
+          trainIters = 2)
+        .select(col("q_id"), col("n_id"), col("score"))
+        .orderBy(col("q_id").asc_nulls_first)
+    }),
+
     // approximate distinct (HLL) — engine-specific estimate, rows-only
     "q15b_approx_distinct" -> ((s, d) =>
       t(s, d, "orders")
@@ -345,6 +359,10 @@ object Extensions {
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
     "q53_ivf_clone_recall" ->
+      """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
+    "q56_ivf_trained_recall" ->
       """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
