@@ -106,6 +106,28 @@ object IcebergWriter {
     case _ => false
   }
 
+  private final class UnsupportedPartitionValue extends RuntimeException
+
+  /** Parse one unescaped `__gp_i=` directory value back to the normalized
+    * JVM shape manifests record (dates as epoch-day Int, etc.). Types we
+    * cannot parse faithfully raise → the commit falls back to a Spark
+    * read-back job rather than guessing. */
+  private def parseDirValue(
+      s: String, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    if (s == "__HIVE_DEFAULT_PARTITION__") return null
+    dt match {
+      case IntegerType => s.toInt
+      case LongType => s.toLong
+      case StringType => s
+      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case BooleanType => s.toBoolean
+      case FloatType => s.toFloat
+      case DoubleType => s.toDouble
+      case _ => throw new UnsupportedPartitionValue
+    }
+  }
+
   private def writeAvro(fsPath: Path, conf: org.apache.hadoop.conf.Configuration,
                         schema: Schema, records: Seq[GenericRecord]): Long = {
     val fs = fsPath.getFileSystem(conf)
@@ -189,18 +211,55 @@ object IcebergWriter {
         else Nil
       }
     val files = listParquet(new Path(dataDir))
-    // exact per-file record counts AND partition tuples in one scan:
-    // Spark's partition discovery parses the __gp_i directory values back
-    // (unescaping included); cast pins the discovered type to the
-    // transform's result type
-    val rbAggs = count(lit(1)).as("c") +: spec.indices.map(i =>
-      first(col(gpNames(i)).cast(resultTypes(i))).as(gpNames(i)))
-    val info: Map[String, org.apache.spark.sql.Row] =
-      if (files.isEmpty) Map.empty
-      else spark.read.parquet(dataDir)
-        .groupBy(input_file_name().as("f")).agg(rbAggs.head, rbAggs.tail: _*)
-        .collect()
-        .map(r => new Path(r.getString(0)).getName -> r).toMap
+
+    // Per-file record counts come from the parquet FOOTERS (read in
+    // parallel on the driver — no Spark job), and partition values from
+    // the `__gp_i=` directory segments (the same unescaping Spark's own
+    // discovery applies). A commit with N files costs N parallel footer
+    // reads — the same bookkeeping any Iceberg writer does — instead of a
+    // full data re-scan. Directory values whose type this parser does not
+    // cover (e.g. raw-timestamp identity partitions, whose dir rendering
+    // is session-zone-dependent) fall back to one Spark read-back job.
+    def footerCount(p: Path): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    def dirValues(p: Path): Seq[Any] = {
+      val rel = p.toString.stripPrefix(new Path(dataDir).toString).stripPrefix("/")
+      val byName = rel.split("/").dropRight(1).map { seg =>
+        val eq = seg.indexOf('=')
+        seg.substring(0, eq) ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(eq + 1))
+      }.toMap
+      gpNames.zipWithIndex.map { case (n, i) => parseDirValue(byName(n), resultTypes(i)) }
+    }
+    val info: Map[String, (Long, Seq[Any])] = {
+      val parsed =
+        try Some {
+          val seq = if (files.sizeIs <= 1) files.map(st =>
+            st.getPath.getName -> ((footerCount(st.getPath), dirValues(st.getPath))))
+          else {
+            import scala.collection.parallel.CollectionConverters._
+            files.par.map(st =>
+              st.getPath.getName -> ((footerCount(st.getPath), dirValues(st.getPath))))
+              .seq.toSeq
+          }
+          seq.toMap
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed.getOrElse {
+        // fallback: one Spark job; discovery parses the dir values
+        val rbAggs = count(lit(1)).as("c") +: spec.indices.map(i =>
+          first(col(gpNames(i)).cast(resultTypes(i))).as(gpNames(i)))
+        spark.read.parquet(dataDir)
+          .groupBy(input_file_name().as("f")).agg(rbAggs.head, rbAggs.tail: _*)
+          .collect()
+          .map(r => new Path(r.getString(0)).getName ->
+            ((r.getLong(1), spec.indices.map(i => Pruning.normalize(r.get(2 + i))))))
+          .toMap
+      }
+    }
 
     // 2. manifest for this snapshot's files (exact partition tuple per
     // file when the table is partitioned)
@@ -209,20 +268,17 @@ object IcebergWriter {
     val partSchema =
       if (spec.isEmpty) null
       else dfSchema.getField("partition").schema.getTypes.get(1)
-    // row layout from the read-back agg: (file, count, gp_0, gp_1, …)
-    def normalizedPart(row: org.apache.spark.sql.Row, i: Int): Any =
-      Pruning.normalize(row.get(2 + i))
     val entries = files.map { st =>
-      val row = info.get(st.getPath.getName)
+      val fi = info.get(st.getPath.getName)
       val d = new GenericData.Record(dfSchema)
       d.put("file_path", st.getPath.toString)
       d.put("file_format", "PARQUET")
-      d.put("record_count", row.map(_.getLong(1)).getOrElse(0L))
+      d.put("record_count", fi.map(_._1).getOrElse(0L))
       d.put("file_size_in_bytes", st.getLen)
       if (spec.nonEmpty) {
         val pr = new GenericData.Record(partSchema)
         spec.zipWithIndex.foreach { case (p, i) =>
-          pr.put(p.name, row.map(normalizedPart(_, i)).orNull)
+          pr.put(p.name, fi.map(_._2(i)).orNull)
         }
         d.put("partition", pr)
       }
@@ -237,8 +293,7 @@ object IcebergWriter {
     // partition summaries for the new manifest's manifest-list entry —
     // what manifest-level pruning reads before touching the manifest
     val newSummaries: Seq[PartitionSummary] = spec.indices.map { i =>
-      val vals = files.flatMap(st =>
-        info.get(st.getPath.getName).map(normalizedPart(_, i)))
+      val vals = files.flatMap(st => info.get(st.getPath.getName).map(_._2(i)))
       val nonNull = vals.filter(v => v != null && !isNanValue(v))
       def pick(keepLeft: Int => Boolean): Option[Any] = nonNull.reduceOption {
         (a, b) => if (Pruning.compare(a, b).exists(keepLeft)) a else b

@@ -131,8 +131,15 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
 
   /** Latest metadata file path: an external commit writes a new file and
     * naturally misses the cache. */
-  override def tableToken(ns: Seq[String], name: String): Option[String] =
-    Some(TableMetadata.latestMetadataPath(dirFor(ns :+ name).toString, conf).toString)
+  /** Path + length + mtime of the latest metadata file: a dropped and
+    * recreated table can reuse the exact metadata path (v1.metadata.json
+    * again), so the path alone would serve a stale cached table whose
+    * planned data files no longer exist. */
+  override def tableToken(ns: Seq[String], name: String): Option[String] = {
+    val p = TableMetadata.latestMetadataPath(dirFor(ns :+ name).toString, conf)
+    val st = fs.getFileStatus(p)
+    Some(s"$p#${st.getLen}#${st.getModificationTime}")
+  }
 
   override def loadIcebergTable(ns: Seq[String], name: String): IcebergTable =
     new IcebergTable(dirFor(ns :+ name).toString, conf)
