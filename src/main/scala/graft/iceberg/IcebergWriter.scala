@@ -153,6 +153,136 @@ object IcebergWriter {
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): Long =
     commit(spark, tableDir, df, carryPrior = false)
 
+  /** Filters expressible as EQUALITY-DELETE tuples: a boolean tree of
+    * EqualTo / EqualNullSafe / IsNull / In on table columns, where OR
+    * arms share a column set and AND arms are column-disjoint (their
+    * tuples cross-product). Returns (columns, rows) or None when the
+    * predicate cannot be stated as equality rows (ranges, LIKE, mixed
+    * ORs) — [[deleteWhere]] refuses those via `canDeleteWhere` instead of
+    * guessing. Row count is capped: a pathological IN × IN cross product
+    * should fall back, not materialize. */
+  def equalityTuples(schema: org.apache.spark.sql.types.StructType,
+                     filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[(Seq[String], Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.sources._
+    val maxRows = 10000
+    def combineAnd(a: (Seq[String], Seq[Seq[Any]]), b: (Seq[String], Seq[Seq[Any]]))
+        : Option[(Seq[String], Seq[Seq[Any]])] =
+      if (a._1.intersect(b._1).nonEmpty) None
+      else if (a._2.size.toLong * b._2.size > maxRows) None
+      else Some((a._1 ++ b._1, for { x <- a._2; y <- b._2 } yield x ++ y))
+    def one(f: Filter): Option[(Seq[String], Seq[Seq[Any]])] = f match {
+      case EqualTo(c, v) if schema.fieldNames.contains(c) =>
+        Some((Seq(c), Seq(Seq(v))))
+      case EqualNullSafe(c, v) if schema.fieldNames.contains(c) =>
+        Some((Seq(c), Seq(Seq(v))))
+      case IsNull(c) if schema.fieldNames.contains(c) =>
+        Some((Seq(c), Seq(Seq(null))))
+      case In(c, vs) if schema.fieldNames.contains(c) && vs != null && vs.nonEmpty =>
+        Some((Seq(c), vs.toSeq.map(Seq(_))))
+      case Or(a, b) => for {
+        x <- one(a); y <- one(b)
+        if x._1 == y._1 && x._2.size + y._2.size <= maxRows
+      } yield (x._1, x._2 ++ y._2)
+      case And(a, b) => for {
+        x <- one(a); y <- one(b); c <- combineAnd(x, y)
+      } yield c
+      case _ => None
+    }
+    filters.map(one).reduceOption { (oa, ob) =>
+      for { a <- oa; b <- ob; c <- combineAnd(a, b) } yield c
+    }.flatten
+  }
+
+  /** SQL `DELETE FROM … WHERE <equality predicate>` as MERGE-ON-READ: the
+    * matching tuples are committed as an Iceberg v2 EQUALITY DELETE file
+    * (+ delete manifest) in a new snapshot — no data file is rewritten,
+    * and prior snapshots still read the rows (time travel unaffected).
+    * Sequence gating does the rest: the delete's sequence number applies
+    * it to all data files with a strictly smaller one, so later appends
+    * of the same key values survive, per the spec.
+    *
+    * An empty/AlwaysTrue filter set truncates (empty manifest list), the
+    * same snapshot shape INSERT OVERWRITE commits.
+    */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
+    import org.apache.spark.sql.sources.AlwaysTrue
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(tableDir, conf)
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (effective.isEmpty) { // DELETE FROM t → truncate
+      commitSnapshot(conf, tableDir, snapId, Nil)
+      return snapId
+    }
+    if (meta.currentSnapshot.isEmpty) return -1L // empty table: no-op
+
+    val (cols, tuples) = equalityTuples(meta.schema, effective).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE predicate is not an equality predicate: ${effective.mkString(", ")}"))
+
+    // 1. the equality-delete parquet file (field-id-stamped, one file)
+    val subSchema = org.apache.spark.sql.types.StructType(cols.map { c =>
+      val f = meta.schema(c)
+      f.copy(nullable = true, metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", meta.fieldIds(c).toLong).build())
+    })
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        tuples.map(t => org.apache.spark.sql.Row.fromSeq(t))).asJava
+    val delDir = s"$tableDir/data/del-s$snapId"
+    spark.createDataFrame(rows, subSchema).coalesce(1)
+      .write.mode("overwrite").parquet(delDir)
+    val fs = new Path(delDir).getFileSystem(conf)
+    val delFile = fs.listStatus(new Path(delDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+
+    // 2. delete manifest (data_file.content = 2 → equality deletes)
+    val dfSchema = deleteManifestSchema.getField("data_file").schema
+    val d = new GenericData.Record(dfSchema)
+    d.put("content", 2)
+    d.put("file_path", delFile.getPath.toString)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", tuples.size.toLong)
+    d.put("file_size_in_bytes", delFile.getLen)
+    val ids = new java.util.ArrayList[Integer](cols.size)
+    cols.foreach(c => ids.add(meta.fieldIds(c)))
+    d.put("equality_ids", ids)
+    val e = new GenericData.Record(deleteManifestSchema)
+    e.put("status", 1)
+    e.put("data_file", d)
+    val manifestPath = new Path(s"$tableDir/metadata/m-del-s$snapId.avro")
+    val manifestLen = writeAvro(manifestPath, conf, deleteManifestSchema,
+      Seq(e.asInstanceOf[GenericRecord]))
+
+    // 3. manifest list: prior manifests + the delete manifest (content 1)
+    val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    val listRecs = prev.map(m =>
+      mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
+        m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
+      mlRec(manifestPath.toString, manifestLen, 1, Some(snapId),
+        Some(tuples.size.toLong), meta.defaultSpecId, Nil)
+    commitSnapshot(conf, tableDir, snapId, listRecs)
+    snapId
+  }
+
+  private val deleteManifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |   "default":null}]}}]}""".stripMargin)
+
   private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
                      carryPrior: Boolean): Long = {
     val conf = spark.sessionState.newHadoopConf()
@@ -314,44 +444,54 @@ object IcebergWriter {
         resolveAgainst(meta, tableDir, s.manifestList), conf)
       case _ => Nil
     }
-    // Prior manifests are re-recorded with their content kind, sequence
-    // number, spec id, and partition summaries intact — dropping content
-    // or sequence would resurrect deleted rows / break sequence gating;
-    // relabeling an evolved spec id as 0 would misjudge old-spec partition
-    // tuples; dropping summaries would turn manifest pruning off for them.
-    def mlRec(path: String, length: Long, content: Int, seq: Option[Long],
-              rows: Option[Long], specId: Int,
-              parts: Seq[PartitionSummary]): GenericRecord = {
-      val r = new GenericData.Record(manifestListSchema)
-      r.put("manifest_path", path)
-      r.put("manifest_length", length)
-      r.put("partition_spec_id", specId)
-      r.put("content", content)
-      seq.foreach(n => r.put("sequence_number", n))
-      rows.foreach(n => r.put("added_rows_count", n))
-      if (parts.nonEmpty) {
-        val arr = new java.util.ArrayList[GenericRecord](parts.size)
-        parts.foreach { p =>
-          val fr = new GenericData.Record(fieldSummarySchema)
-          fr.put("contains_null", p.containsNull)
-          p.containsNan.foreach(v => fr.put("contains_nan", v))
-          p.lowerBound.foreach(b => fr.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
-          p.upperBound.foreach(b => fr.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
-          arr.add(fr)
-        }
-        r.put("partitions", arr)
-      }
-      r
-    }
     val listRecs = prev.map(m =>
       mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
       mlRec(manifestPath.toString, manifestLen, 0, Some(snapId), Some(added),
         meta.defaultSpecId, newSummaries)
+    commitSnapshot(conf, tableDir, snapId, listRecs)
+    snapId
+  }
+
+  /** One manifest-list record. Prior manifests are re-recorded with their
+    * content kind, sequence number, spec id, and partition summaries
+    * intact — dropping content or sequence would resurrect deleted rows /
+    * break sequence gating; relabeling an evolved spec id as 0 would
+    * misjudge old-spec partition tuples; dropping summaries would turn
+    * manifest pruning off for them. */
+  private def mlRec(path: String, length: Long, content: Int, seq: Option[Long],
+                    rows: Option[Long], specId: Int,
+                    parts: Seq[PartitionSummary]): GenericRecord = {
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", path)
+    r.put("manifest_length", length)
+    r.put("partition_spec_id", specId)
+    r.put("content", content)
+    seq.foreach(n => r.put("sequence_number", n))
+    rows.foreach(n => r.put("added_rows_count", n))
+    if (parts.nonEmpty) {
+      val arr = new java.util.ArrayList[GenericRecord](parts.size)
+      parts.foreach { p =>
+        val fr = new GenericData.Record(fieldSummarySchema)
+        fr.put("contains_null", p.containsNull)
+        p.containsNan.foreach(v => fr.put("contains_nan", v))
+        p.lowerBound.foreach(b => fr.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+        p.upperBound.foreach(b => fr.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+        arr.add(fr)
+      }
+      r.put("partitions", arr)
+    }
+    r
+  }
+
+  /** Write the manifest list and the next metadata.json (append the
+    * snapshot, move the current pointer). The metadata write uses
+    * create-new as its commit primitive. */
+  private def commitSnapshot(
+      conf: org.apache.hadoop.conf.Configuration, tableDir: String,
+      snapId: Long, listRecs: Seq[GenericRecord]): Unit = {
     val listPath = new Path(s"$tableDir/metadata/snap-$snapId.avro")
     writeAvro(listPath, conf, manifestListSchema, listRecs)
-
-    // 4. next metadata.json: append the snapshot, move the current pointer
     val mapper = new ObjectMapper()
     val latest = TableMetadata.latestMetadataPath(tableDir, conf)
     val in = latest.getFileSystem(conf).open(latest)
@@ -375,7 +515,6 @@ object IcebergWriter {
     try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    snapId
   }
 
   /** Same relocation rule as IcebergTable.resolve, usable pre-load. */

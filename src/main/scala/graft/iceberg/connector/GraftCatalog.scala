@@ -452,7 +452,9 @@ object IcebergJson {
       partitionCols: Seq[(String, String)],
       properties: Map[String, String]): String = {
     val root = mapper.createObjectNode()
-    root.put("format-version", 1)
+    // v2: tables this catalog creates may later carry row-level deletes
+    // (DELETE FROM commits equality-delete files), a v2 feature
+    root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
       location.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
     root.put("location", location)

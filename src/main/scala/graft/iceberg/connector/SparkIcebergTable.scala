@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -39,7 +39,7 @@ import graft.iceberg.{DataFileEntry, IcebergTable, IcebergWriter}
   */
 final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     writable: Boolean = true)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tableName
 
@@ -67,6 +67,22 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table)
+
+  /** SQL DELETE as merge-on-read: equality predicates commit an Iceberg
+    * v2 equality-delete file (no data rewrite; prior snapshots keep the
+    * rows); an empty predicate truncates. Non-equality predicates (ranges,
+    * LIKE) are refused via `canDeleteWhere` — Spark then raises a clear
+    * error instead of this table guessing at row-level rewrites. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    canWrite && (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) ||
+      IcebergWriter.equalityTuples(schema(), filters.toSeq).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (!canWrite) throw new UnsupportedOperationException(
+      s"$tableName is read-only")
+    IcebergWriter.deleteWhere(
+      org.apache.spark.sql.SparkSession.active, table.tableDir, filters.toSeq)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!canWrite) throw new UnsupportedOperationException(

@@ -125,6 +125,31 @@ object IcebergQueries {
         """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
           |FROM q55cat.ns.nation_w
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // SQL DELETE end-to-end: rows removed by an equality predicate commit
+    // as a v2 equality-delete file (merge-on-read — no data rewrite), and
+    // the read back is hash-gated against the oracle stating the same
+    // surviving set. Also exercises sequence gating implicitly: the
+    // delete snapshot follows the insert snapshot.
+    "q57_sql_delete" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q57-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q57")
+      s.conf.set("spark.sql.catalog.q57cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q57cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q57cat.ns")
+      s.sql(
+        """CREATE TABLE q57cat.ns.nation_d AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q57""".stripMargin)
+      s.sql("DELETE FROM q57cat.ns.nation_d WHERE n_regionkey = 2")
+      s.sql("DELETE FROM q57cat.ns.nation_d WHERE n_nationkey IN (0, 1)")
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+          |FROM q57cat.ns.nation_d
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }))
 
   /** DuckDB sees the same bytes by reading the fixture's data files
@@ -150,5 +175,9 @@ object IcebergQueries {
     "q55_sql_write" ->
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
         |FROM nation WHERE n_regionkey <> 1
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q57_sql_delete" ->
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+        |FROM nation WHERE n_regionkey <> 2 AND n_nationkey NOT IN (0, 1)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 }

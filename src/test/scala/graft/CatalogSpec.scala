@@ -114,6 +114,40 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE scratch.ns1.w1")
   }
 
+  test("SQL DELETE commits an equality-delete snapshot (merge-on-read)") {
+    useCatalogs()
+    spark.sql("DROP TABLE IF EXISTS scratch.ns1.d1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.ns1")
+    spark.sql("CREATE TABLE scratch.ns1.d1 (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO scratch.ns1.d1 VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    spark.sql("DELETE FROM scratch.ns1.d1 WHERE id = 2 OR id = 4")
+    assert(spark.sql("SELECT id FROM scratch.ns1.d1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // merge-on-read: the data snapshot is untouched; time travel sees all 4
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.d1 VERSION AS OF 1")
+      .collect()(0).getLong(0) == 4L)
+    // sequence gating: re-inserting a deleted key survives the old delete
+    spark.sql("INSERT INTO scratch.ns1.d1 VALUES (2, 'b2')")
+    assert(spark.sql("SELECT name FROM scratch.ns1.d1 WHERE id = 2")
+      .collect().map(_.getString(0)).toSeq == Seq("b2"))
+    // multi-column AND + IN forms
+    spark.sql("DELETE FROM scratch.ns1.d1 WHERE id IN (1, 3) AND name = 'c'")
+    assert(spark.sql("SELECT id FROM scratch.ns1.d1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // non-equality predicates are refused with an error, not mis-applied
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM scratch.ns1.d1 WHERE id > 1")
+    }
+    assert(e.getMessage != null)
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.d1")
+      .collect()(0).getLong(0) == 2L, "refused DELETE must change nothing")
+    // unqualified DELETE truncates
+    spark.sql("DELETE FROM scratch.ns1.d1")
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.d1")
+      .collect()(0).getLong(0) == 0L)
+    spark.sql("DROP TABLE scratch.ns1.d1")
+  }
+
   test("time-travel-pinned tables refuse writes") {
     useCatalogs()
     spark.sql("DROP TABLE IF EXISTS scratch.ns1.w2")
