@@ -128,7 +128,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       new GraftSqlViewTable(v.name, v.query, v.schema,
         v.currentCatalog, v.currentNamespace)
     }
-    else if (!store.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
+    else if (!store.tableExists(ns, ident.name)) {
+      // metadata tables: `cat.ns.tbl.snapshots` parses as
+      // Identifier(ns :+ tbl, "snapshots") — serve it when the prefix is
+      // a real table and the trailing name is a known metadata view
+      if (ns.nonEmpty && MetadataTables.names.contains(ident.name) &&
+          store.tableExists(ns.init, ns.last)) {
+        val parent = (ns :+ ident.name).mkString(".")
+        MetadataTables.forName(parent, ident.name,
+          store.loadIcebergTable(ns.init, ns.last))
+      }
+      else throw new NoSuchTableException(ident)
+    }
     else {
       val fullName = (ident.namespace :+ ident.name).mkString(".")
       val w = store.supportsLocalCommit

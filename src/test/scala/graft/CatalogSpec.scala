@@ -148,6 +148,32 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE scratch.ns1.d1")
   }
 
+  test("metadata tables: snapshots / files / manifests resolve in SQL") {
+    useCatalogs()
+    spark.sql("DROP TABLE IF EXISTS scratch.ns1.m1")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.ns1")
+    spark.sql("CREATE TABLE scratch.ns1.m1 (id BIGINT)")
+    spark.sql("INSERT INTO scratch.ns1.m1 VALUES (1), (2)")
+    spark.sql("INSERT INTO scratch.ns1.m1 VALUES (3)")
+    val snaps = spark.sql(
+      "SELECT snapshot_id, is_current FROM scratch.ns1.m1.snapshots ORDER BY snapshot_id")
+      .collect()
+    assert(snaps.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(snaps.map(_.getBoolean(1)).toSeq == Seq(false, true))
+    assert(spark.sql("SELECT SUM(record_count) FROM scratch.ns1.m1.files")
+      .collect()(0).getLong(0) == 3L)
+    val mans = spark.sql(
+      "SELECT content, sequence_number FROM scratch.ns1.m1.manifests ORDER BY sequence_number")
+      .collect()
+    assert(mans.length == 2 && mans.forall(_.getInt(0) == 0))
+    assert(mans.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    // metadata freshness: a new snapshot shows up without re-resolving
+    spark.sql("INSERT INTO scratch.ns1.m1 VALUES (4)")
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.m1.snapshots")
+      .collect()(0).getLong(0) == 3L)
+    spark.sql("DROP TABLE scratch.ns1.m1")
+  }
+
   test("time-travel-pinned tables refuse writes") {
     useCatalogs()
     spark.sql("DROP TABLE IF EXISTS scratch.ns1.w2")
