@@ -33,6 +33,11 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   @volatile private var server: HttpServer = _
   private def port: Int = server.getAddress.getPort
 
+  /** /v1/config payload; tests flip between overrides- and
+    * defaults-delivered prefixes (spec: overrides win, defaults fill). */
+  @volatile private var configJson =
+    """{"defaults":{},"overrides":{"prefix":"testwh"}}"""
+
   // -- stub server -----------------------------------------------------------
 
   private def json(x: HttpExchange, code: Int, body: String): Unit = {
@@ -51,7 +56,7 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         .asInstanceOf[ObjectNode]
     (method, path.stripPrefix("/v1/").split("/").toList) match {
       case ("GET", "config" :: Nil) =>
-        json(x, 200, """{"defaults":{},"overrides":{"prefix":"testwh"}}""")
+        json(x, 200, configJson)
       case ("GET", "testwh" :: "namespaces" :: Nil) =>
         val arr = namespaces.toSeq.sorted
           .map(n => s"""["${n}"]""").mkString(",")
@@ -227,6 +232,19 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(namespaces.contains("rns"), "stub should have received the POST")
     val ns = spark.sql("SHOW NAMESPACES IN restcat").collect().map(_.getString(0))
     assert(ns.contains("rns"))
+  }
+
+  test("REST: prefix advertised under defaults (not overrides) still routes") {
+    val saved = configJson
+    configJson = """{"defaults":{"prefix":"testwh"},"overrides":{}}"""
+    try {
+      // a fresh catalog instance fetches /v1/config anew
+      spark.conf.set("spark.sql.catalog.restcat2", classOf[GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.restcat2.uri", s"http://127.0.0.1:$port")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat2.rns2")
+      assert(namespaces.contains("rns2"),
+        "defaults.prefix must route to /v1/testwh/... like overrides.prefix")
+    } finally configJson = saved
   }
 
   test("REST: create / load / drop table round-trip (reference catalog.rs parity)") {
