@@ -269,26 +269,41 @@ object Similarity {
       corpus: DataFrame, nCentroids: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.GraftColumnShim
-    var cents =
-      if (iters <= 0) sampleCentroids(corpus, nCentroids, idCol, vecCol)
-      else spreadCentroids(corpus, nCentroids, idCol, vecCol)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Centroids live on the DRIVER between iterations (≤ k rows of dims
+    // doubles): each Lloyd's step is then exactly ONE corpus aggregation.
+    // Keeping them as a DataFrame lineage instead would re-run the whole
+    // corpus assignment a second time per step through the empty-cluster
+    // check's recomputed branch (the regression PlanShapeSpec pins).
+    var cents: Seq[(Long, Seq[Double])] =
+      (if (iters <= 0) sampleCentroids(corpus, nCentroids, idCol, vecCol)
+       else spreadCentroids(corpus, nCentroids, idCol, vecCol))
+        .select(col("c_id"), col("c_vec")).collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Double]](1).toSeq))
+        .toSeq
+    def toDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      cs.map { case (id, v) => (id, v.toArray) }.toDF("c_id", "c_vec")
+        .select(col("c_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_nrm"))
     val meanAgg = GraftColumnShim.column(
       graft.functions.catalyst.VectorMean(
         GraftColumnShim.expression(col("v"))).toAggregateExpression())
     for (_ <- 1 to iters) {
-      val arr = centroidArray(cents)
-      val assigned = corpus.select(col(vecCol).as("v"))
+      val arr = centroidArray(toDf(cents))
+      val recentered: Map[Long, Seq[Double]] = corpus.select(col(vecCol).as("v"))
         .join(broadcast(arr))
         .select(get(GraftColumnShim.column(NearestCentroids(
           GraftColumnShim.expression(col("v")),
           GraftColumnShim.expression(col("cents")), 1)), lit(0)).as("c_id"),
           col("v"))
-      val recentered = assigned.groupBy("c_id").agg(meanAgg.as("mv"))
-        .select(col("c_id"), col("mv").as("c_vec"), l2Norm(col("mv")).as("c_nrm"))
-      cents = recentered.unionByName(
-        cents.join(recentered.select("c_id"), Seq("c_id"), "left_anti"))
+        .groupBy("c_id").agg(meanAgg.as("mv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]](1).toSeq)
+        .toMap
+      // clusters that lost every member keep their previous centroid
+      cents = cents.map { case (id, v) => (id, recentered.getOrElse(id, v)) }
     }
-    cents
+    toDf(cents)
   }
 
   /** All-pairs cosine over a bounded id range (near-duplicate detection by

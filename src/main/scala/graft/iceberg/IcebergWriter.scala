@@ -153,6 +153,25 @@ object IcebergWriter {
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): Long =
     commit(spark, tableDir, df, carryPrior = false)
 
+  /** Compact the current snapshot: rewrite its live rows into
+    * ~`targetFileBytes` files and commit as a truncate snapshot. The
+    * 100 TB maintenance op — streaming sinks and frequent small appends
+    * accumulate files whose per-file overhead (footer reads, task
+    * scheduling, manifest entries) eventually dominates scan cost.
+    * Reading through [[IcebergTable.toDF]] also MATERIALIZES merge-on-
+    * read deletes: the compacted snapshot carries no delete files, so
+    * readers stop paying the anti-join. Prior snapshots are untouched
+    * (time travel still sees the pre-compaction history). Returns the
+    * new snapshot id.
+    */
+  def compact(spark: SparkSession, tableDir: String,
+              targetFileBytes: Long = 128L << 20): Long = {
+    val t = IcebergTable(spark, tableDir)
+    val totalBytes = t.planFiles().map(_.fileSizeInBytes).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    commit(spark, tableDir, t.toDF(spark).repartition(n), carryPrior = false)
+  }
+
   /** Filters expressible as EQUALITY-DELETE tuples: a boolean tree of
     * EqualTo / EqualNullSafe / IsNull / In on table columns, where OR
     * arms share a column set and AND arms are column-disjoint (their

@@ -55,6 +55,28 @@ object EventStream {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream → Iceberg table: each micro-batch commits ONE append snapshot
+    * through the same [[graft.iceberg.IcebergWriter]] protocol batch
+    * writes use, so downstream readers get snapshot-isolated, time-
+    * travelable increments (and partitioned tables cluster each batch's
+    * files by partition value). `foreachBatch` is the idiomatic bridge
+    * for a sink whose commit is driver-side metadata around a distributed
+    * file write; exactly-once comes from pairing it with a checkpoint —
+    * Spark replays an interrupted batch, and the replay commits a
+    * snapshot with the same rows.
+    *
+    * Caller starts the returned query (`.start()` is NOT called here) so
+    * tests/users control trigger and checkpoint placement.
+    */
+  def icebergSink(stream: DataFrame, tableDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.iceberg.IcebergWriter.append(batch.sparkSession, tableDir, batch.toDF)
+        ()
+    }
+
   /** Read the events parquet directory as a stream (file source), with the
     * same nanos→micros ts normalization as the batch loader.
     */

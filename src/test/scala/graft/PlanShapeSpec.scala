@@ -74,4 +74,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("dotproduct"),
       s"expected the native DotProduct expression:\n$plan")
   }
+
+  test("k-means result is driver-resident: no corpus lineage to re-run downstream") {
+    val cents = Similarity.kmeansCentroids(emb, nCentroids = 4, iters = 1)
+    val plan = physical(cents)
+    // each Lloyd's step runs exactly one corpus aggregation and collects
+    // ≤ k rows; the returned centroids must be a local table, not a
+    // lineage that re-scans and re-assigns the corpus every time a
+    // consumer (ivfTopK, the next iteration) evaluates it
+    assert(plan.contains("LocalTableScan"),
+      s"centroids should be local rows:\n$plan")
+    assert(!plan.contains("FileScan"),
+      s"no corpus lineage may hide behind the centroid result:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Exchange"),
+      s"consuming centroids must cost no shuffle:\n$plan")
+  }
+
+  test("partitioned-write projection keeps IcebergTransform inside codegen") {
+    import graft.iceberg.IcebergTransform
+    import org.apache.spark.sql.GraftColumnShim
+    val ev = Tables.load(spark, sf, "events")
+    val df = ev.withColumn("__gp_0", GraftColumnShim.column(
+      IcebergTransform("day", GraftColumnShim.expression(col("ts")))))
+    val plan = physical(df)
+    // `*(n)` marks a WholeStageCodegen stage; if IcebergTransform's
+    // generated code failed to compile, Spark would fall back and print
+    // the projection unstarred
+    val projLine = plan.linesIterator.find(_.contains("icebergtransform")).getOrElse(
+      fail(s"expected an icebergtransform projection:\n$plan"))
+    assert(projLine.trim.startsWith("*("),
+      s"the write projection must stay in whole-stage codegen:\n$plan")
+  }
 }

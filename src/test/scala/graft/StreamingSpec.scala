@@ -66,4 +66,74 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(sliding > tumbling)
   }
+
+  test("streaming sink commits one Iceberg append snapshot per micro-batch") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.IcebergTable
+    val dir = "/root/repo/target/test-stream-sink"
+    FileUtils.deleteQuietly(new File(dir))
+    import spark.implicits._
+    val seed = Seq((0L, "init")).toDF("event_id", "tag")
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
+      seed.schema, Nil, Map.empty)
+    new File(s"$dir/metadata").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("event_id", "tag")
+    val q = EventStream.icebergSink(stream, dir)
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val t = IcebergTable(spark, dir)
+    assert(t.metadata.snapshots.size == 2,
+      s"one snapshot per non-empty micro-batch, got ${t.metadata.snapshots.size}")
+    assert(t.toDF(spark).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    assert(t.atSnapshot(1L).rowCount() == 2L, "first batch alone in snapshot 1")
+  }
+
+  test("compaction collapses small files and materializes deletes") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    val dir = "/root/repo/target/test-compact"
+    FileUtils.deleteQuietly(new File(dir))
+    import spark.implicits._
+    val df0 = Seq((0L, "seed")).toDF("id", "tag")
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
+      df0.schema, Nil, Map.empty)
+    new File(s"$dir/metadata").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    // 5 tiny append snapshots → ≥5 files, then one equality delete
+    (1L to 5L).foreach(i =>
+      IcebergWriter.append(spark, dir, Seq((i, s"row$i")).toDF("id", "tag")))
+    IcebergWriter.deleteWhere(spark, dir,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 3L)))
+    val before = IcebergTable(spark, dir)
+    assert(before.planFiles().size >= 5 && before.hasDeletes)
+
+    IcebergWriter.compact(spark, dir)
+    val after = IcebergTable(spark, dir)
+    assert(after.planFiles().size < before.planFiles().size,
+      s"compaction must shrink the file count: ${after.planFiles().size}")
+    assert(!after.hasDeletes, "deletes must be materialized away")
+    assert(after.toDF(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 4L, 5L))
+    // history is intact: the pre-compaction snapshot still reads 5 rows
+    assert(before.pinnedSnapshotId.isEmpty)
+    assert(after.atSnapshot(5L).rowCount() == 5L)
+  }
 }
