@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * time travel) and feeds the q54/q55 oracle gates. Append and
   * truncate-overwrite snapshots; partitioned tables (identity and all
   * read-side transforms) cluster files by partition value and record
-  * exact partition tuples + manifest summaries, so written tables prune.
-  * Deliberately minimal: no delete files written, no column bounds in
-  * manifests (pruning then keeps everything — sound, just unoptimized).
+  * exact partition tuples + manifest summaries; per-file column min/max
+  * bounds and null counts are lifted from the parquet footers the commit
+  * opens anyway — so everything this writer produces prunes at both the
+  * manifest and the file level.
   *
   * The data files themselves are written by Spark's parquet writer — the
   * commit protocol here is only the metadata bookkeeping, all through
@@ -48,14 +49,35 @@ object IcebergWriter {
   private val fieldSummarySchema =
     manifestListSchema.getField("partitions").schema.getTypes.get(1).getElementType
 
+  /** The int→long and int→bytes k/v list shapes the Iceberg spec uses for
+    * per-file column statistics (value/null counts, bounds). */
+  private def kvFields(suffix: String): String =
+    s"""{"name":"value_counts","type":["null",{"type":"array","items":
+       |  {"type":"record","name":"k117_v118$suffix","fields":[
+       |    {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+       | "default":null},
+       |{"name":"null_value_counts","type":["null",{"type":"array","items":
+       |  {"type":"record","name":"k119_v120$suffix","fields":[
+       |    {"name":"key","type":"int"},{"name":"value","type":"long"}]}}],
+       | "default":null},
+       |{"name":"lower_bounds","type":["null",{"type":"array","items":
+       |  {"type":"record","name":"k126_v127$suffix","fields":[
+       |    {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+       | "default":null},
+       |{"name":"upper_bounds","type":["null",{"type":"array","items":
+       |  {"type":"record","name":"k129_v130$suffix","fields":[
+       |    {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+       | "default":null}""".stripMargin
+
   private val manifestSchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
+    s"""{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  ${kvFields("")}]}}]}""".stripMargin)
 
   /** Avro type of a transformed partition value, per its Spark result
     * type (read back through `jvm()` these yield exactly the Int/Long/
@@ -97,7 +119,119 @@ object IcebergWriter {
          |  {"name":"file_size_in_bytes","type":"long"},
          |  {"name":"partition","type":["null",
          |    {"type":"record","name":"r102","fields":[$partFields]}],
-         |   "default":null}]}}]}""".stripMargin)
+         |   "default":null},
+         |  ${kvFields("p")}]}}]}""".stripMargin)
+  }
+
+  /** Per-file column statistics lifted from the parquet FOOTER the commit
+    * already opens for its record count — min/max bounds, null counts,
+    * value counts, keyed by Iceberg field id. This is what makes
+    * file-level pruning work on tables THIS library writes: without
+    * bounds every predicate keeps every file (sound but a full scan), and
+    * copy-on-write UPDATE/DELETE would rewrite every file instead of the
+    * matched ones.
+    *
+    * Soundness rules: a bound is recorded only when EVERY row group has a
+    * usable statistics object for the column (an all-null group
+    * contributes no bound but stays usable); float/double bounds are
+    * deliberately SKIPPED — parquet writers do not track NaN, and Spark
+    * orders NaN above every double, so footer max < NaN rows would prune
+    * wrongly. Unsupported types record counts only.
+    */
+  private[iceberg] final case class FileColStats(
+      valueCounts: Map[Int, Long],
+      nullCounts: Map[Int, Long],
+      lower: Map[Int, Array[Byte]],
+      upper: Map[Int, Array[Byte]])
+
+  private def footerStats(
+      p: Path, conf: org.apache.hadoop.conf.Configuration,
+      schema: org.apache.spark.sql.types.StructType,
+      idByName: Map[String, Int]): (Long, FileColStats) = {
+    import org.apache.spark.sql.types._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      val byCol: Map[String, Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]] =
+        blocks.flatMap(_.getColumns.asScala).groupBy(_.getPath.toDotString)
+      val vc = Map.newBuilder[Int, Long]
+      val nc = Map.newBuilder[Int, Long]
+      val lo = Map.newBuilder[Int, Array[Byte]]
+      val hi = Map.newBuilder[Int, Array[Byte]]
+      schema.fields.foreach { f =>
+        val fid = idByName.get(f.name)
+        val chunks = byCol.get(f.name)
+        (fid, chunks) match {
+          case (Some(id), Some(cs)) if cs.size == blocks.size =>
+            vc += id -> rowCount
+            val stats = cs.map(_.getStatistics)
+            if (stats.forall(s => s != null && s.isNumNullsSet))
+              nc += id -> stats.map(_.getNumNulls).sum
+            val boundsOk = f.dataType match {
+              case FloatType | DoubleType => false // NaN-unsound in footers
+              case IntegerType | DateType | LongType | StringType | BooleanType => true
+              case TimestampType | TimestampNTZType =>
+                // micros-int64 only: INT96 / millis footers don't decode
+                // to the micros shape the pruner compares
+                cs.forall { c =>
+                  c.getPrimitiveType.getLogicalTypeAnnotation match {
+                    case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                      t.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+                    case _ => false
+                  }
+                }
+              case _ => false
+            }
+            def jvmOf(v: AnyRef): Any = v match {
+              case b: org.apache.parquet.io.api.Binary =>
+                new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
+              case other => other
+            }
+            if (boundsOk && stats.forall(s => s != null && !s.isEmpty)) {
+              val nonEmpty = stats.filter(_.hasNonNullValue)
+              val mins = nonEmpty.map(s =>
+                Pruning.normalize(jvmOf(s.genericGetMin.asInstanceOf[AnyRef])))
+              val maxs = nonEmpty.map(s =>
+                Pruning.normalize(jvmOf(s.genericGetMax.asInstanceOf[AnyRef])))
+              def pick(vals: Seq[Any], keepLeft: Int => Boolean): Option[Any] =
+                vals.reduceOption((a, b) =>
+                  if (Pruning.compare(a, b).exists(keepLeft)) a else b)
+              for {
+                mn <- pick(mins, _ <= 0); bs <- SingleValue.encode(mn, f.dataType)
+              } lo += id -> bs
+              for {
+                mx <- pick(maxs, _ >= 0); bs <- SingleValue.encode(mx, f.dataType)
+              } hi += id -> bs
+            }
+          case _ => ()
+        }
+      }
+      (rowCount, FileColStats(vc.result(), nc.result(), lo.result(), hi.result()))
+    } finally r.close()
+  }
+
+  /** Attach k/v stats lists to a manifest `data_file` record. */
+  private def putStats(d: GenericData.Record, dfSchema: Schema,
+                       st: FileColStats): Unit = {
+    def kvList(field: String, m: Map[Int, _], toAvro: Any => AnyRef): Unit =
+      if (m.nonEmpty) {
+        val itemSchema = dfSchema.getField(field).schema.getTypes.get(1).getElementType
+        val arr = new java.util.ArrayList[GenericRecord](m.size)
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val kv = new GenericData.Record(itemSchema)
+          kv.put("key", k)
+          kv.put("value", toAvro(v))
+          arr.add(kv)
+        }
+        d.put(field, arr)
+      }
+    kvList("value_counts", st.valueCounts, v => java.lang.Long.valueOf(v.asInstanceOf[Long]))
+    kvList("null_value_counts", st.nullCounts, v => java.lang.Long.valueOf(v.asInstanceOf[Long]))
+    kvList("lower_bounds", st.lower, v => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]]))
+    kvList("upper_bounds", st.upper, v => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]]))
   }
 
   private def isNanValue(v: Any): Boolean = v match {
@@ -289,6 +423,125 @@ object IcebergWriter {
     snapId
   }
 
+  /** Commit a copy-on-write FILE SWAP as a new snapshot: `removed` data
+    * files leave the current snapshot and `added` parquet files (already
+    * on disk, written by [[connector.GraftReplaceWrite]]'s executors)
+    * enter via a fresh manifest. This is the commit half of DSv2
+    * `ReplaceData` (SQL UPDATE / MERGE / copy-on-write DELETE).
+    *
+    * Manifests are rewritten LOSSLESSLY at the Avro level — records are
+    * filtered under each manifest's own embedded writer schema — so
+    * column bounds, null counts, and any foreign-writer fields this
+    * library does not model all survive the swap (a typed round-trip
+    * through [[DataFileEntry]] would silently shed them and degrade
+    * pruning on every future read). Untouched manifests are re-recorded
+    * as-is: a 100 TB table with thousands of manifests rewrites only the
+    * few that actually lost a file.
+    *
+    * Added files carry no partition tuple (a replacement file may mix
+    * partition values): readers keep them under partition pruning
+    * (absent stats ⇒ doubt ⇒ keep — sound, just unpruned) and identity
+    * source columns stay materialized in the files, so scans stay on the
+    * native batch path. Compaction restores clustering.
+    *
+    * Prior snapshots still reference the removed files — time travel is
+    * unaffected; nothing is vacuumed.
+    */
+  def replaceFiles(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
+                   removed: Set[String],
+                   added: Seq[(String, Long, Long)]): Long = {
+    val meta = TableMetadata.load(tableDir, conf)
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    require(!prev.exists(_.content == 1),
+      "replaceFiles on a table with delete manifests: deletes must be " +
+        "materialized (compact) before a copy-on-write rewrite, or rewritten " +
+        "rows would resurrect them")
+
+    val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
+      val mPath = resolveAgainst(meta, tableDir, m.path)
+      filterManifest(mPath, conf, removed,
+        new Path(s"$tableDir/metadata/m-s$snapId-r$i.avro")) match {
+        case None => // untouched: re-record as-is
+          Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
+            m.addedRowsCount, m.partitionSpecId, m.partitions))
+        case Some((_, 0L, _)) => None // every file removed: drop the manifest
+        case Some((newPath, rows, len)) =>
+          Some(mlRec(newPath, len, m.content, m.sequenceNumber, Some(rows),
+            m.partitionSpecId, m.partitions))
+      }
+    }
+
+    val newMl: Option[GenericRecord] = if (added.isEmpty) None else {
+      val dfSchema = manifestSchema.getField("data_file").schema
+      // column bounds for the replacement files, same as any commit —
+      // without them every future predicate (and the NEXT rewrite) keeps
+      // every swapped-in file
+      val statsByPath: Map[String, FileColStats] = {
+        def one(p: String) =
+          try Some(p -> footerStats(new Path(p), conf, meta.schema, meta.fieldIds)._2)
+          catch { case scala.util.control.NonFatal(_) => None }
+        val ps = added.map(_._1)
+        (if (ps.sizeIs <= 1) ps.flatMap(one)
+         else {
+           import scala.collection.parallel.CollectionConverters._
+           ps.par.flatMap(one).seq
+         }).toMap
+      }
+      val entries = added.map { case (p, rows, bytes) =>
+        val d = new GenericData.Record(dfSchema)
+        d.put("file_path", p)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", rows)
+        d.put("file_size_in_bytes", bytes)
+        statsByPath.get(p).foreach(st => putStats(d, dfSchema, st))
+        val e = new GenericData.Record(manifestSchema)
+        e.put("status", 1)
+        e.put("data_file", d)
+        e.asInstanceOf[GenericRecord]
+      }
+      val manifestPath = new Path(s"$tableDir/metadata/m-s$snapId.avro")
+      val len = writeAvro(manifestPath, conf, manifestSchema, entries)
+      Some(mlRec(manifestPath.toString, len, 0, Some(snapId),
+        Some(added.map(_._2).sum), meta.defaultSpecId, Nil))
+    }
+    commitSnapshot(conf, tableDir, snapId, keptPrior ++ newMl)
+    snapId
+  }
+
+  /** Filter `removed` file paths out of one manifest, preserving its
+    * embedded writer schema byte-for-byte semantics. Returns None when no
+    * entry matched (keep the original), else Some((newPath, liveRows,
+    * newLength)) — liveRows 0 means the manifest lost every file. */
+  private def filterManifest(
+      path: String, conf: org.apache.hadoop.conf.Configuration,
+      removed: Set[String], outPath: Path): Option[(String, Long, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    val (kept, dropped) = try {
+      val all = Vector.newBuilder[GenericRecord]
+      while (reader.hasNext) all += reader.next()
+      all.result().partition { r =>
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        !removed.contains(String.valueOf(df.get("file_path")))
+      }
+    } finally reader.close()
+    if (dropped.isEmpty) return None
+    val liveRows = kept.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[java.lang.Number].longValue).sum
+    if (kept.isEmpty) return Some((path, 0L, 0L))
+    val schema = kept.head.getSchema
+    val len = writeAvro(outPath, conf, schema, kept)
+    Some((outPath.toString, liveRows, len))
+  }
+
   private val deleteManifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -369,14 +622,13 @@ object IcebergWriter {
     // full data re-scan. Directory values whose type this parser does not
     // cover (e.g. raw-timestamp identity partitions, whose dir rendering
     // is session-zone-dependent) fall back to one Spark read-back job.
-    def footerCount(p: Path): Long = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }
+    def footerInfo(p: Path): (Long, FileColStats) =
+      footerStats(p, conf, df.schema, idByName)
     def dirValues(p: Path): Seq[Any] = {
       val rel = p.toString.stripPrefix(new Path(dataDir).toString).stripPrefix("/")
-      val byName = rel.split("/").dropRight(1).map { seg =>
+      // keep only k=v segments: the path may retain scheme/base segments
+      // when the FileStatus path is fs-qualified and dataDir is not
+      val byName = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
         val eq = seg.indexOf('=')
         seg.substring(0, eq) ->
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -384,16 +636,19 @@ object IcebergWriter {
       }.toMap
       gpNames.zipWithIndex.map { case (n, i) => parseDirValue(byName(n), resultTypes(i)) }
     }
-    val info: Map[String, (Long, Seq[Any])] = {
+    val emptyStats = FileColStats(Map.empty, Map.empty, Map.empty, Map.empty)
+    val info: Map[String, (Long, Seq[Any], FileColStats)] = {
       val parsed =
         try Some {
-          val seq = if (files.sizeIs <= 1) files.map(st =>
-            st.getPath.getName -> ((footerCount(st.getPath), dirValues(st.getPath))))
-          else {
+          val seq = if (files.sizeIs <= 1) files.map { st =>
+            val (n, cs) = footerInfo(st.getPath)
+            st.getPath.toString -> ((n, dirValues(st.getPath), cs))
+          } else {
             import scala.collection.parallel.CollectionConverters._
-            files.par.map(st =>
-              st.getPath.getName -> ((footerCount(st.getPath), dirValues(st.getPath))))
-              .seq.toSeq
+            files.par.map { st =>
+              val (n, cs) = footerInfo(st.getPath)
+              st.getPath.toString -> ((n, dirValues(st.getPath), cs))
+            }.seq.toSeq
           }
           seq.toMap
         } catch { case scala.util.control.NonFatal(_) => None }
@@ -404,8 +659,9 @@ object IcebergWriter {
         spark.read.parquet(dataDir)
           .groupBy(input_file_name().as("f")).agg(rbAggs.head, rbAggs.tail: _*)
           .collect()
-          .map(r => new Path(r.getString(0)).getName ->
-            ((r.getLong(1), spec.indices.map(i => Pruning.normalize(r.get(2 + i))))))
+          .map(r => new Path(r.getString(0)).toString ->
+            ((r.getLong(1), spec.indices.map(i => Pruning.normalize(r.get(2 + i))),
+              emptyStats)))
           .toMap
       }
     }
@@ -418,7 +674,7 @@ object IcebergWriter {
       if (spec.isEmpty) null
       else dfSchema.getField("partition").schema.getTypes.get(1)
     val entries = files.map { st =>
-      val fi = info.get(st.getPath.getName)
+      val fi = info.get(st.getPath.toString)
       val d = new GenericData.Record(dfSchema)
       d.put("file_path", st.getPath.toString)
       d.put("file_format", "PARQUET")
@@ -431,6 +687,7 @@ object IcebergWriter {
         }
         d.put("partition", pr)
       }
+      fi.foreach(x => putStats(d, dfSchema, x._3))
       val e = new GenericData.Record(mSchema)
       e.put("status", 1)
       e.put("data_file", d)
@@ -442,7 +699,7 @@ object IcebergWriter {
     // partition summaries for the new manifest's manifest-list entry —
     // what manifest-level pruning reads before touching the manifest
     val newSummaries: Seq[PartitionSummary] = spec.indices.map { i =>
-      val vals = files.flatMap(st => info.get(st.getPath.getName).map(_._2(i)))
+      val vals = files.flatMap(st => info.get(st.getPath.toString).map(_._2(i)))
       val nonNull = vals.filter(v => v != null && !isNanValue(v))
       def pick(keepLeft: Int => Boolean): Option[Any] = nonNull.reduceOption {
         (a, b) => if (Pruning.compare(a, b).exists(keepLeft)) a else b

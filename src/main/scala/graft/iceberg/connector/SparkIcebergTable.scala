@@ -6,10 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -39,7 +39,8 @@ import graft.iceberg.{DataFileEntry, IcebergTable, IcebergWriter}
   */
 final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     writable: Boolean = true)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   override def name(): String = tableName
 
@@ -83,6 +84,15 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     IcebergWriter.deleteWhere(
       org.apache.spark.sql.SparkSession.active, table.tableDir, filters.toSeq)
   }
+
+  /** SQL UPDATE / MERGE INTO / non-equality DELETE: Spark's group-based
+    * rewrites over a copy-on-write scan+write pair ([[RowLevelOps]]).
+    * Must not throw here — the analyzer builds one for EVERY delete
+    * before `OptimizeMetadataOnlyDeleteFromTable` can route equality
+    * predicates back to [[deleteWhere]]'s merge-on-read path. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new GraftRowLevelOperationBuilder(tableName, table, writable, info)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!canWrite) throw new UnsupportedOperationException(

@@ -132,6 +132,67 @@ object IcebergQueries {
     // the read back is hash-gated against the oracle stating the same
     // surviving set. Also exercises sequence gating implicitly: the
     // delete snapshot follows the insert snapshot.
+    // SQL UPDATE + range DELETE end-to-end: both go through Spark's
+    // group-based row-level rewrites onto the copy-on-write scan+write
+    // pair (RowLevelOps) — the scan reads only files whose footer bounds
+    // may match, the write swaps exactly those files in one snapshot.
+    // The range DELETE predicate is NOT expressible as equality tuples,
+    // so it exercises the ReplaceData path (q57 covers the merge-on-read
+    // equality path).
+    "q58_sql_update" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q58-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q58")
+      s.conf.set("spark.sql.catalog.q58cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q58cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q58cat.ns")
+      s.sql(
+        """CREATE TABLE q58cat.ns.nation_u AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q58""".stripMargin)
+      s.sql(
+        """UPDATE q58cat.ns.nation_u SET n_regionkey = n_regionkey + 10
+          |WHERE n_nationkey >= 15""".stripMargin)
+      s.sql("DELETE FROM q58cat.ns.nation_u WHERE n_regionkey >= 12")
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+          |FROM q58cat.ns.nation_u
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // SQL MERGE INTO: matched rows update, unmatched source rows insert —
+    // Spark's RewriteMergeIntoTable over the same copy-on-write pair.
+    "q59_sql_merge" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q59-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q59")
+      s.conf.set("spark.sql.catalog.q59cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q59cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q59cat.ns")
+      s.sql(
+        """CREATE TABLE q59cat.ns.nation_m AS
+          |SELECT n_nationkey, n_regionkey FROM nation_src_q59
+          |WHERE n_nationkey < 15""".stripMargin)
+      s.sql(
+        """MERGE INTO q59cat.ns.nation_m t
+          |USING (SELECT n_nationkey, n_regionkey + 100 AS r
+          |       FROM nation_src_q59
+          |       WHERE n_nationkey BETWEEN 10 AND 24) s
+          |ON t.n_nationkey = s.n_nationkey
+          |WHEN MATCHED THEN UPDATE SET n_regionkey = s.r
+          |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_regionkey)
+          |  VALUES (s.n_nationkey, s.r)""".stripMargin)
+      s.sql(
+        """SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk,
+          |       CAST(SUM(n_regionkey) AS BIGINT) AS sr,
+          |       CAST(MIN(n_regionkey) AS INT) AS mn,
+          |       CAST(MAX(n_regionkey) AS INT) AS mx
+          |FROM q59cat.ns.nation_m""".stripMargin)
+    }),
+
     "q57_sql_delete" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q57-warehouse"
@@ -179,5 +240,30 @@ object IcebergQueries {
     "q57_sql_delete" ->
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
         |FROM nation WHERE n_regionkey <> 2 AND n_nationkey NOT IN (0, 1)
-        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q58_sql_update" ->
+      """WITH upd AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_nationkey >= 15 THEN n_regionkey + 10
+        |              ELSE n_regionkey END AS n_regionkey
+        |  FROM nation)
+        |SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+        |FROM upd WHERE n_regionkey < 12
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q59_sql_merge" ->
+      """WITH src AS (SELECT n_nationkey, n_regionkey + 100 AS r FROM nation
+        |             WHERE n_nationkey BETWEEN 10 AND 24),
+        |     tgt AS (SELECT n_nationkey, n_regionkey FROM nation
+        |             WHERE n_nationkey < 15),
+        |     merged AS (
+        |       SELECT t.n_nationkey, COALESCE(s.r, t.n_regionkey) AS n_regionkey
+        |       FROM tgt t LEFT JOIN src s ON t.n_nationkey = s.n_nationkey
+        |       UNION ALL
+        |       SELECT s.n_nationkey, s.r FROM src s
+        |       WHERE s.n_nationkey NOT IN (SELECT n_nationkey FROM tgt))
+        |SELECT COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk,
+        |       CAST(SUM(n_regionkey) AS BIGINT) AS sr,
+        |       CAST(MIN(n_regionkey) AS INT) AS mn,
+        |       CAST(MAX(n_regionkey) AS INT) AS mx
+        |FROM merged""".stripMargin)
 }

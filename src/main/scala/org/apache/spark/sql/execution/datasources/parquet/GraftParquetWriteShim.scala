@@ -1,0 +1,61 @@
+package org.apache.spark.sql.execution.datasources.parquet
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StructType
+
+/** Executor-side parquet writer for `InternalRow`s, built on Spark's own
+  * [[ParquetWriteSupport]] (the write counterpart of the read shim in
+  * `GraftScanShims`): files written here are byte-compatible with what
+  * `df.write.parquet` produces — same physical types, same field-id
+  * stamping (`parquet.field.id` metadata on the schema), same dictionary/
+  * page encodings — so the Iceberg read path (field-id column resolution,
+  * footer stats) treats them identically to driver-initiated writes.
+  *
+  * Needed because DSv2 `ReplaceData` (copy-on-write UPDATE / MERGE /
+  * DELETE) hands rows to a [[org.apache.spark.sql.connector.write.DataWriter]]
+  * on executors — there is no DataFrame to `.write` from, so the V1
+  * `InsertableRelation` bridge the INSERT path uses cannot serve it.
+  *
+  * Lives in the `parquet` package for access to the `private[parquet]`
+  * write support.
+  */
+object GraftParquetWriteShim {
+
+  /** Rebase behavior is pinned to CORRECTED (write proleptic Gregorian as
+    * is): these files are read back exclusively through Spark ≥ 3 readers,
+    * and EXCEPTION (the session default) would fail on pre-1582 dates that
+    * a rewrite must round-trip untouched. */
+  private def writeConf(base: Configuration, schema: StructType): Configuration = {
+    val conf = new Configuration(base)
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      SQLConf.ParquetOutputTimestampType.TIMESTAMP_MICROS.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf
+  }
+
+  private final class Builder(path: Path)
+      extends ParquetWriter.Builder[InternalRow, Builder](path) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport
+  }
+
+  /** Open a parquet writer at `path`. The caller owns close(). */
+  def open(path: String, schema: StructType,
+           base: Configuration): ParquetWriter[InternalRow] =
+    new Builder(new Path(path))
+      .withConf(writeConf(base, schema))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+}
