@@ -353,11 +353,21 @@ final class IcebergTable private (
         col("_metadata.file_path").as(IcebergTable.FpCol),
         col("_metadata.row_index").as(IcebergTable.PosCol))
 
+    // Field-id column resolution: the schema carries parquet.field.id
+    // metadata, and id-bearing schemas must resolve by id or renamed
+    // columns read nulls and re-added names resurrect old values. The V1
+    // file source consults only the SESSION conf for this (per-read
+    // options are ignored at planning time) — GraftCatalog.initialize
+    // turns it on for SQL users; direct toDF callers must set
+    // spark.sql.parquet.fieldId.read.enabled themselves on evolved
+    // tables (id-less read schemas are unaffected by the flag).
+    def read = spark.read
+
     val base =
       if (missing.isEmpty) {
         // Fast path: single multi-file scan — vectorized reader, parquet
         // footer pushdown, no per-group plan explosion at 100k+ files.
-        withRowId(spark.read.schema(metadata.schema).parquet(paths: _*))
+        withRowId(read.schema(metadata.schema).parquet(paths: _*))
       } else {
         // Re-injection path (A6/A7): group by partition values, read each
         // group once, attach the missing partition columns as typed
@@ -368,7 +378,7 @@ final class IcebergTable private (
         val groups = files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
         groups.map { case (values, gfiles) =>
           val group = withRowId(
-            spark.read.schema(dataSchema).parquet(gfiles.map(f => resolve(f.filePath)): _*))
+            read.schema(dataSchema).parquet(gfiles.map(f => resolve(f.filePath)): _*))
           missing.zip(values).foldLeft(group) { case (df, (name, value)) =>
             val dt = metadata.schema.fields.find(_.name == name).map(_.dataType).getOrElse(StringType)
             df.withColumn(name, partitionLiteral(value, dt))

@@ -40,7 +40,16 @@ final case class TableMetadata(
     uuidFieldIds: Set[Int],
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshot],
-    properties: Map[String, String]) {
+    properties: Map[String, String],
+    /** Column names whose name→field-id mapping differs in ANY historical
+      * schema (rename landing on a reused name, drop + re-add). Parquet
+      * row-group filter pushdown is NAME-keyed inside parquet-mr, so a
+      * pushed predicate on such a column can prune against an old file's
+      * same-named-but-different-id column — silently wrong. Scans must
+      * exclude these names from parquet-level pushdown (projection is
+      * id-resolved and unaffected; manifest/file pruning is id-keyed and
+      * stays sound). */
+    idShiftedNames: Set[String] = Set.empty) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -168,7 +177,17 @@ object TableMetadata {
       snapshots = snapshots,
       properties = Option(root.get("properties"))
         .map(n => n.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      idShiftedNames = {
+        val historical = Option(root.get("schemas")).map(_.elements.asScala.toSeq)
+          .getOrElse(Nil)
+          .flatMap(s => Option(s.get("fields")).map(_.elements.asScala.toSeq)
+            .getOrElse(Nil))
+          .map(f => f.get("name").asText -> f.get("id").asInt)
+        historical.collect {
+          case (name, id) if fieldIds.get(name).exists(_ != id) => name
+        }.toSet
+      })
   }
 
   private val VersionedName = """(?:v(\d+)|(\d+)-[-0-9a-fA-F]+)\.metadata\.json""".r

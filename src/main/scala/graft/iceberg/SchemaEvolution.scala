@@ -1,0 +1,238 @@
+package graft.iceberg
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.TableChange
+
+/** `ALTER TABLE` as Iceberg schema evolution: the evolved schema is
+  * committed as a NEW entry in the metadata's `schemas` list (new
+  * schema-id, `current-schema-id` moved, `last-column-id` advanced) —
+  * data files are never touched. Correct reads fall out of the field-id
+  * contract the scan already honors:
+  *
+  *  - RENAME keeps the field id, so old files resolve the new name by id;
+  *  - ADD allocates a fresh id that no old file carries → nulls;
+  *  - DROP removes the field from the read schema; the id is never
+  *    reused (`last-column-id` is monotone), so a later re-add of the
+  *    same NAME cannot resurrect old values;
+  *  - type updates are restricted to the Iceberg-safe widenings
+  *    (int→long, float→double, decimal precision growth) which the
+  *    vectorized parquet reader up-casts in place.
+  *
+  * Columns referenced by the partition spec refuse rename/drop/retype:
+  * spec fields pin their source by id, but identity spec-field NAMES
+  * mirror the column name (manifest partition tuples are keyed by it),
+  * so a rename would desync tuples from the schema. The reference has no
+  * DDL surface at all (SURVEY §2.C) — extension, like the write path.
+  */
+object SchemaEvolution {
+
+  import graft.iceberg.connector.IcebergJson
+
+  def alter(tableDir: String, conf: Configuration,
+            changes: Seq[TableChange]): Unit = {
+    val mapper = new ObjectMapper()
+    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
+    val in = latest.getFileSystem(conf).open(latest)
+    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+
+    // current schema node (same preference order the reader uses)
+    val currentSchema: ObjectNode = {
+      val currentId = Option(root.get("current-schema-id")).map(_.asInt)
+      val fromList = Option(root.get("schemas")).flatMap { arr =>
+        val all = arr.elements.asScala.toSeq
+        currentId.flatMap(id => all.find(_.get("schema-id").asInt == id))
+          .orElse(all.lastOption)
+      }
+      fromList.orElse(Option(root.get("schema")))
+        .getOrElse(throw new IllegalArgumentException("metadata has no schema"))
+        .deepCopy[ObjectNode]()
+    }
+    val fields = currentSchema.get("fields").asInstanceOf[ArrayNode]
+
+    def fieldIdx(name: String): Int =
+      (0 until fields.size).find(i => fields.get(i).get("name").asText == name)
+        .getOrElse(-1)
+
+    val partitionSourceIds: Set[Int] = {
+      val fromList = Option(root.get("partition-specs")).map { arr =>
+        arr.elements.asScala.flatMap(s =>
+          s.get("fields").elements.asScala.map(_.get("source-id").asInt)).toSet
+      }
+      val legacy = Option(root.get("partition-spec")).map(
+        _.elements.asScala.map(_.get("source-id").asInt).toSet)
+      fromList.orElse(legacy).getOrElse(Set.empty)
+    }
+    def refusePartitionSource(name: String, what: String): Unit = {
+      val i = fieldIdx(name)
+      if (i >= 0 && partitionSourceIds.contains(fields.get(i).get("id").asInt))
+        throw new UnsupportedOperationException(
+          s"cannot $what column $name: it is a partition source " +
+            "(spec field names and manifest partition tuples are keyed by it)")
+    }
+
+    var lastColumnId = Option(root.get("last-column-id")).map(_.asInt).getOrElse {
+      (0 until fields.size).map(i => fields.get(i).get("id").asInt).maxOption.getOrElse(0)
+    }
+    def nextId(): Int = { lastColumnId += 1; lastColumnId }
+
+    /** Iceberg JSON type for an added column, allocating nested ids. */
+    def typeNode(dt: org.apache.spark.sql.types.DataType): com.fasterxml.jackson.databind.JsonNode = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case s: StructType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "struct")
+          val arr = o.putArray("fields")
+          s.fields.foreach { f =>
+            val fn = arr.addObject()
+            fn.put("id", nextId())
+            fn.put("name", f.name)
+            fn.put("required", !f.nullable)
+            fn.set[ObjectNode]("type", typeNode(f.dataType))
+          }
+          o
+        case a: ArrayType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "list")
+          o.put("element-id", nextId())
+          o.put("element-required", !a.containsNull)
+          o.set[ObjectNode]("element", typeNode(a.elementType))
+          o
+        case m: MapType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "map")
+          o.put("key-id", nextId())
+          o.set[ObjectNode]("key", typeNode(m.keyType))
+          o.put("value-id", nextId())
+          o.put("value-required", !m.valueContainsNull)
+          o.set[ObjectNode]("value", typeNode(m.valueType))
+          o
+        case p => mapper.getNodeFactory.textNode(IcebergJson.icebergType(p))
+      }
+    }
+
+    def single(fieldNames: Array[String], change: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"$change on nested field ${fieldNames.mkString(".")} is not supported")
+      fieldNames(0)
+    }
+
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val name = single(add.fieldNames, "ADD COLUMN")
+        if (fieldIdx(name) >= 0) throw new IllegalArgumentException(
+          s"column $name already exists")
+        if (!add.isNullable) throw new UnsupportedOperationException(
+          s"added column $name must be nullable: existing rows have no value for it")
+        val fn = mapper.createObjectNode()
+        fn.put("id", nextId())
+        fn.put("name", name)
+        fn.put("required", false)
+        fn.set[ObjectNode]("type", typeNode(add.dataType))
+        Option(add.comment).foreach(fn.put("doc", _))
+        fields.add(fn)
+
+      case ren: TableChange.RenameColumn =>
+        val name = single(ren.fieldNames, "RENAME COLUMN")
+        refusePartitionSource(name, "rename")
+        val i = fieldIdx(name)
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
+        if (fieldIdx(ren.newName) >= 0) throw new IllegalArgumentException(
+          s"column ${ren.newName} already exists")
+        fields.get(i).asInstanceOf[ObjectNode].put("name", ren.newName)
+
+      case del: TableChange.DeleteColumn =>
+        val name = single(del.fieldNames, "DROP COLUMN")
+        val i = fieldIdx(name)
+        if (i < 0) {
+          if (!del.ifExists) throw new IllegalArgumentException(s"no such column: $name")
+        } else {
+          refusePartitionSource(name, "drop")
+          if (fields.size == 1) throw new UnsupportedOperationException(
+            "cannot drop the last column")
+          fields.remove(i)
+        }
+
+      case upd: TableChange.UpdateColumnType =>
+        val name = single(upd.fieldNames, "ALTER COLUMN TYPE")
+        refusePartitionSource(name, "retype")
+        val i = fieldIdx(name)
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
+        val node = fields.get(i).asInstanceOf[ObjectNode]
+        val from = if (node.get("type").isTextual) node.get("type").asText else "nested"
+        val to = IcebergJson.icebergType(upd.newDataType)
+        val DecRe = """decimal\((\d+),\s*(\d+)\)""".r
+        val ok = (from, to) match {
+          case ("int", "long") => true
+          case ("float", "double") => true
+          case (DecRe(p1, s1), DecRe(p2, s2)) => s1 == s2 && p2.toInt >= p1.toInt
+          case (a, b) => a == b
+        }
+        if (!ok) throw new UnsupportedOperationException(
+          s"unsafe type change $from -> $to for column $name (Iceberg allows " +
+            "int->long, float->double, decimal precision growth)")
+        node.put("type", to)
+
+      case n: TableChange.UpdateColumnNullability =>
+        val name = single(n.fieldNames, "ALTER COLUMN NULLABILITY")
+        val i = fieldIdx(name)
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
+        if (!n.nullable) throw new UnsupportedOperationException(
+          s"cannot make column $name required: existing rows may hold nulls")
+        fields.get(i).asInstanceOf[ObjectNode].put("required", false)
+
+      case c: TableChange.UpdateColumnComment =>
+        val name = single(c.fieldNames, "ALTER COLUMN COMMENT")
+        val i = fieldIdx(name)
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
+        fields.get(i).asInstanceOf[ObjectNode].put("doc", c.newComment)
+
+      case p: TableChange.SetProperty =>
+        val props = Option(root.get("properties"))
+          .collect { case o: ObjectNode => o }
+          .getOrElse(root.putObject("properties"))
+        props.put(p.property, p.value)
+
+      case p: TableChange.RemoveProperty =>
+        Option(root.get("properties")).collect { case o: ObjectNode => o }
+          .foreach(_.remove(p.property))
+
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other")
+    }
+
+    // commit: new schema id, schemas list, current pointer, metadata version
+    val schemasArr: ArrayNode = Option(root.get("schemas"))
+      .collect { case a: ArrayNode => a }
+      .getOrElse {
+        val a = root.putArray("schemas")
+        Option(root.get("schema")).foreach(s => a.add(s.deepCopy[ObjectNode]()))
+        a
+      }
+    val newSchemaId = schemasArr.elements.asScala
+      .map(s => Option(s.get("schema-id")).map(_.asInt).getOrElse(0))
+      .maxOption.getOrElse(0) + 1
+    currentSchema.put("schema-id", newSchemaId)
+    schemasArr.add(currentSchema)
+    root.put("current-schema-id", newSchemaId)
+    // keep the legacy v1 single-schema field in sync for plain readers
+    if (root.has("schema")) root.set[ObjectNode]("schema", currentSchema)
+    root.put("last-column-id", lastColumnId)
+    root.put("last-updated-ms", System.currentTimeMillis)
+
+    val version = "v(\\d+)".r.findFirstMatchIn(latest.getName)
+      .map(_.group(1).toLong)
+      .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
+      .getOrElse(0L)
+    val next = new Path(s"$tableDir/metadata/v${version + 1}.metadata.json")
+    val out = next.getFileSystem(conf).create(next, false) // commit = create-new
+    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

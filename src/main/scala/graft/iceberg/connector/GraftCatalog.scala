@@ -56,6 +56,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // Iceberg scans resolve columns by parquet field id (what makes
+    // schema-evolution renames/drops read old files correctly). The DSv2
+    // batch path scopes that flag to its own hadoopConf, but the V1
+    // bridge (limit pushdown, merge-on-read, partition re-injection)
+    // plans through the session-conf-driven file source, where per-read
+    // options are ignored — so registering this catalog opts the session
+    // in. The flag is inert for read schemas without field-id metadata,
+    // i.e. every non-Iceberg read in the session.
+    org.apache.spark.sql.SparkSession.active.conf
+      .set("spark.sql.parquet.fieldId.read.enabled", "true")
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     store = (Option(options.get("uri")), Option(options.get("warehouse"))) match {
       case (Some(uri), _) =>
@@ -225,8 +235,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable is not supported")
+  /** ALTER TABLE as Iceberg schema evolution ([[graft.iceberg.SchemaEvolution]]):
+    * a new schema entry + current-schema-id move in the next metadata
+    * version — no data file is touched; old files read through field-id
+    * resolution. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = loadIcebergTable(ident, "ALTER TABLE")
+    if (!store.supportsLocalCommit) throw new UnsupportedOperationException(
+      s"$ident is read-only: its catalog does not commit metadata locally")
+    graft.iceberg.SchemaEvolution.alter(t.table.tableDir,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
+      changes.toSeq)
+    invalidateTable(ident)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     invalidateTable(ident)

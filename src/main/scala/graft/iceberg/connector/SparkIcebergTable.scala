@@ -295,13 +295,26 @@ final class GraftBatchScan(
   private[graft] def currentFiles: Seq[DataFileEntry] =
     table.pruneFiles(staticFiles, runtimeFilters.toSeq)
 
+  /** Filters safe to hand the parquet reader: parquet-mr matches filter
+    * columns by NAME, so predicates on columns whose field id shifted
+    * across schema evolution could row-group-prune against an old file's
+    * same-named different-id column. They stay in OUR id-keyed pruning
+    * and in Spark's re-check above the scan — only the parquet layer
+    * loses them. */
+  private def parquetSafe(fs: Array[Filter]): Array[Filter] = {
+    val unsafe = table.metadata.idShiftedNames
+    if (unsafe.isEmpty) fs
+    else fs.filter(_.references.forall(c => !unsafe.contains(c)))
+  }
+
   private def delegate: Scan = synchronized {
     val files = currentFiles
     if (cached == null || cached._1 != files)
       cached = (files, org.apache.spark.sql.execution.datasources.GraftScanShims
         .parquetBatchScan(spark,
           files.map(f => (table.resolve(f.filePath), f.fileSizeInBytes)),
-          table.metadata.schema, requiredSchema, filters ++ runtimeFilters))
+          table.metadata.schema, requiredSchema,
+          parquetSafe(filters ++ runtimeFilters)))
     cached._2
   }
 
@@ -376,8 +389,16 @@ final class GraftScan(
         val spark = ctx.sparkSession
         var df = table.toDF(spark, filters.toSeq, precomputed = Some(files))
         // Re-apply pushed predicates inside the inner plan so the parquet
-        // reader gets footer/row-group pushdown as well (A9).
-        val residual = filters.toSeq.flatMap(IcebergTable.filterToColumn)
+        // reader gets footer/row-group pushdown as well (A9) — except on
+        // columns whose field id shifted across schema evolution: the
+        // inner plan's parquet pushdown matches by name and could prune
+        // old files' same-named different-id columns. Spark re-evaluates
+        // every pushed filter above this scan, so dropping them here
+        // only costs pushdown, never correctness.
+        val unsafe = table.metadata.idShiftedNames
+        val residual = filters.toSeq
+          .filter(_.references.forall(c => !unsafe.contains(c)))
+          .flatMap(IcebergTable.filterToColumn)
         if (residual.nonEmpty) df = df.filter(residual.reduce(_ && _))
         df = df.select(requiredSchema.fieldNames.toSeq.map(col): _*)
         limit.foreach(n => df = df.limit(n))
