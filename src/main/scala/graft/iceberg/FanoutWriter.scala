@@ -1,0 +1,197 @@
+package graft.iceberg
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+import org.apache.spark.sql.types._
+
+/** `Configuration` is not `Serializable`; it is `Writable`. Spark's own
+  * wrapper is `private[spark]`, so this is the same three-liner on the
+  * graft side. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  @throws[IOException]
+  private def writeObject(out: ObjectOutputStream): Unit = value.write(out)
+  @throws[IOException]
+  private def readObject(in: ObjectInputStream): Unit = {
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+/** One data file a write task produced, as shipped to the driver in its
+  * commit message: everything the commit protocol needs to record the
+  * file — row count, byte size, column stats lifted from the file's own
+  * footer BY THE TASK THAT WROTE IT, and the exact partition tuple.
+  *
+  * This is what keeps the driver out of the data path at 100 TB: a commit
+  * of ten thousand files costs the driver ten thousand tiny messages, not
+  * ten thousand object-store footer reads (the round-4 bottleneck).
+  * `stats`/`partition` are optional so foreign or legacy messages degrade
+  * to the sound default (no stats ⇒ never pruned, doubt ⇒ keep).
+  */
+private[graft] final case class AddedDataFile(
+    path: String,
+    rows: Long,
+    bytes: Long,
+    stats: Option[IcebergWriter.FileColStats],
+    partition: Option[Seq[Any]],
+    sortOrderId: Option[Int] = None)
+
+/** Commit message of one write task: the files it produced. */
+private[graft] final case class GraftFilesCommit(files: Seq[AddedDataFile])
+    extends WriterCommitMessage
+
+/** One partition-spec field resolved against the write schema. */
+private[graft] final case class WritePartitionField(
+    name: String,
+    transform: String,
+    sourceIndex: Int,
+    sourceType: DataType,
+    resultType: DataType)
+
+/** Executor-side fanout parquet writer — the single write kernel behind
+  * INSERT/CTAS commits, copy-on-write `ReplaceData` (UPDATE / MERGE /
+  * range DELETE), and the streaming sink.
+  *
+  * Each task routes rows to one open file per distinct partition tuple,
+  * evaluating the table's partition transforms per row through the SAME
+  * [[IcebergTransform]] → [[PartitionTransforms]] code the read side
+  * prunes with (codegen'd `UnsafeProjection`, so the hot loop stays
+  * JIT-friendly). At `commit()` the task reads its own freshly-written
+  * footers for column min/max/null stats and ships
+  * [[AddedDataFile]]s — the driver never opens a data file.
+  *
+  * Scale properties:
+  *  - rows need NOT arrive clustered: an unclustered input produces
+  *    (tasks × tuples-seen) files — the same shape Spark's own
+  *    `partitionBy` yields — and compaction tightens later;
+  *  - open writers are capped at [[FanoutWriterFactory.MaxOpenWriters]]
+  *    per task (each buffers a row group): overflow closes the eldest
+  *    writer and a reappearing tuple simply starts a new file, bounding
+  *    task memory on high-cardinality partitions instead of OOMing;
+  *  - rows of a `ReplaceData` plan arrive as `[__row_operation ::
+  *    dataColumns]` (Spark's group-based rewrites prepend the operation
+  *    column and only strip it on the metadata path) — detected by arity
+  *    and projected off with Spark's own `ProjectingInternalRow`.
+  */
+private[graft] final class FanoutWriterFactory(
+    writeDir: String,
+    schema: StructType,
+    fieldIds: Map[String, Int],
+    spec: Seq[WritePartitionField],
+    conf: SerializableHadoopConf,
+    sortOrderId: Option[Int] = None)
+    extends Serializable {
+
+  import FanoutWriterFactory.MaxOpenWriters
+
+  def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+
+      private val xform: UnsafeProjection =
+        if (spec.isEmpty) null
+        else UnsafeProjection.create(spec.map(f => IcebergTransform(f.transform,
+          BoundReference(f.sourceIndex, f.sourceType, nullable = true))).toSeq)
+
+      private val dataProj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, 1 to schema.length)
+
+      private final class OpenFile(val path: String) {
+        val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
+          org.apache.spark.sql.execution.datasources.parquet
+            .GraftParquetWriteShim.open(path, schema, conf.value)
+        var rows = 0L
+      }
+
+      private val open = mutable.LinkedHashMap.empty[Seq[Any], OpenFile]
+      private val closed = mutable.ArrayBuffer.empty[AddedDataFile]
+      private var fileSeq = 0
+
+      /** JVM-shaped partition tuple of one (projected) data row — the
+        * exact values the manifest records and [[Pruning]] compares. */
+      private def tupleOf(row: InternalRow): Seq[Any] = {
+        val p = xform(row)
+        Seq.tabulate(spec.length) { i =>
+          if (p.isNullAt(i)) null
+          else spec(i).resultType match {
+            case IntegerType | DateType => p.getInt(i)
+            case LongType | TimestampType | TimestampNTZType => p.getLong(i)
+            case StringType => p.getUTF8String(i).toString
+            case BooleanType => p.getBoolean(i)
+            case FloatType => p.getFloat(i)
+            case DoubleType => p.getDouble(i)
+            case other => throw new IllegalArgumentException(
+              s"unsupported partition value type ${other.simpleString}")
+          }
+        }
+      }
+
+      private def finish(key: Seq[Any], f: OpenFile): AddedDataFile = {
+        f.writer.close()
+        val p = new Path(f.path)
+        val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
+        // the task reads its OWN footer — local (or just-written object)
+        // bytes, one read per file, distributed across the cluster
+        val stats =
+          try Some(IcebergWriter.footerStats(p, conf.value, schema, fieldIds)._2)
+          catch { case NonFatal(_) => None }
+        AddedDataFile(f.path, f.rows, len, stats,
+          if (spec.isEmpty) None else Some(key), sortOrderId)
+      }
+
+      override def write(row: InternalRow): Unit = {
+        val data: InternalRow =
+          if (row.numFields == schema.length + 1) { dataProj.project(row); dataProj }
+          else row
+        val key = if (spec.isEmpty) Nil else tupleOf(data)
+        val f = open.getOrElse(key, {
+          if (open.size >= MaxOpenWriters) {
+            val (ek, ef) = open.head // eldest: close, remember, evict
+            closed += finish(ek, ef)
+            open.remove(ek)
+          }
+          fileSeq += 1
+          val nf = new OpenFile(s"$writeDir/part-$partitionId-$taskId-$fileSeq.parquet")
+          open.put(key, nf)
+          nf
+        })
+        f.writer.write(data)
+        f.rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val all = closed.toSeq ++ open.toSeq.map { case (k, f) => finish(k, f) }
+        open.clear()
+        GraftFilesCommit(all)
+      }
+
+      override def abort(): Unit = {
+        val paths = closed.map(_.path) ++ open.values.map(_.path)
+        open.values.foreach(f => try f.writer.close() catch { case NonFatal(_) => () })
+        open.clear()
+        paths.foreach { s =>
+          val p = new Path(s)
+          try p.getFileSystem(conf.value).delete(p, false)
+          catch { case NonFatal(_) => () }
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+private[graft] object FanoutWriterFactory {
+  /** Per-task cap on simultaneously open parquet writers (each buffers up
+    * to a row group in memory). 64 × default row-group buffering fits
+    * executor memory; beyond it, eldest-first rollover trades file count
+    * for bounded memory. */
+  val MaxOpenWriters = 64
+}

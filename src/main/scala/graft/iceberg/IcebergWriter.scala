@@ -138,13 +138,13 @@ object IcebergWriter {
     * orders NaN above every double, so footer max < NaN rows would prune
     * wrongly. Unsupported types record counts only.
     */
-  private[iceberg] final case class FileColStats(
+  private[graft] final case class FileColStats(
       valueCounts: Map[Int, Long],
       nullCounts: Map[Int, Long],
       lower: Map[Int, Array[Byte]],
       upper: Map[Int, Array[Byte]])
 
-  private def footerStats(
+  private[graft] def footerStats(
       p: Path, conf: org.apache.hadoop.conf.Configuration,
       schema: org.apache.spark.sql.types.StructType,
       idByName: Map[String, Int]): (Long, FileColStats) = {
@@ -240,28 +240,6 @@ object IcebergWriter {
     case _ => false
   }
 
-  private final class UnsupportedPartitionValue extends RuntimeException
-
-  /** Parse one unescaped `__gp_i=` directory value back to the normalized
-    * JVM shape manifests record (dates as epoch-day Int, etc.). Types we
-    * cannot parse faithfully raise → the commit falls back to a Spark
-    * read-back job rather than guessing. */
-  private def parseDirValue(
-      s: String, dt: org.apache.spark.sql.types.DataType): Any = {
-    import org.apache.spark.sql.types._
-    if (s == "__HIVE_DEFAULT_PARTITION__") return null
-    dt match {
-      case IntegerType => s.toInt
-      case LongType => s.toLong
-      case StringType => s
-      case DateType => java.time.LocalDate.parse(s).toEpochDay.toInt
-      case BooleanType => s.toBoolean
-      case FloatType => s.toFloat
-      case DoubleType => s.toDouble
-      case _ => throw new UnsupportedPartitionValue
-    }
-  }
-
   private def writeAvro(fsPath: Path, conf: org.apache.hadoop.conf.Configuration,
                         schema: Schema, records: Seq[GenericRecord]): Long = {
     val fs = fsPath.getFileSystem(conf)
@@ -275,17 +253,22 @@ object IcebergWriter {
   }
 
   /** Commit `df` as a new append snapshot on the table at `tableDir`;
-    * returns the new snapshot id (1, 2, 3, … — deterministic). */
-  def append(spark: SparkSession, tableDir: String, df: DataFrame): Long =
-    commit(spark, tableDir, df, carryPrior = true)
+    * returns the new snapshot id (1, 2, 3, … — deterministic).
+    * `summary` entries land in the snapshot's `summary` node (alongside
+    * the spec's `operation` key) — the idempotence hook the streaming
+    * sink stores its batch id under. */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+             summary: Map[String, String] = Map.empty): Long =
+    commit(spark, tableDir, df, carryPrior = true, summary)
 
   /** Commit `df` as a truncate-and-write snapshot: the new manifest list
     * records ONLY this commit's manifest, so the current snapshot reads
     * just the new rows. Prior snapshots (and their data files) stay on
     * disk untouched — time travel to them still works; nothing is
     * vacuumed. */
-  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame): Long =
-    commit(spark, tableDir, df, carryPrior = false)
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
+                summary: Map[String, String] = Map.empty): Long =
+    commit(spark, tableDir, df, carryPrior = false, summary)
 
   /** Compact the current snapshot: rewrite its live rows into
     * ~`targetFileBytes` files and commit as a truncate snapshot. The
@@ -366,7 +349,7 @@ object IcebergWriter {
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (effective.isEmpty) { // DELETE FROM t → truncate
-      commitSnapshot(conf, tableDir, snapId, Nil)
+      commitSnapshot(conf, tableDir, snapId, Nil, Map("operation" -> "delete"))
       return snapId
     }
     if (meta.currentSnapshot.isEmpty) return -1L // empty table: no-op
@@ -419,7 +402,7 @@ object IcebergWriter {
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
       mlRec(manifestPath.toString, manifestLen, 1, Some(snapId),
         Some(tuples.size.toLong), meta.defaultSpecId, Nil)
-    commitSnapshot(conf, tableDir, snapId, listRecs)
+    commitSnapshot(conf, tableDir, snapId, listRecs, Map("operation" -> "delete"))
     snapId
   }
 
@@ -449,7 +432,7 @@ object IcebergWriter {
     */
   def replaceFiles(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
                    removed: Set[String],
-                   added: Seq[(String, Long, Long)]): Long = {
+                   added: Seq[AddedDataFile]): Long = {
     val meta = TableMetadata.load(tableDir, conf)
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
@@ -474,41 +457,128 @@ object IcebergWriter {
       }
     }
 
-    val newMl: Option[GenericRecord] = if (added.isEmpty) None else {
-      val dfSchema = manifestSchema.getField("data_file").schema
-      // column bounds for the replacement files, same as any commit —
-      // without them every future predicate (and the NEXT rewrite) keeps
-      // every swapped-in file
-      val statsByPath: Map[String, FileColStats] = {
-        def one(p: String) =
-          try Some(p -> footerStats(new Path(p), conf, meta.schema, meta.fieldIds)._2)
-          catch { case scala.util.control.NonFatal(_) => None }
-        val ps = added.map(_._1)
-        (if (ps.sizeIs <= 1) ps.flatMap(one)
-         else {
-           import scala.collection.parallel.CollectionConverters._
-           ps.par.flatMap(one).seq
-         }).toMap
-      }
-      val entries = added.map { case (p, rows, bytes) =>
-        val d = new GenericData.Record(dfSchema)
-        d.put("file_path", p)
-        d.put("file_format", "PARQUET")
-        d.put("record_count", rows)
-        d.put("file_size_in_bytes", bytes)
-        statsByPath.get(p).foreach(st => putStats(d, dfSchema, st))
-        val e = new GenericData.Record(manifestSchema)
-        e.put("status", 1)
-        e.put("data_file", d)
-        e.asInstanceOf[GenericRecord]
-      }
-      val manifestPath = new Path(s"$tableDir/metadata/m-s$snapId.avro")
-      val len = writeAvro(manifestPath, conf, manifestSchema, entries)
-      Some(mlRec(manifestPath.toString, len, 0, Some(snapId),
-        Some(added.map(_._2).sum), meta.defaultSpecId, Nil))
-    }
-    commitSnapshot(conf, tableDir, snapId, keptPrior ++ newMl)
+    val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
+    commitSnapshot(conf, tableDir, snapId, keptPrior ++ newMl,
+      Map("operation" -> "overwrite"))
     snapId
+  }
+
+  /** Write the manifest for one commit's added files and return its
+    * manifest-list record — shared by append/overwrite commits and
+    * copy-on-write file swaps. Everything comes from the tasks' commit
+    * messages: exact partition tuples (also rolled up into the
+    * manifest-list partition summaries that drive manifest-level pruning)
+    * and footer column stats. The ONLY driver file I/O is a per-file
+    * footer fallback when a task message arrived without stats. */
+  private def writeNewManifest(
+      conf: org.apache.hadoop.conf.Configuration, tableDir: String,
+      meta: TableMetadata, snapId: Long,
+      added: Seq[AddedDataFile]): Option[GenericRecord] = {
+    if (added.isEmpty) return None
+    val spec = meta.partitionSpec
+    val idToName = meta.fieldIds.map(_.swap)
+    val resultTypes = spec.map { p =>
+      val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
+        s"partition source field id ${p.sourceId} not in schema"))
+      PartitionTransforms.resultType(p.transform, meta.schema(src).dataType)
+    }
+    val mSchema = manifestSchemaFor(spec, resultTypes)
+    val dfSchema = mSchema.getField("data_file").schema
+    val partSchema =
+      if (spec.isEmpty) null
+      else dfSchema.getField("partition").schema.getTypes.get(1)
+    val entries = added.map { f =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", f.path)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", f.rows)
+      d.put("file_size_in_bytes", f.bytes)
+      if (spec.nonEmpty) f.partition.foreach { tup =>
+        val pr = new GenericData.Record(partSchema)
+        spec.zipWithIndex.foreach { case (p, i) => pr.put(p.name, tup(i)) }
+        d.put("partition", pr)
+      }
+      val st = f.stats.orElse( // fallback: driver footer read, sound to skip
+        try Some(footerStats(new Path(f.path), conf, meta.schema, meta.fieldIds)._2)
+        catch { case scala.util.control.NonFatal(_) => None })
+      st.foreach(s => putStats(d, dfSchema, s))
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e.asInstanceOf[GenericRecord]
+    }
+    val manifestPath = new Path(s"$tableDir/metadata/m-s$snapId.avro")
+    val manifestLen = writeAvro(manifestPath, conf, mSchema, entries)
+
+    // manifest-list partition summaries — only when EVERY file carries a
+    // tuple (a summary over a partial view could prune a manifest whose
+    // unsummarized file matches; no summary = never summary-pruned, sound)
+    val summaries: Seq[PartitionSummary] =
+      if (spec.isEmpty || added.exists(_.partition.isEmpty)) Nil
+      else spec.indices.map { i =>
+        val vals = added.map(_.partition.get(i))
+        val nonNull = vals.filter(v => v != null && !isNanValue(v))
+        def pick(keepLeft: Int => Boolean): Option[Any] = nonNull.reduceOption {
+          (a, b) => if (Pruning.compare(a, b).exists(keepLeft)) a else b
+        }
+        PartitionSummary(
+          containsNull = vals.contains(null),
+          containsNan = Some(vals.exists(isNanValue)),
+          lowerBound = pick(_ <= 0).flatMap(SingleValue.encode(_, resultTypes(i))),
+          upperBound = pick(_ >= 0).flatMap(SingleValue.encode(_, resultTypes(i))))
+      }
+    Some(mlRec(manifestPath.toString, manifestLen, 0, Some(snapId),
+      Some(added.map(_.rows).sum), meta.defaultSpecId, summaries))
+  }
+
+  /** Partition-spec fields resolved against a write schema. */
+  private def writeSpecFields(
+      meta: TableMetadata,
+      schema: org.apache.spark.sql.types.StructType): Seq[WritePartitionField] = {
+    val idToName = meta.fieldIds.map(_.swap)
+    meta.partitionSpec.map { p =>
+      val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
+        s"partition source field id ${p.sourceId} not in schema"))
+      val idx = schema.fieldIndex(src)
+      val st = schema(idx).dataType
+      WritePartitionField(p.name, p.transform, idx, st,
+        PartitionTransforms.resultType(p.transform, st))
+    }
+  }
+
+  /** Distributed data-file write: every partition of `df` streams through
+    * a [[FanoutWriterFactory]] task writer (partition-transform fanout,
+    * field-id-stamped parquet, own-footer stats), and only the small
+    * [[AddedDataFile]] bookkeeping returns to the driver. This is the
+    * DataFrame-API twin of the DSv2 `ReplaceData` write path — one write
+    * kernel, two entry points. */
+  private[graft] def writeDataFiles(
+      df: DataFrame, writeDir: String, meta: TableMetadata,
+      conf: org.apache.hadoop.conf.Configuration): Seq[AddedDataFile] = {
+    val idByName = meta.fieldIds
+    val stampedSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map { f =>
+        idByName.get(f.name) match {
+          case Some(id) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+          case None => f
+        }
+      })
+    val factory = new FanoutWriterFactory(writeDir, stampedSchema, idByName,
+      writeSpecFields(meta, df.schema), new SerializableHadoopConf(conf))
+    val dirPath = new Path(writeDir)
+    val fs = dirPath.getFileSystem(conf)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+      val w = factory.createWriter(pid,
+        Option(org.apache.spark.TaskContext.get).map(_.taskAttemptId).getOrElse(0L))
+      try {
+        while (it.hasNext) w.write(it.next())
+        Iterator.single(w.commit().asInstanceOf[GraftFilesCommit])
+      } catch { case t: Throwable => w.abort(); throw t }
+    }.collect().toSeq.flatMap(_.files)
   }
 
   /** Filter `removed` file paths out of one manifest, preserving its
@@ -556,162 +626,22 @@ object IcebergWriter {
       |   "default":null}]}}]}""".stripMargin)
 
   private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
-                     carryPrior: Boolean): Long = {
+                     carryPrior: Boolean,
+                     summary: Map[String, String] = Map.empty): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(tableDir, conf)
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
 
-    // 1. data files — stamp each column with its Iceberg field id so the
-    // parquet footers carry ids (Spark embeds them when the schema
-    // metadata has `parquet.field.id`); written files then survive
-    // field-id-based schema evolution (renames) like any Iceberg writer's.
-    val idByName = meta.fieldIds
-    val stamped = df.select(df.schema.fields.toSeq.map { f =>
-      idByName.get(f.name) match {
-        case Some(id) => col(f.name).as(f.name,
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", id.toLong).build())
-        case None => col(f.name)
-      }
-    }: _*)
-    val dataDir = s"$tableDir/data/s$snapId"
+    // 1. data files: the fanout task writers cluster rows by transformed
+    // partition value, stamp Iceberg field ids into the parquet schema,
+    // and ship exact partition tuples + footer column stats back in their
+    // commit messages — the driver does metadata-only bookkeeping from
+    // here on (no footer reads, no directory parsing), which is what a
+    // 10k-file commit on an object store needs.
+    val added = writeDataFiles(df, s"$tableDir/data/s$snapId", meta, conf)
 
-    // Partitioned tables: compute each row's transformed partition value
-    // with the SAME transform code the read side prunes with
-    // ([[IcebergTransform]] → [[PartitionTransforms.apply]]), cluster the
-    // write by it (`partitionBy` — one partition value per data file,
-    // the Iceberg invariant), and record exact partition tuples +
-    // manifest summaries so everything this writer produces prunes.
-    // The derived `__gp_i` columns land in directory names, NOT in the
-    // data files; source columns stay in the files, so identity-
-    // partitioned tables still take the native vectorized batch path.
-    val spec = meta.partitionSpec
-    val idToName = idByName.map(_.swap)
-    val gpNames = spec.indices.map(i => s"__gp_$i")
-    val srcTypes = spec.map { p =>
-      val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
-        s"partition source field id ${p.sourceId} not in schema"))
-      df.schema(src).dataType
-    }
-    val resultTypes = spec.zipWithIndex.map { case (p, i) =>
-      PartitionTransforms.resultType(p.transform, srcTypes(i))
-    }
-    val writeDf = spec.zipWithIndex.foldLeft(stamped) { case (d, (p, i)) =>
-      val src = idToName(p.sourceId)
-      d.withColumn(gpNames(i), org.apache.spark.sql.GraftColumnShim.column(
-        IcebergTransform(p.transform,
-          org.apache.spark.sql.GraftColumnShim.expression(col(src)))))
-    }
-    if (spec.isEmpty) writeDf.write.mode("overwrite").parquet(dataDir)
-    else writeDf.write.mode("overwrite").partitionBy(gpNames: _*).parquet(dataDir)
-
-    val fs = new Path(dataDir).getFileSystem(conf)
-    def listParquet(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) listParquet(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
-        else Nil
-      }
-    val files = listParquet(new Path(dataDir))
-
-    // Per-file record counts come from the parquet FOOTERS (read in
-    // parallel on the driver — no Spark job), and partition values from
-    // the `__gp_i=` directory segments (the same unescaping Spark's own
-    // discovery applies). A commit with N files costs N parallel footer
-    // reads — the same bookkeeping any Iceberg writer does — instead of a
-    // full data re-scan. Directory values whose type this parser does not
-    // cover (e.g. raw-timestamp identity partitions, whose dir rendering
-    // is session-zone-dependent) fall back to one Spark read-back job.
-    def footerInfo(p: Path): (Long, FileColStats) =
-      footerStats(p, conf, df.schema, idByName)
-    def dirValues(p: Path): Seq[Any] = {
-      val rel = p.toString.stripPrefix(new Path(dataDir).toString).stripPrefix("/")
-      // keep only k=v segments: the path may retain scheme/base segments
-      // when the FileStatus path is fs-qualified and dataDir is not
-      val byName = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
-        val eq = seg.indexOf('=')
-        seg.substring(0, eq) ->
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(seg.substring(eq + 1))
-      }.toMap
-      gpNames.zipWithIndex.map { case (n, i) => parseDirValue(byName(n), resultTypes(i)) }
-    }
-    val emptyStats = FileColStats(Map.empty, Map.empty, Map.empty, Map.empty)
-    val info: Map[String, (Long, Seq[Any], FileColStats)] = {
-      val parsed =
-        try Some {
-          val seq = if (files.sizeIs <= 1) files.map { st =>
-            val (n, cs) = footerInfo(st.getPath)
-            st.getPath.toString -> ((n, dirValues(st.getPath), cs))
-          } else {
-            import scala.collection.parallel.CollectionConverters._
-            files.par.map { st =>
-              val (n, cs) = footerInfo(st.getPath)
-              st.getPath.toString -> ((n, dirValues(st.getPath), cs))
-            }.seq.toSeq
-          }
-          seq.toMap
-        } catch { case scala.util.control.NonFatal(_) => None }
-      parsed.getOrElse {
-        // fallback: one Spark job; discovery parses the dir values
-        val rbAggs = count(lit(1)).as("c") +: spec.indices.map(i =>
-          first(col(gpNames(i)).cast(resultTypes(i))).as(gpNames(i)))
-        spark.read.parquet(dataDir)
-          .groupBy(input_file_name().as("f")).agg(rbAggs.head, rbAggs.tail: _*)
-          .collect()
-          .map(r => new Path(r.getString(0)).toString ->
-            ((r.getLong(1), spec.indices.map(i => Pruning.normalize(r.get(2 + i))),
-              emptyStats)))
-          .toMap
-      }
-    }
-
-    // 2. manifest for this snapshot's files (exact partition tuple per
-    // file when the table is partitioned)
-    val mSchema = manifestSchemaFor(spec, resultTypes)
-    val dfSchema = mSchema.getField("data_file").schema
-    val partSchema =
-      if (spec.isEmpty) null
-      else dfSchema.getField("partition").schema.getTypes.get(1)
-    val entries = files.map { st =>
-      val fi = info.get(st.getPath.toString)
-      val d = new GenericData.Record(dfSchema)
-      d.put("file_path", st.getPath.toString)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", fi.map(_._1).getOrElse(0L))
-      d.put("file_size_in_bytes", st.getLen)
-      if (spec.nonEmpty) {
-        val pr = new GenericData.Record(partSchema)
-        spec.zipWithIndex.foreach { case (p, i) =>
-          pr.put(p.name, fi.map(_._2(i)).orNull)
-        }
-        d.put("partition", pr)
-      }
-      fi.foreach(x => putStats(d, dfSchema, x._3))
-      val e = new GenericData.Record(mSchema)
-      e.put("status", 1)
-      e.put("data_file", d)
-      e.asInstanceOf[GenericRecord]
-    }
-    val manifestPath = new Path(s"$tableDir/metadata/m-s$snapId.avro")
-    val manifestLen = writeAvro(manifestPath, conf, mSchema, entries)
-
-    // partition summaries for the new manifest's manifest-list entry —
-    // what manifest-level pruning reads before touching the manifest
-    val newSummaries: Seq[PartitionSummary] = spec.indices.map { i =>
-      val vals = files.flatMap(st => info.get(st.getPath.toString).map(_._2(i)))
-      val nonNull = vals.filter(v => v != null && !isNanValue(v))
-      def pick(keepLeft: Int => Boolean): Option[Any] = nonNull.reduceOption {
-        (a, b) => if (Pruning.compare(a, b).exists(keepLeft)) a else b
-      }
-      PartitionSummary(
-        containsNull = vals.contains(null),
-        containsNan = Some(vals.exists(isNanValue)),
-        lowerBound = pick(_ <= 0).flatMap(SingleValue.encode(_, resultTypes(i))),
-        upperBound = pick(_ >= 0).flatMap(SingleValue.encode(_, resultTypes(i))))
-    }
-    val added = entries.map(_.get("data_file").asInstanceOf[GenericRecord]
-      .get("record_count").asInstanceOf[Long]).sum
+    // 2. manifest (+ partition summaries) from the commit messages
+    val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
 
     // 3. manifest list = previous snapshot's manifests + the new one
     // (append) or just the new one (overwrite/truncate)
@@ -722,10 +652,10 @@ object IcebergWriter {
     }
     val listRecs = prev.map(m =>
       mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
-        m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
-      mlRec(manifestPath.toString, manifestLen, 0, Some(snapId), Some(added),
-        meta.defaultSpecId, newSummaries)
-    commitSnapshot(conf, tableDir, snapId, listRecs)
+        m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) ++
+      newMl
+    commitSnapshot(conf, tableDir, snapId, listRecs,
+      Map("operation" -> (if (carryPrior) "append" else "overwrite")) ++ summary)
     snapId
   }
 
@@ -762,10 +692,12 @@ object IcebergWriter {
 
   /** Write the manifest list and the next metadata.json (append the
     * snapshot, move the current pointer). The metadata write uses
-    * create-new as its commit primitive. */
+    * create-new as its commit primitive. `summary` lands in the
+    * snapshot's `summary` node (spec: must carry `operation`). */
   private def commitSnapshot(
       conf: org.apache.hadoop.conf.Configuration, tableDir: String,
-      snapId: Long, listRecs: Seq[GenericRecord]): Unit = {
+      snapId: Long, listRecs: Seq[GenericRecord],
+      summary: Map[String, String] = Map.empty): Unit = {
     val listPath = new Path(s"$tableDir/metadata/snap-$snapId.avro")
     writeAvro(listPath, conf, manifestListSchema, listRecs)
     val mapper = new ObjectMapper()
@@ -776,6 +708,10 @@ object IcebergWriter {
     snap.put("snapshot-id", snapId)
     snap.put("timestamp-ms", System.currentTimeMillis)
     snap.put("manifest-list", listPath.toString)
+    if (summary.nonEmpty) {
+      val sn = snap.putObject("summary")
+      summary.foreach { case (k, v) => sn.put(k, v) }
+    }
     val snaps = Option(root.get("snapshots"))
       .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
       .getOrElse(root.putArray("snapshots"))

@@ -1,9 +1,7 @@
 package graft.iceberg.connector
 
-import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
 import java.util.OptionalLong
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -153,29 +151,14 @@ final class GraftGroupScan(
   }
 }
 
-/** `Configuration` is not `Serializable`; it is `Writable`. Spark's own
-  * wrapper is `private[spark]`, so this is the same three-liner on the
-  * graft side. */
-final class SerializableHadoopConf(@transient var value: Configuration)
-    extends Serializable {
-  @throws[IOException]
-  private def writeObject(out: ObjectOutputStream): Unit = value.write(out)
-  @throws[IOException]
-  private def readObject(in: ObjectInputStream): Unit = {
-    value = new Configuration(false)
-    value.readFields(in)
-  }
-}
-
-private[connector] final case class GraftFileCommit(
-    path: String, rows: Long, bytes: Long) extends WriterCommitMessage
-
-/** The replacement write: executors append rewritten rows to one parquet
-  * file per task (lazily — an empty task emits no file), the driver
+/** The replacement write: executor tasks stream rewritten rows through
+  * the shared [[graft.iceberg.FanoutWriterFactory]] kernel — partition-
+  * transform fanout (so replacement files on a partitioned table carry
+  * exact partition tuples and STAY under partition pruning, no
+  * de-clustering until compaction), field-id-stamped parquet, and
+  * own-footer column stats shipped in the commit messages. The driver
   * commit swaps the scan's planned files for the written ones in a
-  * single snapshot. Field ids are stamped into the written schema so the
-  * files survive field-id-based schema evolution like every other file
-  * this library writes.
+  * single snapshot without opening a data file.
   */
 final class GraftReplaceWrite(
     table: IcebergTable,
@@ -189,15 +172,30 @@ final class GraftReplaceWrite(
       s"${table.tableDir}/data/rlo-${java.util.UUID.randomUUID.toString.take(12)}"
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-      val ids = table.metadata.fieldIds
+      val meta = table.metadata
       val stamped = StructType(writeSchema.fields.map { f =>
-        ids.get(f.name) match {
+        meta.fieldIds.get(f.name) match {
           case Some(id) => f.copy(metadata = new MetadataBuilder()
             .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
           case None => f
         }
       })
-      new GraftReplaceWriterFactory(writeDir, stamped, new SerializableHadoopConf(conf))
+      val idToName = meta.fieldIds.map(_.swap)
+      val spec = meta.partitionSpec.map { p =>
+        val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
+          s"partition source field id ${p.sourceId} not in schema"))
+        val idx = writeSchema.fieldIndex(src)
+        val st = writeSchema(idx).dataType
+        graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
+          graft.iceberg.PartitionTransforms.resultType(p.transform, st))
+      }
+      val inner = new graft.iceberg.FanoutWriterFactory(
+        writeDir, stamped, meta.fieldIds, spec,
+        new graft.iceberg.SerializableHadoopConf(conf))
+      new DataWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+          inner.createWriter(partitionId, taskId)
+      }
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -205,8 +203,8 @@ final class GraftReplaceWrite(
       require(scan != null,
         "ReplaceData commit without a configured group scan")
       val added = messages.collect {
-        case GraftFileCommit(p, rows, bytes) if p != null => (p, rows, bytes)
-      }.toSeq
+        case graft.iceberg.GraftFilesCommit(files) => files
+      }.toSeq.flatten
       IcebergWriter.replaceFiles(conf, table.tableDir,
         scan.plannedFiles.map(_.filePath).toSet, added)
     }
@@ -216,54 +214,4 @@ final class GraftReplaceWrite(
       fs.delete(new Path(writeDir), true)
     }
   }
-}
-
-final class GraftReplaceWriterFactory(
-    writeDir: String, schema: StructType, conf: SerializableHadoopConf)
-    extends DataWriterFactory {
-
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val path = s"$writeDir/part-$partitionId-$taskId.parquet"
-      private var rows = 0L
-      private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
-      /** `ReplaceData` rows arrive as `[__row_operation :: dataColumns]`
-        * (Spark's group-based rewrites always prepend the operation
-        * column, and with no metadata attributes requested the runtime
-        * task does NOT strip it — `ReplaceDataExec.writingTask` projects
-        * only on the metadata path). Skip it here with the same
-        * projecting-row machinery Spark's own tasks use. */
-      private val dataProj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
-        schema, 1 to schema.length)
-
-      override def write(row: InternalRow): Unit = {
-        if (writer == null)
-          writer = org.apache.spark.sql.execution.datasources.parquet
-            .GraftParquetWriteShim.open(path, schema, conf.value)
-        if (row.numFields == schema.length + 1) {
-          dataProj.project(row)
-          writer.write(dataProj)
-        } else writer.write(row)
-        rows += 1
-      }
-
-      override def commit(): WriterCommitMessage = {
-        if (writer == null) return GraftFileCommit(null, 0L, 0L)
-        writer.close()
-        val p = new Path(path)
-        val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
-        GraftFileCommit(path, rows, len)
-      }
-
-      override def abort(): Unit = {
-        if (writer != null) {
-          try writer.close() catch { case _: Exception => () }
-          val p = new Path(path)
-          try p.getFileSystem(conf.value).delete(p, false)
-          catch { case _: Exception => () }
-        }
-      }
-
-      override def close(): Unit = ()
-    }
 }

@@ -55,15 +55,52 @@ object EventStream {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Snapshot-summary keys recording which micro-batch a streaming-sink
+    * snapshot committed — the idempotence ledger replay is checked
+    * against. Query id (stable across restarts from one checkpoint, per
+    * batch-id numbering scope) disambiguates two different streams
+    * feeding one table. */
+  private[graft] val BatchIdKey = "graft.streaming.batch-id"
+  private[graft] val QueryIdKey = "graft.streaming.query-id"
+
+  /** Commit one micro-batch as an append snapshot IF this (queryId,
+    * batchId) has not already committed; returns whether a snapshot was
+    * written. `foreachBatch` is at-least-once under failure — Spark
+    * replays an interrupted batch after restart-from-checkpoint — so
+    * exactly-once requires the sink to be idempotent per batch id: the
+    * batch id is recorded in the snapshot summary, and a replay whose id
+    * is ≤ the last committed one for the same query is a no-op. (Batch
+    * ids are scoped to a checkpoint; the query id in the summary keeps a
+    * FRESH checkpoint writing to an existing table from being swallowed
+    * by the old checkpoint's ledger.) */
+  private[graft] def commitBatchIfNew(
+      batch: DataFrame, tableDir: String, batchId: Long, queryId: String): Boolean = {
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    val meta = graft.iceberg.TableMetadata.load(tableDir, conf)
+    val qid = Option(queryId).getOrElse("")
+    val lastCommitted = meta.snapshots
+      .filter(_.summary.getOrElse(QueryIdKey, "") == qid)
+      .flatMap(_.summary.get(BatchIdKey).flatMap(_.toLongOption))
+      .maxOption
+    if (lastCommitted.exists(_ >= batchId)) false // replayed batch: skip
+    else if (batch.isEmpty) false
+    else {
+      graft.iceberg.IcebergWriter.append(batch.sparkSession, tableDir, batch.toDF,
+        summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid))
+      true
+    }
+  }
+
   /** Stream → Iceberg table: each micro-batch commits ONE append snapshot
     * through the same [[graft.iceberg.IcebergWriter]] protocol batch
     * writes use, so downstream readers get snapshot-isolated, time-
     * travelable increments (and partitioned tables cluster each batch's
     * files by partition value). `foreachBatch` is the idiomatic bridge
     * for a sink whose commit is driver-side metadata around a distributed
-    * file write; exactly-once comes from pairing it with a checkpoint —
-    * Spark replays an interrupted batch, and the replay commits a
-    * snapshot with the same rows.
+    * file write; it is at-least-once on its own, so EXACTLY-ONCE comes
+    * from [[commitBatchIfNew]]'s batch-id ledger in the snapshot
+    * summaries — a replayed batch finds its id already committed and
+    * no-ops instead of double-appending.
     *
     * Caller starts the returned query (`.start()` is NOT called here) so
     * tests/users control trigger and checkpoint placement.
@@ -71,9 +108,11 @@ object EventStream {
   def icebergSink(stream: DataFrame, tableDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          graft.iceberg.IcebergWriter.append(batch.sparkSession, tableDir, batch.toDF)
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // foreachBatch runs on the stream-execution thread, where Spark
+        // sets the query id as a local property
+        val qid = batch.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId")
+        commitBatchIfNew(batch.toDF, tableDir, batchId, qid)
         ()
     }
 

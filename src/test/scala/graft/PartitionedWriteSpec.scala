@@ -98,6 +98,35 @@ class PartitionedWriteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("copy-on-write UPDATE keeps partition tuples: files still prune after rewrite") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS pw.ns.upd")
+    spark.sql(
+      """CREATE TABLE pw.ns.upd (id BIGINT, ts TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO pw.ns.upd VALUES
+        |(1, TIMESTAMP'2024-01-01 01:00:00', 1.0),
+        |(2, TIMESTAMP'2024-01-02 02:00:00', 2.0),
+        |(3, TIMESTAMP'2024-01-03 03:00:00', 3.0)""".stripMargin)
+    // rewrite EVERY file (condition on a non-partition column matches all)
+    spark.sql("UPDATE pw.ns.upd SET v = v + 10 WHERE v >= 0")
+    assert(spark.sql("SELECT SUM(v) FROM pw.ns.upd").collect()(0).getDouble(0) == 36.0)
+
+    // replacement files must carry exact partition tuples → a day filter
+    // still prunes them (round-4 gap: rewritten files were tuple-less and
+    // exempt from pruning until compaction)
+    val t = IcebergTable(spark, s"$warehouse/ns/upd")
+    assert(t.planFiles().forall(_.partition.nonEmpty),
+      "every replacement file must carry its partition tuple")
+    val (_, _, fk, ft) = t.pruneCounts(Seq(
+      GreaterThanOrEqual("ts", java.time.Instant.parse("2024-01-03T00:00:00Z"))))
+    assert(fk < ft, s"day filter should prune rewritten files: kept $fk of $ft")
+    assert(spark.sql(
+      "SELECT id FROM pw.ns.upd WHERE ts >= TIMESTAMP'2024-01-03 00:00:00'")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("truncate-transform string partition round-trips") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS pw.ns.tr")

@@ -103,6 +103,78 @@ class StreamingSpec extends SparkSpec {
     assert(t.atSnapshot(1L).rowCount() == 2L, "first batch alone in snapshot 1")
   }
 
+  test("streaming sink is exactly-once: replayed batches do not double-append") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.IcebergTable
+    val dir = "/root/repo/target/test-stream-replay"
+    FileUtils.deleteQuietly(new File(dir))
+    import spark.implicits._
+    val seed = Seq((0L, "init")).toDF("event_id", "tag")
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
+      seed.schema, Nil, Map.empty)
+    new File(s"$dir/metadata").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+
+    val b0 = Seq((1L, "a")).toDF("event_id", "tag")
+    assert(EventStream.commitBatchIfNew(b0, dir, 0L, "q1"), "first delivery commits")
+    assert(!EventStream.commitBatchIfNew(b0, dir, 0L, "q1"),
+      "replay of batch 0 must no-op")
+    assert(EventStream.commitBatchIfNew(
+      Seq((2L, "b")).toDF("event_id", "tag"), dir, 1L, "q1"), "next batch commits")
+    assert(EventStream.commitBatchIfNew(
+      Seq((3L, "c")).toDF("event_id", "tag"), dir, 0L, "q2"),
+      "a fresh checkpoint (new query id) restarts batch numbering and still commits")
+
+    val t = IcebergTable(spark, dir)
+    assert(t.metadata.snapshots.size == 3, s"got ${t.metadata.snapshots.size}")
+    assert(t.toDF(spark).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("restart from checkpoint replays the last batch without duplicate rows") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.IcebergTable
+    val dir = "/root/repo/target/test-stream-ckpt-replay"
+    FileUtils.deleteQuietly(new File(dir))
+    import spark.implicits._
+    val seed = Seq((0L, "init")).toDF("event_id", "tag")
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
+      seed.schema, Nil, Map.empty)
+    new File(s"$dir/metadata").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("event_id", "tag")
+    def run(): Unit = {
+      val q = EventStream.icebergSink(stream, dir)
+        .option("checkpointLocation", s"$dir/_ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    mem.addData((1L, "a"), (2L, "b"))
+    run()
+    // simulate a crash AFTER the sink committed but BEFORE Spark recorded
+    // the batch completion: drop the commit marker → restart replays batch 0
+    val marker = new File(s"$dir/_ckpt/commits/0")
+    assert(marker.exists, "expected checkpoint commit marker for batch 0")
+    assert(marker.delete())
+    new File(s"$dir/_ckpt/commits/.0.crc").delete() // checksum shadow too
+    run()
+
+    val t = IcebergTable(spark, dir)
+    assert(t.metadata.snapshots.size == 1,
+      s"replayed batch must not commit a second snapshot, got ${t.metadata.snapshots.size}")
+    assert(t.toDF(spark).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L), "no duplicate rows after replay")
+  }
+
   test("compaction collapses small files and materializes deletes") {
     import java.io.File
     import org.apache.commons.io.FileUtils
