@@ -733,4 +733,261 @@ object IcebergWriter {
   private def resolveAgainst(meta: TableMetadata, tableDir: String, path: String): String =
     if (path.startsWith(meta.location)) tableDir + path.stripPrefix(meta.location)
     else path
+
+  // -- position deletes (selective DELETE without rewrite) --------------------
+
+  /** Iceberg reserved field ids for position-delete file columns. */
+  private val PosDelPathId = 2147483546L
+  private val PosDelPosId = 2147483545L
+
+  /** SQL `DELETE FROM … WHERE <predicate>` for predicates equality-delete
+    * tuples cannot express (ranges, LIKE, disjunctions over different
+    * columns): ONE snapshot, with the cheapest sound treatment chosen
+    * PER FILE from one distributed matching pass over the statically
+    * pruned candidates:
+    *
+    *  - stats disprove the predicate → file untouched (never read);
+    *  - every row matches → file dropped from the manifests, no IO;
+    *  - a small matched fraction (≤ `maxPosDeleteFraction`) → an Iceberg
+    *    v2 POSITION delete file (file_path, pos): O(matched rows) written
+    *    instead of a full rewrite, applied by the existing merge-on-read
+    *    anti-join;
+    *  - a large matched fraction → the file is rewritten without the
+    *    matched rows (copy-on-write through the same fanout task writers
+    *    as every other write, so tuples/stats are preserved) — UNLESS the
+    *    table has outstanding delete files, which force the position path
+    *    (a rewritten file would take a new sequence number, escape the
+    *    older deletes, and resurrect rows).
+    *
+    * At 100 TB this is the difference between "DELETE of one bad record
+    * rewrites a 512 MB file" and "DELETE writes a 100-byte delete file".
+    * Returns the new snapshot id, or -1 when nothing matched.
+    */
+  def positionDeleteWhere(
+      spark: SparkSession, tableDir: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      maxPosDeleteFraction: Double = 0.3): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val table = new IcebergTable(tableDir, conf)
+    val meta = table.metadata
+    if (meta.currentSnapshot.isEmpty) return -1L
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+
+    val cond = {
+      val cols = filters.flatMap(IcebergTable.filterToColumn)
+      require(cols.size == filters.size,
+        s"DELETE predicate not expressible as columns: ${filters.mkString(", ")}")
+      cols.reduce(_ && _)
+    }
+    val candidates = table.planFiles(filters)
+    if (candidates.isEmpty) return -1L
+    def norm(s: String) = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    val byNorm: Map[String, DataFileEntry] =
+      candidates.map(f => norm(table.resolve(f.filePath)) -> f).toMap
+
+    // one distributed pass over the pruned candidates: matched (file, pos)
+    // pairs — schema-by-field-id read, same as the scan path
+    val matched = spark.read.schema(meta.schema)
+      .parquet(candidates.map(f => table.resolve(f.filePath)): _*)
+      .filter(cond)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts: Map[String, Long] = matched.groupBy("file_path").count()
+        .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+      if (counts.isEmpty) return -1L
+
+      val fullyDead = scala.collection.mutable.Set.empty[String] // stored paths
+      val posDel = scala.collection.mutable.Set.empty[String] // qualified paths
+      val rewrite = scala.collection.mutable.Set.empty[String] // stored paths
+      counts.foreach { case (np, m) =>
+        val f = byNorm(np)
+        if (m >= f.recordCount) fullyDead += f.filePath
+        else if (m.toDouble / math.max(f.recordCount, 1L) <= maxPosDeleteFraction
+                 || table.hasDeletes) posDel += np
+        else rewrite += f.filePath
+      }
+
+      // position-delete file: the matched (path, pos) rows of the posDel
+      // group, reserved field ids stamped, sorted per the spec
+      val posDelMl: Option[GenericRecord] = if (posDel.isEmpty) None else {
+        val delDir = s"$tableDir/data/del-s$snapId"
+        val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", PosDelPathId).build()
+        val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", PosDelPosId).build()
+        val keep = matched.withColumn("__np",
+            regexp_replace(col("file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/"))
+          .filter(col("__np").isInCollection(posDel))
+          .select(col("file_path").as("file_path", pathMeta),
+            col("pos").as("pos", posMeta))
+        keep.repartition(1).sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(delDir)
+        val fs = new Path(delDir).getFileSystem(conf)
+        val delFiles = fs.listStatus(new Path(delDir))
+          .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+        val delRows = posDel.toSeq.map(np => counts(np)).sum
+        val entries = delFiles.map { st =>
+          val dfSchema = deleteManifestSchema.getField("data_file").schema
+          val d = new GenericData.Record(dfSchema)
+          d.put("content", 1) // POSITION_DELETES
+          d.put("file_path", st.getPath.toString)
+          d.put("file_format", "PARQUET")
+          d.put("record_count", delRows)
+          d.put("file_size_in_bytes", st.getLen)
+          val e = new GenericData.Record(deleteManifestSchema)
+          e.put("status", 1)
+          e.put("data_file", d)
+          e.asInstanceOf[GenericRecord]
+        }
+        val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId.avro")
+        val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
+        Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(delRows),
+          meta.defaultSpecId, Nil))
+      }
+
+      // rewrite group: surviving rows through the shared fanout writers
+      val rewrittenAdds: Seq[AddedDataFile] = if (rewrite.isEmpty) Nil else {
+        val src = spark.read.schema(meta.schema)
+          .parquet(rewrite.toSeq.map(p => table.resolve(p)): _*)
+          .filter(!cond)
+          .select(meta.schema.fieldNames.map(col).toSeq: _*)
+        writeDataFiles(src, s"$tableDir/data/s$snapId", meta, conf)
+      }
+
+      // one snapshot: prior manifests minus dropped/rewritten files, plus
+      // the rewrite manifest and the position-delete manifest
+      val removed = fullyDead.toSet ++ rewrite
+      val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+        ManifestIO.readManifestList(
+          resolveAgainst(meta, tableDir, s.manifestList), conf))
+      val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
+        val mPath = resolveAgainst(meta, tableDir, m.path)
+        if (m.content == 1) // delete manifests pass through untouched
+          Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
+            m.addedRowsCount, m.partitionSpecId, m.partitions))
+        else filterManifest(mPath, conf, removed,
+          new Path(s"$tableDir/metadata/m-s$snapId-r$i.avro")) match {
+          case None =>
+            Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
+              m.addedRowsCount, m.partitionSpecId, m.partitions))
+          case Some((_, 0L, _)) => None
+          case Some((newPath, rows, len)) =>
+            Some(mlRec(newPath, len, m.content, m.sequenceNumber, Some(rows),
+              m.partitionSpecId, m.partitions))
+        }
+      }
+      val newMl = writeNewManifest(conf, tableDir, meta, snapId, rewrittenAdds)
+      commitSnapshot(conf, tableDir, snapId,
+        keptPrior ++ newMl ++ posDelMl, Map("operation" -> "delete"))
+      snapId
+    } finally matched.unpersist()
+  }
+
+  // -- snapshot expiration / orphan cleanup -----------------------------------
+
+  /** Every path a snapshot's tree references: (metadata files = manifest
+    * list + manifests, content files = every `file_path` in every
+    * manifest REGARDLESS of status or content). Status-blind on purpose:
+    * a DELETED-status entry still names a file some other snapshot may
+    * read, so reachability, not liveness, is what protects a file from
+    * expiration. */
+  private def referencedPaths(
+      conf: org.apache.hadoop.conf.Configuration, tableDir: String,
+      meta: TableMetadata, snap: IcebergSnapshot): (Set[String], Set[String]) = {
+    val listPath = resolveAgainst(meta, tableDir, snap.manifestList)
+    val manifests = ManifestIO.readManifestList(listPath, conf)
+    val metaPaths = Set(listPath) ++
+      manifests.map(m => resolveAgainst(meta, tableDir, m.path))
+    val filePaths = manifests.flatMap { m =>
+      val p = new Path(resolveAgainst(meta, tableDir, m.path))
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new org.apache.avro.file.SeekableByteArrayInput(bytes),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try {
+        val b = Vector.newBuilder[String]
+        while (reader.hasNext) {
+          val df = reader.next().get("data_file").asInstanceOf[GenericRecord]
+          b += resolveAgainst(meta, tableDir, String.valueOf(df.get("file_path")))
+        }
+        b.result()
+      } finally reader.close()
+    }.toSet
+    (metaPaths, filePaths)
+  }
+
+  /** Expire snapshots with commit time strictly before `olderThanMs`,
+    * always retaining the current snapshot and the `retainLast` most
+    * recent ones, and DELETE the data files, delete files, manifests, and
+    * manifest lists referenced ONLY by the expired snapshots. This is the
+    * maintenance half the streaming sink + compaction need: one snapshot
+    * per micro-batch is unbounded metadata growth (~526k snapshots/year
+    * at one batch a minute) and compaction keeps every pre-compaction
+    * file alive until its history expires.
+    *
+    * Reachability is computed from the RETAINED snapshots' full manifest
+    * trees, so a file shared with any retained snapshot survives; file
+    * deletion is best-effort (a failed delete leaves an orphan, never a
+    * broken table) while the metadata rewrite is the atomic commit.
+    * Returns the number of snapshots expired.
+    */
+  def expireSnapshots(spark: SparkSession, tableDir: String,
+                      olderThanMs: Long, retainLast: Int = 1): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(tableDir, conf)
+    val sorted = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+    val keepIds: Set[Long] =
+      sorted.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
+        meta.currentSnapshotId.toSet ++
+        sorted.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)
+    val (kept, expired) = meta.snapshots.partition(s => keepIds(s.snapshotId))
+    if (expired.isEmpty) return 0
+
+    val keptRefs = kept.map(referencedPaths(conf, tableDir, meta, _))
+    val keptMeta = keptRefs.flatMap(_._1).toSet
+    val keptFiles = keptRefs.flatMap(_._2).toSet
+    val expRefs = expired.map(referencedPaths(conf, tableDir, meta, _))
+    val deadMeta = expRefs.flatMap(_._1).toSet -- keptMeta
+    val deadFiles = expRefs.flatMap(_._2).toSet -- keptFiles
+
+    // 1. atomic part first: metadata.json without the expired snapshots
+    val mapper = new ObjectMapper()
+    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
+    val in = latest.getFileSystem(conf).open(latest)
+    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    val snapsArr = mapper.createArrayNode()
+    Option(root.get("snapshots")).foreach(_.elements.forEachRemaining { s =>
+      if (keepIds(s.get("snapshot-id").asLong)) snapsArr.add(s)
+    })
+    root.set("snapshots", snapsArr)
+    Option(root.get("snapshot-log")).foreach { log =>
+      val kept = mapper.createArrayNode()
+      log.elements.forEachRemaining { e =>
+        if (keepIds(e.get("snapshot-id").asLong)) kept.add(e)
+      }
+      root.set("snapshot-log", kept): Unit
+    }
+    root.put("last-updated-ms", System.currentTimeMillis)
+    val version = "v(\\d+)".r.findFirstMatchIn(latest.getName)
+      .map(_.group(1).toLong)
+      .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
+      .getOrElse(0L)
+    val next = new Path(s"$tableDir/metadata/v${version + 1}.metadata.json")
+    val out = next.getFileSystem(conf).create(next, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+
+    // 2. best-effort physical cleanup (expired-only trees)
+    (deadFiles ++ deadMeta).foreach { s =>
+      val p = new Path(s)
+      try p.getFileSystem(conf).delete(p, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    expired.size
+  }
 }

@@ -69,20 +69,33 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table)
 
-  /** SQL DELETE as merge-on-read: equality predicates commit an Iceberg
-    * v2 equality-delete file (no data rewrite; prior snapshots keep the
-    * rows); an empty predicate truncates. Non-equality predicates (ranges,
-    * LIKE) are refused via `canDeleteWhere` — Spark then raises a clear
-    * error instead of this table guessing at row-level rewrites. */
+  /** SQL DELETE without a data rewrite: equality predicates commit an
+    * Iceberg v2 equality-delete file; an empty predicate truncates; any
+    * other column-expressible predicate (ranges, LIKE, mixed ORs) takes
+    * [[IcebergWriter.positionDeleteWhere]]'s per-file strategy (drop
+    * fully-matched files metadata-only, position-delete small fractions,
+    * rewrite large ones). Only predicates we cannot express as columns —
+    * or tables whose identity partition values live only in metadata,
+    * where re-reading the raw files would mis-evaluate the predicate —
+    * fall through to Spark's generic row-level rewrite. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     canWrite && (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]) ||
-      IcebergWriter.equalityTuples(schema(), filters.toSeq).isDefined)
+      IcebergWriter.equalityTuples(schema(), filters.toSeq).isDefined ||
+      (filters.forall(f => IcebergTable.filterToColumn(f).isDefined) &&
+        table.missingPartitionColumns(org.apache.spark.sql.SparkSession.active,
+          table.planFiles(filters.toSeq)).isEmpty))
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (!canWrite) throw new UnsupportedOperationException(
       s"$tableName is read-only")
-    IcebergWriter.deleteWhere(
-      org.apache.spark.sql.SparkSession.active, table.tableDir, filters.toSeq)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val effective = filters.toSeq
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (effective.isEmpty ||
+        IcebergWriter.equalityTuples(schema(), effective).isDefined)
+      IcebergWriter.deleteWhere(spark, table.tableDir, filters.toSeq)
+    else
+      IcebergWriter.positionDeleteWhere(spark, table.tableDir, effective)
   }
 
   /** SQL UPDATE / MERGE INTO / non-equality DELETE: Spark's group-based

@@ -193,6 +193,62 @@ object IcebergQueries {
           |FROM q59cat.ns.nation_m""".stripMargin)
     }),
 
+    // Selective DELETE via POSITION deletes: a range predicate matching a
+    // small fraction of one data file writes an O(matched-rows) v2
+    // position-delete file — no data rewrite — applied by the existing
+    // merge-on-read anti-join. (`DeleteFilesSpec` pins the mechanism; the
+    // oracle gates the visible result.)
+    "q60_pos_delete" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q60-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q60")
+      s.conf.set("spark.sql.catalog.q60cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q60cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q60cat.ns")
+      s.sql(
+        """CREATE TABLE q60cat.ns.nation_pd AS
+          |SELECT /*+ REPARTITION(1) */ n_nationkey, n_regionkey, n_name
+          |FROM nation_src_q60""".stripMargin)
+      s.sql("DELETE FROM q60cat.ns.nation_pd WHERE n_nationkey >= 20")
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+          |FROM q60cat.ns.nation_pd
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // Snapshot expiration: append → compact → expire all but the current
+    // snapshot; the table must still read green afterwards (the expired
+    // pre-compaction files are physically deleted — `MaintenanceSpec`
+    // pins the cleanup; the oracle gates the surviving values).
+    "q61_expire" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q61-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "region").createOrReplaceTempView("region_src_q61")
+      s.conf.set("spark.sql.catalog.q61cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q61cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q61cat.ns")
+      s.sql(
+        """CREATE TABLE q61cat.ns.region_e AS
+          |SELECT r_regionkey, r_name FROM region_src_q61
+          |WHERE r_regionkey < 3""".stripMargin)
+      s.sql(
+        """INSERT INTO q61cat.ns.region_e
+          |SELECT r_regionkey, r_name FROM region_src_q61
+          |WHERE r_regionkey >= 3""".stripMargin)
+      val dir = s"$warehouse/ns/region_e"
+      graft.iceberg.IcebergWriter.compact(s, dir)
+      graft.iceberg.IcebergWriter.expireSnapshots(
+        s, dir, olderThanMs = Long.MaxValue, retainLast = 1)
+      s.sql(
+        """SELECT COUNT(*) AS n, CAST(SUM(r_regionkey) AS BIGINT) AS sk,
+          |       MIN(r_name) AS mn, MAX(r_name) AS mx
+          |FROM q61cat.ns.region_e""".stripMargin)
+    }),
+
     "q57_sql_delete" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q57-warehouse"
@@ -241,6 +297,14 @@ object IcebergQueries {
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
         |FROM nation WHERE n_regionkey <> 2 AND n_nationkey NOT IN (0, 1)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q60_pos_delete" ->
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+        |FROM nation WHERE n_nationkey < 20
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q61_expire" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(r_regionkey) AS BIGINT) AS sk,
+        |       MIN(r_name) AS mn, MAX(r_name) AS mx
+        |FROM region""".stripMargin,
     "q58_sql_update" ->
       """WITH upd AS (
         |  SELECT n_nationkey,

@@ -134,13 +134,11 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM scratch.ns1.d1 WHERE id IN (1, 3) AND name = 'c'")
     assert(spark.sql("SELECT id FROM scratch.ns1.d1 ORDER BY id")
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
-    // non-equality predicates are refused with an error, not mis-applied
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM scratch.ns1.d1 WHERE id > 1")
-    }
-    assert(e.getMessage != null)
-    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.d1")
-      .collect()(0).getLong(0) == 2L, "refused DELETE must change nothing")
+    // non-equality predicates take the POSITION-delete path (no data
+    // rewrite, composes with the outstanding equality deletes)
+    spark.sql("DELETE FROM scratch.ns1.d1 WHERE id > 1")
+    assert(spark.sql("SELECT id FROM scratch.ns1.d1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
     // unqualified DELETE truncates
     spark.sql("DELETE FROM scratch.ns1.d1")
     assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.d1")

@@ -162,6 +162,65 @@ class DeleteFilesSpec extends SparkSpec {
       "deletes still applied; appended row present")
   }
 
+  test("selective DELETE commits a position delete, no data rewrite") {
+    import org.apache.commons.io.FileUtils
+    val wh = "/root/repo/target/test-posdel-warehouse"
+    FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.pdw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pdw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pdw.ns")
+    spark.sql("CREATE TABLE pdw.ns.t (k BIGINT, v STRING)")
+    // single-partition insert → one data file of 10 rows
+    spark.sql("INSERT INTO pdw.ns.t SELECT /*+ REPARTITION(1) */ " +
+      "id, CONCAT('r', id) FROM range(0, 10)")
+    val before = IcebergTable(spark, s"$wh/ns/t")
+    assert(before.planFiles().size == 1)
+    val beforePaths = before.planFiles().map(_.filePath).toSet
+
+    // 1 of 10 rows matches → position delete, not a rewrite
+    spark.sql("DELETE FROM pdw.ns.t WHERE k >= 9")
+    val t = IcebergTable(spark, s"$wh/ns/t")
+    assert(t.hasDeletes, "expected a delete manifest")
+    assert(t.planDeletes().exists(_.content == 1),
+      s"expected a POSITION delete file, got ${t.planDeletes()}")
+    assert(t.planFiles().map(_.filePath).toSet == beforePaths,
+      "the 10-row data file must NOT be rewritten")
+    assert(spark.sql("SELECT k FROM pdw.ns.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == (0L to 8L))
+    // prior snapshot still reads all 10 (time travel unaffected)
+    assert(spark.sql("SELECT COUNT(*) FROM pdw.ns.t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 10L)
+  }
+
+  test("DELETE strategy is per file: drop fully-matched, rewrite large fractions") {
+    import org.apache.commons.io.FileUtils
+    val wh = "/root/repo/target/test-posdel-mixed"
+    FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.pdm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pdm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pdm.ns")
+    spark.sql("CREATE TABLE pdm.ns.t (k BIGINT)")
+    // two single-file appends: A = 0..9, B = 100..109
+    spark.sql(
+      "INSERT INTO pdm.ns.t SELECT /*+ REPARTITION(1) */ id FROM range(0, 10)")
+    spark.sql(
+      "INSERT INTO pdm.ns.t SELECT /*+ REPARTITION(1) */ id FROM range(100, 110)")
+    val before = IcebergTable(spark, s"$wh/ns/t")
+    assert(before.planFiles().size == 2)
+
+    // matches 5/10 of A (0.5 > threshold → rewrite) and 10/10 of B (drop)
+    spark.sql("DELETE FROM pdm.ns.t WHERE k >= 5")
+    val t = IcebergTable(spark, s"$wh/ns/t")
+    assert(!t.hasDeletes,
+      "large fractions rewrite / fully-matched drop — no delete files here")
+    assert(t.planFiles().size == 1, "B dropped, A swapped for one new file")
+    assert(t.planFiles().map(_.filePath).toSet
+      .intersect(before.planFiles().map(_.filePath).toSet).isEmpty,
+      "A must be rewritten (its path replaced)")
+    assert(spark.sql("SELECT k FROM pdm.ns.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == (0L to 4L))
+  }
+
   test("merge-on-read resolves through the catalog (V1 bridge path)") {
     table.hasDeletes // force fixture
     spark.conf.set("spark.sql.catalog.mor", classOf[GraftCatalog].getName)
