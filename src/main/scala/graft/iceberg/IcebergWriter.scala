@@ -77,6 +77,7 @@ object IcebergWriter {
       |  {"name":"file_format","type":"string"},
       |  {"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"sort_order_id","type":["null","int"],"default":null},
       |  ${kvFields("")}]}}]}""".stripMargin)
 
   /** Avro type of a transformed partition value, per its Spark result
@@ -120,6 +121,7 @@ object IcebergWriter {
          |  {"name":"partition","type":["null",
          |    {"type":"record","name":"r102","fields":[$partFields]}],
          |   "default":null},
+         |  {"name":"sort_order_id","type":["null","int"],"default":null},
          |  ${kvFields("p")}]}}]}""".stripMargin)
   }
 
@@ -498,6 +500,7 @@ object IcebergWriter {
         spec.zipWithIndex.foreach { case (p, i) => pr.put(p.name, tup(i)) }
         d.put("partition", pr)
       }
+      f.sortOrderId.foreach(id => d.put("sort_order_id", id))
       val st = f.stats.orElse( // fallback: driver footer read, sound to skip
         try Some(footerStats(new Path(f.path), conf, meta.schema, meta.fieldIds)._2)
         catch { case scala.util.control.NonFatal(_) => None })
@@ -554,7 +557,8 @@ object IcebergWriter {
     * kernel, two entry points. */
   private[graft] def writeDataFiles(
       df: DataFrame, writeDir: String, meta: TableMetadata,
-      conf: org.apache.hadoop.conf.Configuration): Seq[AddedDataFile] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      sortOrderId: Option[Int] = None): Seq[AddedDataFile] = {
     val idByName = meta.fieldIds
     val stampedSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.map { f =>
@@ -566,7 +570,8 @@ object IcebergWriter {
         }
       })
     val factory = new FanoutWriterFactory(writeDir, stampedSchema, idByName,
-      writeSpecFields(meta, df.schema), new SerializableHadoopConf(conf))
+      writeSpecFields(meta, df.schema), new SerializableHadoopConf(conf),
+      sortOrderId)
     val dirPath = new Path(writeDir)
     val fs = dirPath.getFileSystem(conf)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)
@@ -638,7 +643,30 @@ object IcebergWriter {
     // commit messages — the driver does metadata-only bookkeeping from
     // here on (no footer reads, no directory parsing), which is what a
     // 10k-file commit on an object store needs.
-    val added = writeDataFiles(df, s"$tableDir/data/s$snapId", meta, conf)
+    //
+    // A declared sort order adds ONE range shuffle before the write:
+    // rows range-cluster on (partition transforms, sort keys) and sort
+    // within tasks, so each file's bounds on the sort key are tight AND
+    // disjoint across files — that is what lets a range predicate on a
+    // non-partition column prune files instead of scanning everything.
+    val sortable = meta.sortOrderFields.nonEmpty &&
+      meta.sortOrderFields.forall(_.transform == "identity")
+    val (writeDf, soId) = if (!sortable) (df, None) else {
+      val idToName = meta.fieldIds.map(_.swap)
+      val sortCols = meta.sortOrderFields.map { f =>
+        val c = col(idToName(f.sourceId))
+        if (f.direction == "desc") c.desc else c.asc
+      }
+      val partCols = meta.partitionSpec.map { p =>
+        org.apache.spark.sql.GraftColumnShim.column(IcebergTransform(p.transform,
+          org.apache.spark.sql.GraftColumnShim.expression(col(idToName(p.sourceId)))))
+          .asc
+      }
+      val cluster = partCols ++ sortCols
+      (df.repartitionByRange(cluster: _*).sortWithinPartitions(cluster: _*),
+        Some(meta.defaultSortOrderId))
+    }
+    val added = writeDataFiles(writeDf, s"$tableDir/data/s$snapId", meta, conf, soId)
 
     // 2. manifest (+ partition summaries) from the commit messages
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)

@@ -52,7 +52,9 @@ final case class DataFileEntry(
     nullValueCounts: Map[Int, Long],
     nanValueCounts: Map[Int, Long],
     lowerBounds: Map[Int, Array[Byte]],
-    upperBounds: Map[Int, Array[Byte]])
+    upperBounds: Map[Int, Array[Byte]],
+    /** sort order the file was written under (None/0 = unsorted) */
+    sortOrderId: Option[Int] = None)
 
 /** One delete file from a v2 delete manifest: content 1 = position
   * deletes (rows of `file_path`, `pos`), content 2 = equality deletes
@@ -194,7 +196,8 @@ object ManifestIO {
               nanValueCounts = opt(df, "nan_value_counts")
                 .map(kvMap(_)(_.asInstanceOf[java.lang.Number].longValue)).getOrElse(Map.empty),
               lowerBounds = opt(df, "lower_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
-              upperBounds = opt(df, "upper_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty))
+              upperBounds = opt(df, "upper_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
+              sortOrderId = optLong(df, "sort_order_id").map(_.toInt))
           }
         }
       }

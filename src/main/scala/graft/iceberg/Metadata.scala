@@ -18,6 +18,9 @@ import scala.jdk.CollectionConverters._
   */
 final case class PartitionField(name: String, transform: String, sourceId: Int, fieldId: Int)
 
+/** One field of a sort order (spec `sort-orders[i].fields[j]`). */
+final case class SortOrderField(sourceId: Int, transform: String, direction: String)
+
 final case class IcebergSnapshot(
     snapshotId: Long,
     timestampMs: Long,
@@ -49,7 +52,11 @@ final case class TableMetadata(
       * exclude these names from parquet-level pushdown (projection is
       * id-resolved and unaffected; manifest/file pruning is id-keyed and
       * stays sound). */
-    idShiftedNames: Set[String] = Set.empty) {
+    idShiftedNames: Set[String] = Set.empty,
+    /** Default sort order (0 = unsorted): writes cluster + sort by it so
+      * file bounds on the sort key stay tight; recorded per data file. */
+    defaultSortOrderId: Int = 0,
+    sortOrderFields: Seq[SortOrderField] = Nil) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -187,6 +194,19 @@ object TableMetadata {
         historical.collect {
           case (name, id) if fieldIds.get(name).exists(_ != id) => name
         }.toSet
+      },
+      defaultSortOrderId =
+        Option(root.get("default-sort-order-id")).map(_.asInt).getOrElse(0),
+      sortOrderFields = {
+        val defaultId = Option(root.get("default-sort-order-id")).map(_.asInt).getOrElse(0)
+        Option(root.get("sort-orders")).map(_.elements.asScala.toSeq).getOrElse(Nil)
+          .find(o => Option(o.get("order-id")).exists(_.asInt == defaultId))
+          .map(o => Option(o.get("fields")).map(_.elements.asScala.toSeq).getOrElse(Nil)
+            .map(f => SortOrderField(
+              f.get("source-id").asInt,
+              Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+              Option(f.get("direction")).map(_.asText).getOrElse("asc"))))
+          .getOrElse(Nil)
       })
   }
 

@@ -523,8 +523,36 @@ object IcebergJson {
     }
     root.put("default-spec-id", 0)
     root.put("last-partition-id", 1000 + partitionCols.size - 1)
-    root.put("default-sort-order-id", 0)
-    root.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
+    // `sort-order` table property ("col [ASC|DESC], col2 …") becomes the
+    // table's default sort order: writes range-cluster + sort by it, so
+    // file bounds on the sort key are tight and disjoint — what makes
+    // range predicates on a non-partition column prune files at all.
+    val sortFields: Seq[(String, String)] =
+      properties.get("sort-order").toSeq.flatMap(
+        _.split(",").map(_.trim).filter(_.nonEmpty).map { tok =>
+          val parts = tok.split("\\s+")
+          val dir =
+            if (parts.length > 1 && parts(1).equalsIgnoreCase("DESC")) "desc"
+            else "asc"
+          (parts(0), dir)
+        })
+    if (sortFields.isEmpty) {
+      root.put("default-sort-order-id", 0)
+      root.putArray("sort-orders").addObject().put("order-id", 0).putArray("fields")
+    } else {
+      root.put("default-sort-order-id", 1)
+      val so = root.putArray("sort-orders").addObject()
+      so.put("order-id", 1)
+      val sfArr = so.putArray("fields")
+      sortFields.foreach { case (c, dir) =>
+        val f = sfArr.addObject()
+        f.put("transform", "identity")
+        f.put("source-id", fieldId.getOrElse(c,
+          throw new IllegalArgumentException(s"sort-order column $c not in schema")))
+        f.put("direction", dir)
+        f.put("null-order", if (dir == "asc") "nulls-first" else "nulls-last")
+      }
+    }
     val props = root.putObject("properties")
     properties.foreach { case (k, v) => props.put(k, v) }
     root.put("current-snapshot-id", -1L)
