@@ -260,8 +260,9 @@ object IcebergWriter {
     * the spec's `operation` key) — the idempotence hook the streaming
     * sink stores its batch id under. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-             summary: Map[String, String] = Map.empty): Long =
-    commit(spark, tableDir, df, carryPrior = true, summary)
+             summary: Map[String, String] = Map.empty,
+             committer: Option[TableCommitter] = None): Long =
+    commit(spark, tableDir, df, carryPrior = true, summary, committer)
 
   /** Commit `df` as a truncate-and-write snapshot: the new manifest list
     * records ONLY this commit's manifest, so the current snapshot reads
@@ -269,8 +270,9 @@ object IcebergWriter {
     * disk untouched — time travel to them still works; nothing is
     * vacuumed. */
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
-                summary: Map[String, String] = Map.empty): Long =
-    commit(spark, tableDir, df, carryPrior = false, summary)
+                summary: Map[String, String] = Map.empty,
+                committer: Option[TableCommitter] = None): Long =
+    commit(spark, tableDir, df, carryPrior = false, summary, committer)
 
   /** Compact the current snapshot: rewrite its live rows into
     * ~`targetFileBytes` files and commit as a truncate snapshot. The
@@ -284,11 +286,16 @@ object IcebergWriter {
     * new snapshot id.
     */
   def compact(spark: SparkSession, tableDir: String,
-              targetFileBytes: Long = 128L << 20): Long = {
-    val t = IcebergTable(spark, tableDir)
+              targetFileBytes: Long = 128L << 20,
+              committer: Option[TableCommitter] = None): Long = {
+    val t = committer match {
+      case Some(c) => IcebergTable.fromMetadata(tableDir, c.conf, c.currentMetadata())
+      case None => IcebergTable(spark, tableDir)
+    }
     val totalBytes = t.planFiles().map(_.fileSizeInBytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    commit(spark, tableDir, t.toDF(spark).repartition(n), carryPrior = false)
+    commit(spark, tableDir, t.toDF(spark).repartition(n), carryPrior = false,
+      Map.empty, committer)
   }
 
   /** Filters expressible as EQUALITY-DELETE tuples: a boolean tree of
@@ -344,14 +351,17 @@ object IcebergWriter {
     * same snapshot shape INSERT OVERWRITE commits.
     */
   def deleteWhere(spark: SparkSession, tableDir: String,
-                  filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
+                  filters: Seq[org.apache.spark.sql.sources.Filter],
+                  committer: Option[TableCommitter] = None): Long = {
     import org.apache.spark.sql.sources.AlwaysTrue
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(tableDir, conf)
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val parent = meta.currentSnapshotId.filter(_ != -1L)
     val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (effective.isEmpty) { // DELETE FROM t → truncate
-      commitSnapshot(conf, tableDir, snapId, Nil, Map("operation" -> "delete"))
+      commitSnapshot(cmtr, snapId, parent, Nil, Map("operation" -> "delete"))
       return snapId
     }
     if (meta.currentSnapshot.isEmpty) return -1L // empty table: no-op
@@ -404,7 +414,7 @@ object IcebergWriter {
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
       mlRec(manifestPath.toString, manifestLen, 1, Some(snapId),
         Some(tuples.size.toLong), meta.defaultSpecId, Nil)
-    commitSnapshot(conf, tableDir, snapId, listRecs, Map("operation" -> "delete"))
+    commitSnapshot(cmtr, snapId, parent, listRecs, Map("operation" -> "delete"))
     snapId
   }
 
@@ -434,8 +444,10 @@ object IcebergWriter {
     */
   def replaceFiles(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
                    removed: Set[String],
-                   added: Seq[AddedDataFile]): Long = {
-    val meta = TableMetadata.load(tableDir, conf)
+                   added: Seq[AddedDataFile],
+                   committer: Option[TableCommitter] = None): Long = {
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
@@ -460,8 +472,8 @@ object IcebergWriter {
     }
 
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
-    commitSnapshot(conf, tableDir, snapId, keptPrior ++ newMl,
-      Map("operation" -> "overwrite"))
+    commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
+      keptPrior ++ newMl, Map("operation" -> "overwrite"))
     snapId
   }
 
@@ -632,9 +644,11 @@ object IcebergWriter {
 
   private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
                      carryPrior: Boolean,
-                     summary: Map[String, String] = Map.empty): Long = {
+                     summary: Map[String, String] = Map.empty,
+                     committer: Option[TableCommitter] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(tableDir, conf)
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
 
     // 1. data files: the fanout task writers cluster rows by transformed
@@ -682,7 +696,7 @@ object IcebergWriter {
       mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) ++
       newMl
-    commitSnapshot(conf, tableDir, snapId, listRecs,
+    commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L), listRecs,
       Map("operation" -> (if (carryPrior) "append" else "overwrite")) ++ summary)
     snapId
   }
@@ -718,43 +732,33 @@ object IcebergWriter {
     r
   }
 
-  /** Write the manifest list and the next metadata.json (append the
-    * snapshot, move the current pointer). The metadata write uses
-    * create-new as its commit primitive. `summary` lands in the
-    * snapshot's `summary` node (spec: must carry `operation`). */
+  /** Write the manifest list, then commit the snapshot as the REST
+    * spec's (requirements, updates) pair through the table's committer:
+    * `add-snapshot` + `set-snapshot-ref main`, guarded by
+    * `assert-ref-snapshot-id main == parent` — optimistic concurrency on
+    * every transport (filesystem create-new or REST POST). `summary`
+    * lands in the snapshot's `summary` node (spec: must carry
+    * `operation`). */
   private def commitSnapshot(
-      conf: org.apache.hadoop.conf.Configuration, tableDir: String,
-      snapId: Long, listRecs: Seq[GenericRecord],
+      committer: TableCommitter, snapId: Long, parent: Option[Long],
+      listRecs: Seq[GenericRecord],
       summary: Map[String, String] = Map.empty): Unit = {
-    val listPath = new Path(s"$tableDir/metadata/snap-$snapId.avro")
-    writeAvro(listPath, conf, manifestListSchema, listRecs)
+    val listPath = new Path(s"${committer.tableDir}/metadata/snap-$snapId.avro")
+    writeAvro(listPath, committer.conf, manifestListSchema, listRecs)
     val mapper = new ObjectMapper()
-    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
-    val in = latest.getFileSystem(conf).open(latest)
-    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
     val snap = mapper.createObjectNode()
     snap.put("snapshot-id", snapId)
+    parent.foreach(p => snap.put("parent-snapshot-id", p))
     snap.put("timestamp-ms", System.currentTimeMillis)
     snap.put("manifest-list", listPath.toString)
     if (summary.nonEmpty) {
       val sn = snap.putObject("summary")
       summary.foreach { case (k, v) => sn.put(k, v) }
     }
-    val snaps = Option(root.get("snapshots"))
-      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
-      .getOrElse(root.putArray("snapshots"))
-    snaps.add(snap)
-    root.put("current-snapshot-id", snapId)
-    root.put("last-updated-ms", System.currentTimeMillis)
-    val version = "v(\\d+)".r.findFirstMatchIn(latest.getName)
-      .map(_.group(1).toLong)
-      .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
-      .getOrElse(0L)
-    val next = new Path(s"$tableDir/metadata/v${version + 1}.metadata.json")
-    val out = next.getFileSystem(conf).create(next, false) // commit = create-new
-    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    committer.commit(
+      Seq(MetadataCommit.assertRefSnapshotId(mapper, "main", parent)),
+      Seq(MetadataCommit.addSnapshot(mapper, snap),
+        MetadataCommit.setSnapshotRef(mapper, "main", snapId)))
   }
 
   /** Same relocation rule as IcebergTable.resolve, usable pre-load. */
@@ -794,9 +798,11 @@ object IcebergWriter {
   def positionDeleteWhere(
       spark: SparkSession, tableDir: String,
       filters: Seq[org.apache.spark.sql.sources.Filter],
-      maxPosDeleteFraction: Double = 0.3): Long = {
+      maxPosDeleteFraction: Double = 0.3,
+      committer: Option[TableCommitter] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
-    val table = new IcebergTable(tableDir, conf)
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val table = IcebergTable.fromMetadata(tableDir, conf, cmtr.currentMetadata())
     val meta = table.metadata
     if (meta.currentSnapshot.isEmpty) return -1L
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
@@ -907,7 +913,7 @@ object IcebergWriter {
         }
       }
       val newMl = writeNewManifest(conf, tableDir, meta, snapId, rewrittenAdds)
-      commitSnapshot(conf, tableDir, snapId,
+      commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
         keptPrior ++ newMl ++ posDelMl, Map("operation" -> "delete"))
       snapId
     } finally matched.unpersist()
@@ -964,9 +970,11 @@ object IcebergWriter {
     * Returns the number of snapshots expired.
     */
   def expireSnapshots(spark: SparkSession, tableDir: String,
-                      olderThanMs: Long, retainLast: Int = 1): Int = {
+                      olderThanMs: Long, retainLast: Int = 1,
+                      committer: Option[TableCommitter] = None): Int = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(tableDir, conf)
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
     val sorted = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
     val keepIds: Set[Long] =
       sorted.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
@@ -982,33 +990,13 @@ object IcebergWriter {
     val deadMeta = expRefs.flatMap(_._1).toSet -- keptMeta
     val deadFiles = expRefs.flatMap(_._2).toSet -- keptFiles
 
-    // 1. atomic part first: metadata.json without the expired snapshots
+    // 1. atomic part first: metadata without the expired snapshots — a
+    // `remove-snapshots` update, guarded against a concurrent ref move
     val mapper = new ObjectMapper()
-    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
-    val in = latest.getFileSystem(conf).open(latest)
-    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
-    val snapsArr = mapper.createArrayNode()
-    Option(root.get("snapshots")).foreach(_.elements.forEachRemaining { s =>
-      if (keepIds(s.get("snapshot-id").asLong)) snapsArr.add(s)
-    })
-    root.set("snapshots", snapsArr)
-    Option(root.get("snapshot-log")).foreach { log =>
-      val kept = mapper.createArrayNode()
-      log.elements.forEachRemaining { e =>
-        if (keepIds(e.get("snapshot-id").asLong)) kept.add(e)
-      }
-      root.set("snapshot-log", kept): Unit
-    }
-    root.put("last-updated-ms", System.currentTimeMillis)
-    val version = "v(\\d+)".r.findFirstMatchIn(latest.getName)
-      .map(_.group(1).toLong)
-      .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
-      .getOrElse(0L)
-    val next = new Path(s"$tableDir/metadata/v${version + 1}.metadata.json")
-    val out = next.getFileSystem(conf).create(next, false)
-    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    cmtr.commit(
+      Seq(MetadataCommit.assertRefSnapshotId(mapper, "main",
+        meta.currentSnapshotId.filter(_ != -1L))),
+      Seq(MetadataCommit.removeSnapshots(mapper, expired.map(_.snapshotId))))
 
     // 2. best-effort physical cleanup (expired-only trees)
     (deadFiles ++ deadMeta).foreach { s =>

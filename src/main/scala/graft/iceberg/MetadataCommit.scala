@@ -1,0 +1,279 @@
+package graft.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import scala.jdk.CollectionConverters._
+
+/** Optimistic-concurrency commit failure: the table changed underneath
+  * the writer (another commit moved the ref) — retry from fresh metadata. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** Where a table's metadata pointer lives and how a commit moves it.
+  *
+  * Writers ([[IcebergWriter]], [[SchemaEvolution]]) express every commit
+  * as the Iceberg REST spec's (requirements, updates) pair — the same
+  * vocabulary `CommitTableRequest` sends over the wire — and the
+  * committer makes it durable:
+  *
+  *  - [[FsCommitter]]: re-reads the latest `vN.metadata.json`, checks the
+  *    requirements against it, applies the updates with
+  *    [[MetadataCommit.applyUpdates]], and writes `v(N+1)` with
+  *    create-new as the atomicity primitive (the pre-existing commit
+  *    model of the filesystem warehouse);
+  *  - `RestCommitter` (connector): POSTs the pair to the catalog service,
+  *    which owns the pointer — the reference's REST crate reads through
+  *    the same service (`catalog.rs:83-135`) but never commits; this is
+  *    the write half it lacks.
+  *
+  * Data/manifest files are written by the caller under [[tableDir]]
+  * BEFORE the commit; a failed commit strands unreferenced files (cleaned
+  * by expiration), never a broken table.
+  */
+trait TableCommitter {
+  def tableDir: String
+  def conf: Configuration
+  /** Fresh metadata document (mutable root) — the commit base. */
+  def currentRoot(mapper: ObjectMapper): ObjectNode
+  /** Fresh parsed metadata (convenience over [[currentRoot]]). */
+  def currentMetadata(): TableMetadata
+  /** Atomically: check `requirements`, apply `updates`, publish. Throws
+    * [[CommitConflictException]] when a requirement fails. */
+  def commit(requirements: Seq[JsonNode], updates: Seq[JsonNode]): Unit
+}
+
+/** Filesystem-warehouse committer: latest metadata file is the table
+  * state; `create(path, overwrite = false)` on the next version is the
+  * commit point, so two racing writers cannot both win the same version. */
+final class FsCommitter(val tableDir: String, val conf: Configuration)
+    extends TableCommitter {
+
+  override def currentRoot(mapper: ObjectMapper): ObjectNode = {
+    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
+    val in = latest.getFileSystem(conf).open(latest)
+    try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+  }
+
+  override def currentMetadata(): TableMetadata = TableMetadata.load(tableDir, conf)
+
+  override def commit(requirements: Seq[JsonNode], updates: Seq[JsonNode]): Unit = {
+    val mapper = new ObjectMapper()
+    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
+    val in = latest.getFileSystem(conf).open(latest)
+    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    MetadataCommit.checkRequirements(root, requirements).foreach(err =>
+      throw new CommitConflictException(s"commit to $tableDir rejected: $err"))
+    val next = MetadataCommit.applyUpdates(mapper, root, updates)
+    val version = "v(\\d+)".r.findFirstMatchIn(latest.getName)
+      .map(_.group(1).toLong)
+      .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
+      .getOrElse(0L)
+    val path = new Path(s"$tableDir/metadata/v${version + 1}.metadata.json")
+    val out = path.getFileSystem(conf).create(path, false) // commit = create-new
+    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(next)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+/** The Iceberg REST spec's metadata update actions and requirements,
+  * applied to a metadata.json document. ONE implementation serves the
+  * filesystem committer, so every local write exercises the same
+  * semantics a catalog service applies server-side.
+  */
+object MetadataCommit {
+
+  // -- builders (the writer side's vocabulary) -------------------------------
+
+  def assertRefSnapshotId(mapper: ObjectMapper, ref: String,
+                          snapshotId: Option[Long]): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "assert-ref-snapshot-id")
+    n.put("ref", ref)
+    snapshotId match {
+      case Some(id) => n.put("snapshot-id", id)
+      case None => n.putNull("snapshot-id")
+    }
+    n
+  }
+
+  def addSnapshot(mapper: ObjectMapper, snapshot: ObjectNode): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "add-snapshot")
+    n.set[ObjectNode]("snapshot", snapshot)
+    n
+  }
+
+  def setSnapshotRef(mapper: ObjectMapper, ref: String, snapshotId: Long,
+                     refType: String = "branch"): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "set-snapshot-ref")
+    n.put("ref-name", ref)
+    n.put("type", refType)
+    n.put("snapshot-id", snapshotId)
+    n
+  }
+
+  def removeSnapshots(mapper: ObjectMapper, ids: Seq[Long]): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "remove-snapshots")
+    val arr = n.putArray("snapshot-ids")
+    ids.foreach(arr.add)
+    n
+  }
+
+  def addSchema(mapper: ObjectMapper, schema: ObjectNode,
+                lastColumnId: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "add-schema")
+    n.set[ObjectNode]("schema", schema)
+    n.put("last-column-id", lastColumnId)
+    n
+  }
+
+  def setCurrentSchema(mapper: ObjectMapper, schemaId: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "set-current-schema")
+    n.put("schema-id", schemaId) // -1 = the schema added in this commit
+    n
+  }
+
+  // -- requirement check -----------------------------------------------------
+
+  /** First failed requirement's description, or None when all hold. */
+  def checkRequirements(root: ObjectNode,
+                        requirements: Seq[JsonNode]): Option[String] = {
+    def refSnapshotId(ref: String): Option[Long] = {
+      val fromRefs = Option(root.get("refs")).flatMap(r => Option(r.get(ref)))
+        .flatMap(n => Option(n.get("snapshot-id"))).map(_.asLong)
+      // pre-refs metadata: `main` is the current snapshot pointer
+      fromRefs.orElse(
+        if (ref == "main")
+          Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+        else None)
+    }
+    requirements.iterator.flatMap { r =>
+      Option(r.get("type")).map(_.asText).getOrElse("") match {
+        case "assert-ref-snapshot-id" =>
+          val ref = r.get("ref").asText
+          val expected = Option(r.get("snapshot-id")).filterNot(_.isNull).map(_.asLong)
+          val actual = refSnapshotId(ref)
+          if (actual == expected) None
+          else Some(s"requirement failed: ref '$ref' is at " +
+            s"${actual.getOrElse("absent")}, expected ${expected.getOrElse("absent")}")
+        case "assert-table-uuid" =>
+          val expected = r.get("uuid").asText
+          val actual = Option(root.get("table-uuid")).map(_.asText)
+          if (actual.contains(expected)) None
+          else Some(s"requirement failed: table-uuid is ${actual.getOrElse("absent")}, " +
+            s"expected $expected")
+        case "assert-create" =>
+          Some("requirement failed: table already exists")
+        case other =>
+          Some(s"unknown requirement type: $other") // unknown ⇒ refuse, never guess
+      }
+    }.nextOption()
+  }
+
+  // -- applier ---------------------------------------------------------------
+
+  /** Apply update actions to `root` (mutated in place and returned).
+    * Unknown actions throw — silently dropping an update would commit a
+    * state the writer did not intend. */
+  def applyUpdates(mapper: ObjectMapper, root: ObjectNode,
+                   updates: Seq[JsonNode]): ObjectNode = {
+    val now = System.currentTimeMillis
+    updates.foreach { u =>
+      Option(u.get("action")).map(_.asText).getOrElse("") match {
+
+        case "add-snapshot" =>
+          val snaps = Option(root.get("snapshots")).map(_.asInstanceOf[ArrayNode])
+            .getOrElse(root.putArray("snapshots"))
+          snaps.add(u.get("snapshot"))
+
+        case "set-snapshot-ref" =>
+          val ref = u.get("ref-name").asText
+          val id = u.get("snapshot-id").asLong
+          val refs = Option(root.get("refs")).map(_.asInstanceOf[ObjectNode])
+            .getOrElse(root.putObject("refs"))
+          val node = refs.putObject(ref)
+          node.put("snapshot-id", id)
+          node.put("type", Option(u.get("type")).map(_.asText).getOrElse("branch"))
+          if (ref == "main") {
+            root.put("current-snapshot-id", id)
+            val log = Option(root.get("snapshot-log")).map(_.asInstanceOf[ArrayNode])
+              .getOrElse(root.putArray("snapshot-log"))
+            val e = log.addObject()
+            e.put("snapshot-id", id)
+            e.put("timestamp-ms", now)
+          }
+
+        case "remove-snapshots" =>
+          val dead = u.get("snapshot-ids").elements.asScala.map(_.asLong).toSet
+          def filtered(field: String): Unit =
+            Option(root.get(field)).foreach { arr =>
+              val kept = mapper.createArrayNode()
+              arr.elements.forEachRemaining { s =>
+                if (!dead(s.get("snapshot-id").asLong)) kept.add(s)
+              }
+              root.set[JsonNode](field, kept); ()
+            }
+          filtered("snapshots")
+          filtered("snapshot-log")
+
+        case "remove-snapshot-ref" =>
+          Option(root.get("refs")).foreach(
+            _.asInstanceOf[ObjectNode].remove(u.get("ref-name").asText): Unit)
+
+        case "add-schema" =>
+          val schema = u.get("schema").deepCopy[ObjectNode]()
+          val schemas = Option(root.get("schemas")).map(_.asInstanceOf[ArrayNode])
+            .getOrElse {
+              // legacy v1 single-schema metadata: seed the list with it
+              val a = root.putArray("schemas")
+              Option(root.get("schema")).foreach(s => a.add(s.deepCopy[ObjectNode]()))
+              a
+            }
+          schemas.add(schema)
+          Option(u.get("last-column-id")).foreach(n =>
+            root.put("last-column-id", n.asInt): Unit)
+
+        case "set-current-schema" =>
+          val requested = u.get("schema-id").asInt
+          val schemas = Option(root.get("schemas")).map(_.asInstanceOf[ArrayNode])
+            .getOrElse(throw new IllegalArgumentException(
+              "set-current-schema on metadata with no schemas list"))
+          val id =
+            if (requested != -1) requested
+            else schemas.get(schemas.size - 1).get("schema-id").asInt
+          val chosen = schemas.elements.asScala
+            .find(_.get("schema-id").asInt == id)
+            .getOrElse(throw new IllegalArgumentException(
+              s"set-current-schema: schema-id $id not in schemas"))
+          root.put("current-schema-id", id)
+          // keep the legacy v1 single-schema field in sync for plain readers
+          if (root.has("schema")) root.set[ObjectNode]("schema", chosen.deepCopy())
+
+        case "set-properties" =>
+          val props = Option(root.get("properties")).map(_.asInstanceOf[ObjectNode])
+            .getOrElse(root.putObject("properties"))
+          u.get("updates").fields.asScala.foreach { e =>
+            props.set[JsonNode](e.getKey, e.getValue); ()
+          }
+
+        case "remove-properties" =>
+          Option(root.get("properties")).map(_.asInstanceOf[ObjectNode]).foreach {
+            props => u.get("removals").elements.asScala.foreach(r =>
+              props.remove(r.asText): Unit)
+          }
+
+        case other =>
+          throw new IllegalArgumentException(s"unknown metadata update action: $other")
+      }
+    }
+    root.put("last-updated-ms", now)
+    root
+  }
+}

@@ -34,11 +34,11 @@ object SchemaEvolution {
   import graft.iceberg.connector.IcebergJson
 
   def alter(tableDir: String, conf: Configuration,
-            changes: Seq[TableChange]): Unit = {
+            changes: Seq[TableChange],
+            committer: Option[TableCommitter] = None): Unit = {
     val mapper = new ObjectMapper()
-    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
-    val in = latest.getFileSystem(conf).open(latest)
-    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val root = cmtr.currentRoot(mapper)
 
     // current schema node (same preference order the reader uses)
     val currentSchema: ObjectNode = {
@@ -122,6 +122,9 @@ object SchemaEvolution {
       fieldNames(0)
     }
 
+    var schemaChanged = false
+    val propSets = mapper.createObjectNode()
+    val propRemovals = mapper.createArrayNode()
     changes.foreach {
       case add: TableChange.AddColumn =>
         val name = single(add.fieldNames, "ADD COLUMN")
@@ -136,6 +139,7 @@ object SchemaEvolution {
         fn.set[ObjectNode]("type", typeNode(add.dataType))
         Option(add.comment).foreach(fn.put("doc", _))
         fields.add(fn)
+        schemaChanged = true
 
       case ren: TableChange.RenameColumn =>
         val name = single(ren.fieldNames, "RENAME COLUMN")
@@ -145,6 +149,7 @@ object SchemaEvolution {
         if (fieldIdx(ren.newName) >= 0) throw new IllegalArgumentException(
           s"column ${ren.newName} already exists")
         fields.get(i).asInstanceOf[ObjectNode].put("name", ren.newName)
+        schemaChanged = true
 
       case del: TableChange.DeleteColumn =>
         val name = single(del.fieldNames, "DROP COLUMN")
@@ -156,6 +161,7 @@ object SchemaEvolution {
           if (fields.size == 1) throw new UnsupportedOperationException(
             "cannot drop the last column")
           fields.remove(i)
+          schemaChanged = true
         }
 
       case upd: TableChange.UpdateColumnType =>
@@ -177,6 +183,7 @@ object SchemaEvolution {
           s"unsafe type change $from -> $to for column $name (Iceberg allows " +
             "int->long, float->double, decimal precision growth)")
         node.put("type", to)
+        schemaChanged = true
 
       case n: TableChange.UpdateColumnNullability =>
         val name = single(n.fieldNames, "ALTER COLUMN NULLABILITY")
@@ -185,54 +192,52 @@ object SchemaEvolution {
         if (!n.nullable) throw new UnsupportedOperationException(
           s"cannot make column $name required: existing rows may hold nulls")
         fields.get(i).asInstanceOf[ObjectNode].put("required", false)
+        schemaChanged = true
 
       case c: TableChange.UpdateColumnComment =>
         val name = single(c.fieldNames, "ALTER COLUMN COMMENT")
         val i = fieldIdx(name)
         if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
         fields.get(i).asInstanceOf[ObjectNode].put("doc", c.newComment)
+        schemaChanged = true
 
       case p: TableChange.SetProperty =>
-        val props = Option(root.get("properties"))
-          .collect { case o: ObjectNode => o }
-          .getOrElse(root.putObject("properties"))
-        props.put(p.property, p.value)
+        propSets.put(p.property, p.value)
 
       case p: TableChange.RemoveProperty =>
-        Option(root.get("properties")).collect { case o: ObjectNode => o }
-          .foreach(_.remove(p.property))
+        propRemovals.add(p.property)
 
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
 
-    // commit: new schema id, schemas list, current pointer, metadata version
-    val schemasArr: ArrayNode = Option(root.get("schemas"))
-      .collect { case a: ArrayNode => a }
-      .getOrElse {
-        val a = root.putArray("schemas")
-        Option(root.get("schema")).foreach(s => a.add(s.deepCopy[ObjectNode]()))
-        a
-      }
-    val newSchemaId = schemasArr.elements.asScala
+    // commit: the DDL as REST-spec update actions through the table's
+    // committer — add-schema (new id = max existing + 1) + move the
+    // current pointer; property changes ride as set/remove-properties
+    val existingIds = Option(root.get("schemas"))
+      .collect { case a: ArrayNode => a.elements.asScala.toSeq }.getOrElse(Nil)
       .map(s => Option(s.get("schema-id")).map(_.asInt).getOrElse(0))
-      .maxOption.getOrElse(0) + 1
+    val newSchemaId = existingIds.maxOption.getOrElse(0) + 1
     currentSchema.put("schema-id", newSchemaId)
-    schemasArr.add(currentSchema)
-    root.put("current-schema-id", newSchemaId)
-    // keep the legacy v1 single-schema field in sync for plain readers
-    if (root.has("schema")) root.set[ObjectNode]("schema", currentSchema)
-    root.put("last-column-id", lastColumnId)
-    root.put("last-updated-ms", System.currentTimeMillis)
 
-    val version = "v(\\d+)".r.findFirstMatchIn(latest.getName)
-      .map(_.group(1).toLong)
-      .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
-      .getOrElse(0L)
-    val next = new Path(s"$tableDir/metadata/v${version + 1}.metadata.json")
-    val out = next.getFileSystem(conf).create(next, false) // commit = create-new
-    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val updates = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+    if (schemaChanged) {
+      updates += MetadataCommit.addSchema(mapper, currentSchema, lastColumnId)
+      updates += MetadataCommit.setCurrentSchema(mapper, newSchemaId)
+    }
+    if (propSets.size > 0) {
+      val n = mapper.createObjectNode()
+      n.put("action", "set-properties")
+      n.set[ObjectNode]("updates", propSets)
+      updates += n
+    }
+    if (propRemovals.size > 0) {
+      val n = mapper.createObjectNode()
+      n.put("action", "remove-properties")
+      n.set[ObjectNode]("removals", propRemovals)
+      updates += n
+    }
+    val built = updates.result()
+    if (built.nonEmpty) cmtr.commit(Nil, built)
   }
 }

@@ -64,13 +64,14 @@ trait CatalogStore {
   /** Physical location of a namespace, when the store has one. */
   def namespaceLocation(ns: Seq[String]): Option[String] = None
 
-  /** Whether a local (filesystem) metadata commit is visible to this
-    * store's readers. True for the filesystem warehouse (the latest
-    * metadata file IS the table state); false for REST, where the server
-    * holds the current-metadata pointer and a local commit would be
-    * invisible until an update call this client does not make yet. Tables
-    * loaded through a non-local-commit store are surfaced read-only. */
-  def supportsLocalCommit: Boolean = true
+  /** Commit transport for writes to `ns.name`: how a writer's
+    * (requirements, updates) pair becomes the table's new state. The
+    * filesystem warehouse commits locally (the latest metadata file IS
+    * the table state — [[graft.iceberg.FsCommitter]]); REST POSTs a
+    * `CommitTableRequest` to the service that owns the pointer. */
+  def committerFor(ns: Seq[String], name: String, table: IcebergTable,
+                   conf: Configuration): graft.iceberg.TableCommitter =
+    new graft.iceberg.FsCommitter(table.tableDir, conf)
 }
 
 /** Filesystem-warehouse store: `<warehouse>/<ns...>/<name>/metadata/...`

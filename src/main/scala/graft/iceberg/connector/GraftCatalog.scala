@@ -152,16 +152,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
     else {
       val fullName = (ident.namespace :+ ident.name).mkString(".")
-      val w = store.supportsLocalCommit
+      def build(): SparkIcebergTable = {
+        val tbl = store.loadIcebergTable(ns, ident.name)
+        new SparkIcebergTable(fullName, tbl, writable = true,
+          Some(store.committerFor(ns, ident.name, tbl, tbl.conf)))
+      }
       store.tableToken(ns, ident.name) match {
-        case None =>
-          new SparkIcebergTable(fullName, store.loadIcebergTable(ns, ident.name), w)
+        case None => build()
         case Some(token) =>
           val cached = cache.get(fullName)
           if (cached != null && cached._1 == token) cached._2
           else {
-            val t = new SparkIcebergTable(
-              fullName, store.loadIcebergTable(ns, ident.name), w)
+            val t = build()
             cache.put(fullName, (token, t))
             t
           }
@@ -241,11 +243,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * resolution. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = loadIcebergTable(ident, "ALTER TABLE")
-    if (!store.supportsLocalCommit) throw new UnsupportedOperationException(
-      s"$ident is read-only: its catalog does not commit metadata locally")
-    graft.iceberg.SchemaEvolution.alter(t.table.tableDir,
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
-      changes.toSeq)
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    graft.iceberg.SchemaEvolution.alter(t.table.tableDir, conf, changes.toSeq,
+      Some(store.committerFor(ident.namespace.toSeq, ident.name, t.table, conf)))
     invalidateTable(ident)
     loadTable(ident)
   }

@@ -37,10 +37,6 @@ final class RestCatalogStore(
     baseUri: String, conf: Configuration,
     bearerToken: Option[String]) extends CatalogStore {
 
-  /** The server owns the current-metadata pointer; a filesystem commit
-    * would not be visible to other readers of this catalog. */
-  override def supportsLocalCommit: Boolean = false
-
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
 
@@ -181,6 +177,48 @@ final class RestCatalogStore(
   override def dropTable(ns: Seq[String], name: String): Boolean =
     request("DELETE", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)._1 / 100 == 2
 
+  /** The spec's `CommitTableRequest`: POST requirements + updates to the
+    * table route. 409 = a requirement failed server-side (someone else
+    * committed first) → [[graft.iceberg.CommitConflictException]], the
+    * same signal the filesystem committer raises — callers retry from
+    * fresh metadata either way. */
+  def updateTable(ns: Seq[String], name: String,
+                  requirements: Seq[JsonNode], updates: Seq[JsonNode]): Unit = {
+    val req = mapper.createObjectNode()
+    val ident = req.putObject("identifier")
+    val nsArr = ident.putArray("namespace")
+    ns.foreach(nsArr.add)
+    ident.put("name", name)
+    val reqArr = req.putArray("requirements")
+    requirements.foreach(reqArr.add)
+    val updArr = req.putArray("updates")
+    updates.foreach(updArr.add)
+    val url = v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}")
+    val (code, body) = request("POST", url, Some(mapper.writeValueAsString(req)))
+    if (code == 409)
+      throw new graft.iceberg.CommitConflictException(
+        s"commit to ${(ns :+ name).mkString(".")} rejected by catalog: $body")
+    if (code == 404)
+      throw new NoSuchElementException(s"table ${(ns :+ name).mkString(".")} not found")
+    if (code / 100 != 2)
+      throw new IllegalStateException(s"POST $url -> HTTP $code: $body")
+  }
+
+  /** Raw metadata document of the current table state (commit base). */
+  def loadMetadataRoot(ns: Seq[String], name: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val (code, body) =
+      request("GET", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)
+    if (code / 100 != 2)
+      throw new IllegalStateException(s"loadTable -> HTTP $code: $body")
+    Option(mapper.readTree(body).get("metadata"))
+      .map(_.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+      .getOrElse(throw new IllegalStateException("LoadTableResult has no metadata"))
+  }
+
+  override def committerFor(ns: Seq[String], name: String, table: IcebergTable,
+                            hconf: Configuration): graft.iceberg.TableCommitter =
+    new RestCommitter(this, ns, name, table.tableDir, hconf)
+
   override def renameTable(fromNs: Seq[String], fromName: String,
                            toNs: Seq[String], toName: String): Unit = {
     val req = mapper.createObjectNode()
@@ -208,4 +246,26 @@ final class RestCatalogStore(
   override def renameView(fromNs: Seq[String], fromName: String,
                           toNs: Seq[String], toName: String): Unit = viewsUnsupported
   override def viewLocation(ns: Seq[String], name: String): String = viewsUnsupported
+}
+
+/** [[graft.iceberg.TableCommitter]] over the REST catalog: the data plane
+  * (parquet, manifests, manifest lists) is written by the caller under
+  * the table location exactly as for the warehouse store; the metadata
+  * pointer move is a `CommitTableRequest` POST and the SERVICE applies
+  * the updates and arbitrates conflicts. This is the write half the
+  * reference's REST crate never had (`catalog.rs:83-135` reads only).
+  */
+final class RestCommitter(
+    store: RestCatalogStore, ns: Seq[String], name: String,
+    val tableDir: String, val conf: Configuration)
+    extends graft.iceberg.TableCommitter {
+
+  override def currentRoot(mapper: ObjectMapper): com.fasterxml.jackson.databind.node.ObjectNode =
+    store.loadMetadataRoot(ns, name)
+
+  override def currentMetadata(): graft.iceberg.TableMetadata =
+    store.loadIcebergTable(ns, name).metadata
+
+  override def commit(requirements: Seq[JsonNode], updates: Seq[JsonNode]): Unit =
+    store.updateTable(ns, name, requirements, updates)
 }

@@ -42,15 +42,18 @@ import graft.iceberg.{DataFileEntry, IcebergTable, IcebergWriter}
   */
 final class GraftRowLevelOperationBuilder(
     tableName: String, table: IcebergTable, writable: Boolean,
-    info: RowLevelOperationInfo)
+    info: RowLevelOperationInfo,
+    committerOpt: Option[graft.iceberg.TableCommitter] = None)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(tableName, table, writable, info.command)
+    new GraftRowLevelOperation(tableName, table, writable, info.command,
+      committerOpt)
 }
 
 final class GraftRowLevelOperation(
     tableName: String, table: IcebergTable, writable: Boolean,
-    cmd: RowLevelOperation.Command)
+    cmd: RowLevelOperation.Command,
+    committerOpt: Option[graft.iceberg.TableCommitter] = None)
     extends RowLevelOperation {
 
   /** The scan Spark configured for this operation's `ReplaceData`
@@ -70,7 +73,7 @@ final class GraftRowLevelOperation(
     if (!writable || table.pinnedSnapshotId.nonEmpty)
       throw new UnsupportedOperationException(
         s"$tableName is read-only: ${cmd.name} needs a committable table " +
-          "(not time-travel-pinned, not REST-backed)")
+          "(not time-travel-pinned)")
     if (table.hasDeletes)
       throw new UnsupportedOperationException(
         s"$tableName has outstanding v2 delete files: rewritten data files " +
@@ -110,7 +113,8 @@ final class GraftRowLevelOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new GraftReplaceWrite(table, () => configuredScan, info.schema())
+        new GraftReplaceWrite(table, () => configuredScan, info.schema(),
+          committerOpt)
     }
 }
 
@@ -163,7 +167,8 @@ final class GraftGroupScan(
 final class GraftReplaceWrite(
     table: IcebergTable,
     scanRef: () => GraftGroupScan,
-    writeSchema: StructType)
+    writeSchema: StructType,
+    committerOpt: Option[graft.iceberg.TableCommitter] = None)
     extends Write {
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -206,7 +211,7 @@ final class GraftReplaceWrite(
         case graft.iceberg.GraftFilesCommit(files) => files
       }.toSeq.flatten
       IcebergWriter.replaceFiles(conf, table.tableDir,
-        scan.plannedFiles.map(_.filePath).toSet, added)
+        scan.plannedFiles.map(_.filePath).toSet, added, committerOpt)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -15,7 +15,7 @@ import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, T
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.iceberg.{DataFileEntry, IcebergTable, IcebergWriter}
+import graft.iceberg.{DataFileEntry, IcebergTable, IcebergWriter, TableCommitter}
 
 /** DataSource V2 face of an [[IcebergTable]] — the counterpart of the
   * reference's `impl TableProvider for DataFusionTable`
@@ -38,7 +38,12 @@ import graft.iceberg.{DataFileEntry, IcebergTable, IcebergWriter}
   * above the scan, keeping pruning strictly an optimization.
   */
 final class SparkIcebergTable(tableName: String, val table: IcebergTable,
-    writable: Boolean = true)
+    writable: Boolean = true,
+    /** Commit transport override — None = the default filesystem
+      * committer on `table.tableDir`; a REST-backed catalog passes its
+      * `RestCommitter` so data commits POST to the service that owns the
+      * metadata pointer. */
+    committerOpt: Option[TableCommitter] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
@@ -93,9 +98,10 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
     if (effective.isEmpty ||
         IcebergWriter.equalityTuples(schema(), effective).isDefined)
-      IcebergWriter.deleteWhere(spark, table.tableDir, filters.toSeq)
+      IcebergWriter.deleteWhere(spark, table.tableDir, filters.toSeq, committerOpt)
     else
-      IcebergWriter.positionDeleteWhere(spark, table.tableDir, effective)
+      IcebergWriter.positionDeleteWhere(spark, table.tableDir, effective,
+        committer = committerOpt)
   }
 
   /** SQL UPDATE / MERGE INTO / non-equality DELETE: Spark's group-based
@@ -105,16 +111,15 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     * predicates back to [[deleteWhere]]'s merge-on-read path. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    new GraftRowLevelOperationBuilder(tableName, table, writable, info)
+    new GraftRowLevelOperationBuilder(tableName, table, writable, info, committerOpt)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (!canWrite) throw new UnsupportedOperationException(
       if (table.pinnedSnapshotId.nonEmpty)
         s"$tableName is pinned to snapshot ${table.pinnedSnapshotId.get}; " +
           "time-travel reads are read-only"
-      else s"$tableName is read-only: its catalog does not commit metadata " +
-        "locally (REST catalog commits are not supported yet)")
-    new GraftWriteBuilder(table)
+      else s"$tableName is read-only")
+    new GraftWriteBuilder(table, committerOpt)
   }
 }
 
@@ -123,7 +128,8 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
   * path at all (SURVEY §2.C) — this is the extension a real lakehouse
   * user needs first after reads.
   */
-final class GraftWriteBuilder(table: IcebergTable)
+final class GraftWriteBuilder(table: IcebergTable,
+    committerOpt: Option[TableCommitter] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
@@ -134,9 +140,11 @@ final class GraftWriteBuilder(table: IcebergTable)
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         if (truncateFirst || overwrite)
-          IcebergWriter.overwrite(data.sparkSession, table.tableDir, data)
+          IcebergWriter.overwrite(data.sparkSession, table.tableDir, data,
+            committer = committerOpt)
         else
-          IcebergWriter.append(data.sparkSession, table.tableDir, data)
+          IcebergWriter.append(data.sparkSession, table.tableDir, data,
+            committer = committerOpt)
       }
     }
   }

@@ -32,6 +32,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
 
   @volatile private var server: HttpServer = _
   private def port: Int = server.getAddress.getPort
+  /** Requirements of every CommitTableRequest the stub received. */
+  private val commitRequirementsSeen = mutable.Buffer[Seq[String]]()
 
   /** /v1/config payload; tests flip between overrides- and
     * defaults-delivered prefixes (spec: overrides win, defaults fill). */
@@ -103,6 +105,31 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         tables.get((ns, t)) match {
           case Some(doc) => json(x, 200, loadResult(ns, t, doc))
           case None => json(x, 404, """{"error":{"message":"no such table"}}""")
+        }
+      // CommitTableRequest: the server checks requirements and applies the
+      // update actions — the arbitration a real catalog service performs
+      case ("POST", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        tables.get((ns, t)) match {
+          case None => json(x, 404, """{"error":{"message":"no such table"}}""")
+          case Some(doc) =>
+            val req = body
+            import scala.jdk.CollectionConverters._
+            val reqs = Option(req.get("requirements"))
+              .map(_.elements.asScala.toSeq).getOrElse(Nil)
+            val upds = Option(req.get("updates"))
+              .map(_.elements.asScala.toSeq).getOrElse(Nil)
+            commitRequirementsSeen.synchronized {
+              commitRequirementsSeen += reqs.map(_.toString)
+            }
+            graft.iceberg.MetadataCommit.checkRequirements(doc, reqs) match {
+              case Some(err) =>
+                json(x, 409, s"""{"error":{"message":"${err.replace('"', '\'')}"}}""")
+              case None =>
+                val next = graft.iceberg.MetadataCommit.applyUpdates(
+                  mapper, doc.deepCopy[ObjectNode](), upds)
+                tables((ns, t)) = next
+                json(x, 200, loadResult(ns, t, next))
+            }
         }
       case ("DELETE", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         if (tables.remove((ns, t)).isDefined) json(x, 204, "")
@@ -275,6 +302,68 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("ALTER TABLE restcat.rns.src RENAME TO rns.dst")
     assert(!tables.contains(("rns", "src")) && tables.contains(("rns", "dst")))
     spark.sql("DROP TABLE restcat.rns.dst")
+  }
+
+  test("REST: INSERT INTO commits via CommitTableRequest and reads back") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.w1")
+    spark.sql("CREATE TABLE restcat.rns.w1 (id BIGINT, name STRING)")
+    commitRequirementsSeen.clear()
+    spark.sql("INSERT INTO restcat.rns.w1 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO restcat.rns.w1 VALUES (3, 'c')")
+    val rows = spark.sql("SELECT id, name FROM restcat.rns.w1 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the appends went over the wire as guarded commits, not local writes
+    assert(commitRequirementsSeen.size == 2,
+      s"expected 2 CommitTableRequests, saw $commitRequirementsSeen")
+    assert(commitRequirementsSeen.forall(_.exists(_.contains("assert-ref-snapshot-id"))))
+    val doc = tables(("rns", "w1"))
+    assert(doc.get("snapshots").size == 2, "server-side doc should hold both snapshots")
+    // DELETE goes through the same protocol (merge-on-read equality delete)
+    spark.sql("DELETE FROM restcat.rns.w1 WHERE id = 2")
+    assert(spark.sql("SELECT COUNT(*) FROM restcat.rns.w1").collect()(0).getLong(0) == 2L)
+    spark.sql("DROP TABLE restcat.rns.w1")
+  }
+
+  test("REST: ALTER TABLE schema evolution commits add-schema over the wire") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.ev")
+    spark.sql("CREATE TABLE restcat.rns.ev (id BIGINT)")
+    spark.sql("ALTER TABLE restcat.rns.ev ADD COLUMN note STRING")
+    assert(spark.table("restcat.rns.ev").schema.fieldNames.toSeq == Seq("id", "note"))
+    spark.sql("INSERT INTO restcat.rns.ev VALUES (5, 'hi')")
+    val r = spark.sql("SELECT id, note FROM restcat.rns.ev").collect()(0)
+    assert((r.getLong(0), r.getString(1)) == ((5L, "hi")))
+    spark.sql("DROP TABLE restcat.rns.ev")
+  }
+
+  test("REST: stale-base commit is rejected with 409 -> CommitConflictException") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.cf")
+    spark.sql("CREATE TABLE restcat.rns.cf (id BIGINT)")
+    spark.sql("INSERT INTO restcat.rns.cf VALUES (1)") // table now at snapshot 1
+    val store = new graft.iceberg.connector.RestCatalogStore(
+      s"http://127.0.0.1:$port", spark.sessionState.newHadoopConf(), None)
+    val m = new ObjectMapper()
+    // a writer whose base predates snapshot 1 asserts main == absent
+    val staleReq = graft.iceberg.MetadataCommit.assertRefSnapshotId(m, "main", None)
+    val snap = m.createObjectNode()
+    snap.put("snapshot-id", 99L)
+    snap.put("timestamp-ms", 1L)
+    snap.put("manifest-list", "/nonexistent.avro")
+    intercept[graft.iceberg.CommitConflictException] {
+      store.updateTable(Seq("rns"), "cf", Seq(staleReq),
+        Seq(graft.iceberg.MetadataCommit.addSnapshot(m, snap),
+          graft.iceberg.MetadataCommit.setSnapshotRef(m, "main", 99L)))
+    }
+    // the losing commit changed nothing
+    assert(spark.sql("SELECT COUNT(*) FROM restcat.rns.cf").collect()(0).getLong(0) == 1L)
+    assert(tables(("rns", "cf")).get("snapshots").size == 1)
+    spark.sql("DROP TABLE restcat.rns.cf")
   }
 
   test("REST: scan executes against the metadata document in LoadTableResult") {
