@@ -979,6 +979,7 @@ object IcebergWriter {
     val keepIds: Set[Long] =
       sorted.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
         meta.currentSnapshotId.toSet ++
+        meta.refs.values.toSet ++ // branch/tag targets never expire
         sorted.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)
     val (kept, expired) = meta.snapshots.partition(s => keepIds(s.snapshotId))
     if (expired.isEmpty) return 0
@@ -1005,5 +1006,37 @@ object IcebergWriter {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     expired.size
+  }
+
+  // -- snapshot refs (branches / tags) ----------------------------------------
+
+  /** Create or move a named snapshot ref (`type` = "tag" or "branch").
+    * Refs are stable time-travel targets (`VERSION AS OF 'name'`) and
+    * protect their snapshot from [[expireSnapshots]] — the metadata-only
+    * primitive behind "pin the snapshot the nightly job validated".
+    * Note `main` is the table head: moving it is a metadata-only
+    * ROLLBACK to an earlier snapshot. */
+  def createRef(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
+                name: String, snapshotId: Long, refType: String = "tag",
+                committer: Option[TableCommitter] = None): Unit = {
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    require(meta.snapshots.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId not in $tableDir (have: " +
+        s"${meta.snapshots.map(_.snapshotId).mkString(", ")})")
+    val mapper = new ObjectMapper()
+    cmtr.commit(Nil,
+      Seq(MetadataCommit.setSnapshotRef(mapper, name, snapshotId, refType)))
+  }
+
+  def dropRef(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
+              name: String, committer: Option[TableCommitter] = None): Unit = {
+    require(name != "main", "cannot drop the main ref (the table head)")
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val mapper = new ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("action", "remove-snapshot-ref")
+    n.put("ref-name", name)
+    cmtr.commit(Nil, Seq(n))
   }
 }

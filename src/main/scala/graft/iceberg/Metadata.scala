@@ -56,7 +56,11 @@ final case class TableMetadata(
     /** Default sort order (0 = unsorted): writes cluster + sort by it so
       * file bounds on the sort key stay tight; recorded per data file. */
     defaultSortOrderId: Int = 0,
-    sortOrderFields: Seq[SortOrderField] = Nil) {
+    sortOrderFields: Seq[SortOrderField] = Nil,
+    /** Named snapshot refs (branches/tags): ref name → snapshot id.
+      * `main` mirrors `current-snapshot-id`; other refs are time-travel
+      * targets and protect their snapshots from expiration. */
+    refs: Map[String, Long] = Map.empty) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -207,7 +211,11 @@ object TableMetadata {
               Option(f.get("transform")).map(_.asText).getOrElse("identity"),
               Option(f.get("direction")).map(_.asText).getOrElse("asc"))))
           .getOrElse(Nil)
-      })
+      },
+      refs = Option(root.get("refs"))
+        .map(n => n.properties.asScala.map(e =>
+          e.getKey -> e.getValue.get("snapshot-id").asLong).toMap)
+        .getOrElse(Map.empty))
   }
 
   private val VersionedName = """(?:v(\d+)|(\d+)-[-0-9a-fA-F]+)\.metadata\.json""".r

@@ -171,13 +171,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     }
   }
 
-  /** `VERSION AS OF <snapshot-id>` — Spark hands the version string
-    * through verbatim; only Iceberg snapshot ids are meaningful here. */
+  /** `VERSION AS OF <snapshot-id | 'ref-name'>` — Spark hands the version
+    * string through verbatim; a non-numeric version resolves through the
+    * table's snapshot refs (branches/tags), the stable names `createRef`
+    * pins. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = loadIcebergTable(ident, s"time travel ($version)")
-    val snapId = version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"VERSION AS OF expects an Iceberg snapshot id, got '$version'"))
+    val snapId = version.toLongOption
+      .orElse(base.table.metadata.refs.get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"VERSION AS OF expects an Iceberg snapshot id or ref name, got " +
+          s"'$version' (refs: ${base.table.metadata.refs.keys.mkString(", ")})"))
     new SparkIcebergTable(base.name() + s"@$snapId", base.table.atSnapshot(snapId))
   }
 

@@ -249,6 +249,53 @@ object IcebergQueries {
           |FROM q61cat.ns.region_e""".stripMargin)
     }),
 
+    // Incremental append reads + snapshot refs end-to-end: three append
+    // snapshots, a tag pinned at the second, then (a) the rows appended
+    // BETWEEN snapshots 1 and 2 via the manifest-level file diff
+    // (IcebergTable.appendedBetween — no full-table rescan) aggregated by
+    // region, and (b) a `VERSION AS OF '<tag>'` read through the catalog.
+    // The oracle restates both windows from the source table, so a diff
+    // that leaked old files (or a tag resolving to the wrong snapshot)
+    // hash-mismatches.
+    "q62_incremental" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      import graft.iceberg.{IcebergTable, IcebergWriter}
+      val warehouse = "/root/repo/target/q62-warehouse"
+      val tableDir = s"$warehouse/ns/nation_inc"
+      val conf = s.sessionState.newHadoopConf()
+      val fs = new Path(warehouse).getFileSystem(conf)
+      fs.delete(new Path(tableDir), true)
+      val nation = Tables.load(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_regionkey").cast("long").as("n_regionkey"), col("n_name"))
+      val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+        new com.fasterxml.jackson.databind.ObjectMapper(), tableDir,
+        nation.schema, Nil, Map.empty)
+      val out = fs.create(new Path(s"$tableDir/metadata/v1.metadata.json"), true)
+      try out.write(metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val s1 = IcebergWriter.append(s, tableDir,
+        nation.filter(col("n_nationkey") < 10))
+      val s2 = IcebergWriter.append(s, tableDir,
+        nation.filter(col("n_nationkey").between(10, 19)))
+      IcebergWriter.append(s, tableDir, nation.filter(col("n_nationkey") >= 20))
+      IcebergWriter.createRef(conf, tableDir, "batch2", s2)
+      new IcebergTable(tableDir, conf).appendedBetween(s, s1, s2)
+        .createOrReplaceTempView("q62_inc")
+      s.conf.set("spark.sql.catalog.q62cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q62cat.warehouse", warehouse)
+      s.sql(
+        """SELECT inc.n_regionkey, inc.n_inc, inc.sk_inc, ref.n_ref FROM
+          |  (SELECT n_regionkey, COUNT(*) AS n_inc,
+          |          CAST(SUM(n_nationkey) AS BIGINT) AS sk_inc
+          |   FROM q62_inc GROUP BY n_regionkey) inc
+          |CROSS JOIN
+          |  (SELECT COUNT(*) AS n_ref
+          |   FROM q62cat.ns.nation_inc VERSION AS OF 'batch2') ref
+          |ORDER BY inc.n_regionkey""".stripMargin)
+    }),
+
     "q57_sql_delete" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q57-warehouse"
@@ -305,6 +352,16 @@ object IcebergQueries {
       """SELECT COUNT(*) AS n, CAST(SUM(r_regionkey) AS BIGINT) AS sk,
         |       MIN(r_name) AS mn, MAX(r_name) AS mx
         |FROM region""".stripMargin,
+    "q62_incremental" ->
+      """SELECT CAST(inc.n_regionkey AS BIGINT) AS n_regionkey, inc.n_inc,
+        |       inc.sk_inc, ref.n_ref FROM
+        |  (SELECT n_regionkey, COUNT(*) AS n_inc,
+        |          CAST(SUM(n_nationkey) AS BIGINT) AS sk_inc
+        |   FROM nation WHERE n_nationkey BETWEEN 10 AND 19
+        |   GROUP BY n_regionkey) inc
+        |CROSS JOIN
+        |  (SELECT COUNT(*) AS n_ref FROM nation WHERE n_nationkey < 20) ref
+        |ORDER BY n_regionkey""".stripMargin,
     "q58_sql_update" ->
       """WITH upd AS (
         |  SELECT n_nationkey,
