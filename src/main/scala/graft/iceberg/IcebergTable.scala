@@ -303,25 +303,37 @@ final class IcebergTable private (
     * new delete manifests), the file diff is not "the appended rows" and
     * this refuses rather than guessing.
     */
-  def appendedBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
-    val from = atSnapshot(fromId)
-    val to = atSnapshot(toId)
+  def appendedBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
+    if (fromId == toId)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metadata.schema)
+    else atSnapshot(toId).toDF(spark, Nil, Some(appendedFilesBetween(fromId, toId)))
+
+  /** The data files appended between two snapshots (exclusive `fromId`,
+    * inclusive `toId`; `fromId` 0 = before any snapshot). The planning
+    * half of [[appendedBetween]], also driving the streaming source's
+    * micro-batches. Refuses non-append windows — see [[appendedBetween]].
+    */
+  def appendedFilesBetween(fromId: Long, toId: Long): Seq[DataFileEntry] = {
     def norm(s: String) = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
-    val fromDel = from.planDeletes().map(d => norm(from.resolve(d.filePath))).toSet
+    val from = if (fromId == 0L) None else Some(atSnapshot(fromId))
+    val to = atSnapshot(toId)
+    val fromDel = from.toSeq.flatMap(f =>
+      f.planDeletes().map(d => norm(f.resolve(d.filePath)))).toSet
     val toDel = to.planDeletes().map(d => norm(to.resolve(d.filePath))).toSet
     if (fromDel != toDel)
       throw new UnsupportedOperationException(
         s"snapshots $fromId..$toId differ in delete files: not an " +
           "append-only window")
-    val fromFiles = from.planFiles().map(f => norm(from.resolve(f.filePath))).toSet
+    val fromFiles = from.toSeq.flatMap(f =>
+      f.planFiles().map(e => norm(f.resolve(e.filePath)))).toSet
     val toPlan = to.planFiles()
     val toPaths = toPlan.map(f => norm(to.resolve(f.filePath))).toSet
     if (!fromFiles.subsetOf(toPaths))
       throw new UnsupportedOperationException(
         s"snapshots $fromId..$toId removed data files: not an append-only " +
           "window (overwrite/replace/compaction in between)")
-    val added = toPlan.filter(f => !fromFiles.contains(norm(to.resolve(f.filePath))))
-    to.toDF(spark, Nil, Some(added))
+    toPlan.filter(f => !fromFiles.contains(norm(to.resolve(f.filePath))))
   }
 
   // -- scan ------------------------------------------------------------------

@@ -9,6 +9,7 @@ import org.apache.spark.sql.{DataFrame, Row, SQLContext}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -58,9 +59,9 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     * would fork history). */
   override def capabilities(): JSet[TableCapability] =
     (if (canWrite)
-       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-         TableCapability.TRUNCATE)
-     else Set(TableCapability.BATCH_READ)).asJava
+       Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+     else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)).asJava
 
   private def canWrite: Boolean = writable && table.pinnedSnapshotId.isEmpty
 
@@ -217,31 +218,24 @@ final class GraftSqlViewTable(
 
   /** Analyze the view SQL in the context it was created in: relative table
     * names inside the stored SQL must resolve against the view's own
-    * catalog/namespace, not the caller's current ones. The current context
-    * (catalog + full multi-part namespace) is captured and restored via
-    * the CatalogManager directly — no USE-statement round trip, so
-    * multi-part or quote-needing namespaces restore exactly. `spark.sql`
-    * analyzes eagerly, so the plan is bound before restoration. The switch
-    * briefly mutates session-global state; concurrent analysis on the same
-    * session during that window would see the view's context.
+    * catalog/namespace, not the caller's current ones. The context switch
+    * happens on a CLONED session (forked session state, own
+    * CatalogManager, shared SparkContext + temp views + conf), so the
+    * caller's session state is never mutated — concurrent queries on the
+    * original session cannot observe the view's context, which the
+    * previous swap-and-restore version could briefly expose. The clone is
+    * driver-side analysis machinery only; the returned plan executes on
+    * the shared SparkContext.
     */
   private def analyzeInViewContext(
       spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     if (viewCatalog == null || viewCatalog.isEmpty) return spark.sql(viewSql)
-    val cm = spark.sessionState.catalogManager
-    val prevCatalog = cm.currentCatalog.name
-    val prevNamespace = cm.currentNamespace
-    try {
-      cm.setCurrentCatalog(viewCatalog)
-      if (viewNamespace != null && viewNamespace.nonEmpty)
-        cm.setCurrentNamespace(viewNamespace)
-      spark.sql(viewSql)
-    } finally {
-      try {
-        cm.setCurrentCatalog(prevCatalog)
-        cm.setCurrentNamespace(prevNamespace)
-      } catch { case _: Exception => () }
-    }
+    val analysisSession = org.apache.spark.sql.GraftColumnShim.cloneSession(spark)
+    val cm = analysisSession.sessionState.catalogManager
+    cm.setCurrentCatalog(viewCatalog)
+    if (viewNamespace != null && viewNamespace.nonEmpty)
+      cm.setCurrentNamespace(viewNamespace)
+    analysisSession.sql(viewSql)
   }
 
   override def schema(): StructType =
@@ -368,6 +362,77 @@ final class GraftBatchScan(
     requiredSchema.fieldNames.map(Expressions.column)
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(spark, table, requiredSchema, filters)
+}
+
+/** `spark.readStream.table(...)` over an Iceberg table: each micro-batch
+  * is the file set APPENDED between two snapshots (the batch
+  * [[IcebergTable.appendedFilesBetween]] planning), so a batch reads
+  * exactly the new files — never a table rescan. Offsets are snapshot ids
+  * (this writer commits them monotonically), so a checkpoint restart
+  * resumes at the exact snapshot frontier; replanning a replayed window
+  * is deterministic while its snapshots are retained — keep expiration
+  * horizons longer than checkpoint lag.
+  *
+  * Append-only semantics, enforced not assumed: a window containing a
+  * delete/overwrite/compaction fails the stream loudly rather than
+  * emitting wrong increments. Filters pushed by the streaming planner
+  * drive the same parquet-level pushdown as batch scans (pruning
+  * re-checked above the scan, as everywhere).
+  */
+final class GraftMicroBatchStream(
+    spark: org.apache.spark.sql.SparkSession,
+    table: IcebergTable,
+    requiredSchema: StructType,
+    filters: Array[Filter])
+    extends MicroBatchStream {
+
+  private def fresh(): IcebergTable = new IcebergTable(table.tableDir, table.conf)
+
+  private def head(t: IcebergTable): Long =
+    t.metadata.currentSnapshotId.filter(_ != -1L).getOrElse(0L)
+
+  override def initialOffset(): StreamingOffset = GraftStreamOffset(0L)
+
+  override def latestOffset(): StreamingOffset = GraftStreamOffset(head(fresh()))
+
+  override def deserializeOffset(json: String): StreamingOffset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def planInputPartitions(
+      start: StreamingOffset, end: StreamingOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+    val e = end.asInstanceOf[GraftStreamOffset].snapshotId
+    if (e <= s) return Array.empty
+    val t = fresh()
+    val files = t.appendedFilesBetween(s, e)
+    if (files.isEmpty) return Array.empty
+    val unsafe = t.metadata.idShiftedNames
+    val safe =
+      if (unsafe.isEmpty) filters
+      else filters.filter(_.references.forall(c => !unsafe.contains(c)))
+    org.apache.spark.sql.execution.datasources.GraftScanShims
+      .parquetBatchScan(spark,
+        files.map(f => (t.resolve(f.filePath), f.fileSizeInBytes)),
+        t.metadata.schema, requiredSchema, safe)
+      .toBatch.planInputPartitions()
+  }
+
+  /** File-list-independent (schema + conf only), so one factory serves
+    * every micro-batch's partitions. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    org.apache.spark.sql.execution.datasources.GraftScanShims
+      .parquetBatchScan(spark, Nil, table.metadata.schema, requiredSchema, filters)
+      .toBatch.createReaderFactory()
+
+  override def commit(end: StreamingOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class GraftStreamOffset(snapshotId: Long) extends StreamingOffset {
+  override def json: String = snapshotId.toString
 }
 
 final class GraftScan(
@@ -384,6 +449,12 @@ final class GraftScan(
     precomputedFiles.getOrElse(table.planFiles(filters.toSeq))
 
   override def readSchema(): StructType = requiredSchema
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "streaming reads need an append-only table on the native batch path " +
+        "(no v2 delete files, no metadata-only partition values, no limit); " +
+        "compact the table to materialize deletes first")
 
   override def description(): String =
     s"GraftIcebergScan(files=${files.size}, pushed=${filters.mkString(", ")})"

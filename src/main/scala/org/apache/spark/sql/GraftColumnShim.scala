@@ -16,4 +16,13 @@ object GraftColumnShim {
 
   /** Unwrap a Column to the Catalyst expression it resolves to. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fork the session state (own CatalogManager/conf/temp views, shared
+    * SparkContext and cache) — `cloneSession` is `private[sql]` in Spark
+    * 4. Used to analyze view SQL under the view's catalog context without
+    * mutating the caller's session. */
+  def cloneSession(s: SparkSession): SparkSession = s match {
+    case c: org.apache.spark.sql.classic.SparkSession => c.cloneSession()
+    case other => other.newSession()
+  }
 }
