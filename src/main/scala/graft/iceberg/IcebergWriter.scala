@@ -1008,6 +1008,171 @@ object IcebergWriter {
     expired.size
   }
 
+  /** Delete files under the table's data directory that NO snapshot
+    * references — the debris of failed/aborted writes (task files whose
+    * commit never landed) and of interrupted compactions. Only files
+    * older than `olderThanMs` are touched: a file younger than the
+    * horizon may belong to an IN-FLIGHT commit whose metadata is not
+    * visible yet, so the horizon must exceed the longest plausible commit
+    * duration (Iceberg's remove_orphan_files has the same contract).
+    * Listing parallelizes over the first-level `data/` subdirectories
+    * (one per commit in this layout), the reference set comes from every
+    * snapshot's manifest tree, comparison is scheme-normalized. Metadata
+    * files are never touched. Returns the number of files deleted.
+    */
+  def removeOrphanFiles(spark: SparkSession, tableDir: String,
+                        olderThanMs: Long,
+                        committer: Option[TableCommitter] = None): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    def norm(s: String) = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    val referenced: Set[String] =
+      meta.snapshots.flatMap(s => referencedPaths(conf, tableDir, meta, s)._2)
+        .map(norm).toSet
+    val dataRoot = new Path(s"$tableDir/data")
+    val fs = dataRoot.getFileSystem(conf)
+    if (!fs.exists(dataRoot)) return 0
+    val topLevel = fs.listStatus(dataRoot).toSeq
+    val (dirs, rootFiles) = topLevel.partition(_.isDirectory)
+    import scala.collection.parallel.CollectionConverters._
+    def filesUnder(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val b = Vector.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    val all = rootFiles.filter(!_.isDirectory) ++
+      dirs.par.map(d => filesUnder(d.getPath)).seq.flatten
+    val orphans = all.filter { st =>
+      st.getModificationTime < olderThanMs &&
+        !referenced.contains(norm(st.getPath.toString)) &&
+        // Spark job bookkeeping files are not data; cheap to skip
+        !st.getPath.getName.startsWith("_")
+    }
+    orphans.count { st =>
+      try fs.delete(st.getPath, false)
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+  }
+
+  /** Consolidate the current snapshot's small data manifests into fewer,
+    * larger ones — METADATA-ONLY (no data file is read or moved). The
+    * streaming sink and frequent small appends leave one manifest per
+    * commit; at one commit a minute, a year of history is ~500k manifest
+    * reads per scan PLAN, which dominates planning long before data IO
+    * matters. Records are merged at the Avro level under each manifest's
+    * own embedded writer schema — manifests are grouped by (writer
+    * schema, spec id) and only merged within a group, so foreign-writer
+    * fields survive byte-for-byte (same losslessness rule as
+    * [[replaceFiles]]).
+    *
+    * Refuses tables with outstanding delete files: merged manifests carry
+    * ONE sequence number, and collapsing differing sequence numbers under
+    * existing deletes would change which rows the deletes hit. (Without
+    * deletes, the collapsed number is irrelevant to the past and future
+    * deletes always take larger numbers — sound.) Compact first.
+    * Returns the new snapshot id, or -1 when there is nothing to merge.
+    */
+  def rewriteManifests(spark: SparkSession, tableDir: String,
+                       targetEntriesPerManifest: Int = 8192,
+                       committer: Option[TableCommitter] = None): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    require(!prev.exists(_.content == 1),
+      "rewriteManifests on a table with delete manifests: materialize " +
+        "deletes first (IcebergWriter.compact) — merged manifests cannot " +
+        "preserve per-manifest sequence numbers")
+    if (prev.sizeIs <= 1) return -1L
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+
+    // read each manifest's raw records under its embedded writer schema
+    val loaded: Seq[(ManifestFile, org.apache.avro.Schema, Seq[GenericRecord])] =
+      prev.map { m =>
+        val p = new Path(resolveAgainst(meta, tableDir, m.path))
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+          new org.apache.avro.file.SeekableByteArrayInput(bytes),
+          new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+        try {
+          val b = Vector.newBuilder[GenericRecord]
+          while (reader.hasNext) b += reader.next()
+          (m, reader.getSchema, b.result())
+        } finally reader.close()
+      }
+
+    val merged: Seq[GenericRecord] = loaded
+      .groupBy { case (m, schema, _) => (schema.toString, m.partitionSpecId) }
+      .toSeq.sortBy(_._1._2)
+      .flatMap { case ((_, specId), group) =>
+        if (group.sizeIs == 1) {
+          val (m, _, _) = group.head
+          Seq(mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
+            m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions))
+        } else {
+          val schema = group.head._2
+          val entries = group.flatMap(_._3)
+          val minSeq = group.flatMap(_._1.sequenceNumber).minOption
+          val rows = group.flatMap(_._1.addedRowsCount)
+            .reduceOption(_ + _)
+          // field-wise union of the groups' partition summaries — sound
+          // bounds for the merged record; absent anywhere ⇒ absent (never
+          // summary-pruned)
+          val summaries: Seq[PartitionSummary] =
+            if (group.exists(_._1.partitions.isEmpty)) Nil
+            else group.map(_._1.partitions).reduce { (a, b) =>
+              a.zip(b).map { case (x, y) =>
+                PartitionSummary(
+                  containsNull = x.containsNull || y.containsNull,
+                  containsNan = (x.containsNan ++ y.containsNan)
+                    .reduceOption(_ || _),
+                  lowerBound = (x.lowerBound, y.lowerBound) match {
+                    case (Some(l), Some(r)) =>
+                      Some(if (BytesOrdering.compare(l, r) <= 0) l else r)
+                    case _ => None
+                  },
+                  upperBound = (x.upperBound, y.upperBound) match {
+                    case (Some(l), Some(r)) =>
+                      Some(if (BytesOrdering.compare(l, r) >= 0) l else r)
+                    case _ => None
+                  })
+              }
+            }
+          entries.grouped(math.max(targetEntriesPerManifest, 1)).zipWithIndex
+            .map { case (chunk, i) =>
+              val mPath = new Path(s"$tableDir/metadata/m-s$snapId-c$specId-$i.avro")
+              val len = writeAvro(mPath, conf, schema, chunk)
+              mlRec(mPath.toString, len, 0, minSeq, rows, specId, summaries)
+            }.toSeq
+        }
+      }
+    if (merged.size >= prev.size) return -1L // nothing got smaller
+    commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
+      merged, Map("operation" -> "replace"))
+    snapId
+  }
+
+  /** Unsigned lexicographic byte comparison (Iceberg single-value bound
+    * encoding compares this way for the types whose summaries we merge). */
+  private object BytesOrdering {
+    def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(a.length, b.length)
+    }
+  }
+
   // -- snapshot refs (branches / tags) ----------------------------------------
 
   /** Create or move a named snapshot ref (`type` = "tag" or "branch").

@@ -146,6 +146,64 @@ object Dedup {
       .distinct()
   }
 
+  // -- duplicate clusters (connected components) -----------------------------
+
+  /** Connected components over candidate duplicate pairs: the last stage
+    * of every dedup pipeline — pairs say "these two match", components
+    * say "this GROUP is one document", which is what lets a pipeline keep
+    * exactly one canonical copy when A~B and B~C but A and C never met in
+    * a bucket.
+    *
+    * Min-label propagation: every node starts as its own component; each
+    * iteration, a node adopts the smallest component id among itself and
+    * its neighbors. Converges in O(component diameter) iterations — and
+    * near-dup clusters are small and dense (clones of one source), so the
+    * practical iteration count is 2–3, each costing one join + one
+    * aggregation shuffle over the EDGE set (pairs, not the corpus; the
+    * corpus never shuffles). The driver-side loop holds only a converged
+    * flag per iteration — no component data ever collects.
+    *
+    * Returns (id, component) for every node appearing in `pairs`, where
+    * `component` = the minimum id in the node's component. Nodes with no
+    * pair are absent (they are their own singleton cluster).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "qa",
+                          bCol: String = "qb", maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var i = 0
+    var converged = sym.isEmpty
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("comp").as("comp")).persist()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Keep ONE canonical row per duplicate cluster: rows whose id is the
+    * cluster minimum survive; other cluster members drop; rows in no pair
+    * (singletons) always survive. `pairs` columns default to
+    * [[minhashCandidatePairs]]' output. */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "qa", bCol: String = "qb"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
   // -- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on every

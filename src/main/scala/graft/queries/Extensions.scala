@@ -100,6 +100,35 @@ object Extensions {
         .agg(count(lit(1)).as("n_found"))
     }),
 
+    // Duplicate CLUSTERS: the full dedup pipeline — LSH candidates →
+    // verification (exact text equality here; a Jaccard threshold in a
+    // fuzzy pipeline) → connected components → one canonical per cluster.
+    // Two clone sets per source doc make 3-node components whose members
+    // met only pairwise in buckets; transitivity is what components add
+    // over pairs. Provable answer: every source doc < 100 is the minimum
+    // id (= canonical) of exactly one size-3 cluster.
+    "q63_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val all = docs
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val candidates = Dedup.minhashCandidatePairs(
+        all, "doc_id", "text", numHashes = 32, bands = 16)
+      // verify candidates before clustering (LSH can bucket non-dups; a
+      // false positive pair would MERGE two clusters)
+      val texts = all.select(col("doc_id"), col("text"))
+      val verified = candidates
+        .join(texts.select(col("doc_id").as("qa"), col("text").as("ta")), "qa")
+        .join(texts.select(col("doc_id").as("qb"), col("text").as("tb")), "qb")
+        .filter(col("ta") === col("tb"))
+        .select("qa", "qb")
+      Dedup.connectedComponents(verified)
+        .groupBy(col("comp").as("canonical_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy(col("canonical_id").asc_nulls_first)
+    }),
+
     "q49b_lsh_clone_recall" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val clones = emb.filter(col("vec_id") < 50)
@@ -354,6 +383,10 @@ object Extensions {
       """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 100""",
     "q42b_simhash_dup_parity" ->
       """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 100""",
+    "q63_dedup_clusters" ->
+      """SELECT doc_id AS canonical_id, CAST(3 AS BIGINT) AS cluster_size
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY canonical_id ASC NULLS FIRST""".stripMargin,
     "q49b_lsh_clone_recall" ->
       """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id < 50

@@ -94,4 +94,66 @@ class MaintenanceSpec extends SparkSpec {
     assert(n == 0)
     assert(IcebergTable(spark, dir).metadata.snapshots.size == 2)
   }
+
+  test("removeOrphanFiles deletes unreferenced debris, keeps live files") {
+    import spark.implicits._
+    val dir = "/root/repo/target/test-orphans"
+    freshTable(dir)
+    (1L to 2L).foreach(i =>
+      IcebergWriter.append(spark, dir, Seq((i, s"row$i")).toDF("id", "tag")))
+    // debris: an aborted write's task file + a stray root-level file
+    val stray1 = new File(s"$dir/data/s99/part-stray.parquet")
+    stray1.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(stray1.toPath, "junk")
+    val stray2 = new File(s"$dir/data/stray-top.parquet")
+    java.nio.file.Files.writeString(stray2.toPath, "junk")
+    val before = dataFilesOnDisk(dir)
+
+    // horizon in the future → both strays qualify; live files survive
+    val n = IcebergWriter.removeOrphanFiles(spark, dir,
+      olderThanMs = System.currentTimeMillis + 60000)
+    assert(n == 2, s"expected 2 orphans deleted, got $n")
+    assert(!stray1.exists && !stray2.exists)
+    assert(dataFilesOnDisk(dir) == before -- Set(stray1.toString, stray2.toString))
+    // table still reads green
+    assert(IcebergTable(spark, dir).toDF(spark).count() == 2L)
+
+    // horizon in the past → nothing qualifies (in-flight-commit safety)
+    val stray3 = new File(s"$dir/data/stray-new.parquet")
+    java.nio.file.Files.writeString(stray3.toPath, "junk")
+    assert(IcebergWriter.removeOrphanFiles(spark, dir, olderThanMs = 1000L) == 0)
+    assert(stray3.exists)
+    stray3.delete()
+  }
+
+  test("rewriteManifests merges per-commit manifests, reads unchanged") {
+    import spark.implicits._
+    val dir = "/root/repo/target/test-rewrite-manifests"
+    freshTable(dir)
+    (1L to 4L).foreach(i =>
+      IcebergWriter.append(spark, dir, Seq((i, s"row$i")).toDF("id", "tag")))
+    def manifests(t: IcebergTable) = {
+      val s = t.metadata.currentSnapshot.get
+      graft.iceberg.ManifestIO.readManifestList(t.resolve(s.manifestList),
+        spark.sessionState.newHadoopConf())
+    }
+    val before = manifests(IcebergTable(spark, dir))
+    assert(before.size == 4, "one manifest per append commit")
+    val rows = IcebergTable(spark, dir).toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val snap = IcebergWriter.rewriteManifests(spark, dir)
+    assert(snap > 0)
+    val t2 = IcebergTable(spark, dir)
+    val after = manifests(t2)
+    assert(after.size == 1, s"expected 1 merged manifest, got ${after.size}")
+    // METADATA-only: the data file set is byte-identical
+    assert(t2.planFiles().map(_.filePath).toSet ==
+      IcebergTable(spark, dir).atSnapshot(snap - 1).planFiles()
+        .map(_.filePath).toSet)
+    assert(t2.toDF(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == rows)
+    // prior snapshots still time-travel
+    assert(t2.atSnapshot(2).toDF(spark).count() == 2L) // first two appends
+  }
 }

@@ -65,6 +65,32 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connectedComponents: transitivity, disjoint clusters, empty input") {
+    import spark.implicits._
+    // chain 1-2-3 (1 and 3 never paired directly) + disjoint pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("qa", "qb")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    // a longer chain still converges (diameter > 2)
+    val chain = (1L until 7L).map(i => (i, i + 1)).toDF("qa", "qb")
+    val c2 = Dedup.connectedComponents(chain).collect().map(_.getLong(1)).toSet
+    assert(c2 == Set(1L))
+
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("qa", "qb"))
+      .collect().isEmpty)
+  }
+
+  test("keepCanonical keeps cluster minima and singletons") {
+    import spark.implicits._
+    val rows = Seq(1L, 2L, 3L, 5L, 6L, 9L).map(i => (i, s"t$i")).toDF("id", "t")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("qa", "qb")
+    val kept = Dedup.keepCanonical(rows, "id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 5L, 9L)) // cluster minima + untouched singleton
+  }
+
   test("simhash of identical docs is identical, near-dup is close") {
     val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
