@@ -26,7 +26,10 @@ final case class IcebergSnapshot(
     timestampMs: Long,
     manifestList: String,
     schemaId: Option[Int],
-    summary: Map[String, String])
+    summary: Map[String, String],
+    /** lineage pointer (spec `parent-snapshot-id`); None for the first
+      * snapshot or metadata written by pre-lineage tools */
+    parentSnapshotId: Option[Long] = None)
 
 final case class TableMetadata(
     formatVersion: Int,
@@ -60,10 +63,33 @@ final case class TableMetadata(
     /** Named snapshot refs (branches/tags): ref name → snapshot id.
       * `main` mirrors `current-snapshot-id`; other refs are time-travel
       * targets and protect their snapshots from expiration. */
-    refs: Map[String, Long] = Map.empty) {
+    refs: Map[String, Long] = Map.empty,
+    /** `snapshot-log` entry snapshot ids, oldest → newest: the COMMIT
+      * ORDER of `main`. Snapshot ids themselves carry no order (the spec
+      * lets writers pick random 64-bit ids), so anything that needs
+      * "which snapshot came first" — the streaming source's offsets above
+      * all — must consult this, never compare raw ids. */
+    snapshotLog: Seq[Long] = Nil) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
+
+  /** Snapshot ids in commit order, oldest → newest: the `snapshot-log`
+    * when present (expiration prunes its dead entries, rollback appends a
+    * repeat entry — both fine for position lookups via `lastIndexOf`);
+    * otherwise the `parent-snapshot-id` chain walked back from the
+    * current snapshot (metadata written without a log). */
+  def snapshotLineage: Seq[Long] =
+    if (snapshotLog.nonEmpty) snapshotLog
+    else {
+      val byId = snapshots.map(s => s.snapshotId -> s).toMap
+      val chain = Iterator.iterate(currentSnapshot)(
+        _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+        .takeWhile(_.isDefined).flatten.map(_.snapshotId)
+        .take(snapshots.size) // cap: a cyclic parent chain must not hang
+        .toSeq
+      chain.reverse
+    }
 
   /** Source-column names of identity partition fields (the only transform
     * the reference supports — fixture `v1.metadata.json:70`). */
@@ -174,7 +200,8 @@ object TableMetadata {
           schemaId = Option(s.get("schema-id")).map(_.asInt),
           summary = Option(s.get("summary"))
             .map(n => n.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
-            .getOrElse(Map.empty))
+            .getOrElse(Map.empty),
+          parentSnapshotId = Option(s.get("parent-snapshot-id")).map(_.asLong))
       }
     TableMetadata(
       formatVersion = root.get("format-version").asInt,
@@ -215,7 +242,10 @@ object TableMetadata {
       refs = Option(root.get("refs"))
         .map(n => n.properties.asScala.map(e =>
           e.getKey -> e.getValue.get("snapshot-id").asLong).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      snapshotLog = Option(root.get("snapshot-log"))
+        .map(_.elements.asScala.map(_.get("snapshot-id").asLong).toSeq)
+        .getOrElse(Nil))
   }
 
   private val VersionedName = """(?:v(\d+)|(\d+)-[-0-9a-fA-F]+)\.metadata\.json""".r

@@ -370,10 +370,14 @@ final class GraftBatchScan(
 /** `spark.readStream.table(...)` over an Iceberg table: each micro-batch
   * is the file set APPENDED between two snapshots (the batch
   * [[IcebergTable.appendedFilesBetween]] planning), so a batch reads
-  * exactly the new files — never a table rescan. Offsets are snapshot ids
-  * (this writer commits them monotonically), so a checkpoint restart
-  * resumes at the exact snapshot frontier; replanning a replayed window
-  * is deterministic while its snapshots are retained — keep expiration
+  * exactly the new files — never a table rescan. Offsets carry snapshot
+  * IDS but are ordered by snapshot-log POSITION
+  * ([[TableMetadata.snapshotLineage]]): the Iceberg spec lets writers
+  * pick random 64-bit ids, so an externally-written table's ids carry no
+  * order — comparing them raw would silently stall the stream or plan a
+  * wrong window. A checkpointed frontier whose snapshot has left the
+  * lineage (expired, or the history rewritten underneath the stream)
+  * fails LOUDLY instead of resuming somewhere wrong — keep expiration
   * horizons longer than checkpoint lag.
   *
   * Append-only semantics, enforced not assumed: a window containing a
@@ -401,30 +405,60 @@ final class GraftMicroBatchStream(
   override def deserializeOffset(json: String): StreamingOffset =
     GraftStreamOffset(json.trim.toLong)
 
+  /** 1-based position of snapshot `id` in the commit lineage (0 = before
+    * any snapshot). `lastIndexOf`: after a rollback the log repeats an
+    * id, and the frontier means its most recent occurrence. A missing id
+    * is a hard error — resuming a checkpoint against a rewritten or
+    * expired history has no safe answer. */
+  private def lineagePos(lineage: Seq[Long], id: Long, which: String): Int =
+    if (id == 0L) 0
+    else lineage.lastIndexOf(id) match {
+      case -1 => throw new IllegalStateException(
+        s"streaming $which offset: snapshot $id is no longer in the " +
+          s"table's snapshot lineage (${lineage.mkString(", ")}) — it was " +
+          "expired or the history was rewritten; this checkpoint cannot " +
+          "be resumed safely. Restart the stream from a fresh checkpoint.")
+      case i => i + 1
+    }
+
+  /** Pushed filters minus those on columns whose field id shifted across
+    * schema evolution: parquet-mr's row-group/page pruning is NAME-keyed,
+    * so on an old file a same-named different-id column could prune rows
+    * silently (same guard as the batch path's parquetSafe). */
+  private def safeFilters(t: IcebergTable): Array[Filter] = {
+    val unsafe = t.metadata.idShiftedNames
+    if (unsafe.isEmpty) filters
+    else filters.filter(_.references.forall(c => !unsafe.contains(c)))
+  }
+
   override def planInputPartitions(
       start: StreamingOffset, end: StreamingOffset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].snapshotId
     val e = end.asInstanceOf[GraftStreamOffset].snapshotId
-    if (e <= s) return Array.empty
+    if (e == s) return Array.empty
     val t = fresh()
+    val lineage = t.metadata.snapshotLineage
+    val sPos = lineagePos(lineage, s, "start")
+    val ePos = lineagePos(lineage, e, "end")
+    if (ePos <= sPos) return Array.empty // rollback window: nothing appended
     val files = t.appendedFilesBetween(s, e)
     if (files.isEmpty) return Array.empty
-    val unsafe = t.metadata.idShiftedNames
-    val safe =
-      if (unsafe.isEmpty) filters
-      else filters.filter(_.references.forall(c => !unsafe.contains(c)))
     org.apache.spark.sql.execution.datasources.GraftScanShims
       .parquetBatchScan(spark,
         files.map(f => (t.resolve(f.filePath), f.fileSizeInBytes)),
-        t.metadata.schema, requiredSchema, safe)
+        t.metadata.schema, requiredSchema, safeFilters(t))
       .toBatch.planInputPartitions()
   }
 
   /** File-list-independent (schema + conf only), so one factory serves
-    * every micro-batch's partitions. */
+    * every micro-batch's partitions. Must push the same SAFE filter set
+    * as planInputPartitions: ParquetScan applies pushedFilters in the
+    * reader factory (name-keyed row-group/page pruning per file), so an
+    * id-shifted column's filter here would drop rows silently. */
   override def createReaderFactory(): PartitionReaderFactory =
     org.apache.spark.sql.execution.datasources.GraftScanShims
-      .parquetBatchScan(spark, Nil, table.metadata.schema, requiredSchema, filters)
+      .parquetBatchScan(spark, Nil, table.metadata.schema, requiredSchema,
+        safeFilters(table))
       .toBatch.createReaderFactory()
 
   override def commit(end: StreamingOffset): Unit = ()

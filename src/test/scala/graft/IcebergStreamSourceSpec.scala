@@ -91,6 +91,110 @@ class IcebergStreamSourceSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).sorted.toSeq == (0 until 4).map(i => s"row$i"))
   }
 
+  /** Renumber snapshot id `from` → `to` in the latest metadata.json —
+    * simulates an EXTERNAL writer, which per the Iceberg spec picks
+    * random 64-bit ids (no monotonic order). Touches every id-bearing
+    * field; manifest-list paths are stored as strings so the avro files
+    * need no rewrite. */
+  private def renumber(tableDir: String, from: Long, to: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = graft.iceberg.TableMetadata.latestMetadataPath(tableDir, conf)
+    val fs = p.getFileSystem(conf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(p)
+    val root = try mapper.readTree(in)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    finally in.close()
+    import scala.jdk.CollectionConverters._
+    def patch(n: com.fasterxml.jackson.databind.node.ObjectNode,
+              field: String): Unit =
+      if (Option(n.get(field)).exists(v => !v.isNull && v.asLong == from)) {
+        n.put(field, to); ()
+      }
+    patch(root, "current-snapshot-id")
+    Option(root.get("snapshots")).toSeq.flatMap(_.elements.asScala).foreach { s =>
+      val o = s.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      patch(o, "snapshot-id"); patch(o, "parent-snapshot-id")
+    }
+    Option(root.get("snapshot-log")).toSeq.flatMap(_.elements.asScala).foreach {
+      e => patch(e.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode],
+        "snapshot-id")
+    }
+    Option(root.get("refs")).toSeq.flatMap(_.properties.asScala).foreach { e =>
+      patch(e.getValue.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode],
+        "snapshot-id")
+    }
+    val out = fs.create(p, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  test("non-monotonic snapshot ids (external writer) stream correctly") {
+    val dir = createTable("src4")
+    val ckpt = new File("/root/repo/target/test-streamsrc-ckpt4")
+    val outDir = new File("/root/repo/target/test-streamsrc-out4")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    def run(): Unit = {
+      val q = spark.readStream.table("strcat.ns.src4")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def got(): Seq[Long] =
+      spark.read.parquet(outDir.toString).collect().map(_.getLong(0)).sorted.toSeq
+
+    IcebergWriter.append(spark, dir, ids(0, 3)) // snap 1
+    renumber(dir, from = 1L, to = 9000000000L)  // frontier id is now HUGE
+    run()
+    assert(got() == (0L until 3L))
+
+    // external writer commits a snapshot whose id is SMALLER than the
+    // checkpointed frontier: raw id ordering would see "no new data" and
+    // silently skip it; log-position ordering must emit it
+    IcebergWriter.append(spark, dir, ids(3, 6)) // snap max+1 = 9000000001
+    renumber(dir, from = 9000000001L, to = 42L)
+    run()
+    assert(got() == (0L until 6L),
+      "a smaller-id later snapshot must still be emitted (log order, not id order)")
+
+    run() // idle
+    assert(got() == (0L until 6L))
+  }
+
+  test("an expired checkpointed frontier fails loudly, not silently") {
+    val dir = createTable("src5")
+    val ckpt = new File("/root/repo/target/test-streamsrc-ckpt5")
+    val outDir = new File("/root/repo/target/test-streamsrc-out5")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    def run(): Unit = {
+      val q = spark.readStream.table("strcat.ns.src5")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    IcebergWriter.append(spark, dir, ids(0, 3)) // snap 1 — the frontier
+    run()
+    IcebergWriter.append(spark, dir, ids(3, 5)) // snap 2
+    IcebergWriter.append(spark, dir, ids(5, 8)) // snap 3
+    // expire everything but the newest: the checkpointed frontier (snap 1)
+    // leaves the lineage
+    IcebergWriter.expireSnapshots(spark, dir,
+      olderThanMs = System.currentTimeMillis + 60000, retainLast = 1)
+    val err = intercept[Exception] { run() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("no longer in the table's snapshot lineage"))),
+      s"expected a loud expired-frontier failure, got: $err")
+  }
+
   test("a non-append window fails the stream instead of emitting wrong rows") {
     val dir = createTable("src3")
     IcebergWriter.append(spark, dir, ids(0, 3))
