@@ -261,8 +261,9 @@ object IcebergWriter {
     * sink stores its batch id under. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              summary: Map[String, String] = Map.empty,
-             committer: Option[TableCommitter] = None): Long =
-    commit(spark, tableDir, df, carryPrior = true, summary, committer)
+             committer: Option[TableCommitter] = None,
+             branch: String = "main"): Long =
+    commit(spark, tableDir, df, carryPrior = true, summary, committer, branch)
 
   /** Commit `df` as a truncate-and-write snapshot: the new manifest list
     * records ONLY this commit's manifest, so the current snapshot reads
@@ -271,8 +272,9 @@ object IcebergWriter {
     * vacuumed. */
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
                 summary: Map[String, String] = Map.empty,
-                committer: Option[TableCommitter] = None): Long =
-    commit(spark, tableDir, df, carryPrior = false, summary, committer)
+                committer: Option[TableCommitter] = None,
+                branch: String = "main"): Long =
+    commit(spark, tableDir, df, carryPrior = false, summary, committer, branch)
 
   /** Compact the current snapshot: rewrite its live rows into
     * ~`targetFileBytes` files and commit as a truncate snapshot. The
@@ -642,14 +644,36 @@ object IcebergWriter {
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
       |   "default":null}]}}]}""".stripMargin)
 
+  /** Resolve the commit base for a write targeting `branch`: (base
+    * snapshot whose manifests an append carries, new snapshot's parent,
+    * expected ref head for the optimistic-concurrency assert). A branch
+    * that does not exist yet forks from main's current head — the
+    * Iceberg write-audit-publish convention — and the assert expects it
+    * absent, so racing first-writes still conflict cleanly. Tags are
+    * immutable pointers: writing to one is refused. */
+  private def branchBase(meta: TableMetadata, branch: String)
+      : (Option[IcebergSnapshot], Option[Long], Option[Option[Long]]) = {
+    require(!meta.tagRefs.contains(branch),
+      s"ref '$branch' is a tag — tags are immutable; write to a branch")
+    val mainHead = meta.currentSnapshotId.filter(_ != -1L)
+    if (branch == "main") (meta.currentSnapshot, mainHead, Some(mainHead))
+    else meta.refs.get(branch) match {
+      case Some(id) =>
+        (meta.snapshots.find(_.snapshotId == id), Some(id), Some(Some(id)))
+      case None => (meta.currentSnapshot, mainHead, Some(None))
+    }
+  }
+
   private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
                      carryPrior: Boolean,
                      summary: Map[String, String] = Map.empty,
-                     committer: Option[TableCommitter] = None): Long = {
+                     committer: Option[TableCommitter] = None,
+                     branch: String = "main"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val (baseSnap, parent, refExpected) = branchBase(meta, branch)
 
     // 1. data files: the fanout task writers cluster rows by transformed
     // partition value, stamp Iceberg field ids into the parquet schema,
@@ -685,9 +709,10 @@ object IcebergWriter {
     // 2. manifest (+ partition summaries) from the commit messages
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
 
-    // 3. manifest list = previous snapshot's manifests + the new one
-    // (append) or just the new one (overwrite/truncate)
-    val prev: Seq[ManifestFile] = meta.currentSnapshot match {
+    // 3. manifest list = base snapshot's manifests + the new one
+    // (append) or just the new one (overwrite/truncate); the base is the
+    // targeted branch's head, so branch writes stack on the branch
+    val prev: Seq[ManifestFile] = baseSnap match {
       case Some(s) if carryPrior => ManifestIO.readManifestList(
         resolveAgainst(meta, tableDir, s.manifestList), conf)
       case _ => Nil
@@ -696,8 +721,9 @@ object IcebergWriter {
       mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) ++
       newMl
-    commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L), listRecs,
-      Map("operation" -> (if (carryPrior) "append" else "overwrite")) ++ summary)
+    commitSnapshot(cmtr, snapId, parent, listRecs,
+      Map("operation" -> (if (carryPrior) "append" else "overwrite")) ++ summary,
+      ref = branch, refExpected = refExpected)
     snapId
   }
 
@@ -734,15 +760,21 @@ object IcebergWriter {
 
   /** Write the manifest list, then commit the snapshot as the REST
     * spec's (requirements, updates) pair through the table's committer:
-    * `add-snapshot` + `set-snapshot-ref main`, guarded by
-    * `assert-ref-snapshot-id main == parent` — optimistic concurrency on
-    * every transport (filesystem create-new or REST POST). `summary`
-    * lands in the snapshot's `summary` node (spec: must carry
-    * `operation`). */
+    * `add-snapshot` + `set-snapshot-ref <ref>`, guarded by
+    * `assert-ref-snapshot-id <ref> == refExpected` — optimistic
+    * concurrency on every transport (filesystem create-new or REST
+    * POST). `ref` is usually `main`; a write-audit-publish write targets
+    * a staging branch instead, leaving `main` (and its snapshot-log)
+    * untouched. `refExpected` differs from `parent` exactly when the
+    * branch does not exist yet (expected absent, parent = main's head
+    * the branch forks from). `summary` lands in the snapshot's `summary`
+    * node (spec: must carry `operation`). */
   private def commitSnapshot(
       committer: TableCommitter, snapId: Long, parent: Option[Long],
       listRecs: Seq[GenericRecord],
-      summary: Map[String, String] = Map.empty): Unit = {
+      summary: Map[String, String] = Map.empty,
+      ref: String = "main",
+      refExpected: Option[Option[Long]] = None): Unit = {
     val listPath = new Path(s"${committer.tableDir}/metadata/snap-$snapId.avro")
     writeAvro(listPath, committer.conf, manifestListSchema, listRecs)
     val mapper = new ObjectMapper()
@@ -756,9 +788,10 @@ object IcebergWriter {
       summary.foreach { case (k, v) => sn.put(k, v) }
     }
     committer.commit(
-      Seq(MetadataCommit.assertRefSnapshotId(mapper, "main", parent)),
+      Seq(MetadataCommit.assertRefSnapshotId(mapper, ref,
+        refExpected.getOrElse(parent))),
       Seq(MetadataCommit.addSnapshot(mapper, snap),
-        MetadataCommit.setSnapshotRef(mapper, "main", snapId)))
+        MetadataCommit.setSnapshotRef(mapper, ref, snapId)))
   }
 
   /** Same relocation rule as IcebergTable.resolve, usable pre-load. */
@@ -1203,5 +1236,43 @@ object IcebergWriter {
     n.put("action", "remove-snapshot-ref")
     n.put("ref-name", name)
     cmtr.commit(Nil, Seq(n))
+  }
+
+  /** PUBLISH of write-audit-publish: fast-forward `target` (default
+    * `main`) to branch `from`'s head. Metadata-only — no data moves. The
+    * target's current head must be an ancestor of (or equal to) the
+    * branch head, i.e. a true fast-forward: if `target` advanced since
+    * the branch forked, publishing would silently drop those commits, so
+    * it throws instead (rebase = re-write the branch off the new head).
+    * Guarded by `assert-ref-snapshot-id target` so a concurrent move of
+    * the target surfaces as [[CommitConflictException]]. Returns the
+    * published snapshot id. */
+  def fastForward(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
+                  from: String, target: String = "main",
+                  committer: Option[TableCommitter] = None): Long = {
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val fromHead = meta.refs.getOrElse(from,
+      throw new IllegalArgumentException(
+        s"ref '$from' not found in $tableDir (have: " +
+          s"${meta.refs.keys.mkString(", ")})"))
+    val targetHead =
+      if (target == "main") meta.currentSnapshotId.filter(_ != -1L)
+      else meta.refs.get(target)
+    if (targetHead.contains(fromHead)) return fromHead // already published
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val ancestors = Iterator.iterate(byId.get(fromHead))(
+      _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId)
+      .take(meta.snapshots.size).toSet
+    targetHead.foreach(h => require(ancestors.contains(h),
+      s"not a fast-forward: '$target' head $h is not an ancestor of " +
+        s"'$from' head $fromHead — '$target' advanced since the branch " +
+        "forked; rebase the branch before publishing"))
+    val mapper = new ObjectMapper()
+    cmtr.commit(
+      Seq(MetadataCommit.assertRefSnapshotId(mapper, target, targetHead)),
+      Seq(MetadataCommit.setSnapshotRef(mapper, target, fromHead)))
+    fromHead
   }
 }

@@ -69,7 +69,10 @@ final case class TableMetadata(
       * lets writers pick random 64-bit ids), so anything that needs
       * "which snapshot came first" — the streaming source's offsets above
       * all — must consult this, never compare raw ids. */
-    snapshotLog: Seq[Long] = Nil) {
+    snapshotLog: Seq[Long] = Nil,
+    /** Ref names of type `tag` (immutable pointers — writers refuse
+      * them; everything else in [[refs]] is a branch). */
+    tagRefs: Set[String] = Set.empty) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -245,7 +248,13 @@ object TableMetadata {
         .getOrElse(Map.empty),
       snapshotLog = Option(root.get("snapshot-log"))
         .map(_.elements.asScala.map(_.get("snapshot-id").asLong).toSeq)
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      tagRefs = Option(root.get("refs"))
+        .map(n => n.properties.asScala.collect {
+          case e if Option(e.getValue.get("type")).exists(_.asText == "tag") =>
+            e.getKey
+        }.toSet)
+        .getOrElse(Set.empty))
   }
 
   private val VersionedName = """(?:v(\d+)|(\d+)-[-0-9a-fA-F]+)\.metadata\.json""".r

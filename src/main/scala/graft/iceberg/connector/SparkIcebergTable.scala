@@ -120,7 +120,8 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
         s"$tableName is pinned to snapshot ${table.pinnedSnapshotId.get}; " +
           "time-travel reads are read-only"
       else s"$tableName is read-only")
-    new GraftWriteBuilder(table, committerOpt)
+    new GraftWriteBuilder(table, committerOpt,
+      Option(info.options.get("branch")))
   }
 }
 
@@ -128,9 +129,17 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
   * onto the [[IcebergWriter]] commit protocol. The reference has no write
   * path at all (SURVEY §2.C) — this is the extension a real lakehouse
   * user needs first after reads.
+  *
+  * Write-audit-publish: a `branch` write option
+  * (`df.writeTo(t).option("branch", "audit")`) or the `spark.wap.branch`
+  * session conf (the Iceberg convention — reaches SQL `INSERT INTO` too)
+  * routes the commit to that branch; `main` and every reader not pinned
+  * to the branch see nothing until [[IcebergWriter.fastForward]]
+  * publishes it.
   */
 final class GraftWriteBuilder(table: IcebergTable,
-    committerOpt: Option[TableCommitter] = None)
+    committerOpt: Option[TableCommitter] = None,
+    branchOpt: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateFirst = false
@@ -140,12 +149,16 @@ final class GraftWriteBuilder(table: IcebergTable,
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val branch = branchOpt
+          .orElse(Option(data.sparkSession.conf.get("spark.wap.branch", null))
+            .filter(_.nonEmpty))
+          .getOrElse("main")
         if (truncateFirst || overwrite)
           IcebergWriter.overwrite(data.sparkSession, table.tableDir, data,
-            committer = committerOpt)
+            committer = committerOpt, branch = branch)
         else
           IcebergWriter.append(data.sparkSession, table.tableDir, data,
-            committer = committerOpt)
+            committer = committerOpt, branch = branch)
       }
     }
   }
