@@ -242,6 +242,17 @@ object IcebergWriter {
     case _ => false
   }
 
+  /** Writer-unique file-name component. Racing committers derive the same
+    * `snapId = max+1` from the same base metadata, so every file a commit
+    * writes BEFORE its metadata CAS must carry a name no other writer can
+    * produce — otherwise the commit LOSER overwrites the winner's
+    * already-referenced manifest list/manifests/data files and corrupts
+    * the winning snapshot even though its own metadata commit fails
+    * (upstream Iceberg names `snap-<id>-<attempt>-<uuid>.avro` for the
+    * same reason). The loser's uniquely-named files become orphans,
+    * cleaned by [[removeOrphanFiles]]. */
+  private def uniq(): String = java.util.UUID.randomUUID.toString.take(8)
+
   private def writeAvro(fsPath: Path, conf: org.apache.hadoop.conf.Configuration,
                         schema: Schema, records: Seq[GenericRecord]): Long = {
     val fs = fsPath.getFileSystem(conf)
@@ -354,19 +365,23 @@ object IcebergWriter {
     */
   def deleteWhere(spark: SparkSession, tableDir: String,
                   filters: Seq[org.apache.spark.sql.sources.Filter],
-                  committer: Option[TableCommitter] = None): Long = {
+                  committer: Option[TableCommitter] = None,
+                  branch: String = "main"): Long = {
     import org.apache.spark.sql.sources.AlwaysTrue
     val conf = spark.sessionState.newHadoopConf()
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
-    val parent = meta.currentSnapshotId.filter(_ != -1L)
+    // write-audit-publish: the delete stacks on (and moves) the targeted
+    // branch's head, exactly like an append — main stays untouched
+    val (baseSnap, parent, refExpected) = branchBase(meta, branch)
     val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (effective.isEmpty) { // DELETE FROM t → truncate
-      commitSnapshot(cmtr, snapId, parent, Nil, Map("operation" -> "delete"))
+      commitSnapshot(cmtr, snapId, parent, Nil, Map("operation" -> "delete"),
+        ref = branch, refExpected = refExpected)
       return snapId
     }
-    if (meta.currentSnapshot.isEmpty) return -1L // empty table: no-op
+    if (baseSnap.isEmpty) return -1L // empty table: no-op
 
     val (cols, tuples) = equalityTuples(meta.schema, effective).getOrElse(
       throw new UnsupportedOperationException(
@@ -382,7 +397,8 @@ object IcebergWriter {
     val rows: java.util.List[org.apache.spark.sql.Row] =
       scala.jdk.CollectionConverters.SeqHasAsJava(
         tuples.map(t => org.apache.spark.sql.Row.fromSeq(t))).asJava
-    val delDir = s"$tableDir/data/del-s$snapId"
+    val u = uniq()
+    val delDir = s"$tableDir/data/del-s$snapId-$u"
     spark.createDataFrame(rows, subSchema).coalesce(1)
       .write.mode("overwrite").parquet(delDir)
     val fs = new Path(delDir).getFileSystem(conf)
@@ -403,12 +419,13 @@ object IcebergWriter {
     val e = new GenericData.Record(deleteManifestSchema)
     e.put("status", 1)
     e.put("data_file", d)
-    val manifestPath = new Path(s"$tableDir/metadata/m-del-s$snapId.avro")
+    val manifestPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
     val manifestLen = writeAvro(manifestPath, conf, deleteManifestSchema,
       Seq(e.asInstanceOf[GenericRecord]))
 
-    // 3. manifest list: prior manifests + the delete manifest (content 1)
-    val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+    // 3. manifest list: the branch head's manifests + the delete manifest
+    // (content 1)
+    val prev: Seq[ManifestFile] = baseSnap.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
         resolveAgainst(meta, tableDir, s.manifestList), conf))
     val listRecs = prev.map(m =>
@@ -416,7 +433,8 @@ object IcebergWriter {
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
       mlRec(manifestPath.toString, manifestLen, 1, Some(snapId),
         Some(tuples.size.toLong), meta.defaultSpecId, Nil)
-    commitSnapshot(cmtr, snapId, parent, listRecs, Map("operation" -> "delete"))
+    commitSnapshot(cmtr, snapId, parent, listRecs, Map("operation" -> "delete"),
+      ref = branch, refExpected = refExpected)
     snapId
   }
 
@@ -459,10 +477,11 @@ object IcebergWriter {
         "materialized (compact) before a copy-on-write rewrite, or rewritten " +
         "rows would resurrect them")
 
+    val u = uniq()
     val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
       val mPath = resolveAgainst(meta, tableDir, m.path)
       filterManifest(mPath, conf, removed,
-        new Path(s"$tableDir/metadata/m-s$snapId-r$i.avro")) match {
+        new Path(s"$tableDir/metadata/m-s$snapId-$u-r$i.avro")) match {
         case None => // untouched: re-record as-is
           Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
             m.addedRowsCount, m.partitionSpecId, m.partitions))
@@ -524,7 +543,7 @@ object IcebergWriter {
       e.put("data_file", d)
       e.asInstanceOf[GenericRecord]
     }
-    val manifestPath = new Path(s"$tableDir/metadata/m-s$snapId.avro")
+    val manifestPath = new Path(s"$tableDir/metadata/m-s$snapId-${uniq()}.avro")
     val manifestLen = writeAvro(manifestPath, conf, mSchema, entries)
 
     // manifest-list partition summaries — only when EVERY file carries a
@@ -704,7 +723,8 @@ object IcebergWriter {
       (df.repartitionByRange(cluster: _*).sortWithinPartitions(cluster: _*),
         Some(meta.defaultSortOrderId))
     }
-    val added = writeDataFiles(writeDf, s"$tableDir/data/s$snapId", meta, conf, soId)
+    val added = writeDataFiles(writeDf, s"$tableDir/data/s$snapId-${uniq()}",
+      meta, conf, soId)
 
     // 2. manifest (+ partition summaries) from the commit messages
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
@@ -775,7 +795,8 @@ object IcebergWriter {
       summary: Map[String, String] = Map.empty,
       ref: String = "main",
       refExpected: Option[Option[Long]] = None): Unit = {
-    val listPath = new Path(s"${committer.tableDir}/metadata/snap-$snapId.avro")
+    val listPath =
+      new Path(s"${committer.tableDir}/metadata/snap-$snapId-${uniq()}.avro")
     writeAvro(listPath, committer.conf, manifestListSchema, listRecs)
     val mapper = new ObjectMapper()
     val snap = mapper.createObjectNode()
@@ -832,12 +853,23 @@ object IcebergWriter {
       spark: SparkSession, tableDir: String,
       filters: Seq[org.apache.spark.sql.sources.Filter],
       maxPosDeleteFraction: Double = 0.3,
-      committer: Option[TableCommitter] = None): Long = {
+      committer: Option[TableCommitter] = None,
+      branch: String = "main"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
-    val table = IcebergTable.fromMetadata(tableDir, conf, cmtr.currentMetadata())
+    val meta0 = cmtr.currentMetadata()
+    // write-audit-publish: plan the matching pass against the BRANCH
+    // head's file set (pinned view) and stack the delete snapshot on the
+    // branch — a branch-staged delete must see branch-staged inserts, and
+    // main must see neither until publish
+    val (baseSnap, parent, refExpected) = branchBase(meta0, branch)
+    if (baseSnap.isEmpty) return -1L
+    val table = {
+      val t = IcebergTable.fromMetadata(tableDir, conf, meta0)
+      if (branch == "main" || !meta0.refs.contains(branch)) t
+      else t.atSnapshot(baseSnap.get.snapshotId)
+    }
     val meta = table.metadata
-    if (meta.currentSnapshot.isEmpty) return -1L
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
 
     val cond = {
@@ -876,10 +908,11 @@ object IcebergWriter {
         else rewrite += f.filePath
       }
 
+      val u = uniq()
       // position-delete file: the matched (path, pos) rows of the posDel
       // group, reserved field ids stamped, sorted per the spec
       val posDelMl: Option[GenericRecord] = if (posDel.isEmpty) None else {
-        val delDir = s"$tableDir/data/del-s$snapId"
+        val delDir = s"$tableDir/data/del-s$snapId-$u"
         val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id", PosDelPathId).build()
         val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
@@ -908,7 +941,7 @@ object IcebergWriter {
           e.put("data_file", d)
           e.asInstanceOf[GenericRecord]
         }
-        val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId.avro")
+        val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
         val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
         Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(delRows),
           meta.defaultSpecId, Nil))
@@ -920,13 +953,13 @@ object IcebergWriter {
           .parquet(rewrite.toSeq.map(p => table.resolve(p)): _*)
           .filter(!cond)
           .select(meta.schema.fieldNames.map(col).toSeq: _*)
-        writeDataFiles(src, s"$tableDir/data/s$snapId", meta, conf)
+        writeDataFiles(src, s"$tableDir/data/s$snapId-$u", meta, conf)
       }
 
-      // one snapshot: prior manifests minus dropped/rewritten files, plus
-      // the rewrite manifest and the position-delete manifest
+      // one snapshot: the branch head's manifests minus dropped/rewritten
+      // files, plus the rewrite manifest and the position-delete manifest
       val removed = fullyDead.toSet ++ rewrite
-      val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+      val prev: Seq[ManifestFile] = baseSnap.toSeq.flatMap(s =>
         ManifestIO.readManifestList(
           resolveAgainst(meta, tableDir, s.manifestList), conf))
       val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
@@ -935,7 +968,7 @@ object IcebergWriter {
           Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
             m.addedRowsCount, m.partitionSpecId, m.partitions))
         else filterManifest(mPath, conf, removed,
-          new Path(s"$tableDir/metadata/m-s$snapId-r$i.avro")) match {
+          new Path(s"$tableDir/metadata/m-s$snapId-$u-r$i.avro")) match {
           case None =>
             Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
               m.addedRowsCount, m.partitionSpecId, m.partitions))
@@ -946,8 +979,9 @@ object IcebergWriter {
         }
       }
       val newMl = writeNewManifest(conf, tableDir, meta, snapId, rewrittenAdds)
-      commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
-        keptPrior ++ newMl ++ posDelMl, Map("operation" -> "delete"))
+      commitSnapshot(cmtr, snapId, parent,
+        keptPrior ++ newMl ++ posDelMl, Map("operation" -> "delete"),
+        ref = branch, refExpected = refExpected)
       snapId
     } finally matched.unpersist()
   }
@@ -1009,10 +1043,27 @@ object IcebergWriter {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val sorted = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+    // An unpublished branch/tag needs more than its HEAD retained:
+    // fastForward proves publishability by walking parent-snapshot-id from
+    // the branch head back to the target's head, so expiring the branch's
+    // intermediate snapshots would truncate the chain and make the branch
+    // permanently unpublishable (loud, but a dead end). Keep each non-main
+    // ref head's ancestor chain up to (and including) its first snapshot
+    // on main's lineage — main's own history still expires normally.
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val mainLineage = meta.snapshotLineage.toSet
+    val refChains: Set[Long] = (meta.refs - "main").values.flatMap { head =>
+      val chain = Iterator.iterate(byId.get(head))(
+        _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+        .takeWhile(_.isDefined).flatten.take(meta.snapshots.size).toSeq
+      val (offMain, onMain) = chain.span(s => !mainLineage.contains(s.snapshotId))
+      (offMain ++ onMain.take(1)).map(_.snapshotId)
+    }.toSet
     val keepIds: Set[Long] =
       sorted.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
         meta.currentSnapshotId.toSet ++
         meta.refs.values.toSet ++ // branch/tag targets never expire
+        refChains ++
         sorted.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)
     val (kept, expired) = meta.snapshots.partition(s => keepIds(s.snapshotId))
     if (expired.isEmpty) return 0
@@ -1179,7 +1230,8 @@ object IcebergWriter {
             }
           entries.grouped(math.max(targetEntriesPerManifest, 1)).zipWithIndex
             .map { case (chunk, i) =>
-              val mPath = new Path(s"$tableDir/metadata/m-s$snapId-c$specId-$i.avro")
+              val mPath =
+                new Path(s"$tableDir/metadata/m-s$snapId-${uniq()}-c$specId-$i.avro")
               val len = writeAvro(mPath, conf, schema, chunk)
               mlRec(mPath.toString, len, 0, minSeq, rows, specId, summaries)
             }.toSeq
@@ -1252,6 +1304,11 @@ object IcebergWriter {
                   committer: Option[TableCommitter] = None): Long = {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
+    // the same tag guard branchBase applies to writes: set-snapshot-ref
+    // defaults the ref's type to 'branch', so fast-forwarding ONTO a tag
+    // would both move an immutable pointer and silently retype it
+    require(!meta.tagRefs.contains(target),
+      s"ref '$target' is a tag — tags are immutable; fast-forward a branch")
     val fromHead = meta.refs.getOrElse(from,
       throw new IllegalArgumentException(
         s"ref '$from' not found in $tableDir (have: " +

@@ -196,6 +196,12 @@ object TableMetadata {
     }.toSet
     val snapshots = Option(root.get("snapshots")).map(_.elements.asScala.toSeq).getOrElse(Nil)
       .map { s =>
+        // Long.MinValue is reserved as the streaming source's
+        // before-any-snapshot offset sentinel (GraftStreamOffset): refuse
+        // a table using it as a real id rather than mis-resume a stream.
+        require(s.get("snapshot-id").asLong != Long.MinValue,
+          s"snapshot id ${Long.MinValue} is reserved (streaming initial-" +
+            "offset sentinel); rewrite the table with a different id")
         IcebergSnapshot(
           snapshotId = s.get("snapshot-id").asLong,
           timestampMs = Option(s.get("timestamp-ms")).map(_.asLong).getOrElse(0L),

@@ -47,8 +47,12 @@ trait TableCommitter {
 /** Filesystem-warehouse committer: latest metadata file is the table
   * state; `create(path, overwrite = false)` on the next version is the
   * commit point, so two racing writers cannot both win the same version. */
-final class FsCommitter(val tableDir: String, val conf: Configuration)
+class FsCommitter(val tableDir: String, val conf: Configuration)
     extends TableCommitter {
+
+  /** Test seam: runs between the requirement check and the create-new
+    * publish — the window a racing commit can land in. Production no-op. */
+  protected def beforePublish(path: Path): Unit = ()
 
   override def currentRoot(mapper: ObjectMapper): ObjectNode = {
     val latest = TableMetadata.latestMetadataPath(tableDir, conf)
@@ -71,7 +75,26 @@ final class FsCommitter(val tableDir: String, val conf: Configuration)
       .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
       .getOrElse(0L)
     val path = new Path(s"$tableDir/metadata/v${version + 1}.metadata.json")
-    val out = path.getFileSystem(conf).create(path, false) // commit = create-new
+    beforePublish(path)
+    // A racing commit can land between the requirement check and the
+    // create: surface it as CommitConflictException (the documented
+    // catch-and-retry contract), not a raw filesystem error.
+    val out =
+      try path.getFileSystem(conf).create(path, false) // commit = create-new
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          throw new CommitConflictException(
+            s"commit to $tableDir lost the race for ${path.getName}: " +
+              s"another writer committed first (${e.getMessage}) — retry " +
+              "from fresh metadata")
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("already exists") =>
+          throw new CommitConflictException(
+            s"commit to $tableDir lost the race for ${path.getName}: " +
+              s"another writer committed first (${e.getMessage}) — retry " +
+              "from fresh metadata")
+      }
     try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(next)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()

@@ -1,0 +1,165 @@
+package graft.iceberg.connector
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.iceberg.IcebergWriter
+
+/** Session extensions: the snapshot-ref DDL Spark's grammar lacks,
+  * following the Iceberg SQL-extensions surface —
+  *
+  * {{{
+  *   ALTER TABLE t CREATE BRANCH [IF NOT EXISTS] audit [AS OF VERSION <id>]
+  *   ALTER TABLE t CREATE TAG    [IF NOT EXISTS] v1    [AS OF VERSION <id>]
+  *   ALTER TABLE t DROP BRANCH [IF EXISTS] audit
+  *   ALTER TABLE t DROP TAG    [IF EXISTS] v1
+  * }}}
+  *
+  * so write-audit-publish is reachable from pure SQL: create the branch,
+  * `SET spark.wap.branch = audit`, run INSERT/DELETE statements (staged
+  * on the branch), audit via `VERSION AS OF 'audit'`, publish with
+  * [[IcebergWriter.fastForward]]. Register via
+  * `spark.sql.extensions=graft.iceberg.connector.GraftSparkExtensions`.
+  *
+  * Everything else falls through to the delegate parser verbatim — the
+  * intercept keys on the `ALTER TABLE … CREATE/DROP BRANCH/TAG` shape,
+  * which stock Spark rejects, so no accepted statement changes meaning.
+  */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+}
+
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateRefRe(table, kind, ifNot, name, version) =>
+      GraftCreateRefCommand(delegate.parseMultipartIdentifier(table),
+        kind.toLowerCase, unquote(name), ifNot != null,
+        Option(version).map(_.toLong))
+    case DropRefRe(table, kind, ifExists, name) =>
+      GraftDropRefCommand(delegate.parseMultipartIdentifier(table),
+        kind.toLowerCase, unquote(name), ifExists != null)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+  /** `(?i)` case-insensitive, `(?s)` dot-matches-newline: builder-authored
+    * SQL often spans lines. Table identifier is captured lazily up to the
+    * CREATE/DROP keyword and re-parsed by the delegate, so quoting and
+    * multi-part names behave exactly like everywhere else. */
+  private[connector] val CreateRefRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+(BRANCH|TAG)\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?([\w`]+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+  private[connector] val DropRefRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+""" +
+      """(?:(IF\s+EXISTS)\s+)?([\w`]+)\s*;?\s*$""").r
+
+  private def unquote(name: String): String = name.stripPrefix("`").stripSuffix("`")
+
+  /** Resolve a statement's multipart table name to (GraftCatalog,
+    * Identifier, its SparkIcebergTable) through the session's catalog
+    * manager — same head-is-a-catalog rule the analyzer uses. */
+  private[connector] def resolveTable(spark: SparkSession, parts: Seq[String])
+      : (GraftCatalog, Identifier, SparkIcebergTable) = {
+    require(parts.nonEmpty, "empty table name")
+    val cm = spark.sessionState.catalogManager
+    val (plugin, rest) =
+      if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    val cat = plugin match {
+      case g: GraftCatalog => g
+      case other => throw new UnsupportedOperationException(
+        s"BRANCH/TAG DDL needs an Iceberg (GraftCatalog) table; " +
+          s"'${parts.mkString(".")}' resolves via catalog '${other.name}'")
+    }
+    val ns = if (rest.length > 1) rest.init else cm.currentNamespace.toSeq
+    val ident = Identifier.of(ns.toArray, rest.last)
+    cat.loadTable(ident) match {
+      case t: SparkIcebergTable => (cat, ident, t)
+      case _ => throw new UnsupportedOperationException(
+        s"BRANCH/TAG DDL targets a table, not a view: ${parts.mkString(".")}")
+    }
+  }
+}
+
+/** `ALTER TABLE t CREATE BRANCH|TAG name [AS OF VERSION id]` — a
+  * metadata-only `set-snapshot-ref` commit through the table's committer
+  * ([[IcebergWriter.createRef]]). Unlike the create-or-move API, the DDL
+  * refuses to MOVE an existing ref (that is what `replace` would say). */
+final case class GraftCreateRefCommand(table: Seq[String], refType: String,
+    refName: String, ifNotExists: Boolean, asOfVersion: Option[Long])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    val meta = t.table.metadata
+    if (meta.refs.contains(refName)) {
+      if (ifNotExists) return Nil
+      throw new IllegalArgumentException(
+        s"ref '$refName' already exists on ${table.mkString(".")} " +
+          s"(${if (meta.tagRefs.contains(refName)) "tag" else "branch"})")
+    }
+    val snapId = asOfVersion.getOrElse(meta.currentSnapshotId.filter(_ != -1L)
+      .getOrElse(throw new IllegalStateException(
+        s"${table.mkString(".")} has no snapshot to anchor $refType " +
+          s"'$refName' to — write to the table first")))
+    IcebergWriter.createRef(t.table.conf, t.table.tableDir, refName, snapId,
+      refType, t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP BRANCH|TAG name` — `remove-snapshot-ref`. The
+  * declared kind must match the ref's actual type: dropping a tag via
+  * DROP BRANCH (or vice versa) is refused, mirroring upstream Iceberg. */
+final case class GraftDropRefCommand(table: Seq[String], refType: String,
+    refName: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    val meta = t.table.metadata
+    if (!meta.refs.contains(refName)) {
+      if (ifExists) return Nil
+      throw new IllegalArgumentException(
+        s"ref '$refName' not found on ${table.mkString(".")} " +
+          s"(have: ${meta.refs.keys.mkString(", ")})")
+    }
+    val actual = if (meta.tagRefs.contains(refName)) "tag" else "branch"
+    require(actual == refType,
+      s"ref '$refName' is a $actual — use DROP ${actual.toUpperCase}")
+    IcebergWriter.dropRef(t.table.conf, t.table.tableDir, refName,
+      t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}

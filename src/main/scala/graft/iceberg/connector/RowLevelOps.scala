@@ -74,6 +74,21 @@ final class GraftRowLevelOperation(
       throw new UnsupportedOperationException(
         s"$tableName is read-only: ${cmd.name} needs a committable table " +
           "(not time-travel-pinned)")
+    // Write-audit-publish: a copy-on-write rewrite SCANS the relation
+    // Spark resolved — the main branch — so honoring spark.wap.branch at
+    // commit time would stage a rewrite of main's files onto a branch
+    // whose staged inserts it never read (silent partial staging, worse
+    // than refusing). Merge-on-read equality DELETEs do stage to the
+    // branch (SparkIcebergTable.deleteWhere); everything else must wait
+    // for publish.
+    val wap = SparkIcebergTable.wapBranch(SparkSession.active)
+    if (wap != "main")
+      throw new UnsupportedOperationException(
+        s"$tableName: ${cmd.name} with spark.wap.branch='$wap' is not " +
+          "supported — copy-on-write rewrites read and commit the main " +
+          "branch. Publish the branch first (IcebergWriter.fastForward) " +
+          "or unset spark.wap.branch; equality-predicate DELETEs do " +
+          "stage to the branch")
     if (table.hasDeletes)
       throw new UnsupportedOperationException(
         s"$tableName has outstanding v2 delete files: rewritten data files " +

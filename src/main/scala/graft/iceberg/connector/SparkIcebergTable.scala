@@ -44,7 +44,7 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       * committer on `table.tableDir`; a REST-backed catalog passes its
       * `RestCommitter` so data commits POST to the service that owns the
       * metadata pointer. */
-    committerOpt: Option[TableCommitter] = None)
+    val committerOpt: Option[TableCommitter] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
 
@@ -95,14 +95,18 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     if (!canWrite) throw new UnsupportedOperationException(
       s"$tableName is read-only")
     val spark = org.apache.spark.sql.SparkSession.active
+    // write-audit-publish: `SET spark.wap.branch = audit; DELETE …`
+    // stages the delete on the branch, same as INSERT — main unchanged
+    val branch = SparkIcebergTable.wapBranch(spark)
     val effective = filters.toSeq
       .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
     if (effective.isEmpty ||
         IcebergWriter.equalityTuples(schema(), effective).isDefined)
-      IcebergWriter.deleteWhere(spark, table.tableDir, filters.toSeq, committerOpt)
+      IcebergWriter.deleteWhere(spark, table.tableDir, filters.toSeq,
+        committerOpt, branch)
     else
       IcebergWriter.positionDeleteWhere(spark, table.tableDir, effective,
-        committer = committerOpt)
+        committer = committerOpt, branch = branch)
   }
 
   /** SQL UPDATE / MERGE INTO / non-equality DELETE: Spark's group-based
@@ -123,6 +127,14 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     new GraftWriteBuilder(table, committerOpt,
       Option(info.options.get("branch")))
   }
+}
+
+object SparkIcebergTable {
+  /** The session's write-audit-publish staging branch (the Iceberg
+    * `spark.wap.branch` convention); `main` when unset. */
+  def wapBranch(spark: org.apache.spark.sql.SparkSession): String =
+    Option(spark.conf.get("spark.wap.branch", null))
+      .filter(_.nonEmpty).getOrElse("main")
 }
 
 /** INSERT INTO (append snapshot) and INSERT OVERWRITE (truncate snapshot)
@@ -150,9 +162,7 @@ final class GraftWriteBuilder(table: IcebergTable,
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         val branch = branchOpt
-          .orElse(Option(data.sparkSession.conf.get("spark.wap.branch", null))
-            .filter(_.nonEmpty))
-          .getOrElse("main")
+          .getOrElse(SparkIcebergTable.wapBranch(data.sparkSession))
         if (truncateFirst || overwrite)
           IcebergWriter.overwrite(data.sparkSession, table.tableDir, data,
             committer = committerOpt, branch = branch)
@@ -409,9 +419,11 @@ final class GraftMicroBatchStream(
   private def fresh(): IcebergTable = new IcebergTable(table.tableDir, table.conf)
 
   private def head(t: IcebergTable): Long =
-    t.metadata.currentSnapshotId.filter(_ != -1L).getOrElse(0L)
+    t.metadata.currentSnapshotId.filter(_ != -1L)
+      .getOrElse(GraftStreamOffset.BeforeAnySnapshot)
 
-  override def initialOffset(): StreamingOffset = GraftStreamOffset(0L)
+  override def initialOffset(): StreamingOffset =
+    GraftStreamOffset(GraftStreamOffset.BeforeAnySnapshot)
 
   override def latestOffset(): StreamingOffset = GraftStreamOffset(head(fresh()))
 
@@ -424,7 +436,7 @@ final class GraftMicroBatchStream(
     * is a hard error — resuming a checkpoint against a rewritten or
     * expired history has no safe answer. */
   private def lineagePos(lineage: Seq[Long], id: Long, which: String): Int =
-    if (id == 0L) 0
+    if (id == GraftStreamOffset.BeforeAnySnapshot) 0
     else lineage.lastIndexOf(id) match {
       case -1 => throw new IllegalStateException(
         s"streaming $which offset: snapshot $id is no longer in the " +
@@ -454,7 +466,8 @@ final class GraftMicroBatchStream(
     val sPos = lineagePos(lineage, s, "start")
     val ePos = lineagePos(lineage, e, "end")
     if (ePos <= sPos) return Array.empty // rollback window: nothing appended
-    val files = t.appendedFilesBetween(s, e)
+    val files = t.appendedFilesBetween(
+      if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s, e)
     if (files.isEmpty) return Array.empty
     org.apache.spark.sql.execution.datasources.GraftScanShims
       .parquetBatchScan(spark,
@@ -467,11 +480,14 @@ final class GraftMicroBatchStream(
     * every micro-batch's partitions. Must push the same SAFE filter set
     * as planInputPartitions: ParquetScan applies pushedFilters in the
     * reader factory (name-keyed row-group/page pruning per file), so an
-    * id-shifted column's filter here would drop rows silently. */
+    * id-shifted column's filter here would drop rows silently. Computed
+    * from FRESH metadata, same as planning — a schema evolution landing
+    * mid-stream must shrink the safe set on BOTH paths, or the factory
+    * would keep pushing a filter planning just excluded. */
   override def createReaderFactory(): PartitionReaderFactory =
     org.apache.spark.sql.execution.datasources.GraftScanShims
       .parquetBatchScan(spark, Nil, table.metadata.schema, requiredSchema,
-        safeFilters(table))
+        safeFilters(fresh()))
       .toBatch.createReaderFactory()
 
   override def commit(end: StreamingOffset): Unit = ()
@@ -480,6 +496,16 @@ final class GraftMicroBatchStream(
 
 final case class GraftStreamOffset(snapshotId: Long) extends StreamingOffset {
   override def json: String = snapshotId.toString
+}
+
+object GraftStreamOffset {
+  /** Initial-offset sentinel: NOT a snapshot id. The Iceberg spec lets an
+    * external writer pick any 64-bit snapshot id — including 0 — so the
+    * sentinel must live outside the plausible id space ([[TableMetadata]]
+    * parsing rejects a table that actually uses it). Using id 0 here
+    * would re-plan a table whose frontier snapshot genuinely has id 0
+    * from the table start, duplicating every row. */
+  val BeforeAnySnapshot: Long = Long.MinValue
 }
 
 final class GraftScan(

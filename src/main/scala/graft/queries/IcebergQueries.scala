@@ -296,6 +296,61 @@ object IcebergQueries {
           |ORDER BY inc.n_regionkey""".stripMargin)
     }),
 
+    // Write-audit-publish end-to-end: CREATE BRANCH (SQL DDL via the
+    // parser extension, API fallback for sessions built without it), then
+    // INSERT + equality DELETE staged on the branch via the
+    // `spark.wap.branch` conf — a tag pinned at main's head AFTER staging
+    // proves main never moved — then fastForward publishes and main sees
+    // the audited state. All three reads are hash-gated: a leak to main
+    // (n_pre ≠ 10), a lost staged write (n_branch), or a bad publish
+    // (n_after/sk_after) each flips a column.
+    "q64_wap" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q64-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q64")
+      s.conf.set("spark.sql.catalog.q64cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q64cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q64cat.ns")
+      s.sql(
+        """CREATE TABLE q64cat.ns.nation_wap AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q64
+          |WHERE n_nationkey < 10""".stripMargin)
+      val dir = s"$warehouse/ns/nation_wap"
+      def ref(ddl: String, name: String, refType: String): Unit =
+        try { s.sql(ddl); () }
+        catch { case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+          graft.iceberg.IcebergWriter.createRef(conf, dir, name,
+            graft.iceberg.TableMetadata.load(dir, conf).currentSnapshotId.get,
+            refType)
+        }
+      ref("ALTER TABLE q64cat.ns.nation_wap CREATE BRANCH audit",
+        "audit", "branch")
+      s.conf.set("spark.wap.branch", "audit")
+      try {
+        s.sql(
+          """INSERT INTO q64cat.ns.nation_wap
+            |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q64
+            |WHERE n_nationkey >= 10""".stripMargin)
+        s.sql("DELETE FROM q64cat.ns.nation_wap WHERE n_nationkey IN (0, 1, 2)")
+      } finally s.conf.unset("spark.wap.branch")
+      ref("ALTER TABLE q64cat.ns.nation_wap CREATE TAG before_publish",
+        "before_publish", "tag")
+      graft.iceberg.IcebergWriter.fastForward(conf, dir, from = "audit")
+      s.sql(
+        """SELECT pre.n_pre, br.n_branch, cur.n_after, cur.sk_after FROM
+          |  (SELECT COUNT(*) AS n_pre
+          |   FROM q64cat.ns.nation_wap VERSION AS OF 'before_publish') pre
+          |CROSS JOIN
+          |  (SELECT COUNT(*) AS n_branch
+          |   FROM q64cat.ns.nation_wap VERSION AS OF 'audit') br
+          |CROSS JOIN
+          |  (SELECT COUNT(*) AS n_after,
+          |          CAST(SUM(n_nationkey) AS BIGINT) AS sk_after
+          |   FROM q64cat.ns.nation_wap) cur""".stripMargin)
+    }),
+
     "q57_sql_delete" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q57-warehouse"
@@ -362,6 +417,14 @@ object IcebergQueries {
         |CROSS JOIN
         |  (SELECT COUNT(*) AS n_ref FROM nation WHERE n_nationkey < 20) ref
         |ORDER BY n_regionkey""".stripMargin,
+    "q64_wap" ->
+      """SELECT (SELECT COUNT(*) FROM nation WHERE n_nationkey < 10) AS n_pre,
+        |       (SELECT COUNT(*) FROM nation
+        |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_branch,
+        |       (SELECT COUNT(*) FROM nation
+        |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
+        |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
+        |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
     "q58_sql_update" ->
       """WITH upd AS (
         |  SELECT n_nationkey,

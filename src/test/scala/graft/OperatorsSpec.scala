@@ -82,6 +82,23 @@ class DedupSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("connectedComponents: deep chains converge in O(log d) and maxIter is loud") {
+    import spark.implicits._
+    // a 120-node path has diameter 119: plain min-propagation would need
+    // ~119 rounds; pointer jumping must land it well inside 12
+    val path = (0L until 119L).map(i => (i, i + 1)).toDF("qa", "qb")
+    val comps = Dedup.connectedComponents(path, maxIter = 12).collect()
+    assert(comps.length == 120 && comps.forall(_.getLong(1) == 0L))
+
+    // an unconverged exit must THROW, never return partial labels
+    // (diameter 39 cannot finish in 2 rounds even with jumping)
+    val long = (0L until 39L).map(i => (i, i + 1)).toDF("qa", "qb")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(long, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("keepCanonical keeps cluster minima and singletons") {
     import spark.implicits._
     val rows = Seq(1L, 2L, 3L, 5L, 6L, 9L).map(i => (i, s"t$i")).toDF("id", "t")

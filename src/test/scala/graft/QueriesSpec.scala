@@ -30,6 +30,14 @@ class QueriesSpec extends SparkSpec {
     assert(n == Tables.load(spark, sf, "lineitem").count())
   }
 
+  test("q64 WAP: main frozen pre-publish, branch state published exactly") {
+    val Row(nPre: Long, nBranch: Long, nAfter: Long, skAfter: Long) =
+      SparkEntry.queries("q64_wap")(spark, sf).head()
+    assert(nPre == 10L, "main must not see staged writes before publish")
+    assert(nBranch == 22L, "branch = 25 inserted minus 3 equality-deleted")
+    assert(nAfter == 22L && skAfter == 297L, "publish = branch state")
+  }
+
   test("q12 cross join = |region| * |nation|") {
     val Row(n: Long) =
       SparkEntry.queries("q12_join_cross")(spark, sf).head()

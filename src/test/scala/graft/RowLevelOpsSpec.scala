@@ -58,7 +58,7 @@ class RowLevelOpsSpec extends SparkSpec {
     spark.sql("INSERT INTO rlo2.ns.t SELECT id, id FROM range(0, 100)")
     spark.sql("INSERT INTO rlo2.ns.t SELECT id, id FROM range(1000, 1100)")
     val before = files("rlo2", "t")
-    val lowFiles = before.filter(_.contains("/s1/"))
+    val lowFiles = before.filter(_.contains("/s1-")) // data/s<id>-<uuid> dirs
     assert(lowFiles.nonEmpty && before.size > lowFiles.size)
 
     spark.sql("UPDATE rlo2.ns.t SET v = -1 WHERE k >= 1000")

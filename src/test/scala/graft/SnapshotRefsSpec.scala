@@ -124,4 +124,127 @@ class SnapshotRefsSpec extends SparkSpec {
       t2.appendedBetween(spark, s3, s4)
     }
   }
+
+  // -- write-audit-publish ---------------------------------------------------
+
+  test("WAP: branch writes stack on the branch, main unmoved, fastForward publishes") {
+    val dir = createTable("t7", ids(0, 1))
+    val conf = spark.sessionState.newHadoopConf()
+    val s1 = IcebergWriter.append(spark, dir, ids(0, 3)) // main: 0,1,2
+    // stage on the branch: an append AND an equality delete
+    IcebergWriter.append(spark, dir, ids(3, 6), branch = "audit")
+    import org.apache.spark.sql.sources.In
+    IcebergWriter.deleteWhere(spark, dir, Seq(In("id", Array(0L))),
+      branch = "audit")
+    val t = new IcebergTable(dir, conf)
+    assert(t.metadata.currentSnapshotId.contains(s1), "main must not move")
+    assert(t.toDF(spark).count() == 3L, "main still reads the pre-WAP rows")
+    val branchHead = t.metadata.refs("audit")
+    assert(t.atSnapshot(branchHead).toDF(spark).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "branch reads staged insert minus staged delete")
+    // publish
+    val published = IcebergWriter.fastForward(conf, dir, from = "audit")
+    val t2 = new IcebergTable(dir, conf)
+    assert(t2.metadata.currentSnapshotId.contains(published))
+    assert(t2.toDF(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("WAP: fastForward refuses a diverged target and a tag target; tags refuse writes") {
+    val dir = createTable("t8", ids(0, 1))
+    val conf = spark.sessionState.newHadoopConf()
+    val s1 = IcebergWriter.append(spark, dir, ids(0, 2))
+    IcebergWriter.append(spark, dir, ids(2, 4), branch = "audit")
+    // main advances after the fork → publish must refuse (not a FF)
+    IcebergWriter.append(spark, dir, ids(10, 11))
+    val err = intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(conf, dir, from = "audit")
+    }
+    assert(err.getMessage.contains("not a fast-forward"))
+    // tag targets are immutable: no fast-forward onto them, no writes
+    IcebergWriter.createRef(conf, dir, "pinned", s1, refType = "tag")
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(conf, dir, from = "audit", target = "pinned")
+    }
+    assert(e2.getMessage.contains("tag"))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, dir, ids(20, 21), branch = "pinned")
+    }
+    assert(e3.getMessage.contains("tag"))
+  }
+
+  test("WAP: expiration keeps an unpublished branch's ancestor chain publishable") {
+    val dir = createTable("t9", ids(0, 1))
+    val conf = spark.sessionState.newHadoopConf()
+    IcebergWriter.append(spark, dir, ids(0, 2))
+    // three staged commits on the branch — the first two are intermediate
+    IcebergWriter.append(spark, dir, ids(2, 3), branch = "audit")
+    IcebergWriter.append(spark, dir, ids(3, 4), branch = "audit")
+    IcebergWriter.append(spark, dir, ids(4, 5), branch = "audit")
+    IcebergWriter.expireSnapshots(spark, dir,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    // the chain from the branch head back to main's head survived, so the
+    // branch is still publishable
+    val published = IcebergWriter.fastForward(conf, dir, from = "audit")
+    val t = new IcebergTable(dir, conf)
+    assert(t.metadata.currentSnapshotId.contains(published))
+    assert(t.toDF(spark).count() == 5L)
+  }
+
+  test("SQL: spark.wap.branch routes INSERT and equality DELETE; UPDATE refuses") {
+    val dir = createTable("t10", ids(0, 1))
+    IcebergWriter.append(spark, dir, ids(0, 3))
+    spark.conf.set("spark.sql.catalog.refcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.refcat.warehouse", warehouse)
+    spark.sql("ALTER TABLE refcat.ns.t10 CREATE BRANCH audit")
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      spark.sql("INSERT INTO refcat.ns.t10 VALUES (7, 'row7')")
+      spark.sql("DELETE FROM refcat.ns.t10 WHERE id = 0")
+      val e = intercept[Exception] {
+        spark.sql("UPDATE refcat.ns.t10 SET tag = 'x' WHERE id = 1")
+      }
+      assert(e.getMessage.contains("spark.wap.branch"),
+        s"UPDATE under WAP must refuse loudly, got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.wap.branch")
+    assert(spark.sql("SELECT COUNT(*) FROM refcat.ns.t10")
+      .head().getLong(0) == 3L, "main unchanged until publish")
+    assert(spark.sql("SELECT id FROM refcat.ns.t10 VERSION AS OF 'audit'")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 7L))
+  }
+
+  test("SQL: CREATE/DROP BRANCH and TAG DDL") {
+    val dir = createTable("t11", ids(0, 1))
+    val conf = spark.sessionState.newHadoopConf()
+    val s1 = IcebergWriter.append(spark, dir, ids(0, 2))
+    IcebergWriter.append(spark, dir, ids(2, 5))
+    spark.conf.set("spark.sql.catalog.refcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.refcat.warehouse", warehouse)
+    spark.sql(s"ALTER TABLE refcat.ns.t11 CREATE TAG v1 AS OF VERSION $s1")
+    spark.sql("ALTER TABLE refcat.ns.t11 CREATE BRANCH dev")
+    val meta = new IcebergTable(dir, conf).metadata
+    assert(meta.refs("v1") == s1 && meta.tagRefs.contains("v1"))
+    assert(meta.refs("dev") == meta.currentSnapshotId.get &&
+      !meta.tagRefs.contains("dev"))
+    assert(spark.sql("SELECT COUNT(*) FROM refcat.ns.t11 VERSION AS OF 'v1'")
+      .head().getLong(0) == 2L)
+    // duplicate refuses; IF NOT EXISTS no-ops
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE refcat.ns.t11 CREATE BRANCH dev")
+    }
+    spark.sql("ALTER TABLE refcat.ns.t11 CREATE BRANCH IF NOT EXISTS dev")
+    // kind must match on drop
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE refcat.ns.t11 DROP BRANCH v1")
+    }
+    spark.sql("ALTER TABLE refcat.ns.t11 DROP TAG v1")
+    spark.sql("ALTER TABLE refcat.ns.t11 DROP BRANCH dev")
+    spark.sql("ALTER TABLE refcat.ns.t11 DROP BRANCH IF EXISTS dev")
+    intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE refcat.ns.t11 DROP BRANCH dev")
+    }
+    val after = new IcebergTable(dir, conf).metadata.refs.keySet
+    assert(after == Set("main"))
+  }
 }

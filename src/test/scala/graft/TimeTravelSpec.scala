@@ -202,7 +202,9 @@ class TimeTravelSpec extends SparkSpec {
         |    {"name":"lower_bound","type":["null","bytes"],"default":null},
         |    {"name":"upper_bound","type":["null","bytes"],"default":null}]}}],
         | "default":null}]}""".stripMargin)
-    val orig = ManifestIO.readManifestList(s"$dir/metadata/snap-1.avro", conf).head
+    val snap1List = graft.iceberg.TableMetadata.load(dir, conf)
+      .snapshots.find(_.snapshotId == 1L).get.manifestList
+    val orig = ManifestIO.readManifestList(snap1List, conf).head
     val rec = new GenericData.Record(richSchema)
     rec.put("manifest_path", orig.path)
     rec.put("manifest_length", orig.length)
@@ -217,13 +219,17 @@ class TimeTravelSpec extends SparkSpec {
     fs.put("upper_bound", java.nio.ByteBuffer.wrap(Array[Byte](9, 0, 0, 0)))
     summaries.add(fs)
     rec.put("partitions", summaries)
-    writeAvro(new File(s"$dir/metadata/snap-1.avro"), richSchema, Seq(rec))
-    // the writer created snap-1 through Hadoop's checksummed local FS;
+    val snap1File = new File(new java.net.URI(
+      if (snap1List.startsWith("/")) s"file://$snap1List" else snap1List).getPath)
+    writeAvro(snap1File, richSchema, Seq(rec))
+    // the writer created the list through Hadoop's checksummed local FS;
     // rewriting the file directly leaves a stale .crc sidecar behind
-    new File(s"$dir/metadata/.snap-1.avro.crc").delete()
+    new File(snap1File.getParent, s".${snap1File.getName}.crc").delete()
 
     IcebergWriter.append(spark, dir, Seq((2L, "b")).toDF("id", "tag"))
-    val after = ManifestIO.readManifestList(s"$dir/metadata/snap-2.avro", conf)
+    val snap2List = graft.iceberg.TableMetadata.load(dir, conf)
+      .snapshots.find(_.snapshotId == 2L).get.manifestList
+    val after = ManifestIO.readManifestList(snap2List, conf)
     assert(after.size == 2)
     val prior = after.find(_.path == orig.path).get
     assert(prior.partitionSpecId == 7,
