@@ -367,6 +367,38 @@ final class IcebergTable private (
     try spark.read.parquet(sample).schema.fieldNames.toSet
     catch { case _: Exception => Set.empty }
 
+  /** Parsed `schema.name-mapping.default` (spec: the fallback applied to
+    * data files that carry NO parquet field ids — externally-written
+    * parquet imported into the table): field id → the names that field
+    * has gone by in such files. Top-level fields only (nested mappings
+    * would need per-file schema rewriting Spark's source can't express). */
+  private lazy val nameMapping: Map[Int, Seq[String]] =
+    metadata.properties.get("schema.name-mapping.default").map { json =>
+      import scala.jdk.CollectionConverters._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      root.elements.asScala.flatMap { e =>
+        val names = Option(e.get("names"))
+          .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+        Option(e.get("field-id")).filter(_ => names.nonEmpty)
+          .map(id => id.asInt -> names)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** True when this scan must resolve columns by NAME MAPPING instead of
+    * field ids: a mapping is declared and the sampled data file carries no
+    * `parquet.field.id` metadata (one footer read — the same probe the
+    * partition-column decision uses). The field-id read path would null
+    * every renamed column of such files; the Iceberg spec's answer is
+    * `schema.name-mapping.default`. Sample-based: a table mixing id-less
+    * imports with id-stamped native files in ONE snapshot cannot be
+    * decided per-file here — compact to re-stamp ids after import. */
+  private[graft] def needsNameMapping(spark: SparkSession,
+                                      files: Seq[DataFileEntry]): Boolean =
+    nameMapping.nonEmpty && files.nonEmpty &&
+      (try !spark.read.parquet(resolve(files.head.filePath)).schema.fields
+        .exists(_.metadata.contains("parquet.field.id"))
+       catch { case _: Exception => false })
+
   /** Build the DataFrame for the current snapshot. Pushed `filters` drive
     * metadata pruning here AND are re-applied by Spark above the scan, so
     * pruning can never change semantics. `precomputed` lets a caller that
@@ -410,7 +442,28 @@ final class IcebergTable private (
     def read = spark.read
 
     val base =
-      if (missing.isEmpty) {
+      if (missing.isEmpty && needsNameMapping(spark, files)) {
+        // Name-mapping fallback: the files carry no parquet field ids, so
+        // the id-keyed read schema would null every renamed column. Read
+        // under the names the mapping says the files use (preferring a
+        // candidate actually present in the sampled footer), with NO
+        // field-id metadata (parquet matches by name), then alias back to
+        // the current schema — the per-column rename is projection-only.
+        val pairs = metadata.schema.fields.toSeq.map { f =>
+          val candidates = metadata.fieldIds.get(f.name).toSeq
+            .flatMap(id => nameMapping.getOrElse(id, Nil))
+          val src = candidates.find(inFile.contains)
+            .orElse(candidates.headOption).getOrElse(f.name)
+          (src, f)
+        }
+        val readSchema = StructType(pairs.map { case (src, f) =>
+          StructField(src, f.dataType, f.nullable) })
+        val renamed = pairs.map { case (src, f) => col(src).as(f.name) } ++
+          (if (deletes.isEmpty) Nil
+           else Seq(col(IcebergTable.FpCol), col(IcebergTable.PosCol)))
+        withRowId(read.schema(readSchema).parquet(paths: _*))
+          .select(renamed: _*)
+      } else if (missing.isEmpty) {
         // Fast path: single multi-file scan — vectorized reader, parquet
         // footer pushdown, no per-group plan explosion at 100k+ files.
         withRowId(read.schema(metadata.schema).parquet(paths: _*))

@@ -253,6 +253,40 @@ object IcebergWriter {
     * cleaned by [[removeOrphanFiles]]. */
   private def uniq(): String = java.util.UUID.randomUUID.toString.take(8)
 
+  /** Table-level totals a snapshot summary must carry per the spec —
+    * (total-records, total-files-size, total-data-files) — read by
+    * external tools (`SHOW TBLPROPERTIES`, dashboards, planners) without
+    * opening a single manifest. Maintained INCREMENTALLY: parent totals
+    * plus this commit's known delta, because recomputing them would read
+    * every manifest on every commit — the O(table) cost this writer's
+    * metadata-only commit protocol exists to avoid. A parent written by a
+    * tool that omitted totals yields None and the commit omits them too
+    * (absent is spec-legal; wrong is not). */
+  private type Totals = (Long, Long, Long)
+
+  private def parsedTotals(s: IcebergSnapshot): Option[Totals] =
+    for {
+      r <- s.summary.get("total-records").flatMap(_.toLongOption)
+      b <- s.summary.get("total-files-size").flatMap(_.toLongOption)
+      f <- s.summary.get("total-data-files").flatMap(_.toLongOption)
+    } yield (r, b, f)
+
+  private def totalsSummary(t: Option[Totals]): Map[String, String] =
+    t.map { case (r, b, f) =>
+      Map("total-records" -> r.toString,
+        "total-files-size" -> b.toString,
+        "total-data-files" -> f.toString)
+    }.getOrElse(Map.empty)
+
+  private def addedTotals(added: Seq[AddedDataFile]): Totals =
+    (added.map(_.rows).sum, added.map(_.bytes).sum, added.size.toLong)
+
+  private def plus(a: Totals, b: Totals): Totals =
+    (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+
+  private def minus(a: Totals, b: Totals): Totals =
+    (a._1 - b._1, a._2 - b._2, a._3 - b._3)
+
   private def writeAvro(fsPath: Path, conf: org.apache.hadoop.conf.Configuration,
                         schema: Schema, records: Seq[GenericRecord]): Long = {
     val fs = fsPath.getFileSystem(conf)
@@ -309,6 +343,56 @@ object IcebergWriter {
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     commit(spark, tableDir, t.toDF(spark).repartition(n), carryPrior = false,
       Map.empty, committer)
+  }
+
+  /** Register EXISTING parquet files as a new append snapshot WITHOUT
+    * rewriting or moving them — the migration primitive (what Iceberg's
+    * `add_files` procedure does): point the table at data that some other
+    * system wrote. Imported files typically carry no `parquet.field.id`
+    * metadata, so pair this with a `schema.name-mapping.default` table
+    * property or later renames will null their columns on read
+    * ([[IcebergTable]] applies the mapping automatically). Per-file row
+    * counts and column stats come from one driver-side footer read each
+    * (stats are name-matched against the CURRENT schema; columns the
+    * match misses just go unpruned — sound). No partition tuples are
+    * recorded: imported files stay under partition pruning via the
+    * doubt-keeps rule. Returns the new snapshot id.
+    */
+  def addFiles(spark: SparkSession, tableDir: String, paths: Seq[String],
+               committer: Option[TableCommitter] = None,
+               branch: String = "main"): Long = {
+    require(paths.nonEmpty, "addFiles: no files given")
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val (baseSnap, parent, refExpected) = branchBase(meta, branch)
+    val added: Seq[AddedDataFile] = paths.map { p =>
+      val path = new Path(p)
+      val len = path.getFileSystem(conf).getFileStatus(path).getLen
+      val (rows, stats) =
+        try { val (r, s) = footerStats(path, conf, meta.schema, meta.fieldIds)
+              (r, Some(s)) }
+        catch { case scala.util.control.NonFatal(_) => (0L, None) }
+      require(rows > 0 || stats.isDefined,
+        s"addFiles: $p is not a readable parquet file")
+      AddedDataFile(path.toString, rows, len, stats, partition = None)
+    }
+    val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
+    val prev: Seq[ManifestFile] = baseSnap.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    val listRecs = prev.map(m =>
+      mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
+        m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) ++
+      newMl
+    val totals = baseSnap match {
+      case None => Some(addedTotals(added))
+      case Some(s) => parsedTotals(s).map(plus(_, addedTotals(added)))
+    }
+    commitSnapshot(cmtr, snapId, parent, listRecs, Map("operation" -> "append"),
+      ref = branch, refExpected = refExpected, totals = totals)
+    snapId
   }
 
   /** Filters expressible as EQUALITY-DELETE tuples: a boolean tree of
@@ -378,7 +462,7 @@ object IcebergWriter {
     val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (effective.isEmpty) { // DELETE FROM t → truncate
       commitSnapshot(cmtr, snapId, parent, Nil, Map("operation" -> "delete"),
-        ref = branch, refExpected = refExpected)
+        ref = branch, refExpected = refExpected, totals = Some((0L, 0L, 0L)))
       return snapId
     }
     if (baseSnap.isEmpty) return -1L // empty table: no-op
@@ -433,8 +517,11 @@ object IcebergWriter {
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) :+
       mlRec(manifestPath.toString, manifestLen, 1, Some(snapId),
         Some(tuples.size.toLong), meta.defaultSpecId, Nil)
+    // equality deletes leave the DATA files untouched (merge-on-read):
+    // the spec's totals count data-file records, so they carry over
     commitSnapshot(cmtr, snapId, parent, listRecs, Map("operation" -> "delete"),
-      ref = branch, refExpected = refExpected)
+      ref = branch, refExpected = refExpected,
+      totals = baseSnap.flatMap(parsedTotals))
     snapId
   }
 
@@ -465,7 +552,12 @@ object IcebergWriter {
   def replaceFiles(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
                    removed: Set[String],
                    added: Seq[AddedDataFile],
-                   committer: Option[TableCommitter] = None): Long = {
+                   committer: Option[TableCommitter] = None,
+                   /** Manifest entries of the `removed` files when the
+                     * caller planned them (the DSv2 group scan does) —
+                     * lets the summary totals update incrementally;
+                     * absent ⇒ totals are omitted, never guessed. */
+                   removedEntries: Seq[DataFileEntry] = Nil): Long = {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
@@ -493,8 +585,16 @@ object IcebergWriter {
     }
 
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
+    val removedKnown = removedEntries.filter(e => removed.contains(e.filePath))
+    val totals =
+      if (removedKnown.map(_.filePath).toSet != removed) None // partial info
+      else meta.currentSnapshot.flatMap(parsedTotals).map { t =>
+        val gone = removedKnown.foldLeft((0L, 0L, 0L)) { (a, f) =>
+          plus(a, (f.recordCount, f.fileSizeInBytes, 1L)) }
+        plus(minus(t, gone), addedTotals(added))
+      }
     commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
-      keptPrior ++ newMl, Map("operation" -> "overwrite"))
+      keptPrior ++ newMl, Map("operation" -> "overwrite"), totals = totals)
     snapId
   }
 
@@ -741,9 +841,15 @@ object IcebergWriter {
       mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) ++
       newMl
+    val totals: Option[Totals] =
+      if (!carryPrior) Some(addedTotals(added)) // truncate: the new files ARE the table
+      else baseSnap match {
+        case None => Some(addedTotals(added)) // first snapshot on this branch line
+        case Some(s) => parsedTotals(s).map(plus(_, addedTotals(added)))
+      }
     commitSnapshot(cmtr, snapId, parent, listRecs,
       Map("operation" -> (if (carryPrior) "append" else "overwrite")) ++ summary,
-      ref = branch, refExpected = refExpected)
+      ref = branch, refExpected = refExpected, totals = totals)
     snapId
   }
 
@@ -794,7 +900,8 @@ object IcebergWriter {
       listRecs: Seq[GenericRecord],
       summary: Map[String, String] = Map.empty,
       ref: String = "main",
-      refExpected: Option[Option[Long]] = None): Unit = {
+      refExpected: Option[Option[Long]] = None,
+      totals: Option[Totals] = None): Unit = {
     val listPath =
       new Path(s"${committer.tableDir}/metadata/snap-$snapId-${uniq()}.avro")
     writeAvro(listPath, committer.conf, manifestListSchema, listRecs)
@@ -804,9 +911,10 @@ object IcebergWriter {
     parent.foreach(p => snap.put("parent-snapshot-id", p))
     snap.put("timestamp-ms", System.currentTimeMillis)
     snap.put("manifest-list", listPath.toString)
-    if (summary.nonEmpty) {
+    val fullSummary = summary ++ totalsSummary(totals)
+    if (fullSummary.nonEmpty) {
       val sn = snap.putObject("summary")
-      summary.foreach { case (k, v) => sn.put(k, v) }
+      fullSummary.foreach { case (k, v) => sn.put(k, v) }
     }
     committer.commit(
       Seq(MetadataCommit.assertRefSnapshotId(mapper, ref,
@@ -979,9 +1087,15 @@ object IcebergWriter {
         }
       }
       val newMl = writeNewManifest(conf, tableDir, meta, snapId, rewrittenAdds)
+      // removed data files' stats are known from the planned candidates
+      val removedStats = removed.toSeq.flatMap(p => candidates.find(_.filePath == p))
+        .foldLeft((0L, 0L, 0L)) { (t, f) =>
+          plus(t, (f.recordCount, f.fileSizeInBytes, 1L)) }
+      val totals = baseSnap.flatMap(parsedTotals)
+        .map(t => plus(minus(t, removedStats), addedTotals(rewrittenAdds)))
       commitSnapshot(cmtr, snapId, parent,
         keptPrior ++ newMl ++ posDelMl, Map("operation" -> "delete"),
-        ref = branch, refExpected = refExpected)
+        ref = branch, refExpected = refExpected, totals = totals)
       snapId
     } finally matched.unpersist()
   }
@@ -1239,7 +1353,8 @@ object IcebergWriter {
       }
     if (merged.size >= prev.size) return -1L // nothing got smaller
     commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
-      merged, Map("operation" -> "replace"))
+      merged, Map("operation" -> "replace"),
+      totals = meta.currentSnapshot.flatMap(parsedTotals)) // metadata-only: data unchanged
     snapId
   }
 

@@ -147,6 +147,13 @@ object MetadataCommit {
     n
   }
 
+  def assertCurrentSchemaId(mapper: ObjectMapper, schemaId: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "assert-current-schema-id")
+    n.put("current-schema-id", schemaId)
+    n
+  }
+
   def addSchema(mapper: ObjectMapper, schema: ObjectNode,
                 lastColumnId: Int): ObjectNode = {
     val n = mapper.createObjectNode()
@@ -186,6 +193,15 @@ object MetadataCommit {
           if (actual == expected) None
           else Some(s"requirement failed: ref '$ref' is at " +
             s"${actual.getOrElse("absent")}, expected ${expected.getOrElse("absent")}")
+        case "assert-current-schema-id" =>
+          val expected = r.get("current-schema-id").asInt
+          val actual = Option(root.get("current-schema-id")).map(_.asInt)
+            .orElse(Option(root.get("schema"))
+              .flatMap(s => Option(s.get("schema-id"))).map(_.asInt))
+            .getOrElse(0)
+          if (actual == expected) None
+          else Some(s"requirement failed: current-schema-id is $actual, " +
+            s"expected $expected")
         case "assert-table-uuid" =>
           val expected = r.get("uuid").asText
           val actual = Option(root.get("table-uuid")).map(_.asText)
@@ -259,6 +275,14 @@ object MetadataCommit {
               Option(root.get("schema")).foreach(s => a.add(s.deepCopy[ObjectNode]()))
               a
             }
+          // the APPLIER owns id assignment (REST-spec servers reassign
+          // schema ids): a client-proposed id is a guess from a racy GET
+          // — two concurrent evolutions would propose the same max+1 and
+          // the second would silently shadow the first
+          val assigned = schemas.elements.asScala
+            .map(s => Option(s.get("schema-id")).map(_.asInt).getOrElse(0))
+            .maxOption.getOrElse(-1) + 1
+          schema.put("schema-id", assigned)
           schemas.add(schema)
           Option(u.get("last-column-id")).foreach(n =>
             root.put("last-column-id", n.asInt): Unit)

@@ -212,18 +212,22 @@ object SchemaEvolution {
     }
 
     // commit: the DDL as REST-spec update actions through the table's
-    // committer — add-schema (new id = max existing + 1) + move the
-    // current pointer; property changes ride as set/remove-properties
-    val existingIds = Option(root.get("schemas"))
-      .collect { case a: ArrayNode => a.elements.asScala.toSeq }.getOrElse(Nil)
-      .map(s => Option(s.get("schema-id")).map(_.asInt).getOrElse(0))
-    val newSchemaId = existingIds.maxOption.getOrElse(0) + 1
-    currentSchema.put("schema-id", newSchemaId)
+    // committer. The new schema's id is ASSIGNED BY THE APPLIER (the
+    // catalog service, or MetadataCommit.applyUpdates for the filesystem
+    // committer) — a client-computed id is a guess from a racy GET, so
+    // set-current-schema uses the spec's -1 (= the schema added in this
+    // commit) and an assert-current-schema-id requirement pins the base
+    // this edit was derived from: a concurrent evolution conflicts
+    // loudly instead of being silently shadowed.
+    val baseSchemaId = Option(root.get("current-schema-id")).map(_.asInt)
+      .orElse(Option(currentSchema.get("schema-id")).map(_.asInt))
+      .getOrElse(0)
+    currentSchema.remove("schema-id")
 
     val updates = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
     if (schemaChanged) {
       updates += MetadataCommit.addSchema(mapper, currentSchema, lastColumnId)
-      updates += MetadataCommit.setCurrentSchema(mapper, newSchemaId)
+      updates += MetadataCommit.setCurrentSchema(mapper, -1)
     }
     if (propSets.size > 0) {
       val n = mapper.createObjectNode()
@@ -238,6 +242,10 @@ object SchemaEvolution {
       updates += n
     }
     val built = updates.result()
-    if (built.nonEmpty) cmtr.commit(Nil, built)
+    val requirements =
+      if (schemaChanged)
+        Seq(MetadataCommit.assertCurrentSchemaId(mapper, baseSchemaId))
+      else Nil
+    if (built.nonEmpty) cmtr.commit(requirements, built)
   }
 }

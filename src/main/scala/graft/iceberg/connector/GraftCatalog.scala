@@ -69,7 +69,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     store = (Option(options.get("uri")), Option(options.get("warehouse"))) match {
       case (Some(uri), _) =>
-        new RestCatalogStore(uri, conf, Option(options.get("token")))
+        new RestCatalogStore(uri, conf, Option(options.get("token")),
+          Option(options.get("page-size")).map(_.toInt))
       case (None, Some(wh)) => new FsCatalogStore(new Path(wh), conf)
       case _ => throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse " +

@@ -35,7 +35,13 @@ import graft.iceberg.{IcebergTable, TableMetadata}
   */
 final class RestCatalogStore(
     baseUri: String, conf: Configuration,
-    bearerToken: Option[String]) extends CatalogStore {
+    bearerToken: Option[String],
+    /** Page size hint sent on list endpoints (`pageSize=`); None lets the
+      * server choose. Independently of the hint, list responses are ALWAYS
+      * followed through `next-page-token` — real catalogs (multi-tenant
+      * services fronting thousands of namespaces) paginate server-side
+      * whether or not the client asked. */
+    pageSize: Option[Int] = None) extends CatalogStore {
 
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
@@ -86,14 +92,42 @@ final class RestCatalogStore(
     else mapper.readTree(resp)
   }
 
+  /** GET a list endpoint across ALL its pages: every response's
+    * `arrayField` elements are concatenated, and `next-page-token` is
+    * followed until the server stops returning one (the REST spec's
+    * pagination contract). Stopping at page one would silently truncate
+    * `SHOW TABLES`/`SHOW NAMESPACES` — and cascade drops — on any
+    * catalog large enough to paginate. */
+  private def pagedList(urlBase: String, arrayField: String): Seq[JsonNode] = {
+    val out = Seq.newBuilder[JsonNode]
+    var token: Option[String] = None
+    var more = true
+    var pages = 0
+    while (more) {
+      pages += 1
+      if (pages > 100000) throw new IllegalStateException(
+        s"runaway pagination on $urlBase: >100k pages — server token loop?")
+      val params = pageSize.map(n => s"pageSize=$n").toSeq ++
+        token.map(t => s"pageToken=${enc(t)}")
+      val sep = if (urlBase.contains("?")) "&" else "?"
+      val url =
+        if (params.isEmpty) urlBase else urlBase + sep + params.mkString("&")
+      val node = expect2xx("GET", url, None)
+      Option(node.get(arrayField)).foreach(_.elements.asScala.foreach(out += _))
+      token = Option(node.get("next-page-token"))
+        .filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+      more = token.isDefined
+    }
+    out.result()
+  }
+
   // -- namespaces ------------------------------------------------------------
 
   override def listNamespaces(parent: Seq[String]): Seq[Seq[String]] = {
     val url = v1("namespaces") +
       (if (parent.isEmpty) "" else s"?parent=${nsPath(parent)}")
-    val node = expect2xx("GET", url, None)
-    Option(node.get("namespaces")).map(_.elements.asScala.map(ns =>
-      ns.elements.asScala.map(_.asText).toSeq).toSeq).getOrElse(Nil)
+    pagedList(url, "namespaces")
+      .map(ns => ns.elements.asScala.map(_.asText).toSeq)
   }
 
   override def namespaceExists(ns: Seq[String]): Boolean =
@@ -123,11 +157,9 @@ final class RestCatalogStore(
 
   // -- tables ----------------------------------------------------------------
 
-  override def listTables(ns: Seq[String]): Seq[String] = {
-    val node = expect2xx("GET", v1(s"namespaces/${nsPath(ns)}/tables"), None)
-    Option(node.get("identifiers")).map(_.elements.asScala
-      .map(_.get("name").asText).toSeq).getOrElse(Nil)
-  }
+  override def listTables(ns: Seq[String]): Seq[String] =
+    pagedList(v1(s"namespaces/${nsPath(ns)}/tables"), "identifiers")
+      .map(_.get("name").asText)
 
   override def tableExists(ns: Seq[String], name: String): Boolean =
     request("GET", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)._1 / 100 == 2

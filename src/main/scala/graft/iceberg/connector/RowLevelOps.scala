@@ -102,6 +102,13 @@ final class GraftRowLevelOperation(
         s"$tableName stores partition values only in metadata (columns " +
           s"${missing.mkString(", ")} absent from data files); rewriting " +
           "such files would lose them")
+    if (table.needsNameMapping(spark, table.planFiles()))
+      throw new UnsupportedOperationException(
+        s"$tableName reads its id-less data files through " +
+          "schema.name-mapping.default; a copy-on-write rewrite through " +
+          "the id-keyed group scan would null renamed columns. Compact " +
+          "first (IcebergWriter.compact re-stamps field ids), then re-run " +
+          s"the ${cmd.name}")
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -226,7 +233,8 @@ final class GraftReplaceWrite(
         case graft.iceberg.GraftFilesCommit(files) => files
       }.toSeq.flatten
       IcebergWriter.replaceFiles(conf, table.tableDir,
-        scan.plannedFiles.map(_.filePath).toSet, added, committerOpt)
+        scan.plannedFiles.map(_.filePath).toSet, added, committerOpt,
+        removedEntries = scan.plannedFiles)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {

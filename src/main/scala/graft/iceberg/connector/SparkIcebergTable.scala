@@ -213,8 +213,13 @@ final class GraftScanBuilder(table: IcebergTable)
     // merge-on-read tables take the V1 bridge: delete application is an
     // anti-join AROUND the file scan, which a single parquet Batch cannot
     // express (toDF builds it)
+    // name-mapped (id-less) tables also take the V1 bridge: the native
+    // batch scan pushes the field-id read schema straight to the parquet
+    // source, which would null renamed columns of files without ids —
+    // toDF applies the schema.name-mapping.default alias instead
     if (table.missingPartitionColumns(spark, staticFiles).isEmpty &&
-        limit.isEmpty && !table.hasDeletes)
+        limit.isEmpty && !table.hasDeletes &&
+        !table.needsNameMapping(spark, staticFiles))
       new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles)
     else
       new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles))

@@ -114,6 +114,37 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE scratch.ns1.w1")
   }
 
+  test("snapshot summaries carry spec totals equal to manifest sums") {
+    useCatalogs()
+    def checkTotals(): Unit = {
+      val t = new graft.iceberg.IcebergTable(s"$scratch/ns1/tot",
+        spark.sessionState.newHadoopConf())
+      val files = t.planFiles()
+      val s = t.metadata.currentSnapshot.get.summary
+      assert(s("total-records").toLong == files.map(_.recordCount).sum,
+        s"total-records: $s vs ${files.map(_.recordCount).sum}")
+      assert(s("total-files-size").toLong == files.map(_.fileSizeInBytes).sum)
+      assert(s("total-data-files").toLong == files.size)
+    }
+    spark.sql("DROP TABLE IF EXISTS scratch.ns1.tot")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.ns1")
+    spark.sql("CREATE TABLE scratch.ns1.tot (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO scratch.ns1.tot VALUES (1, 'a'), (2, 'b')")
+    checkTotals()
+    spark.sql("INSERT INTO scratch.ns1.tot VALUES (3, 'c')")
+    checkTotals()
+    // row-level rewrite (copy-on-write file swap): totals updated
+    // (before the equality delete — outstanding v2 deletes refuse rewrites)
+    spark.sql("UPDATE scratch.ns1.tot SET name = 'x' WHERE id >= 3")
+    checkTotals()
+    // equality delete: data files untouched, totals carry over
+    spark.sql("DELETE FROM scratch.ns1.tot WHERE id = 2")
+    checkTotals()
+    spark.sql("INSERT OVERWRITE scratch.ns1.tot VALUES (9, 'z')")
+    checkTotals()
+    spark.sql("DROP TABLE scratch.ns1.tot")
+  }
+
   test("SQL DELETE commits an equality-delete snapshot (merge-on-read)") {
     useCatalogs()
     spark.sql("DROP TABLE IF EXISTS scratch.ns1.d1")

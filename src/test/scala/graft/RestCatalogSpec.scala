@@ -34,6 +34,10 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   private def port: Int = server.getAddress.getPort
   /** Requirements of every CommitTableRequest the stub received. */
   private val commitRequirementsSeen = mutable.Buffer[Seq[String]]()
+  /** Updates of every CommitTableRequest the stub received. */
+  private val commitUpdatesSeen = mutable.Buffer[Seq[String]]()
+  /** List requests that arrived carrying a pageToken (page 2+). */
+  private val pagedRequestsSeen = mutable.Buffer[String]()
 
   /** /v1/config payload; tests flip between overrides- and
     * defaults-delivered prefixes (spec: overrides win, defaults fill). */
@@ -41,6 +45,29 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     """{"defaults":{},"overrides":{"prefix":"testwh"}}"""
 
   // -- stub server -----------------------------------------------------------
+
+  private def qparams(x: HttpExchange): Map[String, String] =
+    Option(x.getRequestURI.getQuery).map(_.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, UTF_8))
+        case _ => None
+      }
+    }.toMap).getOrElse(Map.empty)
+
+  /** Serve pre-rendered JSON `items` in pages of 2 with the REST spec's
+    * `next-page-token` contract (token = next page's start offset) — the
+    * shape real multi-tenant catalogs answer with, so the client's
+    * token-following is what every listing test exercises. */
+  private def paged(x: HttpExchange, items: Seq[String], field: String): String = {
+    val off = qparams(x).get("pageToken").map(_.toInt).getOrElse(0)
+    if (off > 0) pagedRequestsSeen.synchronized {
+      pagedRequestsSeen += x.getRequestURI.toString
+    }
+    val page = items.slice(off, off + 2)
+    val tok =
+      if (off + 2 < items.size) s""","next-page-token":"${off + 2}"""" else ""
+    s"""{"$field":[${page.mkString(",")}]$tok}"""
+  }
 
   private def json(x: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -60,9 +87,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       case ("GET", "config" :: Nil) =>
         json(x, 200, configJson)
       case ("GET", "testwh" :: "namespaces" :: Nil) =>
-        val arr = namespaces.toSeq.sorted
-          .map(n => s"""["${n}"]""").mkString(",")
-        json(x, 200, s"""{"namespaces":[$arr]}""")
+        val items = namespaces.toSeq.sorted.map(n => s"""["${n}"]""")
+        json(x, 200, paged(x, items, "namespaces"))
       case ("POST", "testwh" :: "namespaces" :: Nil) =>
         val ns = body.get("namespace").elements.next().asText
         namespaces += ns
@@ -78,8 +104,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         else json(x, 404, """{"error":{"message":"no such namespace"}}""")
       case ("GET", "testwh" :: "namespaces" :: ns :: "tables" :: Nil) =>
         val ids = tables.keys.filter(_._1 == ns).map(_._2).toSeq.sorted
-          .map(t => s"""{"namespace":["$ns"],"name":"$t"}""").mkString(",")
-        json(x, 200, s"""{"identifiers":[$ids]}""")
+          .map(t => s"""{"namespace":["$ns"],"name":"$t"}""")
+        json(x, 200, paged(x, ids, "identifiers"))
       case ("POST", "testwh" :: "namespaces" :: ns :: "tables" :: Nil) =>
         val req = body
         val name = req.get("name").asText
@@ -120,6 +146,9 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
               .map(_.elements.asScala.toSeq).getOrElse(Nil)
             commitRequirementsSeen.synchronized {
               commitRequirementsSeen += reqs.map(_.toString)
+            }
+            commitUpdatesSeen.synchronized {
+              commitUpdatesSeen += upds.map(_.toString)
             }
             graft.iceberg.MetadataCommit.checkRequirements(doc, reqs) match {
               case Some(err) =>
@@ -373,5 +402,58 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(spark.sql("SELECT COUNT(*) AS n FROM restcat.nsdata.evts")
       .collect()(0).getLong(0) == 2L)
+  }
+
+  test("REST: paged listings are followed across pages (namespaces + tables)") {
+    useRest()
+    (1 to 5).foreach(i =>
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS restcat.pg$i"))
+    pagedRequestsSeen.synchronized(pagedRequestsSeen.clear())
+    val ns = spark.sql("SHOW NAMESPACES IN restcat").collect()
+      .map(_.getString(0)).toSet
+    assert((1 to 5).forall(i => ns.contains(s"pg$i")),
+      s"page-2+ namespaces must not be truncated, got $ns")
+    assert(pagedRequestsSeen.synchronized(
+      pagedRequestsSeen.exists(_.contains("pageToken"))),
+      "the client must have followed next-page-token")
+    (1 to 5).foreach(i => spark.sql(s"CREATE TABLE restcat.pg1.t$i (id BIGINT)"))
+    pagedRequestsSeen.synchronized(pagedRequestsSeen.clear())
+    val tbls = spark.sql("SHOW TABLES IN restcat.pg1").collect()
+      .map(_.getString(1)).toSet
+    assert((1 to 5).map(i => s"t$i").toSet.subsetOf(tbls), s"got $tbls")
+    assert(pagedRequestsSeen.synchronized(
+      pagedRequestsSeen.exists(_.contains("pageToken"))))
+    (1 to 5).foreach(i => spark.sql(s"DROP TABLE restcat.pg1.t$i"))
+  }
+
+  test("REST: DDL binds the new schema via -1 and survives server-side id reassignment") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.ddl")
+    spark.sql("DROP TABLE IF EXISTS restcat.ddl.sid")
+    spark.sql("CREATE TABLE restcat.ddl.sid (id BIGINT)")
+    // the server owns schema-id assignment: seed an unrelated high-id
+    // schema entry (as a catalog hosting concurrent evolutions would
+    // have), so any client-guessed max+1 id would be wrong
+    val doc = tables(("ddl", "sid"))
+    val extra = doc.get("schemas").get(0)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    extra.put("schema-id", 5)
+    doc.get("schemas").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      .add(extra)
+    commitUpdatesSeen.synchronized(commitUpdatesSeen.clear())
+    spark.sql("ALTER TABLE restcat.ddl.sid ADD COLUMN extra BIGINT")
+    // the wire commit used the spec's -1 (last-added) binding and pinned
+    // the base schema with a requirement
+    val upd = commitUpdatesSeen.synchronized(commitUpdatesSeen.last)
+    assert(upd.exists(u => u.contains("set-current-schema") &&
+      u.contains("\"schema-id\":-1")), s"got $upd")
+    assert(commitRequirementsSeen.synchronized(commitRequirementsSeen.last)
+      .exists(_.contains("assert-current-schema-id")))
+    // the server assigned the next free id (6, past the seeded 5) and the
+    // DDL still reads back — a client-computed id would have collided
+    assert(tables(("ddl", "sid")).get("current-schema-id").asInt == 6)
+    assert(spark.table("restcat.ddl.sid").schema.fieldNames.toSeq ==
+      Seq("id", "extra"))
+    spark.sql("DROP TABLE restcat.ddl.sid")
   }
 }

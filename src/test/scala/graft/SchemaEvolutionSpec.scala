@@ -67,4 +67,45 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM evo.ns.evt WHERE score > 150")
       .collect()(0).getLong(0) == 1L)
   }
+
+  test("id-less files read through schema.name-mapping.default after a rename") {
+    import org.apache.commons.io.FileUtils
+    import spark.implicits._
+    val dir = s"$warehouse/ns/nomap"
+    FileUtils.deleteQuietly(new File(dir))
+    // an EXTERNALLY-written parquet file: plain Spark write, no
+    // parquet.field.id metadata, columns named (id, v)
+    val plain = Seq((1L, 100L), (2L, 200L)).toDF("id", "v")
+    plain.coalesce(1).write.parquet(s"$dir/data/import")
+    val dataFile = new File(s"$dir/data/import").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    // table metadata: current schema has `v` RENAMED to `score` (field
+    // id 2), and the name mapping records that id-less files call it
+    // `v` — the spec's migration shape (files imported from Hive/plain
+    // parquet, then evolved)
+    val mapping =
+      """[{"field-id": 1, "names": ["id"]}, {"field-id": 2, "names": ["v"]}]"""
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
+      plain.schema, Nil, Map("schema.name-mapping.default" -> mapping))
+      .replace("\"name\" : \"v\"", "\"name\" : \"score\"")
+    new File(s"$dir/metadata").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    // register the imported file as a snapshot (metadata-only add)
+    graft.iceberg.IcebergWriter.addFiles(spark, dir,
+      Seq(dataFile.getAbsolutePath))
+    // without the mapping this read would null `score` (no field ids to
+    // resolve by) — the mapping aliases v -> score projection-only
+    spark.conf.set("spark.sql.catalog.evo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.evo.warehouse", warehouse)
+    val rows = spark.sql("SELECT id, score FROM evo.ns.nomap ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 100L, 2L -> 200L),
+      "mapped columns must carry the imported file's values, not nulls")
+    // direct toDF path honors the mapping too
+    val t = IcebergTable(spark, dir)
+    assert(t.toDF(spark).select("score").collect().map(_.getLong(0)).toSet
+      == Set(100L, 200L))
+  }
 }
