@@ -39,7 +39,21 @@ import graft.iceberg.IcebergTable
   *    commit on a `LocalPool` it never polls (`mirror.rs:123-143`), so the
   *    intended (not literal) behavior is implemented.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
+    with FunctionCatalog {
+
+  /** The Iceberg partition-transform functions ([[GraftFunctions]]),
+    * namespace-independent: Spark resolves storage-partitioned-join
+    * transforms by bare name through the TABLE's catalog
+    * (`V2ExpressionUtils.loadV2FunctionOpt`), so they must exist in every
+    * namespace a table can. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name)
+      .getOrElse(throw new NoSuchFunctionException(ident))
 
   private var catalogName: String = _
   private var store: CatalogStore = _

@@ -330,7 +330,8 @@ final class GraftBatchScan(
     requiredSchema: StructType,
     staticFiles: Seq[DataFileEntry])
     extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
   @volatile private var cached: (Seq[DataFileEntry], Scan) = _
@@ -364,8 +365,121 @@ final class GraftBatchScan(
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
+  // ---- storage-partitioned joins -----------------------------------------
+  //
+  // When the table is partitioned and `spark.sql.sources.v2.bucketing
+  // .enabled` is on, report `KeyGroupedPartitioning` over the spec's
+  // transforms and plan input partitions grouped by partition tuple
+  // (`HasPartitionKey`). Two tables partitioned by the same transform of
+  // their join key then join with ZERO shuffle — Catalyst proves
+  // co-partitioning by resolving the transforms through [[GraftFunctions]]
+  // (the same murmur3/truncation the writer clustered by, so the proof is
+  // sound by construction). At 100 TB this turns a fact-fact join from
+  // "re-shuffle both tables" into a metadata decision.
+  //
+  // Reporting is best-effort and self-disabling: an unsupported transform,
+  // a file missing a spec value (written under an older spec), or a
+  // partition value we can't type → UnknownPartitioning / ungrouped
+  // planning, never a wrong key.
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  private def spjEnabled: Boolean =
+    spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+
+  /** (spec field, key type, DSv2 transform) per partition field, when the
+    * whole spec is SPJ-expressible. */
+  private lazy val spjFields: Option[Seq[(graft.iceberg.PartitionField,
+      org.apache.spark.sql.types.DataType, Transform)]] = {
+    val meta = table.metadata
+    val nameById = meta.fieldIds.map(_.swap)
+    val spec = meta.partitionSpec
+    if (spec.isEmpty) None
+    else {
+      val fields = spec.flatMap { pf =>
+        for {
+          src <- nameById.get(pf.sourceId)
+          srcType <- meta.schema.fields.find(_.name == src).map(_.dataType)
+          keyType = graft.iceberg.PartitionTransforms.resultType(pf.transform, srcType)
+          if keyType != org.apache.spark.sql.types.NullType
+          transform <- pf.transform match {
+            case "identity" => Some(Expressions.identity(src))
+            case "year" => Some(Expressions.years(src))
+            case "month" => Some(Expressions.months(src))
+            case "day" => Some(Expressions.days(src))
+            case "hour" => Some(Expressions.hours(src))
+            case BucketRe(n) => Some(Expressions.bucket(n.toInt, src))
+            case TruncateRe(w) => Some(Expressions.apply("truncate",
+              Expressions.literal(Integer.valueOf(w.toInt)), Expressions.column(src)))
+            case _ => None
+          }
+        } yield (pf, keyType, transform)
+      }
+      if (fields.length == spec.length) Some(fields) else None
+    }
+  }
+
+  /** Manifest partition value → Catalyst internal value of `keyType`;
+    * None = not convertible (disables SPJ for the scan). */
+  private def keyValue(v: Any, keyType: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, keyType) match {
+      case (null, _) => Some(null)
+      case (i: Int, IntegerType | DateType) => Some(i)
+      case (l: Long, LongType | TimestampType | TimestampNTZType) => Some(l)
+      case (i: Int, LongType | TimestampType | TimestampNTZType) => Some(i.toLong)
+      case (s: String, StringType) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case (b: Boolean, BooleanType) => Some(b)
+      case _ => None
+    }
+  }
+
+  /** Files grouped by partition tuple, keys as InternalRows in spec
+    * order. None when SPJ is off or any file/value is not expressible. */
+  private def spjGroups(): Option[Seq[(org.apache.spark.sql.catalyst.InternalRow,
+      Seq[(String, Long)])]] =
+    if (!spjEnabled) None
+    else spjFields.flatMap { fields =>
+      val files = currentFiles
+      val keyed: Seq[Option[(Seq[Any], (String, Long))]] = files.map { f =>
+        val vals = fields.map { case (pf, keyType, _) =>
+          f.partition.get(pf.name).flatMap(keyValue(_, keyType))
+        }
+        if (vals.exists(_.isEmpty)) None
+        else Some((vals.map(_.get), (table.resolve(f.filePath), f.fileSizeInBytes)))
+      }
+      if (files.isEmpty || keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten
+        .groupBy(_._1)
+        .toSeq
+        .map { case (key, fs) =>
+          (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            key.toArray): org.apache.spark.sql.catalyst.InternalRow,
+            fs.map(_._2))
+        })
+    }
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups() match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          spjFields.get.map(_._3: org.apache.spark.sql.connector.expressions.Expression).toArray,
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    delegate.toBatch.planInputPartitions()
+    spjGroups() match {
+      case Some(groups) =>
+        org.apache.spark.sql.execution.datasources.GraftScanShims
+          .keyedFilePartitions(spark, groups)
+      case None => delegate.toBatch.planInputPartitions()
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
     delegate.toBatch.createReaderFactory()
 

@@ -369,6 +369,66 @@ object IcebergQueries {
         """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
           |FROM q57cat.ns.nation_d
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // Storage-partitioned join: customer and orders land in Iceberg tables
+    // both partitioned by bucket(8, custkey); with v2 bucketing on, the
+    // join plans with ZERO shuffle — Catalyst proves co-partitioning from
+    // the scans' KeyGroupedPartitioning + the catalog's bucket function.
+    // The require() freezes (and gates) the executed plan while the SPJ
+    // confs are set; the oracle hash-gates the values. At 100 TB this is
+    // the fact-fact join pattern: shuffle neither side, ever.
+    "q65_spj" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q65-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer_src_q65")
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q65")
+      s.conf.set("spark.sql.catalog.q65cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q65cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q65cat.ns")
+      s.sql(
+        """CREATE TABLE q65cat.ns.customer_b (c_custkey BIGINT, c_mktsegment STRING)
+          |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+      s.sql(
+        """INSERT INTO q65cat.ns.customer_b
+          |SELECT CAST(c_custkey AS BIGINT), c_mktsegment FROM customer_src_q65""".stripMargin)
+      s.sql(
+        """CREATE TABLE q65cat.ns.orders_b (o_orderkey BIGINT, o_custkey BIGINT)
+          |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+      s.sql(
+        """INSERT INTO q65cat.ns.orders_b
+          |SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT)
+          |FROM orders_src_q65""".stripMargin)
+      val spjConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val saved = spjConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+      spjConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          """SELECT c.c_mktsegment, COUNT(*) AS n,
+            |       CAST(SUM(o.o_orderkey) AS BIGINT) AS sk
+            |FROM q65cat.ns.customer_b c
+            |JOIN q65cat.ns.orders_b o ON c.c_custkey = o.o_custkey
+            |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+        val joinShuffles = df.queryExecution.executedPlan.collectFirst {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.map(_.collect {
+          case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+        }.size)
+        require(joinShuffles.contains(0),
+          s"q65: expected a zero-shuffle storage-partitioned join, got " +
+            s"$joinShuffles shuffles:\n${df.queryExecution.executedPlan}")
+        df
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }))
 
   /** DuckDB sees the same bytes by reading the fixture's data files
@@ -425,6 +485,11 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    "q65_spj" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+        |       CAST(SUM(o.o_orderkey) AS BIGINT) AS sk
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "q58_sql_update" ->
       """WITH upd AS (
         |  SELECT n_nationkey,

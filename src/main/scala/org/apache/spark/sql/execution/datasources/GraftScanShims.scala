@@ -57,6 +57,21 @@ final class GraftPrunedFileIndex(
   override def refresh(): Unit = ()
 }
 
+/** A [[FilePartition]] that also reports the Iceberg partition tuple its
+  * files belong to (`HasPartitionKey`) — the unit of storage-partitioned
+  * join planning. Spark's `FilePartitionReaderFactory` pattern-matches on
+  * `FilePartition`, so subclassing keeps the vectorized parquet reader
+  * path unchanged while `BatchScanExec` groups tasks by `partitionKey`.
+  */
+final class KeyedFilePartition(
+    idx: Int,
+    fs: Array[PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+  extends FilePartition(idx, fs)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
 /** Access shim for `private[sql]` scan machinery: builds Spark's own
   * vectorized `ParquetScan` (whole-stage codegen, footer pushdown,
   * columnar batches) over a [[GraftPrunedFileIndex]]. This is the
@@ -64,6 +79,46 @@ final class GraftPrunedFileIndex(
   * value-add is the file list, Spark's is the reading.
   */
 object GraftScanShims {
+
+  /** Input partitions for a storage-partitioned scan: one or more
+    * [[KeyedFilePartition]]s per Iceberg partition tuple. Files still
+    * split at `maxSplitBytes` and bin-pack WITHIN their tuple group
+    * (Spark's own packing), so parallelism survives when the reported
+    * partitioning goes unused; `BatchScanExec` re-groups same-key
+    * partitions when a join does use it. Sizes come from manifest
+    * metadata — zero filesystem calls, same as [[GraftPrunedFileIndex]].
+    *
+    * `groups`: (partition-key row, files as (resolved path, bytes)).
+    */
+  def keyedFilePartitions(
+      spark: SparkSession,
+      groups: Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[(String, Long)])])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val openCost = spark.sessionState.conf.filesOpenCostInBytes
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      groups.iterator.flatMap(_._2).map(_._2 + openCost).sum)
+    val hconf = spark.sessionState.newHadoopConf()
+    val fsHandle =
+      groups.headOption.flatMap(_._2.headOption)
+        .map(f => new Path(f._1).getFileSystem(hconf))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.connector.read.InputPartition]
+    groups.foreach { case (key, files) =>
+      val chunks = files.flatMap { case (p, len) =>
+        val q = org.apache.spark.paths.SparkPath
+          .fromPath(fsHandle.get.makeQualified(new Path(p)))
+        (0L until math.max(len, 1L) by maxSplit).map { off =>
+          PartitionedFile(InternalRow.empty, q, off,
+            math.min(maxSplit, len - off), Array.empty, 0L, len)
+        }
+      }
+      FilePartition.getFilePartitions(spark, chunks, maxSplit).foreach { fp =>
+        out += new KeyedFilePartition(out.size, fp.files, key)
+      }
+    }
+    out.toArray
+  }
   def parquetBatchScan(
       spark: SparkSession,
       files: Seq[(String, Long)],

@@ -38,6 +38,22 @@ class QueriesSpec extends SparkSpec {
     assert(nAfter == 22L && skAfter == 297L, "publish = branch state")
   }
 
+  test("q65 SPJ equals the shuffled-join answer (plan gated inside q65)") {
+    // q65's builder require()s a zero-shuffle storage-partitioned join;
+    // here the values are cross-checked against the same join computed
+    // straight from the source parquet on the session's default path
+    val spj = SparkEntry.queries("q65_spj")(spark, sf).collect()
+    val expected = Tables.load(spark, sf, "customer").as("c")
+      .join(Tables.load(spark, sf, "orders").as("o"),
+        org.apache.spark.sql.functions.expr("c.c_custkey = o.o_custkey"))
+      .groupBy("c.c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.sum("o.o_orderkey").cast("long").as("sk"))
+      .orderBy("c_mktsegment").collect()
+    assert(spj.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      expected.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("q12 cross join = |region| * |nation|") {
     val Row(n: Long) =
       SparkEntry.queries("q12_join_cross")(spark, sf).head()
