@@ -418,6 +418,22 @@ final class IcebergTable private (
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metadata.schema)
 
     val deletes = if (hasDeletes) planDeletes() else Nil
+    val base = scanFiles(spark, files, withIds = deletes.nonEmpty)
+    if (deletes.isEmpty) base
+    else applyDeletes(spark, base, files, deletes)
+      .select(metadata.schema.fieldNames.map(col): _*)
+  }
+
+  /** The raw scan of an explicit file list under this snapshot's schema —
+    * the base [[toDF]] applies delete files over, also used directly by
+    * the changelog (which needs the base with and without specific delete
+    * sets). `withIds` adds the per-row (file, position) identity from the
+    * parquet `_metadata` columns (no extra IO). Handles the same three
+    * layouts as always: plain multi-file scan, name-mapped id-less files,
+    * and metadata-only partition value re-injection.
+    */
+  private def scanFiles(spark: SparkSession, files: Seq[DataFileEntry],
+                        withIds: Boolean): DataFrame = {
     val paths = files.map(f => resolve(f.filePath))
     val partCols = metadata.identityPartitionColumns
     val inFile = fileSchemaColumns(spark, paths.head)
@@ -426,7 +442,7 @@ final class IcebergTable private (
     // merge-on-read needs each row's (file, position) identity; the
     // parquet source serves both as metadata columns with no extra IO
     def withRowId(df: DataFrame): DataFrame =
-      if (deletes.isEmpty) df
+      if (!withIds) df
       else df.select(col("*"),
         col("_metadata.file_path").as(IcebergTable.FpCol),
         col("_metadata.row_index").as(IcebergTable.PosCol))
@@ -459,7 +475,7 @@ final class IcebergTable private (
         val readSchema = StructType(pairs.map { case (src, f) =>
           StructField(src, f.dataType, f.nullable) })
         val renamed = pairs.map { case (src, f) => col(src).as(f.name) } ++
-          (if (deletes.isEmpty) Nil
+          (if (!withIds) Nil
            else Seq(col(IcebergTable.FpCol), col(IcebergTable.PosCol)))
         withRowId(read.schema(readSchema).parquet(paths: _*))
           .select(renamed: _*)
@@ -473,7 +489,7 @@ final class IcebergTable private (
         // literals from manifest metadata, union by name.
         val dataSchema = StructType(metadata.schema.filterNot(f => missing.contains(f.name)))
         val keep = metadata.schema.fieldNames.toSeq ++
-          (if (deletes.isEmpty) Nil else Seq(IcebergTable.FpCol, IcebergTable.PosCol))
+          (if (!withIds) Nil else Seq(IcebergTable.FpCol, IcebergTable.PosCol))
         val groups = files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
         groups.map { case (values, gfiles) =>
           val group = withRowId(
@@ -484,10 +500,7 @@ final class IcebergTable private (
           }.select(keep.map(col): _*)
         }.reduce(_.unionByName(_))
       }
-
-    if (deletes.isEmpty) base
-    else applyDeletes(spark, base, files, deletes)
-      .select(metadata.schema.fieldNames.map(col): _*)
+    base
   }
 
   // -- merge-on-read (v2 delete files) ---------------------------------------
@@ -573,6 +586,177 @@ final class IcebergTable private (
         out = out.join(ed, cond, "left_anti")
     }
     out
+  }
+
+  /** The changelog dual of [[applyDeletes]]: the rows of `data` a delete
+    * set REMOVES — same join inputs and sequence gating, but `left_semi`
+    * per delete group, unioned and deduped on row identity (a row hit by
+    * several delete files is one change). `data` must carry the
+    * (file, position) id columns (`scanFiles(withIds = true)`).
+    */
+  private def rowsMatchedByDeletes(spark: SparkSession, data: DataFrame,
+                                   files: Seq[DataFileEntry],
+                                   deletes: Seq[DeleteFileEntry]): DataFrame = {
+    import IcebergTable.{FpCol, PosCol}
+    val seqRows = files.map(f =>
+      (normPath(resolve(f.filePath)), f.sequenceNumber.getOrElse(-1L)))
+    val seqDF = spark.createDataFrame(seqRows).toDF("__g_fpn", "__g_dataseq")
+    val out = data
+      .withColumn("__g_fpn", normPathExpr(col(FpCol)))
+      .join(broadcast(seqDF), Seq("__g_fpn"), "left")
+      .withColumn("__g_dataseq", coalesce(col("__g_dataseq"), lit(-1L)))
+
+    def deleteSeqDF(group: Seq[DeleteFileEntry]): DataFrame =
+      spark.createDataFrame(group.map(d =>
+        (normPath(resolve(d.filePath)), d.sequenceNumber.getOrElse(Long.MaxValue))))
+        .toDF("__g_delsrcn", "__g_delseq")
+
+    val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val posFiles = deletes.filter(_.content == 1)
+    if (posFiles.nonEmpty) {
+      val pd = spark.read.parquet(posFiles.map(d => resolve(d.filePath)): _*)
+        .select(
+          normPathExpr(resolveExpr(col("file_path"))).as("__g_dfpn"),
+          col("pos").as("__g_dpos"),
+          normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"))
+        .join(broadcast(deleteSeqDF(posFiles)), Seq("__g_delsrcn"))
+      matched += out.join(pd,
+        out("__g_fpn") === pd("__g_dfpn") && out(PosCol) === pd("__g_dpos") &&
+          out("__g_dataseq") <= pd("__g_delseq"),
+        "left_semi")
+    }
+    val idToName = metadata.fieldIds.map(_.swap)
+    deletes.filter(_.content == 2).groupBy(_.equalityIds).foreach {
+      case (eqIds, group) =>
+        val eqCols = eqIds.map(id => idToName.getOrElse(id,
+          throw new IllegalStateException(
+            s"equality delete references unknown field id $id in $tableDir")))
+        val ed = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
+          .select(eqCols.map(c => col(c).as(s"__g_del_$c")) :+
+            normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"): _*)
+          .join(broadcast(deleteSeqDF(group)), Seq("__g_delsrcn"))
+        val cond = eqCols.map(c => out(c) <=> ed(s"__g_del_$c")).reduce(_ && _) &&
+          out("__g_dataseq") < ed("__g_delseq")
+        matched += out.join(ed, cond, "left_semi")
+    }
+    if (matched.isEmpty) data.limit(0)
+    else matched.reduce(_.unionByName(_)).dropDuplicates(FpCol, PosCol)
+  }
+
+  // -- changelog (CDC) --------------------------------------------------------
+
+  /** Row-level CDC between two snapshots (exclusive `fromId` — 0 = table
+    * start —, inclusive `toId`): the table schema plus
+    * `_change_type` ('insert' | 'delete'), `_commit_snapshot_id`, and
+    * `_change_ordinal` (0-based commit position within the window).
+    *
+    * Per window snapshot, planned ENTIRELY from manifest diffs — data IO
+    * touches only changed files, never the table:
+    *
+    *  - data files added → their rows as inserts;
+    *  - data files removed → the rows VISIBLE at the parent (after the
+    *    parent's delete files) as deletes — rows already merge-on-read
+    *    deleted don't re-die;
+    *  - delete files added → the surviving parent rows of still-present
+    *    data files they match (sequence-gated, [[rowsMatchedByDeletes]])
+    *    as deletes;
+    *  - `replace` snapshots (compaction) are data-movement, not change:
+    *    skipped.
+    *
+    * Copy-on-write rewrites (UPDATE/MERGE) emit full-file delete+insert
+    * pairs — file-granular changes, like Iceberg's own changelog without
+    * net-change computation; consumers wanting net rows diff the pairs.
+    * Each snapshot contributes independent narrow scans unioned by name,
+    * so a bounded CDC window stays proportional to the change volume at
+    * any table size.
+    */
+  def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    val lineage = metadata.snapshotLineage
+    def posOf(id: Long, which: String): Int =
+      if (id == 0L) 0
+      else lineage.lastIndexOf(id) match {
+        case -1 => throw new IllegalArgumentException(
+          s"changelog $which snapshot $id is not in the table's snapshot " +
+            s"lineage (${lineage.mkString(", ")}) — expired or rewritten")
+        case i => i + 1
+      }
+    val fromPos = posOf(fromId, "from")
+    val toPos = posOf(toId, "to")
+    require(fromPos <= toPos,
+      s"changelog window is backwards: $fromId is after $toId")
+
+    val schemaCols = metadata.schema.fieldNames.toSeq
+    def stamp(df: DataFrame, tpe: String, sid: Long, ordinal: Int): DataFrame =
+      df.select(schemaCols.map(col): _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_snapshot_id", lit(sid))
+        .withColumn("_change_ordinal", lit(ordinal))
+
+    def norm(t: IcebergTable, path: String) = normPath(t.resolve(path))
+
+    val parts = (fromPos until toPos).zipWithIndex.flatMap { case (k, ordinal) =>
+      // position k+1 (1-based) = lineage(k); parent = lineage(k - 1)
+      val sid = lineage(k)
+      val s = atSnapshot(sid)
+      val op = s.snapshot.map(_.summary.getOrElse("operation", "append"))
+        .getOrElse("append")
+      if (op == "replace") Nil // compaction: same rows, different files
+      else {
+        val p = if (k == 0) None else Some(atSnapshot(lineage(k - 1)))
+        val pFiles = p.map(_.planFiles()).getOrElse(Nil)
+        val sFiles = s.planFiles()
+        val pPaths = p.map(pt => pFiles.map(f => norm(pt, f.filePath)).toSet)
+          .getOrElse(Set.empty)
+        val sPaths = sFiles.map(f => norm(s, f.filePath)).toSet
+        val added = sFiles.filterNot(f => pPaths.contains(norm(s, f.filePath)))
+        val removed = pFiles.filter(f => !sPaths.contains(norm(p.get, f.filePath)))
+        val pDel = p.map(_.planDeletes()).getOrElse(Nil)
+        val pDelPaths = p.map(pt => pDel.map(d => norm(pt, d.filePath)).toSet)
+          .getOrElse(Set.empty)
+        val newDel = s.planDeletes()
+          .filterNot(d => pDelPaths.contains(norm(s, d.filePath)))
+
+        val inserts =
+          if (added.isEmpty) Nil
+          else Seq(stamp(s.scanFiles(spark, added, withIds = false),
+            "insert", sid, ordinal))
+        val fileDeletes =
+          if (removed.isEmpty) Nil
+          else {
+            val pt = p.get
+            val base = pt.scanFiles(spark, removed, withIds = pDel.nonEmpty)
+            val visible = if (pDel.isEmpty) base
+              else pt.applyDeletes(spark, base, removed, pDel)
+            Seq(stamp(visible, "delete", sid, ordinal))
+          }
+        val rowDeletes =
+          if (newDel.isEmpty) Nil
+          else {
+            val common = sFiles.filter(f => pPaths.contains(norm(s, f.filePath)))
+            if (common.isEmpty) Nil
+            else {
+              val base = s.scanFiles(spark, common, withIds = true)
+              val afterOld = (if (pDel.isEmpty) base
+                else s.applyDeletes(spark, base, common, pDel))
+                .select((schemaCols ++ Seq(IcebergTable.FpCol, IcebergTable.PosCol))
+                  .map(col): _*)
+              Seq(stamp(
+                s.rowsMatchedByDeletes(spark, afterOld, common, newDel),
+                "delete", sid, ordinal))
+            }
+          }
+        inserts ++ fileDeletes ++ rowDeletes
+      }
+    }
+
+    if (parts.isEmpty) {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(metadata.schema.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_snapshot_id", LongType, nullable = false),
+          StructField("_change_ordinal", IntegerType, nullable = false))))
+    } else parts.reduce(_.unionByName(_))
   }
 }
 

@@ -341,8 +341,11 @@ object IcebergWriter {
     }
     val totalBytes = t.planFiles().map(_.fileSizeInBytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // spec operation `replace`: same rows, different files — readers that
+    // interpret operations (the changelog above all) must see compaction
+    // as data movement, not as an overwrite's delete+insert churn
     commit(spark, tableDir, t.toDF(spark).repartition(n), carryPrior = false,
-      Map.empty, committer)
+      Map("operation" -> "replace"), committer)
   }
 
   /** Register EXISTING parquet files as a new append snapshot WITHOUT

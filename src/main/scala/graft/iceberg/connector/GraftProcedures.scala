@@ -1,0 +1,206 @@
+package graft.iceberg.connector
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+import graft.iceberg.IcebergWriter
+
+/** `CALL catalog.system.<procedure>(...)` — the SQL face of the
+  * maintenance and CDC APIs, following the Iceberg procedure surface so a
+  * lakehouse operator never needs the Scala API:
+  *
+  * {{{
+  *   CALL cat.system.expire_snapshots(table => 'ns.t', older_than => <ms|'ISO'>, retain_last => 2)
+  *   CALL cat.system.remove_orphan_files(table => 'ns.t', older_than => <ms|'ISO'>)
+  *   CALL cat.system.rewrite_data_files(table => 'ns.t', target_file_size_bytes => 134217728)
+  *   CALL cat.system.fast_forward(table => 'ns.t', branch => 'main', to => 'audit')
+  *   CALL cat.system.rollback_to_snapshot(table => 'ns.t', snapshot_id => 123)
+  *   CALL cat.system.create_changelog_view(table => 'ns.t', changelog_view => 'v'
+  *     [, start_snapshot_id => ..., end_snapshot_id => ...])
+  * }}}
+  *
+  * Args are named (`name => value`) or positional; values are `'strings'`
+  * (doubled-quote escape) or integer literals. Timestamps accept epoch
+  * millis or an ISO-8601 / `yyyy-MM-dd HH:mm:ss` UTC string. Each
+  * procedure returns a small result row (counts / snapshot ids), so
+  * effects are observable from SQL. The reference has no procedures at
+  * all — extension surface.
+  */
+object GraftProcedures {
+
+  final case class Arg(name: Option[String], value: Any) // String | Long
+
+  /** Split a CALL arg list at top-level commas ('' escapes a quote). */
+  def splitArgs(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        sb.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { sb.append('\''); i += 1 }
+          else inQ = false
+        }
+      } else c match {
+        case '\'' => inQ = true; sb.append(c)
+        case ',' => out += sb.toString; sb.clear()
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    out += sb.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private val NamedRe = """(?s)^(\w+)\s*=>\s*(.+)$""".r
+
+  def parseArg(raw: String): Arg = raw match {
+    case NamedRe(n, v) => Arg(Some(n.toLowerCase), parseValue(v.trim))
+    case v => Arg(None, parseValue(v))
+  }
+
+  private def parseValue(v: String): Any =
+    if (v.startsWith("'") && v.endsWith("'") && v.length >= 2)
+      v.substring(1, v.length - 1).replace("''", "'")
+    else v.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"CALL argument must be a 'string' or an integer literal: $v"))
+
+  /** Bind args to the procedure's declared parameter names (positional
+    * fill the first unbound names in order). */
+  def bind(proc: String, params: Seq[String], args: Seq[Arg]): Map[String, Any] = {
+    val named = args.collect { case Arg(Some(n), v) => n -> v }
+    named.map(_._1).foreach(n => require(params.contains(n),
+      s"$proc has no parameter '$n' (takes: ${params.mkString(", ")})"))
+    require(named.map(_._1).distinct.size == named.size,
+      s"$proc: duplicate named argument")
+    val positional = args.collect { case Arg(None, v) => v }
+    val free = params.filterNot(named.map(_._1).contains)
+    require(positional.size <= free.size,
+      s"$proc takes at most ${params.size} arguments")
+    (named ++ free.zip(positional)).toMap
+  }
+
+  /** Epoch millis from a long or a UTC timestamp string. */
+  def toMillis(v: Any, what: String): Long = v match {
+    case l: Long => l
+    case s: String =>
+      try java.time.Instant.parse(s).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    case other => throw new IllegalArgumentException(
+      s"$what must be epoch millis or a timestamp string, got $other")
+  }
+
+  def str(m: Map[String, Any], k: String, proc: String): String =
+    m.getOrElse(k, throw new IllegalArgumentException(
+      s"$proc requires $k")) match {
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$proc: $k must be a string, got $other")
+    }
+
+  def lng(m: Map[String, Any], k: String, proc: String): Long =
+    m.getOrElse(k, throw new IllegalArgumentException(
+      s"$proc requires $k")) match {
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$proc: $k must be an integer, got $other")
+    }
+}
+
+/** One command for every procedure: output schema switches on the name so
+  * results read naturally from SQL. */
+final case class GraftCallCommand(catalogName: String, procedure: String,
+    rawArgs: Seq[GraftProcedures.Arg]) extends LeafRunnableCommand {
+  import GraftProcedures._
+
+  private def attr(n: String, t: org.apache.spark.sql.types.DataType) =
+    AttributeReference(n, t, nullable = false)()
+
+  override val output: Seq[Attribute] = procedure match {
+    case "expire_snapshots" => Seq(attr("expired_count", IntegerType))
+    case "remove_orphan_files" => Seq(attr("deleted_count", IntegerType))
+    case "rewrite_data_files" => Seq(attr("snapshot_id", LongType))
+    case "fast_forward" => Seq(attr("branch", StringType),
+      attr("previous_snapshot_id", LongType), attr("current_snapshot_id", LongType))
+    case "rollback_to_snapshot" => Seq(attr("previous_snapshot_id", LongType),
+      attr("current_snapshot_id", LongType))
+    case "create_changelog_view" => Seq(attr("changelog_view", StringType))
+    case other => throw new UnsupportedOperationException(
+      s"unknown procedure system.$other (have: expire_snapshots, " +
+        "remove_orphan_files, rewrite_data_files, fast_forward, " +
+        "rollback_to_snapshot, create_changelog_view)")
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val params: Seq[String] = procedure match {
+      case "expire_snapshots" => Seq("table", "older_than", "retain_last")
+      case "remove_orphan_files" => Seq("table", "older_than")
+      case "rewrite_data_files" => Seq("table", "target_file_size_bytes")
+      case "fast_forward" => Seq("table", "branch", "to")
+      case "rollback_to_snapshot" => Seq("table", "snapshot_id")
+      case "create_changelog_view" =>
+        Seq("table", "changelog_view", "start_snapshot_id", "end_snapshot_id")
+    }
+    val m = bind(procedure, params, rawArgs)
+    val tableParts = spark.sessionState.sqlParser
+      .parseMultipartIdentifier(str(m, "table", procedure))
+    val (cat, ident, t) =
+      GraftSqlParser.resolveTable(spark, catalogName +: tableParts)
+    val dir = t.table.tableDir
+    val cmtr = t.committerOpt
+
+    val rows = procedure match {
+      case "expire_snapshots" =>
+        val n = IcebergWriter.expireSnapshots(spark, dir,
+          toMillis(m("older_than"), "older_than"),
+          m.get("retain_last").map(_.asInstanceOf[Long].toInt).getOrElse(1),
+          cmtr)
+        Seq(Row(n))
+      case "remove_orphan_files" =>
+        val n = IcebergWriter.removeOrphanFiles(spark, dir,
+          toMillis(m("older_than"), "older_than"), cmtr)
+        Seq(Row(n))
+      case "rewrite_data_files" =>
+        val sid = IcebergWriter.compact(spark, dir,
+          m.get("target_file_size_bytes").map(_.asInstanceOf[Long])
+            .getOrElse(128L << 20), cmtr)
+        Seq(Row(sid))
+      case "fast_forward" =>
+        val branch = str(m, "branch", procedure)
+        val from = str(m, "to", procedure)
+        val prev = t.table.metadata.refs.getOrElse(branch, -1L)
+        val cur = IcebergWriter.fastForward(t.table.conf, dir,
+          from = from, target = branch, committer = cmtr)
+        Seq(Row(branch, prev, cur))
+      case "rollback_to_snapshot" =>
+        val sid = lng(m, "snapshot_id", procedure)
+        val prev = t.table.metadata.currentSnapshotId.getOrElse(-1L)
+        // set-snapshot-ref on main = the metadata-only rollback: the
+        // applier moves current-snapshot-id with the ref
+        IcebergWriter.createRef(t.table.conf, dir, "main", sid, "branch", cmtr)
+        Seq(Row(prev, sid))
+      case "create_changelog_view" =>
+        val view = m.get("changelog_view").map(_.asInstanceOf[String])
+          .getOrElse(s"${ident.name}_changes")
+        val lineage = t.table.metadata.snapshotLineage
+        val start = m.get("start_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(0L)
+        val end = m.get("end_snapshot_id").map(_.asInstanceOf[Long])
+          .orElse(lineage.lastOption).getOrElse(0L)
+        t.table.changesBetween(spark, start, end).createOrReplaceTempView(view)
+        Seq(Row(view))
+    }
+    if (procedure != "create_changelog_view") cat.invalidateTable(ident)
+    rows
+  }
+}

@@ -47,6 +47,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropRefRe(table, kind, ifExists, name) =>
       GraftDropRefCommand(delegate.parseMultipartIdentifier(table),
         kind.toLowerCase, unquote(name), ifExists != null)
+    case CallRe(catalog, proc, args) =>
+      GraftCallCommand(unquote(catalog), proc.toLowerCase,
+        GraftProcedures.splitArgs(args).map(GraftProcedures.parseArg))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -80,6 +83,10 @@ object GraftSqlParser {
   private[connector] val DropRefRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+""" +
       """(?:(IF\s+EXISTS)\s+)?([\w`]+)\s*;?\s*$""").r
+  /** `CALL cat.system.proc(args)` — stock Spark has no CALL statement, so
+    * the intercept cannot change an accepted statement's meaning. */
+  private[connector] val CallRe =
+    """(?is)^\s*CALL\s+([\w`]+)\s*\.\s*system\s*\.\s*(\w+)\s*\((.*)\)\s*;?\s*$""".r
 
   private def unquote(name: String): String = name.stripPrefix("`").stripSuffix("`")
 

@@ -371,6 +371,40 @@ object IcebergQueries {
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // CDC changelog: CTAS + append + merge-on-read equality DELETE, then
+    // changesBetween(table start, head) — inserts for both appends,
+    // exactly the matched rows as deletes, ordinals in commit order. The
+    // oracle restates the three commits from the source table, so the
+    // change ROWS (not just counts) are hash-gated.
+    "q66_changelog" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q66-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q66")
+      s.conf.set("spark.sql.catalog.q66cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q66cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q66cat.ns")
+      s.sql(
+        """CREATE TABLE q66cat.ns.nation_cdc AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q66
+          |WHERE n_nationkey < 10""".stripMargin)
+      s.sql(
+        """INSERT INTO q66cat.ns.nation_cdc
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q66
+          |WHERE n_nationkey >= 10""".stripMargin)
+      s.sql("DELETE FROM q66cat.ns.nation_cdc WHERE n_nationkey IN (0, 1, 2)")
+      val dir = s"$warehouse/ns/nation_cdc"
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      t.changesBetween(s, 0L, t.metadata.snapshotLineage.last)
+        .select(org.apache.spark.sql.functions.col("n_nationkey"),
+          org.apache.spark.sql.functions.col("n_regionkey"),
+          org.apache.spark.sql.functions.col("n_name"),
+          org.apache.spark.sql.functions.col("_change_type"),
+          org.apache.spark.sql.functions.col("_change_ordinal"))
+        .orderBy("_change_ordinal", "n_nationkey")
+    }),
+
     // Storage-partitioned join: customer and orders land in Iceberg tables
     // both partitioned by bucket(8, custkey); with v2 bucketing on, the
     // join plans with ZERO shuffle — Catalyst proves co-partitioning from
@@ -485,6 +519,17 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    "q66_changelog" ->
+      """SELECT n_nationkey, n_regionkey, n_name,
+        |       'insert' AS _change_type, 0 AS _change_ordinal
+        |FROM nation WHERE n_nationkey < 10
+        |UNION ALL
+        |SELECT n_nationkey, n_regionkey, n_name, 'insert', 1
+        |FROM nation WHERE n_nationkey >= 10
+        |UNION ALL
+        |SELECT n_nationkey, n_regionkey, n_name, 'delete', 2
+        |FROM nation WHERE n_nationkey IN (0, 1, 2)
+        |ORDER BY _change_ordinal, n_nationkey""".stripMargin,
     "q65_spj" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n,
         |       CAST(SUM(o.o_orderkey) AS BIGINT) AS sk

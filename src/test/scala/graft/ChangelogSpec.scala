@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Row
+
+import graft.iceberg.{IcebergTable, IcebergWriter, TableMetadata}
+import graft.iceberg.connector.GraftCatalog
+
+/** CDC changelog (`IcebergTable.changesBetween`): per-snapshot
+  * insert/delete rows planned from manifest diffs. The core property is
+  * REPLAYABILITY — folding the changes over the window reproduces the
+  * table state — plus: merge-on-read deletes emit exactly the matched
+  * rows, compaction emits nothing, windows compose, and a vanished
+  * `from` fails loudly.
+  */
+class ChangelogSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/changelog-warehouse"
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def fresh(name: String): String = {
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.ns")
+    s"$warehouse/ns"
+  }
+
+  private def lineage(dir: String): Seq[Long] =
+    TableMetadata.load(dir, conf).snapshotLineage
+
+  private def changes(dir: String, from: Long, to: Long): Seq[(Int, String, String, Int)] =
+    new IcebergTable(dir, conf).changesBetween(spark, from, to)
+      .select("k", "v", "_change_type", "_change_ordinal").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3))).toSeq
+
+  /** Fold the changes: multiset of inserts minus deletes must equal the
+    * final table rows. */
+  private def replay(cs: Seq[(Int, String, String, Int)]): Map[(Int, String), Int] =
+    cs.foldLeft(Map.empty[(Int, String), Int].withDefaultValue(0)) {
+      case (acc, (k, v, "insert", _)) => acc.updated((k, v), acc((k, v)) + 1)
+      case (acc, (k, v, "delete", _)) => acc.updated((k, v), acc((k, v)) - 1)
+      case (acc, _) => acc
+    }.filter(_._2 != 0)
+
+  private def state(table: String): Map[(Int, String), Int] =
+    spark.sql(s"SELECT k, v FROM $table").collect()
+      .groupBy(r => (r.getInt(0), r.getString(1))).view.mapValues(_.length).toMap
+
+  test("append + MoR delete changelog replays to the table state") {
+    val ns = fresh("clcat")
+    spark.sql("CREATE TABLE clcat.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat.ns.t SELECT CAST(id AS INT), CONCAT('a', id) FROM range(10)")
+    spark.sql("INSERT INTO clcat.ns.t SELECT CAST(id AS INT), CONCAT('a', id) FROM range(10, 15)")
+    spark.sql("DELETE FROM clcat.ns.t WHERE k IN (3, 4, 11)") // equality delete
+    val dir = s"$ns/t"
+
+    val cs = changes(dir, 0L, lineage(dir).last)
+    assert(cs.count(_._3 == "insert") === 15)
+    assert(cs.filter(_._3 == "delete").map(_._1).sorted === Seq(3, 4, 11))
+    // ordinals follow commit order
+    assert(cs.filter(_._4 == 0).forall(c => c._3 == "insert" && c._1 < 10))
+    assert(cs.filter(_._4 == 1).forall(c => c._3 == "insert" && c._1 >= 10))
+    assert(cs.filter(_._4 == 2).forall(_._3 == "delete"))
+    assert(replay(cs) === state("clcat.ns.t"))
+  }
+
+  test("sub-windows compose and see only their commits") {
+    val ns = fresh("clcat2")
+    spark.sql("CREATE TABLE clcat2.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat2.ns.t SELECT CAST(id AS INT), 'x' FROM range(6)")
+    spark.sql("INSERT INTO clcat2.ns.t SELECT CAST(id AS INT), 'y' FROM range(6, 9)")
+    spark.sql("DELETE FROM clcat2.ns.t WHERE k = 1")
+    val dir = s"$ns/t"
+    val lin = lineage(dir)
+
+    val w1 = changes(dir, 0L, lin(0))
+    assert(w1.map(_._3).distinct === Seq("insert") && w1.size === 6)
+    val w2 = changes(dir, lin(0), lin.last)
+    assert(w2.count(_._3 == "insert") === 3)
+    assert(w2.filter(_._3 == "delete").map(_._1) === Seq(1))
+    // the two windows together replay to the final state
+    assert(replay(w1 ++ w2) === state("clcat2.ns.t"))
+    // empty window
+    assert(changes(dir, lin.last, lin.last).isEmpty)
+  }
+
+  test("copy-on-write UPDATE emits file-granular delete+insert pairs that replay") {
+    val ns = fresh("clcat3")
+    spark.sql("CREATE TABLE clcat3.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat3.ns.t SELECT CAST(id AS INT), 'old' FROM range(8)")
+    spark.sql("UPDATE clcat3.ns.t SET v = 'new' WHERE k >= 6")
+    val dir = s"$ns/t"
+    val cs = changes(dir, 0L, lineage(dir).last)
+    assert(replay(cs) === state("clcat3.ns.t"))
+    // the updated rows appear as delete(old)+insert(new)
+    assert(cs.exists(c => c._1 == 6 && c._2 == "old" && c._3 == "delete"))
+    assert(cs.exists(c => c._1 == 6 && c._2 == "new" && c._3 == "insert"))
+  }
+
+  test("compaction is data movement, not change") {
+    val ns = fresh("clcat4")
+    spark.sql("CREATE TABLE clcat4.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat4.ns.t SELECT CAST(id AS INT), 'x' FROM range(5)")
+    spark.sql("INSERT INTO clcat4.ns.t SELECT CAST(id AS INT), 'x' FROM range(5, 9)")
+    val dir = s"$ns/t"
+    val before = lineage(dir).last
+    IcebergWriter.compact(spark, dir)
+    val after = lineage(dir).last
+    assert(changes(dir, before, after).isEmpty,
+      "a replace (compaction) snapshot must contribute no changes")
+    // and the full window still replays (compaction skipped inside it)
+    assert(replay(changes(dir, 0L, after)) === state("clcat4.ns.t"))
+  }
+
+  test("position-delete commits emit exactly the removed rows") {
+    val ns = fresh("clcat5")
+    spark.sql("CREATE TABLE clcat5.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat5.ns.t SELECT CAST(id AS INT), CONCAT('p', id) FROM range(20)")
+    // range predicate -> positionDeleteWhere's per-file strategy
+    spark.sql("DELETE FROM clcat5.ns.t WHERE k >= 4 AND k < 7")
+    val dir = s"$ns/t"
+    val cs = changes(dir, 0L, lineage(dir).last)
+    // per-file strategy may rewrite a heavily-matched file (file-granular
+    // delete+insert pairs) — the deleted keys must be covered and the
+    // changelog must still replay to the exact surviving state
+    assert(Seq(4, 5, 6).forall(k =>
+      cs.exists(c => c._1 == k && c._3 == "delete")))
+    assert(replay(cs) === state("clcat5.ns.t"))
+    assert(!replay(cs).keys.exists(k => k._1 >= 4 && k._1 < 7))
+  }
+
+  test("a from-snapshot outside the lineage fails loudly") {
+    val ns = fresh("clcat6")
+    spark.sql("CREATE TABLE clcat6.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat6.ns.t SELECT CAST(id AS INT), 'x' FROM range(3)")
+    val dir = s"$ns/t"
+    val e = intercept[IllegalArgumentException] {
+      new IcebergTable(dir, conf).changesBetween(spark, 424242L, lineage(dir).last)
+    }
+    assert(e.getMessage.contains("not in the table's snapshot lineage"))
+  }
+}
