@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.iceberg.TableMetadata
+import graft.iceberg.connector.GraftCatalog
+
+/** `CALL cat.system.<procedure>(...)`: the SQL face of maintenance + CDC.
+  * Each procedure's effect is asserted through independent reads (table
+  * state, metadata, snapshot counts), not just its return row.
+  */
+class ProceduresSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/proc-warehouse"
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def fresh(cat: String): String = {
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    s"$warehouse/ns"
+  }
+
+  test("expire_snapshots trims history and reports the count") {
+    val ns = fresh("pcat")
+    spark.sql("CREATE TABLE pcat.ns.t (k INT)")
+    spark.sql("INSERT INTO pcat.ns.t VALUES (1)")
+    spark.sql("INSERT INTO pcat.ns.t VALUES (2)")
+    spark.sql("INSERT INTO pcat.ns.t VALUES (3)")
+    val dir = s"$ns/t"
+    assert(TableMetadata.load(dir, conf).snapshots.size === 3)
+    val horizon = System.currentTimeMillis() + 3600 * 1000
+    val Seq(row) = spark.sql(
+      s"CALL pcat.system.expire_snapshots(table => 'ns.t', " +
+        s"older_than => $horizon, retain_last => 1)").collect().toSeq
+    assert(row.getInt(0) === 2)
+    assert(TableMetadata.load(dir, conf).snapshots.size === 1)
+    assert(spark.sql("SELECT * FROM pcat.ns.t").count() === 3)
+  }
+
+  test("rewrite_data_files compacts to one file, rows unchanged") {
+    val ns = fresh("pcat2")
+    spark.sql("CREATE TABLE pcat2.ns.t (k INT)")
+    spark.sql("INSERT INTO pcat2.ns.t SELECT CAST(id AS INT) FROM range(10)")
+    spark.sql("INSERT INTO pcat2.ns.t SELECT CAST(id AS INT) FROM range(10, 20)")
+    val dir = s"$ns/t"
+    val filesBefore = new graft.iceberg.IcebergTable(dir, conf).planFiles().size
+    assert(filesBefore > 1)
+    val Seq(row) = spark.sql(
+      "CALL pcat2.system.rewrite_data_files(table => 'ns.t')").collect().toSeq
+    assert(row.getLong(0) ===
+      TableMetadata.load(dir, conf).currentSnapshotId.get)
+    assert(new graft.iceberg.IcebergTable(dir, conf).planFiles().size === 1)
+    assert(spark.sql("SELECT COUNT(*) FROM pcat2.ns.t").head.getLong(0) === 20)
+  }
+
+  test("fast_forward publishes a WAP branch from SQL only") {
+    val ns = fresh("pcat3")
+    spark.sql("CREATE TABLE pcat3.ns.t (k INT)")
+    spark.sql("INSERT INTO pcat3.ns.t VALUES (1)")
+    spark.sql("ALTER TABLE pcat3.ns.t CREATE BRANCH audit")
+    spark.conf.set("spark.wap.branch", "audit")
+    try spark.sql("INSERT INTO pcat3.ns.t VALUES (2)")
+    finally spark.conf.unset("spark.wap.branch")
+    assert(spark.sql("SELECT COUNT(*) FROM pcat3.ns.t").head.getLong(0) === 1)
+    val Seq(row) = spark.sql(
+      "CALL pcat3.system.fast_forward(table => 'ns.t', branch => 'main', " +
+        "to => 'audit')").collect().toSeq
+    assert(row.getString(0) === "main")
+    assert(spark.sql("SELECT COUNT(*) FROM pcat3.ns.t").head.getLong(0) === 2)
+    assert(row.getLong(2) ===
+      TableMetadata.load(s"$ns/t", conf).currentSnapshotId.get)
+  }
+
+  test("rollback_to_snapshot is a metadata-only undo") {
+    val ns = fresh("pcat4")
+    spark.sql("CREATE TABLE pcat4.ns.t (k INT)")
+    spark.sql("INSERT INTO pcat4.ns.t VALUES (1)")
+    val dir = s"$ns/t"
+    val first = TableMetadata.load(dir, conf).currentSnapshotId.get
+    spark.sql("INSERT INTO pcat4.ns.t VALUES (2)")
+    assert(spark.sql("SELECT COUNT(*) FROM pcat4.ns.t").head.getLong(0) === 2)
+    spark.sql(
+      s"CALL pcat4.system.rollback_to_snapshot(table => 'ns.t', snapshot_id => $first)")
+    assert(spark.sql("SELECT COUNT(*) FROM pcat4.ns.t").head.getLong(0) === 1)
+    // roll forward again: both snapshots still exist
+    val lin = TableMetadata.load(dir, conf)
+    assert(lin.snapshots.size === 2)
+  }
+
+  test("create_changelog_view registers a queryable CDC view") {
+    val ns = fresh("pcat5")
+    spark.sql("CREATE TABLE pcat5.ns.t (k INT)")
+    spark.sql("INSERT INTO pcat5.ns.t SELECT CAST(id AS INT) FROM range(5)")
+    spark.sql("DELETE FROM pcat5.ns.t WHERE k IN (1, 2)")
+    val Seq(row) = spark.sql(
+      "CALL pcat5.system.create_changelog_view(table => 'ns.t', " +
+        "changelog_view => 'tchanges')").collect().toSeq
+    assert(row.getString(0) === "tchanges")
+    val byType = spark.sql(
+      "SELECT _change_type, COUNT(*) FROM tchanges GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("insert" -> 5L, "delete" -> 2L))
+  }
+
+  test("positional args, string timestamps, and bad input fail loudly") {
+    val ns = fresh("pcat6")
+    spark.sql("CREATE TABLE pcat6.ns.t (k INT)")
+    spark.sql("INSERT INTO pcat6.ns.t VALUES (1)")
+    // positional + ISO string horizon in the past: expires nothing
+    val Seq(r) = spark.sql(
+      "CALL pcat6.system.expire_snapshots('ns.t', '2000-01-01T00:00:00Z')")
+      .collect().toSeq
+    assert(r.getInt(0) === 0)
+    val e = intercept[Exception](spark.sql(
+      "CALL pcat6.system.no_such_proc(table => 'ns.t')").collect())
+    assert(e.getMessage.contains("unknown procedure"))
+    val e2 = intercept[Exception](spark.sql(
+      "CALL pcat6.system.expire_snapshots(tables => 'ns.t')").collect())
+    assert(e2.getMessage.contains("no parameter"))
+  }
+}
