@@ -411,17 +411,27 @@ final class IcebergTable private (
     * direct path (the catalog scan path scopes it automatically).
     */
   def toDF(spark: SparkSession, filters: Seq[Filter] = Nil,
-           precomputed: Option[Seq[DataFileEntry]] = None): DataFrame = {
+           precomputed: Option[Seq[DataFileEntry]] = None,
+           keepIds: Boolean = false): DataFrame = {
+    import IcebergTable.{FpCol, PosCol}
+    val idFields = Seq(
+      org.apache.spark.sql.types.StructField(FpCol, StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(PosCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
     val files = precomputed.getOrElse(planFiles(filters))
     if (files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metadata.schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (keepIds) StructType(metadata.schema.fields ++ idFields)
+        else metadata.schema)
 
     val deletes = if (hasDeletes) planDeletes() else Nil
-    val base = scanFiles(spark, files, withIds = deletes.nonEmpty)
-    if (deletes.isEmpty) base
-    else applyDeletes(spark, base, files, deletes)
-      .select(metadata.schema.fieldNames.map(col): _*)
+    val base = scanFiles(spark, files, withIds = keepIds || deletes.nonEmpty)
+    val out = if (deletes.isEmpty) base
+      else applyDeletes(spark, base, files, deletes)
+    val keep = metadata.schema.fieldNames.toSeq ++
+      (if (keepIds) Seq(FpCol, PosCol) else Nil)
+    if (deletes.isEmpty && !keepIds) out else out.select(keep.map(col): _*)
   }
 
   /** The raw scan of an explicit file list under this snapshot's schema —

@@ -934,8 +934,8 @@ object IcebergWriter {
   // -- position deletes (selective DELETE without rewrite) --------------------
 
   /** Iceberg reserved field ids for position-delete file columns. */
-  private val PosDelPathId = 2147483546L
-  private val PosDelPosId = 2147483545L
+  private[graft] val PosDelPathId = 2147483546L
+  private[graft] val PosDelPosId = 2147483545L
 
   /** SQL `DELETE FROM … WHERE <predicate>` for predicates equality-delete
     * tuples cannot express (ranges, LIKE, disjunctions over different
@@ -1101,6 +1101,71 @@ object IcebergWriter {
         ref = branch, refExpected = refExpected, totals = totals)
       snapId
     } finally matched.unpersist()
+  }
+
+  /** Commit a DELTA (merge-on-read row-level write): `added` data files
+    * plus already-written position-delete files, in ONE snapshot on
+    * `branch` — the commit half of SQL UPDATE/MERGE/DELETE in
+    * merge-on-read mode. Nothing is rewritten: prior manifests (data AND
+    * delete) pass through untouched, so write amplification is
+    * proportional to the changed rows, not the touched files — the
+    * 100 TB trade copy-on-write cannot make. New data files take the new
+    * snapshot's sequence number and correctly ESCAPE the new deletes
+    * (position deletes name (file, pos) explicitly and only reference
+    * pre-existing files), so outstanding older deletes are fine here —
+    * unlike a copy-on-write rewrite, which must refuse them.
+    *
+    * `posDeletes`: (qualified path, matched row count, file bytes) of
+    * spec-compliant position-delete parquet files the executors wrote.
+    */
+  private[graft] def commitDelta(
+      spark: SparkSession, tableDir: String,
+      added: Seq[AddedDataFile],
+      posDeletes: Seq[(String, Long, Long)],
+      committer: Option[TableCommitter] = None,
+      branch: String = "main",
+      operation: String = "overwrite"): Long = {
+    if (added.isEmpty && posDeletes.isEmpty) return -1L
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val (baseSnap, parent, refExpected) = branchBase(meta, branch)
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val u = uniq()
+
+    val prev: Seq[ManifestFile] = baseSnap.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    val keptPrior: Seq[GenericRecord] = prev.map(m =>
+      mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
+        m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions))
+    val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
+    val delMl: Option[GenericRecord] = if (posDeletes.isEmpty) None else {
+      val dfSchema = deleteManifestSchema.getField("data_file").schema
+      val entries = posDeletes.map { case (path, rows, len) =>
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", 1) // POSITION_DELETES
+        d.put("file_path", path)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", rows)
+        d.put("file_size_in_bytes", len)
+        val e = new GenericData.Record(deleteManifestSchema)
+        e.put("status", 1)
+        e.put("data_file", d)
+        e.asInstanceOf[GenericRecord]
+      }
+      val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
+      val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
+      Some(mlRec(mPath.toString, mLen, 1, Some(snapId),
+        Some(posDeletes.map(_._2).sum), meta.defaultSpecId, Nil))
+    }
+    // merge-on-read never touches data files: totals only grow by the adds
+    val totals = baseSnap.flatMap(parsedTotals)
+      .map(t => plus(t, addedTotals(added)))
+    commitSnapshot(cmtr, snapId, parent, keptPrior ++ newMl ++ delMl,
+      Map("operation" -> operation), ref = branch,
+      refExpected = refExpected, totals = totals)
+    snapId
   }
 
   // -- snapshot expiration / orphan cleanup -----------------------------------

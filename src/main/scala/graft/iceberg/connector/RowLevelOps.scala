@@ -45,9 +45,33 @@ final class GraftRowLevelOperationBuilder(
     info: RowLevelOperationInfo,
     committerOpt: Option[graft.iceberg.TableCommitter] = None)
     extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(tableName, table, writable, info.command,
-      committerOpt)
+
+  /** Copy-on-write (the default, [[GraftRowLevelOperation]]) vs
+    * merge-on-read ([[GraftDeltaOperation]]: position-delete + append
+    * deltas), per the Iceberg `write.<op>.mode` table property. Under a
+    * `spark.wap.branch` with no declared mode, merge-on-read is chosen
+    * automatically — it is the only sound implementation there (the delta
+    * scan anchors on the branch head and the delta commit stages to the
+    * branch; a copy-on-write rewrite would scan main and stage a rewrite
+    * that never saw the branch's staged inserts). An EXPLICIT
+    * copy-on-write declaration under WAP still refuses loudly.
+    */
+  override def build(): RowLevelOperation = {
+    val declared = table.metadata.properties
+      .get(s"write.${info.command.toString.toLowerCase}.mode")
+    val wap = SparkSession.active match {
+      case s if s != null => SparkIcebergTable.wapBranch(s)
+      case _ => "main"
+    }
+    val useDelta = declared.contains("merge-on-read") ||
+      (declared.isEmpty && wap != "main")
+    if (useDelta)
+      new GraftDeltaOperation(tableName, table, writable, info.command,
+        committerOpt)
+    else
+      new GraftRowLevelOperation(tableName, table, writable, info.command,
+        committerOpt)
+  }
 }
 
 final class GraftRowLevelOperation(
@@ -242,4 +266,215 @@ final class GraftReplaceWrite(
       fs.delete(new Path(writeDir), true)
     }
   }
+}
+
+// ---- merge-on-read (delta) row-level operations ----------------------------
+
+/** Commit message of one delta task: appended data files + the
+  * position-delete files it wrote as (qualified path, rows, bytes). */
+private[connector] final case class GraftDeltaCommit(
+    dataFiles: Seq[graft.iceberg.AddedDataFile],
+    deleteFiles: Seq[(String, Long, Long)]) extends WriterCommitMessage
+
+/** Merge-on-read UPDATE / MERGE / DELETE (`SupportsDelta`): Spark's delta
+  * rewrites feed per-row actions to [[GraftDeltaWriter]]s — deletes become
+  * spec position-delete files keyed by the scan's `_file`/`_pos` metadata
+  * columns, inserts stream through the shared fanout kernel, and
+  * [[IcebergWriter.commitDelta]] lands both in one snapshot WITHOUT
+  * touching existing data files. Write amplification is proportional to
+  * the changed rows; at 100 TB that is the difference between "update 1%%
+  * of rows" and "rewrite 40%% of files". Updates are represented as
+  * delete + insert (the replacement row may land in another partition).
+  *
+  * Unlike the copy-on-write path, outstanding delete files are FINE here
+  * (nothing is rewritten, so nothing escapes them), and
+  * `spark.wap.branch` is fully supported: the scan anchors on the branch
+  * head and the commit stages to the branch.
+  */
+final class GraftDeltaOperation(
+    tableName: String, table: IcebergTable, writable: Boolean,
+    cmd: RowLevelOperation.Command,
+    committerOpt: Option[graft.iceberg.TableCommitter] = None)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** Row identity = the Iceberg reserved metadata columns the table
+    * serves from the parquet source ([[SparkIcebergTable.metadataColumns]]). */
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  /** The table state this operation reads and deletes against: the WAP
+    * branch head when `spark.wap.branch` names an existing branch (a
+    * staged row-level op must see staged inserts), the current snapshot
+    * otherwise (a missing branch forks from main at commit, same as the
+    * INSERT path). */
+  private def scanTable(spark: SparkSession): IcebergTable = {
+    val wap = SparkIcebergTable.wapBranch(spark)
+    if (wap == "main") table
+    else table.metadata.refs.get(wap).map(table.atSnapshot).getOrElse(table)
+  }
+
+  private def checkSupported(): Unit =
+    if (!writable || table.pinnedSnapshotId.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$tableName is read-only: ${cmd.name} needs a committable table " +
+          "(not time-travel-pinned)")
+
+  /** Reuses [[GraftScan]]: pushed predicates prune manifests/files AND
+    * filter rows (sound for delta ops — deletes are row-precise, nothing
+    * is rewritten verbatim), `_file`/`_pos` ride the row-identity
+    * machinery. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var filters: Array[Filter] = Array.empty
+      private var required: StructType = table.metadata.schema
+
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = { filters = fs; fs }
+      override def pushedFilters(): Array[Filter] = filters
+      override def pruneColumns(s: StructType): Unit = required = s
+
+      override def build(): Scan = {
+        checkSupported()
+        new GraftScan(scanTable(SparkSession.active), filters, required, None)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        checkSupported()
+        new GraftDeltaWrite(table, info.schema(), cmd, committerOpt)
+      }
+    }
+}
+
+/** The delta write: per-task [[GraftDeltaWriter]]s, one commit. */
+final class GraftDeltaWrite(
+    table: IcebergTable,
+    writeSchema: StructType,
+    cmd: RowLevelOperation.Command,
+    committerOpt: Option[graft.iceberg.TableCommitter] = None)
+    extends DeltaWrite {
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val spark = SparkSession.active
+    private val conf = spark.sessionState.newHadoopConf()
+    private val branch = SparkIcebergTable.wapBranch(spark)
+    private val writeDir =
+      s"${table.tableDir}/data/mor-${java.util.UUID.randomUUID.toString.take(12)}"
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+      val meta = table.metadata
+      val stamped = StructType(writeSchema.fields.map { f =>
+        meta.fieldIds.get(f.name) match {
+          case Some(id) => f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+          case None => f
+        }
+      })
+      val idToName = meta.fieldIds.map(_.swap)
+      val spec = meta.partitionSpec.map { p =>
+        val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
+          s"partition source field id ${p.sourceId} not in schema"))
+        val idx = writeSchema.fieldIndex(src)
+        val st = writeSchema(idx).dataType
+        graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
+          graft.iceberg.PartitionTransforms.resultType(p.transform, st))
+      }
+      val inner = new graft.iceberg.FanoutWriterFactory(
+        writeDir, stamped, meta.fieldIds, spec,
+        new graft.iceberg.SerializableHadoopConf(conf))
+      new GraftDeltaWriterFactory(inner, writeDir,
+        new graft.iceberg.SerializableHadoopConf(conf))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val deltas = messages.collect { case d: GraftDeltaCommit => d }.toSeq
+      IcebergWriter.commitDelta(spark, table.tableDir,
+        deltas.flatMap(_.dataFiles), deltas.flatMap(_.deleteFiles),
+        committerOpt, branch,
+        operation =
+          if (cmd == RowLevelOperation.Command.DELETE) "delete" else "overwrite")
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(writeDir).getFileSystem(conf)
+      fs.delete(new Path(writeDir), true)
+    }
+  }
+}
+
+/** Per-task delta writer: inserts stream through the fanout kernel
+  * (partition-exact files, own-footer stats); deleted row ids buffer,
+  * sort by (file, position) per the spec's recommendation, and flush as
+  * ONE position-delete parquet file per task at commit. Buffer size is
+  * bounded by the task's input split (a task can delete at most the rows
+  * it scanned), and ids are copied out of the reused `InternalRow`.
+  */
+final class GraftDeltaWriterFactory(
+    inner: graft.iceberg.FanoutWriterFactory,
+    writeDir: String,
+    conf: graft.iceberg.SerializableHadoopConf)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private var insertW: DataWriter[InternalRow] = _
+      private val dels = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+      override def insert(row: InternalRow): Unit = {
+        if (insertW == null) insertW = inner.createWriter(partitionId, taskId)
+        insertW.write(row)
+      }
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += ((id.getUTF8String(0).toString, id.getLong(1)))
+
+      /** Unreachable with representUpdateAsDeleteAndInsert = true; kept
+        * semantically correct anyway. */
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        delete(meta, id)
+        insert(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val dataFiles = if (insertW == null) Nil
+          else insertW.commit() match {
+            case graft.iceberg.GraftFilesCommit(fs) => fs
+            case other => throw new IllegalStateException(
+              s"unexpected fanout commit message: $other")
+          }
+        val delFiles = if (dels.isEmpty) Nil else {
+          val pathMeta = new MetadataBuilder()
+            .putLong("parquet.field.id", IcebergWriter.PosDelPathId).build()
+          val posMeta = new MetadataBuilder()
+            .putLong("parquet.field.id", IcebergWriter.PosDelPosId).build()
+          val delSchema = StructType(Seq(
+            org.apache.spark.sql.types.StructField("file_path",
+              org.apache.spark.sql.types.StringType, nullable = false, pathMeta),
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.LongType, nullable = false, posMeta)))
+          val p = new Path(s"$writeDir/del-$partitionId-$taskId-" +
+            s"${java.util.UUID.randomUUID.toString.take(8)}.parquet")
+          val fs = p.getFileSystem(conf.value)
+          val qualified = fs.makeQualified(p)
+          val w = org.apache.spark.sql.execution.datasources.parquet
+            .GraftParquetWriteShim.open(qualified.toString, delSchema, conf.value)
+          try dels.sortInPlace().foreach { case (f, pos) =>
+            w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(f), pos)))
+          } finally w.close()
+          Seq((qualified.toString, dels.size.toLong, fs.getFileStatus(qualified).getLen))
+        }
+        GraftDeltaCommit(dataFiles, delFiles)
+      }
+
+      override def abort(): Unit = if (insertW != null) insertW.abort()
+      override def close(): Unit = ()
+    }
 }

@@ -46,11 +46,35 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       * metadata pointer. */
     val committerOpt: Option[TableCommitter] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = tableName
 
   override def schema(): StructType = table.metadata.schema
+
+  /** Iceberg's reserved row-identity metadata columns: `_file` (data file
+    * path) and `_pos` (row position in it) — served from the parquet
+    * source's `_metadata` struct with no extra IO. They are the rowId the
+    * merge-on-read delta operations write position deletes against, and
+    * they're user-queryable (`SELECT _file, _pos FROM t`) like upstream. */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "row position in its data file"
+      })
 
   /** Writes go through the V1 bridge ([[GraftWriteBuilder]]): the commit
     * protocol is driver-side metadata bookkeeping around a distributed
@@ -104,9 +128,19 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
         IcebergWriter.equalityTuples(schema(), effective).isDefined)
       IcebergWriter.deleteWhere(spark, table.tableDir, filters.toSeq,
         committerOpt, branch)
-    else
+    else {
+      // write.delete.mode=merge-on-read pins the per-file strategy to
+      // position deletes only: heavily-matched files are never rewritten
+      // (fully-matched files still drop metadata-only — strictly cheaper
+      // than position-deleting every row)
+      val fraction =
+        if (table.metadata.properties.get("write.delete.mode")
+            .contains("merge-on-read")) 1.0
+        else 0.3
       IcebergWriter.positionDeleteWhere(spark, table.tableDir, effective,
+        maxPosDeleteFraction = fraction,
         committer = committerOpt, branch = branch)
+    }
   }
 
   /** SQL UPDATE / MERGE INTO / non-equality DELETE: Spark's group-based
@@ -217,8 +251,13 @@ final class GraftScanBuilder(table: IcebergTable)
     // batch scan pushes the field-id read schema straight to the parquet
     // source, which would null renamed columns of files without ids —
     // toDF applies the schema.name-mapping.default alias instead
+    // _file/_pos metadata columns also take the V1 bridge: they project
+    // off the parquet _metadata struct, which the raw batch scan's read
+    // schema cannot carry
+    val wantsRowId = requiredSchema.fieldNames
+      .exists(n => n == "_file" || n == "_pos")
     if (table.missingPartitionColumns(spark, staticFiles).isEmpty &&
-        limit.isEmpty && !table.hasDeletes &&
+        limit.isEmpty && !table.hasDeletes && !wantsRowId &&
         !table.needsNameMapping(spark, staticFiles))
       new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles)
     else
@@ -671,7 +710,16 @@ final class GraftScan(
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] = {
         val spark = ctx.sparkSession
-        var df = table.toDF(spark, filters.toSeq, precomputed = Some(files))
+        // `_file`/`_pos` metadata columns ride the same row-identity
+        // machinery merge-on-read uses (parquet `_metadata`, no extra IO).
+        // A DATA column named `_file`/`_pos` shadows the metadata column
+        // (Spark's conflict rule), so only non-schema names map.
+        val dataCols = table.metadata.schema.fieldNames.toSet
+        val isMetaCol = (n: String) =>
+          (n == "_file" || n == "_pos") && !dataCols.contains(n)
+        val wantsRowId = requiredSchema.fieldNames.exists(isMetaCol)
+        var df = table.toDF(spark, filters.toSeq, precomputed = Some(files),
+          keepIds = wantsRowId)
         // Re-apply pushed predicates inside the inner plan so the parquet
         // reader gets footer/row-group pushdown as well (A9) — except on
         // columns whose field id shifted across schema evolution: the
@@ -684,7 +732,13 @@ final class GraftScan(
           .filter(_.references.forall(c => !unsafe.contains(c)))
           .flatMap(IcebergTable.filterToColumn)
         if (residual.nonEmpty) df = df.filter(residual.reduce(_ && _))
-        df = df.select(requiredSchema.fieldNames.toSeq.map(col): _*)
+        df = df.select(requiredSchema.fieldNames.toSeq.map {
+          case n if isMetaCol(n) && n == "_file" =>
+            col(IcebergTable.FpCol).as("_file")
+          case n if isMetaCol(n) && n == "_pos" =>
+            col(IcebergTable.PosCol).as("_pos")
+          case n => col(n)
+        }: _*)
         limit.foreach(n => df = df.limit(n))
         df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
       }

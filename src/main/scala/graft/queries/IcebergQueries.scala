@@ -371,6 +371,41 @@ object IcebergQueries {
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // Merge-on-read row-level ops end-to-end: UPDATE, MERGE, and a range
+    // DELETE all run in write.<op>.mode=merge-on-read (position-delete +
+    // append deltas; no data file rewritten), then every surviving row is
+    // hash-gated against the oracle restating the three mutations.
+    "q67_mor" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q67-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q67")
+      s.conf.set("spark.sql.catalog.q67cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q67cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q67cat.ns")
+      s.sql(
+        """CREATE TABLE q67cat.ns.nation_mor
+          |TBLPROPERTIES ('write.update.mode' = 'merge-on-read',
+          |               'write.merge.mode' = 'merge-on-read',
+          |               'write.delete.mode' = 'merge-on-read') AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q67""".stripMargin)
+      s.sql(
+        """UPDATE q67cat.ns.nation_mor SET n_regionkey = n_regionkey + 10
+          |WHERE n_nationkey >= 15""".stripMargin)
+      s.sql(
+        """MERGE INTO q67cat.ns.nation_mor t
+          |USING (SELECT n_nationkey, n_regionkey + 100 AS r
+          |       FROM nation_src_q67 WHERE n_nationkey BETWEEN 5 AND 9) src
+          |ON t.n_nationkey = src.n_nationkey
+          |WHEN MATCHED THEN UPDATE SET n_regionkey = src.r""".stripMargin)
+      s.sql(
+        "DELETE FROM q67cat.ns.nation_mor WHERE n_nationkey > 1 AND n_nationkey < 4")
+      s.sql(
+        """SELECT n_nationkey, n_regionkey, n_name FROM q67cat.ns.nation_mor
+          |ORDER BY n_nationkey""".stripMargin)
+    }),
+
     // CDC changelog: CTAS + append + merge-on-read equality DELETE, then
     // changesBetween(table start, head) — inserts for both appends,
     // exactly the matched rows as deletes, ordinals in commit order. The
@@ -519,6 +554,17 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    "q67_mor" ->
+      """WITH upd AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_nationkey BETWEEN 5 AND 9 THEN n_regionkey + 100
+        |              WHEN n_nationkey >= 15 THEN n_regionkey + 10
+        |              ELSE n_regionkey END AS n_regionkey,
+        |         n_name
+        |  FROM nation)
+        |SELECT n_nationkey, n_regionkey, n_name FROM upd
+        |WHERE NOT (n_nationkey > 1 AND n_nationkey < 4)
+        |ORDER BY n_nationkey""".stripMargin,
     "q66_changelog" ->
       """SELECT n_nationkey, n_regionkey, n_name,
         |       'insert' AS _change_type, 0 AS _change_ordinal

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.iceberg.{IcebergTable, IcebergWriter, TableMetadata}
+import graft.iceberg.connector.GraftCatalog
+
+/** Merge-on-read UPDATE / MERGE / DELETE (`write.<op>.mode =
+  * merge-on-read`): position-delete + append deltas instead of
+  * copy-on-write rewrites. Asserted on three axes: values (the query
+  * result), physics (no pre-existing data file is removed; delete files
+  * appear), and WAP (row-level ops stage on `spark.wap.branch` and
+  * publish atomically).
+  */
+class MergeOnReadSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/mor-warehouse"
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def fresh(cat: String): String = {
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    s"$warehouse/ns"
+  }
+
+  private def dataFiles(dir: String): Set[String] =
+    new IcebergTable(dir, conf).planFiles().map(_.filePath).toSet
+
+  test("UPDATE in merge-on-read mode rewrites rows, not files") {
+    val ns = fresh("mor1")
+    spark.sql(
+      """CREATE TABLE mor1.ns.t (k INT, v STRING)
+        |TBLPROPERTIES ('write.update.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO mor1.ns.t SELECT CAST(id AS INT), 'old' FROM range(100)")
+    val dir = s"$ns/t"
+    val before = dataFiles(dir)
+
+    spark.sql("UPDATE mor1.ns.t SET v = 'new' WHERE k % 10 = 3")
+
+    val after = dataFiles(dir)
+    assert(before.subsetOf(after), "merge-on-read must not remove data files")
+    assert((after -- before).nonEmpty, "replacement rows are appended")
+    assert(new IcebergTable(dir, conf).hasDeletes,
+      "the update's deletes land as position-delete files")
+    val rows = spark.sql("SELECT k, v FROM mor1.ns.t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows.size === 100)
+    assert((0 until 100).forall(k =>
+      rows(k) == (if (k % 10 == 3) "new" else "old")))
+  }
+
+  test("consecutive merge-on-read UPDATEs see each other's deltas") {
+    val ns = fresh("mor2")
+    spark.sql(
+      """CREATE TABLE mor2.ns.t (k INT, v INT)
+        |TBLPROPERTIES ('write.update.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO mor2.ns.t SELECT CAST(id AS INT), 0 FROM range(20)")
+    spark.sql("UPDATE mor2.ns.t SET v = v + 1 WHERE k < 10")
+    spark.sql("UPDATE mor2.ns.t SET v = v + 1 WHERE k < 5")
+    val rows = spark.sql("SELECT k, v FROM mor2.ns.t").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(rows.size === 20)
+    assert((0 until 20).forall(k =>
+      rows(k) == (if (k < 5) 2 else if (k < 10) 1 else 0)))
+  }
+
+  test("MERGE INTO in merge-on-read mode: matched updates + inserts") {
+    val ns = fresh("mor3")
+    spark.sql(
+      """CREATE TABLE mor3.ns.t (k INT, v STRING)
+        |TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO mor3.ns.t SELECT CAST(id AS INT), 'base' FROM range(10)")
+    val dir = s"$ns/t"
+    val before = dataFiles(dir)
+    spark.range(5, 15)
+      .selectExpr("CAST(id AS INT) AS k", "'merged' AS v")
+      .createOrReplaceTempView("mor3_src")
+    spark.sql(
+      """MERGE INTO mor3.ns.t t USING mor3_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(before.subsetOf(dataFiles(dir)))
+    val rows = spark.sql("SELECT k, v FROM mor3.ns.t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(rows.size === 15)
+    assert((0 until 15).forall(k =>
+      rows(k) == (if (k < 5) "base" else "merged")))
+  }
+
+  test("DELETE with a non-equality predicate in merge-on-read mode") {
+    val ns = fresh("mor4")
+    spark.sql(
+      """CREATE TABLE mor4.ns.t (k INT, v STRING)
+        |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO mor4.ns.t SELECT CAST(id AS INT), CONCAT('x', id % 3) FROM range(30)")
+    val dir = s"$ns/t"
+    val before = dataFiles(dir)
+    // OR of ranges: not equality-expressible, reaches the row-level path
+    spark.sql("DELETE FROM mor4.ns.t WHERE (k > 5 AND k < 9) OR (k >= 20 AND v = 'x2')")
+    assert(before.subsetOf(dataFiles(dir)),
+      "merge-on-read DELETE keeps every data file")
+    val kept = spark.sql("SELECT k FROM mor4.ns.t").collect().map(_.getInt(0)).toSet
+    val expected = (0 until 30).filterNot(k =>
+      (k > 5 && k < 9) || (k >= 20 && k % 3 == 2)).toSet
+    assert(kept === expected)
+  }
+
+  test("UPDATE and MERGE stage on spark.wap.branch and publish atomically") {
+    val ns = fresh("mor5")
+    spark.sql("CREATE TABLE mor5.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO mor5.ns.t SELECT CAST(id AS INT), 'main' FROM range(10)")
+    val dir = s"$ns/t"
+    spark.sql("ALTER TABLE mor5.ns.t CREATE BRANCH audit")
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      spark.sql("INSERT INTO mor5.ns.t VALUES (100, 'staged')")
+      // no write.update.mode declared: WAP auto-routes to merge-on-read,
+      // and the delta scan MUST see the staged insert (branch head)
+      spark.sql("UPDATE mor5.ns.t SET v = 'updated' WHERE k >= 8")
+    } finally spark.conf.unset("spark.wap.branch")
+
+    // main unchanged
+    val main = spark.sql("SELECT k, v FROM mor5.ns.t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(main === (0 until 10).map(_ -> "main").toMap)
+    // branch carries insert + update (including the staged row k=100)
+    val branch = spark.sql(
+      "SELECT k, v FROM mor5.ns.t VERSION AS OF 'audit'").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(branch.size === 11)
+    assert(branch(100) === "updated", "the staged insert must be visible " +
+      "to the staged UPDATE (branch-anchored scan)")
+    assert(branch(8) === "updated" && branch(9) === "updated" && branch(0) === "main")
+
+    IcebergWriter.fastForward(conf, dir, from = "audit")
+    val published = spark.sql("SELECT k, v FROM mor5.ns.t").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(published === branch)
+  }
+
+  test("explicit copy-on-write under WAP still refuses loudly") {
+    val ns = fresh("mor6")
+    spark.sql(
+      """CREATE TABLE mor6.ns.t (k INT, v STRING)
+        |TBLPROPERTIES ('write.update.mode' = 'copy-on-write')""".stripMargin)
+    spark.sql("INSERT INTO mor6.ns.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE mor6.ns.t CREATE BRANCH audit")
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      val e = intercept[Exception](
+        spark.sql("UPDATE mor6.ns.t SET v = 'b' WHERE k = 1"))
+      assert(e.getMessage.contains("spark.wap.branch"))
+    } finally spark.conf.unset("spark.wap.branch")
+  }
+
+  test("_file and _pos metadata columns are user-queryable") {
+    val ns = fresh("mor7")
+    spark.sql("CREATE TABLE mor7.ns.t (k INT)")
+    spark.sql("INSERT INTO mor7.ns.t SELECT CAST(id AS INT) FROM range(7)")
+    val rows = spark.sql("SELECT k, _file, _pos FROM mor7.ns.t").collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getString(1).contains("/ns/t/data/")))
+    val byFile = rows.groupBy(_.getString(1))
+    byFile.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted === (0L until rs.length).toArray.toSeq)
+    }
+  }
+}

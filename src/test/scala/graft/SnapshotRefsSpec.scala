@@ -192,7 +192,7 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 5L)
   }
 
-  test("SQL: spark.wap.branch routes INSERT and equality DELETE; UPDATE refuses") {
+  test("SQL: spark.wap.branch routes INSERT, equality DELETE, and UPDATE") {
     val dir = createTable("t10", ids(0, 1))
     IcebergWriter.append(spark, dir, ids(0, 3))
     spark.conf.set("spark.sql.catalog.refcat", classOf[GraftCatalog].getName)
@@ -202,16 +202,20 @@ class SnapshotRefsSpec extends SparkSpec {
     try {
       spark.sql("INSERT INTO refcat.ns.t10 VALUES (7, 'row7')")
       spark.sql("DELETE FROM refcat.ns.t10 WHERE id = 0")
-      val e = intercept[Exception] {
-        spark.sql("UPDATE refcat.ns.t10 SET tag = 'x' WHERE id = 1")
-      }
-      assert(e.getMessage.contains("spark.wap.branch"),
-        s"UPDATE under WAP must refuse loudly, got: ${e.getMessage}")
+      // UPDATE under WAP auto-routes to merge-on-read deltas staged on the
+      // branch (MergeOnReadSpec pins the full semantics; an explicit
+      // write.update.mode=copy-on-write still refuses)
+      spark.sql("UPDATE refcat.ns.t10 SET tag = 'x' WHERE id = 1")
     } finally spark.conf.unset("spark.wap.branch")
     assert(spark.sql("SELECT COUNT(*) FROM refcat.ns.t10")
       .head().getLong(0) == 3L, "main unchanged until publish")
-    assert(spark.sql("SELECT id FROM refcat.ns.t10 VERSION AS OF 'audit'")
-      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 7L))
+    assert(spark.sql("SELECT tag FROM refcat.ns.t10 WHERE id = 1")
+      .head().getString(0) != "x", "main must not see the staged UPDATE")
+    val branchRows = spark.sql(
+      "SELECT id, tag FROM refcat.ns.t10 VERSION AS OF 'audit'")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(branchRows.keySet == Set(1L, 2L, 7L))
+    assert(branchRows(1L) == "x", "staged UPDATE visible on the branch")
   }
 
   test("SQL: CREATE/DROP BRANCH and TAG DDL") {
