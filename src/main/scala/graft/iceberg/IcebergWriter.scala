@@ -334,17 +334,34 @@ object IcebergWriter {
     */
   def compact(spark: SparkSession, tableDir: String,
               targetFileBytes: Long = 128L << 20,
-              committer: Option[TableCommitter] = None): Long = {
+              committer: Option[TableCommitter] = None,
+              /** Linear clustering: range-partition + sort by these
+                * columns, so file bounds stay tight on the LEADING
+                * column(s) — the classic sort-order rewrite. */
+              sortCols: Seq[String] = Nil,
+              /** Multi-dimensional clustering ([[ZOrder]]): tight file
+                * bounds on EVERY listed column at once. Mutually
+                * exclusive with `sortCols`. */
+              zorderCols: Seq[String] = Nil): Long = {
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "choose sort OR zorder clustering, not both")
     val t = committer match {
       case Some(c) => IcebergTable.fromMetadata(tableDir, c.conf, c.currentMetadata())
       case None => IcebergTable(spark, tableDir)
     }
     val totalBytes = t.planFiles().map(_.fileSizeInBytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df0 = t.toDF(spark)
+    val df =
+      if (zorderCols.nonEmpty) ZOrder.cluster(df0, zorderCols, n)
+      else if (sortCols.nonEmpty)
+        df0.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df0.repartition(n)
     // spec operation `replace`: same rows, different files — readers that
     // interpret operations (the changelog above all) must see compaction
     // as data movement, not as an overwrite's delete+insert churn
-    commit(spark, tableDir, t.toDF(spark).repartition(n), carryPrior = false,
+    commit(spark, tableDir, df, carryPrior = false,
       Map("operation" -> "replace"), committer)
   }
 

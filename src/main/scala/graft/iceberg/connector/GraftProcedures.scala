@@ -146,7 +146,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     val params: Seq[String] = procedure match {
       case "expire_snapshots" => Seq("table", "older_than", "retain_last")
       case "remove_orphan_files" => Seq("table", "older_than")
-      case "rewrite_data_files" => Seq("table", "target_file_size_bytes")
+      case "rewrite_data_files" =>
+        Seq("table", "strategy", "sort_order", "target_file_size_bytes")
       case "fast_forward" => Seq("table", "branch", "to")
       case "rollback_to_snapshot" => Seq("table", "snapshot_id")
       case "create_changelog_view" =>
@@ -172,9 +173,30 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           toMillis(m("older_than"), "older_than"), cmtr)
         Seq(Row(n))
       case "rewrite_data_files" =>
+        // strategy 'binpack' (default) | 'sort'; sort_order is either
+        // 'zorder(c1, c2, ...)' (multi-dimensional clustering) or a
+        // column list 'c1, c2' (linear range-cluster + sort)
+        val strategy = m.get("strategy").map(_.asInstanceOf[String].toLowerCase)
+          .getOrElse("binpack")
+        require(strategy == "binpack" || strategy == "sort",
+          s"rewrite_data_files: unknown strategy '$strategy' (binpack|sort)")
+        val order = m.get("sort_order").map(_.asInstanceOf[String].trim)
+        require(strategy == "sort" || order.isEmpty,
+          "rewrite_data_files: sort_order needs strategy => 'sort'")
+        val ZOrderRe = """(?i)^zorder\s*\((.+)\)$""".r
+        val (sortCols, zorderCols) = order match {
+          case Some(ZOrderRe(inner)) =>
+            (Nil, inner.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          case Some(cols) =>
+            (cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq, Nil)
+          case None => (Nil, Nil)
+        }
+        require(strategy == "binpack" || sortCols.nonEmpty || zorderCols.nonEmpty,
+          "rewrite_data_files: strategy 'sort' needs sort_order")
         val sid = IcebergWriter.compact(spark, dir,
           m.get("target_file_size_bytes").map(_.asInstanceOf[Long])
-            .getOrElse(128L << 20), cmtr)
+            .getOrElse(128L << 20), cmtr,
+          sortCols = sortCols, zorderCols = zorderCols)
         Seq(Row(sid))
       case "fast_forward" =>
         val branch = str(m, "branch", procedure)
