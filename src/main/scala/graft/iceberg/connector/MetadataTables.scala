@@ -26,7 +26,9 @@ import graft.iceberg.IcebergTable
   */
 object MetadataTables {
 
-  val names: Set[String] = Set("snapshots", "files", "manifests")
+  val names: Set[String] =
+    Set("snapshots", "files", "manifests", "refs", "history", "partitions",
+      "delete_files")
 
   def forName(parent: String, kind: String, t: IcebergTable): Table = kind match {
     case "snapshots" => new GraftMetadataTable(s"$parent.snapshots",
@@ -64,6 +66,72 @@ object MetadataTables {
         m.path, m.length, m.partitionSpecId, m.content,
         m.sequenceNumber.map(Long.box).orNull,
         m.addedRowsCount.map(Long.box).orNull)))
+    // branches/tags with their pin — the WAP observability table ("is my
+    // staged branch where I think it is?")
+    case "refs" => new GraftMetadataTable(s"$parent.refs",
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("type", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false))),
+      () => t.metadata.refs.toSeq.sortBy(_._1).map { case (name, sid) => Row(
+        name, if (t.metadata.tagRefs.contains(name)) "TAG" else "BRANCH", sid) })
+    // main's commit order (the snapshot-log): rollbacks append a repeat
+    // entry, so history shows the true sequence of table states
+    case "history" => new GraftMetadataTable(s"$parent.history",
+      StructType(Seq(
+        StructField("made_current_at_ms", LongType, nullable = true),
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("parent_id", LongType, nullable = true),
+        StructField("is_current_ancestor", BooleanType, nullable = false))),
+      () => {
+        val byId = t.metadata.snapshots.map(s => s.snapshotId -> s).toMap
+        val lineage = t.metadata.snapshotLineage
+        val ancestors = {
+          // walk parent ids back from the head: entries the current state
+          // descends from (a rolled-back fork is history, not an ancestor)
+          val head = t.metadata.currentSnapshotId.filter(_ != -1L)
+          Iterator.iterate(head.flatMap(byId.get))(
+            _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+            .takeWhile(_.isDefined).flatten
+            .take(t.metadata.snapshots.size).map(_.snapshotId).toSet
+        }
+        lineage.map { sid => Row(
+          byId.get(sid).map(s => Long.box(s.timestampMs)).orNull,
+          sid,
+          byId.get(sid).flatMap(_.parentSnapshotId).map(Long.box).orNull,
+          ancestors.contains(sid)) }
+      })
+    // per-partition-tuple rollup of the CURRENT snapshot's live files
+    case "partitions" => new GraftMetadataTable(s"$parent.partitions",
+      StructType(Seq(
+        StructField("partition", StringType, nullable = true),
+        StructField("file_count", LongType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("total_size_in_bytes", LongType, nullable = false))),
+      () => t.planFiles()
+        .groupBy(f =>
+          if (f.partition.isEmpty) null
+          else f.partition.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(", "))
+        .toSeq.sortBy(g => Option(g._1).getOrElse(""))
+        .map { case (p, fs) => Row(
+          p, fs.size.toLong, fs.map(_.recordCount).sum,
+          fs.map(_.fileSizeInBytes).sum) })
+    // v2 delete files in force on the current snapshot — the merge-on-read
+    // debt a compaction would materialize
+    case "delete_files" => new GraftMetadataTable(s"$parent.delete_files",
+      StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("content", StringType, nullable = false),
+        StructField("equality_field_ids", StringType, nullable = true),
+        StructField("record_count", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = true))),
+      () => t.planDeletes().map(d => Row(
+        d.filePath,
+        if (d.content == 1) "POSITION_DELETES" else "EQUALITY_DELETES",
+        if (d.equalityIds.isEmpty) null else d.equalityIds.mkString(", "),
+        d.recordCount,
+        d.sequenceNumber.map(Long.box).orNull)))
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 }

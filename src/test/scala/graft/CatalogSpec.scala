@@ -203,6 +203,40 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE scratch.ns1.m1")
   }
 
+  test("metadata tables: refs / history / partitions / delete_files") {
+    useCatalogs()
+    spark.sql("DROP TABLE IF EXISTS scratch.ns1.m2")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.ns1")
+    spark.sql("CREATE TABLE scratch.ns1.m2 (id BIGINT, part BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO scratch.ns1.m2 SELECT id, id % 2 FROM range(10)")
+    spark.sql("ALTER TABLE scratch.ns1.m2 CREATE BRANCH audit")
+    spark.sql("ALTER TABLE scratch.ns1.m2 CREATE TAG v1")
+
+    val refs = spark.sql(
+      "SELECT name, type FROM scratch.ns1.m2.refs ORDER BY name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    assert(refs === Seq("audit" -> "BRANCH", "main" -> "BRANCH", "v1" -> "TAG"))
+
+    val hist = spark.sql(
+      "SELECT snapshot_id, is_current_ancestor FROM scratch.ns1.m2.history")
+      .collect()
+    assert(hist.length === 1 && hist.head.getBoolean(1))
+
+    val parts = spark.sql(
+      "SELECT partition, file_count, record_count FROM scratch.ns1.m2.partitions " +
+        "ORDER BY partition").collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("part=0", "part=1"))
+    assert(parts.map(_.getLong(2)).sum === 10L)
+
+    spark.sql("DELETE FROM scratch.ns1.m2 WHERE id IN (1, 3)") // equality delete
+    val dels = spark.sql(
+      "SELECT content, record_count FROM scratch.ns1.m2.delete_files").collect()
+    assert(dels.length === 1 && dels.head.getString(0) === "EQUALITY_DELETES")
+    assert(dels.head.getLong(1) === 2L)
+    spark.sql("DROP TABLE scratch.ns1.m2")
+  }
+
   test("time-travel-pinned tables refuse writes") {
     useCatalogs()
     spark.sql("DROP TABLE IF EXISTS scratch.ns1.w2")
