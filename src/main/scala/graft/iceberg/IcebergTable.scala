@@ -704,15 +704,20 @@ final class IcebergTable private (
 
     def norm(t: IcebergTable, path: String) = normPath(t.resolve(path))
 
+    // consecutive window steps share the parent/snapshot boundary — one
+    // pinned table (and so one manifest read) per snapshot, not two
+    val pinned = scala.collection.mutable.Map.empty[Long, IcebergTable]
+    def at(id: Long): IcebergTable = pinned.getOrElseUpdate(id, atSnapshot(id))
+
     val parts = (fromPos until toPos).zipWithIndex.flatMap { case (k, ordinal) =>
       // position k+1 (1-based) = lineage(k); parent = lineage(k - 1)
       val sid = lineage(k)
-      val s = atSnapshot(sid)
+      val s = at(sid)
       val op = s.snapshot.map(_.summary.getOrElse("operation", "append"))
         .getOrElse("append")
       if (op == "replace") Nil // compaction: same rows, different files
       else {
-        val p = if (k == 0) None else Some(atSnapshot(lineage(k - 1)))
+        val p = if (k == 0) None else Some(at(lineage(k - 1)))
         val pFiles = p.map(_.planFiles()).getOrElse(Nil)
         val sFiles = s.planFiles()
         val pPaths = p.map(pt => pFiles.map(f => norm(pt, f.filePath)).toSet)

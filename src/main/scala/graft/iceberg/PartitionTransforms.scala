@@ -101,25 +101,32 @@ object PartitionTransforms {
             case _ => None
           }
         }
-      case TruncateRe(w) =>
-        val width = w.toInt
-        v match {
-          case i: Int => Some(i - Math.floorMod(i, width))
-          case l: Long => Some(l - Math.floorMod(l, width.toLong))
-          case s: String =>
-            // Iceberg truncates strings by Unicode CODE POINTS, not UTF-16
-            // units — take(width) would split surrogate pairs and produce a
-            // wrong (unsoundly pruning) transformed value
-            val cps = s.codePointCount(0, s.length)
-            Some(if (cps <= width) s
-                 else s.substring(0, s.offsetByCodePoints(0, width)))
-          case _ => None
-        }
-      case BucketRe(n) =>
-        icebergHash(sourceType, v).map(h => Math.floorMod(h & Int.MaxValue, n.toInt))
+      case TruncateRe(w) => truncateValue(w.toInt, v)
+      case BucketRe(n) => bucketValue(n.toInt, sourceType, v)
       case _ => None
     }
   }
+
+  /** `truncate[width]` on a NORMALIZED value — the regex-free entry for
+    * per-row callers (the V2 `truncate` function above all). */
+  def truncateValue(width: Int, v: Any): Option[Any] = v match {
+    case null => Some(null)
+    case i: Int => Some(i - Math.floorMod(i, width))
+    case l: Long => Some(l - Math.floorMod(l, width.toLong))
+    case s: String =>
+      // Iceberg truncates strings by Unicode CODE POINTS, not UTF-16
+      // units — take(width) would split surrogate pairs and produce a
+      // wrong (unsoundly pruning) transformed value
+      val cps = s.codePointCount(0, s.length)
+      Some(if (cps <= width) s
+           else s.substring(0, s.offsetByCodePoints(0, width)))
+    case _ => None
+  }
+
+  /** `bucket[n]` on a NORMALIZED value — regex-free per-row entry. */
+  def bucketValue(n: Int, sourceType: DataType, v: Any): Option[Any] =
+    if (v == null) Some(null)
+    else icebergHash(sourceType, v).map(h => Math.floorMod(h & Int.MaxValue, n))
 
   /** Iceberg bucket hash (spec Appendix B): murmur3_x86_32, seed 0.
     * int/long/date/time/timestamp hash as the 8-byte little-endian long;

@@ -109,7 +109,9 @@ object GraftFunctions {
       val n = input.getInt(0)
       val v = jvmValue(input, 1, valueType)
       if (v == null) return null
-      PartitionTransforms.apply(s"bucket[$n]", valueType, v) match {
+      // regex-free per-row entry: internal ints/longs/strings are already
+      // in PartitionTransforms' normalized form
+      PartitionTransforms.bucketValue(n, valueType, v) match {
         case Some(b: Int) => b
         case other => throw new IllegalStateException(
           s"bucket[$n] over $valueType produced $other")
@@ -146,7 +148,7 @@ object GraftFunctions {
       val w = input.getInt(0)
       val v = jvmValue(input, 1, valueType)
       if (v == null) return null
-      PartitionTransforms.apply(s"truncate[$w]", valueType, v) match {
+      PartitionTransforms.truncateValue(w, v) match {
         case Some(r) => internalValue(r)
         case None => throw new IllegalStateException(
           s"truncate[$w] over $valueType not computable")

@@ -163,10 +163,11 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
 
     val rows = procedure match {
       case "expire_snapshots" =>
+        val retain =
+          if (m.contains("retain_last")) lng(m, "retain_last", procedure).toInt
+          else 1
         val n = IcebergWriter.expireSnapshots(spark, dir,
-          toMillis(m("older_than"), "older_than"),
-          m.get("retain_last").map(_.asInstanceOf[Long].toInt).getOrElse(1),
-          cmtr)
+          toMillis(m("older_than"), "older_than"), retain, cmtr)
         Seq(Row(n))
       case "remove_orphan_files" =>
         val n = IcebergWriter.removeOrphanFiles(spark, dir,
@@ -193,9 +194,11 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         }
         require(strategy == "binpack" || sortCols.nonEmpty || zorderCols.nonEmpty,
           "rewrite_data_files: strategy 'sort' needs sort_order")
-        val sid = IcebergWriter.compact(spark, dir,
-          m.get("target_file_size_bytes").map(_.asInstanceOf[Long])
-            .getOrElse(128L << 20), cmtr,
+        val target =
+          if (m.contains("target_file_size_bytes"))
+            lng(m, "target_file_size_bytes", procedure)
+          else 128L << 20
+        val sid = IcebergWriter.compact(spark, dir, target, cmtr,
           sortCols = sortCols, zorderCols = zorderCols)
         Seq(Row(sid))
       case "fast_forward" =>
@@ -213,12 +216,17 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         IcebergWriter.createRef(t.table.conf, dir, "main", sid, "branch", cmtr)
         Seq(Row(prev, sid))
       case "create_changelog_view" =>
-        val view = m.get("changelog_view").map(_.asInstanceOf[String])
-          .getOrElse(s"${ident.name}_changes")
+        val view =
+          if (m.contains("changelog_view")) str(m, "changelog_view", procedure)
+          else s"${ident.name}_changes"
         val lineage = t.table.metadata.snapshotLineage
-        val start = m.get("start_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(0L)
-        val end = m.get("end_snapshot_id").map(_.asInstanceOf[Long])
-          .orElse(lineage.lastOption).getOrElse(0L)
+        val start =
+          if (m.contains("start_snapshot_id"))
+            lng(m, "start_snapshot_id", procedure)
+          else 0L
+        val end =
+          if (m.contains("end_snapshot_id")) lng(m, "end_snapshot_id", procedure)
+          else lineage.lastOption.getOrElse(0L)
         t.table.changesBetween(spark, start, end).createOrReplaceTempView(view)
         Seq(Row(view))
     }

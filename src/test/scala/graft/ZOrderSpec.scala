@@ -68,10 +68,11 @@ class ZOrderSpec extends SparkSpec {
       """INSERT INTO zcat2.ns.t
         |SELECT CAST(id % 100 AS INT), CAST(id DIV 100 AS INT) FROM range(10000)""".stripMargin)
     val dir = s"$ns/t"
-    IcebergWriter.compact(spark, dir, targetFileBytes = 4096,
+    IcebergWriter.compact(spark, dir, targetFileBytes = 1024,
       sortCols = Seq("x"))
     val t = new IcebergTable(dir, conf)
     val total = t.planFiles().size
+    assert(total > 1, s"rewrite should produce several files, got $total")
     val hitX = t.planFiles(Seq(
       GreaterThanOrEqual("x", 40), LessThan("x", 50))).size
     assert(hitX < total, "sort by x gives x pruning")
