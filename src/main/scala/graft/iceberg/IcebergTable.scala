@@ -773,6 +773,33 @@ final class IcebergTable private (
           StructField("_change_ordinal", IntegerType, nullable = false))))
     } else parts.reduce(_.unionByName(_))
   }
+
+  /** NET row-level changes over the window: [[changesBetween]] with
+    * insert/delete pairs of identical row CONTENT collapsed (one
+    * groupBy-all-columns shuffle). This is what a consumer syncing a
+    * downstream copy wants when the window contains copy-on-write
+    * rewrites — an UPDATE's untouched-but-rewritten rows cancel out,
+    * leaving exactly the rows to upsert/remove. Multiplicity is exact:
+    * a row inserted twice and deleted once nets to one insert.
+    * Per-commit attribution is meaningless after collapsing, so the
+    * output carries only `_change_type` (plus the window in the
+    * caller's hands).
+    */
+  def netChangesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    val cs = changesBetween(spark, fromId, toId)
+    val cols = metadata.schema.fieldNames.toSeq
+    val net = cs.groupBy(cols.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L).otherwise(-1L))
+        .as("__g_net"))
+      .filter(col("__g_net") =!= 0L)
+    // |net| copies of each surviving row, typed by the sign
+    net.withColumn("_change_type",
+        when(col("__g_net") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__g_copies",
+        org.apache.spark.sql.functions.sequence(lit(1L), abs(col("__g_net"))))
+      .withColumn("__g_i", explode(col("__g_copies")))
+      .select((cols :+ "_change_type").map(col): _*)
+  }
 }
 
 object IcebergTable {

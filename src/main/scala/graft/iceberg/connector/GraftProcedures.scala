@@ -151,7 +151,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "fast_forward" => Seq("table", "branch", "to")
       case "rollback_to_snapshot" => Seq("table", "snapshot_id")
       case "create_changelog_view" =>
-        Seq("table", "changelog_view", "start_snapshot_id", "end_snapshot_id")
+        Seq("table", "changelog_view", "start_snapshot_id", "end_snapshot_id",
+          "net_changes")
     }
     val m = bind(procedure, params, rawArgs)
     val tableParts = spark.sessionState.sqlParser
@@ -227,7 +228,16 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         val end =
           if (m.contains("end_snapshot_id")) lng(m, "end_snapshot_id", procedure)
           else lineage.lastOption.getOrElse(0L)
-        t.table.changesBetween(spark, start, end).createOrReplaceTempView(view)
+        // net_changes => 1 collapses insert/delete pairs of identical row
+        // content (what a downstream sync wants across COW rewrites)
+        val net = m.get("net_changes").exists {
+          case l: Long => l != 0L
+          case s: String => s.equalsIgnoreCase("true")
+          case _ => false
+        }
+        val df = if (net) t.table.netChangesBetween(spark, start, end)
+          else t.table.changesBetween(spark, start, end)
+        df.createOrReplaceTempView(view)
         Seq(Row(view))
     }
     if (procedure != "create_changelog_view") cat.invalidateTable(ident)

@@ -371,6 +371,35 @@ object IcebergQueries {
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // Z-order rewrite end-to-end through SQL: CTAS from lineitem, CALL
+    // rewrite_data_files(strategy => 'sort', sort_order => 'zorder(...)'),
+    // then an aggregate over a 2-D selective slice is hash-gated (row
+    // preservation through the rewrite) — ZOrderSpec pins the pruning
+    // physics, the oracle pins the values.
+    "q68_zorder" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q68-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem_src_q68")
+      s.conf.set("spark.sql.catalog.q68cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q68cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q68cat.ns")
+      s.sql(
+        """CREATE TABLE q68cat.ns.li_z AS
+          |SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+          |FROM lineitem_src_q68""".stripMargin)
+      s.sql(
+        "CALL q68cat.system.rewrite_data_files(table => 'ns.li_z', " +
+          "strategy => 'sort', sort_order => 'zorder(l_orderkey, l_partkey)', " +
+          "target_file_size_bytes => 262144)").collect()
+      s.sql(
+        """SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sq,
+          |       CAST(SUM(l_orderkey) AS BIGINT) AS sk
+          |FROM q68cat.ns.li_z
+          |WHERE l_orderkey < 300 AND l_partkey < 100""".stripMargin)
+    }),
+
     // Merge-on-read row-level ops end-to-end: UPDATE, MERGE, and a range
     // DELETE all run in write.<op>.mode=merge-on-read (position-delete +
     // append deltas; no data file rewritten), then every surviving row is
@@ -554,6 +583,11 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    "q68_zorder" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sq,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS sk
+        |FROM lineitem
+        |WHERE l_orderkey < 300 AND l_partkey < 100""".stripMargin,
     "q67_mor" ->
       """WITH upd AS (
         |  SELECT n_nationkey,

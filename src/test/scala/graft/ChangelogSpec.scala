@@ -130,6 +130,33 @@ class ChangelogSpec extends SparkSpec {
     assert(!replay(cs).keys.exists(k => k._1 >= 4 && k._1 < 7))
   }
 
+  test("net changes collapse copy-on-write rewrite noise") {
+    val ns = fresh("clcat7")
+    spark.sql("CREATE TABLE clcat7.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat7.ns.t SELECT CAST(id AS INT), 'old' FROM range(10)")
+    // COW UPDATE rewrites whole files: raw changes carry delete+insert
+    // pairs for the 8 untouched rows too
+    spark.sql("UPDATE clcat7.ns.t SET v = 'new' WHERE k >= 8")
+    val dir = s"$ns/t"
+    val t = new IcebergTable(dir, conf)
+    val raw = t.changesBetween(spark, 0L, lineage(dir).last)
+    assert(raw.count() > 12, "raw COW changes include rewrite noise")
+
+    val net = t.netChangesBetween(spark, 0L, lineage(dir).last)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    // exactly: 10 final-state inserts (8 old + 2 new), no deletes — the
+    // pre-update (8,old)/(9,old) rows cancel against their COW deletes
+    assert(net.count(_._3 == "insert") === 10)
+    assert(net.count(_._3 == "delete") === 0)
+    assert(net.filter(c => c._1 >= 8).forall(_._2 == "new"))
+
+    // and via SQL: CALL create_changelog_view(net_changes => 1)
+    spark.conf.set("spark.sql.catalog.clcat7", classOf[GraftCatalog].getName)
+    spark.sql("CALL clcat7.system.create_changelog_view(table => 'ns.t', " +
+      "changelog_view => 'net_v', net_changes => 1)").collect()
+    assert(spark.sql("SELECT COUNT(*) FROM net_v").head.getLong(0) === 10L)
+  }
+
   test("a from-snapshot outside the lineage fails loudly") {
     val ns = fresh("clcat6")
     spark.sql("CREATE TABLE clcat6.ns.t (k INT, v STRING)")

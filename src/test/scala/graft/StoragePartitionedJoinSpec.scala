@@ -123,6 +123,34 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("sides with mismatched bucket-value sets still join shuffle-free") {
+    // one side has rows in every bucket, the other only in a few —
+    // pushPartValues aligns the partition-value sets instead of falling
+    // back to a shuffle (the common shape: a big fact table vs a small
+    // incremental delta, both bucketed on the key)
+    freshCatalog("spjcat3")
+    spark.sql(
+      """CREATE TABLE spjcat3.ns.big (id BIGINT, v BIGINT)
+        |PARTITIONED BY (bucket(8, id))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE spjcat3.ns.small (id BIGINT, w STRING)
+        |PARTITIONED BY (bucket(8, id))""".stripMargin)
+    spark.sql("INSERT INTO spjcat3.ns.big SELECT id, id * 2 FROM range(0, 400)")
+    spark.sql("INSERT INTO spjcat3.ns.small VALUES (3, 'a'), (3, 'b'), (7, 'c')")
+
+    withSpjConfs {
+      val joined = spark.sql(
+        """SELECT b.id, b.v, s.w
+          |FROM spjcat3.ns.big b JOIN spjcat3.ns.small s ON b.id = s.id""".stripMargin)
+      assert(shuffleCount(joined) === 0,
+        s"mismatched partition-value sets must not force a shuffle:\n" +
+          joined.queryExecution.executedPlan)
+      val rows = joined.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._3)
+      assert(rows.toSeq === Seq((3L, 6L, "a"), (3L, 6L, "b"), (7L, 14L, "c")))
+    }
+  }
+
   test("bucket function matches the write/pruning transform") {
     // one murmur3 everywhere: the catalog-served function must agree with
     // PartitionTransforms (which PruningSpec pins to the Iceberg spec
