@@ -131,6 +131,7 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "expire_snapshots" => Seq(attr("expired_count", IntegerType))
     case "remove_orphan_files" => Seq(attr("deleted_count", IntegerType))
     case "rewrite_data_files" => Seq(attr("snapshot_id", LongType))
+    case "rewrite_manifests" => Seq(attr("snapshot_id", LongType))
     case "fast_forward" => Seq(attr("branch", StringType),
       attr("previous_snapshot_id", LongType), attr("current_snapshot_id", LongType))
     case "rollback_to_snapshot" => Seq(attr("previous_snapshot_id", LongType),
@@ -138,8 +139,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "create_changelog_view" => Seq(attr("changelog_view", StringType))
     case other => throw new UnsupportedOperationException(
       s"unknown procedure system.$other (have: expire_snapshots, " +
-        "remove_orphan_files, rewrite_data_files, fast_forward, " +
-        "rollback_to_snapshot, create_changelog_view)")
+        "remove_orphan_files, rewrite_data_files, rewrite_manifests, " +
+        "fast_forward, rollback_to_snapshot, create_changelog_view)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -148,6 +149,7 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "remove_orphan_files" => Seq("table", "older_than")
       case "rewrite_data_files" =>
         Seq("table", "strategy", "sort_order", "target_file_size_bytes")
+      case "rewrite_manifests" => Seq("table", "target_entries_per_manifest")
       case "fast_forward" => Seq("table", "branch", "to")
       case "rollback_to_snapshot" => Seq("table", "snapshot_id")
       case "create_changelog_view" =>
@@ -202,6 +204,14 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         val sid = IcebergWriter.compact(spark, dir, target, cmtr,
           sortCols = sortCols, zorderCols = zorderCols)
         Seq(Row(sid))
+      case "rewrite_manifests" =>
+        // metadata-only: merges small manifests (streaming sinks / frequent
+        // appends accumulate one per commit); -1 = nothing to merge
+        val target =
+          if (m.contains("target_entries_per_manifest"))
+            lng(m, "target_entries_per_manifest", procedure).toInt
+          else 8192
+        Seq(Row(IcebergWriter.rewriteManifests(spark, dir, target, cmtr)))
       case "fast_forward" =>
         val branch = str(m, "branch", procedure)
         val from = str(m, "to", procedure)

@@ -55,6 +55,24 @@ class ProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM pcat2.ns.t").head.getLong(0) === 20)
   }
 
+  test("rewrite_manifests merges per-commit manifests metadata-only") {
+    val ns = fresh("pcat7")
+    spark.sql("CREATE TABLE pcat7.ns.t (k INT)")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO pcat7.ns.t VALUES ($i)"))
+    val dir = s"$ns/t"
+    val dataBefore = new graft.iceberg.IcebergTable(dir, conf)
+      .planFiles().map(_.filePath).toSet
+    assert(new graft.iceberg.IcebergTable(dir, conf).manifests.size === 4)
+    val Seq(row) = spark.sql(
+      "CALL pcat7.system.rewrite_manifests(table => 'ns.t')").collect().toSeq
+    assert(row.getLong(0) > 0)
+    val t = new graft.iceberg.IcebergTable(dir, conf)
+    assert(t.manifests.size === 1, "four per-commit manifests merged into one")
+    assert(t.planFiles().map(_.filePath).toSet === dataBefore,
+      "metadata-only: the data files are untouched")
+    assert(spark.sql("SELECT COUNT(*) FROM pcat7.ns.t").head.getLong(0) === 4L)
+  }
+
   test("fast_forward publishes a WAP branch from SQL only") {
     val ns = fresh("pcat3")
     spark.sql("CREATE TABLE pcat3.ns.t (k INT)")

@@ -151,6 +151,28 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("aggregation on the partition key needs no shuffle either") {
+    // KeyGroupedPartitioning satisfies ClusteredDistribution, so a
+    // GROUP BY on the partition columns aggregates in place — at 100 TB
+    // the same metadata decision that de-shuffles joins de-shuffles
+    // keyed rollups
+    freshCatalog("spjcat4")
+    spark.sql(
+      """CREATE TABLE spjcat4.ns.t (k INT, v BIGINT)
+        |PARTITIONED BY (k)""".stripMargin)
+    spark.sql("INSERT INTO spjcat4.ns.t " +
+      "SELECT CAST(id % 4 AS INT), id FROM range(0, 100)")
+    withSpjConfs {
+      val agg = spark.sql(
+        "SELECT k, COUNT(*) AS n, SUM(v) AS s FROM spjcat4.ns.t GROUP BY k")
+      assert(shuffleCount(agg) === 0,
+        s"partition-key aggregation must not shuffle:\n" +
+          agg.queryExecution.executedPlan)
+      val rows = agg.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(rows === (0 until 4).map(_ -> 25L).toMap)
+    }
+  }
+
   test("bucket function matches the write/pruning transform") {
     // one murmur3 everywhere: the catalog-served function must agree with
     // PartitionTransforms (which PruningSpec pins to the Iceberg spec
