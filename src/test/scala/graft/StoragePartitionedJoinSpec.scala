@@ -173,6 +173,43 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned shuffle moves only the unpartitioned side") {
+    // the most common real join shape: a bucketed fact table against an
+    // arbitrary (view/derived) dimension — with v2 bucketing SHUFFLE
+    // enabled, Spark shuffles ONLY the dim side, partitioned by OUR
+    // bucket function into the fact's existing key groups (this is also
+    // the runtime-evaluation path of GraftFunctions.BucketBound)
+    freshCatalog("spjcat5")
+    spark.sql(
+      """CREATE TABLE spjcat5.ns.fact (id BIGINT, v BIGINT)
+        |PARTITIONED BY (bucket(8, id))""".stripMargin)
+    spark.sql("INSERT INTO spjcat5.ns.fact SELECT id, id * 2 FROM range(0, 1000)")
+    spark.range(0, 50).selectExpr("id", "CONCAT('n', id) AS name")
+      .createOrReplaceTempView("spj5_dim")
+
+    val saved = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    try withSpjConfs {
+      val joined = spark.sql(
+        """SELECT f.id, f.v, d.name
+          |FROM spjcat5.ns.fact f JOIN spj5_dim d ON f.id = d.id""".stripMargin)
+      val plan = joined.queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case s: ShuffleExchangeExec => s
+      }
+      assert(shuffles.size === 1,
+        s"exactly the dim side shuffles, the fact side stays put:\n$plan")
+      assert(shuffles.head.outputPartitioning.toString
+        .toLowerCase.contains("keygroupedpartitioning"),
+        "the moved side is re-partitioned by the scan's bucket function " +
+          s"into the fact's key groups: ${shuffles.head.outputPartitioning}")
+      assert(joined.count() === 50)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", v)
+      case None => spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled")
+    }
+  }
+
   test("bucket function matches the write/pruning transform") {
     // one murmur3 everywhere: the catalog-served function must agree with
     // PartitionTransforms (which PruningSpec pins to the Iceberg spec
