@@ -99,15 +99,18 @@ final class IcebergTable private (
     * answer for their source column; anything else yields None (keep).
     */
   private def manifestStats(m: ManifestFile)(attr: String): Option[ColStats] = {
-    // positional summaries are only meaningful against the spec that wrote
-    // the manifest; a spec-evolved manifest must be kept, not mis-pruned
-    if (m.partitionSpecId != metadata.defaultSpecId) return None
-    val idx = metadata.partitionSpec.indexWhere(p => p.transform == "identity" && p.name == attr)
+    // positional summaries are typed by the spec that WROTE the manifest
+    // (partition evolution leaves old manifests on old specs): resolve it
+    // by id and index within it; an unknown spec id keeps, never guesses
+    val spec = metadata.specById(m.partitionSpecId).getOrElse(return None)
+    val srcId = metadata.fieldIds.get(attr)
+    val idx = spec.indexWhere(p => p.transform == "identity" &&
+      (p.name == attr || srcId.contains(p.sourceId)))
     if (idx < 0 || idx >= m.partitions.size) None
     else {
       val s = m.partitions(idx)
       // uuid bounds are 16 raw bytes, not UTF-8 — refuse to decode (keep)
-      val sourceId = metadata.partitionSpec.lift(idx).map(_.sourceId)
+      val sourceId = spec.lift(idx).map(_.sourceId)
       val dt =
         if (sourceId.exists(metadata.uuidFieldIds.contains)) NullType
         else sourceId.flatMap(typeById.get)
@@ -159,15 +162,22 @@ final class IcebergTable private (
     attr match {
       case VirtualAttr(i) =>
         val idx = i.toInt
-        if (m.partitionSpecId != metadata.defaultSpecId) return None
-        if (idx >= m.partitions.size || idx >= metadata.partitionSpec.size) return None
+        if (idx >= metadata.partitionSpec.size) return None
         val p = metadata.partitionSpec(idx)
+        // the virtual attr names a DEFAULT-spec field; the same
+        // (transform, source) field may sit at another POSITION in the
+        // spec this manifest was written under — resolve by identity,
+        // not position, so evolved tables keep pruning their old data
+        val spec = metadata.specById(m.partitionSpecId).getOrElse(return None)
+        val j = spec.indexWhere(q =>
+          q.transform == p.transform && q.sourceId == p.sourceId)
+        if (j < 0 || j >= m.partitions.size) return None
         val dt = {
           val src = typeById.getOrElse(p.sourceId, NullType)
           if (metadata.uuidFieldIds.contains(p.sourceId)) NullType
           else PartitionTransforms.resultType(p.transform, src)
         }
-        val s = m.partitions(idx)
+        val s = m.partitions(j)
         Some(ColStats(
           lower = s.lowerBound.flatMap(SingleValue.decode(_, dt)),
           upper = s.upperBound.flatMap(SingleValue.decode(_, dt)),
@@ -183,7 +193,16 @@ final class IcebergTable private (
       case VirtualAttr(i) =>
         val idx = i.toInt
         if (idx >= metadata.partitionSpec.size) return None
-        f.partition.get(metadata.partitionSpec(idx).name).map { v =>
+        val p = metadata.partitionSpec(idx)
+        // partition values are keyed by the FIELD NAME the writing spec
+        // used — find the matching (transform, source) field in the
+        // file's own spec (pre-evolution files may name it differently
+        // or lack it entirely, in which case: keep)
+        val name =
+          if (f.specId == metadata.defaultSpecId) Some(p.name)
+          else metadata.specById(f.specId).flatMap(_.find(q =>
+            q.transform == p.transform && q.sourceId == p.sourceId)).map(_.name)
+        name.flatMap(f.partition.get).map { v =>
           ColStats(
             lower = Option(v), upper = Option(v),
             nullCount = Some(if (v == null) 1L else 0L),
@@ -211,12 +230,12 @@ final class IcebergTable private (
       else dataManifests.filter(m =>
         Pruning.mayMatchAll(filters ++ partFilters, manifestVirtualStats(m)))
     val entries = readManifestsParallel(keptManifests)
-    // file-level partition values are positionally typed by the DEFAULT
-    // spec; a spec-evolved manifest's files must not be judged against it
-    val specUniform = keptManifests.forall(_.partitionSpecId == metadata.defaultSpecId)
-    val fileFilters = if (specUniform) filters ++ partFilters else filters
+    // transformed-space file filters are sound on EVERY file:
+    // fileVirtualStats resolves each file's value through the spec that
+    // wrote it and keeps (None) when that spec lacks the field
     if (filters.isEmpty) entries
-    else entries.filter(f => Pruning.mayMatchAll(fileFilters, fileVirtualStats(f)))
+    else entries.filter(f =>
+      Pruning.mayMatchAll(filters ++ partFilters, fileVirtualStats(f)))
   }
 
   /** File-level pruning over already-planned entries — the runtime
@@ -246,7 +265,8 @@ final class IcebergTable private (
 
   private def readManifestCached(m: ManifestFile): Seq[DataFileEntry] =
     manifestCache.computeIfAbsent(m.path,
-      _ => ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber))
+      _ => ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber,
+        m.partitionSpecId))
 
   private def readManifestsParallel(ms: Seq[ManifestFile]): Seq[DataFileEntry] =
     if (ms.sizeIs <= 1) ms.flatMap(readManifestCached)
@@ -275,10 +295,10 @@ final class IcebergTable private (
     val kept = dataManifests.filter(m =>
       Pruning.mayMatchAll(filters ++ partFilters, manifestVirtualStats(m)))
     val all = dataManifests.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
-    val specUniform = kept.forall(_.partitionSpecId == metadata.defaultSpecId)
-    val fileFilters = if (specUniform) filters ++ partFilters else filters
-    val keptFiles = kept.flatMap(m => ManifestIO.readManifest(resolve(m.path), conf))
-      .filter(f => Pruning.mayMatchAll(fileFilters, fileVirtualStats(f)))
+    val keptFiles = kept.flatMap(m =>
+      ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber,
+        m.partitionSpecId))
+      .filter(f => Pruning.mayMatchAll(filters ++ partFilters, fileVirtualStats(f)))
     (kept.size, dataManifests.size, keptFiles.size, all.size)
   }
 

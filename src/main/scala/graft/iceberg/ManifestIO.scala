@@ -54,7 +54,11 @@ final case class DataFileEntry(
     lowerBounds: Map[Int, Array[Byte]],
     upperBounds: Map[Int, Array[Byte]],
     /** sort order the file was written under (None/0 = unsorted) */
-    sortOrderId: Option[Int] = None)
+    sortOrderId: Option[Int] = None,
+    /** partition spec the containing manifest was written under — the
+      * `partition` map's values are typed/named by THIS spec, which after
+      * partition evolution differs from the table's default */
+    specId: Int = 0)
 
 /** One delete file from a v2 delete manifest: content 1 = position
   * deletes (rows of `file_path`, `pos`), content 2 = equality deletes
@@ -163,7 +167,8 @@ object ManifestIO {
     * exactly as iceberg-rs drops them before the reference sees files.
     */
   def readManifest(path: String, conf: Configuration,
-                   inheritSeq: Option[Long] = None): Seq[DataFileEntry] = {
+                   inheritSeq: Option[Long] = None,
+                   specId: Int = 0): Seq[DataFileEntry] = {
     val reader = open(path, conf)
     try {
       val out = ArrayBuffer.empty[DataFileEntry]
@@ -197,7 +202,8 @@ object ManifestIO {
                 .map(kvMap(_)(_.asInstanceOf[java.lang.Number].longValue)).getOrElse(Map.empty),
               lowerBounds = opt(df, "lower_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
               upperBounds = opt(df, "upper_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
-              sortOrderId = optLong(df, "sort_order_id").map(_.toInt))
+              sortOrderId = optLong(df, "sort_order_id").map(_.toInt),
+              specId = specId)
           }
         }
       }

@@ -72,7 +72,12 @@ final case class TableMetadata(
     snapshotLog: Seq[Long] = Nil,
     /** Ref names of type `tag` (immutable pointers — writers refuse
       * them; everything else in [[refs]] is a branch). */
-    tagRefs: Set[String] = Set.empty) {
+    tagRefs: Set[String] = Set.empty,
+    /** EVERY partition spec by id — partition evolution keeps old specs
+      * alive because their manifests' partition tuples and summaries are
+      * typed by them. [[partitionSpec]] is `partitionSpecs(defaultSpecId)`;
+      * readers resolving a manifest's `partition_spec_id` look here. */
+    partitionSpecs: Map[Int, Seq[PartitionField]] = Map.empty) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -98,6 +103,13 @@ final case class TableMetadata(
     * the reference supports — fixture `v1.metadata.json:70`). */
   def identityPartitionColumns: Seq[String] =
     partitionSpec.filter(_.transform == "identity").map(_.name)
+
+  /** The spec a manifest with this `partition_spec_id` was written under —
+    * None when the id is unknown (foreign metadata that dropped the list),
+    * in which case pruning must keep, never guess. */
+  def specById(id: Int): Option[Seq[PartitionField]] =
+    partitionSpecs.get(id)
+      .orElse(if (id == defaultSpecId) Some(partitionSpec) else None)
 }
 
 object TableMetadata {
@@ -156,15 +168,27 @@ object TableMetadata {
       .getOrElse(throw new IllegalArgumentException("metadata has no schema"))
   }
 
-  private def specFields(root: JsonNode): Seq[JsonNode] = {
-    val fromList = Option(root.get("partition-specs")).flatMap { arr =>
-      val all = arr.elements.asScala.toSeq
-      val defaultId = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0)
-      all.find(_.get("spec-id").asInt == defaultId).orElse(all.headOption)
-        .map(_.get("fields").elements.asScala.toSeq)
+  private def parseSpecFields(fields: Seq[JsonNode]): Seq[PartitionField] =
+    fields.map { f =>
+      PartitionField(f.get("name").asText, f.get("transform").asText,
+        f.get("source-id").asInt, f.get("field-id").asInt)
     }
-    fromList.orElse(Option(root.get("partition-spec")).map(_.elements.asScala.toSeq))
-      .getOrElse(Seq.empty)
+
+  /** All partition specs by id. Legacy v1 metadata with only a flat
+    * `partition-spec` yields that one spec under the default id. */
+  private def allSpecs(root: JsonNode): Map[Int, Seq[PartitionField]] = {
+    val defaultId = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val fromList = Option(root.get("partition-specs")).map { arr =>
+      arr.elements.asScala.toSeq.map { s =>
+        s.get("spec-id").asInt ->
+          parseSpecFields(s.get("fields").elements.asScala.toSeq)
+      }.toMap
+    }
+    fromList.getOrElse {
+      Option(root.get("partition-spec"))
+        .map(s => Map(defaultId -> parseSpecFields(s.elements.asScala.toSeq)))
+        .getOrElse(Map.empty)
+    }
   }
 
   def fromJson(json: String): TableMetadata = {
@@ -186,10 +210,10 @@ object TableMetadata {
           .putLong("parquet.field.id", f.get("id").asLong).build())
     })
     val fieldIds = fields.map(f => f.get("name").asText -> f.get("id").asInt).toMap
-    val spec = specFields(root).map { f =>
-      PartitionField(f.get("name").asText, f.get("transform").asText,
-        f.get("source-id").asInt, f.get("field-id").asInt)
-    }
+    val specs = allSpecs(root)
+    val specDefaultId = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val spec = specs.getOrElse(specDefaultId,
+      specs.values.headOption.getOrElse(Seq.empty))
     val uuidIds = fields.collect {
       case f if f.get("type").isTextual && f.get("type").asText == "uuid" =>
         f.get("id").asInt
@@ -218,7 +242,8 @@ object TableMetadata {
       schema = schema,
       fieldIds = fieldIds,
       partitionSpec = spec,
-      defaultSpecId = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0),
+      defaultSpecId = specDefaultId,
+      partitionSpecs = specs,
       uuidFieldIds = uuidIds,
       currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),
       snapshots = snapshots,

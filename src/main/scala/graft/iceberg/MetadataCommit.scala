@@ -170,6 +170,42 @@ object MetadataCommit {
     n
   }
 
+  def assertDefaultSpecId(mapper: ObjectMapper, specId: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "assert-default-spec-id")
+    n.put("default-spec-id", specId)
+    n
+  }
+
+  /** `add-spec` carrying the new spec's FIELDS only — the APPLIER assigns
+    * the spec id and the partition field ids (same ownership rule as
+    * schema ids: a client-proposed id is a guess from a racy GET). */
+  def addPartitionSpec(mapper: ObjectMapper,
+                       fields: Seq[PartitionField]): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "add-spec")
+    val spec = n.putObject("spec")
+    val arr = spec.putArray("fields")
+    fields.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("name", f.name)
+      fn.put("transform", f.transform)
+      fn.put("source-id", f.sourceId)
+      // field-id -1 = unassigned: the applier reuses the id of an
+      // identical (source-id, transform) field from any prior spec, else
+      // allocates last-partition-id + 1
+      fn.put("field-id", f.fieldId)
+    }
+    n
+  }
+
+  def setDefaultSpec(mapper: ObjectMapper, specId: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "set-default-spec")
+    n.put("spec-id", specId) // -1 = the spec added in this commit
+    n
+  }
+
   // -- requirement check -----------------------------------------------------
 
   /** First failed requirement's description, or None when all hold. */
@@ -201,6 +237,12 @@ object MetadataCommit {
             .getOrElse(0)
           if (actual == expected) None
           else Some(s"requirement failed: current-schema-id is $actual, " +
+            s"expected $expected")
+        case "assert-default-spec-id" =>
+          val expected = r.get("default-spec-id").asInt
+          val actual = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0)
+          if (actual == expected) None
+          else Some(s"requirement failed: default-spec-id is $actual, " +
             s"expected $expected")
         case "assert-table-uuid" =>
           val expected = r.get("uuid").asText
@@ -302,6 +344,64 @@ object MetadataCommit {
           root.put("current-schema-id", id)
           // keep the legacy v1 single-schema field in sync for plain readers
           if (root.has("schema")) root.set[ObjectNode]("schema", chosen.deepCopy())
+
+        case "add-spec" =>
+          val spec = u.get("spec").deepCopy[ObjectNode]()
+          val specs = Option(root.get("partition-specs")).map(_.asInstanceOf[ArrayNode])
+            .getOrElse {
+              // legacy v1 flat-spec metadata: seed the list with it
+              val a = root.putArray("partition-specs")
+              Option(root.get("partition-spec")).foreach { legacy =>
+                val seed = a.addObject()
+                seed.put("spec-id",
+                  Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0))
+                seed.set[JsonNode]("fields", legacy.deepCopy[JsonNode]())
+              }
+              a
+            }
+          // the APPLIER owns id assignment (same rule as schema ids)
+          val assignedSpecId = specs.elements.asScala
+            .map(s => Option(s.get("spec-id")).map(_.asInt).getOrElse(0))
+            .maxOption.getOrElse(-1) + 1
+          spec.put("spec-id", assignedSpecId)
+          // partition FIELD ids: an identical (source-id, transform) field
+          // from any prior spec keeps its id (its manifest values mean the
+          // same thing); genuinely new fields get last-partition-id + 1…
+          val priorIds: Map[(Int, String), Int] = specs.elements.asScala.flatMap(s =>
+            Option(s.get("fields")).toSeq.flatMap(_.elements.asScala).map(f =>
+              (f.get("source-id").asInt, f.get("transform").asText) ->
+                f.get("field-id").asInt)).toMap
+          var lastPartitionId = Option(root.get("last-partition-id")).map(_.asInt)
+            .getOrElse(priorIds.values.maxOption.getOrElse(999))
+          spec.get("fields").elements.asScala.foreach { fn =>
+            val f = fn.asInstanceOf[ObjectNode]
+            priorIds.get((f.get("source-id").asInt, f.get("transform").asText)) match {
+              case Some(id) => f.put("field-id", id)
+              case None =>
+                lastPartitionId += 1
+                f.put("field-id", lastPartitionId)
+            }
+            ()
+          }
+          specs.add(spec)
+          root.put("last-partition-id", lastPartitionId)
+
+        case "set-default-spec" =>
+          val requested = u.get("spec-id").asInt
+          val specs = Option(root.get("partition-specs")).map(_.asInstanceOf[ArrayNode])
+            .getOrElse(throw new IllegalArgumentException(
+              "set-default-spec on metadata with no partition-specs list"))
+          val id =
+            if (requested != -1) requested
+            else specs.get(specs.size - 1).get("spec-id").asInt
+          val chosen = specs.elements.asScala
+            .find(_.get("spec-id").asInt == id)
+            .getOrElse(throw new IllegalArgumentException(
+              s"set-default-spec: spec-id $id not in partition-specs"))
+          root.put("default-spec-id", id)
+          // keep the legacy v1 flat-spec field in sync for plain readers
+          if (root.has("partition-spec"))
+            root.set[JsonNode]("partition-spec", chosen.get("fields").deepCopy[JsonNode]())
 
         case "set-properties" =>
           val props = Option(root.get("properties")).map(_.asInstanceOf[ObjectNode])

@@ -488,12 +488,7 @@ object IcebergJson {
     * writer convention: identity keeps the column name; transforms
     * suffix it (`ts_day`, `id_bucket`, `s_trunc`). */
   def specFieldName(sourceCol: String, transform: String): String =
-    transform match {
-      case "identity" => sourceCol
-      case t =>
-        val base = t.takeWhile(_ != '[')
-        s"${sourceCol}_${if (base == "truncate") "trunc" else base}"
-    }
+    graft.iceberg.PartitionEvolution.specFieldName(sourceCol, transform)
 
   /** `partitionCols` entries are (sourceColumn, icebergTransform) —
     * e.g. ("ts", "day"), ("id", "bucket[4]"), ("name", "identity"). */

@@ -50,6 +50,12 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CallRe(catalog, proc, args) =>
       GraftCallCommand(unquote(catalog), proc.toLowerCase,
         GraftProcedures.splitArgs(args).map(GraftProcedures.parseArg))
+    case AddPartFieldRe(table, expr, asName) =>
+      GraftAddPartitionFieldCommand(delegate.parseMultipartIdentifier(table),
+        expr.trim, Option(asName).map(unquote))
+    case DropPartFieldRe(table, expr) =>
+      GraftDropPartitionFieldCommand(delegate.parseMultipartIdentifier(table),
+        expr.trim)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -87,6 +93,15 @@ object GraftSqlParser {
     * the intercept cannot change an accepted statement's meaning. */
   private[connector] val CallRe =
     """(?is)^\s*CALL\s+([\w`]+)\s*\.\s*system\s*\.\s*(\w+)\s*\((.*)\)\s*;?\s*$""".r
+  /** `ALTER TABLE t ADD PARTITION FIELD bucket(4, id) [AS name]` — the
+    * Iceberg partition-evolution DDL; stock Spark rejects the statement
+    * (its ADD PARTITION takes a `(spec)` value list, not FIELD). */
+  private[connector] val AddPartFieldRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+PARTITION\s+FIELD\s+""" +
+      """([\w`]+(?:\s*\([^()]*\))?)(?:\s+AS\s+([\w`]+))?\s*;?\s*$""").r
+  private[connector] val DropPartFieldRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+""" +
+      """([\w`]+(?:\s*\([^()]*\))?)\s*;?\s*$""").r
 
   private def unquote(name: String): String = name.stripPrefix("`").stripSuffix("`")
 
@@ -104,7 +119,7 @@ object GraftSqlParser {
     val cat = plugin match {
       case g: GraftCatalog => g
       case other => throw new UnsupportedOperationException(
-        s"BRANCH/TAG DDL needs an Iceberg (GraftCatalog) table; " +
+        s"this DDL needs an Iceberg (GraftCatalog) table; " +
           s"'${parts.mkString(".")}' resolves via catalog '${other.name}'")
     }
     val ns = if (rest.length > 1) rest.init else cm.currentNamespace.toSeq
@@ -112,7 +127,7 @@ object GraftSqlParser {
     cat.loadTable(ident) match {
       case t: SparkIcebergTable => (cat, ident, t)
       case _ => throw new UnsupportedOperationException(
-        s"BRANCH/TAG DDL targets a table, not a view: ${parts.mkString(".")}")
+        s"this DDL targets a table, not a view: ${parts.mkString(".")}")
     }
   }
 }
@@ -166,6 +181,35 @@ final case class GraftDropRefCommand(table: Seq[String], refType: String,
       s"ref '$refName' is a $actual — use DROP ${actual.toUpperCase}")
     IcebergWriter.dropRef(t.table.conf, t.table.tableDir, refName,
       t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t ADD PARTITION FIELD expr [AS name]` — partition
+  * evolution ([[graft.iceberg.PartitionEvolution]]): a metadata-only
+  * add-spec + set-default-spec commit; no data file moves. */
+final case class GraftAddPartitionFieldCommand(table: Seq[String],
+    expr: String, asName: Option[String]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    graft.iceberg.PartitionEvolution.addField(
+      t.table.tableDir, t.table.conf, expr, asName, t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP PARTITION FIELD expr` — the inverse commit; data
+  * written under the old spec keeps its layout (and its pruning). */
+final case class GraftDropPartitionFieldCommand(table: Seq[String],
+    expr: String) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    graft.iceberg.PartitionEvolution.dropField(
+      t.table.tableDir, t.table.conf, expr, t.committerOpt)
     cat.invalidateTable(ident)
     Nil
   }

@@ -105,17 +105,22 @@ object MetadataTables {
     case "partitions" => new GraftMetadataTable(s"$parent.partitions",
       StructType(Seq(
         StructField("partition", StringType, nullable = true),
+        StructField("spec_id", IntegerType, nullable = false),
         StructField("file_count", LongType, nullable = false),
         StructField("record_count", LongType, nullable = false),
         StructField("total_size_in_bytes", LongType, nullable = false))),
+      // keyed by (tuple, spec): after partition evolution the same-named
+      // value can mean different transforms under different specs — the
+      // upstream `partitions` table splits them the same way
       () => t.planFiles()
-        .groupBy(f =>
+        .groupBy(f => (
           if (f.partition.isEmpty) null
           else f.partition.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k=$v" }.mkString(", "))
-        .toSeq.sortBy(g => Option(g._1).getOrElse(""))
-        .map { case (p, fs) => Row(
-          p, fs.size.toLong, fs.map(_.recordCount).sum,
+            .map { case (k, v) => s"$k=$v" }.mkString(", "),
+          f.specId))
+        .toSeq.sortBy(g => (Option(g._1._1).getOrElse(""), g._1._2))
+        .map { case ((p, spec), fs) => Row(
+          p, spec, fs.size.toLong, fs.map(_.recordCount).sum,
           fs.map(_.fileSizeInBytes).sum) })
     // v2 delete files in force on the current snapshot — the merge-on-read
     // debt a compaction would materialize

@@ -483,11 +483,18 @@ final class GraftBatchScan(
     else spjFields.flatMap { fields =>
       val files = currentFiles
       val keyed: Seq[Option[(Seq[Any], (String, Long))]] = files.map { f =>
-        val vals = fields.map { case (pf, keyType, _) =>
-          f.partition.get(pf.name).flatMap(keyValue(_, keyType))
+        // name-keyed lookup is only meaningful under the spec that wrote
+        // the file: after partition evolution an old file's same-named
+        // value may belong to a different transform (e.g. bucket[4] vs
+        // bucket[8]) — grouping on it would co-locate the wrong rows
+        if (f.specId != table.metadata.defaultSpecId) None
+        else {
+          val vals = fields.map { case (pf, keyType, _) =>
+            f.partition.get(pf.name).flatMap(keyValue(_, keyType))
+          }
+          if (vals.exists(_.isEmpty)) None
+          else Some((vals.map(_.get), (table.resolve(f.filePath), f.fileSizeInBytes)))
         }
-        if (vals.exists(_.isEmpty)) None
-        else Some((vals.map(_.get), (table.resolve(f.filePath), f.fileSizeInBytes)))
       }
       if (files.isEmpty || keyed.exists(_.isEmpty)) None
       else Some(keyed.flatten

@@ -400,6 +400,48 @@ object IcebergQueries {
           |WHERE l_orderkey < 300 AND l_partkey < 100""".stripMargin)
     }),
 
+    // Partition evolution end-to-end: the table starts identity-partitioned,
+    // `ALTER TABLE … ADD PARTITION FIELD bucket(4, …)` moves the default
+    // spec METADATA-ONLY (no data file touched), and the second insert
+    // clusters by the evolved spec. The final read crosses both
+    // generations: identity pruning still applies to all files, bucket
+    // pruning only to the new ones (old manifests keep their own spec),
+    // and the hash gate proves no row was lost or double-read across the
+    // spec boundary.
+    "q69_partition_evolution" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q69-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q69")
+      s.conf.set("spark.sql.catalog.q69cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q69cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q69cat.ns")
+      s.sql(
+        """CREATE TABLE q69cat.ns.nation_pe
+          |(n_nationkey INT, n_regionkey INT, n_name STRING)
+          |PARTITIONED BY (n_regionkey)""".stripMargin)
+      s.sql(
+        """INSERT INTO q69cat.ns.nation_pe
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q69
+          |WHERE n_nationkey < 13""".stripMargin)
+      s.sql("ALTER TABLE q69cat.ns.nation_pe " +
+        "ADD PARTITION FIELD bucket(4, n_nationkey)")
+      s.sql(
+        """INSERT INTO q69cat.ns.nation_pe
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q69
+          |WHERE n_nationkey >= 13""".stripMargin)
+      s.sql(
+        """SELECT CAST(g.n_regionkey AS BIGINT) AS n_regionkey, g.n, g.sk, p.n_pt
+          |FROM (SELECT n_regionkey, COUNT(*) AS n,
+          |             CAST(SUM(n_nationkey) AS BIGINT) AS sk
+          |      FROM q69cat.ns.nation_pe WHERE n_regionkey <> 1
+          |      GROUP BY n_regionkey) g
+          |CROSS JOIN (SELECT COUNT(*) AS n_pt FROM q69cat.ns.nation_pe
+          |            WHERE n_nationkey = 20) p
+          |ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // Merge-on-read row-level ops end-to-end: UPDATE, MERGE, and a range
     // DELETE all run in write.<op>.mode=merge-on-read (position-delete +
     // append deltas; no data file rewritten), then every surviving row is
@@ -588,6 +630,15 @@ object IcebergQueries {
         |       CAST(SUM(l_orderkey) AS BIGINT) AS sk
         |FROM lineitem
         |WHERE l_orderkey < 300 AND l_partkey < 100""".stripMargin,
+    "q69_partition_evolution" ->
+      """SELECT CAST(g.n_regionkey AS BIGINT) AS n_regionkey, g.n, g.sk, p.n_pt
+        |FROM (SELECT n_regionkey, COUNT(*) AS n,
+        |             CAST(SUM(n_nationkey) AS BIGINT) AS sk
+        |      FROM nation WHERE n_regionkey <> 1
+        |      GROUP BY n_regionkey) g
+        |CROSS JOIN (SELECT COUNT(*) AS n_pt FROM nation
+        |            WHERE n_nationkey = 20) p
+        |ORDER BY n_regionkey""".stripMargin,
     "q67_mor" ->
       """WITH upd AS (
         |  SELECT n_nationkey,

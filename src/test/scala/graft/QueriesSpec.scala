@@ -38,6 +38,27 @@ class QueriesSpec extends SparkSpec {
     assert(nAfter == 22L && skAfter == 297L, "publish = branch state")
   }
 
+  test("q69 partition evolution: result crosses the spec boundary losslessly") {
+    val got = SparkEntry.queries("q69_partition_evolution")(spark, sf).collect()
+    Tables.load(spark, sf, "nation").createOrReplaceTempView("nation_exp_q69")
+    val exp = spark.sql(
+      """SELECT CAST(g.n_regionkey AS BIGINT) AS n_regionkey, g.n, g.sk, p.n_pt
+        |FROM (SELECT n_regionkey, COUNT(*) AS n,
+        |             CAST(SUM(n_nationkey) AS BIGINT) AS sk
+        |      FROM nation_exp_q69 WHERE n_regionkey <> 1
+        |      GROUP BY n_regionkey) g
+        |CROSS JOIN (SELECT COUNT(*) AS n_pt FROM nation_exp_q69
+        |            WHERE n_nationkey = 20) p
+        |ORDER BY n_regionkey""".stripMargin).collect()
+    assert(got.toSeq == exp.toSeq)
+    // and the evolution really happened: two specs, the new one default
+    val meta = new graft.iceberg.IcebergTable(
+      "/root/repo/target/q69-warehouse/ns/nation_pe",
+      spark.sessionState.newHadoopConf()).metadata
+    assert(meta.partitionSpecs.size == 2 && meta.defaultSpecId == 1)
+    assert(meta.partitionSpec.map(_.transform) == Seq("identity", "bucket[4]"))
+  }
+
   test("q65 SPJ equals the shuffled-join answer (plan gated inside q65)") {
     // q65's builder require()s a zero-shuffle storage-partitioned join;
     // here the values are cross-checked against the same join computed
