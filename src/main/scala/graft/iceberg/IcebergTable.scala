@@ -263,10 +263,22 @@ final class IcebergTable private (
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
 
-  private def readManifestCached(m: ManifestFile): Seq[DataFileEntry] =
-    manifestCache.computeIfAbsent(m.path,
-      _ => ManifestIO.readManifest(resolve(m.path), conf, m.sequenceNumber,
-        m.partitionSpecId))
+  private def readManifestCached(m: ManifestFile): Seq[DataFileEntry] = {
+    // get + putIfAbsent, NOT computeIfAbsent: the load does blocking Avro
+    // IO, and a fork-join worker re-entering the same hash bin while one
+    // of its frames is still inside computeIfAbsent throws "Recursive
+    // update" (the par scans here run on the common pool, which
+    // work-steals). A racing duplicate read is harmless — manifest files
+    // are immutable and both threads produce the same value.
+    val cached = manifestCache.get(m.path)
+    if (cached != null) cached
+    else {
+      val loaded = ManifestIO.readManifest(resolve(m.path), conf,
+        m.sequenceNumber, m.partitionSpecId)
+      val prev = manifestCache.putIfAbsent(m.path, loaded)
+      if (prev != null) prev else loaded
+    }
+  }
 
   private def readManifestsParallel(ms: Seq[ManifestFile]): Seq[DataFileEntry] =
     if (ms.sizeIs <= 1) ms.flatMap(readManifestCached)

@@ -826,22 +826,51 @@ object IcebergWriter {
     // within tasks, so each file's bounds on the sort key are tight AND
     // disjoint across files — that is what lets a range predicate on a
     // non-partition column prune files instead of scanning everything.
+    //
+    // Without a sort order, `write.distribution-mode` decides (default
+    // `hash` for partitioned tables — upstream Iceberg's default): an
+    // UNCLUSTERED insert writes one file per (task, partition tuple), so
+    // 1000 tasks × 100 partitions is 100k small files; one hash shuffle
+    // on the partition transforms makes it one file per tuple per shuffle
+    // partition. The shuffle is an AQE REBALANCE, not a strict
+    // repartition: tiny partitions coalesce and a HOT tuple splits across
+    // tasks — skew becomes a few more files for that tuple, never one
+    // straggler task. `none` opts out (tiny/latency-bound writes).
+    val idToName = meta.fieldIds.map(_.swap)
+    def transformCol(p: PartitionField) =
+      org.apache.spark.sql.GraftColumnShim.column(IcebergTransform(p.transform,
+        org.apache.spark.sql.GraftColumnShim.expression(col(idToName(p.sourceId)))))
     val sortable = meta.sortOrderFields.nonEmpty &&
       meta.sortOrderFields.forall(_.transform == "identity")
-    val (writeDf, soId) = if (!sortable) (df, None) else {
-      val idToName = meta.fieldIds.map(_.swap)
+    val (writeDf, soId) = if (sortable) {
       val sortCols = meta.sortOrderFields.map { f =>
         val c = col(idToName(f.sourceId))
         if (f.direction == "desc") c.desc else c.asc
       }
-      val partCols = meta.partitionSpec.map { p =>
-        org.apache.spark.sql.GraftColumnShim.column(IcebergTransform(p.transform,
-          org.apache.spark.sql.GraftColumnShim.expression(col(idToName(p.sourceId)))))
-          .asc
-      }
-      val cluster = partCols ++ sortCols
+      val cluster = meta.partitionSpec.map(transformCol(_).asc) ++ sortCols
       (df.repartitionByRange(cluster: _*).sortWithinPartitions(cluster: _*),
         Some(meta.defaultSortOrderId))
+    } else {
+      val mode = meta.properties.getOrElse("write.distribution-mode",
+        if (meta.partitionSpec.nonEmpty) "hash" else "none")
+      val partCols = meta.partitionSpec.map(transformCol)
+      mode match {
+        case "hash" if partCols.nonEmpty =>
+          // local sort by tuple after the shuffle: tuples arrive
+          // sequentially, so the fanout holds ONE open row-group buffer
+          // at a time instead of one per distinct tuple in the task
+          val partExprs = meta.partitionSpec.map(p =>
+            IcebergTransform(p.transform,
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+                Seq(idToName(p.sourceId))): org.apache.spark.sql.catalyst
+                .expressions.Expression))
+          (org.apache.spark.sql.GraftColumnShim.rebalance(df, partExprs)
+            .sortWithinPartitions(partCols.map(_.asc): _*), None)
+        case "range" if partCols.nonEmpty =>
+          (df.repartitionByRange(partCols: _*)
+            .sortWithinPartitions(partCols.map(_.asc): _*), None)
+        case _ => (df, None)
+      }
     }
     val added = writeDataFiles(writeDf, s"$tableDir/data/s$snapId-${uniq()}",
       meta, conf, soId)

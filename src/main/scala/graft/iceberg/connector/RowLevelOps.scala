@@ -215,7 +215,19 @@ final class GraftReplaceWrite(
     scanRef: () => GraftGroupScan,
     writeSchema: StructType,
     committerOpt: Option[graft.iceberg.TableCommitter] = None)
-    extends Write {
+    extends Write with RequiresDistributionAndOrdering {
+
+  /** Cluster replacement rows by the partition transforms
+    * (`write.distribution-mode` hash, the partitioned default): a
+    * copy-on-write UPDATE rewriting K partitions should produce ~K
+    * files, not tasks × K. Not strictly required — Spark plans it as an
+    * AQE rebalance, so a hot partition splits instead of straggling. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    SparkIcebergTable.writeDistribution(table, writeSchema)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -359,7 +371,20 @@ final class GraftDeltaWrite(
     writeSchema: StructType,
     cmd: RowLevelOperation.Command,
     committerOpt: Option[graft.iceberg.TableCommitter] = None)
-    extends DeltaWrite {
+    extends DeltaWrite with RequiresDistributionAndOrdering {
+
+  /** Cluster delta INSERT rows by the partition transforms (MERGE inserts
+    * at scale hit the same task×tuple fanout as appends). A DELETE delta
+    * carries only row ids — `writeDistribution` sees the missing source
+    * columns and backs off to unspecified. Best-effort (AQE rebalance). */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (cmd == RowLevelOperation.Command.DELETE)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else SparkIcebergTable.writeDistribution(table, writeSchema)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val spark = SparkSession.active

@@ -169,6 +169,51 @@ object SparkIcebergTable {
   def wapBranch(spark: org.apache.spark.sql.SparkSession): String =
     Option(spark.conf.get("spark.wap.branch", null))
       .filter(_.nonEmpty).getOrElse("main")
+
+  private val BucketRe = """bucket\[(\d+)\]""".r
+  private val TruncateRe = """truncate\[(\d+)\]""".r
+
+  /** Iceberg transform string → DSv2 connector expression over `src`,
+    * when the connector vocabulary can express it (it resolves through
+    * [[GraftCatalog]]'s FunctionCatalog — the same functions SPJ uses). */
+  def v2Transform(transform: String, src: String): Option[Transform] =
+    transform match {
+      case "identity" => Some(Expressions.identity(src))
+      case "year" => Some(Expressions.years(src))
+      case "month" => Some(Expressions.months(src))
+      case "day" => Some(Expressions.days(src))
+      case "hour" => Some(Expressions.hours(src))
+      case BucketRe(n) => Some(Expressions.bucket(n.toInt, src))
+      case TruncateRe(w) => Some(Expressions.apply("truncate",
+        Expressions.literal(Integer.valueOf(w.toInt)), Expressions.column(src)))
+      case _ => None
+    }
+
+  /** Clustering requirement for a DSv2 write onto this table —
+    * `write.distribution-mode` hash (the partitioned-table default):
+    * cluster incoming rows by the partition transforms so replacement /
+    * delta-insert files are one-per-tuple, not one-per-(task, tuple).
+    * Unspecified when the mode opts out, a transform is not expressible,
+    * or a source column is missing from the write schema (a delta DELETE
+    * carries only row ids — nothing to cluster by). */
+  def writeDistribution(table: IcebergTable, writeSchema: StructType)
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
+    val meta = table.metadata
+    val mode = meta.properties.getOrElse("write.distribution-mode",
+      if (meta.partitionSpec.nonEmpty) "hash" else "none")
+    if (mode == "none" || meta.partitionSpec.isEmpty)
+      return Distributions.unspecified()
+    val idToName = meta.fieldIds.map(_.swap)
+    val exprs = meta.partitionSpec.flatMap { p =>
+      idToName.get(p.sourceId)
+        .filter(src => writeSchema.fieldNames.contains(src))
+        .flatMap(src => v2Transform(p.transform, src))
+    }
+    if (exprs.size != meta.partitionSpec.size) Distributions.unspecified()
+    else Distributions.clustered(
+      exprs.toArray[org.apache.spark.sql.connector.expressions.Expression])
+  }
 }
 
 /** INSERT INTO (append snapshot) and INSERT OVERWRITE (truncate snapshot)
@@ -421,9 +466,6 @@ final class GraftBatchScan(
   // partition value we can't type → UnknownPartitioning / ungrouped
   // planning, never a wrong key.
 
-  private val BucketRe = """bucket\[(\d+)\]""".r
-  private val TruncateRe = """truncate\[(\d+)\]""".r
-
   private def spjEnabled: Boolean =
     spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
 
@@ -442,17 +484,7 @@ final class GraftBatchScan(
           srcType <- meta.schema.fields.find(_.name == src).map(_.dataType)
           keyType = graft.iceberg.PartitionTransforms.resultType(pf.transform, srcType)
           if keyType != org.apache.spark.sql.types.NullType
-          transform <- pf.transform match {
-            case "identity" => Some(Expressions.identity(src))
-            case "year" => Some(Expressions.years(src))
-            case "month" => Some(Expressions.months(src))
-            case "day" => Some(Expressions.days(src))
-            case "hour" => Some(Expressions.hours(src))
-            case BucketRe(n) => Some(Expressions.bucket(n.toInt, src))
-            case TruncateRe(w) => Some(Expressions.apply("truncate",
-              Expressions.literal(Integer.valueOf(w.toInt)), Expressions.column(src)))
-            case _ => None
-          }
+          transform <- SparkIcebergTable.v2Transform(pf.transform, src)
         } yield (pf, keyType, transform)
       }
       if (fields.length == spec.length) Some(fields) else None

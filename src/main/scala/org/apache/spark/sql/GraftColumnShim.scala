@@ -25,4 +25,19 @@ object GraftColumnShim {
     case c: org.apache.spark.sql.classic.SparkSession => c.cloneSession()
     case other => other.newSession()
   }
+
+  /** AQE rebalance by arbitrary EXPRESSIONS (partition transforms, not
+    * just column refs — the REBALANCE hint validates its parameters down
+    * to bare attributes, so `df.hint("rebalance", transformCol)` is
+    * rejected). Builds the `RebalancePartitions` node directly: small
+    * output partitions coalesce and skewed ones split, which is exactly
+    * the pre-write distribution a partitioned table wants. */
+  def rebalance(df: DataFrame, exprs: Seq[Expression]): DataFrame = df match {
+    case c: org.apache.spark.sql.classic.DataFrame =>
+      classic.Dataset.ofRows(c.sparkSession,
+        org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions(
+          exprs, c.logicalPlan))
+    case other => // non-classic session: strict hash repartition
+      other.repartition(exprs.map(ExpressionUtils.column): _*)
+  }
 }

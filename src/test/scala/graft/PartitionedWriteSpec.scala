@@ -127,6 +127,38 @@ class PartitionedWriteSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("write.distribution-mode hash (default) collapses the task×tuple file explosion; none opts out") {
+    useCatalog()
+    spark.sql("DROP TABLE IF EXISTS pw.ns.dist")
+    spark.sql(
+      """CREATE TABLE pw.ns.dist (k BIGINT, cat STRING)
+        |PARTITIONED BY (cat)""".stripMargin)
+    // 4 input tasks, each seeing all 3 categories: unclustered this is
+    // 4 × 3 = 12 files; the default hash rebalance clusters by tuple
+    // first, so the count is bounded by tuples (± AQE splits), not tasks
+    spark.sql(
+      """INSERT INTO pw.ns.dist
+        |SELECT id, concat('c', id % 3) FROM range(0, 300, 1, 4)""".stripMargin)
+    val hashFiles = IcebergTable(spark, s"$warehouse/ns/dist").planFiles().size
+    assert(hashFiles <= 6, s"hash mode wrote $hashFiles files for 3 tuples")
+    assert(spark.sql("SELECT COUNT(DISTINCT cat) FROM pw.ns.dist")
+      .collect()(0).getLong(0) == 3L)
+
+    spark.sql("DROP TABLE IF EXISTS pw.ns.dist0")
+    spark.sql(
+      """CREATE TABLE pw.ns.dist0 (k BIGINT, cat STRING)
+        |PARTITIONED BY (cat)
+        |TBLPROPERTIES ('write.distribution-mode' = 'none')""".stripMargin)
+    spark.sql(
+      """INSERT INTO pw.ns.dist0
+        |SELECT id, concat('c', id % 3) FROM range(0, 300, 1, 4)""".stripMargin)
+    val noneFiles = IcebergTable(spark, s"$warehouse/ns/dist0").planFiles().size
+    assert(noneFiles == 12,
+      s"none mode keeps the input layout (4 tasks × 3 tuples), got $noneFiles")
+    // same rows either way
+    assert(spark.table("pw.ns.dist").count() == spark.table("pw.ns.dist0").count())
+  }
+
   test("truncate-transform string partition round-trips") {
     useCatalog()
     spark.sql("DROP TABLE IF EXISTS pw.ns.tr")

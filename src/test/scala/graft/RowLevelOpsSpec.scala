@@ -157,6 +157,12 @@ class RowLevelOpsSpec extends SparkSpec {
     // identity-partition stats prune grp != 1 files from the rewrite
     val untouched = before.intersect(after)
     assert(untouched.nonEmpty, "files of unmatched partitions must survive")
+    // the replacement write clusters by partition (RequiresDistribution-
+    // AndOrdering): ONE partition was rewritten, so the new files number
+    // ~1, not one per (task, tuple)
+    val replacement = after.diff(before)
+    assert(replacement.size <= 2,
+      s"rewrite of one partition produced ${replacement.size} files")
 
     val got = spark.sql(
       "SELECT CAST(SUM(v) AS BIGINT) FROM rlo7.ns.p").collect()(0).getLong(0)
