@@ -206,6 +206,38 @@ object MetadataCommit {
     n
   }
 
+  def assertDefaultSortOrderId(mapper: ObjectMapper, orderId: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "assert-default-sort-order-id")
+    n.put("default-sort-order-id", orderId)
+    n
+  }
+
+  /** `add-sort-order` — fields only; the applier assigns the order id. */
+  def addSortOrder(mapper: ObjectMapper,
+                   fields: Seq[SortOrderField]): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "add-sort-order")
+    val order = n.putObject("sort-order")
+    val arr = order.putArray("fields")
+    fields.foreach { f =>
+      val fn = arr.addObject()
+      fn.put("transform", f.transform)
+      fn.put("source-id", f.sourceId)
+      fn.put("direction", f.direction)
+      fn.put("null-order",
+        if (f.direction == "desc") "nulls-last" else "nulls-first")
+    }
+    n
+  }
+
+  def setDefaultSortOrder(mapper: ObjectMapper, orderId: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "set-default-sort-order")
+    n.put("sort-order-id", orderId) // -1 = the order added in this commit
+    n
+  }
+
   // -- requirement check -----------------------------------------------------
 
   /** First failed requirement's description, or None when all hold. */
@@ -243,6 +275,12 @@ object MetadataCommit {
           val actual = Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0)
           if (actual == expected) None
           else Some(s"requirement failed: default-spec-id is $actual, " +
+            s"expected $expected")
+        case "assert-default-sort-order-id" =>
+          val expected = r.get("default-sort-order-id").asInt
+          val actual = Option(root.get("default-sort-order-id")).map(_.asInt).getOrElse(0)
+          if (actual == expected) None
+          else Some(s"requirement failed: default-sort-order-id is $actual, " +
             s"expected $expected")
         case "assert-table-uuid" =>
           val expected = r.get("uuid").asText
@@ -402,6 +440,32 @@ object MetadataCommit {
           // keep the legacy v1 flat-spec field in sync for plain readers
           if (root.has("partition-spec"))
             root.set[JsonNode]("partition-spec", chosen.get("fields").deepCopy[JsonNode]())
+
+        case "add-sort-order" =>
+          val order = u.get("sort-order").deepCopy[ObjectNode]()
+          val orders = Option(root.get("sort-orders")).map(_.asInstanceOf[ArrayNode])
+            .getOrElse(root.putArray("sort-orders"))
+          // the APPLIER owns id assignment; 0 is reserved for "unsorted"
+          val assigned = math.max(0, orders.elements.asScala
+            .map(o => Option(o.get("order-id")).map(_.asInt).getOrElse(0))
+            .maxOption.getOrElse(0)) + 1
+          order.put("order-id", assigned)
+          orders.add(order)
+
+        case "set-default-sort-order" =>
+          val requested = u.get("sort-order-id").asInt
+          val orders = Option(root.get("sort-orders")).map(_.asInstanceOf[ArrayNode])
+          val id =
+            if (requested != -1) requested
+            else orders.filter(_.size > 0).map(o => o.get(o.size - 1).get("order-id").asInt)
+              .getOrElse(throw new IllegalArgumentException(
+                "set-default-sort-order(-1) with no sort order added"))
+          // id 0 = unsorted, valid even when no order 0 entry exists
+          if (id != 0 && !orders.exists(_.elements.asScala
+              .exists(o => Option(o.get("order-id")).exists(_.asInt == id))))
+            throw new IllegalArgumentException(
+              s"set-default-sort-order: order-id $id not in sort-orders")
+          root.put("default-sort-order-id", id)
 
         case "set-properties" =>
           val props = Option(root.get("properties")).map(_.asInstanceOf[ObjectNode])

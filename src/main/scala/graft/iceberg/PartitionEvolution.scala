@@ -178,3 +178,55 @@ object PartitionEvolution {
         MetadataCommit.setDefaultSpec(mapper, -1)))
   }
 }
+
+/** Sort-order evolution — `ALTER TABLE … WRITE ORDERED BY (a, b DESC)` /
+  * `WRITE UNORDERED`. Like partition evolution, a metadata-only commit
+  * (`add-sort-order` + `set-default-sort-order(-1)`, guarded by
+  * `assert-default-sort-order-id`): existing files keep their recorded
+  * `sort_order_id`; FUTURE writes range-cluster and sort by the new
+  * order, which is what makes range predicates on the sort key prune
+  * files. At scale this turns "sort the table" into "sort from now on +
+  * compact when convenient" — no rewrite on the DDL path.
+  */
+object SortOrderEvolution {
+
+  /** `cols`: (column, direction) pairs, direction "asc" | "desc". */
+  def writeOrderedBy(tableDir: String, conf: Configuration,
+                     cols: Seq[(String, String)],
+                     committer: Option[TableCommitter] = None): Unit = {
+    require(cols.nonEmpty, "WRITE ORDERED BY needs at least one column")
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val fields = cols.map { case (name, dir) =>
+      require(dir == "asc" || dir == "desc", s"bad sort direction: $dir")
+      val id = meta.fieldIds.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"sort column '$name' not in schema " +
+            s"(have: ${meta.schema.fieldNames.mkString(", ")})"))
+      SortOrderField(id, "identity", dir)
+    }
+    val dupes = cols.map(_._1).groupBy(identity).collect {
+      case (c, more) if more.size > 1 => c
+    }
+    require(dupes.isEmpty, s"duplicate sort columns: ${dupes.mkString(", ")}")
+    val mapper = new ObjectMapper()
+    cmtr.commit(
+      requirements = Seq(MetadataCommit.assertDefaultSortOrderId(
+        mapper, meta.defaultSortOrderId)),
+      updates = Seq(
+        MetadataCommit.addSortOrder(mapper, fields),
+        MetadataCommit.setDefaultSortOrder(mapper, -1)))
+  }
+
+  /** `WRITE UNORDERED`: future writes stop sorting (order 0). */
+  def writeUnordered(tableDir: String, conf: Configuration,
+                     committer: Option[TableCommitter] = None): Unit = {
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val mapper = new ObjectMapper()
+    cmtr.commit(
+      requirements = Seq(MetadataCommit.assertDefaultSortOrderId(
+        mapper, meta.defaultSortOrderId)),
+      updates = Seq(MetadataCommit.setDefaultSortOrder(mapper, 0)))
+  }
+}

@@ -56,6 +56,11 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropPartFieldRe(table, expr) =>
       GraftDropPartitionFieldCommand(delegate.parseMultipartIdentifier(table),
         expr.trim)
+    case WriteOrderedRe(table, cols) =>
+      GraftWriteOrderedByCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.parseSortCols(cols))
+    case WriteUnorderedRe(table) =>
+      GraftWriteUnorderedCommand(delegate.parseMultipartIdentifier(table))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -102,6 +107,26 @@ object GraftSqlParser {
   private[connector] val DropPartFieldRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+""" +
       """([\w`]+(?:\s*\([^()]*\))?)\s*;?\s*$""").r
+  /** `ALTER TABLE t WRITE ORDERED BY (a ASC, b DESC)` — sort-order
+    * evolution (Iceberg SQL-extensions shape; stock Spark rejects it). */
+  private[connector] val WriteOrderedRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+ORDERED\s+BY\s+""" +
+      """\(?\s*([^();]+?)\s*\)?\s*;?\s*$""").r
+  private[connector] val WriteUnorderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+
+  /** "a ASC, b DESC, c" → Seq(("a","asc"), ("b","desc"), ("c","asc")). */
+  private[connector] def parseSortCols(s: String): Seq[(String, String)] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { tok =>
+      val parts = tok.split("\\s+")
+      val dir =
+        if (parts.length > 1 && parts(1).equalsIgnoreCase("DESC")) "desc"
+        else "asc"
+      require(parts.length <= 2 &&
+        (parts.length == 1 || parts(1).matches("(?i)ASC|DESC")),
+        s"bad sort token: '$tok' (expected col [ASC|DESC])")
+      (parts(0).stripPrefix("`").stripSuffix("`"), dir)
+    }
 
   private def unquote(name: String): String = name.stripPrefix("`").stripSuffix("`")
 
@@ -210,6 +235,34 @@ final case class GraftDropPartitionFieldCommand(table: Seq[String],
     val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
     graft.iceberg.PartitionEvolution.dropField(
       t.table.tableDir, t.table.conf, expr, t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t WRITE ORDERED BY (a, b DESC)` — sort-order evolution
+  * ([[graft.iceberg.SortOrderEvolution]]): future writes range-cluster +
+  * sort by the new order; no data file moves on the DDL itself. */
+final case class GraftWriteOrderedByCommand(table: Seq[String],
+    cols: Seq[(String, String)]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    graft.iceberg.SortOrderEvolution.writeOrderedBy(
+      t.table.tableDir, t.table.conf, cols, t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t WRITE UNORDERED` — future writes stop sorting. */
+final case class GraftWriteUnorderedCommand(table: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    graft.iceberg.SortOrderEvolution.writeUnordered(
+      t.table.tableDir, t.table.conf, t.committerOpt)
     cat.invalidateTable(ident)
     Nil
   }

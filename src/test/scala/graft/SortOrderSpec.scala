@@ -79,6 +79,50 @@ class SortOrderSpec extends SparkSpec {
     assert(t.planFiles().forall(_.sortOrderId.isEmpty))
   }
 
+  test("WRITE ORDERED BY evolves the sort order; UNORDERED resets it") {
+    spark.conf.set("spark.sql.catalog.so", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.so.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS so.ns")
+    spark.sql("DROP TABLE IF EXISTS so.ns.evo")
+    spark.sql("CREATE TABLE so.ns.evo (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO so.ns.evo SELECT id, id * 3 FROM range(0, 50)")
+    val before = IcebergTable(spark, s"$warehouse/ns/evo")
+    assert(before.metadata.defaultSortOrderId == 0)
+    val filesBefore = before.planFiles().map(_.filePath).toSet
+
+    spark.sql("ALTER TABLE so.ns.evo WRITE ORDERED BY (v DESC, k)")
+    val t = IcebergTable(spark, s"$warehouse/ns/evo")
+    // metadata-only: a new default order, no data file touched
+    assert(t.metadata.defaultSortOrderId == 1)
+    assert(t.metadata.sortOrderFields.map(_.direction) == Seq("desc", "asc"))
+    assert(t.planFiles().map(_.filePath).toSet == filesBefore)
+    // pre-DDL files stay unsorted (order id absent/0); new writes record 1
+    spark.sql("INSERT INTO so.ns.evo SELECT id, id * 3 FROM range(50, 100)")
+    val t2 = IcebergTable(spark, s"$warehouse/ns/evo")
+    assert(t2.planFiles().exists(_.sortOrderId.contains(1)),
+      "post-DDL files must record the evolved sort order")
+    assert(spark.sql("SELECT CAST(SUM(v) AS BIGINT) FROM so.ns.evo")
+      .collect()(0).getLong(0) == (0 until 100).map(_ * 3L).sum)
+
+    spark.sql("ALTER TABLE so.ns.evo WRITE UNORDERED")
+    val t3 = IcebergTable(spark, s"$warehouse/ns/evo")
+    assert(t3.metadata.defaultSortOrderId == 0)
+    assert(t3.metadata.sortOrderFields.isEmpty)
+    spark.sql("INSERT INTO so.ns.evo VALUES (100, 300)")
+    assert(spark.sql("SELECT COUNT(*) FROM so.ns.evo")
+      .collect()(0).getLong(0) == 101L)
+
+    // refusals: unknown column, duplicate column
+    val bad = intercept[Exception] {
+      spark.sql("ALTER TABLE so.ns.evo WRITE ORDERED BY (nope)")
+    }
+    assert(bad.getMessage.contains("not in schema"))
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE so.ns.evo WRITE ORDERED BY (v, v DESC)")
+    }
+    assert(dup.getMessage.contains("duplicate sort columns"))
+  }
+
   test("DESC sort direction round-trips through metadata") {
     spark.conf.set("spark.sql.catalog.so", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.so.warehouse", warehouse)
