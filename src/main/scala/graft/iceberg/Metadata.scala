@@ -99,6 +99,23 @@ final case class TableMetadata(
       chain.reverse
     }
 
+  /** Commit order of a BRANCH, oldest → newest: main uses the
+    * snapshot-log ([[snapshotLineage]]); any other ref walks its
+    * parent-snapshot-id chain back from the ref head (branches have no
+    * log of their own). Empty when the ref does not exist. */
+  def branchLineage(ref: String): Seq[Long] =
+    if (ref == "main") snapshotLineage
+    else refs.get(ref) match {
+      case None => Nil
+      case Some(head) =>
+        val byId = snapshots.map(s => s.snapshotId -> s).toMap
+        Iterator.iterate(byId.get(head))(
+          _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+          .takeWhile(_.isDefined).flatten.map(_.snapshotId)
+          .take(snapshots.size) // cap: a cyclic parent chain must not hang
+          .toSeq.reverse
+    }
+
   /** Source-column names of identity partition fields (the only transform
     * the reference supports — fixture `v1.metadata.json:70`). */
   def identityPartitionColumns: Seq[String] =

@@ -21,6 +21,7 @@ import graft.iceberg.IcebergWriter
   *   CALL cat.system.rollback_to_snapshot(table => 'ns.t', snapshot_id => 123)
   *   CALL cat.system.create_changelog_view(table => 'ns.t', changelog_view => 'v'
   *     [, start_snapshot_id => ..., end_snapshot_id => ...])
+  *   CALL cat.system.add_files(table => 'ns.t', source => '/dir/or/glob' [, branch => 'b'])
   * }}}
   *
   * Args are named (`name => value`) or positional; values are `'strings'`
@@ -137,10 +138,13 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "rollback_to_snapshot" => Seq(attr("previous_snapshot_id", LongType),
       attr("current_snapshot_id", LongType))
     case "create_changelog_view" => Seq(attr("changelog_view", StringType))
+    case "add_files" => Seq(attr("added_files_count", IntegerType),
+      attr("snapshot_id", LongType))
     case other => throw new UnsupportedOperationException(
       s"unknown procedure system.$other (have: expire_snapshots, " +
         "remove_orphan_files, rewrite_data_files, rewrite_manifests, " +
-        "fast_forward, rollback_to_snapshot, create_changelog_view)")
+        "fast_forward, rollback_to_snapshot, create_changelog_view, " +
+        "add_files)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -155,6 +159,7 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "create_changelog_view" =>
         Seq("table", "changelog_view", "start_snapshot_id", "end_snapshot_id",
           "net_changes")
+      case "add_files" => Seq("table", "source", "branch")
     }
     val m = bind(procedure, params, rawArgs)
     val tableParts = spark.sessionState.sqlParser
@@ -249,6 +254,27 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           else t.table.changesBetween(spark, start, end)
         df.createOrReplaceTempView(view)
         Seq(Row(view))
+      case "add_files" =>
+        // register EXISTING parquet metadata-only (the migration
+        // primitive): a directory lists its *.parquet children; a glob
+        // or literal file resolves as-is
+        val source = str(m, "source", procedure)
+        val conf = t.table.conf
+        val srcPath = new org.apache.hadoop.fs.Path(source)
+        val fs = srcPath.getFileSystem(conf)
+        val matched = Option(fs.globStatus(srcPath)).map(_.toSeq).getOrElse(Nil)
+        val paths = matched.flatMap { st =>
+          if (st.isDirectory)
+            fs.listStatus(st.getPath).toSeq
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map(_.getPath.toString)
+          else Seq(st.getPath.toString)
+        }
+        require(paths.nonEmpty, s"add_files: nothing matches '$source'")
+        val branch =
+          if (m.contains("branch")) str(m, "branch", procedure) else "main"
+        val sid = IcebergWriter.addFiles(spark, dir, paths, cmtr, branch)
+        Seq(Row(paths.size, sid))
     }
     if (procedure != "create_changelog_view") cat.invalidateTable(ident)
     rows

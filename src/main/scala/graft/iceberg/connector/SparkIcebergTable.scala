@@ -96,8 +96,21 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     (table.metadata.properties + ("format" -> "iceberg/parquet") +
       ("location" -> table.tableDir)).asJava
 
+  /** A `branch` read option pins batch scans to the ref's head (the
+    * option form of `VERSION AS OF '<ref>'`) and points STREAMING reads
+    * at the ref's lineage — `readStream.option("branch", "audit")`
+    * follows commits staged on the branch (the read half of
+    * write-audit-publish: audit a staging stream before publishing). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table)
+    Option(options.get("branch")) match {
+      case None => new GraftScanBuilder(table)
+      case Some(ref) =>
+        val head = table.metadata.refs.getOrElse(ref,
+          throw new IllegalArgumentException(
+            s"ref '$ref' not found on $tableName " +
+              s"(have: ${table.metadata.refs.keys.mkString(", ")})"))
+        new GraftScanBuilder(table.atSnapshot(head), ref)
+    }
 
   /** SQL DELETE without a data rewrite: equality predicates commit an
     * Iceberg v2 equality-delete file; an empty predicate truncates; any
@@ -253,7 +266,10 @@ final class GraftWriteBuilder(table: IcebergTable,
   }
 }
 
-final class GraftScanBuilder(table: IcebergTable)
+final class GraftScanBuilder(table: IcebergTable,
+    /** Ref whose lineage a STREAMING read follows (batch scans are
+      * already pinned by the caller); `main` = the default stream. */
+    streamRef: String = "main")
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -304,7 +320,8 @@ final class GraftScanBuilder(table: IcebergTable)
     if (table.missingPartitionColumns(spark, staticFiles).isEmpty &&
         limit.isEmpty && !table.hasDeletes && !wantsRowId &&
         !table.needsNameMapping(spark, staticFiles))
-      new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles)
+      new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles,
+        streamRef)
     else
       new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles))
   }
@@ -412,7 +429,8 @@ final class GraftBatchScan(
     table: IcebergTable,
     filters: Array[Filter],
     requiredSchema: StructType,
-    staticFiles: Seq[DataFileEntry])
+    staticFiles: Seq[DataFileEntry],
+    streamRef: String = "main")
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -584,7 +602,7 @@ final class GraftBatchScan(
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(spark, table, requiredSchema, filters)
+    new GraftMicroBatchStream(spark, table, requiredSchema, filters, streamRef)
 }
 
 /** `spark.readStream.table(...)` over an Iceberg table: each micro-batch
@@ -610,14 +628,24 @@ final class GraftMicroBatchStream(
     spark: org.apache.spark.sql.SparkSession,
     table: IcebergTable,
     requiredSchema: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter],
+    /** Ref whose commits the stream follows: `main`, or a branch staged
+      * by write-audit-publish (`readStream.option("branch", "audit")`).
+      * A non-main ref's lineage is its parent-snapshot-id chain. */
+    ref: String = "main")
     extends MicroBatchStream {
 
   private def fresh(): IcebergTable = new IcebergTable(table.tableDir, table.conf)
 
   private def head(t: IcebergTable): Long =
-    t.metadata.currentSnapshotId.filter(_ != -1L)
-      .getOrElse(GraftStreamOffset.BeforeAnySnapshot)
+    if (ref == "main")
+      t.metadata.currentSnapshotId.filter(_ != -1L)
+        .getOrElse(GraftStreamOffset.BeforeAnySnapshot)
+    else t.metadata.refs.getOrElse(ref, throw new IllegalStateException(
+      s"streaming ref '$ref' no longer exists on ${t.tableDir} " +
+        s"(have: ${t.metadata.refs.keys.mkString(", ")}) — it was dropped " +
+        "or published-and-removed; restart the stream against the " +
+        "published ref"))
 
   override def initialOffset(): StreamingOffset =
     GraftStreamOffset(GraftStreamOffset.BeforeAnySnapshot)
@@ -659,7 +687,7 @@ final class GraftMicroBatchStream(
     val e = end.asInstanceOf[GraftStreamOffset].snapshotId
     if (e == s) return Array.empty
     val t = fresh()
-    val lineage = t.metadata.snapshotLineage
+    val lineage = t.metadata.branchLineage(ref)
     val sPos = lineagePos(lineage, s, "start")
     val ePos = lineagePos(lineage, e, "end")
     if (ePos <= sPos) return Array.empty // rollback window: nothing appended

@@ -74,10 +74,13 @@ object EventStream {
     * FRESH checkpoint writing to an existing table from being swallowed
     * by the old checkpoint's ledger.) */
   private[graft] def commitBatchIfNew(
-      batch: DataFrame, tableDir: String, batchId: Long, queryId: String): Boolean = {
+      batch: DataFrame, tableDir: String, batchId: Long, queryId: String,
+      branch: String = "main"): Boolean = {
     val conf = batch.sparkSession.sessionState.newHadoopConf()
     val meta = graft.iceberg.TableMetadata.load(tableDir, conf)
     val qid = Option(queryId).getOrElse("")
+    // the ledger scans ALL snapshots (branch commits live in the same
+    // snapshot list), so a replay is caught regardless of target ref
     val lastCommitted = meta.snapshots
       .filter(_.summary.getOrElse(QueryIdKey, "") == qid)
       .flatMap(_.summary.get(BatchIdKey).flatMap(_.toLongOption))
@@ -86,7 +89,8 @@ object EventStream {
     else if (batch.isEmpty) false
     else {
       graft.iceberg.IcebergWriter.append(batch.sparkSession, tableDir, batch.toDF,
-        summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid))
+        summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid),
+        branch = branch)
       true
     }
   }
@@ -105,14 +109,19 @@ object EventStream {
     * Caller starts the returned query (`.start()` is NOT called here) so
     * tests/users control trigger and checkpoint placement.
     */
-  def icebergSink(stream: DataFrame, tableDir: String)
+  def icebergSink(stream: DataFrame, tableDir: String,
+                  /** Target ref — a WAP staging branch makes the stream's
+                    * commits invisible to `main` readers until a
+                    * fastForward publishes them (audit-then-publish for
+                    * CONTINUOUS ingestion, same convention as batch). */
+                  branch: String = "main")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // foreachBatch runs on the stream-execution thread, where Spark
         // sets the query id as a local property
         val qid = batch.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId")
-        commitBatchIfNew(batch.toDF, tableDir, batchId, qid)
+        commitBatchIfNew(batch.toDF, tableDir, batchId, qid, branch)
         ()
     }
 

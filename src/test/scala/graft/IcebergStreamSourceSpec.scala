@@ -220,4 +220,74 @@ class IcebergStreamSourceSpec extends SparkSpec {
         m.contains("append-only"))),
       s"expected an append-only refusal, got: $err")
   }
+
+  test("branch option: the stream follows the staged branch, not main") {
+    val dir = createTable("src6")
+    val conf = spark.sessionState.newHadoopConf()
+    IcebergWriter.append(spark, dir, ids(0, 3))       // shared history
+    IcebergWriter.append(spark, dir, ids(100, 102), branch = "audit") // staged
+    IcebergWriter.append(spark, dir, ids(50, 55))     // main moves on
+
+    val ckpt = new File("/root/repo/target/test-streamsrc-ckpt6")
+    val outDir = new File("/root/repo/target/test-streamsrc-out6")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    def run(): Unit = {
+      val q = spark.readStream.option("branch", "audit")
+        .table("strcat.ns.src6")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    def got(): Seq[Long] =
+      spark.read.parquet(outDir.toString).collect().map(_.getLong(0)).sorted.toSeq
+    // the branch lineage = shared history + staged commit; main's post-
+    // fork append (50-55) is NOT on the branch and must not appear
+    assert(got() == ((0L until 3L) ++ (100L until 102L)),
+      s"branch stream saw ${got()}")
+
+    // more staged commits arrive incrementally
+    IcebergWriter.append(spark, dir, ids(102, 104), branch = "audit")
+    run()
+    assert(got() == ((0L until 3L) ++ (100L until 104L)))
+
+    // batch read option pins at the branch head (VERSION AS OF's twin)
+    val batch = spark.read.option("branch", "audit").table("strcat.ns.src6")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(batch == got(), "batch branch option must see the same rows")
+  }
+
+  test("streaming sink to a branch stages batches invisibly to main") {
+    import spark.implicits._
+    val dir = createTable("src7")
+    val conf = spark.sessionState.newHadoopConf()
+    IcebergWriter.append(spark, dir, ids(0, 2)) // main baseline
+
+    val src = new File("/root/repo/target/test-streamsink-src7")
+    val ckpt = new File("/root/repo/target/test-streamsink-ckpt7")
+    org.apache.commons.io.FileUtils.deleteQuietly(src)
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    ids(10, 14).write.parquet(src.toString)
+    val stream = spark.readStream
+      .schema(ids(0, 1).schema).parquet(src.toString)
+    val q = graft.streaming.EventStream
+      .icebergSink(stream, dir, branch = "staging")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    // main unchanged; the staged branch carries baseline + the batch
+    val t = new graft.iceberg.IcebergTable(dir, conf)
+    assert(t.toDF(spark).count() == 2L, "main must not see staged batches")
+    val staged = t.atSnapshot(t.metadata.refs("staging"))
+    assert(staged.toDF(spark).collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 2L) ++ (10L until 14L)))
+
+    // publish: fastForward moves main to the staged head
+    IcebergWriter.fastForward(conf, dir, from = "staging")
+    assert(new graft.iceberg.IcebergTable(dir, conf).toDF(spark).count() == 6L)
+  }
 }

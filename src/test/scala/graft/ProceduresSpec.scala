@@ -122,6 +122,37 @@ class ProceduresSpec extends SparkSpec {
     assert(byType === Map("insert" -> 5L, "delete" -> 2L))
   }
 
+  test("add_files: the documented migration recipe (import -> compact -> mix)") {
+    val ns = fresh("pcat7")
+    // id-less imports read through schema.name-mapping.default; mixing
+    // them with id-stamped native files in one snapshot is refused until
+    // a compaction re-stamps ids — so the recipe is import, compact, go
+    spark.sql(
+      """CREATE TABLE pcat7.ns.t (k BIGINT, tag STRING) TBLPROPERTIES (
+        |'schema.name-mapping.default' =
+        |'[{"field-id":1,"names":["k"]},{"field-id":2,"names":["tag"]}]')""".stripMargin)
+    import spark.implicits._
+    val foreign = "/root/repo/target/proc-foreign-parquet"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(foreign))
+    Seq((10L, "ext"), (11L, "ext")).toDF("k", "tag")
+      .coalesce(1).write.parquet(foreign)
+    val dir = s"$ns/t"
+    val Seq(row) = spark.sql(
+      s"CALL pcat7.system.add_files(table => 'ns.t', source => '$foreign')")
+      .collect().toSeq
+    assert(row.getInt(0) === 1, "one parquet file registered")
+    // metadata-only: the foreign file was NOT copied or moved
+    assert(new java.io.File(foreign).listFiles().exists(_.getName.endsWith(".parquet")))
+    assert(spark.sql("SELECT COUNT(*) FROM pcat7.ns.t").collect()(0).getLong(0) === 2L)
+    // compact re-stamps field ids; native writes can mix in from then on
+    spark.sql("CALL pcat7.system.rewrite_data_files(table => 'ns.t')").collect()
+    spark.sql("INSERT INTO pcat7.ns.t VALUES (1, 'native')")
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM pcat7.ns.t")
+      .collect()(0).getLong(0) === 22L)
+    assert(spark.sql("SELECT COUNT(*) FROM pcat7.ns.t WHERE tag = 'ext'")
+      .collect()(0).getLong(0) === 2L)
+  }
+
   test("positional args, string timestamps, and bad input fail loudly") {
     val ns = fresh("pcat6")
     spark.sql("CREATE TABLE pcat6.ns.t (k INT)")
