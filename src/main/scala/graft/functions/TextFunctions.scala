@@ -117,4 +117,35 @@ object TextFunctions {
     org.apache.spark.sql.GraftColumnShim.column(
       graft.functions.catalyst.RollingFingerprint(
         org.apache.spark.sql.GraftColumnShim.expression(tokens(text))))
+
+  // -- PII redaction ----------------------------------------------------------
+
+  /** PII shapes a training-data pipeline scrubs before a corpus ships.
+    * Patterns stay in the Java∩RE2 common subset (no lookaround, no
+    * backrefs) so the DuckDB oracle can apply the SAME regex — the
+    * parity is part of the declared contract, like every text kernel
+    * here. Replacement order matters: emails first (their local part
+    * contains digits a later numeric pattern could half-eat), then the
+    * most-specific numeric shapes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  private val PiiTags = Seq(
+    EmailRe -> "<EMAIL>", SsnRe -> "<SSN>", PhoneRe -> "<PHONE>", Ipv4Re -> "<IP>")
+
+  /** Replace each PII shape with a typed tag (`<EMAIL>`, `<SSN>`,
+    * `<PHONE>`, `<IP>`). Pure `regexp_replace` chain — codegen'd, no UDF,
+    * scales as a map-only projection. */
+  def redactPII(text: Column): Column =
+    PiiTags.foldLeft(text) { case (c, (re, tag)) =>
+      regexp_replace(c, re, tag)
+    }
+
+  /** How many PII matches the text carries (all shapes summed) — the
+    * audit metric next to the scrub. */
+  def piiCount(text: Column): Column =
+    PiiTags.map { case (re, _) => regexp_count(text, lit(re)) }
+      .reduce(_ + _).cast("bigint")
 }

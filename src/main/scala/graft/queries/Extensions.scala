@@ -254,6 +254,28 @@ object Extensions {
         .orderBy(col("doc_id").asc_nulls_first)
         .limit(200)),
 
+    // PII scrubbing: the synthetic corpus carries no PII, so the query
+    // PLANTS deterministic shapes (email keyed by doc_id, a phone on
+    // even ids, an SSN, an IP) and the oracle plants the identical ones
+    // — the hash gate then proves the redaction chain and the audit
+    // count byte-for-byte. Pure regexp projection: map-only at 100 TB.
+    "q70_pii_redact" -> ((s, d) => {
+      val raw = concat(
+        col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 2 === 0, lit(" call 555-123-4567"))
+          .otherwise(lit("")),
+        lit(" ssn 123-45-6789 ip 10.0.0.1"))
+      t(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(
+          col("doc_id"),
+          TextFunctions.redactPII(col("raw")).as("clean"),
+          TextFunctions.piiCount(col("raw")).as("n_pii"))
+        .orderBy(col("doc_id").asc_nulls_first)
+        .limit(200)
+    }),
+
     // ---- multimodal plumbing --------------------------------------------
     "q47_multimodal_features" -> ((s, d) => {
       implicit val spark: SparkSession = s
@@ -379,6 +401,26 @@ object Extensions {
         |           w -> CAST(ascii(w) AS BIGINT) * 31 + length(w))),
         |         (acc, v) -> (acc * 131 + v) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
+    "q70_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com' ||
+        |         CASE WHEN doc_id % 2 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+        |         ' ssn 123-45-6789 ip 10.0.0.1' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |         '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS clean,
+        |       CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |          + len(regexp_extract_all(raw, '\b\d{3}-\d{2}-\d{4}\b'))
+        |          + len(regexp_extract_all(raw, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+        |          + len(regexp_extract_all(raw, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))
+        |         AS BIGINT) AS n_pii
+        |FROM raw ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
     "q41c_minhash_clone_recall" ->
       """SELECT COUNT(*) AS n_found FROM documents WHERE doc_id < 100""",
     "q42b_simhash_dup_parity" ->

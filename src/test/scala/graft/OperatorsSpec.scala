@@ -16,6 +16,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) == Seq.empty)
   }
 
+  test("redactPII replaces each shape with its tag; piiCount audits them") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "ssn 987-65-4321 phone 415-555-0199 host 192.168.10.255",
+      "no pii here 12345",
+      "two mails a@b.co c@d.io").toDF("text")
+    val got = df.select(
+      TextFunctions.redactPII(col("text")).as("clean"),
+      TextFunctions.piiCount(col("text")).as("n")).collect()
+    assert(got(0).getString(0) == "mail <EMAIL> now" && got(0).getLong(1) == 1)
+    assert(got(1).getString(0) == "ssn <SSN> phone <PHONE> host <IP>" &&
+      got(1).getLong(1) == 3)
+    assert(got(2).getString(0) == "no pii here 12345" && got(2).getLong(1) == 0)
+    assert(got(3).getString(0) == "two mails <EMAIL> <EMAIL>" &&
+      got(3).getLong(1) == 2)
+  }
+
   test("wordCount / stopwordRatio / fingerprint are deterministic") {
     val df = Seq(("a", "the fast cat the end")).toDF("id", "text")
     val r1 = df.select(

@@ -110,6 +110,29 @@ class PartitionEvolutionSpec extends SparkSpec {
       s"re-added bucket field id ${reAdded.fieldId} != original $bucketId")
   }
 
+  test("compaction after evolution rewrites everything under the new spec") {
+    freshCatalog("pevo6")
+    spark.sql("CREATE TABLE pevo6.ns.t (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO pevo6.ns.t SELECT id, concat('c', id % 2) FROM range(0, 10)")
+    spark.sql("ALTER TABLE pevo6.ns.t ADD PARTITION FIELD bucket(4, k)")
+    spark.sql("INSERT INTO pevo6.ns.t SELECT id, concat('c', id % 2) FROM range(10, 20)")
+    assert(icebergTable("t").planFiles().map(_.specId).toSet == Set(0, 1))
+
+    // "evolve now, rewrite when convenient": compact re-clusters every
+    // row by the CURRENT default spec, so the table is single-spec again
+    // (mixed-spec penalties — disabled SPJ grouping, kept-not-pruned old
+    // files — end here)
+    graft.iceberg.IcebergWriter.compact(spark, s"$wh/ns/t")
+    val t = icebergTable("t")
+    assert(t.planFiles().map(_.specId).toSet == Set(1),
+      "compacted files must all carry the new default spec")
+    assert(t.manifests.filter(_.content == 0)
+      .forall(_.partitionSpecId == t.metadata.defaultSpecId))
+    assert(t.planFiles().forall(_.partition.contains("k_bucket")),
+      "compacted files must carry the evolved partition tuple")
+    assert(spark.table("pevo6.ns.t").count() == 20L)
+  }
+
   test("DDL refusals: duplicate field, unknown drop, shadowing name, bad source") {
     freshCatalog("pevo4")
     spark.sql("CREATE TABLE pevo4.ns.t (k BIGINT, cat STRING) PARTITIONED BY (cat)")
