@@ -577,7 +577,12 @@ object IcebergWriter {
                      * caller planned them (the DSv2 group scan does) —
                      * lets the summary totals update incrementally;
                      * absent ⇒ totals are omitted, never guessed. */
-                   removedEntries: Seq[DataFileEntry] = Nil): Long = {
+                   removedEntries: Seq[DataFileEntry] = Nil,
+                   /** Snapshot operation: `overwrite` (row-level rewrite,
+                     * the default) or `replace` (same rows, different
+                     * files — what operation-aware readers like the
+                     * changelog skip as data movement). */
+                   operation: String = "overwrite"): Long = {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
@@ -614,8 +619,59 @@ object IcebergWriter {
         plus(minus(t, gone), addedTotals(added))
       }
     commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
-      keptPrior ++ newMl, Map("operation" -> "overwrite"), totals = totals)
+      keptPrior ++ newMl, Map("operation" -> operation), totals = totals)
     snapId
+  }
+
+  /** PARTIAL compaction: rewrite only the data files a predicate's
+    * pruning keeps, and swap exactly them in one snapshot — the 100 TB
+    * form of `rewrite_data_files(where => …)`. Compacting one hot
+    * partition of a 10k-partition table must not read the other 9,999:
+    * file selection is metadata-only (same pruning the scan uses —
+    * conservative, so a kept-but-unmatching file is merely rewritten,
+    * never lost), the rewrite reads whole files (no row filter: file
+    * swaps must preserve every row), and untouched manifests are
+    * re-recorded as-is. Selected files cluster under the CURRENT spec
+    * and sort order, so this is also the incremental "finish the
+    * evolution" tool. Returns (snapshotId, rewrittenFiles); a selection
+    * of < 2 files is a no-op (nothing to merge).
+    */
+  def compactWhere(spark: SparkSession, tableDir: String,
+                   filters: Seq[org.apache.spark.sql.sources.Filter],
+                   targetFileBytes: Long = 128L << 20,
+                   committer: Option[TableCommitter] = None,
+                   sortCols: Seq[String] = Nil,
+                   zorderCols: Seq[String] = Nil): (Long, Int) = {
+    require(sortCols.isEmpty || zorderCols.isEmpty,
+      "choose sort OR zorder clustering, not both")
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    require(!t.hasDeletes,
+      "compactWhere on a table with delete files: a partial rewrite " +
+        "would resurrect deleted rows — run a full compact first to " +
+        "materialize them")
+    val files = t.planFiles(filters)
+    if (files.size < 2) return (meta.currentSnapshotId.getOrElse(0L), 0)
+    val bytes = files.map(_.fileSizeInBytes).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // whole files, NO row filter: the swap must carry every row of the
+    // removed files, matching or not
+    val df0 = t.toDF(spark, Nil, precomputed = Some(files))
+    val df =
+      if (zorderCols.nonEmpty) ZOrder.cluster(df0, zorderCols, n)
+      else if (sortCols.nonEmpty)
+        df0.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df0.repartition(n)
+    val snapId0 = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val added = writeDataFiles(df, s"$tableDir/data/cw$snapId0-${uniq()}",
+      meta, conf)
+    val snapId = replaceFiles(conf, tableDir,
+      removed = files.map(_.filePath).toSet, added, Some(cmtr),
+      removedEntries = files, operation = "replace")
+    (snapId, files.size)
   }
 
   /** Write the manifest for one commit's added files and return its

@@ -152,7 +152,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "expire_snapshots" => Seq("table", "older_than", "retain_last")
       case "remove_orphan_files" => Seq("table", "older_than")
       case "rewrite_data_files" =>
-        Seq("table", "strategy", "sort_order", "target_file_size_bytes")
+        Seq("table", "strategy", "sort_order", "target_file_size_bytes",
+          "where")
       case "rewrite_manifests" => Seq("table", "target_entries_per_manifest")
       case "fast_forward" => Seq("table", "branch", "to")
       case "rollback_to_snapshot" => Seq("table", "snapshot_id")
@@ -206,8 +207,33 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           if (m.contains("target_file_size_bytes"))
             lng(m, "target_file_size_bytes", procedure)
           else 128L << 20
-        val sid = IcebergWriter.compact(spark, dir, target, cmtr,
-          sortCols = sortCols, zorderCols = zorderCols)
+        val sid = m.get("where") match {
+          case Some(pred: String) =>
+            // PARTIAL rewrite: the predicate selects files via the same
+            // metadata pruning scans use (resolved against the table so
+            // the SQL text means what a query would mean), and ONLY
+            // those files are read and swapped
+            val cond = org.apache.spark.sql.GraftColumnShim.column(
+              spark.sessionState.sqlParser.parseExpression(pred))
+            val analyzed = t.table.toDF(spark).where(cond)
+              .queryExecution.analyzed
+            val filters = analyzed.collect {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                org.apache.spark.sql.execution.datasources.GraftScanShims
+                  .translateFilters(f.condition)
+            }.flatten
+            require(filters.nonEmpty,
+              s"rewrite_data_files: where => '$pred' translates to no " +
+                "pushable filter — it would silently rewrite the whole " +
+                "table; drop `where` to do that explicitly")
+            IcebergWriter.compactWhere(spark, dir, filters, target, cmtr,
+              sortCols = sortCols, zorderCols = zorderCols)._1
+          case Some(other) => throw new IllegalArgumentException(
+            s"rewrite_data_files: where must be a string predicate, got $other")
+          case None =>
+            IcebergWriter.compact(spark, dir, target, cmtr,
+              sortCols = sortCols, zorderCols = zorderCols)
+        }
         Seq(Row(sid))
       case "rewrite_manifests" =>
         // metadata-only: merges small manifests (streaming sinks / frequent

@@ -80,6 +80,23 @@ final class KeyedFilePartition(
   */
 object GraftScanShims {
 
+  /** Catalyst predicate → data-source `Filter`, when expressible —
+    * `DataSourceStrategy.translateFilter` is `private[sql]`, so the
+    * procedure surface (`rewrite_data_files(where => …)`) reaches it
+    * through this shim. Untranslatable conjuncts drop out, which for
+    * FILE SELECTION is conservative (more files rewritten, none lost). */
+  def translateFilters(condition: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(condition).flatMap(
+      DataSourceStrategy.translateFilter(_, supportNestedPredicatePushdown = true))
+  }
+
   /** Input partitions for a storage-partitioned scan: one or more
     * [[KeyedFilePartition]]s per Iceberg partition tuple. Files still
     * split at `maxSplitBytes` and bin-pack WITHIN their tuple group

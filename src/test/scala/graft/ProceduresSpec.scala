@@ -55,6 +55,40 @@ class ProceduresSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM pcat2.ns.t").head.getLong(0) === 20)
   }
 
+  test("rewrite_data_files(where) compacts only the matching partition's files") {
+    val ns = fresh("pcat8")
+    spark.sql("CREATE TABLE pcat8.ns.t (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    // 3 commits → ≥3 files per partition value
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO pcat8.ns.t SELECT id + ${i * 10}, " +
+        "concat('c', id % 2) FROM range(0, 10)")
+    }
+    val dir = s"$ns/t"
+    def filesByCat(): Map[Any, Int] =
+      new graft.iceberg.IcebergTable(dir, conf).planFiles()
+        .groupBy(_.partition("cat")).view.mapValues(_.size).toMap
+    val before = filesByCat()
+    assert(before("c0") >= 3 && before("c1") >= 3)
+
+    spark.sql("CALL pcat8.system.rewrite_data_files(table => 'ns.t', " +
+      "where => 'cat = ''c0''')").collect()
+    val after = filesByCat()
+    assert(after("c0") == 1, s"c0 should compact to one file, got ${after("c0")}")
+    assert(after("c1") == before("c1"), "the unmatched partition is untouched")
+    assert(spark.sql("SELECT COUNT(*) FROM pcat8.ns.t").collect()(0).getLong(0) == 30L)
+    assert(spark.sql("SELECT CAST(SUM(k) AS BIGINT) FROM pcat8.ns.t")
+      .collect()(0).getLong(0) ==
+      (0 until 3).flatMap(i => (0 until 10).map(_ + i * 10)).sum)
+    // recorded as data movement, not churn: the changelog skips it
+    val meta = TableMetadata.load(dir, conf)
+    assert(meta.currentSnapshot.get.summary("operation") == "replace")
+    // a whole-table-rewriting where is refused, not silently executed
+    val e = intercept[Exception](spark.sql(
+      "CALL pcat8.system.rewrite_data_files(table => 'ns.t', " +
+        "where => 'k + 0 = k')").collect())
+    assert(e.getMessage.contains("no pushable filter"))
+  }
+
   test("rewrite_manifests merges per-commit manifests metadata-only") {
     val ns = fresh("pcat7")
     spark.sql("CREATE TABLE pcat7.ns.t (k INT)")

@@ -369,6 +369,40 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("DROP TABLE restcat.rns.ev")
   }
 
+  test("REST: partition + sort-order evolution commit their update actions over the wire") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.pe")
+    spark.sql("CREATE TABLE restcat.rns.pe (id BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    commitUpdatesSeen.synchronized(commitUpdatesSeen.clear())
+    commitRequirementsSeen.synchronized(commitRequirementsSeen.clear())
+    spark.sql("ALTER TABLE restcat.rns.pe ADD PARTITION FIELD bucket(4, id)")
+    spark.sql("ALTER TABLE restcat.rns.pe WRITE ORDERED BY (id DESC)")
+    // the wire carried the spec's update actions + concurrency guards —
+    // the SERVER (shared applier) owns spec/order id assignment
+    val upds = commitUpdatesSeen.synchronized(commitUpdatesSeen.flatten.toSeq)
+    val reqs = commitRequirementsSeen.synchronized(commitRequirementsSeen.flatten.toSeq)
+    assert(upds.exists(_.contains("add-spec")))
+    assert(upds.exists(_.contains("set-default-spec")))
+    assert(upds.exists(_.contains("add-sort-order")))
+    assert(reqs.exists(_.contains("assert-default-spec-id")))
+    assert(reqs.exists(_.contains("assert-default-sort-order-id")))
+    // and the evolved table round-trips through LoadTableResult
+    spark.sql("INSERT INTO restcat.rns.pe VALUES (7, 'x'), (8, 'y')")
+    val loaded = spark.sessionState.catalogManager.catalog("restcat")
+      .asInstanceOf[graft.iceberg.connector.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("rns"), "pe"))
+      .asInstanceOf[graft.iceberg.connector.SparkIcebergTable]
+    val meta = loaded.table.metadata
+    assert(meta.partitionSpec.map(_.transform) == Seq("identity", "bucket[4]"))
+    assert(meta.defaultSpecId == 1 && meta.defaultSortOrderId > 0)
+    assert(meta.sortOrderFields.map(_.direction) == Seq("desc"))
+    assert(spark.table("restcat.rns.pe").count() == 2L)
+    spark.sql("DROP TABLE restcat.rns.pe")
+  }
+
   test("REST: stale-base commit is rejected with 409 -> CommitConflictException") {
     useRest()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
