@@ -89,8 +89,16 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
 
   private def canWrite: Boolean = writable && table.pinnedSnapshotId.isEmpty
 
-  override def partitioning(): Array[Transform] =
-    table.metadata.identityPartitionColumns.map(Expressions.identity).toArray
+  /** The FULL default spec as DSv2 transforms (identity, bucket, days, …)
+    * — what `SHOW CREATE TABLE` / `DESCRIBE` print and what Catalyst's
+    * distribution reasoning sees. A transform the connector vocabulary
+    * cannot express drops out (report less, never wrong). */
+  override def partitioning(): Array[Transform] = {
+    val idToName = table.metadata.fieldIds.map(_.swap)
+    table.metadata.partitionSpec.flatMap(p =>
+      idToName.get(p.sourceId).flatMap(src =>
+        SparkIcebergTable.v2Transform(p.transform, src))).toArray
+  }
 
   override def properties(): java.util.Map[String, String] =
     (table.metadata.properties + ("format" -> "iceberg/parquet") +
@@ -273,11 +281,41 @@ final class GraftScanBuilder(table: IcebergTable,
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var filters: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.metadata.schema
   private var limit: Option[Int] = None
+  private var pushedCountFuncs = 0
+
+  /** `SELECT COUNT(*) FROM t` answered from manifest `record_count`
+    * sums — METADATA-ONLY: at 100 TB the scan never touches a data
+    * file (A11's statistics, promoted to a complete aggregate answer).
+    * Only taken when it is EXACT: no residual filters (ours are all
+    * residual — Spark would re-filter the count row), no grouping, no
+    * limit, and no merge-on-read deletes (manifest counts don't see
+    * anti-joined rows). Time travel / branch scans stay eligible — the
+    * pinned snapshot's manifests carry its counts. */
+  private def canAnswerFromMetadata(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    filters.isEmpty && limit.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
+      !table.hasDeletes
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canAnswerFromMetadata(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canAnswerFromMetadata(agg) && {
+      pushedCountFuncs = agg.aggregateExpressions.length
+      true
+    }
 
   /** Accept every filter for pruning but return them all as residual so
     * Spark re-evaluates above the scan — pruning soundness does not depend
@@ -304,6 +342,8 @@ final class GraftScanBuilder(table: IcebergTable,
     */
   override def build(): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
+    if (pushedCountFuncs > 0)
+      return new GraftCountScan(table.rowCount(), pushedCountFuncs)
     val staticFiles = table.planFiles(filters.toSeq)
     // merge-on-read tables take the V1 bridge: delete application is an
     // anti-join AROUND the file scan, which a single parquet Batch cannot
@@ -424,6 +464,23 @@ final class GraftSqlViewTable(
   * rows from spuriously-kept files are dropped by the join that produced
   * the filter, so soundness never depends on bounds decoding.
   */
+/** The metadata-answered COUNT(*): one driver-local row, planned as a
+  * `LocalTableScan` — no task, no file, no shuffle. */
+final class GraftCountScan(count: Long, nFuncs: Int)
+    extends Scan with org.apache.spark.sql.connector.read.LocalScan {
+
+  override def readSchema(): StructType = StructType(
+    Seq.fill(nFuncs)(org.apache.spark.sql.types.StructField(
+      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array.fill[Any](nFuncs)(count)))
+
+  override def description(): String =
+    s"GraftCountScan(count=$count, metadata-only)"
+}
+
 final class GraftBatchScan(
     spark: org.apache.spark.sql.SparkSession,
     table: IcebergTable,

@@ -105,4 +105,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(projLine.trim.startsWith("*("),
       s"the write projection must stay in whole-stage codegen:\n$plan")
   }
+
+  test("COUNT(*) is answered from metadata: LocalTableScan, no file scan") {
+    val wh = "/root/repo/target/test-countpd-warehouse"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.cpd",
+      classOf[graft.iceberg.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cpd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cpd.ns")
+    spark.sql("CREATE TABLE cpd.ns.t (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO cpd.ns.t SELECT id, concat('c', id % 3) FROM range(0, 1000)")
+
+    val counted = spark.sql("SELECT COUNT(*) FROM cpd.ns.t")
+    val plan = physical(counted)
+    assert(plan.contains("LocalTableScan"),
+      s"COUNT(*) must be metadata-answered:\n$plan")
+    assert(!plan.contains("BatchScan") && !plan.contains("FileScan"),
+      s"COUNT(*) must not plan a file scan:\n$plan")
+    assert(counted.collect()(0).getLong(0) == 1000L)
+
+    // a residual filter disqualifies the shortcut (ours re-apply above
+    // the scan — a pushed count row would be re-filtered into garbage)
+    val filtered = spark.sql("SELECT COUNT(*) FROM cpd.ns.t WHERE cat = 'c0'")
+    assert(!physical(filtered).contains("LocalTableScan"))
+    assert(filtered.collect()(0).getLong(0) == 334L)
+
+    // merge-on-read deletes disqualify it: manifest counts don't see the
+    // anti-joined rows
+    spark.sql("ALTER TABLE cpd.ns.t SET TBLPROPERTIES " +
+      "('write.delete.mode' = 'merge-on-read')")
+    spark.sql("DELETE FROM cpd.ns.t WHERE k < 10")
+    val afterDelete = spark.sql("SELECT COUNT(*) FROM cpd.ns.t")
+    assert(!physical(afterDelete).contains("LocalTableScan"),
+      "a delete-bearing snapshot must not metadata-answer COUNT(*)")
+    assert(afterDelete.collect()(0).getLong(0) == 990L)
+
+    // time travel stays eligible: the pinned snapshot's manifests count
+    val v1 = graft.iceberg.TableMetadata.load(s"$wh/ns/t",
+      spark.sessionState.newHadoopConf()).snapshotLineage.head
+    val tt = spark.sql(s"SELECT COUNT(*) FROM cpd.ns.t VERSION AS OF $v1")
+    assert(physical(tt).contains("LocalTableScan"))
+    assert(tt.collect()(0).getLong(0) == 1000L)
+  }
 }
