@@ -109,16 +109,22 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
     * at the ref's lineage — `readStream.option("branch", "audit")`
     * follows commits staged on the branch (the read half of
     * write-audit-publish: audit a staging stream before publishing). */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
     Option(options.get("branch")) match {
-      case None => new GraftScanBuilder(table)
+      case None => new GraftScanBuilder(table, maxFilesPerTrigger = maxFiles)
       case Some(ref) =>
         val head = table.metadata.refs.getOrElse(ref,
           throw new IllegalArgumentException(
             s"ref '$ref' not found on $tableName " +
               s"(have: ${table.metadata.refs.keys.mkString(", ")})"))
-        new GraftScanBuilder(table.atSnapshot(head), ref)
+        new GraftScanBuilder(table.atSnapshot(head), ref, maxFiles)
     }
+  }
 
   /** SQL DELETE without a data rewrite: equality predicates commit an
     * Iceberg v2 equality-delete file; an empty predicate truncates; any
@@ -277,7 +283,10 @@ final class GraftWriteBuilder(table: IcebergTable,
 final class GraftScanBuilder(table: IcebergTable,
     /** Ref whose lineage a STREAMING read follows (batch scans are
       * already pinned by the caller); `main` = the default stream. */
-    streamRef: String = "main")
+    streamRef: String = "main",
+    /** Streaming admission control: cap each micro-batch at ~this many
+      * appended files (snapshot-granular; ≥1 snapshot per batch). */
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -361,7 +370,7 @@ final class GraftScanBuilder(table: IcebergTable,
         limit.isEmpty && !table.hasDeletes && !wantsRowId &&
         !table.needsNameMapping(spark, staticFiles))
       new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles,
-        streamRef)
+        streamRef, maxFilesPerTrigger)
     else
       new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles))
   }
@@ -487,7 +496,8 @@ final class GraftBatchScan(
     filters: Array[Filter],
     requiredSchema: StructType,
     staticFiles: Seq[DataFileEntry],
-    streamRef: String = "main")
+    streamRef: String = "main",
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -659,7 +669,8 @@ final class GraftBatchScan(
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(spark, table, requiredSchema, filters, streamRef)
+    new GraftMicroBatchStream(spark, table, requiredSchema, filters, streamRef,
+      maxFilesPerTrigger)
 }
 
 /** `spark.readStream.table(...)` over an Iceberg table: each micro-batch
@@ -689,8 +700,66 @@ final class GraftMicroBatchStream(
     /** Ref whose commits the stream follows: `main`, or a branch staged
       * by write-audit-publish (`readStream.option("branch", "audit")`).
       * A non-main ref's lineage is its parent-snapshot-id chain. */
-    ref: String = "main")
-    extends MicroBatchStream {
+    ref: String = "main",
+    /** `maxFilesPerTrigger` read option: admission control. Without it
+      * the FIRST micro-batch is the entire backlog — on a 100 TB table
+      * one batch reading everything. With it, each batch advances the
+      * frontier snapshot-by-snapshot until ~N appended files accumulate
+      * (snapshot-granular: always ≥1 snapshot, so progress is guaranteed
+      * and a snapshot is never split across batches). */
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+
+  /** `Trigger.AvailableNow` target: without this, Spark's wrapper for
+    * non-AvailableNow sources IGNORES read limits and processes the whole
+    * backlog in one batch — exactly what `maxFilesPerTrigger` exists to
+    * prevent. Pinning the head here makes AvailableNow "drain up to THIS
+    * offset, paced", immune to commits landing mid-drain. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(head(fresh()))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): StreamingOffset =
+    GraftStreamOffset(availableNowTarget.getOrElse(head(fresh())))
+
+  override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset = {
+    val t = fresh()
+    val headId = availableNowTarget.getOrElse(head(t))
+    limit match {
+      case mf: ReadMaxFiles =>
+        val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+        if (headId == s || headId == GraftStreamOffset.BeforeAnySnapshot)
+          return GraftStreamOffset(headId)
+        val lineage = t.metadata.branchLineage(ref)
+        val sPos = lineagePos(lineage, s, "start")
+        val hPos = lineagePos(lineage, headId, "end")
+        if (hPos <= sPos) return GraftStreamOffset(headId) // rollback window
+        var pos = sPos
+        var files = 0
+        // advance at least one snapshot; stop once the budget is spent.
+        // per-snapshot file counts come from the same manifest-level diff
+        // planning uses; a non-append snapshot ends the batch here and
+        // fails LOUDLY in planInputPartitions (same contract as before)
+        while (pos < hPos && (files == 0 || files < mf.maxFiles)) {
+          val prevId = if (pos == 0) 0L else lineage(pos - 1)
+          val curId = lineage(pos) // snapshot at 1-based position pos+1
+          files +=
+            (try t.appendedFilesBetween(prevId, curId).size
+             catch { case _: UnsupportedOperationException => mf.maxFiles })
+          pos += 1
+        }
+        GraftStreamOffset(lineage(pos - 1))
+      case _ => GraftStreamOffset(headId)
+    }
+  }
 
   private def fresh(): IcebergTable = new IcebergTable(table.tableDir, table.conf)
 

@@ -221,6 +221,35 @@ class IcebergStreamSourceSpec extends SparkSpec {
       s"expected an append-only refusal, got: $err")
   }
 
+  test("maxFilesPerTrigger paces the backlog across micro-batches") {
+    val dir = createTable("src8")
+    // 3 append snapshots in the backlog before the stream starts
+    IcebergWriter.append(spark, dir, ids(0, 2))
+    IcebergWriter.append(spark, dir, ids(2, 4))
+    IcebergWriter.append(spark, dir, ids(4, 6))
+
+    val ckpt = new File("/root/repo/target/test-streamsrc-ckpt8")
+    val outDir = new File("/root/repo/target/test-streamsrc-out8")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    val q = spark.readStream.option("maxFilesPerTrigger", "1")
+      .table("strcat.ns.src8")
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    // every row arrived, and the backlog was split snapshot-by-snapshot
+    // instead of one catch-up batch reading everything
+    assert(spark.read.parquet(outDir.toString).collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 6L))
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3,
+      s"expected ≥3 paced micro-batches, got $batches " +
+        s"(${q.recentProgress.map(_.numInputRows).mkString(",")})")
+  }
+
   test("branch option: the stream follows the staged branch, not main") {
     val dir = createTable("src6")
     val conf = spark.sessionState.newHadoopConf()
