@@ -296,35 +296,91 @@ final class GraftScanBuilder(table: IcebergTable,
   private var filters: Array[Filter] = Array.empty
   private var requiredSchema: StructType = table.metadata.schema
   private var limit: Option[Int] = None
-  private var pushedCountFuncs = 0
+  // (name, type, value) per pushed agg func — value is Catalyst-internal
+  private var pushedAgg: Option[Seq[(String, org.apache.spark.sql.types.DataType, Any)]] = None
 
-  /** `SELECT COUNT(*) FROM t` answered from manifest `record_count`
-    * sums — METADATA-ONLY: at 100 TB the scan never touches a data
-    * file (A11's statistics, promoted to a complete aggregate answer).
-    * Only taken when it is EXACT: no residual filters (ours are all
-    * residual — Spark would re-filter the count row), no grouping, no
-    * limit, and no merge-on-read deletes (manifest counts don't see
-    * anti-joined rows). Time travel / branch scans stay eligible — the
-    * pinned snapshot's manifests carry its counts. */
-  private def canAnswerFromMetadata(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    filters.isEmpty && limit.isEmpty &&
-      agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(
-        _.isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]) &&
-      !table.hasDeletes
+  /** `SELECT COUNT(*) / MIN(c) / MAX(c) FROM t` answered from manifest
+    * metadata (`record_count` sums; per-file lower/upper bounds) —
+    * METADATA-ONLY: at 100 TB the scan never touches a data file (A11's
+    * statistics, promoted to a complete aggregate answer). Only taken
+    * when EXACT: no residual filters (ours are all residual — Spark
+    * would re-filter the answer row), no grouping, no limit, no
+    * merge-on-read deletes (manifest stats can't see anti-joined rows).
+    * MIN/MAX additionally require a fixed-width type whose bounds the
+    * spec forbids truncating (int/long/date/timestamp — never strings,
+    * never NaN-bearing floats) and a bound present on EVERY file (a
+    * missing one means unknown, not empty). Time travel / branch scans
+    * stay eligible — the pinned snapshot's manifests carry its stats. */
+  private def metadataAggAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(String, org.apache.spark.sql.types.DataType, Any)]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (filters.nonEmpty || limit.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty || table.hasDeletes) return None
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+    def boundSafe(name: String): Option[(Int, DataType)] =
+      table.metadata.fieldIds.get(name).flatMap { id =>
+        table.metadata.schema.fields.find(_.name == name).map(_.dataType) match {
+          case Some(dt @ (IntegerType | LongType | DateType |
+                          TimestampType | TimestampNTZType)) => Some((id, dt))
+          case _ => None
+        }
+      }
+    lazy val files = table.planFiles()
+    def bound(id: Int, dt: DataType, lower: Boolean): Option[Option[Any]] = {
+      // Some(None) = table empty (answer null); None = not answerable
+      if (files.isEmpty) return Some(None)
+      val perFile = files.map { f =>
+        (if (lower) f.lowerBounds else f.upperBounds)
+          .get(id).flatMap(graft.iceberg.SingleValue.decode(_, dt))
+      }
+      if (perFile.exists(_.isEmpty)) None
+      else Some(Some(perFile.flatten.reduce { (a, b) =>
+        val cmp = (a, b) match {
+          case (x: Int, y: Int) => x.compareTo(y)
+          case (x: Long, y: Long) => x.compareTo(y)
+          case _ => return None
+        }
+        if ((cmp <= 0) == lower) a else b
+      }))
+    }
+
+    val answers = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(("count(*)", LongType: DataType, table.rowCount(): Any))
+      case m: Min =>
+        for {
+          name <- colOf(m.column)
+          (id, dt) <- boundSafe(name)
+          v <- bound(id, dt, lower = true)
+        } yield (s"min($name)", dt, v.orNull: Any)
+      case m: Max =>
+        for {
+          name <- colOf(m.column)
+          (id, dt) <- boundSafe(name)
+          v <- bound(id, dt, lower = false)
+        } yield (s"max($name)", dt, v.orNull: Any)
+      case _ => None
+    }
+    if (answers.forall(_.isDefined)) Some(answers.flatten) else None
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canAnswerFromMetadata(agg)
+    metadataAggAnswer(agg).isDefined
 
   override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    canAnswerFromMetadata(agg) && {
-      pushedCountFuncs = agg.aggregateExpressions.length
-      true
-    }
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = metadataAggAnswer(agg)
+    pushedAgg.isDefined
+  }
 
   /** Accept every filter for pruning but return them all as residual so
     * Spark re-evaluates above the scan — pruning soundness does not depend
@@ -351,8 +407,7 @@ final class GraftScanBuilder(table: IcebergTable,
     */
   override def build(): Scan = {
     val spark = org.apache.spark.sql.SparkSession.active
-    if (pushedCountFuncs > 0)
-      return new GraftCountScan(table.rowCount(), pushedCountFuncs)
+    pushedAgg.foreach(answers => return new GraftMetadataAggScan(answers))
     val staticFiles = table.planFiles(filters.toSeq)
     // merge-on-read tables take the V1 bridge: delete application is an
     // anti-join AROUND the file scan, which a single parquet Batch cannot
@@ -473,21 +528,24 @@ final class GraftSqlViewTable(
   * rows from spuriously-kept files are dropped by the join that produced
   * the filter, so soundness never depends on bounds decoding.
   */
-/** The metadata-answered COUNT(*): one driver-local row, planned as a
-  * `LocalTableScan` — no task, no file, no shuffle. */
-final class GraftCountScan(count: Long, nFuncs: Int)
+/** The metadata-answered aggregate (COUNT(*)/MIN/MAX): one driver-local
+  * row, planned as a `LocalTableScan` — no task, no file, no shuffle. */
+final class GraftMetadataAggScan(
+    answers: Seq[(String, org.apache.spark.sql.types.DataType, Any)])
     extends Scan with org.apache.spark.sql.connector.read.LocalScan {
 
   override def readSchema(): StructType = StructType(
-    Seq.fill(nFuncs)(org.apache.spark.sql.types.StructField(
-      "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+    answers.map { case (name, dt, v) =>
+      org.apache.spark.sql.types.StructField(name, dt, nullable = v == null)
+    })
 
   override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
     Array(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array.fill[Any](nFuncs)(count)))
+      answers.map(_._3).toArray))
 
   override def description(): String =
-    s"GraftCountScan(count=$count, metadata-only)"
+    s"GraftMetadataAggScan(${answers.map { case (n, _, v) => s"$n=$v" }
+      .mkString(", ")}, metadata-only)"
 }
 
 final class GraftBatchScan(

@@ -124,6 +124,17 @@ class PlanShapeSpec extends SparkSpec {
       s"COUNT(*) must not plan a file scan:\n$plan")
     assert(counted.collect()(0).getLong(0) == 1000L)
 
+    // MIN/MAX on fixed-width types come from per-file bounds, same plan
+    val mm = spark.sql("SELECT MIN(k), MAX(k), COUNT(*) FROM cpd.ns.t")
+    assert(physical(mm).contains("LocalTableScan"),
+      s"MIN/MAX must be metadata-answered:\n${physical(mm)}")
+    val r = mm.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 999L, 1000L)))
+    // strings are NOT eligible (the spec allows truncated bounds)
+    val ms = spark.sql("SELECT MAX(cat) FROM cpd.ns.t")
+    assert(!physical(ms).contains("LocalTableScan"))
+    assert(ms.collect()(0).getString(0) == "c2")
+
     // a residual filter disqualifies the shortcut (ours re-apply above
     // the scan — a pushed count row would be re-filtered into garbage)
     val filtered = spark.sql("SELECT COUNT(*) FROM cpd.ns.t WHERE cat = 'c0'")
