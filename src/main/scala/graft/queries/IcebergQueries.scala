@@ -442,6 +442,34 @@ object IcebergQueries {
           |ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // Metadata-answered aggregates: COUNT(*)/MIN/MAX complete from
+    // manifest stats as a driver-local row — the builder require()s the
+    // LocalTableScan plan (zero file IO), and the oracle restates the
+    // values from the source parquet, so BOTH the shortcut's plan shape
+    // and its exactness are driver-gated.
+    "q71_metadata_agg" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q71-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q71")
+      s.conf.set("spark.sql.catalog.q71cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q71cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q71cat.ns")
+      s.sql(
+        """CREATE TABLE q71cat.ns.orders_m AS
+          |SELECT o_orderkey, o_custkey, o_orderdate FROM orders_src_q71""".stripMargin)
+      val agg = s.sql(
+        """SELECT COUNT(*) AS n, CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+          |       CAST(MAX(o_orderkey) AS BIGINT) AS max_k,
+          |       MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d
+          |FROM q71cat.ns.orders_m""".stripMargin)
+      require(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "q71: the aggregate must be metadata-answered (LocalTableScan), " +
+          s"got:\n${agg.queryExecution.executedPlan}")
+      agg
+    }),
+
     // Merge-on-read row-level ops end-to-end: UPDATE, MERGE, and a range
     // DELETE all run in write.<op>.mode=merge-on-read (position-delete +
     // append deltas; no data file rewritten), then every surviving row is
@@ -639,6 +667,11 @@ object IcebergQueries {
         |CROSS JOIN (SELECT COUNT(*) AS n_pt FROM nation
         |            WHERE n_nationkey = 20) p
         |ORDER BY n_regionkey""".stripMargin,
+    "q71_metadata_agg" ->
+      """SELECT COUNT(*) AS n, CAST(MIN(o_orderkey) AS BIGINT) AS min_k,
+        |       CAST(MAX(o_orderkey) AS BIGINT) AS max_k,
+        |       MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d
+        |FROM orders""".stripMargin,
     "q67_mor" ->
       """WITH upd AS (
         |  SELECT n_nationkey,
