@@ -143,6 +143,43 @@ object PartitionEvolution {
                 committer: Option[TableCommitter] = None): Unit = {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
+    val f = matchField(meta, expr)
+    commitSpec(cmtr, meta, meta.partitionSpec.filterNot(_ == f))
+  }
+
+  /** `ALTER TABLE … REPLACE PARTITION FIELD old WITH new [AS name]` —
+    * drop + add in ONE commit (two separate DDLs would leave a window
+    * where concurrent writes cluster by neither layout). */
+  def replaceField(tableDir: String, conf: Configuration,
+                   oldExpr: String, newExpr: String,
+                   asName: Option[String] = None,
+                   committer: Option[TableCommitter] = None): Unit = {
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val matched = matchField(meta, oldExpr)
+    val (src, transform) = parseTransform(newExpr)
+    val sourceId = meta.fieldIds.getOrElse(src,
+      throw new IllegalArgumentException(
+        s"partition source column '$src' not in schema"))
+    val dt = meta.schema.fields.find(_.name == src).map(_.dataType).get
+    validateSourceType(transform, dt, src)
+    val name = asName.getOrElse(specFieldName(src, transform))
+    val remaining = meta.partitionSpec.filterNot(_ == matched)
+    remaining.find(f => f.sourceId == sourceId && f.transform == transform)
+      .foreach(f => throw new IllegalArgumentException(
+        s"table is already partitioned by $transform($src) (field '${f.name}')"))
+    remaining.find(_.name == name).foreach(f =>
+      throw new IllegalArgumentException(
+        s"partition field name '$name' already used by ${f.transform}"))
+    if (transform != "identity" && meta.fieldIds.contains(name))
+      throw new IllegalArgumentException(
+        s"partition field name '$name' conflicts with a schema column")
+    commitSpec(cmtr, meta, meta.partitionSpec.map(f =>
+      if (f == matched) PartitionField(name, transform, sourceId, -1) else f))
+  }
+
+  /** Exactly one spec field matching a transform expr or bare name. */
+  private def matchField(meta: TableMetadata, expr: String): PartitionField = {
     val matched: Seq[PartitionField] =
       if (expr.contains("(")) {
         val (src, transform) = parseTransform(expr)
@@ -157,7 +194,7 @@ object PartitionEvolution {
             meta.fieldIds.get(bare).contains(f.sourceId)))
       }
     matched match {
-      case Seq(f) => commitSpec(cmtr, meta, meta.partitionSpec.filterNot(_ == f))
+      case Seq(f) => f
       case Seq() => throw new IllegalArgumentException(
         s"no partition field matches '$expr' (current spec: " +
           meta.partitionSpec.map(f => s"${f.transform}→${f.name}").mkString(", ") + ")")

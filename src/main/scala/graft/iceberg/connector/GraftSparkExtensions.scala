@@ -56,6 +56,10 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropPartFieldRe(table, expr) =>
       GraftDropPartitionFieldCommand(delegate.parseMultipartIdentifier(table),
         expr.trim)
+    case ReplacePartFieldRe(table, oldExpr, newExpr, asName) =>
+      GraftReplacePartitionFieldCommand(
+        delegate.parseMultipartIdentifier(table),
+        oldExpr.trim, newExpr.trim, Option(asName).map(unquote))
     case WriteOrderedRe(table, cols) =>
       GraftWriteOrderedByCommand(delegate.parseMultipartIdentifier(table),
         GraftSqlParser.parseSortCols(cols))
@@ -107,6 +111,12 @@ object GraftSqlParser {
   private[connector] val DropPartFieldRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+""" +
       """([\w`]+(?:\s*\([^()]*\))?)\s*;?\s*$""").r
+  /** `ALTER TABLE t REPLACE PARTITION FIELD old WITH new [AS name]` —
+    * drop + add in ONE metadata commit. */
+  private[connector] val ReplacePartFieldRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+REPLACE\s+PARTITION\s+FIELD\s+""" +
+      """([\w`]+(?:\s*\([^()]*\))?)\s+WITH\s+([\w`]+(?:\s*\([^()]*\))?)""" +
+      """(?:\s+AS\s+([\w`]+))?\s*;?\s*$""").r
   /** `ALTER TABLE t WRITE ORDERED BY (a ASC, b DESC)` — sort-order
     * evolution (Iceberg SQL-extensions shape; stock Spark rejects it). */
   private[connector] val WriteOrderedRe =
@@ -235,6 +245,21 @@ final case class GraftDropPartitionFieldCommand(table: Seq[String],
     val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
     graft.iceberg.PartitionEvolution.dropField(
       t.table.tableDir, t.table.conf, expr, t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t REPLACE PARTITION FIELD old WITH new [AS name]` — one
+  * commit, so concurrent writes never see a half-evolved spec. */
+final case class GraftReplacePartitionFieldCommand(table: Seq[String],
+    oldExpr: String, newExpr: String, asName: Option[String])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    graft.iceberg.PartitionEvolution.replaceField(
+      t.table.tableDir, t.table.conf, oldExpr, newExpr, asName, t.committerOpt)
     cat.invalidateTable(ident)
     Nil
   }

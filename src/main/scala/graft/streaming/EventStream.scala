@@ -125,6 +125,55 @@ object EventStream {
         ()
     }
 
+  /** Stream → Iceberg UPSERT: each micro-batch MERGEs into the table on
+    * `keys` (update matched rows, insert new ones) — the CDC-ingestion
+    * sink a training-data pipeline uses to keep a corpus table current
+    * from a change feed. Rows are deduplicated per key WITHIN the batch
+    * first (latest `versionCol` wins; arbitrary survivor without one) —
+    * MERGE refuses multiple source matches per target row, and a change
+    * feed routinely carries several versions of one key per batch.
+    *
+    * The MERGE runs through the same row-level machinery as SQL (group
+    * rewrite or merge-on-read delta per `write.merge.mode`), so
+    * merge-on-read keeps per-batch write amplification ∝ changed rows.
+    * Replay safety is by IDEMPOTENCE, not a ledger: re-merging the same
+    * deduplicated batch reproduces the same table state (pure upserts
+    * have no order-dependent effects), so at-least-once foreachBatch
+    * delivery yields exactly-once table contents.
+    */
+  def icebergUpsertSink(stream: DataFrame, tableName: String,
+                        keys: Seq[String], versionCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keys.nonEmpty, "upsert sink needs at least one key column")
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val deduped = versionCol match {
+            case Some(v) =>
+              import org.apache.spark.sql.expressions.Window
+              batch.toDF
+                .withColumn("__g_rn", row_number().over(
+                  Window.partitionBy(keys.map(col): _*)
+                    .orderBy(col(v).desc)))
+                .filter(col("__g_rn") === 1).drop("__g_rn")
+            case None => batch.toDF.dropDuplicates(keys)
+          }
+          val view = s"__graft_upsert_${batchId}_${math.abs(tableName.hashCode)}"
+          deduped.createOrReplaceTempView(view)
+          try {
+            val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+            deduped.sparkSession.sql(
+              s"""MERGE INTO $tableName t USING $view s ON $on
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            ()
+          } finally {
+            deduped.sparkSession.catalog.dropTempView(view); ()
+          }
+        }
+    }
+  }
+
   /** Read the events parquet directory as a stream (file source), with the
     * same nanos→micros ts normalization as the batch loader.
     */

@@ -159,6 +159,34 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(badType.getMessage.contains("cannot partition"))
   }
 
+  test("REPLACE PARTITION FIELD swaps in one commit") {
+    freshCatalog("pevo7")
+    spark.sql("CREATE TABLE pevo7.ns.t (k BIGINT, ts TIMESTAMP, cat STRING) " +
+      "PARTITIONED BY (cat, bucket(4, k))")
+    val versionsBefore = {
+      val fs = new Path(s"$wh/ns/t/metadata").getFileSystem(
+        spark.sessionState.newHadoopConf())
+      fs.listStatus(new Path(s"$wh/ns/t/metadata"))
+        .count(_.getPath.getName.endsWith(".metadata.json"))
+    }
+    spark.sql("ALTER TABLE pevo7.ns.t REPLACE PARTITION FIELD bucket(4, k) " +
+      "WITH bucket(16, k)")
+    val meta = icebergTable("t").metadata
+    assert(meta.partitionSpec.map(_.transform) == Seq("identity", "bucket[16]"))
+    assert(meta.defaultSpecId == 1)
+    // ONE commit: exactly one new metadata version
+    val fs = new Path(s"$wh/ns/t/metadata").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val versionsAfter = fs.listStatus(new Path(s"$wh/ns/t/metadata"))
+      .count(_.getPath.getName.endsWith(".metadata.json"))
+    assert(versionsAfter == versionsBefore + 1,
+      s"REPLACE must be one commit ($versionsBefore -> $versionsAfter)")
+    spark.sql("INSERT INTO pevo7.ns.t SELECT id, " +
+      "TIMESTAMP'2024-01-01 00:00:00', concat('c', id % 2) FROM range(0, 8)")
+    assert(spark.table("pevo7.ns.t").count() == 8L)
+    assert(icebergTable("t").planFiles().forall(_.partition.contains("k_bucket")))
+  }
+
   test("concurrent evolutions conflict instead of silently shadowing") {
     freshCatalog("pevo5")
     spark.sql("CREATE TABLE pevo5.ns.t (k BIGINT, ts TIMESTAMP, cat STRING) " +

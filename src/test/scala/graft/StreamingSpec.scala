@@ -103,6 +103,41 @@ class StreamingSpec extends SparkSpec {
     assert(t.atSnapshot(1L).rowCount() == 2L, "first batch alone in snapshot 1")
   }
 
+  test("upsert sink MERGEs each micro-batch; in-batch versions collapse to the latest") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    val wh = "/root/repo/target/test-upsert-wh"
+    FileUtils.deleteQuietly(new File(wh))
+    FileUtils.deleteQuietly(new File("/root/repo/target/test-upsert-ckpt"))
+    spark.conf.set("spark.sql.catalog.upcat",
+      classOf[graft.iceberg.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.upcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS upcat.ns")
+    spark.sql("CREATE TABLE upcat.ns.docs (k BIGINT, v STRING, ver BIGINT)")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val stream = mem.toDF.toDF("k", "v", "ver")
+    val q = EventStream.icebergUpsertSink(stream, "upcat.ns.docs",
+      keys = Seq("k"), versionCol = Some("ver"))
+      .option("checkpointLocation", "/root/repo/target/test-upsert-ckpt")
+      .start()
+    try {
+      // batch 1: fresh keys, plus TWO versions of key 4 — latest must win
+      mem.addData((1L, "a", 1L), (2L, "b", 1L), (4L, "x", 1L), (4L, "y", 2L))
+      q.processAllAvailable()
+      // batch 2: update one key, insert another
+      mem.addData((2L, "B", 2L), (3L, "c", 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.sql("SELECT k, v FROM upcat.ns.docs ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "y")),
+      s"upsert state wrong: $got")
+  }
+
   test("streaming sink is exactly-once: replayed batches do not double-append") {
     import java.io.File
     import org.apache.commons.io.FileUtils
