@@ -115,6 +115,21 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
+    // `snapshot-id` / `as-of-timestamp`: the DataFrame-reader twins of
+    // `VERSION AS OF` / `TIMESTAMP AS OF` (upstream Iceberg's option
+    // names). Mutually exclusive with each other and with `branch`.
+    val pins = Seq(
+      Option(options.get("branch")),
+      Option(options.get("snapshot-id")),
+      Option(options.get("as-of-timestamp"))).count(_.isDefined)
+    require(pins <= 1,
+      "read options branch / snapshot-id / as-of-timestamp are mutually exclusive")
+    Option(options.get("snapshot-id")).foreach(id =>
+      return new GraftScanBuilder(table.atSnapshot(id.toLong),
+        maxFilesPerTrigger = maxFiles))
+    Option(options.get("as-of-timestamp")).foreach(ms =>
+      return new GraftScanBuilder(table.asOfTimestamp(ms.toLong),
+        maxFilesPerTrigger = maxFiles))
     Option(options.get("branch")) match {
       case None => new GraftScanBuilder(table, maxFilesPerTrigger = maxFiles)
       case Some(ref) =>

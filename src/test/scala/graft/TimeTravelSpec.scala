@@ -144,6 +144,22 @@ class TimeTravelSpec extends SparkSpec {
     assert(err.getMessage.contains("42"))
   }
 
+  test("snapshot-id / as-of-timestamp read options are VERSION/TIMESTAMP AS OF's twins") {
+    table.planFiles() // force the fixture
+    spark.conf.set("spark.sql.catalog.tt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tt.warehouse", warehouse)
+    assert(spark.read.option("snapshot-id", "1").table("tt.ns.tt").count() == 2L)
+    assert(spark.read.option("as-of-timestamp", "1500").table("tt.ns.tt").count() == 2L)
+    assert(spark.read.table("tt.ns.tt").count() == 4L)
+    val both = intercept[Exception](
+      spark.read.option("snapshot-id", "1").option("as-of-timestamp", "1500")
+        .table("tt.ns.tt").count())
+    assert(both.getMessage.contains("mutually exclusive"))
+    val unknown = intercept[Exception](
+      spark.read.option("snapshot-id", "42").table("tt.ns.tt").count())
+    assert(unknown.getMessage.contains("42"))
+  }
+
   test("IcebergWriter chains appends: each snapshot sees cumulative files") {
     import org.apache.commons.io.FileUtils
     import spark.implicits._
