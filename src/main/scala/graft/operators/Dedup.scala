@@ -162,10 +162,13 @@ object Dedup {
     * so convergence is O(log diameter) iterations, not O(diameter) (a
     * 100 TB near-dup chain of depth thousands — pathological but real in
     * boilerplate-heavy corpora — finishes in ~12 rounds, not thousands).
-    * Each iteration costs two joins + one aggregation shuffle over the
-    * EDGE/label sets (pairs, not the corpus; the corpus never shuffles).
-    * The driver-side loop holds only a converged flag per iteration — no
-    * component data ever collects.
+    * Each iteration is ONE Spark job (the per-round `localCheckpoint`):
+    * propagation join + min-agg + pointer-jump self-join + a prev-label
+    * join that carries a `changed` flag, all over the EDGE/label sets
+    * (pairs, not the corpus; the corpus never shuffles). Convergence is
+    * then a shuffle-free take(1) on the materialized leaf — not a
+    * separate shuffle-join action. The driver-side loop holds only a
+    * converged flag per iteration — no component data ever collects.
     *
     * Exiting at `maxIter` without a fixpoint THROWS: partially-merged
     * labels would silently split one duplicate chain into several
@@ -184,7 +187,7 @@ object Dedup {
       .distinct()
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
+      .withColumn("comp", col("id")).localCheckpoint(true)
     var i = 0
     var converged = sym.isEmpty
     while (!converged && i < maxIter) {
@@ -202,15 +205,25 @@ object Dedup {
       // planning/analysis cost long before any data moves. Iterative
       // algorithms on Spark need their per-round result materialized
       // as a plan LEAF.
-      val next = minNbr.join(
+      val jumped = minNbr.join(
           minNbr.select(col("id").as("comp"), col("comp").as("comp2")),
           Seq("comp"), "left")
         .select(col("id"), least(col("comp"), col("comp2")).as("comp"))
+      // Fold the convergence test into the SAME materialized pass: carry
+      // the previous label through the plan and flag rows whose label
+      // still moved (labels only ever decrease, so `comp < prev` ⇔
+      // changed). Each round then costs exactly ONE Spark job — the
+      // checkpoint — plus a shuffle-free take(1) scan of the
+      // materialized leaf; the old separate convergence action was a
+      // full shuffle join per round (the r8 q63 bench regression).
+      val next = jumped
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .select(col("id"), col("comp"),
+                (col("comp") < col("prev")).as("changed"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).isEmpty
+      converged = next.where(col("changed")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "comp")
       i += 1
     }
     sym.unpersist()
