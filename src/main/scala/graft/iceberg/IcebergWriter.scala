@@ -582,9 +582,26 @@ object IcebergWriter {
                      * the default) or `replace` (same rows, different
                      * files — what operation-aware readers like the
                      * changelog skip as data movement). */
-                   operation: String = "overwrite"): Long = {
+                   operation: String = "overwrite",
+                   /** Snapshot id the caller PLANNED the swap against.
+                     * When set, the commit aborts with
+                     * [[CommitConflictException]] if the table moved
+                     * between planning and commit — closes the TOCTOU
+                     * window where a concurrent merge-on-read DELETE or
+                     * rival rewrite lands after file selection and the
+                     * swap would silently resurrect its rows. */
+                   expectedSnapshotId: Option[Long] = None): Long = {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
+    expectedSnapshotId.foreach { e =>
+      val cur = meta.currentSnapshotId.filter(_ != -1L)
+      if (!cur.contains(e))
+        throw new CommitConflictException(
+          s"copy-on-write swap planned against snapshot $e but the table " +
+            s"is now at ${cur.getOrElse("<empty>")} — a concurrent commit " +
+            "landed between planning and commit; replan against fresh " +
+            "metadata and retry")
+    }
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
@@ -595,6 +612,7 @@ object IcebergWriter {
         "rows would resurrect them")
 
     val u = uniq()
+    var droppedTotal = 0L
     val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
       val mPath = resolveAgainst(meta, tableDir, m.path)
       filterManifest(mPath, conf, removed,
@@ -602,12 +620,23 @@ object IcebergWriter {
         case None => // untouched: re-record as-is
           Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
             m.addedRowsCount, m.partitionSpecId, m.partitions))
-        case Some((_, 0L, _)) => None // every file removed: drop the manifest
-        case Some((newPath, rows, len)) =>
+        case Some((_, 0L, _, d)) => // every file removed: drop the manifest
+          droppedTotal += d; None
+        case Some((newPath, rows, len, d)) =>
+          droppedTotal += d
           Some(mlRec(newPath, len, m.content, m.sequenceNumber, Some(rows),
             m.partitionSpecId, m.partitions))
       }
     }
+    // Commit-time revalidation (independent of expectedSnapshotId): every
+    // planned-removed file must still be live in the CURRENT snapshot,
+    // exactly once. A concurrent rewrite that already moved one of them
+    // means our replacement files would duplicate (or resurrect) its rows.
+    if (droppedTotal != removed.size)
+      throw new CommitConflictException(
+        s"copy-on-write swap aborted: $droppedTotal of ${removed.size} " +
+          "planned files are live in the current snapshot — a concurrent " +
+          "rewrite moved the rest; replan against fresh metadata and retry")
 
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
     val removedKnown = removedEntries.filter(e => removed.contains(e.filePath))
@@ -670,7 +699,10 @@ object IcebergWriter {
       meta, conf)
     val snapId = replaceFiles(conf, tableDir,
       removed = files.map(_.filePath).toSet, added, Some(cmtr),
-      removedEntries = files, operation = "replace")
+      removedEntries = files, operation = "replace",
+      // abort (CommitConflictException) if anything — a merge-on-read
+      // DELETE, a rival compaction — landed since the plan above
+      expectedSnapshotId = meta.currentSnapshotId.filter(_ != -1L))
     (snapId, files.size)
   }
 
@@ -799,9 +831,13 @@ object IcebergWriter {
     * embedded writer schema byte-for-byte semantics. Returns None when no
     * entry matched (keep the original), else Some((newPath, liveRows,
     * newLength)) — liveRows 0 means the manifest lost every file. */
+  /** Returns None when the manifest references none of `removed`;
+    * otherwise (newPath, liveRows, length, droppedCount) — droppedCount
+    * feeds [[replaceFiles]]' commit-time check that every planned
+    * removal is still live. */
   private def filterManifest(
       path: String, conf: org.apache.hadoop.conf.Configuration,
-      removed: Set[String], outPath: Path): Option[(String, Long, Long)] = {
+      removed: Set[String], outPath: Path): Option[(String, Long, Long, Int)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -820,10 +856,10 @@ object IcebergWriter {
     if (dropped.isEmpty) return None
     val liveRows = kept.map(_.get("data_file").asInstanceOf[GenericRecord]
       .get("record_count").asInstanceOf[java.lang.Number].longValue).sum
-    if (kept.isEmpty) return Some((path, 0L, 0L))
+    if (kept.isEmpty) return Some((path, 0L, 0L, dropped.size))
     val schema = kept.head.getSchema
     val len = writeAvro(outPath, conf, schema, kept)
-    Some((outPath.toString, liveRows, len))
+    Some((outPath.toString, liveRows, len, dropped.size))
   }
 
   private val deleteManifestSchema = new Schema.Parser().parse(
@@ -1185,8 +1221,8 @@ object IcebergWriter {
           case None =>
             Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
               m.addedRowsCount, m.partitionSpecId, m.partitions))
-          case Some((_, 0L, _)) => None
-          case Some((newPath, rows, len)) =>
+          case Some((_, 0L, _, _)) => None
+          case Some((newPath, rows, len, _)) =>
             Some(mlRec(newPath, len, m.content, m.sequenceNumber, Some(rows),
               m.partitionSpecId, m.partitions))
         }

@@ -304,6 +304,10 @@ object MetadataCommit {
   def applyUpdates(mapper: ObjectMapper, root: ObjectNode,
                    updates: Seq[JsonNode]): ObjectNode = {
     val now = System.currentTimeMillis
+    // spec id the most recent add-spec in THIS batch resolved to (may be
+    // an existing spec's id when the applier deduplicated) — what a
+    // following set-default-spec(-1) means
+    var lastAddedSpecId: Option[Int] = None
     updates.foreach { u =>
       Option(u.get("action")).map(_.asText).getOrElse("") match {
 
@@ -393,7 +397,16 @@ object MetadataCommit {
                 val seed = a.addObject()
                 seed.put("spec-id",
                   Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0))
-                seed.set[JsonNode]("fields", legacy.deepCopy[JsonNode]())
+                val fields = legacy.deepCopy[JsonNode]()
+                // v1 flat specs may omit field-id: assign the spec's
+                // positional convention (1000 + position) rather than NPE
+                // in the prior-id scan below
+                fields.elements.asScala.zipWithIndex.foreach { case (fn, i) =>
+                  val f = fn.asInstanceOf[ObjectNode]
+                  if (!f.has("field-id")) f.put("field-id", 1000 + i)
+                  ()
+                }
+                seed.set[JsonNode]("fields", fields)
               }
               a
             }
@@ -406,9 +419,10 @@ object MetadataCommit {
           // from any prior spec keeps its id (its manifest values mean the
           // same thing); genuinely new fields get last-partition-id + 1…
           val priorIds: Map[(Int, String), Int] = specs.elements.asScala.flatMap(s =>
-            Option(s.get("fields")).toSeq.flatMap(_.elements.asScala).map(f =>
-              (f.get("source-id").asInt, f.get("transform").asText) ->
-                f.get("field-id").asInt)).toMap
+            Option(s.get("fields")).toSeq.flatMap(_.elements.asScala).flatMap(f =>
+              Option(f.get("field-id")).map(id =>
+                (f.get("source-id").asInt, f.get("transform").asText) ->
+                  id.asInt))).toMap
           var lastPartitionId = Option(root.get("last-partition-id")).map(_.asInt)
             .getOrElse(priorIds.values.maxOption.getOrElse(999))
           spec.get("fields").elements.asScala.foreach { fn =>
@@ -421,7 +435,23 @@ object MetadataCommit {
             }
             ()
           }
-          specs.add(spec)
+          // Dedup (upstream Iceberg behavior): an existing spec with the
+          // IDENTICAL field list keeps its id and nothing is appended —
+          // repeated add/drop cycles must not grow partition-specs or
+          // churn default-spec-id. Compared AFTER field-id resolution so
+          // a re-added field matches its original id.
+          def fieldKey(s: JsonNode): Seq[(String, String, Int, Int)] =
+            Option(s.get("fields")).toSeq.flatMap(_.elements.asScala).map(f =>
+              (Option(f.get("name")).map(_.asText).getOrElse(""),
+               f.get("transform").asText, f.get("source-id").asInt,
+               f.get("field-id").asInt)).toSeq
+          specs.elements.asScala.find(fieldKey(_) == fieldKey(spec)) match {
+            case Some(existing) =>
+              lastAddedSpecId = Some(existing.get("spec-id").asInt)
+            case None =>
+              specs.add(spec)
+              lastAddedSpecId = Some(assignedSpecId)
+          }
           root.put("last-partition-id", lastPartitionId)
 
         case "set-default-spec" =>
@@ -431,7 +461,11 @@ object MetadataCommit {
               "set-default-spec on metadata with no partition-specs list"))
           val id =
             if (requested != -1) requested
-            else specs.get(specs.size - 1).get("spec-id").asInt
+            // -1 = "the spec the preceding add-spec landed on" — which is
+            // an EXISTING spec's id when add-spec deduplicated, not
+            // necessarily the last array element
+            else lastAddedSpecId.getOrElse(
+              specs.get(specs.size - 1).get("spec-id").asInt)
           val chosen = specs.elements.asScala
             .find(_.get("spec-id").asInt == id)
             .getOrElse(throw new IllegalArgumentException(

@@ -568,7 +568,14 @@ object IcebergJson {
       }
     }
     val props = root.putObject("properties")
-    properties.foreach { case (k, v) => props.put(k, v) }
+    // Tables created by this framework always carry EXACT per-file
+    // min/max bounds (parquet footer stats, never truncated) — stamp the
+    // marker that makes metadata-answered MIN/MAX eligible. The Iceberg
+    // spec only requires bounds to be conservative, so foreign tables
+    // without this property fall back to a real scan (a user who knows
+    // their writer is exact can set it explicitly).
+    (Map("graft.exact-bounds" -> "true") ++ properties)
+      .foreach { case (k, v) => props.put(k, v) }
     root.put("current-snapshot-id", -1L)
     root.putArray("snapshots")
     mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)

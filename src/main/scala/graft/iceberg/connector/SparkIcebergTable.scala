@@ -124,12 +124,15 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       Option(options.get("as-of-timestamp"))).count(_.isDefined)
     require(pins <= 1,
       "read options branch / snapshot-id / as-of-timestamp are mutually exclusive")
+    // streamRef = "" (un-streamable sentinel): these pins freeze a batch
+    // state; a stream has no frontier to follow from them, and the
+    // micro-batch planner would otherwise silently walk the LIVE lineage
     Option(options.get("snapshot-id")).foreach(id =>
       return new GraftScanBuilder(table.atSnapshot(id.toLong),
-        maxFilesPerTrigger = maxFiles))
+        streamRef = "", maxFilesPerTrigger = maxFiles))
     Option(options.get("as-of-timestamp")).foreach(ms =>
       return new GraftScanBuilder(table.asOfTimestamp(ms.toLong),
-        maxFilesPerTrigger = maxFiles))
+        streamRef = "", maxFilesPerTrigger = maxFiles))
     Option(options.get("branch")) match {
       case None => new GraftScanBuilder(table, maxFilesPerTrigger = maxFiles)
       case Some(ref) =>
@@ -323,9 +326,14 @@ final class GraftScanBuilder(table: IcebergTable,
     * merge-on-read deletes (manifest stats can't see anti-joined rows).
     * MIN/MAX additionally require a fixed-width type whose bounds the
     * spec forbids truncating (int/long/date/timestamp — never strings,
-    * never NaN-bearing floats) and a bound present on EVERY file (a
-    * missing one means unknown, not empty). Time travel / branch scans
-    * stay eligible — the pinned snapshot's manifests carry its stats. */
+    * never NaN-bearing floats), a bound present on EVERY file (a
+    * missing one means unknown, not empty), AND the
+    * `graft.exact-bounds=true` table property: the Iceberg spec only
+    * requires bounds to be conservative (<=/>= all values), so a foreign
+    * writer's loose-but-legal bounds would make MIN/MAX silently wrong
+    * while COUNT(*) stayed right. This framework's creation paths stamp
+    * the property (our bounds come from parquet footers — exact); a
+    * foreign table earns it only by the user asserting it. */
   private def metadataAggAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[(String, org.apache.spark.sql.types.DataType, Any)]] = {
@@ -341,7 +349,9 @@ final class GraftScanBuilder(table: IcebergTable,
         case _ => None
       }
     def boundSafe(name: String): Option[(Int, DataType)] =
-      table.metadata.fieldIds.get(name).flatMap { id =>
+      if (!table.metadata.properties.get("graft.exact-bounds").contains("true"))
+        None // bounds only known conservative ⇒ MIN/MAX not answerable
+      else table.metadata.fieldIds.get(name).flatMap { id =>
         table.metadata.schema.fields.find(_.name == name).map(_.dataType) match {
           case Some(dt @ (IntegerType | LongType | DateType |
                           TimestampType | TimestampNTZType)) => Some((id, dt))
@@ -741,9 +751,19 @@ final class GraftBatchScan(
 
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // `branch` has explicit streaming semantics (follow that ref's
+    // lineage); the snapshot-id / as-of-timestamp pins do NOT — they
+    // arrive with the "" streamRef sentinel, and the micro-batch planner
+    // would otherwise silently follow the LIVE lineage. Refuse rather
+    // than stream the whole live table.
+    require(streamRef.nonEmpty,
+      "readStream with snapshot-id / as-of-timestamp is not supported: a " +
+        "stream follows the live table (or a branch via the `branch` " +
+        "option); a pinned snapshot has no append frontier to follow")
     new GraftMicroBatchStream(spark, table, requiredSchema, filters, streamRef,
       maxFilesPerTrigger)
+  }
 }
 
 /** `spark.readStream.table(...)` over an Iceberg table: each micro-batch

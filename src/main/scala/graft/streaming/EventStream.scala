@@ -158,7 +158,14 @@ object EventStream {
                 .filter(col("__g_rn") === 1).drop("__g_rn")
             case None => batch.toDF.dropDuplicates(keys)
           }
-          val view = s"__graft_upsert_${batchId}_${math.abs(tableName.hashCode)}"
+          // Globally unique view name: temp views are SESSION-scoped, so
+          // batchId + a table-name hash is not enough — two concurrent
+          // upsert streams on one table (or colliding hashes; note
+          // math.abs(Int.MinValue) < 0) could clobber each other's view
+          // mid-MERGE via createOrReplaceTempView. A per-batch UUID
+          // cannot collide across streams.
+          val view = "__graft_upsert_" + batchId + "_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
           deduped.createOrReplaceTempView(view)
           try {
             val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")

@@ -113,4 +113,49 @@ class CommitRaceSpec extends SparkSpec {
     val refs = new IcebergTable(dir, conf).metadata.refs.keySet
     assert(Set("a", "b").subsetOf(refs))
   }
+
+  test("copy-on-write swap aborts when the table moved between plan and commit") {
+    val dir = createTable("race3")
+    val conf = spark.sessionState.newHadoopConf()
+    IcebergWriter.append(spark, dir, ids(0, 4))
+    val t = new IcebergTable(dir, conf)
+    val planned = t.planFiles()
+    val plannedBase = t.metadata.currentSnapshotId.get
+
+    // a concurrent append lands after planning — the pinned-base swap
+    // must abort (TOCTOU closed), not commit on top of the moved table
+    IcebergWriter.append(spark, dir, ids(10, 12))
+    intercept[CommitConflictException] {
+      IcebergWriter.replaceFiles(conf, dir,
+        removed = planned.map(_.filePath).toSet, added = Nil,
+        removedEntries = planned, operation = "replace",
+        expectedSnapshotId = Some(plannedBase))
+    }
+    // nothing was swapped: all six rows still read
+    assert(new IcebergTable(dir, conf).toDF(spark).count() == 6L)
+  }
+
+  test("copy-on-write swap aborts when a rival rewrite already moved a planned file") {
+    val dir = createTable("race4")
+    val conf = spark.sessionState.newHadoopConf()
+    IcebergWriter.append(spark, dir, ids(0, 4))
+    IcebergWriter.append(spark, dir, ids(4, 8))
+    val planned = new IcebergTable(dir, conf).planFiles()
+    assert(planned.size >= 2)
+
+    // rival compaction swaps the same files first (no base pin — it wins)
+    val (snap, n) = IcebergWriter.compactWhere(spark, dir, filters = Nil,
+      targetFileBytes = 1L << 30)
+    assert(n == planned.size && snap > 0)
+
+    // replaying the stale plan WITHOUT a base pin must still abort: the
+    // planned files are no longer live, so the commit-time revalidation
+    // (every removed path live exactly once) catches the rival rewrite
+    intercept[CommitConflictException] {
+      IcebergWriter.replaceFiles(conf, dir,
+        removed = planned.map(_.filePath).toSet, added = Nil,
+        removedEntries = planned, operation = "replace")
+    }
+    assert(new IcebergTable(dir, conf).toDF(spark).count() == 8L)
+  }
 }

@@ -76,6 +76,26 @@ class IcebergStreamSourceSpec extends SparkSpec {
     assert(got() == (0L until 9L))
   }
 
+  test("a snapshot-pinned read refuses to stream (no frontier to follow)") {
+    val dir = createTable("srcpin")
+    val snap = IcebergWriter.append(spark, dir, ids(0, 3))
+    IcebergWriter.append(spark, dir, ids(3, 6))
+    // snapshot-id / as-of-timestamp pin a FIXED state; the micro-batch
+    // planner follows the live lineage, so honoring the pin is
+    // impossible — the stream must refuse, not silently read everything
+    val q = spark.readStream.option("snapshot-id", snap.toString)
+      .table("strcat.ns.srcpin")
+      .writeStream.format("memory").queryName("pin_refused")
+      .trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("snapshot-id / as-of-timestamp")),
+      s"expected the pin refusal, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("projection prunes the streamed scan") {
     val dir = createTable("src2")
     IcebergWriter.append(spark, dir, ids(0, 4))

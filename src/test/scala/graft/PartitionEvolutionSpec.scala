@@ -104,10 +104,23 @@ class PartitionEvolutionSpec extends SparkSpec {
     // re-add: same (source, transform) ⇒ the applier hands back the same
     // partition field id (its manifest values mean the same thing)
     spark.sql("ALTER TABLE pevo3.ns.t ADD PARTITION FIELD bucket(4, k)")
-    val reAdded = icebergTable("t").metadata.partitionSpec
-      .find(_.name == "k_bucket").get
+    val reAddedMeta = icebergTable("t").metadata
+    val reAdded = reAddedMeta.partitionSpec.find(_.name == "k_bucket").get
     assert(reAdded.fieldId == bucketId,
       s"re-added bucket field id ${reAdded.fieldId} != original $bucketId")
+    // the re-added spec is field-identical to the ORIGINAL spec: the
+    // applier reuses its id instead of appending a third copy — repeated
+    // add/drop cycles must not grow partition-specs or churn default-spec-id
+    assert(reAddedMeta.defaultSpecId == 0,
+      s"identical re-added spec should reuse spec id 0, got " +
+        s"${reAddedMeta.defaultSpecId}")
+    assert(reAddedMeta.partitionSpecs.size == 2,
+      s"partition-specs should not grow on an identical re-add: " +
+        s"${reAddedMeta.partitionSpecs.keySet}")
+
+    // and writes/reads keep working on the reused default spec
+    spark.sql("INSERT INTO pevo3.ns.t SELECT id, concat('c', id % 2) FROM range(16, 20)")
+    assert(spark.table("pevo3.ns.t").count() == 20L)
   }
 
   test("compaction after evolution rewrites everything under the new spec") {

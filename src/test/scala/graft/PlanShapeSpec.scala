@@ -158,4 +158,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(physical(tt).contains("LocalTableScan"))
     assert(tt.collect()(0).getLong(0) == 1000L)
   }
+
+  test("MIN/MAX metadata answers are gated on the exact-bounds marker") {
+    val wh = "/root/repo/target/test-exactb-warehouse"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    spark.conf.set("spark.sql.catalog.exb",
+      classOf[graft.iceberg.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.exb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS exb.ns")
+    spark.sql("CREATE TABLE exb.ns.t (k BIGINT, cat STRING)")
+    spark.sql("INSERT INTO exb.ns.t SELECT id, concat('c', id % 3) FROM range(0, 100)")
+
+    // our creation path stamps graft.exact-bounds=true ⇒ eligible
+    val mm = spark.sql("SELECT MIN(k), MAX(k) FROM exb.ns.t")
+    assert(physical(mm).contains("LocalTableScan"),
+      s"our own tables must metadata-answer MIN/MAX:\n${physical(mm)}")
+    assert(mm.collect()(0) == org.apache.spark.sql.Row(0L, 99L))
+
+    // a table NOT asserting exact bounds (the Iceberg spec only requires
+    // conservative bounds — a foreign writer may store loose ones) must
+    // fall back to a real scan for MIN/MAX; COUNT(*) stays eligible
+    // (record_count is exact by spec)
+    spark.sql("ALTER TABLE exb.ns.t SET TBLPROPERTIES " +
+      "('graft.exact-bounds' = 'false')")
+    val mmForeign = spark.sql("SELECT MIN(k), MAX(k) FROM exb.ns.t")
+    assert(!physical(mmForeign).contains("LocalTableScan"),
+      s"conservative bounds must not metadata-answer MIN/MAX:\n${physical(mmForeign)}")
+    assert(mmForeign.collect()(0) == org.apache.spark.sql.Row(0L, 99L))
+    val cnt = spark.sql("SELECT COUNT(*) FROM exb.ns.t")
+    assert(physical(cnt).contains("LocalTableScan"))
+    assert(cnt.collect()(0).getLong(0) == 100L)
+  }
 }
