@@ -1355,6 +1355,15 @@ object IcebergWriter {
     * deletion is best-effort (a failed delete leaves an orphan, never a
     * broken table) while the metadata rewrite is the atomic commit.
     * Returns the number of snapshots expired.
+    *
+    * PER-REF retention (spec ref fields, set via [[setRefRetention]] or
+    * [[createRef]]): `max-ref-age-ms` drops an aged-out branch/tag in the
+    * same pass; `min-snapshots-to-keep` / `max-snapshot-age-ms` bound how
+    * much of a branch's ancestor chain survives (overriding the default
+    * keep-the-whole-chain publishability guarantee for that ref); a
+    * policy on `main` ADDS keeps on top of the olderThanMs/retainLast
+    * floor. One call expresses "keep audit branches 7 days, main 100
+    * snapshots".
     */
   def expireSnapshots(spark: SparkSession, tableDir: String,
                       olderThanMs: Long, retainLast: Int = 1,
@@ -1363,30 +1372,68 @@ object IcebergWriter {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val sorted = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+    val now = System.currentTimeMillis
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val mainLineage = meta.snapshotLineage.toSet
+
+    // Per-ref `max-ref-age-ms` (spec ref field): a ref whose referenced
+    // snapshot is older than the limit is dropped IN THIS PASS — its
+    // head and chain then expire under the normal rules below. `main`
+    // never ages out.
+    val agedOutRefs: Set[String] = (meta.refs - "main").collect {
+      case (name, head) if meta.refRetention.get(name).flatMap(_.maxRefAgeMs)
+        .exists(maxAge => byId.get(head).exists(now - _.timestampMs > maxAge))
+        => name
+    }.toSet
+
     // An unpublished branch/tag needs more than its HEAD retained:
     // fastForward proves publishability by walking parent-snapshot-id from
     // the branch head back to the target's head, so expiring the branch's
     // intermediate snapshots would truncate the chain and make the branch
-    // permanently unpublishable (loud, but a dead end). Keep each non-main
-    // ref head's ancestor chain up to (and including) its first snapshot
-    // on main's lineage — main's own history still expires normally.
-    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
-    val mainLineage = meta.snapshotLineage.toSet
-    val refChains: Set[Long] = (meta.refs - "main").values.flatMap { head =>
+    // permanently unpublishable (loud, but a dead end). DEFAULT: keep each
+    // surviving non-main ref head's ancestor chain up to (and including)
+    // its first snapshot on main's lineage — main's own history still
+    // expires normally. A ref carrying retention properties OVERRIDES the
+    // default: its chain keeps the `min-snapshots-to-keep` most recent
+    // plus everything younger than `max-snapshot-age-ms` (the operator's
+    // explicit trade of deep publishability for bounded history).
+    def chainOf(head: Long): Seq[IcebergSnapshot] = {
       val chain = Iterator.iterate(byId.get(head))(
         _.flatMap(_.parentSnapshotId).flatMap(byId.get))
         .takeWhile(_.isDefined).flatten.take(meta.snapshots.size).toSeq
       val (offMain, onMain) = chain.span(s => !mainLineage.contains(s.snapshotId))
-      (offMain ++ onMain.take(1)).map(_.snapshotId)
-    }.toSet
+      offMain ++ onMain.take(1)
+    }
+    def policyKeeps(chain: Seq[IcebergSnapshot], r: RefRetention): Seq[Long] = {
+      val minKeep = math.max(r.minSnapshotsToKeep.getOrElse(1), 1)
+      val ageKeeps = r.maxSnapshotAgeMs.toSeq.flatMap(a =>
+        chain.filter(now - _.timestampMs <= a))
+      (chain.take(minKeep) ++ ageKeeps).map(_.snapshotId)
+    }
+    val refChains: Set[Long] = (meta.refs -- agedOutRefs - "main")
+      .flatMap { case (name, head) =>
+        val chain = chainOf(head) // head-first: newest → oldest
+        meta.refRetention.get(name).filterNot(_.isEmpty) match {
+          case None => chain.map(_.snapshotId)
+          case Some(r) => policyKeeps(chain, r)
+        }
+      }.toSet
+    // main's own policy (e.g. min-snapshots-to-keep=100) ADDS keeps on
+    // top of the API-level olderThanMs/retainLast floor
+    val mainPolicy: Set[Long] = meta.refRetention.get("main")
+      .filterNot(_.isEmpty).map { r =>
+        val lineage = meta.snapshotLineage.reverse.flatMap(byId.get)
+        policyKeeps(lineage, r).toSet
+      }.getOrElse(Set.empty)
+
     val keepIds: Set[Long] =
       sorted.takeRight(math.max(retainLast, 1)).map(_.snapshotId).toSet ++
         meta.currentSnapshotId.toSet ++
-        meta.refs.values.toSet ++ // branch/tag targets never expire
-        refChains ++
+        (meta.refs -- agedOutRefs).values.toSet ++ // surviving ref targets
+        refChains ++ mainPolicy ++
         sorted.filter(_.timestampMs >= olderThanMs).map(_.snapshotId)
     val (kept, expired) = meta.snapshots.partition(s => keepIds(s.snapshotId))
-    if (expired.isEmpty) return 0
+    if (expired.isEmpty && agedOutRefs.isEmpty) return 0
 
     val keptRefs = kept.map(referencedPaths(conf, tableDir, meta, _))
     val keptMeta = keptRefs.flatMap(_._1).toSet
@@ -1395,13 +1442,23 @@ object IcebergWriter {
     val deadMeta = expRefs.flatMap(_._1).toSet -- keptMeta
     val deadFiles = expRefs.flatMap(_._2).toSet -- keptFiles
 
-    // 1. atomic part first: metadata without the expired snapshots — a
-    // `remove-snapshots` update, guarded against a concurrent ref move
+    // 1. atomic part first: aged-out refs dropped AND expired snapshots
+    // removed in ONE commit (a ref removal and its history's expiration
+    // must not be separable states), guarded against a concurrent ref move
     val mapper = new ObjectMapper()
+    val refRemovals = agedOutRefs.toSeq.sorted.map { name =>
+      val n = mapper.createObjectNode()
+      n.put("action", "remove-snapshot-ref")
+      n.put("ref-name", name)
+      n
+    }
+    val snapRemovals =
+      if (expired.isEmpty) Nil
+      else Seq(MetadataCommit.removeSnapshots(mapper, expired.map(_.snapshotId)))
     cmtr.commit(
       Seq(MetadataCommit.assertRefSnapshotId(mapper, "main",
         meta.currentSnapshotId.filter(_ != -1L))),
-      Seq(MetadataCommit.removeSnapshots(mapper, expired.map(_.snapshotId))))
+      refRemovals ++ snapRemovals)
 
     // 2. best-effort physical cleanup (expired-only trees)
     (deadFiles ++ deadMeta).foreach { s =>
@@ -1589,7 +1646,8 @@ object IcebergWriter {
     * ROLLBACK to an earlier snapshot. */
   def createRef(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
                 name: String, snapshotId: Long, refType: String = "tag",
-                committer: Option[TableCommitter] = None): Unit = {
+                committer: Option[TableCommitter] = None,
+                retention: RefRetention = RefRetention()): Unit = {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     require(meta.snapshots.exists(_.snapshotId == snapshotId),
@@ -1597,7 +1655,27 @@ object IcebergWriter {
         s"${meta.snapshots.map(_.snapshotId).mkString(", ")})")
     val mapper = new ObjectMapper()
     cmtr.commit(Nil,
-      Seq(MetadataCommit.setSnapshotRef(mapper, name, snapshotId, refType)))
+      Seq(MetadataCommit.setSnapshotRef(mapper, name, snapshotId, refType,
+        retention)))
+  }
+
+  /** Attach (or restate) a retention policy on an existing ref — the
+    * knobs [[expireSnapshots]] consults per ref: `max-snapshot-age-ms` /
+    * `min-snapshots-to-keep` bound the branch's retained history;
+    * `max-ref-age-ms` ages the ref itself out. Metadata-only re-set of
+    * the ref at its current head. */
+  def setRefRetention(conf: org.apache.hadoop.conf.Configuration,
+                      tableDir: String, name: String, retention: RefRetention,
+                      committer: Option[TableCommitter] = None): Unit = {
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val head = meta.refs.getOrElse(name, throw new NoSuchElementException(
+      s"ref '$name' not found (have: ${meta.refs.keys.mkString(", ")})"))
+    val refType = if (meta.tagRefs.contains(name)) "tag" else "branch"
+    val mapper = new ObjectMapper()
+    cmtr.commit(
+      Seq(MetadataCommit.assertRefSnapshotId(mapper, name, Some(head))),
+      Seq(MetadataCommit.setSnapshotRef(mapper, name, head, refType, retention)))
   }
 
   def dropRef(conf: org.apache.hadoop.conf.Configuration, tableDir: String,

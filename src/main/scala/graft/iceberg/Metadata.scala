@@ -31,6 +31,17 @@ final case class IcebergSnapshot(
       * snapshot or metadata written by pre-lineage tools */
     parentSnapshotId: Option[Long] = None)
 
+/** A snapshot ref's retention knobs (all optional; Iceberg spec v2).
+  * `maxSnapshotAgeMs`/`minSnapshotsToKeep` govern how much of a BRANCH's
+  * history survives expiration; `maxRefAgeMs` ages out the ref itself
+  * (measured from its referenced snapshot's commit timestamp). */
+final case class RefRetention(maxSnapshotAgeMs: Option[Long] = None,
+                              minSnapshotsToKeep: Option[Int] = None,
+                              maxRefAgeMs: Option[Long] = None) {
+  def isEmpty: Boolean =
+    maxSnapshotAgeMs.isEmpty && minSnapshotsToKeep.isEmpty && maxRefAgeMs.isEmpty
+}
+
 final case class TableMetadata(
     formatVersion: Int,
     location: String,
@@ -77,7 +88,13 @@ final case class TableMetadata(
       * alive because their manifests' partition tuples and summaries are
       * typed by them. [[partitionSpec]] is `partitionSpecs(defaultSpecId)`;
       * readers resolving a manifest's `partition_spec_id` look here. */
-    partitionSpecs: Map[Int, Seq[PartitionField]] = Map.empty) {
+    partitionSpecs: Map[Int, Seq[PartitionField]] = Map.empty,
+    /** Per-ref retention policy (spec ref fields `max-snapshot-age-ms`,
+      * `min-snapshots-to-keep`, `max-ref-age-ms`) — what lets a
+      * maintenance job express "keep audit branches 7 days, main 100
+      * snapshots" in ONE expireSnapshots call. Refs with no policy are
+      * absent. */
+    refRetention: Map[String, RefRetention] = Map.empty) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -302,7 +319,17 @@ object TableMetadata {
           case e if Option(e.getValue.get("type")).exists(_.asText == "tag") =>
             e.getKey
         }.toSet)
-        .getOrElse(Set.empty))
+        .getOrElse(Set.empty),
+      refRetention = Option(root.get("refs"))
+        .map(n => n.properties.asScala.flatMap { e =>
+          val v = e.getValue
+          val r = RefRetention(
+            Option(v.get("max-snapshot-age-ms")).map(_.asLong),
+            Option(v.get("min-snapshots-to-keep")).map(_.asInt),
+            Option(v.get("max-ref-age-ms")).map(_.asLong))
+          if (r.isEmpty) None else Some(e.getKey -> r)
+        }.toMap)
+        .getOrElse(Map.empty))
   }
 
   private val VersionedName = """(?:v(\d+)|(\d+)-[-0-9a-fA-F]+)\.metadata\.json""".r

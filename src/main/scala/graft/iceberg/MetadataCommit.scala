@@ -130,12 +130,16 @@ object MetadataCommit {
   }
 
   def setSnapshotRef(mapper: ObjectMapper, ref: String, snapshotId: Long,
-                     refType: String = "branch"): ObjectNode = {
+                     refType: String = "branch",
+                     retention: RefRetention = RefRetention()): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("action", "set-snapshot-ref")
     n.put("ref-name", ref)
     n.put("type", refType)
     n.put("snapshot-id", snapshotId)
+    retention.maxSnapshotAgeMs.foreach(n.put("max-snapshot-age-ms", _))
+    retention.minSnapshotsToKeep.foreach(n.put("min-snapshots-to-keep", _))
+    retention.maxRefAgeMs.foreach(n.put("max-ref-age-ms", _))
     n
   }
 
@@ -321,9 +325,17 @@ object MetadataCommit {
           val id = u.get("snapshot-id").asLong
           val refs = Option(root.get("refs")).map(_.asInstanceOf[ObjectNode])
             .getOrElse(root.putObject("refs"))
+          // retention fields survive a head move (fastForward, commit-to-
+          // branch) unless the update explicitly restates them
+          val prior = Option(refs.get(ref)).collect { case o: ObjectNode => o }
           val node = refs.putObject(ref)
           node.put("snapshot-id", id)
           node.put("type", Option(u.get("type")).map(_.asText).getOrElse("branch"))
+          Seq("max-snapshot-age-ms", "min-snapshots-to-keep", "max-ref-age-ms")
+            .foreach { k =>
+              Option(u.get(k)).orElse(prior.flatMap(p => Option(p.get(k))))
+                .foreach(v => node.set[JsonNode](k, v.deepCopy[JsonNode]()))
+            }
           if (ref == "main") {
             root.put("current-snapshot-id", id)
             val log = Option(root.get("snapshot-log")).map(_.asInstanceOf[ArrayNode])

@@ -95,6 +95,100 @@ class MaintenanceSpec extends SparkSpec {
     assert(IcebergTable(spark, dir).metadata.snapshots.size == 2)
   }
 
+  test("per-ref retention: branch keeps min-snapshots-to-keep while main expires") {
+    import spark.implicits._
+    import graft.iceberg.RefRetention
+    val dir = "/root/repo/target/test-expire-refpolicy"
+    freshTable(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    // main history: s1..s3
+    val mainSnaps = (1L to 3L).map(i =>
+      IcebergWriter.append(spark, dir, Seq((i, s"m$i")).toDF("id", "tag")))
+    // dev branches off main's head and stacks 4 commits: s4..s7
+    IcebergWriter.createRef(conf, dir, "dev", mainSnaps.last,
+      refType = "branch")
+    val devSnaps = (4L to 7L).map(i =>
+      IcebergWriter.append(spark, dir, Seq((i, s"d$i")).toDF("id", "tag"),
+        branch = "dev"))
+    // policy: dev keeps its 3 most recent; wap has NO policy (default:
+    // whole chain survives — the publishability guarantee)
+    IcebergWriter.setRefRetention(conf, dir, "dev",
+      RefRetention(minSnapshotsToKeep = Some(3)))
+    IcebergWriter.createRef(conf, dir, "wap", mainSnaps.last, refType = "branch")
+    val wapSnap = IcebergWriter.append(spark, dir,
+      Seq((100L, "w")).toDF("id", "tag"), branch = "wap")
+
+    val n = IcebergWriter.expireSnapshots(spark, dir,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    val t = IcebergTable(spark, dir)
+    val left = t.metadata.snapshots.map(_.snapshotId).toSet
+    // dev's policy keeps exactly its 3 newest commits; dev's oldest
+    // branch commit expired
+    assert(devSnaps.takeRight(3).forall(left), s"dev keeps 3 newest: $left")
+    assert(!left(devSnaps.head), s"dev's oldest must expire: $left")
+    // wap (no policy) keeps its WHOLE chain back to the main junction —
+    // including main snapshots dev's policy no longer protects
+    assert(left(wapSnap) && left(mainSnaps.last), s"wap chain survives: $left")
+    // main's unreferenced history expired (s1, s2 were on no surviving chain)
+    assert(!left(mainSnaps(0)) && !left(mainSnaps(1)),
+      s"main history should expire: $left")
+    assert(n == 2 + 1, s"s1, s2 and dev's oldest expire, got $n")
+    // the retention policy survived the branch-head moves (set-snapshot-ref
+    // preserves retention fields)
+    assert(t.metadata.refRetention.get("dev")
+      .flatMap(_.minSnapshotsToKeep).contains(3))
+    // wap stays publishable: fastForward walks its intact parent chain
+    IcebergWriter.fastForward(conf, dir, from = "wap")
+    assert(IcebergTable(spark, dir).metadata.currentSnapshotId.contains(wapSnap))
+  }
+
+  test("per-ref retention: an aged-out tag is removed; max-snapshot-age-ms bounds a branch") {
+    import spark.implicits._
+    import graft.iceberg.RefRetention
+    val dir = "/root/repo/target/test-expire-refage"
+    freshTable(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val snaps = (1L to 3L).map(i =>
+      IcebergWriter.append(spark, dir, Seq((i, s"r$i")).toDF("id", "tag")))
+    // an aged-out tag (max-ref-age-ms = 0 ⇒ any elapsed time ages it out)
+    // and a fresh one on the same snapshot
+    IcebergWriter.createRef(conf, dir, "stale", snaps.head,
+      retention = RefRetention(maxRefAgeMs = Some(0L)))
+    IcebergWriter.createRef(conf, dir, "pinned", snaps.head,
+      retention = RefRetention(maxRefAgeMs = Some(24L * 3600 * 1000)))
+    Thread.sleep(5)
+    val n = IcebergWriter.expireSnapshots(spark, dir,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    val meta = IcebergTable(spark, dir).metadata
+    assert(!meta.refs.contains("stale"), "aged-out tag must be removed")
+    assert(meta.refs.contains("pinned"), "fresh tag survives")
+    // snaps.head survives (pinned still references it); middle expires
+    assert(meta.snapshots.exists(_.snapshotId == snaps.head))
+    assert(!meta.snapshots.exists(_.snapshotId == snaps(1)), s"got $meta")
+    assert(n == 1)
+
+    // max-snapshot-age-ms on a branch: everything older than the horizon
+    // beyond the head expires, younger commits survive
+    val dir2 = "/root/repo/target/test-expire-refage2"
+    freshTable(dir2)
+    val base = IcebergWriter.append(spark, dir2,
+      Seq((0L, "b")).toDF("id", "tag"))
+    IcebergWriter.createRef(conf, dir2, "b1", base, refType = "branch",
+      retention = RefRetention(maxSnapshotAgeMs = Some(0L)))
+    val old = IcebergWriter.append(spark, dir2,
+      Seq((1L, "o")).toDF("id", "tag"), branch = "b1")
+    Thread.sleep(5)
+    val young = IcebergWriter.append(spark, dir2,
+      Seq((2L, "y")).toDF("id", "tag"), branch = "b1")
+    val n2 = IcebergWriter.expireSnapshots(spark, dir2,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    val left2 = IcebergTable(spark, dir2).metadata.snapshots
+      .map(_.snapshotId).toSet
+    assert(left2(young), "branch head always survives")
+    assert(!left2(old), s"aged branch history must expire: $left2")
+    assert(n2 >= 1)
+  }
+
   test("removeOrphanFiles deletes unreferenced debris, keeps live files") {
     import spark.implicits._
     val dir = "/root/repo/target/test-orphans"
