@@ -590,7 +590,17 @@ object IcebergWriter {
                      * window where a concurrent merge-on-read DELETE or
                      * rival rewrite lands after file selection and the
                      * swap would silently resurrect its rows. */
-                   expectedSnapshotId: Option[Long] = None): Long = {
+                   expectedSnapshotId: Option[Long] = None,
+                   /** `true` ONLY when the replacement rows were produced
+                     * by a delete-applying read of the removed files
+                     * (compactWhere on a merge-on-read table): delete
+                     * manifests then pass through untouched — their
+                     * entries for the removed files dangle harmlessly
+                     * (paths are writer-unique, never reused) and their
+                     * entries for other files still apply. The default
+                     * refuses delete-bearing tables, because a rewrite
+                     * that did NOT apply deletes would resurrect them. */
+                   carryDeleteManifests: Boolean = false): Long = {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     expectedSnapshotId.foreach { e =>
@@ -606,7 +616,7 @@ object IcebergWriter {
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
         resolveAgainst(meta, tableDir, s.manifestList), conf))
-    require(!prev.exists(_.content == 1),
+    require(carryDeleteManifests || !prev.exists(_.content == 1),
       "replaceFiles on a table with delete manifests: deletes must be " +
         "materialized (compact) before a copy-on-write rewrite, or rewritten " +
         "rows would resurrect them")
@@ -615,7 +625,10 @@ object IcebergWriter {
     var droppedTotal = 0L
     val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
       val mPath = resolveAgainst(meta, tableDir, m.path)
-      filterManifest(mPath, conf, removed,
+      if (m.content == 1) // delete manifests pass through (carry mode only)
+        Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
+          m.addedRowsCount, m.partitionSpecId, m.partitions))
+      else filterManifest(mPath, conf, removed,
         new Path(s"$tableDir/metadata/m-s$snapId-$u-r$i.avro")) match {
         case None => // untouched: re-record as-is
           Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
@@ -677,16 +690,18 @@ object IcebergWriter {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val t = IcebergTable.fromMetadata(tableDir, conf, meta)
-    require(!t.hasDeletes,
-      "compactWhere on a table with delete files: a partial rewrite " +
-        "would resurrect deleted rows — run a full compact first to " +
-        "materialize them")
     val files = t.planFiles(filters)
     if (files.size < 2) return (meta.currentSnapshotId.getOrElse(0L), 0)
     val bytes = files.map(_.fileSizeInBytes).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    // whole files, NO row filter: the swap must carry every row of the
-    // removed files, matching or not
+    // whole files, NO row filter: the swap must carry every LIVE row of
+    // the removed files, matching the predicate or not. On a
+    // merge-on-read table the read applies the outstanding deletes, so
+    // the rewrite MATERIALIZES them for the selected files: their
+    // position-delete entries dangle harmlessly afterwards (writer-unique
+    // paths are never reused) and equality deletes cannot re-apply (the
+    // replacement files' sequence number exceeds every delete's);
+    // rewrite_position_delete_files reclaims the dangling entries.
     val df0 = t.toDF(spark, Nil, precomputed = Some(files))
     val df =
       if (zorderCols.nonEmpty) ZOrder.cluster(df0, zorderCols, n)
@@ -702,7 +717,10 @@ object IcebergWriter {
       removedEntries = files, operation = "replace",
       // abort (CommitConflictException) if anything — a merge-on-read
       // DELETE, a rival compaction — landed since the plan above
-      expectedSnapshotId = meta.currentSnapshotId.filter(_ != -1L))
+      expectedSnapshotId = meta.currentSnapshotId.filter(_ != -1L),
+      // the read above applied this snapshot's deletes, so carrying the
+      // delete manifests through is sound (and pinned by the base check)
+      carryDeleteManifests = t.hasDeletes)
     (snapId, files.size)
   }
 
@@ -1239,6 +1257,162 @@ object IcebergWriter {
         ref = branch, refExpected = refExpected, totals = totals)
       snapId
     } finally matched.unpersist()
+  }
+
+  /** Compact merge-on-read POSITION-delete debt — Iceberg's
+    * `rewrite_position_delete_files`: every q67-style UPDATE/MERGE/DELETE
+    * appends another small delete file, and each one is an extra
+    * broadcast + anti-join input on EVERY subsequent read, so the debt is
+    * read-amplification that only grows until something folds it.
+    *
+    * One snapshot does three things: (1) dangling entries (their data
+    * file already left the table) are dropped; (2) data files whose every
+    * row is deleted fold away entirely — with their delete entries;
+    * (3) every surviving entry merges into ONE sorted position-delete
+    * file (spec order: file_path, pos). Equality-delete files pass
+    * through untouched — their sequence-number gating (`dataseq <
+    * delseq`, strict) cannot survive re-stamping, so merging them would
+    * change semantics. Re-stamping POSITION entries to the new snapshot's
+    * sequence number is sound because entries name writer-unique paths:
+    * an entry referencing a live file was necessarily written no earlier
+    * than it (`dataseq <= delseq` holds before and after).
+    *
+    * Committed as operation `replace` (same live rows, different files) —
+    * the changelog sees data movement, not change. Returns (snapshotId,
+    * positionDeleteFilesRewritten, fullyDeletedDataFilesRemoved);
+    * (-1 current id, 0, 0) when there is nothing to do.
+    */
+  def rewritePositionDeleteFiles(spark: SparkSession, tableDir: String,
+                                 committer: Option[TableCommitter] = None)
+      : (Long, Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    val noop = (meta.currentSnapshotId.getOrElse(-1L), 0, 0)
+    val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    val classified = prev.filter(_.content == 1).map { m =>
+      val entries = ManifestIO.readDeleteManifest(
+        resolveAgainst(meta, tableDir, m.path), conf, m.sequenceNumber)
+      val kinds = entries.map(_.content).toSet
+      require(kinds.size <= 1,
+        s"delete manifest ${m.path} mixes position and equality files — " +
+          "refusing to compact rather than mis-stamp sequence numbers")
+      (m, entries, kinds.headOption.getOrElse(1))
+    }
+    val posManifests = classified.filter(_._3 == 1)
+    if (posManifests.isEmpty) return noop
+    val posFiles = posManifests.flatMap(_._2)
+
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val u = uniq()
+    def norm(s: String) = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    val dataFiles = t.planFiles()
+    val byNorm: Map[String, DataFileEntry] =
+      dataFiles.map(f => norm(t.resolve(f.filePath)) -> f).toMap
+
+    // every live entry, deduplicated: dangling refs filter away; the same
+    // (path, pos) deleted by several files is one delete
+    val liveNorms = byNorm.keys.toSeq
+    val live0 = spark.read
+      .parquet(posFiles.map(d => t.resolve(d.filePath)).distinct: _*)
+      .select(col("file_path"), col("pos"))
+      .withColumn("__np", regexp_replace(col("file_path"),
+        "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/"))
+    val live = (if (liveNorms.isEmpty) live0.limit(0)
+                else live0.filter(col("__np").isInCollection(liveNorms)))
+      .dropDuplicates("__np", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-FILE counts: file-count bounded, like the delete strategy scan
+      val counts: Map[String, Long] = live.groupBy("__np").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val fullyDeadNorm: Set[String] =
+        counts.keySet.filter(np => counts(np) >= byNorm(np).recordCount)
+      val fullyDead: Set[String] = fullyDeadNorm.map(byNorm(_).filePath)
+      val remainingRows = (counts -- fullyDeadNorm).values.sum
+
+      // the merged delete file: surviving entries, spec sort order
+      val delMl: Option[GenericRecord] = if (remainingRows == 0) None else {
+        val delDir = s"$tableDir/data/del-s$snapId-$u"
+        val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", PosDelPathId).build()
+        val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", PosDelPosId).build()
+        val keep =
+          (if (fullyDeadNorm.isEmpty) live
+           else live.filter(!col("__np").isInCollection(fullyDeadNorm.toSeq)))
+            .select(col("file_path").as("file_path", pathMeta),
+              col("pos").as("pos", posMeta))
+        keep.repartition(1).sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(delDir)
+        val fs = new Path(delDir).getFileSystem(conf)
+        val delFiles = fs.listStatus(new Path(delDir))
+          .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+        val dfSchema = deleteManifestSchema.getField("data_file").schema
+        val entries = delFiles.map { st =>
+          val d = new GenericData.Record(dfSchema)
+          d.put("content", 1) // POSITION_DELETES
+          d.put("file_path", st.getPath.toString)
+          d.put("file_format", "PARQUET")
+          d.put("record_count", remainingRows)
+          d.put("file_size_in_bytes", st.getLen)
+          val e = new GenericData.Record(deleteManifestSchema)
+          e.put("status", 1)
+          e.put("data_file", d)
+          e.asInstanceOf[GenericRecord]
+        }
+        val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
+        val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
+        Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(remainingRows),
+          meta.defaultSpecId, Nil))
+      }
+
+      // data manifests: fold fully-dead files away; equality delete
+      // manifests pass through; position delete manifests are superseded
+      var droppedTotal = 0L
+      val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap {
+        case (m, _) if m.content == 1 =>
+          if (classified.exists(c => c._1 == m && c._3 == 2))
+            Some(mlRec(resolveAgainst(meta, tableDir, m.path), m.length,
+              m.content, m.sequenceNumber, m.addedRowsCount,
+              m.partitionSpecId, m.partitions))
+          else None // position-delete manifest: superseded by the merge
+        case (m, i) =>
+          val mPath = resolveAgainst(meta, tableDir, m.path)
+          if (fullyDead.isEmpty)
+            Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
+              m.addedRowsCount, m.partitionSpecId, m.partitions))
+          else filterManifest(mPath, conf, fullyDead,
+            new Path(s"$tableDir/metadata/m-s$snapId-$u-r$i.avro")) match {
+            case None =>
+              Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
+                m.addedRowsCount, m.partitionSpecId, m.partitions))
+            case Some((_, 0L, _, d)) => droppedTotal += d; None
+            case Some((newPath, rows, len, d)) =>
+              droppedTotal += d
+              Some(mlRec(newPath, len, m.content, m.sequenceNumber,
+                Some(rows), m.partitionSpecId, m.partitions))
+          }
+      }
+      if (droppedTotal != fullyDead.size)
+        throw new CommitConflictException(
+          s"rewrite_position_delete_files: $droppedTotal of " +
+            s"${fullyDead.size} fully-deleted files found in the current " +
+            "snapshot — a concurrent rewrite moved them; retry")
+
+      val removedStats = fullyDeadNorm.map(byNorm(_))
+        .foldLeft((0L, 0L, 0L)) { (a, f) =>
+          plus(a, (f.recordCount, f.fileSizeInBytes, 1L)) }
+      val totals = meta.currentSnapshot.flatMap(parsedTotals)
+        .map(minus(_, removedStats))
+      commitSnapshot(cmtr, snapId,
+        meta.currentSnapshotId.filter(_ != -1L),
+        keptPrior ++ delMl, Map("operation" -> "replace"), totals = totals)
+      (snapId, posFiles.size, fullyDead.size)
+    } finally { live.unpersist(); () }
   }
 
   /** Commit a DELTA (merge-on-read row-level write): `added` data files

@@ -140,11 +140,15 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "create_changelog_view" => Seq(attr("changelog_view", StringType))
     case "add_files" => Seq(attr("added_files_count", IntegerType),
       attr("snapshot_id", LongType))
+    case "rewrite_position_delete_files" =>
+      Seq(attr("rewritten_delete_files_count", IntegerType),
+        attr("removed_data_files_count", IntegerType),
+        attr("snapshot_id", LongType))
     case other => throw new UnsupportedOperationException(
       s"unknown procedure system.$other (have: expire_snapshots, " +
         "remove_orphan_files, rewrite_data_files, rewrite_manifests, " +
         "fast_forward, rollback_to_snapshot, create_changelog_view, " +
-        "add_files)")
+        "add_files, rewrite_position_delete_files)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -161,6 +165,7 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         Seq("table", "changelog_view", "start_snapshot_id", "end_snapshot_id",
           "net_changes")
       case "add_files" => Seq("table", "source", "branch")
+      case "rewrite_position_delete_files" => Seq("table")
     }
     val m = bind(procedure, params, rawArgs)
     val tableParts = spark.sessionState.sqlParser
@@ -219,8 +224,20 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
               .queryExecution.analyzed
             val filters = analyzed.collect {
               case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                // analysis wraps literals in casts ('k >= 20' on BIGINT k
+                // becomes k >= CAST(20 AS BIGINT)) and translateFilter
+                // needs bare literals — fold constants first, as the
+                // optimizer would for a real query
+                val folded = f.condition.transformUp {
+                  case e: org.apache.spark.sql.catalyst.expressions.Expression
+                      if e.foldable && e.deterministic &&
+                        !e.isInstanceOf[
+                          org.apache.spark.sql.catalyst.expressions.Literal] =>
+                    org.apache.spark.sql.catalyst.expressions.Literal
+                      .create(e.eval(), e.dataType)
+                }
                 org.apache.spark.sql.execution.datasources.GraftScanShims
-                  .translateFilters(f.condition)
+                  .translateFilters(folded)
             }.flatten
             require(filters.nonEmpty,
               s"rewrite_data_files: where => '$pred' translates to no " +
@@ -301,6 +318,10 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           if (m.contains("branch")) str(m, "branch", procedure) else "main"
         val sid = IcebergWriter.addFiles(spark, dir, paths, cmtr, branch)
         Seq(Row(paths.size, sid))
+      case "rewrite_position_delete_files" =>
+        val (sid, rewritten, removed) =
+          IcebergWriter.rewritePositionDeleteFiles(spark, dir, cmtr)
+        Seq(Row(rewritten, removed, sid))
     }
     if (procedure != "create_changelog_view") cat.invalidateTable(ident)
     rows

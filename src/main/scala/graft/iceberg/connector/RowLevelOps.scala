@@ -403,14 +403,19 @@ final class GraftDeltaWrite(
         }
       })
       val idToName = meta.fieldIds.map(_.swap)
-      val spec = meta.partitionSpec.map { p =>
-        val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
-          s"partition source field id ${p.sourceId} not in schema"))
-        val idx = writeSchema.fieldIndex(src)
-        val st = writeSchema(idx).dataType
-        graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
-          graft.iceberg.PartitionTransforms.resultType(p.transform, st))
-      }
+      // a DELETE appends no data rows (only position-delete files) and
+      // its write schema carries just the row id — there are no partition
+      // source columns to index and nothing for a fanout spec to cluster
+      val spec =
+        if (cmd == RowLevelOperation.Command.DELETE) Nil
+        else meta.partitionSpec.map { p =>
+          val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
+            s"partition source field id ${p.sourceId} not in schema"))
+          val idx = writeSchema.fieldIndex(src)
+          val st = writeSchema(idx).dataType
+          graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
+            graft.iceberg.PartitionTransforms.resultType(p.transform, st))
+        }
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
         new graft.iceberg.SerializableHadoopConf(conf))

@@ -187,6 +187,110 @@ class ProceduresSpec extends SparkSpec {
       .collect()(0).getLong(0) === 2L)
   }
 
+  test("rewrite_position_delete_files folds MoR delete debt into one file") {
+    val ns = fresh("pcat9")
+    spark.sql("CREATE TABLE pcat9.ns.t (k BIGINT, cat STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read', " +
+      "'write.update.mode' = 'merge-on-read')")
+    // several small commits so deletes land as several small delete files
+    spark.sql("INSERT INTO pcat9.ns.t SELECT id, concat('c', id % 4) FROM range(0, 40)")
+    spark.sql("INSERT INTO pcat9.ns.t SELECT id, concat('c', id % 4) FROM range(40, 80)")
+    // ranges (never equalities — those take the equality-delete fast
+    // path) and partial per file, so each lands a position-delete file
+    spark.sql("DELETE FROM pcat9.ns.t WHERE k < 5")
+    spark.sql("DELETE FROM pcat9.ns.t WHERE k >= 70")
+    spark.sql("DELETE FROM pcat9.ns.t WHERE k >= 30 AND k < 33")
+    spark.sql("UPDATE pcat9.ns.t SET cat = 'hot' WHERE k = 20")
+    val dir = s"$ns/t"
+    def posDeleteFiles(): Int = new graft.iceberg.IcebergTable(dir, conf)
+      .planDeletes().count(_.content == 1)
+    val before = posDeleteFiles()
+    assert(before >= 3, s"q67-style churn should stack delete files, got $before")
+    val expected = spark.sql("SELECT * FROM pcat9.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+
+    val Seq(row) = spark.sql(
+      "CALL pcat9.system.rewrite_position_delete_files(table => 'ns.t')")
+      .collect().toSeq
+    assert(row.getInt(0) === before, "every position-delete file rewritten")
+    val after = posDeleteFiles()
+    assert(after === 1, s"debt folds into one merged file, got $after")
+    // read-back identical
+    val got = spark.sql("SELECT * FROM pcat9.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got === expected, "rewrite must not change live rows")
+    // the changelog sees data movement, not change: a replace snapshot
+    // contributes no changelog rows
+    val lineage = TableMetadata.load(dir, conf).snapshotLineage
+    val changes = new graft.iceberg.IcebergTable(dir, conf)
+      .changesBetween(spark, lineage(lineage.size - 2), lineage.last)
+    assert(changes.count() === 0L,
+      "a replace snapshot must contribute no changelog rows")
+    // idempotent: a second call is a no-op (single already-merged file)
+    val Seq(row2) = spark.sql(
+      "CALL pcat9.system.rewrite_position_delete_files(table => 'ns.t')")
+      .collect().toSeq
+    assert(row2.getInt(1) === 0, "no fully-dead data files on the rerun")
+  }
+
+  test("rewrite_position_delete_files folds fully-deleted data files away") {
+    val ns = fresh("pcat10")
+    spark.sql("CREATE TABLE pcat10.ns.t (k BIGINT, cat STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO pcat10.ns.t SELECT /*+ REPARTITION(1) */ id, 'a' FROM range(0, 10)")
+    spark.sql("INSERT INTO pcat10.ns.t SELECT /*+ REPARTITION(1) */ id, 'b' FROM range(10, 20)")
+    val dir = s"$ns/t"
+    val filesBefore = new graft.iceberg.IcebergTable(dir, conf).planFiles().size
+    // kill EVERY row of the second commit's file across TWO partial
+    // deletes: each is partial at write time (so it lands as a position
+    // delete, not the writer's direct fully-dead drop), and only their
+    // UNION kills the file — exactly what the merge must detect
+    spark.sql("DELETE FROM pcat10.ns.t WHERE k >= 10 AND k < 15")
+    spark.sql("DELETE FROM pcat10.ns.t WHERE k >= 15")
+    assert(new graft.iceberg.IcebergTable(dir, conf).hasDeletes)
+    val Seq(row) = spark.sql(
+      "CALL pcat10.system.rewrite_position_delete_files(table => 'ns.t')")
+      .collect().toSeq
+    assert(row.getInt(1) >= 1, "fully-deleted data files must fold away")
+    val t = new graft.iceberg.IcebergTable(dir, conf)
+    assert(t.planFiles().size < filesBefore + 1)
+    assert(!t.hasDeletes,
+      "all delete entries pointed at fully-dead files — table is delete-free")
+    assert(spark.sql("SELECT count(*) FROM pcat10.ns.t").head.getLong(0) === 10L)
+    // and the COUNT above can once again be metadata-answered next time
+    // (hasDeletes gate cleared) — totals stayed consistent
+    assert(spark.sql("SELECT min(k), max(k) FROM pcat10.ns.t").head ===
+      org.apache.spark.sql.Row(0L, 9L))
+  }
+
+  test("rewrite_data_files on a merge-on-read table materializes deletes for the rewritten files") {
+    val ns = fresh("pcat11")
+    spark.sql("CREATE TABLE pcat11.ns.t (k BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO pcat11.ns.t SELECT id, concat('c', id % 2) FROM range(0, 20)")
+    spark.sql("INSERT INTO pcat11.ns.t SELECT id, concat('c', id % 2) FROM range(20, 40)")
+    spark.sql("DELETE FROM pcat11.ns.t WHERE k % 10 = 3")
+    val expected = spark.sql("SELECT * FROM pcat11.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    // partial rewrite of the second commit's files on a delete-bearing
+    // table: allowed now — the rewrite applies outstanding deletes on read
+    val Seq(row) = spark.sql(
+      "CALL pcat11.system.rewrite_data_files(table => 'ns.t', " +
+        "where => 'k >= 20')").collect().toSeq
+    assert(row.getLong(0) > 0)
+    val got = spark.sql("SELECT * FROM pcat11.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got === expected, "rewrite + outstanding deletes must compose")
+    // the rewritten partition's delete entries dangle; the other
+    // partition's still apply — run the delete compaction to verify the
+    // composition end-to-end
+    spark.sql("CALL pcat11.system.rewrite_position_delete_files(table => 'ns.t')")
+    val got2 = spark.sql("SELECT * FROM pcat11.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got2 === expected)
+  }
+
   test("positional args, string timestamps, and bad input fail loudly") {
     val ns = fresh("pcat6")
     spark.sql("CREATE TABLE pcat6.ns.t (k INT)")
