@@ -1905,4 +1905,102 @@ object IcebergWriter {
       Seq(MetadataCommit.setSnapshotRef(mapper, target, fromHead)))
     fromHead
   }
+
+  /** Cherry-pick PUBLISH — the other half of write-audit-publish
+    * (reference has neither; Iceberg's `cherrypick_snapshot`): re-apply
+    * ONE staged append snapshot on top of main's current head, as a NEW
+    * snapshot. Where [[fastForward]] publishes a whole branch
+    * all-or-nothing, cherry-pick publishes a single audited commit out of
+    * several staged ones, leaving the branch intact.
+    *
+    * Only pure appends qualify. The staged snapshot's manifest delta vs
+    * its OWN parent (the manifests it added) is grafted onto main's
+    * manifest list; anything else is refused loudly: a non-append
+    * operation, a delta that rewrites or drops parent manifests
+    * (compaction), delete manifests (position deletes bind to a base
+    * snapshot main never had), or data files already reachable from
+    * main's head (double-publish). Grafted manifests are re-stamped to
+    * the NEW snapshot's sequence number — re-sequencing is what makes the
+    * rows "committed now": any equality delete already on main keeps
+    * gating only data that predates it, exactly as if the rows were
+    * appended fresh.
+    *
+    * Metadata-only (no data moves), guarded by `assert-ref-snapshot-id
+    * main` so a concurrent main move surfaces as
+    * [[CommitConflictException]]. Returns the NEW snapshot id; the
+    * summary records `source-snapshot-id` for audit. */
+  def cherrypickSnapshot(conf: org.apache.hadoop.conf.Configuration,
+                         tableDir: String, snapshotId: Long,
+                         committer: Option[TableCommitter] = None): Long = {
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val staged = byId.getOrElse(snapshotId, throw new IllegalArgumentException(
+      s"cherrypick_snapshot: snapshot $snapshotId not found in $tableDir"))
+    val op = staged.summary.getOrElse("operation", "append")
+    require(op == "append",
+      s"cherrypick_snapshot: snapshot $snapshotId is a '$op' — only pure " +
+        "append snapshots can be re-applied; publish the branch with " +
+        "fast_forward instead")
+    val mainHead = meta.currentSnapshotId.filter(_ != -1L)
+    val mainAncestors = Iterator.iterate(mainHead.flatMap(byId.get))(
+      _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId)
+      .take(meta.snapshots.size).toSet
+    require(!mainAncestors.contains(snapshotId),
+      s"cherrypick_snapshot: snapshot $snapshotId is already in main's " +
+        "ancestry — nothing to publish")
+
+    def ml(s: IcebergSnapshot): Seq[ManifestFile] = ManifestIO.readManifestList(
+      resolveAgainst(meta, tableDir, s.manifestList), conf)
+    val stagedMl = ml(staged)
+    val parentMl = staged.parentSnapshotId.flatMap(byId.get).toSeq.flatMap(ml)
+    def key(m: ManifestFile) = resolveAgainst(meta, tableDir, m.path)
+    val parentKeys = parentMl.map(key).toSet
+    require(parentKeys.subsetOf(stagedMl.map(key).toSet),
+      s"cherrypick_snapshot: snapshot $snapshotId dropped or rewrote its " +
+        "parent's manifests (compaction or a non-additive write mislabeled " +
+        "append) — the delta is not a graftable append")
+    val delta = stagedMl.filterNot(m => parentKeys.contains(key(m)))
+    require(delta.nonEmpty,
+      s"cherrypick_snapshot: snapshot $snapshotId added no manifests")
+    require(delta.forall(_.content == 0),
+      s"cherrypick_snapshot: snapshot $snapshotId staged delete files — " +
+        "position deletes bind to a base snapshot main never had; publish " +
+        "with fast_forward")
+
+    val headMl = mainHead.flatMap(byId.get).toSeq.flatMap(ml)
+    // double-publish guard at FILE granularity: a manifest rewrite
+    // (rewrite_manifests) can repackage already-published files under a
+    // new manifest path, so comparing manifest paths is not enough
+    val headFiles: Set[String] = headMl.filter(_.content == 0).flatMap(m =>
+      ManifestIO.readManifest(key(m), conf, m.sequenceNumber,
+        m.partitionSpecId).map(_.filePath)).toSet
+    val deltaEntries = delta.flatMap(m =>
+      ManifestIO.readManifest(key(m), conf, m.sequenceNumber,
+        m.partitionSpecId))
+    val overlap = deltaEntries.map(_.filePath).filter(headFiles)
+    require(overlap.isEmpty,
+      s"cherrypick_snapshot: ${overlap.size} data file(s) of snapshot " +
+        s"$snapshotId are already reachable from main's head (e.g. " +
+        s"${overlap.head}) — refusing a double publish")
+
+    val newId = meta.snapshots.map(_.snapshotId).max + 1L
+    val listRecs = headMl.map(m => mlRec(key(m), m.length, m.content,
+        m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions)) ++
+      delta.map(m => mlRec(key(m), m.length, m.content,
+        Some(newId), m.addedRowsCount, m.partitionSpecId, m.partitions))
+    val addTot: Totals = deltaEntries.foldLeft((0L, 0L, 0L): Totals)((a, f) =>
+      plus(a, (f.recordCount, f.fileSizeInBytes, 1L)))
+    val totals = mainHead.flatMap(h => parsedTotals(byId(h))) match {
+      case Some(t) => Some(plus(t, addTot))
+      case None if mainHead.isEmpty => Some(addTot)
+      case None => None // head exists but carries no totals: stay silent
+    }
+    commitSnapshot(cmtr, newId, mainHead, listRecs,
+      Map("operation" -> "append",
+        "source-snapshot-id" -> snapshotId.toString),
+      totals = totals)
+    newId
+  }
 }

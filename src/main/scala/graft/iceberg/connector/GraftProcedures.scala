@@ -144,11 +144,14 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       Seq(attr("rewritten_delete_files_count", IntegerType),
         attr("removed_data_files_count", IntegerType),
         attr("snapshot_id", LongType))
+    case "cherrypick_snapshot" =>
+      Seq(attr("source_snapshot_id", LongType),
+        attr("current_snapshot_id", LongType))
     case other => throw new UnsupportedOperationException(
       s"unknown procedure system.$other (have: expire_snapshots, " +
         "remove_orphan_files, rewrite_data_files, rewrite_manifests, " +
-        "fast_forward, rollback_to_snapshot, create_changelog_view, " +
-        "add_files, rewrite_position_delete_files)")
+        "fast_forward, rollback_to_snapshot, cherrypick_snapshot, " +
+        "create_changelog_view, add_files, rewrite_position_delete_files)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -166,6 +169,7 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           "net_changes")
       case "add_files" => Seq("table", "source", "branch")
       case "rewrite_position_delete_files" => Seq("table")
+      case "cherrypick_snapshot" => Seq("table", "snapshot_id")
     }
     val m = bind(procedure, params, rawArgs)
     val tableParts = spark.sessionState.sqlParser
@@ -322,6 +326,10 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         val (sid, rewritten, removed) =
           IcebergWriter.rewritePositionDeleteFiles(spark, dir, cmtr)
         Seq(Row(rewritten, removed, sid))
+      case "cherrypick_snapshot" =>
+        val sid = lng(m, "snapshot_id", procedure)
+        val cur = IcebergWriter.cherrypickSnapshot(t.table.conf, dir, sid, cmtr)
+        Seq(Row(sid, cur))
     }
     if (procedure != "create_changelog_view") cat.invalidateTable(ident)
     rows

@@ -351,6 +351,56 @@ object IcebergQueries {
           |   FROM q64cat.ns.nation_wap) cur""".stripMargin)
     }),
 
+    // Cherry-pick publish: two commits staged on a WAP branch, main
+    // advances past the fork (fastForward impossible), then ONE staged
+    // commit is published alone via CALL cherrypick_snapshot — metadata
+    // only, no data moves. The result reads main after (base + advance +
+    // the picked commit, not the other), the intact branch, and a sum
+    // hash-gate over main.
+    "q72_cherrypick" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q72-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q72")
+      s.conf.set("spark.sql.catalog.q72cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q72cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q72cat.ns")
+      s.sql(
+        """CREATE TABLE q72cat.ns.nation_cp AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q72
+          |WHERE n_nationkey < 10""".stripMargin)
+      val dir = s"$warehouse/ns/nation_cp"
+      s.sql("ALTER TABLE q72cat.ns.nation_cp CREATE BRANCH audit")
+      s.conf.set("spark.wap.branch", "audit")
+      try {
+        s.sql(
+          """INSERT INTO q72cat.ns.nation_cp
+            |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q72
+            |WHERE n_nationkey BETWEEN 10 AND 14""".stripMargin)
+        s.sql(
+          """INSERT INTO q72cat.ns.nation_cp
+            |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q72
+            |WHERE n_nationkey BETWEEN 15 AND 19""".stripMargin)
+      } finally s.conf.unset("spark.wap.branch")
+      // main moves past the fork: all-or-nothing publish is impossible now
+      s.sql(
+        """INSERT INTO q72cat.ns.nation_cp
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q72
+          |WHERE n_nationkey = 20""".stripMargin)
+      val picked = graft.iceberg.TableMetadata.load(dir, conf).refs("audit")
+      s.sql("CALL q72cat.system.cherrypick_snapshot(table => 'ns.nation_cp', " +
+        s"snapshot_id => $picked)")
+      s.sql(
+        """SELECT cur.n_after, cur.sk_after, br.n_branch FROM
+          |  (SELECT COUNT(*) AS n_after,
+          |          CAST(SUM(n_nationkey) AS BIGINT) AS sk_after
+          |   FROM q72cat.ns.nation_cp) cur
+          |CROSS JOIN
+          |  (SELECT COUNT(*) AS n_branch
+          |   FROM q72cat.ns.nation_cp VERSION AS OF 'audit') br""".stripMargin)
+    }),
+
     "q57_sql_delete" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q57-warehouse"
@@ -653,6 +703,17 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    // main after = base (<10) + the past-fork append (20) + ONLY the
+    // picked staged commit (15..19); the branch still reads 0..19
+    "q72_cherrypick" ->
+      """SELECT (SELECT COUNT(*) FROM nation
+        |        WHERE n_nationkey < 10
+        |           OR n_nationkey BETWEEN 15 AND 20) AS n_after,
+        |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
+        |        WHERE n_nationkey < 10
+        |           OR n_nationkey BETWEEN 15 AND 20) AS sk_after,
+        |       (SELECT COUNT(*) FROM nation
+        |        WHERE n_nationkey < 20) AS n_branch""".stripMargin,
     "q68_zorder" ->
       """SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sq,
         |       CAST(SUM(l_orderkey) AS BIGINT) AS sk

@@ -192,6 +192,83 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(t.toDF(spark).count() == 5L)
   }
 
+  test("WAP: cherry-pick publishes ONE staged append, branch intact") {
+    val dir = createTable("t10", ids(0, 1))
+    val conf = spark.sessionState.newHadoopConf()
+    val s1 = IcebergWriter.append(spark, dir, ids(0, 2)) // main: 0,1
+    // two independently staged appends on the branch
+    val c1 = IcebergWriter.append(spark, dir, ids(10, 12), branch = "audit")
+    val c2 = IcebergWriter.append(spark, dir, ids(20, 22), branch = "audit")
+    // main advances past the fork — fastForward is now impossible ...
+    IcebergWriter.append(spark, dir, ids(2, 3))
+    assertThrows[IllegalArgumentException](
+      IcebergWriter.fastForward(conf, dir, from = "audit"))
+    // ... but cherry-picking the SECOND staged commit alone still works
+    val newId = IcebergWriter.cherrypickSnapshot(conf, dir, c2)
+    val t = new IcebergTable(dir, conf)
+    assert(t.metadata.currentSnapshotId.contains(newId))
+    assert(t.toDF(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L, 20L, 21L),
+      "main gains exactly the cherry-picked commit's rows")
+    val snap = t.metadata.snapshots.find(_.snapshotId == newId).get
+    assert(snap.summary.get("source-snapshot-id").contains(c2.toString))
+    assert(snap.summary.get("total-records").contains("5"))
+    // the branch did not move and still reads its own staged view
+    assert(t.metadata.refs("audit") == c2)
+    assert(t.atSnapshot(c2).toDF(spark).count() == 6L)
+    // double publish is refused at file granularity
+    val dup = intercept[IllegalArgumentException](
+      IcebergWriter.cherrypickSnapshot(conf, dir, c2))
+    assert(dup.getMessage.contains("already reachable"))
+    // c1 remains independently publishable
+    val newId2 = IcebergWriter.cherrypickSnapshot(conf, dir, c1)
+    val t2 = new IcebergTable(dir, conf)
+    assert(t2.toDF(spark).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L))
+    assert(t2.metadata.currentSnapshotId.contains(newId2))
+    assert(s1 > 0)
+  }
+
+  test("WAP: cherry-pick refuses non-append and already-published snapshots") {
+    val dir = createTable("t11", ids(0, 1))
+    val conf = spark.sessionState.newHadoopConf()
+    val s1 = IcebergWriter.append(spark, dir, ids(0, 3))
+    // a staged DELETE is not an append
+    import org.apache.spark.sql.sources.In
+    IcebergWriter.deleteWhere(spark, dir, Seq(In("id", Array(0L))),
+      branch = "audit")
+    val staged = new IcebergTable(dir, conf).metadata.refs("audit")
+    val e1 = intercept[IllegalArgumentException](
+      IcebergWriter.cherrypickSnapshot(conf, dir, staged))
+    assert(e1.getMessage.contains("only pure append"))
+    // a snapshot already on main has nothing to publish
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWriter.cherrypickSnapshot(conf, dir, s1))
+    assert(e2.getMessage.contains("already in main's ancestry"))
+  }
+
+  test("SQL: CALL cherrypick_snapshot publishes through the catalog") {
+    val wh = "/root/repo/target/test-refs-sqlwh"
+    new java.io.File(wh).delete()
+    spark.conf.set("spark.sql.catalog.cpcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cpcat.warehouse", wh)
+    spark.sql("DROP TABLE IF EXISTS cpcat.ns.t")
+    spark.sql("CREATE TABLE cpcat.ns.t (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO cpcat.ns.t VALUES (1, 'a')")
+    spark.sql("ALTER TABLE cpcat.ns.t CREATE BRANCH audit")
+    spark.conf.set("spark.wap.branch", "audit")
+    try spark.sql("INSERT INTO cpcat.ns.t VALUES (2, 'staged')")
+    finally spark.conf.unset("spark.wap.branch")
+    val dir = s"$wh/ns/t"
+    val conf = spark.sessionState.newHadoopConf()
+    val staged = new IcebergTable(dir, conf).metadata.refs("audit")
+    val Seq(row) = spark.sql("CALL cpcat.system.cherrypick_snapshot(" +
+      s"table => 'ns.t', snapshot_id => $staged)").collect().toSeq
+    assert(row.getLong(0) == staged)
+    assert(spark.sql("SELECT id FROM cpcat.ns.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("SQL: spark.wap.branch routes INSERT, equality DELETE, and UPDATE") {
     val dir = createTable("t10", ids(0, 1))
     IcebergWriter.append(spark, dir, ids(0, 3))
