@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scaling spot-run for the heavy pipeline operators (requested by the
+  * round-8 verdict): runs the UNDERLYING operators — not the bench's
+  * small fixed slices — on a 1× and an N× corpus and prints one JSON
+  * line per (stage, scale), so per-job fixed overhead (dominant at toy
+  * scale) separates from real data scaling.
+  *
+  * The N× corpus is `documents` replicated with per-replica word
+  * salting: every 3rd word gets a replica suffix, so every 3-shingle
+  * crosses a salted word and CROSS-replica similarity collapses, while
+  * WITHIN-replica duplicate structure is exactly the original (clones
+  * get the same transformation). N× therefore means "N independent
+  * shards of the original distribution" — the linear-scaling null
+  * hypothesis a healthy operator should track.
+  *
+  * Usage: `runMain graft.BenchScale [sfDir] [replicaList]`, default
+  * `/root/testdata/sf0.1 1,10`.
+  */
+object BenchScale {
+
+  private def corpus(docs: DataFrame, replicas: Int): DataFrame =
+    if (replicas == 1) docs
+    else (0 until replicas).map { r =>
+      if (r == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "),
+            (w, i) => when(i % 3 === 0, concat(w, lit(s"_r$r"))).otherwise(w))))
+    }.reduce(_ unionByName _)
+
+  private def timed[A](f: => A): (Double, A) = {
+    val t0 = System.nanoTime()
+    val a = f
+    ((System.nanoTime() - t0) / 1e9, a)
+  }
+
+  /** Min-of-2 like the bench protocol; returns (seconds, result). */
+  private def timed2[A](f: => A): (Double, A) = {
+    val (t1, a) = timed(f)
+    val (t2, _) = timed(f)
+    (math.min(t1, t2), a)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val replicaList = args.lift(1).getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.extensions",
+        "graft.iceberg.connector.GraftSparkExtensions")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
+
+    val docs0 = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+    replicaList.foreach { r =>
+      // materialize the corpus OUTSIDE the timings: generation is not
+      // the operator under test
+      val all = corpus(docs0, r)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = all.count()
+
+      // q41b core: minhash + banding + bucket join
+      val (tPairs, nPairs) = timed2(
+        Dedup.minhashCandidatePairs(all, "doc_id", "text",
+          numHashes = 32, bands = 16).count())
+      report("minhash_pairs", r, tPairs, nDocs, nPairs)
+
+      // q63 core: verified candidates -> connected components -> clusters
+      val (tCc, nClustered) = timed2 {
+        val candidates = Dedup.minhashCandidatePairs(all, "doc_id", "text",
+          numHashes = 32, bands = 16)
+        val texts = all.select(col("doc_id"), col("text"))
+        val verified = candidates
+          .join(texts.select(col("doc_id").as("qa"), col("text").as("ta")), "qa")
+          .join(texts.select(col("doc_id").as("qb"), col("text").as("tb")), "qb")
+          .filter(col("ta") === col("tb"))
+          .select("qa", "qb")
+        Dedup.connectedComponents(verified).count()
+      }
+      report("dedup_clusters", r, tCc, nDocs, nClustered)
+
+      // q40 core: n-gram Jaccard on 100 docs per replica (the bench
+      // slice, scaled with the corpus)
+      val slice = all.filter(col("doc_id") % 10000000L < 100)
+      val (tJac, nJac) = timed2(
+        Dedup.ngramJaccardPairs(slice, "doc_id", "text", n = 3).count())
+      report("ngram_jaccard", r, tJac, nDocs, nJac)
+
+      all.unpersist()
+
+      // q65 core: the MEASURED storage-partitioned join (table builds
+      // excluded), orders/customer replicated with key remapping
+      val spjSecs = spjJoin(spark, sfDir, r)
+      report("spj_join", r, spjSecs, nDocs, -1L)
+    }
+    spark.stop()
+  }
+
+  private def report(stage: String, replicas: Int, secs: Double,
+                     nDocs: Long, rows: Long): Unit =
+    println(s"""{"stage":"$stage","replicas":$replicas,""" +
+      s""""secs":${math.round(secs * 1000) / 1000.0},"docs":$nDocs,""" +
+      s""""rows":$rows}""")
+
+  private def spjJoin(spark: SparkSession, sfDir: String, r: Int): Double = {
+    import org.apache.hadoop.fs.Path
+    import graft.iceberg.connector.GraftCatalog
+    val warehouse = s"/root/repo/target/benchscale-warehouse-$r"
+    val conf = spark.sessionState.newHadoopConf()
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"))
+    val ords = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("o_custkey"))
+    val maxCk = 10000000L
+    def rep(df: DataFrame, cols: Seq[String]): DataFrame =
+      if (r == 1) df
+      else (0 until r).map { i =>
+        cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * maxCk)))
+      }.reduce(_ unionByName _)
+    rep(cust, Seq("c_custkey")).createOrReplaceTempView("bs_customer")
+    rep(ords, Seq("o_custkey", "o_orderkey")).createOrReplaceTempView("bs_orders")
+    spark.conf.set(s"spark.sql.catalog.bscat$r", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.bscat$r.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS bscat$r.ns")
+    spark.sql(
+      s"""CREATE TABLE bscat$r.ns.customer_b (c_custkey BIGINT, c_mktsegment STRING)
+         |PARTITIONED BY (bucket(8, c_custkey))""".stripMargin)
+    spark.sql(
+      s"INSERT INTO bscat$r.ns.customer_b SELECT * FROM bs_customer")
+    spark.sql(
+      s"""CREATE TABLE bscat$r.ns.orders_b (o_orderkey BIGINT, o_custkey BIGINT)
+         |PARTITIONED BY (bucket(8, o_custkey))""".stripMargin)
+    spark.sql(
+      s"INSERT INTO bscat$r.ns.orders_b SELECT o_orderkey, o_custkey FROM bs_orders")
+    val spjConfs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = spjConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    spjConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (secs, _) = timed2(spark.sql(
+        s"""SELECT c.c_mktsegment, COUNT(*) AS n,
+           |       CAST(SUM(o.o_orderkey) AS BIGINT) AS sk
+           |FROM bscat$r.ns.customer_b c
+           |JOIN bscat$r.ns.orders_b o ON c.c_custkey = o.o_custkey
+           |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin)
+        .collect())
+      secs
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

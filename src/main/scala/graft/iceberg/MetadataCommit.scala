@@ -64,12 +64,33 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
 
   override def commit(requirements: Seq[JsonNode], updates: Seq[JsonNode]): Unit = {
     val mapper = new ObjectMapper()
-    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
-    val in = latest.getFileSystem(conf).open(latest)
-    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    val (root, latest) = rootAndPath(mapper)
     MetadataCommit.checkRequirements(root, requirements).foreach(err =>
       throw new CommitConflictException(s"commit to $tableDir rejected: $err"))
     val next = MetadataCommit.applyUpdates(mapper, root, updates)
+    publishAfter(mapper, latest, next)
+  }
+
+  /** Fresh metadata document plus the path it was read from — the commit
+    * base for [[publishAfter]]. */
+  private[iceberg] def rootAndPath(mapper: ObjectMapper): (ObjectNode, Path) = {
+    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
+    val in = latest.getFileSystem(conf).open(latest)
+    val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    (root, latest)
+  }
+
+  /** Current latest metadata path, for is-ours checks during transaction
+    * compensation. */
+  private[iceberg] def latestPath(): Path =
+    TableMetadata.latestMetadataPath(tableDir, conf)
+
+  /** The publish half of [[commit]]: write `next` as the version after
+    * `latest`, create-new as the commit point. Returns the created path.
+    * Separated so a multi-table transaction ([[Transactions]]) can
+    * validate every table before publishing any. */
+  private[iceberg] def publishAfter(mapper: ObjectMapper, latest: Path,
+                                    next: ObjectNode): Path = {
     val version = "v(\\d+)".r.findFirstMatchIn(latest.getName)
       .map(_.group(1).toLong)
       .orElse("^(\\d+)".r.findFirstMatchIn(latest.getName).map(_.group(1).toLong))
@@ -98,6 +119,7 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
     try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(next)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    path
   }
 }
 

@@ -41,7 +41,8 @@ final class RestCatalogStore(
       * followed through `next-page-token` — real catalogs (multi-tenant
       * services fronting thousands of namespaces) paginate server-side
       * whether or not the client asked. */
-    pageSize: Option[Int] = None) extends CatalogStore {
+    pageSize: Option[Int] = None) extends CatalogStore
+    with graft.iceberg.TransactionalCatalog {
 
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
@@ -236,6 +237,34 @@ final class RestCatalogStore(
       throw new IllegalStateException(s"POST $url -> HTTP $code: $body")
   }
 
+  /** `POST /v1/{prefix}/transactions/commit` — the REST spec's
+    * multi-table transaction (`CommitTransactionRequest`): the service
+    * checks every table's requirements and applies every update set as
+    * ONE atomic unit. 409 anywhere = nothing applied. */
+  override def commitTransaction(
+      changes: Seq[(Seq[String], String, Seq[JsonNode], Seq[JsonNode])]): Unit = {
+    val req = mapper.createObjectNode()
+    val arr = req.putArray("table-changes")
+    changes.foreach { case (ns, name, requirements, updates) =>
+      val c = arr.addObject()
+      val ident = c.putObject("identifier")
+      val nsArr = ident.putArray("namespace")
+      ns.foreach(nsArr.add)
+      ident.put("name", name)
+      val reqArr = c.putArray("requirements")
+      requirements.foreach(reqArr.add)
+      val updArr = c.putArray("updates")
+      updates.foreach(updArr.add)
+    }
+    val url = v1("transactions/commit")
+    val (code, body) = request("POST", url, Some(mapper.writeValueAsString(req)))
+    if (code == 409)
+      throw new graft.iceberg.CommitConflictException(
+        s"transaction rejected by catalog (no table committed): $body")
+    if (code / 100 != 2)
+      throw new IllegalStateException(s"POST $url -> HTTP $code: $body")
+  }
+
   /** Raw metadata document of the current table state (commit base). */
   def loadMetadataRoot(ns: Seq[String], name: String): com.fasterxml.jackson.databind.node.ObjectNode = {
     val (code, body) =
@@ -290,7 +319,11 @@ final class RestCatalogStore(
 final class RestCommitter(
     store: RestCatalogStore, ns: Seq[String], name: String,
     val tableDir: String, val conf: Configuration)
-    extends graft.iceberg.TableCommitter {
+    extends graft.iceberg.CatalogBackedCommitter {
+
+  override def txCatalog: graft.iceberg.TransactionalCatalog = store
+  override def txNamespace: Seq[String] = ns
+  override def txName: String = name
 
   override def currentRoot(mapper: ObjectMapper): com.fasterxml.jackson.databind.node.ObjectNode =
     store.loadMetadataRoot(ns, name)

@@ -401,6 +401,77 @@ object IcebergQueries {
           |   FROM q72cat.ns.nation_cp VERSION AS OF 'audit') br""".stripMargin)
     }),
 
+    // Multi-table transaction: stage appends to TWO tables (facts by
+    // region split), publish both in one all-or-nothing commit, then a
+    // third staged pair is made stale by a rival commit — the failed
+    // transaction must leave BOTH tables exactly as the first left them.
+    "q73_multitable_tx" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import graft.iceberg.{FsCommitter, IcebergWriter, Transactions,
+        CommitConflictException}
+      val warehouse = "/root/repo/target/q73-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q73")
+      s.conf.set("spark.sql.catalog.q73cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q73cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q73cat.ns")
+      s.sql(
+        """CREATE TABLE q73cat.ns.low AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q73
+          |WHERE n_regionkey < 2 AND n_nationkey < 10""".stripMargin)
+      s.sql(
+        """CREATE TABLE q73cat.ns.high AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q73
+          |WHERE n_regionkey >= 2 AND n_nationkey < 10""".stripMargin)
+      val dLow = s"$warehouse/ns/low"
+      val dHigh = s"$warehouse/ns/high"
+      def part(pred: String) = s.sql(
+        s"""SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q73
+           |WHERE $pred""".stripMargin)
+      // both halves of the 10..19 band land in ONE transaction
+      val c1 = Transactions.stage(new FsCommitter(dLow, conf)) { c =>
+        IcebergWriter.append(s, dLow,
+          part("n_regionkey < 2 AND n_nationkey BETWEEN 10 AND 19"),
+          committer = Some(c)); ()
+      }
+      val c2 = Transactions.stage(new FsCommitter(dHigh, conf)) { c =>
+        IcebergWriter.append(s, dHigh,
+          part("n_regionkey >= 2 AND n_nationkey BETWEEN 10 AND 19"),
+          committer = Some(c)); ()
+      }
+      Transactions.commitAll(Seq(c1, c2))
+      // a second transaction goes stale (rival moves `high`) — it must
+      // publish NOTHING to either table
+      val c3 = Transactions.stage(new FsCommitter(dLow, conf)) { c =>
+        IcebergWriter.append(s, dLow, part("n_nationkey >= 20"),
+          committer = Some(c)); ()
+      }
+      val c4 = Transactions.stage(new FsCommitter(dHigh, conf)) { c =>
+        IcebergWriter.append(s, dHigh, part("n_nationkey >= 20"),
+          committer = Some(c)); ()
+      }
+      IcebergWriter.append(s, dHigh, part("n_nationkey = 20"))
+      val failed =
+        try { Transactions.commitAll(Seq(c3, c4)); false }
+        catch { case _: CommitConflictException => true }
+      require(failed, "stale transaction must be rejected")
+      val cat = s.sessionState.catalogManager.catalog("q73cat")
+        .asInstanceOf[GraftCatalog]
+      Seq("low", "high").foreach(t => cat.invalidateTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("ns"), t)))
+      s.sql(
+        """SELECT lo.n_low, lo.sk_low, hi.n_high, hi.sk_high FROM
+          |  (SELECT COUNT(*) AS n_low,
+          |          CAST(SUM(n_nationkey) AS BIGINT) AS sk_low
+          |   FROM q73cat.ns.low) lo
+          |CROSS JOIN
+          |  (SELECT COUNT(*) AS n_high,
+          |          CAST(SUM(n_nationkey) AS BIGINT) AS sk_high
+          |   FROM q73cat.ns.high) hi""".stripMargin)
+    }),
+
     "q57_sql_delete" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q57-warehouse"
@@ -703,6 +774,20 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    // low = its seed (<10) + its half of the committed band (10..19);
+    // high likewise plus the rival row 20; the FAILED transaction
+    // (nationkey >= 20 on both) contributed nothing to either table
+    "q73_multitable_tx" ->
+      """SELECT (SELECT COUNT(*) FROM nation
+        |        WHERE n_regionkey < 2 AND n_nationkey < 20) AS n_low,
+        |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
+        |        WHERE n_regionkey < 2 AND n_nationkey < 20) AS sk_low,
+        |       (SELECT COUNT(*) FROM nation
+        |        WHERE (n_regionkey >= 2 AND n_nationkey < 20)
+        |           OR n_nationkey = 20) AS n_high,
+        |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
+        |        WHERE (n_regionkey >= 2 AND n_nationkey < 20)
+        |           OR n_nationkey = 20) AS sk_high""".stripMargin,
     // main after = base (<10) + the past-fork append (20) + ONLY the
     // picked staged commit (15..19); the branch still reads 0..19
     "q72_cherrypick" ->

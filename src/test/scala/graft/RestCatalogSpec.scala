@@ -163,6 +163,45 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       case ("DELETE", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         if (tables.remove((ns, t)).isDefined) json(x, 204, "")
         else json(x, 404, """{"error":{"message":"no such table"}}""")
+      // CommitTransactionRequest: every table's requirements are checked
+      // BEFORE any update applies — all-or-nothing, the spec's
+      // /v1/{prefix}/transactions/commit contract
+      case ("POST", "testwh" :: "transactions" :: "commit" :: Nil) =>
+        import scala.jdk.CollectionConverters._
+        val req = body
+        val tableChanges = Option(req.get("table-changes"))
+          .map(_.elements.asScala.toSeq).getOrElse(Nil)
+        val parsed = tableChanges.map { c =>
+          val ident = c.get("identifier")
+          val ns = ident.get("namespace").elements.next().asText
+          val name = ident.get("name").asText
+          val reqs = Option(c.get("requirements"))
+            .map(_.elements.asScala.toSeq).getOrElse(Nil)
+          val upds = Option(c.get("updates"))
+            .map(_.elements.asScala.toSeq).getOrElse(Nil)
+          (ns, name, reqs, upds)
+        }
+        val missing = parsed.collectFirst {
+          case (ns, name, _, _) if !tables.contains((ns, name)) => s"$ns.$name"
+        }
+        val failed = parsed.iterator.flatMap { case (ns, name, reqs, _) =>
+          tables.get((ns, name)).flatMap(doc =>
+            graft.iceberg.MetadataCommit.checkRequirements(doc, reqs)
+              .map(err => s"$ns.$name: $err"))
+        }.toSeq.headOption
+        (missing, failed) match {
+          case (Some(m), _) =>
+            json(x, 404, s"""{"error":{"message":"no such table $m"}}""")
+          case (_, Some(err)) =>
+            json(x, 409, s"""{"error":{"message":"${err.replace('"', '\'')}"}}""")
+          case _ =>
+            val next = parsed.map { case (ns, name, _, upds) =>
+              (ns, name) -> graft.iceberg.MetadataCommit.applyUpdates(
+                mapper, tables((ns, name)).deepCopy[ObjectNode](), upds)
+            }
+            next.foreach { case (k, doc) => tables(k) = doc }
+            json(x, 204, "")
+        }
       case ("POST", "testwh" :: "tables" :: "rename" :: Nil) =>
         val req = body
         def ident(k: String) = {
@@ -427,6 +466,61 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.sql("SELECT COUNT(*) FROM restcat.rns.cf").collect()(0).getLong(0) == 1L)
     assert(tables(("rns", "cf")).get("snapshots").size == 1)
     spark.sql("DROP TABLE restcat.rns.cf")
+  }
+
+  test("REST: /v1/transactions/commit moves two tables atomically or not at all") {
+    useRest()
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.tx1")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.tx2")
+    spark.sql("CREATE TABLE restcat.rns.tx1 (id BIGINT, tag STRING)")
+    spark.sql("CREATE TABLE restcat.rns.tx2 (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO restcat.rns.tx1 VALUES (1, 'a')")
+    spark.sql("INSERT INTO restcat.rns.tx2 VALUES (10, 'b')")
+    val conf = spark.sessionState.newHadoopConf()
+    val store = new graft.iceberg.connector.RestCatalogStore(
+      s"http://127.0.0.1:$port", conf, None)
+    def committer(name: String) = {
+      val t = store.loadIcebergTable(Seq("rns"), name)
+      store.committerFor(Seq("rns"), name, t, conf)
+    }
+    def df(xs: Seq[Long]) = xs.map(i => (i, s"row$i")).toDF("id", "tag")
+    def rows(name: String): Seq[Long] =
+      store.loadIcebergTable(Seq("rns"), name).toDF(spark)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // happy path: one CommitTransactionRequest moves both pointers
+    val c1 = graft.iceberg.Transactions.stage(committer("tx1")) { c =>
+      graft.iceberg.IcebergWriter.append(spark, c.tableDir, df(Seq(2L)),
+        committer = Some(c)); ()
+    }
+    val c2 = graft.iceberg.Transactions.stage(committer("tx2")) { c =>
+      graft.iceberg.IcebergWriter.append(spark, c.tableDir, df(Seq(20L)),
+        committer = Some(c)); ()
+    }
+    assert(rows("tx1") == Seq(1L) && rows("tx2") == Seq(10L),
+      "staging must not publish")
+    graft.iceberg.Transactions.commitAll(Seq(c1, c2))
+    assert(rows("tx1") == Seq(1L, 2L))
+    assert(rows("tx2") == Seq(10L, 20L))
+
+    // a stale requirement anywhere → 409 → NOTHING applies server-side
+    val c3 = graft.iceberg.Transactions.stage(committer("tx1")) { c =>
+      graft.iceberg.IcebergWriter.append(spark, c.tableDir, df(Seq(3L)),
+        committer = Some(c)); ()
+    }
+    val c4 = graft.iceberg.Transactions.stage(committer("tx2")) { c =>
+      graft.iceberg.IcebergWriter.append(spark, c.tableDir, df(Seq(30L)),
+        committer = Some(c)); ()
+    }
+    spark.sql("INSERT INTO restcat.rns.tx2 VALUES (90, 'rival')") // moves tx2
+    intercept[graft.iceberg.CommitConflictException](
+      graft.iceberg.Transactions.commitAll(Seq(c3, c4)))
+    assert(rows("tx1") == Seq(1L, 2L), "tx1 must not advance")
+    assert(rows("tx2") == Seq(10L, 20L, 90L), "tx2 holds only the rival row")
+    spark.sql("DROP TABLE restcat.rns.tx1")
+    spark.sql("DROP TABLE restcat.rns.tx2")
   }
 
   test("REST: scan executes against the metadata document in LoadTableResult") {
