@@ -466,6 +466,30 @@ final class IcebergTable private (
     if (deletes.isEmpty && !keepIds) out else out.select(keep.map(col): _*)
   }
 
+  /** `(file_path, pos)` of every row this snapshot's EQUALITY deletes
+    * remove — the read half of `convert_equality_deletes`: the same
+    * sequence-gated matching the scan applies (`dataseq < delseq`,
+    * strict), emitted as row positions instead of being anti-joined away.
+    * Rows also covered by existing position deletes are included (the
+    * readers dedup row identities, so the overlap is harmless and keeps
+    * this a pure function of the equality set). Empty when the table has
+    * no equality deletes. */
+  def equalityDeletePositions(spark: SparkSession): DataFrame = {
+    import IcebergTable.{FpCol, PosCol}
+    val files = planFiles()
+    val eq = planDeletes().filter(_.content == 2)
+    if (files.isEmpty || eq.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("file_path", StringType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType))))
+    val data = scanFiles(spark, files, withIds = true)
+    rowsMatchedByDeletes(spark, data, files, eq)
+      .select(col(FpCol).as("file_path"), col(PosCol).as("pos"))
+  }
+
   /** The raw scan of an explicit file list under this snapshot's schema —
     * the base [[toDF]] applies delete files over, also used directly by
     * the changelog (which needs the base with and without specific delete

@@ -1415,6 +1415,184 @@ object IcebergWriter {
     } finally { live.unpersist(); () }
   }
 
+  /** Convert EQUALITY-delete debt to position deletes — the companion of
+    * [[rewritePositionDeleteFiles]] for the other delete kind: streaming
+    * upsert sinks and q57-style `DELETE WHERE k IN (…)` land equality
+    * deletes, and every one is a full predicate re-evaluation against
+    * every overlapping data file on EVERY read. Conversion is a one-time
+    * materialization of that matching: the exact rows each equality
+    * delete removes under the spec's strict `dataseq < delseq` gate
+    * become `(file_path, pos)` entries in ONE sorted position-delete
+    * file, and the equality manifests drop. Semantically exact — rows
+    * written AFTER the equality delete never matched it (their sequence
+    * is not smaller), and position entries name writer-unique paths, so
+    * nothing can over- or under-apply afterwards.
+    *
+    * Committed as `replace` (same live rows, different delete
+    * representation); run [[rewritePositionDeleteFiles]] after to merge
+    * the result with pre-existing position debt. Returns (snapshotId,
+    * equalityFilesConverted, positionRowsWritten); (current, 0, 0) when
+    * the table has no equality deletes.
+    */
+  def convertEqualityDeletes(spark: SparkSession, tableDir: String,
+                             committer: Option[TableCommitter] = None)
+      : (Long, Int, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    val noop = (meta.currentSnapshotId.getOrElse(-1L), 0, 0L)
+    val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    val classified = prev.filter(_.content == 1).map { m =>
+      val entries = ManifestIO.readDeleteManifest(
+        resolveAgainst(meta, tableDir, m.path), conf, m.sequenceNumber)
+      val kinds = entries.map(_.content).toSet
+      require(kinds.size <= 1,
+        s"delete manifest ${m.path} mixes position and equality files — " +
+          "refusing to convert rather than mis-stamp sequence numbers")
+      (m, entries, kinds.headOption.getOrElse(1))
+    }
+    val eqManifests = classified.filter(_._3 == 2)
+    if (eqManifests.isEmpty) return noop
+    val eqFiles = eqManifests.flatMap(_._2)
+
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val u = uniq()
+    val positions = t.equalityDeletePositions(spark)
+      .dropDuplicates("file_path", "pos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRows = positions.count()
+      val delMl: Option[GenericRecord] = if (nRows == 0) None else {
+        val delDir = s"$tableDir/data/del-s$snapId-$u"
+        val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", PosDelPathId).build()
+        val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", PosDelPosId).build()
+        positions
+          .select(col("file_path").as("file_path", pathMeta),
+            col("pos").as("pos", posMeta))
+          .repartition(1).sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(delDir)
+        val fs = new Path(delDir).getFileSystem(conf)
+        val delFiles = fs.listStatus(new Path(delDir))
+          .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+        val dfSchema = deleteManifestSchema.getField("data_file").schema
+        val entries = delFiles.map { st =>
+          val d = new GenericData.Record(dfSchema)
+          d.put("content", 1) // POSITION_DELETES
+          d.put("file_path", st.getPath.toString)
+          d.put("file_format", "PARQUET")
+          d.put("record_count", nRows)
+          d.put("file_size_in_bytes", st.getLen)
+          val e = new GenericData.Record(deleteManifestSchema)
+          e.put("status", 1)
+          e.put("data_file", d)
+          e.asInstanceOf[GenericRecord]
+        }
+        val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
+        val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
+        Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(nRows),
+          meta.defaultSpecId, Nil))
+      }
+      // equality manifests drop (converted); data manifests and existing
+      // position-delete manifests pass through untouched
+      val keptPrior: Seq[GenericRecord] = prev.flatMap { m =>
+        if (m.content == 1 && eqManifests.exists(_._1 == m)) None
+        else Some(mlRec(resolveAgainst(meta, tableDir, m.path), m.length,
+          m.content, m.sequenceNumber, m.addedRowsCount,
+          m.partitionSpecId, m.partitions))
+      }
+      commitSnapshot(cmtr, snapId,
+        meta.currentSnapshotId.filter(_ != -1L),
+        keptPrior ++ delMl, Map("operation" -> "replace"),
+        totals = meta.currentSnapshot.flatMap(parsedTotals))
+      (snapId, eqFiles.size, nRows)
+    } finally { positions.unpersist(); () }
+  }
+
+  /** ANALYZE for the cost-based optimizer: ONE distributed aggregate pass
+    * over the current snapshot computes per-column NDV
+    * (`approx_count_distinct`) and, for strings/binary, average/max
+    * byte lengths, and stores them as `graft.stats.*` table properties in
+    * a metadata-only commit. Scans serve them back through DSv2
+    * `Statistics.columnStats` (see `GraftColumnStats`), which Spark folds
+    * into catalyst column stats under `spark.sql.cbo.enabled` — join
+    * reorder and selectivity estimation then see real NDVs instead of
+    * guessing. min/max/nullCount are NOT stored: manifests already answer
+    * those fresh on every plan.
+    *
+    * `columns` empty = every analyzable top-level column. The commit pins
+    * `graft.stats.snapshot-id` for observability; readers treat NDV as
+    * the estimate it is (capped by live row count at serve time), so
+    * ANALYZE after major churn is a quality refresh, not a correctness
+    * requirement. Returns (snapshotId analyzed against, columnsAnalyzed).
+    */
+  def analyzeTable(spark: SparkSession, tableDir: String,
+                   columns: Seq[String] = Nil,
+                   committer: Option[TableCommitter] = None): (Long, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val analyzable = meta.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }).map(_.name).toSeq
+    val target =
+      if (columns.isEmpty) analyzable
+      else {
+        val bad = columns.filterNot(analyzable.contains)
+        require(bad.isEmpty,
+          s"analyze_table: not analyzable top-level columns: " +
+            s"${bad.mkString(", ")} (have: ${analyzable.mkString(", ")})")
+        columns
+      }
+    require(target.nonEmpty, "analyze_table: no analyzable columns")
+    val df = t.toDF(spark)
+    val aggs = target.flatMap { c =>
+      val isLen = meta.schema(c).dataType match {
+        case StringType | BinaryType => true
+        case _ => false
+      }
+      Seq(approx_count_distinct(col(c)).as(s"__ndv_$c")) ++
+        (if (isLen)
+           Seq(avg(octet_length(col(c).cast("binary"))).as(s"__avg_$c"),
+             max(octet_length(col(c).cast("binary"))).as(s"__max_$c"))
+         else Nil)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val props = scala.collection.mutable.Map[String, String](
+      "graft.stats.snapshot-id" ->
+        meta.currentSnapshotId.getOrElse(-1L).toString)
+    target.foreach { c =>
+      props(s"graft.stats.ndv.$c") =
+        row.getAs[Long](s"__ndv_$c").toString
+      if (row.schema.fieldNames.contains(s"__avg_$c")) {
+        Option(row.getAs[Any](s"__avg_$c")).foreach(v =>
+          props(s"graft.stats.avglen.$c") =
+            math.ceil(v.toString.toDouble).toLong.toString)
+        Option(row.getAs[Any](s"__max_$c")).foreach(v =>
+          props(s"graft.stats.maxlen.$c") = v.toString)
+      }
+    }
+    val mapper = new ObjectMapper()
+    val upd = mapper.createObjectNode()
+    upd.put("action", "set-properties")
+    val updates = upd.putObject("updates")
+    props.foreach { case (k, v) => updates.put(k, v) }
+    cmtr.commit(
+      Seq(MetadataCommit.assertRefSnapshotId(mapper, "main",
+        meta.currentSnapshotId.filter(_ != -1L))),
+      Seq(upd))
+    (meta.currentSnapshotId.getOrElse(-1L), target.size)
+  }
+
   /** Commit a DELTA (merge-on-read row-level write): `added` data files
     * plus already-written position-delete files, in ONE snapshot on
     * `branch` — the commit half of SQL UPDATE/MERGE/DELETE in

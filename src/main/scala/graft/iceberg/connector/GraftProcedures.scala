@@ -135,8 +135,9 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "rewrite_manifests" => Seq(attr("snapshot_id", LongType))
     case "fast_forward" => Seq(attr("branch", StringType),
       attr("previous_snapshot_id", LongType), attr("current_snapshot_id", LongType))
-    case "rollback_to_snapshot" => Seq(attr("previous_snapshot_id", LongType),
-      attr("current_snapshot_id", LongType))
+    case "rollback_to_snapshot" | "rollback_to_timestamp" =>
+      Seq(attr("previous_snapshot_id", LongType),
+        attr("current_snapshot_id", LongType))
     case "create_changelog_view" => Seq(attr("changelog_view", StringType))
     case "add_files" => Seq(attr("added_files_count", IntegerType),
       attr("snapshot_id", LongType))
@@ -147,11 +148,20 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "cherrypick_snapshot" =>
       Seq(attr("source_snapshot_id", LongType),
         attr("current_snapshot_id", LongType))
+    case "convert_equality_deletes" =>
+      Seq(attr("converted_equality_files_count", IntegerType),
+        attr("position_delete_rows_count", LongType),
+        attr("snapshot_id", LongType))
+    case "analyze_table" =>
+      Seq(attr("analyzed_columns_count", IntegerType),
+        attr("snapshot_id", LongType))
     case other => throw new UnsupportedOperationException(
       s"unknown procedure system.$other (have: expire_snapshots, " +
         "remove_orphan_files, rewrite_data_files, rewrite_manifests, " +
-        "fast_forward, rollback_to_snapshot, cherrypick_snapshot, " +
-        "create_changelog_view, add_files, rewrite_position_delete_files)")
+        "fast_forward, rollback_to_snapshot, rollback_to_timestamp, " +
+        "cherrypick_snapshot, create_changelog_view, add_files, " +
+        "rewrite_position_delete_files, convert_equality_deletes, " +
+        "analyze_table)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -164,12 +174,15 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "rewrite_manifests" => Seq("table", "target_entries_per_manifest")
       case "fast_forward" => Seq("table", "branch", "to")
       case "rollback_to_snapshot" => Seq("table", "snapshot_id")
+      case "rollback_to_timestamp" => Seq("table", "timestamp")
       case "create_changelog_view" =>
         Seq("table", "changelog_view", "start_snapshot_id", "end_snapshot_id",
           "net_changes")
       case "add_files" => Seq("table", "source", "branch")
       case "rewrite_position_delete_files" => Seq("table")
       case "cherrypick_snapshot" => Seq("table", "snapshot_id")
+      case "convert_equality_deletes" => Seq("table")
+      case "analyze_table" => Seq("table", "columns")
     }
     val m = bind(procedure, params, rawArgs)
     val tableParts = spark.sessionState.sqlParser
@@ -278,6 +291,16 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         // applier moves current-snapshot-id with the ref
         IcebergWriter.createRef(t.table.conf, dir, "main", sid, "branch", cmtr)
         Seq(Row(prev, sid))
+      case "rollback_to_timestamp" =>
+        val ms = toMillis(m.getOrElse("timestamp",
+          throw new IllegalArgumentException(s"$procedure requires timestamp")),
+          "timestamp")
+        // TIMESTAMP AS OF resolution (latest snapshot committed ≤ the
+        // bound), then the same metadata-only ref move as by-id rollback
+        val sid = t.table.asOfTimestamp(ms).pinnedSnapshotId.get
+        val prev = t.table.metadata.currentSnapshotId.getOrElse(-1L)
+        IcebergWriter.createRef(t.table.conf, dir, "main", sid, "branch", cmtr)
+        Seq(Row(prev, sid))
       case "create_changelog_view" =>
         val view =
           if (m.contains("changelog_view")) str(m, "changelog_view", procedure)
@@ -330,6 +353,18 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         val sid = lng(m, "snapshot_id", procedure)
         val cur = IcebergWriter.cherrypickSnapshot(t.table.conf, dir, sid, cmtr)
         Seq(Row(sid, cur))
+      case "convert_equality_deletes" =>
+        val (sid, converted, rows) =
+          IcebergWriter.convertEqualityDeletes(spark, dir, cmtr)
+        Seq(Row(converted, rows, sid))
+      case "analyze_table" =>
+        val cols =
+          if (m.contains("columns"))
+            str(m, "columns", procedure).split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          else Nil
+        val (sid, n) = IcebergWriter.analyzeTable(spark, dir, cols, cmtr)
+        Seq(Row(n, sid))
     }
     if (procedure != "create_changelog_view") cat.invalidateTable(ident)
     rows

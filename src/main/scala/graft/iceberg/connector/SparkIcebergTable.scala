@@ -740,6 +740,13 @@ final class GraftBatchScan(
       OptionalLong.of(staticFiles.map(_.fileSizeInBytes).sum)
     override def numRows(): OptionalLong =
       OptionalLong.of(staticFiles.map(_.recordCount).sum)
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      // O(columns × files) driver walk over manifest bound maps — only
+      // worth paying when the CBO will actually read the result
+      if (!spark.sessionState.conf.cboEnabled)
+        java.util.Collections.emptyMap()
+      else GraftColumnStats.build(table, staticFiles, requiredSchema)
   }
 
   /** Every top-level column in the read schema can answer a runtime
@@ -1029,4 +1036,89 @@ final class GraftScan(
         df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
       }
     }.asInstanceOf[T]
+}
+
+/** Column-level statistics for the cost-based optimizer, served through
+  * DSv2 `Statistics.columnStats` (Spark's `transformV2Stats` folds them
+  * into catalyst `ColumnStat` when `spark.sql.cbo.enabled`):
+  *
+  *  - `nullCount` and `min`/`max` come from MANIFEST aggregates — always
+  *    fresh, zero data IO. min/max follow the same soundness rules as the
+  *    metadata-answered aggregates: `graft.exact-bounds` tables only,
+  *    fixed-width never-truncated types, a bound on EVERY file. A column
+  *    missing a stat on any file serves no value (unknown ≠ zero).
+  *  - `distinctCount` / `avgLen` / `maxLen` come from the
+  *    `graft.stats.*` table properties written by
+  *    `CALL cat.system.analyze_table(...)` — one distributed
+  *    approx-distinct pass, stored once, read every plan. NDV is capped
+  *    by the current row count (an append after ANALYZE cannot push the
+  *    estimate above what the table now holds; CBO stats are estimates
+  *    by contract, so serving slightly-stale NDV is sound where serving
+  *    a wrong MIN for a query ANSWER would not be).
+  */
+private[connector] object GraftColumnStats {
+  import java.util.{Optional, OptionalLong}
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+  import org.apache.spark.sql.types._
+
+  def build(table: IcebergTable, files: Seq[DataFileEntry],
+            schema: StructType): java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    if (files.isEmpty) return out
+    val props = table.metadata.properties
+    val numRows = files.map(_.recordCount).sum
+    val exact = props.get("graft.exact-bounds").contains("true")
+    def longProp(k: String): Option[Long] =
+      props.get(k).flatMap(v => scala.util.Try(v.toLong).toOption)
+
+    schema.fields.foreach { f =>
+      val idOpt = table.metadata.fieldIds.get(f.name)
+      val nulls: Option[Long] = idOpt.flatMap { id =>
+        val per = files.map(_.nullValueCounts.get(id))
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+      }
+      val mm: Option[(Any, Any)] = idOpt.flatMap { id =>
+        f.dataType match {
+          case dt @ (IntegerType | LongType | DateType | TimestampType |
+                     TimestampNTZType) if exact =>
+            // decode yields catalyst-internal forms (days Int, micros
+            // Long) — exactly what ColumnStat.min/max store
+            val lows = files.map(_.lowerBounds.get(id)
+              .flatMap(graft.iceberg.SingleValue.decode(_, dt)))
+            val highs = files.map(_.upperBounds.get(id)
+              .flatMap(graft.iceberg.SingleValue.decode(_, dt)))
+            if (lows.exists(_.isEmpty) || highs.exists(_.isEmpty)) None
+            else {
+              def num(a: Any): Long = a match {
+                case i: Int => i.toLong
+                case l: Long => l
+              }
+              Some((lows.flatten.minBy(num), highs.flatten.maxBy(num)))
+            }
+          case _ => None
+        }
+      }
+      val ndv = longProp(s"graft.stats.ndv.${f.name}").map(math.min(_, numRows))
+      val avgL = longProp(s"graft.stats.avglen.${f.name}")
+      val maxL = longProp(s"graft.stats.maxlen.${f.name}")
+      if (nulls.nonEmpty || mm.nonEmpty || ndv.nonEmpty ||
+          avgL.nonEmpty || maxL.nonEmpty) {
+        def ol(o: Option[Long]): OptionalLong =
+          o.fold(OptionalLong.empty())(OptionalLong.of)
+        out.put(Expressions.column(f.name), new ColumnStatistics {
+          override def distinctCount(): OptionalLong = ol(ndv)
+          override def min(): Optional[Object] =
+            mm.fold(Optional.empty[Object]())(p =>
+              Optional.of(p._1.asInstanceOf[Object]))
+          override def max(): Optional[Object] =
+            mm.fold(Optional.empty[Object]())(p =>
+              Optional.of(p._2.asInstanceOf[Object]))
+          override def nullCount(): OptionalLong = ol(nulls)
+          override def avgLen(): OptionalLong = ol(avgL)
+          override def maxLen(): OptionalLong = ol(maxL)
+        })
+      }
+    }
+    out
+  }
 }

@@ -595,6 +595,92 @@ object IcebergQueries {
     // DELETE all run in write.<op>.mode=merge-on-read (position-delete +
     // append deltas; no data file rewritten), then every surviving row is
     // hash-gated against the oracle restating the three mutations.
+    // Delete-debt maintenance end-to-end: merge-on-read equality deletes
+    // (IN fast path) + a position delete (range), then CALL
+    // convert_equality_deletes + rewrite_position_delete_files fold the
+    // whole debt into ONE sorted position file — and the read is
+    // byte-identical to before the maintenance.
+    "q74_delete_compaction" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q74-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q74")
+      s.conf.set("spark.sql.catalog.q74cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q74cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q74cat.ns")
+      s.sql(
+        """CREATE TABLE q74cat.ns.nation_dc
+          |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read') AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q74""".stripMargin)
+      s.sql("DELETE FROM q74cat.ns.nation_dc WHERE n_nationkey IN (1, 3, 5)")
+      s.sql("DELETE FROM q74cat.ns.nation_dc WHERE n_nationkey IN (7, 9)")
+      s.sql(
+        "DELETE FROM q74cat.ns.nation_dc WHERE n_nationkey >= 20 AND n_nationkey < 23")
+      s.sql("CALL q74cat.system.convert_equality_deletes(table => 'ns.nation_dc')")
+      s.sql("CALL q74cat.system.rewrite_position_delete_files(table => 'ns.nation_dc')")
+      val t = new graft.iceberg.IcebergTable(s"$warehouse/ns/nation_dc", conf)
+      val deletes = t.planDeletes()
+      require(deletes.count(_.content == 2) == 0,
+        "q74: equality deletes must be converted away")
+      require(deletes.count(_.content == 1) == 1,
+        s"q74: debt must fold into one position file, got $deletes")
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n,
+          |       CAST(SUM(n_nationkey) AS BIGINT) AS sk
+          |FROM q74cat.ns.nation_dc
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
+    // column stats (NDV from the analyze pass; min/max/nullCount FRESH
+    // from manifests), catalyst folds them into attributeStats under
+    // spark.sql.cbo.enabled. The emitted row is read FROM THE PLAN's
+    // statistics, not from the data — the oracle recomputes the same
+    // quantities from the rows, so a wrong manifest bound or a stats
+    // plumbing break hash-mismatches.
+    "q75_cbo_stats" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q75-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q75")
+      s.conf.set("spark.sql.catalog.q75cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q75cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q75cat.ns")
+      s.sql(
+        """CREATE TABLE q75cat.ns.nation_st AS
+          |SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+          |       CAST(n_regionkey AS BIGINT) AS n_regionkey, n_name
+          |FROM nation_src_q75""".stripMargin)
+      s.sql("CALL q75cat.system.analyze_table(table => 'ns.nation_st')")
+      val saved = s.conf.getOption("spark.sql.cbo.enabled")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val stats = s.table("q75cat.ns.nation_st")
+          .queryExecution.optimizedPlan.stats
+        val byName = stats.attributeStats.map { case (a, st) => a.name -> st }
+        require(byName.contains("n_nationkey") && byName.contains("n_regionkey"),
+          s"q75: expected plan column stats, got ${byName.keySet}")
+        val nk = byName("n_nationkey")
+        val rk = byName("n_regionkey")
+        // NDV is approximate — require sane, oracle the exact quantities
+        require(nk.distinctCount.exists(n => n >= 20 && n <= 30),
+          s"q75: n_nationkey NDV ~25, got ${nk.distinctCount}")
+        val rows = stats.rowCount.map(_.toLong)
+          .getOrElse(sys.error("q75: CBO row count missing"))
+        import s.implicits._
+        Seq((
+          nk.min.get.asInstanceOf[Long], nk.max.get.asInstanceOf[Long],
+          rk.min.get.asInstanceOf[Long], rk.max.get.asInstanceOf[Long],
+          nk.nullCount.map(_.toLong).getOrElse(-1L), rows
+        )).toDF("min_nk", "max_nk", "min_rk", "max_rk", "nulls_nk", "n_rows")
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None => s.conf.unset("spark.sql.cbo.enabled")
+      }
+    }),
+
     "q67_mor" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q67-warehouse"
@@ -774,6 +860,21 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    "q75_cbo_stats" ->
+      """SELECT CAST(MIN(n_nationkey) AS BIGINT) AS min_nk,
+        |       CAST(MAX(n_nationkey) AS BIGINT) AS max_nk,
+        |       CAST(MIN(n_regionkey) AS BIGINT) AS min_rk,
+        |       CAST(MAX(n_regionkey) AS BIGINT) AS max_rk,
+        |       CAST(COUNT(*) - COUNT(n_nationkey) AS BIGINT) AS nulls_nk,
+        |       COUNT(*) AS n_rows
+        |FROM nation""".stripMargin,
+    "q74_delete_compaction" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |       CAST(SUM(n_nationkey) AS BIGINT) AS sk
+        |FROM nation
+        |WHERE n_nationkey NOT IN (1, 3, 5, 7, 9)
+        |  AND NOT (n_nationkey >= 20 AND n_nationkey < 23)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     // low = its seed (<10) + its half of the committed band (10..19);
     // high likewise plus the rival row 20; the FAILED transaction
     // (nationkey >= 20 on both) contributed nothing to either table

@@ -141,6 +141,27 @@ class ProceduresSpec extends SparkSpec {
     assert(lin.snapshots.size === 2)
   }
 
+  test("rollback_to_timestamp resolves TIMESTAMP AS OF then moves main") {
+    val ns = fresh("pcat14")
+    spark.sql("CREATE TABLE pcat14.ns.t (k INT)")
+    spark.sql("INSERT INTO pcat14.ns.t VALUES (1)")
+    val dir = s"$ns/t"
+    val firstTs = TableMetadata.load(dir, conf).currentSnapshot.get.timestampMs
+    spark.sql("INSERT INTO pcat14.ns.t VALUES (2)")
+    assert(spark.sql("SELECT COUNT(*) FROM pcat14.ns.t").head.getLong(0) === 2)
+    // a bound between the two commits resolves to the FIRST snapshot
+    val Seq(row) = spark.sql(
+      s"CALL pcat14.system.rollback_to_timestamp(table => 'ns.t', " +
+        s"timestamp => $firstTs)").collect().toSeq
+    assert(spark.sql("SELECT COUNT(*) FROM pcat14.ns.t").head.getLong(0) === 1)
+    assert(row.getLong(0) != row.getLong(1), "main moved")
+    // a bound before table creation fails loudly
+    val e = intercept[Exception](spark.sql(
+      "CALL pcat14.system.rollback_to_timestamp(table => 'ns.t', " +
+        "timestamp => 1)").collect())
+    assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
   test("create_changelog_view registers a queryable CDC view") {
     val ns = fresh("pcat5")
     spark.sql("CREATE TABLE pcat5.ns.t (k INT)")
@@ -289,6 +310,101 @@ class ProceduresSpec extends SparkSpec {
     val got2 = spark.sql("SELECT * FROM pcat11.ns.t").collect()
       .map(_.toString).sorted.toSeq
     assert(got2 === expected)
+  }
+
+  test("convert_equality_deletes materializes equality debt; composes with the position merge") {
+    val ns = fresh("pcat12")
+    spark.sql("CREATE TABLE pcat12.ns.t (k BIGINT, cat STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO pcat12.ns.t SELECT id, concat('c', id % 4) FROM range(0, 40)")
+    spark.sql("INSERT INTO pcat12.ns.t SELECT id, concat('c', id % 4) FROM range(40, 80)")
+    // equality deletes (IN tuples take the equality fast path) AND a
+    // range delete (position path) — conversion must touch only the former
+    spark.sql("DELETE FROM pcat12.ns.t WHERE k IN (1, 2, 3)")
+    spark.sql("DELETE FROM pcat12.ns.t WHERE k IN (41, 42)")
+    spark.sql("DELETE FROM pcat12.ns.t WHERE k >= 70 AND k < 75")
+    val dir = s"$ns/t"
+    def byKind(): (Int, Int) = {
+      val d = new graft.iceberg.IcebergTable(dir, conf).planDeletes()
+      (d.count(_.content == 1), d.count(_.content == 2))
+    }
+    val (posBefore, eqBefore) = byKind()
+    assert(eqBefore >= 2, s"IN deletes should land equality files, got $eqBefore")
+    assert(posBefore >= 1, s"range delete should land a position file, got $posBefore")
+    val expected = spark.sql("SELECT * FROM pcat12.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    assert(expected.size === 80 - 3 - 2 - 5)
+
+    val Seq(row) = spark.sql(
+      "CALL pcat12.system.convert_equality_deletes(table => 'ns.t')")
+      .collect().toSeq
+    assert(row.getInt(0) === eqBefore, "every equality file converted")
+    assert(row.getLong(1) === 5L, "3 + 2 equality-matched rows materialized")
+    val (posAfter, eqAfter) = byKind()
+    assert(eqAfter === 0, "no equality deletes survive conversion")
+    assert(posAfter === posBefore + 1, "one merged position file added")
+    val got = spark.sql("SELECT * FROM pcat12.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got === expected, "conversion must not change live rows")
+    // the changelog sees a delete-representation change as data movement
+    val lineage = TableMetadata.load(dir, conf).snapshotLineage
+    val changes = new graft.iceberg.IcebergTable(dir, conf)
+      .changesBetween(spark, lineage(lineage.size - 2), lineage.last)
+    assert(changes.count() === 0L)
+    // idempotent
+    val Seq(row2) = spark.sql(
+      "CALL pcat12.system.convert_equality_deletes(table => 'ns.t')")
+      .collect().toSeq
+    assert(row2.getInt(0) === 0)
+    // and the position merge now folds ALL delete debt into one file
+    spark.sql("CALL pcat12.system.rewrite_position_delete_files(table => 'ns.t')")
+    val (posFinal, eqFinal) = byKind()
+    assert(posFinal === 1 && eqFinal === 0)
+    val got2 = spark.sql("SELECT * FROM pcat12.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got2 === expected)
+    // new rows inserted AFTER conversion are untouched by the converted
+    // deletes (they would have escaped the equality gate too)
+    spark.sql("INSERT INTO pcat12.ns.t VALUES (1, 'reborn')")
+    assert(spark.sql("SELECT count(*) FROM pcat12.ns.t WHERE k = 1")
+      .head.getLong(0) === 1L)
+  }
+
+  test("analyze_table NDVs reach the CBO through DSv2 column stats") {
+    val ns = fresh("pcat13")
+    spark.sql("CREATE TABLE pcat13.ns.t (k BIGINT, cat STRING)")
+    spark.sql(
+      "INSERT INTO pcat13.ns.t SELECT id, concat('c', id % 7) FROM range(0, 1000)")
+    val Seq(row) = spark.sql(
+      "CALL pcat13.system.analyze_table(table => 'ns.t')").collect().toSeq
+    assert(row.getInt(0) === 2, "both columns analyzed")
+    val meta = TableMetadata.load(s"$ns/t", conf)
+    val ndvCat = meta.properties("graft.stats.ndv.cat").toLong
+    assert(ndvCat >= 6 && ndvCat <= 8, s"approx NDV of 7 values, got $ndvCat")
+    val ndvK = meta.properties("graft.stats.ndv.k").toLong
+    assert(ndvK >= 900 && ndvK <= 1100, s"approx NDV of 1000, got $ndvK")
+    assert(meta.properties.contains("graft.stats.avglen.cat"))
+    assert(meta.properties("graft.stats.maxlen.cat").toLong === 2L)
+
+    // the stats flow into catalyst column stats under CBO: NDV from the
+    // ANALYZE, min/max/nullCount fresh from manifests
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("pcat13.ns.t")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.contains("cat") && byName.contains("k"),
+        s"expected column stats for both columns, got ${byName.keySet}")
+      assert(byName("cat").distinctCount.exists(n => n >= 6 && n <= 8))
+      assert(byName("k").min.contains(0L) && byName("k").max.contains(999L),
+        s"manifest-derived min/max, got ${byName("k")}")
+      assert(byName("k").nullCount.exists(_ == 0))
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // column subset + unknown column fails loudly
+    val e = intercept[Exception](spark.sql(
+      "CALL pcat13.system.analyze_table(table => 'ns.t', columns => 'nope')")
+      .collect())
+    assert(e.getMessage.contains("not analyzable"))
   }
 
   test("positional args, string timestamps, and bad input fail loudly") {
