@@ -276,7 +276,47 @@ object Relational {
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("sv"))
         .orderBy(col("h").asc_nulls_first,
-                 col("event_type").asc_nulls_first))
+                 col("event_type").asc_nulls_first)),
+
+    // ---- classic TPC-H multi-join shapes (the read-heavy benchmark
+    // plans: selective dim filters + fact-fact joins + top-k). At scale
+    // the plan is what matters: segment/date filters push to the scans,
+    // the aggregate is partial before the final shuffle, and the top-k
+    // is a TakeOrdered, never a global sort.
+    "q76_tpch3" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") < to_timestamp(lit("1997-06-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem")
+            .filter(col("l_shipdate") > to_timestamp(lit("1997-06-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc_nulls_first,
+          col("l_orderkey").asc_nulls_first)
+        .limit(10)),
+
+    "q77_tpch5" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc_nulls_first))
   )
 
   /** DuckDB-dialect oracle for every query above. Aggregate outputs are cast
@@ -402,6 +442,33 @@ object Relational {
     "q33_events_hourly" ->
       """SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h, event_type, COUNT(*) AS c,
         |       ROUND(SUM(value), 2) AS sv
-        |FROM events GROUP BY 1, 2 ORDER BY h ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY h ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+    "q76_tpch3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate ASC NULLS FIRST,
+        |         l_orderkey ASC NULLS FIRST
+        |LIMIT 10""".stripMargin,
+    "q77_tpch5" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC NULLS FIRST""".stripMargin
   )
 }
