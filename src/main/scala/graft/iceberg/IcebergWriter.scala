@@ -2132,6 +2132,13 @@ object IcebergWriter {
     def ml(s: IcebergSnapshot): Seq[ManifestFile] = ManifestIO.readManifestList(
       resolveAgainst(meta, tableDir, s.manifestList), conf)
     val stagedMl = ml(staged)
+    // the delta is staged-vs-ITS-OWN-parent: with the parent expired the
+    // subtraction base is gone and "the delta" would silently become the
+    // branch's ENTIRE state (pre-fork data included) — refuse, don't guess
+    staged.parentSnapshotId.foreach(p => require(byId.contains(p),
+      s"cherrypick_snapshot: snapshot $snapshotId's parent $p has been " +
+        "expired — the append delta cannot be computed; publish the " +
+        "branch with fast_forward or re-stage the commit"))
     val parentMl = staged.parentSnapshotId.flatMap(byId.get).toSeq.flatMap(ml)
     def key(m: ManifestFile) = resolveAgainst(meta, tableDir, m.path)
     val parentKeys = parentMl.map(key).toSet

@@ -104,6 +104,23 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(got == Seq(0L -> 10L, 2L -> 12L, 4L -> 14L))
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE (full sync semantics)") {
+    freshCatalog("rlo7")
+    spark.sql("CREATE TABLE rlo7.ns.target (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO rlo7.ns.target VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql(
+      """MERGE INTO rlo7.ns.target t
+        |USING (SELECT * FROM VALUES (2L,'B'),(4L,'D') AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT k, v FROM rlo7.ns.target ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(2L -> "B", 4L -> "D"),
+      "target-only rows delete, matched update, source-only insert")
+  }
+
   test("range DELETE goes copy-on-write; equality DELETE stays merge-on-read") {
     freshCatalog("rlo5")
     spark.sql("CREATE TABLE rlo5.ns.t (k BIGINT, v BIGINT)")
