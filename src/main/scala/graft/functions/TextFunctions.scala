@@ -148,4 +148,39 @@ object TextFunctions {
   def piiCount(text: Column): Column =
     PiiTags.map { case (re, _) => regexp_count(text, lit(re)) }
       .reduce(_ + _).cast("bigint")
+
+  // -- context-window chunking ----------------------------------------------
+
+  /** Sliding-window word offsets for [[chunkText]]: a new chunk starts
+    * every `chunkWords - overlapWords` words WHILE more than
+    * `overlapWords` words remain — so the tail is always covered and no
+    * chunk is fully contained in its predecessor. 1-based (Spark `slice`
+    * convention); every document yields at least one chunk. */
+  def chunkStarts(words: Column, chunkWords: Int, overlapWords: Int): Column = {
+    require(overlapWords >= 0 && chunkWords > overlapWords,
+      s"need 0 <= overlap < chunk, got chunk=$chunkWords overlap=$overlapWords")
+    sequence(lit(1), greatest(size(words) - overlapWords, lit(1)),
+      lit(chunkWords - overlapWords))
+  }
+
+  /** Explode a corpus into overlapping context-window chunks — the
+    * embedding/RAG preprocessing step: `(id, chunk_idx, chunk, n_words)`
+    * per window of `chunkWords` words with `overlapWords` words shared
+    * between neighbors. Pure explode-over-`sequence` (codegen'd, no UDF):
+    * at 100 TB this is a map-side row amplification of ~size/stride with
+    * no shuffle at all. */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, chunkWords: Int, overlapWords: Int)
+      : org.apache.spark.sql.DataFrame = {
+    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        posexplode(chunkStarts(col("__w"), chunkWords, overlapWords))
+          .as(Seq("chunk_idx", "__start")),
+        col("__w"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__w"), col("__start"), lit(chunkWords)))
+          .as("chunk"),
+        least(size(col("__w")) - col("__start") + 1, lit(chunkWords))
+          .cast("long").as("n_words"))
+  }
 }

@@ -218,6 +218,23 @@ object Extensions {
         .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
     }),
 
+    // ---- context-window chunking + sequence packing ----------------------
+    // Chunking: map-side explode into overlapping word windows — the
+    // embedding/RAG preprocessing step; no shuffle at any scale.
+    "q78_chunking" -> ((s, d) =>
+      TextFunctions.chunkDocuments(
+          t(s, d, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", chunkWords = 40, overlapWords = 8)
+        .orderBy(col("doc_id").asc_nulls_first, col("chunk_idx").asc_nulls_first)),
+
+    // Packing: deterministic greedy fill into 512-token bins via a
+    // distributed two-pass prefix sum (range partition + per-partition
+    // window + broadcast offsets — never a single-partition window).
+    "q79_packing" -> ((s, d) =>
+      graft.operators.Packing.packSequences(
+          t(s, d, "documents"), "doc_id", "text", windowTokens = 512L)
+        .orderBy(col("doc_id").asc_nulls_first)),
+
     // ---- text analysis ---------------------------------------------------
     "q38_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -378,6 +395,31 @@ object Extensions {
          |           FROM scored)
          |SELECT q_id, n_id, score, rank FROM ranked WHERE rank <= 3
          |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+    // chunk starts: 1, 1+stride, ... while start <= max(len - overlap, 1);
+    // stride = 40 - 8 = 32. DuckDB list slicing is 1-based inclusive like
+    // Spark's slice(w, start, len) with end = start + 39.
+    "q78_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 50),
+        |s AS (SELECT doc_id, w,
+        |             CAST(unnest(generate_series(1, GREATEST(len(w) - 8, 1), 32))
+        |                  AS BIGINT) AS st
+        |      FROM d)
+        |SELECT doc_id, CAST((st - 1) / 32 AS BIGINT) AS chunk_idx,
+        |       array_to_string(w[st:st+39], ' ') AS chunk,
+        |       CAST(LEAST(len(w) - st + 1, 40) AS BIGINT) AS n_words
+        |FROM s
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
+    "q79_packing" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |              FROM documents)
+        |SELECT doc_id, tokens,
+        |       CAST(FLOOR(COALESCE(SUM(tokens) OVER (
+        |              ORDER BY tokens DESC, doc_id ASC
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            / 512.0) AS BIGINT) AS bin
+        |FROM toks ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
     "q38_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
         |FROM documents ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
