@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus splitting for training pipelines.
+  *
+  * Membership is a pure function of the id — `(id * KnuthPrime) mod
+  * Buckets` against cumulative weight thresholds — NOT a random sample:
+  * a document's split never changes as the corpus grows, across runs, or
+  * across engines (the arithmetic is exact in any 64-bit SQL dialect, so
+  * an external system can reproduce the assignment bit-for-bit). That
+  * stability is the property a 100 TB pipeline actually needs: retraining
+  * with new data must not leak yesterday's test set into today's train
+  * set. Fractions are approximate (hash-uniform), exactness of membership
+  * is total.
+  *
+  * Map-only projection — no shuffle, no state, codegen'd.
+  */
+object Sampling {
+
+  /** Knuth's multiplicative-hash constant (2^32 / phi); id × this stays
+    * within Long for ids up to ~3.4e9 — beyond that, pre-fold the id. */
+  val KnuthPrime = 2654435761L
+  val Buckets = 10000L
+
+  def splitBucket(id: Column): Column = pmod(id * KnuthPrime, lit(Buckets))
+
+  /** Add a `split` column per `weights` (name → fraction, summing to ~1).
+    * Thresholds are cumulative over the GIVEN order, so the mapping is
+    * part of the declared contract. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"need positive weights, got $weights")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"weights must sum to 1, got $total")
+    val bucket = splitBucket(col(idCol))
+    val thresholds = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(f => math.round(f * Buckets))
+    val expr = weights.zip(thresholds).init
+      .foldRight(lit(weights.last._1)) { case (((name, _), t), rest) =>
+        when(bucket < t, name).otherwise(rest)
+      }
+    df.withColumn("split", expr)
+  }
+}

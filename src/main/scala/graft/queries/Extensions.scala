@@ -235,6 +235,19 @@ object Extensions {
           t(s, d, "documents"), "doc_id", "text", windowTokens = 512L)
         .orderBy(col("doc_id").asc_nulls_first)),
 
+    // Deterministic train/valid/test split: membership is a pure function
+    // of the id (multiplicative hash vs cumulative thresholds), so it is
+    // stable under corpus growth and reproducible by any 64-bit engine —
+    // the oracle recomputes the identical arithmetic.
+    "q80_split" -> ((s, d) =>
+      graft.operators.Sampling.assignSplit(
+          t(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("bigint").as("sk"))
+        .orderBy(col("split").asc_nulls_first)),
+
     // ---- text analysis ---------------------------------------------------
     "q38_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -420,6 +433,16 @@ object Extensions {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |            / 512.0) AS BIGINT) AS bin
         |FROM toks ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q80_split" ->
+      """WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 10000 AS bucket
+        |           FROM documents),
+        |s AS (SELECT doc_id,
+        |             CASE WHEN bucket < 8000 THEN 'train'
+        |                  WHEN bucket < 9000 THEN 'valid'
+        |                  ELSE 'test' END AS split
+        |      FROM b)
+        |SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sk
+        |FROM s GROUP BY split ORDER BY split ASC NULLS FIRST""".stripMargin,
     "q38_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
         |FROM documents ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
