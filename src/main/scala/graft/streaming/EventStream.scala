@@ -114,16 +114,40 @@ object EventStream {
                     * commits invisible to `main` readers until a
                     * fastForward publishes them (audit-then-publish for
                     * CONTINUOUS ingestion, same convention as batch). */
-                  branch: String = "main")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                  branch: String = "main",
+                  /** Fold small-file debt as part of the stream: when a
+                    * commit leaves the live data-file count at or above
+                    * this, a compaction (`replace`) snapshot follows the
+                    * append. A continuous sink writes ≥1 file per batch
+                    * forever — without in-stream folding, per-file costs
+                    * (footers, task scheduling, manifest entries) grow
+                    * without bound. The exactly-once ledger survives
+                    * compaction (prior snapshots and their batch-id
+                    * summaries stay in the snapshot list), and a rival
+                    * commit racing the compaction just wins — the sink
+                    * retries on a later batch rather than failing the
+                    * stream. 0 = off. */
+                  autoCompactMinFiles: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(autoCompactMinFiles == 0 || branch == "main",
+      "autoCompactMinFiles compacts the MAIN head — a WAP staging branch " +
+        "stays append-only until published; compact after fastForward")
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // foreachBatch runs on the stream-execution thread, where Spark
         // sets the query id as a local property
         val qid = batch.sparkSession.sparkContext.getLocalProperty("sql.streaming.queryId")
-        commitBatchIfNew(batch.toDF, tableDir, batchId, qid, branch)
+        val committed = commitBatchIfNew(batch.toDF, tableDir, batchId, qid, branch)
+        if (committed && autoCompactMinFiles > 0) {
+          val conf = batch.sparkSession.sessionState.newHadoopConf()
+          val t = new graft.iceberg.IcebergTable(tableDir, conf)
+          if (t.planFiles().size >= autoCompactMinFiles)
+            try { graft.iceberg.IcebergWriter.compact(batch.sparkSession, tableDir); () }
+            catch { case _: graft.iceberg.CommitConflictException => () }
+        }
         ()
     }
+  }
 
   /** Stream → Iceberg UPSERT: each micro-batch MERGEs into the table on
     * `keys` (update matched rows, insert new ones) — the CDC-ingestion

@@ -103,6 +103,52 @@ class StreamingSpec extends SparkSpec {
     assert(t.atSnapshot(1L).rowCount() == 2L, "first batch alone in snapshot 1")
   }
 
+  test("sink auto-compaction bounds the file count; ledger and rows survive") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.IcebergTable
+    val dir = "/root/repo/target/test-stream-autocompact"
+    FileUtils.deleteQuietly(new File(dir))
+    import spark.implicits._
+    val seed = Seq((0L, "init")).toDF("event_id", "payload")
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
+      seed.schema, Nil, Map.empty)
+    new File(s"$dir/metadata").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("event_id", "payload")
+    val q = EventStream.icebergSink(stream, dir, autoCompactMinFiles = 3)
+      .option("checkpointLocation", s"$dir/_ckpt")
+      .start()
+    try {
+      (1 to 6).foreach { i =>
+        mem.addData((i.toLong, s"p$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val t = IcebergTable(spark, dir)
+    assert(t.planFiles().size < 6,
+      s"6 single-file batches must have been folded, got ${t.planFiles().size}")
+    assert(t.metadata.currentSnapshot.get.summary("operation") == "replace" ||
+      t.planFiles().size <= 3, "compaction snapshots interleave the appends")
+    assert(t.toDF(spark).select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 6L), "every batch's rows exactly once")
+    // the batch-id ledger survives compaction: a replayed batch still no-ops
+    val qid = t.metadata.snapshots.flatMap(_.summary.get(EventStream.QueryIdKey))
+      .headOption.getOrElse("")
+    val replay = Seq((99L, "dup")).toDF("event_id", "payload")
+    assert(!EventStream.commitBatchIfNew(replay, dir, 0L, qid),
+      "batch 0 is in the ledger — replay must no-op")
+    // WAP branches refuse in-stream compaction loudly
+    intercept[IllegalArgumentException](
+      EventStream.icebergSink(stream, dir, branch = "audit",
+        autoCompactMinFiles = 2))
+  }
+
   test("upsert sink MERGEs each micro-batch; in-batch versions collapse to the latest") {
     import java.io.File
     import org.apache.commons.io.FileUtils
