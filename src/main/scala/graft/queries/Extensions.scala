@@ -248,6 +248,31 @@ object Extensions {
           sum(col("doc_id")).cast("bigint").as("sk"))
         .orderBy(col("split").asc_nulls_first)),
 
+    // Flagship curation pipeline: the corpus-preparation flow end-to-end
+    // — language gate → quality floor → exact dedup (min-id canonical) →
+    // PII scrub → context-window chunking → deterministic split — every
+    // stage a composition of the operators above, the whole thing one
+    // declarative plan (one shuffle for the dedup groupBy, one for the
+    // final rollup; chunk/split/scrub are map-side).
+    "q81_curation" -> ((s, d) => {
+      val nw = TextFunctions.wordCount(col("text"))
+      val eligible = t(s, d, "documents")
+        .filter(col("lang") === "en" && nw >= 30)
+      val canonical = eligible.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val clean = canonical.select(col("doc_id"),
+        TextFunctions.redactPII(col("text")).as("text"))
+      val chunks = TextFunctions.chunkDocuments(
+        clean, "doc_id", "text", chunkWords = 40, overlapWords = 8)
+      graft.operators.Sampling.assignSplit(chunks, "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_words")).cast("bigint").as("n_words"))
+        .orderBy(col("split").asc_nulls_first)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "q38_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -433,6 +458,33 @@ object Extensions {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |            / 512.0) AS BIGINT) AS bin
         |FROM toks ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q81_curation" ->
+      """WITH eligible AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE lang = 'en' AND len(string_split(text, ' ')) >= 30),
+        |canon AS (SELECT MIN(doc_id) AS doc_id, text FROM eligible GROUP BY text),
+        |clean AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text
+        |  FROM canon),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM clean),
+        |s AS (SELECT doc_id, w,
+        |             CAST(unnest(generate_series(1, GREATEST(len(w) - 8, 1), 32))
+        |                  AS BIGINT) AS st
+        |      FROM d),
+        |ch AS (SELECT doc_id, LEAST(len(w) - st + 1, 40) AS n_words FROM s),
+        |sp AS (SELECT doc_id, n_words,
+        |              CASE WHEN (doc_id * 2654435761) % 10000 < 8000 THEN 'train'
+        |                   WHEN (doc_id * 2654435761) % 10000 < 9000 THEN 'valid'
+        |                   ELSE 'test' END AS split
+        |       FROM ch)
+        |SELECT split, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+        |       CAST(SUM(n_words) AS BIGINT) AS n_words
+        |FROM sp GROUP BY split ORDER BY split ASC NULLS FIRST""".stripMargin,
     "q80_split" ->
       """WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 10000 AS bucket
         |           FROM documents),
