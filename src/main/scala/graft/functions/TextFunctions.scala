@@ -172,7 +172,10 @@ object TextFunctions {
   def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, chunkWords: Int, overlapWords: Int)
       : org.apache.spark.sql.DataFrame = {
-    df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    // NULL text folds to "" (one empty chunk) rather than vanishing:
+    // posexplode of a null array emits nothing, and a document silently
+    // disappearing from a curation pipeline is an undercount nobody sees
+    df.select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__w"))
       .select(col(idCol),
         posexplode(chunkStarts(col("__w"), chunkWords, overlapWords))
           .as(Seq("chunk_idx", "__start")),

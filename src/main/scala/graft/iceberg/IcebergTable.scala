@@ -47,9 +47,27 @@ final class IcebergTable private (
   }
 
   /** The snapshot current as of `timestampMs` (latest with commit time ≤
-    * the bound — Iceberg's `TIMESTAMP AS OF` contract). */
+    * the bound — Iceberg's `TIMESTAMP AS OF` contract). Commits STAGED on
+    * a non-main ref (a WAP branch's off-main parent chain) are excluded:
+    * `metadata.snapshots` holds them too, and resolving a timestamp onto
+    * an unpublished staged snapshot would leak unaudited rows into a
+    * main-table read (branch states are addressed explicitly via
+    * `VERSION AS OF '<ref>'`). Exclusion is by ref-walk rather than
+    * main-lineage-membership so pre-lineage metadata (no
+    * parent-snapshot-id links, no refs) keeps its full history. */
   def asOfTimestamp(timestampMs: Long): IcebergTable = {
-    val candidates = metadata.snapshots.filter(_.timestampMs <= timestampMs)
+    val main = metadata.snapshotLineage.toSet
+    val byId = metadata.snapshots.map(s => s.snapshotId -> s).toMap
+    val staged: Set[Long] = (metadata.refs - "main").values.toSet
+      .flatMap { head: Long =>
+        Iterator.iterate(byId.get(head))(
+          _.flatMap(_.parentSnapshotId).flatMap(byId.get))
+          .takeWhile(_.isDefined).flatten.map(_.snapshotId)
+          .take(metadata.snapshots.size)
+          .takeWhile(!main.contains(_)).toSet
+      }
+    val candidates = metadata.snapshots.filter(s =>
+      !staged.contains(s.snapshotId) && s.timestampMs <= timestampMs)
     if (candidates.isEmpty)
       throw new IllegalArgumentException(
         s"no snapshot at or before timestamp $timestampMs in $tableDir")

@@ -1282,6 +1282,67 @@ object IcebergWriter {
     * positionDeleteFilesRewritten, fullyDeletedDataFilesRemoved);
     * (-1 current id, 0, 0) when there is nothing to do.
     */
+  /** Delete manifests of the current snapshot, classified by the kind of
+    * delete FILES they carry: (manifest, entries, kind) with kind 1 =
+    * position, 2 = equality. A manifest mixing kinds is refused loudly —
+    * the compaction/conversion procedures re-stamp sequence numbers per
+    * manifest, and mis-stamping across kinds would change semantics. */
+  private def classifyDeleteManifests(
+      meta: TableMetadata, tableDir: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      prev: Seq[ManifestFile], verb: String)
+      : Seq[(ManifestFile, Seq[DeleteFileEntry], Int)] =
+    prev.filter(_.content == 1).map { m =>
+      val entries = ManifestIO.readDeleteManifest(
+        resolveAgainst(meta, tableDir, m.path), conf, m.sequenceNumber)
+      val kinds = entries.map(_.content).toSet
+      require(kinds.size <= 1,
+        s"delete manifest ${m.path} mixes position and equality files — " +
+          s"refusing to $verb rather than mis-stamp sequence numbers")
+      (m, entries, kinds.headOption.getOrElse(1))
+    }
+
+  /** Write `rows` (`file_path`, `pos`) as ONE spec-sorted position-delete
+    * parquet file plus its manifest, returning the manifest-list record
+    * (None when `rowCount` is 0). Shared by the position-delete merge and
+    * the equality→position conversion — one copy of the field-id
+    * metadata, sort order, and manifest-entry layout. */
+  private def writeMergedPositionDeletes(
+      conf: org.apache.hadoop.conf.Configuration, tableDir: String,
+      snapId: Long, u: String, rows: DataFrame, rowCount: Long,
+      specId: Int): Option[GenericRecord] = {
+    if (rowCount == 0) return None
+    val delDir = s"$tableDir/data/del-s$snapId-$u"
+    val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", PosDelPathId).build()
+    val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", PosDelPosId).build()
+    rows.select(col("file_path").as("file_path", pathMeta),
+        col("pos").as("pos", posMeta))
+      .repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(delDir)
+    val fs = new Path(delDir).getFileSystem(conf)
+    val delFiles = fs.listStatus(new Path(delDir))
+      .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+    val dfSchema = deleteManifestSchema.getField("data_file").schema
+    val entries = delFiles.map { st =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 1) // POSITION_DELETES
+      d.put("file_path", st.getPath.toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", rowCount)
+      d.put("file_size_in_bytes", st.getLen)
+      val e = new GenericData.Record(deleteManifestSchema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e.asInstanceOf[GenericRecord]
+    }
+    val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
+    val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
+    Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(rowCount),
+      specId, Nil))
+  }
+
   def rewritePositionDeleteFiles(spark: SparkSession, tableDir: String,
                                  committer: Option[TableCommitter] = None)
       : (Long, Int, Int) = {
@@ -1293,15 +1354,8 @@ object IcebergWriter {
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
         resolveAgainst(meta, tableDir, s.manifestList), conf))
-    val classified = prev.filter(_.content == 1).map { m =>
-      val entries = ManifestIO.readDeleteManifest(
-        resolveAgainst(meta, tableDir, m.path), conf, m.sequenceNumber)
-      val kinds = entries.map(_.content).toSet
-      require(kinds.size <= 1,
-        s"delete manifest ${m.path} mixes position and equality files — " +
-          "refusing to compact rather than mis-stamp sequence numbers")
-      (m, entries, kinds.headOption.getOrElse(1))
-    }
+    val classified = classifyDeleteManifests(meta, tableDir, conf, prev,
+      "compact")
     val posManifests = classified.filter(_._3 == 1)
     if (posManifests.isEmpty) return noop
     val posFiles = posManifests.flatMap(_._2)
@@ -1335,40 +1389,11 @@ object IcebergWriter {
       val remainingRows = (counts -- fullyDeadNorm).values.sum
 
       // the merged delete file: surviving entries, spec sort order
-      val delMl: Option[GenericRecord] = if (remainingRows == 0) None else {
-        val delDir = s"$tableDir/data/del-s$snapId-$u"
-        val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("parquet.field.id", PosDelPathId).build()
-        val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("parquet.field.id", PosDelPosId).build()
-        val keep =
-          (if (fullyDeadNorm.isEmpty) live
-           else live.filter(!col("__np").isInCollection(fullyDeadNorm.toSeq)))
-            .select(col("file_path").as("file_path", pathMeta),
-              col("pos").as("pos", posMeta))
-        keep.repartition(1).sortWithinPartitions("file_path", "pos")
-          .write.mode("overwrite").parquet(delDir)
-        val fs = new Path(delDir).getFileSystem(conf)
-        val delFiles = fs.listStatus(new Path(delDir))
-          .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-        val dfSchema = deleteManifestSchema.getField("data_file").schema
-        val entries = delFiles.map { st =>
-          val d = new GenericData.Record(dfSchema)
-          d.put("content", 1) // POSITION_DELETES
-          d.put("file_path", st.getPath.toString)
-          d.put("file_format", "PARQUET")
-          d.put("record_count", remainingRows)
-          d.put("file_size_in_bytes", st.getLen)
-          val e = new GenericData.Record(deleteManifestSchema)
-          e.put("status", 1)
-          e.put("data_file", d)
-          e.asInstanceOf[GenericRecord]
-        }
-        val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
-        val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
-        Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(remainingRows),
-          meta.defaultSpecId, Nil))
-      }
+      val keep =
+        if (fullyDeadNorm.isEmpty) live
+        else live.filter(!col("__np").isInCollection(fullyDeadNorm.toSeq))
+      val delMl: Option[GenericRecord] = writeMergedPositionDeletes(
+        conf, tableDir, snapId, u, keep, remainingRows, meta.defaultSpecId)
 
       // data manifests: fold fully-dead files away; equality delete
       // manifests pass through; position delete manifests are superseded
@@ -1445,15 +1470,8 @@ object IcebergWriter {
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
         resolveAgainst(meta, tableDir, s.manifestList), conf))
-    val classified = prev.filter(_.content == 1).map { m =>
-      val entries = ManifestIO.readDeleteManifest(
-        resolveAgainst(meta, tableDir, m.path), conf, m.sequenceNumber)
-      val kinds = entries.map(_.content).toSet
-      require(kinds.size <= 1,
-        s"delete manifest ${m.path} mixes position and equality files — " +
-          "refusing to convert rather than mis-stamp sequence numbers")
-      (m, entries, kinds.headOption.getOrElse(1))
-    }
+    val classified = classifyDeleteManifests(meta, tableDir, conf, prev,
+      "convert")
     val eqManifests = classified.filter(_._3 == 2)
     if (eqManifests.isEmpty) return noop
     val eqFiles = eqManifests.flatMap(_._2)
@@ -1465,38 +1483,8 @@ object IcebergWriter {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nRows = positions.count()
-      val delMl: Option[GenericRecord] = if (nRows == 0) None else {
-        val delDir = s"$tableDir/data/del-s$snapId-$u"
-        val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("parquet.field.id", PosDelPathId).build()
-        val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
-          .putLong("parquet.field.id", PosDelPosId).build()
-        positions
-          .select(col("file_path").as("file_path", pathMeta),
-            col("pos").as("pos", posMeta))
-          .repartition(1).sortWithinPartitions("file_path", "pos")
-          .write.mode("overwrite").parquet(delDir)
-        val fs = new Path(delDir).getFileSystem(conf)
-        val delFiles = fs.listStatus(new Path(delDir))
-          .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-        val dfSchema = deleteManifestSchema.getField("data_file").schema
-        val entries = delFiles.map { st =>
-          val d = new GenericData.Record(dfSchema)
-          d.put("content", 1) // POSITION_DELETES
-          d.put("file_path", st.getPath.toString)
-          d.put("file_format", "PARQUET")
-          d.put("record_count", nRows)
-          d.put("file_size_in_bytes", st.getLen)
-          val e = new GenericData.Record(deleteManifestSchema)
-          e.put("status", 1)
-          e.put("data_file", d)
-          e.asInstanceOf[GenericRecord]
-        }
-        val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
-        val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
-        Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(nRows),
-          meta.defaultSpecId, Nil))
-      }
+      val delMl: Option[GenericRecord] = writeMergedPositionDeletes(
+        conf, tableDir, snapId, u, positions, nRows, meta.defaultSpecId)
       // equality manifests drop (converted); data manifests and existing
       // position-delete manifests pass through untouched
       val keptPrior: Seq[GenericRecord] = prev.flatMap { m =>
@@ -1762,10 +1750,15 @@ object IcebergWriter {
         chain.filter(now - _.timestampMs <= a))
       (chain.take(minKeep) ++ ageKeeps).map(_.snapshotId)
     }
+    // only the SNAPSHOT-retention knobs override the keep-the-chain
+    // default — a ref that sets max-ref-age-ms alone is opting its REF
+    // into aging out, not trading away its chain's publishability
+    def hasSnapshotPolicy(r: RefRetention): Boolean =
+      r.maxSnapshotAgeMs.nonEmpty || r.minSnapshotsToKeep.nonEmpty
     val refChains: Set[Long] = (meta.refs -- agedOutRefs - "main")
       .flatMap { case (name, head) =>
         val chain = chainOf(head) // head-first: newest → oldest
-        meta.refRetention.get(name).filterNot(_.isEmpty) match {
+        meta.refRetention.get(name).filter(hasSnapshotPolicy) match {
           case None => chain.map(_.snapshotId)
           case Some(r) => policyKeeps(chain, r)
         }
@@ -1773,7 +1766,7 @@ object IcebergWriter {
     // main's own policy (e.g. min-snapshots-to-keep=100) ADDS keeps on
     // top of the API-level olderThanMs/retainLast floor
     val mainPolicy: Set[Long] = meta.refRetention.get("main")
-      .filterNot(_.isEmpty).map { r =>
+      .filter(hasSnapshotPolicy).map { r =>
         val lineage = meta.snapshotLineage.reverse.flatMap(byId.get)
         policyKeeps(lineage, r).toSet
       }.getOrElse(Set.empty)
@@ -2027,7 +2020,11 @@ object IcebergWriter {
     val mapper = new ObjectMapper()
     cmtr.commit(
       Seq(MetadataCommit.assertRefSnapshotId(mapper, name, Some(head))),
-      Seq(MetadataCommit.setSnapshotRef(mapper, name, head, refType, retention)))
+      // whole-policy form: knobs this retention leaves unset are CLEARED
+      // (explicit nulls), so setRefRetention(RefRetention()) removes the
+      // policy rather than silently leaving the old one in force
+      Seq(MetadataCommit.setSnapshotRef(mapper, name, head, refType, retention,
+        clearUnsetRetention = true)))
   }
 
   def dropRef(conf: org.apache.hadoop.conf.Configuration, tableDir: String,
@@ -2128,6 +2125,14 @@ object IcebergWriter {
     require(!mainAncestors.contains(snapshotId),
       s"cherrypick_snapshot: snapshot $snapshotId is already in main's " +
         "ancestry — nothing to publish")
+    // a previous cherry-pick of this snapshot records source-snapshot-id;
+    // the file-overlap guard below cannot catch a re-pick after a main
+    // COMPACTION moved the published rows into new file paths
+    require(!mainAncestors.flatMap(byId.get).exists(
+        _.summary.get("source-snapshot-id").contains(snapshotId.toString)),
+      s"cherrypick_snapshot: snapshot $snapshotId was already cherry-picked " +
+        "onto main (source-snapshot-id recorded in its ancestry) — " +
+        "refusing a double publish")
 
     def ml(s: IcebergSnapshot): Seq[ManifestFile] = ManifestIO.readManifestList(
       resolveAgainst(meta, tableDir, s.manifestList), conf)

@@ -153,15 +153,25 @@ object MetadataCommit {
 
   def setSnapshotRef(mapper: ObjectMapper, ref: String, snapshotId: Long,
                      refType: String = "branch",
-                     retention: RefRetention = RefRetention()): ObjectNode = {
+                     retention: RefRetention = RefRetention(),
+                     /** `true` = this update STATES the whole policy:
+                       * unset knobs become explicit JSON nulls, which the
+                       * applier reads as CLEAR. `false` (plain head
+                       * moves) omits them, which the applier reads as
+                       * inherit-the-prior-policy. */
+                     clearUnsetRetention: Boolean = false): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("action", "set-snapshot-ref")
     n.put("ref-name", ref)
     n.put("type", refType)
     n.put("snapshot-id", snapshotId)
-    retention.maxSnapshotAgeMs.foreach(n.put("max-snapshot-age-ms", _))
-    retention.minSnapshotsToKeep.foreach(n.put("min-snapshots-to-keep", _))
-    retention.maxRefAgeMs.foreach(n.put("max-ref-age-ms", _))
+    def knob(k: String, v: Option[Long]): Unit = v match {
+      case Some(x) => n.put(k, x); ()
+      case None => if (clearUnsetRetention) { n.putNull(k); () }
+    }
+    knob("max-snapshot-age-ms", retention.maxSnapshotAgeMs)
+    knob("min-snapshots-to-keep", retention.minSnapshotsToKeep.map(_.toLong))
+    knob("max-ref-age-ms", retention.maxRefAgeMs)
     n
   }
 
@@ -348,15 +358,21 @@ object MetadataCommit {
           val refs = Option(root.get("refs")).map(_.asInstanceOf[ObjectNode])
             .getOrElse(root.putObject("refs"))
           // retention fields survive a head move (fastForward, commit-to-
-          // branch) unless the update explicitly restates them
+          // branch) unless the update restates them: a PRESENT value sets
+          // the knob, a present NULL clears it (setRefRetention's
+          // whole-policy form), an ABSENT key inherits the prior policy
           val prior = Option(refs.get(ref)).collect { case o: ObjectNode => o }
           val node = refs.putObject(ref)
           node.put("snapshot-id", id)
           node.put("type", Option(u.get("type")).map(_.asText).getOrElse("branch"))
           Seq("max-snapshot-age-ms", "min-snapshots-to-keep", "max-ref-age-ms")
             .foreach { k =>
-              Option(u.get(k)).orElse(prior.flatMap(p => Option(p.get(k))))
-                .foreach(v => node.set[JsonNode](k, v.deepCopy[JsonNode]()))
+              Option(u.get(k)) match {
+                case Some(v) if v.isNull => () // explicit null = clear
+                case Some(v) => node.set[JsonNode](k, v.deepCopy[JsonNode]()); ()
+                case None => prior.flatMap(p => Option(p.get(k))).foreach(v =>
+                  node.set[JsonNode](k, v.deepCopy[JsonNode]()))
+              }
             }
           if (ref == "main") {
             root.put("current-snapshot-id", id)

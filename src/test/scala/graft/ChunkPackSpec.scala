@@ -26,12 +26,13 @@ class ChunkPackSpec extends SparkSpec {
       "tail covered")
   }
 
-  test("chunking: short and single-word documents yield exactly one chunk") {
-    val df = Seq((1L, "only"), (2L, (1 to 10).map("w" + _).mkString(" ")))
-      .toDF("doc_id", "text")
+  test("chunking: short, single-word, and NULL-text documents each yield one chunk") {
+    val df = Seq((1L, "only"), (2L, (1 to 10).map("w" + _).mkString(" ")),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val chunks = TextFunctions.chunkDocuments(df, "doc_id", "text", 40, 8)
-    assert(chunks.count() == 2)
+    assert(chunks.count() == 3, "a NULL-text document must not vanish")
     assert(chunks.filter(col("doc_id") === 1).head.getAs[Long]("n_words") == 1L)
+    assert(chunks.filter(col("doc_id") === 3).head.getAs[String]("chunk") == "")
   }
 
   test("chunking: zero overlap partitions the words exactly") {

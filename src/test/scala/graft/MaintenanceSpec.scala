@@ -189,6 +189,49 @@ class MaintenanceSpec extends SparkSpec {
     assert(n2 >= 1)
   }
 
+  test("per-ref retention: max-ref-age-ms ALONE never truncates the chain; empty retention clears") {
+    import spark.implicits._
+    import graft.iceberg.RefRetention
+    val dir = "/root/repo/target/test-expire-refage"
+    freshTable(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val s1 = IcebergWriter.append(spark, dir, Seq((1L, "m")).toDF("id", "tag"))
+    IcebergWriter.createRef(conf, dir, "wap", s1, refType = "branch")
+    val w1 = IcebergWriter.append(spark, dir,
+      Seq((2L, "a")).toDF("id", "tag"), branch = "wap")
+    val w2 = IcebergWriter.append(spark, dir,
+      Seq((3L, "b")).toDF("id", "tag"), branch = "wap")
+    // an AGE policy on the ref itself says nothing about its SNAPSHOTS:
+    // the keep-the-chain publishability default must survive
+    IcebergWriter.setRefRetention(conf, dir, "wap",
+      RefRetention(maxRefAgeMs = Some(Long.MaxValue)))
+    IcebergWriter.expireSnapshots(spark, dir,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    val left = IcebergTable(spark, dir).metadata.snapshots.map(_.snapshotId).toSet
+    assert(left(w1) && left(w2),
+      s"max-ref-age-ms alone must not expire the chain: $left")
+    val published = IcebergWriter.fastForward(conf, dir, from = "wap")
+    assert(published == w2, "branch stays publishable")
+
+    // whole-policy clearing: a snapshot policy set then REPLACED with an
+    // empty retention is gone — the next expiration keeps the chain
+    IcebergWriter.createRef(conf, dir, "dev", published, refType = "branch")
+    val d1 = IcebergWriter.append(spark, dir,
+      Seq((4L, "d")).toDF("id", "tag"), branch = "dev")
+    val d2 = IcebergWriter.append(spark, dir,
+      Seq((5L, "e")).toDF("id", "tag"), branch = "dev")
+    IcebergWriter.setRefRetention(conf, dir, "dev",
+      RefRetention(minSnapshotsToKeep = Some(1)))
+    IcebergWriter.setRefRetention(conf, dir, "dev", RefRetention())
+    assert(IcebergTable(spark, dir).metadata.refRetention
+      .get("dev").forall(_.isEmpty), "empty retention must CLEAR the policy")
+    IcebergWriter.expireSnapshots(spark, dir,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    val left2 = IcebergTable(spark, dir).metadata.snapshots.map(_.snapshotId).toSet
+    assert(left2(d1) && left2(d2),
+      s"cleared policy reverts to keep-the-chain: $left2")
+  }
+
   test("removeOrphanFiles deletes unreferenced debris, keeps live files") {
     import spark.implicits._
     val dir = "/root/repo/target/test-orphans"

@@ -216,10 +216,12 @@ class SnapshotRefsSpec extends SparkSpec {
     // the branch did not move and still reads its own staged view
     assert(t.metadata.refs("audit") == c2)
     assert(t.atSnapshot(c2).toDF(spark).count() == 6L)
-    // double publish is refused at file granularity
+    // double publish is refused (the ancestry summary guard fires first;
+    // the file-granularity overlap guard backstops foreign writers)
     val dup = intercept[IllegalArgumentException](
       IcebergWriter.cherrypickSnapshot(conf, dir, c2))
-    assert(dup.getMessage.contains("already reachable"))
+    assert(dup.getMessage.contains("already cherry-picked") ||
+      dup.getMessage.contains("already reachable"))
     // c1 remains independently publishable
     val newId2 = IcebergWriter.cherrypickSnapshot(conf, dir, c1)
     val t2 = new IcebergTable(dir, conf)
@@ -267,6 +269,37 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(row.getLong(0) == staged)
     assert(spark.sql("SELECT id FROM cpcat.ns.t ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("TIMESTAMP AS OF resolves on MAIN's lineage, never a staged branch snapshot") {
+    val dir = createTable("t12", ids(0, 1))
+    val conf = spark.sessionState.newHadoopConf()
+    val s1 = IcebergWriter.append(spark, dir, ids(0, 2))
+    Thread.sleep(5)
+    // a commit staged on a branch is NEWER than s1 but not on main
+    IcebergWriter.append(spark, dir, ids(10, 12), branch = "audit")
+    Thread.sleep(5)
+    val after = System.currentTimeMillis
+    val t = new IcebergTable(dir, conf)
+    // a bound after the staged commit must still resolve to MAIN's head
+    assert(t.asOfTimestamp(after).pinnedSnapshotId.contains(s1),
+      "timestamp travel must not leak an unpublished staged snapshot")
+  }
+
+  test("WAP: cherry-pick refuses a re-pick even after main compaction moved the files") {
+    val dir = createTable("t13", ids(0, 1))
+    val conf = spark.sessionState.newHadoopConf()
+    IcebergWriter.append(spark, dir, ids(0, 3))
+    val c1 = IcebergWriter.append(spark, dir, ids(10, 12), branch = "audit")
+    IcebergWriter.cherrypickSnapshot(conf, dir, c1)
+    // compaction rewrites every published file path — the file-overlap
+    // guard alone can no longer catch a second pick
+    IcebergWriter.compact(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      IcebergWriter.cherrypickSnapshot(conf, dir, c1))
+    assert(e.getMessage.contains("already cherry-picked"), e.getMessage)
+    assert(new IcebergTable(dir, conf).toDF(spark).count() == 5L,
+      "no duplicated rows")
   }
 
   test("SQL: spark.wap.branch routes INSERT, equality DELETE, and UPDATE") {
