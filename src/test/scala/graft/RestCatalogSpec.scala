@@ -523,6 +523,26 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("DROP TABLE restcat.rns.tx2")
   }
 
+  test("REST: analyze_table commits its stats properties over the wire") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.an")
+    spark.sql("CREATE TABLE restcat.rns.an (k BIGINT, cat STRING)")
+    spark.sql(
+      "INSERT INTO restcat.rns.an SELECT id, concat('c', id % 5) FROM range(0, 100)")
+    val Seq(row) = spark.sql(
+      "CALL restcat.system.analyze_table(table => 'rns.an')").collect().toSeq
+    assert(row.getInt(0) === 2)
+    // the SERVER holds the stats: set-properties went out as a
+    // CommitTableRequest and the stub's shared applier applied it
+    val props = tables(("rns", "an")).get("properties")
+    assert(props != null && props.has("graft.stats.ndv.cat"),
+      s"stats must land server-side, got $props")
+    val ndv = props.get("graft.stats.ndv.cat").asText.toLong
+    assert(ndv >= 4 && ndv <= 6, s"approx NDV of 5, got $ndv")
+    spark.sql("DROP TABLE restcat.rns.an")
+  }
+
   test("REST: scan executes against the metadata document in LoadTableResult") {
     useRest()
     realTable
