@@ -172,10 +172,15 @@ object TextFunctions {
   def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String, chunkWords: Int, overlapWords: Int)
       : org.apache.spark.sql.DataFrame = {
-    // NULL text folds to "" (one empty chunk) rather than vanishing:
-    // posexplode of a null array emits nothing, and a document silently
-    // disappearing from a curation pipeline is an undercount nobody sees
-    df.select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__w"))
+    // NULL/empty text folds to a ZERO-length word array (one empty chunk
+    // with n_words = 0) rather than vanishing or counting a phantom
+    // word: posexplode of a null array emits nothing (the document would
+    // silently disappear from a curation pipeline), and split("") yields
+    // [""] (n_words would over-count by one per empty document)
+    val txt = coalesce(col(textCol), lit(""))
+    val words = when(length(txt) === 0, array().cast("array<string>"))
+      .otherwise(tokens(txt))
+    df.select(col(idCol), words.as("__w"))
       .select(col(idCol),
         posexplode(chunkStarts(col("__w"), chunkWords, overlapWords))
           .as(Seq("chunk_idx", "__start")),

@@ -56,9 +56,16 @@ final class IcebergTable private (
     * main-lineage-membership so pre-lineage metadata (no
     * parent-snapshot-id links, no refs) keeps its full history. */
   def asOfTimestamp(timestampMs: Long): IcebergTable = {
+    // "main" = the snapshot-log when present (so rollback-abandoned
+    // history stays addressable, Iceberg's contract) else the parent walk
     val main = metadata.snapshotLineage.toSet
     val byId = metadata.snapshots.map(s => s.snapshotId -> s).toMap
-    val staged: Set[Long] = (metadata.refs - "main").values.toSet
+    // staged = off-main snapshots that are (a) reachable from a non-main
+    // ref, or (b) carry a parent link (a modern writer's commit that is
+    // not main history — including orphans left by dropRef before
+    // expiration). Off-main snapshots with NO parent link and NO ref are
+    // pre-lineage metadata whose history must stay addressable.
+    val refStaged: Set[Long] = (metadata.refs - "main").values.toSet
       .flatMap { head: Long =>
         Iterator.iterate(byId.get(head))(
           _.flatMap(_.parentSnapshotId).flatMap(byId.get))
@@ -66,12 +73,17 @@ final class IcebergTable private (
           .take(metadata.snapshots.size)
           .takeWhile(!main.contains(_)).toSet
       }
+    def staged(s: IcebergSnapshot): Boolean =
+      !main.contains(s.snapshotId) &&
+        (refStaged.contains(s.snapshotId) || s.parentSnapshotId.nonEmpty)
     val candidates = metadata.snapshots.filter(s =>
-      !staged.contains(s.snapshotId) && s.timestampMs <= timestampMs)
+      !staged(s) && s.timestampMs <= timestampMs)
     if (candidates.isEmpty)
       throw new IllegalArgumentException(
         s"no snapshot at or before timestamp $timestampMs in $tableDir")
-    atSnapshot(candidates.maxBy(_.timestampMs).snapshotId)
+    // ties (same-millisecond commits) break to the LATER snapshot id —
+    // maxBy alone keeps the first max encountered, i.e. the older one
+    atSnapshot(candidates.maxBy(s => (s.timestampMs, s.snapshotId)).snapshotId)
   }
 
   /** The snapshot this table reads: pinned if time-traveling, else the

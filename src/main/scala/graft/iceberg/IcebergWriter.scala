@@ -1,6 +1,6 @@
 package graft.iceberg
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
@@ -1060,7 +1060,10 @@ object IcebergWriter {
       summary: Map[String, String] = Map.empty,
       ref: String = "main",
       refExpected: Option[Option[Long]] = None,
-      totals: Option[Totals] = None): Unit = {
+      totals: Option[Totals] = None,
+      /** Additional update actions folded into the SAME commit (e.g. a
+        * ledger property that must land atomically with the snapshot). */
+      extraUpdates: Seq[JsonNode] = Nil): Unit = {
     val listPath =
       new Path(s"${committer.tableDir}/metadata/snap-$snapId-${uniq()}.avro")
     writeAvro(listPath, committer.conf, manifestListSchema, listRecs)
@@ -1079,7 +1082,7 @@ object IcebergWriter {
       Seq(MetadataCommit.assertRefSnapshotId(mapper, ref,
         refExpected.getOrElse(parent))),
       Seq(MetadataCommit.addSnapshot(mapper, snap),
-        MetadataCommit.setSnapshotRef(mapper, ref, snapId)))
+        MetadataCommit.setSnapshotRef(mapper, ref, snapId)) ++ extraUpdates)
   }
 
   /** Same relocation rule as IcebergTable.resolve, usable pre-load. */
@@ -2001,7 +2004,12 @@ object IcebergWriter {
     val mapper = new ObjectMapper()
     cmtr.commit(Nil,
       Seq(MetadataCommit.setSnapshotRef(mapper, name, snapshotId, refType,
-        retention)))
+        retention,
+        // a caller STATING a policy means exactly that policy (whole-
+        // policy replace, same as setRefRetention); the default empty
+        // retention is a plain head move and inherits the prior policy
+        // (rollback via createRef("main", …) must not clear main's knobs)
+        clearUnsetRetention = !retention.isEmpty)))
   }
 
   /** Attach (or restate) a retention policy on an existing ref — the
@@ -2125,14 +2133,20 @@ object IcebergWriter {
     require(!mainAncestors.contains(snapshotId),
       s"cherrypick_snapshot: snapshot $snapshotId is already in main's " +
         "ancestry — nothing to publish")
-    // a previous cherry-pick of this snapshot records source-snapshot-id;
-    // the file-overlap guard below cannot catch a re-pick after a main
-    // COMPACTION moved the published rows into new file paths
+    // a previous cherry-pick of this snapshot records source-snapshot-id
+    // in its commit summary AND a table-property ledger entry; the
+    // file-overlap guard below cannot catch a re-pick after a main
+    // COMPACTION moved the published rows into new paths, and the
+    // summary alone vanishes if the pick commit is later EXPIRED — the
+    // property survives both
     require(!mainAncestors.flatMap(byId.get).exists(
         _.summary.get("source-snapshot-id").contains(snapshotId.toString)),
       s"cherrypick_snapshot: snapshot $snapshotId was already cherry-picked " +
         "onto main (source-snapshot-id recorded in its ancestry) — " +
         "refusing a double publish")
+    require(!meta.properties.contains(s"graft.cherrypicked.$snapshotId"),
+      s"cherrypick_snapshot: snapshot $snapshotId was already cherry-picked " +
+        "onto main (ledger property) — refusing a double publish")
 
     def ml(s: IcebergSnapshot): Seq[ManifestFile] = ManifestIO.readManifestList(
       resolveAgainst(meta, tableDir, s.manifestList), conf)
@@ -2187,10 +2201,16 @@ object IcebergWriter {
       case None if mainHead.isEmpty => Some(addTot)
       case None => None // head exists but carries no totals: stay silent
     }
+    val mapper = new ObjectMapper()
+    val ledger = mapper.createObjectNode()
+    ledger.put("action", "set-properties")
+    ledger.putObject("updates")
+      .put(s"graft.cherrypicked.$snapshotId", newId.toString)
     commitSnapshot(cmtr, newId, mainHead, listRecs,
       Map("operation" -> "append",
         "source-snapshot-id" -> snapshotId.toString),
-      totals = totals)
+      totals = totals,
+      extraUpdates = Seq(ledger))
     newId
   }
 }

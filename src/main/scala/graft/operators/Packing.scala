@@ -39,38 +39,44 @@ object Packing {
       else spark.sessionState.conf.numShufflePartitions
     val toks = df.select(col(idCol).as("id"),
       TextFunctions.wordCount(col(textCol)).as("tokens"))
-    // localCheckpoint (EAGER) pins the __pid assignment: RangePartitioner
-    // samples with an rdd.id-derived seed, so a RE-EXECUTION of the range
-    // shuffle (the offsets-collect job below vs the caller's later
-    // action) could draw DIFFERENT boundaries — rows near a boundary
-    // would then land in a partition whose joined offset was computed for
-    // someone else, silently corrupting every downstream bin. Truncating
-    // the lineage to materialized blocks makes both consumers read the
-    // ONE partitioning that actually ran (the same contract Dedup's
-    // iterative loop relies on).
+    // The __pid assignment MUST be computed exactly once and seen
+    // identically by the offsets-collect job and the final pass:
+    // RangePartitioner samples with an rdd.id-derived seed, so a
+    // re-execution of the range shuffle could draw DIFFERENT boundaries —
+    // rows near a boundary would then land in a partition whose joined
+    // offset was computed for someone else, silently corrupting every
+    // downstream bin. `persist` pins the partitioning for both passes;
+    // the RESULT (3 narrow columns per document — no text) is then
+    // eagerly localCheckpoint'ed so the big intermediate can be freed
+    // DETERMINISTICALLY before returning, with no recompute path left in
+    // the returned plan. The small checkpoint blocks are released by RDD
+    // GC, the same lifecycle as Dedup's iterative leaves.
     val ranged = toks
       .repartitionByRange(parts, col("tokens").desc, col("id").asc)
       .sortWithinPartitions(col("tokens").desc, col("id").asc)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    // one row per RANGE partition: the prefix offset each partition's
-    // running totals start from
-    val partTotals = ranged.groupBy("__pid")
-      .agg(sum("tokens").as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = partTotals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (pid, t)) => (pid, acc + t)
-    }.sliding(2).collect { case Array((_, prev), (pid, _)) => (pid, prev) }
-      .toSeq
-    val offsetDF = spark.createDataFrame(offsets).toDF("__pid", "__offset")
-    val local = Window.partitionBy("__pid")
-      .orderBy(col("tokens").desc, col("id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .join(broadcast(offsetDF), Seq("__pid"))
-      .withColumn("__pre",
-        coalesce(sum("tokens").over(local), lit(0L)) + col("__offset"))
-      .select(col("id").as(idCol), col("tokens"),
-        floor(col("__pre") / windowTokens).as("bin"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one row per RANGE partition: the prefix offset each partition's
+      // running totals start from
+      val partTotals = ranged.groupBy("__pid")
+        .agg(sum("tokens").as("__t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = partTotals.scanLeft((Int.MinValue, 0L)) {
+        case ((_, acc), (pid, t)) => (pid, acc + t)
+      }.sliding(2).collect { case Array((_, prev), (pid, _)) => (pid, prev) }
+        .toSeq
+      val offsetDF = spark.createDataFrame(offsets).toDF("__pid", "__offset")
+      val local = Window.partitionBy("__pid")
+        .orderBy(col("tokens").desc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ranged
+        .join(broadcast(offsetDF), Seq("__pid"))
+        .withColumn("__pre",
+          coalesce(sum("tokens").over(local), lit(0L)) + col("__offset"))
+        .select(col("id").as(idCol), col("tokens"),
+          floor(col("__pre") / windowTokens).as("bin"))
+        .localCheckpoint(true)
+    } finally { ranged.unpersist(); () }
   }
 }

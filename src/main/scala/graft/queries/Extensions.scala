@@ -437,7 +437,9 @@ object Extensions {
     // stride = 40 - 8 = 32. DuckDB list slicing is 1-based inclusive like
     // Spark's slice(w, start, len) with end = start + 39.
     "q78_chunking" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN COALESCE(text, '') = '' THEN CAST([] AS VARCHAR[])
+        |                  ELSE string_split(text, ' ') END AS w
         |           FROM documents WHERE doc_id < 50),
         |s AS (SELECT doc_id, w,
         |             CAST(unnest(generate_series(1, GREATEST(len(w) - 8, 1), 32))
@@ -471,7 +473,10 @@ object Extensions {
         |           '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
         |           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text
         |  FROM canon),
-        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM clean),
+        |d AS (SELECT doc_id,
+        |             CASE WHEN COALESCE(text, '') = '' THEN CAST([] AS VARCHAR[])
+        |                  ELSE string_split(text, ' ') END AS w
+        |      FROM clean),
         |s AS (SELECT doc_id, w,
         |             CAST(unnest(generate_series(1, GREATEST(len(w) - 8, 1), 32))
         |                  AS BIGINT) AS st

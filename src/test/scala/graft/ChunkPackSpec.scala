@@ -32,7 +32,10 @@ class ChunkPackSpec extends SparkSpec {
     val chunks = TextFunctions.chunkDocuments(df, "doc_id", "text", 40, 8)
     assert(chunks.count() == 3, "a NULL-text document must not vanish")
     assert(chunks.filter(col("doc_id") === 1).head.getAs[Long]("n_words") == 1L)
-    assert(chunks.filter(col("doc_id") === 3).head.getAs[String]("chunk") == "")
+    val nullRow = chunks.filter(col("doc_id") === 3).head
+    assert(nullRow.getAs[String]("chunk") == "")
+    assert(nullRow.getAs[Long]("n_words") == 0L,
+      "an empty document carries zero words, not a phantom one")
   }
 
   test("chunking: zero overlap partitions the words exactly") {

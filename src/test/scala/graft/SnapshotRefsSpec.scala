@@ -300,6 +300,14 @@ class SnapshotRefsSpec extends SparkSpec {
     assert(e.getMessage.contains("already cherry-picked"), e.getMessage)
     assert(new IcebergTable(dir, conf).toDF(spark).count() == 5L,
       "no duplicated rows")
+    // even EXPIRING the pick commit (its summary gone from main history)
+    // cannot re-open the window: the table-property ledger survives
+    IcebergWriter.expireSnapshots(spark, dir,
+      olderThanMs = Long.MaxValue, retainLast = 1)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWriter.cherrypickSnapshot(conf, dir, c1))
+    assert(e2.getMessage.contains("already cherry-picked"), e2.getMessage)
+    assert(new IcebergTable(dir, conf).toDF(spark).count() == 5L)
   }
 
   test("SQL: spark.wap.branch routes INSERT, equality DELETE, and UPDATE") {
