@@ -70,6 +70,47 @@ object TextFunctions {
     round(total.cast("double") / size(w).cast("double"), scale)
   }
 
+  // -- repetition signals (Gopher-style quality rules) ----------------------
+
+  /** Fraction of words that are repeats of an earlier word:
+    * `1 − distinct/total`. The Gopher/MassiveText rules gate documents on
+    * exactly this family of signals (templated spam and boilerplate score
+    * high). Map-side array builtins, no shuffle. */
+  def dupWordRatio(text: Column, scale: Int = 4): Column = {
+    val w = tokens(text)
+    round(lit(1.0) -
+      size(array_distinct(w)).cast("double") / size(w).cast("double"), scale)
+  }
+
+  /** Fraction of words taken by the single most frequent word. Computed as
+    * the longest equal-run over the SORTED word array via one `aggregate`
+    * fold — O(n log n) per document and entirely map-side, vs the naive
+    * per-distinct-word rescan which is O(distinct × n). */
+  def topWordFraction(text: Column, scale: Int = 4): Column = {
+    val w = tokens(text)
+    val best = aggregate(
+      array_sort(w),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    round(best.cast("double") / size(w).cast("double"), scale)
+  }
+
+  /** Fraction of word n-grams that are repeats: `1 − distinct/total` over
+    * the document's n-gram multiset (0.0 when the document is shorter than
+    * `n` words). High values mean looping/templated text. */
+  def dupNgramRatio(text: Column, n: Int, scale: Int = 4): Column = {
+    val total = size(tokens(text)) - (n - 1)
+    when(total > 0,
+      round(lit(1.0) -
+        size(shingles(text, n)).cast("double") / total.cast("double"), scale))
+      .otherwise(lit(0.0))
+  }
+
   // -- language identification ---------------------------------------------
 
   /** Stopword tables for the heuristic language identifier. Tiny on

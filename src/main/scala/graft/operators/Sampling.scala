@@ -26,6 +26,15 @@ object Sampling {
 
   def splitBucket(id: Column): Column = pmod(id * KnuthPrime, lit(Buckets))
 
+  /** Salted bucket for samples that must be INDEPENDENT of the
+    * train/valid/test assignment: the unsalted bucket would correlate
+    * every downstream sample with the split (a 10% sample drawn from the
+    * same hash is exactly the test set). The salt offsets the id before
+    * the multiplicative hash, so each purpose draws its own stream while
+    * staying a pure, engine-portable function of (id, salt). */
+  def saltedBucket(id: Column, salt: Long): Column =
+    pmod((id + salt) * KnuthPrime, lit(Buckets))
+
   /** Add a `split` column per `weights` (name → fraction, summing to ~1).
     * Thresholds are cumulative over the GIVEN order, so the mapping is
     * part of the declared contract. */
@@ -45,4 +54,30 @@ object Sampling {
       }
     df.withColumn("split", expr)
   }
+
+  /** Domain-mixture sampling: keep each row with a per-domain rate
+    * (`rates`, falling back to `default`), deterministically — membership
+    * is `saltedBucket(id) < rate × Buckets`, a pure function of the id, so
+    * the drawn mixture is stable under corpus growth and reproducible by
+    * any 64-bit engine. This is how a training pipeline re-weights sources
+    * (up-sample curated text, down-sample crawl) without a random
+    * generator whose seed placement would make reruns disagree.
+    *
+    * Map-only predicate — no shuffle, codegen'd. */
+  def domainSampleFlag(id: Column, domain: Column,
+                       rates: Seq[(String, Double)], default: Double,
+                       salt: Long = 7919L): Column = {
+    require((default +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1], got $rates default $default")
+    val thr = rates.foldRight(lit(math.round(default * Buckets))) {
+      case ((dom, r), rest) =>
+        when(domain === dom, lit(math.round(r * Buckets))).otherwise(rest)
+    }
+    saltedBucket(id, salt) < thr
+  }
+
+  def sampleByDomain(df: DataFrame, idCol: String, domainCol: String,
+                     rates: Seq[(String, Double)], default: Double,
+                     salt: Long = 7919L): DataFrame =
+    df.filter(domainSampleFlag(col(idCol), col(domainCol), rates, default, salt))
 }

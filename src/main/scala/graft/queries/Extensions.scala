@@ -273,6 +273,54 @@ object Extensions {
         .orderBy(col("split").asc_nulls_first)
     }),
 
+    // Benchmark decontamination: flag training documents sharing a word
+    // 4-gram with the benchmark set (doc_id % 19 here; real pipelines feed
+    // the actual eval suites). Benchmark shingles BROADCAST — the corpus
+    // side streams map-side and only matched rows reach the aggregation.
+    "q82_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Decontamination.overlapHits(
+          docs.filter(col("doc_id") % 19 =!= 0),
+          docs.filter(col("doc_id") % 19 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Domain-mixture sampling: per-source keep rates as a pure salted-hash
+    // function of the id (deterministic, engine-portable, independent of
+    // the q80 split assignment). Map-only predicate; the aggregate here
+    // just reports the drawn mixture per source.
+    "q83_mixture" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("keep", graft.operators.Sampling.domainSampleFlag(
+          col("doc_id"), col("source"),
+          Seq("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25), default = 0.1))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), 1)).as("n_sampled"),
+          coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L))
+            .cast("bigint").as("sk"))
+        .orderBy(col("source").asc_nulls_first)),
+
+    // Gopher-style repetition signals: duplicate-word ratio, top-word
+    // fraction (longest run over the sorted word array — one map-side
+    // fold, not a per-distinct-word rescan), duplicate-3-gram ratio, and
+    // the combined low-quality gate. All map-side, no shuffle.
+    "q84_repetition" -> ((s, d) => {
+      val txt = col("text")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.wordCount(txt).as("n_words"),
+          TextFunctions.dupWordRatio(txt).as("dup_word_ratio"),
+          TextFunctions.topWordFraction(txt).as("top_word_frac"),
+          TextFunctions.dupNgramRatio(txt, 3).as("dup_3gram_ratio"))
+        .withColumn("low_quality",
+          when(col("dup_word_ratio") > 0.6 || col("top_word_frac") > 0.15 ||
+               col("dup_3gram_ratio") > 0.03, 1).otherwise(0))
+        .orderBy(col("doc_id").asc_nulls_first)
+        .limit(200)
+    }),
+
     // ---- text analysis ---------------------------------------------------
     "q38_token_count" -> ((s, d) =>
       t(s, d, "documents")
@@ -490,6 +538,45 @@ object Extensions {
         |SELECT split, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
         |       CAST(SUM(n_words) AS BIGINT) AS n_words
         |FROM sp GROUP BY split ORDER BY split ASC NULLS FIRST""".stripMargin,
+    "q82_decontam" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, len(w)-3),
+        |         i -> array_to_string(w[i:i+3], ' ')))) AS sh FROM w),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 19 = 0),
+        |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 19 <> 0)
+        |SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_hits
+        |FROM train t JOIN bench b USING (sh)
+        |GROUP BY t.doc_id ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q83_mixture" ->
+      """WITH f AS (SELECT source, doc_id,
+        |  ((doc_id + 7919) * 2654435761) % 10000 <
+        |    CASE source WHEN 'src0' THEN 9000 WHEN 'src1' THEN 5000
+        |                WHEN 'src2' THEN 2500 ELSE 1000 END AS keep
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |       COUNT(CASE WHEN keep THEN 1 END) AS n_sampled,
+        |       CAST(COALESCE(SUM(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS sk
+        |FROM f GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+    "q84_repetition" ->
+      """WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |r AS (
+        | SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |   ROUND(1 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w), 4)
+        |     AS dup_word_ratio,
+        |   ROUND(CAST(list_max(list_transform(list_distinct(w),
+        |       d -> len(list_filter(w, x -> x = d)))) AS DOUBLE)/len(w), 4)
+        |     AS top_word_frac,
+        |   CASE WHEN len(w) - 2 > 0 THEN
+        |     ROUND(1 - CAST(len(list_distinct(list_transform(
+        |       generate_series(1, len(w)-2),
+        |       i -> array_to_string(w[i:i+2], ' ')))) AS DOUBLE)/(len(w)-2), 4)
+        |   ELSE 0.0 END AS dup_3gram_ratio
+        | FROM b)
+        |SELECT doc_id, n_words, dup_word_ratio, top_word_frac, dup_3gram_ratio,
+        |  CASE WHEN dup_word_ratio > 0.6 OR top_word_frac > 0.15
+        |            OR dup_3gram_ratio > 0.03 THEN 1 ELSE 0 END AS low_quality
+        |FROM r ORDER BY doc_id ASC NULLS FIRST LIMIT 200""".stripMargin,
     "q80_split" ->
       """WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 10000 AS bucket
         |           FROM documents),

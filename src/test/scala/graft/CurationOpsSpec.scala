@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Decontamination, Sampling}
+
+/** Decontamination, domain-mixture sampling, and repetition signals (the
+  * q82/q83/q84 oracles gate the bulk behavior; these pin hand-computed
+  * corners). */
+class CurationOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("decontamination flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x y alpha beta gamma delta end"),     // shares 4-gram
+      (2L, "beta gamma delta epsilon tail tail"), // shares 4-gram
+      (3L, "alpha beta x gamma delta epsilon"),   // no shared 4-gram
+      (4L, "too short")                           // < n words: unflaggable
+    ).toDF("doc_id", "text")
+    val hits = Decontamination.overlapHits(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 1L))
+    val clean = Decontamination
+      .removeContaminated(train, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean.toSeq == Seq(3L, 4L))
+  }
+
+  test("decontamination counts DISTINCT shared shingles per document") {
+    val bench = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    // doc 1 contains "a b c d" and "b c d e" (two distinct shared 4-grams),
+    // "a b c d" appearing twice must count once
+    val train = Seq((1L, "a b c d e z a b c d")).toDF("doc_id", "text")
+    val hits = Decontamination.overlapHits(train, bench, "doc_id", "text", n = 4)
+      .collect()
+    assert(hits.length == 1 && hits.head.getLong(1) == 2L)
+  }
+
+  test("domain sampling is deterministic, rate-faithful at 0 and 1, and split-independent") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val keepAll = Sampling.sampleByDomain(df, "doc_id", "source",
+      Seq("a" -> 1.0), default = 0.0)
+    assert(keepAll.select("source").distinct().as[String].collect().toSeq == Seq("a"),
+      "rate 1.0 keeps every row of the domain, default 0.0 drops the rest")
+    assert(keepAll.count() == 500L)
+    val s1 = Sampling.sampleByDomain(df, "doc_id", "source",
+      Seq("a" -> 0.3, "b" -> 0.7), default = 0.1).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val s2 = Sampling.sampleByDomain(df, "doc_id", "source",
+      Seq("a" -> 0.3, "b" -> 0.7), default = 0.1).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(s1 == s2, "same rates draw the same rows, always")
+    // the salted stream must not replicate the split assignment: a 10%
+    // sample drawn from the UNSALTED hash would be exactly the test split
+    val sampled10 = Sampling.sampleByDomain(df, "doc_id", "source",
+      Nil, default = 0.1).select("doc_id").as[Long].collect().toSet
+    val testSplit = Sampling.assignSplit(df, "doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1))
+      .filter(col("split") === "test").select("doc_id").as[Long].collect().toSet
+    assert(sampled10 != testSplit,
+      "salted sampling decorrelates from the split hash")
+  }
+
+  test("repetition signals match hand-computed values") {
+    val df = Seq(
+      (1L, "a a b"),          // dup 1-2/3=.3333, top 2/3=.6667
+      (2L, "a b c"),          // dup 0, top 1/3=.3333, 3gram total 1 → 0
+      (3L, "a a a a"),        // dup .75, top 1.0, 3grams: 2 total 1 distinct → .5
+      (4L, "x y")             // shorter than 3 words: 3gram ratio 0.0
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextFunctions.dupWordRatio(col("text")).as("dw"),
+        TextFunctions.topWordFraction(col("text")).as("tw"),
+        TextFunctions.dupNgramRatio(col("text"), 3).as("dn"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getDouble(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((0.3333, 0.6667, 0.0)))
+    assert(r(2L) == ((0.0, 0.3333, 0.0)))
+    assert(r(3L) == ((0.75, 1.0, 0.5)))
+    assert(r(4L) == ((0.0, 0.5, 0.0)))
+  }
+}
