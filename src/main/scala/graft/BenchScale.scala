@@ -100,7 +100,34 @@ object BenchScale {
         Dedup.ngramJaccardPairs(slice, "doc_id", "text", n = 3).count())
       report("ngram_jaccard", r, tJac, nDocs, nJac)
 
+      // q82 core: decontamination — benchmark side FIXED (replica 0's
+      // doc_id % 19 == 0 docs, the realistic shape: benchmarks don't grow
+      // with the corpus), corpus side scales with r
+      val bench = all.filter(col("doc_id") < 10000000L && col("doc_id") % 19 === 0)
+      val train = all.filter(col("doc_id") % 19 =!= 0)
+      val (tDec, nDec) = timed2(
+        graft.operators.Decontamination.overlapHits(
+          train, bench, "doc_id", "text", n = 4).count())
+      report("decontam", r, tDec, nDocs, nDec)
+
       all.unpersist()
+
+      // q85 core: int8-quantized brute-force ANN — queries FIXED (15
+      // vectors), corpus side replicated rows (quantization + one scan
+      // pass scale linearly in the corpus)
+      val emb0 = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val embAll = (0 until r).map { i =>
+        if (i == 0) emb0
+        else emb0.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nVecs = embAll.count()
+      val (tQ, nQ) = timed2(
+        graft.functions.Similarity.quantizedTopK(
+          embAll.filter(col("vec_id") < 15), embAll, k = 10).count())
+      report("quant_ann", r, tQ, nVecs, nQ)
+      embAll.unpersist()
 
       // q65 core: the MEASURED storage-partitioned join (table builds
       // excluded), orders/customer replicated with key remapping
