@@ -105,27 +105,28 @@ object Similarity {
       .otherwise(transform(d, _ => lit(0)))
   }
 
-  /** Brute-force top-k over int8-quantized vectors — the same single-pass
-    * broadcast plan as [[bruteForceTopK]], but the corpus side streams the
-    * 4×-smaller quantized column. Integer dots are exact (|q|≤127, so a
-    * 2^38-dim vector would be needed to lose a bit in the double
-    * accumulator); the only approximation is the quantization itself.
+  /** Brute-force top-k over int8-quantized vectors — delegates to
+    * [[bruteForceTopK]] over the quantized column, so the plan (broadcast
+    * queries, single corpus pass, tie-break contract) is maintained once.
+    * Integer dots are exact (|q|≤127, so a 2^38-dim vector would be
+    * needed to lose a bit in the double accumulator); the only
+    * approximation is the quantization itself.
+    *
+    * At scale, quantize ONCE at ingest (store [[quantizeInt8]] as a
+    * column and pass `preQuantized = true`) so searches stream only the
+    * 4×-smaller ints — the BenchScale quant_ann stage measures exactly
+    * that shape. With `preQuantized = false` (the float-only test
+    * tables), each call pays one inline quantization pass over its
+    * input first.
     */
   def quantizedTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      scoreScale: Int = 4): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"),
-        quantizeInt8(col(vecCol)).as("q_vec"))
-      .withColumn("q_nrm", l2Norm(col("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"),
-        quantizeInt8(col(vecCol)).as("n_vec"))
-      .withColumn("n_nrm", l2Norm(col("n_vec")))
-    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(cosFromNorms(dot(col("q_vec"), col("n_vec")),
-          col("q_nrm"), col("n_nrm")), scoreScale).as("score"))
-    rankTopK(scored, k)
+      scoreScale: Int = 4, preQuantized: Boolean = false): DataFrame = {
+    def prep(df: DataFrame): DataFrame =
+      if (preQuantized) df
+      else df.withColumn(vecCol, quantizeInt8(col(vecCol)))
+    bruteForceTopK(prep(queries), prep(corpus), k, idCol, vecCol, scoreScale)
   }
 
   /** Approximate top-k: sign-random-projection LSH with `tables`

@@ -82,21 +82,16 @@ object TextFunctions {
       size(array_distinct(w)).cast("double") / size(w).cast("double"), scale)
   }
 
-  /** Fraction of words taken by the single most frequent word. Computed as
-    * the longest equal-run over the SORTED word array via one `aggregate`
-    * fold — O(n log n) per document and entirely map-side, vs the naive
-    * per-distinct-word rescan which is O(distinct × n). */
+  /** Fraction of words taken by the single most frequent word. One
+    * O(n) hash-count pass per document via the codegen'd
+    * [[graft.functions.catalyst.MaxElementCount]] kernel (an `aggregate`
+    * HOF fold here would be CodegenFallback — interpreted with
+    * per-element boxing, the hot-path pattern this codebase bans). */
   def topWordFraction(text: Column, scale: Int = 4): Column = {
     val w = tokens(text)
-    val best = aggregate(
-      array_sort(w),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
+    val best = org.apache.spark.sql.GraftColumnShim.column(
+      graft.functions.catalyst.MaxElementCount(
+        org.apache.spark.sql.GraftColumnShim.expression(w)))
     round(best.cast("double") / size(w).cast("double"), scale)
   }
 

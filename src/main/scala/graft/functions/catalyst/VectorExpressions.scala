@@ -166,6 +166,57 @@ case class CountInSet(child: Expression, values: Seq[String])
     copy(child = newChild)
 }
 
+/** Max frequency of any single element in an array<string> — the
+  * top-word numerator of the Gopher repetition rules. One hash-count
+  * loop per row via a static call, so the enclosing projection stays in
+  * whole-stage codegen (the `aggregate` HOF fold this replaces is
+  * CodegenFallback: interpreted, per-element boxing — the pattern this
+  * file exists to avoid). Null elements are ignored; empty/all-null
+  * arrays yield 0.
+  */
+case class MaxElementCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"maxElementCount expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    MaxElementCount.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.catalyst.MaxElementCount$$.MODULE$$" +
+        s".compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxElementCount =
+    copy(child = newChild)
+}
+
+object MaxElementCount {
+  def compute(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val m = new java.util.HashMap[UTF8String, java.lang.Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i)
+        val prev = m.get(w)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        m.put(w, c)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+}
+
 /** Sign-random-projection bucket ids, one per hash table, as
   * array<long>. Plane component for (table t, bit i, dimension d) is the
   * sign of a splitmix64 mix of (t*nBits+i, d) — deterministic and

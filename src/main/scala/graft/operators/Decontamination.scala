@@ -33,9 +33,13 @@ object Decontamination {
       .distinct()
     val trainSh = train.select(col(idCol),
       explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    // (doc_id, shingle) pairs are already unique — `shingles` is
+    // array_distinct per document and the bench side is distinct'd — so a
+    // plain count IS the distinct-shingle count, without the
+    // distinct-aggregate expansion in the operator's only shuffle
     trainSh.join(broadcast(benchSh), Seq("shingle"))
       .groupBy(col(idCol))
-      .agg(countDistinct(col("shingle")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** The clean corpus: training rows with zero benchmark overlap (anti

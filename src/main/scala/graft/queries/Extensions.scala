@@ -230,8 +230,14 @@ object Extensions {
         .select(col("q_id"), col("n_id"))
       val quant = Similarity.quantizedTopK(qs, emb, k = 10)
         .select(col("q_id"), col("n_id"))
-      exact.join(quant, Seq("q_id", "n_id"))
-        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      // left join from the full query-id list: a query whose quantized
+      // top-10 shares NOTHING with the exact top-10 must report recall
+      // 0.0, not silently vanish and inflate the mean
+      val overlap = exact.join(quant, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      exact.select(col("q_id")).distinct()
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"))
         .withColumn("recall", round(col("hits").cast("double") / 10.0, 4))
         .orderBy(col("q_id").asc_nulls_first)
     }),
@@ -551,11 +557,13 @@ object Extensions {
          |       FROM qq, qt c WHERE c.vec_id <> q_id),
          |rq AS (SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
          |         ORDER BY score DESC, n_id ASC) AS rank FROM sq),
-         |tq AS (SELECT q_id, n_id FROM rq WHERE rank <= 10)
-         |SELECT q_id, COUNT(*) AS hits,
-         |       ROUND(CAST(COUNT(*) AS DOUBLE)/10.0, 4) AS recall
-         |FROM tx JOIN tq USING (q_id, n_id)
-         |GROUP BY q_id ORDER BY q_id ASC NULLS FIRST""".stripMargin,
+         |tq AS (SELECT q_id, n_id FROM rq WHERE rank <= 10),
+         |h AS (SELECT q_id, COUNT(*) AS h FROM tx JOIN tq USING (q_id, n_id)
+         |      GROUP BY q_id)
+         |SELECT qs.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+         |       ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE)/10.0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM tx) qs LEFT JOIN h USING (q_id)
+         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
     // chunk starts: 1, 1+stride, ... while start <= max(len - overlap, 1);
     // stride = 40 - 8 = 32. DuckDB list slicing is 1-based inclusive like
     // Spark's slice(w, start, len) with end = start + 39.
