@@ -80,4 +80,33 @@ object Sampling {
                      rates: Seq[(String, Double)], default: Double,
                      salt: Long = 7919L): DataFrame =
     df.filter(domainSampleFlag(col(idCol), col(domainCol), rates, default, salt))
+
+  /** Down-sample each domain to a TOKEN budget — mixture specs for
+    * training runs are written in tokens, not documents, and sources
+    * differ wildly in document length. `rate_d = min(1, target_d /
+    * available_d)` computed from the data, then the same deterministic
+    * salted-hash membership as [[sampleByDomain]]. Domains without a
+    * target are dropped (rate 0).
+    *
+    * Two passes, both scale-safe: a per-domain token aggregate (one
+    * shuffle with map-side combine, output = #domains rows) joined back
+    * as a BROADCAST, then a map-only filter. The achieved token count is
+    * hash-approximate around the target (exact when `target ≥ available`,
+    * where the rate caps at 1 and the domain passes through whole). */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                          tokensCol: String, targets: Seq[(String, Long)],
+                          salt: Long = 7919L): DataFrame = {
+    require(targets.forall(_._2 >= 0), s"need non-negative targets, got $targets")
+    val tgt = targets.foldRight(lit(0L)) { case ((d0, t), rest) =>
+      when(col(domainCol) === d0, lit(t)).otherwise(rest)
+    }
+    val rates = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).as("__avail"))
+      .select(col(domainCol),
+        least(lit(1.0), tgt.cast("double") / col("__avail").cast("double"))
+          .as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(saltedBucket(col(idCol), salt) < col("__rate") * Buckets)
+      .drop("__rate")
+  }
 }

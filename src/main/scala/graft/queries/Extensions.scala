@@ -333,6 +333,35 @@ object Extensions {
             .cast("bigint").as("sk"))
         .orderBy(col("source").asc_nulls_first)),
 
+    // Token-budget mixture planning: targets are in TOKENS (how training
+    // mixtures are specified), rates derived from the data (one tiny
+    // per-source aggregate, broadcast back), membership the deterministic
+    // salted hash. Reports available/target/achieved per source —
+    // sources whose quantized sample drew nothing still report 0.
+    "q86_token_budget" -> ((s, d) => {
+      val targets = Seq("src0" -> 20000L, "src1" -> 5000L, "src2" -> 1000L)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+        TextFunctions.wordCount(col("text")).as("tok"))
+      val samp = graft.operators.Sampling.sampleToTokenBudget(
+        docs, "doc_id", "source", "tok", targets)
+      val tgtDf = {
+        import s.implicits._
+        targets.toDF("source", "target")
+      }
+      val avail = docs.groupBy(col("source")).agg(sum(col("tok")).as("avail"))
+        .join(tgtDf, Seq("source"))
+      avail.join(
+          samp.groupBy(col("source"))
+            .agg(sum(col("tok")).as("ach"), count(lit(1)).as("nd")),
+          Seq("source"), "left")
+        .select(col("source"),
+          col("avail").cast("bigint").as("avail_tokens"),
+          col("target").cast("bigint").as("target_tokens"),
+          coalesce(col("ach"), lit(0L)).cast("bigint").as("achieved_tokens"),
+          coalesce(col("nd"), lit(0L)).cast("bigint").as("n_docs"))
+        .orderBy(col("source").asc_nulls_first)
+    }),
+
     // Gopher-style repetition signals: duplicate-word ratio, top-word
     // fraction (longest run over the sorted word array — one map-side
     // fold, not a per-distinct-word rescan), duplicate-3-gram ratio, and
@@ -641,6 +670,26 @@ object Extensions {
         |       COUNT(CASE WHEN keep THEN 1 END) AS n_sampled,
         |       CAST(COALESCE(SUM(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS sk
         |FROM f GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+    "q86_token_budget" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+        |       FROM documents),
+        |tgt AS (SELECT * FROM (VALUES ('src0', 20000), ('src1', 5000),
+        |                              ('src2', 1000)) t(source, target)),
+        |r AS (SELECT toks.source, SUM(tok) AS avail, ANY_VALUE(target) AS target,
+        |        LEAST(1.0, CAST(ANY_VALUE(target) AS DOUBLE)/SUM(tok)) AS rate
+        |      FROM toks JOIN tgt USING (source) GROUP BY toks.source),
+        |samp AS (SELECT t.doc_id, t.source, t.tok
+        |         FROM toks t JOIN r USING (source)
+        |         WHERE ((t.doc_id + 7919) * 2654435761) % 10000 < rate * 10000),
+        |agg AS (SELECT source, SUM(tok) AS ach, COUNT(*) AS nd
+        |        FROM samp GROUP BY source)
+        |SELECT r.source, CAST(r.avail AS BIGINT) AS avail_tokens,
+        |       CAST(r.target AS BIGINT) AS target_tokens,
+        |       CAST(COALESCE(agg.ach, 0) AS BIGINT) AS achieved_tokens,
+        |       CAST(COALESCE(agg.nd, 0) AS BIGINT) AS n_docs
+        |FROM r LEFT JOIN agg USING (source)
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
     "q84_repetition" ->
       """WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |r AS (

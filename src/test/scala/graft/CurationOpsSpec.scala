@@ -65,6 +65,24 @@ class CurationOpsSpec extends SparkSpec {
       "salted sampling decorrelates from the split hash")
   }
 
+  test("token-budget sampling: whole domain at rate 1, untargeted dropped, deterministic") {
+    val df = (0L until 200L)
+      .map(i => (i, if (i < 100) "a" else if (i < 150) "b" else "c", 10L))
+      .toDF("doc_id", "source", "tok")
+    // a: target 1000 = avail → rate 1, all 100 docs; c: no target → dropped
+    val s1 = Sampling.sampleToTokenBudget(df, "doc_id", "source", "tok",
+      Seq("a" -> 1000L, "b" -> 100L))
+    val bySrc = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == 100L, "target >= available keeps the whole domain")
+    assert(!bySrc.contains("c"), "untargeted domains are dropped")
+    assert(bySrc.getOrElse("b", 0L) < 50L, "b is down-sampled toward 10 docs")
+    val s2 = Sampling.sampleToTokenBudget(df, "doc_id", "source", "tok",
+      Seq("a" -> 1000L, "b" -> 100L))
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq, "deterministic")
+  }
+
   test("int8 quantization: hand-computed codes, zero vector, duplicate retrieval") {
     import graft.functions.Similarity
     val df = Seq(
