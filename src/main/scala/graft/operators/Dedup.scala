@@ -250,6 +250,103 @@ object Dedup {
       .drop("comp")
   }
 
+  // -- incremental (corpus-vs-batch) admission -------------------------------
+
+  /** The persisted MinHash-LSH band index of a corpus: (idCol, band,
+    * band_hash) — `bands` rows of three longs per document. This is the
+    * artifact an incremental pipeline STORES alongside the corpus: at
+    * 100 TB, re-shingling yesterday's corpus on every ingest is the cost
+    * that kills incremental dedup, so the index is computed once per doc
+    * (at admission time) and appended, exactly like the data files.
+    */
+  def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int = 32, bands: Int = 8,
+                       shingleSize: Int = 3): DataFrame =
+    lshBands(minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+             idCol, numHashes, bands)
+
+  /** Incremental batch admission: dedupe a NEW batch against an EXISTING
+    * corpus without ever re-processing the corpus — the shape every
+    * growing training corpus actually runs (daily crawl ingest), where
+    * "re-dedupe the world" is not an option.
+    *
+    * Mechanics: the batch is shingled/banded once ([[minhashBandIndex]],
+    * materialized — it feeds both probes); corpus collisions come from a
+    * hash join of batch bands against the STORED `corpusIndex` (the
+    * corpus text is touched only to verify the candidates that collide);
+    * batch-internal duplicates go through the standard bucket→pairs→
+    * connected-components pipeline over the batch alone. Candidate pairs
+    * from both probes are confirmed by `verify` — by default exact text
+    * equality, which makes the whole operator's OUTPUT engine-portable
+    * (any SQL engine reproduces it with equality joins; LSH is only the
+    * blocking strategy that avoids the quadratic compare). A fuzzy
+    * pipeline passes a Jaccard/cosine verifier instead and accepts
+    * candidate-recall semantics (q41c's measured contract).
+    *
+    * Returns `batch` plus three flags:
+    *  - `dup_of_corpus`: some corpus doc collided in ≥1 band AND verified
+    *  - `batch_dup`: the doc is in a verified batch-internal duplicate
+    *    cluster and is not its minimum-id (canonical) member
+    *  - `keep`: neither — the rows a pipeline appends to the corpus.
+    *
+    * Scale notes: batch bands shuffle once (they are (long,long,long)
+    * rows, not text); the corpus side ships only index rows matching the
+    * batch's band hashes (a runtime filter / DPP-style join, broadcast
+    * when the batch is small); corpus text is read through a join keyed
+    * by the (small) verified-candidate id set. Nothing recomputes corpus
+    * signatures. With exact verification, equal texts have identical
+    * signatures, hence collide in EVERY band — recall 1.0 by
+    * construction, the property q87's oracle proves.
+    */
+  def incrementalAdmission(
+      corpusIndex: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      maxBucket: Int = 10000,
+      verify: (Column, Column) => Column = _ === _): DataFrame = {
+    // Materialized once: feeds the corpus probe AND the internal-pair
+    // probe; without the pin the whole shingle+agg pipeline runs twice.
+    val bIdx = minhashBandIndex(batch, idCol, textCol,
+        numHashes, bands, shingleSize)
+      .localCheckpoint(true)
+    val bTxt = batch.select(col(idCol), col(textCol))
+
+    // corpus probe: band collision -> candidate (batch, corpus) id pairs
+    // -> verify on the two texts. distinct() before the text joins so a
+    // doc pair colliding in k bands verifies once, not k times.
+    val candC = bIdx.join(
+        corpusIndex.select(col(idCol).as("__cid"),
+          col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select(col(idCol), col("__cid")).distinct()
+    val corpusDup = candC
+      .join(bTxt.select(col(idCol), col(textCol).as("__bt")), Seq(idCol))
+      .join(corpus.select(col(idCol).as("__cid"),
+        col(textCol).as("__ct")), Seq("__cid"))
+      .filter(verify(col("__bt"), col("__ct")))
+      .select(col(idCol)).distinct()
+
+    // batch-internal probe: buckets -> pairs -> verify -> components.
+    val pairs = bucketPairs(bIdx, Seq("band", "band_hash"),
+        Seq(col(idCol).as("_id")), maxBucket)
+      .select(col("a._id").as("qa"), col("b._id").as("qb")).distinct()
+    val vPairs = pairs
+      .join(bTxt.select(col(idCol).as("qa"), col(textCol).as("__ta")), Seq("qa"))
+      .join(bTxt.select(col(idCol).as("qb"), col(textCol).as("__tb")), Seq("qb"))
+      .filter(verify(col("__ta"), col("__tb")))
+      .select(col("qa"), col("qb"))
+    val comps = connectedComponents(vPairs)
+
+    batch
+      .join(corpusDup.withColumn("__dc", lit(true)), Seq(idCol), "left")
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("dup_of_corpus", coalesce(col("__dc"), lit(false)))
+      .withColumn("batch_dup",
+        col("comp").isNotNull && col("comp") =!= col(idCol))
+      .withColumn("keep", !col("dup_of_corpus") && !col("batch_dup"))
+      .drop("__dc", "comp")
+  }
+
   // -- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: each token votes ±1 on every

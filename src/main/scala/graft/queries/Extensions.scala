@@ -362,6 +362,36 @@ object Extensions {
         .orderBy(col("source").asc_nulls_first)
     }),
 
+    // Incremental corpus admission: dedupe a NEW batch against the stored
+    // LSH index of an EXISTING corpus (never re-processing the corpus) —
+    // the daily-ingest shape of a growing training corpus. The batch
+    // mixes corpus clones (must drop), fresh docs (must keep), and
+    // batch-internal duplicates (keep one canonical). With the default
+    // exact verifier the output is provably the equality-join answer
+    // (identical texts collide in every band), so DuckDB reproduces it
+    // without knowing anything about MinHash.
+    "q87_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 100)
+      val corpusIdx = Dedup.minhashBandIndex(
+        corpus, "doc_id", "text", numHashes = 32, bands = 16)
+      val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 125)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      Dedup.incrementalAdmission(corpusIdx, corpus, batch,
+          "doc_id", "text", numHashes = 32, bands = 16)
+        .agg(
+          count(lit(1)).as("n_batch"),
+          count(when(col("dup_of_corpus"), 1)).as("n_dup_corpus"),
+          count(when(col("batch_dup"), 1)).as("n_batch_dup"),
+          count(when(col("keep"), 1)).as("n_keep"),
+          coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L))
+            .cast("bigint").as("keep_id_sum"))
+    }),
+
     // Gopher-style repetition signals: duplicate-word ratio, top-word
     // fraction (longest run over the sorted word array — one map-side
     // fold, not a per-distinct-word rescan), duplicate-3-gram ratio, and
@@ -690,6 +720,27 @@ object Extensions {
         |       CAST(COALESCE(agg.nd, 0) AS BIGINT) AS n_docs
         |FROM r LEFT JOIN agg USING (source)
         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+    "q87_incremental_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |b AS (
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |    WHERE doc_id >= 100 AND doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM documents
+        |    WHERE doc_id >= 100 AND doc_id < 125),
+        |f AS (SELECT doc_id,
+        |        EXISTS(SELECT 1 FROM corpus c WHERE c.text = b.text) AS dup_c,
+        |        doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS dup_b
+        |      FROM b)
+        |SELECT COUNT(*) AS n_batch,
+        |  COUNT(CASE WHEN dup_c THEN 1 END) AS n_dup_corpus,
+        |  COUNT(CASE WHEN dup_b THEN 1 END) AS n_batch_dup,
+        |  COUNT(CASE WHEN NOT dup_c AND NOT dup_b THEN 1 END) AS n_keep,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT dup_c AND NOT dup_b THEN doc_id END),
+        |       0) AS BIGINT) AS keep_id_sum
+        |FROM f""".stripMargin,
     "q84_repetition" ->
       """WITH b AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
         |r AS (

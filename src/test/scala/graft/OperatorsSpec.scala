@@ -125,6 +125,31 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L, 9L)) // cluster minima + untouched singleton
   }
 
+  test("incrementalAdmission: corpus dups drop, fresh keep, batch picks canonical") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "completely different corpus text about spark shuffles")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      numHashes = 32, bands = 16)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again"), // corpus dup
+      (11L, "a genuinely fresh document with its own words here"), // keep
+      (12L, "two copies inside the batch share this exact body"),  // canonical
+      (13L, "two copies inside the batch share this exact body")   // batch dup
+    ).toDF("doc_id", "text")
+    val adm = Dedup.incrementalAdmission(idx, corpus, batch,
+        "doc_id", "text", numHashes = 32, bands = 16)
+      .select("doc_id", "dup_of_corpus", "batch_dup", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1).toSeq
+    assert(adm == Seq(
+      (10L, true, false, false),
+      (11L, false, false, true),
+      (12L, false, false, true),
+      (13L, false, true, false)))
+  }
+
   test("simhash of identical docs is identical, near-dup is close") {
     val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
