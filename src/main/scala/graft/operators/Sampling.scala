@@ -93,6 +93,45 @@ object Sampling {
     * as a BROADCAST, then a map-only filter. The achieved token count is
     * hash-approximate around the target (exact when `target ≥ available`,
     * where the rate caps at 1 and the domain passes through whole). */
+  /** Temperature-flattened mixture under a global token budget: the
+    * sampled token share of domain `d` is `avail_d^alpha / Σ avail_e^alpha`
+    * — `alpha = 1` preserves the natural mix, `alpha → 0` approaches
+    * uniform. This is the standard multilingual/source re-balancing move
+    * (sample low-resource domains up without letting the head domain
+    * swamp the budget). `rate_d = min(1, budget·w_d / avail_d)`; the cap
+    * means a tiny domain whose flattened share exceeds its size passes
+    * through whole and the budget is under-filled by that surplus
+    * (deliberately NOT redistributed: redistribution is iterative
+    * water-filling, which no other engine reproduces from the spec —
+    * callers wanting exact budgets compose [[sampleToTokenBudget]] with
+    * explicit targets).
+    *
+    * Same physics as [[sampleToTokenBudget]]: one map-side-combined
+    * aggregate to #domains rows (plus a second agg OVER those rows for
+    * the normalizer — free), broadcast back, map-only membership filter
+    * via the salted hash. All arithmetic is IEEE double + `pow`,
+    * reproducible across engines. */
+  def sampleByTemperature(df: DataFrame, idCol: String, domainCol: String,
+                          tokensCol: String, alpha: Double,
+                          budgetTokens: Long,
+                          salt: Long = 7919L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    require(budgetTokens >= 0, s"need a non-negative budget, got $budgetTokens")
+    val w = df.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).cast("double").as("__avail"))
+      .select(col(domainCol), col("__avail"),
+        pow(col("__avail"), lit(alpha)).as("__wa"))
+    val z = w.agg(sum(col("__wa")).as("__z"))
+    val rates = w.crossJoin(broadcast(z))
+      .select(col(domainCol),
+        least(lit(1.0),
+          lit(budgetTokens.toDouble) * col("__wa") / col("__z") / col("__avail"))
+          .as("__rate"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(saltedBucket(col(idCol), salt) < col("__rate") * Buckets)
+      .drop("__rate")
+  }
+
   def sampleToTokenBudget(df: DataFrame, idCol: String, domainCol: String,
                           tokensCol: String, targets: Seq[(String, Long)],
                           salt: Long = 7919L): DataFrame = {

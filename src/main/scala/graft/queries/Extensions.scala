@@ -362,6 +362,28 @@ object Extensions {
         .orderBy(col("source").asc_nulls_first)
     }),
 
+    // Temperature-flattened mixture: sampled token share ∝ avail^alpha
+    // under a global budget — the multilingual re-balancing move. Over the
+    // skewed `lang` column (en holds ~43% of tokens): alpha=0.5 flattens
+    // the head, the per-lang rate/achieved tokens prove it. All arithmetic
+    // is IEEE double + pow; DuckDB re-derives rates AND membership.
+    "q88_temperature_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextFunctions.wordCount(col("text")).as("tok"))
+      val samp = graft.operators.Sampling.sampleByTemperature(
+        docs, "doc_id", "lang", "tok", alpha = 0.5, budgetTokens = 15000L)
+      val avail = docs.groupBy(col("lang")).agg(sum(col("tok")).as("avail"))
+      avail.join(
+          samp.groupBy(col("lang"))
+            .agg(sum(col("tok")).as("ach"), count(lit(1)).as("nd")),
+          Seq("lang"), "left")
+        .select(col("lang"),
+          col("avail").cast("bigint").as("avail_tokens"),
+          coalesce(col("ach"), lit(0L)).cast("bigint").as("achieved_tokens"),
+          coalesce(col("nd"), lit(0L)).cast("bigint").as("n_docs"))
+        .orderBy(col("lang").asc_nulls_first)
+    }),
+
     // Incremental corpus admission: dedupe a NEW batch against the stored
     // LSH index of an EXISTING corpus (never re-processing the corpus) —
     // the daily-ingest shape of a growing training corpus. The batch
@@ -720,6 +742,26 @@ object Extensions {
         |       CAST(COALESCE(agg.nd, 0) AS BIGINT) AS n_docs
         |FROM r LEFT JOIN agg USING (source)
         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+    "q88_temperature_mix" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) AS tok
+        |       FROM documents),
+        |t AS (SELECT lang, CAST(SUM(tok) AS DOUBLE) AS avail
+        |      FROM toks GROUP BY lang),
+        |r AS (SELECT lang, avail,
+        |        LEAST(1.0, 15000 * pow(avail, 0.5)
+        |                   / SUM(pow(avail, 0.5)) OVER () / avail) AS rate
+        |      FROM t),
+        |samp AS (SELECT toks.doc_id, toks.lang, toks.tok
+        |         FROM toks JOIN r USING (lang)
+        |         WHERE ((toks.doc_id + 7919) * 2654435761) % 10000 < rate * 10000),
+        |agg AS (SELECT lang, SUM(tok) AS ach, COUNT(*) AS nd
+        |        FROM samp GROUP BY lang)
+        |SELECT r.lang, CAST(r.avail AS BIGINT) AS avail_tokens,
+        |       CAST(COALESCE(agg.ach, 0) AS BIGINT) AS achieved_tokens,
+        |       CAST(COALESCE(agg.nd, 0) AS BIGINT) AS n_docs
+        |FROM r LEFT JOIN agg USING (lang)
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin,
     "q87_incremental_dedup" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
         |b AS (

@@ -83,6 +83,36 @@ class CurationOpsSpec extends SparkSpec {
       s2.select("doc_id").as[Long].collect().sorted.toSeq, "deterministic")
   }
 
+  test("temperature sampling: alpha=1 is a uniform rate, alpha<1 favors rare domains") {
+    // a: 1000 tokens in 100 docs, b: 40 tokens in 20 docs
+    val df = ((0L until 100L).map(i => (i, "a", 10L)) ++
+        (100L until 120L).map(i => (i, "b", 2L)))
+      .toDF("doc_id", "source", "tok")
+    // alpha=1: natural mix — every domain keeps the same fraction
+    // budget/total = 520/1040 = 0.5 of its tokens (hash-approximate)
+    val s1 = Sampling.sampleByTemperature(df, "doc_id", "source", "tok",
+      alpha = 1.0, budgetTokens = 520L)
+    val by1 = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by1("a") > 30 && by1("a") < 70, s"a ~half, got ${by1("a")}")
+    assert(by1("b") > 3 && by1("b") < 17, s"b ~half, got ${by1("b")}")
+
+    // alpha=0.25 flattens hard: b's rate caps at 1 (all 20 docs), a
+    // gets the remainder of the flattened share — fewer than natural
+    val s2 = Sampling.sampleByTemperature(df, "doc_id", "source", "tok",
+      alpha = 0.25, budgetTokens = 520L)
+    val by2 = s2.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by2("b") == 20L, s"rare domain passes whole, got ${by2("b")}")
+    assert(by2("a") < by1("a"), "head domain is down-weighted vs alpha=1")
+
+    // deterministic across runs
+    val s3 = Sampling.sampleByTemperature(df, "doc_id", "source", "tok",
+      alpha = 0.25, budgetTokens = 520L)
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s3.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("int8 quantization: hand-computed codes, zero vector, duplicate retrieval") {
     import graft.functions.Similarity
     val df = Seq(
