@@ -132,6 +132,41 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Large prime modulus for the shuffle sort key: fine-grained enough
+    * that key ties are broken by the id tiebreak only in pathological
+    * id spaces. */
+  val ShuffleMod = 1000000007L
+
+  /** Deterministic global shuffle into `numShards` output shards — the
+    * training-export step: a model wants its corpus in pseudo-random
+    * order, the pipeline wants that order REPRODUCIBLE (same corpus +
+    * same salt ⇒ byte-identical shards, resumable across reruns and
+    * re-derivable by any engine).
+    *
+    * `skey = (id + salt)·KnuthPrime mod [[ShuffleMod]]` is the shuffle
+    * order; `shard = skey mod numShards`. One HASH-partition exchange +
+    * a within-partition sort. Deliberately NOT `orderBy(skey)` /
+    * `repartitionByRange`: a RangePartitioner samples its boundaries
+    * (seeded by rdd.id), so re-executing the shuffle in another job can
+    * draw DIFFERENT partition boundaries — silently different shard
+    * files on retry. Hash sharding is a pure function of the id: a
+    * lost-executor retry, a rerun, or a different engine all rebuild the
+    * identical shard. Shards are hash-balanced (±√n), not exactly equal
+    * — the trade for determinism.
+    *
+    * Output keeps `shard` and `__skey` (the within-shard sort key);
+    * write with `.write.partitionBy("shard")` for one directory per
+    * shard, or `foreachPartition` for one file per shard. */
+  def shuffleIntoShards(df: DataFrame, idCol: String, numShards: Int,
+                        salt: Long = 104729L): DataFrame = {
+    require(numShards > 0, s"need a positive shard count, got $numShards")
+    val skey = pmod((col(idCol) + salt) * KnuthPrime, lit(ShuffleMod))
+    df.withColumn("__skey", skey)
+      .withColumn("shard", pmod(col("__skey"), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__skey"), col(idCol))
+  }
+
   def sampleToTokenBudget(df: DataFrame, idCol: String, domainCol: String,
                           tokensCol: String, targets: Seq[(String, Long)],
                           salt: Long = 7919L): DataFrame = {

@@ -362,6 +362,22 @@ object Extensions {
         .orderBy(col("source").asc_nulls_first)
     }),
 
+    // Deterministic global shuffle into training-export shards: per-shard
+    // membership and order are pure functions of (id, salt), so DuckDB
+    // re-derives the exact shard populations and order-key extrema. The
+    // plan is ONE hash exchange + in-partition sort — no RangePartitioner
+    // (whose sampled boundaries are not stable across jobs).
+    "q89_shuffle_shards" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      graft.operators.Sampling.shuffleIntoShards(docs, "doc_id", 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("bigint").as("id_sum"),
+          min(col("__skey")).cast("bigint").as("min_skey"),
+          max(col("__skey")).cast("bigint").as("max_skey"))
+        .orderBy(col("shard").asc_nulls_first)
+    }),
+
     // Temperature-flattened mixture: sampled token share ∝ avail^alpha
     // under a global budget — the multilingual re-balancing move. Over the
     // skewed `lang` column (en holds ~43% of tokens): alpha=0.5 flattens
@@ -742,6 +758,16 @@ object Extensions {
         |       CAST(COALESCE(agg.nd, 0) AS BIGINT) AS n_docs
         |FROM r LEFT JOIN agg USING (source)
         |ORDER BY source ASC NULLS FIRST""".stripMargin,
+    "q89_shuffle_shards" ->
+      """WITH k AS (SELECT doc_id,
+        |         ((doc_id + 104729) * 2654435761) % 1000000007 AS skey
+        |       FROM documents),
+        |s AS (SELECT doc_id, skey, skey % 8 AS shard FROM k)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(MIN(skey) AS BIGINT) AS min_skey,
+        |       CAST(MAX(skey) AS BIGINT) AS max_skey
+        |FROM s GROUP BY shard ORDER BY shard ASC NULLS FIRST""".stripMargin,
     "q88_temperature_mix" ->
       """WITH toks AS (SELECT doc_id, lang,
         |         CAST(len(string_split(text,' ')) AS BIGINT) AS tok

@@ -113,6 +113,33 @@ class CurationOpsSpec extends SparkSpec {
       s3.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("shuffleIntoShards: lossless, in-order partitions, hash (not range) exchange") {
+    val df = (0L until 500L).toDF("doc_id")
+    val sh = Sampling.shuffleIntoShards(df, "doc_id", 8)
+    // lossless partition of the input across shards
+    assert(sh.count() == 500L)
+    assert(sh.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (0L until 500L).toSeq)
+    assert(sh.select("shard").distinct().as[Long].collect().sorted.toSeq ==
+      (0L until 8L).toSeq)
+    // physical partitions are sorted by (shard, skey, id) — the written
+    // file order a resumed export must reproduce
+    val perPart = sh.select("shard", "__skey", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions(it => Iterator.single(it.toSeq)).collect()
+    perPart.foreach(p => assert(p == p.sortBy(identity), "partition unsorted"))
+    // deterministic across independent plans
+    val again = Sampling.shuffleIntoShards(df, "doc_id", 8)
+      .select("shard", "doc_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(again == sh.select("shard", "doc_id")
+      .as[(Long, Long)].collect().sorted.toSeq)
+    // the exchange is hash partitioning — range sampling would make
+    // retried/re-run shuffles draw different boundaries
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
   test("int8 quantization: hand-computed codes, zero vector, duplicate retrieval") {
     import graft.functions.Similarity
     val df = Seq(
