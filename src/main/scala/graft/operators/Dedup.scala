@@ -297,12 +297,24 @@ object Dedup {
     * signatures. With exact verification, equal texts have identical
     * signatures, hence collide in EVERY band — recall 1.0 by
     * construction, the property q87's oracle proves.
+    *
+    * `probeMaxBucket` is the corpus-probe twin of `maxBucket`: index rows
+    * in a band bucket larger than the cap are excluded from the probe,
+    * bounding the candidate join at Σ |batch bucket|·cap instead of
+    * quadratic blowup on a hot bucket (boilerplate-dense corpora). Exact
+    * recall degrades only if ALL `bands` buckets of a corpus twin are
+    * over the cap — i.e. the twin sits in a >cap-dense near-dup
+    * neighborhood that this same operator would have collapsed at ITS
+    * admission; near-dup recall over capped buckets degrades to the
+    * usual candidate semantics. The bucket-size window shuffles the
+    * index on exactly the probe-join key, so the exchange is reused —
+    * the cap costs no extra shuffle.
     */
   def incrementalAdmission(
       corpusIndex: DataFrame, corpus: DataFrame,
       batch: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
-      maxBucket: Int = 10000,
+      maxBucket: Int = 10000, probeMaxBucket: Int = 10000,
       verify: (Column, Column) => Column = _ === _): DataFrame = {
     // Materialized once: feeds the corpus probe AND the internal-pair
     // probe; without the pin the whole shingle+agg pipeline runs twice.
@@ -314,10 +326,17 @@ object Dedup {
     // corpus probe: band collision -> candidate (batch, corpus) id pairs
     // -> verify on the two texts. distinct() before the text joins so a
     // doc pair colliding in k bands verifies once, not k times.
-    val candC = bIdx.join(
-        corpusIndex.select(col(idCol).as("__cid"),
-          col("band"), col("band_hash")),
-        Seq("band", "band_hash"))
+    val cIdx0 = corpusIndex.select(col(idCol).as("__cid"),
+      col("band"), col("band_hash"))
+    val cIdx =
+      if (probeMaxBucket == Int.MaxValue) cIdx0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")
+        cIdx0.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= probeMaxBucket).drop("__bn")
+      }
+    val candC = bIdx.join(cIdx, Seq("band", "band_hash"))
       .select(col(idCol), col("__cid")).distinct()
     val corpusDup = candC
       .join(bTxt.select(col(idCol), col(textCol).as("__bt")), Seq(idCol))

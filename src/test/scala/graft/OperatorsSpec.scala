@@ -150,6 +150,25 @@ class DedupSpec extends SparkSpec {
       (13L, false, true, false)))
   }
 
+  test("incrementalAdmission: probeMaxBucket drops hot corpus buckets from the probe") {
+    import spark.implicits._
+    // five corpus copies of one text -> every band bucket for it has 5 members
+    val corpus = (1L to 5L)
+      .map(i => (i, "hot boilerplate text repeated across the whole corpus"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      numHashes = 32, bands = 16)
+    val batch = Seq(
+      (10L, "hot boilerplate text repeated across the whole corpus"))
+      .toDF("doc_id", "text")
+    def dupFlag(cap: Int): Boolean =
+      Dedup.incrementalAdmission(idx, corpus, batch, "doc_id", "text",
+          numHashes = 32, bands = 16, probeMaxBucket = cap)
+        .select("dup_of_corpus").as[Boolean].head()
+    assert(dupFlag(10000), "under the cap the corpus dup is found")
+    assert(!dupFlag(4), "buckets over the cap are excluded from the probe")
+  }
+
   test("simhash of identical docs is identical, near-dup is close") {
     val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
