@@ -261,9 +261,20 @@ object Dedup {
     */
   def minhashBandIndex(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int = 32, bands: Int = 8,
-                       shingleSize: Int = 3): DataFrame =
+                       shingleSize: Int = 3): DataFrame = {
+    // The index is self-describing: its build parameters ride along as
+    // field metadata (preserved through a parquet round-trip), so
+    // incrementalAdmission can refuse a probe whose parameters disagree
+    // — a silent mismatch would degrade recall to ~zero with no signal.
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft.numHashes", numHashes)
+      .putLong("graft.bands", bands)
+      .putLong("graft.shingleSize", shingleSize)
+      .build()
     lshBands(minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
-             idCol, numHashes, bands)
+        idCol, numHashes, bands)
+      .select(col(idCol), col("band").as("band", md), col("band_hash"))
+  }
 
   /** Incremental batch admission: dedupe a NEW batch against an EXISTING
     * corpus without ever re-processing the corpus — the shape every
@@ -276,12 +287,19 @@ object Dedup {
     * corpus text is touched only to verify the candidates that collide);
     * batch-internal duplicates go through the standard bucket→pairs→
     * connected-components pipeline over the batch alone. Candidate pairs
-    * from both probes are confirmed by `verify` — by default exact text
-    * equality, which makes the whole operator's OUTPUT engine-portable
-    * (any SQL engine reproduces it with equality joins; LSH is only the
-    * blocking strategy that avoids the quadratic compare). A fuzzy
-    * pipeline passes a Jaccard/cosine verifier instead and accepts
-    * candidate-recall semantics (q41c's measured contract).
+    * from both probes are confirmed by `verify` — by default NULL-SAFE
+    * exact text equality (`<=>`: two NULL texts ARE duplicates, matching
+    * `exactKeepFirst`'s groupBy semantics and SQL's `PARTITION BY text`
+    * / `IS NOT DISTINCT FROM`), which makes the whole operator's OUTPUT
+    * engine-portable (any SQL engine reproduces it with equality joins;
+    * LSH is only the blocking strategy that avoids the quadratic
+    * compare). A fuzzy pipeline passes a Jaccard/cosine verifier instead
+    * and accepts candidate-recall semantics (q41c's measured contract).
+    * One bound on the exactness claim: both probes cap bucket expansion
+    * (`maxBucket` internally, `probeMaxBucket` against the corpus), so
+    * an exact-duplicate GROUP larger than the cap is not
+    * pair-enumerated — at that size the bucket itself is the answer and
+    * belongs to an upstream boilerplate rule, not pair admission.
     *
     * Returns `batch` plus three flags:
     *  - `dup_of_corpus`: some corpus doc collided in ≥1 band AND verified
@@ -315,7 +333,21 @@ object Dedup {
       batch: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
       maxBucket: Int = 10000, probeMaxBucket: Int = 10000,
-      verify: (Column, Column) => Column = _ === _): DataFrame = {
+      verify: (Column, Column) => Column = _ <=> _): DataFrame = {
+    // Refuse a probe whose LSH parameters disagree with the ones the
+    // stored index was built with (self-described via field metadata):
+    // a mismatched (band, band_hash) join matches ~nothing and would
+    // silently admit every duplicate.
+    corpusIndex.schema.find(_.name == "band").map(_.metadata)
+      .filter(_.contains("graft.bands")).foreach { m =>
+        val (h, b, sh) = (m.getLong("graft.numHashes"),
+          m.getLong("graft.bands"), m.getLong("graft.shingleSize"))
+        require(h == numHashes && b == bands && sh == shingleSize,
+          s"corpusIndex was built with numHashes=$h bands=$b " +
+            s"shingleSize=$sh but admission was invoked with " +
+            s"numHashes=$numHashes bands=$bands shingleSize=$shingleSize " +
+            "— a mismatched probe would silently admit every duplicate")
+      }
     // Materialized once: feeds the corpus probe AND the internal-pair
     // probe; without the pin the whole shingle+agg pipeline runs twice.
     val bIdx = minhashBandIndex(batch, idCol, textCol,

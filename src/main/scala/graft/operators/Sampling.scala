@@ -81,18 +81,6 @@ object Sampling {
                      salt: Long = 7919L): DataFrame =
     df.filter(domainSampleFlag(col(idCol), col(domainCol), rates, default, salt))
 
-  /** Down-sample each domain to a TOKEN budget — mixture specs for
-    * training runs are written in tokens, not documents, and sources
-    * differ wildly in document length. `rate_d = min(1, target_d /
-    * available_d)` computed from the data, then the same deterministic
-    * salted-hash membership as [[sampleByDomain]]. Domains without a
-    * target are dropped (rate 0).
-    *
-    * Two passes, both scale-safe: a per-domain token aggregate (one
-    * shuffle with map-side combine, output = #domains rows) joined back
-    * as a BROADCAST, then a map-only filter. The achieved token count is
-    * hash-approximate around the target (exact when `target ≥ available`,
-    * where the rate caps at 1 and the domain passes through whole). */
   /** Temperature-flattened mixture under a global token budget: the
     * sampled token share of domain `d` is `avail_d^alpha / Σ avail_e^alpha`
     * — `alpha = 1` preserves the natural mix, `alpha → 0` approaches
@@ -109,8 +97,14 @@ object Sampling {
     * Same physics as [[sampleToTokenBudget]]: one map-side-combined
     * aggregate to #domains rows (plus a second agg OVER those rows for
     * the normalizer — free), broadcast back, map-only membership filter
-    * via the salted hash. All arithmetic is IEEE double + `pow`,
-    * reproducible across engines. */
+    * via the salted hash. All arithmetic is IEEE double + `pow`;
+    * reproducibility caveat: the normalizer is a float SUM whose
+    * accumulation order (and another engine's `pow`) can differ by an
+    * ulp, so a rate landing WITHIN AN ULP of an integer bucket boundary
+    * could in principle flip one document — measurable only in
+    * adversarially-constructed token counts, but stated rather than
+    * hidden. Domains whose token sum is 0 or NULL get rate 0 (not the
+    * NaN that naive division would produce). */
   def sampleByTemperature(df: DataFrame, idCol: String, domainCol: String,
                           tokensCol: String, alpha: Double,
                           budgetTokens: Long,
@@ -122,11 +116,14 @@ object Sampling {
       .select(col(domainCol), col("__avail"),
         pow(col("__avail"), lit(alpha)).as("__wa"))
     val z = w.agg(sum(col("__wa")).as("__z"))
+    // 0.0/0.0 = NaN and least() orders NaN ABOVE 1.0, so an unguarded
+    // zero-token domain would sample at rate 1 instead of 0
     val rates = w.crossJoin(broadcast(z))
       .select(col(domainCol),
-        least(lit(1.0),
-          lit(budgetTokens.toDouble) * col("__wa") / col("__z") / col("__avail"))
-          .as("__rate"))
+        when(col("__avail") > 0,
+          least(lit(1.0),
+            lit(budgetTokens.toDouble) * col("__wa") / col("__z") / col("__avail")))
+          .otherwise(lit(0.0)).as("__rate"))
     df.join(broadcast(rates), Seq(domainCol))
       .filter(saltedBucket(col(idCol), salt) < col("__rate") * Buckets)
       .drop("__rate")
@@ -156,7 +153,12 @@ object Sampling {
     *
     * Output keeps `shard` and `__skey` (the within-shard sort key);
     * write with `.write.partitionBy("shard")` for one directory per
-    * shard, or `foreachPartition` for one file per shard. */
+    * shard. The physical Spark partition index is NOT the shard id —
+    * `repartition(n, col)` places rows by murmur3(shard) mod n, so a
+    * partition can hold zero or several (whole, contiguous) shards;
+    * anything that equates "partition" with "shard" (e.g. a naive
+    * one-file-per-partition `foreachPartition` writer) silently mixes
+    * or drops shards. */
   def shuffleIntoShards(df: DataFrame, idCol: String, numShards: Int,
                         salt: Long = 104729L): DataFrame = {
     require(numShards > 0, s"need a positive shard count, got $numShards")
@@ -167,6 +169,18 @@ object Sampling {
       .sortWithinPartitions(col("shard"), col("__skey"), col(idCol))
   }
 
+  /** Down-sample each domain to a TOKEN budget — mixture specs for
+    * training runs are written in tokens, not documents, and sources
+    * differ wildly in document length. `rate_d = min(1, target_d /
+    * available_d)` computed from the data, then the same deterministic
+    * salted-hash membership as [[sampleByDomain]]. Domains without a
+    * target — or whose token sum is 0 or NULL — are dropped (rate 0).
+    *
+    * Two passes, both scale-safe: a per-domain token aggregate (one
+    * shuffle with map-side combine, output = #domains rows) joined back
+    * as a BROADCAST, then a map-only filter. The achieved token count is
+    * hash-approximate around the target (exact when `target ≥ available`,
+    * where the rate caps at 1 and the domain passes through whole). */
   def sampleToTokenBudget(df: DataFrame, idCol: String, domainCol: String,
                           tokensCol: String, targets: Seq[(String, Long)],
                           salt: Long = 7919L): DataFrame = {
@@ -174,11 +188,14 @@ object Sampling {
     val tgt = targets.foldRight(lit(0L)) { case ((d0, t), rest) =>
       when(col(domainCol) === d0, lit(t)).otherwise(rest)
     }
+    // the avail > 0 guard: 0/0 = NaN sorts ABOVE 1.0 in least(), so an
+    // unguarded zero-token domain would pass whole instead of dropping
     val rates = df.groupBy(col(domainCol))
       .agg(sum(col(tokensCol)).as("__avail"))
       .select(col(domainCol),
-        least(lit(1.0), tgt.cast("double") / col("__avail").cast("double"))
-          .as("__rate"))
+        when(col("__avail") > 0,
+          least(lit(1.0), tgt.cast("double") / col("__avail").cast("double")))
+          .otherwise(lit(0.0)).as("__rate"))
     df.join(broadcast(rates), Seq(domainCol))
       .filter(saltedBucket(col(idCol), salt) < col("__rate") * Buckets)
       .drop("__rate")

@@ -799,7 +799,8 @@ object Extensions {
         |  SELECT doc_id + 3000000, text FROM documents
         |    WHERE doc_id >= 100 AND doc_id < 125),
         |f AS (SELECT doc_id,
-        |        EXISTS(SELECT 1 FROM corpus c WHERE c.text = b.text) AS dup_c,
+        |        EXISTS(SELECT 1 FROM corpus c
+        |               WHERE c.text IS NOT DISTINCT FROM b.text) AS dup_c,
         |        doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS dup_b
         |      FROM b)
         |SELECT COUNT(*) AS n_batch,

@@ -83,6 +83,19 @@ class CurationOpsSpec extends SparkSpec {
       s2.select("doc_id").as[Long].collect().sorted.toSeq, "deterministic")
   }
 
+  test("zero-token domains sample at rate 0, not the NaN-rate 1") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "z", 0L), (4L, "z", 0L))
+      .toDF("doc_id", "source", "tok")
+    val s1 = Sampling.sampleToTokenBudget(df, "doc_id", "source", "tok",
+      Seq("a" -> 100L, "z" -> 100L))
+    assert(!s1.select("source").as[String].collect().contains("z"),
+      "a targeted zero-token domain must drop (0/0 NaN would keep it)")
+    val s2 = Sampling.sampleByTemperature(df, "doc_id", "source", "tok",
+      alpha = 0.5, budgetTokens = 100L)
+    assert(!s2.select("source").as[String].collect().contains("z"),
+      "temperature sampling drops zero-token domains too")
+  }
+
   test("temperature sampling: alpha=1 is a uniform rate, alpha<1 favors rare domains") {
     // a: 1000 tokens in 100 docs, b: 40 tokens in 20 docs
     val df = ((0L until 100L).map(i => (i, "a", 10L)) ++

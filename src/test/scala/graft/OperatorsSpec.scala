@@ -169,6 +169,27 @@ class DedupSpec extends SparkSpec {
     assert(!dupFlag(4), "buckets over the cap are excluded from the probe")
   }
 
+  test("incrementalAdmission: null texts are null-safe dups; index param mismatch is loud") {
+    import spark.implicits._
+    val corpus = Seq((1L, Option("some corpus text"))).toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      numHashes = 32, bands = 16)
+    // two NULL-text batch docs: <=> verification makes them a dup pair
+    // (the PARTITION BY / groupBy semantics), so one canonical survives
+    val batch = Seq((10L, None: Option[String]), (11L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val adm = Dedup.incrementalAdmission(idx, corpus, batch, "doc_id", "text",
+        numHashes = 32, bands = 16)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(adm == Seq((10L, true), (11L, false)))
+    // a probe with different LSH parameters than the stored index refuses
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalAdmission(idx, corpus, batch, "doc_id", "text",
+        numHashes = 32, bands = 8)
+    }
+    assert(e.getMessage.contains("mismatched probe"))
+  }
+
   test("simhash of identical docs is identical, near-dup is close") {
     val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
