@@ -205,6 +205,78 @@ object EventStream {
     }
   }
 
+  /** Streaming corpus ingest with incremental dedup — the complete ingest
+    * loop of a growing training corpus: each micro-batch is admitted
+    * against the LIVE corpus through its STORED LSH band index
+    * ([[graft.operators.Dedup.incrementalAdmission]] — the corpus text is
+    * never re-shingled), and the admitted rows plus THEIR index rows
+    * publish as ONE multi-table transaction
+    * ([[graft.iceberg.Transactions.commitAll]]). Atomicity is load-bearing,
+    * not cosmetic: with two separate appends, a crash in between leaves
+    * corpus docs with no index rows — permanently invisible to every
+    * future probe, i.e. silent duplicate admission from then on.
+    *
+    * Exactly-once: the batch-id ledger rides the CORPUS table's snapshot
+    * summaries (same convention as [[icebergSink]]); because the pair
+    * commits atomically, the corpus ledger vouches for the index too. A
+    * batch whose rows are ALL rejected publishes nothing — a replay
+    * recomputes the same (deterministic) admission and rejects again.
+    *
+    * The LSH parameters must match the ones the index table was built
+    * with (Iceberg schemas don't carry Spark field metadata, so the
+    * DataFrame-level self-description check cannot fire across a table
+    * round-trip — state them once at table creation and pass the same
+    * values here).
+    */
+  def icebergAdmissionSink(stream: DataFrame, corpusDir: String,
+                           indexDir: String, idCol: String, textCol: String,
+                           numHashes: Int = 32, bands: Int = 8,
+                           shingleSize: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val qid = Option(
+            s.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
+          val conf = s.sessionState.newHadoopConf()
+          val meta = graft.iceberg.TableMetadata.load(corpusDir, conf)
+          val replayed = meta.snapshots
+            .filter(_.summary.getOrElse(QueryIdKey, "") == qid)
+            .flatMap(_.summary.get(BatchIdKey).flatMap(_.toLongOption))
+            .maxOption.exists(_ >= batchId)
+          if (!replayed) {
+            val corpus = graft.iceberg.IcebergTable(s, corpusDir).toDF(s)
+            val index = graft.iceberg.IcebergTable(s, indexDir).toDF(s)
+            // pin the admitted set: both appends (rows + index) must see
+            // the IDENTICAL admission result, and the CC inside admission
+            // must not recompute per action
+            val kept = graft.operators.Dedup.incrementalAdmission(
+                index, corpus, batch.toDF, idCol, textCol,
+                numHashes, bands, shingleSize)
+              .filter(col("keep"))
+              .drop("dup_of_corpus", "batch_dup", "keep")
+              .localCheckpoint(true)
+            if (!kept.isEmpty) {
+              val keptIdx = graft.operators.Dedup.minhashBandIndex(
+                kept, idCol, textCol, numHashes, bands, shingleSize)
+              val summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid)
+              val c1 = graft.iceberg.Transactions.stage(
+                  new graft.iceberg.FsCommitter(corpusDir, conf)) { c =>
+                graft.iceberg.IcebergWriter.append(s, corpusDir, kept,
+                  summary = summary, committer = Some(c)); ()
+              }
+              val c2 = graft.iceberg.Transactions.stage(
+                  new graft.iceberg.FsCommitter(indexDir, conf)) { c =>
+                graft.iceberg.IcebergWriter.append(s, indexDir, keptIdx,
+                  committer = Some(c)); ()
+              }
+              graft.iceberg.Transactions.commitAll(Seq(c1, c2))
+            }
+          }
+        }
+    }
+
   /** Read the events parquet directory as a stream (file source), with the
     * same nanos→micros ts normalization as the batch loader.
     */

@@ -215,6 +215,69 @@ class StreamingSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
   }
 
+  test("admission sink: batches dedupe against the live corpus+index, atomically") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import graft.operators.Dedup
+    val cDir = "/root/repo/target/test-admission-corpus"
+    val iDir = "/root/repo/target/test-admission-index"
+    Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+    import spark.implicits._
+    val corpusSeed = Seq(
+      (1L, "the seed corpus carries this first document body"),
+      (2L, "and a second unrelated body about table formats")
+    ).toDF("doc_id", "text")
+    val indexSeed = Dedup.minhashBandIndex(corpusSeed, "doc_id", "text",
+      numHashes = 32, bands = 16)
+    for ((d, sch) <- Seq(cDir -> corpusSeed.schema, iDir -> indexSeed.schema)) {
+      val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+        new com.fasterxml.jackson.databind.ObjectMapper(), d, sch, Nil, Map.empty)
+      new File(s"$d/metadata").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)
+    }
+    IcebergWriter.append(spark, cDir, corpusSeed)
+    IcebergWriter.append(spark, iDir, indexSeed)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    val q = EventStream.icebergAdmissionSink(stream, cDir, iDir,
+        "doc_id", "text", numHashes = 32, bands = 16)
+      .option("checkpointLocation", s"$cDir/_ckpt")
+      .start()
+    try {
+      // batch 0: a clone of seed doc 1 (reject) + a fresh doc (admit)
+      mem.addData(
+        (10L, "the seed corpus carries this first document body"),
+        (11L, "a genuinely novel document arriving in batch zero"))
+      q.processAllAvailable()
+      // batch 1: a clone of the doc batch 0 admitted — the probe must see
+      // it through the index rows batch 0 appended (the loop feeds
+      // itself); plus a fresh doc and its in-batch duplicate
+      mem.addData(
+        (12L, "a genuinely novel document arriving in batch zero"),
+        (13L, "fresh material for batch one and nothing else"),
+        (14L, "fresh material for batch one and nothing else"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = IcebergTable(spark, cDir).toDF(spark)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 11L, 13L),
+      s"corpus = seed + one admit per batch, got $ids")
+    // index rows track the corpus exactly: bands per admitted doc —
+    // the atomic pair means neither table can lead the other
+    val idx = IcebergTable(spark, iDir).toDF(spark)
+    assert(idx.count() == 4 * 16, s"index rows = 4 docs x 16 bands")
+    assert(idx.select("doc_id").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 11L, 13L))
+    // one snapshot per table per non-empty admission (seed + 2 batches)
+    assert(IcebergTable(spark, cDir).metadata.snapshots.size == 3)
+    assert(IcebergTable(spark, iDir).metadata.snapshots.size == 3)
+  }
+
   test("restart from checkpoint replays the last batch without duplicate rows") {
     import java.io.File
     import org.apache.commons.io.FileUtils
