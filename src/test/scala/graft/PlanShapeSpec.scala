@@ -48,6 +48,34 @@ class PlanShapeSpec extends SparkSpec {
       s"broadcast subtree should be the filtered query side:\n$plan")
   }
 
+  test("budget samplers broadcast the rates side; resharding is one hash exchange") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.wordCount(col("text")).as("tok"))
+    // the #domains-row rates frame must come back as a BroadcastHashJoin —
+    // a shuffle join here would re-shuffle the CORPUS to join 5 rows
+    for (df <- Seq(
+        Sampling.sampleToTokenBudget(docs, "doc_id", "source", "tok",
+          Seq("src0" -> 100L)),
+        Sampling.sampleByTemperature(docs, "doc_id", "source", "tok",
+          alpha = 0.5, budgetTokens = 1000L))) {
+      val plan = physical(df)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"rates must broadcast-join back onto the corpus:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"no corpus re-shuffle for a #domains-row join:\n$plan")
+    }
+    // resharding: exactly ONE exchange, and it is hash (deterministic
+    // placement), never range (sampled, job-dependent boundaries)
+    val sh = Sampling.shuffleIntoShards(docs.select("doc_id"), "doc_id", 8)
+    val plan = physical(sh)
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning"), plan)
+  }
+
   test("asOfJoin plans one window pass and no join node for the matching") {
     val ev = Tables.load(spark, sf, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
