@@ -333,7 +333,22 @@ object Dedup {
       batch: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
       maxBucket: Int = 10000, probeMaxBucket: Int = 10000,
-      verify: (Column, Column) => Column = _ <=> _): DataFrame = {
+      verify: (Column, Column) => Column = _ <=> _): DataFrame =
+    incrementalAdmissionWithIndex(corpusIndex, corpus, batch, idCol, textCol,
+      numHashes, bands, shingleSize, maxBucket, probeMaxBucket, verify)._1
+
+  /** [[incrementalAdmission]] that ALSO returns the batch's band index
+    * (already materialized internally) — callers that append admitted
+    * rows to a stored index (the streaming ingest loop) filter it to the
+    * kept ids instead of re-running the whole shingle+minhash pipeline a
+    * second time. Returns (flags, batchBandIndex). */
+  def incrementalAdmissionWithIndex(
+      corpusIndex: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
+      maxBucket: Int = 10000, probeMaxBucket: Int = 10000,
+      verify: (Column, Column) => Column = _ <=> _)
+      : (DataFrame, DataFrame) = {
     // Refuse a probe whose LSH parameters disagree with the ones the
     // stored index was built with (self-described via field metadata):
     // a mismatched (band, band_hash) join matches ~nothing and would
@@ -388,7 +403,7 @@ object Dedup {
       .select(col("qa"), col("qb"))
     val comps = connectedComponents(vPairs)
 
-    batch
+    val flags = batch
       .join(corpusDup.withColumn("__dc", lit(true)), Seq(idCol), "left")
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("dup_of_corpus", coalesce(col("__dc"), lit(false)))
@@ -396,6 +411,7 @@ object Dedup {
         col("comp").isNotNull && col("comp") =!= col(idCol))
       .withColumn("keep", !col("dup_of_corpus") && !col("batch_dup"))
       .drop("__dc", "comp")
+    (flags, bIdx)
   }
 
   // -- SimHash ---------------------------------------------------------------

@@ -73,19 +73,26 @@ object EventStream {
     * ids are scoped to a checkpoint; the query id in the summary keeps a
     * FRESH checkpoint writing to an existing table from being swallowed
     * by the old checkpoint's ledger.) */
+  /** The exactly-once ledger convention, in ONE place: the highest batch
+    * id this query ever committed to the table. Scans ALL snapshots
+    * (branch commits live in the same snapshot list), so a replay is
+    * caught regardless of target ref. */
+  private[graft] def lastCommittedBatchId(
+      meta: graft.iceberg.TableMetadata, queryId: String): Option[Long] = {
+    val qid = Option(queryId).getOrElse("")
+    meta.snapshots
+      .filter(_.summary.getOrElse(QueryIdKey, "") == qid)
+      .flatMap(_.summary.get(BatchIdKey).flatMap(_.toLongOption))
+      .maxOption
+  }
+
   private[graft] def commitBatchIfNew(
       batch: DataFrame, tableDir: String, batchId: Long, queryId: String,
       branch: String = "main"): Boolean = {
     val conf = batch.sparkSession.sessionState.newHadoopConf()
     val meta = graft.iceberg.TableMetadata.load(tableDir, conf)
     val qid = Option(queryId).getOrElse("")
-    // the ledger scans ALL snapshots (branch commits live in the same
-    // snapshot list), so a replay is caught regardless of target ref
-    val lastCommitted = meta.snapshots
-      .filter(_.summary.getOrElse(QueryIdKey, "") == qid)
-      .flatMap(_.summary.get(BatchIdKey).flatMap(_.toLongOption))
-      .maxOption
-    if (lastCommitted.exists(_ >= batchId)) false // replayed batch: skip
+    if (lastCommittedBatchId(meta, qid).exists(_ >= batchId)) false // replay
     else if (batch.isEmpty) false
     else {
       graft.iceberg.IcebergWriter.append(batch.sparkSession, tableDir, batch.toDF,
@@ -217,10 +224,28 @@ object EventStream {
     * future probe, i.e. silent duplicate admission from then on.
     *
     * Exactly-once: the batch-id ledger rides the CORPUS table's snapshot
-    * summaries (same convention as [[icebergSink]]); because the pair
-    * commits atomically, the corpus ledger vouches for the index too. A
-    * batch whose rows are ALL rejected publishes nothing — a replay
-    * recomputes the same (deterministic) admission and rejects again.
+    * summaries (same convention as [[icebergSink]]). The publish ORDER
+    * is part of the protocol: the INDEX change is listed first, the
+    * ledger-carrying corpus last, so the one crash window the
+    * filesystem committer cannot close (between the two pointer moves —
+    * see [[graft.iceberg.Transactions.commitAll]]) strands benign
+    * orphan INDEX rows: the replay finds no corpus ledger entry,
+    * recomputes the same (deterministic) admission, and re-commits —
+    * orphan index rows point at ids absent from the corpus, so every
+    * future probe's verify join drops them (index bloat for
+    * maintenance, never a correctness loss). The reverse order would
+    * instead strand ledgered corpus rows WITHOUT index rows — docs
+    * invisible to all future probes, i.e. permanent duplicate
+    * admission. A batch whose rows are ALL rejected publishes nothing —
+    * a replay recomputes the same admission and rejects again.
+    *
+    * A rival commit on either table (maintenance compaction, a second
+    * admission stream) conflicts at publish time; the sink re-reads the
+    * moved tables, recomputes admission against the fresh state, and
+    * re-stages — a bounded number of times, then fails the stream
+    * LOUDLY. It never swallows the conflict: `foreachBatch` marks the
+    * batch done once this returns, so a swallowed conflict would not be
+    * retried — it would silently drop the batch's admissions.
     *
     * The LSH parameters must match the ones the index table was built
     * with (Iceberg schemas don't carry Spark field metadata, so the
@@ -240,38 +265,56 @@ object EventStream {
           val qid = Option(
             s.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
           val conf = s.sessionState.newHadoopConf()
-          val meta = graft.iceberg.TableMetadata.load(corpusDir, conf)
-          val replayed = meta.snapshots
-            .filter(_.summary.getOrElse(QueryIdKey, "") == qid)
-            .flatMap(_.summary.get(BatchIdKey).flatMap(_.toLongOption))
-            .maxOption.exists(_ >= batchId)
-          if (!replayed) {
-            val corpus = graft.iceberg.IcebergTable(s, corpusDir).toDF(s)
-            val index = graft.iceberg.IcebergTable(s, indexDir).toDF(s)
-            // pin the admitted set: both appends (rows + index) must see
-            // the IDENTICAL admission result, and the CC inside admission
-            // must not recompute per action
-            val kept = graft.operators.Dedup.incrementalAdmission(
-                index, corpus, batch.toDF, idCol, textCol,
-                numHashes, bands, shingleSize)
-              .filter(col("keep"))
-              .drop("dup_of_corpus", "batch_dup", "keep")
-              .localCheckpoint(true)
-            if (!kept.isEmpty) {
-              val keptIdx = graft.operators.Dedup.minhashBandIndex(
-                kept, idCol, textCol, numHashes, bands, shingleSize)
-              val summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid)
-              val c1 = graft.iceberg.Transactions.stage(
-                  new graft.iceberg.FsCommitter(corpusDir, conf)) { c =>
-                graft.iceberg.IcebergWriter.append(s, corpusDir, kept,
-                  summary = summary, committer = Some(c)); ()
+          val maxAttempts = 3
+          var attempt = 0
+          var done = false
+          while (!done) {
+            attempt += 1
+            val meta = graft.iceberg.TableMetadata.load(corpusDir, conf)
+            if (lastCommittedBatchId(meta, qid).exists(_ >= batchId)) {
+              done = true // replayed batch: already committed
+            } else {
+              val corpus = graft.iceberg.IcebergTable(s, corpusDir).toDF(s)
+              val index = graft.iceberg.IcebergTable(s, indexDir).toDF(s)
+              // the admitted set is pinned (checkpointed band index +
+              // deterministic flags), so both appends see the IDENTICAL
+              // result; the batch band index is reused for the index
+              // append instead of re-running the minhash pipeline
+              val (adm, bIdx) = graft.operators.Dedup
+                .incrementalAdmissionWithIndex(
+                  index, corpus, batch.toDF, idCol, textCol,
+                  numHashes, bands, shingleSize)
+              val kept = adm.filter(col("keep"))
+                .drop("dup_of_corpus", "batch_dup", "keep")
+                .localCheckpoint(true)
+              if (kept.isEmpty) done = true // all rejected: nothing to publish
+              else {
+                val keptIdx = bIdx.join(
+                  kept.select(col(idCol)), Seq(idCol), "left_semi")
+                val summary =
+                  Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid)
+                // INDEX first, ledgered corpus last — see the scaladoc
+                val cIdx = graft.iceberg.Transactions.stage(
+                    new graft.iceberg.FsCommitter(indexDir, conf)) { c =>
+                  graft.iceberg.IcebergWriter.append(s, indexDir, keptIdx,
+                    committer = Some(c)); ()
+                }
+                val cCorpus = graft.iceberg.Transactions.stage(
+                    new graft.iceberg.FsCommitter(corpusDir, conf)) { c =>
+                  graft.iceberg.IcebergWriter.append(s, corpusDir, kept,
+                    summary = summary, committer = Some(c)); ()
+                }
+                try {
+                  graft.iceberg.Transactions.commitAll(Seq(cIdx, cCorpus))
+                  done = true
+                } catch {
+                  case e: graft.iceberg.CommitConflictException =>
+                    // rival moved a table: recompute against fresh state
+                    // (never swallow — foreachBatch would mark the batch
+                    // done and the admissions would be silently lost)
+                    if (attempt >= maxAttempts) throw e
+                }
               }
-              val c2 = graft.iceberg.Transactions.stage(
-                  new graft.iceberg.FsCommitter(indexDir, conf)) { c =>
-                graft.iceberg.IcebergWriter.append(s, indexDir, keptIdx,
-                  committer = Some(c)); ()
-              }
-              graft.iceberg.Transactions.commitAll(Seq(c1, c2))
             }
           }
         }

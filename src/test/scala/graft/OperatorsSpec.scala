@@ -190,6 +190,26 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("mismatched probe"))
   }
 
+  test("incrementalAdmission: orphan index rows (no corpus doc) are ignored") {
+    import spark.implicits._
+    // the admission sink's crash window strands index rows whose doc never
+    // made it into the corpus; the probe's verify join must drop them so
+    // the replayed batch is admitted, not phantom-rejected
+    val corpus = Seq((1L, "a corpus document that really exists")).toDF("doc_id", "text")
+    val orphan = Seq((99L, "stranded text whose corpus row never committed"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashBandIndex(corpus.unionByName(orphan),
+      "doc_id", "text", numHashes = 32, bands = 16)
+    val batch = Seq((10L, "stranded text whose corpus row never committed"))
+      .toDF("doc_id", "text")
+    val adm = Dedup.incrementalAdmission(idx, corpus, batch, "doc_id", "text",
+        numHashes = 32, bands = 16)
+      .select("doc_id", "dup_of_corpus", "keep")
+      .as[(Long, Boolean, Boolean)].head()
+    assert(adm == ((10L, false, true)),
+      "a doc colliding only with orphan index rows must be admitted")
+  }
+
   test("simhash of identical docs is identical, near-dup is close") {
     val sig = Dedup.simhash64(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
