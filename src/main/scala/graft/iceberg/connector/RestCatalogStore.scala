@@ -294,19 +294,77 @@ final class RestCatalogStore(
     expect2xx("POST", v1("tables/rename"), Some(mapper.writeValueAsString(req)))
   }
 
-  // -- views: not part of the REST surface we mirror -------------------------
+  // -- views: the REST spec's /views routes ----------------------------------
+  // The catalog seam trades in COMPLETE view-spec metadata documents; the
+  // REST spec's CreateViewRequest instead decomposes one into {name,
+  // location, schema, view-version, properties} and lets the SERVICE
+  // compose (and own) the stored document — so createView decomposes the
+  // document GraftCatalog built, and loadViewJson reads back whatever the
+  // service composed (its uuid/version-log, not necessarily ours).
 
-  private def viewsUnsupported: Nothing = throw new UnsupportedOperationException(
-    "views are not supported over the REST catalog (use a warehouse catalog)")
+  override def isView(ns: Seq[String], name: String): Boolean =
+    request("GET", v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}"), None)._1 / 100 == 2
 
-  override def isView(ns: Seq[String], name: String): Boolean = false
-  override def listViews(ns: Seq[String]): Seq[String] = Nil
-  override def loadViewJson(ns: Seq[String], name: String): JsonNode = viewsUnsupported
-  override def createView(ns: Seq[String], name: String, json: String): Unit = viewsUnsupported
-  override def dropView(ns: Seq[String], name: String): Boolean = false
+  override def listViews(ns: Seq[String]): Seq[String] =
+    pagedList(v1(s"namespaces/${nsPath(ns)}/views"), "identifiers")
+      .map(_.get("name").asText)
+
+  override def loadViewJson(ns: Seq[String], name: String): JsonNode = {
+    val (code, body) =
+      request("GET", v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}"), None)
+    if (code == 404)
+      throw new NoSuchElementException(s"view ${(ns :+ name).mkString(".")} not found")
+    if (code / 100 != 2)
+      throw new IllegalStateException(s"loadView -> HTTP $code: $body")
+    Option(mapper.readTree(body).get("metadata")).getOrElse(
+      throw new IllegalStateException("LoadViewResult has no metadata document"))
+  }
+
+  override def createView(ns: Seq[String], name: String, json: String): Unit = {
+    val meta = mapper.readTree(json)
+    val currentId = meta.get("current-version-id").asInt
+    val ver = meta.get("versions").elements.asScala
+      .find(_.get("version-id").asInt == currentId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"view metadata: current-version-id $currentId not in versions"))
+    val schemaId = ver.get("schema-id").asInt
+    val schema = meta.get("schemas").elements.asScala
+      .find(_.get("schema-id").asInt == schemaId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"view metadata: schema-id $schemaId not in schemas"))
+    val req = mapper.createObjectNode()
+    req.put("name", name)
+    Option(meta.get("location")).foreach(l => req.put("location", l.asText))
+    req.set[JsonNode]("schema", schema)
+    req.set[JsonNode]("view-version", ver)
+    req.set[JsonNode]("properties",
+      Option(meta.get("properties")).getOrElse(mapper.createObjectNode()))
+    expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/views"),
+      Some(mapper.writeValueAsString(req)))
+    ()
+  }
+
+  override def dropView(ns: Seq[String], name: String): Boolean =
+    request("DELETE", v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}"), None)._1 / 100 == 2
+
   override def renameView(fromNs: Seq[String], fromName: String,
-                          toNs: Seq[String], toName: String): Unit = viewsUnsupported
-  override def viewLocation(ns: Seq[String], name: String): String = viewsUnsupported
+                          toNs: Seq[String], toName: String): Unit = {
+    def ident(target: com.fasterxml.jackson.databind.node.ObjectNode,
+              ns: Seq[String], n: String): Unit = {
+      val arr = target.putArray("namespace"); ns.foreach(arr.add)
+      target.put("name", n); ()
+    }
+    val req = mapper.createObjectNode()
+    ident(req.putObject("source"), fromNs, fromName)
+    ident(req.putObject("destination"), toNs, toName)
+    expect2xx("POST", v1("views/rename"), Some(mapper.writeValueAsString(req)))
+    ()
+  }
+
+  /** Informational for a REST-served view (a view stores no data files);
+    * the service may substitute its own location in the stored document. */
+  override def viewLocation(ns: Seq[String], name: String): String =
+    v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}")
 }
 
 /** [[graft.iceberg.TableCommitter]] over the REST catalog: the data plane

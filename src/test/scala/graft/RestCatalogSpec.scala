@@ -28,6 +28,7 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   private val mapper = new ObjectMapper()
   private val namespaces = mutable.Set[String]()
   private val tables = mutable.Map[(String, String), ObjectNode]()
+  private val views = mutable.Map[(String, String), ObjectNode]()
   private val dataRoot = "/root/repo/target/test-rest-warehouse"
 
   @volatile private var server: HttpServer = _
@@ -102,6 +103,58 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
           json(x, 409, """{"error":{"message":"namespace not empty"}}""")
         else if (namespaces.remove(ns)) json(x, 204, "")
         else json(x, 404, """{"error":{"message":"no such namespace"}}""")
+      case ("GET", "testwh" :: "namespaces" :: ns :: "views" :: Nil) =>
+        val ids = views.keys.filter(_._1 == ns).map(_._2).toSeq.sorted
+          .map(v => s"""{"namespace":["$ns"],"name":"$v"}""")
+        json(x, 200, paged(x, ids, "identifiers"))
+      case ("POST", "testwh" :: "namespaces" :: ns :: "views" :: Nil) =>
+        // the SERVICE composes + owns the stored document from the
+        // decomposed CreateViewRequest (spec contract)
+        val req = body
+        val name = req.get("name").asText
+        if (views.contains((ns, name)))
+          json(x, 409, """{"error":{"message":"view exists"}}""")
+        else {
+          val ver = req.get("view-version").asInstanceOf[ObjectNode]
+          val doc = mapper.createObjectNode()
+          doc.put("view-uuid",
+            java.util.UUID.nameUUIDFromBytes(s"$ns.$name".getBytes(UTF_8)).toString)
+          doc.put("format-version", 1)
+          doc.put("location",
+            Option(req.get("location")).map(_.asText)
+              .getOrElse(s"$dataRoot/$ns/$name"))
+          doc.putArray("schemas").add(req.get("schema"))
+          doc.put("current-version-id", ver.get("version-id").asInt)
+          doc.putArray("versions").add(ver)
+          val vl = doc.putArray("version-log").addObject()
+          vl.put("timestamp-ms", 0L)
+          vl.put("version-id", ver.get("version-id").asInt)
+          doc.set[ObjectNode]("properties",
+            Option(req.get("properties").asInstanceOf[ObjectNode])
+              .getOrElse(mapper.createObjectNode()))
+          views((ns, name)) = doc
+          json(x, 200, s"""{"metadata-location":"$dataRoot/$ns/$name/v1",""" +
+            s""""metadata":${mapper.writeValueAsString(doc)}}""")
+        }
+      case ("GET", "testwh" :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        views.get((ns, v)) match {
+          case Some(doc) => json(x, 200,
+            s"""{"metadata-location":"$dataRoot/$ns/$v/v1",""" +
+              s""""metadata":${mapper.writeValueAsString(doc)}}""")
+          case None => json(x, 404, """{"error":{"message":"no such view"}}""")
+        }
+      case ("DELETE", "testwh" :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        if (views.remove((ns, v)).isDefined) json(x, 204, "")
+        else json(x, 404, """{"error":{"message":"no such view"}}""")
+      case ("POST", "testwh" :: "views" :: "rename" :: Nil) =>
+        val req = body
+        def ident(k: String) = (
+          req.get(k).get("namespace").elements.next().asText,
+          req.get(k).get("name").asText)
+        views.remove(ident("source")) match {
+          case Some(doc) => views(ident("destination")) = doc; json(x, 200, "{}")
+          case None => json(x, 404, """{"error":{"message":"no such view"}}""")
+        }
       case ("GET", "testwh" :: "namespaces" :: ns :: "tables" :: Nil) =>
         val ids = tables.keys.filter(_._1 == ns).map(_._2).toSeq.sorted
           .map(t => s"""{"namespace":["$ns"],"name":"$t"}""")
@@ -357,6 +410,42 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.sql("SELECT COUNT(*) FROM restcat.rns.t1").collect()(0).getLong(0) == 0L)
     spark.sql("DROP TABLE restcat.rns.t1")
     assert(!tables.contains(("rns", "t1")))
+  }
+
+  test("REST: views round-trip — create, expand in SELECT, list, rename, drop") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.vns")
+    spark.sql("DROP TABLE IF EXISTS restcat.vns.vt")
+    spark.sql("CREATE TABLE restcat.vns.vt (id BIGINT, score DOUBLE)")
+    spark.sql("INSERT INTO restcat.vns.vt VALUES (1, 0.5), (2, 1.5), (3, 2.5)")
+    val cat = spark.sessionState.catalogManager.catalog("restcat")
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(Array("vns"), "high")
+    if (cat.viewExists(ident)) cat.dropView(ident)
+    // CREATE goes through the seam -> the spec's CreateViewRequest; the
+    // SERVICE composes + owns the stored document (stock Spark has no v2
+    // CREATE VIEW SQL; same API convention as the q3b warehouse path)
+    cat.createView(new ViewInfo(ident,
+      "SELECT id, score FROM restcat.vns.vt WHERE score > 1.0",
+      "restcat", Array.empty[String],
+      StructType(Seq(StructField("id", LongType),
+        StructField("score", DoubleType))),
+      Array("id", "score"), Array.empty, Array.empty,
+      new java.util.HashMap[String, String]()))
+    assert(views.contains(("vns", "high")), "stub should hold the view document")
+    // expansion reads back the document the service composed
+    assert(spark.sql("SELECT id FROM restcat.vns.high ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(cat.listViews("vns").map(_.name).toSeq == Seq("high"))
+    cat.renameView(ident, Identifier.of(Array("vns"), "high2"))
+    assert(!views.contains(("vns", "high")) && views.contains(("vns", "high2")))
+    assert(spark.sql("SELECT COUNT(*) FROM restcat.vns.high2")
+      .collect()(0).getLong(0) == 2L)
+    assert(cat.dropView(Identifier.of(Array("vns"), "high2")))
+    assert(!views.contains(("vns", "high2")))
+    spark.sql("DROP TABLE restcat.vns.vt")
   }
 
   test("REST: rename moves the identifier") {
