@@ -1,6 +1,7 @@
 package graft.iceberg.connector
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.types.StructType
@@ -57,6 +58,15 @@ trait CatalogStore {
   def dropView(ns: Seq[String], name: String): Boolean
   def renameView(fromNs: Seq[String], fromName: String,
                  toNs: Seq[String], toName: String): Unit
+
+  /** Property-only view update (Spark's `ViewChange` surface is
+    * SetProperty/RemoveProperty). The warehouse store rewrites the
+    * document; the REST store sends the spec's `CommitViewRequest`
+    * (assert-view-uuid + set-properties/remove-properties) so the
+    * SERVICE applies it under its own concurrency control. */
+  def updateViewProperties(ns: Seq[String], name: String,
+                           set: Map[String, String],
+                           remove: Seq[String]): Unit
 
   /** Location a view committed under `ns.name` should record. */
   def viewLocation(ns: Seq[String], name: String): String
@@ -234,6 +244,19 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
 
   override def createView(ns: Seq[String], name: String, viewMetadataJson: String): Unit =
     write(new Path(dirFor(ns :+ name), "metadata/v1.view-metadata.json"), viewMetadataJson)
+
+  override def updateViewProperties(ns: Seq[String], name: String,
+                                    set: Map[String, String],
+                                    remove: Seq[String]): Unit = {
+    val node = loadViewJson(ns, name).asInstanceOf[ObjectNode]
+    val props = Option(node.get("properties"))
+      .map(_.asInstanceOf[ObjectNode]).getOrElse(node.putObject("properties"))
+    set.foreach { case (k, v) => props.put(k, v) }
+    remove.foreach(props.remove)
+    node.set[ObjectNode]("properties", props)
+    write(new Path(dirFor(ns :+ name), "metadata/v1.view-metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
+  }
 
   override def dropView(ns: Seq[String], name: String): Boolean = {
     val dir = dirFor(ns :+ name)

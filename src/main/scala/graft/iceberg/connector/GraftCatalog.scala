@@ -57,6 +57,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   private var catalogName: String = _
   private var store: CatalogStore = _
+  private[graft] def storeForTest: CatalogStore = store
   private val mapper = new ObjectMapper()
 
   /** Lazy table cache (A15 without the eager mirror), guarded by the
@@ -377,8 +378,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     loadView(ident)
   }
 
-  override def alterView(ident: Identifier, changes: ViewChange*): View =
-    throw new UnsupportedOperationException("alterView is not supported")
+  /** Spark's `ViewChange` surface is property-only (SetProperty /
+    * RemoveProperty); SQL-text changes are CREATE OR REPLACE territory.
+    * The warehouse store rewrites the document; the REST store commits a
+    * `CommitViewRequest` so the service owns concurrency control. */
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    val set = changes.collect {
+      case c: ViewChange.SetProperty => c.property -> c.value
+    }.toMap
+    val remove = changes.collect {
+      case c: ViewChange.RemoveProperty => c.property
+    }
+    store.updateViewProperties(ident.namespace.toSeq, ident.name, set, remove)
+    loadView(ident)
+  }
 
   override def dropView(ident: Identifier): Boolean =
     store.dropView(ident.namespace.toSeq, ident.name)

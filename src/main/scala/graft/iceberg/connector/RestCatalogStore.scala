@@ -344,6 +344,34 @@ final class RestCatalogStore(
     ()
   }
 
+  override def updateViewProperties(ns: Seq[String], name: String,
+                                    set: Map[String, String],
+                                    remove: Seq[String]): Unit = {
+    // CommitViewRequest: the service applies the actions under its own
+    // concurrency control; assert-view-uuid pins the document we read
+    val uuid = loadViewJson(ns, name).get("view-uuid").asText
+    val req = mapper.createObjectNode()
+    val reqs = req.putArray("requirements")
+    val r0 = reqs.addObject()
+    r0.put("type", "assert-view-uuid"); r0.put("uuid", uuid)
+    val upds = req.putArray("updates")
+    if (set.nonEmpty) {
+      val u = upds.addObject()
+      u.put("action", "set-properties")
+      val p = u.putObject("updates")
+      set.foreach { case (k, v) => p.put(k, v) }
+    }
+    if (remove.nonEmpty) {
+      val u = upds.addObject()
+      u.put("action", "remove-properties")
+      val arr = u.putArray("removals")
+      remove.foreach(arr.add)
+    }
+    expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}"),
+      Some(mapper.writeValueAsString(req)))
+    ()
+  }
+
   override def dropView(ns: Seq[String], name: String): Boolean =
     request("DELETE", v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}"), None)._1 / 100 == 2
 

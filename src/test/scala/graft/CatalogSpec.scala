@@ -305,6 +305,22 @@ class CatalogSpec extends SparkSpec {
     s2.conf.set("spark.sql.catalog.scratch.warehouse", scratch)
     val rows = s2.sql("SELECT * FROM scratch.ns1.long_trips ORDER BY trip_distance").collect()
     assert(rows.map(_.getFloat(1)).toSeq == Seq(2.5f, 8.4f))
+
+    // alterView: property changes rewrite the document in place; the SQL
+    // text, schema, and query-columns survive the round-trip
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    scratchCat.alterView(sIdent,
+      ViewChange.setProperty("comment", "long trips only"),
+      ViewChange.setProperty("owner", "pipeline"))
+    scratchCat.alterView(sIdent, ViewChange.removeProperty("owner"))
+    val doc = scratchCat.asInstanceOf[GraftCatalog]
+      .storeForTest.loadViewJson(Seq("ns1"), "long_trips")
+    assert(doc.get("properties").get("comment").asText == "long trips only")
+    assert(doc.get("properties").get("owner") == null)
+    val rows2 = s2.sql(
+      "SELECT * FROM scratch.ns1.long_trips ORDER BY trip_distance").collect()
+    assert(rows2.map(_.getFloat(1)).toSeq == Seq(2.5f, 8.4f),
+      "expansion still works after the property rewrite")
     scratchCat.dropView(sIdent)
   }
 }

@@ -13,6 +13,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.scalatest.BeforeAndAfterAll
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import graft.iceberg.connector.GraftCatalog
 
@@ -142,6 +143,33 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
             s"""{"metadata-location":"$dataRoot/$ns/$v/v1",""" +
               s""""metadata":${mapper.writeValueAsString(doc)}}""")
           case None => json(x, 404, """{"error":{"message":"no such view"}}""")
+        }
+      case ("POST", "testwh" :: "namespaces" :: ns :: "views" :: v :: Nil) =>
+        views.get((ns, v)) match {
+          case None => json(x, 404, """{"error":{"message":"no such view"}}""")
+          case Some(doc) =>
+            val req = body
+            val uuidOk = req.get("requirements").elements.asScala.forall { r =>
+              r.get("type").asText != "assert-view-uuid" ||
+                r.get("uuid").asText == doc.get("view-uuid").asText
+            }
+            if (!uuidOk) json(x, 409, """{"error":{"message":"uuid mismatch"}}""")
+            else {
+              val props = doc.get("properties").asInstanceOf[ObjectNode]
+              req.get("updates").elements.asScala.foreach { u =>
+                u.get("action").asText match {
+                  case "set-properties" =>
+                    u.get("updates").fields.asScala
+                      .foreach(e => props.put(e.getKey, e.getValue.asText))
+                  case "remove-properties" =>
+                    u.get("removals").elements.asScala
+                      .foreach(r => props.remove(r.asText))
+                  case other => throw new IllegalArgumentException(other)
+                }
+              }
+              json(x, 200, s"""{"metadata-location":"$dataRoot/$ns/$v/v2",""" +
+                s""""metadata":${mapper.writeValueAsString(doc)}}""")
+            }
         }
       case ("DELETE", "testwh" :: "namespaces" :: ns :: "views" :: v :: Nil) =>
         if (views.remove((ns, v)).isDefined) json(x, 204, "")
@@ -439,6 +467,16 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.sql("SELECT id FROM restcat.vns.high ORDER BY id").collect()
       .map(_.getLong(0)).toSeq == Seq(2L, 3L))
     assert(cat.listViews("vns").map(_.name).toSeq == Seq("high"))
+    // alterView commits CommitViewRequest (assert-view-uuid + property
+    // actions) and the service applies it to ITS document
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    cat.alterView(ident,
+      ViewChange.setProperty("comment", "reweighted"),
+      ViewChange.setProperty("owner", "pipeline"))
+    cat.alterView(ident, ViewChange.removeProperty("owner"))
+    val props = views(("vns", "high")).get("properties")
+    assert(props.get("comment").asText == "reweighted")
+    assert(props.get("owner") == null, "removed property must be gone")
     cat.renameView(ident, Identifier.of(Array("vns"), "high2"))
     assert(!views.contains(("vns", "high")) && views.contains(("vns", "high2")))
     assert(spark.sql("SELECT COUNT(*) FROM restcat.vns.high2")
