@@ -60,13 +60,14 @@ trait CatalogStore {
                  toNs: Seq[String], toName: String): Unit
 
   /** Property-only view update (Spark's `ViewChange` surface is
-    * SetProperty/RemoveProperty). The warehouse store rewrites the
-    * document; the REST store sends the spec's `CommitViewRequest`
-    * (assert-view-uuid + set-properties/remove-properties) so the
-    * SERVICE applies it under its own concurrency control. */
+    * SetProperty/RemoveProperty), applied IN CALLER ORDER — `(k, Some(v))`
+    * sets, `(k, None)` removes, and a remove-then-set of the same key
+    * must end set. The warehouse store rewrites the document; the REST
+    * store sends the spec's `CommitViewRequest` (assert-view-uuid + one
+    * action per change, order preserved) so the SERVICE applies it under
+    * its own concurrency control. */
   def updateViewProperties(ns: Seq[String], name: String,
-                           set: Map[String, String],
-                           remove: Seq[String]): Unit
+                           changes: Seq[(String, Option[String])]): Unit
 
   /** Location a view committed under `ns.name` should record. */
   def viewLocation(ns: Seq[String], name: String): String
@@ -246,14 +247,14 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     write(new Path(dirFor(ns :+ name), "metadata/v1.view-metadata.json"), viewMetadataJson)
 
   override def updateViewProperties(ns: Seq[String], name: String,
-                                    set: Map[String, String],
-                                    remove: Seq[String]): Unit = {
+                                    changes: Seq[(String, Option[String])]): Unit = {
     val node = loadViewJson(ns, name).asInstanceOf[ObjectNode]
     val props = Option(node.get("properties"))
       .map(_.asInstanceOf[ObjectNode]).getOrElse(node.putObject("properties"))
-    set.foreach { case (k, v) => props.put(k, v) }
-    remove.foreach(props.remove)
-    node.set[ObjectNode]("properties", props)
+    changes.foreach {
+      case (k, Some(v)) => props.put(k, v)
+      case (k, None) => props.remove(k)
+    }
     write(new Path(dirFor(ns :+ name), "metadata/v1.view-metadata.json"),
       mapper.writerWithDefaultPrettyPrinter.writeValueAsString(node))
   }

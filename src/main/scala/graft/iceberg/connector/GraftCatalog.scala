@@ -383,14 +383,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * The warehouse store rewrites the document; the REST store commits a
     * `CommitViewRequest` so the service owns concurrency control. */
   override def alterView(ident: Identifier, changes: ViewChange*): View = {
-    if (!viewExists(ident)) throw new NoSuchViewException(ident)
-    val set = changes.collect {
-      case c: ViewChange.SetProperty => c.property -> c.value
-    }.toMap
-    val remove = changes.collect {
-      case c: ViewChange.RemoveProperty => c.property
+    val ordered = changes.map {
+      case c: ViewChange.SetProperty => c.property -> Some(c.value)
+      case c: ViewChange.RemoveProperty => c.property -> None
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ViewChange: $other")
     }
-    store.updateViewProperties(ident.namespace.toSeq, ident.name, set, remove)
+    try store.updateViewProperties(ident.namespace.toSeq, ident.name, ordered)
+    catch { case _: NoSuchElementException => throw new NoSuchViewException(ident) }
     loadView(ident)
   }
 

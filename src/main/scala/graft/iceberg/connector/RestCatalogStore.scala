@@ -30,8 +30,12 @@ import graft.iceberg.{IcebergTable, TableMetadata}
   *    carries fresh metadata, which is the REST catalog's currency model;
   *  - an optional bearer `token` rides on every request when configured.
   *
-  * Views are not served over REST here (the reference's REST crate is
-  * namespaces + tables too); [[GraftCatalog]] surfaces a clear error.
+  * Views are served through the spec's `/views` routes (the reference's
+  * REST crate stops at namespaces + tables): decomposed
+  * `CreateViewRequest` on create — the SERVICE composes and owns the
+  * stored document — `LoadViewResult` read-back, paged listing,
+  * `/views/rename`, and property updates as a `CommitViewRequest`
+  * pinned by `assert-view-uuid`.
   */
 final class RestCatalogStore(
     baseUri: String, conf: Configuration,
@@ -146,6 +150,7 @@ final class RestCatalogStore(
     if (!namespaceExists(ns)) return false
     if (cascade) {
       listTables(ns).foreach(dropTable(ns, _))
+      listViews(ns).foreach(dropView(ns, _))
       listNamespaces(ns).foreach(dropNamespace(_, cascade = true))
     }
     val (code, body) = request("DELETE", v1(s"namespaces/${nsPath(ns)}"), None)
@@ -280,8 +285,10 @@ final class RestCatalogStore(
                             hconf: Configuration): graft.iceberg.TableCommitter =
     new RestCommitter(this, ns, name, table.tableDir, hconf)
 
-  override def renameTable(fromNs: Seq[String], fromName: String,
-                           toNs: Seq[String], toName: String): Unit = {
+  /** Spec `RenameTableRequest`/`RenameViewRequest` body: {source,
+    * destination} identifiers. */
+  private def renameRequest(fromNs: Seq[String], fromName: String,
+                            toNs: Seq[String], toName: String): String = {
     val req = mapper.createObjectNode()
     def ident(target: com.fasterxml.jackson.databind.node.ObjectNode,
               ns: Seq[String], n: String): Unit = {
@@ -291,7 +298,14 @@ final class RestCatalogStore(
     }
     ident(req.putObject("source"), fromNs, fromName)
     ident(req.putObject("destination"), toNs, toName)
-    expect2xx("POST", v1("tables/rename"), Some(mapper.writeValueAsString(req)))
+    mapper.writeValueAsString(req)
+  }
+
+  override def renameTable(fromNs: Seq[String], fromName: String,
+                           toNs: Seq[String], toName: String): Unit = {
+    expect2xx("POST", v1("tables/rename"),
+      Some(renameRequest(fromNs, fromName, toNs, toName)))
+    ()
   }
 
   // -- views: the REST spec's /views routes ----------------------------------
@@ -345,31 +359,39 @@ final class RestCatalogStore(
   }
 
   override def updateViewProperties(ns: Seq[String], name: String,
-                                    set: Map[String, String],
-                                    remove: Seq[String]): Unit = {
+                                    changes: Seq[(String, Option[String])]): Unit = {
     // CommitViewRequest: the service applies the actions under its own
-    // concurrency control; assert-view-uuid pins the document we read
+    // concurrency control; assert-view-uuid pins the document we read.
+    // One action per change, caller order preserved (remove-then-set of
+    // the same key must end set).
     val uuid = loadViewJson(ns, name).get("view-uuid").asText
     val req = mapper.createObjectNode()
     val reqs = req.putArray("requirements")
     val r0 = reqs.addObject()
     r0.put("type", "assert-view-uuid"); r0.put("uuid", uuid)
     val upds = req.putArray("updates")
-    if (set.nonEmpty) {
-      val u = upds.addObject()
-      u.put("action", "set-properties")
-      val p = u.putObject("updates")
-      set.foreach { case (k, v) => p.put(k, v) }
+    changes.foreach {
+      case (k, Some(v)) =>
+        val u = upds.addObject()
+        u.put("action", "set-properties")
+        u.putObject("updates").put(k, v)
+      case (k, None) =>
+        val u = upds.addObject()
+        u.put("action", "remove-properties")
+        u.putArray("removals").add(k)
     }
-    if (remove.nonEmpty) {
-      val u = upds.addObject()
-      u.put("action", "remove-properties")
-      val arr = u.putArray("removals")
-      remove.foreach(arr.add)
-    }
-    expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}"),
+    val (code, body) = request("POST",
+      v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}"),
       Some(mapper.writeValueAsString(req)))
-    ()
+    // same translation as the table commit path: 409 is the retry
+    // signal, 404 a concurrent drop — not generic transport errors
+    if (code == 409)
+      throw new graft.iceberg.CommitConflictException(
+        s"view commit rejected (assert-view-uuid failed): $body")
+    if (code == 404)
+      throw new NoSuchElementException(s"view ${(ns :+ name).mkString(".")} not found")
+    if (code / 100 != 2)
+      throw new IllegalStateException(s"view commit -> HTTP $code: $body")
   }
 
   override def dropView(ns: Seq[String], name: String): Boolean =
@@ -377,15 +399,8 @@ final class RestCatalogStore(
 
   override def renameView(fromNs: Seq[String], fromName: String,
                           toNs: Seq[String], toName: String): Unit = {
-    def ident(target: com.fasterxml.jackson.databind.node.ObjectNode,
-              ns: Seq[String], n: String): Unit = {
-      val arr = target.putArray("namespace"); ns.foreach(arr.add)
-      target.put("name", n); ()
-    }
-    val req = mapper.createObjectNode()
-    ident(req.putObject("source"), fromNs, fromName)
-    ident(req.putObject("destination"), toNs, toName)
-    expect2xx("POST", v1("views/rename"), Some(mapper.writeValueAsString(req)))
+    expect2xx("POST", v1("views/rename"),
+      Some(renameRequest(fromNs, fromName, toNs, toName)))
     ()
   }
 

@@ -313,9 +313,13 @@ class CatalogSpec extends SparkSpec {
       ViewChange.setProperty("comment", "long trips only"),
       ViewChange.setProperty("owner", "pipeline"))
     scratchCat.alterView(sIdent, ViewChange.removeProperty("owner"))
+    // remove-then-set of one key in a single call must end set (order)
+    scratchCat.alterView(sIdent,
+      ViewChange.removeProperty("comment"),
+      ViewChange.setProperty("comment", "second"))
     val doc = scratchCat.asInstanceOf[GraftCatalog]
       .storeForTest.loadViewJson(Seq("ns1"), "long_trips")
-    assert(doc.get("properties").get("comment").asText == "long trips only")
+    assert(doc.get("properties").get("comment").asText == "second")
     assert(doc.get("properties").get("owner") == null)
     val rows2 = s2.sql(
       "SELECT * FROM scratch.ns1.long_trips ORDER BY trip_distance").collect()

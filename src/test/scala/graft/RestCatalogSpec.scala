@@ -100,7 +100,7 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
           json(x, 200, s"""{"namespace":["$ns"],"properties":{}}""")
         else json(x, 404, """{"error":{"message":"no such namespace"}}""")
       case ("DELETE", "testwh" :: "namespaces" :: ns :: Nil) =>
-        if (tables.keys.exists(_._1 == ns))
+        if (tables.keys.exists(_._1 == ns) || views.keys.exists(_._1 == ns))
           json(x, 409, """{"error":{"message":"namespace not empty"}}""")
         else if (namespaces.remove(ns)) json(x, 204, "")
         else json(x, 404, """{"error":{"message":"no such namespace"}}""")
@@ -474,8 +474,12 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       ViewChange.setProperty("comment", "reweighted"),
       ViewChange.setProperty("owner", "pipeline"))
     cat.alterView(ident, ViewChange.removeProperty("owner"))
+    // caller ORDER is preserved: remove-then-set of one key ends set
+    cat.alterView(ident,
+      ViewChange.removeProperty("comment"),
+      ViewChange.setProperty("comment", "second"))
     val props = views(("vns", "high")).get("properties")
-    assert(props.get("comment").asText == "reweighted")
+    assert(props.get("comment").asText == "second")
     assert(props.get("owner") == null, "removed property must be gone")
     cat.renameView(ident, Identifier.of(Array("vns"), "high2"))
     assert(!views.contains(("vns", "high")) && views.contains(("vns", "high2")))
