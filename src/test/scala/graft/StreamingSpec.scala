@@ -278,6 +278,58 @@ class StreamingSpec extends SparkSpec {
     assert(IcebergTable(spark, iDir).metadata.snapshots.size == 3)
   }
 
+  test("admission sink: checkpoint replay after a post-commit crash is a no-op") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import graft.operators.Dedup
+    val cDir = "/root/repo/target/test-admission-replay-corpus"
+    val iDir = "/root/repo/target/test-admission-replay-index"
+    Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+    import spark.implicits._
+    val corpusSeed = Seq((1L, "replay seed document body")).toDF("doc_id", "text")
+    val indexSeed = Dedup.minhashBandIndex(corpusSeed, "doc_id", "text",
+      numHashes = 32, bands = 16)
+    for ((d, sch) <- Seq(cDir -> corpusSeed.schema, iDir -> indexSeed.schema)) {
+      val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+        new com.fasterxml.jackson.databind.ObjectMapper(), d, sch, Nil, Map.empty)
+      new File(s"$d/metadata").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)
+    }
+    IcebergWriter.append(spark, cDir, corpusSeed)
+    IcebergWriter.append(spark, iDir, indexSeed)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    def run(): Unit = {
+      val q = EventStream.icebergAdmissionSink(stream, cDir, iDir,
+          "doc_id", "text", numHashes = 32, bands = 16)
+        .option("checkpointLocation", s"$cDir/_ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    mem.addData((10L, "a fresh admitted document"))
+    run()
+    // crash AFTER the atomic pair committed but BEFORE Spark recorded the
+    // batch: drop the commit marker -> restart replays batch 0; the
+    // corpus-table ledger must make the replay a no-op on BOTH tables
+    val marker = new File(s"$cDir/_ckpt/commits/0")
+    assert(marker.exists, "expected checkpoint commit marker for batch 0")
+    assert(marker.delete())
+    new File(s"$cDir/_ckpt/commits/.0.crc").delete()
+    run()
+
+    assert(IcebergTable(spark, cDir).metadata.snapshots.size == 2,
+      "replay must not re-append the corpus (seed + one batch)")
+    assert(IcebergTable(spark, iDir).metadata.snapshots.size == 2,
+      "replay must not re-append the index either (atomic pair + ledger)")
+    assert(IcebergTable(spark, cDir).toDF(spark).select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 10L))
+    assert(IcebergTable(spark, iDir).toDF(spark).count() == 2 * 16)
+  }
+
   test("restart from checkpoint replays the last batch without duplicate rows") {
     import java.io.File
     import org.apache.commons.io.FileUtils
