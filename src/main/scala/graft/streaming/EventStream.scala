@@ -247,11 +247,11 @@ object EventStream {
     * batch done once this returns, so a swallowed conflict would not be
     * retried — it would silently drop the batch's admissions.
     *
-    * The LSH parameters must match the ones the index table was built
-    * with (Iceberg schemas don't carry Spark field metadata, so the
-    * DataFrame-level self-description check cannot fire across a table
-    * round-trip — state them once at table creation and pass the same
-    * values here).
+    * The LSH parameters are PINNED in the index table's properties
+    * (`graft.lsh.*`): recorded on first contact, refused loudly on any
+    * later mismatch — the durable version of the DataFrame-level
+    * field-metadata check, which Iceberg schemas cannot carry across a
+    * table round-trip.
     */
   def icebergAdmissionSink(stream: DataFrame, corpusDir: String,
                            indexDir: String, idCol: String, textCol: String,
@@ -265,6 +265,40 @@ object EventStream {
           val qid = Option(
             s.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
           val conf = s.sessionState.newHadoopConf()
+          // Durable LSH-parameter pinning: Iceberg schemas cannot carry
+          // the DataFrame-level field-metadata self-description across a
+          // table round-trip, so the params are pinned in the index
+          // table's PROPERTIES — recorded on first contact, REFUSED on
+          // mismatch ever after (a mismatched probe silently admits
+          // every duplicate; see Dedup.incrementalAdmission).
+          val lshProps = Map(
+            "graft.lsh.num-hashes" -> numHashes.toString,
+            "graft.lsh.bands" -> bands.toString,
+            "graft.lsh.shingle-size" -> shingleSize.toString)
+          val iMeta = graft.iceberg.TableMetadata.load(indexDir, conf)
+          if (iMeta.properties.contains("graft.lsh.bands")) {
+            require(lshProps.forall { case (k, v) =>
+                iMeta.properties.get(k).contains(v) },
+              s"index table $indexDir is pinned to " +
+                lshProps.keys.map(k =>
+                  s"$k=${iMeta.properties.getOrElse(k, "?")}").mkString(", ") +
+                " but the sink was configured with " +
+                lshProps.map { case (k, v) => s"$k=$v" }.mkString(", ") +
+                " — a mismatched probe would silently admit every duplicate")
+          } else {
+            val m = new com.fasterxml.jackson.databind.ObjectMapper()
+            val upd = m.createObjectNode()
+            upd.put("action", "set-properties")
+            val u = upd.putObject("updates")
+            lshProps.foreach { case (k, v) => u.put(k, v) }
+            // racing streams write identical values; a loser just
+            // validates against the winner's pin on its next batch
+            try new graft.iceberg.FsCommitter(indexDir, conf).commit(
+              Seq(graft.iceberg.MetadataCommit.assertRefSnapshotId(m, "main",
+                iMeta.currentSnapshotId.filter(_ != -1L))),
+              Seq(upd))
+            catch { case _: graft.iceberg.CommitConflictException => () }
+          }
           val maxAttempts = 3
           var attempt = 0
           var done = false

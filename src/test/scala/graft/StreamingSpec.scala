@@ -328,6 +328,23 @@ class StreamingSpec extends SparkSpec {
     assert(IcebergTable(spark, cDir).toDF(spark).select("doc_id")
       .as[Long].collect().sorted.toSeq == Seq(1L, 10L))
     assert(IcebergTable(spark, iDir).toDF(spark).count() == 2 * 16)
+
+    // the first contact pinned the LSH params in the index table's
+    // properties; a sink configured differently must refuse loudly
+    assert(graft.iceberg.TableMetadata.load(iDir,
+        spark.sessionState.newHadoopConf())
+      .properties.get("graft.lsh.bands").contains("16"))
+    val bad = EventStream.icebergAdmissionSink(stream, cDir, iDir,
+        "doc_id", "text", numHashes = 32, bands = 8)
+      .option("checkpointLocation", s"$cDir/_ckpt_bad")
+      .start()
+    mem.addData((20L, "another document for the mismatched sink"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(e.getMessage.contains("pinned") ||
+      Option(e.getCause).exists(_.getMessage.contains("pinned")),
+      s"expected the LSH-pin refusal, got: ${e.getMessage}")
   }
 
   test("restart from checkpoint replays the last batch without duplicate rows") {
