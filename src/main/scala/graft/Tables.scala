@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata tables (TESTDATA.md): one parquet file
   * per table under `/root/testdata/sf*`. At cluster scale these would be
@@ -17,25 +17,39 @@ object Tables {
     if (name == "events") loadEvents(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw
-    * nanosecond long (legacy conf) and floor-truncate to a microsecond
-    * TimestampType — the same truncation DuckDB's µs timestamps apply.
+  /** `events.ts` has been generated two ways across driver rounds:
+    * Parquet TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as a raw nanosecond long via the
+    * legacy conf — and TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    * Spark reads as TIMESTAMP_NTZ. Both normalize to a session-TZ
+    * microsecond TimestampType here (sessions pin UTC, so the NTZ cast
+    * preserves the wall clock, and the ns→µs floor-truncation matches
+    * DuckDB's µs timestamps).
     *
     * The nanosAsLong conf belongs in the session builder (Verify, Bench
-    * and the test harness all set it); mutating session-global conf from
-    * a loader surprised callers, so an unset conf now fails fast with the
-    * fix spelled out instead of being silently flipped.
+    * and the test harness all set it); an unresolvable nanos file fails
+    * fast with the fix spelled out instead of the conf being silently
+    * flipped from inside a loader.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet carries TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession builder")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType == LongType)
-      // integer division — Double division would lose precision at 1e18 ns
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet")
+      catch {
+        case e: Exception if Option(e.getMessage)
+            .exists(_.contains("PARQUET_TYPE_ILLEGAL")) =>
+          throw new IllegalArgumentException(
+            "events.parquet carries TIMESTAMP(NANOS): set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true on the " +
+              "SparkSession builder", e)
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer division — Double division would lose precision at 1e18 ns
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view named exactly as the table, so

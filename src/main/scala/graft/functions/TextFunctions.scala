@@ -227,4 +227,51 @@ object TextFunctions {
         least(size(col("__w")) - col("__start") + 1, lit(chunkWords))
           .cast("long").as("n_words"))
   }
+
+  // -- URL canonicalization (web-corpus curation) ----------------------------
+  //
+  // A crawl's URL column is the dedup and filtering key: the same page
+  // arrives as HTTP://WWW.Site.com/A?utm_source=feed#top and
+  // http://site.com/A. Canonicalization (scheme off, host lowercased,
+  // www. stripped, fragment dropped, tracking params removed, trailing
+  // slash normalized) folds those into one key; the registrable domain is
+  // the blocklist/quality-list unit. All of it is a regexp_replace/extract
+  // chain — codegen'd, map-only at 100 TB, no UDF — and the patterns stay
+  // in the Java∩RE2 subset so the DuckDB oracle runs the IDENTICAL
+  // regexes (the q70 PII contract, applied to URLs).
+
+  /** Strip the scheme and fragment: `HTTPS://x/y#f` → `x/y`. */
+  private def schemeFragmentOff(u: Column): Column =
+    regexp_replace(regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+      "#.*$", "")
+
+  /** Lowercased host with any leading `www.` removed (path untouched —
+    * URL paths are case-sensitive, hosts are not). */
+  def urlHost(u: Column): Column =
+    regexp_replace(lower(regexp_extract(schemeFragmentOff(u), "^([^/?]+)", 1)),
+      "^www\\.", "")
+
+  /** Naive registrable domain: the last two dot-labels of the host. (A
+    * production pipeline consults the public-suffix list; the two-label
+    * rule is the deterministic, dependency-free stand-in and is exactly
+    * what the oracle recomputes.) */
+  def registeredDomain(u: Column): Column =
+    regexp_extract(urlHost(u), "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$", 1)
+
+  /** Canonical URL key: lowercased www-less host + path with the
+    * fragment, tracking params (`utm_*`, `gclid`, `fbclid`), empty query
+    * and trailing slash removed. */
+  def canonicalizeUrl(u: Column): Column = {
+    val base = schemeFragmentOff(u)
+    val rest = regexp_replace(base, "^[^/?]+", "") // path[?query], case kept
+    // `?` → `?&` so every param is &-prefixed, drop tracking params, then
+    // collapse the seam back and trim a dangling separator
+    val marked = regexp_replace(rest, "\\?", "?&")
+    val filtered = regexp_replace(marked,
+      "&(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*", "")
+    val unmarked = regexp_replace(filtered, "\\?&", "?")
+    val noEmptyQ = regexp_replace(unmarked, "\\?$", "")
+    val noSlash = regexp_replace(noEmptyQ, "/$", "")
+    concat(urlHost(u), noSlash)
+  }
 }

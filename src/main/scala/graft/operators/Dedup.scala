@@ -250,6 +250,32 @@ object Dedup {
       .drop("comp")
   }
 
+  /** [[keepCanonical]] keeps each cluster's min-id member; real pipelines
+    * keep its BEST member — the longest, cleanest, or highest-scoring
+    * duplicate survives. Same cluster algebra (connected components over
+    * the pair graph), but the winner is argmax(`quality`, ties → min id).
+    *
+    * Scale shape: the rank window runs ONLY over clustered rows (an inner
+    * join against the components, usually a sliver of the corpus) — never
+    * a corpus-wide window; unclustered rows pass through via one
+    * left-anti join. Cluster membership shuffles by component id, whose
+    * cardinality the duplicate structure bounds.
+    */
+  def keepCanonicalBy(df: DataFrame, idCol: String, quality: Column,
+                      pairs: DataFrame, aCol: String = "qa",
+                      bCol: String = "qb"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val clustered = df.join(comps, Seq(idCol))
+    val rank = row_number().over(
+      Window.partitionBy(col("comp"))
+        .orderBy(quality.desc, col(idCol).asc))
+    val winners = clustered.withColumn("__rk", rank)
+      .filter(col("__rk") === 1).drop("__rk", "comp")
+    df.join(comps, Seq(idCol), "left_anti").unionByName(winners)
+  }
+
   // -- incremental (corpus-vs-batch) admission -------------------------------
 
   /** The persisted MinHash-LSH band index of a corpus: (idCol, band,

@@ -430,6 +430,69 @@ object Extensions {
             .cast("bigint").as("keep_id_sum"))
     }),
 
+    // URL canonicalization over planted crawl URLs: scheme/case/www/
+    // fragment/tracking-param variants of the same page fold into one
+    // canonical key; the registrable domain drives a blocklist filter and
+    // the canonical key a URL-level dedup. The URL is built from row data
+    // (source, lang, doc_id) so the oracle plants the IDENTICAL urls and
+    // runs the IDENTICAL regex chain (q70's oracle contract).
+    "q91_url_normalize" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://WWW."))
+          .when(col("doc_id") % 3 === 1, lit("http://"))
+          .otherwise(lit("https://")),
+        upper(substring(col("source"), 1, 1)), substring(col("source"), 2, 100),
+        lit(".Example.COM/"), col("lang"), lit("/p"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/?utm_source=feed&x=1&utm_campaign=a"))
+          .when(col("doc_id") % 4 === 1, lit("?gclid=abc"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+      val canon = docs.select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          TextFunctions.canonicalizeUrl(col("url")).as("canon"),
+          TextFunctions.urlHost(col("url")).as("host"),
+          TextFunctions.registeredDomain(col("url")).as("domain"))
+        .filter(!col("host").isin("src3.example.com", "src7.example.com"))
+      // URL-level dedup: one row per canonical key (min doc_id survives)
+      canon.groupBy(col("canon"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"),
+          min(col("host")).as("host"), min(col("domain")).as("domain"))
+        .orderBy(col("canon"))
+    }),
+
+    // Quality-aware canonical selection: exact-duplicate clusters keep
+    // their HIGHEST-quality member (planted deterministic quality score),
+    // not the min id. Pair graph = exact text match (star pairs to the
+    // min-id anchor), clusters via connected components, winner via a
+    // rank window that runs only over clustered rows.
+    "q92_canonical_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          ((col("doc_id") * 37) % 101).as("quality"))
+      val anchors = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("qa"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+      val pairs = docs.join(anchors, Seq("text"))
+        .filter(col("doc_id") =!= col("qa"))
+        .select(col("qa"), col("doc_id").as("qb"))
+      Dedup.keepCanonicalBy(docs, "doc_id", col("quality"), pairs)
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance selection: score every document by the
+    // add-one-smoothed unigram likelihood ratio of target (lang='de')
+    // vs the whole corpus, as INTEGER-scaled ratios (order-free integer
+    // sums — bit-identical across engines); keep the top 25.
+    "q93_dsir_importance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Selection.selectTopK(
+          docs, "doc_id", "text", col("lang") === "de", k = 25)
+        .select(col("doc_id"), col("n_words"), col("score"))
+    }),
+
     // Gopher-style repetition signals: duplicate-word ratio, top-word
     // fraction (longest run over the sorted word array — one map-side
     // fold, not a per-distinct-word rescan), duplicate-3-gram ratio, and
@@ -738,6 +801,62 @@ object Extensions {
         |       COUNT(CASE WHEN keep THEN 1 END) AS n_sampled,
         |       CAST(COALESCE(SUM(CASE WHEN keep THEN doc_id END), 0) AS BIGINT) AS sk
         |FROM f GROUP BY source ORDER BY source ASC NULLS FIRST""".stripMargin,
+    // identical planted URLs, identical regex chain ('g' = replace-all,
+    // matching Spark's regexp_replace semantics)
+    "q91_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.'
+        |                     WHEN 1 THEN 'http://' ELSE 'https://' END)
+        |    || upper(substr(source,1,1)) || substr(source,2)
+        |    || '.Example.COM/' || lang || '/p' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE doc_id % 4
+        |          WHEN 0 THEN '/?utm_source=feed&x=1&utm_campaign=a'
+        |          WHEN 1 THEN '?gclid=abc' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |nsf AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g'), '#.*$', '', 'g') AS b
+        |  FROM u),
+        |parts AS (SELECT doc_id, url,
+        |    regexp_replace(lower(regexp_extract(b, '^([^/?]+)', 1)),
+        |      '^www\.', '', 'g') AS host,
+        |    regexp_replace(b, '^[^/?]+', '', 'g') AS rest
+        |  FROM nsf),
+        |canon AS (SELECT doc_id, host,
+        |    regexp_extract(host, '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain,
+        |    host || regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(rest, '\?', '?&', 'g'),
+        |        '&(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*', '', 'g'),
+        |      '\?&', '?', 'g'), '\?$', '', 'g'), '/$', '', 'g') AS canon
+        |  FROM parts
+        |  WHERE host NOT IN ('src3.example.com', 'src7.example.com'))
+        |SELECT canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_variants,
+        |       MIN(host) AS host, MIN(domain) AS domain
+        |FROM canon GROUP BY canon ORDER BY canon""".stripMargin,
+    "q92_canonical_quality" ->
+      """WITH q AS (SELECT doc_id, text, (doc_id * 37) % 101 AS quality
+        |           FROM documents),
+        |r AS (SELECT doc_id, quality,
+        |        ROW_NUMBER() OVER (PARTITION BY text
+        |                           ORDER BY quality DESC, doc_id) AS rk
+        |      FROM q)
+        |SELECT doc_id, quality FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q93_dsir_importance" ->
+      """WITH w AS (SELECT doc_id, lang = 'de' AS tgt,
+        |         unnest(string_split(text, ' ')) AS w
+        |       FROM documents),
+        |w2 AS (SELECT * FROM w WHERE len(w) > 0),
+        |v AS (SELECT w, COUNT(*) AS cs,
+        |        SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |      FROM w2 GROUP BY w),
+        |r AS (SELECT w, (1000000 * (ct + 1)) // (cs + 1) AS r FROM v),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_words, SUM(r) AS score
+        |       FROM w2 JOIN r USING (w) GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |       CAST(score AS BIGINT) AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "q86_token_budget" ->
       """WITH toks AS (SELECT doc_id, source,
         |         CAST(len(string_split(text,' ')) AS BIGINT) AS tok

@@ -681,6 +681,59 @@ object IcebergQueries {
       }
     }),
 
+    // Incremental materialized-view maintenance: a rollup computed ONCE,
+    // then kept current by folding the CDC changelog — the refresh reads
+    // only the changed rows (changesBetween plans from manifest diffs),
+    // never the base table. The window spans an INSERT, a copy-on-write
+    // UPDATE (delete+insert pairs), and an equality DELETE that removes a
+    // whole group. The oracle recomputes the final rollup from scratch in
+    // DuckDB — equality of "seed + fold(changes)" with the full recompute
+    // IS the operator's contract. At 100 TB: refresh IO ∝ change volume,
+    // one delta-key shuffle, one key join against the state.
+    "q90_incremental_mv" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import graft.operators.IncrementalView
+      val warehouse = "/root/repo/target/q90-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q90")
+      s.conf.set("spark.sql.catalog.q90cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q90cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q90cat.ns")
+      s.sql(
+        """CREATE TABLE q90cat.ns.orders_mv AS
+          |SELECT o_orderkey, o_custkey, o_orderpriority FROM orders_src_q90
+          |WHERE o_orderkey % 4 <> 0""".stripMargin)
+      val dir = s"$warehouse/ns/orders_mv"
+      val keys = Seq("o_orderpriority")
+      val sums = Seq("o_orderkey" -> "sk", "o_custkey" -> "sc")
+      val t0 = new graft.iceberg.IcebergTable(dir, conf)
+      val s0 = t0.metadata.snapshotLineage.last
+      // seed state is MATERIALIZED as of s0 (a real MV would persist it);
+      // collecting here pins "the fold starts from stale state", so the
+      // refresh below cannot silently recompute from the live table
+      val state0 = IncrementalView
+        .aggregateState(t0.atSnapshot(s0).toDF(s), keys, sums)
+        .cache()
+      state0.count()
+      s.sql(
+        """INSERT INTO q90cat.ns.orders_mv
+          |SELECT o_orderkey, o_custkey, o_orderpriority FROM orders_src_q90
+          |WHERE o_orderkey % 4 = 0""".stripMargin)
+      s.sql(
+        """UPDATE q90cat.ns.orders_mv SET o_custkey = o_custkey + 1000
+          |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+      s.sql("DELETE FROM q90cat.ns.orders_mv WHERE o_orderpriority = '5-LOW'")
+      val t1 = new graft.iceberg.IcebergTable(dir, conf)
+      val changes = t1.changesBetween(s, s0, t1.metadata.snapshotLineage.last)
+      import org.apache.spark.sql.functions.col
+      IncrementalView.refresh(state0, changes, keys, sums)
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sk").cast("long").as("sk"), col("sk_nn"),
+          col("sc").cast("long").as("sc"), col("sc_nn"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q67_mor" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q67-warehouse"
@@ -860,6 +913,22 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    // the final corpus state: everything, the URGENT custkey bump applied,
+    // the 5-LOW group deleted — recomputed from scratch; the Spark side
+    // reached the same rows by folding only the changelog into stale state
+    "q90_incremental_mv" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderpriority = '1-URGENT'
+        |              THEN o_custkey + 1000 ELSE o_custkey END AS o_custkey,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderpriority <> '5-LOW')
+        |SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sk,
+        |       COUNT(o_orderkey) AS sk_nn,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sc,
+        |       COUNT(o_custkey) AS sc_nn
+        |FROM cur GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q75_cbo_stats" ->
       """SELECT CAST(MIN(n_nationkey) AS BIGINT) AS min_nk,
         |       CAST(MAX(n_nationkey) AS BIGINT) AS max_nk,

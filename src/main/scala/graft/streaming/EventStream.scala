@@ -358,15 +358,26 @@ object EventStream {
     * same nanos→micros ts normalization as the batch loader.
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet carries TIMESTAMP(NANOS): set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true on the SparkSession builder")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema =
+      try spark.read.parquet(s"$dir/events.parquet").schema
+      catch {
+        case e: Exception if Option(e.getMessage)
+            .exists(_.contains("PARQUET_TYPE_ILLEGAL")) =>
+          throw new IllegalArgumentException(
+            "events.parquet carries TIMESTAMP(NANOS): set " +
+              "spark.sql.legacy.parquet.nanosAsLong=true on the " +
+              "SparkSession builder", e)
+      }
     // FileStreamSource requires a directory or glob; `[e]` makes the path a
     // glob matching exactly events.parquet, with basePath = the directory.
     val raw = spark.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }
