@@ -369,4 +369,61 @@ object Similarity {
         round(cosFromNorms(dot(col("va"), col("vb")),
           col("na"), col("nb")), 4).as("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * REMOVAL — cluster the embedding space coarsely, compare pairs only
+    * WITHIN a cluster, connected-component the over-threshold pairs, keep
+    * one canonical member (min id) per group.
+    *
+    * The scale argument is the paper's: all-pairs cosine is O(N²) and
+    * dead at corpus size; clustering bounds the quadratic term to the
+    * largest cluster (pick `nCentroids` so N/k is joinable — the same
+    * bucketing discipline as the LSH/pigeonhole dedups, traded for the
+    * cluster-boundary miss the paper accepts). Assignment is the IVF
+    * serving path: one map-side argmax over a broadcast centroid row,
+    * zero shuffle; the only shuffles are the cluster-key pair join and
+    * the edge-set-only connected components.
+    *
+    * Returns (idCol, keep) for every corpus row. `centroids` defaults to
+    * the deterministic hash-ordered sample; pass `trainIters` to Lloyd's-
+    * train them (both reuse the k-means/IVF machinery).
+    */
+  def semanticDedup(
+      corpus: DataFrame, threshold: Double,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
+    val centRows =
+      if (trainIters <= 0) sampleCentroids(corpus, nCentroids, idCol, vecCol)
+      else kmeansCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+    val centArr = centroidArray(centRows)
+    def nearest(vec: String): Column =
+      GraftColumnShim.column(NearestCentroids(
+        GraftColumnShim.expression(col(vec)),
+        GraftColumnShim.expression(col("cents")), 1))
+
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        l2Norm(col(vecCol)).as("nrm"))
+      .join(broadcast(centArr))
+      .withColumn("c_id", get(nearest("vec"), lit(0)))
+      .select(col("id"), col("vec"), col("nrm"), col("c_id"))
+
+    val a = assigned.select(col("c_id"), col("id").as("qa"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("c_id"), col("id").as("qb"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("c_id"))
+      .filter(col("qa") < col("qb"))
+      .filter(cosFromNorms(dot(col("va"), col("vb")),
+        col("na"), col("nb")) >= threshold)
+      .select(col("qa"), col("qb"))
+
+    val comps = graft.operators.Dedup.connectedComponents(pairs)
+    corpus.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        (col("comp").isNull || col("comp") === col(idCol)).as("keep"))
+  }
 }

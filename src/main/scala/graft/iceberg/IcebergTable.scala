@@ -329,6 +329,20 @@ final class IcebergTable private (
     manifests.filter(_.content == 1).flatMap(m =>
       ManifestIO.readDeleteManifest(resolve(m.path), conf, m.sequenceNumber))
 
+  /** Manifest-level pruning counts only — (kept, total) — computed from
+    * the manifest LIST alone (partition summaries), zero manifest reads.
+    * The observability twin of the planFiles manifest filter: cheap
+    * enough to report on every scan at 100 TB. */
+  def manifestPruneCounts(filters: Seq[Filter]): (Int, Int) = {
+    val dataManifests = manifests.filter(_.content == 0)
+    if (filters.isEmpty) return (dataManifests.size, dataManifests.size)
+    val partFilters = filters.flatMap(
+      PartitionTransforms.rewrite(_, c => fieldsBySource.getOrElse(c, Nil)))
+    val kept = dataManifests.count(m =>
+      Pruning.mayMatchAll(filters ++ partFilters, manifestVirtualStats(m)))
+    (kept, dataManifests.size)
+  }
+
   /** Pruning diagnostics for tests: (manifests kept, total; files kept, total). */
   def pruneCounts(filters: Seq[Filter]): (Int, Int, Int, Int) = {
     val dataManifests = manifests.filter(_.content == 0)

@@ -756,6 +756,30 @@ final class GraftBatchScan(
   override def filterAttributes(): Array[NamedReference] =
     requiredSchema.fieldNames.map(Expressions.column)
 
+  // ---- observability: what did planning prune? ---------------------------
+  override def supportedCustomMetrics(): Array[
+      org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftScanMetrics.supported()
+
+  /** Driver-side pruning counters for the SQL UI — all from metadata the
+    * scan already holds (manifest-list summaries + planned entry stats):
+    * zero extra IO at any table size. */
+  override def reportDriverMetrics(): Array[
+      org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val (kept, total) = table.manifestPruneCounts(filters.toSeq)
+    val planned = currentFiles
+    Array(
+      GraftScanMetrics.taskMetric(GraftScanMetrics.ManifestsTotal, total),
+      GraftScanMetrics.taskMetric(GraftScanMetrics.ManifestsKept, kept),
+      GraftScanMetrics.taskMetric(GraftScanMetrics.FilesStatic, planned.size),
+      GraftScanMetrics.taskMetric(GraftScanMetrics.FilesRuntimePruned,
+        staticFiles.size - planned.size),
+      GraftScanMetrics.taskMetric(GraftScanMetrics.RecordsPlanned,
+        planned.map(_.recordCount).sum),
+      GraftScanMetrics.taskMetric(GraftScanMetrics.BytesPlanned,
+        planned.map(_.fileSizeInBytes).sum))
+  }
+
   override def filter(fs: Array[Filter]): Unit = { runtimeFilters = fs }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {

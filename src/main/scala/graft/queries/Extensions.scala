@@ -493,6 +493,20 @@ object Extensions {
         .select(col("doc_id"), col("n_words"), col("score"))
     }),
 
+    // SemDeDup: semantic near-duplicate removal — coarse k-means-style
+    // clustering bounds the pair search, over-threshold pairs connected-
+    // component into groups, min-id canonical survives. The oracle is the
+    // retrieval CONTRACT (q53's design): planted exact clones are the
+    // only >=0.9999-cosine pairs, so exactly the clones must drop.
+    "q94_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(corpus, threshold = 0.9999, nCentroids = 8)
+        .orderBy(col("vec_id"))
+    }),
+
     // Gopher-style repetition signals: duplicate-word ratio, top-word
     // fraction (longest run over the sorted word array — one map-side
     // fold, not a per-distinct-word rescan), duplicate-3-gram ratio, and
@@ -843,6 +857,12 @@ object Extensions {
         |                           ORDER BY quality DESC, doc_id) AS rk
         |      FROM q)
         |SELECT doc_id, quality FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q94_semdedup" ->
+      """WITH corpus AS (SELECT vec_id FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 50)
+        |SELECT vec_id, vec_id < 100000 AS keep
+        |FROM corpus ORDER BY vec_id""".stripMargin,
     "q93_dsir_importance" ->
       """WITH w AS (SELECT doc_id, lang = 'de' AS tgt,
         |         unnest(string_split(text, ' ')) AS w

@@ -195,4 +195,75 @@ class CurationOpsSpec extends SparkSpec {
     assert(r(3L) == ((0.75, 1.0, 0.5)))
     assert(r(4L) == ((0.0, 0.5, 0.0)))
   }
+
+  test("URL canonicalization: variants fold, edges hold") {
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Site.COM/A/b?utm_source=x&id=3&utm_campaign=z#top"),
+      (2L, "http://site.com/A/b?id=3"),        // same page, plain form
+      (3L, "https://site.com/A/b/?id=3"),      // trailing slash INSIDE query stays
+      (4L, "https://sub.site.com/"),           // subdomain, bare path
+      (5L, "site.com"),                        // schemeless, host only
+      (6L, "https://site.com/x?utm_only=1"),   // query empties out entirely
+      (7L, "https://www.other.org/P?gclid=g&a=1&fbclid=f")
+    ).toDF("doc_id", "url")
+    val got = urls.select(col("doc_id"),
+        TextFunctions.canonicalizeUrl(col("url")).as("c"),
+        TextFunctions.urlHost(col("url")).as("h"),
+        TextFunctions.registeredDomain(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(got(1L) == (("site.com/A/b?id=3", "site.com", "site.com")))
+    assert(got(2L) == (("site.com/A/b?id=3", "site.com", "site.com")))
+    assert(got(1L)._1 == got(2L)._1, "tracking/scheme/case/www variants fold")
+    assert(got(3L)._1 == "site.com/A/b/?id=3", "pre-query slash is content")
+    assert(got(4L) == (("sub.site.com", "sub.site.com", "site.com")))
+    assert(got(5L) == (("site.com", "site.com", "site.com")))
+    assert(got(6L)._1 == "site.com/x", "emptied query drops its ?")
+    assert(got(7L)._1 == "other.org/P?a=1", "leading tracking param splice")
+  }
+
+  test("keepCanonicalBy keeps the best-quality member, min id on ties") {
+    val docs = Seq(
+      (1L, "dup", 5L), (2L, "dup", 9L), (3L, "dup", 9L), // cluster: 2 wins (9, tie -> min id)
+      (4L, "solo", 1L)                                   // unclustered passes through
+    ).toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("qa", "qb")
+    val kept = graft.operators.Dedup
+      .keepCanonicalBy(docs, "doc_id", col("q"), pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
+  test("semanticDedup drops near-duplicate embeddings, keeps min-id canonical") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),        // canonical of the dup group
+      (2L, Array(1f, 0f, 0f)),        // exact clone -> dropped
+      (3L, Array(0.999f, 0.04f, 0f)), // near-dup of 1 -> dropped (transitive ok)
+      (4L, Array(0f, 1f, 0f)),        // distinct direction -> kept
+      (5L, Array(0f, 0f, 1f))         // distinct direction -> kept
+    ).toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity
+      .semanticDedup(vecs, threshold = 0.999, nCentroids = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true), s"got $got")
+  }
+
+  test("DSIR importance favors target-distribution documents; no-token docs drop") {
+    val docs = Seq(
+      (1L, "de de de", true),   // pure target vocabulary
+      (2L, "en en en", false),  // pure source-only vocabulary
+      (3L, "de en de", false),  // mixed, mostly target words
+      (4L, "", false)           // no tokens: excluded
+    ).toDF("doc_id", "text", "tgt")
+    val scores = graft.operators.Selection
+      .importanceScores(docs, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!scores.contains(4L), "empty doc has no defined score")
+    assert(scores(1L) > scores(3L) && scores(3L) > scores(2L),
+      s"target-words rank above mixed above source-only: $scores")
+    val top = graft.operators.Selection
+      .selectTopK(docs, "doc_id", "text", col("tgt"), k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 3L), "top-k in (score desc, id) order")
+  }
 }

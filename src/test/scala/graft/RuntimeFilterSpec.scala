@@ -42,6 +42,29 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(scan.toBatch.planInputPartitions().length <= files.size)
   }
 
+  test("driver metrics report pruning counters with zero extra IO") {
+    useCatalog()
+    val table = IcebergTable(spark, s"$fixtureWarehouse/nyc/taxis")
+    val files = table.planFiles(Nil)
+    val scan = new GraftBatchScan(spark, table, Array.empty,
+      table.metadata.schema, files)
+    val names = scan.supportedCustomMetrics().map(_.name()).toSet
+    assert(names.contains("graft_files_planned") &&
+      names.contains("graft_manifests_kept"))
+    def metric(n: String): Long =
+      scan.reportDriverMetrics().find(_.name() == n).get.value()
+    assert(metric("graft_files_planned") == 4)
+    assert(metric("graft_files_runtime_pruned") == 0)
+    assert(metric("graft_manifests_kept") == metric("graft_manifests_total"))
+    assert(metric("graft_records_planned") == 4,
+      "fixture has one record per file")
+    // a runtime filter arrives -> the pruned delta shows up
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("vendor_id", 1L)))
+    assert(metric("graft_files_runtime_pruned") > 0)
+    assert(metric("graft_files_planned") < 4)
+    assert(metric("graft_bytes_planned") > 0)
+  }
+
   test("SQL dim-filter join inserts a dynamic pruning filter on the scan") {
     useCatalog()
     import spark.implicits._
