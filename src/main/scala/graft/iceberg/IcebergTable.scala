@@ -520,7 +520,8 @@ final class IcebergTable private (
     * no equality deletes. */
   def equalityDeletePositions(spark: SparkSession): DataFrame = {
     import IcebergTable.{FpCol, PosCol}
-    val files = planFiles()
+    val files = deleteCandidateFiles(spark, planFiles(),
+      planDeletes().filter(_.content == 2))
     val eq = planDeletes().filter(_.content == 2)
     if (files.isEmpty || eq.isEmpty)
       return spark.createDataFrame(
@@ -704,6 +705,75 @@ final class IcebergTable private (
     * several delete files is one change). `data` must carry the
     * (file, position) id columns (`scanFiles(withIds = true)`).
     */
+  /** Shrink a candidate file list to the files a delete set could
+    * possibly touch, BEFORE scanning them — the matched-rows dual of
+    * manifest pruning. The delete files themselves are the index:
+    *
+    *  - position deletes NAME their target files — one tiny read of the
+    *    `file_path` column gives the exact referenced set;
+    *  - equality deletes carry the deleted key values — when the total
+    *    delete row count is bounded (`eqValueCap`), the distinct values
+    *    per equality column become `In` filters for the existing stats
+    *    pruning (per-column conjunction is a superset of the tuple match,
+    *    so pruning stays sound; a NULL value makes its column
+    *    unprunable and drops only that column's filter);
+    *  - sequence gating applies on metadata alone: a file whose data
+    *    sequence number post-dates every delete can never match.
+    *
+    * Without this, computing "which rows did this DELETE remove" (the
+    * changelog, equality→position conversion) scans every live file of a
+    * 100 TB table to answer a 3-row delete; with it, the scan is the
+    * handful of files whose stats overlap the deleted keys. Falls back to
+    * the full candidate set (sound, just slower) when the equality volume
+    * exceeds the cap. */
+  private[graft] def deleteCandidateFiles(
+      spark: SparkSession, common: Seq[DataFileEntry],
+      dels: Seq[DeleteFileEntry], eqValueCap: Long = 100000L): Seq[DataFileEntry] = {
+    if (dels.isEmpty || common.isEmpty) return Nil
+    val pos = dels.filter(_.content == 1)
+    val eq = dels.filter(_.content == 2)
+    val maxPosSeq = pos.map(_.sequenceNumber.getOrElse(Long.MaxValue))
+      .maxOption.getOrElse(Long.MinValue)
+    val maxEqSeq = eq.map(_.sequenceNumber.getOrElse(Long.MaxValue))
+      .maxOption.getOrElse(Long.MinValue)
+
+    val posRefs: Option[Set[String]] =
+      if (pos.isEmpty) Some(Set.empty)
+      else Some(spark.read.parquet(pos.map(d => resolve(d.filePath)): _*)
+        .select(normPathExpr(resolveExpr(col("file_path"))))
+        .distinct().collect().map(_.getString(0)).toSet)
+
+    val idToName = metadata.fieldIds.map(_.swap)
+    // per equality-id group: a list of per-column In filters (OR across
+    // groups — any group may match a file)
+    val eqGroupFilters: Option[Seq[Seq[Filter]]] =
+      if (eq.isEmpty) Some(Nil)
+      else if (eq.map(_.recordCount).sum > eqValueCap) None // unbounded
+      else Some(eq.groupBy(_.equalityIds).toSeq.map { case (ids, group) =>
+        val cols = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalStateException(
+            s"equality delete references unknown field id $id in $tableDir")))
+        val rows = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
+          .select(cols.map(col): _*).distinct().collect()
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          val vs = rows.map(_.get(i))
+          if (vs.contains(null)) None // NULL deletes: column unprunable
+          else Some(org.apache.spark.sql.sources.In(c, vs): Filter)
+        }
+      })
+
+    common.filter { f =>
+      val ds = f.sequenceNumber.getOrElse(-1L)
+      val posEligible = pos.nonEmpty && ds <= maxPosSeq
+      val eqEligible = eq.nonEmpty && ds < maxEqSeq
+      val posHit = posEligible && posRefs.forall(
+        _.contains(normPath(resolve(f.filePath))))
+      val eqHit = eqEligible && eqGroupFilters.forall(
+        _.exists(gf => Pruning.mayMatchAll(gf, fileStats(f))))
+      posHit || eqHit
+    }
+  }
+
   private def rowsMatchedByDeletes(spark: SparkSession, data: DataFrame,
                                    files: Seq[DataFileEntry],
                                    deletes: Seq[DeleteFileEntry]): DataFrame = {
@@ -847,7 +917,11 @@ final class IcebergTable private (
         val rowDeletes =
           if (newDel.isEmpty) Nil
           else {
-            val common = sFiles.filter(f => pPaths.contains(norm(s, f.filePath)))
+            // prune by the deletes' own scope (named files / key bounds):
+            // a 3-key DELETE on a 100 TB table reads a handful of files
+            // here, not every surviving file
+            val common = s.deleteCandidateFiles(spark,
+              sFiles.filter(f => pPaths.contains(norm(s, f.filePath))), newDel)
             if (common.isEmpty) Nil
             else {
               val base = s.scanFiles(spark, common, withIds = true)

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Boilerplate removal — the corpus-frequency cousin of the CCNet /
+  * RefinedWeb duplicated-line filters: word n-grams that recur across
+  * many documents (navigation chrome, license headers, cookie banners)
+  * are detected corpus-wide and STRIPPED from every document, leaving
+  * the surrounding text intact.
+  *
+  * Two passes, both scale-shaped:
+  *  1. detection — explode n-gram starts, count DISTINCT docs per gram
+  *     (one shuffle over the gram space), keep `df >= minDf` capped to
+  *     the `topK` worst offenders under the total order (df DESC, gram
+  *     ASC) — so the boilerplate list is deterministic and BOUNDED. It
+  *     collects to the driver (topK rows, the same bounded-collect
+  *     contract as k-means centroids) and broadcasts into pass 2.
+  *  2. rewrite — purely map-side per document: mark word positions
+  *     covered by any boilerplate occurrence, rebuild the text from the
+  *     uncovered positions. The corpus is never shuffled.
+  *
+  * Texts are single-space tokenized (the corpus contract shared by every
+  * text operator here); rebuilding uses the same tokenization, so a
+  * document with no boilerplate round-trips byte-identically.
+  */
+object Boilerplate {
+
+  /** Pass 1: boilerplate candidates as (gram, df), `df >= minDf`, at most
+    * `topK` rows, ordered (df DESC, gram ASC). */
+  def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, minDf: Long, topK: Int): DataFrame = {
+    require(n >= 1 && topK >= 1)
+    val w = split(col(textCol), " ")
+    df.select(col(idCol), w.as("__w"))
+      .select(col(idCol), explode(
+        when(size(col("__w")) >= n,
+          transform(sequence(lit(0), size(col("__w")) - n),
+            i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("gram").asc)
+      .limit(topK)
+  }
+
+  /** Pass 2: strip every occurrence of `grams` (each exactly `n` words)
+    * from `textCol`; adds `cleaned` and `n_removed_words`. Map-side only. */
+  def removeNgrams(df: DataFrame, textCol: String, grams: Seq[String],
+                   n: Int): DataFrame = {
+    val blist = array(grams.map(lit): _*)
+    val w = split(col(textCol), " ")
+    val m = size(w)
+    val starts = when(m >= n, sequence(lit(0), m - n))
+      .otherwise(array().cast("array<int>"))
+    val hitStarts = filter(starts,
+      i => array_contains(blist, concat_ws(" ", slice(w, i + 1, lit(n)))))
+    val covered = array_distinct(flatten(
+      transform(hitStarts, i => sequence(i, i + n - 1))))
+    val keptIdx = filter(sequence(lit(0), m - 1),
+      p => !array_contains(covered, p))
+    df.withColumn("cleaned",
+        concat_ws(" ", transform(keptIdx, p => element_at(w, p + 1))))
+      .withColumn("n_removed_words", size(covered).cast("long"))
+  }
+
+  /** The composed operator: detect boilerplate, strip it everywhere. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDf: Long, topK: Int): DataFrame = {
+    val grams = frequentNgrams(df, idCol, textCol, n, minDf, topK)
+      .collect().map(_.getString(0)).toSeq
+    removeNgrams(df, textCol, grams, n)
+  }
+}

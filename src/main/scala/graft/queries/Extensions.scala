@@ -493,6 +493,20 @@ object Extensions {
         .select(col("doc_id"), col("n_words"), col("score"))
     }),
 
+    // Corpus-wide boilerplate stripping (the CCNet/RefinedWeb duplicated-
+    // line filter, n-gram form): 3-grams recurring in >= 5 docs (top 30
+    // by df desc, gram — a deterministic bounded list) are removed from
+    // every document, surrounding text intact. Detection is one gram-
+    // space shuffle; the rewrite is purely map-side.
+    "q95_boilerplate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Boilerplate
+        .removeBoilerplate(docs, "doc_id", "text", n = 3, minDf = 5L, topK = 30)
+        .select(col("doc_id"), col("n_removed_words"), col("cleaned"))
+        .orderBy(col("doc_id"))
+        .limit(200)
+    }),
+
     // SemDeDup: semantic near-duplicate removal — coarse k-means-style
     // clustering bounds the pair search, over-threshold pairs connected-
     // component into groups, min-id canonical survives. The oracle is the
@@ -857,6 +871,30 @@ object Extensions {
         |                           ORDER BY quality DESC, doc_id) AS rk
         |      FROM q)
         |SELECT doc_id, quality FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q95_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |starts AS (SELECT doc_id, i, array_to_string(ws[i:i+2], ' ') AS gram
+        |           FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i) t
+        |           WHERE len(ws) >= 3),
+        |dfq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM starts GROUP BY gram),
+        |bl AS (SELECT gram FROM dfq WHERE df >= 5 ORDER BY df DESC, gram LIMIT 30),
+        |cov AS (SELECT DISTINCT s.doc_id, q.p
+        |        FROM starts s JOIN bl USING (gram),
+        |        LATERAL (SELECT unnest(generate_series(s.i, s.i+2)) AS p) q),
+        |pos AS (SELECT doc_id, i, ws[i] AS word FROM w,
+        |        LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+        |kept AS (SELECT pos.doc_id, pos.i, pos.word
+        |         FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.i = cov.p
+        |         WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |               string_agg(word, ' ' ORDER BY i) AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(len(string_split(d.text,' ')) - COALESCE(agg.n_kept, 0)
+        |         AS BIGINT) AS n_removed_words,
+        |       COALESCE(agg.cleaned, '') AS cleaned
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id LIMIT 200""".stripMargin,
     "q94_semdedup" ->
       """WITH corpus AS (SELECT vec_id FROM embeddings
         |  UNION ALL

@@ -157,6 +157,42 @@ class ChangelogSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM net_v").head.getLong(0) === 10L)
   }
 
+  test("delete-candidate pruning: only key-overlapping / named files are scanned") {
+    val ns = fresh("clcat8")
+    // three disjoint key-range files (one INSERT each => one file each)
+    spark.sql("CREATE TABLE clcat8.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat8.ns.t SELECT CAST(id AS INT), 'lo' FROM range(0, 100, 1, 1)")
+    spark.sql("INSERT INTO clcat8.ns.t SELECT CAST(id AS INT), 'mid' FROM range(1000, 1100, 1, 1)")
+    spark.sql("INSERT INTO clcat8.ns.t SELECT CAST(id AS INT), 'hi' FROM range(2000, 2100, 1, 1)")
+    val dir = s"$ns/t"
+    spark.sql("DELETE FROM clcat8.ns.t WHERE k IN (1001, 1002)") // equality delete
+    val t = new IcebergTable(dir, conf)
+    val files = t.planFiles()
+    assert(files.size === 3)
+    val dels = t.planDeletes()
+    val cand = t.deleteCandidateFiles(spark, files, dels)
+    assert(cand.size === 1, s"only the mid file overlaps keys 1001-1002, got ${cand.size}")
+    // the changelog still reports exactly the matched rows
+    val cs = changes(dir, 0L, lineage(dir).last)
+    assert(cs.filter(_._3 == "delete").map(_._1).sorted === Seq(1001, 1002))
+    // a delete landing AFTER a file cannot touch it (sequence gate):
+    // re-insert one deleted key, delete an unrelated key; the new file
+    // is not a candidate for the OLD delete set
+    spark.sql("INSERT INTO clcat8.ns.t SELECT CAST(1001 AS INT), 'back'")
+    val t2 = new IcebergTable(dir, conf)
+    val newFile = t2.planFiles().filterNot(f =>
+      files.map(_.filePath).contains(f.filePath))
+    assert(newFile.size === 1)
+    val cand2 = t2.deleteCandidateFiles(spark, newFile, dels)
+    assert(cand2.isEmpty, "sequence gating excludes files newer than every delete")
+    // NULL equality values make the column unprunable: all files stay
+    val allCand = t2.deleteCandidateFiles(spark, t2.planFiles(), dels,
+      eqValueCap = 0L) // cap exceeded -> sound fallback keeps eligible files
+    assert(allCand.size === t2.planFiles().count(f =>
+      f.sequenceNumber.getOrElse(-1L) <
+        dels.map(_.sequenceNumber.getOrElse(Long.MaxValue)).max))
+  }
+
   test("a from-snapshot outside the lineage fails loudly") {
     val ns = fresh("clcat6")
     spark.sql("CREATE TABLE clcat6.ns.t (k INT, v STRING)")

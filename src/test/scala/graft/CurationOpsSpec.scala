@@ -233,6 +233,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L))
   }
 
+  test("boilerplate stripping: overlapping hits, full-boilerplate doc, clean doc intact") {
+    val docs = Seq(
+      (1L, "accept all cookies to continue reading the article"),
+      (2L, "breaking news accept all cookies to continue thanks"),
+      (3L, "footer accept all cookies to continue end"),
+      (4L, "completely unrelated text with no chrome"),
+      (5L, "accept all cookies to continue")  // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    // "accept all cookies", "all cookies to", "cookies to continue" all
+    // hit df=4 >= 3: overlapping occurrences must merge into ONE covered
+    // span of 5 words, not double-count
+    val out = graft.operators.Boilerplate
+      .removeBoilerplate(docs, "doc_id", "text", n = 3, minDf = 3L, topK = 10)
+      .select("doc_id", "cleaned", "n_removed_words")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("reading the article", 5L)))
+    assert(out(2L) == (("breaking news thanks", 5L)))
+    assert(out(3L) == (("footer end", 5L)))
+    assert(out(4L) == (("completely unrelated text with no chrome", 0L)))
+    assert(out(5L) == (("", 5L)))
+  }
+
+  test("frequentNgrams is bounded, ordered, and df-thresholded") {
+    val docs = Seq(
+      (1L, "a b c x a b c"), (2L, "a b c y"), (3L, "a b c z"),
+      (4L, "p q r"), (5L, "p q r")
+    ).toDF("doc_id", "text")
+    val grams = graft.operators.Boilerplate
+      .frequentNgrams(docs, "doc_id", "text", n = 3, minDf = 2L, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "a b c" df=3 (per-doc DISTINCT: doc 1 counts once); "p q r" df=2;
+    // topK=2 caps the rest out
+    assert(grams == Seq(("a b c", 3L), ("p q r", 2L)))
+  }
+
   test("semanticDedup drops near-duplicate embeddings, keeps min-id canonical") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),        // canonical of the dup group
