@@ -520,9 +520,8 @@ final class IcebergTable private (
     * no equality deletes. */
   def equalityDeletePositions(spark: SparkSession): DataFrame = {
     import IcebergTable.{FpCol, PosCol}
-    val files = deleteCandidateFiles(spark, planFiles(),
-      planDeletes().filter(_.content == 2))
     val eq = planDeletes().filter(_.content == 2)
+    val files = deleteCandidateFiles(spark, planFiles(), eq)
     if (files.isEmpty || eq.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -699,12 +698,6 @@ final class IcebergTable private (
     out
   }
 
-  /** The changelog dual of [[applyDeletes]]: the rows of `data` a delete
-    * set REMOVES — same join inputs and sequence gating, but `left_semi`
-    * per delete group, unioned and deduped on row identity (a row hit by
-    * several delete files is one change). `data` must carry the
-    * (file, position) id columns (`scanFiles(withIds = true)`).
-    */
   /** Shrink a candidate file list to the files a delete set could
     * possibly touch, BEFORE scanning them — the matched-rows dual of
     * manifest pruning. The delete files themselves are the index:
@@ -736,44 +729,58 @@ final class IcebergTable private (
       .maxOption.getOrElse(Long.MinValue)
     val maxEqSeq = eq.map(_.sequenceNumber.getOrElse(Long.MaxValue))
       .maxOption.getOrElse(Long.MinValue)
+    def dataSeq(f: DataFileEntry): Long = f.sequenceNumber.getOrElse(-1L)
 
-    val posRefs: Option[Set[String]] =
-      if (pos.isEmpty) Some(Set.empty)
-      else Some(spark.read.parquet(pos.map(d => resolve(d.filePath)): _*)
+    // sequence gate first, on metadata alone: files post-dating every
+    // delete can never match, and when nothing is eligible the delete
+    // files are never opened at all
+    def posEligible(f: DataFileEntry) = pos.nonEmpty && dataSeq(f) <= maxPosSeq
+    def eqEligible(f: DataFileEntry) = eq.nonEmpty && dataSeq(f) < maxEqSeq
+    if (!common.exists(f => posEligible(f) || eqEligible(f))) return Nil
+
+    // position deletes name their targets: one tiny read of the delete
+    // files' file_path column gives the exact referenced set
+    lazy val posRefs: Set[String] =
+      spark.read.parquet(pos.map(d => resolve(d.filePath)): _*)
         .select(normPathExpr(resolveExpr(col("file_path"))))
-        .distinct().collect().map(_.getString(0)).toSet)
+        .distinct().collect().map(_.getString(0)).toSet
 
-    val idToName = metadata.fieldIds.map(_.swap)
-    // per equality-id group: a list of per-column In filters (OR across
-    // groups — any group may match a file)
-    val eqGroupFilters: Option[Seq[Seq[Filter]]] =
-      if (eq.isEmpty) Some(Nil)
-      else if (eq.map(_.recordCount).sum > eqValueCap) None // unbounded
-      else Some(eq.groupBy(_.equalityIds).toSeq.map { case (ids, group) =>
-        val cols = ids.map(id => idToName.getOrElse(id,
-          throw new IllegalStateException(
-            s"equality delete references unknown field id $id in $tableDir")))
-        val rows = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
-          .select(cols.map(col): _*).distinct().collect()
-        cols.zipWithIndex.flatMap { case (c, i) =>
-          val vs = rows.map(_.get(i))
-          if (vs.contains(null)) None // NULL deletes: column unprunable
-          else Some(org.apache.spark.sql.sources.In(c, vs): Filter)
-        }
-      })
+    // per equality-id group: per-column In filters (OR across groups —
+    // any group may match a file); None = value volume over the cap, keep
+    // every sequence-eligible file (sound fallback)
+    lazy val eqGroupFilters: Option[Seq[Seq[Filter]]] =
+      if (eq.map(_.recordCount).sum > eqValueCap) None
+      else {
+        val idToName = metadata.fieldIds.map(_.swap)
+        Some(eq.groupBy(_.equalityIds).toSeq.map { case (ids, group) =>
+          val cols = ids.map(id => idToName.getOrElse(id,
+            throw new IllegalStateException(
+              s"equality delete references unknown field id $id in $tableDir")))
+          val rows = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
+            .select(cols.map(col): _*).distinct().collect()
+          cols.zipWithIndex.flatMap { case (c, i) =>
+            val vs = rows.map(_.get(i))
+            if (vs.contains(null)) None // NULL deletes: column unprunable
+            else Some(org.apache.spark.sql.sources.In(c, vs): Filter)
+          }
+        })
+      }
 
     common.filter { f =>
-      val ds = f.sequenceNumber.getOrElse(-1L)
-      val posEligible = pos.nonEmpty && ds <= maxPosSeq
-      val eqEligible = eq.nonEmpty && ds < maxEqSeq
-      val posHit = posEligible && posRefs.forall(
-        _.contains(normPath(resolve(f.filePath))))
-      val eqHit = eqEligible && eqGroupFilters.forall(
+      val posHit = posEligible(f) &&
+        posRefs.contains(normPath(resolve(f.filePath)))
+      val eqHit = eqEligible(f) && eqGroupFilters.forall(
         _.exists(gf => Pruning.mayMatchAll(gf, fileStats(f))))
       posHit || eqHit
     }
   }
 
+  /** The changelog dual of [[applyDeletes]]: the rows of `data` a delete
+    * set REMOVES — same join inputs and sequence gating, but `left_semi`
+    * per delete group, unioned and deduped on row identity (a row hit by
+    * several delete files is one change). `data` must carry the
+    * (file, position) id columns (`scanFiles(withIds = true)`).
+    */
   private def rowsMatchedByDeletes(spark: SparkSession, data: DataFrame,
                                    files: Seq[DataFileEntry],
                                    deletes: Seq[DeleteFileEntry]): DataFrame = {

@@ -26,10 +26,10 @@ object GraftScanMetrics {
   def supported(): Array[CustomMetric] = Array(
     new Sum(ManifestsTotal, "data manifests in snapshot"),
     new Sum(ManifestsKept, "manifests surviving static pruning"),
-    new Sum(FilesStatic, "data files planned after static pruning"),
+    new Sum(FilesStatic, "data files the scan will read (after all pruning)"),
     new Sum(FilesRuntimePruned, "files pruned by runtime (join) filters"),
-    new Sum(RecordsPlanned, "records in planned files (manifest stats)"),
-    new Sum(BytesPlanned, "bytes in planned files (manifest stats)"))
+    new Sum(RecordsPlanned, "records in read files (manifest stats)"),
+    new Sum(BytesPlanned, "bytes in read files (manifest stats)"))
 
   def taskMetric(metricName: String, v: Long): CustomTaskMetric =
     new CustomTaskMetric {

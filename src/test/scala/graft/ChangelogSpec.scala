@@ -185,12 +185,36 @@ class ChangelogSpec extends SparkSpec {
     assert(newFile.size === 1)
     val cand2 = t2.deleteCandidateFiles(spark, newFile, dels)
     assert(cand2.isEmpty, "sequence gating excludes files newer than every delete")
-    // NULL equality values make the column unprunable: all files stay
+    // value volume over the cap: sound fallback keeps every
+    // sequence-eligible file (the NULL-value case has its own test below)
     val allCand = t2.deleteCandidateFiles(spark, t2.planFiles(), dels,
-      eqValueCap = 0L) // cap exceeded -> sound fallback keeps eligible files
+      eqValueCap = 0L)
     assert(allCand.size === t2.planFiles().count(f =>
       f.sequenceNumber.getOrElse(-1L) <
         dels.map(_.sequenceNumber.getOrElse(Long.MaxValue)).max))
+  }
+
+  test("NULL equality-delete values defeat In-filter pruning soundly") {
+    val ns = fresh("clcat9")
+    spark.sql("CREATE TABLE clcat9.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO clcat9.ns.t SELECT CAST(id AS INT), 'a' FROM range(0, 10, 1, 1)")
+    spark.sql("INSERT INTO clcat9.ns.t SELECT CAST(NULL AS INT), 'n' FROM range(1)")
+    spark.sql("DELETE FROM clcat9.ns.t WHERE k IS NULL") // NULL equality tuple
+    val dir = s"$ns/t"
+    val t = new IcebergTable(dir, conf)
+    val dels = t.planDeletes()
+    assert(dels.nonEmpty && dels.forall(_.content == 2), "expected equality deletes")
+    // the NULL value makes column k unprunable: BOTH files stay candidates
+    // (dropping the non-null file here would be the silent-wrong-CDC bug)
+    val cand = t.deleteCandidateFiles(spark, t.planFiles(), dels)
+    assert(cand.size === t.planFiles().size, s"got ${cand.size} candidates")
+    // and the changelog emits exactly the null-keyed row as the delete
+    val cs = new IcebergTable(dir, conf)
+      .changesBetween(spark, 0L, lineage(dir).last)
+      .select("k", "v", "_change_type").collect()
+    val deletes = cs.filter(_.getString(2) == "delete")
+    assert(deletes.length === 1 && deletes.head.isNullAt(0) &&
+      deletes.head.getString(1) == "n")
   }
 
   test("a from-snapshot outside the lineage fails loudly") {
