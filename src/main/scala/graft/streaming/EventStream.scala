@@ -156,6 +156,55 @@ object EventStream {
     }
   }
 
+  /** Stream → continuously-fresh MATERIALIZED VIEW: each micro-batch of
+    * appended rows folds into a stored Iceberg rollup via
+    * [[graft.operators.IncrementalView.refresh]] — the streaming face of
+    * the q90 maintenance algebra. The MV table holds
+    * `IncrementalView.aggregateState`'s schema (keys, `cnt`, per-sum
+    * value + `_nn` non-null count) and is seeded by the caller (CTAS of
+    * `aggregateState` over the initial data, or an empty aggregate).
+    *
+    * Per batch: the delta aggregate folds into the CURRENT stored state
+    * (one #groups-sized read — rollups are bounded by group cardinality,
+    * not corpus size) and the result commits as ONE overwrite snapshot,
+    * so readers only ever see a complete, consistent rollup and time
+    * travel addresses every refresh. The arithmetic fold is NOT
+    * idempotent, so replay safety cannot ride on MERGE idempotence the
+    * way [[icebergUpsertSink]]'s does: EXACTLY-ONCE comes from the same
+    * batch-id ledger as [[icebergSink]] (summaries survive overwrites —
+    * prior snapshots stay in the list), and a replayed batch no-ops.
+    *
+    * This pairs with the streaming Iceberg SOURCE: source table appends →
+    * micro-batches → this sink, and a 100 TB fact table's rollup stays
+    * seconds-fresh for the price of each batch's delta — the full
+    * recompute never runs again. (High-cardinality states that make a
+    * per-batch overwrite too heavy belong on the MERGE path instead —
+    * at the cost of hand-building the arithmetic update.)
+    */
+  def icebergMvSink(stream: DataFrame, mvDir: String, keys: Seq[String],
+                    sums: Seq[(String, String)])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keys.nonEmpty, "MV sink needs at least one group key")
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val qid = Option(spark.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("")
+        val conf = spark.sessionState.newHadoopConf()
+        val meta = graft.iceberg.TableMetadata.load(mvDir, conf)
+        val replay = lastCommittedBatchId(meta, qid).exists(_ >= batchId)
+        if (!replay && !batch.isEmpty) {
+          val changes = batch.toDF.withColumn("_change_type", lit("insert"))
+          val state = new graft.iceberg.IcebergTable(mvDir, conf).toDF(spark)
+          val next = graft.operators.IncrementalView
+            .refresh(state, changes, keys, sums)
+          graft.iceberg.IcebergWriter.overwrite(spark, mvDir, next,
+            summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid))
+          ()
+        }
+    }
+  }
+
   /** Stream → Iceberg UPSERT: each micro-batch MERGEs into the table on
     * `keys` (update matched rows, insert new ones) — the CDC-ingestion
     * sink a training-data pipeline uses to keep a corpus table current

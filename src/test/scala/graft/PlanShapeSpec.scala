@@ -76,6 +76,32 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("rangepartitioning"), plan)
   }
 
+  test("DSIR vocab joins broadcast; boilerplate rewrite is map-side") {
+    val docs = Tables.load(spark, sf, "documents")
+    // the vocab (aggregated, bounded by distinct tokens) must broadcast
+    // back onto the exploded corpus — a sort-merge join would shuffle
+    // the token stream of the whole corpus
+    val sel = graft.operators.Selection.importanceScores(
+      docs, "doc_id", "text", col("lang") === "de")
+    val selPlan = physical(sel)
+    assert(selPlan.contains("BroadcastHashJoin"),
+      s"vocab must broadcast:\n$selPlan")
+    assert(!selPlan.contains("SortMergeJoin"), selPlan)
+    // boilerplate pass 2 (the rewrite over a known gram list) is purely
+    // map-side: no exchange, no join — the corpus never moves
+    val rw = graft.operators.Boilerplate.removeNgrams(
+      docs.select(col("doc_id"), col("text")), "text",
+      Seq("a b c", "x y z"), n = 3)
+    val rwPlan = physical(rw)
+    assert(!rwPlan.contains("Exchange") && !rwPlan.contains("Join"),
+      s"rewrite must be map-side:\n$rwPlan")
+    // URL canonicalization is likewise a pure projection
+    val url = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.canonicalizeUrl(col("text")).as("c"))
+    val urlPlan = physical(url)
+    assert(!urlPlan.contains("Exchange"), urlPlan)
+  }
+
   test("asOfJoin plans one window pass and no join node for the matching") {
     val ev = Tables.load(spark, sf, "events")
     val purchases = ev.filter(col("event_type") === "purchase")
