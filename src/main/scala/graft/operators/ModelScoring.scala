@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Model-scored quality filtering — the batched-inference plumbing behind
+  * the model-based stage every modern curation pipeline runs (fastText
+  * quality classifiers, perplexity filters, reward-model scoring).
+  *
+  * The Spark-side mechanics are the real design and the point of the
+  * operator: one model INSTANTIATION per partition (not per row — real
+  * model loads cost seconds), fixed-size BATCHES through the scorer (the
+  * shape every inference runtime wants), streaming iterators end to end
+  * (a partition is never materialized), score appended as a column. At
+  * cluster scale the [[DocScorer]] is swapped for an ONNX/JNI/served
+  * model and nothing else changes.
+  *
+  * The container ships no ML runtime (same contract as
+  * [[Multimodal.FakeDecoder]]), so the default scorer is a clearly-marked
+  * deterministic stand-in: a fixed-weight linear model over closed-form
+  * text features, chosen so the DuckDB oracle reproduces every score
+  * bit-for-bit (single-expression IEEE arithmetic, no reduction-order
+  * ambiguity).
+  */
+object ModelScoring {
+
+  /** The inference contract: load once per partition, score in batches. */
+  trait DocScorer extends Serializable {
+    /** Called once per partition-local instantiation. */
+    def load(): Unit = ()
+    def scoreBatch(texts: Array[String]): Array[Double]
+  }
+
+  /** STUB model: fixed weights over (words, distinct words, chars). The
+    * expression is one fixed tree of exactly-rounded IEEE ops, so any
+    * 64-bit engine reproduces it. */
+  final class StubLinearScorer extends DocScorer {
+    override def scoreBatch(texts: Array[String]): Array[Double] =
+      texts.map { t =>
+        val words = t.split(" ").filter(_.nonEmpty)
+        val n = words.length.toDouble
+        val d = words.distinct.length.toDouble
+        val c = t.length.toDouble
+        (2.0 * d + 1.0) / (n + 1.0) + c / 4096.0
+      }
+  }
+
+  case class Scored(doc_id: Long, score: Double)
+
+  /** Score every document: `batchSize` rows per scorer call, one scorer
+    * per partition, streaming (grouped iterator, no partition
+    * materialization). Returns (doc_id, score). */
+  def scoreBatched(docs: DataFrame, idCol: String, textCol: String,
+                   batchSize: Int = 64,
+                   scorer: () => DocScorer = () => new StubLinearScorer)(
+      implicit spark: SparkSession): Dataset[Scored] = {
+    require(batchSize >= 1)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val model = scorer()
+        model.load()
+        it.grouped(batchSize).flatMap { group =>
+          val scores = model.scoreBatch(group.map(_._2).toArray)
+          require(scores.length == group.length,
+            s"scorer returned ${scores.length} scores for ${group.length} docs")
+          group.iterator.zip(scores.iterator)
+            .map { case ((id, _), s) => Scored(id, s) }
+        }
+      }
+  }
+}

@@ -493,6 +493,20 @@ object Extensions {
         .select(col("doc_id"), col("n_words"), col("score"))
     }),
 
+    // Model-scored quality gate: batched-inference plumbing (one model
+    // per partition, fixed-size batches, streaming) with the
+    // deterministic stub scorer — the oracle reproduces every score
+    // bit-for-bit (single fixed-tree IEEE expression).
+    "q96_model_score" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      graft.operators.ModelScoring
+        .scoreBatched(t(s, d, "documents"), "doc_id", "text", batchSize = 32)
+        .toDF()
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .withColumn("keep", col("score") >= 1.1)
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     // Corpus-wide boilerplate stripping (the CCNet/RefinedWeb duplicated-
     // line filter, n-gram form): 3-grams recurring in >= 5 docs (top 30
     // by df desc, gram — a deterministic bounded list) are removed from
@@ -871,6 +885,17 @@ object Extensions {
         |                           ORDER BY quality DESC, doc_id) AS rk
         |      FROM q)
         |SELECT doc_id, quality FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q96_model_score" ->
+      """WITH f AS (SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), w -> len(w) > 0)) AS n,
+        |    len(list_distinct(list_filter(string_split(text,' '),
+        |        w -> len(w) > 0))) AS d,
+        |    length(text) AS c
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND((2.0*d + 1.0)/(n + 1.0) + c/4096.0, 4) AS score,
+        |  ROUND((2.0*d + 1.0)/(n + 1.0) + c/4096.0, 4) >= 1.1 AS keep
+        |FROM f ORDER BY doc_id LIMIT 200""".stripMargin,
     "q95_boilerplate" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |starts AS (SELECT doc_id, i, array_to_string(ws[i:i+2], ' ') AS gram

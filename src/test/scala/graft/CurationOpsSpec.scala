@@ -233,6 +233,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L))
   }
 
+  test("model scoring: one load per partition, full fixed-size batches, all rows scored") {
+    import graft.operators.ModelScoring
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    CurationOpsSpec.ScorerProbe.reset()
+    val docs = (0L until 10L).map(i => (i, s"w$i " * (i.toInt + 1)))
+      .toDF("doc_id", "text").repartition(1)
+    val got = ModelScoring.scoreBatched(docs, "doc_id", "text",
+        batchSize = 4, scorer = () => new CurationOpsSpec.ProbeScorer)
+      .collect().map(s => s.doc_id -> s.score).toMap
+    assert(got.size == 10 && got.keys.toSeq.sorted == (0L until 10L))
+    // 10 rows / batchSize 4 in ONE partition -> batches of 4, 4, 2
+    assert(CurationOpsSpec.ScorerProbe.batches.toString.nonEmpty)
+    assert(CurationOpsSpec.ScorerProbe.batchSizes.sorted == Seq(2, 4, 4),
+      s"got ${CurationOpsSpec.ScorerProbe.batchSizes}")
+    assert(CurationOpsSpec.ScorerProbe.loads.get() == 1,
+      "model must instantiate once per partition, not per row")
+    // stub scorer matches the closed-form feature expression
+    val one = ModelScoring.scoreBatched(
+      Seq((1L, "a b a")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head.score
+    assert(math.abs(one - ((2.0 * 2 + 1.0) / (3 + 1.0) + 5.0 / 4096.0)) < 1e-12)
+  }
+
   test("boilerplate stripping: overlapping hits, full-boilerplate doc, clean doc intact") {
     val docs = Seq(
       (1L, "accept all cookies to continue reading the article"),
@@ -300,5 +323,26 @@ class CurationOpsSpec extends SparkSpec {
       .selectTopK(docs, "doc_id", "text", col("tgt"), k = 2)
       .select("doc_id").as[Long].collect().toSeq
     assert(top == Seq(1L, 3L), "top-k in (score desc, id) order")
+  }
+}
+
+/** Companion holding the probe scorer's JVM-local counters (local-mode
+  * executors share the JVM, so statics observe executor-side calls). */
+object CurationOpsSpec {
+  object ScorerProbe {
+    val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def batchSizes: Seq[Int] = {
+      val it = batches.iterator(); val b = Seq.newBuilder[Int]
+      while (it.hasNext) b += it.next(); b.result()
+    }
+    def reset(): Unit = { loads.set(0); batches.clear() }
+  }
+  final class ProbeScorer extends graft.operators.ModelScoring.DocScorer {
+    override def load(): Unit = { ScorerProbe.loads.incrementAndGet(); () }
+    override def scoreBatch(texts: Array[String]): Array[Double] = {
+      ScorerProbe.batches.add(texts.length)
+      texts.map(_.length.toDouble)
+    }
   }
 }
