@@ -502,9 +502,28 @@ final class IcebergTable private (
         else metadata.schema)
 
     val deletes = if (hasDeletes) planDeletes() else Nil
-    val base = scanFiles(spark, files, withIds = keepIds || deletes.nonEmpty)
-    val out = if (deletes.isEmpty) base
-      else applyDeletes(spark, base, files, deletes)
+    val out =
+      if (deletes.isEmpty) scanFiles(spark, files, withIds = keepIds)
+      else {
+        // only files the delete set could touch pay the anti-joins; the
+        // rest of the table streams straight through. On a 100 TB table
+        // a small delete's candidates are a handful of files — without
+        // the split EVERY row of EVERY file flows through one anti-join
+        // per delete group (equality groups join on data columns, so the
+        // subtree input would be the whole table)
+        val cands = deleteCandidateFiles(spark, files, deletes)
+        val candPaths = cands.map(_.filePath).toSet
+        val rest = files.filterNot(f => candPaths.contains(f.filePath))
+        val idCols = metadata.schema.fieldNames.toSeq ++ Seq(FpCol, PosCol)
+        def norm(df: DataFrame) = df.select(idCols.map(col): _*)
+        val parts = Seq(
+          if (cands.isEmpty) None
+          else Some(norm(applyDeletes(spark,
+            scanFiles(spark, cands, withIds = true), cands, deletes))),
+          if (rest.isEmpty) None
+          else Some(norm(scanFiles(spark, rest, withIds = true)))).flatten
+        parts.reduce(_ unionByName _) // files is non-empty ⇒ parts is too
+      }
     val keep = metadata.schema.fieldNames.toSeq ++
       (if (keepIds) Seq(FpCol, PosCol) else Nil)
     if (deletes.isEmpty && !keepIds) out else out.select(keep.map(col): _*)
@@ -719,6 +738,24 @@ final class IcebergTable private (
     * handful of files whose stats overlap the deleted keys. Falls back to
     * the full candidate set (sound, just slower) when the equality volume
     * exceeds the cap. */
+  /** Driver-side cache of delete-file index reads (referenced paths /
+    * equality values) keyed by delete-file set — immutable files, one
+    * read per instance regardless of how many times planning runs.
+    * get + putIfAbsent, NOT computeIfAbsent — same reasoning as
+    * [[manifestCache]]: the load runs a blocking Spark job. */
+  private val deleteIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def deleteIndexCached[A <: AnyRef](key: String)(load: => A): A = {
+    val hit = deleteIndexCache.get(key)
+    if (hit != null) hit.asInstanceOf[A]
+    else {
+      val v = load
+      val prev = deleteIndexCache.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[A]
+    }
+  }
+
   private[graft] def deleteCandidateFiles(
       spark: SparkSession, common: Seq[DataFileEntry],
       dels: Seq[DeleteFileEntry], eqValueCap: Long = 100000L): Seq[DataFileEntry] = {
@@ -739,32 +776,38 @@ final class IcebergTable private (
     if (!common.exists(f => posEligible(f) || eqEligible(f))) return Nil
 
     // position deletes name their targets: one tiny read of the delete
-    // files' file_path column gives the exact referenced set
+    // files' file_path column gives the exact referenced set. Cached per
+    // (instance, delete-file set): Spark may call ScanBuilder.build()
+    // several times while planning one query, and delete files are
+    // immutable — one driver job, not one per build
     lazy val posRefs: Set[String] =
-      spark.read.parquet(pos.map(d => resolve(d.filePath)): _*)
-        .select(normPathExpr(resolveExpr(col("file_path"))))
-        .distinct().collect().map(_.getString(0)).toSet
+      deleteIndexCached("pos:" + pos.map(_.filePath).sorted.mkString(",")) {
+        spark.read.parquet(pos.map(d => resolve(d.filePath)): _*)
+          .select(normPathExpr(resolveExpr(col("file_path"))))
+          .distinct().collect().map(_.getString(0)).toSet
+      }
 
     // per equality-id group: per-column In filters (OR across groups —
     // any group may match a file); None = value volume over the cap, keep
-    // every sequence-eligible file (sound fallback)
+    // every sequence-eligible file (sound fallback). Cached like posRefs.
     lazy val eqGroupFilters: Option[Seq[Seq[Filter]]] =
       if (eq.map(_.recordCount).sum > eqValueCap) None
-      else {
-        val idToName = metadata.fieldIds.map(_.swap)
-        Some(eq.groupBy(_.equalityIds).toSeq.map { case (ids, group) =>
-          val cols = ids.map(id => idToName.getOrElse(id,
-            throw new IllegalStateException(
-              s"equality delete references unknown field id $id in $tableDir")))
-          val rows = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
-            .select(cols.map(col): _*).distinct().collect()
-          cols.zipWithIndex.flatMap { case (c, i) =>
-            val vs = rows.map(_.get(i))
-            if (vs.contains(null)) None // NULL deletes: column unprunable
-            else Some(org.apache.spark.sql.sources.In(c, vs): Filter)
+      else Some(deleteIndexCached(
+        "eq:" + eq.map(_.filePath).sorted.mkString(",")) {
+          val idToName = metadata.fieldIds.map(_.swap)
+          eq.groupBy(_.equalityIds).toSeq.map { case (ids, group) =>
+            val cols = ids.map(id => idToName.getOrElse(id,
+              throw new IllegalStateException(
+                s"equality delete references unknown field id $id in $tableDir")))
+            val rows = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
+              .select(cols.map(col): _*).distinct().collect()
+            cols.zipWithIndex.flatMap { case (c, i) =>
+              val vs = rows.map(_.get(i))
+              if (vs.contains(null)) None // NULL deletes: column unprunable
+              else Some(org.apache.spark.sql.sources.In(c, vs): Filter)
+            }
           }
         })
-      }
 
     common.filter { f =>
       val posHit = posEligible(f) &&

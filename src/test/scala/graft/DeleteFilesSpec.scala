@@ -221,6 +221,38 @@ class DeleteFilesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == (0L to 4L))
   }
 
+  test("MoR read splits: only delete-candidate files pay the anti-join") {
+    import org.apache.hadoop.fs.Path
+    val wh = "/root/repo/target/test-morsplit-wh"
+    new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(wh), true)
+    spark.conf.set("spark.sql.catalog.morsp",
+      classOf[graft.iceberg.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morsp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS morsp.ns")
+    spark.sql("CREATE TABLE morsp.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO morsp.ns.t SELECT CAST(id AS INT), 'lo' FROM range(0, 50, 1, 1)")
+    spark.sql("INSERT INTO morsp.ns.t SELECT CAST(id AS INT), 'hi' FROM range(1000, 1050, 1, 1)")
+    spark.sql("DELETE FROM morsp.ns.t WHERE k IN (1001, 1002)")
+    val dir = s"$wh/ns/t"
+    val t = new graft.iceberg.IcebergTable(dir,
+      spark.sessionState.newHadoopConf())
+    // only the hi file is a candidate; the read must still be exact
+    assert(t.deleteCandidateFiles(spark, t.planFiles(), t.planDeletes()).size == 1)
+    val df = t.toDF(spark)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union"),
+      s"expected the candidate/passthrough split union:\n$plan")
+    // exactly one anti-join subtree (the candidate side), not two
+    val antis = "LeftAnti".r.findAllIn(plan).length
+    assert(antis == 1, s"expected one anti-join, got $antis:\n$plan")
+    assert(df.count() == 98)
+    assert(df.filter(org.apache.spark.sql.functions.col("k")
+      .isin(1001, 1002)).count() == 0)
+    assert(df.filter(org.apache.spark.sql.functions.col("k") < 50)
+      .count() == 50)
+  }
+
   test("merge-on-read resolves through the catalog (V1 bridge path)") {
     table.hasDeletes // force fixture
     spark.conf.set("spark.sql.catalog.mor", classOf[GraftCatalog].getName)
