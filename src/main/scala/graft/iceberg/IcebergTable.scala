@@ -293,22 +293,29 @@ final class IcebergTable private (
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
 
-  private def readManifestCached(m: ManifestFile): Seq[DataFileEntry] = {
-    // get + putIfAbsent, NOT computeIfAbsent: the load does blocking Avro
-    // IO, and a fork-join worker re-entering the same hash bin while one
-    // of its frames is still inside computeIfAbsent throws "Recursive
-    // update" (the par scans here run on the common pool, which
-    // work-steals). A racing duplicate read is harmless — manifest files
-    // are immutable and both threads produce the same value.
-    val cached = manifestCache.get(m.path)
-    if (cached != null) cached
+  /** get + putIfAbsent, NOT computeIfAbsent: the loads do blocking IO
+    * (Avro manifests, delete-file parquet jobs), and a fork-join worker
+    * re-entering the same hash bin while one of its frames is still
+    * inside computeIfAbsent throws "Recursive update" (the par scans
+    * here run on the common pool, which work-steals). A racing duplicate
+    * load is harmless — the cached files are immutable and both threads
+    * produce the same value. */
+  private def cachedIn[V <: AnyRef](
+      map: java.util.concurrent.ConcurrentHashMap[String, V],
+      key: String)(load: => V): V = {
+    val hit = map.get(key)
+    if (hit != null) hit
     else {
-      val loaded = ManifestIO.readManifest(resolve(m.path), conf,
-        m.sequenceNumber, m.partitionSpecId)
-      val prev = manifestCache.putIfAbsent(m.path, loaded)
-      if (prev != null) prev else loaded
+      val v = load
+      val prev = map.putIfAbsent(key, v)
+      if (prev != null) prev else v
     }
   }
+
+  private def readManifestCached(m: ManifestFile): Seq[DataFileEntry] =
+    cachedIn(manifestCache, m.path)(
+      ManifestIO.readManifest(resolve(m.path), conf,
+        m.sequenceNumber, m.partitionSpecId))
 
   private def readManifestsParallel(ms: Seq[ManifestFile]): Seq[DataFileEntry] =
     if (ms.sizeIs <= 1) ms.flatMap(readManifestCached)
@@ -738,23 +745,13 @@ final class IcebergTable private (
     * handful of files whose stats overlap the deleted keys. Falls back to
     * the full candidate set (sound, just slower) when the equality volume
     * exceeds the cap. */
-  /** Driver-side cache of delete-file index reads (referenced paths /
+  /** Driver-side caches of delete-file index reads (referenced paths /
     * equality values) keyed by delete-file set — immutable files, one
-    * read per instance regardless of how many times planning runs.
-    * get + putIfAbsent, NOT computeIfAbsent — same reasoning as
-    * [[manifestCache]]: the load runs a blocking Spark job. */
-  private val deleteIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-
-  private def deleteIndexCached[A <: AnyRef](key: String)(load: => A): A = {
-    val hit = deleteIndexCache.get(key)
-    if (hit != null) hit.asInstanceOf[A]
-    else {
-      val v = load
-      val prev = deleteIndexCache.putIfAbsent(key, v)
-      (if (prev != null) prev else v).asInstanceOf[A]
-    }
-  }
+    * read per instance regardless of how many times planning runs. */
+  private val posRefCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+  private val eqFilterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Filter]]]()
 
   private[graft] def deleteCandidateFiles(
       spark: SparkSession, common: Seq[DataFileEntry],
@@ -781,7 +778,7 @@ final class IcebergTable private (
     // several times while planning one query, and delete files are
     // immutable — one driver job, not one per build
     lazy val posRefs: Set[String] =
-      deleteIndexCached("pos:" + pos.map(_.filePath).sorted.mkString(",")) {
+      cachedIn(posRefCache, pos.map(_.filePath).sorted.mkString(",")) {
         spark.read.parquet(pos.map(d => resolve(d.filePath)): _*)
           .select(normPathExpr(resolveExpr(col("file_path"))))
           .distinct().collect().map(_.getString(0)).toSet
@@ -792,8 +789,8 @@ final class IcebergTable private (
     // every sequence-eligible file (sound fallback). Cached like posRefs.
     lazy val eqGroupFilters: Option[Seq[Seq[Filter]]] =
       if (eq.map(_.recordCount).sum > eqValueCap) None
-      else Some(deleteIndexCached(
-        "eq:" + eq.map(_.filePath).sorted.mkString(",")) {
+      else Some(cachedIn(eqFilterCache,
+        eq.map(_.filePath).sorted.mkString(",")) {
           val idToName = metadata.fieldIds.map(_.swap)
           eq.groupBy(_.equalityIds).toSeq.map { case (ids, group) =>
             val cols = ids.map(id => idToName.getOrElse(id,

@@ -30,25 +30,29 @@ object ModelScoring {
     def scoreBatch(texts: Array[String]): Array[Double]
   }
 
-  /** STUB model: fixed weights over (words, distinct words, chars). The
-    * expression is one fixed tree of exactly-rounded IEEE ops, so any
-    * 64-bit engine reproduces it. */
+  /** STUB model: fixed weights over (words, distinct words, code points).
+    * The expression is one fixed tree of exactly-rounded IEEE ops, so any
+    * 64-bit engine reproduces it — `c` counts CODE POINTS (what SQL
+    * `length()` counts), not UTF-16 units, so an astral-plane character
+    * (routine in web crawls) scores identically on both sides. */
   final class StubLinearScorer extends DocScorer {
     override def scoreBatch(texts: Array[String]): Array[Double] =
       texts.map { t =>
         val words = t.split(" ").filter(_.nonEmpty)
         val n = words.length.toDouble
         val d = words.distinct.length.toDouble
-        val c = t.length.toDouble
+        val c = t.codePointCount(0, t.length).toDouble
         (2.0 * d + 1.0) / (n + 1.0) + c / 4096.0
       }
   }
 
-  case class Scored(doc_id: Long, score: Double)
+  case class Scored(doc_id: Option[Long], score: Option[Double])
 
   /** Score every document: `batchSize` rows per scorer call, one scorer
     * per partition, streaming (grouped iterator, no partition
-    * materialization). Returns (doc_id, score). */
+    * materialization). NULL texts pass through with a NULL score (SQL
+    * semantics — a model is never called on them); NULL ids are carried,
+    * not crashed on. Returns (idCol, score). */
   def scoreBatched(docs: DataFrame, idCol: String, textCol: String,
                    batchSize: Int = 64,
                    scorer: () => DocScorer = () => new StubLinearScorer)(
@@ -57,16 +61,20 @@ object ModelScoring {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+      .as[(Option[Long], Option[String])]
       .mapPartitions { it =>
         val model = scorer()
         model.load()
         it.grouped(batchSize).flatMap { group =>
-          val scores = model.scoreBatch(group.map(_._2).toArray)
-          require(scores.length == group.length,
-            s"scorer returned ${scores.length} scores for ${group.length} docs")
-          group.iterator.zip(scores.iterator)
-            .map { case ((id, _), s) => Scored(id, s) }
+          val scorable = group.collect { case (_, Some(t)) => t }
+          val scores = model.scoreBatch(scorable.toArray)
+          require(scores.length == scorable.length,
+            s"scorer returned ${scores.length} scores for ${scorable.length} docs")
+          val scoreIt = scores.iterator
+          group.iterator.map {
+            case (id, Some(_)) => Scored(id, Some(scoreIt.next()))
+            case (id, None) => Scored(id, None)
+          }
         }
       }
   }

@@ -181,27 +181,50 @@ object EventStream {
     * per-batch overwrite too heavy belong on the MERGE path instead —
     * at the cost of hand-building the arithmetic update.)
     */
+  /** The MV sink's per-batch body, factored out so the exactly-once gate
+    * is directly testable (the [[icebergSink]]/[[commitBatchIfNew]]
+    * discipline): fold `batch` (append rows) into the stored rollup and
+    * commit ONE ledgered overwrite snapshot — unless the ledger already
+    * records this (queryId, batchId), in which case NOTHING runs (the
+    * arithmetic fold is not idempotent; a replayed fold would
+    * double-count). Returns whether a commit happened. */
+  private[graft] def foldBatchIfNew(
+      batch: DataFrame, mvDir: String, keys: Seq[String],
+      sums: Seq[(String, String)], batchId: Long, queryId: String): Boolean = {
+    // a stream of appends has no change-type column; one that DOES carry
+    // _change_type (a changesBetween-shaped CDC feed) must not have its
+    // deletes silently relabeled as inserts
+    require(!batch.columns.contains("_change_type"),
+      "MV sink folds APPEND streams; a _change_type-carrying CDC feed " +
+        "would have its deletes relabeled as inserts — fold it with " +
+        "IncrementalView.refresh directly")
+    val spark = batch.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = graft.iceberg.TableMetadata.load(mvDir, conf)
+    val qid = Option(queryId).getOrElse("")
+    if (lastCommittedBatchId(meta, qid).exists(_ >= batchId)) false
+    else if (batch.isEmpty) false
+    else {
+      val changes = batch.withColumn("_change_type", lit("insert"))
+      val state = new graft.iceberg.IcebergTable(mvDir, conf).toDF(spark)
+      val next = graft.operators.IncrementalView
+        .refresh(state, changes, keys, sums)
+      graft.iceberg.IcebergWriter.overwrite(spark, mvDir, next,
+        summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid))
+      true
+    }
+  }
+
   def icebergMvSink(stream: DataFrame, mvDir: String, keys: Seq[String],
                     sums: Seq[(String, String)])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(keys.nonEmpty, "MV sink needs at least one group key")
     stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val qid = Option(spark.sparkContext
-          .getLocalProperty("sql.streaming.queryId")).getOrElse("")
-        val conf = spark.sessionState.newHadoopConf()
-        val meta = graft.iceberg.TableMetadata.load(mvDir, conf)
-        val replay = lastCommittedBatchId(meta, qid).exists(_ >= batchId)
-        if (!replay && !batch.isEmpty) {
-          val changes = batch.toDF.withColumn("_change_type", lit("insert"))
-          val state = new graft.iceberg.IcebergTable(mvDir, conf).toDF(spark)
-          val next = graft.operators.IncrementalView
-            .refresh(state, changes, keys, sums)
-          graft.iceberg.IcebergWriter.overwrite(spark, mvDir, next,
-            summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid))
-          ()
-        }
+        val qid = batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")
+        foldBatchIfNew(batch.toDF, mvDir, keys, sums, batchId, qid)
+        ()
     }
   }
 

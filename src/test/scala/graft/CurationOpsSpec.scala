@@ -241,7 +241,7 @@ class CurationOpsSpec extends SparkSpec {
       .toDF("doc_id", "text").repartition(1)
     val got = ModelScoring.scoreBatched(docs, "doc_id", "text",
         batchSize = 4, scorer = () => new CurationOpsSpec.ProbeScorer)
-      .collect().map(s => s.doc_id -> s.score).toMap
+      .collect().map(s => s.doc_id.get -> s.score.get).toMap
     assert(got.size == 10 && got.keys.toSeq.sorted == (0L until 10L))
     // 10 rows / batchSize 4 in ONE partition -> batches of 4, 4, 2
     assert(CurationOpsSpec.ScorerProbe.batches.toString.nonEmpty)
@@ -252,8 +252,15 @@ class CurationOpsSpec extends SparkSpec {
     // stub scorer matches the closed-form feature expression
     val one = ModelScoring.scoreBatched(
       Seq((1L, "a b a")).toDF("doc_id", "text"), "doc_id", "text")
-      .collect().head.score
+      .collect().head.score.get
     assert(math.abs(one - ((2.0 * 2 + 1.0) / (3 + 1.0) + 5.0 / 4096.0)) < 1e-12)
+    // NULL text scores NULL (SQL semantics) — the model never sees it,
+    // surrounding rows still score
+    val withNull = ModelScoring.scoreBatched(
+      Seq((1L, Some("a b")), (2L, None: Option[String]), (3L, Some("c")))
+        .toDF("doc_id", "text"), "doc_id", "text", batchSize = 2)
+      .collect().map(s => s.doc_id.get -> s.score).toMap
+    assert(withNull(2L).isEmpty && withNull(1L).nonEmpty && withNull(3L).nonEmpty)
   }
 
   test("boilerplate stripping: overlapping hits, full-boilerplate doc, clean doc intact") {

@@ -239,14 +239,26 @@ class StreamingSpec extends SparkSpec {
       .distinct.filter(_.nonEmpty)
     assert(qid.size == 1)
     assert(EventStream.lastCommittedBatchId(t.metadata, qid.head).contains(1L))
-    // direct replay probe: folding batch 1 again must no-op because the
-    // arithmetic fold is ledger-gated, not idempotent
+    // REAL replay: drive the per-batch body again with batch 1's id and
+    // rows — the ledger gate must refuse the fold (double-counted sums
+    // otherwise) and the stored rollup must not move
     val before = rollup(spark.sql("SELECT * FROM mvcat.ns.mv"))
-    // (simulate at the ledger level — the sink consults it before folding)
-    assert(EventStream.lastCommittedBatchId(
-      graft.iceberg.TableMetadata.load(mvDir,
-        spark.sessionState.newHadoopConf()), qid.head).exists(_ >= 1L))
+    val replayed = EventStream.foldBatchIfNew(
+      Seq(("c", 1L), ("b", 5L)).toDF("k", "v"), mvDir, keys, sums,
+      batchId = 1L, queryId = qid.head)
+    assert(!replayed, "replayed batch id must no-op")
     assert(rollup(spark.sql("SELECT * FROM mvcat.ns.mv")) == before)
+    // a NEW batch id through the same body DOES fold
+    assert(EventStream.foldBatchIfNew(Seq(("a", 1L)).toDF("k", "v"),
+      mvDir, keys, sums, batchId = 2L, queryId = qid.head))
+    assert(rollup(spark.sql("SELECT * FROM mvcat.ns.mv")) != before)
+    // a CDC-shaped frame is refused, not silently relabeled
+    val e = intercept[IllegalArgumentException] {
+      EventStream.foldBatchIfNew(
+        Seq(("a", 1L, "delete")).toDF("k", "v", "_change_type"),
+        mvDir, keys, sums, batchId = 3L, queryId = qid.head)
+    }
+    assert(e.getMessage.contains("_change_type"))
   }
 
   test("streaming sink is exactly-once: replayed batches do not double-append") {
