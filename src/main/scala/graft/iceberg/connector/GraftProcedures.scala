@@ -155,13 +155,18 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "analyze_table" =>
       Seq(attr("analyzed_columns_count", IntegerType),
         attr("snapshot_id", LongType))
+    case "create_mv" =>
+      Seq(attr("source_snapshot_id", LongType))
+    case "refresh_mv" =>
+      Seq(attr("refreshed_through_snapshot_id", LongType),
+        attr("refreshed", IntegerType))
     case other => throw new UnsupportedOperationException(
       s"unknown procedure system.$other (have: expire_snapshots, " +
         "remove_orphan_files, rewrite_data_files, rewrite_manifests, " +
         "fast_forward, rollback_to_snapshot, rollback_to_timestamp, " +
         "cherrypick_snapshot, create_changelog_view, add_files, " +
         "rewrite_position_delete_files, convert_equality_deletes, " +
-        "analyze_table)")
+        "analyze_table, create_mv, refresh_mv)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -183,6 +188,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "cherrypick_snapshot" => Seq("table", "snapshot_id")
       case "convert_equality_deletes" => Seq("table")
       case "analyze_table" => Seq("table", "columns")
+      case "create_mv" => Seq("table", "mv", "keys", "sums")
+      case "refresh_mv" => Seq("table")
     }
     val m = bind(procedure, params, rawArgs)
     val tableParts = spark.sessionState.sqlParser
@@ -365,6 +372,48 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           else Nil
         val (sid, n) = IcebergWriter.analyzeTable(spark, dir, cols, cmtr)
         Seq(Row(n, sid))
+      case "create_mv" =>
+        // seed state of the PINNED source snapshot + the MV definition,
+        // committed as one CTAS; the pin is the first refresh cursor
+        import graft.iceberg.MaterializedViews
+        val mvName = str(m, "mv", procedure)
+        val keys = str(m, "keys", procedure)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sums = MaterializedViews.parseSums(str(m, "sums", procedure))
+        val (state, sid) = MaterializedViews.seed(spark, dir, keys, sums)
+        val view = "__graft_mv_seed_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        state.createOrReplaceTempView(view)
+        try {
+          def q(s: String) = s.replace("'", "''")
+          spark.sql(
+            s"""CREATE TABLE $catalogName.$mvName TBLPROPERTIES (
+               |  '${MaterializedViews.SourceProp}' =
+               |    '${q(str(m, "table", procedure))}',
+               |  '${MaterializedViews.KeysProp}' = '${q(keys.mkString(","))}',
+               |  '${MaterializedViews.SumsProp}' =
+               |    '${q(sums.map { case (v, o) => s"$v:$o" }.mkString(","))}',
+               |  '${MaterializedViews.SourceSnapProp}' = '$sid')
+               |AS SELECT * FROM $view""".stripMargin)
+          ()
+        } finally { spark.catalog.dropTempView(view); () }
+        Seq(Row(sid))
+      case "refresh_mv" =>
+        // here `table` IS the MV; its source resolves through the same
+        // catalog from the stored definition
+        import graft.iceberg.MaterializedViews
+        val srcName = t.table.metadata.properties.getOrElse(
+          MaterializedViews.SourceProp,
+          throw new IllegalArgumentException(
+            s"refresh_mv: ${str(m, "table", procedure)} is not a graft MV " +
+              s"(no ${MaterializedViews.SourceProp} property)"))
+        val srcParts = spark.sessionState.sqlParser
+          .parseMultipartIdentifier(srcName)
+        val (_, _, srcT) =
+          GraftSqlParser.resolveTable(spark, catalogName +: srcParts)
+        val (through, did) = MaterializedViews.refresh(
+          spark, dir, srcT.table.tableDir, cmtr)
+        Seq(Row(through, if (did) 1 else 0))
     }
     if (procedure != "create_changelog_view") cat.invalidateTable(ident)
     rows

@@ -734,6 +734,41 @@ object IcebergQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // The SQL face of incremental-MV maintenance: CALL create_mv pins the
+    // seed, the source moves (INSERT + equality DELETE), CALL refresh_mv
+    // folds only the changelog (cursor rides the refresh snapshot's
+    // summary — state and cursor move in ONE commit). The oracle is the
+    // from-scratch recompute of the final rollup.
+    "q97_mv_procedures" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q97-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q97")
+      s.conf.set("spark.sql.catalog.q97cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q97cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q97cat.ns")
+      s.sql(
+        """CREATE TABLE q97cat.ns.src AS
+          |SELECT o_orderkey, o_custkey, o_orderpriority FROM orders_src_q97
+          |WHERE o_orderkey % 3 <> 0""".stripMargin)
+      s.sql("CALL q97cat.system.create_mv(table => 'ns.src', mv => 'ns.mv', " +
+        "keys => 'o_orderpriority', sums => 'o_orderkey:sk')").collect()
+      s.sql(
+        """INSERT INTO q97cat.ns.src
+          |SELECT o_orderkey, o_custkey, o_orderpriority FROM orders_src_q97
+          |WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql("DELETE FROM q97cat.ns.src WHERE o_orderpriority = '3-MEDIUM'")
+      val r = s.sql("CALL q97cat.system.refresh_mv(table => 'ns.mv')").collect()
+      require(r.head.getInt(1) == 1, "q97: refresh must fold")
+      // and a second refresh is a no-op (cursor is current)
+      require(s.sql("CALL q97cat.system.refresh_mv(table => 'ns.mv')")
+        .collect().head.getInt(1) == 0, "q97: repeat refresh must no-op")
+      s.sql(
+        """SELECT o_orderpriority, cnt, CAST(sk AS BIGINT) AS sk, sk_nn
+          |FROM q97cat.ns.mv ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     "q67_mor" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = "/root/repo/target/q67-warehouse"
@@ -913,6 +948,12 @@ object IcebergQueries {
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS n_after,
         |       (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation
         |        WHERE n_nationkey NOT IN (0, 1, 2)) AS sk_after""".stripMargin,
+    "q97_mv_procedures" ->
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS sk,
+        |       COUNT(o_orderkey) AS sk_nn
+        |FROM orders WHERE o_orderpriority <> '3-MEDIUM'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // the final corpus state: everything, the URGENT custkey bump applied,
     // the 5-LOW group deleted — recomputed from scratch; the Spark side
     // reached the same rows by folding only the changelog into stale state

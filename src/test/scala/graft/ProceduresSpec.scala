@@ -423,4 +423,47 @@ class ProceduresSpec extends SparkSpec {
       "CALL pcat6.system.expire_snapshots(tables => 'ns.t')").collect())
     assert(e2.getMessage.contains("no parameter"))
   }
+
+  test("create_mv / refresh_mv: incremental refresh equals recompute, no-op when current") {
+    val ns = fresh("pcat7")
+    spark.sql("CREATE TABLE pcat7.ns.src (k STRING, v BIGINT)")
+    spark.sql("INSERT INTO pcat7.ns.src SELECT CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id FROM range(10)")
+    val created = spark.sql(
+      "CALL pcat7.system.create_mv(table => 'ns.src', mv => 'ns.mv', " +
+        "keys => 'k', sums => 'v:sv')").collect()
+    assert(created.length == 1 && created.head.getLong(0) > 0)
+
+    def mv(): Seq[(String, Long, Long)] =
+      spark.sql("SELECT k, cnt, sv FROM pcat7.ns.mv ORDER BY k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv() == Seq(("a", 5L, 20L), ("b", 5L, 25L)))
+
+    // refresh with no source movement: no-op, cursor unchanged
+    val r0 = spark.sql("CALL pcat7.system.refresh_mv(table => 'ns.mv')").collect()
+    assert(r0.head.getInt(1) == 0, "no source movement must be a no-op")
+
+    // source moves: insert + COW update + equality delete (COW before
+    // the MoR delete — the writer refuses a rewrite that would escape
+    // outstanding delete files, the documented sequencing rule)
+    spark.sql("INSERT INTO pcat7.ns.src SELECT 'c', id FROM range(100, 103)")
+    spark.sql("UPDATE pcat7.ns.src SET v = v + 1000 WHERE k = 'a'")
+    spark.sql("DELETE FROM pcat7.ns.src WHERE k = 'b'")
+    val r1 = spark.sql("CALL pcat7.system.refresh_mv(table => 'ns.mv')").collect()
+    assert(r1.head.getInt(1) == 1)
+    assert(mv() == Seq(("a", 5L, 5020L), ("c", 3L, 303L)),
+      s"refreshed MV wrong: ${mv()}")
+    // the refresh matches a from-scratch recompute
+    val want = spark.sql(
+      "SELECT k, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS sv " +
+        "FROM pcat7.ns.src GROUP BY k ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv() == want)
+    // idempotent: an immediate second refresh no-ops and nothing moves
+    val r2 = spark.sql("CALL pcat7.system.refresh_mv(table => 'ns.mv')").collect()
+    assert(r2.head.getInt(1) == 0 && mv() == want)
+    // refusal: refresh of a non-MV table
+    val e3 = intercept[Exception](spark.sql(
+      "CALL pcat7.system.refresh_mv(table => 'ns.src')").collect())
+    assert(e3.getMessage.contains("not a graft MV"))
+  }
 }
