@@ -260,7 +260,10 @@ object TextFunctions {
 
   /** Canonical URL key: lowercased www-less host + path with the
     * fragment, tracking params (`utm_*`, `gclid`, `fbclid`), empty query
-    * and trailing slash removed. */
+    * and trailing PATH slash removed. The slash strip is anchored to the
+    * path only (`^[^?]*` — nothing before the match may be a `?`): a
+    * slash ending a query VALUE (`?p=a/`) is data, and stripping it
+    * would conflate `?p=a/` with `?p=a` into one dedup key. */
   def canonicalizeUrl(u: Column): Column = {
     val base = schemeFragmentOff(u)
     val rest = regexp_replace(base, "^[^/?]+", "") // path[?query], case kept
@@ -271,7 +274,7 @@ object TextFunctions {
       "&(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*", "")
     val unmarked = regexp_replace(filtered, "\\?&", "?")
     val noEmptyQ = regexp_replace(unmarked, "\\?$", "")
-    val noSlash = regexp_replace(noEmptyQ, "/$", "")
+    val noSlash = regexp_replace(noEmptyQ, "^([^?]*)/$", "$1")
     concat(urlHost(u), noSlash)
   }
 }

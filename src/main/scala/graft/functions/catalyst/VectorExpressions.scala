@@ -166,6 +166,42 @@ case class CountInSet(child: Expression, values: Seq[String])
     copy(child = newChild)
 }
 
+/** String membership in a fixed literal set — the O(1) hash probe behind
+  * boilerplate-gram matching. `array_contains(lit(array(...)), x)` (and
+  * equally `element_at` on a literal map — Spark's GetMapValue scans the
+  * key array) is O(|set|) PER PROBE, which turns an O(words) document
+  * rewrite into O(words × topK); this is the constant-time replacement.
+  * Null input → null, matching `array_contains` of a non-null list.
+  */
+case class InStringSet(child: Expression, values: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"inStringSet expects string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](values.size * 2)
+    values.foreach(v => s.add(UTF8String.fromString(v)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    set.contains(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftGramSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $setRef.contains($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): InStringSet =
+    copy(child = newChild)
+}
+
 /** Max frequency of any single element in an array<string> — the
   * top-word numerator of the Gopher repetition rules. One hash-count
   * loop per row via a static call, so the enclosing projection stays in

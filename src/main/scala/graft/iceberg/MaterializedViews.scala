@@ -84,8 +84,22 @@ object MaterializedViews {
       throw new IllegalStateException(s"no $SumsProp property")))
     val from = refreshedThrough(mv.metadata)
     val src = new IcebergTable(sourceDir, conf)
-    val head = src.metadata.snapshotLineage.last
+    val head = src.metadata.snapshotLineage.lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"MV source $sourceDir has no snapshot in its lineage — it was " +
+          "created-then-emptied or its history was rewritten; reseed the " +
+          "MV once the source has data (MaterializedViews.reseed)"))
     if (head == from) (from, false)
+    else if (!src.metadata.snapshotLineage.contains(from))
+      // the cursor snapshot was expired from the source's lineage
+      // (expire_snapshots ran past it): changesBetween can never replay
+      // that window again, so incremental refresh is permanently stuck —
+      // name the way out instead of surfacing a bare changelog error
+      throw new IllegalStateException(
+        s"MV cursor snapshot $from is no longer in source $sourceDir's " +
+          "lineage (expired or rewritten) — incremental refresh cannot " +
+          "recover; call MaterializedViews.reseed to rebuild the MV from " +
+          "the source head (full recompute, one overwrite snapshot)")
     else {
       val changes = src.changesBetween(spark, from, head)
       val next = IncrementalView.refresh(mv.toDF(spark), changes, keys, sums)
@@ -93,5 +107,33 @@ object MaterializedViews {
         summary = Map(CursorKey -> head.toString), committer = committer)
       (head, true)
     }
+  }
+
+  /** Full rebuild of a stuck MV: recompute the aggregate state from the
+    * source's CURRENT snapshot and land it as one cursor-carrying
+    * overwrite — the recovery path when the refresh cursor's snapshot
+    * has been expired from the source lineage (see [[refresh]]). The
+    * definition (keys/sums) is read from the MV's own properties, so the
+    * rebuilt state has the same shape every future [[refresh]] folds
+    * into. Returns the new cursor snapshot id. */
+  def reseed(spark: SparkSession, mvDir: String, sourceDir: String,
+             committer: Option[TableCommitter] = None): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mv = new IcebergTable(mvDir, conf)
+    val props = mv.metadata.properties
+    val keys = props.getOrElse(KeysProp, throw new IllegalStateException(
+      s"$mvDir is not a graft MV (no $KeysProp property)"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val sums = parseSums(props.getOrElse(SumsProp,
+      throw new IllegalStateException(s"no $SumsProp property")))
+    val src = new IcebergTable(sourceDir, conf)
+    val head = src.metadata.snapshotLineage.lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"MV source $sourceDir has no snapshot yet"))
+    val state = IncrementalView.aggregateState(
+      src.atSnapshot(head).toDF(spark), keys, sums)
+    IcebergWriter.overwrite(spark, mvDir, state,
+      summary = Map(CursorKey -> head.toString), committer = committer)
+    head
   }
 }

@@ -46,20 +46,29 @@ object Boilerplate {
   }
 
   /** Pass 2: strip every occurrence of `grams` (each exactly `n` words)
-    * from `textCol`; adds `cleaned` and `n_removed_words`. Map-side only. */
+    * from `textCol`; adds `cleaned` and `n_removed_words`. Map-side only.
+    *
+    * Membership is a hash probe ([[graft.functions.catalyst.InStringSet]]
+    * — O(1) per window position, so the rewrite is O(words) per document
+    * regardless of `topK`; an `array_contains` over the gram list would
+    * be O(words × topK), 100× the work at topK=10k), and the kept-index
+    * set difference is `array_except`, whose right side is hashed once
+    * per row — O(words), not O(words × covered). */
   def removeNgrams(df: DataFrame, textCol: String, grams: Seq[String],
                    n: Int): DataFrame = {
-    val blist = array(grams.map(lit): _*)
+    import org.apache.spark.sql.GraftColumnShim
+    def inGrams(c: Column): Column = GraftColumnShim.column(
+      graft.functions.catalyst.InStringSet(
+        GraftColumnShim.expression(c), grams))
     val w = split(col(textCol), " ")
     val m = size(w)
     val starts = when(m >= n, sequence(lit(0), m - n))
       .otherwise(array().cast("array<int>"))
     val hitStarts = filter(starts,
-      i => array_contains(blist, concat_ws(" ", slice(w, i + 1, lit(n)))))
+      i => inGrams(concat_ws(" ", slice(w, i + 1, lit(n)))))
     val covered = array_distinct(flatten(
       transform(hitStarts, i => sequence(i, i + n - 1))))
-    val keptIdx = filter(sequence(lit(0), m - 1),
-      p => !array_contains(covered, p))
+    val keptIdx = array_except(sequence(lit(0), m - 1), covered)
     df.withColumn("cleaned",
         concat_ws(" ", transform(keptIdx, p => element_at(w, p + 1))))
       .withColumn("n_removed_words", size(covered).cast("long"))

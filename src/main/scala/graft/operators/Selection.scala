@@ -41,8 +41,14 @@ object Selection {
     val vocab = words.groupBy("__w").agg(
       count(lit(1)).as("__cs"),
       sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    // the product is formed in DECIMAL(38,0): `scale * (__ct + 1)` in
+    // Long wraps silently (ANSI off) past ~9.2e18 — reachable for a
+    // stop-word's corpus-wide count at the 100 TB scale this targets —
+    // while 38 digits hold any Long × Long product; `div` on decimals
+    // still yields the exact integral quotient as a Long
     val ratio = vocab.select(col("__w"),
-      expr(s"($scale * (__ct + 1)) div (__cs + 1)").as("__r"))
+      expr(s"(CAST($scale AS DECIMAL(38,0)) * (__ct + 1)) div (__cs + 1)")
+        .as("__r"))
     words.join(broadcast(ratio), "__w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__r")).as("score"))

@@ -871,7 +871,8 @@ object Extensions {
         |    host || regexp_replace(regexp_replace(regexp_replace(
         |      regexp_replace(regexp_replace(rest, '\?', '?&', 'g'),
         |        '&(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*', '', 'g'),
-        |      '\?&', '?', 'g'), '\?$', '', 'g'), '/$', '', 'g') AS canon
+        |      '\?&', '?', 'g'), '\?$', '', 'g'),
+        |      '^([^?]*)/$', '\1', 'g') AS canon
         |  FROM parts
         |  WHERE host NOT IN ('src3.example.com', 'src7.example.com'))
         |SELECT canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_variants,

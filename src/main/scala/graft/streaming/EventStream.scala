@@ -200,19 +200,36 @@ object EventStream {
         "IncrementalView.refresh directly")
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    val meta = graft.iceberg.TableMetadata.load(mvDir, conf)
     val qid = Option(queryId).getOrElse("")
-    if (lastCommittedBatchId(meta, qid).exists(_ >= batchId)) false
-    else if (batch.isEmpty) false
-    else {
+    if (batch.isEmpty) return false
+    // A rival commit to the MV table (concurrent compaction, a second
+    // stream) conflicts at publish time: reload metadata, re-check the
+    // ledger, recompute the fold from the MOVED state, and retry — the
+    // same availability discipline as the admission sink below. Bounded
+    // attempts, then fail the batch LOUDLY (foreachBatch marks the batch
+    // done on return, so a swallowed conflict would silently drop it;
+    // the ledger + replay keep correctness either way, this loop keeps
+    // the query alive through benign maintenance races).
+    val maxAttempts = 3
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val meta = graft.iceberg.TableMetadata.load(mvDir, conf)
+      if (lastCommittedBatchId(meta, qid).exists(_ >= batchId)) return false
       val changes = batch.withColumn("_change_type", lit("insert"))
       val state = new graft.iceberg.IcebergTable(mvDir, conf).toDF(spark)
       val next = graft.operators.IncrementalView
         .refresh(state, changes, keys, sums)
-      graft.iceberg.IcebergWriter.overwrite(spark, mvDir, next,
-        summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid))
-      true
+      try {
+        graft.iceberg.IcebergWriter.overwrite(spark, mvDir, next,
+          summary = Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid))
+        return true
+      } catch {
+        case e: graft.iceberg.CommitConflictException =>
+          if (attempt >= maxAttempts) throw e
+      }
     }
+    false // unreachable
   }
 
   def icebergMvSink(stream: DataFrame, mvDir: String, keys: Seq[String],

@@ -204,7 +204,9 @@ class CurationOpsSpec extends SparkSpec {
       (4L, "https://sub.site.com/"),           // subdomain, bare path
       (5L, "site.com"),                        // schemeless, host only
       (6L, "https://site.com/x?utm_only=1"),   // query empties out entirely
-      (7L, "https://www.other.org/P?gclid=g&a=1&fbclid=f")
+      (7L, "https://www.other.org/P?gclid=g&a=1&fbclid=f"),
+      (8L, "https://site.com/q?p=a/"),          // slash ending a query VALUE
+      (9L, "https://site.com/q?p=a")            // ...is data: 8 and 9 differ
     ).toDF("doc_id", "url")
     val got = urls.select(col("doc_id"),
         TextFunctions.canonicalizeUrl(col("url")).as("c"),
@@ -219,6 +221,8 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(5L) == (("site.com", "site.com", "site.com")))
     assert(got(6L)._1 == "site.com/x", "emptied query drops its ?")
     assert(got(7L)._1 == "other.org/P?a=1", "leading tracking param splice")
+    assert(got(8L)._1 == "site.com/q?p=a/", "slash ending a query value stays")
+    assert(got(8L)._1 != got(9L)._1, "?p=a/ and ?p=a are distinct keys")
   }
 
   test("keepCanonicalBy keeps the best-quality member, min id on ties") {
@@ -330,6 +334,21 @@ class CurationOpsSpec extends SparkSpec {
       .selectTopK(docs, "doc_id", "text", col("tgt"), k = 2)
       .select("doc_id").as[Long].collect().toSeq
     assert(top == Seq(1L, 3L), "top-k in (score desc, id) order")
+  }
+
+  test("DSIR ratio is exact when scale × count exceeds Long range") {
+    // 'w': cs = 4, ct = 3 → ratio = (scale·4) div 5. With scale = 3e18 the
+    // Long product 1.2e19 wraps silently (ANSI off) — the decimal-typed
+    // product must still yield the exact integral quotient 2.4e18.
+    val docs = Seq((1L, "w w w", true), (2L, "w", false))
+      .toDF("doc_id", "text", "tgt")
+    val scale = 3000000000000000000L
+    val scores = graft.operators.Selection
+      .importanceScores(docs, "doc_id", "text", col("tgt"), scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ratio = (BigInt(scale) * 4 / 5).toLong
+    assert(scores(1L) == 3L * ratio && scores(2L) == ratio,
+      s"expected exact big-product ratios, got $scores")
   }
 }
 

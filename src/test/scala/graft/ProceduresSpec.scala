@@ -466,4 +466,34 @@ class ProceduresSpec extends SparkSpec {
       "CALL pcat7.system.refresh_mv(table => 'ns.src')").collect())
     assert(e3.getMessage.contains("not a graft MV"))
   }
+
+  test("refresh_mv with an expired cursor fails loudly; reseed recovers") {
+    val ns = fresh("pcat14")
+    spark.sql("CREATE TABLE pcat14.ns.src (k STRING, v BIGINT)")
+    spark.sql("INSERT INTO pcat14.ns.src VALUES ('a', 1)")
+    spark.sql("CALL pcat14.system.create_mv(table => 'ns.src', " +
+      "mv => 'ns.mv', keys => 'k', sums => 'v:sv')").collect()
+    // the source moves on, then history is expired PAST the MV's cursor:
+    // the incremental window can never be replayed again
+    spark.sql("INSERT INTO pcat14.ns.src VALUES ('b', 2)")
+    spark.sql("INSERT INTO pcat14.ns.src VALUES ('c', 3)")
+    val horizon = System.currentTimeMillis() + 3600 * 1000
+    spark.sql(s"CALL pcat14.system.expire_snapshots(table => 'ns.src', " +
+      s"older_than => $horizon, retain_last => 1)").collect()
+    val e = intercept[Exception](spark.sql(
+      "CALL pcat14.system.refresh_mv(table => 'ns.mv')").collect())
+    assert(e.getMessage.contains("reseed"),
+      s"stuck refresh must name the recovery path, got: ${e.getMessage}")
+    // reseed rebuilds from the source head and re-arms incremental refresh
+    graft.iceberg.MaterializedViews.reseed(spark, s"$ns/mv", s"$ns/src")
+    def mv(): Seq[(String, Long, Long)] =
+      spark.sql("SELECT k, cnt, sv FROM pcat14.ns.mv ORDER BY k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mv() == Seq(("a", 1L, 1L), ("b", 1L, 2L), ("c", 1L, 3L)))
+    spark.sql("INSERT INTO pcat14.ns.src VALUES ('d', 4)")
+    val r = spark.sql("CALL pcat14.system.refresh_mv(table => 'ns.mv')").collect()
+    assert(r.head.getInt(1) == 1, "post-reseed refresh is incremental again")
+    assert(mv() ==
+      Seq(("a", 1L, 1L), ("b", 1L, 2L), ("c", 1L, 3L), ("d", 1L, 4L)))
+  }
 }
