@@ -134,6 +134,20 @@ object BenchScale {
       report("incremental_admission", r, tAdm, nDocs, nKept)
       idx.unpersist()
 
+      // q95 core: map-side boilerplate rewrite with a synthetic gram list
+      // that never matches (the probe itself is what's measured). The
+      // hash-set membership makes the rewrite O(words) per doc regardless
+      // of the list size — topk10k must track topk100, not cost 100×.
+      def bpGrams(n: Int) = (0 until n).map(i => s"bp${i}a bp${i}b bp${i}c")
+      val (tBp1, _) = timed2(
+        graft.operators.Boilerplate.removeNgrams(all, "text", bpGrams(100), 3)
+          .agg(sum(col("n_removed_words"))).collect())
+      report("boilerplate_topk100", r, tBp1, nDocs, -1L)
+      val (tBp2, _) = timed2(
+        graft.operators.Boilerplate.removeNgrams(all, "text", bpGrams(10000), 3)
+          .agg(sum(col("n_removed_words"))).collect())
+      report("boilerplate_topk10k", r, tBp2, nDocs, -1L)
+
       all.unpersist()
 
       // q85 core: int8-quantized brute-force ANN — queries FIXED (15
@@ -156,6 +170,31 @@ object BenchScale {
           preQuantized = true).count())
       report("quant_ann", r, tQ, nVecs, nQ)
       embAll.unpersist()
+
+      // q94 core: SemDeDup with the auto-derived centroid count (k tracks
+      // corpus size so the MEAN cluster stays ~maxCluster/4) and the
+      // cluster-size cap. Replicas are sign-flip decorrelated: a per-
+      // (dim, replica) ±1 mask applied to BOTH sides of every within-
+      // replica pair preserves those inner products exactly, while
+      // cross-replica cosines collapse to noise — r× means r independent
+      // shards, the linear null. With k ∝ N the within-cluster pair work
+      // is N·meanCluster, so healthy scaling is ~linear, never N².
+      val semAll = (0 until r).map { i =>
+        if (i == 0) emb0
+        else emb0
+          .withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+          .withColumn("embedding", transform(col("embedding"),
+            (x, j) => when(pmod(xxhash64(j, lit(i)), lit(2)) === 0, x)
+              .otherwise(x * lit(-1.0f))).cast("array<float>"))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSem = semAll.count()
+      val (tSem, nSemKeep) = timed2(
+        graft.functions.Similarity.semanticDedup(
+            semAll, threshold = 0.9999, maxCluster = 500)
+          .filter(col("keep")).count())
+      report("semdedup", r, tSem, nSem, nSemKeep)
+      semAll.unpersist()
 
       // q65 core: the MEASURED storage-partitioned join (table builds
       // excluded), orders/customer replicated with key remapping

@@ -378,25 +378,50 @@ object Similarity {
     *
     * The scale argument is the paper's: all-pairs cosine is O(N²) and
     * dead at corpus size; clustering bounds the quadratic term to the
-    * largest cluster (pick `nCentroids` so N/k is joinable — the same
-    * bucketing discipline as the LSH/pigeonhole dedups, traded for the
-    * cluster-boundary miss the paper accepts). Assignment is the IVF
-    * serving path: one map-side argmax over a broadcast centroid row,
-    * zero shuffle; the only shuffles are the cluster-key pair join and
-    * the edge-set-only connected components.
+    * largest cluster. Assignment is the IVF serving path: one map-side
+    * argmax over a broadcast centroid row, zero shuffle; the only
+    * shuffles are the cluster-key pair join and the edge-set-only
+    * connected components.
     *
-    * Returns (idCol, keep) for every corpus row. `centroids` defaults to
+    * The within-cluster pair join carries the SKEW GUARD its LSH
+    * siblings have (`Dedup.incrementalAdmission`'s `probeMaxBucket`):
+    * cluster sizes are counted first, and any cluster over `maxCluster`
+    * is recursively SUB-CLUSTERED (`subSplitRounds` rounds of fresh IVF
+    * assignment inside the hot cells — the paper's own recursion; the
+    * accepted miss is the same cluster-boundary miss as at the top
+    * level). A cluster still over the cap after the rounds — e.g. a mass
+    * of IDENTICAL vectors, which no geometric split separates — goes
+    * through a SALTED pair join: rows salt into `ceil(size/maxCluster)`
+    * groups and every group×group cell joins as its own key, so the
+    * inherent quadratic work spreads over g² bounded tasks instead of
+    * landing on one executor. The salted path changes NO results (every
+    * pair still meets exactly once); only sub-splitting trades recall,
+    * exactly as coarse clustering already does.
+    *
+    * `nCentroids = 0` (the default) derives k from the corpus size so
+    * the MEAN cluster tracks `maxCluster/4` — at 100 TB a constant k
+    * would make every cell quadratic-hot no matter how healthy the
+    * data. Pass an explicit k to pin it.
+    *
+    * Returns (idCol, keep) for every corpus row. Centroids default to
     * the deterministic hash-ordered sample; pass `trainIters` to Lloyd's-
     * train them (both reuse the k-means/IVF machinery).
     */
   def semanticDedup(
       corpus: DataFrame, threshold: Double,
-      nCentroids: Int = 16,
+      nCentroids: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0,
+      maxCluster: Int = 10000,
+      subSplitRounds: Int = 2): DataFrame = {
+    require(maxCluster >= 2, s"maxCluster must be >= 2, got $maxCluster")
+    val k =
+      if (nCentroids > 0) nCentroids
+      else math.max(16, math.ceil(
+        corpus.count().toDouble / math.max(1, maxCluster / 4)).toInt)
     val centRows =
-      if (trainIters <= 0) sampleCentroids(corpus, nCentroids, idCol, vecCol)
-      else kmeansCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+      if (trainIters <= 0) sampleCentroids(corpus, k, idCol, vecCol)
+      else kmeansCentroids(corpus, k, trainIters, idCol, vecCol)
     val centArr = centroidArray(centRows)
     def nearest(vec: String): Column =
       GraftColumnShim.column(NearestCentroids(
@@ -407,23 +432,104 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         l2Norm(col(vecCol)).as("nrm"))
       .join(broadcast(centArr))
-      .withColumn("c_id", get(nearest("vec"), lit(0)))
-      .select(col("id"), col("vec"), col("nrm"), col("c_id"))
+      .withColumn("c_key", get(nearest("vec"), lit(0)).cast("string"))
+      .select(col("id"), col("vec"), col("nrm"), col("c_key"))
 
-    val a = assigned.select(col("c_id"), col("id").as("qa"),
-      col("vec").as("va"), col("nrm").as("na"))
-    val b = assigned.select(col("c_id"), col("id").as("qb"),
-      col("vec").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("c_id"))
-      .filter(col("qa") < col("qb"))
-      .filter(cosFromNorms(dot(col("va"), col("vb")),
-        col("na"), col("nb")) >= threshold)
-      .select(col("qa"), col("qb"))
+    val pairs = boundedClusterPairs(assigned, threshold,
+      maxCluster, subSplitRounds)
 
     val comps = graft.operators.Dedup.connectedComponents(pairs)
     corpus.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),
         (col("comp").isNull || col("comp") === col(idCol)).as("keep"))
+  }
+
+  /** [[semanticDedup]]'s guarded pair stage over (id, vec, nrm, c_key)
+    * rows: per-key self-join where the key's population is ≤ `cap`;
+    * sub-cluster-and-retry (then salt) where it is not. The size window
+    * shuffles on exactly the pair join's key, so ReuseExchange serves
+    * both branches from ONE exchange — on a healthy corpus the guard
+    * costs no extra shuffle, and the hot branches are empty plans. */
+  private def boundedClusterPairs(assigned: DataFrame, threshold: Double,
+      cap: Int, subSplitRounds: Int): DataFrame = {
+    def pairsWithin(rows: DataFrame): DataFrame = {
+      val a = rows.select(col("c_key"), col("id").as("qa"),
+        col("vec").as("va"), col("nrm").as("na"))
+      val b = rows.select(col("c_key"), col("id").as("qb"),
+        col("vec").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("c_key"))
+        .filter(col("qa") < col("qb"))
+        .filter(cosFromNorms(dot(col("va"), col("vb")),
+          col("na"), col("nb")) >= threshold)
+        .select(col("qa"), col("qb"))
+    }
+    def sized(rows: DataFrame): DataFrame = rows.withColumn("__csz",
+      count(lit(1)).over(Window.partitionBy(col("c_key"))))
+
+    var cur = assigned
+    val parts = Seq.newBuilder[DataFrame]
+    for (round <- 1 to subSplitRounds) {
+      val tagged = sized(cur)
+      parts += pairsWithin(tagged.filter(col("__csz") <= cap).drop("__csz"))
+      val hot = tagged.filter(col("__csz") > cap).drop("__csz")
+      // fresh sub-centroids sampled from the hot rows themselves (round-
+      // salted hash, so a retry draws a different sample); keys compose,
+      // so rows from different hot clusters never meet even when they
+      // share a sub-centroid
+      val subCents = centroidArray(hot
+        .select(col("id").as("c_id"),
+          col("vec").cast("array<double>").as("c_vec"))
+        .withColumn("h", xxhash64(col("c_id"), lit(round)))
+        .orderBy(col("h").asc, col("c_id").asc)
+        .limit(16)
+        .select(col("c_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_nrm")))
+      cur = hot.join(broadcast(subCents))
+        .withColumn("c_key", concat_ws("/", col("c_key"),
+          get(GraftColumnShim.column(NearestCentroids(
+            GraftColumnShim.expression(col("vec")),
+            GraftColumnShim.expression(col("cents")), 1)), lit(0))))
+        .select(col("id"), col("vec"), col("nrm"), col("c_key"))
+    }
+    val last = sized(cur)
+    parts += pairsWithin(last.filter(col("__csz") <= cap).drop("__csz"))
+    parts += saltedClusterPairs(last.filter(col("__csz") > cap),
+      threshold, cap)
+    parts.result().reduce(_ unionByName _)
+  }
+
+  /** Exact all-pairs within over-cap clusters, de-skewed: rows salt into
+    * `g = ceil(size/cap)` hash groups; role A replicates each row to the
+    * cells (own, own..g-1), role B to (0..own, own), and the join runs
+    * per (c_key, ga, gb) cell — ≤ cap rows a side, so no task sees the
+    * whole cluster. Each unordered pair meets exactly once, in its
+    * (min-group, max-group) cell: distinct groups admit only one
+    * orientation (A carries the lower group, B the higher), and the
+    * ga = gb cell, where both orientations land, is deduped by
+    * `qa < qb`. Replication is g+1 copies per row — the price of keeping
+    * EXACT semantics on a cluster geometry cannot split (identical
+    * vectors); the quadratic dot-product work is inherent there, this
+    * spreads it over g² tasks. */
+  private def saltedClusterPairs(rows: DataFrame, threshold: Double,
+      cap: Int): DataFrame = {
+    val salted = rows
+      .withColumn("__g", ceil(col("__csz") / lit(cap.toDouble)).cast("int"))
+      .withColumn("__s", pmod(xxhash64(col("id")), col("__g")).cast("int"))
+    val a = salted
+      .withColumn("ga", col("__s"))
+      .withColumn("gb", explode(sequence(col("__s"), col("__g") - 1)))
+      .select(col("c_key"), col("ga"), col("gb"), col("id").as("qa"),
+        col("vec").as("va"), col("nrm").as("na"))
+    val b = salted
+      .withColumn("gb", col("__s"))
+      .withColumn("ga", explode(sequence(lit(0), col("__s"))))
+      .select(col("c_key"), col("ga"), col("gb"), col("id").as("qb"),
+        col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("c_key", "ga", "gb"))
+      .filter(col("ga") < col("gb") || col("qa") < col("qb"))
+      .filter(cosFromNorms(dot(col("va"), col("vb")),
+        col("na"), col("nb")) >= threshold)
+      .select(least(col("qa"), col("qb")).as("qa"),
+        greatest(col("qa"), col("qb")).as("qb"))
   }
 }

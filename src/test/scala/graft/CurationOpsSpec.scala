@@ -317,6 +317,38 @@ class CurationOpsSpec extends SparkSpec {
       4L -> true, 5L -> true), s"got $got")
   }
 
+  test("semanticDedup skew guard: identical-vector mega-cluster salts, result exact") {
+    // 203 IDENTICAL vectors: one cluster far over the cap that no
+    // geometric sub-split can separate — the salted pair join must carry
+    // it with exact semantics (all clones one component, min id kept)
+    val vecs = ((0L until 203L).map(i => (i, Array(1f, 0f, 0f)))
+      ++ Seq((500L, Array(0f, 1f, 0f)), (501L, Array(0f, 0f, 1f))))
+      .toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity
+      .semanticDedup(vecs, threshold = 0.999, nCentroids = 3,
+        maxCluster = 20, subSplitRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size == 205 && got.count(_._2) == 3, s"kept ${got.count(_._2)}")
+    assert(got(0L) && !got(1L) && !got(202L) && got(500L) && got(501L),
+      "min-id clone survives, every other clone drops, distinct rows stay")
+  }
+
+  test("semanticDedup skew guard: sub-split bounds a splittable hot cluster") {
+    // two orthogonal clone bundles forced into ONE initial cluster
+    // (nCentroids = 1, 120 rows > cap 70): the sub-split rounds
+    // re-cluster inside the hot cell; whatever the sampled sub-centroids,
+    // the result must equal the unguarded dedup (one canonical per bundle)
+    val vecs = ((0L until 60L).map(i => (i, Array(1f, 0f, 0f)))
+      ++ (100L until 160L).map(i => (i, Array(0f, 1f, 0f))))
+      .toDF("vec_id", "embedding")
+    val got = graft.functions.Similarity
+      .semanticDedup(vecs, threshold = 0.999, nCentroids = 1,
+        maxCluster = 70, subSplitRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.count(_._2) == 2 && got(0L) && got(100L),
+      s"one canonical per bundle, got ${got.filter(_._2).keys.toSeq.sorted}")
+  }
+
   test("DSIR importance favors target-distribution documents; no-token docs drop") {
     val docs = Seq(
       (1L, "de de de", true),   // pure target vocabulary
