@@ -307,6 +307,7 @@ final class IcebergTable private (
     if (hit != null) hit
     else {
       val v = load
+      IcebergTable.guard(map)
       val prev = map.putIfAbsent(key, v)
       if (prev != null) prev else v
     }
@@ -444,11 +445,15 @@ final class IcebergTable private (
   /** Columns physically present in the data files. Iceberg writers usually
     * materialize identity-partition source columns in the files too (the
     * fixture does); when they don't, partition values must come from
-    * metadata (reference `table.rs:240-279`). One footer read decides.
+    * metadata (reference `table.rs:240-279`). One footer read decides —
+    * cached PROCESS-WIDE by path (data files are immutable): Spark
+    * re-plans a scan several times per query (analysis, stats, AQE), and
+    * each uncached probe is a driver job.
     */
   private def fileSchemaColumns(spark: SparkSession, sample: String): Set[String] =
-    try spark.read.parquet(sample).schema.fieldNames.toSet
-    catch { case _: Exception => Set.empty }
+    cachedIn(IcebergTable.fileColsCache, sample)(
+      try spark.read.parquet(sample).schema.fieldNames.toSet
+      catch { case _: Exception => Set.empty })
 
   /** Parsed `schema.name-mapping.default` (spec: the fallback applied to
     * data files that carry NO parquet field ids — externally-written
@@ -695,7 +700,8 @@ final class IcebergTable private (
 
     val posFiles = deletes.filter(_.content == 1)
     if (posFiles.nonEmpty) {
-      val pd = spark.read.parquet(posFiles.map(d => resolve(d.filePath)): _*)
+      val pd = spark.read.schema(posDeleteReadSchema)
+        .parquet(posFiles.map(d => resolve(d.filePath)): _*)
         .select(
           normPathExpr(resolveExpr(col("file_path"))).as("__g_dfpn"),
           col("pos").as("__g_dpos"),
@@ -713,7 +719,8 @@ final class IcebergTable private (
         val eqCols = eqIds.map(id => idToName.getOrElse(id,
           throw new IllegalStateException(
             s"equality delete references unknown field id $id in $tableDir")))
-        val ed = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
+        val ed = spark.read.schema(eqDeleteReadSchema(eqCols))
+          .parquet(group.map(d => resolve(d.filePath)): _*)
           .select(eqCols.map(c => col(c).as(s"__g_del_$c")) :+
             normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"): _*)
           .join(broadcast(deleteSeqDF(group)), Seq("__g_delsrcn"))
@@ -745,13 +752,23 @@ final class IcebergTable private (
     * handful of files whose stats overlap the deleted keys. Falls back to
     * the full candidate set (sound, just slower) when the equality volume
     * exceeds the cap. */
-  /** Driver-side caches of delete-file index reads (referenced paths /
-    * equality values) keyed by delete-file set — immutable files, one
-    * read per instance regardless of how many times planning runs. */
-  private val posRefCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
-  private val eqFilterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Filter]]]()
+  /** Spec-fixed read schema for position-delete files (`file_path`,
+    * `pos`; an optional `row` struct is pruned). Passing it explicitly
+    * skips the schema-inference driver job Spark otherwise runs per
+    * `read.parquet` — one job per delete read per re-plan adds up. */
+  private val posDeleteReadSchema = StructType(Seq(
+    StructField("file_path", StringType),
+    StructField("pos", org.apache.spark.sql.types.LongType)))
+
+  /** Read schema for an equality-delete file: the equality columns under
+    * their CURRENT table types (the spec requires the delete values to be
+    * written with the table column types). Explicit for the same
+    * no-inference-job reason as [[posDeleteReadSchema]]. */
+  private def eqDeleteReadSchema(eqCols: Seq[String]): StructType =
+    StructType(eqCols.map(c =>
+      metadata.schema.fields.find(_.name == c)
+        .map(f => StructField(f.name, f.dataType))
+        .getOrElse(StructField(c, StringType))))
 
   private[graft] def deleteCandidateFiles(
       spark: SparkSession, common: Seq[DataFileEntry],
@@ -773,30 +790,38 @@ final class IcebergTable private (
     if (!common.exists(f => posEligible(f) || eqEligible(f))) return Nil
 
     // position deletes name their targets: one tiny read of the delete
-    // files' file_path column gives the exact referenced set. Cached per
-    // (instance, delete-file set): Spark may call ScanBuilder.build()
-    // several times while planning one query, and delete files are
-    // immutable — one driver job, not one per build
+    // files' file_path column gives the exact referenced set. Cached
+    // PROCESS-WIDE per (table location, delete-file set): Spark calls
+    // ScanBuilder.build() several times while planning one query AND
+    // re-instantiates the table across a query's sub-plans (row-level op
+    // rewrites, stats estimation); delete files are immutable, so one
+    // driver job serves them all
     lazy val posRefs: Set[String] =
-      cachedIn(posRefCache, pos.map(_.filePath).sorted.mkString(",")) {
-        spark.read.parquet(pos.map(d => resolve(d.filePath)): _*)
+      cachedIn(IcebergTable.posRefCache, s"$tableDir|${metadata.location}|" +
+          pos.map(_.filePath).sorted.mkString(",")) {
+        spark.read.schema(posDeleteReadSchema)
+          .parquet(pos.map(d => resolve(d.filePath)): _*)
           .select(normPathExpr(resolveExpr(col("file_path"))))
           .distinct().collect().map(_.getString(0)).toSet
       }
 
     // per equality-id group: per-column In filters (OR across groups —
     // any group may match a file); None = value volume over the cap, keep
-    // every sequence-eligible file (sound fallback). Cached like posRefs.
+    // every sequence-eligible file (sound fallback). Cached like posRefs
+    // (the key carries the field-id mapping: a schema evolution renaming
+    // an equality column must produce fresh filters).
     lazy val eqGroupFilters: Option[Seq[Seq[Filter]]] =
       if (eq.map(_.recordCount).sum > eqValueCap) None
-      else Some(cachedIn(eqFilterCache,
-        eq.map(_.filePath).sorted.mkString(",")) {
+      else Some(cachedIn(IcebergTable.eqFilterCache,
+        s"$tableDir|${metadata.fieldIds.hashCode}|" +
+          eq.map(_.filePath).sorted.mkString(",")) {
           val idToName = metadata.fieldIds.map(_.swap)
           eq.groupBy(_.equalityIds).toSeq.map { case (ids, group) =>
             val cols = ids.map(id => idToName.getOrElse(id,
               throw new IllegalStateException(
                 s"equality delete references unknown field id $id in $tableDir")))
-            val rows = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
+            val rows = spark.read.schema(eqDeleteReadSchema(cols))
+              .parquet(group.map(d => resolve(d.filePath)): _*)
               .select(cols.map(col): _*).distinct().collect()
             cols.zipWithIndex.flatMap { case (c, i) =>
               val vs = rows.map(_.get(i))
@@ -841,7 +866,8 @@ final class IcebergTable private (
     val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val posFiles = deletes.filter(_.content == 1)
     if (posFiles.nonEmpty) {
-      val pd = spark.read.parquet(posFiles.map(d => resolve(d.filePath)): _*)
+      val pd = spark.read.schema(posDeleteReadSchema)
+        .parquet(posFiles.map(d => resolve(d.filePath)): _*)
         .select(
           normPathExpr(resolveExpr(col("file_path"))).as("__g_dfpn"),
           col("pos").as("__g_dpos"),
@@ -858,7 +884,8 @@ final class IcebergTable private (
         val eqCols = eqIds.map(id => idToName.getOrElse(id,
           throw new IllegalStateException(
             s"equality delete references unknown field id $id in $tableDir")))
-        val ed = spark.read.parquet(group.map(d => resolve(d.filePath)): _*)
+        val ed = spark.read.schema(eqDeleteReadSchema(eqCols))
+          .parquet(group.map(d => resolve(d.filePath)): _*)
           .select(eqCols.map(c => col(c).as(s"__g_del_$c")) :+
             normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"): _*)
           .join(broadcast(deleteSeqDF(group)), Seq("__g_delsrcn"))
@@ -1028,6 +1055,27 @@ object IcebergTable {
     * through the merge-on-read anti joins. */
   private[iceberg] val FpCol = "__graft_file_path"
   private[iceberg] val PosCol = "__graft_row_pos"
+
+  /** Process-wide caches over IMMUTABLE files, shared across table
+    * instances (Spark re-instantiates a table several times per query —
+    * analysis, stats, row-level-op rewrites — and a per-instance cache
+    * re-pays one driver job per incarnation):
+    *  - `fileColsCache`: data-file footer column probe, by path;
+    *  - `posRefCache` / `eqFilterCache`: decoded delete-file indexes
+    *    (referenced data paths / equality-value filters), by
+    *    (table location, delete-file set).
+    * Entries are small (strings/filters); the clear-at-cap guard bounds a
+    * pathological churn of distinct delete sets in one long process. */
+  private val CacheCap = 4096
+  private[iceberg] def boundedCache[V]()
+      : java.util.concurrent.ConcurrentHashMap[String, V] =
+    new java.util.concurrent.ConcurrentHashMap[String, V]()
+  private[iceberg] def guard[V](
+      m: java.util.concurrent.ConcurrentHashMap[String, V]): Unit =
+    if (m.size > CacheCap) m.clear()
+  private[iceberg] val fileColsCache = boundedCache[Set[String]]()
+  private[iceberg] val posRefCache = boundedCache[Set[String]]()
+  private[iceberg] val eqFilterCache = boundedCache[Seq[Seq[Filter]]]()
 
   def apply(spark: SparkSession, tableDir: String): IcebergTable =
     new IcebergTable(tableDir, spark.sessionState.newHadoopConf())
