@@ -1577,10 +1577,49 @@ object IcebergWriter {
     upd.put("action", "set-properties")
     val updates = upd.putObject("updates")
     props.foreach { case (k, v) => updates.put(k, v) }
+
+    // Spec-standard home for the same NDVs: a Puffin statistics file
+    // with one theta blob per analyzed column (each carrying the `ndv`
+    // property — what other engines' planners read) + the metadata
+    // `statistics` entry, landed in the SAME commit as the properties.
+    // `graft.stats.*` stays as the read fallback for pre-Puffin tables.
+    val sid = meta.currentSnapshotId.getOrElse(-1L)
+    val statUpd = {
+      val blobs = target.flatMap { c =>
+        meta.fieldIds.get(c).map { fid =>
+          val ndv = row.getAs[Long](s"__ndv_$c")
+          Puffin.Blob(Puffin.ThetaBlobType, Seq(fid), sid, 0L,
+            Puffin.thetaStandInPayload(ndv), Map("ndv" -> ndv.toString))
+        }
+      }
+      val pPath = new org.apache.hadoop.fs.Path(tableDir,
+        s"metadata/$sid-${java.util.UUID.randomUUID()}.stats.puffin")
+      val written = Puffin.write(pPath, conf, blobs,
+        Map("created-by" -> "graft analyze_table"))
+      val u = mapper.createObjectNode()
+      u.put("action", "set-statistics")
+      val sf = u.putObject("statistics-file")
+      sf.put("snapshot-id", sid)
+      sf.put("statistics-path", written.path)
+      sf.put("file-size-in-bytes", written.fileSizeInBytes)
+      sf.put("file-footer-size-in-bytes", written.footerSizeInBytes)
+      val bm = sf.putArray("blob-metadata")
+      blobs.foreach { b =>
+        val e = bm.addObject()
+        e.put("type", b.blobType)
+        val fl = e.putArray("fields")
+        b.fields.foreach(fl.add)
+        e.put("snapshot-id", b.snapshotId)
+        e.put("sequence-number", b.sequenceNumber)
+        val p = e.putObject("properties")
+        b.properties.foreach { case (k, v) => p.put(k, v) }
+      }
+      u
+    }
     cmtr.commit(
       Seq(MetadataCommit.assertRefSnapshotId(mapper, "main",
         meta.currentSnapshotId.filter(_ != -1L))),
-      Seq(upd))
+      Seq(upd, statUpd))
     (meta.currentSnapshotId.getOrElse(-1L), target.size)
   }
 

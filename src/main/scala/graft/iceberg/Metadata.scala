@@ -31,6 +31,20 @@ final case class IcebergSnapshot(
       * snapshot or metadata written by pre-lineage tools */
     parentSnapshotId: Option[Long] = None)
 
+/** Blob entry of a spec `statistics` file as mirrored in table metadata:
+  * the blob-metadata list carries the consumable summary (for theta
+  * sketches, the `ndv` property) so statistics SERVING never opens the
+  * Puffin file — only sketch-merging maintenance does. */
+final case class StatisticsBlobMeta(blobType: String, fields: Seq[Int],
+                                    properties: Map[String, String])
+
+/** A spec `statistics` metadata entry: one Puffin statistics file
+  * computed against `snapshotId`. */
+final case class StatisticsFile(snapshotId: Long, path: String,
+                                fileSizeInBytes: Long,
+                                fileFooterSizeInBytes: Long,
+                                blobs: Seq[StatisticsBlobMeta])
+
 /** A snapshot ref's retention knobs (all optional; Iceberg spec v2).
   * `maxSnapshotAgeMs`/`minSnapshotsToKeep` govern how much of a BRANCH's
   * history survives expiration; `maxRefAgeMs` ages out the ref itself
@@ -94,7 +108,12 @@ final case class TableMetadata(
       * maintenance job express "keep audit branches 7 days, main 100
       * snapshots" in ONE expireSnapshots call. Refs with no policy are
       * absent. */
-    refRetention: Map[String, RefRetention] = Map.empty) {
+    refRetention: Map[String, RefRetention] = Map.empty,
+    /** Spec `statistics` field: Puffin statistics files by snapshot
+      * (`analyze_table` writes one per run; expiration drops entries of
+      * removed snapshots). NDV serving reads the mirrored blob
+      * properties here, not the files. */
+    statistics: Seq[StatisticsFile] = Nil) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -329,7 +348,28 @@ object TableMetadata {
             Option(v.get("max-ref-age-ms")).map(_.asLong))
           if (r.isEmpty) None else Some(e.getKey -> r)
         }.toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      statistics = Option(root.get("statistics"))
+        .map(_.elements.asScala.toSeq).getOrElse(Nil)
+        .map { s =>
+          StatisticsFile(
+            snapshotId = s.get("snapshot-id").asLong,
+            path = s.get("statistics-path").asText,
+            fileSizeInBytes =
+              Option(s.get("file-size-in-bytes")).map(_.asLong).getOrElse(0L),
+            fileFooterSizeInBytes = Option(s.get("file-footer-size-in-bytes"))
+              .map(_.asLong).getOrElse(0L),
+            blobs = Option(s.get("blob-metadata"))
+              .map(_.elements.asScala.toSeq).getOrElse(Nil)
+              .map(b => StatisticsBlobMeta(
+                blobType = b.get("type").asText,
+                fields = Option(b.get("fields"))
+                  .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil),
+                properties = Option(b.get("properties"))
+                  .map(n => n.properties.asScala
+                    .map(e => e.getKey -> e.getValue.asText).toMap)
+                  .getOrElse(Map.empty))))
+        })
   }
 
   private val VersionedName = """(?:v(\d+)|(\d+)-[-0-9a-fA-F]+)\.metadata\.json""".r

@@ -395,6 +395,22 @@ object MetadataCommit {
             }
           filtered("snapshots")
           filtered("snapshot-log")
+          // statistics files are keyed to snapshots: drop entries whose
+          // snapshot dies (the file itself is collected with the
+          // snapshot's other unreachable files)
+          filtered("statistics")
+
+        case "set-statistics" =>
+          // spec metadata update: one statistics file per snapshot —
+          // replace any prior entry for the same snapshot id
+          val sf = u.get("statistics-file")
+          val sid = sf.get("snapshot-id").asLong
+          val kept = mapper.createArrayNode()
+          Option(root.get("statistics")).foreach(_.elements.forEachRemaining {
+            e => if (e.get("snapshot-id").asLong != sid) { kept.add(e); () }
+          })
+          kept.add(sf.deepCopy[JsonNode]())
+          root.set[JsonNode]("statistics", kept)
 
         case "remove-snapshot-ref" =>
           Option(root.get("refs")).foreach(

@@ -1094,6 +1094,16 @@ private[connector] object GraftColumnStats {
     val exact = props.get("graft.exact-bounds").contains("true")
     def longProp(k: String): Option[Long] =
       props.get(k).flatMap(v => scala.util.Try(v.toLong).toOption)
+    // Spec-standard NDV source first: the LATEST `statistics` entry's
+    // theta blobs, whose mirrored `ndv` property serves without opening
+    // the Puffin file (the same thing Iceberg's own planner reads);
+    // `graft.stats.*` properties remain the pre-Puffin fallback.
+    val statNdv: Map[Int, Long] = table.metadata.statistics.lastOption
+      .map(_.blobs.filter(_.blobType == graft.iceberg.Puffin.ThetaBlobType)
+        .flatMap(b => b.fields.headOption.flatMap(fid =>
+          b.properties.get("ndv").flatMap(_.toLongOption).map(fid -> _)))
+        .toMap)
+      .getOrElse(Map.empty)
 
     schema.fields.foreach { f =>
       val idOpt = table.metadata.fieldIds.get(f.name)
@@ -1122,7 +1132,9 @@ private[connector] object GraftColumnStats {
           case _ => None
         }
       }
-      val ndv = longProp(s"graft.stats.ndv.${f.name}").map(math.min(_, numRows))
+      val ndv = idOpt.flatMap(statNdv.get)
+        .orElse(longProp(s"graft.stats.ndv.${f.name}"))
+        .map(math.min(_, numRows))
       val avgL = longProp(s"graft.stats.avglen.${f.name}")
       val maxL = longProp(s"graft.stats.maxlen.${f.name}")
       if (nulls.nonEmpty || mm.nonEmpty || ndv.nonEmpty ||

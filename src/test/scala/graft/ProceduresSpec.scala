@@ -407,6 +407,71 @@ class ProceduresSpec extends SparkSpec {
     assert(e.getMessage.contains("not analyzable"))
   }
 
+  test("analyze_table writes a Puffin statistics file + metadata entry") {
+    val ns = fresh("pcat15")
+    spark.sql("CREATE TABLE pcat15.ns.t (k BIGINT, cat STRING)")
+    spark.sql(
+      "INSERT INTO pcat15.ns.t SELECT id, concat('c', id % 7) FROM range(0, 1000)")
+    spark.sql("CALL pcat15.system.analyze_table(table => 'ns.t')").collect()
+    val dir = s"$ns/t"
+    val meta = TableMetadata.load(dir, conf)
+
+    // metadata carries the spec `statistics` entry for the analyzed snapshot
+    assert(meta.statistics.size === 1, s"got ${meta.statistics}")
+    val sf = meta.statistics.head
+    assert(sf.snapshotId === meta.currentSnapshotId.get)
+    assert(sf.blobs.size === 2 &&
+      sf.blobs.forall(_.blobType == graft.iceberg.Puffin.ThetaBlobType))
+    val katId = meta.fieldIds("cat")
+    val catBlob = sf.blobs.find(_.fields == Seq(katId)).get
+    val ndvProp = catBlob.properties("ndv").toLong
+    assert(ndvProp >= 6 && ndvProp <= 8, s"blob ndv property, got $ndvProp")
+
+    // the Puffin FILE round-trips: footer blobs match the metadata
+    // mirror, and the stand-in payload decodes to the same NDV
+    val pPath = new Path(sf.path)
+    assert(pPath.getFileSystem(conf).getFileStatus(pPath).getLen
+      === sf.fileSizeInBytes)
+    val footer = graft.iceberg.Puffin.readFooter(pPath, conf)
+    val blobs = footer.get("blobs").elements()
+    var found = false
+    while (blobs.hasNext) {
+      val b = blobs.next()
+      if (b.get("fields").get(0).asInt == katId) {
+        found = true
+        assert(b.get("type").asText == graft.iceberg.Puffin.ThetaBlobType)
+        assert(b.get("properties").get("ndv").asLong == ndvProp)
+        val payload = graft.iceberg.Puffin.readBlob(pPath, conf,
+          b.get("offset").asLong, b.get("length").asInt)
+        assert(graft.iceberg.Puffin.decodeStandIn(payload).contains(ndvProp))
+      }
+    }
+    assert(found, "cat column blob present in the Puffin footer")
+
+    // re-analyze REPLACES the snapshot's entry instead of stacking; a
+    // new snapshot's analyze adds a second entry and serving prefers it
+    spark.sql("CALL pcat15.system.analyze_table(table => 'ns.t')").collect()
+    assert(TableMetadata.load(dir, conf).statistics.size === 1)
+    spark.sql(
+      "INSERT INTO pcat15.ns.t SELECT id, concat('d', id % 3) FROM range(1000, 1200)")
+    spark.sql("CALL pcat15.system.analyze_table(table => 'ns.t')").collect()
+    val meta2 = TableMetadata.load(dir, conf)
+    assert(meta2.statistics.size === 2)
+    assert(meta2.statistics.last.snapshotId === meta2.currentSnapshotId.get)
+
+    // the CBO NDV serves from the statistics blobs (fresher than any
+    // stale property would be)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("pcat15.ns.t")
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName("cat").distinctCount.exists(n => n >= 9 && n <= 11),
+        s"post-insert NDV ~10 from the latest statistics entry, " +
+          s"got ${byName("cat").distinctCount}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("positional args, string timestamps, and bad input fail loudly") {
     val ns = fresh("pcat6")
     spark.sql("CREATE TABLE pcat6.ns.t (k INT)")
