@@ -1,6 +1,7 @@
 package graft.iceberg
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.Filter
@@ -698,15 +699,7 @@ final class IcebergTable private (
         (normPath(resolve(d.filePath)), d.sequenceNumber.getOrElse(Long.MaxValue))))
         .toDF("__g_delsrcn", "__g_delseq")
 
-    val posFiles = deletes.filter(_.content == 1)
-    if (posFiles.nonEmpty) {
-      val pd = spark.read.schema(posDeleteReadSchema)
-        .parquet(posFiles.map(d => resolve(d.filePath)): _*)
-        .select(
-          normPathExpr(resolveExpr(col("file_path"))).as("__g_dfpn"),
-          col("pos").as("__g_dpos"),
-          normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"))
-        .join(broadcast(deleteSeqDF(posFiles)), Seq("__g_delsrcn"))
+    positionDeleteRows(spark, deletes.filter(_.content == 1)).foreach { pd =>
       out = out.join(pd,
         out("__g_fpn") === pd("__g_dfpn") && out(PosCol) === pd("__g_dpos") &&
           out("__g_dataseq") <= pd("__g_delseq"),
@@ -729,6 +722,60 @@ final class IcebergTable private (
         out = out.join(ed, cond, "left_anti")
     }
     out
+  }
+
+  /** Every (normalized data path, position, delete sequence) row of a
+    * position-delete set — v2 parquet delete files and v3 deletion
+    * vectors unioned into one join input; None when the set is empty.
+    *
+    * DV handling: blob bytes load on the DRIVER (a DV is a compressed
+    * roaring bitmap bounded by `content_size_in_bytes`); expansion to
+    * positions happens in EXECUTORS via flatMap, so a dense vector never
+    * materializes driver-side. The v3 spec makes a file's DV a SUPERSET
+    * of any older position-delete entries for it, so applying the union
+    * equals applying the DV alone — no supersede bookkeeping needed in
+    * an anti/semi join. */
+  private def positionDeleteRows(spark: SparkSession,
+      posFiles: Seq[DeleteFileEntry]): Option[DataFrame] = {
+    val (dv, pq) = posFiles.partition(_.isDv)
+    val parts = Seq.newBuilder[DataFrame]
+    if (pq.nonEmpty) {
+      val seqDF = spark.createDataFrame(pq.map(d =>
+          (normPath(resolve(d.filePath)), d.sequenceNumber.getOrElse(Long.MaxValue))))
+        .toDF("__g_delsrcn", "__g_delseq")
+      parts += spark.read.schema(posDeleteReadSchema)
+        .parquet(pq.map(d => resolve(d.filePath)): _*)
+        .select(
+          normPathExpr(resolveExpr(col("file_path"))).as("__g_dfpn"),
+          col("pos").as("__g_dpos"),
+          normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"))
+        .join(broadcast(seqDF), Seq("__g_delsrcn"))
+        .select(col("__g_dfpn"), col("__g_dpos"), col("__g_delseq"))
+    }
+    if (dv.nonEmpty) {
+      val payload = dv.map { d =>
+        val ref = d.referencedDataFile.getOrElse(throw new IllegalStateException(
+          s"deletion-vector entry ${d.filePath} carries no " +
+            "referenced_data_file — unreadable per the v3 spec"))
+        val bytes = Puffin.readBlob(
+          new Path(resolve(d.filePath)), conf,
+          d.contentOffset.get,
+          d.contentSize.getOrElse(throw new IllegalStateException(
+            s"deletion-vector entry ${d.filePath} carries no " +
+              "content_size_in_bytes")).toInt)
+        (normPath(resolve(ref)), bytes,
+          d.sequenceNumber.getOrElse(Long.MaxValue))
+      }
+      val rdd = spark.sparkContext
+        .parallelize(payload, math.max(1, math.min(payload.size, 32)))
+        .flatMap { case (ref, bytes, seq) =>
+          DeletionVectors.decode(bytes).iterator.map(pos => (ref, pos, seq))
+        }
+      parts += spark.createDataFrame(rdd)
+        .toDF("__g_dfpn", "__g_dpos", "__g_delseq")
+    }
+    val ps = parts.result()
+    if (ps.isEmpty) None else Some(ps.reduce(_ unionByName _))
   }
 
   /** Shrink a candidate file list to the files a delete set could
@@ -789,21 +836,30 @@ final class IcebergTable private (
     def eqEligible(f: DataFileEntry) = eq.nonEmpty && dataSeq(f) < maxEqSeq
     if (!common.exists(f => posEligible(f) || eqEligible(f))) return Nil
 
-    // position deletes name their targets: one tiny read of the delete
-    // files' file_path column gives the exact referenced set. Cached
+    // position deletes name their targets: v3 deletion vectors carry the
+    // referenced data file IN THE MANIFEST (zero file IO); v2 parquet
+    // files need one tiny read of their file_path column. Cached
     // PROCESS-WIDE per (table location, delete-file set): Spark calls
     // ScanBuilder.build() several times while planning one query AND
     // re-instantiates the table across a query's sub-plans (row-level op
     // rewrites, stats estimation); delete files are immutable, so one
     // driver job serves them all
-    lazy val posRefs: Set[String] =
-      cachedIn(IcebergTable.posRefCache, s"$tableDir|${metadata.location}|" +
-          pos.map(_.filePath).sorted.mkString(",")) {
-        spark.read.schema(posDeleteReadSchema)
-          .parquet(pos.map(d => resolve(d.filePath)): _*)
-          .select(normPathExpr(resolveExpr(col("file_path"))))
-          .distinct().collect().map(_.getString(0)).toSet
-      }
+    val (dvPos, pqPos) = pos.partition(_.isDv)
+    lazy val posRefs: Set[String] = {
+      val dvRefs = dvPos.flatMap(_.referencedDataFile)
+        .map(p => normPath(resolve(p))).toSet
+      val pqRefs =
+        if (pqPos.isEmpty) Set.empty[String]
+        else cachedIn(IcebergTable.posRefCache,
+            s"$tableDir|${metadata.location}|" +
+              pqPos.map(_.filePath).sorted.mkString(",")) {
+          spark.read.schema(posDeleteReadSchema)
+            .parquet(pqPos.map(d => resolve(d.filePath)): _*)
+            .select(normPathExpr(resolveExpr(col("file_path"))))
+            .distinct().collect().map(_.getString(0)).toSet
+        }
+      dvRefs ++ pqRefs
+    }
 
     // per equality-id group: per-column In filters (OR across groups —
     // any group may match a file); None = value volume over the cap, keep
@@ -864,15 +920,7 @@ final class IcebergTable private (
         .toDF("__g_delsrcn", "__g_delseq")
 
     val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val posFiles = deletes.filter(_.content == 1)
-    if (posFiles.nonEmpty) {
-      val pd = spark.read.schema(posDeleteReadSchema)
-        .parquet(posFiles.map(d => resolve(d.filePath)): _*)
-        .select(
-          normPathExpr(resolveExpr(col("file_path"))).as("__g_dfpn"),
-          col("pos").as("__g_dpos"),
-          normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"))
-        .join(broadcast(deleteSeqDF(posFiles)), Seq("__g_delsrcn"))
+    positionDeleteRows(spark, deletes.filter(_.content == 1)).foreach { pd =>
       matched += out.join(pd,
         out("__g_fpn") === pd("__g_dfpn") && out(PosCol) === pd("__g_dpos") &&
           out("__g_dataseq") <= pd("__g_delseq"),

@@ -891,7 +891,11 @@ object IcebergWriter {
       |  {"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"},
       |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
-      |   "default":null}]}}]}""".stripMargin)
+      |   "default":null},
+      |  {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |  {"name":"content_offset","type":["null","long"],"default":null},
+      |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}
+      |]}}]}""".stripMargin)
 
   /** Resolve the commit base for a write targeting `branch`: (base
     * snapshot whose manifests an append carries, new snapshot's parent,
@@ -1362,6 +1366,10 @@ object IcebergWriter {
     val posManifests = classified.filter(_._3 == 1)
     if (posManifests.isEmpty) return noop
     val posFiles = posManifests.flatMap(_._2)
+    require(posFiles.forall(!_.isDv),
+      "rewrite_position_delete_files: table carries v3 deletion vectors; " +
+        "DV maintenance is not implemented (DV support is read-path) — " +
+        "rewrite_data_files materializes them instead")
 
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val u = uniq()
@@ -1502,6 +1510,68 @@ object IcebergWriter {
         totals = meta.currentSnapshot.flatMap(parsedTotals))
       (snapId, eqFiles.size, nRows)
     } finally { positions.unpersist(); () }
+  }
+
+  /** Commit a v3 DELETION VECTOR for one data file: the positions land
+    * as a `deletion-vector-v1` blob in a Puffin file, referenced by a
+    * content = 1 manifest entry carrying the v3 fields
+    * (`referenced_data_file`, `content_offset`, `content_size_in_bytes`).
+    * This is the v3-writer stand-in behind the DV READ path's tests and
+    * the migration utility for tables moving off v2 position-delete
+    * files; the SQL DELETE surface still writes v2 (every engine reads
+    * those). `dataFilePath` must be a live data file's stored path.
+    * Returns the new snapshot id. */
+  def addDeletionVector(spark: SparkSession, tableDir: String,
+                        dataFilePath: String, positions: Seq[Long],
+                        committer: Option[TableCommitter] = None): Long = {
+    require(positions.nonEmpty, "a deletion vector must delete something")
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    require(t.planFiles().exists(_.filePath == dataFilePath),
+      s"addDeletionVector: $dataFilePath is not a live data file")
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val u = uniq()
+
+    val blobPayload = DeletionVectors.encode(positions)
+    val pPath = new Path(s"$tableDir/data/dv-s$snapId-$u.puffin")
+    val written = Puffin.write(pPath, conf, Seq(Puffin.Blob(
+      DeletionVectors.BlobType, Nil, snapId, 0L, blobPayload,
+      Map("referenced-data-file" -> dataFilePath,
+        "cardinality" -> positions.distinct.size.toString))))
+    // blob offset: magic + nothing before the first blob
+    val blobOffset = Puffin.Magic.length.toLong
+
+    val dfSchema = deleteManifestSchema.getField("data_file").schema
+    val d = new GenericData.Record(dfSchema)
+    d.put("content", 1) // POSITION_DELETES (DV flavor)
+    d.put("file_path", pPath.toString)
+    d.put("file_format", "PUFFIN")
+    d.put("record_count", positions.distinct.size.toLong)
+    d.put("file_size_in_bytes", written.fileSizeInBytes)
+    d.put("referenced_data_file", dataFilePath)
+    d.put("content_offset", blobOffset)
+    d.put("content_size_in_bytes", blobPayload.length.toLong)
+    val e = new GenericData.Record(deleteManifestSchema)
+    e.put("status", 1)
+    e.put("data_file", d)
+    val mPath = new Path(s"$tableDir/metadata/m-dv-s$snapId-$u.avro")
+    val mLen = writeAvro(mPath, conf, deleteManifestSchema,
+      Seq(e.asInstanceOf[GenericRecord]))
+
+    val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    val keptPrior = prev.map(m => mlRec(resolveAgainst(meta, tableDir, m.path),
+      m.length, m.content, m.sequenceNumber, m.addedRowsCount,
+      m.partitionSpecId, m.partitions))
+    val dvMl = mlRec(mPath.toString, mLen, 1, Some(snapId),
+      Some(positions.distinct.size.toLong), meta.defaultSpecId, Nil)
+    commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
+      keptPrior :+ dvMl, Map("operation" -> "delete"),
+      totals = meta.currentSnapshot.flatMap(parsedTotals))
+    snapId
   }
 
   /** ANALYZE for the cost-based optimizer: ONE distributed aggregate pass

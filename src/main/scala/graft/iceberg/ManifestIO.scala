@@ -69,7 +69,18 @@ final case class DeleteFileEntry(
     content: Int,
     equalityIds: Seq[Int],
     recordCount: Long,
-    sequenceNumber: Option[Long])
+    sequenceNumber: Option[Long],
+    /** v3 deletion-vector fields: a DV entry is content = 1 whose
+      * positions live in a Puffin blob at `contentOffset`/`contentSize`
+      * inside `filePath`, applying to exactly `referencedDataFile`.
+      * All-absent for v2 parquet delete files. */
+    referencedDataFile: Option[String] = None,
+    contentOffset: Option[Long] = None,
+    contentSize: Option[Long] = None) {
+  /** True for a v3 deletion-vector entry (puffin blob), false for a v2
+    * parquet position/equality delete file. */
+  def isDv: Boolean = contentOffset.nonEmpty
+}
 
 /** Avro readers for Iceberg manifest lists and manifests, written against
   * the embedded writer schema via avro-1.12 `GenericDatumReader` — the
@@ -238,7 +249,11 @@ object ManifestIO {
               equalityIds = eqIds,
               recordCount = optLong(df, "record_count").getOrElse(0L),
               sequenceNumber = optLong(r, "sequence_number")
-                .orElse(if (status == 1) inheritSeq else None))
+                .orElse(if (status == 1) inheritSeq else None),
+              referencedDataFile =
+                opt(df, "referenced_data_file").map(_.toString),
+              contentOffset = optLong(df, "content_offset"),
+              contentSize = optLong(df, "content_size_in_bytes"))
           }
         }
       }

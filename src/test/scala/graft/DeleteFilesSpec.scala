@@ -263,4 +263,112 @@ class DeleteFilesSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM mor.`test-mor-table` WHERE tag > 'a'")
       .collect()(0).getLong(0) == 4L)
   }
+
+  test("roaring DV codec: round-trip, corruption refusal, run containers") {
+    import graft.iceberg.DeletionVectors
+    // multi-container, multi-bucket round trip (array containers)
+    val ps = Seq(0L, 2L, 5L, 65535L, 65536L, 131072L,
+      (1L << 32) + 7L, (1L << 32) + 8L, (5L << 32))
+    assert(DeletionVectors.decode(DeletionVectors.encode(ps)).toSeq
+      == ps.sorted)
+    assert(DeletionVectors.decode(
+        DeletionVectors.encode(Seq(3L, 3L, 1L))).toSeq == Seq(1L, 3L),
+      "duplicates collapse, order normalizes")
+    // a flipped CRC byte must refuse loudly, not resurrect rows
+    val blob = DeletionVectors.encode(ps)
+    blob(blob.length - 1) = (blob(blob.length - 1) ^ 1).toByte
+    intercept[IllegalArgumentException](DeletionVectors.decode(blob))
+    // hand-built RUN-container bitmap (cookie 12347): runs [1..3], [10..11]
+    val vec = new java.io.ByteArrayOutputStream()
+    def le(n: Long, w: Int): Unit = {
+      val b = java.nio.ByteBuffer.allocate(w)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (w == 8) b.putLong(n) else if (w == 4) b.putInt(n.toInt)
+      else b.putShort(n.toShort)
+      vec.write(b.array())
+    }
+    le(1, 8); le(0, 4)          // one bucket, high key 0
+    le(12347, 4)                // run cookie, (containers-1)=0 in high bits
+    vec.write(Array(1.toByte))  // run flag for container 0
+    le(0, 2); le(4, 2)          // key 0, cardinality-1 = 4
+    le(2, 2)                    // two runs
+    le(1, 2); le(2, 2)          // [1, 1+2]
+    le(10, 2); le(1, 2)         // [10, 10+1]
+    val vb = vec.toByteArray
+    val framed = java.nio.ByteBuffer.allocate(12 + vb.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val magic = Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
+    framed.putInt(4 + vb.length).put(magic).put(vb)
+    val crc = new java.util.zip.CRC32()
+    crc.update(magic); crc.update(vb)
+    framed.putInt(crc.getValue.toInt)
+    assert(DeletionVectors.decode(framed.array()).toSeq
+      == Seq(1L, 2L, 3L, 10L, 11L))
+  }
+
+  test("v3 deletion vector reads back like the equivalent v2 position deletes") {
+    import org.apache.commons.io.FileUtils
+    import org.apache.spark.sql.functions.col
+    val wh = "/root/repo/target/test-dv-warehouse"
+    FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.dvc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvc.ns")
+    for (t <- Seq("a", "b")) {
+      spark.sql(s"CREATE TABLE dvc.ns.$t (id BIGINT, tag STRING)")
+      // range(..., numPartitions = 1): ONE data file per insert, with
+      // in-file positions equal to the ascending id order
+      spark.sql(s"INSERT INTO dvc.ns.$t " +
+        "SELECT id, concat('v', id) FROM range(0, 5, 1, 1)")
+      spark.sql(s"INSERT INTO dvc.ns.$t " +
+        "SELECT id, concat('v', id) FROM range(10, 12, 1, 1)")
+    }
+    val dirA = s"$wh/ns/a"
+    val ta = IcebergTable(spark, dirA)
+    // the data file holding ids 0..4, and the in-file positions of 0 and 2
+    val f = ta.planFiles().find(_.recordCount == 5).get
+    val posOf = spark.read.parquet(ta.resolve(f.filePath))
+      .select(col("id"), col("_metadata.row_index").as("pos"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.iceberg.IcebergWriter.addDeletionVector(spark, dirA,
+      f.filePath, Seq(posOf(0L), posOf(2L)))
+    // v2 twin: the writer's selective DELETE emits position-delete files
+    spark.sql("DELETE FROM dvc.ns.b WHERE id IN (0, 2)")
+
+    val got = spark.sql("SELECT id, tag FROM dvc.ns.a ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = spark.sql("SELECT id, tag FROM dvc.ns.b ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want && got.map(_._1) == Seq(1L, 3L, 4L, 10L, 11L),
+      s"DV table must match its v2 twin, got $got")
+
+    // candidate pruning reads the DV's target from the MANIFEST: only the
+    // referenced file pays the anti-join, with zero delete-file IO
+    val ta2 = IcebergTable(spark, dirA)
+    val dels = ta2.planDeletes()
+    assert(dels.size == 1 && dels.head.isDv &&
+      dels.head.referencedDataFile.contains(f.filePath))
+    val cands = ta2.deleteCandidateFiles(spark, ta2.planFiles(), dels)
+    assert(cands.map(_.filePath) == Seq(f.filePath),
+      s"only the DV's referenced file is a candidate, got ${cands.map(_.filePath)}")
+
+    // the changelog sees the DV commit as row-level deletes
+    val lineage = ta2.metadata.snapshotLineage
+    val changed = ta2.changesBetween(spark, lineage(1), lineage(2))
+      .filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(changed == Set(0L, 2L), s"DV changelog deletes, got $changed")
+
+    // maintenance that would re-stamp v2 position files refuses DVs loudly
+    val e = intercept[Exception](
+      graft.iceberg.IcebergWriter.rewritePositionDeleteFiles(spark, dirA))
+    assert(e.getMessage.contains("deletion vectors"))
+    // rewrite_data_files materializes the DV away; rows unchanged
+    graft.iceberg.IcebergWriter.compact(spark, dirA)
+    val ta3 = IcebergTable(spark, dirA)
+    assert(!ta3.hasDeletes, "compaction absorbs the DV")
+    val after = spark.sql("SELECT id FROM dvc.ns.a ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(after == Seq(1L, 3L, 4L, 10L, 11L))
+  }
 }
