@@ -11,10 +11,6 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
   */
 object GraftScanMetrics {
 
-  private final class Sum(override val name: String,
-                          override val description: String)
-      extends CustomSumMetric
-
   val ManifestsTotal = "graft_manifests_total"
   val ManifestsKept = "graft_manifests_kept"
   val FilesStatic = "graft_files_planned"
@@ -22,18 +18,46 @@ object GraftScanMetrics {
   val RecordsPlanned = "graft_records_planned"
   val BytesPlanned = "graft_bytes_planned"
 
-  /** Declared once per scan (Spark requires a fresh array per call). */
+  /** Declared once per scan (Spark requires a fresh array per call).
+    * Each metric is its own TOP-LEVEL zero-arg class:
+    * `SQLAppStatusListener` re-instantiates metric classes BY NAME to
+    * aggregate task values for the UI, and a parameterized inner class
+    * made that fail on every query end (logged SparkException, metrics
+    * silently absent from the SQL tab). */
   def supported(): Array[CustomMetric] = Array(
-    new Sum(ManifestsTotal, "data manifests in snapshot"),
-    new Sum(ManifestsKept, "manifests surviving static pruning"),
-    new Sum(FilesStatic, "data files the scan will read (after all pruning)"),
-    new Sum(FilesRuntimePruned, "files pruned by runtime (join) filters"),
-    new Sum(RecordsPlanned, "records in read files (manifest stats)"),
-    new Sum(BytesPlanned, "bytes in read files (manifest stats)"))
+    new ManifestsTotalMetric, new ManifestsKeptMetric,
+    new FilesPlannedMetric, new FilesRuntimePrunedMetric,
+    new RecordsPlannedMetric, new BytesPlannedMetric)
 
   def taskMetric(metricName: String, v: Long): CustomTaskMetric =
     new CustomTaskMetric {
       override def name(): String = metricName
       override def value(): Long = v
     }
+}
+
+final class ManifestsTotalMetric extends CustomSumMetric {
+  override def name: String = GraftScanMetrics.ManifestsTotal
+  override def description: String = "data manifests in snapshot"
+}
+final class ManifestsKeptMetric extends CustomSumMetric {
+  override def name: String = GraftScanMetrics.ManifestsKept
+  override def description: String = "manifests surviving static pruning"
+}
+final class FilesPlannedMetric extends CustomSumMetric {
+  override def name: String = GraftScanMetrics.FilesStatic
+  override def description: String =
+    "data files the scan will read (after all pruning)"
+}
+final class FilesRuntimePrunedMetric extends CustomSumMetric {
+  override def name: String = GraftScanMetrics.FilesRuntimePruned
+  override def description: String = "files pruned by runtime (join) filters"
+}
+final class RecordsPlannedMetric extends CustomSumMetric {
+  override def name: String = GraftScanMetrics.RecordsPlanned
+  override def description: String = "records in read files (manifest stats)"
+}
+final class BytesPlannedMetric extends CustomSumMetric {
+  override def name: String = GraftScanMetrics.BytesPlanned
+  override def description: String = "bytes in read files (manifest stats)"
 }
