@@ -632,6 +632,52 @@ object IcebergQueries {
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // v3 deletion-vector READ path end-to-end: a DV (roaring bitmap in a
+    // Puffin blob, the v3 writers' position-delete form) lands via the
+    // migration utility against the row positions of two chosen keys —
+    // resolved from the actual file layout, so the query's OUTPUT is
+    // deterministic regardless of how the CTAS split files — and the
+    // scan must apply it exactly like the equivalent row filter the
+    // oracle runs. The aggregate shape matches q57's.
+    "q98_deletion_vector" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      val warehouse = "/root/repo/target/q98-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q98")
+      s.conf.set("spark.sql.catalog.q98cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q98cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q98cat.ns")
+      s.sql(
+        """CREATE TABLE q98cat.ns.nation_dv AS
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q98""".stripMargin)
+      val dir = s"$warehouse/ns/nation_dv"
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      // (file, position) of the rows to delete, from the real layout
+      val targets = s.read
+        .parquet(t.planFiles().map(f => t.resolve(f.filePath)): _*)
+        .filter(col("n_nationkey").isin(2, 11))
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("pos"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val stored = t.planFiles().map(_.filePath)
+      targets.groupBy { case (fp, _) =>
+        stored.find(p => fp.endsWith(p.substring(p.lastIndexOf('/')))).get
+      }.foreach { case (storedPath, g) =>
+        graft.iceberg.IcebergWriter.addDeletionVector(
+          s, dir, storedPath, g.map(_._2))
+      }
+      val t2 = new graft.iceberg.IcebergTable(dir, conf)
+      require(t2.planDeletes().nonEmpty && t2.planDeletes().forall(_.isDv),
+        "q98: the delete debt must be deletion vectors")
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n,
+          |       CAST(SUM(n_nationkey) AS BIGINT) AS sk
+          |FROM q98cat.ns.nation_dv
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -921,6 +967,10 @@ object IcebergQueries {
     "q57_sql_delete" ->
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
         |FROM nation WHERE n_regionkey <> 2 AND n_nationkey NOT IN (0, 1)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q98_deletion_vector" ->
+      """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
+        |FROM nation WHERE n_nationkey NOT IN (2, 11)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q60_pos_delete" ->
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
