@@ -415,10 +415,19 @@ object Similarity {
       maxCluster: Int = 10000,
       subSplitRounds: Int = 2): DataFrame = {
     require(maxCluster >= 2, s"maxCluster must be >= 2, got $maxCluster")
+    // Auto-k needs the corpus size: catalyst's plan statistics answer it
+    // for free when the source carries a row count (CBO-analyzed tables,
+    // cached relations); otherwise this pays ONE extra counting pass
+    // over the corpus lineage before the dedup's own passes — at real
+    // scale either persist the input or pass an explicit nCentroids.
     val k =
       if (nCentroids > 0) nCentroids
-      else math.max(16, math.ceil(
-        corpus.count().toDouble / math.max(1, maxCluster / 4)).toInt)
+      else {
+        val n = corpus.queryExecution.optimizedPlan.stats.rowCount
+          .map(_.toLong).getOrElse(corpus.count())
+        math.max(16, math.ceil(
+          n.toDouble / math.max(1, maxCluster / 4)).toInt)
+      }
     val centRows =
       if (trainIters <= 0) sampleCentroids(corpus, k, idCol, vecCol)
       else kmeansCentroids(corpus, k, trainIters, idCol, vecCol)

@@ -452,9 +452,17 @@ final class IcebergTable private (
     * each uncached probe is a driver job.
     */
   private def fileSchemaColumns(spark: SparkSession, sample: String): Set[String] =
-    cachedIn(IcebergTable.fileColsCache, sample)(
-      try spark.read.parquet(sample).schema.fieldNames.toSet
-      catch { case _: Exception => Set.empty })
+    Option(IcebergTable.fileColsCache.get(sample)).getOrElse {
+      // only SUCCESS is cached: latching a transient FS error as "no
+      // columns" would silently synthesize partition values (and NULL
+      // name-mapped columns) for the rest of the process
+      try {
+        val v = spark.read.parquet(sample).schema.fieldNames.toSet
+        IcebergTable.guard(IcebergTable.fileColsCache)
+        IcebergTable.fileColsCache.putIfAbsent(sample, v)
+        v
+      } catch { case _: Exception => Set.empty }
+    }
 
   /** Parsed `schema.name-mapping.default` (spec: the fallback applied to
     * data files that carry NO parquet field ids — externally-written
@@ -754,15 +762,19 @@ final class IcebergTable private (
     }
     if (dv.nonEmpty) {
       val payload = dv.map { d =>
-        val ref = d.referencedDataFile.getOrElse(throw new IllegalStateException(
-          s"deletion-vector entry ${d.filePath} carries no " +
-            "referenced_data_file — unreadable per the v3 spec"))
-        val bytes = Puffin.readBlob(
-          new Path(resolve(d.filePath)), conf,
-          d.contentOffset.get,
-          d.contentSize.getOrElse(throw new IllegalStateException(
-            s"deletion-vector entry ${d.filePath} carries no " +
-              "content_size_in_bytes")).toInt)
+        def miss(f: String) = throw new IllegalStateException(
+          s"deletion-vector entry ${d.filePath} carries no $f — " +
+            "unreadable per the v3 spec")
+        val ref = d.referencedDataFile.getOrElse(miss("referenced_data_file"))
+        val off = d.contentOffset.getOrElse(miss("content_offset"))
+        val len = d.contentSize.getOrElse(miss("content_size_in_bytes")).toInt
+        // blob BYTES cache process-wide (immutable puffin files; a DV is
+        // a compressed bitmap bounded by content_size) — a table
+        // re-instantiated across a query's sub-plans must not re-open N
+        // delete files per incarnation. Decoding stays in executors.
+        val p = resolve(d.filePath)
+        val bytes = cachedIn(IcebergTable.dvBlobCache, s"$p|$off|$len")(
+          Puffin.readBlob(new Path(p), conf, off, len))
         (normPath(resolve(ref)), bytes,
           d.sequenceNumber.getOrElse(Long.MaxValue))
       }
@@ -845,20 +857,24 @@ final class IcebergTable private (
     // rewrites, stats estimation); delete files are immutable, so one
     // driver job serves them all
     val (dvPos, pqPos) = pos.partition(_.isDv)
+    // v2 parquet entries may ALSO carry the spec's single-target
+    // `referenced_data_file` hint — those contribute refs manifest-only,
+    // and the tiny file_path read runs just for the unhinted remainder
+    val (pqHinted, pqPlain) = pqPos.partition(_.referencedDataFile.nonEmpty)
     lazy val posRefs: Set[String] = {
-      val dvRefs = dvPos.flatMap(_.referencedDataFile)
+      val manifestRefs = (dvPos ++ pqHinted).flatMap(_.referencedDataFile)
         .map(p => normPath(resolve(p))).toSet
-      val pqRefs =
-        if (pqPos.isEmpty) Set.empty[String]
+      val readRefs =
+        if (pqPlain.isEmpty) Set.empty[String]
         else cachedIn(IcebergTable.posRefCache,
             s"$tableDir|${metadata.location}|" +
-              pqPos.map(_.filePath).sorted.mkString(",")) {
+              pqPlain.map(_.filePath).sorted.mkString(",")) {
           spark.read.schema(posDeleteReadSchema)
-            .parquet(pqPos.map(d => resolve(d.filePath)): _*)
+            .parquet(pqPlain.map(d => resolve(d.filePath)): _*)
             .select(normPathExpr(resolveExpr(col("file_path"))))
             .distinct().collect().map(_.getString(0)).toSet
         }
-      dvRefs ++ pqRefs
+      manifestRefs ++ readRefs
     }
 
     // per equality-id group: per-column In filters (OR across groups —
@@ -1124,6 +1140,7 @@ object IcebergTable {
   private[iceberg] val fileColsCache = boundedCache[Set[String]]()
   private[iceberg] val posRefCache = boundedCache[Set[String]]()
   private[iceberg] val eqFilterCache = boundedCache[Seq[Seq[Filter]]]()
+  private[iceberg] val dvBlobCache = boundedCache[Array[Byte]]()
 
   def apply(spark: SparkSession, tableDir: String): IcebergTable =
     new IcebergTable(tableDir, spark.sessionState.newHadoopConf())

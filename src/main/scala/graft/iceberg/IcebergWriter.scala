@@ -1520,7 +1520,14 @@ object IcebergWriter {
     * the migration utility for tables moving off v2 position-delete
     * files; the SQL DELETE surface still writes v2 (every engine reads
     * those). `dataFilePath` must be a live data file's stored path.
-    * Returns the new snapshot id. */
+    *
+    * The v3 spec allows AT MOST ONE DV per data file, and a replacement
+    * must contain every previously deleted position. A prior DV for
+    * this file is therefore SUPERSEDED: its positions union into the
+    * new vector and its manifest drops from the snapshot (a prior DV
+    * inside a manifest that also carries OTHER entries is refused
+    * loudly — rewriting foreign mixed manifests lossily is worse than
+    * asking the caller to compact first). Returns the new snapshot id. */
   def addDeletionVector(spark: SparkSession, tableDir: String,
                         dataFilePath: String, positions: Seq[Long],
                         committer: Option[TableCommitter] = None): Long = {
@@ -1534,12 +1541,35 @@ object IcebergWriter {
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val u = uniq()
 
-    val blobPayload = DeletionVectors.encode(positions)
+    val prevAll: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    val withEntries = prevAll.filter(_.content == 1).map(m =>
+      m -> ManifestIO.readDeleteManifest(
+        resolveAgainst(meta, tableDir, m.path), conf, m.sequenceNumber))
+    val (affected, _) = withEntries.partition(_._2.exists(d =>
+      d.isDv && d.referencedDataFile.contains(dataFilePath)))
+    affected.foreach { case (m, entries) =>
+      require(entries.forall(d =>
+          d.isDv && d.referencedDataFile.contains(dataFilePath)),
+        s"addDeletionVector: $dataFilePath already has a deletion vector " +
+          s"inside MIXED delete manifest ${m.path} — superseding it would " +
+          "rewrite foreign entries; compact the table first")
+    }
+    val priorPositions: Seq[Long] = affected.flatMap(_._2).flatMap { d =>
+      DeletionVectors.decode(Puffin.readBlob(
+        new Path(t.resolve(d.filePath)), conf,
+        d.contentOffset.get, d.contentSize.get.toInt)).toSeq
+    }
+    val allPositions = (positions ++ priorPositions).distinct
+    val affectedPaths = affected.map(_._1.path).toSet
+
+    val blobPayload = DeletionVectors.encode(allPositions)
     val pPath = new Path(s"$tableDir/data/dv-s$snapId-$u.puffin")
     val written = Puffin.write(pPath, conf, Seq(Puffin.Blob(
       DeletionVectors.BlobType, Nil, snapId, 0L, blobPayload,
       Map("referenced-data-file" -> dataFilePath,
-        "cardinality" -> positions.distinct.size.toString))))
+        "cardinality" -> allPositions.size.toString))))
     // blob offset: magic + nothing before the first blob
     val blobOffset = Puffin.Magic.length.toLong
 
@@ -1548,7 +1578,7 @@ object IcebergWriter {
     d.put("content", 1) // POSITION_DELETES (DV flavor)
     d.put("file_path", pPath.toString)
     d.put("file_format", "PUFFIN")
-    d.put("record_count", positions.distinct.size.toLong)
+    d.put("record_count", allPositions.size.toLong)
     d.put("file_size_in_bytes", written.fileSizeInBytes)
     d.put("referenced_data_file", dataFilePath)
     d.put("content_offset", blobOffset)
@@ -1560,14 +1590,14 @@ object IcebergWriter {
     val mLen = writeAvro(mPath, conf, deleteManifestSchema,
       Seq(e.asInstanceOf[GenericRecord]))
 
-    val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
-      ManifestIO.readManifestList(
-        resolveAgainst(meta, tableDir, s.manifestList), conf))
-    val keptPrior = prev.map(m => mlRec(resolveAgainst(meta, tableDir, m.path),
-      m.length, m.content, m.sequenceNumber, m.addedRowsCount,
-      m.partitionSpecId, m.partitions))
+    // superseded DV manifests drop; everything else passes through
+    val keptPrior = prevAll.filterNot(m =>
+        m.content == 1 && affectedPaths.contains(m.path))
+      .map(m => mlRec(resolveAgainst(meta, tableDir, m.path),
+        m.length, m.content, m.sequenceNumber, m.addedRowsCount,
+        m.partitionSpecId, m.partitions))
     val dvMl = mlRec(mPath.toString, mLen, 1, Some(snapId),
-      Some(positions.distinct.size.toLong), meta.defaultSpecId, Nil)
+      Some(allPositions.size.toLong), meta.defaultSpecId, Nil)
     commitSnapshot(cmtr, snapId, meta.currentSnapshotId.filter(_ != -1L),
       keptPrior :+ dvMl, Map("operation" -> "delete"),
       totals = meta.currentSnapshot.flatMap(parsedTotals))

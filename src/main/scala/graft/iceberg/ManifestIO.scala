@@ -73,13 +73,19 @@ final case class DeleteFileEntry(
     /** v3 deletion-vector fields: a DV entry is content = 1 whose
       * positions live in a Puffin blob at `contentOffset`/`contentSize`
       * inside `filePath`, applying to exactly `referencedDataFile`.
-      * All-absent for v2 parquet delete files. */
+      * `referencedDataFile` ALONE does not mean DV — the spec allows it
+      * on v2 parquet position-delete files too (single-target hint). */
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
-    contentSize: Option[Long] = None) {
-  /** True for a v3 deletion-vector entry (puffin blob), false for a v2
-    * parquet position/equality delete file. */
-  def isDv: Boolean = contentOffset.nonEmpty
+    contentSize: Option[Long] = None,
+    fileFormat: Option[String] = None) {
+  /** True for a v3 deletion-vector entry, false for a v2 parquet
+    * position/equality delete file. Keyed on the declared PUFFIN format
+    * (or a present content offset), so a malformed DV entry missing its
+    * offset routes to the DV path's LOUD validation errors instead of
+    * being parquet-read into a confusing task failure. */
+  def isDv: Boolean =
+    fileFormat.exists(_.equalsIgnoreCase("puffin")) || contentOffset.nonEmpty
 }
 
 /** Avro readers for Iceberg manifest lists and manifests, written against
@@ -253,7 +259,8 @@ object ManifestIO {
               referencedDataFile =
                 opt(df, "referenced_data_file").map(_.toString),
               contentOffset = optLong(df, "content_offset"),
-              contentSize = optLong(df, "content_size_in_bytes"))
+              contentSize = optLong(df, "content_size_in_bytes"),
+              fileFormat = opt(df, "file_format").map(_.toString))
           }
         }
       }

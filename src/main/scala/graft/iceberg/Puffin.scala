@@ -42,11 +42,12 @@ object Puffin {
                         sequenceNumber: Long, payload: Array[Byte],
                         properties: Map[String, String])
 
-  /** A written file's shape, ready to mirror into the metadata
-    * `statistics` field. */
+  /** A written file's shape — what the metadata `statistics` entry
+    * records about the container (callers mirror the blob list
+    * themselves, since the metadata form also carries per-blob
+    * snapshot/sequence fields this writer does not own). */
   final case class Written(path: String, fileSizeInBytes: Long,
-                           footerSizeInBytes: Long,
-                           blobs: Seq[StatisticsBlobMeta])
+                           footerSizeInBytes: Long)
 
   /** Deterministic stand-in payload for a theta NDV blob: StandInMagic +
     * big-endian ndv. See the object scaladoc for why this is not a
@@ -96,9 +97,7 @@ object Puffin {
       val fileSize = offset + Magic.length + payload.length + 8 + Magic.length
       Written(path.toString, fileSize,
         // spec: footer size = everything after the blobs
-        Magic.length + payload.length + 8L + Magic.length,
-        blobs.map(b =>
-          StatisticsBlobMeta(b.blobType, b.fields, b.properties)))
+        Magic.length + payload.length + 8L + Magic.length)
     } finally out.close()
   }
 

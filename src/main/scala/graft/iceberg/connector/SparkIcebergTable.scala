@@ -1094,16 +1094,37 @@ private[connector] object GraftColumnStats {
     val exact = props.get("graft.exact-bounds").contains("true")
     def longProp(k: String): Option[Long] =
       props.get(k).flatMap(v => scala.util.Try(v.toLong).toOption)
-    // Spec-standard NDV source first: the LATEST `statistics` entry's
-    // theta blobs, whose mirrored `ndv` property serves without opening
-    // the Puffin file (the same thing Iceberg's own planner reads);
-    // `graft.stats.*` properties remain the pre-Puffin fallback.
-    val statNdv: Map[Int, Long] = table.metadata.statistics.lastOption
-      .map(_.blobs.filter(_.blobType == graft.iceberg.Puffin.ThetaBlobType)
-        .flatMap(b => b.fields.headOption.flatMap(fid =>
-          b.properties.get("ndv").flatMap(_.toLongOption).map(fid -> _)))
-        .toMap)
-      .getOrElse(Map.empty)
+    // Spec-standard NDV source first: `statistics` entries' theta blobs,
+    // whose mirrored `ndv` property serves without opening the Puffin
+    // file (the same thing Iceberg's own planner reads); `graft.stats.*`
+    // properties remain the pre-Puffin fallback. Entry selection is
+    // SNAPSHOT-AWARE — statistics files are keyed to snapshots exactly
+    // so a time-travel scan is not served a later analyze's numbers:
+    // exact match on the scanned snapshot first, else the latest entry
+    // at-or-before it in commit order (a stale-but-older estimate),
+    // never a younger one.
+    val statNdv: Map[Int, Long] = {
+      val md = table.metadata
+      val scanned = table.snapshot.map(_.snapshotId)
+        .orElse(md.currentSnapshotId.filter(_ != -1L))
+      val lineage = md.snapshotLineage
+      val chosen = scanned.flatMap { sid =>
+        md.statistics.find(_.snapshotId == sid).orElse {
+          val pos = lineage.lastIndexOf(sid)
+          if (pos < 0) None
+          else {
+            val visible = lineage.take(pos + 1).toSet
+            md.statistics.filter(s => visible(s.snapshotId)).lastOption
+          }
+        }
+      }.orElse(md.statistics.lastOption)
+      chosen
+        .map(_.blobs.filter(_.blobType == graft.iceberg.Puffin.ThetaBlobType)
+          .flatMap(b => b.fields.headOption.flatMap(fid =>
+            b.properties.get("ndv").flatMap(_.toLongOption).map(fid -> _)))
+          .toMap)
+        .getOrElse(Map.empty)
+    }
 
     schema.fields.foreach { f =>
       val idOpt = table.metadata.fieldIds.get(f.name)

@@ -359,6 +359,20 @@ class DeleteFilesSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(changed == Set(0L, 2L), s"DV changelog deletes, got $changed")
 
+    // a second DV on the same data file SUPERSEDES: the new vector
+    // unions the prior positions (the spec's replacement invariant) and
+    // exactly ONE DV entry remains
+    graft.iceberg.IcebergWriter.addDeletionVector(spark, dirA,
+      f.filePath, Seq(posOf(3L)))
+    val ta2b = IcebergTable(spark, dirA)
+    val dels2 = ta2b.planDeletes()
+    assert(dels2.size == 1 && dels2.head.isDv &&
+      dels2.head.recordCount == 3,
+      s"one superseding DV carrying the union, got $dels2")
+    val afterSupersede = spark.sql("SELECT id FROM dvc.ns.a ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterSupersede == Seq(1L, 4L, 10L, 11L))
+
     // maintenance that would re-stamp v2 position files refuses DVs loudly
     val e = intercept[Exception](
       graft.iceberg.IcebergWriter.rewritePositionDeleteFiles(spark, dirA))
@@ -369,6 +383,6 @@ class DeleteFilesSpec extends SparkSpec {
     assert(!ta3.hasDeletes, "compaction absorbs the DV")
     val after = spark.sql("SELECT id FROM dvc.ns.a ORDER BY id").collect()
       .map(_.getLong(0)).toSeq
-    assert(after == Seq(1L, 3L, 4L, 10L, 11L))
+    assert(after == Seq(1L, 4L, 10L, 11L))
   }
 }

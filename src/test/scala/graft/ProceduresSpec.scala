@@ -460,7 +460,9 @@ class ProceduresSpec extends SparkSpec {
     assert(meta2.statistics.last.snapshotId === meta2.currentSnapshotId.get)
 
     // the CBO NDV serves from the statistics blobs (fresher than any
-    // stale property would be)
+    // stale property would be), and SNAPSHOT-AWARE: a time-travel scan
+    // of the pre-insert snapshot gets the pre-insert analyze's NDV, not
+    // the later one
     spark.conf.set("spark.sql.cbo.enabled", "true")
     try {
       val stats = spark.table("pcat15.ns.t")
@@ -469,6 +471,14 @@ class ProceduresSpec extends SparkSpec {
       assert(byName("cat").distinctCount.exists(n => n >= 9 && n <= 11),
         s"post-insert NDV ~10 from the latest statistics entry, " +
           s"got ${byName("cat").distinctCount}")
+      val oldSid = meta2.statistics.head.snapshotId
+      val ttStats = spark.sql(
+          s"SELECT * FROM pcat15.ns.t VERSION AS OF $oldSid")
+        .queryExecution.optimizedPlan.stats
+      val ttByName = ttStats.attributeStats.map { case (a, s) => a.name -> s }
+      ttByName.get("cat").flatMap(_.distinctCount).foreach(n =>
+        assert(n >= 6 && n <= 8,
+          s"time-travel scan must serve the OLD analyze's NDV ~7, got $n"))
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
