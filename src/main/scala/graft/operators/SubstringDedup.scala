@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level EXACT-SUBSTRING deduplication — the ExactSubstr operator
+  * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+  * Models Better"): any span of `k` consecutive tokens that appears more
+  * than once ACROSS THE WHOLE CORPUS survives only at its globally-first
+  * occurrence; every other copy is stripped in place, leaving the
+  * surrounding text intact. This catches long verbatim repeats
+  * (press-release bodies, quoted passages, license blocks) that
+  * document-level near-dup misses (the documents differ) and that the
+  * boilerplate filter only sees once a span recurs in ≥ minDf DISTINCT
+  * documents — here TWO copies anywhere (even within one document)
+  * already dedupe.
+  *
+  * The paper builds a corpus suffix array; the Spark-shaped equivalent
+  * is a k-shingle fingerprint join, the same gram-space discipline as
+  * decontamination/boilerplate:
+  *
+  *  1. explode each document into k-token shingles with their start
+  *     positions — map-side;
+  *  2. ONE aggregation over the shingle space: per shingle, the
+  *     occurrence count and the lexicographically-first (doc, start)
+  *     (a `min(struct(...))` — partial-aggregated map-side, so a
+  *     mega-duplicated shingle never concentrates rows on one task the
+  *     way a window would);
+  *  3. occurrences of a duplicated shingle that are NOT the global
+  *     first become covered positions; per document they union
+  *     (overlapping spans coalesce) and the rewrite is the same
+  *     map-side positional cover as boilerplate's pass 2.
+  *
+  * Tokens are single-space splits (the corpus contract shared by every
+  * text operator here); a document with no duplicated span round-trips
+  * byte-identically. The total order (doc_id, start) makes the kept
+  * copy deterministic and engine-reproducible — the oracle recomputes
+  * the identical winner.
+  *
+  * Scale: shingles shuffle once (hash-sized rows); the per-document
+  * covered-position lists are bounded by document length; the corpus
+  * text itself never shuffles — it meets its covered positions through
+  * one key join on the document id.
+  */
+object SubstringDedup {
+
+  /** Non-first occurrences of duplicated k-shingles: (idCol, start) rows
+    * to strip. Exposed for inspection/testing; `stripRepeatedSpans` is
+    * the composed operator. */
+  def repeatedSpanStarts(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"span length must be >= 1, got $k")
+    val w = split(col(textCol), " ")
+    val occ = df
+      .select(col(idCol).as("__id"), w.as("__w"))
+      .select(col("__id"), explode(
+        when(size(col("__w")) >= k,
+          transform(sequence(lit(0), size(col("__w")) - k),
+            i => struct(i.as("start"),
+              concat_ws(" ", slice(col("__w"), i + 1, lit(k))).as("g"))))
+          .otherwise(array().cast("array<struct<start:int,g:string>>")))
+        .as("o"))
+      .select(col("__id"), col("o.start").as("start"), col("o.g").as("g"))
+    val firsts = occ.groupBy(col("g")).agg(
+      count(lit(1)).as("__n"),
+      min(struct(col("__id"), col("start"))).as("__first"))
+    occ.join(firsts, Seq("g"))
+      .filter(col("__n") >= 2 &&
+        !(col("__id") === col("__first.__id") &&
+          col("start") === col("__first.start")))
+      .select(col("__id").as(idCol), col("start"))
+  }
+
+  /** The composed operator: strip every non-first copy of every
+    * duplicated k-token span; adds `cleaned` and `n_removed_words`. */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    val covered = repeatedSpanStarts(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("start")).as("__starts"))
+    val joined = df.join(covered, Seq(idCol), "left")
+    val w = split(col(textCol), " ")
+    val m = size(w)
+    val cov = array_distinct(flatten(transform(
+      coalesce(col("__starts"), array().cast("array<int>")),
+      s => sequence(s, s + k - 1))))
+    val keptIdx = array_except(sequence(lit(0), m - 1), cov)
+    joined
+      .withColumn("cleaned",
+        concat_ws(" ", transform(keptIdx, p => element_at(w, p + 1))))
+      .withColumn("n_removed_words", size(cov).cast("long"))
+      .drop("__starts")
+  }
+}

@@ -521,6 +521,26 @@ object Extensions {
         .limit(200)
     }),
 
+    // Corpus-level exact-substring dedup (Lee et al. 2022 ExactSubstr):
+    // any 8-token span appearing more than once in the corpus survives
+    // only at its globally-first (doc_id, start); every other copy is
+    // stripped in place. Planted: docs with doc_id % 7 == 0 get a
+    // derived twin carrying their 12-word prefix + a unique tail, so the
+    // prefix's spans dedupe out of the twin. The oracle re-derives the
+    // duplicated-span winners and the positional rewrite byte-for-byte.
+    "q99_substring_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val derived = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 12),
+            lit("uniq"), col("doc_id").cast("string")).as("text"))
+      val corpus = docs.unionByName(derived)
+      graft.operators.SubstringDedup
+        .stripRepeatedSpans(corpus, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_removed_words"), col("cleaned"))
+        .orderBy(col("doc_id")).limit(300)
+    }),
+
     // SemDeDup: semantic near-duplicate removal — coarse k-means-style
     // clustering bounds the pair search, over-threshold pairs connected-
     // component into groups, min-id canonical survives. The oracle is the
@@ -921,6 +941,38 @@ object Extensions {
         |       COALESCE(agg.cleaned, '') AS cleaned
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id LIMIT 200""".stripMargin,
+    "q99_substring_dedup" ->
+      """WITH der AS (SELECT doc_id + 500000 AS doc_id,
+        |         array_to_string(string_split(text,' ')[1:12], ' ')
+        |           || ' uniq ' || CAST(doc_id AS VARCHAR) AS text
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id, text FROM der),
+        |w AS (SELECT doc_id, string_split(text,' ') AS ws FROM corpus),
+        |sh AS (SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS g
+        |       FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-7)) AS i) t
+        |       WHERE len(ws) >= 8),
+        |fr AS (SELECT doc_id, i,
+        |         COUNT(*) OVER (PARTITION BY g) AS n,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        |       FROM sh),
+        |nonfirst AS (SELECT doc_id, i FROM fr WHERE n >= 2 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, p FROM nonfirst,
+        |        LATERAL (SELECT unnest(generate_series(i, i+7)) AS p) q),
+        |pos AS (SELECT doc_id, i, ws[i] AS word FROM w,
+        |        LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
+        |kept AS (SELECT pos.doc_id, pos.i, pos.word FROM pos
+        |         LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.i = cov.p
+        |         WHERE cov.p IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS nk,
+        |               string_agg(word, ' ' ORDER BY i) AS cleaned
+        |        FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |       CAST(len(string_split(c.text,' ')) - COALESCE(agg.nk, 0)
+        |         AS BIGINT) AS n_removed_words,
+        |       COALESCE(agg.cleaned, '') AS cleaned
+        |FROM corpus c LEFT JOIN agg USING (doc_id)
+        |ORDER BY c.doc_id LIMIT 300""".stripMargin,
     "q94_semdedup" ->
       """WITH corpus AS (SELECT vec_id FROM embeddings
         |  UNION ALL

@@ -368,6 +368,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(top == Seq(1L, 3L), "top-k in (score desc, id) order")
   }
 
+  test("exact-substring dedup strips every non-first copy of a repeated span") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // owns the first "a b c" / "b c d"
+      (2L, "x a b c d y"),          // copies spans from 1 -> loses 1..4
+      (3L, "p q r s p q r s"),      // WITHIN-doc repeat -> second half goes
+      (4L, "lone words only here")  // nothing duplicated: byte round-trip
+    ).toDF("doc_id", "text")
+    val got = graft.operators.SubstringDedup
+      .stripRepeatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "cleaned", "n_removed_words")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("a b c d e f", 0L)), "first occurrence keeps all")
+    assert(got(2L) == (("x y", 4L)), s"copied spans strip, got ${got(2L)}")
+    assert(got(3L) == (("p q r s", 4L)), "within-doc repeat dedupes")
+    assert(got(4L) == (("lone words only here", 0L)))
+  }
+
   test("DSIR ratio is exact when scale × count exceeds Long range") {
     // 'w': cs = 4, ct = 3 → ratio = (scale·4) div 5. With scale = 3e18 the
     // Long product 1.2e19 wraps silently (ANSI off) — the decimal-typed
