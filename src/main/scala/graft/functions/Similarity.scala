@@ -476,6 +476,18 @@ object Similarity {
     def sized(rows: DataFrame): DataFrame = rows.withColumn("__csz",
       count(lit(1)).over(Window.partitionBy(col("c_key"))))
 
+    // Fast path for the healthy corpus: ONE cheap aggregation (map-side
+    // partial counts) decides whether any cluster is over the cap; when
+    // none is — the overwhelmingly common case once k is scale-derived —
+    // the pair stage is the plain one-shuffle join, none of the guard's
+    // round machinery enters the plan. (Worth a driver job: the lazy
+    // guard rounds cost several empty-branch shuffles per run even when
+    // they have nothing to do.)
+    val anyHot = !assigned.groupBy(col("c_key"))
+      .agg(count(lit(1)).as("__csz"))
+      .filter(col("__csz") > cap).isEmpty
+    if (!anyHot) return pairsWithin(assigned)
+
     var cur = assigned
     val parts = Seq.newBuilder[DataFrame]
     for (round <- 1 to subSplitRounds) {
