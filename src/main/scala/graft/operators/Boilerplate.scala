@@ -69,9 +69,15 @@ object Boilerplate {
     val covered = array_distinct(flatten(
       transform(hitStarts, i => sequence(i, i + n - 1))))
     val keptIdx = array_except(sequence(lit(0), m - 1), covered)
+    // NULL text stays NULL: concat_ws over the propagated null would
+    // quietly coerce absent documents into present-but-empty ones,
+    // changing downstream dedup keys and counts
     df.withColumn("cleaned",
-        concat_ws(" ", transform(keptIdx, p => element_at(w, p + 1))))
-      .withColumn("n_removed_words", size(covered).cast("long"))
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            transform(keptIdx, p => element_at(w, p + 1)))))
+      .withColumn("n_removed_words",
+        coalesce(size(covered), lit(0)).cast("long"))
   }
 
   /** The composed operator: detect boilerplate, strip it everywhere. */

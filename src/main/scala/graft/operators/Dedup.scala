@@ -350,9 +350,9 @@ object Dedup {
     * over the cap — i.e. the twin sits in a >cap-dense near-dup
     * neighborhood that this same operator would have collapsed at ITS
     * admission; near-dup recall over capped buckets degrades to the
-    * usual candidate semantics. The bucket-size window shuffles the
-    * index on exactly the probe-join key, so the exchange is reused —
-    * the cap costs no extra shuffle.
+    * usual candidate semantics. Bucket sizes come from a map-side-
+    * combined groupBy + semi-join (one small extra exchange) — a window
+    * would ship the hot bucket whole to one task just to count it.
     */
   def incrementalAdmission(
       corpusIndex: DataFrame, corpus: DataFrame,
@@ -404,10 +404,16 @@ object Dedup {
     val cIdx =
       if (probeMaxBucket == Int.MaxValue) cIdx0
       else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_hash")
-        cIdx0.withColumn("__bn", count(lit(1)).over(w))
-          .filter(col("__bn") <= probeMaxBucket).drop("__bn")
+        // bucket sizes via groupBy, NOT a window: a window has no partial
+        // aggregation, so the pathological hot bucket the cap exists to
+        // neutralize would itself be shipped whole to one task just to
+        // be counted. groupBy map-side-combines to one row per bucket
+        // per task; the semi-join back is AQE-skew-splittable.
+        val small = cIdx0.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= probeMaxBucket)
+          .select(col("band"), col("band_hash"))
+        cIdx0.join(small, Seq("band", "band_hash"), "left_semi")
       }
     val candC = bIdx.join(cIdx, Seq("band", "band_hash"))
       .select(col(idCol), col("__cid")).distinct()
@@ -461,8 +467,13 @@ object Dedup {
       graft.functions.catalyst.SimhashVotes(
         GraftColumnShim.expression(xxhash64(col("tok"))))
         .toAggregateExpression())
+    // NULL text tokenizes as [""] (the minhash fallback-shingle rule):
+    // explode of a NULL array emits no rows, so null-text docs would get
+    // NO signature and silently escape every simhash dedup — while two
+    // NULL texts ARE duplicates under the codebase's null-safe convention
     df.select(col(idCol),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        explode(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+          .as("tok"))
       .groupBy(col(idCol))
       .agg(votes.as("simhash"))
   }

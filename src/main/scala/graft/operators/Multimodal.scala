@@ -77,12 +77,20 @@ object Multimodal {
 
   /** Frame sampling for video-kind items: emit one row per sampled frame
     * index (stride `every`), the standard fan-out before per-frame decode.
+    * A frameless item (`n_frames <= 0`: empty/corrupt media) yields no
+    * rows — an unguarded `sequence(0, -1, +step)` is a task-killing
+    * "Illegal sequence boundaries" error, the shingles pitfall.
     */
-  def sampleFrames(media: DataFrame, every: Int): DataFrame =
+  def sampleFrames(media: DataFrame, every: Int): DataFrame = {
+    require(every > 0, s"frame stride must be positive, got $every")
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("n_frames"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(every)))
+        explode(
+          when(col("n_frames") > 0,
+            sequence(lit(0), col("n_frames") - 1, lit(every)))
+            .otherwise(array().cast("array<int>")))
           .as("frame_idx"))
+  }
 
   /** Resize image-kind items to `targetW` × `targetH`. The STUB kernel
     * models the payload-size effect of a real resampler deterministically

@@ -37,8 +37,12 @@ object Packing {
     val parts =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // NULL text counts as 0 tokens (wordCount propagates NULL, and a
+    // trailing range partition holding only null-text docs would NULL
+    // its partition total and NPE the driver-side offset scan)
     val toks = df.select(col(idCol).as("id"),
-      TextFunctions.wordCount(col(textCol)).as("tokens"))
+      coalesce(TextFunctions.wordCount(col(textCol)), lit(0L))
+        .cast("long").as("tokens"))
     // The __pid assignment MUST be computed exactly once and seen
     // identically by the offsets-collect job and the final pass:
     // RangePartitioner samples with an rdd.id-derived seed, so a

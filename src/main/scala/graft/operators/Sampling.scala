@@ -119,14 +119,18 @@ object Sampling {
     // 0.0/0.0 = NaN and least() orders NaN ABOVE 1.0, so an unguarded
     // zero-token domain would sample at rate 1 instead of 0
     val rates = w.crossJoin(broadcast(z))
-      .select(col(domainCol),
+      .select(col(domainCol).as("__dom"),
         when(col("__avail") > 0,
           least(lit(1.0),
             lit(budgetTokens.toDouble) * col("__wa") / col("__z") / col("__avail")))
           .otherwise(lit(0.0)).as("__rate"))
-    df.join(broadcast(rates), Seq(domainCol))
+    // NULL-SAFE rate join: groupBy forms a NULL-domain group (it is in
+    // the normalizer), so the membership join must reach it too — a
+    // plain equi-join would silently drop every NULL-domain row while
+    // still charging the budget for its share
+    df.join(broadcast(rates), col(domainCol) <=> col("__dom"))
       .filter(saltedBucket(col(idCol), salt) < col("__rate") * Buckets)
-      .drop("__rate")
+      .drop("__rate", "__dom")
   }
 
   /** Large prime modulus for the shuffle sort key: fine-grained enough

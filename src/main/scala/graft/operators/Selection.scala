@@ -31,9 +31,17 @@ object Selection {
 
   /** Per-document importance scores. `isTarget` marks the rows whose
     * distribution we want more of; every row contributes to the source
-    * (denominator) counts. Returns (idCol, n_words, score). */
+    * (denominator) counts. Returns (idCol, n_words, score).
+    *
+    * `broadcastVocab` (default true) forces the vocab side of the join
+    * into a broadcast — right for curated-corpus vocabularies (millions
+    * of tokens). The distinct-token count of a RAW web crawl is
+    * billions (typos, unicode, identifiers) and would OOM the driver:
+    * pass false there for a shuffled hash join, or pre-hash tokens into
+    * a bounded feature space (DSIR proper's hashed n-grams) upstream. */
   def importanceScores(corpus: DataFrame, idCol: String, textCol: String,
-                       isTarget: Column, scale: Long = 1000000L): DataFrame = {
+                       isTarget: Column, scale: Long = 1000000L,
+                       broadcastVocab: Boolean = true): DataFrame = {
     val words = corpus
       .select(col(idCol), isTarget.cast("boolean").as("__tgt"),
         explode(split(col(textCol), " ")).as("__w"))
@@ -49,7 +57,7 @@ object Selection {
     val ratio = vocab.select(col("__w"),
       expr(s"(CAST($scale AS DECIMAL(38,0)) * (__ct + 1)) div (__cs + 1)")
         .as("__r"))
-    words.join(broadcast(ratio), "__w")
+    words.join(if (broadcastVocab) broadcast(ratio) else ratio, "__w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__r")).as("score"))
   }

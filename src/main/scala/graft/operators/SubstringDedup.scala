@@ -44,11 +44,11 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** Non-first occurrences of duplicated k-shingles: (idCol, start) rows
-    * to strip. Exposed for inspection/testing; `stripRepeatedSpans` is
-    * the composed operator. */
-  def repeatedSpanStarts(df: DataFrame, idCol: String, textCol: String,
-                         k: Int): DataFrame = {
+  /** Occurrences of duplicated k-shingles, split by role: `_1` = the
+    * non-first copies (to strip), `_2` = the globally-first occurrences
+    * (to PROTECT). Both are (idCol, start) rows. */
+  private def spanRoles(df: DataFrame, idCol: String, textCol: String,
+                        k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"span length must be >= 1, got $k")
     val w = split(col(textCol), " ")
     val occ = df
@@ -64,31 +64,56 @@ object SubstringDedup {
     val firsts = occ.groupBy(col("g")).agg(
       count(lit(1)).as("__n"),
       min(struct(col("__id"), col("start"))).as("__first"))
-    occ.join(firsts, Seq("g"))
-      .filter(col("__n") >= 2 &&
-        !(col("__id") === col("__first.__id") &&
-          col("start") === col("__first.start")))
-      .select(col("__id").as(idCol), col("start"))
+      .filter(col("__n") >= 2)
+    val tagged = occ.join(firsts, Seq("g"))
+      .withColumn("__isFirst",
+        col("__id") === col("__first.__id") &&
+          col("start") === col("__first.start"))
+    (tagged.filter(!col("__isFirst")).select(col("__id").as(idCol), col("start")),
+      tagged.filter(col("__isFirst")).select(col("__id").as(idCol), col("start")))
   }
 
+  /** Non-first occurrences of duplicated k-shingles: (idCol, start) rows
+    * to strip. Exposed for inspection/testing; `stripRepeatedSpans` is
+    * the composed operator. */
+  def repeatedSpanStarts(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    spanRoles(df, idCol, textCol, k)._1
+
   /** The composed operator: strip every non-first copy of every
-    * duplicated k-token span; adds `cleaned` and `n_removed_words`. */
+    * duplicated k-token span; adds `cleaned` and `n_removed_words`.
+    *
+    * A position is removed iff it lies inside some NON-FIRST occurrence
+    * and inside NO first occurrence. The protection clause matters when
+    * different duplicated spans overlap across documents: without it, a
+    * span's globally-first copy could sit inside another span's
+    * non-first copy and be stripped with it — the duplicated text would
+    * then survive NOWHERE. With it, every duplicated span's first
+    * occurrence is preserved intact (the copy that overlapped it keeps
+    * exactly the protected words). NULL text stays NULL. */
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                          k: Int): DataFrame = {
-    val covered = repeatedSpanStarts(df, idCol, textCol, k)
-      .groupBy(col(idCol))
+    val (nonFirst, firstSpans) = spanRoles(df, idCol, textCol, k)
+    val covered = nonFirst.groupBy(col(idCol))
       .agg(collect_list(col("start")).as("__starts"))
+    val protectedS = firstSpans.groupBy(col(idCol))
+      .agg(collect_list(col("start")).as("__pstarts"))
     val joined = df.join(covered, Seq(idCol), "left")
+      .join(protectedS, Seq(idCol), "left")
     val w = split(col(textCol), " ")
     val m = size(w)
-    val cov = array_distinct(flatten(transform(
-      coalesce(col("__starts"), array().cast("array<int>")),
+    def ranges(c: Column): Column = array_distinct(flatten(transform(
+      coalesce(c, array().cast("array<int>")),
       s => sequence(s, s + k - 1))))
+    val cov = array_except(ranges(col("__starts")), ranges(col("__pstarts")))
     val keptIdx = array_except(sequence(lit(0), m - 1), cov)
     joined
       .withColumn("cleaned",
-        concat_ws(" ", transform(keptIdx, p => element_at(w, p + 1))))
-      .withColumn("n_removed_words", size(cov).cast("long"))
-      .drop("__starts")
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            transform(keptIdx, p => element_at(w, p + 1)))))
+      .withColumn("n_removed_words",
+        coalesce(size(cov), lit(0)).cast("long"))
+      .drop("__starts", "__pstarts")
   }
 }

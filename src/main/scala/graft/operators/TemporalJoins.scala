@@ -33,7 +33,11 @@ object TemporalJoins {
     * NULL join keys follow equi-join semantics (NULL never equals NULL):
     * null-keyed left rows go straight to the NULL-fill output and
     * null-keyed right rows can never match — without the split they would
-    * co-group in the window partition and incorrectly pair up.
+    * co-group in the window partition and incorrectly pair up. NULL
+    * TIMESTAMPS follow SQL comparison semantics the same way: `NULL <=
+    * ts` is not true, so a null-ts right row matches nothing (it would
+    * otherwise sort nulls-first and become everyone's fallback match)
+    * and a null-ts left row takes the NULL-fill output.
     */
   def asOfJoin(
       left: DataFrame, right: DataFrame,
@@ -43,8 +47,10 @@ object TemporalJoins {
     val rStructType = right.select(rPayload.map(col): _*).schema
     val lStructType = left.schema
     val nullKey = on.map(col(_).isNull).reduce(_ || _)
-    val (leftKeyed, leftNullKeyed) = (left.filter(!nullKey), left.filter(nullKey))
-    val rightKeyed = right.filter(!nullKey)
+    val leftUnmatchable = nullKey || col(tsCol).isNull
+    val (leftKeyed, leftNullKeyed) =
+      (left.filter(!leftUnmatchable), left.filter(leftUnmatchable))
+    val rightKeyed = right.filter(!nullKey && col(tsCol).isNotNull)
 
     val l2 = leftKeyed.select(
       on.map(col) ++ Seq(

@@ -936,9 +936,11 @@ object Extensions {
         |               string_agg(word, ' ' ORDER BY i) AS cleaned
         |        FROM kept GROUP BY doc_id)
         |SELECT d.doc_id,
-        |       CAST(len(string_split(d.text,' ')) - COALESCE(agg.n_kept, 0)
-        |         AS BIGINT) AS n_removed_words,
-        |       COALESCE(agg.cleaned, '') AS cleaned
+        |       CAST(CASE WHEN d.text IS NULL THEN 0
+        |            ELSE len(string_split(d.text,' ')) - COALESCE(agg.n_kept, 0)
+        |            END AS BIGINT) AS n_removed_words,
+        |       CASE WHEN d.text IS NULL THEN NULL
+        |            ELSE COALESCE(agg.cleaned, '') END AS cleaned
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id LIMIT 200""".stripMargin,
     "q99_substring_dedup" ->
@@ -956,9 +958,15 @@ object Extensions {
         |         COUNT(*) OVER (PARTITION BY g) AS n,
         |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
         |       FROM sh),
-        |nonfirst AS (SELECT doc_id, i FROM fr WHERE n >= 2 AND rn > 1),
-        |cov AS (SELECT DISTINCT doc_id, p FROM nonfirst,
-        |        LATERAL (SELECT unnest(generate_series(i, i+7)) AS p) q),
+        |cov0 AS (SELECT DISTINCT doc_id, p
+        |         FROM (SELECT doc_id, i FROM fr WHERE n >= 2 AND rn > 1) nf,
+        |         LATERAL (SELECT unnest(generate_series(i, i+7)) AS p) q),
+        |prot AS (SELECT DISTINCT doc_id, p
+        |         FROM (SELECT doc_id, i FROM fr WHERE n >= 2 AND rn = 1) ff,
+        |         LATERAL (SELECT unnest(generate_series(i, i+7)) AS p) q),
+        |cov AS (SELECT cov0.doc_id, cov0.p FROM cov0
+        |        LEFT JOIN prot ON cov0.doc_id = prot.doc_id AND cov0.p = prot.p
+        |        WHERE prot.p IS NULL),
         |pos AS (SELECT doc_id, i, ws[i] AS word FROM w,
         |        LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) t),
         |kept AS (SELECT pos.doc_id, pos.i, pos.word FROM pos
@@ -968,9 +976,11 @@ object Extensions {
         |               string_agg(word, ' ' ORDER BY i) AS cleaned
         |        FROM kept GROUP BY doc_id)
         |SELECT c.doc_id,
-        |       CAST(len(string_split(c.text,' ')) - COALESCE(agg.nk, 0)
-        |         AS BIGINT) AS n_removed_words,
-        |       COALESCE(agg.cleaned, '') AS cleaned
+        |       CAST(CASE WHEN c.text IS NULL THEN 0
+        |            ELSE len(string_split(c.text,' ')) - COALESCE(agg.nk, 0)
+        |            END AS BIGINT) AS n_removed_words,
+        |       CASE WHEN c.text IS NULL THEN NULL
+        |            ELSE COALESCE(agg.cleaned, '') END AS cleaned
         |FROM corpus c LEFT JOIN agg USING (doc_id)
         |ORDER BY c.doc_id LIMIT 300""".stripMargin,
     "q94_semdedup" ->

@@ -96,6 +96,14 @@ object Sessionize {
     events
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
         col("value").cast("double").as("value"))
+      // dirty events (NULL user/ts/value) are DROPPED, not crashed on:
+      // the typed encoder's primitive fields reject NULLs mid-batch and
+      // a null ts has no event-time — one bad row must not kill a
+      // long-running query. (The batch comparator groups them under a
+      // NULL key instead; sessions are defined only for keyed, timed
+      // events, so exclusion is the streaming contract.)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
       .as[SessionEvent]
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)

@@ -386,6 +386,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(4L) == (("lone words only here", 0L)))
   }
 
+  test("exact-substring dedup protects a first occurrence overlapped by another span's copy") {
+    // "c d" is first in doc 1, so doc 2's copy at positions 1-2 strips;
+    // but "a c" is FIRST in doc 2 at positions 0-1 — stripping position 1
+    // with "c d"'s copy would erase "a c" from the whole corpus (doc 3's
+    // copy is also removed). Protection keeps the first occurrence intact.
+    val docs = Seq(
+      (1L, "c d"),
+      (2L, "a c d b"),
+      (3L, "a c")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.SubstringDedup
+      .stripRepeatedSpans(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "cleaned", "n_removed_words")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("c d", 0L)))
+    assert(got(2L) == (("a c b", 1L)),
+      s"protected first 'a c' survives, only 'd' strips: ${got(2L)}")
+    assert(got(3L) == (("", 2L)), "the unprotected copy still dedupes")
+  }
+
   test("DSIR ratio is exact when scale × count exceeds Long range") {
     // 'w': cs = 4, ct = 3 → ratio = (scale·4) div 5. With scale = 3e18 the
     // Long product 1.2e19 wraps silently (ANSI off) — the decimal-typed
