@@ -129,10 +129,15 @@ object DeletionVectors {
     }
   }
 
-  /** Encode positions as a framed DV blob (fixture/migration writer).
-    * Emits the no-run format with array containers — enough for any
-    * position set with < 4096 entries per 65536-position chunk; a denser
-    * fixture belongs to a real roaring writer. */
+  /** Encode positions as a framed DV blob. Emits the no-run cookie with
+    * the standard roaring container choice per 65536-position chunk —
+    * a sorted array of 16-bit lows up to 4096 entries, a 1024-long
+    * bitmap above (a DELETE matching most of a row group produces dense
+    * chunks, so the write path cannot live on array containers alone).
+    * Run containers are a read-side-only concern here: the bitmap form
+    * is at worst 8 KB per dense chunk and every roaring reader accepts
+    * it, while emitting runs would add a second writer format for no
+    * interop gain. */
   def encode(positions: Seq[Long]): Array[Byte] = {
     val sorted = positions.distinct.sorted
     val byHigh = sorted.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
@@ -148,19 +153,25 @@ object DeletionVectors {
       le(high, 4)
       val low = ps.map(p => (p & 0xFFFFFFFFL).toInt)
       val containers = low.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
-      containers.foreach { case (_, vs) =>
-        require(vs.size <= 4096,
-          "fixture DV encoder writes array containers only (<4096/chunk)")
-      }
       le(SerialCookieNoRun, 4)
       le(containers.size, 4)
       containers.foreach { case (k, vs) => le(k, 2); le(vs.size - 1, 2) }
       // offsets: container data start positions relative to this 32-bit
       // bitmap's first byte (cookie position)
+      def bytesOf(vs: Seq[Int]): Int = if (vs.size > 4096) 8192 else 2 * vs.size
       var off = 4 + 4 + 4 * containers.size + 4 * containers.size
-      containers.foreach { case (_, vs) => le(off, 4); off += 2 * vs.size }
+      containers.foreach { case (_, vs) => le(off, 4); off += bytesOf(vs) }
       containers.foreach { case (_, vs) =>
-        vs.foreach(v => le(v & 0xFFFF, 2))
+        if (vs.size > 4096) { // bitmap container: 1024 LE longs
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val bit = v & 0xFFFF
+            words(bit >>> 6) |= 1L << (bit & 63)
+          }
+          val bb = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+          words.foreach(bb.putLong)
+          vec.write(bb.array())
+        } else vs.foreach(v => le(v & 0xFFFF, 2))
       }
     }
     val vector = vec.toByteArray

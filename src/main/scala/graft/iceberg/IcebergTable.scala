@@ -658,15 +658,15 @@ final class IcebergTable private (
   /** Normalize a file path for identity comparison: drop the scheme and
     * collapse leading slashes, so `file:///x/y`, `file:/x/y` and `/x/y`
     * all compare equal. Applied symmetrically to both sides. */
-  private def normPathExpr(c: Column): Column =
+  private[graft] def normPathExpr(c: Column): Column =
     regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
 
-  private def normPath(s: String): String =
+  private[graft] def normPath(s: String): String =
     s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
 
   /** Relocate a stored file path onto the current table dir (the column
     * form of [[resolve]]) — delete rows reference paths as written. */
-  private def resolveExpr(c: Column): Column =
+  private[graft] def resolveExpr(c: Column): Column =
     if (metadata.location == tableDir) c
     else when(c.startsWith(metadata.location),
       concat(lit(tableDir),
@@ -815,7 +815,7 @@ final class IcebergTable private (
     * `pos`; an optional `row` struct is pruned). Passing it explicitly
     * skips the schema-inference driver job Spark otherwise runs per
     * `read.parquet` — one job per delete read per re-plan adds up. */
-  private val posDeleteReadSchema = StructType(Seq(
+  private[graft] val posDeleteReadSchema = StructType(Seq(
     StructField("file_path", StringType),
     StructField("pos", org.apache.spark.sql.types.LongType)))
 

@@ -1183,9 +1183,26 @@ object IcebergWriter {
       }
 
       val u = uniq()
-      // position-delete file: the matched (path, pos) rows of the posDel
-      // group, reserved field ids stamped, sorted per the spec
-      val posDelMl: Option[GenericRecord] = if (posDel.isEmpty) None else {
+      val dvMode = dvWriteMode(meta)
+      // position path representation: v2 parquet by default; v3 deletion
+      // vectors when the table opts in (`graft.write.deletes = dv`) —
+      // one roaring blob per affected file, encoded in executors,
+      // absorbing every older delete position for that file so the prior
+      // DV entries it supersedes can drop from the manifests below
+      val posDelMl: Option[GenericRecord] = if (posDel.isEmpty) None
+      else if (dvMode) {
+        val newPos = matched.withColumn("__np",
+            regexp_replace(col("file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/"))
+          .filter(col("__np").isInCollection(posDel))
+          .select(col("__np").as("__ref"), col("pos"))
+        val targets: Map[String, Long] = posDel.iterator.map(np =>
+          np -> byNorm(np).sequenceNumber.getOrElse(-1L)).toMap
+        val all = dvAbsorbPositions(spark, table, targets)
+          .map(newPos.unionByName(_)).getOrElse(newPos)
+        val storedByNorm = posDel.iterator.map(np =>
+          np -> byNorm(np).filePath).toMap
+        writeDvManifest(spark, conf, tableDir, meta, snapId, u, all, storedByNorm)
+      } else {
         val delDir = s"$tableDir/data/del-s$snapId-$u"
         val pathMeta = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id", PosDelPathId).build()
@@ -1238,9 +1255,22 @@ object IcebergWriter {
           resolveAgainst(meta, tableDir, s.manifestList), conf))
       val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
         val mPath = resolveAgainst(meta, tableDir, m.path)
-        if (m.content == 1) // delete manifests pass through untouched
-          Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
-            m.addedRowsCount, m.partitionSpecId, m.partitions))
+        if (m.content == 1) {
+          // delete manifests pass through untouched — except DV entries a
+          // new deletion vector supersedes (their positions were absorbed)
+          val passThrough = Some(mlRec(mPath, m.length, m.content,
+            m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions))
+          if (!dvMode || posDel.isEmpty) passThrough
+          else dropSupersededDvEntries(mPath, conf, posDel.toSet,
+              p => norm(table.resolve(p)),
+              new Path(s"$tableDir/metadata/m-s$snapId-$u-d$i.avro")) match {
+            case None => passThrough
+            case Some((_, _, _, true)) => None // every entry superseded
+            case Some((newPath, len, rows, _)) =>
+              Some(mlRec(newPath, len, 1, m.sequenceNumber, Some(rows),
+                m.partitionSpecId, m.partitions))
+          }
+        }
         else filterManifest(mPath, conf, removed,
           new Path(s"$tableDir/metadata/m-s$snapId-$u-r$i.avro")) match {
           case None =>
@@ -1604,6 +1634,218 @@ object IcebergWriter {
     snapId
   }
 
+  /** Table property that opts row-level deletes into the v3
+    * DELETION-VECTOR form (`graft.write.deletes = dv`): position deletes
+    * commit as `deletion-vector-v1` Puffin blobs instead of v2 parquet
+    * files. A property rather than `format-version = 3` in the metadata
+    * JSON: stamping v3 would claim the REST of v3 (row lineage,
+    * mandatory DV supersede semantics for foreign readers) that this
+    * writer does not provide — the DV payloads themselves are
+    * spec-exact, so flipping the trigger later is a one-line change. */
+  private[graft] def dvWriteMode(meta: TableMetadata): Boolean =
+    meta.properties.get("graft.write.deletes").contains("dv")
+
+  /** Write a position set as v3 deletion vectors and return the delete
+    * manifest's manifest-list record (None when `positions` is empty).
+    *
+    * `positions` columns: `__ref` = NORMALIZED resolved data-file path,
+    * `pos`. The frame is built for scale: positions repartition BY FILE
+    * (the spec allows one DV per data file, so one task must own each
+    * file's bitmap anyway), sort within partitions, and each task
+    * encodes its files' roaring blobs and writes ONE Puffin file for all
+    * of them — positions never collect to the driver; only the per-file
+    * manifest metadata (path/offset/size/cardinality) does. Blob
+    * encoding memory is bounded by the largest single file's deleted
+    * positions. Task filenames carry the attempt id, so a retried or
+    * speculated attempt re-creates under a fresh name; losing attempts
+    * leave unreferenced Puffin files that snapshot-reachability cleanup
+    * treats like any other orphan.
+    *
+    * `storedByNorm` maps normalized paths back to the paths AS STORED in
+    * the data manifests — the spec's `referenced_data_file` must match
+    * the data file's manifest `file_path` exactly. */
+  private[graft] def writeDvManifest(
+      spark: SparkSession, conf: org.apache.hadoop.conf.Configuration,
+      tableDir: String, meta: TableMetadata, snapId: Long, u: String,
+      positions: org.apache.spark.sql.DataFrame,
+      storedByNorm: Map[String, String]): Option[GenericRecord] = {
+    val hc = new org.apache.spark.util.SerializableConfiguration(conf)
+    val bStored = spark.sparkContext.broadcast(storedByNorm)
+    val nParts = math.max(1, math.min(storedByNorm.size, 32))
+    val written: Array[(String, String, Long, Long, Long, Long)] = positions
+      .repartition(nParts, col("__ref"))
+      .sortWithinPartitions("__ref", "pos")
+      .select(col("__ref"), col("pos"))
+      .rdd.mapPartitions { it =>
+        val blobs = Vector.newBuilder[(String, Array[Byte], Long)]
+        var cur: String = null
+        var buf = Array.newBuilder[Long]
+        var last = Long.MinValue
+        def flush(): Unit = if (cur != null) {
+          val ps = buf.result()
+          blobs += ((cur, DeletionVectors.encode(ps), ps.length.toLong))
+        }
+        while (it.hasNext) {
+          val r = it.next()
+          val ref = r.getString(0); val pos = r.getLong(1)
+          if (ref != cur) {
+            flush(); cur = ref
+            buf = Array.newBuilder[Long]; last = Long.MinValue
+          }
+          if (pos != last) { buf += pos; last = pos }
+        }
+        flush()
+        val bs = blobs.result()
+        if (bs.isEmpty) Iterator.empty
+        else {
+          val stored = bStored.value
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(tc => s"${tc.partitionId}-${tc.taskAttemptId}")
+            .getOrElse("driver")
+          val pPath = new Path(s"$tableDir/data/dv-s$snapId-$u-$attempt.puffin")
+          val w = Puffin.write(pPath, hc.value, bs.map { case (ref, payload, card) =>
+            Puffin.Blob(DeletionVectors.BlobType, Nil, snapId, 0L, payload,
+              Map("referenced-data-file" -> stored.getOrElse(ref, ref),
+                "cardinality" -> card.toString))
+          })
+          var off = Puffin.Magic.length.toLong
+          bs.iterator.map { case (ref, payload, card) =>
+            val e = (stored.getOrElse(ref, ref), pPath.toString,
+              w.fileSizeInBytes, off, payload.length.toLong, card)
+            off += payload.length
+            e
+          }
+        }
+      }.collect()
+    bStored.destroy()
+    if (written.isEmpty) return None
+    val dfSchema = deleteManifestSchema.getField("data_file").schema
+    val entries = written.toSeq.map { case (ref, pPath, fSize, off, size, card) =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 1) // POSITION_DELETES, DV flavor
+      d.put("file_path", pPath)
+      d.put("file_format", "PUFFIN")
+      d.put("record_count", card)
+      d.put("file_size_in_bytes", fSize)
+      d.put("referenced_data_file", ref)
+      d.put("content_offset", off)
+      d.put("content_size_in_bytes", size)
+      val e = new GenericData.Record(deleteManifestSchema)
+      e.put("status", 1)
+      e.put("data_file", d)
+      e.asInstanceOf[GenericRecord]
+    }
+    val mPath = new Path(s"$tableDir/metadata/m-dv-s$snapId-$u.avro")
+    val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
+    Some(mlRec(mPath.toString, mLen, 1, Some(snapId),
+      Some(written.map(_._6).sum), meta.defaultSpecId, Nil))
+  }
+
+  /** Every prior delete position a NEW deletion vector for `targets`
+    * (normalized paths → data sequence number) must absorb — the v3 spec
+    * makes a file's DV a superset of all older position deletes for it:
+    *
+    *  - prior DVs referencing a target (they are SUPERSEDED — the caller
+    *    drops their manifest entries, so losing their positions would
+    *    resurrect rows): blob bytes load on the driver (compressed
+    *    bitmaps, bounded by `content_size_in_bytes`), decode in
+    *    executors;
+    *  - prior v2 parquet position deletes naming a target, gated by the
+    *    sequence rule (`delseq >= dataseq`) — a delete older than the
+    *    data file never applied to it and must NOT leak into its DV.
+    *    The v2 FILES stay referenced (they may name other data files);
+    *    the duplicate positions are harmless under both the union reader
+    *    here and a spec reader that ignores them in favor of the DV.
+    *
+    * Returns None when nothing needs absorbing. */
+  private def dvAbsorbPositions(
+      spark: SparkSession, table: IcebergTable,
+      targets: Map[String, Long]): Option[org.apache.spark.sql.DataFrame] = {
+    val pos = table.planDeletes().filter(_.content == 1)
+    if (pos.isEmpty) return None
+    val parts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+
+    val (dvPrior, pqPrior) = pos.partition(_.isDv)
+    val dvHit = dvPrior.filter(_.referencedDataFile
+      .exists(r => targets.contains(table.normPath(table.resolve(r)))))
+    if (dvHit.nonEmpty) {
+      val payload = dvHit.map { d =>
+        val bytes = Puffin.readBlob(new Path(table.resolve(d.filePath)),
+          table.conf, d.contentOffset.get, d.contentSize.get.toInt)
+        (table.normPath(table.resolve(d.referencedDataFile.get)), bytes)
+      }
+      val rdd = spark.sparkContext
+        .parallelize(payload, math.max(1, math.min(payload.size, 32)))
+        .flatMap { case (ref, bytes) =>
+          DeletionVectors.decode(bytes).iterator.map(p => (ref, p)) }
+      parts += spark.createDataFrame(rdd).toDF("__ref", "pos")
+    }
+
+    // v2 files that could name a target: a single-target hint outside the
+    // target set is the only read we can skip without opening the file
+    val pqHit = pqPrior.filter(d => d.referencedDataFile.forall(r =>
+      targets.contains(table.normPath(table.resolve(r)))))
+    if (pqHit.nonEmpty) {
+      val seqDF = spark.createDataFrame(pqHit.map(d =>
+          (table.normPath(table.resolve(d.filePath)),
+            d.sequenceNumber.getOrElse(Long.MaxValue))))
+        .toDF("__delsrc", "__delseq")
+      val dataSeqDF = spark.createDataFrame(targets.toSeq)
+        .toDF("__ref", "__dataseq")
+      parts += spark.read.schema(table.posDeleteReadSchema)
+        .parquet(pqHit.map(d => table.resolve(d.filePath)): _*)
+        .select(
+          table.normPathExpr(table.resolveExpr(col("file_path"))).as("__ref"),
+          col("pos"),
+          table.normPathExpr(col("_metadata.file_path")).as("__delsrc"))
+        .join(broadcast(seqDF), Seq("__delsrc"))
+        .join(broadcast(dataSeqDF), Seq("__ref"))
+        .filter(col("__delseq") >= col("__dataseq"))
+        .select(col("__ref"), col("pos"))
+    }
+    val ps = parts.result()
+    if (ps.isEmpty) None else Some(ps.reduce(_ unionByName _))
+  }
+
+  /** Rewrite a delete manifest dropping the DV entries a new vector
+    * supersedes (those referencing a path in `targets`). None = nothing
+    * to drop (pass the original through); Some((_, true)) = every entry
+    * dropped (drop the manifest from the list); otherwise the rewritten
+    * manifest's (path, length, surviving rows). */
+  private def dropSupersededDvEntries(
+      path: String, conf: org.apache.hadoop.conf.Configuration,
+      targets: Set[String], normResolve: String => String,
+      outPath: Path): Option[(String, Long, Long, Boolean)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new org.apache.avro.file.SeekableByteArrayInput(bytes),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    val (kept, dropped) = try {
+      val all = Vector.newBuilder[GenericRecord]
+      while (reader.hasNext) all += reader.next()
+      all.result().partition { r =>
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        val isDv = Option(df.get("file_format"))
+          .exists(f => String.valueOf(f).equalsIgnoreCase("puffin")) ||
+          df.getSchema.getField("content_offset") != null &&
+            df.get("content_offset") != null
+        val ref = Option(df.getSchema.getField("referenced_data_file"))
+          .flatMap(_ => Option(df.get("referenced_data_file")))
+          .map(String.valueOf(_))
+        !(isDv && ref.exists(r2 => targets.contains(normResolve(r2))))
+      }
+    } finally reader.close()
+    if (dropped.isEmpty) return None
+    if (kept.isEmpty) return Some((path, 0L, 0L, true))
+    val liveRows = kept.map(_.get("data_file").asInstanceOf[GenericRecord]
+      .get("record_count").asInstanceOf[java.lang.Number].longValue).sum
+    val len = writeAvro(outPath, conf, kept.head.getSchema, kept)
+    Some((outPath.toString, len, liveRows, false))
+  }
+
   /** ANALYZE for the cost-based optimizer: ONE distributed aggregate pass
     * over the current snapshot computes per-column NDV
     * (`approx_count_distinct`) and, for strings/binary, average/max
@@ -1756,11 +1998,65 @@ object IcebergWriter {
     val prev: Seq[ManifestFile] = baseSnap.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
         resolveAgainst(meta, tableDir, s.manifestList), conf))
-    val keptPrior: Seq[GenericRecord] = prev.map(m =>
-      mlRec(resolveAgainst(meta, tableDir, m.path), m.length, m.content,
+
+    // v3 deletion-vector mode: the per-task position-delete parquet the
+    // delta writers produced is a staging form here — one bounded read
+    // re-groups its (file, pos) rows BY TARGET FILE into roaring DV
+    // blobs (a DV must be one blob per data file; delta tasks are
+    // row-distributed, so one file's deletes can span tasks and only a
+    // post-write regroup can consolidate them). Prior DVs for the same
+    // files are absorbed and superseded; the staging parquet is deleted
+    // after the commit (it was written by THIS operation's tasks and no
+    // snapshot ever referenced it).
+    val dvMode = dvWriteMode(meta) && posDeletes.nonEmpty
+    lazy val dvTable: IcebergTable = {
+      val t0 = IcebergTable.fromMetadata(tableDir, conf, meta)
+      if (branch == "main" || !meta.refs.contains(branch)) t0
+      else t0.atSnapshot(baseSnap.get.snapshotId)
+    }
+    val dvResult: Option[(GenericRecord, Set[String])] = if (!dvMode) None
+    else {
+      val t = dvTable
+      val newPos = spark.read.schema(t.posDeleteReadSchema)
+        .parquet(posDeletes.map(_._1): _*)
+        .select(t.normPathExpr(t.resolveExpr(col("file_path"))).as("__ref"),
+          col("pos"))
+      val byNorm: Map[String, DataFileEntry] = t.planFiles()
+        .map(f => t.normPath(t.resolve(f.filePath)) -> f).toMap
+      val refs = newPos.select("__ref").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val unknown = refs.filterNot(byNorm.contains)
+      require(unknown.isEmpty,
+        s"delta delete references non-live data files: ${unknown.take(3).mkString(", ")}")
+      val targets = refs.map(r =>
+        r -> byNorm(r).sequenceNumber.getOrElse(-1L)).toMap
+      val all = dvAbsorbPositions(spark, t, targets)
+        .map(newPos.unionByName(_)).getOrElse(newPos)
+      val storedByNorm = refs.map(r => r -> byNorm(r).filePath).toMap
+      writeDvManifest(spark, conf, tableDir, meta, snapId, u, all, storedByNorm)
+        .map(_ -> refs.toSet)
+    }
+    val dvTargets: Set[String] = dvResult.map(_._2).getOrElse(Set.empty)
+
+    val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
+      val mPath = resolveAgainst(meta, tableDir, m.path)
+      val passThrough = Some(mlRec(mPath, m.length, m.content,
         m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions))
+      if (m.content != 1 || dvTargets.isEmpty) passThrough
+      else dropSupersededDvEntries(mPath, conf, dvTargets,
+          p => dvTable.normPath(dvTable.resolve(p)),
+          new Path(s"$tableDir/metadata/m-s$snapId-$u-d$i.avro")) match {
+        case None => passThrough
+        case Some((_, _, _, true)) => None
+        case Some((newPath, len, rows, _)) =>
+          Some(mlRec(newPath, len, 1, m.sequenceNumber, Some(rows),
+            m.partitionSpecId, m.partitions))
+      }
+    }
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
-    val delMl: Option[GenericRecord] = if (posDeletes.isEmpty) None else {
+    val delMl: Option[GenericRecord] = if (posDeletes.isEmpty) None
+    else if (dvMode) dvResult.map(_._1)
+    else {
       val dfSchema = deleteManifestSchema.getField("data_file").schema
       val entries = posDeletes.map { case (path, rows, len) =>
         val d = new GenericData.Record(dfSchema)
@@ -1785,6 +2081,14 @@ object IcebergWriter {
     commitSnapshot(cmtr, snapId, parent, keptPrior ++ newMl ++ delMl,
       Map("operation" -> operation), ref = branch,
       refExpected = refExpected, totals = totals)
+    // DV mode: the staging parquet was consumed into the committed DV
+    // blobs and no snapshot references it — drop it now rather than
+    // leaving orphans for reachability cleanup
+    if (dvMode) posDeletes.foreach { case (p, _, _) =>
+      val hp = new Path(p)
+      try { hp.getFileSystem(conf).delete(hp, false); () }
+      catch { case _: java.io.IOException => () }
+    }
     snapId
   }
 

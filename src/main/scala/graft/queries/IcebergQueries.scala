@@ -678,6 +678,48 @@ object IcebergQueries {
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // v3 deletion-vector WRITE path end-to-end, all through SQL: the
+    // table opts in (graft.write.deletes = dv), a range DELETE commits
+    // roaring DV blobs instead of v2 parquet, an overlapping second
+    // DELETE exercises the supersede-with-absorb invariant (one DV per
+    // data file, union of positions), and a merge-on-read UPDATE's
+    // staged position deletes convert to DVs at commit. The gate
+    // REQUIRES the entire delete debt to be deletion vectors before the
+    // aggregate runs; the oracle recomputes the surviving rows (with the
+    // update's one-character rename folded in) from the raw table.
+    "q100_dv_write" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q100-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q100")
+      s.conf.set("spark.sql.catalog.q100cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q100cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q100cat.ns")
+      s.sql(
+        """CREATE TABLE q100cat.ns.nation_dvw
+          |TBLPROPERTIES ('graft.write.deletes' = 'dv',
+          |               'write.delete.mode' = 'merge-on-read',
+          |               'write.update.mode' = 'merge-on-read')
+          |AS SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q100""".stripMargin)
+      s.sql("DELETE FROM q100cat.ns.nation_dvw " +
+        "WHERE n_nationkey >= 4 AND n_nationkey < 7")
+      s.sql("DELETE FROM q100cat.ns.nation_dvw " +
+        "WHERE n_nationkey >= 6 AND n_nationkey < 9")
+      s.sql("UPDATE q100cat.ns.nation_dvw " +
+        "SET n_name = concat(n_name, '!') WHERE n_nationkey = 20")
+      val t = new graft.iceberg.IcebergTable(s"$warehouse/ns/nation_dvw", conf)
+      val dels = t.planDeletes()
+      require(dels.nonEmpty && dels.forall(_.isDv),
+        s"q100: the whole delete debt must be deletion vectors, got $dels")
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n,
+          |       CAST(SUM(n_nationkey) AS BIGINT) AS sk,
+          |       CAST(SUM(LENGTH(n_name)) AS BIGINT) AS ln
+          |FROM q100cat.ns.nation_dvw
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -971,6 +1013,14 @@ object IcebergQueries {
     "q98_deletion_vector" ->
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
         |FROM nation WHERE n_nationkey NOT IN (2, 11)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q100_dv_write" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |       CAST(SUM(n_nationkey) AS BIGINT) AS sk,
+        |       CAST(SUM(LENGTH(n_name))
+        |            + SUM(CASE WHEN n_nationkey = 20 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS ln
+        |FROM nation WHERE NOT (n_nationkey >= 4 AND n_nationkey < 9)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q60_pos_delete" ->
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk

@@ -385,4 +385,83 @@ class DeleteFilesSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq
     assert(after == Seq(1L, 4L, 10L, 11L))
   }
+
+  test("DV codec: dense chunks switch to bitmap containers") {
+    import graft.iceberg.DeletionVectors
+    // > 4096 positions inside one 65536-position chunk forces the bitmap
+    // container on encode; sparse neighbours stay array containers
+    val dense = (100L until 5200L)
+    val ps = dense ++ Seq(70000L, (2L << 32) + 9L)
+    assert(DeletionVectors.decode(DeletionVectors.encode(ps)).toSeq
+      == ps.sorted)
+  }
+
+  test("DV write mode: DELETE and UPDATE commit deletion vectors") {
+    import org.apache.commons.io.FileUtils
+    val wh = "/root/repo/target/test-dvw-warehouse"
+    FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.dvw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvw.ns")
+    spark.sql(
+      """CREATE TABLE dvw.ns.t (id BIGINT, tag STRING)
+        |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read',
+        |               'write.update.mode' = 'merge-on-read')""".stripMargin)
+    // two data files with in-file positions == ascending id order
+    spark.sql("INSERT INTO dvw.ns.t " +
+      "SELECT id, concat('v', id) FROM range(0, 100, 1, 1)")
+    spark.sql("INSERT INTO dvw.ns.t " +
+      "SELECT id, concat('v', id) FROM range(100, 120, 1, 1)")
+    val dir = s"$wh/ns/t"
+    def dels() = IcebergTable(spark, dir).planDeletes()
+    def ids() = spark.sql("SELECT id FROM dvw.ns.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+
+    // v2 era: a range DELETE commits a parquet position-delete file
+    spark.sql("DELETE FROM dvw.ns.t WHERE id >= 0 AND id < 2")
+    assert(dels().count(d => d.content == 1 && !d.isDv) == 1)
+
+    // opt in, then a DV-era DELETE: the new vector ABSORBS the v2
+    // positions for its file (seq-gated superset), the v2 file stays
+    spark.sql("ALTER TABLE dvw.ns.t SET TBLPROPERTIES " +
+      "('graft.write.deletes' = 'dv')")
+    spark.sql("DELETE FROM dvw.ns.t WHERE id >= 5 AND id < 8")
+    val d1 = dels()
+    assert(d1.count(_.isDv) == 1 && d1.count(d => d.content == 1 && !d.isDv) == 1,
+      s"one DV + the untouched v2 file, got $d1")
+    assert(d1.find(_.isDv).get.recordCount == 5L,
+      "the DV absorbs the two v2 positions plus its own three")
+    assert(ids() == ((2L until 5L) ++ (8L until 120L)))
+
+    // a DELETE spanning both files: one DV per file, the prior DV for
+    // file 1 is SUPERSEDED (exactly one DV entry per data file remains)
+    spark.sql("DELETE FROM dvw.ns.t WHERE id >= 98 AND id < 102")
+    val d2 = dels()
+    assert(d2.count(_.isDv) == 2, s"one DV per touched file, got $d2")
+    assert(d2.filter(_.isDv).map(_.recordCount).sorted == Seq(2L, 7L),
+      s"supersede unions prior positions, got $d2")
+    assert(ids() == ((2L until 5L) ++ (8L until 98L) ++ (102L until 120L)))
+
+    // merge-on-read UPDATE: the delta's staged position-delete parquet
+    // converts to DVs at commit; no new v2 entries appear and the
+    // staging files are gone from disk
+    spark.sql("UPDATE dvw.ns.t SET tag = 'x' WHERE id = 110")
+    val d3 = dels()
+    assert(d3.count(d => d.content == 1 && !d.isDv) == 1,
+      s"still only the original v2 file, got $d3")
+    assert(d3.filter(_.isDv).map(_.recordCount).sorted == Seq(3L, 7L),
+      s"file 2's DV gains the updated row's position, got $d3")
+    assert(spark.sql("SELECT tag FROM dvw.ns.t WHERE id = 110")
+      .collect().head.getString(0) == "x")
+    val t = IcebergTable(spark, dir)
+    for (d <- d3.filter(d => d.content == 1 && !d.isDv))
+      assert(new File(t.resolve(d.filePath).stripPrefix("file:")).exists,
+        "the referenced v2 delete file must still exist")
+    assert(ids() == ((2L until 5L) ++ (8L until 98L) ++ (102L until 120L)))
+
+    // compaction materializes all delete debt away; rows unchanged
+    graft.iceberg.IcebergWriter.compact(spark, dir)
+    assert(!IcebergTable(spark, dir).hasDeletes)
+    assert(ids() == ((2L until 5L) ++ (8L until 98L) ++ (102L until 120L)))
+  }
 }
