@@ -278,6 +278,19 @@ object Relational {
         .orderBy(col("h").asc_nulls_first,
                  col("event_type").asc_nulls_first)),
 
+    // Batch face of the stream-stream interval join (EventStream
+    // .clickPurchaseJoin): purchases attributed to the same user's
+    // clicks in the preceding 30 minutes. StreamingSpec proves the
+    // streaming plan (watermarked both sides, state bounded) emits the
+    // identical pairs; this gate proves the pairs themselves.
+    "q105_interval_join" -> ((s, d) => {
+      graft.streaming.EventStream.clickPurchaseJoin(t(s, d, "events"))
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("pairs"), round(sum(col("value")), 2).as("sv"))
+        .select(col("user_id"), col("pairs"), col("sv"))
+        .orderBy(col("user_id").asc_nulls_first)
+    }),
+
     // ---- classic TPC-H multi-join shapes (the read-heavy benchmark
     // plans: selective dim filters + fact-fact joins + top-k). At scale
     // the plan is what matters: segment/date filters push to the scans,
@@ -316,7 +329,68 @@ object Relational {
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name").asc_nulls_first))
+        .orderBy(col("revenue").desc, col("n_name").asc_nulls_first)),
+
+    // Correlated SCALAR subquery (TPC-H Q17 shape): per-part average
+    // quantity threshold. Catalyst decorrelates the inner aggregate into
+    // a grouped join (`RewriteCorrelatedScalarSubquery`) — at 100 TB the
+    // plan is one partial-aggregated pass over lineitem plus a broadcast
+    // of the filtered part side, never a per-row re-scan.
+    "q101_subquery_scalar" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_q101")
+      t(s, d, "part").createOrReplaceTempView("p_q101")
+      s.sql(
+        """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+          |FROM li_q101 JOIN p_q101 ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#23' AND p_size < 10
+          |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+          |                    FROM li_q101 l2
+          |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
+    // Correlated EXISTS with an extra inner predicate (TPC-H Q4 shape):
+    // decorrelates to a left-semi join on the order key.
+    "q102_subquery_exists" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("o_q102")
+      t(s, d, "lineitem").createOrReplaceTempView("li_q102")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM o_q102
+          |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          |  AND o_orderdate < TIMESTAMP '1996-10-01'
+          |  AND EXISTS (SELECT 1 FROM li_q102
+          |              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // GROUPING SETS with GROUPING() disambiguation — the general form
+    // rollup/cube (Q16/Q17) are sugar for; one Expand + one aggregate.
+    "q103_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_q103")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g1,
+          |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
+          |       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+          |FROM li_q103
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_returnflag), ())
+          |ORDER BY g1, g2, l_returnflag NULLS FIRST,
+          |         l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // UNPIVOT: wide measure columns to (metric, value) rows — the
+    // relational transpose a metrics store needs before a generic
+    // per-metric aggregate; stays a single-pass Expand, no shuffle
+    // beyond the final aggregate.
+    "q104_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_q104")
+      s.sql(
+        """SELECT metric, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
+          |FROM li_q104
+          |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+          |GROUP BY metric ORDER BY metric""".stripMargin)
+    })
   )
 
   /** DuckDB-dialect oracle for every query above. Aggregate outputs are cast
@@ -456,6 +530,43 @@ object Relational {
         |ORDER BY revenue DESC, o_orderdate ASC NULLS FIRST,
         |         l_orderkey ASC NULLS FIRST
         |LIMIT 10""".stripMargin,
+    "q105_interval_join" ->
+      """SELECT p.user_id, COUNT(*) AS pairs, ROUND(SUM(p.value), 2) AS sv
+        |FROM events p JOIN events c ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    "q101_subquery_scalar" ->
+      """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND p_size < 10
+        |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q102_subquery_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q103_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g1,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g2,
+        |       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY g1, g2, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin,
+    "q104_unpivot" ->
+      """SELECT metric, COUNT(*) AS n, ROUND(SUM(val), 2) AS total
+        |FROM (SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
     "q77_tpch5" ->
       """SELECT n_name,
         |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

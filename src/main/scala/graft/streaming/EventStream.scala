@@ -55,6 +55,35 @@ object EventStream {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-stream INTERVAL join: each purchase pairs with the same
+    * user's clicks in the preceding `within` window (attribution's
+    * lookback join). On streaming inputs, watermarks on BOTH sides plus
+    * the event-time range condition are what let Spark bound the join
+    * state to the watermark horizon — without them a stream-stream join
+    * buffers both sides forever, the unbounded-input analogue of the
+    * 100 TB failure mode. Inner-join output is eager (the watermark only
+    * gates state eviction), so a finite replay emits every pair. The
+    * same expression evaluates on batch frames — q105's oracle gate.
+    */
+  def clickPurchaseJoin(events: DataFrame,
+                        within: String = "30 minutes",
+                        watermark: String = "2 hours"): DataFrame = {
+    def side(tpe: String) = {
+      val wm = if (events.isStreaming) events.withWatermark("ts", watermark)
+        else events
+      wm.filter(col("event_type") === tpe)
+    }
+    val clicks = side("click").select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = side("purchase").select(col("user_id").as("p_user"),
+      col("ts").as("p_ts"), col("event_id").as("purchase_id"),
+      col("value"))
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $within"))
+  }
+
   /** Snapshot-summary keys recording which micro-batch a streaming-sink
     * snapshot committed — the idempotence ledger replay is checked
     * against. Query id (stable across restarts from one checkpoint, per

@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits the same pairs as batch") {
+    val batch = EventStream.clickPurchaseJoin(Tables.load(spark, sf, "events"))
+      .collect()
+    val stream = EventStream.clickPurchaseJoin(
+      EventStream.readEventStream(spark, sf))
+    // inner stream-stream joins emit eagerly; append mode is the only
+    // supported output mode for them
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sj_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sj_out").collect()
+      assert(canon(got) == canon(batch))
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("session windows merge events within the gap") {
     val sessions = EventStream.sessionAgg(Tables.load(spark, sf, "events"))
     val rows = sessions.collect()
