@@ -1671,7 +1671,12 @@ object IcebergWriter {
       storedByNorm: Map[String, String]): Option[GenericRecord] = {
     val hc = new org.apache.spark.util.SerializableConfiguration(conf)
     val bStored = spark.sparkContext.broadcast(storedByNorm)
-    val nParts = math.max(1, math.min(storedByNorm.size, 32))
+    // one task can own several files' bitmaps, but never fewer tasks than
+    // the session's shuffle parallelism allows when there are files to
+    // spread — a fixed small cap would serialize a wide DELETE's encode
+    // stage on a large cluster
+    val nParts = math.max(1, math.min(storedByNorm.size,
+      spark.sessionState.conf.numShufflePartitions))
     val written: Array[(String, String, Long, Long, Long, Long)] = positions
       .repartition(nParts, col("__ref"))
       .sortWithinPartitions("__ref", "pos")
