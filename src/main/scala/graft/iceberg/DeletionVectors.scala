@@ -139,7 +139,23 @@ object DeletionVectors {
     * it, while emitting runs would add a second writer format for no
     * interop gain. */
   def encode(positions: Seq[Long]): Array[Byte] = {
-    val sorted = positions.distinct.sorted
+    // the write path feeds per-file position arrays already sorted and
+    // deduplicated (sortWithinPartitions + adjacent-skip); detect that in
+    // one linear pass so the hot path skips the boxed distinct + re-sort
+    // that fixture callers still need
+    val isSortedDistinct = {
+      var ok = true
+      var prev = Long.MinValue
+      var first = true
+      val it = positions.iterator
+      while (ok && it.hasNext) {
+        val v = it.next()
+        if (!first && prev >= v) ok = false
+        prev = v; first = false
+      }
+      ok
+    }
+    val sorted = if (isSortedDistinct) positions else positions.distinct.sorted
     val byHigh = sorted.groupBy(p => (p >>> 32).toInt).toSeq.sortBy(_._1)
     val vec = new java.io.ByteArrayOutputStream()
     def le(n: Int, width: Int): Unit = {

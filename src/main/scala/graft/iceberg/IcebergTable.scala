@@ -400,7 +400,7 @@ final class IcebergTable private (
     * micro-batches. Refuses non-append windows — see [[appendedBetween]].
     */
   def appendedFilesBetween(fromId: Long, toId: Long): Seq[DataFileEntry] = {
-    def norm(s: String) = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    def norm(s: String) = IcebergTable.normPathStatic(s)
     val from = if (fromId == 0L) None else Some(atSnapshot(fromId))
     val to = atSnapshot(toId)
     val fromDel = from.toSeq.flatMap(f =>
@@ -659,10 +659,10 @@ final class IcebergTable private (
     * collapse leading slashes, so `file:///x/y`, `file:/x/y` and `/x/y`
     * all compare equal. Applied symmetrically to both sides. */
   private[graft] def normPathExpr(c: Column): Column =
-    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    regexp_replace(c, IcebergTable.NormSchemeRegex, "/")
 
   private[graft] def normPath(s: String): String =
-    s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    IcebergTable.normPathStatic(s)
 
   /** Relocate a stored file path onto the current table dir (the column
     * form of [[resolve]]) — delete rows reference paths as written. */
@@ -743,7 +743,7 @@ final class IcebergTable private (
     * of any older position-delete entries for it, so applying the union
     * equals applying the DV alone — no supersede bookkeeping needed in
     * an anti/semi join. */
-  private def positionDeleteRows(spark: SparkSession,
+  private[graft] def positionDeleteRows(spark: SparkSession,
       posFiles: Seq[DeleteFileEntry]): Option[DataFrame] = {
     val (dv, pq) = posFiles.partition(_.isDv)
     val parts = Seq.newBuilder[DataFrame]
@@ -1119,6 +1119,15 @@ object IcebergTable {
     * through the merge-on-read anti joins. */
   private[iceberg] val FpCol = "__graft_file_path"
   private[iceberg] val PosCol = "__graft_row_pos"
+
+  /** THE path-identity normalization every delete-application join and
+    * supersede/absorb comparison hangs on: strip the URI scheme and
+    * collapse leading slashes. One definition — a second inlined copy
+    * that drifted would silently break delete targeting for relocated
+    * tables. */
+  private[graft] val NormSchemeRegex = "^[A-Za-z][A-Za-z0-9+.-]*:/*"
+  private[graft] def normPathStatic(s: String): String =
+    s.replaceFirst(NormSchemeRegex, "/")
 
   /** Process-wide caches over IMMUTABLE files, shared across table
     * instances (Spark re-instantiates a table several times per query —

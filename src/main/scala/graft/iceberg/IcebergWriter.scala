@@ -897,6 +897,33 @@ object IcebergWriter {
       |  {"name":"content_size_in_bytes","type":["null","long"],"default":null}
       |]}}]}""".stripMargin)
 
+  /** One delete-manifest entry (status = added). `dv` carries the v3
+    * fields (referenced data file, blob offset, blob size) of a
+    * deletion-vector entry; None = a v2 parquet position-delete file.
+    * All four delete writers build through here so a schema change
+    * cannot drift between them. */
+  private def deleteEntryRecord(
+      filePath: String, fileFormat: String, recordCount: Long,
+      fileSizeInBytes: Long,
+      dv: Option[(String, Long, Long)] = None): GenericRecord = {
+    val dfSchema = deleteManifestSchema.getField("data_file").schema
+    val d = new GenericData.Record(dfSchema)
+    d.put("content", 1) // POSITION_DELETES (parquet or DV flavor)
+    d.put("file_path", filePath)
+    d.put("file_format", fileFormat)
+    d.put("record_count", recordCount)
+    d.put("file_size_in_bytes", fileSizeInBytes)
+    dv.foreach { case (ref, off, size) =>
+      d.put("referenced_data_file", ref)
+      d.put("content_offset", off)
+      d.put("content_size_in_bytes", size)
+    }
+    val e = new GenericData.Record(deleteManifestSchema)
+    e.put("status", 1)
+    e.put("data_file", d)
+    e.asInstanceOf[GenericRecord]
+  }
+
   /** Resolve the commit base for a write targeting `branch`: (base
     * snapshot whose manifests an append carries, new snapshot's parent,
     * expected ref head for the optimistic-concurrency assert). A branch
@@ -1154,7 +1181,7 @@ object IcebergWriter {
     }
     val candidates = table.planFiles(filters)
     if (candidates.isEmpty) return -1L
-    def norm(s: String) = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    def norm(s: String) = IcebergTable.normPathStatic(s)
     val byNorm: Map[String, DataFileEntry] =
       candidates.map(f => norm(table.resolve(f.filePath)) -> f).toMap
 
@@ -1192,7 +1219,7 @@ object IcebergWriter {
       val posDelMl: Option[GenericRecord] = if (posDel.isEmpty) None
       else if (dvMode) {
         val newPos = matched.withColumn("__np",
-            regexp_replace(col("file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/"))
+            table.normPathExpr(col("file_path")))
           .filter(col("__np").isInCollection(posDel))
           .select(col("__np").as("__ref"), col("pos"))
         val targets: Map[String, Long] = posDel.iterator.map(np =>
@@ -1209,7 +1236,7 @@ object IcebergWriter {
         val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("parquet.field.id", PosDelPosId).build()
         val keep = matched.withColumn("__np",
-            regexp_replace(col("file_path"), "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/"))
+            table.normPathExpr(col("file_path")))
           .filter(col("__np").isInCollection(posDel))
           .select(col("file_path").as("file_path", pathMeta),
             col("pos").as("pos", posMeta))
@@ -1219,19 +1246,8 @@ object IcebergWriter {
         val delFiles = fs.listStatus(new Path(delDir))
           .filter(_.getPath.getName.endsWith(".parquet")).toSeq
         val delRows = posDel.toSeq.map(np => counts(np)).sum
-        val entries = delFiles.map { st =>
-          val dfSchema = deleteManifestSchema.getField("data_file").schema
-          val d = new GenericData.Record(dfSchema)
-          d.put("content", 1) // POSITION_DELETES
-          d.put("file_path", st.getPath.toString)
-          d.put("file_format", "PARQUET")
-          d.put("record_count", delRows)
-          d.put("file_size_in_bytes", st.getLen)
-          val e = new GenericData.Record(deleteManifestSchema)
-          e.put("status", 1)
-          e.put("data_file", d)
-          e.asInstanceOf[GenericRecord]
-        }
+        val entries = delFiles.map(st =>
+          deleteEntryRecord(st.getPath.toString, "PARQUET", delRows, st.getLen))
         val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
         val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
         Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(delRows),
@@ -1266,7 +1282,7 @@ object IcebergWriter {
               new Path(s"$tableDir/metadata/m-s$snapId-$u-d$i.avro")) match {
             case None => passThrough
             case Some((_, _, _, true)) => None // every entry superseded
-            case Some((newPath, len, rows, _)) =>
+            case Some((newPath, rows, len, _)) =>
               Some(mlRec(newPath, len, 1, m.sequenceNumber, Some(rows),
                 m.partitionSpecId, m.partitions))
           }
@@ -1361,19 +1377,8 @@ object IcebergWriter {
     val fs = new Path(delDir).getFileSystem(conf)
     val delFiles = fs.listStatus(new Path(delDir))
       .filter(_.getPath.getName.endsWith(".parquet")).toSeq
-    val dfSchema = deleteManifestSchema.getField("data_file").schema
-    val entries = delFiles.map { st =>
-      val d = new GenericData.Record(dfSchema)
-      d.put("content", 1) // POSITION_DELETES
-      d.put("file_path", st.getPath.toString)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", rowCount)
-      d.put("file_size_in_bytes", st.getLen)
-      val e = new GenericData.Record(deleteManifestSchema)
-      e.put("status", 1)
-      e.put("data_file", d)
-      e.asInstanceOf[GenericRecord]
-    }
+    val entries = delFiles.map(st =>
+      deleteEntryRecord(st.getPath.toString, "PARQUET", rowCount, st.getLen))
     val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
     val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
     Some(mlRec(mPath.toString, mLen, 1, Some(snapId), Some(rowCount),
@@ -1403,7 +1408,7 @@ object IcebergWriter {
 
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val u = uniq()
-    def norm(s: String) = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    def norm(s: String) = IcebergTable.normPathStatic(s)
     val dataFiles = t.planFiles()
     val byNorm: Map[String, DataFileEntry] =
       dataFiles.map(f => norm(t.resolve(f.filePath)) -> f).toMap
@@ -1414,8 +1419,8 @@ object IcebergWriter {
     val live0 = spark.read
       .parquet(posFiles.map(d => t.resolve(d.filePath)).distinct: _*)
       .select(col("file_path"), col("pos"))
-      .withColumn("__np", regexp_replace(col("file_path"),
-        "^[A-Za-z][A-Za-z0-9+.-]*:/*", "/"))
+      .withColumn("__np",
+        regexp_replace(col("file_path"), IcebergTable.NormSchemeRegex, "/"))
     val live = (if (liveNorms.isEmpty) live0.limit(0)
                 else live0.filter(col("__np").isInCollection(liveNorms)))
       .dropDuplicates("__np", "pos")
@@ -1596,29 +1601,19 @@ object IcebergWriter {
 
     val blobPayload = DeletionVectors.encode(allPositions)
     val pPath = new Path(s"$tableDir/data/dv-s$snapId-$u.puffin")
+    // blob snapshot-id and sequence-number both identify the committing
+    // snapshot (our sequence convention is the snapshot id throughout)
     val written = Puffin.write(pPath, conf, Seq(Puffin.Blob(
-      DeletionVectors.BlobType, Nil, snapId, 0L, blobPayload,
+      DeletionVectors.BlobType, Nil, snapId, snapId, blobPayload,
       Map("referenced-data-file" -> dataFilePath,
         "cardinality" -> allPositions.size.toString))))
     // blob offset: magic + nothing before the first blob
     val blobOffset = Puffin.Magic.length.toLong
-
-    val dfSchema = deleteManifestSchema.getField("data_file").schema
-    val d = new GenericData.Record(dfSchema)
-    d.put("content", 1) // POSITION_DELETES (DV flavor)
-    d.put("file_path", pPath.toString)
-    d.put("file_format", "PUFFIN")
-    d.put("record_count", allPositions.size.toLong)
-    d.put("file_size_in_bytes", written.fileSizeInBytes)
-    d.put("referenced_data_file", dataFilePath)
-    d.put("content_offset", blobOffset)
-    d.put("content_size_in_bytes", blobPayload.length.toLong)
-    val e = new GenericData.Record(deleteManifestSchema)
-    e.put("status", 1)
-    e.put("data_file", d)
+    val e = deleteEntryRecord(pPath.toString, "PUFFIN",
+      allPositions.size.toLong, written.fileSizeInBytes,
+      dv = Some((dataFilePath, blobOffset, blobPayload.length.toLong)))
     val mPath = new Path(s"$tableDir/metadata/m-dv-s$snapId-$u.avro")
-    val mLen = writeAvro(mPath, conf, deleteManifestSchema,
-      Seq(e.asInstanceOf[GenericRecord]))
+    val mLen = writeAvro(mPath, conf, deleteManifestSchema, Seq(e))
 
     // superseded DV manifests drop; everything else passes through
     val keptPrior = prevAll.filterNot(m =>
@@ -1709,7 +1704,9 @@ object IcebergWriter {
             .getOrElse("driver")
           val pPath = new Path(s"$tableDir/data/dv-s$snapId-$u-$attempt.puffin")
           val w = Puffin.write(pPath, hc.value, bs.map { case (ref, payload, card) =>
-            Puffin.Blob(DeletionVectors.BlobType, Nil, snapId, 0L, payload,
+            // blob snapshot-id and sequence-number both identify the
+            // committing snapshot (sequence convention = snapshot id)
+            Puffin.Blob(DeletionVectors.BlobType, Nil, snapId, snapId, payload,
               Map("referenced-data-file" -> stored.getOrElse(ref, ref),
                 "cardinality" -> card.toString))
           })
@@ -1724,21 +1721,8 @@ object IcebergWriter {
       }.collect()
     bStored.destroy()
     if (written.isEmpty) return None
-    val dfSchema = deleteManifestSchema.getField("data_file").schema
     val entries = written.toSeq.map { case (ref, pPath, fSize, off, size, card) =>
-      val d = new GenericData.Record(dfSchema)
-      d.put("content", 1) // POSITION_DELETES, DV flavor
-      d.put("file_path", pPath)
-      d.put("file_format", "PUFFIN")
-      d.put("record_count", card)
-      d.put("file_size_in_bytes", fSize)
-      d.put("referenced_data_file", ref)
-      d.put("content_offset", off)
-      d.put("content_size_in_bytes", size)
-      val e = new GenericData.Record(deleteManifestSchema)
-      e.put("status", 1)
-      e.put("data_file", d)
-      e.asInstanceOf[GenericRecord]
+      deleteEntryRecord(pPath, "PUFFIN", card, fSize, dv = Some((ref, off, size)))
     }
     val mPath = new Path(s"$tableDir/metadata/m-dv-s$snapId-$u.avro")
     val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
@@ -1768,55 +1752,38 @@ object IcebergWriter {
       targets: Map[String, Long]): Option[org.apache.spark.sql.DataFrame] = {
     val pos = table.planDeletes().filter(_.content == 1)
     if (pos.isEmpty) return None
-    val parts = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-
-    val (dvPrior, pqPrior) = pos.partition(_.isDv)
-    val dvHit = dvPrior.filter(_.referencedDataFile
-      .exists(r => targets.contains(table.normPath(table.resolve(r)))))
-    if (dvHit.nonEmpty) {
-      val payload = dvHit.map { d =>
-        val bytes = Puffin.readBlob(new Path(table.resolve(d.filePath)),
-          table.conf, d.contentOffset.get, d.contentSize.get.toInt)
-        (table.normPath(table.resolve(d.referencedDataFile.get)), bytes)
-      }
-      val rdd = spark.sparkContext
-        .parallelize(payload, math.max(1, math.min(payload.size, 32)))
-        .flatMap { case (ref, bytes) =>
-          DeletionVectors.decode(bytes).iterator.map(p => (ref, p)) }
-      parts += spark.createDataFrame(rdd).toDF("__ref", "pos")
+    // skip files that provably cannot name a target without opening them:
+    // a DV names exactly its referenced file; a v2 file with a
+    // single-target hint outside the target set never matches
+    val relevant = pos.filter { d =>
+      if (d.isDv) d.referencedDataFile
+        .exists(r => targets.contains(table.normPath(table.resolve(r))))
+      else d.referencedDataFile
+        .forall(r => targets.contains(table.normPath(table.resolve(r))))
     }
-
-    // v2 files that could name a target: a single-target hint outside the
-    // target set is the only read we can skip without opening the file
-    val pqHit = pqPrior.filter(d => d.referencedDataFile.forall(r =>
-      targets.contains(table.normPath(table.resolve(r)))))
-    if (pqHit.nonEmpty) {
-      val seqDF = spark.createDataFrame(pqHit.map(d =>
-          (table.normPath(table.resolve(d.filePath)),
-            d.sequenceNumber.getOrElse(Long.MaxValue))))
-        .toDF("__delsrc", "__delseq")
-      val dataSeqDF = spark.createDataFrame(targets.toSeq)
-        .toDF("__ref", "__dataseq")
-      parts += spark.read.schema(table.posDeleteReadSchema)
-        .parquet(pqHit.map(d => table.resolve(d.filePath)): _*)
-        .select(
-          table.normPathExpr(table.resolveExpr(col("file_path"))).as("__ref"),
-          col("pos"),
-          table.normPathExpr(col("_metadata.file_path")).as("__delsrc"))
-        .join(broadcast(seqDF), Seq("__delsrc"))
-        .join(broadcast(dataSeqDF), Seq("__ref"))
-        .filter(col("__delseq") >= col("__dataseq"))
-        .select(col("__ref"), col("pos"))
-    }
-    val ps = parts.result()
-    if (ps.isEmpty) None else Some(ps.reduce(_ unionByName _))
+    if (relevant.isEmpty) return None
+    // the READ path's expansion pipeline (same normalization, same blob
+    // cache) yields (data path, position, delete sequence); the write
+    // side only adds the per-target sequence gate. The gate never drops
+    // a prior DV's positions: a DV is committed against a then-live
+    // file, so its sequence post-dates the file's (a rewrite would have
+    // changed the file's path out of the target set) — only genuinely
+    // non-applying v2 positions are filtered.
+    val dataSeqDF = spark.createDataFrame(targets.toSeq)
+      .toDF("__g_dfpn", "__g_dataseq")
+    table.positionDeleteRows(spark, relevant).map(_
+      .join(broadcast(dataSeqDF), Seq("__g_dfpn"))
+      .filter(col("__g_delseq") >= col("__g_dataseq"))
+      .select(col("__g_dfpn").as("__ref"), col("__g_dpos").as("pos")))
   }
 
   /** Rewrite a delete manifest dropping the DV entries a new vector
     * supersedes (those referencing a path in `targets`). None = nothing
-    * to drop (pass the original through); Some((_, true)) = every entry
-    * dropped (drop the manifest from the list); otherwise the rewritten
-    * manifest's (path, length, surviving rows). */
+    * to drop (pass the original through); Some((_, _, _, true)) = every
+    * entry dropped (drop the manifest from the list); otherwise the
+    * rewritten manifest's (path, surviving rows, length, false) — the
+    * SAME tuple order as [[filterManifest]], so the two rewrite helpers
+    * cannot be destructured interchangeably-but-wrong. */
   private def dropSupersededDvEntries(
       path: String, conf: org.apache.hadoop.conf.Configuration,
       targets: Set[String], normResolve: String => String,
@@ -1848,7 +1815,7 @@ object IcebergWriter {
     val liveRows = kept.map(_.get("data_file").asInstanceOf[GenericRecord]
       .get("record_count").asInstanceOf[java.lang.Number].longValue).sum
     val len = writeAvro(outPath, conf, kept.head.getSchema, kept)
-    Some((outPath.toString, len, liveRows, false))
+    Some((outPath.toString, liveRows, len, false))
   }
 
   /** ANALYZE for the cost-based optimizer: ONE distributed aggregate pass
@@ -2026,20 +1993,23 @@ object IcebergWriter {
         .parquet(posDeletes.map(_._1): _*)
         .select(t.normPathExpr(t.resolveExpr(col("file_path"))).as("__ref"),
           col("pos"))
-      val byNorm: Map[String, DataFileEntry] = t.planFiles()
-        .map(f => t.normPath(t.resolve(f.filePath)) -> f).toMap
-      val refs = newPos.select("__ref").distinct()
-        .collect().map(_.getString(0)).toSeq
-      val unknown = refs.filterNot(byNorm.contains)
-      require(unknown.isEmpty,
-        s"delta delete references non-live data files: ${unknown.take(3).mkString(", ")}")
-      val targets = refs.map(r =>
-        r -> byNorm(r).sequenceNumber.getOrElse(-1L)).toMap
-      val all = dvAbsorbPositions(spark, t, targets)
-        .map(newPos.unionByName(_)).getOrElse(newPos)
-      val storedByNorm = refs.map(r => r -> byNorm(r).filePath).toMap
-      writeDvManifest(spark, conf, tableDir, meta, snapId, u, all, storedByNorm)
-        .map(_ -> refs.toSet)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val byNorm: Map[String, DataFileEntry] = t.planFiles()
+          .map(f => t.normPath(t.resolve(f.filePath)) -> f).toMap
+        val refs = newPos.select("__ref").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val unknown = refs.filterNot(byNorm.contains)
+        require(unknown.isEmpty,
+          s"delta delete references non-live data files: ${unknown.take(3).mkString(", ")}")
+        val targets = refs.map(r =>
+          r -> byNorm(r).sequenceNumber.getOrElse(-1L)).toMap
+        val all = dvAbsorbPositions(spark, t, targets)
+          .map(newPos.unionByName(_)).getOrElse(newPos)
+        val storedByNorm = refs.map(r => r -> byNorm(r).filePath).toMap
+        writeDvManifest(spark, conf, tableDir, meta, snapId, u, all, storedByNorm)
+          .map(_ -> refs.toSet)
+      } finally { newPos.unpersist(); () }
     }
     val dvTargets: Set[String] = dvResult.map(_._2).getOrElse(Set.empty)
 
@@ -2053,7 +2023,7 @@ object IcebergWriter {
           new Path(s"$tableDir/metadata/m-s$snapId-$u-d$i.avro")) match {
         case None => passThrough
         case Some((_, _, _, true)) => None
-        case Some((newPath, len, rows, _)) =>
+        case Some((newPath, rows, len, _)) =>
           Some(mlRec(newPath, len, 1, m.sequenceNumber, Some(rows),
             m.partitionSpecId, m.partitions))
       }
@@ -2062,18 +2032,8 @@ object IcebergWriter {
     val delMl: Option[GenericRecord] = if (posDeletes.isEmpty) None
     else if (dvMode) dvResult.map(_._1)
     else {
-      val dfSchema = deleteManifestSchema.getField("data_file").schema
       val entries = posDeletes.map { case (path, rows, len) =>
-        val d = new GenericData.Record(dfSchema)
-        d.put("content", 1) // POSITION_DELETES
-        d.put("file_path", path)
-        d.put("file_format", "PARQUET")
-        d.put("record_count", rows)
-        d.put("file_size_in_bytes", len)
-        val e = new GenericData.Record(deleteManifestSchema)
-        e.put("status", 1)
-        e.put("data_file", d)
-        e.asInstanceOf[GenericRecord]
+        deleteEntryRecord(path, "PARQUET", rows, len)
       }
       val mPath = new Path(s"$tableDir/metadata/m-del-s$snapId-$u.avro")
       val mLen = writeAvro(mPath, conf, deleteManifestSchema, entries)
@@ -2283,7 +2243,7 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
-    def norm(s: String) = s.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/*", "/")
+    def norm(s: String) = IcebergTable.normPathStatic(s)
     val referenced: Set[String] =
       meta.snapshots.flatMap(s => referencedPaths(conf, tableDir, meta, s)._2)
         .map(norm).toSet

@@ -566,6 +566,7 @@ object Relational {
         |FROM (SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
         |      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
         |      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |WHERE val IS NOT NULL -- Spark UNPIVOT excludes NULL measures
         |GROUP BY metric ORDER BY metric""".stripMargin,
     "q77_tpch5" ->
       """SELECT n_name,

@@ -463,5 +463,21 @@ class DeleteFilesSpec extends SparkSpec {
     graft.iceberg.IcebergWriter.compact(spark, dir)
     assert(!IcebergTable(spark, dir).hasDeletes)
     assert(ids() == ((2L until 5L) ++ (8L until 98L) ++ (102L until 120L)))
+
+    // write-audit-publish: a DV DELETE staged on a branch leaves main
+    // untouched until fast_forward publishes it
+    val before = ids()
+    spark.conf.set("spark.wap.branch", "audit")
+    try spark.sql("DELETE FROM dvw.ns.t WHERE id >= 40 AND id < 43")
+    finally spark.conf.unset("spark.wap.branch")
+    assert(ids() == before, "main must not see the branch-staged DV delete")
+    val staged = IcebergTable(spark, dir)
+    val branchDels = staged.atSnapshot(staged.metadata.refs("audit"))
+      .planDeletes()
+    assert(branchDels.nonEmpty && branchDels.forall(_.isDv),
+      s"branch debt must be deletion vectors, got $branchDels")
+    spark.sql("CALL dvw.system.fast_forward(table => 'ns.t', " +
+      "branch => 'main', to => 'audit')")
+    assert(ids() == before.filterNot(id => id >= 40L && id < 43L))
   }
 }
