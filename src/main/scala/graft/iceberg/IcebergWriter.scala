@@ -321,6 +321,158 @@ object IcebergWriter {
                 branch: String = "main"): Long =
     commit(spark, tableDir, df, carryPrior = false, summary, committer, branch)
 
+  /** Loose-typed partition-value equality: manifest Avro readback and
+    * fresh Catalyst evaluation can disagree on numeric width (Integer vs
+    * Long) for the same partition value, so compare numerics by value. */
+  private def partValEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Number, y: Number) =>
+      new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)) == 0
+    case (x, y) => x == y
+  }
+
+  /** Commit an INSERT OVERWRITE that replaces WHOLE files selected by
+    * `removedPred` with `added` — the shared tail of the static
+    * (partition-filter) and dynamic partition-overwrite modes. Removal
+    * here is always file-granular along partition boundaries, so delete
+    * manifests pass through: entries for removed files dangle harmlessly
+    * (paths are writer-unique), entries for kept files still apply, and
+    * the new files ESCAPE old deletes via their higher sequence number —
+    * which is the wanted semantics (overwrite data is new truth). */
+  private def commitPartitionOverwrite(
+      spark: SparkSession, tableDir: String, added: Seq[AddedDataFile],
+      removedPred: DataFileEntry => Boolean,
+      committer: Option[TableCommitter], branch: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val (baseSnap, parent, refExpected) = branchBase(meta, branch)
+    val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
+    val table = {
+      val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+      if (branch == "main" || !meta.refs.contains(branch)) t
+      else t.atSnapshot(baseSnap.get.snapshotId)
+    }
+    val candidates = if (baseSnap.isEmpty) Nil else table.planFiles()
+    val evolved = candidates.filter(_.specId != meta.defaultSpecId)
+    require(evolved.isEmpty,
+      s"partition overwrite on a table with ${evolved.size} live files " +
+        "under an older partition spec: their tuples are not comparable " +
+        "with the current spec's — compact/rewrite the table first")
+    val removedFiles = candidates.filter(removedPred)
+    val removed = removedFiles.map(_.filePath).toSet
+    val u = uniq()
+    val prev: Seq[ManifestFile] = baseSnap.toSeq.flatMap(s =>
+      ManifestIO.readManifestList(
+        resolveAgainst(meta, tableDir, s.manifestList), conf))
+    val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
+      val mPath = resolveAgainst(meta, tableDir, m.path)
+      if (m.content == 1)
+        Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
+          m.addedRowsCount, m.partitionSpecId, m.partitions))
+      else filterManifest(mPath, conf, removed,
+        new Path(s"$tableDir/metadata/m-s$snapId-$u-r$i.avro")) match {
+        case None =>
+          Some(mlRec(mPath, m.length, m.content, m.sequenceNumber,
+            m.addedRowsCount, m.partitionSpecId, m.partitions))
+        case Some((_, 0L, _, _)) => None
+        case Some((newPath, rows, len, _)) =>
+          Some(mlRec(newPath, len, m.content, m.sequenceNumber, Some(rows),
+            m.partitionSpecId, m.partitions))
+      }
+    }
+    val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
+    val removedStats = removedFiles.foldLeft((0L, 0L, 0L)) { (t, f) =>
+      plus(t, (f.recordCount, f.fileSizeInBytes, 1L)) }
+    val totals = baseSnap.flatMap(parsedTotals)
+      .map(t => plus(minus(t, removedStats), addedTotals(added)))
+    commitSnapshot(cmtr, snapId, parent, keptPrior ++ newMl,
+      Map("operation" -> "overwrite"), ref = branch,
+      refExpected = refExpected, totals = totals)
+    snapId
+  }
+
+  /** SQL `INSERT OVERWRITE t PARTITION (p = v, …)` (static mode), and the
+    * `df.writeTo(t).overwrite(cond)` API: replace exactly the files whose
+    * partition values satisfy `filters`, append `df`, ONE snapshot. Every
+    * filter must pin an IDENTITY partition column — identity is what
+    * makes "partition value matches" equal "every row in the file
+    * matches", so the removal is exact without reading a data file. A
+    * filter on anything else refuses loudly (use dynamic mode, or
+    * DELETE + INSERT) instead of silently truncating or rewriting.
+    *
+    * At 100 TB this is the partition re-materialization write: replacing
+    * one day of a date-partitioned table costs the new files plus
+    * manifest IO — no scan, no shuffle of the other 10,000 days. */
+  def overwriteWhere(spark: SparkSession, tableDir: String, df: DataFrame,
+                     filters: Seq[org.apache.spark.sql.sources.Filter],
+                     committer: Option[TableCommitter] = None,
+                     branch: String = "main"): Long = {
+    import org.apache.spark.sql.sources._
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val identityFields: Map[String, String] = {
+      val idToName = meta.fieldIds.map(_.swap)
+      meta.partitionSpec.filter(_.transform == "identity")
+        .flatMap(p => idToName.get(p.sourceId).map(_ -> p.name)).toMap
+    }
+    def partField(col: String): String = identityFields.getOrElse(col,
+      throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE filter on '$col', which is not an identity " +
+          s"partition column of ${meta.location} (have: " +
+          s"${identityFields.keys.mkString(", ")}) — whole-file removal " +
+          "would be inexact; use dynamic partition-overwrite mode or " +
+          "DELETE + INSERT"))
+    def eval(f: Filter, part: Map[String, Any]): Boolean = f match {
+      case And(l, r) => eval(l, part) && eval(r, part)
+      case EqualTo(c, v) => partValEq(part.getOrElse(partField(c), null), v)
+      case EqualNullSafe(c, v) => partValEq(part.getOrElse(partField(c), null), v)
+      case In(c, vs) =>
+        val p = part.getOrElse(partField(c), null)
+        vs.exists(v => partValEq(p, v))
+      case IsNull(c) => part.getOrElse(partField(c), null) == null
+      case other => throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE supports partition-pinning filters " +
+          s"(=, IN, IS NULL, AND), got $other")
+    }
+    val added = writeDataFiles(
+      df.select(meta.schema.fieldNames.map(col).toSeq: _*),
+      s"$tableDir/data/ow-${uniq()}", meta, conf)
+    commitPartitionOverwrite(spark, tableDir, added,
+      f => filters.forall(eval(_, f.partition)), committer, branch)
+  }
+
+  /** Commit half of DYNAMIC partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode = dynamic`): replace
+    * exactly the partitions the written files landed in. `added` comes
+    * from the DSv2 batch write's executor-written files, each stamped
+    * with its partition tuple under the default spec; the DISTINCT
+    * touched tuples (one per partition, not per row) select the prior
+    * files to drop. An unpartitioned table degenerates to replace-all —
+    * Spark's own semantics for dynamic overwrite without partitions.
+    * Empty input replaces nothing and commits nothing (returns -1). */
+  private[graft] def overwriteDynamicCommit(
+      spark: SparkSession, tableDir: String, added: Seq[AddedDataFile],
+      committer: Option[TableCommitter] = None,
+      branch: String = "main"): Long = {
+    if (added.isEmpty) return -1L
+    val touched: Set[Seq[Any]] = added.flatMap(_.partition).toSet
+    val conf = spark.sessionState.newHadoopConf()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val meta = cmtr.currentMetadata()
+    val specNames = meta.partitionSpec.map(_.name)
+    val pred: DataFileEntry => Boolean =
+      if (specNames.isEmpty) _ => true
+      else f => {
+        val tuple = specNames.map(n => f.partition.getOrElse(n, null))
+        touched.exists(t => t.size == tuple.size &&
+          t.lazyZip(tuple).forall(partValEq))
+      }
+    commitPartitionOverwrite(spark, tableDir, added, pred, committer, branch)
+  }
+
   /** Compact the current snapshot: rewrite its live rows into
     * ~`targetFileBytes` files and commit as a truncate snapshot. The
     * 100 TB maintenance op — streaming sinks and frequent small appends

@@ -280,6 +280,79 @@ final class GraftReplaceWrite(
   }
 }
 
+/** DSv2 batch write for DYNAMIC partition overwrite: executors write
+  * partition-fanout files (same kernel as every other write — exact
+  * partition tuples, field-id-stamped parquet, own-footer stats in the
+  * commit messages); the driver commit replaces exactly the partitions
+  * the files landed in ([[IcebergWriter.overwriteDynamicCommit]]).
+  * Clustering by the partition transforms keeps it ~one file per
+  * replaced partition instead of tasks × partitions. */
+final class GraftDynamicOverwriteWrite(
+    table: IcebergTable,
+    committerOpt: Option[graft.iceberg.TableCommitter] = None,
+    branchOpt: Option[String] = None)
+    extends Write with RequiresDistributionAndOrdering {
+
+  private val writeSchema: StructType = table.metadata.schema
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    SparkIcebergTable.writeDistribution(table, writeSchema)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val conf = SparkSession.active.sessionState.newHadoopConf()
+    private val writeDir =
+      s"${table.tableDir}/data/dow-${java.util.UUID.randomUUID.toString.take(12)}"
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val meta = table.metadata
+      val stamped = StructType(writeSchema.fields.map { f =>
+        meta.fieldIds.get(f.name) match {
+          case Some(id) => f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+          case None => f
+        }
+      })
+      val idToName = meta.fieldIds.map(_.swap)
+      val spec = meta.partitionSpec.map { p =>
+        val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
+          s"partition source field id ${p.sourceId} not in schema"))
+        val idx = writeSchema.fieldIndex(src)
+        val st = writeSchema(idx).dataType
+        graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
+          graft.iceberg.PartitionTransforms.resultType(p.transform, st))
+      }
+      val inner = new graft.iceberg.FanoutWriterFactory(
+        writeDir, stamped, meta.fieldIds, spec,
+        new graft.iceberg.SerializableHadoopConf(conf))
+      new DataWriterFactory {
+        override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+          inner.createWriter(partitionId, taskId)
+      }
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val added = messages.collect {
+        case graft.iceberg.GraftFilesCommit(files) => files
+      }.toSeq.flatten
+      val spark = SparkSession.active
+      val branch = branchOpt.getOrElse(SparkIcebergTable.wapBranch(spark))
+      IcebergWriter.overwriteDynamicCommit(spark, table.tableDir, added,
+        committerOpt, branch)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = new Path(writeDir).getFileSystem(conf)
+      fs.delete(new Path(writeDir), true)
+      ()
+    }
+  }
+}
+
 // ---- merge-on-read (delta) row-level operations ----------------------------
 
 /** Commit message of one delta task: appended data files + the

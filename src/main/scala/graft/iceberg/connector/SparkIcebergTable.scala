@@ -84,7 +84,9 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
   override def capabilities(): JSet[TableCapability] =
     (if (canWrite)
        Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+         TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+         TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+         TableCapability.OVERWRITE_DYNAMIC)
      else Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)).asJava
 
   private def canWrite: Boolean = writable && table.pinnedSnapshotId.isEmpty
@@ -276,26 +278,60 @@ object SparkIcebergTable {
 final class GraftWriteBuilder(table: IcebergTable,
     committerOpt: Option[TableCommitter] = None,
     branchOpt: Option[String] = None)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   private var truncateFirst = false
+  private var staticFilters: Option[Array[Filter]] = None
+  private var dynamic = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-        val branch = branchOpt
-          .getOrElse(SparkIcebergTable.wapBranch(data.sparkSession))
-        if (truncateFirst || overwrite)
-          IcebergWriter.overwrite(data.sparkSession, table.tableDir, data,
-            committer = committerOpt, branch = branch)
-        else
-          IcebergWriter.append(data.sparkSession, table.tableDir, data,
-            committer = committerOpt, branch = branch)
+  /** Static INSERT OVERWRITE: an all-AlwaysTrue filter set is the plain
+    * truncating overwrite; anything else pins the partitions to replace
+    * ([[IcebergWriter.overwriteWhere]] validates identity alignment). */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val effective = filters
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (effective.isEmpty) truncateFirst = true
+    else staticFilters = Some(effective)
+    this
+  }
+
+  /** Dynamic partition overwrite (`partitionOverwriteMode = dynamic`):
+    * replace exactly the partitions the incoming rows land in. Needs a
+    * real DSv2 batch write — Spark has no V1 fallback for it — so
+    * [[build]] returns [[GraftDynamicOverwriteWrite]]'s executor-written
+    * fanout files instead of the V1 `InsertableRelation`. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true
+    this
+  }
+
+  override def build(): Write =
+    if (dynamic)
+      new GraftDynamicOverwriteWrite(table, committerOpt, branchOpt)
+    else new V1Write {
+      override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val branch = branchOpt
+            .getOrElse(SparkIcebergTable.wapBranch(data.sparkSession))
+          staticFilters match {
+            case Some(fs) =>
+              IcebergWriter.overwriteWhere(data.sparkSession, table.tableDir,
+                data, fs.toSeq, committer = committerOpt, branch = branch)
+            case None if truncateFirst || overwrite =>
+              IcebergWriter.overwrite(data.sparkSession, table.tableDir, data,
+                committer = committerOpt, branch = branch)
+            case None =>
+              IcebergWriter.append(data.sparkSession, table.tableDir, data,
+                committer = committerOpt, branch = branch)
+          }
+          ()
+        }
       }
     }
-  }
 }
 
 final class GraftScanBuilder(table: IcebergTable,

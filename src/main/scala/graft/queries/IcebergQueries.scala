@@ -720,6 +720,46 @@ object IcebergQueries {
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // Partition overwrite, both modes, all through SQL: STATIC
+    // (`INSERT OVERWRITE … PARTITION (k = v)`) replaces exactly the
+    // named identity partition's files — no scan, no shuffle of the
+    // others (the nightly partition re-materialization write at
+    // 100 TB); DYNAMIC (partitionOverwriteMode = dynamic) replaces
+    // exactly the partitions the incoming rows land in. The oracle
+    // recomputes the post-overwrite table from the raw rows.
+    "q106_partition_overwrite" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q106-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q106")
+      s.conf.set("spark.sql.catalog.q106cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q106cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q106cat.ns")
+      s.sql(
+        """CREATE TABLE q106cat.ns.nation_po
+          |(n_nationkey INT, n_regionkey INT, n_name STRING)
+          |PARTITIONED BY (n_regionkey)""".stripMargin)
+      s.sql(
+        """INSERT INTO q106cat.ns.nation_po
+          |SELECT n_nationkey, n_regionkey, n_name FROM nation_src_q106""".stripMargin)
+      s.sql(
+        """INSERT OVERWRITE q106cat.ns.nation_po PARTITION (n_regionkey = 2)
+          |SELECT n_nationkey + 100, n_name
+          |FROM nation_src_q106 WHERE n_regionkey = 2""".stripMargin)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(
+        """INSERT OVERWRITE q106cat.ns.nation_po
+          |SELECT n_nationkey + 200, n_regionkey, upper(n_name)
+          |FROM nation_src_q106 WHERE n_regionkey = 4""".stripMargin)
+      finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      s.sql(
+        """SELECT n_regionkey, COUNT(*) AS n,
+          |       CAST(SUM(n_nationkey) AS BIGINT) AS sk, MIN(n_name) AS mn
+          |FROM q106cat.ns.nation_po
+          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1014,6 +1054,17 @@ object IcebergQueries {
       """SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS sk
         |FROM nation WHERE n_nationkey NOT IN (2, 11)
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q106_partition_overwrite" ->
+      """SELECT n_regionkey, COUNT(*) AS n,
+        |       CAST(SUM(n_nationkey) AS BIGINT) AS sk, MIN(n_name) AS mn
+        |FROM (
+        |  SELECT n_nationkey, n_regionkey, n_name FROM nation
+        |  WHERE n_regionkey NOT IN (2, 4)
+        |  UNION ALL SELECT n_nationkey + 100, n_regionkey, n_name
+        |  FROM nation WHERE n_regionkey = 2
+        |  UNION ALL SELECT n_nationkey + 200, n_regionkey, UPPER(n_name)
+        |  FROM nation WHERE n_regionkey = 4
+        |) GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q100_dv_write" ->
       """SELECT n_regionkey, COUNT(*) AS n,
         |       CAST(SUM(n_nationkey) AS BIGINT) AS sk,

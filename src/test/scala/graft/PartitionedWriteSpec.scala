@@ -174,4 +174,92 @@ class PartitionedWriteSpec extends SparkSpec {
     assert(spark.sql("SELECT SUM(n) FROM pw.ns.tr WHERE name LIKE 'al%'")
       .collect()(0).getLong(0) == 3L)
   }
+
+  test("static INSERT OVERWRITE PARTITION replaces only the named partition") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pw.ns")
+    spark.sql("DROP TABLE IF EXISTS pw.ns.sow")
+    spark.sql(
+      """CREATE TABLE pw.ns.sow (k BIGINT, region STRING)
+        |PARTITIONED BY (region)""".stripMargin)
+    spark.sql("INSERT INTO pw.ns.sow VALUES " +
+      "(1, 'eu'), (2, 'eu'), (3, 'us'), (4, 'us'), (5, 'ap')")
+    val dir = s"$warehouse/ns/sow"
+    val before = IcebergTable(spark, dir).planFiles()
+      .filterNot(_.partition.get("region").contains("eu")).map(_.filePath).toSet
+
+    spark.sql("INSERT OVERWRITE pw.ns.sow PARTITION (region = 'eu') " +
+      "SELECT k FROM VALUES (10L), (11L) AS t(k)")
+    val got = spark.sql("SELECT k, region FROM pw.ns.sow ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((3L, "us"), (4L, "us"), (5L, "ap"),
+      (10L, "eu"), (11L, "eu")), s"got $got")
+    // untouched partitions keep their EXACT files — no rewrite happened
+    val after = IcebergTable(spark, dir).planFiles()
+      .filterNot(_.partition.get("region").contains("eu")).map(_.filePath).toSet
+    assert(after == before, "non-overwritten partitions must keep their files")
+
+    // a filter on a non-partition column refuses loudly instead of
+    // truncating or rewriting (writeTo.overwrite is the API that can
+    // express one)
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((7L, "eu")).toDF("k", "region").writeTo("pw.ns.sow")
+        .overwrite(org.apache.spark.sql.functions.col("k") === 1L)
+    }
+    assert(e.getMessage.contains("identity partition"),
+      s"expected the identity-alignment refusal, got: ${e.getMessage}")
+  }
+
+  test("dynamic partition overwrite replaces exactly the touched partitions") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pw.ns")
+    spark.sql("DROP TABLE IF EXISTS pw.ns.dow")
+    spark.sql(
+      """CREATE TABLE pw.ns.dow (k BIGINT, region STRING)
+        |PARTITIONED BY (region)""".stripMargin)
+    spark.sql("INSERT INTO pw.ns.dow VALUES " +
+      "(1, 'eu'), (2, 'eu'), (3, 'us'), (4, 'us'), (5, 'ap')")
+    val dir = s"$warehouse/ns/dow"
+    val apBefore = IcebergTable(spark, dir).planFiles()
+      .filter(_.partition.get("region").contains("ap")).map(_.filePath).toSet
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the incoming rows land in eu and us — ap must survive untouched
+      spark.sql("INSERT OVERWRITE pw.ns.dow VALUES " +
+        "(20, 'eu'), (30, 'us'), (31, 'us')")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val got = spark.sql("SELECT k, region FROM pw.ns.dow ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((5L, "ap"), (20L, "eu"), (30L, "us"), (31L, "us")),
+      s"got $got")
+    val apAfter = IcebergTable(spark, dir).planFiles()
+      .filter(_.partition.get("region").contains("ap")).map(_.filePath).toSet
+    assert(apAfter == apBefore, "untouched partition must keep its files")
+    // the history shows ONE overwrite snapshot on top of the insert
+    val meta = IcebergTable(spark, dir).metadata
+    assert(meta.snapshotLineage.size == 2)
+  }
+
+  test("dynamic overwrite on a transformed partitioning (days) replaces by day") {
+    useCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pw.ns")
+    spark.sql("DROP TABLE IF EXISTS pw.ns.dowd")
+    spark.sql(
+      """CREATE TABLE pw.ns.dowd (id BIGINT, ts TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    spark.sql("INSERT INTO pw.ns.dowd VALUES " +
+      "(1, TIMESTAMP '2024-03-01 10:00:00', 1.0), " +
+      "(2, TIMESTAMP '2024-03-01 11:00:00', 2.0), " +
+      "(3, TIMESTAMP '2024-03-02 09:00:00', 3.0)")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.sql("INSERT OVERWRITE pw.ns.dowd VALUES " +
+        "(9, TIMESTAMP '2024-03-01 23:00:00', 9.0)")
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val got = spark.sql("SELECT id FROM pw.ns.dowd ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 9L),
+      s"day 2024-03-01 replaced, 2024-03-02 kept; got $got")
+  }
 }
