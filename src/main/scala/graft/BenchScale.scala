@@ -211,8 +211,48 @@ object BenchScale {
       // r = the refresh reads changes, not the table.
       val mvSecs = incrementalMv(spark, sfDir, r)
       report("incremental_mv", r, mvSecs, nDocs, -1L)
+
+      // q106 core: dynamic partition overwrite — the TABLE scales with r
+      // (r fixed-size partitions), the REPLACED partition is fixed. The
+      // daily re-materialization claim is that replacing one partition
+      // of a 100 TB table costs the new files + manifest IO, so the
+      // measured statement should stay flat as r grows.
+      val poSecs = partitionOverwrite(spark, sfDir, r)
+      report("partition_overwrite", r, poSecs, nDocs, -1L)
     }
     spark.stop()
+  }
+
+  private def partitionOverwrite(spark: SparkSession, sfDir: String, r: Int): Double = {
+    import org.apache.hadoop.fs.Path
+    import graft.iceberg.connector.GraftCatalog
+    val warehouse = s"/root/repo/target/benchscale-po-$r"
+    val conf = spark.sessionState.newHadoopConf()
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    val ords = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice"))
+    val big = (0 until r).map(i =>
+        ords.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))
+          .withColumn("part", lit(s"p$i")))
+      .reduce(_ unionByName _)
+    big.createOrReplaceTempView("bs_po_src")
+    spark.conf.set(s"spark.sql.catalog.bspo$r", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.bspo$r.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS bspo$r.ns")
+    spark.sql(
+      s"""CREATE TABLE bspo$r.ns.ords
+         |(o_orderkey BIGINT, o_totalprice DOUBLE, part STRING)
+         |PARTITIONED BY (part)""".stripMargin)
+    spark.sql(s"INSERT INTO bspo$r.ns.ords SELECT o_orderkey, o_totalprice, part FROM bs_po_src")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val (secs, _) = timed2(spark.sql(
+        s"""INSERT OVERWRITE bspo$r.ns.ords
+           |SELECT o_orderkey + 5000000000L, o_totalprice, part
+           |FROM bs_po_src WHERE part = 'p0'""".stripMargin))
+      secs
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
   private def report(stage: String, replicas: Int, secs: Double,

@@ -1406,6 +1406,12 @@ object IcebergWriter {
           meta.defaultSpecId, Nil))
       }
 
+      // v2 debt convergence (DV mode): delete files whose every live
+      // referenced file now carries a DV drop from the manifests below
+      val v2Drops: Set[String] =
+        if (!dvMode || posDel.isEmpty) Set.empty
+        else dvConvergedV2Drops(spark, table, posDel.toSet)
+
       // rewrite group: surviving rows through the shared fanout writers
       val rewrittenAdds: Seq[AddedDataFile] = if (rewrite.isEmpty) Nil else {
         val src = spark.read.schema(meta.schema)
@@ -1426,12 +1432,14 @@ object IcebergWriter {
         if (m.content == 1) {
           // delete manifests pass through untouched — except DV entries a
           // new deletion vector supersedes (their positions were absorbed)
+          // and v2 files the DV commit made redundant (debt convergence)
           val passThrough = Some(mlRec(mPath, m.length, m.content,
             m.sequenceNumber, m.addedRowsCount, m.partitionSpecId, m.partitions))
           if (!dvMode || posDel.isEmpty) passThrough
           else dropSupersededDvEntries(mPath, conf, posDel.toSet,
               p => norm(table.resolve(p)),
-              new Path(s"$tableDir/metadata/m-s$snapId-$u-d$i.avro")) match {
+              new Path(s"$tableDir/metadata/m-s$snapId-$u-d$i.avro"),
+              dropV2 = v2Drops) match {
             case None => passThrough
             case Some((_, _, _, true)) => None // every entry superseded
             case Some((newPath, rows, len, _)) =>
@@ -1929,17 +1937,67 @@ object IcebergWriter {
       .select(col("__g_dfpn").as("__ref"), col("__g_dpos").as("pos")))
   }
 
-  /** Rewrite a delete manifest dropping the DV entries a new vector
-    * supersedes (those referencing a path in `targets`). None = nothing
-    * to drop (pass the original through); Some((_, _, _, true)) = every
-    * entry dropped (drop the manifest from the list); otherwise the
-    * rewritten manifest's (path, surviving rows, length, false) — the
-    * SAME tuple order as [[filterManifest]], so the two rewrite helpers
-    * cannot be destructured interchangeably-but-wrong. */
+  /** Which v2 position-delete FILES a DV commit for `targets` makes
+    * redundant: every referenced data file either carries a DV after
+    * this commit (its applicable positions were absorbed — superset
+    * invariant) or is no longer live (the entry dangles). Dropping their
+    * manifest entries makes a DV table's debt CONVERGE to one vector per
+    * file instead of carrying absorbed v2 files until compaction.
+    * Positions the absorb SEQUENCE-GATED out (delseq < dataseq) are safe
+    * to lose with the entry: by the v2 rule they never applied to the
+    * file now living at that path, and paths are writer-unique. */
+  private def dvConvergedV2Drops(
+      spark: SparkSession, table: IcebergTable,
+      targets: Set[String]): Set[String] = {
+    val (dvs, pq) = table.planDeletes().filter(_.content == 1).partition(_.isDv)
+    if (pq.isEmpty) return Set.empty
+    def norm(p: String) = table.normPath(table.resolve(p))
+    val liveNorm = table.planFiles().map(f => norm(f.filePath)).toSet
+    // files with a PRE-EXISTING DV count as covered too — but only for
+    // v2 files the DV could have absorbed: every DV folds in the
+    // position deletes visible WHEN IT WAS CREATED (spec superset
+    // invariant), so a v2 file committed after the DV (higher sequence)
+    // is NOT shadowed by it and must stay
+    val dvSeqByRef: Map[String, Long] = dvs
+      .flatMap(d => d.referencedDataFile.map(r =>
+        norm(r) -> d.sequenceNumber.getOrElse(Long.MinValue)))
+      .groupMapReduce(_._1)(_._2)(math.max)
+    def covered(r: String, v2Seq: Long) =
+      targets.contains(r) ||
+        dvSeqByRef.get(r).exists(_ >= v2Seq) ||
+        !liveNorm.contains(r)
+    def v2Seq(d: DeleteFileEntry): Long =
+      d.sequenceNumber.getOrElse(Long.MaxValue)
+    val (hinted, unhinted) = pq.partition(_.referencedDataFile.nonEmpty)
+    val hintedDrop = hinted.filter(d =>
+      covered(norm(d.referencedDataFile.get), v2Seq(d)))
+    val refsBySrc: Map[String, Seq[String]] =
+      if (unhinted.isEmpty) Map.empty
+      else spark.read.schema(table.posDeleteReadSchema)
+        .parquet(unhinted.map(d => table.resolve(d.filePath)): _*)
+        .select(table.normPathExpr(col("_metadata.file_path")).as("src"),
+          table.normPathExpr(table.resolveExpr(col("file_path"))).as("ref"))
+        .distinct().collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    val unhintedDrop = unhinted.filter(d =>
+      refsBySrc.get(norm(d.filePath))
+        .exists(_.forall(r => covered(r, v2Seq(d)))))
+    (hintedDrop ++ unhintedDrop).map(d => norm(d.filePath)).toSet
+  }
+
+  /** Rewrite a delete manifest dropping (a) the DV entries a new vector
+    * supersedes (those referencing a path in `targets`) and (b) the v2
+    * position-delete files in `dropV2` (normalized paths — see
+    * [[dvConvergedV2Drops]]). None = nothing to drop (pass the original
+    * through); Some((_, _, _, true)) = every entry dropped (drop the
+    * manifest from the list); otherwise the rewritten manifest's (path,
+    * surviving rows, length, false) — the SAME tuple order as
+    * [[filterManifest]], so the two rewrite helpers cannot be
+    * destructured interchangeably-but-wrong. */
   private def dropSupersededDvEntries(
       path: String, conf: org.apache.hadoop.conf.Configuration,
       targets: Set[String], normResolve: String => String,
-      outPath: Path): Option[(String, Long, Long, Boolean)] = {
+      outPath: Path, dropV2: Set[String] = Set.empty): Option[(String, Long, Long, Boolean)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -1959,7 +2017,10 @@ object IcebergWriter {
         val ref = Option(df.getSchema.getField("referenced_data_file"))
           .flatMap(_ => Option(df.get("referenced_data_file")))
           .map(String.valueOf(_))
-        !(isDv && ref.exists(r2 => targets.contains(normResolve(r2))))
+        val superseded = isDv && ref.exists(r2 => targets.contains(normResolve(r2)))
+        val converged = !isDv && df.get("content") == 1 &&
+          dropV2.contains(normResolve(String.valueOf(df.get("file_path"))))
+        !(superseded || converged)
       }
     } finally reader.close()
     if (dropped.isEmpty) return None
@@ -2138,7 +2199,7 @@ object IcebergWriter {
       if (branch == "main" || !meta.refs.contains(branch)) t0
       else t0.atSnapshot(baseSnap.get.snapshotId)
     }
-    val dvResult: Option[(GenericRecord, Set[String])] = if (!dvMode) None
+    val dvResult: Option[(GenericRecord, Set[String], Set[String])] = if (!dvMode) None
     else {
       val t = dvTable
       val newPos = spark.read.schema(t.posDeleteReadSchema)
@@ -2159,11 +2220,14 @@ object IcebergWriter {
         val all = dvAbsorbPositions(spark, t, targets)
           .map(newPos.unionByName(_)).getOrElse(newPos)
         val storedByNorm = refs.map(r => r -> byNorm(r).filePath).toMap
+        // v2 debt convergence, same rule as positionDeleteWhere's DV branch
+        val v2Drops = dvConvergedV2Drops(spark, t, refs.toSet)
         writeDvManifest(spark, conf, tableDir, meta, snapId, u, all, storedByNorm)
-          .map(_ -> refs.toSet)
+          .map(ml => (ml, refs.toSet, v2Drops))
       } finally { newPos.unpersist(); () }
     }
     val dvTargets: Set[String] = dvResult.map(_._2).getOrElse(Set.empty)
+    val dvV2Drops: Set[String] = dvResult.map(_._3).getOrElse(Set.empty)
 
     val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap { case (m, i) =>
       val mPath = resolveAgainst(meta, tableDir, m.path)
@@ -2172,7 +2236,8 @@ object IcebergWriter {
       if (m.content != 1 || dvTargets.isEmpty) passThrough
       else dropSupersededDvEntries(mPath, conf, dvTargets,
           p => dvTable.normPath(dvTable.resolve(p)),
-          new Path(s"$tableDir/metadata/m-s$snapId-$u-d$i.avro")) match {
+          new Path(s"$tableDir/metadata/m-s$snapId-$u-d$i.avro"),
+          dropV2 = dvV2Drops) match {
         case None => passThrough
         case Some((_, _, _, true)) => None
         case Some((newPath, rows, len, _)) =>

@@ -422,13 +422,14 @@ class DeleteFilesSpec extends SparkSpec {
     assert(dels().count(d => d.content == 1 && !d.isDv) == 1)
 
     // opt in, then a DV-era DELETE: the new vector ABSORBS the v2
-    // positions for its file (seq-gated superset), the v2 file stays
+    // positions for its file (seq-gated superset) and the redundant v2
+    // entry DROPS — a DV table's debt converges to one vector per file
     spark.sql("ALTER TABLE dvw.ns.t SET TBLPROPERTIES " +
       "('graft.write.deletes' = 'dv')")
     spark.sql("DELETE FROM dvw.ns.t WHERE id >= 5 AND id < 8")
     val d1 = dels()
-    assert(d1.count(_.isDv) == 1 && d1.count(d => d.content == 1 && !d.isDv) == 1,
-      s"one DV + the untouched v2 file, got $d1")
+    assert(d1.count(_.isDv) == 1 && d1.count(d => d.content == 1 && !d.isDv) == 0,
+      s"one DV, absorbed v2 entry dropped, got $d1")
     assert(d1.find(_.isDv).get.recordCount == 5L,
       "the DV absorbs the two v2 positions plus its own three")
     assert(ids() == ((2L until 5L) ++ (8L until 120L)))
@@ -443,20 +444,16 @@ class DeleteFilesSpec extends SparkSpec {
     assert(ids() == ((2L until 5L) ++ (8L until 98L) ++ (102L until 120L)))
 
     // merge-on-read UPDATE: the delta's staged position-delete parquet
-    // converts to DVs at commit; no new v2 entries appear and the
-    // staging files are gone from disk
+    // converts to DVs at commit; no v2 entries appear and the staging
+    // files are gone from disk
     spark.sql("UPDATE dvw.ns.t SET tag = 'x' WHERE id = 110")
     val d3 = dels()
-    assert(d3.count(d => d.content == 1 && !d.isDv) == 1,
-      s"still only the original v2 file, got $d3")
+    assert(d3.count(d => d.content == 1 && !d.isDv) == 0,
+      s"pure-DV debt, got $d3")
     assert(d3.filter(_.isDv).map(_.recordCount).sorted == Seq(3L, 7L),
       s"file 2's DV gains the updated row's position, got $d3")
     assert(spark.sql("SELECT tag FROM dvw.ns.t WHERE id = 110")
       .collect().head.getString(0) == "x")
-    val t = IcebergTable(spark, dir)
-    for (d <- d3.filter(d => d.content == 1 && !d.isDv))
-      assert(new File(t.resolve(d.filePath).stripPrefix("file:")).exists,
-        "the referenced v2 delete file must still exist")
     assert(ids() == ((2L until 5L) ++ (8L until 98L) ++ (102L until 120L)))
 
     // compaction materializes all delete debt away; rows unchanged
