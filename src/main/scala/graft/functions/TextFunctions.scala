@@ -46,6 +46,10 @@ object TextFunctions {
       graft.functions.catalyst.CountInSet(
         org.apache.spark.sql.GraftColumnShim.expression(arr), words))
 
+  /** Count of tokens that are in `stop` (codegen'd hash-set probe). */
+  def stopwordCount(text: Column, stop: Seq[String]): Column =
+    countInSet(tokens(text), stop).cast("bigint")
+
   /** Ratio of tokens that are in `stop`, rounded for oracle stability. */
   def stopwordRatio(text: Column, stop: Seq[String], scale: Int = 4): Column = {
     val w = tokens(text)

@@ -555,4 +555,60 @@ object Dedup {
           (col("na") + col("nb") - col("shared")).cast("double"), scale)
           .as("j"))
   }
+
+  /** Paragraph-level exact dedup (MassiveText/Gopher-style): split each
+    * document on `sep`, keep only the globally-FIRST occurrence of every
+    * duplicated paragraph (first = lowest (id, position)), and reassemble
+    * the survivors in document order. Paragraphs shorter than `minChars`
+    * are never deduplicated (boilerplate-length fragments like headers are
+    * the boilerplate stripper's job; nuking every 1-char paragraph
+    * corpus-wide would shred unrelated documents).
+    *
+    * Scale design: the winner-election aggregate groups on md5(paragraph)
+    * (16-byte keys, partial-aggregated min — no window over a hot
+    * paragraph's bucket), the survivors join is hash-to-hash, and
+    * reassembly is one groupBy over the document id with an array_sort on
+    * (position, paragraph) — per-task memory is bounded by document size,
+    * the same bound every whole-doc operator here already carries. Three
+    * shuffles total, none carrying more than the exploded paragraph text
+    * once. Dedup by 128-bit digest, not paragraph equality, so the
+    * shuffled key is fixed-width; md5 collisions at 100 TB paragraph
+    * counts (~2^40) sit ~2^-48 below the birthday bound — the standard
+    * fingerprint-dedup trade, and the same one `exactKeepFirst`'s oracle
+    * twin documents.
+    *
+    * Output: (idCol, textCol) with `textCol` rebuilt from surviving
+    * paragraphs (empty string when every paragraph lost its election).
+    */
+  def paragraphDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n", minChars: Int = 1): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("p_idx", "para")))
+    val keyed = paras.withColumn("pkey", md5(col("para")))
+    // One partial-aggregated shuffle elects each paragraph's first
+    // occurrence; only digests and (id, idx) pairs travel.
+    val winners = keyed
+      .filter(length(col("para")) >= minChars)
+      .groupBy(col("pkey"))
+      .agg(min(struct(col(idCol), col("p_idx"))).as("w"))
+      .select(col("pkey"), col("w").getField(idCol).as("w_id"),
+        col("w").getField("p_idx").as("w_idx"))
+    val surviving = keyed
+      .join(winners, Seq("pkey"), "left")
+      .filter(col("w_id").isNull ||
+        (col(idCol) === col("w_id") && col("p_idx") === col("w_idx")))
+    val rebuilt = surviving
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("p_idx"), col("para"))))
+        .as("ps"))
+      .select(col(idCol),
+        array_join(col("ps").getField("para"), sep).as(textCol))
+    // A doc whose every paragraph lost its election must still come back
+    // (as the empty string) — downstream joins key on the id surviving.
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
 }

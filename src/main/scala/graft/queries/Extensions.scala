@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Similarity, TextFunctions}
-import graft.operators.{Dedup, Multimodal, TemporalJoins}
+import graft.operators.{Dedup, Multimodal, QualityFilters, TemporalJoins}
 
 /** Training-data-pipeline extensions (SURVEY §2.B north star + the declared
   * Q34–Q36): deduplication, similarity search, text analysis, multimodal
@@ -659,6 +659,27 @@ object Extensions {
         .select(col("media_id"), col("width"), col("height"),
           length(col("payload")).cast("bigint").as("payload_len"))
         .orderBy(col("media_id").asc_nulls_first)
+    }),
+
+    // Gopher-style quality rule battery: thresholded per-rule flags + the
+    // keep decision, all map-side codegen'd Columns. Bounds tightened to
+    // this corpus's ranges so flags actually discriminate at sf0.01.
+    "q115_gopher_rules" -> ((s, d) =>
+      QualityFilters.gopherBattery(
+          t(s, d, "documents"), "doc_id", "text",
+          QualityFilters.GopherBounds(minWords = 30L, minStopwords = 2L))
+        .orderBy(col("doc_id").asc_nulls_first)),
+
+    // Paragraph-level exact dedup over a paragraph-ified corpus (the flat
+    // testdata text carries no newlines, so paragraphs are derived by the
+    // IDENTICAL literal replace on both engines). Duplicated paragraphs
+    // (>= 15 chars) survive only at their globally-first (doc, position).
+    "q116_paragraph_dedup" -> ((s, d) => {
+      val paraDocs = t(s, d, "documents").select(col("doc_id"),
+        expr("replace(text, ' the ', '\n\n')").as("text"))
+      Dedup.paragraphDedup(paraDocs, "doc_id", "text",
+          sep = "\n\n", minChars = 15)
+        .orderBy(col("doc_id").asc_nulls_first)
     })
   )
 
@@ -1203,6 +1224,54 @@ object Extensions {
         |                  CAST(ceil(octet_length(encode(text)) * 0.25) AS BIGINT))
         |            AS BIGINT) AS payload_len
         |FROM documents WHERE doc_id % 3 = 0
-        |ORDER BY media_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
+    "q115_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    ROUND(CAST(LENGTH(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 3) AS mean_word_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> x IN ('the','a','of','to','and','in','is','that'))) AS BIGINT) AS n_stop,
+        |    ROUND(CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) AS symbol_ratio,
+        |    ROUND(CAST(len(regexp_extract_all(text, '[^ ]*[A-Za-z][^ ]*')) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) AS alpha_ratio,
+        |    CASE WHEN len(string_split(text, ' ')) > 2 THEN
+        |      ROUND(1.0 - CAST(len(list_distinct(list_transform(
+        |            range(1, len(string_split(text, ' ')) - 1),
+        |            i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS DOUBLE)
+        |          / (len(string_split(text, ' ')) - 2), 4)
+        |    ELSE 0.0 END AS dup_3gram_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, n_stop, symbol_ratio, alpha_ratio,
+        |       dup_3gram_ratio,
+        |       n_words BETWEEN 30 AND 100000 AS r_word_count,
+        |       mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_len,
+        |       n_stop >= 2 AS r_stopwords,
+        |       symbol_ratio <= 0.1 AS r_symbols,
+        |       alpha_ratio >= 0.8 AS r_alpha,
+        |       dup_3gram_ratio <= 0.2 AS r_dup_ngram,
+        |       (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |         AND n_stop >= 2 AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8
+        |         AND dup_3gram_ratio <= 0.2 AS keep
+        |FROM m ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+    "q116_paragraph_dedup" ->
+      """WITH pd AS (SELECT doc_id, replace(text, ' the ', chr(10)||chr(10)) AS text
+        |            FROM documents),
+        |paras AS (SELECT doc_id, generate_subscripts(ps, 1) AS idx, unnest(ps) AS para
+        |          FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM pd)),
+        |ranked AS (SELECT doc_id, idx, para,
+        |           ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+        |           FROM paras),
+        |kept AS (SELECT doc_id, idx, para FROM ranked
+        |         WHERE length(para) < 15 OR rn = 1)
+        |SELECT d.doc_id,
+        |       COALESCE(k.text, '') AS text
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id,
+        |                  string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text
+        |           FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
   )
 }

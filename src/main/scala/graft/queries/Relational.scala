@@ -390,6 +390,151 @@ object Relational {
           |FROM li_q104
           |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
           |GROUP BY metric ORDER BY metric""".stripMargin)
+    }),
+
+    // PIVOT (the UNPIVOT inverse): one categorical column fans out to
+    // one count column per pinned value. Explicit value list keeps the
+    // output schema static — the dynamic form would need a driver-side
+    // distinct pass over 100 TB before planning could even start.
+    "q107_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .select(col("o_orderpriority"), col("F").as("st_f"),
+                col("O").as("st_o"), col("P").as("st_p"))
+        .orderBy(col("o_orderpriority").asc_nulls_first)),
+
+    // IN-subquery over a grouped HAVING (TPC-H Q18, large-volume
+    // customer): Catalyst plans the inner aggregate once and
+    // left-semi-joins it against orders — one extra pass over lineitem,
+    // not a per-row membership probe.
+    "q108_tpch18" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("c_q108")
+      t(s, d, "orders").createOrReplaceTempView("o_q108")
+      t(s, d, "lineitem").createOrReplaceTempView("li_q108")
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+          |       ROUND(SUM(l_quantity), 2) AS total_qty
+          |FROM c_q108
+          |JOIN o_q108 ON c_custkey = o_custkey
+          |JOIN li_q108 ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM li_q108
+          |                     GROUP BY l_orderkey
+          |                     HAVING SUM(l_quantity) > 250)
+          |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+    }),
+
+    // Correlated EXISTS + NOT EXISTS on the same relation (TPC-H Q21
+    // shape, adapted to this schema: 'R' lines stand in for late
+    // receipts): both decorrelate — a left-semi and a left-anti join on
+    // the order key — so lineitem is scanned a bounded number of times
+    // regardless of row count.
+    "q109_exists_anti" -> ((s, d) => {
+      t(s, d, "supplier").createOrReplaceTempView("s_q109")
+      t(s, d, "orders").createOrReplaceTempView("o_q109")
+      t(s, d, "lineitem").createOrReplaceTempView("li_q109")
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM s_q109
+          |JOIN li_q109 l1 ON s_suppkey = l1.l_suppkey
+          |JOIN o_q109 ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM li_q109 l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM li_q109 l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 50""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery: a per-outer-row derived table.
+    // Catalyst decorrelates the aggregate into a grouped join under
+    // the hood (DecorrelateInnerQuery) — nation is tiny and broadcasts;
+    // the customer side aggregates once, never once per nation.
+    "q110_lateral" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("n_q110")
+      t(s, d, "customer").createOrReplaceTempView("c_q110")
+      s.sql(
+        """SELECT n_name, ROUND(t.mx_bal, 2) AS mx_bal, t.n_cust
+          |FROM n_q110,
+          |LATERAL (SELECT MAX(c_acctbal) AS mx_bal, COUNT(*) AS n_cust
+          |         FROM c_q110 WHERE c_nationkey = n_nationkey) t
+          |ORDER BY n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Rank-family windows beyond row_number: ntile quartiles,
+    // percent_rank, cume_dist — one window exchange serves all three
+    // (same partitioning + ordering), deterministic via the unique
+    // (acctbal, custkey) sort.
+    "q111_window_stats" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("c_q111")
+      s.sql(
+        """SELECT c_custkey, c_nationkey,
+          |       CAST(NTILE(4) OVER w AS BIGINT) AS q4,
+          |       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+          |       ROUND(CUME_DIST() OVER w, 6) AS cd
+          |FROM c_q111
+          |WINDOW w AS (PARTITION BY c_nationkey
+          |             ORDER BY c_acctbal, c_custkey)
+          |ORDER BY c_nationkey, c_custkey LIMIT 200""".stripMargin)
+    }),
+
+    // Statistical aggregates (corr / covariance / stddev / variance):
+    // all single-pass partial-mergeable moments — the 100 TB plan is
+    // the same partial/final hash aggregate as a SUM.
+    "q112_stat_aggs" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_q112")
+      s.sql(
+        """SELECT l_returnflag,
+          |       ROUND(CORR(l_extendedprice, l_quantity), 6) AS r,
+          |       ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS cs,
+          |       ROUND(COVAR_POP(l_extendedprice, l_quantity), 2) AS cp,
+          |       ROUND(STDDEV_SAMP(l_discount), 6) AS sd,
+          |       ROUND(VAR_POP(l_discount), 6) AS vp
+          |FROM li_q112 GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // Recursive CTE: gap-filled month spine between the corpus's first
+    // and last order month, LEFT JOINed to per-month counts — the
+    // canonical "report every month even the empty ones" series. The
+    // recursion depth is the month span (tiny, driver-bounded); the
+    // data-sized work stays one aggregate over orders.
+    "q113_recursive_cte" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("o_q113")
+      s.sql(
+        """WITH RECURSIVE months(mo) AS (
+          |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS TIMESTAMP)
+          |  FROM o_q113
+          |  UNION ALL
+          |  SELECT mo + INTERVAL 1 MONTH FROM months
+          |  WHERE mo < (SELECT CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS TIMESTAMP)
+          |              FROM o_q113)
+          |)
+          |SELECT m.mo, COUNT(o.o_orderkey) AS n
+          |FROM months m
+          |LEFT JOIN o_q113 o
+          |  ON CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP) = m.mo
+          |GROUP BY m.mo ORDER BY m.mo""".stripMargin)
+    }),
+
+    // Exact percentiles (median / p90, linear interpolation) — the
+    // exact twins of approx_percentile, grouped so each group's sort
+    // is partition-local after the hash exchange.
+    "q114_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("li_q114")
+      s.sql(
+        """SELECT l_returnflag,
+          |       ROUND(MEDIAN(l_extendedprice), 4) AS med,
+          |       ROUND(PERCENTILE(l_extendedprice, 0.9), 4) AS p90
+          |FROM li_q114 GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     })
   )
 
@@ -568,6 +713,83 @@ object Relational {
         |      UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
         |WHERE val IS NOT NULL -- Spark UNPIVOT excludes NULL measures
         |GROUP BY metric ORDER BY metric""".stripMargin,
+    "q107_pivot" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS st_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q108_tpch18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+        |       ROUND(SUM(l_quantity), 2) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey
+        |                     HAVING SUM(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q109_exists_anti" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 50""".stripMargin,
+    "q110_lateral" ->
+      """SELECT n_name, ROUND(t.mx_bal, 2) AS mx_bal, t.n_cust
+        |FROM nation,
+        |LATERAL (SELECT MAX(c_acctbal) AS mx_bal, COUNT(*) AS n_cust
+        |         FROM customer WHERE c_nationkey = n_nationkey) t
+        |ORDER BY n_name ASC NULLS FIRST""".stripMargin,
+    "q111_window_stats" ->
+      """SELECT c_custkey, c_nationkey,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS q4,
+        |       ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |       ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_nationkey, c_custkey LIMIT 200""".stripMargin,
+    "q112_stat_aggs" ->
+      """SELECT l_returnflag,
+        |       ROUND(CORR(l_extendedprice, l_quantity), 6) AS r,
+        |       ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS cs,
+        |       ROUND(COVAR_POP(l_extendedprice, l_quantity), 2) AS cp,
+        |       ROUND(STDDEV_SAMP(l_discount), 6) AS sd,
+        |       ROUND(VAR_POP(l_discount), 6) AS vp
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q113_recursive_cte" ->
+      """WITH RECURSIVE months(mo) AS (
+        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS TIMESTAMP)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT mo + INTERVAL 1 MONTH FROM months
+        |  WHERE mo < (SELECT CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS TIMESTAMP)
+        |              FROM orders)
+        |)
+        |SELECT m.mo, COUNT(o.o_orderkey) AS n
+        |FROM months m
+        |LEFT JOIN orders o
+        |  ON CAST(DATE_TRUNC('month', o.o_orderdate) AS TIMESTAMP) = m.mo
+        |GROUP BY m.mo ORDER BY m.mo""".stripMargin,
+    "q114_percentiles" ->
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS med,
+        |       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q77_tpch5" ->
       """SELECT n_name,
         |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

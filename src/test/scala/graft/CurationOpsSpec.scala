@@ -421,6 +421,68 @@ class CurationOpsSpec extends SparkSpec {
     assert(scores(1L) == 3L * ratio && scores(2L) == ratio,
       s"expected exact big-product ratios, got $scores")
   }
+
+  test("paragraph dedup keeps the globally-first copy and reassembles in order") {
+    val docs = Seq(
+      (1L, "unique one lead\n\nshared paragraph body\n\ntail one"),
+      (2L, "shared paragraph body\n\nunique two"),    // dup para, later doc
+      (3L, "shared paragraph body"),                  // doc = only the dup
+      (4L, "ok\n\nok\n\nlong paragraph here")         // 'ok' < minChars: kept twice
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .paragraphDedup(docs, "doc_id", "text", minChars = 15)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "unique one lead\n\nshared paragraph body\n\ntail one",
+      "first occurrence keeps its paragraph")
+    assert(got(2L) == "unique two", "later copy strips, survivors keep order")
+    assert(got(3L) == "", "a fully-duplicated doc comes back empty, not missing")
+    assert(got(4L) == "ok\n\nok\n\nlong paragraph here",
+      "sub-minChars paragraphs are never deduplicated, even within one doc")
+  }
+
+  test("paragraph dedup within one document keeps only the earliest position") {
+    val docs = Seq(
+      (7L, "repeated paragraph text\n\nmiddle filler words\n\nrepeated paragraph text")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .paragraphDedup(docs, "doc_id", "text", minChars = 15)
+      .collect().head.getString(1)
+    assert(got == "repeated paragraph text\n\nmiddle filler words",
+      s"within-doc repeat strips at the later position: '$got'")
+  }
+
+  test("gopher battery flags match hand-computed rules") {
+    val docs = Seq(
+      // 33 words incl stopwords, clean → keep
+      (1L, ("the quick brown fox jumps over lazy dogs near a river bank " +
+        "while birds sing songs about distant mountains and valleys full " +
+        "of green trees under bright skies with calm winds today")),
+      (2L, "too short the a"),                       // fails word count
+      (3L, ("word " * 30 + "extra final the a piece").trim) // dup 1-gram flood
+    ).toDF("doc_id", "text")
+    val got = graft.operators.QualityFilters
+      .gopherBattery(docs, "doc_id", "text",
+        graft.operators.QualityFilters.GopherBounds(minWords = 30L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("r_word_count"), r.getAs[Boolean]("r_stopwords"),
+         r.getAs[Boolean]("r_dup_ngram"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L) == ((true, true, true, true)), s"clean doc keeps: ${got(1L)}")
+    assert(got(2L) == ((false, true, true, false)),
+      s"short doc fails only word count: ${got(2L)}")
+    assert(got(3L)._3 == false && got(3L)._4 == false,
+      s"repetitive doc dies on the dup-ngram rule: ${got(3L)}")
+  }
+
+  test("gopher battery symbol and alpha rules see planted spam") {
+    val spam = (Seq.fill(30)("### ... ###") ++ Seq("the", "a")).mkString(" ")
+    val got = graft.operators.QualityFilters
+      .gopherBattery(Seq((1L, spam)).toDF("doc_id", "text"), "doc_id", "text",
+        graft.operators.QualityFilters.GopherBounds(minWords = 10L))
+      .collect().head
+    assert(!got.getAs[Boolean]("r_symbols"), "symbol flood trips the ratio")
+    assert(!got.getAs[Boolean]("r_alpha"), "symbol-only words sink alpha ratio")
+    assert(!got.getAs[Boolean]("keep"))
+  }
 }
 
 /** Companion holding the probe scorer's JVM-local counters (local-mode
