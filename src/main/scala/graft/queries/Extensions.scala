@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Similarity, TextFunctions}
-import graft.operators.{Dedup, Multimodal, QualityFilters, TemporalJoins}
+import graft.operators.{Dedup, Multimodal, NgramLm, QualityFilters, TemporalJoins, TfIdf}
 
 /** Training-data-pipeline extensions (SURVEY §2.B north star + the declared
   * Q34–Q36): deduplication, similarity search, text analysis, multimodal
@@ -680,6 +680,37 @@ object Extensions {
       Dedup.paragraphDedup(paraDocs, "doc_id", "text",
           sep = "\n\n", minChars = 15)
         .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // Corpus TF-IDF keyword extraction: integer-scaled idf surrogate keeps
+    // the per-doc top-k order-free across engines.
+    "q117_tfidf" -> ((s, d) =>
+      TfIdf.topTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id").asc_nulls_first, col("rank").asc)),
+
+    // CCNet-style LM quality score: add-one-smoothed bigram model trained
+    // on the corpus's own English slice, every doc scored by mean scaled
+    // bigram probability (integer space — exactly oracle-reproducible).
+    "q118_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      NgramLm.bigramScore(docs, "doc_id", "text",
+          docs.filter(col("lang") === "en"), "text")
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    // CCNet head/middle/tail triage: per-language ntile(3) over the LM
+    // score; the gate reports per-(lang, bucket) count + score range.
+    "q119_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scores = NgramLm.bigramScore(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text")
+      NgramLm.qualityBuckets(
+          scores.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+          "doc_id", "lang")
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("lm_score")).as("mn"), max(col("lm_score")).as("mx"))
+        .orderBy(col("lang").asc_nulls_first, col("bucket").asc)
     })
   )
 
@@ -1272,6 +1303,70 @@ object Extensions {
         |LEFT JOIN (SELECT doc_id,
         |                  string_agg(para, chr(10)||chr(10) ORDER BY idx) AS text
         |           FROM kept GROUP BY doc_id) k USING (doc_id)
-        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
+        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+    "q117_tfidf" ->
+      """WITH tf AS (SELECT doc_id, word AS term, COUNT(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |                  FROM documents)
+        |            GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |scored AS (SELECT doc_id, term, tf, df, tf * 1000000 // df AS score
+        |           FROM tf JOIN dfreq USING (term)),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |             ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+        |           FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       CAST(score AS BIGINT) AS score, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id ASC NULLS FIRST, rank ASC""".stripMargin,
+    "q118_lm_score" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (SELECT doc_id, lang,
+        |                 unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |          FROM tok),
+        |uni AS (SELECT w1, COUNT(*) AS c1
+        |        FROM (SELECT unnest(w) AS w1 FROM tok WHERE lang = 'en') GROUP BY w1),
+        |vs AS (SELECT COUNT(*) AS v FROM uni),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs WHERE lang = 'en'
+        |       GROUP BY w1, w2),
+        |p AS (SELECT doc_id,
+        |             (COALESCE(c2, 0) + 1) * 1000000000
+        |               // (COALESCE(c1, 0) + (SELECT v FROM vs)) AS ps
+        |      FROM pairs LEFT JOIN bi USING (w1, w2)
+        |      LEFT JOIN uni ON pairs.w1 = uni.w1)
+        |SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       CAST(s.lm_score AS BIGINT) AS lm_score
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |                  SUM(ps) // COUNT(*) AS lm_score
+        |           FROM p GROUP BY doc_id) s USING (doc_id)
+        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin,
+    "q119_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |pairs AS (SELECT doc_id, lang,
+        |                 unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        |          FROM tok),
+        |uni AS (SELECT w1, COUNT(*) AS c1
+        |        FROM (SELECT unnest(w) AS w1 FROM tok WHERE lang = 'en') GROUP BY w1),
+        |vs AS (SELECT COUNT(*) AS v FROM uni),
+        |bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs WHERE lang = 'en'
+        |       GROUP BY w1, w2),
+        |p AS (SELECT doc_id,
+        |             (COALESCE(c2, 0) + 1) * 1000000000
+        |               // (COALESCE(c1, 0) + (SELECT v FROM vs)) AS ps
+        |      FROM pairs LEFT JOIN bi USING (w1, w2)
+        |      LEFT JOIN uni ON pairs.w1 = uni.w1),
+        |scores AS (SELECT doc_id, SUM(ps) // COUNT(*) AS lm_score
+        |           FROM p GROUP BY doc_id)
+        |SELECT lang, bucket, COUNT(*) AS n,
+        |       CAST(MIN(lm_score) AS BIGINT) AS mn,
+        |       CAST(MAX(lm_score) AS BIGINT) AS mx
+        |FROM (SELECT d.lang, s.doc_id, s.lm_score,
+        |             CAST(NTILE(3) OVER (PARTITION BY d.lang
+        |               ORDER BY s.lm_score DESC NULLS LAST, s.doc_id ASC)
+        |               AS BIGINT) AS bucket
+        |      FROM scores s JOIN documents d USING (doc_id))
+        |GROUP BY lang, bucket
+        |ORDER BY lang ASC NULLS FIRST, bucket ASC""".stripMargin
   )
 }

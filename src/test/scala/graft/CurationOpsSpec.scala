@@ -473,6 +473,51 @@ class CurationOpsSpec extends SparkSpec {
       s"repetitive doc dies on the dup-ngram rule: ${got(3L)}")
   }
 
+  test("tf-idf top terms rank rare terms above common ones") {
+    val docs = Seq(
+      (1L, "shared shared rare1"),   // rare1 unique to doc 1
+      (2L, "shared rare2 rare2"),
+      (3L, "shared filler words")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+    // doc 1: rare1 tf=1 df=1 → 1e6; shared tf=2 df=3 → 666666 → rare1 first
+    assert(got((1L, 1L)) == "rare1" && got((1L, 2L)) == "shared")
+    // doc 2: rare2 tf=2 df=1 → 2e6 beats shared tf=1 df=3
+    assert(got((2L, 1L)) == "rare2")
+  }
+
+  test("bigram LM scores in-domain docs above OOV docs; short docs keep null") {
+    val ref = Seq((10L, "a b c a b"), (11L, "a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),      // every bigram seen in ref
+      (2L, "x y z"),      // fully OOV
+      (3L, "solo")        // < 2 words: no bigrams
+    ).toDF("doc_id", "text")
+    val got = graft.operators.NgramLm
+      .bigramScore(docs, "doc_id", "text", ref, "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toMap
+    // vocab = {a,b,c} → V=3; c1(a)=3, c2(a,b)=3 → p(a b)=4/6; c2(b,c)=2, c1(b)=3 → 3/6
+    val expect1 = (1000000000L * 4 / 6 + 1000000000L * 3 / 6) / 2
+    assert(got(1L) == ((2L, Some(expect1))), s"in-domain: ${got(1L)}")
+    // OOV: every bigram (0+1)*S/(0+3)
+    assert(got(2L) == ((2L, Some(1000000000L / 3))), s"OOV: ${got(2L)}")
+    assert(got(3L) == ((0L, None)), "sub-2-word doc has no score, still present")
+  }
+
+  test("ccnet buckets split each language into balanced thirds") {
+    val scores = (1L to 9L).map(i => (i, 8L, Some(1000L - i), "en")) :+
+      ((10L, 8L, None: Option[Long], "fr"))
+    val df = scores.toDF("doc_id", "n_bigrams", "lm_score", "lang")
+    val got = graft.operators.NgramLm.qualityBuckets(df, "doc_id", "lang")
+      .groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("en", 1L) -> 3L, ("en", 2L) -> 3L, ("en", 3L) -> 3L,
+      ("fr", 1L) -> 1L), s"got $got")
+  }
+
   test("gopher battery symbol and alpha rules see planted spam") {
     val spam = (Seq.fill(30)("### ... ###") ++ Seq("the", "a")).mkString(" ")
     val got = graft.operators.QualityFilters
