@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, NgramLm, TfIdf}
 
 /** Scaling spot-run for the heavy pipeline operators (requested by the
   * round-8 verdict): runs the UNDERLYING operators — not the bench's
@@ -147,6 +147,34 @@ object BenchScale {
         graft.operators.Boilerplate.removeNgrams(all, "text", bpGrams(10000), 3)
           .agg(sum(col("n_removed_words"))).collect())
       report("boilerplate_topk10k", r, tBp2, nDocs, -1L)
+
+      // q116 core: corpus-wide paragraph dedup on the paragraph-ified
+      // corpus. Salting keeps cross-replica paragraphs distinct, so r×
+      // data means r independent shards — winner election + reassembly
+      // should track ~linear, never pair-quadratic.
+      val paraDocs = all.select(col("doc_id"),
+        expr("replace(text, ' the ', '\n\n')").as("text"))
+      val (tPara, _) = timed2(
+        Dedup.paragraphDedup(paraDocs, "doc_id", "text", minChars = 15)
+          .agg(sum(length(col("text")))).collect())
+      report("paragraph_dedup", r, tPara, nDocs, -1L)
+
+      // q117 core: corpus TF-IDF top-k — explode + two partial-merged
+      // aggregates + a word-key join + per-doc bounded window.
+      val (tTf, nTf) = timed2(
+        TfIdf.topTerms(all, "doc_id", "text", k = 3).count())
+      report("tfidf_topk", r, tTf, nDocs, nTf)
+
+      // q118 core: bigram-LM scoring — the MODEL side is FIXED (replica
+      // 0's even docs, the realistic shape: the reference model does not
+      // grow with the corpus); the scored corpus scales with r. Cost is
+      // the map-side bigram build + two word-key joins.
+      val lmRef = all.filter(col("doc_id") < 10000000L &&
+        col("doc_id") % 2 === 0)
+      val (tLm, _) = timed2(
+        NgramLm.bigramScore(all, "doc_id", "text", lmRef, "text")
+          .agg(sum(col("lm_score"))).collect())
+      report("lm_score", r, tLm, nDocs, -1L)
 
       all.unpersist()
 

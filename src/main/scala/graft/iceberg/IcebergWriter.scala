@@ -2333,12 +2333,26 @@ object IcebergWriter {
     * floor. One call expresses "keep audit branches 7 days, main 100
     * snapshots".
     */
+  /** Physical-deletion gate: a snapshot-clone ([[TableClone]]) shares its
+    * source's files, so maintenance that DELETES files must refuse on
+    * `gc.enabled=false` (the Iceberg procedures refuse identically) —
+    * deleting a "no longer referenced" file here would corrupt the
+    * source table that still references it. */
+  private def requireGcEnabled(meta: TableMetadata, tableDir: String,
+                               what: String): Unit =
+    require(!meta.properties.get("gc.enabled").contains("false"),
+      s"$what on $tableDir refused: gc.enabled=false (this table shares " +
+        "files with another table — a snapshot clone; physically deleting " +
+        "them would corrupt the source). Drop the clone instead, or flip " +
+        "gc.enabled only if you are certain the files are exclusively owned.")
+
   def expireSnapshots(spark: SparkSession, tableDir: String,
                       olderThanMs: Long, retainLast: Int = 1,
                       committer: Option[TableCommitter] = None): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
+    requireGcEnabled(meta, tableDir, "expire_snapshots")
     val sorted = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
     val now = System.currentTimeMillis
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
@@ -2460,6 +2474,7 @@ object IcebergWriter {
     val conf = spark.sessionState.newHadoopConf()
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
+    requireGcEnabled(meta, tableDir, "remove_orphan_files")
     def norm(s: String) = IcebergTable.normPathStatic(s)
     val referenced: Set[String] =
       meta.snapshots.flatMap(s => referencedPaths(conf, tableDir, meta, s)._2)

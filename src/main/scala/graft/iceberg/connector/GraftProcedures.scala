@@ -160,13 +160,17 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "refresh_mv" =>
       Seq(attr("refreshed_through_snapshot_id", LongType),
         attr("refreshed", IntegerType))
+    case "snapshot" => Seq(attr("snapshot_id", LongType))
+    case "register_table" =>
+      Seq(attr("snapshot_count", IntegerType),
+        attr("current_snapshot_id", LongType))
     case other => throw new UnsupportedOperationException(
       s"unknown procedure system.$other (have: expire_snapshots, " +
         "remove_orphan_files, rewrite_data_files, rewrite_manifests, " +
         "fast_forward, rollback_to_snapshot, rollback_to_timestamp, " +
         "cherrypick_snapshot, create_changelog_view, add_files, " +
         "rewrite_position_delete_files, convert_equality_deletes, " +
-        "analyze_table, create_mv, refresh_mv)")
+        "analyze_table, create_mv, refresh_mv, snapshot, register_table)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -190,8 +194,14 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "analyze_table" => Seq("table", "columns")
       case "create_mv" => Seq("table", "mv", "keys", "sums")
       case "refresh_mv" => Seq("table")
+      case "snapshot" => Seq("source_table", "table")
+      case "register_table" => Seq("table", "metadata_file")
     }
     val m = bind(procedure, params, rawArgs)
+    // `snapshot` / `register_table` CREATE their target table — it must
+    // not resolve through loadTable like every other procedure's target.
+    if (procedure == "snapshot" || procedure == "register_table")
+      return runTableCreating(spark, m)
     val tableParts = spark.sessionState.sqlParser
       .parseMultipartIdentifier(str(m, "table", procedure))
     val (cat, ident, t) =
@@ -417,5 +427,58 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     }
     if (procedure != "create_changelog_view") cat.invalidateTable(ident)
     rows
+  }
+
+  /** The table-CREATING procedures: resolve the target identifier to a
+    * fresh warehouse directory (never through loadTable) and hand off to
+    * [[graft.iceberg.TableClone]]. Filesystem-warehouse catalogs only —
+    * a REST catalog owns table locations service-side (the REST spec's
+    * `/register` endpoint is the transport there). */
+  private def runTableCreating(spark: SparkSession,
+                               m: Map[String, Any]): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    def newTableTarget(nameArg: String): (GraftCatalog, Seq[String], String, String) = {
+      val parts = catalogName +: spark.sessionState.sqlParser
+        .parseMultipartIdentifier(nameArg)
+      val (plugin, rest) =
+        if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+          (cm.catalog(parts.head), parts.tail)
+        else (cm.currentCatalog, parts)
+      val cat = plugin match {
+        case g: GraftCatalog => g
+        case other => throw new UnsupportedOperationException(
+          s"$procedure needs an Iceberg (GraftCatalog) target; " +
+            s"'$nameArg' resolves via catalog '${other.name}'")
+      }
+      val ns = if (rest.length > 1) rest.init else cm.currentNamespace.toSeq
+      val name = rest.last
+      val store = cat.storeForTest
+      require(store.namespaceExists(ns),
+        s"$procedure: namespace ${ns.mkString(".")} does not exist")
+      require(!store.tableExists(ns, name) && !store.isView(ns, name),
+        s"$procedure: ${ns.mkString(".")}.$name already exists")
+      val nsLoc = store.namespaceLocation(ns).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$procedure targets a filesystem-warehouse catalog; this " +
+            "catalog does not expose table locations (REST catalogs " +
+            "register through the service's /register endpoint)"))
+      (cat, ns, name, s"$nsLoc/$name")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    procedure match {
+      case "snapshot" =>
+        val (_, _, srcT) = GraftSqlParser.resolveTable(spark,
+          catalogName +: spark.sessionState.sqlParser
+            .parseMultipartIdentifier(str(m, "source_table", procedure)))
+        val (_, _, _, targetDir) = newTableTarget(str(m, "table", procedure))
+        val sid = graft.iceberg.TableClone.snapshotClone(
+          srcT.table.tableDir, targetDir, conf)
+        Seq(Row(sid))
+      case "register_table" =>
+        val (_, _, _, targetDir) = newTableTarget(str(m, "table", procedure))
+        val (n, cur) = graft.iceberg.TableClone.register(
+          str(m, "metadata_file", procedure), targetDir, conf)
+        Seq(Row(n, cur.getOrElse(-1L)))
+    }
   }
 }

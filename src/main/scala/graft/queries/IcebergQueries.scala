@@ -760,6 +760,58 @@ object IcebergQueries {
           |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
     }),
 
+    // Zero-copy snapshot clone ([[graft.iceberg.TableClone]]): CALL
+    // snapshot clones the source's current state without copying a byte,
+    // then BOTH tables take divergent writes (clone INSERT + a
+    // merge-on-read DELETE against a borrowed file; source INSERT) and
+    // the gate reads both back. gc.enabled=false on the clone is
+    // require()d — the safety property that makes zero-copy sound.
+    "q120_snapshot_clone" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q120-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q120")
+      s.conf.set("spark.sql.catalog.q120cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q120cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q120cat.ns")
+      s.sql(
+        """CREATE TABLE q120cat.ns.src AS
+          |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src_q120
+          |WHERE o_orderkey < 1000""".stripMargin)
+      s.sql(
+        """INSERT INTO q120cat.ns.src
+          |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src_q120
+          |WHERE o_orderkey BETWEEN 1000 AND 1999""".stripMargin)
+      s.sql("CALL q120cat.system.snapshot(source_table => 'ns.src', " +
+        "table => 'ns.clone')")
+      val cloneMeta = graft.iceberg.TableMetadata
+        .load(s"$warehouse/ns/clone", conf)
+      require(cloneMeta.properties.get("gc.enabled").contains("false"),
+        "clone must carry gc.enabled=false")
+      require(cloneMeta.snapshots.size == 1,
+        "clone history must truncate to the adopted snapshot")
+      // divergent writes: the clone gains + loses rows, the source gains
+      s.sql(
+        """INSERT INTO q120cat.ns.clone
+          |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src_q120
+          |WHERE o_orderkey BETWEEN 2000 AND 2499""".stripMargin)
+      s.sql("DELETE FROM q120cat.ns.clone WHERE o_orderkey < 500")
+      s.sql(
+        """INSERT INTO q120cat.ns.src
+          |SELECT o_orderkey, o_custkey, o_totalprice FROM orders_src_q120
+          |WHERE o_orderkey BETWEEN 3000 AND 3499""".stripMargin)
+      s.sql(
+        """SELECT src.n_src, src.sk_src, cl.n_clone, cl.sk_clone FROM
+          |  (SELECT COUNT(*) AS n_src,
+          |          CAST(SUM(o_orderkey) AS BIGINT) AS sk_src
+          |   FROM q120cat.ns.src) src
+          |CROSS JOIN
+          |  (SELECT COUNT(*) AS n_clone,
+          |          CAST(SUM(o_orderkey) AS BIGINT) AS sk_clone
+          |   FROM q120cat.ns.clone) cl""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1161,6 +1213,17 @@ object IcebergQueries {
         |           OR n_nationkey BETWEEN 15 AND 20) AS sk_after,
         |       (SELECT COUNT(*) FROM nation
         |        WHERE n_nationkey < 20) AS n_branch""".stripMargin,
+    "q120_snapshot_clone" ->
+      """SELECT (SELECT COUNT(*) FROM orders
+        |        WHERE o_orderkey < 2000
+        |           OR o_orderkey BETWEEN 3000 AND 3499) AS n_src,
+        |       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |        WHERE o_orderkey < 2000
+        |           OR o_orderkey BETWEEN 3000 AND 3499) AS sk_src,
+        |       (SELECT COUNT(*) FROM orders
+        |        WHERE o_orderkey BETWEEN 500 AND 2499) AS n_clone,
+        |       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |        WHERE o_orderkey BETWEEN 500 AND 2499) AS sk_clone""".stripMargin,
     "q68_zorder" ->
       """SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sq,
         |       CAST(SUM(l_orderkey) AS BIGINT) AS sk
