@@ -291,6 +291,38 @@ object Relational {
         .orderBy(col("user_id").asc_nulls_first)
     }),
 
+    // Batch face of stream-static enrichment (EventStream.enrichWithDim):
+    // events broadcast-join a dimension keyed on the user; unmatched
+    // events keep a null segment (LEFT — the stream must not lose
+    // events when the dim lags). StreamingSpec proves the streaming
+    // plan emits the identical enriched rows.
+    "q121_stream_enrich" -> ((s, d) => {
+      graft.streaming.EventStream.enrichWithDim(
+          t(s, d, "events"),
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+        .orderBy(col("segment").asc_nulls_first)
+    }),
+
+    // Modern aggregate surface: count_if / bool_and / bool_or / mode /
+    // max_by — all partial-mergeable single-pass aggregates (the same
+    // 100 TB plan class as SUM). mode and max_by are deterministic on
+    // this data (unique winners, pinned by the oracle hash).
+    "q122_agg_extras" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("o_q122")
+      s.sql(
+        """SELECT o_orderstatus,
+          |       COUNT_IF(o_totalprice > 100000) AS n_big,
+          |       BOOL_AND(o_totalprice > 0) AS all_pos,
+          |       BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+          |       MODE(o_orderpriority) AS top_prio,
+          |       MAX_BY(o_orderkey, o_totalprice) AS key_of_max
+          |FROM o_q122 GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // ---- classic TPC-H multi-join shapes (the read-heavy benchmark
     // plans: selective dim filters + fact-fact joins + top-k). At scale
     // the plan is what matters: segment/date filters push to the scans,
@@ -681,6 +713,21 @@ object Relational {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    "q121_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+        |       ROUND(SUM(e.value), 2) AS sv
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY segment ORDER BY segment ASC NULLS FIRST""".stripMargin,
+    "q122_agg_extras" ->
+      """SELECT o_orderstatus,
+        |       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        |       bool_and(o_totalprice > 0) AS all_pos,
+        |       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |       mode(o_orderpriority) AS top_prio,
+        |       arg_max(o_orderkey, o_totalprice) AS key_of_max
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q101_subquery_scalar" ->
       """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -84,6 +84,19 @@ object EventStream {
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $within"))
   }
 
+  /** Stream-static enrichment: join each event against a STATIC
+    * dimension table. On a stream Spark re-plans the static side every
+    * micro-batch (so a slowly-changing dim refreshes for free) and the
+    * explicit broadcast ships it to executors — the event stream itself
+    * NEVER shuffles, which is the only sustainable shape when the stream
+    * is the 100 TB side. LEFT join: an event must not be dropped because
+    * the dimension lags behind (the nulls are the monitoring signal).
+    * Same expression evaluates on batch frames — q121's oracle gate.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Snapshot-summary keys recording which micro-batch a streaming-sink
     * snapshot committed — the idempotence ledger replay is checked
     * against. Query id (stable across restarts from one checkpoint, per

@@ -79,6 +79,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment matches the batch join, keeps unmatched events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dim = Seq((1L, "SEG_A"), (2L, "SEG_B")).toDF("k", "segment")
+    val input = MemoryStream[(Long, Long, Double)](spark)
+    val df = input.toDF().toDF("event_id", "user_id", "value")
+    val q = EventStream.enrichWithDim(df, dim, "user_id", "k")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    try {
+      input.addData((10L, 1L, 1.0), (11L, 2L, 2.0), (12L, 99L, 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("event_id", "segment")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got == Map(10L -> Some("SEG_A"), 11L -> Some("SEG_B"),
+        12L -> None), s"got $got")
+      // identical rows from the batch face of the same expression
+      val batch = EventStream.enrichWithDim(
+          Seq((10L, 1L, 1.0), (11L, 2L, 2.0), (12L, 99L, 3.0))
+            .toDF("event_id", "user_id", "value"),
+          dim, "user_id", "k")
+        .select("event_id", "segment")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("sliding windows produce ~4x the tumbling rows") {
     val sliding = EventStream.slidingAgg(Tables.load(spark, sf, "events"))
       .count()
