@@ -39,6 +39,14 @@ object Similarity {
     GraftColumnShim.column(
       SrpBuckets(GraftColumnShim.expression(vec), nBits, tables))
 
+  /** Johnson–Lindenstrauss ±1 projection to `k` dims — array<double>,
+    * codegen'd, deterministic sign family (oracle-exact). See
+    * [[graft.functions.catalyst.SignedProjection]]. */
+  def randomProjection(vec: Column, k: Int): Column =
+    GraftColumnShim.column(
+      graft.functions.catalyst.SignedProjection(
+        GraftColumnShim.expression(vec), k))
+
   /** Shared tail of every ANN variant: per-query top-k by (score desc,
     * neighbour id asc) — one place for the tie-break contract. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -711,6 +711,21 @@ object Extensions {
         .agg(count(lit(1)).as("n"),
              min(col("lm_score")).as("mn"), max(col("lm_score")).as("mx"))
         .orderBy(col("lang").asc_nulls_first, col("bucket").asc)
+    }),
+
+    // Johnson–Lindenstrauss dimensionality reduction (64 → 16 dims):
+    // map-side codegen'd ±1 projection with a deterministic sign family,
+    // so the oracle recomputes every output EXACTLY. The gate pins two
+    // components and the projected norm per vector.
+    "q123_random_projection" -> ((s, d) => {
+      val proj = Similarity.randomProjection(col("embedding"), 16)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), proj.as("p"))
+        .select(col("vec_id"),
+          round(element_at(col("p"), 1), 4).as("c0"),
+          round(element_at(col("p"), 2), 4).as("c1"),
+          round(sqrt(Similarity.dot(col("p"), col("p"))), 4).as("nrm"))
+        .orderBy(col("vec_id").asc_nulls_first)
     })
   )
 
@@ -1367,6 +1382,18 @@ object Extensions {
         |               AS BIGINT) AS bucket
         |      FROM scores s JOIN documents d USING (doc_id))
         |GROUP BY lang, bucket
-        |ORDER BY lang ASC NULLS FIRST, bucket ASC""".stripMargin
+        |ORDER BY lang ASC NULLS FIRST, bucket ASC""".stripMargin,
+    "q123_random_projection" ->
+      """WITH p AS (SELECT vec_id,
+        |             list_transform(range(0, 16), j ->
+        |               list_sum(list_transform(range(0, len(embedding)), i ->
+        |                 CAST(embedding[i+1] AS DOUBLE) *
+        |                 CASE WHEN ((31*i*i + 17*i*j + 13*j*j + 57*i + 23*j)
+        |                            % 97) % 2 = 0
+        |                      THEN 1 ELSE -1 END)) / sqrt(16)) AS proj
+        |           FROM embeddings)
+        |SELECT vec_id, ROUND(proj[1], 4) AS c0, ROUND(proj[2], 4) AS c1,
+        |       ROUND(sqrt(list_sum(list_transform(proj, x -> x*x))), 4) AS nrm
+        |FROM p ORDER BY vec_id ASC NULLS FIRST""".stripMargin
   )
 }

@@ -518,6 +518,33 @@ class CurationOpsSpec extends SparkSpec {
       ("fr", 1L) -> 1L), s"got $got")
   }
 
+  test("random projection roughly preserves pairwise distances (JL property)") {
+    import graft.functions.Similarity
+    // deterministic 64-dim vectors; k=32 keeps expected distortion small
+    val vecs = (0 until 40).map { v =>
+      (v.toLong, Array.tabulate(64)(i =>
+        (((v * 31 + i * 17) % 13) - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val proj = vecs.select(col("vec_id"),
+      Similarity.randomProjection(col("embedding"), 32).as("p"))
+    val orig = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val red = proj.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def d(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ratios = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+      do_ = d(orig(i), orig(j)) if do_ > 0
+    } yield d(red(i), red(j)) / do_
+    // ±1 projections at k=32: distances within a broad (0.4, 1.6) band
+    // and centred near 1 — the property ANN recall depends on
+    assert(ratios.forall(r => r > 0.4 && r < 1.6),
+      s"distortion out of band: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean")
+  }
+
   test("gopher battery symbol and alpha rules see planted spam") {
     val spam = (Seq.fill(30)("### ... ###") ++ Seq("the", "a")).mkString(" ")
     val got = graft.operators.QualityFilters
