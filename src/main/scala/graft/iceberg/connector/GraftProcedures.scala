@@ -437,7 +437,7 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
   private def runTableCreating(spark: SparkSession,
                                m: Map[String, Any]): Seq[Row] = {
     val cm = spark.sessionState.catalogManager
-    def newTableTarget(nameArg: String): (GraftCatalog, Seq[String], String, String) = {
+    def newTableTarget(nameArg: String): (GraftCatalog, Seq[String], String) = {
       val parts = catalogName +: spark.sessionState.sqlParser
         .parseMultipartIdentifier(nameArg)
       val (plugin, rest) =
@@ -457,12 +457,15 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         s"$procedure: namespace ${ns.mkString(".")} does not exist")
       require(!store.tableExists(ns, name) && !store.isView(ns, name),
         s"$procedure: ${ns.mkString(".")}.$name already exists")
-      val nsLoc = store.namespaceLocation(ns).getOrElse(
+      (cat, ns, name)
+    }
+    def freshDir(cat: GraftCatalog, ns: Seq[String], name: String): String = {
+      val nsLoc = cat.storeForTest.namespaceLocation(ns).getOrElse(
         throw new UnsupportedOperationException(
           s"$procedure targets a filesystem-warehouse catalog; this " +
             "catalog does not expose table locations (REST catalogs " +
             "register through the service's /register endpoint)"))
-      (cat, ns, name, s"$nsLoc/$name")
+      s"$nsLoc/$name"
     }
     val conf = spark.sessionState.newHadoopConf()
     procedure match {
@@ -470,15 +473,25 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         val (_, _, srcT) = GraftSqlParser.resolveTable(spark,
           catalogName +: spark.sessionState.sqlParser
             .parseMultipartIdentifier(str(m, "source_table", procedure)))
-        val (_, _, _, targetDir) = newTableTarget(str(m, "table", procedure))
+        val (cat, ns, name) = newTableTarget(str(m, "table", procedure))
         val sid = graft.iceberg.TableClone.snapshotClone(
-          srcT.table.tableDir, targetDir, conf)
+          srcT.table.tableDir, freshDir(cat, ns, name), conf)
         Seq(Row(sid))
       case "register_table" =>
-        val (_, _, _, targetDir) = newTableTarget(str(m, "table", procedure))
-        val (n, cur) = graft.iceberg.TableClone.register(
-          str(m, "metadata_file", procedure), targetDir, conf)
-        Seq(Row(n, cur.getOrElse(-1L)))
+        val (cat, ns, name) = newTableTarget(str(m, "table", procedure))
+        cat.storeForTest match {
+          case r: RestCatalogStore =>
+            // pointer registration: the SERVICE adopts the document; the
+            // table's location stays whatever the metadata says
+            r.registerTable(ns, name, str(m, "metadata_file", procedure))
+            val meta = r.loadIcebergTable(ns, name).metadata
+            Seq(Row(meta.snapshots.size, meta.currentSnapshotId.getOrElse(-1L)))
+          case _ =>
+            val (n, cur) = graft.iceberg.TableClone.register(
+              str(m, "metadata_file", procedure),
+              freshDir(cat, ns, name), conf)
+            Seq(Row(n, cur.getOrElse(-1L)))
+        }
     }
   }
 }

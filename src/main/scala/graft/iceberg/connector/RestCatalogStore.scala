@@ -212,6 +212,21 @@ final class RestCatalogStore(
       Some(mapper.writeValueAsString(req)))
   }
 
+  /** Spec `POST /v1/{prefix}/namespaces/{ns}/register` — adopt an
+    * existing metadata document as a catalog table. Pure pointer
+    * registration: the SERVICE reads the document and owns the entry;
+    * nothing is rewritten client-side (the filesystem-warehouse
+    * equivalent is [[graft.iceberg.TableClone.register]]). */
+  def registerTable(ns: Seq[String], name: String,
+                    metadataLocation: String): Unit = {
+    val req = mapper.createObjectNode()
+    req.put("name", name)
+    req.put("metadata-location", metadataLocation)
+    expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/register"),
+      Some(mapper.writeValueAsString(req)))
+    ()
+  }
+
   override def dropTable(ns: Seq[String], name: String): Boolean =
     request("DELETE", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)._1 / 100 == 2
 

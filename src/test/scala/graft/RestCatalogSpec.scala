@@ -213,6 +213,20 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
           case Some(doc) => json(x, 200, loadResult(ns, t, doc))
           case None => json(x, 404, """{"error":{"message":"no such table"}}""")
         }
+      // spec RegisterTableRequest: adopt an existing metadata document as
+      // a catalog entry — pure pointer registration, nothing rewritten
+      case ("POST", "testwh" :: "namespaces" :: ns :: "register" :: Nil) =>
+        val req = body
+        val name = req.get("name").asText
+        if (tables.contains((ns, name)))
+          json(x, 409, """{"error":{"message":"table exists"}}""")
+        else {
+          val doc = mapper.readTree(java.nio.file.Files.readString(
+              java.nio.file.Paths.get(req.get("metadata-location").asText)))
+            .deepCopy[ObjectNode]()
+          tables((ns, name)) = doc
+          json(x, 200, loadResult(ns, name, doc))
+        }
       // CommitTableRequest: the server checks requirements and applies the
       // update actions — the arbitration a real catalog service performs
       case ("POST", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
@@ -734,5 +748,38 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.table("restcat.ddl.sid").schema.fieldNames.toSeq ==
       Seq("id", "extra"))
     spark.sql("DROP TABLE restcat.ddl.sid")
+  }
+
+  test("register_table adopts an FS-written table through the /register endpoint") {
+    useRest()
+    namespaces += "reg"
+    // build a real table with history on a filesystem warehouse
+    val wh = "/root/repo/target/rest-register-wh"
+    new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.conf.set("spark.sql.catalog.regfs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.regfs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS regfs.ns")
+    spark.sql("CREATE TABLE regfs.ns.src (k BIGINT)")
+    spark.sql("INSERT INTO regfs.ns.src VALUES (1)")
+    spark.sql("INSERT INTO regfs.ns.src VALUES (2)")
+    val metaFile = graft.iceberg.TableMetadata.latestMetadataPath(
+      s"$wh/ns/src", spark.sessionState.newHadoopConf()).toUri.getPath
+
+    val Seq(row) = spark.sql(
+      s"CALL restcat.system.register_table(table => 'reg.adopted', " +
+        s"metadata_file => '$metaFile')").collect().toSeq
+    assert(row.getInt(0) == 2, "both snapshots adopted")
+    // reads go through the REST catalog; data files stay where the
+    // metadata's own location says (nothing was copied or rewritten)
+    assert(spark.sql("SELECT * FROM restcat.reg.adopted ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // double registration refuses (server-side 409)
+    val e = intercept[Exception](spark.sql(
+      s"CALL restcat.system.register_table(table => 'reg.adopted', " +
+        s"metadata_file => '$metaFile')").collect())
+    assert(e.getMessage.contains("already exists") ||
+      e.getMessage.contains("409"), e.getMessage)
   }
 }
