@@ -536,18 +536,25 @@ object Relational {
     // Recursive CTE: gap-filled month spine between the corpus's first
     // and last order month, LEFT JOINed to per-month counts — the
     // canonical "report every month even the empty ones" series. The
-    // recursion depth is the month span (tiny, driver-bounded); the
-    // data-sized work stays one aggregate over orders.
+    // ANCHOR computes both the start month and the step count in ONE
+    // aggregate pass; each recursion step is then pure arithmetic on the
+    // carried counter. (The natural `WHERE mo < (SELECT MAX(...))` stop
+    // condition re-executes its scalar subquery — a full orders scan —
+    // on EVERY UnionLoop iteration: measured 14.5 s vs 1.8 s for this
+    // form at sf0.1. On 100 TB that's the difference between one scan
+    // and eighty.)
     "q113_recursive_cte" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("o_q113")
       s.sql(
-        """WITH RECURSIVE months(mo) AS (
-          |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS TIMESTAMP)
+        """WITH RECURSIVE months(mo, steps_left) AS (
+          |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS TIMESTAMP),
+          |         CAST(MONTHS_BETWEEN(DATE_TRUNC('month', MAX(o_orderdate)),
+          |                             DATE_TRUNC('month', MIN(o_orderdate)))
+          |              AS INT)
           |  FROM o_q113
           |  UNION ALL
-          |  SELECT mo + INTERVAL 1 MONTH FROM months
-          |  WHERE mo < (SELECT CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS TIMESTAMP)
-          |              FROM o_q113)
+          |  SELECT mo + INTERVAL 1 MONTH, steps_left - 1 FROM months
+          |  WHERE steps_left > 0
           |)
           |SELECT m.mo, COUNT(o.o_orderkey) AS n
           |FROM months m
@@ -818,13 +825,14 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q113_recursive_cte" ->
-      """WITH RECURSIVE months(mo) AS (
-        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS TIMESTAMP)
+      """WITH RECURSIVE months(mo, steps_left) AS (
+        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate)) AS TIMESTAMP),
+        |         CAST(datediff('month', DATE_TRUNC('month', MIN(o_orderdate)),
+        |                       DATE_TRUNC('month', MAX(o_orderdate))) AS INT)
         |  FROM orders
         |  UNION ALL
-        |  SELECT mo + INTERVAL 1 MONTH FROM months
-        |  WHERE mo < (SELECT CAST(DATE_TRUNC('month', MAX(o_orderdate)) AS TIMESTAMP)
-        |              FROM orders)
+        |  SELECT mo + INTERVAL 1 MONTH, steps_left - 1 FROM months
+        |  WHERE steps_left > 0
         |)
         |SELECT m.mo, COUNT(o.o_orderkey) AS n
         |FROM months m

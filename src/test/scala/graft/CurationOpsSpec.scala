@@ -518,6 +518,36 @@ class CurationOpsSpec extends SparkSpec {
       ("fr", 1L) -> 1L), s"got $got")
   }
 
+  test("paragraph dedup properties: ids preserved, no surviving dups, idempotent") {
+    import org.scalacheck.{Gen, Prop}
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    // paragraphs of 1-4 words; some short (< minChars=12), some long
+    val para = Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val doc = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, para))
+      .map(_.mkString("\n\n"))
+    val corpus = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, doc))
+    val prop = Prop.forAll(corpus) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = graft.operators.Dedup
+        .paragraphDedup(df, "doc_id", "text", minChars = 12)
+      val rows = once.collect().map(r => r.getLong(0) -> r.getString(1))
+      val idsOk = rows.map(_._1).sorted.toSeq == texts.indices.map(_.toLong)
+      val longParas = rows.flatMap(_._2.split("\n\n", -1))
+        .filter(_.length >= 12).toSeq
+      val noDups = longParas.distinct.size == longParas.size
+      val twice = graft.operators.Dedup
+        .paragraphDedup(once, "doc_id", "text", minChars = 12)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      val idempotent = twice.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq
+      idsOk && noDups && idempotent
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("random projection roughly preserves pairwise distances (JL property)") {
     import graft.functions.Similarity
     // deterministic 64-dim vectors; k=32 keeps expected distortion small
