@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Similarity, TextFunctions}
-import graft.operators.{Dedup, Multimodal, NgramLm, QualityFilters, TemporalJoins, TfIdf}
+import graft.operators.{Dedup, FuzzyJoin, Multimodal, NgramLm, QualityFilters, TemporalJoins, TfIdf}
 
 /** Training-data-pipeline extensions (SURVEY §2.B north star + the declared
   * Q34–Q36): deduplication, similarity search, text analysis, multimodal
@@ -713,6 +713,18 @@ object Extensions {
         .orderBy(col("lang").asc_nulls_first, col("bucket").asc)
     }),
 
+    // Blocked edit-distance linkage over the distinct part-name catalog:
+    // pairs within 4 edits, compared only inside same-last-word blocks
+    // (the documented blocking trade; the oracle blocks identically).
+    "q124_fuzzy_pairs" -> ((s, d) => {
+      val names = t(s, d, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
+      FuzzyJoin.editDistancePairs(names, "id", "p_name",
+          maxDist = 4, blockKey = substring_index(col("p_name"), " ", -1))
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
     // Johnson–Lindenstrauss dimensionality reduction (64 → 16 dims):
     // map-side codegen'd ±1 projection with a deterministic sign family,
     // so the oracle recomputes every output EXACTLY. The gate pins two
@@ -1383,6 +1395,19 @@ object Extensions {
         |      FROM scores s JOIN documents d USING (doc_id))
         |GROUP BY lang, bucket
         |ORDER BY lang ASC NULLS FIRST, bucket ASC""".stripMargin,
+    "q124_fuzzy_pairs" ->
+      """WITH names AS (SELECT p_name, MIN(p_partkey) AS id FROM part
+        |               GROUP BY p_name),
+        |blocked AS (SELECT id, p_name,
+        |                   regexp_extract(p_name, '[^ ]+$') AS block
+        |            FROM names)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       a.p_name AS p_name_a, b.p_name AS p_name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM blocked a JOIN blocked b
+        |  ON a.block = b.block AND a.id < b.id
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY id_a ASC, id_b ASC""".stripMargin,
     "q123_random_projection" ->
       """WITH p AS (SELECT vec_id,
         |             list_transform(range(0, 16), j ->

@@ -575,6 +575,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(mean > 0.85 && mean < 1.15, s"mean distortion $mean")
   }
 
+  test("fuzzy join finds within-block edit pairs and honors the block cap") {
+    import graft.operators.FuzzyJoin
+    val rows = Seq(
+      (1L, "red widget"), (2L, "rad widget"),   // dist 1, same block
+      (3L, "blue widget"),                       // dist 4 from both (red/rad → blue)
+      (4L, "red bolt"), (5L, "red bolts")        // different block words: bolt vs bolts
+    ).toDF("id", "name")
+    val pairs = FuzzyJoin.editDistancePairs(rows, "id", "name",
+        maxDist = 3, blockKey = substring_index(col("name"), " ", -1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // widget block: only (1,2) within 3 edits ("blue" is 4 from "red"
+    // and "rad"); bolt vs bolts sit in DIFFERENT blocks — the documented
+    // blocking miss — so their distance-1 pair never surfaces
+    assert(pairs == Map((1L, 2L) -> 1L), s"got $pairs")
+    // cap: a block over maxBlock is dropped entirely
+    val capped = FuzzyJoin.editDistancePairs(rows, "id", "name",
+        maxDist = 3, blockKey = substring_index(col("name"), " ", -1),
+        maxBlock = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // widget block (3 rows) dropped under cap 2; bolt/bolts are singleton
+    // blocks with no pairs — nothing survives
+    assert(capped.isEmpty, s"got $capped")
+  }
+
   test("gopher battery symbol and alpha rules see planted spam") {
     val spam = (Seq.fill(30)("### ... ###") ++ Seq("the", "a")).mkString(" ")
     val got = graft.operators.QualityFilters
