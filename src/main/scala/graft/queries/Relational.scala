@@ -306,6 +306,48 @@ object Relational {
         .orderBy(col("segment").asc_nulls_first)
     }),
 
+    // Ordered funnel (view → click → purchase, each stage strictly after
+    // the previous): three grouped aggregates chained by per-user
+    // timestamps — every stage is one partial-merged pass over events,
+    // never a per-user subquery. The product-analytics staple.
+    "q125_funnel" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("e_q125")
+      s.sql(
+        """WITH u AS (SELECT user_id,
+          |             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v
+          |           FROM e_q125 GROUP BY user_id),
+          |c AS (SELECT e.user_id, MIN(e.ts) AS c
+          |      FROM e_q125 e JOIN u ON e.user_id = u.user_id
+          |      WHERE e.event_type = 'click' AND e.ts > u.v
+          |      GROUP BY e.user_id),
+          |p AS (SELECT e.user_id, MIN(e.ts) AS p
+          |      FROM e_q125 e JOIN c ON e.user_id = c.user_id
+          |      WHERE e.event_type = 'purchase' AND e.ts > c.c
+          |      GROUP BY e.user_id)
+          |SELECT (SELECT COUNT(*) FROM u WHERE v IS NOT NULL) AS n_view,
+          |       (SELECT COUNT(*) FROM c) AS n_click,
+          |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin)
+    }),
+
+    // Cohort retention: users grouped by first-seen week, distinct
+    // activity counted per (cohort, week offset) — the other analytics
+    // staple. Two aggregates + one join; offsets derive from
+    // week-truncated timestamps so the arithmetic is exact.
+    "q126_cohorts" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("e_q126")
+      s.sql(
+        """WITH fs AS (SELECT user_id,
+          |              CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+          |            FROM e_q126 GROUP BY user_id)
+          |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+          |       CAST(DATEDIFF(CAST(DATE_TRUNC('week', e.ts) AS DATE),
+          |                     f.cohort) / 7 AS BIGINT) AS wk,
+          |       COUNT(DISTINCT e.user_id) AS active_users
+          |FROM e_q126 e JOIN fs f ON e.user_id = f.user_id
+          |GROUP BY f.cohort, wk
+          |ORDER BY cohort, wk""".stripMargin)
+    }),
+
     // Modern aggregate surface: count_if / bool_and / bool_or / mode /
     // max_by — all partial-mergeable single-pass aggregates (the same
     // 100 TB plan class as SUM). mode and max_by are deterministic on
@@ -726,6 +768,33 @@ object Relational {
         |FROM events e
         |LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY segment ORDER BY segment ASC NULLS FIRST""".stripMargin,
+    "q125_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v
+        |           FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c
+        |      FROM events e JOIN u ON e.user_id = u.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > u.v
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.c
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM u WHERE v IS NOT NULL) AS n_view,
+        |       (SELECT COUNT(*) FROM c) AS n_click,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase""".stripMargin,
+    "q126_cohorts" ->
+      """WITH fs AS (SELECT user_id,
+        |              CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort
+        |            FROM events GROUP BY user_id)
+        |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+        |       CAST(datediff('day', f.cohort,
+        |                     CAST(DATE_TRUNC('week', e.ts) AS DATE)) / 7
+        |            AS BIGINT) AS wk,
+        |       COUNT(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN fs f ON e.user_id = f.user_id
+        |GROUP BY f.cohort, wk
+        |ORDER BY cohort, wk""".stripMargin,
     "q122_agg_extras" ->
       """SELECT o_orderstatus,
         |       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
