@@ -713,6 +713,19 @@ object Extensions {
         .orderBy(col("lang").asc_nulls_first, col("bucket").asc)
     }),
 
+    // BPE vocabulary training over the corpus (rows-only: the merge loop
+    // is inherently iterative, not SQL-expressible; CurationOpsSpec pins
+    // a hand-computed Sennrich run + boundary/tokenize round-trips).
+    "q128_bpe_merges" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.BpeTrainer
+        .train(t(s, d, "documents"), "text", numMerges = 12)
+        .toDF()
+        .select(col("rank").cast("bigint").as("rank"), col("left"),
+          col("right"), col("count"))
+        .orderBy(col("rank").asc)
+    }),
+
     // Blocked edit-distance linkage over the distinct part-name catalog:
     // pairs within 4 edits, compared only inside same-last-word blocks
     // (the documented blocking trade; the oracle blocks identically).

@@ -348,6 +348,27 @@ object Relational {
           |ORDER BY cohort, wk""".stripMargin)
     }),
 
+    // Window navigation family: first/last/nth_value + IGNORE NULLS
+    // (the "carry the last known good value" idiom). One window
+    // exchange; last_value needs the full-partition frame explicitly —
+    // the default frame's "last" is just the current row.
+    "q127_window_nav" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("o_q127")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+          |  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |    AS last_ok,
+          |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok,
+          |  FIRST_VALUE(CASE WHEN o_totalprice > 150000 THEN o_orderkey END)
+          |    IGNORE NULLS OVER w AS first_big
+          |FROM o_q127
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+          |ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin)
+    }),
+
     // Modern aggregate surface: count_if / bool_and / bool_or / mode /
     // max_by — all partial-mergeable single-pass aggregates (the same
     // 100 TB plan class as SUM). mode and max_by are deterministic on
@@ -768,6 +789,19 @@ object Relational {
         |FROM events e
         |LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY segment ORDER BY segment ASC NULLS FIRST""".stripMargin,
+    "q127_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok,
+        |  first_value(CASE WHEN o_totalprice > 150000 THEN o_orderkey END
+        |              IGNORE NULLS) OVER w AS first_big
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin,
     "q125_funnel" ->
       """WITH u AS (SELECT user_id,
         |             MIN(CASE WHEN event_type = 'view' THEN ts END) AS v

@@ -599,6 +599,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(capped.isEmpty, s"got $capped")
   }
 
+  test("BPE training reproduces the hand-computed merge sequence") {
+    import graft.operators.BpeTrainer
+    val corpus = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, "text", numMerges = 10)
+    // pairs r1: (l,o)=5 ties (o,w)=5 → left asc; r2: (lo,w)=5;
+    // r3: (low,e)=2; r4: all pairs count 1 < minCount=2 → stop
+    assert(merges.map(m => (m.rank, m.left, m.right, m.count)) ==
+      Seq((0, "l", "o", 5L), (1, "lo", "w", 5L), (2, "low", "e", 2L)),
+      s"got $merges")
+  }
+
+  test("BPE tokenize applies merges in rank order and respects word boundaries") {
+    import graft.operators.BpeTrainer
+    val corpus = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, "text", numMerges = 10)
+    val toks = BpeTrainer.tokenize(
+        Seq((1L, "lowest low"), (2L, "slow")).toDF("doc_id", "text"),
+        "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2).toList).toMap
+    assert(toks(1L) == List("lowe", "s", "t", "low"), s"got ${toks(1L)}")
+    // 's' + 'low' inside ONE word: the (l,o)/(lo,w) merges still apply
+    // within it — BPE is position-free inside a word
+    assert(toks(2L) == List("s", "low"), s"got ${toks(2L)}")
+  }
+
+  test("BPE merges never fuse across a word boundary") {
+    import graft.operators.BpeTrainer
+    // train ('a','b') on a corpus where ab occurs within words
+    val corpus = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, "text", numMerges = 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")))
+    // "...a b..." split across words must NOT merge
+    val toks = BpeTrainer.tokenize(
+        Seq((1L, "ba ab")).toDF("doc_id", "text"), "text", merges)
+      .collect().head.getSeq[String](2).toList
+    assert(toks == List("b", "a", "ab"), s"got $toks")
+  }
+
   test("gopher battery symbol and alpha rules see planted spam") {
     val spam = (Seq.fill(30)("### ... ###") ++ Seq("the", "a")).mkString(" ")
     val got = graft.operators.QualityFilters
