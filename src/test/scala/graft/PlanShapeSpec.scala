@@ -243,4 +243,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(physical(cnt).contains("LocalTableScan"))
     assert(cnt.collect()(0).getLong(0) == 100L)
   }
+
+  test("q109's EXISTS/NOT EXISTS decorrelate to one semi and one anti join") {
+    val plan = physical(
+      graft.SparkEntry.queries("q109_exists_anti")(spark, sf))
+    assert(plan.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$plan")
+    // the l_returnflag = 'R' filter pushes to the outer AND anti scans
+    assert("EqualTo\\(l_returnflag,R\\)".r.findAllIn(plan).length >= 2,
+      s"returnflag filter must push into the scans:\n$plan")
+  }
+
+  test("q113's recursion carries a counter: no per-iteration orders subquery") {
+    val plan = physical(
+      graft.SparkEntry.queries("q113_recursive_cte")(spark, sf))
+    assert(plan.contains("UnionLoop"), s"recursive CTE must plan a UnionLoop:\n$plan")
+    // the 14.5 s regression: a scalar subquery in the recursion's stop
+    // condition re-scanned orders every iteration. The recursive step must
+    // reference NO file scan (pure arithmetic on the carried counter).
+    val loopIdx = plan.indexOf("UnionLoopRef")
+    assert(loopIdx >= 0, s"plan has no UnionLoopRef:\n$plan")
+    val step = plan.substring(loopIdx,
+      math.min(plan.length, loopIdx + 400))
+    assert(!step.contains("FileScan") && !step.contains("Subquery"),
+      s"recursive step must not rescan data:\n$step")
+  }
+
+  test("q121's stream-static enrichment broadcasts the dim, not the events") {
+    val plan = physical(
+      graft.SparkEntry.queries("q121_stream_enrich")(spark, sf))
+    val bIdx = plan.indexOf("BroadcastExchange")
+    assert(bIdx >= 0, s"expected a broadcast join:\n$plan")
+    assert(plan.indexOf("customer.parquet", bIdx) >= 0,
+      s"the broadcast subtree must be the customer dim:\n$plan")
+  }
+
+  test("paragraph dedup shuffles digests, not a window over paragraph text") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val plan = physical(
+      graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text"))
+    assert(!plan.contains("Window"),
+      s"winner election must be an aggregate, not a window:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_first") ||
+      plan.contains("HashAggregate"),
+      s"winner election must partial-aggregate before the exchange:\n$plan")
+  }
 }
