@@ -26,6 +26,16 @@ import graft.functions.TextFunctions
   * broadcast one-row aggregate, never a driver-side action, so the whole
   * score is ONE lazy plan. Nothing in the pipeline holds more than a
   * document's own bigrams per task row.
+  *
+  * Skew: the unigram join key `w1` follows the Zipfian word distribution
+  * ("the" alone is ~5-7% of a natural corpus), so a plain shuffle join
+  * would put that fraction of ALL bigram rows in one task. Two built-in
+  * mitigations cover it: Spark broadcasts the aggregated model tables
+  * when they fit (vocab ≪ corpus — the common case, no shuffle of the
+  * probe side at all), and above broadcast size AQE's skew-join splits
+  * the hot partition at runtime (`spark.sql.adaptive.skewJoin`, on by
+  * default). The bigram-key join skews far less (the top BIGRAM is ~1%)
+  * and the same AQE path covers it.
   */
 object NgramLm {
 

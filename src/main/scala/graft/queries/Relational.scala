@@ -369,6 +369,30 @@ object Relational {
           |ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin)
     }),
 
+    // One-pass column profiling (operators/Profiler): every per-column
+    // metric from ONE aggregate over the table — never a job per column.
+    "q129_profile" -> ((s, d) =>
+      graft.operators.Profiler.profile(
+          t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy(col("col_name").asc)),
+
+    // Per-group z-score outlier counts: two chained aggregates (moments,
+    // then the 3-sigma gate) — the monitoring primitive over a metric
+    // stream.
+    "q130_outliers" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("e_q130")
+      s.sql(
+        """WITH s AS (SELECT event_type, AVG(value) AS m,
+          |                  STDDEV_POP(value) AS sd
+          |           FROM e_q130 GROUP BY event_type)
+          |SELECT e.event_type, COUNT(*) AS n,
+          |       COUNT_IF(ABS(e.value - s.m) > 3 * s.sd) AS n_outliers
+          |FROM e_q130 e JOIN s ON e.event_type = s.event_type
+          |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+    }),
+
     // Modern aggregate surface: count_if / bool_and / bool_or / mode /
     // max_by — all partial-mergeable single-pass aggregates (the same
     // 100 TB plan class as SUM). mode and max_by are deterministic on
@@ -789,6 +813,49 @@ object Relational {
         |FROM events e
         |LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY segment ORDER BY segment ASC NULLS FIRST""".stripMargin,
+    "q129_profile" ->
+      """SELECT col_name, n, n_nulls, n_distinct, min_s, max_s FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n,
+        |         COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |         COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |         CAST(ROUND(CAST(MIN(o_orderkey) AS DOUBLE), 4) AS VARCHAR) AS min_s,
+        |         CAST(ROUND(CAST(MAX(o_orderkey) AS DOUBLE), 4) AS VARCHAR) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(o_custkey), COUNT(*) - COUNT(o_custkey),
+        |         COUNT(DISTINCT o_custkey),
+        |         CAST(ROUND(CAST(MIN(o_custkey) AS DOUBLE), 4) AS VARCHAR),
+        |         CAST(ROUND(CAST(MAX(o_custkey) AS DOUBLE), 4) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(o_orderstatus),
+        |         COUNT(*) - COUNT(o_orderstatus),
+        |         COUNT(DISTINCT o_orderstatus),
+        |         MIN(o_orderstatus), MAX(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(o_totalprice),
+        |         COUNT(*) - COUNT(o_totalprice),
+        |         COUNT(DISTINCT o_totalprice),
+        |         CAST(ROUND(MIN(o_totalprice), 4) AS VARCHAR),
+        |         CAST(ROUND(MAX(o_totalprice), 4) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(o_orderpriority),
+        |         COUNT(*) - COUNT(o_orderpriority),
+        |         COUNT(DISTINCT o_orderpriority),
+        |         MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders)
+        |ORDER BY col_name ASC""".stripMargin,
+    "q130_outliers" ->
+      """WITH s AS (SELECT event_type, AVG(value) AS m,
+        |                  STDDEV_POP(value) AS sd
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |       CAST(count_if(ABS(e.value - s.m) > 3 * s.sd) AS BIGINT)
+        |         AS n_outliers
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "q127_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_ok,

@@ -637,6 +637,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(toks == List("b", "a", "ab"), s"got $toks")
   }
 
+  test("profiler computes all metrics in one pass, counting nulls exactly") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null),
+      (2L, "b"), (null, "a")).toDF("k", "v")
+    val got = graft.operators.Profiler.profile(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getString(4), r.getString(5))).toMap
+    assert(got("k") == ((3L, 1L, 2L, "1.0", "2.0")), s"k: ${got("k")}")
+    assert(got("v") == ((3L, 1L, 2L, "a", "b")), s"v: ${got("v")}")
+    // one pass: a single aggregate subtree (the Expand rewrite), never
+    // one scan per column
+    val plan = graft.operators.Profiler.profile(df, Seq("k", "v"))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan ".r.findAllIn(plan).length <= 1,
+      s"profiler must scan the input once:\n$plan")
+  }
+
   test("gopher battery symbol and alpha rules see planted spam") {
     val spam = (Seq.fill(30)("### ... ###") ++ Seq("the", "a")).mkString(" ")
     val got = graft.operators.QualityFilters
