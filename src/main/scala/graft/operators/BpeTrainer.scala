@@ -42,9 +42,23 @@ object BpeTrainer {
       .select(split(col("word"), "").as("sym"), col("wc"))
 
   /** Train up to `numMerges` merges; stops early when no adjacent pair
-    * occurs at least `minCount` times. Returns merges in rank order. */
+    * occurs at least `minCount` times. Returns merges in rank order.
+    *
+    * `mergesPerRound = 1` (default) is EXACT Sennrich BPE: counts are
+    * recomputed after every merge. A real 30k-merge vocabulary at 1
+    * merge/round is 30k aggregate jobs; production trainers batch — per
+    * round, take the top pairs whose symbols are pairwise DISJOINT (a
+    * merge can only change counts of pairs touching its symbols, so
+    * disjoint merges see exactly the counts they were ranked by) and
+    * apply them in one rewrite. Batching by K cuts rounds ~K× and stays
+    * deterministic; counts recorded for later merges in a batch are the
+    * start-of-round values (the standard approximation — exact for the
+    * disjoint prefix actually applied, which is why disjointness is
+    * enforced rather than taking a blind top-K).
+    */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minCount: Long = 2L): Seq[Merge] = {
+            minCount: Long = 2L, mergesPerRound: Int = 1): Seq[Merge] = {
+    require(mergesPerRound >= 1, s"mergesPerRound=$mergesPerRound")
     var words = wordTable(df, textCol).localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -56,20 +70,32 @@ object BpeTrainer {
           slice(col("sym"), lit(2), size(col("sym")) - 1).as("r"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("wc")).as("cnt"))
+      // bounded driver contact: 4× the batch is plenty of slack for the
+      // greedy disjoint selection to fill a round
+      val want = math.min(mergesPerRound, numMerges - rank)
       val top = pairs
+        .filter(col("cnt") >= minCount)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (top.isEmpty || top.head.getLong(2) < minCount) done = true
+        .limit(math.max(want * 4, 4)).collect()
+      if (top.isEmpty) done = true
       else {
-        val (l, r, c) = (top.head.getString(0), top.head.getString(1),
-          top.head.getLong(2))
-        merges += Merge(rank, l, r, c)
+        val used = scala.collection.mutable.Set[String]()
+        val round = top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (l, r, _) =>
+            if (used(l) || used(r) || used(l + r)) false
+            else { used += l; used += r; used += (l + r); true }
+          }
+          .take(want).toSeq
+        round.foreach { case (l, r, c) =>
+          merges += Merge(rank, l, r, c); rank += 1
+        }
         val next = words
-          .select(mergeCol(col("sym"), l, r).as("sym"), col("wc"))
+          .select(round.foldLeft(col("sym")) { case (c, (l, r, _)) =>
+            mergeCol(c, l, r) }.as("sym"), col("wc"))
           .localCheckpoint(true)
         words.unpersist()
         words = next
-        rank += 1
       }
     }
     words.unpersist()

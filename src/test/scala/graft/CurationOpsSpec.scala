@@ -610,6 +610,21 @@ class CurationOpsSpec extends SparkSpec {
       s"got $merges")
   }
 
+  test("batched BPE takes only symbol-disjoint merges per round") {
+    import graft.operators.BpeTrainer
+    val corpus = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(corpus, "text", numMerges = 10,
+      mergesPerRound = 4)
+    // round 1 candidates >= 2: (l,o)=5, (o,w)=5, (w,e)=2. Greedy
+    // disjoint: (l,o) taken, (o,w) blocked on 'o', (w,e) taken.
+    // round 2: (lo,w)=3 taken, (lo,we)=2 blocked on 'lo'.
+    // round 3: (lo,we)=2. round 4: nothing >= 2.
+    assert(merges.map(m => (m.rank, m.left, m.right, m.count)) ==
+      Seq((0, "l", "o", 5L), (1, "w", "e", 2L),
+          (2, "lo", "w", 3L), (3, "lo", "we", 2L)),
+      s"got $merges")
+  }
+
   test("BPE tokenize applies merges in rank order and respects word boundaries") {
     import graft.operators.BpeTrainer
     val corpus = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
