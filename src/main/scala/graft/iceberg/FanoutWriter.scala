@@ -88,7 +88,8 @@ private[graft] final class FanoutWriterFactory(
     fieldIds: Map[String, Int],
     spec: Seq[WritePartitionField],
     conf: SerializableHadoopConf,
-    sortOrderId: Option[Int] = None)
+    sortOrderId: Option[Int] = None,
+    codec: String = "snappy")
     extends Serializable {
 
   import FanoutWriterFactory.MaxOpenWriters
@@ -107,7 +108,7 @@ private[graft] final class FanoutWriterFactory(
       private final class OpenFile(val path: String) {
         val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
           org.apache.spark.sql.execution.datasources.parquet
-            .GraftParquetWriteShim.open(path, schema, conf.value)
+            .GraftParquetWriteShim.open(path, schema, conf.value, codec)
         var rows = 0L
       }
 

@@ -966,6 +966,17 @@ object IcebergWriter {
     * [[AddedDataFile]] bookkeeping returns to the driver. This is the
     * DataFrame-API twin of the DSv2 `ReplaceData` write path — one write
     * kernel, two entry points. */
+  /** The table's `write.parquet.compression-codec` (Iceberg property;
+    * this writer's historical default is snappy). Validated at plan time
+    * so a typo fails the statement, not a task. */
+  private[graft] def tableCodec(meta: TableMetadata): String = {
+    val c = meta.properties.getOrElse(
+      "write.parquet.compression-codec", "snappy")
+    org.apache.spark.sql.execution.datasources.parquet
+      .GraftParquetWriteShim.codecName(c) // validate, loud on typos
+    c
+  }
+
   private[graft] def writeDataFiles(
       df: DataFrame, writeDir: String, meta: TableMetadata,
       conf: org.apache.hadoop.conf.Configuration,
@@ -982,7 +993,7 @@ object IcebergWriter {
       })
     val factory = new FanoutWriterFactory(writeDir, stampedSchema, idByName,
       writeSpecFields(meta, df.schema), new SerializableHadoopConf(conf),
-      sortOrderId)
+      sortOrderId, tableCodec(meta))
     val dirPath = new Path(writeDir)
     val fs = dirPath.getFileSystem(conf)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)

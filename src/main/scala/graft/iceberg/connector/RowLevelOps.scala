@@ -254,7 +254,8 @@ final class GraftReplaceWrite(
       }
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
-        new graft.iceberg.SerializableHadoopConf(conf))
+        new graft.iceberg.SerializableHadoopConf(conf),
+        codec = graft.iceberg.IcebergWriter.tableCodec(meta))
       new DataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
           inner.createWriter(partitionId, taskId)
@@ -327,7 +328,8 @@ final class GraftDynamicOverwriteWrite(
       }
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
-        new graft.iceberg.SerializableHadoopConf(conf))
+        new graft.iceberg.SerializableHadoopConf(conf),
+        codec = graft.iceberg.IcebergWriter.tableCodec(meta))
       new DataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
           inner.createWriter(partitionId, taskId)
@@ -491,7 +493,8 @@ final class GraftDeltaWrite(
         }
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
-        new graft.iceberg.SerializableHadoopConf(conf))
+        new graft.iceberg.SerializableHadoopConf(conf),
+        codec = graft.iceberg.IcebergWriter.tableCodec(meta))
       new GraftDeltaWriterFactory(inner, writeDir,
         new graft.iceberg.SerializableHadoopConf(conf))
     }

