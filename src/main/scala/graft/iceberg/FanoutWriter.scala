@@ -89,7 +89,8 @@ private[graft] final class FanoutWriterFactory(
     spec: Seq[WritePartitionField],
     conf: SerializableHadoopConf,
     sortOrderId: Option[Int] = None,
-    codec: String = "snappy")
+    codec: String = "snappy",
+    targetFileBytes: Long = 512L << 20)
     extends Serializable {
 
   import FanoutWriterFactory.MaxOpenWriters
@@ -166,6 +167,17 @@ private[graft] final class FanoutWriterFactory(
         })
         f.writer.write(data)
         f.rows += 1
+        // size-based rollover (Iceberg `write.target-file-size-bytes`):
+        // without it one task writing one partition produces ONE file of
+        // unbounded size — a 50 GB parquet file at 100 TB kills read
+        // parallelism and every future rewrite of it. getDataSize is an
+        // estimate over buffered pages; probing every 512 rows amortizes
+        // its column walk.
+        if ((f.rows & 511L) == 0L && f.writer.getDataSize >= targetFileBytes) {
+          closed += finish(key, f)
+          open.remove(key)
+          ()
+        }
       }
 
       override def commit(): WriterCommitMessage = {

@@ -977,6 +977,17 @@ object IcebergWriter {
     c
   }
 
+  /** `write.target-file-size-bytes` (Iceberg property, default 512 MB):
+    * the size at which the fanout writer rolls to a new data file. */
+  private[graft] def targetFileSize(meta: TableMetadata): Long = {
+    val v = meta.properties.get("write.target-file-size-bytes")
+      .map(_.toLong).getOrElse(512L << 20)
+    require(v >= (1L << 16),
+      s"write.target-file-size-bytes = $v is below the 64 KiB floor " +
+        "(a page-sized target would write one file per row group flush)")
+    v
+  }
+
   private[graft] def writeDataFiles(
       df: DataFrame, writeDir: String, meta: TableMetadata,
       conf: org.apache.hadoop.conf.Configuration,
@@ -993,7 +1004,7 @@ object IcebergWriter {
       })
     val factory = new FanoutWriterFactory(writeDir, stampedSchema, idByName,
       writeSpecFields(meta, df.schema), new SerializableHadoopConf(conf),
-      sortOrderId, tableCodec(meta))
+      sortOrderId, tableCodec(meta), targetFileSize(meta))
     val dirPath = new Path(writeDir)
     val fs = dirPath.getFileSystem(conf)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)

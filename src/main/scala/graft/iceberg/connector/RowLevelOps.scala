@@ -255,7 +255,8 @@ final class GraftReplaceWrite(
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
         new graft.iceberg.SerializableHadoopConf(conf),
-        codec = graft.iceberg.IcebergWriter.tableCodec(meta))
+        codec = graft.iceberg.IcebergWriter.tableCodec(meta),
+        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta))
       new DataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
           inner.createWriter(partitionId, taskId)
@@ -329,7 +330,8 @@ final class GraftDynamicOverwriteWrite(
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
         new graft.iceberg.SerializableHadoopConf(conf),
-        codec = graft.iceberg.IcebergWriter.tableCodec(meta))
+        codec = graft.iceberg.IcebergWriter.tableCodec(meta),
+        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta))
       new DataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
           inner.createWriter(partitionId, taskId)
@@ -494,7 +496,8 @@ final class GraftDeltaWrite(
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
         new graft.iceberg.SerializableHadoopConf(conf),
-        codec = graft.iceberg.IcebergWriter.tableCodec(meta))
+        codec = graft.iceberg.IcebergWriter.tableCodec(meta),
+        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta))
       new GraftDeltaWriterFactory(inner, writeDir,
         new graft.iceberg.SerializableHadoopConf(conf))
     }

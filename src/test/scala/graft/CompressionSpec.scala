@@ -61,6 +61,27 @@ class CompressionSpec extends SparkSpec {
       .head.getLong(0) == 10L)
   }
 
+  test("write.target-file-size-bytes rolls data files at the target") {
+    val ns = fresh("zcat4")
+    spark.sql("CREATE TABLE zcat4.ns.r (k BIGINT, pad STRING) " +
+      "TBLPROPERTIES ('write.target-file-size-bytes' = '65536')")
+    // one writer task (coalesce through a 1-partition source) with far
+    // more than 64 KiB of incompressible-ish data: must roll > 1 file
+    spark.sql("INSERT INTO zcat4.ns.r " +
+      "SELECT id, repeat(uuid(), 4) FROM range(0, 20000, 1, 1)")
+    val files = new IcebergTable(s"$ns/r", conf).planFiles()
+    assert(files.size > 1, s"expected rolled files, got ${files.size}")
+    assert(files.forall(_.fileSizeInBytes < (4L << 20)),
+      s"rolled files stay near the target: ${files.map(_.fileSizeInBytes)}")
+    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM zcat4.ns.r")
+      .head.toSeq == Seq(20000L, 199990000L))
+    // default table: the same single-task insert stays one file
+    spark.sql("CREATE TABLE zcat4.ns.one (k BIGINT, pad STRING)")
+    spark.sql("INSERT INTO zcat4.ns.one " +
+      "SELECT id, repeat(uuid(), 4) FROM range(0, 20000, 1, 1)")
+    assert(new IcebergTable(s"$ns/one", conf).planFiles().size == 1)
+  }
+
   test("a codec typo fails the statement loudly, not a task") {
     val ns = fresh("zcat3")
     spark.sql("CREATE TABLE zcat3.ns.t (k BIGINT) " +
