@@ -18,7 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeMergePair(child: Expression, left: String, right: String)
     extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // null elements pass through untouched (they can never match a merge
+  // side), so the output permits nulls exactly when the input does —
+  // claiming containsNull=false over a nullable input would let
+  // downstream codegen skip null checks and NPE
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

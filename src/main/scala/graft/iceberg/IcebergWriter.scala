@@ -977,6 +977,17 @@ object IcebergWriter {
     c
   }
 
+  /** Delete-file codec: the spec's `write.delete.parquet.compression-codec`
+    * falling back to the DATA codec — a zstd table must not silently
+    * accumulate snappy delete files. */
+  private[graft] def deleteCodec(meta: TableMetadata): String = {
+    val c = meta.properties.getOrElse(
+      "write.delete.parquet.compression-codec", tableCodec(meta))
+    org.apache.spark.sql.execution.datasources.parquet
+      .GraftParquetWriteShim.codecName(c)
+    c
+  }
+
   /** `write.target-file-size-bytes` (Iceberg property, default 512 MB):
     * the size at which the fanout writer rolls to a new data file. */
   private[graft] def targetFileSize(meta: TableMetadata): Long = {

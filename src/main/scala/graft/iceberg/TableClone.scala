@@ -20,6 +20,18 @@ import org.apache.hadoop.fs.Path
   *    [[IcebergWriter.removeOrphanFiles]] refuse on it) — try a risky
   *    compaction or schema change against 100 TB of production data with
   *    zero copy cost, then drop the clone.
+  *
+  *    The OTHER direction is the operator's contract, exactly as in
+  *    Iceberg's own `snapshot` procedure: the SOURCE does not know its
+  *    files are borrowed (catalog entries are independent — there is no
+  *    cross-table reference to check), so source-side
+  *    `rewrite_data_files` + `expire_snapshots` can physically delete
+  *    files a live clone still reads. Clones are for SHORT-LIVED
+  *    experiments inside the source's snapshot-retention horizon; a
+  *    clone that must outlive source maintenance needs
+  *    `rewrite_data_files` run on it first (compaction localizes every
+  *    live file under the clone — `TableCloneSpec` pins this), after
+  *    which it shares nothing.
   *  - [[register]]: adopt an EXISTING metadata document (full history,
   *    refs, stats) under a new catalog location — catalog migration and
   *    disaster recovery. The table owns its files afterwards, so (as in
@@ -164,6 +176,12 @@ object TableClone {
       o.put("statistics-path",
         absolutize(origLocation, origDir, o.get("statistics-path").asText))
     })
+    Option(root.get("partition-statistics")).foreach(
+      _.elements.forEachRemaining { s =>
+        val o = s.asInstanceOf[ObjectNode]
+        o.put("statistics-path",
+          absolutize(origLocation, origDir, o.get("statistics-path").asText))
+      })
     // the old location's metadata files are not adopted
     root.remove("metadata-log")
 

@@ -499,7 +499,8 @@ final class GraftDeltaWrite(
         codec = graft.iceberg.IcebergWriter.tableCodec(meta),
         targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta))
       new GraftDeltaWriterFactory(inner, writeDir,
-        new graft.iceberg.SerializableHadoopConf(conf))
+        new graft.iceberg.SerializableHadoopConf(conf),
+        deleteCodec = graft.iceberg.IcebergWriter.deleteCodec(meta))
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -528,7 +529,8 @@ final class GraftDeltaWrite(
 final class GraftDeltaWriterFactory(
     inner: graft.iceberg.FanoutWriterFactory,
     writeDir: String,
-    conf: graft.iceberg.SerializableHadoopConf)
+    conf: graft.iceberg.SerializableHadoopConf,
+    deleteCodec: String = "snappy")
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
@@ -573,7 +575,8 @@ final class GraftDeltaWriterFactory(
           val fs = p.getFileSystem(conf.value)
           val qualified = fs.makeQualified(p)
           val w = org.apache.spark.sql.execution.datasources.parquet
-            .GraftParquetWriteShim.open(qualified.toString, delSchema, conf.value)
+            .GraftParquetWriteShim.open(qualified.toString, delSchema,
+              conf.value, deleteCodec)
           try dels.sortInPlace().foreach { case (f, pos) =>
             w.write(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
               Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(f), pos)))

@@ -1396,8 +1396,13 @@ object Extensions {
         |               // (COALESCE(c1, 0) + (SELECT v FROM vs)) AS ps
         |      FROM pairs LEFT JOIN bi USING (w1, w2)
         |      LEFT JOIN uni ON pairs.w1 = uni.w1),
-        |scores AS (SELECT doc_id, SUM(ps) // COUNT(*) AS lm_score
-        |           FROM p GROUP BY doc_id)
+        |-- LEFT JOIN from documents: a sub-2-word doc has no bigram rows
+        |-- but MUST still be bucketed (NULL score, NULLS LAST) exactly as
+        |-- the Spark side's bigramScore left-join keeps it
+        |scores AS (SELECT d2.doc_id, s.lm_score
+        |           FROM documents d2
+        |           LEFT JOIN (SELECT doc_id, SUM(ps) // COUNT(*) AS lm_score
+        |                      FROM p GROUP BY doc_id) s USING (doc_id))
         |SELECT lang, bucket, COUNT(*) AS n,
         |       CAST(MIN(lm_score) AS BIGINT) AS mn,
         |       CAST(MAX(lm_score) AS BIGINT) AS mx

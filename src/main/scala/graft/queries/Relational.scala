@@ -383,9 +383,15 @@ object Relational {
     // stream.
     "q130_outliers" -> ((s, d) => {
       t(s, d, "events").createOrReplaceTempView("e_q130")
+      // m/sd ROUNDED before the gate: the engines' partial-aggregated
+      // moments differ in the last ulps, so an unrounded 3-sigma
+      // comparison could flip a boundary event between engines. With
+      // identical (rounded) m and sd on both sides, the per-row
+      // comparison arithmetic is bit-identical IEEE — the float-ulp
+      // discipline every gate in this file follows.
       s.sql(
-        """WITH s AS (SELECT event_type, AVG(value) AS m,
-          |                  STDDEV_POP(value) AS sd
+        """WITH s AS (SELECT event_type, ROUND(AVG(value), 4) AS m,
+          |                  ROUND(STDDEV_POP(value), 4) AS sd
           |           FROM e_q130 GROUP BY event_type)
           |SELECT e.event_type, COUNT(*) AS n,
           |       COUNT_IF(ABS(e.value - s.m) > 3 * s.sd) AS n_outliers
@@ -848,8 +854,8 @@ object Relational {
         |  FROM orders)
         |ORDER BY col_name ASC""".stripMargin,
     "q130_outliers" ->
-      """WITH s AS (SELECT event_type, AVG(value) AS m,
-        |                  STDDEV_POP(value) AS sd
+      """WITH s AS (SELECT event_type, ROUND(AVG(value), 4) AS m,
+        |                  ROUND(STDDEV_POP(value), 4) AS sd
         |           FROM events GROUP BY event_type)
         |SELECT e.event_type, COUNT(*) AS n,
         |       CAST(count_if(ABS(e.value - s.m) > 3 * s.sd) AS BIGINT)

@@ -59,6 +59,21 @@ class CompressionSpec extends SparkSpec {
     assert(codecsOf(s"$ns/m") == Set("ZSTD"), codecsOf(s"$ns/m"))
     assert(spark.sql("SELECT COUNT(*) FROM zcat2.ns.m WHERE v = 'b'")
       .head.getLong(0) == 10L)
+    // the POSITION-DELETE file follows the delete-codec fallback chain
+    // (write.delete.parquet.compression-codec -> data codec): zstd too
+    val fs = new Path(s"$ns/m/data").getFileSystem(conf)
+    val it = fs.listFiles(new Path(s"$ns/m/data"), true)
+    val delFiles = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next().getPath)
+      .filter(_.getName.startsWith("del-")).toSeq
+    assert(delFiles.nonEmpty, "expected a position-delete file")
+    val delCodecs = delFiles.flatMap { p =>
+      val rd = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try rd.getFooter.getBlocks.asScala.toSeq
+        .flatMap(_.getColumns.asScala.toSeq.map(_.getCodec.name))
+      finally rd.close()
+    }.toSet
+    assert(delCodecs == Set("ZSTD"), delCodecs)
   }
 
   test("write.target-file-size-bytes rolls data files at the target") {
