@@ -369,6 +369,21 @@ object Relational {
           |ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin)
     }),
 
+    // Spark 4 VARIANT: semi-structured values parsed ONCE into the
+    // binary variant encoding, then typed paths extracted without
+    // re-parsing — the modern replacement for per-access JSON string
+    // parsing (q32's shape). At 100 TB the parse happens a single time
+    // per row instead of once per extracted field.
+    "q131_variant" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("e_q131")
+      s.sql(
+        """SELECT k, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+          |FROM (SELECT CAST(variant_get(parse_json(props), '$.k', 'int')
+          |             AS BIGINT) AS k, value
+          |      FROM e_q131)
+          |GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin)
+    }),
+
     // One-pass column profiling (operators/Profiler): every per-column
     // metric from ONE aggregate over the table — never a job per column.
     "q129_profile" -> ((s, d) =>
@@ -819,6 +834,10 @@ object Relational {
         |FROM events e
         |LEFT JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY segment ORDER BY segment ASC NULLS FIRST""".stripMargin,
+    "q131_variant" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |       COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+        |FROM events GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin,
     "q129_profile" ->
       """SELECT col_name, n, n_nulls, n_distinct, min_s, max_s FROM (
         |  SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n,
