@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Differential query fuzzer: generate N random aggregate queries from a
+  * deterministic grammar restricted to the Spark∩DuckDB ANSI subset, run
+  * them on Spark, and dump results + the SQL in the Verify contract's
+  * format — `tools/check_oracle.py <outDir> <sfDir>` then replays every
+  * query in DuckDB and value-compares. One seed = one reproducible
+  * corpus, so a mismatch is a one-line repro.
+  *
+  * The grammar only emits FULLY DETERMINISTIC queries (aggregates grouped
+  * by categorical columns, ordered by every group column NULLS FIRST,
+  * doubles rounded — the declared-gate discipline), so any mismatch is an
+  * engine-semantics bug, never an ordering artifact.
+  *
+  * Usage: `runMain graft.DiffFuzz [sfDir] [outDir] [seed] [count]`.
+  */
+object DiffFuzz {
+
+  private final case class Col(name: String, kind: String) // num | cat | ts
+
+  private val tables: Map[String, Seq[Col]] = Map(
+    "orders" -> Seq(Col("o_orderkey", "num"), Col("o_custkey", "num"),
+      Col("o_totalprice", "num"), Col("o_orderstatus", "cat"),
+      Col("o_orderpriority", "cat"), Col("o_orderdate", "ts")),
+    "lineitem" -> Seq(Col("l_orderkey", "num"), Col("l_quantity", "num"),
+      Col("l_extendedprice", "num"), Col("l_discount", "num"),
+      Col("l_returnflag", "cat"), Col("l_linestatus", "cat"),
+      Col("l_shipdate", "ts")),
+    "customer" -> Seq(Col("c_custkey", "num"), Col("c_acctbal", "num"),
+      Col("c_nationkey", "num"), Col("c_mktsegment", "cat")))
+
+  private val catValues: Map[String, Seq[String]] = Map(
+    "o_orderstatus" -> Seq("F", "O", "P"),
+    "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+    "l_returnflag" -> Seq("A", "N", "R"),
+    "l_linestatus" -> Seq("F", "O"),
+    "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+
+  private val numRange: Map[String, (Long, Long)] = Map(
+    "o_orderkey" -> (0L, 15000L), "o_custkey" -> (0L, 1500L),
+    "o_totalprice" -> (1000L, 400000L),
+    "l_orderkey" -> (0L, 15000L), "l_quantity" -> (1L, 50L),
+    "l_extendedprice" -> (1000L, 100000L), "l_discount" -> (0L, 1L),
+    "c_custkey" -> (0L, 1500L), "c_acctbal" -> (-1000L, 10000L),
+    "c_nationkey" -> (0L, 24L))
+
+  private def pick[A](r: scala.util.Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+  private def numLit(r: scala.util.Random, c: String): String = {
+    val (lo, hi) = numRange(c)
+    val v = lo + math.abs(r.nextLong()) % math.max(1L, hi - lo)
+    if (c == "l_discount") f"0.0${r.nextInt(9)}%s" else v.toString
+  }
+
+  private def predicate(r: scala.util.Random, cols: Seq[Col]): String = {
+    def leaf(): String = {
+      val c = pick(r, cols)
+      c.kind match {
+        case "num" => pick(r, Seq("<", "<=", ">", ">=", "=")) match {
+          case op => s"${c.name} $op ${numLit(r, c.name)}"
+        }
+        case "cat" =>
+          val vs = catValues(c.name)
+          if (r.nextBoolean()) s"${c.name} = '${pick(r, vs)}'"
+          else s"${c.name} IN (${r.shuffle(vs).take(1 + r.nextInt(2))
+            .map(v => s"'$v'").mkString(", ")})"
+        case "ts" =>
+          val y = 1995 + r.nextInt(4)
+          s"${c.name} ${pick(r, Seq("<", ">="))} TIMESTAMP '$y-0${1 + r.nextInt(9)}-15 00:00:00'"
+      }
+    }
+    (1 to (1 + r.nextInt(3))).map(_ => leaf())
+      .mkString(if (r.nextBoolean()) " AND " else " OR ")
+  }
+
+  /** One deterministic aggregate query in the common dialect. */
+  def genQuery(r: scala.util.Random): String = {
+    val (t, cols) = pick(r, tables.toSeq.sortBy(_._1))
+    val cats = cols.filter(_.kind == "cat")
+    val nums = cols.filter(_.kind == "num")
+    val groupCols = r.shuffle(cats).take(r.nextInt(math.min(3, cats.size + 1)))
+      .map(_.name)
+    val aggTargets = r.shuffle(nums).take(1 + r.nextInt(2)).map(_.name)
+    // integer-typed columns: SUM stays integral on both engines only
+    // under an explicit BIGINT cast (DuckDB's ROUND would widen to
+    // DOUBLE and the value comparison sees 42 vs 42.0)
+    val intCols = Set("o_orderkey", "o_custkey", "l_orderkey",
+      "c_custkey", "c_nationkey")
+    val aggs = Seq("COUNT(*) AS c") ++ aggTargets.zipWithIndex.flatMap {
+      case (n, i) =>
+        val sum = if (intCols(n)) s"CAST(SUM($n) AS BIGINT) AS s$i"
+          else s"ROUND(SUM($n), 2) AS s$i"
+        Seq(sum, s"MIN($n) AS mn$i", s"MAX($n) AS mx$i")
+    }
+    val select = (groupCols ++ aggs).mkString(", ")
+    val where = if (r.nextBoolean()) s"\nWHERE ${predicate(r, cols)}" else ""
+    val group = if (groupCols.nonEmpty)
+      s"\nGROUP BY ${groupCols.mkString(", ")}" else ""
+    val order = if (groupCols.nonEmpty)
+      s"\nORDER BY ${groupCols.map(_ + " ASC NULLS FIRST").mkString(", ")}"
+    else ""
+    s"SELECT $select\nFROM $t$where$group$order"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = args.lift(1).getOrElse("/tmp/difffuzz")
+    val seed = args.lift(2).map(_.toLong).getOrElse(42L)
+    val count = args.lift(3).map(_.toInt).getOrElse(200)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tables.keys.foreach(t =>
+      Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
+    new java.io.File(outDir).mkdirs()
+    val r = new scala.util.Random(seed)
+    val queries = (0 until count).map(i => f"fz$i%04d" -> genQuery(r))
+    var failed = 0
+    queries.foreach { case (name, sql) =>
+      try spark.sql(sql).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[fuzz] $name failed on Spark: ${e.getMessage}\n$sql")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      queries.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    println(s"""{"fuzz_queries":$count,"spark_failures":$failed,"seed":$seed}""")
+    spark.stop()
+  }
+}
