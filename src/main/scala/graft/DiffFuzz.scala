@@ -77,9 +77,23 @@ object DiffFuzz {
       .mkString(if (r.nextBoolean()) " AND " else " OR ")
   }
 
+  /** Equi-join pairs sharing this schema's foreign keys. */
+  private val joins: Seq[(String, String, String)] = Seq(
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"))
+
   /** One deterministic aggregate query in the common dialect. */
   def genQuery(r: scala.util.Random): String = {
-    val (t, cols) = pick(r, tables.toSeq.sortBy(_._1))
+    // 1/3 of queries join two tables on a foreign key; predicates and
+    // group/aggregate columns then draw from BOTH sides
+    val (from, cols) =
+      if (r.nextInt(3) == 0) {
+        val (a, b, cond) = pick(r, joins)
+        (s"$a JOIN $b ON $cond", tables(a) ++ tables(b))
+      } else {
+        val (t, cs) = pick(r, tables.toSeq.sortBy(_._1))
+        (t, cs)
+      }
     val cats = cols.filter(_.kind == "cat")
     val nums = cols.filter(_.kind == "num")
     val groupCols = r.shuffle(cats).take(r.nextInt(math.min(3, cats.size + 1)))
@@ -100,10 +114,12 @@ object DiffFuzz {
     val where = if (r.nextBoolean()) s"\nWHERE ${predicate(r, cols)}" else ""
     val group = if (groupCols.nonEmpty)
       s"\nGROUP BY ${groupCols.mkString(", ")}" else ""
+    val having = if (groupCols.nonEmpty && r.nextInt(3) == 0)
+      s"\nHAVING COUNT(*) > ${r.nextInt(50)}" else ""
     val order = if (groupCols.nonEmpty)
       s"\nORDER BY ${groupCols.map(_ + " ASC NULLS FIRST").mkString(", ")}"
     else ""
-    s"SELECT $select\nFROM $t$where$group$order"
+    s"SELECT $select\nFROM $from$where$group$having$order"
   }
 
   def main(args: Array[String]): Unit = {
