@@ -108,7 +108,8 @@ object DiffFuzz {
       case (n, i) =>
         val sum = if (intCols(n)) s"CAST(SUM($n) AS BIGINT) AS s$i"
           else s"ROUND(SUM($n), 2) AS s$i"
-        Seq(sum, s"MIN($n) AS mn$i", s"MAX($n) AS mx$i")
+        Seq(sum, s"MIN($n) AS mn$i", s"MAX($n) AS mx$i") ++
+          (if (r.nextInt(3) == 0) Seq(s"COUNT(DISTINCT $n) AS d$i") else Nil)
     }
     val select = (groupCols ++ aggs).mkString(", ")
     val where = if (r.nextBoolean()) s"\nWHERE ${predicate(r, cols)}" else ""
