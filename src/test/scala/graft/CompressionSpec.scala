@@ -36,28 +36,28 @@ class CompressionSpec extends SparkSpec {
   }
 
   test("zstd table property reaches every data file; default stays snappy") {
-    val ns = fresh("zcat")
-    spark.sql("CREATE TABLE zcat.ns.z (k BIGINT, v STRING) " +
+    val ns = fresh("codc")
+    spark.sql("CREATE TABLE codc.ns.z (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('write.parquet.compression-codec' = 'zstd')")
-    spark.sql("INSERT INTO zcat.ns.z SELECT id, CAST(id AS STRING) FROM range(1000)")
+    spark.sql("INSERT INTO codc.ns.z SELECT id, CAST(id AS STRING) FROM range(1000)")
     assert(codecsOf(s"$ns/z") == Set("ZSTD"), codecsOf(s"$ns/z"))
-    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM zcat.ns.z")
+    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM codc.ns.z")
       .head.toSeq == Seq(1000L, 499500L))
 
-    spark.sql("CREATE TABLE zcat.ns.s (k BIGINT)")
-    spark.sql("INSERT INTO zcat.ns.s VALUES (1)")
+    spark.sql("CREATE TABLE codc.ns.s (k BIGINT)")
+    spark.sql("INSERT INTO codc.ns.s VALUES (1)")
     assert(codecsOf(s"$ns/s") == Set("SNAPPY"), codecsOf(s"$ns/s"))
   }
 
   test("merge-on-read UPDATE's insert files carry the table codec") {
-    val ns = fresh("zcat2")
-    spark.sql("CREATE TABLE zcat2.ns.m (k BIGINT, v STRING) " +
+    val ns = fresh("codc2")
+    spark.sql("CREATE TABLE codc2.ns.m (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('write.parquet.compression-codec' = 'zstd', " +
       "'write.update.mode' = 'merge-on-read')")
-    spark.sql("INSERT INTO zcat2.ns.m SELECT id, 'a' FROM range(100)")
-    spark.sql("UPDATE zcat2.ns.m SET v = 'b' WHERE k < 10")
+    spark.sql("INSERT INTO codc2.ns.m SELECT id, 'a' FROM range(100)")
+    spark.sql("UPDATE codc2.ns.m SET v = 'b' WHERE k < 10")
     assert(codecsOf(s"$ns/m") == Set("ZSTD"), codecsOf(s"$ns/m"))
-    assert(spark.sql("SELECT COUNT(*) FROM zcat2.ns.m WHERE v = 'b'")
+    assert(spark.sql("SELECT COUNT(*) FROM codc2.ns.m WHERE v = 'b'")
       .head.getLong(0) == 10L)
     // the POSITION-DELETE file follows the delete-codec fallback chain
     // (write.delete.parquet.compression-codec -> data codec): zstd too
@@ -77,32 +77,32 @@ class CompressionSpec extends SparkSpec {
   }
 
   test("write.target-file-size-bytes rolls data files at the target") {
-    val ns = fresh("zcat4")
-    spark.sql("CREATE TABLE zcat4.ns.r (k BIGINT, pad STRING) " +
+    val ns = fresh("codc4")
+    spark.sql("CREATE TABLE codc4.ns.r (k BIGINT, pad STRING) " +
       "TBLPROPERTIES ('write.target-file-size-bytes' = '65536')")
     // one writer task (coalesce through a 1-partition source) with far
     // more than 64 KiB of incompressible-ish data: must roll > 1 file
-    spark.sql("INSERT INTO zcat4.ns.r " +
+    spark.sql("INSERT INTO codc4.ns.r " +
       "SELECT id, repeat(uuid(), 4) FROM range(0, 20000, 1, 1)")
     val files = new IcebergTable(s"$ns/r", conf).planFiles()
     assert(files.size > 1, s"expected rolled files, got ${files.size}")
     assert(files.forall(_.fileSizeInBytes < (4L << 20)),
       s"rolled files stay near the target: ${files.map(_.fileSizeInBytes)}")
-    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM zcat4.ns.r")
+    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM codc4.ns.r")
       .head.toSeq == Seq(20000L, 199990000L))
     // default table: the same single-task insert stays one file
-    spark.sql("CREATE TABLE zcat4.ns.one (k BIGINT, pad STRING)")
-    spark.sql("INSERT INTO zcat4.ns.one " +
+    spark.sql("CREATE TABLE codc4.ns.one (k BIGINT, pad STRING)")
+    spark.sql("INSERT INTO codc4.ns.one " +
       "SELECT id, repeat(uuid(), 4) FROM range(0, 20000, 1, 1)")
     assert(new IcebergTable(s"$ns/one", conf).planFiles().size == 1)
   }
 
   test("a codec typo fails the statement loudly, not a task") {
-    val ns = fresh("zcat3")
-    spark.sql("CREATE TABLE zcat3.ns.t (k BIGINT) " +
+    val ns = fresh("codc3")
+    spark.sql("CREATE TABLE codc3.ns.t (k BIGINT) " +
       "TBLPROPERTIES ('write.parquet.compression-codec' = 'sznappy')")
     val e = intercept[Exception](
-      spark.sql("INSERT INTO zcat3.ns.t VALUES (1)"))
+      spark.sql("INSERT INTO codc3.ns.t VALUES (1)"))
     assert(e.getMessage != null || e.getCause != null)
     val msg = Option(e.getMessage).getOrElse("") +
       Option(e.getCause).map(_.getMessage).getOrElse("")
