@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * Numeric min/max are rounded then stringified so every column type
   * shares one output schema and the DuckDB oracle's double formatting
   * agrees (shortest-representation printing on both engines).
+  *
+  * Plan note: MIN/MAX over STRING columns carry a variable-width
+  * aggregation buffer, which Spark cannot hash-aggregate — the combined
+  * pass runs as SortAggregate (n log n per partition over the expanded
+  * rows). Profiling only fixed-width columns keeps the pass
+  * hash-aggregated; either way it is ONE scan, which is the term that
+  * dominates at 100 TB.
   */
 object Profiler {
 
