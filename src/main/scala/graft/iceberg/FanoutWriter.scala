@@ -43,7 +43,10 @@ private[graft] final case class AddedDataFile(
     bytes: Long,
     stats: Option[IcebergWriter.FileColStats],
     partition: Option[Seq[Any]],
-    sortOrderId: Option[Int] = None)
+    sortOrderId: Option[Int] = None,
+    /** Manifest `file_format` value. Our own writers produce parquet
+      * only; `add_files` imports may register foreign ORC files. */
+    fileFormat: String = "PARQUET")
 
 /** Commit message of one write task: the files it produced. */
 private[graft] final case class GraftFilesCommit(files: Seq[AddedDataFile])

@@ -281,7 +281,8 @@ final class IcebergTable private (
     * (must be re-injected from metadata); decided by one footer read. */
   def missingPartitionColumns(spark: SparkSession, files: Seq[DataFileEntry]): Seq[String] = {
     if (files.isEmpty) return Nil
-    val inFile = fileSchemaColumns(spark, resolve(files.head.filePath))
+    val inFile = fileSchemaColumns(spark, resolve(files.head.filePath),
+      orc = files.head.fileFormat.equalsIgnoreCase("ORC"))
     metadata.identityPartitionColumns.filterNot(inFile.contains)
   }
 
@@ -451,13 +452,15 @@ final class IcebergTable private (
     * re-plans a scan several times per query (analysis, stats, AQE), and
     * each uncached probe is a driver job.
     */
-  private def fileSchemaColumns(spark: SparkSession, sample: String): Set[String] =
+  private def fileSchemaColumns(spark: SparkSession, sample: String,
+                                orc: Boolean = false): Set[String] =
     Option(IcebergTable.fileColsCache.get(sample)).getOrElse {
       // only SUCCESS is cached: latching a transient FS error as "no
       // columns" would silently synthesize partition values (and NULL
       // name-mapped columns) for the rest of the process
       try {
-        val v = spark.read.parquet(sample).schema.fieldNames.toSet
+        val v = (if (orc) spark.read.orc(sample) else spark.read.parquet(sample))
+          .schema.fieldNames.toSet
         IcebergTable.guard(IcebergTable.fileColsCache)
         IcebergTable.fileColsCache.putIfAbsent(sample, v)
         v
@@ -492,9 +495,10 @@ final class IcebergTable private (
   private[graft] def needsNameMapping(spark: SparkSession,
                                       files: Seq[DataFileEntry]): Boolean =
     nameMapping.nonEmpty && files.nonEmpty &&
-      (try !spark.read.parquet(resolve(files.head.filePath)).schema.fields
-        .exists(_.metadata.contains("parquet.field.id"))
-       catch { case _: Exception => false })
+      (files.head.fileFormat.equalsIgnoreCase("ORC") || // ORC never has parquet ids
+        (try !spark.read.parquet(resolve(files.head.filePath)).schema.fields
+          .exists(_.metadata.contains("parquet.field.id"))
+         catch { case _: Exception => false }))
 
   /** Build the DataFrame for the current snapshot. Pushed `filters` drive
     * metadata pruning here AND are re-applied by Spark above the scan, so
@@ -535,14 +539,37 @@ final class IcebergTable private (
         val cands = deleteCandidateFiles(spark, files, deletes)
         val candPaths = cands.map(_.filePath).toSet
         val rest = files.filterNot(f => candPaths.contains(f.filePath))
+        // ORC imports have no row positions (see scanFilesOneFormat):
+        // equality deletes still apply (data-column anti-join, file-level
+        // sequence gate), but position deletes/DVs referencing an ORC
+        // file, and keepIds consumers (changelog, merge-on-read writes),
+        // must refuse rather than read -1 placeholders as identities.
+        val orcInPlan = files.exists(_.fileFormat.equalsIgnoreCase("ORC"))
+        if (orcInPlan) {
+          if (keepIds) throw new UnsupportedOperationException(
+            "row-identity reads over a merge-on-read table with ORC " +
+              "imports are not supported (no _metadata.row_index on ORC) " +
+              "— run rewrite_data_files to materialize them to parquet")
+          val orcCands = cands.filter(_.fileFormat.equalsIgnoreCase("ORC"))
+          val posDels = deletes.filter(_.content == 1)
+          if (orcCands.nonEmpty && posDels.nonEmpty) {
+            val hit = deleteCandidateFiles(spark, orcCands, posDels)
+            if (hit.nonEmpty) throw new UnsupportedOperationException(
+              "position deletes/deletion vectors reference ORC imports " +
+                s"(${hit.take(3).map(_.filePath).mkString(", ")}…) — ORC " +
+                "files have no row positions; run rewrite_data_files first")
+          }
+        }
         val idCols = metadata.schema.fieldNames.toSeq ++ Seq(FpCol, PosCol)
         def norm(df: DataFrame) = df.select(idCols.map(col): _*)
         val parts = Seq(
           if (cands.isEmpty) None
           else Some(norm(applyDeletes(spark,
-            scanFiles(spark, cands, withIds = true), cands, deletes))),
+            scanFiles(spark, cands, withIds = true, placeholderPos = orcInPlan),
+            cands, deletes))),
           if (rest.isEmpty) None
-          else Some(norm(scanFiles(spark, rest, withIds = true)))).flatten
+          else Some(norm(scanFiles(spark, rest, withIds = true,
+            placeholderPos = orcInPlan)))).flatten
         parts.reduce(_ unionByName _) // files is non-empty ⇒ parts is too
       }
     val keep = metadata.schema.fieldNames.toSeq ++
@@ -583,16 +610,52 @@ final class IcebergTable private (
     * and metadata-only partition value re-injection.
     */
   private def scanFiles(spark: SparkSession, files: Seq[DataFileEntry],
-                        withIds: Boolean): DataFrame = {
+                        withIds: Boolean,
+                        placeholderPos: Boolean = false): DataFrame = {
+    // Mixed-format snapshots (native parquet + add_files ORC imports)
+    // split into one scan per format and union — each group keeps its
+    // own multi-file vectorized scan, so the split costs no extra jobs.
+    val (orcFiles, parquetFiles) =
+      files.partition(_.fileFormat.equalsIgnoreCase("ORC"))
+    if (orcFiles.nonEmpty && parquetFiles.nonEmpty)
+      return scanFilesOneFormat(spark, parquetFiles, withIds, orc = false,
+          placeholderPos)
+        .unionByName(scanFilesOneFormat(spark, orcFiles, withIds, orc = true,
+          placeholderPos))
+    scanFilesOneFormat(spark, files, withIds, orc = orcFiles.nonEmpty,
+      placeholderPos)
+  }
+
+  private def scanFilesOneFormat(spark: SparkSession, files: Seq[DataFileEntry],
+                                 withIds: Boolean, orc: Boolean,
+                                 placeholderPos: Boolean = false): DataFrame = {
     val paths = files.map(f => resolve(f.filePath))
     val partCols = metadata.identityPartitionColumns
-    val inFile = fileSchemaColumns(spark, paths.head)
+    val inFile = fileSchemaColumns(spark, paths.head, orc)
     val missing = partCols.filterNot(inFile.contains)
 
     // merge-on-read needs each row's (file, position) identity; the
-    // parquet source serves both as metadata columns with no extra IO
+    // parquet source serves both as metadata columns with no extra IO.
+    // Spark's ORC source exposes _metadata.file_path but NO row_index
+    // (checked on 4.1), so true row positions over ORC files cannot
+    // exist. `placeholderPos` is [[toDF]]'s opt-in for the one case that
+    // is sound without them — equality-delete application, which joins on
+    // data columns and gates on the FILE's sequence number — stamping a
+    // -1 position that toDF drops before returning. Everything that needs
+    // real positions (position deletes, changelog, merge-on-read writes)
+    // refuses loudly; rewrite_data_files materializes ORC imports to
+    // parquet and unblocks them.
+    if (withIds && orc && !placeholderPos)
+      throw new UnsupportedOperationException(
+        "row-identity reads need per-row (file, position), which Spark's " +
+          "ORC source does not expose (_metadata.row_index is parquet-" +
+          "only). Run rewrite_data_files to materialize the ORC imports " +
+          s"to parquet first (files: ${paths.take(3).mkString(", ")}…)")
     def withRowId(df: DataFrame): DataFrame =
       if (!withIds) df
+      else if (orc) df.select(col("*"),
+        col("_metadata.file_path").as(IcebergTable.FpCol),
+        lit(-1L).as(IcebergTable.PosCol))
       else df.select(col("*"),
         col("_metadata.file_path").as(IcebergTable.FpCol),
         col("_metadata.row_index").as(IcebergTable.PosCol))
@@ -606,6 +669,11 @@ final class IcebergTable private (
     // spark.sql.parquet.fieldId.read.enabled themselves on evolved
     // tables (id-less read schemas are unaffected by the flag).
     def read = spark.read
+    // One multi-file scan per call through the format's own vectorized
+    // source; ORC resolves columns by name (it has no parquet.field.id).
+    def load(schema: StructType, ps: Seq[String]): DataFrame =
+      if (orc) read.schema(schema).orc(ps: _*)
+      else read.schema(schema).parquet(ps: _*)
 
     val base =
       if (missing.isEmpty && needsNameMapping(spark, files)) {
@@ -627,12 +695,12 @@ final class IcebergTable private (
         val renamed = pairs.map { case (src, f) => col(src).as(f.name) } ++
           (if (!withIds) Nil
            else Seq(col(IcebergTable.FpCol), col(IcebergTable.PosCol)))
-        withRowId(read.schema(readSchema).parquet(paths: _*))
+        withRowId(load(readSchema, paths))
           .select(renamed: _*)
       } else if (missing.isEmpty) {
         // Fast path: single multi-file scan — vectorized reader, parquet
         // footer pushdown, no per-group plan explosion at 100k+ files.
-        withRowId(read.schema(metadata.schema).parquet(paths: _*))
+        withRowId(load(metadata.schema, paths))
       } else {
         // Re-injection path (A6/A7): group by partition values, read each
         // group once, attach the missing partition columns as typed
@@ -643,7 +711,7 @@ final class IcebergTable private (
         val groups = files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
         groups.map { case (values, gfiles) =>
           val group = withRowId(
-            read.schema(dataSchema).parquet(gfiles.map(f => resolve(f.filePath)): _*))
+            load(dataSchema, gfiles.map(f => resolve(f.filePath))))
           missing.zip(values).foldLeft(group) { case (df, (name, value)) =>
             val dt = metadata.schema.fields.find(_.name == name).map(_.dataType).getOrElse(StringType)
             df.withColumn(name, partitionLiteral(value, dt))

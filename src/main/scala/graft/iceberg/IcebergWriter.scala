@@ -215,6 +215,75 @@ object IcebergWriter {
     } finally r.close()
   }
 
+  /** ORC twin of [[footerStats]]: one driver-side footer read of a
+    * foreign ORC data file (orc-core ships with Spark), lifting row
+    * count, null counts, and min/max bounds into the same manifest stats
+    * the parquet path records — so imported ORC files prune exactly like
+    * native parquet. The same doubt-keeps discipline applies: a column
+    * whose ORC statistics type we don't decode simply records no bounds
+    * (never pruned, sound). Floats/doubles are skipped for the same
+    * NaN-unsoundness reason as the parquet path; ORC timestamp stats
+    * carry timezone baggage the pruner's micros shape doesn't, so they
+    * are skipped too.
+    */
+  private[graft] def orcFooterStats(
+      p: Path, conf: org.apache.hadoop.conf.Configuration,
+      schema: org.apache.spark.sql.types.StructType,
+      idByName: Map[String, Int]): (Long, FileColStats) = {
+    import org.apache.spark.sql.types._
+    import org.apache.orc.{OrcFile, ColumnStatistics}
+    val r = OrcFile.createReader(p, OrcFile.readerOptions(conf))
+    try {
+      val rowCount = r.getNumberOfRows
+      val orcSchema = r.getSchema
+      require(orcSchema.getCategory == org.apache.orc.TypeDescription.Category.STRUCT,
+        s"orcFooterStats: $p root type is ${orcSchema.getCategory}, not a struct")
+      val names = scala.jdk.CollectionConverters.ListHasAsScala(
+        orcSchema.getFieldNames).asScala.toSeq
+      val children = scala.jdk.CollectionConverters.ListHasAsScala(
+        orcSchema.getChildren).asScala.toSeq
+      val allStats = r.getStatistics // indexed by column id in the type tree
+      val statByName: Map[String, ColumnStatistics] =
+        names.zip(children).map { case (n, t) => n -> allStats(t.getId) }.toMap
+      val vc = Map.newBuilder[Int, Long]
+      val nc = Map.newBuilder[Int, Long]
+      val lo = Map.newBuilder[Int, Array[Byte]]
+      val hi = Map.newBuilder[Int, Array[Byte]]
+      schema.fields.foreach { f =>
+        (idByName.get(f.name), statByName.get(f.name)) match {
+          case (Some(id), Some(st)) =>
+            vc += id -> rowCount
+            nc += id -> (rowCount - st.getNumberOfValues)
+            val bounds: Option[(Any, Any)] = (st, f.dataType) match {
+              case (s: org.apache.orc.IntegerColumnStatistics, IntegerType)
+                  if s.getNumberOfValues > 0 =>
+                Some((s.getMinimum.toInt, s.getMaximum.toInt))
+              case (s: org.apache.orc.IntegerColumnStatistics, LongType)
+                  if s.getNumberOfValues > 0 =>
+                Some((s.getMinimum, s.getMaximum))
+              case (s: org.apache.orc.StringColumnStatistics, StringType)
+                  if s.getNumberOfValues > 0 && s.getMinimum != null &&
+                    s.getMaximum != null =>
+                Some((s.getMinimum, s.getMaximum))
+              case (s: org.apache.orc.DateColumnStatistics, DateType)
+                  if s.getNumberOfValues > 0 =>
+                Some((s.getMinimumDayOfEpoch.toInt, s.getMaximumDayOfEpoch.toInt))
+              case (s: org.apache.orc.BooleanColumnStatistics, BooleanType)
+                  if s.getNumberOfValues > 0 =>
+                Some((s.getFalseCount == 0, s.getTrueCount > 0))
+              case _ => None
+            }
+            bounds.foreach { case (mn, mx) =>
+              SingleValue.encode(mn, f.dataType).foreach(lo += id -> _)
+              SingleValue.encode(mx, f.dataType).foreach(hi += id -> _)
+            }
+          case _ => ()
+        }
+      }
+      (rowCount, FileColStats(vc.result(), nc.result(), lo.result(), hi.result()))
+    } finally r.close()
+  }
+
   /** Attach k/v stats lists to a manifest `data_file` record. */
   private def putStats(d: GenericData.Record, dfSchema: Schema,
                        st: FileColStats): Unit = {
@@ -517,10 +586,13 @@ object IcebergWriter {
       Map("operation" -> "replace"), committer)
   }
 
-  /** Register EXISTING parquet files as a new append snapshot WITHOUT
-    * rewriting or moving them — the migration primitive (what Iceberg's
-    * `add_files` procedure does): point the table at data that some other
-    * system wrote. Imported files typically carry no `parquet.field.id`
+  /** Register EXISTING parquet or ORC files as a new append snapshot
+    * WITHOUT rewriting or moving them — the migration primitive (what
+    * Iceberg's `add_files` procedure does): point the table at data that
+    * some other system wrote. ORC files are read-path citizens only:
+    * scans (with full stats pruning) work, but merge-on-read deletes
+    * over them refuse — `rewrite_data_files` materializes them to
+    * parquet first. Imported files typically carry no `parquet.field.id`
     * metadata, so pair this with a `schema.name-mapping.default` table
     * property or later renames will null their columns on read
     * ([[IcebergTable]] applies the mapping automatically). Per-file row
@@ -542,13 +614,21 @@ object IcebergWriter {
     val added: Seq[AddedDataFile] = paths.map { p =>
       val path = new Path(p)
       val len = path.getFileSystem(conf).getFileStatus(path).getLen
-      val (rows, stats) =
-        try { val (r, s) = footerStats(path, conf, meta.schema, meta.fieldIds)
-              (r, Some(s)) }
-        catch { case scala.util.control.NonFatal(_) => (0L, None) }
-      require(rows > 0 || stats.isDefined,
-        s"addFiles: $p is not a readable parquet file")
-      AddedDataFile(path.toString, rows, len, stats, partition = None)
+      // Probe parquet first (our native format), then ORC: one driver
+      // footer read either way, recording the true file_format so the
+      // scan dispatches the right reader per file group.
+      val probed: Option[(Long, FileColStats, String)] =
+        (try { val (r, s) = footerStats(path, conf, meta.schema, meta.fieldIds)
+               Some((r, s, "PARQUET")) }
+         catch { case scala.util.control.NonFatal(_) => None })
+          .orElse(
+            try { val (r, s) = orcFooterStats(path, conf, meta.schema, meta.fieldIds)
+                  Some((r, s, "ORC")) }
+            catch { case scala.util.control.NonFatal(_) => None })
+      val (rows, stats, fmt) = probed.getOrElse(throw new IllegalArgumentException(
+        s"addFiles: $p is not a readable parquet or ORC file"))
+      AddedDataFile(path.toString, rows, len, Some(stats), partition = None,
+        fileFormat = fmt)
     }
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
     val prev: Seq[ManifestFile] = baseSnap.toSeq.flatMap(s =>
@@ -903,7 +983,7 @@ object IcebergWriter {
     val entries = added.map { f =>
       val d = new GenericData.Record(dfSchema)
       d.put("file_path", f.path)
-      d.put("file_format", "PARQUET")
+      d.put("file_format", f.fileFormat)
       d.put("record_count", f.rows)
       d.put("file_size_in_bytes", f.bytes)
       if (spec.nonEmpty) f.partition.foreach { tup =>
@@ -913,7 +993,9 @@ object IcebergWriter {
       }
       f.sortOrderId.foreach(id => d.put("sort_order_id", id))
       val st = f.stats.orElse( // fallback: driver footer read, sound to skip
-        try Some(footerStats(new Path(f.path), conf, meta.schema, meta.fieldIds)._2)
+        try Some(
+          (if (f.fileFormat.equalsIgnoreCase("ORC")) orcFooterStats _
+           else footerStats _)(new Path(f.path), conf, meta.schema, meta.fieldIds)._2)
         catch { case scala.util.control.NonFatal(_) => None })
       st.foreach(s => putStats(d, dfSchema, s))
       val e = new GenericData.Record(mSchema)
@@ -1366,6 +1448,15 @@ object IcebergWriter {
     }
     val candidates = table.planFiles(filters)
     if (candidates.isEmpty) return -1L
+    // positions come from parquet _metadata.row_index — ORC imports have
+    // none; refuse BEFORE writing anything (equality deleteWhere still
+    // works on ORC, as does rewrite_data_files to materialize first)
+    candidates.find(_.fileFormat.equalsIgnoreCase("ORC")).foreach { f =>
+      throw new UnsupportedOperationException(
+        "position-delete DELETE targets ORC import " + f.filePath +
+          " which has no row positions — use an equality-expressible " +
+          "predicate or run rewrite_data_files first")
+    }
     def norm(s: String) = IcebergTable.normPathStatic(s)
     val byNorm: Map[String, DataFileEntry] =
       candidates.map(f => norm(table.resolve(f.filePath)) -> f).toMap

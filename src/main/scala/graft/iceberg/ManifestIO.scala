@@ -267,4 +267,41 @@ object ManifestIO {
       out.toSeq
     } finally reader.close()
   }
+
+  /** One manifest entry, UNFILTERED — the `entries` metadata table's
+    * row: unlike [[readManifest]]/[[readDeleteManifest]] this keeps
+    * DELETED (status = 2) entries, which is exactly what a debugging
+    * user wants to see ("which commit dropped this file"). */
+  final case class RawEntry(
+      status: Int,
+      sequenceNumber: Option[Long],
+      content: Int, // data_file.content: 0 data, 1 position del, 2 equality del
+      filePath: String,
+      fileFormat: String,
+      recordCount: Long,
+      fileSizeInBytes: Long)
+
+  /** Every entry of one manifest (data or delete), statuses included. */
+  def readRawEntries(path: String, conf: Configuration,
+                     inheritSeq: Option[Long] = None): Seq[RawEntry] = {
+    val reader = open(path, conf)
+    try {
+      val out = ArrayBuffer.empty[RawEntry]
+      while (reader.hasNext) {
+        val r = reader.next()
+        val status = optLong(r, "status").map(_.toInt).getOrElse(1)
+        val df = r.get("data_file").asInstanceOf[GenericRecord]
+        out += RawEntry(
+          status = status,
+          sequenceNumber = optLong(r, "sequence_number")
+            .orElse(if (status == 1) inheritSeq else None),
+          content = optLong(df, "content").map(_.toInt).getOrElse(0),
+          filePath = df.get("file_path").toString,
+          fileFormat = opt(df, "file_format").map(_.toString).getOrElse("PARQUET"),
+          recordCount = optLong(df, "record_count").getOrElse(0L),
+          fileSizeInBytes = optLong(df, "file_size_in_bytes").getOrElse(0L))
+      }
+      out.toSeq
+    } finally reader.close()
+  }
 }

@@ -28,7 +28,8 @@ object MetadataTables {
 
   val names: Set[String] =
     Set("snapshots", "files", "manifests", "refs", "history", "partitions",
-      "delete_files")
+      "delete_files", "entries", "all_files", "all_manifests",
+      "metadata_log_entries", "position_deletes")
 
   def forName(parent: String, kind: String, t: IcebergTable): Table = kind match {
     case "snapshots" => new GraftMetadataTable(s"$parent.snapshots",
@@ -137,8 +138,130 @@ object MetadataTables {
         if (d.equalityIds.isEmpty) null else d.equalityIds.mkString(", "),
         d.recordCount,
         d.sequenceNumber.map(Long.box).orNull)))
+    // every manifest entry of the current snapshot, UNFILTERED — DELETED
+    // (status 2) entries included, which is how you answer "which commit
+    // dropped this file" without diffing snapshots by hand
+    case "entries" => new GraftMetadataTable(s"$parent.entries",
+      StructType(Seq(
+        StructField("status", IntegerType, nullable = false),
+        StructField("sequence_number", LongType, nullable = true),
+        StructField("content", IntegerType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false))),
+      () => t.manifests.flatMap(m =>
+        graft.iceberg.ManifestIO.readRawEntries(
+          t.resolve(m.path), t.conf, m.sequenceNumber)
+          .map(e => Row(e.status, e.sequenceNumber.map(Long.box).orNull,
+            e.content, e.filePath, e.fileFormat, e.recordCount,
+            e.fileSizeInBytes))))
+    // manifests of EVERY snapshot, one row per (manifest, referencing
+    // snapshot) — snapshot-lineage debugging ("which commits still pin
+    // this manifest", the expire_snapshots pre-flight question)
+    case "all_manifests" => new GraftMetadataTable(s"$parent.all_manifests",
+      StructType(Seq(
+        StructField("reference_snapshot_id", LongType, nullable = false),
+        StructField("path", StringType, nullable = false),
+        StructField("length", LongType, nullable = false),
+        StructField("partition_spec_id", IntegerType, nullable = false),
+        StructField("content", IntegerType, nullable = false),
+        StructField("added_rows_count", LongType, nullable = true))),
+      () => t.metadata.snapshots.flatMap(s =>
+        graft.iceberg.ManifestIO.readManifestList(
+          t.resolve(s.manifestList), t.conf)
+          .map(m => Row(s.snapshotId, m.path, m.length, m.partitionSpecId,
+            m.content, m.addedRowsCount.map(Long.box).orNull))))
+    // distinct live data files across ALL snapshots — what
+    // remove_orphan_files must NOT delete; metadata IO only
+    case "all_files" => new GraftMetadataTable(s"$parent.all_files",
+      StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("file_format", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("file_size_in_bytes", LongType, nullable = false),
+        StructField("sequence_number", LongType, nullable = true))),
+      () => t.metadata.snapshots
+        .flatMap(s => t.atSnapshot(s.snapshotId).planFiles())
+        .groupBy(_.filePath).toSeq.sortBy(_._1)
+        .map { case (_, fs) => val f = fs.head
+          Row(f.filePath, f.fileFormat, f.recordCount, f.fileSizeInBytes,
+            f.sequenceNumber.map(Long.box).orNull) })
+    // the vN.metadata.json trail the filesystem committer leaves — the
+    // spec's metadata-log, served from one directory listing (foreign
+    // layouts that don't version metadata files just show no rows)
+    case "metadata_log_entries" => new GraftMetadataTable(
+      s"$parent.metadata_log_entries",
+      StructType(Seq(
+        StructField("timestamp_ms", LongType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+      () => try {
+        val dir = new org.apache.hadoop.fs.Path(s"${t.tableDir}/metadata")
+        val fs = dir.getFileSystem(t.conf)
+        val re = "^v(\\d+)\\.metadata\\.json$".r
+        fs.listStatus(dir).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case re(v) => Some((v.toInt, st))
+            case _ => None
+          }
+        }.sortBy(_._1).map { case (v, st) =>
+          Row(st.getModificationTime, st.getPath.toString, v) }
+      } catch { case _: java.io.IOException => Nil })
+    // the POSITION-DELETE tuples in force (v2 parquet files + v3 DVs
+    // expanded) — rows come from a DISTRIBUTED read of the delete files,
+    // not driver metadata: a 100 TB table's delete debt can be large
+    case "position_deletes" => new GraftDataFrameMetadataTable(
+      s"$parent.position_deletes",
+      StructType(Seq(
+        StructField("file_path", StringType, nullable = true),
+        StructField("pos", LongType, nullable = true),
+        StructField("delete_sequence_number", LongType, nullable = true))),
+      spark => {
+        import org.apache.spark.sql.functions.col
+        t.positionDeleteRows(spark, t.planDeletes().filter(_.content == 1))
+          .map(_.select(col("__g_dfpn").as("file_path"),
+            col("__g_dpos").as("pos"),
+            col("__g_delseq").as("delete_sequence_number")))
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(
+              StructField("file_path", StringType, nullable = true),
+              StructField("pos", LongType, nullable = true),
+              StructField("delete_sequence_number", LongType, nullable = true)))))
+      })
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
+}
+
+/** A read-only metadata table whose rows come from a DataFrame built at
+  * scan time — for metadata surfaces that must read data-scale inputs
+  * (position-delete tuples) distributively instead of on the driver. */
+final class GraftDataFrameMetadataTable(
+    tableName: String,
+    tableSchema: StructType,
+    df: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            ctx: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = tableSchema
+            override def buildScan(): RDD[Row] = df(ctx.sparkSession).rdd
+          }.asInstanceOf[T]
+      }
+    }
 }
 
 /** A small read-only table whose rows are computed on the driver at scan

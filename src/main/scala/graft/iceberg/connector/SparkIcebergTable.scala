@@ -482,8 +482,11 @@ final class GraftScanBuilder(table: IcebergTable,
     // schema cannot carry
     val wantsRowId = requiredSchema.fieldNames
       .exists(n => n == "_file" || n == "_pos")
+    // ORC imports (add_files) also take the V1 bridge: the native Batch
+    // is Spark's parquet reader — toDF dispatches per-format scans
     if (table.missingPartitionColumns(spark, staticFiles).isEmpty &&
         limit.isEmpty && !table.hasDeletes && !wantsRowId &&
+        staticFiles.forall(_.fileFormat.equalsIgnoreCase("PARQUET")) &&
         !table.needsNameMapping(spark, staticFiles))
       new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles,
         streamRef, maxFilesPerTrigger)
@@ -980,6 +983,14 @@ final class GraftMicroBatchStream(
     val files = t.appendedFilesBetween(
       if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s, e)
     if (files.isEmpty) return Array.empty
+    // the streaming reader factory is a parquet Batch; an add_files ORC
+    // import landing mid-stream must refuse, not decode garbage
+    files.find(_.fileFormat.equalsIgnoreCase("ORC")).foreach { f =>
+      throw new UnsupportedOperationException(
+        s"streaming read reached ORC import ${f.filePath} — the " +
+          "micro-batch reader is parquet-only; rewrite_data_files the " +
+          "import away (batch reads of this table still work)")
+    }
     org.apache.spark.sql.execution.datasources.GraftScanShims
       .parquetBatchScan(spark,
         files.map(f => (t.resolve(f.filePath), f.fileSizeInBytes)),

@@ -812,6 +812,62 @@ object IcebergQueries {
           |   FROM q120cat.ns.clone) cl""".stripMargin)
     }),
 
+    // ORC data files as read-path citizens: add_files imports existing
+    // ORC files (footer stats lifted driver-side, so manifest pruning
+    // works format-blind), the scan dispatches a per-format vectorized
+    // reader, a mixed parquet+ORC snapshot unions, and an equality
+    // MoR DELETE applies to the ORC rows WITHOUT row positions (data-
+    // column anti-join, file-level sequence gate). The gate requires
+    // the plan to actually hold both formats before aggregating; the
+    // oracle recomputes the surviving rows from the raw parquet table.
+    "q132_orc_import" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      val warehouse = "/root/repo/target/q132-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q132")
+      s.conf.set("spark.sql.catalog.q132cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q132cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q132cat.ns")
+      // half the suppliers arrive as native parquet INSERTs…
+      s.sql(
+        """CREATE TABLE q132cat.ns.supp
+          |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read') AS
+          |SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier_src_q132
+          |WHERE s_suppkey % 2 = 0""".stripMargin)
+      // …the other half as a foreign ORC import (two files, disjoint
+      // s_suppkey ranges, so footer bounds can prune)
+      val orcDir = s"$warehouse/orc-src"
+      val half = s.table("supplier_src_q132")
+        .filter(col("s_suppkey") % 2 === 1)
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+      val mid = half.agg(org.apache.spark.sql.functions
+        .expr("percentile_approx(s_suppkey, 0.5)")).collect()(0).getLong(0)
+      half.filter(col("s_suppkey") < mid).coalesce(1)
+        .write.mode("overwrite").orc(s"$orcDir/lo")
+      half.filter(col("s_suppkey") >= mid).coalesce(1)
+        .write.mode("overwrite").orc(s"$orcDir/hi")
+      val fs = new Path(orcDir).getFileSystem(conf)
+      val orcFiles = Seq("lo", "hi").map { part =>
+        fs.listStatus(new Path(s"$orcDir/$part")).map(_.getPath)
+          .find(_.getName.endsWith(".orc")).get.toString
+      }
+      val dir = s"$warehouse/ns/supp"
+      graft.iceberg.IcebergWriter.addFiles(s, dir, orcFiles)
+      // equality MoR DELETE hits rows in BOTH formats
+      s.sql("DELETE FROM q132cat.ns.supp WHERE s_suppkey IN (3, 4, 5, 6)")
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      require(t.planFiles().map(_.fileFormat).toSet == Set("PARQUET", "ORC"),
+        "q132: the snapshot must hold both parquet and ORC files")
+      require(t.hasDeletes, "q132: the DELETE must be merge-on-read")
+      s.sql(
+        """SELECT s_nationkey, COUNT(*) AS n,
+          |       CAST(SUM(s_suppkey) AS BIGINT) AS sk
+          |FROM q132cat.ns.supp
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1224,6 +1280,12 @@ object IcebergQueries {
         |        WHERE o_orderkey BETWEEN 500 AND 2499) AS n_clone,
         |       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
         |        WHERE o_orderkey BETWEEN 500 AND 2499) AS sk_clone""".stripMargin,
+    "q132_orc_import" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |       CAST(SUM(s_suppkey) AS BIGINT) AS sk
+        |FROM supplier
+        |WHERE s_suppkey NOT IN (3, 4, 5, 6)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q68_zorder" ->
       """SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sq,
         |       CAST(SUM(l_orderkey) AS BIGINT) AS sk

@@ -420,15 +420,32 @@ object Relational {
     // this data (unique winners, pinned by the oracle hash).
     "q122_agg_extras" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("o_q122")
+      // top_prio is a DETERMINISTIC mode: engines break mode() ties
+      // arbitrarily (Spark picked '4-NOT SPECIFIED', DuckDB '2-HIGH' on
+      // a tied group at sf0.001), so the winner is encoded as
+      // max(zero-padded count || value) — highest count, ties to the
+      // lexicographically greatest value, identical in any engine and
+      // still one partial-mergeable aggregate over the count rollup.
       s.sql(
-        """SELECT o_orderstatus,
-          |       COUNT_IF(o_totalprice > 100000) AS n_big,
-          |       BOOL_AND(o_totalprice > 0) AS all_pos,
-          |       BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
-          |       MODE(o_orderpriority) AS top_prio,
-          |       MAX_BY(o_orderkey, o_totalprice) AS key_of_max
-          |FROM o_q122 GROUP BY o_orderstatus
-          |ORDER BY o_orderstatus""".stripMargin)
+        """WITH pc AS (
+          |  SELECT o_orderstatus, o_orderpriority AS p, COUNT(*) AS c
+          |  FROM o_q122 GROUP BY o_orderstatus, o_orderpriority
+          |), m AS (
+          |  SELECT o_orderstatus,
+          |         SUBSTR(MAX(LPAD(CAST(c AS STRING), 10, '0') || p), 11)
+          |           AS top_prio
+          |  FROM pc GROUP BY o_orderstatus
+          |)
+          |SELECT a.o_orderstatus, a.n_big, a.all_pos, a.any_urgent,
+          |       m.top_prio, a.key_of_max
+          |FROM (SELECT o_orderstatus,
+          |             COUNT_IF(o_totalprice > 100000) AS n_big,
+          |             BOOL_AND(o_totalprice > 0) AS all_pos,
+          |             BOOL_OR(o_orderpriority = '1-URGENT') AS any_urgent,
+          |             MAX_BY(o_orderkey, o_totalprice) AS key_of_max
+          |      FROM o_q122 GROUP BY o_orderstatus) a
+          |JOIN m ON a.o_orderstatus = m.o_orderstatus
+          |ORDER BY a.o_orderstatus""".stripMargin)
     }),
 
     // ---- classic TPC-H multi-join shapes (the read-heavy benchmark
@@ -922,14 +939,25 @@ object Relational {
         |GROUP BY f.cohort, wk
         |ORDER BY cohort, wk""".stripMargin,
     "q122_agg_extras" ->
-      """SELECT o_orderstatus,
-        |       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
-        |       bool_and(o_totalprice > 0) AS all_pos,
-        |       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
-        |       mode(o_orderpriority) AS top_prio,
-        |       arg_max(o_orderkey, o_totalprice) AS key_of_max
-        |FROM orders GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+      """WITH pc AS (
+        |  SELECT o_orderstatus, o_orderpriority AS p, COUNT(*) AS c
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |), m AS (
+        |  SELECT o_orderstatus,
+        |         SUBSTR(MAX(LPAD(CAST(c AS VARCHAR), 10, '0') || p), 11)
+        |           AS top_prio
+        |  FROM pc GROUP BY o_orderstatus
+        |)
+        |SELECT a.o_orderstatus, a.n_big, a.all_pos, a.any_urgent,
+        |       m.top_prio, a.key_of_max
+        |FROM (SELECT o_orderstatus,
+        |             CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+        |             bool_and(o_totalprice > 0) AS all_pos,
+        |             bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |             arg_max(o_orderkey, o_totalprice) AS key_of_max
+        |      FROM orders GROUP BY o_orderstatus) a
+        |JOIN m ON a.o_orderstatus = m.o_orderstatus
+        |ORDER BY a.o_orderstatus""".stripMargin,
     "q101_subquery_scalar" ->
       """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -237,6 +237,60 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE scratch.ns1.m2")
   }
 
+  test("metadata tables: entries / all_files / all_manifests / " +
+      "metadata_log_entries / position_deletes") {
+    useCatalogs()
+    spark.sql("DROP TABLE IF EXISTS scratch.ns1.m3")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.ns1")
+    spark.sql("CREATE TABLE scratch.ns1.m3 (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO scratch.ns1.m3 SELECT id, concat('v', id) FROM range(10)")
+    spark.sql("INSERT INTO scratch.ns1.m3 SELECT id, concat('v', id) FROM range(10, 20)")
+    // a position-delete MoR DELETE (range predicate → not equality)
+    spark.sql("DELETE FROM scratch.ns1.m3 WHERE id >= 18 AND id < 20")
+
+    // entries: every manifest entry of the current snapshot, all statuses
+    val liveFiles = spark.sql("SELECT COUNT(*) FROM scratch.ns1.m3.files")
+      .collect()(0).getLong(0)
+    val entries = spark.sql(
+      """SELECT status, content, record_count
+        |FROM scratch.ns1.m3.entries ORDER BY content, record_count""".stripMargin)
+      .collect()
+    assert(entries.count(_.getInt(1) == 0) == liveFiles,
+      "one entry per live data file")
+    assert(entries.count(_.getInt(1) == 1) == 1, "one position-delete entry")
+    assert(entries.map(_.getLong(2)).sum == 22L, "10 + 10 data rows + 2 delete rows")
+
+    // all_manifests: one row per (manifest, referencing snapshot)
+    val am = spark.sql(
+      """SELECT reference_snapshot_id, COUNT(*) AS n
+        |FROM scratch.ns1.m3.all_manifests
+        |GROUP BY reference_snapshot_id ORDER BY reference_snapshot_id""".stripMargin)
+      .collect()
+    assert(am.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)),
+      s"snapshot N must reference N manifests, got ${am.mkString(",")}")
+
+    // all_files: distinct live data files across every snapshot
+    val af = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(record_count) AS r FROM scratch.ns1.m3.all_files")
+      .collect()(0)
+    assert(af.getLong(0) == liveFiles && af.getLong(1) == 20L)
+
+    // metadata_log_entries: the vN.metadata.json trail, in version order
+    val ml = spark.sql(
+      "SELECT version FROM scratch.ns1.m3.metadata_log_entries ORDER BY version")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ml.nonEmpty && ml == ml.sorted && ml.length >= 4,
+      s"create + 2 inserts + delete must leave >= 4 metadata versions, got $ml")
+
+    // position_deletes: the expanded delete tuples (distributed read)
+    val pd = spark.sql(
+      "SELECT pos FROM scratch.ns1.m3.position_deletes ORDER BY pos").collect()
+    assert(pd.length == 2, s"two deleted positions, got ${pd.length}")
+    spark.sql("DROP TABLE scratch.ns1.m3")
+  }
+
   test("time-travel-pinned tables refuse writes") {
     useCatalogs()
     spark.sql("DROP TABLE IF EXISTS scratch.ns1.w2")
