@@ -159,6 +159,21 @@ object BenchScale {
           .agg(sum(length(col("text")))).collect())
       report("paragraph_dedup", r, tPara, nDocs, -1L)
 
+      // q138 core: Bloom-bounded exact admission — the corpus folds into
+      // one 128 KiB bitset (OR-merged partials, size INDEPENDENT of r),
+      // incoming probes map-side, and only Bloom "maybes" pay the
+      // anti-join. Corpus scales with r; incoming is one replica's even
+      // docs (the realistic shape: the daily batch doesn't grow with the
+      // archive). Flat-ish time per incoming row is the design claim.
+      val (tBloom, nAdmitted) = timed2 {
+        val incoming = all.filter(col("doc_id") < 10000000L &&
+          col("doc_id") % 2 === 0)
+        graft.operators.BloomAdmission.admitNew(
+          all.filter(col("doc_id") % 2 =!= 0), incoming, "text",
+          numBits = 1 << 20, numHashes = 7).count()
+      }
+      report("bloom_admission", r, tBloom, nDocs, nAdmitted)
+
       // q117 core: corpus TF-IDF top-k — explode + two partial-merged
       // aggregates + a word-key join + per-doc bounded window.
       val (tTf, nTf) = timed2(

@@ -717,6 +717,89 @@ case class VectorMean(
     copy(child = newChild)
 }
 
+/** OR-fold of Bloom-filter bit positions into one fixed-size bitset —
+  * the build side of [[graft.operators.BloomAdmission]]. Input is the
+  * ALREADY-HASHED position array (the hash family lives in Column space,
+  * `BloomAdmission.hashPositions`, so build and probe can never drift).
+  * The buffer is `numBits/64` longs, merged with bitwise OR — fully
+  * partial-mergeable, so a 100 TB corpus reduces map-side to one
+  * `numBits/8`-byte value on the driver regardless of row count.
+  * Returns the bitset as little-endian-word bytes (BinaryType).
+  */
+case class BloomBitsAgg(
+    child: Expression,
+    numBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numBits >= 64 && (numBits & 63) == 0,
+    s"numBits must be a positive multiple of 64, got $numBits")
+  private val words = numBits / 64
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloomBits expects array<bigint> positions, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val pos = arr.getLong(i)
+          // positions come from pmod(hash, numBits) — in range by
+          // construction; a foreign caller's out-of-range bit is refused
+          require(pos >= 0 && pos < numBits,
+            s"bloom position $pos outside [0, $numBits)")
+          buf((pos >> 6).toInt) |= 1L << (pos & 63)
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(words * 8)
+    var i = 0
+    while (i < words) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](words)
+    var i = 0
+    while (i < words) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBitsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBitsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomBitsAgg =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_bits"
+}
+
 case class SimhashVotes(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Similarity, TextFunctions}
-import graft.operators.{Dedup, FuzzyJoin, Multimodal, NgramLm, QualityFilters, TemporalJoins, TfIdf}
+import graft.operators.{BloomAdmission, Dedup, FuzzyJoin, Multimodal, NgramLm, QualityFilters, TemporalJoins, TfIdf}
 
 /** Training-data-pipeline extensions (SURVEY §2.B north star + the declared
   * Q34–Q36): deduplication, similarity search, text analysis, multimodal
@@ -42,6 +42,22 @@ object Extensions {
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc_nulls_last, col("word").asc_nulls_first)
         .limit(20)),
+
+    // Bloom-filter-bounded exact admission: which incoming docs are new
+    // to the corpus. The corpus folds into ONE broadcastable bitset;
+    // clear Bloom misses are admitted map-side without touching a join;
+    // only the "possibly seen" sliver pays the exact anti-join. Output
+    // is EXACT (no false negatives), so the oracle is the plain
+    // NOT EXISTS — the Bloom tier only changes the PLAN, not the answer.
+    "q138_bloom_admission" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 0)
+      BloomAdmission.admitNew(corpus, incoming, "text",
+          numBits = 1 << 16, numHashes = 5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
 
     // ---- dedup -----------------------------------------------------------
     "q37_dedup_exact" -> ((s, d) =>
@@ -792,6 +808,12 @@ object Extensions {
       |       FROM mq)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q138_bloom_admission" ->
+      """SELECT i.doc_id, i.lang FROM documents i
+        |WHERE i.doc_id % 2 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 3 <> 0 AND c.text = i.text)
+        |ORDER BY i.doc_id ASC NULLS FIRST""".stripMargin,
     "q34_dedup_group" ->
       """SELECT lang, COUNT(DISTINCT text) AS distinct_docs, COUNT(*) AS docs
         |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin,

@@ -448,6 +448,82 @@ object Relational {
           |ORDER BY a.o_orderstatus""".stripMargin)
     }),
 
+    // GROUP BY ALL / ORDER BY ALL — the modern shorthand both engines
+    // resolve to every non-aggregate select item; same plan as spelling
+    // the keys out (one partial-merged aggregate, one exchange)
+    "q133_groupby_all" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("o_q133")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+          |       CAST(SUM(o_custkey) AS BIGINT) AS sc
+          |FROM o_q133 WHERE o_totalprice > 150000
+          |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
+    // EXCEPT ALL / INTERSECT ALL — bag semantics (multiplicities
+    // subtract / take the min), which DISTINCT set ops destroy; Spark
+    // plans both as a single hash aggregate over tagged counts, no join
+    "q134_setops_all" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("o_q134")
+      s.sql(
+        """WITH a AS (SELECT o_custkey AS k FROM o_q134
+          |           WHERE o_totalprice > 120000),
+          |     b AS (SELECT o_custkey AS k FROM o_q134
+          |           WHERE o_orderstatus = 'F')
+          |SELECT op, k, COUNT(*) AS n FROM (
+          |  SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT ALL
+          |                                 SELECT k FROM b)
+          |  UNION ALL
+          |  SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT ALL
+          |                                    SELECT k FROM b)
+          |) GROUP BY op, k ORDER BY op, k""".stripMargin)
+    }),
+
+    // array higher-order functions over the embedding column — transform
+    // / filter / sort / element access, all map-side. Values go through
+    // FLOOR(double * 1000) integer space: float→double widening is
+    // exact and floor has no round-half ambiguity, so both engines agree
+    // bit-for-bit (same discipline as DSIR/TF-IDF integer scoring).
+    "q135_array_hof" -> ((s, d) => {
+      t(s, d, "embeddings").createOrReplaceTempView("e_q135")
+      s.sql(
+        """SELECT vec_id,
+          |  CAST(aggregate(
+          |    transform(embedding,
+          |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+          |    0L, (a, x) -> a + x) AS BIGINT) AS s_scaled,
+          |  size(filter(embedding, x -> x > 0)) AS n_pos,
+          |  element_at(array_sort(transform(embedding,
+          |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))), 1)
+          |    AS mn_scaled
+          |FROM e_q135 WHERE vec_id < 500 ORDER BY vec_id""".stripMargin)
+    }),
+
+    // ordered string aggregation (listagg WITHIN GROUP) — the canonical
+    // "names per group" report; explicit ORDER BY inside the aggregate
+    // keeps it deterministic across engines and partitionings
+    "q136_listagg" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("n_q136")
+      s.sql(
+        """SELECT n_regionkey,
+          |       listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+          |         AS names
+          |FROM n_q136 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // regexp family over document text — extract-all counts and group
+    // capture, map-side codegen'd; the shapes every text pipeline's
+    // structure mining starts from
+    "q137_regexp" -> ((s, d) => {
+      t(s, d, "documents").createOrReplaceTempView("d_q137")
+      s.sql(
+        """SELECT doc_id,
+          |  size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS n_words,
+          |  size(regexp_extract_all(text, '[0-9]+', 0)) AS n_nums,
+          |  regexp_extract(text, '([A-Za-z]{6,})', 1) AS first_long_word
+          |FROM d_q137 WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---- classic TPC-H multi-join shapes (the read-heavy benchmark
     // plans: selective dim filters + fact-fact joins + top-k). At scale
     // the plan is what matters: segment/date filters push to the scans,
@@ -958,6 +1034,43 @@ object Relational {
         |      FROM orders GROUP BY o_orderstatus) a
         |JOIN m ON a.o_orderstatus = m.o_orderstatus
         |ORDER BY a.o_orderstatus""".stripMargin,
+    "q133_groupby_all" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(o_custkey) AS BIGINT) AS sc
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "q134_setops_all" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders
+        |           WHERE o_totalprice > 120000),
+        |     b AS (SELECT o_custkey AS k FROM orders
+        |           WHERE o_orderstatus = 'F')
+        |SELECT op, k, COUNT(*) AS n FROM (
+        |  SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT ALL
+        |                                 SELECT k FROM b)
+        |  UNION ALL
+        |  SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT ALL
+        |                                    SELECT k FROM b)
+        |) GROUP BY op, k ORDER BY op, k""".stripMargin,
+    "q135_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+        |    AS BIGINT) AS s_scaled,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |  list_sort(list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)))[1]
+        |    AS mn_scaled
+        |FROM embeddings WHERE vec_id < 500 ORDER BY vec_id""".stripMargin,
+    "q136_listagg" ->
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q137_regexp" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+        |  regexp_extract(text, '([A-Za-z]{6,})', 1) AS first_long_word
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q101_subquery_scalar" ->
       """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey

@@ -679,6 +679,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(!got.getAs[Boolean]("r_alpha"), "symbol-only words sink alpha ratio")
     assert(!got.getAs[Boolean]("keep"))
   }
+
+  test("bloom admission: exact result, no false negatives, degenerate bits") {
+    import graft.operators.BloomAdmission
+    val corpus = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("id", "k")
+    val incoming = Seq((10L, "bb"), (11L, "xx"), (12L, "yy"), (13L, "bb"),
+      (14L, "zz")).toDF("id", "k")
+
+    // exact semantics: identical to the plain anti-join, dups kept
+    val got = BloomAdmission.admitNew(corpus, incoming, "k",
+      numBits = 1 << 12, numHashes = 5).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(11L, 12L, 14L), s"got $got")
+
+    // no false negatives: every corpus key probes true against its bits
+    val bits = BloomAdmission.buildBits(corpus, col("k"), 1 << 12, 5)
+    val seen = corpus.filter(
+      BloomAdmission.mightContain(col("k"), bits, 1 << 12, 5)).count()
+    assert(seen == 4L, "a corpus key must never probe false")
+
+    // degenerate 64-bit filter: everything collides to "maybe", result
+    // stays exact (the Bloom tier routes rows, it never decides them)
+    val tiny = BloomAdmission.admitNew(corpus, incoming, "k",
+      numBits = 64, numHashes = 2).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(tiny == Seq(11L, 12L, 14L), s"got $tiny")
+
+    // routing actually happens at sane sizes: with 4096 bits / 4 keys,
+    // the three new keys overwhelmingly miss clean — assert at least one
+    // row takes the join-free path (probabilistic but ~1 - 1e-8)
+    val maybeCount = incoming.filter(
+      BloomAdmission.mightContain(col("k"), bits, 1 << 12, 5)).count()
+    assert(maybeCount < 5L,
+      "some truly-new key must bypass the join at 1024 bits/key")
+  }
 }
 
 /** Companion holding the probe scorer's JVM-local counters (local-mode
