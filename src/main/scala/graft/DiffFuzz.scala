@@ -82,8 +82,68 @@ object DiffFuzz {
     ("orders", "customer", "o_custkey = c_custkey"),
     ("lineitem", "orders", "l_orderkey = o_orderkey"))
 
+  /** Tables with a UNIQUE key — the total-order tiebreak every
+    * deterministic window needs. */
+  private val uniqueKey: Map[String, String] =
+    Map("orders" -> "o_orderkey", "customer" -> "c_custkey")
+
+  /** One deterministic WINDOW query: every OVER clause orders by a total
+    * order (value columns + the unique key as final tiebreak), and
+    * windowed SUM/COUNT stay in INTEGER space — engines disagree on the
+    * summation order of windowed doubles (segment trees vs running
+    * sums), so fractional rolling sums are out of the common dialect. */
+  def genWindowQuery(r: scala.util.Random): String = {
+    val t = pick(r, uniqueKey.keys.toSeq.sorted)
+    val key = uniqueKey(t)
+    val cols = tables(t)
+    val cats = cols.filter(_.kind == "cat")
+    val part = if (cats.nonEmpty && r.nextBoolean())
+      s"PARTITION BY ${pick(r, cats).name} " else ""
+    val value = pick(r, cols.filter(_.kind == "num")).name
+    val ord = s"ORDER BY $value ASC, $key ASC"
+    val intCols = Set("o_orderkey", "o_custkey", "c_custkey", "c_nationkey")
+    val sumCol = pick(r, cols.filter(c => intCols(c.name))).name
+    val frame = pick(r, Seq(
+      s"ROWS BETWEEN ${1 + r.nextInt(5)} PRECEDING AND CURRENT ROW",
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"))
+    val fns = Seq(
+      s"ROW_NUMBER() OVER ($part$ord) AS rn",
+      s"${pick(r, Seq("RANK", "DENSE_RANK"))}() OVER ($part$ord) AS rk",
+      s"CAST(SUM($sumCol) OVER ($part$ord $frame) AS BIGINT) AS rsum",
+      s"LAG($key, ${1 + r.nextInt(2)}) OVER ($part$ord) AS lg") ++
+      (if (r.nextInt(3) == 0)
+         Seq(s"NTILE(${2 + r.nextInt(5)}) OVER ($part$ord) AS nt") else Nil)
+    val where = s"WHERE ${predicate(r, cols)}"
+    s"""SELECT $key AS k, ${fns.mkString(",\n       ")}
+       |FROM $t
+       |$where
+       |ORDER BY k ASC NULLS FIRST""".stripMargin
+  }
+
+  /** One deterministic SET-OPERATION query: both arms project the same
+    * column from differently-filtered slices, the result re-aggregated
+    * so bag multiplicities are visible and ordered totally. */
+  def genSetOpQuery(r: scala.util.Random): String = {
+    val (t, cols) = pick(r, tables.toSeq.sortBy(_._1))
+    val k = pick(r, cols.filter(_.kind == "num")).name
+    val op = pick(r, Seq("UNION ALL", "UNION", "INTERSECT ALL", "INTERSECT",
+      "EXCEPT ALL", "EXCEPT"))
+    val p1 = predicate(r, cols)
+    val p2 = predicate(r, cols)
+    s"""SELECT k, COUNT(*) AS n FROM (
+       |  SELECT $k AS k FROM $t WHERE $p1
+       |  $op
+       |  SELECT $k AS k FROM $t WHERE $p2
+       |) GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin
+  }
+
   /** One deterministic aggregate query in the common dialect. */
   def genQuery(r: scala.util.Random): String = {
+    r.nextInt(6) match {
+      case 0 => return genWindowQuery(r)
+      case 1 => return genSetOpQuery(r)
+      case _ => ()
+    }
     // 1/3 of queries join two tables on a foreign key; predicates and
     // group/aggregate columns then draw from BOTH sides
     val (from, cols) =
