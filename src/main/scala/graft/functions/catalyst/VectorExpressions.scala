@@ -800,6 +800,87 @@ case class BloomBitsAgg(
   override def prettyName: String = "bloom_bits"
 }
 
+/** Count-min sketch fold: `depth × width` counters, one increment per
+  * (row, depth) at the ALREADY-HASHED positions — the build side of
+  * [[graft.operators.FrequencySketch]]. Like [[BloomBitsAgg]] the hash
+  * family lives in Column space, the buffer is fixed-size, and merge is
+  * elementwise ADD — fully partial-mergeable, so the sketch of a 100 TB
+  * token stream reduces map-side to `depth*width*8` bytes regardless of
+  * row count. Returns the counter matrix row-major as bytes.
+  */
+case class CountMinAgg(
+    child: Expression,
+    width: Int,
+    depth: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(width >= 8, s"width must be >= 8, got $width")
+  require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"countMin expects array<bigint> positions, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == depth,
+        s"expected $depth positions, got ${arr.numElements()}")
+      var i = 0
+      while (i < depth) {
+        val pos = arr.getLong(i)
+        require(pos >= 0 && pos < width,
+          s"count-min position $pos outside [0, $width)")
+        buf(i * width + pos.toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+  override def prettyName: String = "count_min"
+}
+
 case class SimhashVotes(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

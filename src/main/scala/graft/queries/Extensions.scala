@@ -59,6 +59,35 @@ object Extensions {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    // Count-min-sketch heavy hitters: the exact top-15 words gate the
+    // result (oracle-able), and the sketch built over the SAME stream is
+    // require()d to bound every exact count from above within the CMS
+    // error envelope (est >= true always; est <= true + 5N/width here).
+    // At 100 TB the sketch answers frequency questions in depth*width*8
+    // bytes where the exact aggregate shuffles billions of keys.
+    "q139_heavy_hitters" -> ((s, d) => {
+      import graft.operators.FrequencySketch
+      val words = t(s, d, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      val top = words.groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc_nulls_last, col("word").asc_nulls_first)
+        .limit(15)
+      val (width, depth) = (4096, 4)
+      val counters = FrequencySketch.build(words, col("word"), width, depth)
+      val nTotal = counters.take(width).sum // each row of counters sums to N
+      val checked = top.withColumn("est",
+        FrequencySketch.estimate(col("word"), counters, width, depth))
+        .collect()
+      checked.foreach { r =>
+        val (w, c, e) = (r.getString(0), r.getLong(1), r.getLong(2))
+        require(e >= c, s"q139: CMS underestimated '$w': $e < $c")
+        require(e <= c + 5L * nTotal / width,
+          s"q139: CMS estimate for '$w' outside the error envelope: " +
+            s"$e vs exact $c, N=$nTotal")
+      }
+      top
+    }),
+
     // ---- dedup -----------------------------------------------------------
     "q37_dedup_exact" -> ((s, d) =>
       Dedup.exactKeepFirst(t(s, d, "documents"), "text", "doc_id")
@@ -814,6 +843,11 @@ object Extensions {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 3 <> 0 AND c.text = i.text)
         |ORDER BY i.doc_id ASC NULLS FIRST""".stripMargin,
+    "q139_heavy_hitters" ->
+      """SELECT w AS word, COUNT(*) AS c
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |GROUP BY w
+        |ORDER BY c DESC NULLS LAST, word ASC NULLS FIRST LIMIT 15""".stripMargin,
     "q34_dedup_group" ->
       """SELECT lang, COUNT(DISTINCT text) AS distinct_docs, COUNT(*) AS docs
         |FROM documents GROUP BY lang ORDER BY lang ASC NULLS FIRST""".stripMargin,

@@ -524,6 +524,36 @@ object Relational {
           |FROM d_q137 WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)
     }),
 
+    // time-series gap fill: per-user daily counts over a generated date
+    // spine (missing days materialize as zeros) plus last-observation-
+    // carried-forward via LAST_VALUE IGNORE NULLS. The spine is
+    // sequence+explode over driver-bounded min/max dates — row count =
+    // users × days, never a data-sized blowup; the join against real
+    // observations is the only shuffle.
+    "q140_gapfill" -> ((s, d) => {
+      t(s, d, "events").createOrReplaceTempView("e_q140")
+      s.sql(
+        """WITH daily AS (
+          |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+          |         CAST(FLOOR(MAX(value) * 100) AS BIGINT) AS mx
+          |  FROM e_q140 WHERE user_id < 20
+          |  GROUP BY user_id, CAST(ts AS DATE)
+          |), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+          |spine AS (
+          |  SELECT u.user_id, s.dd AS d
+          |  FROM (SELECT DISTINCT user_id FROM daily) u
+          |  CROSS JOIN (SELECT explode(sequence(lo, hi, interval 1 day)) AS dd
+          |              FROM bounds) s
+          |)
+          |SELECT s.user_id, s.d, COALESCE(daily.n, 0) AS n,
+          |       LAST_VALUE(daily.mx) IGNORE NULLS OVER (
+          |         PARTITION BY s.user_id ORDER BY s.d
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+          |FROM spine s
+          |LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+          |ORDER BY s.user_id, s.d""".stripMargin)
+    }),
+
     // ---- classic TPC-H multi-join shapes (the read-heavy benchmark
     // plans: selective dim filters + fact-fact joins + top-k). At scale
     // the plan is what matters: segment/date filters push to the scans,
@@ -1071,6 +1101,27 @@ object Relational {
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
         |  regexp_extract(text, '([A-Za-z]{6,})', 1) AS first_long_word
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "q140_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+        |         CAST(FLOOR(MAX(value) * 100) AS BIGINT) AS mx
+        |  FROM events WHERE user_id < 20
+        |  GROUP BY user_id, CAST(ts AS DATE)
+        |), bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        |spine AS (
+        |  SELECT u.user_id, CAST(s.dd AS DATE) AS d
+        |  FROM (SELECT DISTINCT user_id FROM daily) u
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi,
+        |                            INTERVAL 1 DAY)) AS dd
+        |              FROM bounds) s
+        |)
+        |SELECT s.user_id, s.d, COALESCE(daily.n, 0) AS n,
+        |       LAST_VALUE(daily.mx IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.d
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
+        |FROM spine s
+        |LEFT JOIN daily ON s.user_id = daily.user_id AND s.d = daily.d
+        |ORDER BY s.user_id, s.d""".stripMargin,
     "q101_subquery_scalar" ->
       """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey

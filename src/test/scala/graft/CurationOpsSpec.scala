@@ -680,6 +680,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(!got.getAs[Boolean]("keep"))
   }
 
+  test("count-min sketch: exact at low load, never underestimates, " +
+      "partition-invariant") {
+    import graft.operators.FrequencySketch
+    val rows = (Seq.fill(7)("aa") ++ Seq.fill(3)("bb") ++ Seq("cc"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("id", "k")
+    val exact = Map("aa" -> 7L, "bb" -> 3L, "cc" -> 1L)
+
+    // roomy sketch: 3 keys in 1024 counters — estimates are exact
+    val c1 = FrequencySketch.build(df, col("k"), 1024, 4)
+    val keys = Seq("aa", "bb", "cc").toDF("k")
+    val est1 = keys.withColumn("e",
+      FrequencySketch.estimate(col("k"), c1, 1024, 4)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est1 == exact, s"got $est1")
+
+    // crowded sketch (width 8): collisions only INFLATE, never deflate
+    val c2 = FrequencySketch.build(df, col("k"), 8, 2)
+    val est2 = keys.withColumn("e",
+      FrequencySketch.estimate(col("k"), c2, 8, 2)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(est2(k) >= c, s"CMS underestimated $k: ${est2(k)} < $c") }
+
+    // elementwise-ADD merge: counters independent of partitioning
+    val c3 = FrequencySketch.build(df.repartition(7, col("id")),
+      col("k"), 1024, 4)
+    assert(c1.toSeq == c3.toSeq, "sketch must not depend on partitioning")
+  }
+
   test("bloom admission: exact result, no false negatives, degenerate bits") {
     import graft.operators.BloomAdmission
     val corpus = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
