@@ -342,9 +342,9 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         df.createOrReplaceTempView(view)
         Seq(Row(view))
       case "add_files" =>
-        // register EXISTING parquet metadata-only (the migration
-        // primitive): a directory lists its *.parquet children; a glob
-        // or literal file resolves as-is
+        // register EXISTING parquet/ORC files metadata-only (the
+        // migration primitive): a directory lists its *.parquet/*.orc
+        // children; a glob or literal file resolves as-is
         val source = str(m, "source", procedure)
         val conf = t.table.conf
         val srcPath = new org.apache.hadoop.fs.Path(source)
@@ -353,7 +353,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         val paths = matched.flatMap { st =>
           if (st.isDirectory)
             fs.listStatus(st.getPath).toSeq
-              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .filter(f => f.isFile && (f.getPath.getName.endsWith(".parquet")
+                || f.getPath.getName.endsWith(".orc")))
               .map(_.getPath.toString)
           else Seq(st.getPath.toString)
         }

@@ -142,6 +142,19 @@ class OrcFormatSpec extends SparkSpec {
     assert(n == 94L)
   }
 
+  test("CALL add_files imports an ORC directory through SQL") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS orccat.ns.t6")
+    spark.sql("CREATE TABLE orccat.ns.t6 (k BIGINT, v STRING)")
+    orcFile("t6-a", 0, 40) // writes the dir; the procedure lists it
+    val res = spark.sql(
+      "CALL orccat.system.add_files(table => 'ns.t6', " +
+        "source => '/root/repo/target/orc-src/t6-a')").collect()(0)
+    assert(res.getInt(0) == 1, "one ORC file registered")
+    assert(spark.sql("SELECT COUNT(*) FROM orccat.ns.t6")
+      .collect()(0).getLong(0) == 40L)
+  }
+
   test("add_files rejects files that are neither parquet nor ORC") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS orccat.ns.t5")
