@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.iceberg.{IcebergTable, IcebergWriter}
+import graft.iceberg.connector.GraftCatalog
+
+/** Model-based stateful fuzzing of the table lifecycle: a random (but
+  * seeded, reproducible) sequence of INSERT / equality DELETE / range
+  * DELETE / UPDATE / compact ops runs through SQL against a
+  * merge-on-read table, with an in-memory model of the expected rows
+  * checked after EVERY op — and at the end, `VERSION AS OF` replays
+  * every intermediate snapshot against the model's history, so a commit
+  * that silently corrupted an EARLIER snapshot's reachable state (bad
+  * manifest carry, delete misapplied by sequence number, compaction
+  * dropping live rows) fails even if the head looks right.
+  *
+  * This is the stateful complement of DiffFuzz (which fuzzes the READ
+  * side against DuckDB): here the oracle is the op semantics themselves.
+  */
+class LifecycleFuzzSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/lcfuzz-warehouse"
+
+  test("random op sequences match the model at head and via time travel") {
+    val conf = spark.sessionState.newHadoopConf()
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set("spark.sql.catalog.lcf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lcf.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lcf.ns")
+
+    Seq(1207L, 4242L).foreach { seed =>
+      val tbl = s"lcf.ns.fz$seed"
+      val dir = s"$warehouse/ns/fz$seed"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(
+        s"""CREATE TABLE $tbl (k BIGINT, v BIGINT) TBLPROPERTIES
+           |('write.delete.mode' = 'merge-on-read',
+           | 'write.update.mode' = 'merge-on-read')""".stripMargin)
+
+      val r = new scala.util.Random(seed)
+      val model = scala.collection.mutable.Map.empty[Long, Long]
+      var nextId = 0L
+      // snapshot id -> model state at that commit (only data-changing
+      // ops move the snapshot; compact replaces files, state unchanged)
+      val history = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Map[Long, Long])]
+
+      def headSnapshot(): Long =
+        new IcebergTable(dir, conf).metadata.currentSnapshotId.get
+
+      def checkHead(op: String): Unit = {
+        val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k").collect()
+          .map(row => row.getLong(0) -> row.getLong(1)).toMap
+        assert(got == model.toMap,
+          s"seed=$seed after $op: table ${got.size} rows vs model " +
+            s"${model.size}; diff=${(got.toSet diff model.toSet).take(5)} / " +
+            s"${(model.toSet diff got.toSet).take(5)}")
+      }
+
+      (1 to 24).foreach { step =>
+        val op = r.nextInt(10) match {
+          case 0 | 1 | 2 | 3 => // INSERT a fresh batch
+            val n = 5 + r.nextInt(20)
+            val rows = (0 until n).map { _ =>
+              val k = nextId; nextId += 1
+              val v = r.nextInt(1000).toLong
+              model(k) = v
+              s"($k, $v)"
+            }
+            spark.sql(s"INSERT INTO $tbl VALUES ${rows.mkString(", ")}")
+            s"insert($n)"
+          case 4 | 5 => // equality DELETE on sampled keys
+            if (model.isEmpty) "noop"
+            else {
+              val keys = r.shuffle(model.keys.toSeq)
+                .take(1 + r.nextInt(4))
+              keys.foreach(model.remove)
+              spark.sql(
+                s"DELETE FROM $tbl WHERE k IN (${keys.mkString(", ")})")
+              s"delete_eq(${keys.mkString(",")})"
+            }
+          case 6 => // range DELETE (position-delete path)
+            if (nextId < 4) "noop"
+            else {
+              val a = math.abs(r.nextLong()) % nextId
+              val b = math.min(nextId, a + 1 + r.nextInt(10))
+              (a until b).foreach(model.remove)
+              spark.sql(s"DELETE FROM $tbl WHERE k >= $a AND k < $b")
+              s"delete_range($a,$b)"
+            }
+          case 7 | 8 => // UPDATE a residue class
+            val m = 2 + r.nextInt(4)
+            val rem = r.nextInt(m)
+            val bump = 1 + r.nextInt(100)
+            val touched = model.keys.filter(k => k % m == rem)
+            touched.foreach(k => model(k) = model(k) + bump)
+            spark.sql(
+              s"UPDATE $tbl SET v = v + $bump WHERE k % $m = $rem")
+            if (touched.isEmpty) "noop_update" else s"update($m,$rem)"
+          case 9 => // compact: state must not move
+            IcebergWriter.compact(spark, dir)
+            "compact"
+        }
+        checkHead(s"step $step: $op")
+        val sid = headSnapshot()
+        if (op != "noop" && sid > 0) history += ((sid, model.toMap))
+      }
+
+      // time-travel coherence: every recorded snapshot still reads the
+      // state the model had at its commit (dedup: later ops may re-pin
+      // the same snapshot id after noops)
+      history.distinctBy(_._1).foreach { case (sid, want) =>
+        val got = spark.sql(
+          s"SELECT k, v FROM $tbl VERSION AS OF $sid ORDER BY k")
+          .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+        assert(got == want,
+          s"seed=$seed snapshot $sid drifted: ${got.size} rows vs " +
+            s"model ${want.size}")
+      }
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+}
