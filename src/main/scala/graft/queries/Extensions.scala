@@ -88,6 +88,19 @@ object Extensions {
       top
     }),
 
+    // PageRank centrality over a deterministic event-derived graph —
+    // the web-curation quality signal, as 8 integer-arithmetic power
+    // iterations (one shuffle + one checkpoint per round, plan kept a
+    // leaf). The oracle replays the SAME iterations as unrolled SQL.
+    "q141_pagerank" -> ((s, d) => {
+      import graft.operators.Centrality
+      val edges = t(s, d, "events").filter(col("user_id") < 40)
+        .select((col("event_id") % 40).as("src"), col("user_id").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Centrality.pageRank(edges, "src", "dst", iterations = 8)
+        .orderBy(col("v").asc_nulls_first)
+    }),
+
     // ---- dedup -----------------------------------------------------------
     "q37_dedup_exact" -> ((s, d) =>
       Dedup.exactKeepFirst(t(s, d, "documents"), "text", "doc_id")
@@ -843,6 +856,10 @@ object Extensions {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 3 <> 0 AND c.text = i.text)
         |ORDER BY i.doc_id ASC NULLS FIRST""".stripMargin,
+    "q141_pagerank" -> graft.operators.Centrality.pageRankOracleSql(
+      """SELECT DISTINCT event_id % 40 AS src, user_id AS dst
+        |FROM events WHERE user_id < 40 AND event_id % 40 <> user_id"""
+        .stripMargin, iterations = 8),
     "q139_heavy_hitters" ->
       """SELECT w AS word, COUNT(*) AS c
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t

@@ -680,6 +680,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(!got.getAs[Boolean]("keep"))
   }
 
+  test("pagerank: cycle fixed point, authority ordering, determinism") {
+    import graft.operators.Centrality
+    // 2-cycle: each node passes its whole score on; 0.15 + 0.85*s has
+    // fixed point 1.0, so scaled scores must stay exactly `scale`
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val c = Centrality.pageRank(cyc, iterations = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1000000L, 2L -> 1000000L), s"got $c")
+
+    // star into node 9 (+ return edges so nothing dangles): the hub
+    // must outscore every spoke
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L),
+      (9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    val s = Centrality.pageRank(star, iterations = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(v => s(9L) > s(v)),
+      s"hub must dominate spokes, got $s")
+
+    // bit-determinism: a rerun (different partitioning) is identical
+    val s2 = Centrality.pageRank(star.repartition(5), iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s == s2, "integer pagerank must not depend on partitioning")
+  }
+
   test("count-min sketch: exact at low load, never underestimates, " +
       "partition-invariant") {
     import graft.operators.FrequencySketch
