@@ -100,7 +100,10 @@ object DiffFuzz {
     val part = if (cats.nonEmpty && r.nextBoolean())
       s"PARTITION BY ${pick(r, cats).name} " else ""
     val value = pick(r, cols.filter(_.kind == "num")).name
-    val ord = s"ORDER BY $value ASC, $key ASC"
+    // explicit NULLS placement INSIDE the window too: Spark defaults
+    // ASC to NULLS FIRST, DuckDB to NULLS LAST — latent until a
+    // nullable column joins the grammar, then every rank diverges
+    val ord = s"ORDER BY $value ASC NULLS FIRST, $key ASC NULLS FIRST"
     val intCols = Set("o_orderkey", "o_custkey", "c_custkey", "c_nationkey")
     val sumCol = pick(r, cols.filter(c => intCols(c.name))).name
     val frame = pick(r, Seq(

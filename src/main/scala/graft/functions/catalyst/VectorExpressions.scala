@@ -724,7 +724,8 @@ case class VectorMean(
   * The buffer is `numBits/64` longs, merged with bitwise OR — fully
   * partial-mergeable, so a 100 TB corpus reduces map-side to one
   * `numBits/8`-byte value on the driver regardless of row count.
-  * Returns the bitset as little-endian-word bytes (BinaryType).
+  * Returns the bitset as BIG-endian-word bytes (BinaryType; ByteBuffer's
+  * default order — `BloomAdmission.mightContain` decodes the same way).
   */
 case class BloomBitsAgg(
     child: Expression,
@@ -839,6 +840,10 @@ case class CountMinAgg(
         s"expected $depth positions, got ${arr.numElements()}")
       var i = 0
       while (i < depth) {
+        // a null slot would silently read as 0 and corrupt counter 0 of
+        // this depth row — refuse loudly (skipping, as BloomBitsAgg may,
+        // would leave the depth rows unevenly incremented)
+        require(!arr.isNullAt(i), s"count-min position $i is null")
         val pos = arr.getLong(i)
         require(pos >= 0 && pos < width,
           s"count-min position $pos outside [0, $width)")

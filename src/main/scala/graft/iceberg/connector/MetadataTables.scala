@@ -172,21 +172,43 @@ object MetadataTables {
           t.resolve(s.manifestList), t.conf)
           .map(m => Row(s.snapshotId, m.path, m.length, m.partitionSpecId,
             m.content, m.addedRowsCount.map(Long.box).orNull))))
-    // distinct live data files across ALL snapshots — what
-    // remove_orphan_files must NOT delete; metadata IO only
+    // distinct live files (data AND delete — both are what external
+    // cleanup must NOT touch, matching upstream's all_files) across ALL
+    // snapshots. Each DISTINCT manifest is read once: successive
+    // snapshots share most manifests, so the naive per-snapshot plan
+    // would re-read O(snapshots × manifests) Avro on a long-history
+    // table where this shape reads O(manifests).
     case "all_files" => new GraftMetadataTable(s"$parent.all_files",
       StructType(Seq(
+        StructField("content", IntegerType, nullable = false),
         StructField("file_path", StringType, nullable = false),
         StructField("file_format", StringType, nullable = false),
         StructField("record_count", LongType, nullable = false),
-        StructField("file_size_in_bytes", LongType, nullable = false),
+        // null for delete files (DeleteFileEntry tracks blob/content
+        // size, not the container file's size)
+        StructField("file_size_in_bytes", LongType, nullable = true),
         StructField("sequence_number", LongType, nullable = true))),
-      () => t.metadata.snapshots
-        .flatMap(s => t.atSnapshot(s.snapshotId).planFiles())
-        .groupBy(_.filePath).toSeq.sortBy(_._1)
-        .map { case (_, fs) => val f = fs.head
-          Row(f.filePath, f.fileFormat, f.recordCount, f.fileSizeInBytes,
-            f.sequenceNumber.map(Long.box).orNull) })
+      () => {
+        val manifests = t.metadata.snapshots
+          .flatMap(s => graft.iceberg.ManifestIO.readManifestList(
+            t.resolve(s.manifestList), t.conf))
+          .groupBy(m => t.resolve(m.path)).toSeq
+          .map { case (p, ms) => (p, ms.head) }
+        val dataRows = manifests.filter(_._2.content == 0)
+          .flatMap { case (p, m) => graft.iceberg.ManifestIO
+            .readManifest(p, t.conf, m.sequenceNumber, m.partitionSpecId)
+            .map(f => (f.filePath, Row(0, f.filePath, f.fileFormat,
+              f.recordCount, f.fileSizeInBytes,
+              f.sequenceNumber.map(Long.box).orNull))) }
+        val delRows = manifests.filter(_._2.content == 1)
+          .flatMap { case (p, m) => graft.iceberg.ManifestIO
+            .readDeleteManifest(p, t.conf, m.sequenceNumber)
+            .map(d => (d.filePath, Row(d.content, d.filePath,
+              d.fileFormat.getOrElse("PARQUET"), d.recordCount,
+              null, d.sequenceNumber.map(Long.box).orNull))) }
+        (dataRows ++ delRows).groupBy(_._1).toSeq.sortBy(_._1)
+          .map(_._2.head._2)
+      })
     // the vN.metadata.json trail the filesystem committer leaves — the
     // spec's metadata-log, served from one directory listing (foreign
     // layouts that don't version metadata files just show no rows)
@@ -211,25 +233,27 @@ object MetadataTables {
     // the POSITION-DELETE tuples in force (v2 parquet files + v3 DVs
     // expanded) — rows come from a DISTRIBUTED read of the delete files,
     // not driver metadata: a 100 TB table's delete debt can be large
-    case "position_deletes" => new GraftDataFrameMetadataTable(
-      s"$parent.position_deletes",
-      StructType(Seq(
+    case "position_deletes" =>
+      val pdSchema = StructType(Seq(
         StructField("file_path", StringType, nullable = true),
         StructField("pos", LongType, nullable = true),
-        StructField("delete_sequence_number", LongType, nullable = true))),
-      spark => {
-        import org.apache.spark.sql.functions.col
-        t.positionDeleteRows(spark, t.planDeletes().filter(_.content == 1))
-          .map(_.select(col("__g_dfpn").as("file_path"),
-            col("__g_dpos").as("pos"),
-            col("__g_delseq").as("delete_sequence_number")))
-          .getOrElse(spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row],
-            StructType(Seq(
-              StructField("file_path", StringType, nullable = true),
-              StructField("pos", LongType, nullable = true),
-              StructField("delete_sequence_number", LongType, nullable = true)))))
-      })
+        StructField("delete_sequence_number", LongType, nullable = true)))
+      new GraftDataFrameMetadataTable(
+        s"$parent.position_deletes", pdSchema,
+        spark => {
+          import org.apache.spark.sql.functions.{col, lit, when}
+          t.positionDeleteRows(spark, t.planDeletes().filter(_.content == 1))
+            .map(_.select(col("__g_dfpn").as("file_path"),
+              col("__g_dpos").as("pos"),
+              // Long.MaxValue is positionDeleteRows' INTERNAL "applies
+              // to everything" sentinel for entries without a recorded
+              // sequence number — surface those as NULL, not garbage
+              when(col("__g_delseq") === lit(Long.MaxValue), lit(null))
+                .otherwise(col("__g_delseq"))
+                .as("delete_sequence_number")))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], pdSchema))
+        })
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
 }

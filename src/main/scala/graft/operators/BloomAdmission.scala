@@ -50,7 +50,7 @@ object BloomAdmission {
       pmod(xxhash64(key, lit(i)), lit(numBits.toLong))): _*)
   }
 
-  /** Fold `df`'s key column into one Bloom bitset (little-endian words).
+  /** Fold `df`'s key column into one Bloom bitset (big-endian words).
     * One aggregate job; the result is bounded by `numBits/8` bytes. */
   def buildBits(df: DataFrame, key: Column, numBits: Int,
                 numHashes: Int): Array[Byte] = {

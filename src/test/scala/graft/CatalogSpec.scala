@@ -271,11 +271,17 @@ class CatalogSpec extends SparkSpec {
       Seq((1L, 1L), (2L, 2L), (3L, 3L)),
       s"snapshot N must reference N manifests, got ${am.mkString(",")}")
 
-    // all_files: distinct live data files across every snapshot
+    // all_files: distinct live files across every snapshot — data AND
+    // delete files (both are what external cleanup must never touch)
     val af = spark.sql(
-      "SELECT COUNT(*) AS n, SUM(record_count) AS r FROM scratch.ns1.m3.all_files")
+      """SELECT COUNT(*) AS n, SUM(record_count) AS r
+        |FROM scratch.ns1.m3.all_files WHERE content = 0""".stripMargin)
       .collect()(0)
     assert(af.getLong(0) == liveFiles && af.getLong(1) == 20L)
+    val afDel = spark.sql(
+      """SELECT COUNT(*) AS n FROM scratch.ns1.m3.all_files
+        |WHERE content = 1""".stripMargin).collect()(0)
+    assert(afDel.getLong(0) == 1L, "the position-delete file must be listed")
 
     // metadata_log_entries: the vN.metadata.json trail, in version order
     val ml = spark.sql(
