@@ -58,8 +58,8 @@ class LifecycleFuzzSpec extends SparkSpec {
             s"${(model.toSet diff got.toSet).take(5)}")
       }
 
-      (1 to 24).foreach { step =>
-        val op = r.nextInt(10) match {
+      (1 to 28).foreach { step =>
+        val op = r.nextInt(12) match {
           case 0 | 1 | 2 | 3 => // INSERT a fresh batch
             val n = 5 + r.nextInt(20)
             val rows = (0 until n).map { _ =>
@@ -101,6 +101,27 @@ class LifecycleFuzzSpec extends SparkSpec {
           case 9 => // compact: state must not move
             IcebergWriter.compact(spark, dir)
             "compact"
+          case 10 => // INSERT OVERWRITE: table truncates to the batch
+            val n = 3 + r.nextInt(8)
+            model.clear()
+            val rows = (0 until n).map { _ =>
+              val k = nextId; nextId += 1
+              val v = r.nextInt(1000).toLong
+              model(k) = v
+              s"($k, $v)"
+            }
+            spark.sql(
+              s"INSERT OVERWRITE TABLE $tbl VALUES ${rows.mkString(", ")}")
+            s"overwrite($n)"
+          case 11 => // rollback to a random recorded snapshot
+            if (history.isEmpty) "noop"
+            else {
+              val (sid, want) = history(r.nextInt(history.size))
+              spark.sql(s"CALL lcf.system.rollback_to_snapshot(" +
+                s"table => 'ns.fz$seed', snapshot_id => $sid)")
+              model.clear(); model ++= want
+              s"rollback($sid)"
+            }
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
