@@ -155,6 +155,28 @@ class OrcFormatSpec extends SparkSpec {
       .collect()(0).getLong(0) == 40L)
   }
 
+  test("renamed column resolves on ORC imports via name mapping") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS orccat.ns.t7")
+    spark.sql("CREATE TABLE orccat.ns.t7 (k BIGINT, v STRING)")
+    val f = orcFile("t7-a", 0, 30)
+    IcebergWriter.addFiles(spark, s"$warehouse/ns/t7", Seq(f))
+    // declare where the imported files' columns live (spec:
+    // schema.name-mapping.default), then rename — ORC files carry no
+    // field ids, so without the mapping the new name would read nulls
+    spark.sql(
+      """ALTER TABLE orccat.ns.t7 SET TBLPROPERTIES (
+        |'schema.name-mapping.default' =
+        |'[{"field-id": 1, "names": ["k"]},
+        |  {"field-id": 2, "names": ["v"]}]')""".stripMargin)
+    spark.sql("ALTER TABLE orccat.ns.t7 RENAME COLUMN v TO val")
+    val got = spark.sql(
+      "SELECT val FROM orccat.ns.t7 WHERE k = 7").collect()
+    assert(got.length == 1 && got(0).getString(0) == "v7",
+      s"renamed column must resolve through the mapping, got " +
+        s"${got.mkString(",")}")
+  }
+
   test("add_files rejects files that are neither parquet nor ORC") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS orccat.ns.t5")
