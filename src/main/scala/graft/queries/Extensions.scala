@@ -101,6 +101,33 @@ object Extensions {
         .orderBy(col("v").asc_nulls_first)
     }),
 
+    // SCD2 apply — Kimball type-2 dimension versioning: changing
+    // updates close the current row and open a new version, identical
+    // updates are no-ops (no empty versions), new keys insert. One key
+    // join + unions; money stays in integer cents so both engines agree
+    // bit-for-bit. The oracle reconstructs the same row set set-wise.
+    "q142_scd2" -> ((s, d) => {
+      import graft.operators.Scd2
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"),
+        expr("CAST(FLOOR(c_acctbal * 100) AS BIGINT)").as("b"))
+      val dim = c.withColumn("valid_from", to_date(lit("1995-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+      val updates = c.filter(col("k") % 3 === 0)
+        .select(col("k"),
+          when(col("k") % 6 === 0, col("b")) // identical → no-op
+            .otherwise(col("b") + 10000).as("b"),
+          to_date(lit("1996-01-01")).as("ts"))
+        .unionByName(c.filter(col("k") < 50) // brand-new keys
+          .select((col("k") + 1000000).as("k"), lit(0L).as("b"),
+            to_date(lit("1996-01-01")).as("ts")))
+      Scd2(dim, updates, Seq("k"), Seq("b"), "ts")
+        .groupBy(col("valid_to").isNull.as("current"))
+        .agg(count(lit(1)).as("n"),
+          sum("k").cast("bigint").as("sk"),
+          sum("b").cast("bigint").as("sa"))
+        .orderBy(col("current").asc_nulls_first)
+    }),
+
     // ---- dedup -----------------------------------------------------------
     "q37_dedup_exact" -> ((s, d) =>
       Dedup.exactKeepFirst(t(s, d, "documents"), "text", "doc_id")
@@ -856,6 +883,23 @@ object Extensions {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 3 <> 0 AND c.text = i.text)
         |ORDER BY i.doc_id ASC NULLS FIRST""".stripMargin,
+    "q142_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k,
+        |                  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS b
+        |           FROM customer),
+        |changed AS (SELECT k, b FROM c WHERE k % 3 = 0 AND k % 6 <> 0),
+        |rows_ AS (
+        |  SELECT k, b, FALSE AS cur FROM changed
+        |  UNION ALL
+        |  SELECT k, b, TRUE FROM c WHERE NOT (k % 3 = 0 AND k % 6 <> 0)
+        |  UNION ALL
+        |  SELECT k, b + 10000, TRUE FROM changed
+        |  UNION ALL
+        |  SELECT k + 1000000, CAST(0 AS BIGINT), TRUE FROM c WHERE k < 50
+        |)
+        |SELECT cur AS current, COUNT(*) AS n,
+        |       CAST(SUM(k) AS BIGINT) AS sk, CAST(SUM(b) AS BIGINT) AS sa
+        |FROM rows_ GROUP BY cur ORDER BY cur ASC NULLS FIRST""".stripMargin,
     "q141_pagerank" -> graft.operators.Centrality.pageRankOracleSql(
       """SELECT DISTINCT event_id % 40 AS src, user_id AS dst
         |FROM events WHERE user_id < 40 AND event_id % 40 <> user_id"""

@@ -680,6 +680,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(!got.getAs[Boolean]("keep"))
   }
 
+  test("scd2 apply: close/open on change, no-op on identical, idempotent") {
+    import graft.operators.Scd2
+    import java.sql.Date
+    val d0 = Date.valueOf("1995-01-01")
+    val d1 = Date.valueOf("1996-06-01")
+    val dim = Seq(
+      (1L, "gold", d0, null.asInstanceOf[Date]),   // will change
+      (2L, "silver", d0, null.asInstanceOf[Date]), // identical update
+      (3L, "bronze", d0, null.asInstanceOf[Date]), // no update
+      (1L, "old", Date.valueOf("1990-01-01"), d0)  // history, untouched
+    ).toDF("k", "tier", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "platinum", d1), (2L, "silver", d1), (9L, "new", d1)
+    ).toDF("k", "tier", "ts")
+
+    val out = Scd2(dim, updates, Seq("k"), Seq("tier"), "ts")
+    val rows = out.select("k", "tier", "valid_from", "valid_to").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        String.valueOf(r.getDate(2)), String.valueOf(r.getDate(3))))
+      .toSet
+    assert(rows == Set(
+      (1L, "old", "1990-01-01", "1995-01-01"),   // history preserved
+      (1L, "gold", "1995-01-01", "1996-06-01"),  // closed at update ts
+      (1L, "platinum", "1996-06-01", "null"),    // new version current
+      (2L, "silver", "1995-01-01", "null"),      // identical → untouched
+      (3L, "bronze", "1995-01-01", "null"),      // no update → untouched
+      (9L, "new", "1996-06-01", "null")          // brand-new key
+    ), s"got ${rows.mkString("\n")}")
+
+    // idempotence: re-applying the same batch changes nothing (every
+    // update now matches the current attributes)
+    val again = Scd2(out, updates, Seq("k"), Seq("tier"), "ts")
+    assert(again.count() == out.count())
+    assert(again.filter(col("valid_to").isNull).count() ==
+      out.filter(col("valid_to").isNull).count())
+  }
+
   test("pagerank: cycle fixed point, authority ordering, determinism") {
     import graft.operators.Centrality
     // 2-cycle: each node passes its whole score on; 0.15 + 0.85*s has
