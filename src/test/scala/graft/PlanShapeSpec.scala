@@ -289,4 +289,38 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("HashAggregate"),
       s"winner election must partial-aggregate before the exchange:\n$plan")
   }
+
+  test("bloom admission: the clear-miss path is join-free and shuffle-free") {
+    import graft.operators.BloomAdmission
+    val docs = Tables.load(spark, sf, "documents")
+    val corpus = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 3 =!= 0)
+    val incoming = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val bits = BloomAdmission.buildBits(corpus,
+      org.apache.spark.sql.functions.col("text"), 1 << 16, 5)
+    // the fresh path — rows the filter clears — must be a pure scan +
+    // filter: no join, no exchange (this is the leg that carries ~all
+    // of a 100 TB incoming batch)
+    val fresh = physical(incoming.filter(
+      !BloomAdmission.mightContain(
+        org.apache.spark.sql.functions.col("text"), bits, 1 << 16, 5)))
+    assert(!fresh.contains("Join") && !fresh.contains("Exchange"),
+      s"the clear-miss path must not join or shuffle:\n$fresh")
+    // and the full admitNew plan pays exactly ONE join (the anti-join
+    // on the maybe sliver)
+    val full = physical(BloomAdmission.admitNew(corpus, incoming, "text",
+      numBits = 1 << 16, numHashes = 5))
+    assert(full.contains("LeftAnti"),
+      s"the maybe sliver must anti-join the corpus:\n$full")
+  }
+
+  test("pagerank result is a checkpoint leaf: no per-round lineage downstream") {
+    import graft.operators.Centrality
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val pr = Centrality.pageRank(edges, iterations = 4)
+    val plan = physical(pr)
+    assert(!plan.contains("Join"),
+      s"downstream consumers must see the materialized leaf, not 4 rounds " +
+        s"of joins:\n$plan")
+  }
 }
