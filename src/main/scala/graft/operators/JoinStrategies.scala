@@ -47,6 +47,35 @@ object JoinStrategies {
     factSalted.join(dimSalted, keys :+ "_salt").drop("_salt")
   }
 
+  /** Bloom semi-join reduction (the classic distributed-DB "bloom
+    * join"): before the fact side pays the join shuffle, it is filtered
+    * MAP-SIDE against a Bloom bitset of the dimension's join keys —
+    * [[BloomAdmission.buildBits]] folds the dim keys into one bounded
+    * value, and the probe rides whole-stage codegen inside the fact
+    * scan. Rows that cannot match never enter the exchange.
+    *
+    * Result-identical to `fact.join(dim, keys)` (INNER): the filter only
+    * drops fact rows with no dim partner (no false negatives), and the
+    * false-positive sliver is eliminated by the real join. The win
+    * condition at 100 TB: the dim is SELECTIVE relative to the fact's
+    * key domain but too large to broadcast — shuffle bytes drop by the
+    * non-match fraction for the cost of one aggregate over the dim.
+    * (Spark's own InjectRuntimeFilter does this automatically in narrow
+    * cases; this form works on any DataFrame pair and composite keys.)
+    */
+  def bloomReducedJoin(
+      fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
+    require(keys.nonEmpty, "bloomReducedJoin needs at least one key column")
+    def keyCol(df: DataFrame): Column =
+      if (keys.size == 1) col(keys.head)
+      else struct(keys.map(col): _*)
+    val bits = BloomAdmission.buildBits(dim, keyCol(dim), numBits, numHashes)
+    fact.filter(
+        BloomAdmission.mightContain(keyCol(fact), bits, numBits, numHashes))
+      .join(dim, keys)
+  }
+
   private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case _: org.apache.spark.sql.types.MapType => true
     case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMapType(f.dataType))

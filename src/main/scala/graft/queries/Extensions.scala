@@ -128,6 +128,24 @@ object Extensions {
         .orderBy(col("current").asc_nulls_first)
     }),
 
+    // Bloom semi-join reduction: the fact side is filtered map-side
+    // against a bitset of the dim's join keys BEFORE the join shuffle —
+    // non-matching lineitem rows never enter the exchange. Result is
+    // exactly the plain inner join (no false negatives; FP sliver dies
+    // in the real join), which is what the oracle computes.
+    "q143_bloom_join" -> ((s, d) => {
+      import graft.operators.JoinStrategies
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val pt = t(s, d, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      JoinStrategies.bloomReducedJoin(li, pt, Seq("l_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("bigint").as("sq"))
+        .orderBy(col("p_brand").asc_nulls_first)
+    }),
+
     // ---- dedup -----------------------------------------------------------
     "q37_dedup_exact" -> ((s, d) =>
       Dedup.exactKeepFirst(t(s, d, "documents"), "text", "doc_id")
@@ -883,6 +901,12 @@ object Extensions {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 3 <> 0 AND c.text = i.text)
         |ORDER BY i.doc_id ASC NULLS FIRST""".stripMargin,
+    "q143_bloom_join" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |       CAST(SUM(l_quantity) AS BIGINT) AS sq
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
     "q142_scd2" ->
       """WITH c AS (SELECT c_custkey AS k,
         |                  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS b

@@ -61,4 +61,28 @@ class JoinStrategiesSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("bloomReducedJoin: result-identical to the plain join, probe below it") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_partkey", "l_quantity")
+    val pt = Tables.load(spark, sf, "part")
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val reduced = JoinStrategies.bloomReducedJoin(li, pt, Seq("l_partkey"))
+    val plain = li.join(pt, "l_partkey")
+    assert(reduced.count() == plain.count(),
+      "the bloom pre-filter must not change the join result")
+    // the probe (xxhash64 bit test) must sit on the fact side BELOW the
+    // join — that is the map-side shuffle reduction
+    val plan = reduced.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"),
+      s"fact side must carry the bloom probe filter:\n$plan")
+    // and a composite key round-trips through the struct hash
+    val li2 = li.withColumn("k2", col("l_partkey") % 7)
+    val pt2 = pt.withColumn("k2", col("l_partkey") % 7)
+    val both = JoinStrategies.bloomReducedJoin(li2, pt2,
+      Seq("l_partkey", "k2"))
+    assert(both.count() == li2.join(pt2, Seq("l_partkey", "k2")).count())
+  }
 }
