@@ -31,14 +31,20 @@ object DiffFuzz {
       Col("l_returnflag", "cat"), Col("l_linestatus", "cat"),
       Col("l_shipdate", "ts")),
     "customer" -> Seq(Col("c_custkey", "num"), Col("c_acctbal", "num"),
-      Col("c_nationkey", "num"), Col("c_mktsegment", "cat")))
+      Col("c_nationkey", "num"), Col("c_mktsegment", "cat")),
+    // events WITHOUT its ts column: the driver varies its physical
+    // timestamp type by round (TESTDATA.md), and the fuzzer's DuckDB
+    // replay reads the raw parquet — numeric/categorical columns only
+    "events" -> Seq(Col("event_id", "num"), Col("user_id", "num"),
+      Col("value", "num"), Col("event_type", "cat")))
 
   private val catValues: Map[String, Seq[String]] = Map(
     "o_orderstatus" -> Seq("F", "O", "P"),
     "o_orderpriority" -> Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
     "l_returnflag" -> Seq("A", "N", "R"),
     "l_linestatus" -> Seq("F", "O"),
-    "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+    "c_mktsegment" -> Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+    "event_type" -> Seq("click", "error", "purchase", "signup", "view"))
 
   private val numRange: Map[String, (Long, Long)] = Map(
     "o_orderkey" -> (0L, 15000L), "o_custkey" -> (0L, 1500L),
@@ -46,7 +52,9 @@ object DiffFuzz {
     "l_orderkey" -> (0L, 15000L), "l_quantity" -> (1L, 50L),
     "l_extendedprice" -> (1000L, 100000L), "l_discount" -> (0L, 1L),
     "c_custkey" -> (0L, 1500L), "c_acctbal" -> (-1000L, 10000L),
-    "c_nationkey" -> (0L, 24L))
+    "c_nationkey" -> (0L, 24L),
+    "event_id" -> (0L, 10000L), "user_id" -> (0L, 150L),
+    "value" -> (0L, 490L))
 
   private def pick[A](r: scala.util.Random, xs: Seq[A]): A = xs(r.nextInt(xs.size))
 
@@ -80,12 +88,14 @@ object DiffFuzz {
   /** Equi-join pairs sharing this schema's foreign keys. */
   private val joins: Seq[(String, String, String)] = Seq(
     ("orders", "customer", "o_custkey = c_custkey"),
-    ("lineitem", "orders", "l_orderkey = o_orderkey"))
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("events", "customer", "user_id = c_custkey"))
 
   /** Tables with a UNIQUE key — the total-order tiebreak every
     * deterministic window needs. */
   private val uniqueKey: Map[String, String] =
-    Map("orders" -> "o_orderkey", "customer" -> "c_custkey")
+    Map("orders" -> "o_orderkey", "customer" -> "c_custkey",
+      "events" -> "event_id")
 
   /** One deterministic WINDOW query: every OVER clause orders by a total
     * order (value columns + the unique key as final tiebreak), and
@@ -104,7 +114,8 @@ object DiffFuzz {
     // ASC to NULLS FIRST, DuckDB to NULLS LAST — latent until a
     // nullable column joins the grammar, then every rank diverges
     val ord = s"ORDER BY $value ASC NULLS FIRST, $key ASC NULLS FIRST"
-    val intCols = Set("o_orderkey", "o_custkey", "c_custkey", "c_nationkey")
+    val intCols = Set("o_orderkey", "o_custkey", "c_custkey", "c_nationkey",
+      "event_id", "user_id")
     val sumCol = pick(r, cols.filter(c => intCols(c.name))).name
     val frame = pick(r, Seq(
       s"ROWS BETWEEN ${1 + r.nextInt(5)} PRECEDING AND CURRENT ROW",
@@ -166,7 +177,7 @@ object DiffFuzz {
     // under an explicit BIGINT cast (DuckDB's ROUND would widen to
     // DOUBLE and the value comparison sees 42 vs 42.0)
     val intCols = Set("o_orderkey", "o_custkey", "l_orderkey",
-      "c_custkey", "c_nationkey")
+      "c_custkey", "c_nationkey", "event_id", "user_id")
     val aggs = Seq("COUNT(*) AS c") ++ aggTargets.zipWithIndex.flatMap {
       case (n, i) =>
         val sum = if (intCols(n)) s"CAST(SUM($n) AS BIGINT) AS s$i"
