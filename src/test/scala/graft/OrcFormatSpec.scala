@@ -177,6 +177,68 @@ class OrcFormatSpec extends SparkSpec {
         s"${got.mkString(",")}")
   }
 
+  test("ORC footer-stats pruning is sound under random data and predicates") {
+    import org.apache.spark.sql.sources._
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS orccat.ns.t8")
+    spark.sql("CREATE TABLE orccat.ns.t8 (k BIGINT, v STRING)")
+    val r = new scala.util.Random(99)
+    val dir = s"$warehouse/ns/t8"
+    // 6 files with random ranges, some null ks, varied strings
+    val stored: Seq[(String, Seq[(java.lang.Long, String)])] =
+      (0 until 6).map { i =>
+        val lo = r.nextInt(1000).toLong
+        val rows: Seq[(java.lang.Long, String)] = (0 until 20).map { j =>
+          val k: java.lang.Long =
+            if (i % 2 == 0 && j % 7 == 0) null
+            else java.lang.Long.valueOf(lo + r.nextInt(200))
+          (k, s"s${r.nextInt(500)}")
+        }
+        val d = s"/root/repo/target/orc-src/t8-$i"
+        new Path(d).getFileSystem(conf).delete(new Path(d), true)
+        import spark.implicits._
+        rows.toDF("k", "v").coalesce(1).write.mode("overwrite").orc(d)
+        val fs = new Path(d).getFileSystem(conf)
+        val p = fs.listStatus(new Path(d)).map(_.getPath)
+          .find(_.getName.endsWith(".orc")).get.toString
+        (p, rows)
+      }
+    IcebergWriter.addFiles(spark, dir, stored.map(_._1))
+    val t = new graft.iceberg.IcebergTable(dir, conf)
+
+    def matches(f: Filter, k: java.lang.Long, v: String): Boolean = f match {
+      case GreaterThan("k", x: Long) => k != null && k > x
+      case LessThan("k", x: Long) => k != null && k < x
+      case EqualTo("k", x: Long) => k != null && k == x
+      case IsNull("k") => k == null
+      case GreaterThan("v", x: String) => v > x
+      case EqualTo("v", x: String) => v == x
+      case _ => true
+    }
+    val preds: Seq[Filter] = (0 until 40).map { _ =>
+      r.nextInt(6) match {
+        case 0 => GreaterThan("k", r.nextInt(1400).toLong)
+        case 1 => LessThan("k", r.nextInt(1400).toLong)
+        case 2 => EqualTo("k", r.nextInt(1400).toLong)
+        case 3 => IsNull("k")
+        case 4 => GreaterThan("v", s"s${r.nextInt(500)}")
+        case 5 => EqualTo("v", s"s${r.nextInt(500)}")
+      }
+    }
+    preds.foreach { f =>
+      val kept = t.planFiles(Seq(f)).map(p => t.resolve(p.filePath)).toSet
+      stored.foreach { case (path, rows) =>
+        val hasMatch = rows.exists { case (k, v) => matches(f, k, v) }
+        assert(!hasMatch || kept.contains(path),
+          s"UNSOUND: $f pruned $path which contains a matching row")
+      }
+    }
+    // and the stats actually prune SOMETHING across the predicate set
+    val totalKept = preds.map(f => t.planFiles(Seq(f)).size).sum
+    assert(totalKept < preds.size * stored.size,
+      "pruning never skipped a file — stats are not reaching the planner")
+  }
+
   test("add_files rejects files that are neither parquet nor ORC") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS orccat.ns.t5")
