@@ -281,8 +281,23 @@ final class IcebergTable private (
     * (must be re-injected from metadata); decided by one footer read. */
   def missingPartitionColumns(spark: SparkSession, files: Seq[DataFileEntry]): Seq[String] = {
     if (files.isEmpty) return Nil
-    val inFile = fileSchemaColumns(spark, resolve(files.head.filePath),
-      orc = files.head.fileFormat.equalsIgnoreCase("ORC"))
+    val inFile =
+      if (files.head.fileFormat.equalsIgnoreCase("AVRO"))
+        // header-only read, no Spark job — and cached like the others
+        Option(IcebergTable.fileColsCache.get(resolve(files.head.filePath)))
+          .getOrElse {
+            val v = try AvroDataRead.fieldNames(
+              new Path(resolve(files.head.filePath)), conf)
+            catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+            if (v.nonEmpty) {
+              IcebergTable.guard(IcebergTable.fileColsCache)
+              IcebergTable.fileColsCache
+                .putIfAbsent(resolve(files.head.filePath), v)
+            }
+            v
+          }
+      else fileSchemaColumns(spark, resolve(files.head.filePath),
+        orc = files.head.fileFormat.equalsIgnoreCase("ORC"))
     metadata.identityPartitionColumns.filterNot(inFile.contains)
   }
 
@@ -612,18 +627,56 @@ final class IcebergTable private (
   private def scanFiles(spark: SparkSession, files: Seq[DataFileEntry],
                         withIds: Boolean,
                         placeholderPos: Boolean = false): DataFrame = {
-    // Mixed-format snapshots (native parquet + add_files ORC imports)
-    // split into one scan per format and union — each group keeps its
-    // own multi-file vectorized scan, so the split costs no extra jobs.
+    // Mixed-format snapshots (native parquet + add_files ORC/Avro
+    // imports) split into one scan per format and union — parquet and
+    // ORC keep their multi-file vectorized scans; Avro decodes row-wise
+    // through avro-core ([[AvroDataRead]], true row positions).
+    val (avroFiles, nonAvro) =
+      files.partition(_.fileFormat.equalsIgnoreCase("AVRO"))
     val (orcFiles, parquetFiles) =
-      files.partition(_.fileFormat.equalsIgnoreCase("ORC"))
-    if (orcFiles.nonEmpty && parquetFiles.nonEmpty)
-      return scanFilesOneFormat(spark, parquetFiles, withIds, orc = false,
-          placeholderPos)
-        .unionByName(scanFilesOneFormat(spark, orcFiles, withIds, orc = true,
-          placeholderPos))
-    scanFilesOneFormat(spark, files, withIds, orc = orcFiles.nonEmpty,
-      placeholderPos)
+      nonAvro.partition(_.fileFormat.equalsIgnoreCase("ORC"))
+    val parts = Seq(
+      if (parquetFiles.isEmpty) None
+      else Some(scanFilesOneFormat(spark, parquetFiles, withIds,
+        orc = false, placeholderPos)),
+      if (orcFiles.isEmpty) None
+      else Some(scanFilesOneFormat(spark, orcFiles, withIds, orc = true,
+        placeholderPos)),
+      if (avroFiles.isEmpty) None
+      else Some(scanAvroFiles(spark, avroFiles, withIds))).flatten
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Avro group scan: name-resolved row decode with optional TRUE
+    * (file, pos) identities (record index = the spec's row position, so
+    * merge-on-read applies to Avro imports — the capability ORC cannot
+    * have). Name mapping applies the same way as elsewhere: the current
+    * schema's field reads from the mapped source name when the record
+    * lacks the current name. */
+  private[graft] def scanAvroFiles(spark: SparkSession,
+                                   files: Seq[DataFileEntry],
+                                   withIds: Boolean): DataFrame = {
+    val paths = files.map(f => resolve(f.filePath))
+    val inFile: Set[String] =
+      try AvroDataRead.fieldNames(new Path(paths.head), conf)
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    val pairs = metadata.schema.fields.toSeq.map { f =>
+      val candidates = metadata.fieldIds.get(f.name).toSeq
+        .flatMap(id => nameMapping.getOrElse(id, Nil))
+      val src =
+        if (inFile.contains(f.name)) f.name
+        else candidates.find(inFile.contains)
+          .orElse(candidates.headOption).getOrElse(f.name)
+      (src, f)
+    }
+    val readSchema = StructType(pairs.map { case (src, f) =>
+      StructField(src, f.dataType, f.nullable) })
+    val base = AvroDataRead.rows(spark, paths, readSchema,
+      if (withIds) Some((IcebergTable.FpCol, IcebergTable.PosCol)) else None)
+    val renamed = pairs.map { case (src, f) => col(src).as(f.name) } ++
+      (if (!withIds) Nil
+       else Seq(col(IcebergTable.FpCol), col(IcebergTable.PosCol)))
+    base.select(renamed: _*)
   }
 
   private def scanFilesOneFormat(spark: SparkSession, files: Seq[DataFileEntry],

@@ -614,20 +614,26 @@ object IcebergWriter {
     val added: Seq[AddedDataFile] = paths.map { p =>
       val path = new Path(p)
       val len = path.getFileSystem(conf).getFileStatus(path).getLen
-      // Probe parquet first (our native format), then ORC: one driver
-      // footer read either way, recording the true file_format so the
-      // scan dispatches the right reader per file group.
-      val probed: Option[(Long, FileColStats, String)] =
+      // Probe parquet first (our native format), then ORC, then Avro:
+      // one driver footer read for the columnar formats; Avro has no
+      // footer stats, so its probe is one decode pass for the exact row
+      // count and NO bounds (never pruned — sound). The true
+      // file_format is recorded so the scan dispatches per group.
+      val probed: Option[(Long, Option[FileColStats], String)] =
         (try { val (r, s) = footerStats(path, conf, meta.schema, meta.fieldIds)
-               Some((r, s, "PARQUET")) }
+               Some((r, Some(s), "PARQUET")) }
          catch { case scala.util.control.NonFatal(_) => None })
           .orElse(
             try { val (r, s) = orcFooterStats(path, conf, meta.schema, meta.fieldIds)
-                  Some((r, s, "ORC")) }
+                  Some((r, Some(s), "ORC")) }
+            catch { case scala.util.control.NonFatal(_) => None })
+          .orElse(
+            try { val (r, _) = AvroDataRead.probe(path, conf)
+                  Some((r, None, "AVRO")) }
             catch { case scala.util.control.NonFatal(_) => None })
       val (rows, stats, fmt) = probed.getOrElse(throw new IllegalArgumentException(
-        s"addFiles: $p is not a readable parquet or ORC file"))
-      AddedDataFile(path.toString, rows, len, Some(stats), partition = None,
+        s"addFiles: $p is not a readable parquet, ORC, or Avro file"))
+      AddedDataFile(path.toString, rows, len, stats, partition = None,
         fileFormat = fmt)
     }
     val newMl = writeNewManifest(conf, tableDir, meta, snapId, added)
@@ -1462,12 +1468,24 @@ object IcebergWriter {
       candidates.map(f => norm(table.resolve(f.filePath)) -> f).toMap
 
     // one distributed pass over the pruned candidates: matched (file, pos)
-    // pairs — schema-by-field-id read, same as the scan path
-    val matched = spark.read.schema(meta.schema)
-      .parquet(candidates.map(f => table.resolve(f.filePath)): _*)
-      .filter(cond)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("pos"))
+    // pairs — schema-by-field-id read for parquet; Avro imports decode
+    // row-wise with TRUE record-index positions (AvroDataRead), so
+    // position deletes target them exactly like native files
+    val (avroCands, pqCands) =
+      candidates.partition(_.fileFormat.equalsIgnoreCase("AVRO"))
+    val matchedParts = Seq(
+      if (pqCands.isEmpty) None
+      else Some(spark.read.schema(meta.schema)
+        .parquet(pqCands.map(f => table.resolve(f.filePath)): _*)
+        .filter(cond)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"))),
+      if (avroCands.isEmpty) None
+      else Some(table.scanAvroFiles(spark, avroCands, withIds = true)
+        .filter(cond)
+        .select(col(IcebergTable.FpCol).as("file_path"),
+          col(IcebergTable.PosCol).as("pos")))).flatten
+    val matched = matchedParts.reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val counts: Map[String, Long] = matched.groupBy("file_path").count()
@@ -1481,7 +1499,12 @@ object IcebergWriter {
         val f = byNorm(np)
         if (m >= f.recordCount) fullyDead += f.filePath
         else if (m.toDouble / math.max(f.recordCount, 1L) <= maxPosDeleteFraction
-                 || table.hasDeletes) posDel += np
+                 || table.hasDeletes
+                 // Avro files never take the CoW rewrite branch (its
+                 // surviving-rows read is the parquet source); the
+                 // position-delete representation costs the same and
+                 // compaction materializes them later
+                 || f.fileFormat.equalsIgnoreCase("AVRO")) posDel += np
         else rewrite += f.filePath
       }
 

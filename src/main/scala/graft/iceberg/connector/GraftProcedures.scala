@@ -342,8 +342,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         df.createOrReplaceTempView(view)
         Seq(Row(view))
       case "add_files" =>
-        // register EXISTING parquet/ORC files metadata-only (the
-        // migration primitive): a directory lists its *.parquet/*.orc
+        // register EXISTING parquet/ORC/Avro files metadata-only (the
+        // migration primitive): a directory lists its *.parquet/*.orc/*.avro
         // children; a glob or literal file resolves as-is
         val source = str(m, "source", procedure)
         val conf = t.table.conf
@@ -354,7 +354,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           if (st.isDirectory)
             fs.listStatus(st.getPath).toSeq
               .filter(f => f.isFile && (f.getPath.getName.endsWith(".parquet")
-                || f.getPath.getName.endsWith(".orc")))
+                || f.getPath.getName.endsWith(".orc")
+                || f.getPath.getName.endsWith(".avro")))
               .map(_.getPath.toString)
           else Seq(st.getPath.toString)
         }

@@ -983,13 +983,13 @@ final class GraftMicroBatchStream(
     val files = t.appendedFilesBetween(
       if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s, e)
     if (files.isEmpty) return Array.empty
-    // the streaming reader factory is a parquet Batch; an add_files ORC
-    // import landing mid-stream must refuse, not decode garbage
-    files.find(_.fileFormat.equalsIgnoreCase("ORC")).foreach { f =>
+    // the streaming reader factory is a parquet Batch; an add_files
+    // ORC/Avro import landing mid-stream must refuse, not decode garbage
+    files.find(!_.fileFormat.equalsIgnoreCase("PARQUET")).foreach { f =>
       throw new UnsupportedOperationException(
-        s"streaming read reached ORC import ${f.filePath} — the " +
-          "micro-batch reader is parquet-only; rewrite_data_files the " +
-          "import away (batch reads of this table still work)")
+        s"streaming read reached ${f.fileFormat} import ${f.filePath} — " +
+          "the micro-batch reader is parquet-only; rewrite_data_files " +
+          "the import away (batch reads of this table still work)")
     }
     org.apache.spark.sql.execution.datasources.GraftScanShims
       .parquetBatchScan(spark,

@@ -868,6 +868,66 @@ object IcebergQueries {
           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
     }),
 
+    // Avro data files as read-path citizens — and unlike ORC, with the
+    // FULL merge-on-read surface: Avro decode order is the spec's row
+    // position, so a RANGE DELETE (not equality-expressible) commits
+    // position deletes against the imported file and the scan applies
+    // them. The gate requires the data file to stay Avro (no rewrite)
+    // and the delete debt to be real; the oracle recomputes survivors.
+    "q144_avro_import" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q144-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q144")
+      s.conf.set("spark.sql.catalog.q144cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q144cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q144cat.ns")
+      s.sql(
+        """CREATE TABLE q144cat.ns.supp (
+          |  s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)
+          |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+      // the import: supplier rows re-encoded as ONE foreign Avro file
+      // (avro-core writer — no Spark Avro source exists in this runtime)
+      val rows = s.sql(
+        """SELECT s_suppkey, s_nationkey, s_acctbal
+          |FROM supplier_src_q144 ORDER BY s_suppkey""".stripMargin).collect()
+      val schema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"r","fields":[
+          |{"name":"s_suppkey","type":"long"},
+          |{"name":"s_nationkey","type":"int"},
+          |{"name":"s_acctbal","type":"double"}]}""".stripMargin)
+      val avroDir = new java.io.File("/root/repo/target/q144-src")
+      avroDir.mkdirs()
+      val f = new java.io.File(avroDir, "supplier.avro")
+      val w = new org.apache.avro.file.DataFileWriter[
+          org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      w.create(schema, f)
+      rows.foreach { r =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("s_suppkey", r.getLong(0))
+        rec.put("s_nationkey", r.getInt(1))
+        rec.put("s_acctbal", r.getDouble(2))
+        w.append(rec)
+      }
+      w.close()
+      val dir = s"$warehouse/ns/supp"
+      graft.iceberg.IcebergWriter.addFiles(s, dir, Seq(f.getAbsolutePath))
+      // RANGE delete → position deletes against the Avro file
+      s.sql("DELETE FROM q144cat.ns.supp WHERE s_suppkey >= 10 AND s_suppkey < 20")
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      require(t.planFiles().forall(_.fileFormat == "AVRO"),
+        "q144: the import must stay an Avro file (merge-on-read, no rewrite)")
+      require(t.hasDeletes, "q144: the range DELETE must land delete files")
+      s.sql(
+        """SELECT s_nationkey, COUNT(*) AS n,
+          |       CAST(SUM(s_suppkey) AS BIGINT) AS sk
+          |FROM q144cat.ns.supp
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1280,6 +1340,12 @@ object IcebergQueries {
         |        WHERE o_orderkey BETWEEN 500 AND 2499) AS n_clone,
         |       (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
         |        WHERE o_orderkey BETWEEN 500 AND 2499) AS sk_clone""".stripMargin,
+    "q144_avro_import" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |       CAST(SUM(s_suppkey) AS BIGINT) AS sk
+        |FROM supplier
+        |WHERE NOT (s_suppkey >= 10 AND s_suppkey < 20)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q132_orc_import" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |       CAST(SUM(s_suppkey) AS BIGINT) AS sk

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.iceberg.{IcebergTable, IcebergWriter}
+import graft.iceberg.connector.GraftCatalog
+
+/** Avro data files as read-path citizens. Unlike ORC, Avro decode order
+  * IS the spec's row position (record index), so Avro imports get the
+  * FULL merge-on-read surface: position-delete DELETEs target them,
+  * and existing delete files (position, equality, DVs) apply on read.
+  * No column statistics exist in Avro, so imported files are never
+  * pruned (doubt-keeps) but row counts are exact.
+  */
+class AvroFormatSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/avro-warehouse"
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def freshCatalog(): Unit = {
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set("spark.sql.catalog.avcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.avcat.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS avcat.ns")
+  }
+
+  /** Write one Avro file of (k BIGINT, v STRING nullable) rows. */
+  private def avroFile(name: String, lo: Long, hi: Long): String = {
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"k","type":"long"},
+        |{"name":"v","type":["null","string"],"default":null}]}"""
+        .stripMargin)
+    val dir = new java.io.File(s"/root/repo/target/avro-src")
+    dir.mkdirs()
+    val f = new java.io.File(dir, s"$name.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    (lo until hi).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("k", i)
+      r.put("v", if (i % 11 == 0) null else s"v$i")
+      w.append(r)
+    }
+    w.close()
+    f.getAbsolutePath
+  }
+
+  test("add_files imports Avro; scan, nulls, and exact row counts") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS avcat.ns.a1")
+    spark.sql("CREATE TABLE avcat.ns.a1 (k BIGINT, v STRING)")
+    val f1 = avroFile("a1-lo", 0, 60)
+    val f2 = avroFile("a1-hi", 60, 100)
+    val dir = s"$warehouse/ns/a1"
+    IcebergWriter.addFiles(spark, dir, Seq(f1, f2))
+    val t = new IcebergTable(dir, conf)
+    assert(t.planFiles().map(f => (f.fileFormat, f.recordCount)).sortBy(_._2)
+      == Seq(("AVRO", 40L), ("AVRO", 60L)))
+    val r = spark.sql(
+      """SELECT COUNT(*) AS n, SUM(k) AS s,
+        |       COUNT(CASE WHEN v IS NULL THEN 1 END) AS nulls
+        |FROM avcat.ns.a1""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) == (0L until 100L).sum)
+    assert(r.getLong(2) == (0L until 100L).count(_ % 11 == 0))
+    assert(spark.sql("SELECT v FROM avcat.ns.a1 WHERE k = 42")
+      .collect()(0).getString(0) == "v42")
+  }
+
+  test("merge-on-read position DELETE works on Avro imports") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS avcat.ns.a2")
+    spark.sql(
+      """CREATE TABLE avcat.ns.a2 (k BIGINT, v STRING)
+        |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    val dir = s"$warehouse/ns/a2"
+    IcebergWriter.addFiles(spark, dir, Seq(avroFile("a2", 0, 100)))
+    // a RANGE delete — not equality-expressible, needs true positions
+    spark.sql("DELETE FROM avcat.ns.a2 WHERE k >= 90 AND k < 95")
+    val t = new IcebergTable(dir, conf)
+    assert(t.hasDeletes, "the range DELETE must be merge-on-read")
+    assert(t.planFiles().forall(_.fileFormat == "AVRO"),
+      "the data file must not be rewritten")
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(k) AS s FROM avcat.ns.a2").collect()(0)
+    assert(r.getLong(0) == 95L)
+    assert(r.getLong(1) == (0L until 100L).sum - (90L until 95L).sum)
+    // and equality deletes stack on top
+    spark.sql("DELETE FROM avcat.ns.a2 WHERE k IN (1, 2)")
+    assert(spark.sql("SELECT COUNT(*) FROM avcat.ns.a2")
+      .collect()(0).getLong(0) == 93L)
+  }
+
+  test("three-format snapshot unions parquet + ORC + Avro") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS avcat.ns.a3")
+    spark.sql("CREATE TABLE avcat.ns.a3 (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO avcat.ns.a3 SELECT id, concat('v', id) FROM range(30)")
+    import spark.implicits._
+    val orcDir = "/root/repo/target/avro-src/a3-orc"
+    new Path(orcDir).getFileSystem(conf).delete(new Path(orcDir), true)
+    spark.range(30, 60).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v")).coalesce(1)
+      .write.mode("overwrite").orc(orcDir)
+    val orcPath = new Path(orcDir).getFileSystem(conf)
+      .listStatus(new Path(orcDir)).map(_.getPath)
+      .find(_.getName.endsWith(".orc")).get.toString
+    val dir = s"$warehouse/ns/a3"
+    IcebergWriter.addFiles(spark, dir, Seq(orcPath))
+    IcebergWriter.addFiles(spark, dir, Seq(avroFile("a3", 60, 90)))
+    val t = new IcebergTable(dir, conf)
+    assert(t.planFiles().map(_.fileFormat).toSet ==
+      Set("PARQUET", "ORC", "AVRO"))
+    val got = spark.sql("SELECT k FROM avcat.ns.a3 ORDER BY k").collect()
+    assert(got.length == 90 && got.zipWithIndex.forall {
+      case (r, i) => r.getLong(0) == i })
+  }
+
+  test("compaction materializes Avro to parquet; no pruning before, after yes") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS avcat.ns.a4")
+    spark.sql("CREATE TABLE avcat.ns.a4 (k BIGINT, v STRING)")
+    val dir = s"$warehouse/ns/a4"
+    IcebergWriter.addFiles(spark, dir,
+      Seq(avroFile("a4-lo", 0, 50), avroFile("a4-hi", 50, 100)))
+    val t0 = new IcebergTable(dir, conf)
+    // no column stats in Avro → predicate keeps both files (sound)
+    assert(t0.planFiles(Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("k", 80L))).size == 2)
+    IcebergWriter.compact(spark, dir)
+    val t1 = new IcebergTable(dir, conf)
+    assert(t1.planFiles().forall(_.fileFormat == "PARQUET"))
+    assert(spark.sql("SELECT COUNT(*) FROM avcat.ns.a4")
+      .collect()(0).getLong(0) == 100L)
+  }
+}

@@ -250,6 +250,6 @@ class OrcFormatSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       IcebergWriter.addFiles(spark, s"$warehouse/ns/t5", Seq(junk))
     }
-    assert(e.getMessage.contains("not a readable parquet or ORC file"))
+    assert(e.getMessage.contains("not a readable parquet, ORC, or Avro file"))
   }
 }
