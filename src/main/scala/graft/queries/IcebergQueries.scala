@@ -916,7 +916,7 @@ object IcebergQueries {
       val dir = s"$warehouse/ns/supp"
       graft.iceberg.IcebergWriter.addFiles(s, dir, Seq(f.getAbsolutePath))
       // RANGE delete → position deletes against the Avro file
-      s.sql("DELETE FROM q144cat.ns.supp WHERE s_suppkey >= 10 AND s_suppkey < 20")
+      s.sql("DELETE FROM q144cat.ns.supp WHERE s_suppkey >= 3 AND s_suppkey < 7")
       val t = new graft.iceberg.IcebergTable(dir, conf)
       require(t.planFiles().forall(_.fileFormat == "AVRO"),
         "q144: the import must stay an Avro file (merge-on-read, no rewrite)")
@@ -1344,7 +1344,7 @@ object IcebergQueries {
       """SELECT s_nationkey, COUNT(*) AS n,
         |       CAST(SUM(s_suppkey) AS BIGINT) AS sk
         |FROM supplier
-        |WHERE NOT (s_suppkey >= 10 AND s_suppkey < 20)
+        |WHERE NOT (s_suppkey >= 3 AND s_suppkey < 7)
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q132_orc_import" ->
       """SELECT s_nationkey, COUNT(*) AS n,
