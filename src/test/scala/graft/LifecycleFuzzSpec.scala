@@ -29,6 +29,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.lcf.warehouse", warehouse)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lcf.ns")
 
+    var avroImports = 0
     Seq(1207L, 4242L).foreach { seed =>
       val tbl = s"lcf.ns.fz$seed"
       val dir = s"$warehouse/ns/fz$seed"
@@ -58,8 +59,8 @@ class LifecycleFuzzSpec extends SparkSpec {
             s"${(model.toSet diff got.toSet).take(5)}")
       }
 
-      (1 to 28).foreach { step =>
-        val op = r.nextInt(12) match {
+      (1 to 30).foreach { step =>
+        val op = r.nextInt(13) match {
           case 0 | 1 | 2 | 3 => // INSERT a fresh batch
             val n = 5 + r.nextInt(20)
             val rows = (0 until n).map { _ =>
@@ -113,6 +114,37 @@ class LifecycleFuzzSpec extends SparkSpec {
             spark.sql(
               s"INSERT OVERWRITE TABLE $tbl VALUES ${rows.mkString(", ")}")
             s"overwrite($n)"
+          case 12 => // import a foreign AVRO file: full MoR citizen, so
+                     // every later op (range delete, update, compact,
+                     // rollback) must hold on the mixed-format table
+            val n = 4 + r.nextInt(10)
+            val rows = (0 until n).map { _ =>
+              val k = nextId; nextId += 1
+              val v = r.nextInt(1000).toLong
+              model(k) = v
+              (k, v)
+            }
+            val schema = new org.apache.avro.Schema.Parser().parse(
+              """{"type":"record","name":"r","fields":[
+                |{"name":"k","type":"long"},
+                |{"name":"v","type":"long"}]}""".stripMargin)
+            val af = new java.io.File(
+              s"/root/repo/target/lcfuzz-src/fz$seed-$step.avro")
+            af.getParentFile.mkdirs()
+            val w = new org.apache.avro.file.DataFileWriter[
+                org.apache.avro.generic.GenericRecord](
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](schema))
+            w.create(schema, af)
+            rows.foreach { case (k, v) =>
+              val rec = new org.apache.avro.generic.GenericData.Record(schema)
+              rec.put("k", k); rec.put("v", v)
+              w.append(rec)
+            }
+            w.close()
+            IcebergWriter.addFiles(spark, dir, Seq(af.getAbsolutePath))
+            avroImports += 1
+            s"avro_import($n)"
           case 11 => // rollback to a random recorded snapshot
             if (history.isEmpty) "noop"
             else {
@@ -141,5 +173,7 @@ class LifecycleFuzzSpec extends SparkSpec {
       }
       spark.sql(s"DROP TABLE $tbl")
     }
+    assert(avroImports >= 2,
+      s"the seeded op mix must exercise avro imports, fired $avroImports")
   }
 }
