@@ -183,7 +183,13 @@ object DiffFuzz {
         val sum = if (intCols(n)) s"CAST(SUM($n) AS BIGINT) AS s$i"
           else s"ROUND(SUM($n), 2) AS s$i"
         Seq(sum, s"MIN($n) AS mn$i", s"MAX($n) AS mx$i") ++
-          (if (r.nextInt(3) == 0) Seq(s"COUNT(DISTINCT $n) AS d$i") else Nil)
+          (if (r.nextInt(3) == 0) Seq(s"COUNT(DISTINCT $n) AS d$i") else Nil) ++
+          // conditional aggregation: SUM(CASE WHEN pred THEN col ELSE 0)
+          // — integer columns only, so the branch arms stay exact
+          (if (intCols(n) && r.nextInt(3) == 0)
+             Seq(s"CAST(SUM(CASE WHEN ${predicate(r, cols)} THEN $n " +
+               s"ELSE 0 END) AS BIGINT) AS cs$i")
+           else Nil)
     }
     val select = (groupCols ++ aggs).mkString(", ")
     val where = if (r.nextBoolean()) s"\nWHERE ${predicate(r, cols)}" else ""
