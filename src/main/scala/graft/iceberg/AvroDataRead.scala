@@ -1,5 +1,6 @@
 package graft.iceberg
 
+import org.apache.avro.{LogicalTypes, Schema}
 import org.apache.avro.file.DataFileReader
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.mapred.FsInput
@@ -16,34 +17,47 @@ import org.apache.spark.sql.types._
   * Two properties shape the design:
   *  - Avro files carry NO column statistics, so imported files are never
   *    pruned (doubt-keeps — sound, just unskippable); row counts are
-  *    exact (one decode pass at import).
+  *    exact (block headers summed at import, no datum decode).
   *  - Decode order IS the spec's row position (record index within the
   *    file), so unlike ORC this path serves TRUE per-row (file, pos)
   *    identities — merge-on-read delete application (v2 position files,
   *    v3 DVs, equality deletes) works on foreign Avro files.
   *
-  * Supported Spark types: LONG, INT, STRING, DOUBLE, FLOAT, BOOLEAN,
-  * DATE (avro int epoch-day), TIMESTAMP (avro long micros). Anything
-  * else refuses loudly at read time. Fields resolve by NAME against the
-  * record (nullable unions unwrap transparently); a field the record
-  * lacks reads NULL.
+  * Column resolution happens PER FILE in the executor: each target field
+  * carries its candidate source names (current name first, then the
+  * table's name-mapping aliases), and the first candidate present in
+  * THAT file's writer schema wins — a group mixing files written before
+  * and after a rename reads both correctly. Field positions and
+  * logical-type conversions are resolved once per file, not per row.
+  *
+  * Supported: LONG, INT, STRING, DOUBLE, FLOAT, BOOLEAN, DATE (avro
+  * `date` logical int), TIMESTAMP (avro `timestamp-micros` or
+  * `timestamp-millis` logical long — the unit comes from the file's own
+  * logical type, never assumed). Anything else refuses loudly.
   */
 object AvroDataRead {
 
-  /** Distributed decode of `paths` under `readSchema` (+ optional
-    * (file, pos) identity columns named by `fpCol`/`posCol`). One task
-    * per file — an Avro block stream is not splittable without sync
-    * handling, and import files are bounded by the writer that made
-    * them; compact to parquet for native splittable scans. */
-  def rows(spark: SparkSession, paths: Seq[String], readSchema: StructType,
+  /** One target column: output name, candidate source names in priority
+    * order, and the Spark type to decode into. */
+  final case class FieldSpec(name: String, sources: Seq[String],
+                             dataType: DataType)
+
+  /** Distributed decode of `paths` into `fields` (+ optional (file, pos)
+    * identity columns). One task per file — an Avro block stream is not
+    * splittable without sync handling, and import files are bounded by
+    * the writer that made them; compact to parquet for native splittable
+    * scans. */
+  def rows(spark: SparkSession, paths: Seq[String], fields: Seq[FieldSpec],
            ids: Option[(String, String)]): DataFrame = {
-    val schema = ids match {
-      case None => readSchema
-      case Some((fp, pos)) => StructType(readSchema.fields ++ Seq(
-        StructField(fp, StringType, nullable = false),
-        StructField(pos, LongType, nullable = false)))
-    }
-    val fields = readSchema.fields.map(f => (f.name, f.dataType))
+    val schema = StructType(
+      fields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+        (ids match {
+          case None => Nil
+          case Some((fp, pos)) => Seq(
+            StructField(fp, StringType, nullable = false),
+            StructField(pos, LongType, nullable = false))
+        }))
+    val withIds = ids.nonEmpty
     val confSer = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 256)))
@@ -51,8 +65,24 @@ object AvroDataRead {
         val reader = new DataFileReader[GenericRecord](
           new FsInput(new Path(p), confSer.value),
           new GenericDatumReader[GenericRecord]())
+        // close even on early termination (LIMIT) or decode error — the
+        // iterator's own exhaustion close never runs then
+        Option(org.apache.spark.TaskContext.get).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: Exception => () }))
+        // per-FILE resolution: position + converter for each target
+        val fileSchema = reader.getSchema
+        val plan: Array[(Int, AnyRef => Any)] =
+          fields.map { f =>
+            f.sources.flatMap(s => Option(fileSchema.getField(s)))
+              .headOption match {
+              case None => (-1, null)
+              case Some(af) =>
+                (af.pos, converter(af.schema, f.dataType, f.name, p))
+            }
+          }.toArray
         var idx = -1L
-        val it = new Iterator[Row] {
+        new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = reader.hasNext
             if (!h) reader.close()
@@ -61,47 +91,81 @@ object AvroDataRead {
           override def next(): Row = {
             val rec = reader.next()
             idx += 1
-            val vals = fields.map { case (n, dt) =>
-              convert(Option(rec.getSchema.getField(n))
-                .map(f => rec.get(f.pos)).orNull, dt, n, p)
+            val vals = new Array[Any](plan.length + (if (withIds) 2 else 0))
+            var i = 0
+            while (i < plan.length) {
+              val (pos, conv) = plan(i)
+              vals(i) =
+                if (pos < 0) null
+                else {
+                  val v = rec.get(pos)
+                  if (v == null) null else conv(v)
+                }
+              i += 1
             }
-            Row.fromSeq(ids match {
-              case None => vals.toSeq
-              case Some(_) => vals.toSeq ++ Seq(p, idx)
-            })
+            if (withIds) { vals(plan.length) = p; vals(plan.length + 1) = idx }
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
           }
         }
-        it
       }
     spark.createDataFrame(rdd, schema)
   }
 
-  private def convert(v: AnyRef, dt: DataType, field: String,
-                      path: String): Any = {
-    if (v == null) return null
-    (v, dt) match {
-      case (n: java.lang.Number, LongType) => n.longValue
-      case (n: java.lang.Number, IntegerType) => n.intValue
-      case (n: java.lang.Number, DoubleType) => n.doubleValue
-      case (n: java.lang.Number, FloatType) => n.floatValue
-      case (b: java.lang.Boolean, BooleanType) => b.booleanValue
-      case (s, StringType) => s.toString
-      case (n: java.lang.Number, DateType) =>
-        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue))
-      case (n: java.lang.Number, TimestampType) =>
-        val us = n.longValue
-        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
-        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-        ts
-      case (other, t) => throw new UnsupportedOperationException(
-        s"avro data read: field '$field' of $path holds " +
-          s"${other.getClass.getName}, not decodable as ${t.simpleString}")
+  /** Non-null union branch of a (possibly nullable) Avro schema. */
+  private def unwrap(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else {
+      import scala.jdk.CollectionConverters._
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    }
+
+  /** Per-field conversion resolved ONCE per file from the field's own
+    * Avro schema (incl. logical types — a timestamp's unit is read from
+    * the file, never assumed). */
+  private def converter(fieldSchema: Schema, dt: DataType, field: String,
+                        path: String): AnyRef => Any = {
+    val s = unwrap(fieldSchema)
+    val logical = Option(s.getLogicalType)
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"avro data read: field '$field' of $path $why")
+    dt match {
+      case LongType => v => v.asInstanceOf[java.lang.Number].longValue
+      case IntegerType => v => v.asInstanceOf[java.lang.Number].intValue
+      case DoubleType => v => v.asInstanceOf[java.lang.Number].doubleValue
+      case FloatType => v => v.asInstanceOf[java.lang.Number].floatValue
+      case BooleanType => v => v.asInstanceOf[java.lang.Boolean].booleanValue
+      case StringType => v => v.toString
+      case DateType => logical match {
+        case Some(_: LogicalTypes.Date) => v =>
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+            v.asInstanceOf[java.lang.Number].longValue))
+        case other => refuse(s"has avro type $s (logical: $other), not a " +
+          "`date` logical int — cannot decode as DATE")
+      }
+      case TimestampType =>
+        def fromMicros(us: Long): java.sql.Timestamp = {
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+          ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+          ts
+        }
+        logical match {
+          case Some(_: LogicalTypes.TimestampMicros) => v =>
+            fromMicros(v.asInstanceOf[java.lang.Number].longValue)
+          case Some(_: LogicalTypes.TimestampMillis) => v =>
+            fromMicros(Math.multiplyExact(
+              v.asInstanceOf[java.lang.Number].longValue, 1000L))
+          case other => refuse(s"has avro type $s (logical: $other), not a " +
+            "timestamp-micros/millis logical long — cannot decode as " +
+            "TIMESTAMP (a plain long's unit would be a guess)")
+        }
+      case t => refuse(s"has Spark type ${t.simpleString}, which this " +
+        "reader does not decode")
     }
   }
 
-  /** Driver-side import probe: the record count (one decode pass — Avro
-    * has no footer row count) and the record schema's field names (from
-    * the HEADER, cheap). */
+  /** Driver-side import probe: exact record count from BLOCK HEADERS
+    * (no datum decode — O(blocks), not O(values)) and the record
+    * schema's field names. */
   def probe(p: Path, conf: Configuration): (Long, Set[String]) = {
     val reader = new DataFileReader[GenericRecord](
       new FsInput(p, conf), new GenericDatumReader[GenericRecord]())
@@ -109,7 +173,10 @@ object AvroDataRead {
       import scala.jdk.CollectionConverters._
       val names = reader.getSchema.getFields.asScala.map(_.name).toSet
       var n = 0L
-      while (reader.hasNext) { reader.next(); n += 1 }
+      while (reader.hasNext) {
+        n += reader.getBlockCount
+        reader.nextBlock()
+      }
       (n, names)
     } finally reader.close()
   }

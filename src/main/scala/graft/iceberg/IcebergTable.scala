@@ -657,26 +657,17 @@ final class IcebergTable private (
                                    files: Seq[DataFileEntry],
                                    withIds: Boolean): DataFrame = {
     val paths = files.map(f => resolve(f.filePath))
-    val inFile: Set[String] =
-      try AvroDataRead.fieldNames(new Path(paths.head), conf)
-      catch { case scala.util.control.NonFatal(_) => Set.empty }
-    val pairs = metadata.schema.fields.toSeq.map { f =>
-      val candidates = metadata.fieldIds.get(f.name).toSeq
+    // candidates resolve PER FILE in the executor (current name first,
+    // then the name-mapping aliases) — a group mixing files written
+    // before and after a rename reads both correctly, and the driver
+    // opens nothing
+    val fields = metadata.schema.fields.toSeq.map { f =>
+      val aliases = metadata.fieldIds.get(f.name).toSeq
         .flatMap(id => nameMapping.getOrElse(id, Nil))
-      val src =
-        if (inFile.contains(f.name)) f.name
-        else candidates.find(inFile.contains)
-          .orElse(candidates.headOption).getOrElse(f.name)
-      (src, f)
+      AvroDataRead.FieldSpec(f.name, (f.name +: aliases).distinct, f.dataType)
     }
-    val readSchema = StructType(pairs.map { case (src, f) =>
-      StructField(src, f.dataType, f.nullable) })
-    val base = AvroDataRead.rows(spark, paths, readSchema,
+    AvroDataRead.rows(spark, paths, fields,
       if (withIds) Some((IcebergTable.FpCol, IcebergTable.PosCol)) else None)
-    val renamed = pairs.map { case (src, f) => col(src).as(f.name) } ++
-      (if (!withIds) Nil
-       else Seq(col(IcebergTable.FpCol), col(IcebergTable.PosCol)))
-    base.select(renamed: _*)
   }
 
   private def scanFilesOneFormat(spark: SparkSession, files: Seq[DataFileEntry],

@@ -36,6 +36,17 @@ object Scd2 {
       updates.select((keyCols ++ attrCols :+ tsCol).map(col): _*)) {
       (df, c) => df.withColumnRenamed(c, s"__u_$c")
     }
+    // one update per key per batch, or the key join fans current rows
+    // out and the "one current row per key" invariant silently breaks;
+    // multi-change deltas must be collapsed (e.g. latest-ts wins) BEFORE
+    // apply — refusing here beats corrupting the dimension. One small
+    // aggregate job over the (delta-sized) batch.
+    val dup = u.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"Scd2.apply: update batch carries multiple rows for key " +
+        s"${dup.headOption.map(_.toSeq.init.mkString("(", ", ", ")"))
+          .getOrElse("")} — collapse the batch to one change per key first")
     val joined = current.join(u, keyCols, "left")
     // null-safe: an attribute moving to/from NULL is a real change
     val differs = attrCols.map(c => !(col(c) <=> col(s"__u_$c")))

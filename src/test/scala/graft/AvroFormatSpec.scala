@@ -123,6 +123,67 @@ class AvroFormatSpec extends SparkSpec {
       case (r, i) => r.getLong(0) == i })
   }
 
+  test("mixed-rename Avro group: per-file name resolution via mapping") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS avcat.ns.a5")
+    spark.sql("CREATE TABLE avcat.ns.a5 (k BIGINT, v STRING)")
+    val dir = s"$warehouse/ns/a5"
+    // file A uses the OLD name 'v'
+    IcebergWriter.addFiles(spark, dir, Seq(avroFile("a5-old", 0, 10)))
+    spark.sql(
+      """ALTER TABLE avcat.ns.a5 SET TBLPROPERTIES (
+        |'schema.name-mapping.default' =
+        |'[{"field-id": 1, "names": ["k"]},
+        |  {"field-id": 2, "names": ["v"]}]')""".stripMargin)
+    spark.sql("ALTER TABLE avcat.ns.a5 RENAME COLUMN v TO val")
+    // file B uses the NEW name 'val'
+    val schemaB = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"k","type":"long"},
+        |{"name":"val","type":["null","string"],"default":null}]}"""
+        .stripMargin)
+    val fB = new java.io.File("/root/repo/target/avro-src/a5-new.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schemaB))
+    w.create(schemaB, fB)
+    (10L until 20L).foreach { i =>
+      val r = new GenericData.Record(schemaB)
+      r.put("k", i); r.put("val", s"v$i")
+      w.append(r)
+    }
+    w.close()
+    IcebergWriter.addFiles(spark, dir, Seq(fB.getAbsolutePath))
+    // ONE scan covers both files; each resolves against its OWN schema
+    val got = spark.sql(
+      "SELECT k, val FROM avcat.ns.a5 WHERE k IN (5, 15) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((5L, "v5"), (15L, "v15")),
+      s"both name generations must resolve, got $got")
+  }
+
+  test("timestamp-millis and timestamp-micros logical types both decode") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS avcat.ns.a6")
+    spark.sql("CREATE TABLE avcat.ns.a6 (k BIGINT, ts TIMESTAMP)")
+    val schema = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"k","type":"long"},
+        |{"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}]}"""
+        .stripMargin)
+    val f = new java.io.File("/root/repo/target/avro-src/a6.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f)
+    val r0 = new GenericData.Record(schema)
+    r0.put("k", 1L); r0.put("ts", 1704067200123L) // 2024-01-01T00:00:00.123Z
+    w.append(r0); w.close()
+    IcebergWriter.addFiles(spark, s"$warehouse/ns/a6", Seq(f.getAbsolutePath))
+    val got = spark.sql(
+      "SELECT CAST(ts AS STRING) FROM avcat.ns.a6").collect()(0).getString(0)
+    assert(got == "2024-01-01 00:00:00.123",
+      s"millis logical type must decode at millis, got $got")
+  }
+
   test("compaction materializes Avro to parquet; no pruning before, after yes") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS avcat.ns.a4")

@@ -715,6 +715,14 @@ class CurationOpsSpec extends SparkSpec {
     assert(again.count() == out.count())
     assert(again.filter(col("valid_to").isNull).count() ==
       out.filter(col("valid_to").isNull).count())
+
+    // a batch with two changes for one key must refuse, not fan out
+    // duplicate current rows
+    val dupBatch = Seq((1L, "x", d1), (1L, "y", d1)).toDF("k", "tier", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Scd2(dim, dupBatch, Seq("k"), Seq("tier"), "ts").count()
+    }
+    assert(e.getMessage.contains("multiple rows for key"))
   }
 
   test("pagerank: cycle fixed point, authority ordering, determinism") {
