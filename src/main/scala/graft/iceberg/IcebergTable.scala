@@ -283,19 +283,14 @@ final class IcebergTable private (
     if (files.isEmpty) return Nil
     val inFile =
       if (files.head.fileFormat.equalsIgnoreCase("AVRO"))
-        // header-only read, no Spark job — and cached like the others
-        Option(IcebergTable.fileColsCache.get(resolve(files.head.filePath)))
-          .getOrElse {
-            val v = try AvroDataRead.fieldNames(
-              new Path(resolve(files.head.filePath)), conf)
-            catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
-            if (v.nonEmpty) {
-              IcebergTable.guard(IcebergTable.fileColsCache)
-              IcebergTable.fileColsCache
-                .putIfAbsent(resolve(files.head.filePath), v)
-            }
-            v
-          }
+        // header-only read, no Spark job — and cached like the others.
+        // A read FAILURE propagates: mapping it to "no columns" would
+        // report every identity partition column missing and silently
+        // re-inject metadata values over columns the file actually has —
+        // the transient-error-latching mode fileSchemaColumns' comment
+        // warns about, made worse because here the wrong answer changes
+        // row VALUES, not just pruning.
+        fileSchemaColumnsAvro(resolve(files.head.filePath))
       else fileSchemaColumns(spark, resolve(files.head.filePath),
         orc = files.head.fileFormat.equalsIgnoreCase("ORC"))
     metadata.identityPartitionColumns.filterNot(inFile.contains)
@@ -656,19 +651,57 @@ final class IcebergTable private (
   private[graft] def scanAvroFiles(spark: SparkSession,
                                    files: Seq[DataFileEntry],
                                    withIds: Boolean): DataFrame = {
-    val paths = files.map(f => resolve(f.filePath))
     // candidates resolve PER FILE in the executor (current name first,
     // then the name-mapping aliases) — a group mixing files written
     // before and after a rename reads both correctly, and the driver
     // opens nothing
-    val fields = metadata.schema.fields.toSeq.map { f =>
-      val aliases = metadata.fieldIds.get(f.name).toSeq
-        .flatMap(id => nameMapping.getOrElse(id, Nil))
-      AvroDataRead.FieldSpec(f.name, (f.name +: aliases).distinct, f.dataType)
+    def specs(fs: Seq[StructField]): Seq[AvroDataRead.FieldSpec] =
+      fs.map { f =>
+        val aliases = metadata.fieldIds.get(f.name).toSeq
+          .flatMap(id => nameMapping.getOrElse(id, Nil))
+        AvroDataRead.FieldSpec(f.name, (f.name +: aliases).distinct, f.dataType)
+      }
+    val ids: Option[(String, String)] =
+      if (withIds) Some((IcebergTable.FpCol, IcebergTable.PosCol)) else None
+    // Identity-partition columns the files don't materialize come from
+    // manifest metadata, same as the parquet/ORC re-injection path (A7):
+    // decode each partition group without them, attach typed literals,
+    // union. Decided by one header read (propagating on failure — a
+    // wrong "missing" answer would overwrite real column values).
+    val missing = metadata.identityPartitionColumns
+      .filterNot(fileSchemaColumnsAvro(resolve(files.head.filePath)).contains)
+    if (missing.isEmpty)
+      AvroDataRead.rows(spark, files.map(f => resolve(f.filePath)),
+        specs(metadata.schema.fields.toSeq), ids)
+    else {
+      val dataFields = metadata.schema.fields.toSeq
+        .filterNot(f => missing.contains(f.name))
+      val keep = metadata.schema.fieldNames.toSeq ++
+        (if (!withIds) Nil
+         else Seq(IcebergTable.FpCol, IcebergTable.PosCol))
+      files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
+        .map { case (values, gfiles) =>
+          val group = AvroDataRead.rows(spark,
+            gfiles.map(f => resolve(f.filePath)), specs(dataFields), ids)
+          missing.zip(values).foldLeft(group) { case (df, (name, value)) =>
+            val dt = metadata.schema.fields.find(_.name == name)
+              .map(_.dataType).getOrElse(StringType)
+            df.withColumn(name, partitionLiteral(value, dt))
+          }.select(keep.map(col): _*)
+        }.reduce(_.unionByName(_))
     }
-    AvroDataRead.rows(spark, paths, fields,
-      if (withIds) Some((IcebergTable.FpCol, IcebergTable.PosCol)) else None)
   }
+
+  /** Avro twin of [[fileSchemaColumns]]: header-only field-name probe,
+    * cached process-wide, FAILURE PROPAGATES (never latched as "no
+    * columns" — see missingPartitionColumns). */
+  private def fileSchemaColumnsAvro(sample: String): Set[String] =
+    Option(IcebergTable.fileColsCache.get(sample)).getOrElse {
+      val v = AvroDataRead.fieldNames(new Path(sample), conf)
+      IcebergTable.guard(IcebergTable.fileColsCache)
+      IcebergTable.fileColsCache.putIfAbsent(sample, v)
+      v
+    }
 
   private def scanFilesOneFormat(spark: SparkSession, files: Seq[DataFileEntry],
                                  withIds: Boolean, orc: Boolean,

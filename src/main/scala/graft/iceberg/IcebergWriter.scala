@@ -256,7 +256,14 @@ object IcebergWriter {
             nc += id -> (rowCount - st.getNumberOfValues)
             val bounds: Option[(Any, Any)] = (st, f.dataType) match {
               case (s: org.apache.orc.IntegerColumnStatistics, IntegerType)
-                  if s.getNumberOfValues > 0 =>
+                  if s.getNumberOfValues > 0 &&
+                    s.getMinimum >= Int.MinValue && s.getMinimum <= Int.MaxValue &&
+                    s.getMaximum >= Int.MinValue && s.getMaximum <= Int.MaxValue =>
+                // a foreign ORC file's physical column may be long; .toInt
+                // on out-of-range values wraps and the corrupted bounds
+                // would UNSOUNDLY prune files containing matches — skip
+                // instead (unprunable is sound), the doubt-keeps
+                // discipline the float/timestamp cases already follow
                 Some((s.getMinimum.toInt, s.getMaximum.toInt))
               case (s: org.apache.orc.IntegerColumnStatistics, LongType)
                   if s.getNumberOfValues > 0 =>
@@ -619,20 +626,37 @@ object IcebergWriter {
       // footer stats, so its probe is one decode pass for the exact row
       // count and NO bounds (never pruned — sound). The true
       // file_format is recorded so the scan dispatches per group.
+      // Probe failures are captured per format: a transient FS error on
+      // a valid parquet file otherwise cascades through all three probes
+      // and masquerades as a permanent "not a readable file" — the final
+      // error must show the real causes so a retryable failure looks
+      // retryable.
+      val probeErrors = Seq.newBuilder[(String, Throwable)]
       val probed: Option[(Long, Option[FileColStats], String)] =
         (try { val (r, s) = footerStats(path, conf, meta.schema, meta.fieldIds)
                Some((r, Some(s), "PARQUET")) }
-         catch { case scala.util.control.NonFatal(_) => None })
+         catch { case scala.util.control.NonFatal(e) =>
+           probeErrors += ("PARQUET" -> e); None })
           .orElse(
             try { val (r, s) = orcFooterStats(path, conf, meta.schema, meta.fieldIds)
                   Some((r, Some(s), "ORC")) }
-            catch { case scala.util.control.NonFatal(_) => None })
+            catch { case scala.util.control.NonFatal(e) =>
+              probeErrors += ("ORC" -> e); None })
           .orElse(
             try { val (r, _) = AvroDataRead.probe(path, conf)
                   Some((r, None, "AVRO")) }
-            catch { case scala.util.control.NonFatal(_) => None })
-      val (rows, stats, fmt) = probed.getOrElse(throw new IllegalArgumentException(
-        s"addFiles: $p is not a readable parquet, ORC, or Avro file"))
+            catch { case scala.util.control.NonFatal(e) =>
+              probeErrors += ("AVRO" -> e); None })
+      val (rows, stats, fmt) = probed.getOrElse {
+        val errs = probeErrors.result()
+        val detail = errs.map { case (f, e) =>
+          s"$f: ${e.getClass.getSimpleName}: ${e.getMessage}" }.mkString("; ")
+        val ex = new IllegalArgumentException(
+          s"addFiles: $p is not a readable parquet, ORC, or Avro file " +
+            s"(per-format probes: $detail)")
+        errs.headOption.foreach { case (_, e) => ex.initCause(e) }
+        throw ex
+      }
       AddedDataFile(path.toString, rows, len, stats, partition = None,
         fileFormat = fmt)
     }

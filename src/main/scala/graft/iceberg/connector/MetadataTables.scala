@@ -206,8 +206,15 @@ object MetadataTables {
             .map(d => (d.filePath, Row(d.content, d.filePath,
               d.fileFormat.getOrElse("PARQUET"), d.recordCount,
               null, d.sequenceNumber.map(Long.box).orNull))) }
+        // the same file can be referenced by manifests of several
+        // snapshots under DIFFERENT sequence numbers; `.head` of an
+        // unordered group is nondeterministic across runs, so the
+        // representative is pinned to the largest sequence number (the
+        // most recent manifest's view; nulls sort first, so any known
+        // sequence beats unknown)
         (dataRows ++ delRows).groupBy(_._1).toSeq.sortBy(_._1)
-          .map(_._2.head._2)
+          .map(_._2.maxBy(r => Option(r._2.get(5))
+            .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))._2)
       })
     // the vN.metadata.json trail the filesystem committer leaves — the
     // spec's metadata-log, served from one directory listing (foreign

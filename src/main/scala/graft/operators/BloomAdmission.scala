@@ -84,11 +84,35 @@ object BloomAdmission {
     * WITHIN incoming are kept (same as the anti-join). */
   def admitNew(corpus: DataFrame, incoming: DataFrame, keyCol: String,
                numBits: Int = 1 << 20, numHashes: Int = 7): DataFrame = {
-    val bits = buildBits(corpus, col(keyCol), numBits, numHashes)
-    val maybe = mightContain(col(keyCol), bits, numBits, numHashes)
+    // Same coercion discipline as JoinStrategies.bloomReducedJoin:
+    // xxhash64(int) != xxhash64(long) for equal values, so mismatched
+    // key types must hash through the join's common type or be refused —
+    // a raw-column probe would silently drop true matches map-side.
+    val (ct, it) =
+      (corpus.schema(keyCol).dataType, incoming.schema(keyCol).dataType)
+    val hashType = commonHashType(ct, it).getOrElse(throw
+      new IllegalArgumentException(
+        s"admitNew: key '$keyCol' types $ct (corpus) vs $it (incoming) " +
+        "have no common join type — the Bloom probe would drop matches"))
+    val bits = buildBits(corpus, col(keyCol).cast(hashType), numBits, numHashes)
+    val maybe = mightContain(col(keyCol).cast(hashType), bits, numBits, numHashes)
     val fresh = incoming.filter(!maybe)
     val confirmed = incoming.filter(maybe)
       .join(corpus.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     fresh.unionByName(confirmed)
   }
+
+  /** The single type both sides of an equi-join on (`a`, `b`) coerce to —
+    * the type Bloom build AND probe must hash through so equal values
+    * hash equally. Equal types pass through; differing types resolve via
+    * Catalyst's own tightest-common-type rule (the same one the join's
+    * analysis applies), so the hash space and the join's comparison space
+    * cannot drift. None = the join itself would not analyze. */
+  private[operators] def commonHashType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType):
+      Option[org.apache.spark.sql.types.DataType] =
+    if (a == b) Some(a)
+    else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+      .findTightestCommonType(a, b)
 }

@@ -67,9 +67,23 @@ object JoinStrategies {
       fact: DataFrame, dim: DataFrame, keys: Seq[String],
       numBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
     require(keys.nonEmpty, "bloomReducedJoin needs at least one key column")
-    def keyCol(df: DataFrame): Column =
-      if (keys.size == 1) col(keys.head)
-      else struct(keys.map(col): _*)
+    // xxhash64 hashes IntegerType and LongType values DIFFERENTLY while
+    // the equi-join below coerces them to one type — hashing the raw
+    // columns would Bloom-drop every INT-vs-BIGINT match map-side (a
+    // silent false negative, the one thing a Bloom pre-filter must never
+    // produce). Both sides therefore hash through the join's own coerced
+    // type; keys with no coercion are rejected rather than corrupted.
+    val hashTypes = keys.map { k =>
+      val (ft, dt) = (fact.schema(k).dataType, dim.schema(k).dataType)
+      k -> BloomAdmission.commonHashType(ft, dt).getOrElse(throw
+        new IllegalArgumentException(
+          s"bloomReducedJoin: key '$k' types $ft vs $dt have no common " +
+          "join type — the Bloom probe would silently drop matches"))
+    }.toMap
+    def keyCol(df: DataFrame): Column = {
+      val cs = keys.map(k => col(k).cast(hashTypes(k)))
+      if (cs.size == 1) cs.head else struct(cs: _*)
+    }
     val bits = BloomAdmission.buildBits(dim, keyCol(dim), numBits, numHashes)
     fact.filter(
         BloomAdmission.mightContain(keyCol(fact), bits, numBits, numHashes))

@@ -184,6 +184,95 @@ class AvroFormatSpec extends SparkSpec {
       s"millis logical type must decode at millis, got $got")
   }
 
+  test("identity-partition values NOT in the Avro files re-inject from " +
+      "manifest metadata (per partition group)") {
+    // Hand-built table: the Avro data files carry only (id, v); the
+    // partition column p lives ONLY in the manifest's partition tuple —
+    // the layout an external Iceberg writer produces when it doesn't
+    // materialize identity source columns. The scan must attach p from
+    // metadata per group, exactly like the parquet re-injection path.
+    val root = "/root/repo/target/avro-partmeta-table"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    new java.io.File(s"$root/metadata").mkdirs()
+    new java.io.File(s"$root/data").mkdirs()
+    val dataSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long"},{"name":"v","type":"string"}]}"""
+        .stripMargin)
+    def dataFile(name: String, ids: Seq[Long]): java.io.File = {
+      val f = new java.io.File(s"$root/data/$name.avro")
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](dataSchema))
+      w.create(dataSchema, f)
+      ids.foreach { i =>
+        val r = new GenericData.Record(dataSchema)
+        r.put("id", i); r.put("v", s"v$i"); w.append(r)
+      }
+      w.close(); f
+    }
+    val f5 = dataFile("p5", Seq(1L, 2L))
+    val f7 = dataFile("p7", Seq(3L, 4L, 5L))
+    val manifestSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |    {"name":"p","type":["null","long"],"default":null}]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val dfS = manifestSchema.getField("data_file").schema
+    val partS = dfS.getField("partition").schema
+    def entry(f: java.io.File, p: Long, rows: Long): GenericRecord = {
+      val part = new GenericData.Record(partS); part.put("p", p)
+      val d = new GenericData.Record(dfS)
+      d.put("file_path", f.toString); d.put("file_format", "AVRO")
+      d.put("partition", part); d.put("record_count", rows)
+      d.put("file_size_in_bytes", f.length)
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 1); e.put("data_file", d); e
+    }
+    def writeAvro(path: java.io.File, s: Schema,
+                  recs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+      w.create(s, path); recs.foreach(w.append); w.close()
+    }
+    val m = new java.io.File(s"$root/metadata/m1.avro")
+    writeAvro(m, manifestSchema, Seq(entry(f5, 5L, 2L), entry(f7, 7L, 3L)))
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"}]}""".stripMargin)
+    val ml = new GenericData.Record(mlSchema)
+    ml.put("manifest_path", m.toString); ml.put("manifest_length", m.length)
+    ml.put("partition_spec_id", 0)
+    writeAvro(new java.io.File(s"$root/metadata/snap-1.avro"), mlSchema,
+      Seq(ml))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version": 1, "location": "$root",
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "id", "required": false, "type": "long"},
+         |  {"id": 2, "name": "p", "required": false, "type": "long"},
+         |  {"id": 3, "name": "v", "required": false, "type": "string"}]},
+         |"partition-specs": [{"spec-id": 0, "fields": [
+         |  {"name": "p", "transform": "identity", "source-id": 2, "field-id": 1000}]}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 99,
+         |"snapshots": [{"snapshot-id": 99, "timestamp-ms": 0,
+         |  "manifest-list": "$root/metadata/snap-1.avro"}]}""".stripMargin)
+    val t = new IcebergTable(root, conf)
+    assert(t.missingPartitionColumns(spark, t.planFiles()) == Seq("p"),
+      "p must be reported metadata-only for the Avro group")
+    val rows = t.toDF(spark).select("id", "p", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((1L, 5L, "v1"), (2L, 5L, "v2"),
+      (3L, 7L, "v3"), (4L, 7L, "v4"), (5L, 7L, "v5")),
+      s"partition values must re-inject per group, got $rows")
+  }
+
   test("compaction materializes Avro to parquet; no pruning before, after yes") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS avcat.ns.a4")

@@ -85,4 +85,29 @@ class JoinStrategiesSpec extends SparkSpec {
       Seq("l_partkey", "k2"))
     assert(both.count() == li2.join(pt2, Seq("l_partkey", "k2")).count())
   }
+
+  test("bloomReducedJoin: mismatched INT/BIGINT key types hash through " +
+      "the coerced type (no silent false negatives)") {
+    import org.apache.spark.sql.functions.col
+    // fact keys INT, dim keys BIGINT: xxhash64(int) != xxhash64(long)
+    // for equal values, so an uncoerced probe would drop EVERY match
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey").cast("int").as("l_partkey"), col("l_quantity"))
+    val pt = Tables.load(spark, sf, "part")
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey").cast("bigint").as("l_partkey"), col("p_brand"))
+    val plain = li.join(pt, "l_partkey").count()
+    assert(plain > 0, "sanity: the join must have matches")
+    assert(JoinStrategies.bloomReducedJoin(li, pt, Seq("l_partkey")).count()
+      == plain, "coerced-type hashing must preserve every match")
+    // same guarantee on the admission-control twin
+    val corpus = pt.select(col("l_partkey").as("k"))
+    val incoming = li.select(col("l_partkey").as("k")).distinct()
+    val admitted = graft.operators.BloomAdmission
+      .admitNew(corpus, incoming, "k").count()
+    val exact = incoming.join(corpus.distinct(), Seq("k"), "left_anti").count()
+    assert(admitted == exact,
+      s"admitNew with INT-vs-BIGINT keys must equal the plain anti-join " +
+        s"($admitted vs $exact)")
+  }
 }
