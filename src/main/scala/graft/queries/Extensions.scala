@@ -764,6 +764,26 @@ object Extensions {
         .orderBy(col("media_id").asc_nulls_first)
     }),
 
+    // REAL-codec twin of q47/q52 (rows-only: DuckDB cannot run ImageIO):
+    // deterministic PNGs generated through the real encoder, bilinear
+    // resample 16x12 -> 8x8, pixel-exact features from the decoded
+    // output. Every stage is the javax.imageio kernel, end to end.
+    "q145_image_codec" -> ((s, d) => {
+      implicit val spark: SparkSession = s
+      val imgs = Multimodal.syntheticImages(
+        t(s, d, "documents"), "doc_id", w = 16, h = 12)
+      Multimodal.extractImageFeatures(
+          Multimodal.resizeImages(imgs.toDF(), targetW = 8, targetH = 8)
+            .toDF())
+        .toDF()
+        .select(col("media_id"), col("payload_len"),
+          element_at(col("features"), 1).as("w"),
+          element_at(col("features"), 2).as("h"),
+          round(element_at(col("features"), 3), 2).as("mean_r"),
+          round(element_at(col("features"), 6), 2).as("mean_luma"))
+        .orderBy(col("media_id").asc_nulls_first)
+    }),
+
     // Gopher-style quality rule battery: thresholded per-rule flags + the
     // keep decision, all map-side codegen'd Columns. Bounds tightened to
     // this corpus's ranges so flags actually discriminate at sf0.01.
