@@ -60,7 +60,8 @@ private[graft] final case class WritePartitionField(
     sourceType: DataType,
     resultType: DataType)
 
-/** Executor-side fanout parquet writer — the single write kernel behind
+/** Executor-side fanout data-file writer (parquet or ORC, per the
+  * table's `write.format-default`) — the single write kernel behind
   * INSERT/CTAS commits, copy-on-write `ReplaceData` (UPDATE / MERGE /
   * range DELETE), and the streaming sink.
   *
@@ -93,7 +94,10 @@ private[graft] final class FanoutWriterFactory(
     conf: SerializableHadoopConf,
     sortOrderId: Option[Int] = None,
     codec: String = "snappy",
-    targetFileBytes: Long = 512L << 20)
+    targetFileBytes: Long = 512L << 20,
+    /** Data-file format, "PARQUET" or "ORC" (Iceberg
+      * `write.format-default`): one kernel, per-format open/stats. */
+    format: String = "PARQUET")
     extends Serializable {
 
   import FanoutWriterFactory.MaxOpenWriters
@@ -109,11 +113,27 @@ private[graft] final class FanoutWriterFactory(
       private val dataProj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
         schema, 1 to schema.length)
 
+      private val isOrc = format.equalsIgnoreCase("ORC")
+
+      /** One open data file behind a format-neutral face: parquet keeps
+        * its shim writer; ORC funnels through Spark's own serializer
+        * ([[org.apache.spark.sql.execution.datasources.orc.GraftOrcWriteShim]]).
+        * `dataSize` is each format's flushed-bytes estimate, feeding the
+        * same size-based rollover. */
       private final class OpenFile(val path: String) {
-        val writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
-          org.apache.spark.sql.execution.datasources.parquet
+        private val pw: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
+          if (isOrc) null
+          else org.apache.spark.sql.execution.datasources.parquet
             .GraftParquetWriteShim.open(path, schema, conf.value, codec)
+        private val ow: org.apache.spark.sql.execution.datasources.orc
+            .GraftOrcWriteShim.OrcRowFileWriter =
+          if (!isOrc) null
+          else new org.apache.spark.sql.execution.datasources.orc
+            .GraftOrcWriteShim.OrcRowFileWriter(path, schema, conf.value, codec)
         var rows = 0L
+        def write(r: InternalRow): Unit = if (isOrc) ow.write(r) else pw.write(r)
+        def dataSize: Long = if (isOrc) ow.dataSize else pw.getDataSize
+        def close(): Unit = if (isOrc) ow.close() else pw.close()
       }
 
       private val open = mutable.LinkedHashMap.empty[Seq[Any], OpenFile]
@@ -140,16 +160,20 @@ private[graft] final class FanoutWriterFactory(
       }
 
       private def finish(key: Seq[Any], f: OpenFile): AddedDataFile = {
-        f.writer.close()
+        f.close()
         val p = new Path(f.path)
         val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
         // the task reads its OWN footer — local (or just-written object)
         // bytes, one read per file, distributed across the cluster
         val stats =
-          try Some(IcebergWriter.footerStats(p, conf.value, schema, fieldIds)._2)
+          try Some(
+            if (isOrc)
+              IcebergWriter.orcFooterStats(p, conf.value, schema, fieldIds)._2
+            else IcebergWriter.footerStats(p, conf.value, schema, fieldIds)._2)
           catch { case NonFatal(_) => None }
         AddedDataFile(f.path, f.rows, len, stats,
-          if (spec.isEmpty) None else Some(key), sortOrderId)
+          if (spec.isEmpty) None else Some(key), sortOrderId,
+          fileFormat = if (isOrc) "ORC" else "PARQUET")
       }
 
       override def write(row: InternalRow): Unit = {
@@ -164,11 +188,12 @@ private[graft] final class FanoutWriterFactory(
             open.remove(ek)
           }
           fileSeq += 1
-          val nf = new OpenFile(s"$writeDir/part-$partitionId-$taskId-$fileSeq.parquet")
+          val ext = if (isOrc) "orc" else "parquet"
+          val nf = new OpenFile(s"$writeDir/part-$partitionId-$taskId-$fileSeq.$ext")
           open.put(key, nf)
           nf
         })
-        f.writer.write(data)
+        f.write(data)
         f.rows += 1
         // size-based rollover (Iceberg `write.target-file-size-bytes`):
         // without it one task writing one partition produces ONE file of
@@ -176,7 +201,7 @@ private[graft] final class FanoutWriterFactory(
         // parallelism and every future rewrite of it. getDataSize is an
         // estimate over buffered pages; probing every 512 rows amortizes
         // its column walk.
-        if ((f.rows & 511L) == 0L && f.writer.getDataSize >= targetFileBytes) {
+        if ((f.rows & 511L) == 0L && f.dataSize >= targetFileBytes) {
           closed += finish(key, f)
           open.remove(key)
           ()
@@ -191,7 +216,7 @@ private[graft] final class FanoutWriterFactory(
 
       override def abort(): Unit = {
         val paths = closed.map(_.path) ++ open.values.map(_.path)
-        open.values.foreach(f => try f.writer.close() catch { case NonFatal(_) => () })
+        open.values.foreach(f => try f.close() catch { case NonFatal(_) => () })
         open.clear()
         paths.foreach { s =>
           val p = new Path(s)

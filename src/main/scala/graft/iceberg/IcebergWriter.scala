@@ -1078,6 +1078,21 @@ object IcebergWriter {
     * [[AddedDataFile]] bookkeeping returns to the driver. This is the
     * DataFrame-API twin of the DSv2 `ReplaceData` write path — one write
     * kernel, two entry points. */
+  /** The table's data-file format (Iceberg `write.format-default`):
+    * PARQUET (our native default) or ORC. AVRO writes are refused loudly
+    * at plan time — this engine reads Avro data files but has no Avro
+    * write kernel (same stance the reference takes for every non-parquet
+    * format: `table.rs:291-293` builds only ParquetExec). */
+  private[graft] def tableWriteFormat(meta: TableMetadata): String =
+    meta.properties.getOrElse("write.format-default", "parquet")
+      .toLowerCase match {
+      case "parquet" => "PARQUET"
+      case "orc" => "ORC"
+      case other => throw new IllegalArgumentException(
+        s"unsupported write.format-default '$other' " +
+          "(supported: parquet, orc; avro is read-only in this engine)")
+    }
+
   /** The table's `write.parquet.compression-codec` (Iceberg property;
     * this writer's historical default is snappy). Validated at plan time
     * so a typo fails the statement, not a task. */
@@ -1088,6 +1103,19 @@ object IcebergWriter {
       .GraftParquetWriteShim.codecName(c) // validate, loud on typos
     c
   }
+
+  /** Data codec for the table's declared write format: the parquet
+    * property for parquet tables, `write.orc.compression-codec` (spec
+    * default zlib) for ORC tables — each validated against its own
+    * format's codec set at plan time. */
+  private[graft] def tableFormatCodec(meta: TableMetadata,
+                                      format: String): String =
+    if (format.equalsIgnoreCase("ORC")) {
+      val c = meta.properties.getOrElse("write.orc.compression-codec", "zlib")
+      org.apache.spark.sql.execution.datasources.orc
+        .GraftOrcWriteShim.codecKind(c) // validate, loud on typos
+      c
+    } else tableCodec(meta)
 
   /** Delete-file codec: the spec's `write.delete.parquet.compression-codec`
     * falling back to the DATA codec — a zstd table must not silently
@@ -1125,9 +1153,10 @@ object IcebergWriter {
           case None => f
         }
       })
+    val fmt = tableWriteFormat(meta)
     val factory = new FanoutWriterFactory(writeDir, stampedSchema, idByName,
       writeSpecFields(meta, df.schema), new SerializableHadoopConf(conf),
-      sortOrderId, tableCodec(meta), targetFileSize(meta))
+      sortOrderId, tableFormatCodec(meta, fmt), targetFileSize(meta), fmt)
     val dirPath = new Path(writeDir)
     val fs = dirPath.getFileSystem(conf)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)
@@ -1478,15 +1507,6 @@ object IcebergWriter {
     }
     val candidates = table.planFiles(filters)
     if (candidates.isEmpty) return -1L
-    // positions come from parquet _metadata.row_index — ORC imports have
-    // none; refuse BEFORE writing anything (equality deleteWhere still
-    // works on ORC, as does rewrite_data_files to materialize first)
-    candidates.find(_.fileFormat.equalsIgnoreCase("ORC")).foreach { f =>
-      throw new UnsupportedOperationException(
-        "position-delete DELETE targets ORC import " + f.filePath +
-          " which has no row positions — use an equality-expressible " +
-          "predicate or run rewrite_data_files first")
-    }
     def norm(s: String) = IcebergTable.normPathStatic(s)
     val byNorm: Map[String, DataFileEntry] =
       candidates.map(f => norm(table.resolve(f.filePath)) -> f).toMap
@@ -1494,9 +1514,15 @@ object IcebergWriter {
     // one distributed pass over the pruned candidates: matched (file, pos)
     // pairs — schema-by-field-id read for parquet; Avro imports decode
     // row-wise with TRUE record-index positions (AvroDataRead), so
-    // position deletes target them exactly like native files
-    val (avroCands, pqCands) =
+    // position deletes target them exactly like native files. ORC files
+    // have NO row positions (Spark's ORC source lacks
+    // _metadata.row_index) — they join the pass with a placeholder pos
+    // for per-file matched COUNTS only, and the strategy step below
+    // forces them onto the fullyDead/rewrite branches (never posDel).
+    val (avroCands, colCands) =
       candidates.partition(_.fileFormat.equalsIgnoreCase("AVRO"))
+    val (orcCands, pqCands) =
+      colCands.partition(_.fileFormat.equalsIgnoreCase("ORC"))
     val matchedParts = Seq(
       if (pqCands.isEmpty) None
       else Some(spark.read.schema(meta.schema)
@@ -1504,6 +1530,12 @@ object IcebergWriter {
         .filter(cond)
         .select(col("_metadata.file_path").as("file_path"),
           col("_metadata.row_index").as("pos"))),
+      if (orcCands.isEmpty) None
+      else Some(spark.read.schema(meta.schema)
+        .orc(orcCands.map(f => table.resolve(f.filePath)): _*)
+        .filter(cond)
+        .select(col("_metadata.file_path").as("file_path"),
+          lit(-1L).as("pos"))),
       if (avroCands.isEmpty) None
       else Some(table.scanAvroFiles(spark, avroCands, withIds = true)
         .filter(cond)
@@ -1522,6 +1554,21 @@ object IcebergWriter {
       counts.foreach { case (np, m) =>
         val f = byNorm(np)
         if (m >= f.recordCount) fullyDead += f.filePath
+        else if (f.fileFormat.equalsIgnoreCase("ORC")) {
+          // ORC rows have no positions, so a partially-matched ORC file
+          // can only be REWRITTEN (copy-on-write). Two modes make that
+          // impossible and refuse loudly BEFORE anything is written:
+          // merge-on-read pinning (fraction >= 1 promises no rewrites)
+          // and existing delete files (the rewrite read below is a raw
+          // per-format scan that cannot apply them).
+          if (maxPosDeleteFraction >= 1.0 || table.hasDeletes)
+            throw new UnsupportedOperationException(
+              "position-delete DELETE targets ORC file " + f.filePath +
+                " which has no row positions (Spark's ORC source lacks " +
+                "_metadata.row_index) — use an equality-expressible " +
+                "predicate or run rewrite_data_files first")
+          rewrite += f.filePath
+        }
         else if (m.toDouble / math.max(f.recordCount, 1L) <= maxPosDeleteFraction
                  || table.hasDeletes
                  // Avro files never take the CoW rewrite branch (its
@@ -1583,10 +1630,22 @@ object IcebergWriter {
         if (!dvMode || posDel.isEmpty) Set.empty
         else dvConvergedV2Drops(spark, table, posDel.toSet)
 
-      // rewrite group: surviving rows through the shared fanout writers
+      // rewrite group: surviving rows through the shared fanout writers —
+      // one scan per source format (a mixed parquet+ORC rewrite set
+      // unions), written back in the table's declared format
       val rewrittenAdds: Seq[AddedDataFile] = if (rewrite.isEmpty) Nil else {
-        val src = spark.read.schema(meta.schema)
-          .parquet(rewrite.toSeq.map(p => table.resolve(p)): _*)
+        val fmtOf: Map[String, String] =
+          candidates.map(f => f.filePath -> f.fileFormat).toMap
+        val (orcRw, pqRw) = rewrite.toSeq
+          .partition(p => fmtOf.get(p).exists(_.equalsIgnoreCase("ORC")))
+        val srcParts = Seq(
+          if (pqRw.isEmpty) None
+          else Some(spark.read.schema(meta.schema)
+            .parquet(pqRw.map(p => table.resolve(p)): _*)),
+          if (orcRw.isEmpty) None
+          else Some(spark.read.schema(meta.schema)
+            .orc(orcRw.map(p => table.resolve(p)): _*))).flatten
+        val src = srcParts.reduce(_ unionByName _)
           .filter(!cond)
           .select(meta.schema.fieldNames.map(col).toSeq: _*)
         writeDataFiles(src, s"$tableDir/data/s$snapId-$u", meta, conf)

@@ -181,14 +181,40 @@ final class GraftGroupScan(
     * agree on the exact file set. */
   val plannedFiles: Seq[DataFileEntry] = table.planFiles(filters.toSeq)
 
-  private lazy val delegate: Scan =
-    org.apache.spark.sql.execution.datasources.GraftScanShims.parquetBatchScan(
-      spark,
-      plannedFiles.map(f => (table.resolve(f.filePath), f.fileSizeInBytes)),
-      table.metadata.schema, requiredSchema, pushedFilters = Array.empty)
+  /** Per-format batches (a native-ORC or mixed-format table's groups
+    * rewrite like parquet ones): parquet and ORC each get Spark's own
+    * vectorized scan over their file subset, concatenated by
+    * [[GraftScanShims.unionBatch]]. Avro files cannot serve a group
+    * rewrite (no Spark source) — loud, with the materialize-first out. */
+  private lazy val delegate: Batch = {
+    val shims = org.apache.spark.sql.execution.datasources.GraftScanShims
+    plannedFiles.find(_.fileFormat.equalsIgnoreCase("AVRO")).foreach(f =>
+      throw new UnsupportedOperationException(
+        "copy-on-write rewrite targets Avro import " + f.filePath +
+          " which has no batch source — run rewrite_data_files first"))
+    val (orcFiles, pqFiles) =
+      plannedFiles.partition(_.fileFormat.equalsIgnoreCase("ORC"))
+    def fl(fs: Seq[DataFileEntry]) =
+      fs.map(f => (table.resolve(f.filePath), f.fileSizeInBytes))
+    val batches = Seq(
+      if (pqFiles.isEmpty) None
+      else Some(shims.parquetBatchScan(spark, fl(pqFiles),
+        table.metadata.schema, requiredSchema,
+        pushedFilters = Array.empty).toBatch),
+      if (orcFiles.isEmpty) None
+      else Some(shims.orcBatchScan(spark, fl(orcFiles),
+        table.metadata.schema, requiredSchema,
+        pushedFilters = Array.empty).toBatch)).flatten
+    batches match {
+      case Seq(one) => one
+      case Seq() => shims.parquetBatchScan(spark, Nil,
+        table.metadata.schema, requiredSchema, Array.empty).toBatch
+      case many => shims.unionBatch(many)
+    }
+  }
 
   override def readSchema(): StructType = requiredSchema
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch = delegate
 
   override def description(): String =
     s"GraftGroupScan(files=${plannedFiles.size}, groupFilters=${filters.mkString(", ")})"
@@ -252,11 +278,13 @@ final class GraftReplaceWrite(
         graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
           graft.iceberg.PartitionTransforms.resultType(p.transform, st))
       }
+      val fmt = graft.iceberg.IcebergWriter.tableWriteFormat(meta)
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
         new graft.iceberg.SerializableHadoopConf(conf),
-        codec = graft.iceberg.IcebergWriter.tableCodec(meta),
-        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta))
+        codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
+        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
+        format = fmt)
       new DataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
           inner.createWriter(partitionId, taskId)
@@ -327,11 +355,13 @@ final class GraftDynamicOverwriteWrite(
         graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
           graft.iceberg.PartitionTransforms.resultType(p.transform, st))
       }
+      val fmt = graft.iceberg.IcebergWriter.tableWriteFormat(meta)
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
         new graft.iceberg.SerializableHadoopConf(conf),
-        codec = graft.iceberg.IcebergWriter.tableCodec(meta),
-        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta))
+        codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
+        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
+        format = fmt)
       new DataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
           inner.createWriter(partitionId, taskId)
@@ -493,11 +523,13 @@ final class GraftDeltaWrite(
           graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
             graft.iceberg.PartitionTransforms.resultType(p.transform, st))
         }
+      val fmt = graft.iceberg.IcebergWriter.tableWriteFormat(meta)
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped, meta.fieldIds, spec,
         new graft.iceberg.SerializableHadoopConf(conf),
-        codec = graft.iceberg.IcebergWriter.tableCodec(meta),
-        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta))
+        codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
+        targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
+        format = fmt)
       new GraftDeltaWriterFactory(inner, writeDir,
         new graft.iceberg.SerializableHadoopConf(conf),
         deleteCodec = graft.iceberg.IcebergWriter.deleteCodec(meta))

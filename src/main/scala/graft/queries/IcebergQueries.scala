@@ -928,6 +928,51 @@ object IcebergQueries {
           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
     }),
 
+    // The ORC WRITE kernel (closing the format matrix's last cell —
+    // the reference's entire engine is parquet-only, table.rs:291-293):
+    // CTAS under write.format-default=orc writes native ORC through the
+    // same fanout kernel, with footer stats lifted into manifests so
+    // pruning stays format-blind; a copy-on-write DELETE then REWRITES
+    // orc files as orc. Gates pin the file format, the .orc extension,
+    // and the declared codec before the read-back aggregation.
+    "q146_orc_write" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q146-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q146")
+      s.conf.set("spark.sql.catalog.q146cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q146cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q146cat.ns")
+      s.sql(
+        """CREATE TABLE q146cat.ns.supp
+          |TBLPROPERTIES ('write.format-default' = 'orc',
+          |               'write.orc.compression-codec' = 'snappy') AS
+          |SELECT s_suppkey, s_nationkey, s_acctbal
+          |FROM supplier_src_q146""".stripMargin)
+      val dir = s"$warehouse/ns/supp"
+      // copy-on-write DELETE: the rewrite must also produce ORC
+      s.sql("DELETE FROM q146cat.ns.supp WHERE s_suppkey % 5 = 0")
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      val files = t.planFiles()
+      require(files.nonEmpty && files.forall(_.fileFormat == "ORC"),
+        s"q146: every data file must be ORC, got ${files.map(_.fileFormat)}")
+      require(files.forall(_.filePath.endsWith(".orc")),
+        "q146: data files must carry the .orc extension")
+      val r = org.apache.orc.OrcFile.createReader(
+        new Path(t.resolve(files.head.filePath)),
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try require(r.getCompressionKind == org.apache.orc.CompressionKind.SNAPPY,
+        s"q146: declared codec must land in the footer, got ${r.getCompressionKind}")
+      finally r.close()
+      s.sql(
+        """SELECT s_nationkey, COUNT(*) AS n,
+          |       CAST(SUM(s_suppkey) AS BIGINT) AS sk,
+          |       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents
+          |FROM q146cat.ns.supp
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1351,6 +1396,13 @@ object IcebergQueries {
         |       CAST(SUM(s_suppkey) AS BIGINT) AS sk
         |FROM supplier
         |WHERE s_suppkey NOT IN (3, 4, 5, 6)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q146_orc_write" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |       CAST(SUM(s_suppkey) AS BIGINT) AS sk,
+        |       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents
+        |FROM supplier
+        |WHERE s_suppkey % 5 <> 0
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q68_zorder" ->
       """SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sq,

@@ -157,4 +157,77 @@ object GraftScanShims {
       pushedFilters,
       CaseInsensitiveStringMap.empty())
   }
+
+  /** The ORC twin of [[parquetBatchScan]]: Spark's vectorized `OrcScan`
+    * over an explicit file list. ORC resolves columns BY NAME (no field
+    * ids exist in the format) — callers own the rename-safety guard, the
+    * same stance the V1 ORC read path takes. */
+  def orcBatchScan(
+      spark: SparkSession,
+      files: Seq[(String, Long)],
+      dataSchema: StructType,
+      readSchema: StructType,
+      pushedFilters: Array[Filter]): Scan =
+    org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
+      spark,
+      spark.sessionState.newHadoopConf(),
+      new GraftPrunedFileIndex(spark, files),
+      dataSchema,
+      readSchema,
+      StructType(Nil),
+      CaseInsensitiveStringMap.empty(),
+      None,
+      pushedFilters)
+
+  /** One [[org.apache.spark.sql.connector.read.InputPartition]] of a
+    * [[unionBatch]]: remembers which child batch planned it so the
+    * factory can route it back to that child's reader. */
+  final case class TaggedInputPartition(
+      tag: Int, inner: org.apache.spark.sql.connector.read.InputPartition)
+    extends org.apache.spark.sql.connector.read.InputPartition {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+  }
+
+  private final class TaggedReaderFactory(
+      factories: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] = {
+      val t = p.asInstanceOf[TaggedInputPartition]
+      factories(t.tag).createReader(t.inner)
+    }
+    override def createColumnarReader(
+        p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.vectorized.ColumnarBatch] = {
+      val t = p.asInstanceOf[TaggedInputPartition]
+      factories(t.tag).createColumnarReader(t.inner)
+    }
+    override def supportColumnarReads(
+        p: org.apache.spark.sql.connector.read.InputPartition): Boolean = {
+      val t = p.asInstanceOf[TaggedInputPartition]
+      factories(t.tag).supportColumnarReads(t.inner)
+    }
+  }
+
+  /** Concatenate several Batches into one (a mixed parquet+ORC file set
+    * behind a single DSv2 scan): partitions are tagged with their source
+    * batch and routed back to that batch's reader factory on executors.
+    * Row-vs-columnar is decided PER PARTITION, which `BatchScanExec`
+    * supports only when all partitions agree — callers on the columnar
+    * path should check; the row-level-operation scans that use this read
+    * rows either way. */
+  def unionBatch(batches: Seq[org.apache.spark.sql.connector.read.Batch])
+      : org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        batches.zipWithIndex.flatMap { case (b, i) =>
+          b.planInputPartitions().map(p => TaggedInputPartition(i, p))
+        }.toArray
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new TaggedReaderFactory(batches.map(_.createReaderFactory()))
+    }
 }
