@@ -191,6 +191,38 @@ object BenchScale {
           .agg(sum(col("lm_score"))).collect())
       report("lm_score", r, tLm, nDocs, -1L)
 
+      // q147 core: exact dedup, text-keyed vs fingerprint-keyed. The
+      // CLAIM is shuffle-bytes: groupBy(text) ships document bodies
+      // through the exchange, exactKeepFirstByHash ships ~20 fixed bytes
+      // per row plus the duplicate sliver's text. A listener sums
+      // shuffle WRITE bytes per variant; the reduction factor is the
+      // pinned number (time is reported too but noisy at toy scale).
+      def shuffled[A](f: => A): (Double, Long, A) = {
+        val bytes = new java.util.concurrent.atomic.AtomicLong
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            bytes.addAndGet(
+              sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          val (t, a) = timed(f)
+          // listener events are async; a short drain keeps the byte sum
+          // complete without reaching into the private listener bus
+          Thread.sleep(300)
+          (t, bytes.get(), a)
+        } finally spark.sparkContext.removeSparkListener(l)
+      }
+      val (tText, bText, nUniq1) = shuffled(
+        Dedup.exactKeepFirst(all, "text", "doc_id").count())
+      val (tHash, bHash, nUniq2) = shuffled(
+        Dedup.exactKeepFirstByHash(all, "text", "doc_id").count())
+      require(nUniq1 == nUniq2,
+        s"hash-keyed dedup must agree with text-keyed: $nUniq1 vs $nUniq2")
+      report("exact_dedup_text_keyed", r, tText, nDocs, bText)
+      report("exact_dedup_hash_keyed", r, tHash, nDocs, bHash)
+
       all.unpersist()
 
       // q85 core: int8-quantized brute-force ANN — queries FIXED (15

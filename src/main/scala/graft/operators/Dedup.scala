@@ -30,6 +30,47 @@ object Dedup {
     df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Fingerprint-keyed exact dedup — [[exactKeepFirst]] without document
+    * bodies as shuffle keys. At 100 TB `groupBy(text)` ships the FULL
+    * corpus text through the exchange and compares megabyte strings in
+    * the aggregate hash map; here the only corpus-wide shuffle carries
+    * `(length, xxhash64(text), id)` — ~20 fixed bytes per row.
+    *
+    * The result is still EXACT, not hash-trusting: fingerprint groups
+    * with `count > 1` (the only place a collision could hide) are
+    * re-verified by grouping the actual text — but only that duplicate
+    * sliver ever ships its text, and a genuine xxhash64+length collision
+    * splits into per-text groups instead of being silently merged.
+    *
+    * Output: one row per distinct TEXT — `(text_len, text_hash, keep_id,
+    * dup_count)`. The keep decision on fixed-width keys is the honest
+    * 100 TB contract (callers semi-join `keep_id` to retain texts); the
+    * `(keep_id, dup_count)` multiset equals [[exactKeepFirst]]'s exactly.
+    */
+  def exactKeepFirstByHash(df: DataFrame, textCol: String,
+                           idCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val fp = df.select(col(idCol).as("__id"),
+      length(text).as("text_len"), xxhash64(text).as("text_hash"))
+    val agg = fp.groupBy(col("text_len"), col("text_hash"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    val multi = agg.filter(col("dup_count") > 1)
+    val unique = agg.filter(col("dup_count") === 1)
+    // exact verify on the duplicate sliver only: rows whose fingerprint
+    // repeats re-group by the REAL text, so colliding-but-different
+    // texts split correctly (each keeps its own min id)
+    val sliver = df.select(col(idCol).as("__id"), text.as("__text"),
+        length(text).as("text_len"), xxhash64(text).as("text_hash"))
+      .join(multi.select("text_len", "text_hash"),
+        Seq("text_len", "text_hash"), "left_semi")
+    val verified = sliver
+      .groupBy(col("text_len"), col("text_hash"), col("__text"))
+      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select("text_len", "text_hash", "keep_id", "dup_count")
+    unique.select("text_len", "text_hash", "keep_id", "dup_count")
+      .unionByName(verified)
+  }
+
   // -- MinHash + LSH ---------------------------------------------------------
 
   /** Per-document MinHash signature over word `shingleSize`-gram shingles.

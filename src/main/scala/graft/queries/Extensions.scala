@@ -152,6 +152,17 @@ object Extensions {
         .agg(count(lit(1)).as("n_unique"),
              sum(col("dup_count")).cast("bigint").as("n_total"))),
 
+    // fingerprint-keyed exact dedup: the corpus-wide shuffle carries
+    // (length, xxhash64, id) instead of document bodies; only the
+    // duplicate sliver re-verifies on real text. Oracle-equal to the
+    // text-keyed form per distinct text (hash column dropped — DuckDB
+    // has no xxhash64; text_len + keep decisions pin the semantics).
+    "q147_dedup_exact_hash" -> ((s, d) =>
+      Dedup.exactKeepFirstByHash(t(s, d, "documents"), "text", "doc_id")
+        .select(col("text_len").cast("bigint").as("text_len"),
+          col("keep_id"), col("dup_count"))
+        .orderBy(col("keep_id").asc_nulls_first)),
+
     "q40_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
           t(s, d, "documents").filter(col("doc_id") < 100),
@@ -970,6 +981,11 @@ object Extensions {
       """SELECT COUNT(*) AS n_unique, CAST(SUM(dup_count) AS BIGINT) AS n_total
         |FROM (SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |      FROM documents GROUP BY text) g""".stripMargin,
+    "q147_dedup_exact_hash" ->
+      """SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS text_len,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY text
+        |ORDER BY keep_id ASC NULLS FIRST""".stripMargin,
     "q40_ngram_jaccard" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100),
         |sh AS (SELECT doc_id,

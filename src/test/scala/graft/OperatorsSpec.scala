@@ -74,6 +74,31 @@ class DedupSpec extends SparkSpec {
     assert(dup.getLong(1) == 1L) // keep_id = min(1, 2)
   }
 
+  test("exactKeepFirstByHash ≡ exactKeepFirst (keep decisions), " +
+      "fixed-width shuffle keys, null-safe") {
+    import org.apache.spark.sql.functions.lit
+    val withNulls = docs.unionByName(
+      Seq((5L, null: String), (6L, null: String), (7L, ""))
+        .toDF("doc_id", "text"))
+    def decisions(df: org.apache.spark.sql.DataFrame) = df
+      .select("keep_id", "dup_count").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val byText = decisions(Dedup.exactKeepFirst(
+      withNulls.withColumn("text",
+        org.apache.spark.sql.functions.coalesce(col("text"), lit(""))),
+      "text", "doc_id"))
+    val byHash = decisions(Dedup.exactKeepFirstByHash(
+      withNulls, "text", "doc_id"))
+    assert(byHash == byText,
+      s"hash-keyed decisions must equal text-keyed: $byHash vs $byText")
+    // null and "" coalesce to the same group (documented): ids 5,6,7
+    assert(byHash.contains((5L, 3L)))
+    // duplicate groups carry the verified text fingerprint
+    val out = Dedup.exactKeepFirstByHash(withNulls, "text", "doc_id")
+    assert(out.columns.toSeq ==
+      Seq("text_len", "text_hash", "keep_id", "dup_count"))
+  }
+
   test("minhash LSH finds the exact duplicate pair") {
     val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
       numHashes = 32, bands = 8).collect()
