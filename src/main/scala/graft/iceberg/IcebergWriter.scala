@@ -1435,11 +1435,39 @@ object IcebergWriter {
       val sn = snap.putObject("summary")
       fullSummary.foreach { case (k, v) => sn.put(k, v) }
     }
+    // v3 row lineage (opt-in via `format-version = 3` table property, or
+    // already-stamped v3 metadata): this snapshot's new rows get the id
+    // range [next-row-id, next-row-id + added), recorded as the
+    // snapshot's `first-row-id`, and the table counter advances in the
+    // SAME commit. Added rows = the new data manifests of this commit
+    // (sequence number == this snapshot id; carried manifests keep their
+    // older sequence numbers).
+    val lineageUpdates: Seq[JsonNode] = {
+      val meta = committer.currentMetadata()
+      val wantsV3 = meta.formatVersion >= 3 ||
+        meta.properties.get("format-version").contains("3")
+      if (!wantsV3) Nil
+      else {
+        val firstRowId = meta.nextRowId.getOrElse(0L)
+        snap.put("first-row-id", firstRowId)
+        val added = listRecs.iterator
+          .filter(r => r.get("content").asInstanceOf[Int] == 0 &&
+            Option(r.get("sequence_number")).exists(_ == snapId))
+          .map(r => Option(r.get("added_rows_count"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L))
+          .sum
+        (if (meta.formatVersion < 3)
+           Seq(MetadataCommit.upgradeFormatVersion(mapper, 3))
+         else Nil) :+
+          MetadataCommit.setNextRowId(mapper, firstRowId + added)
+      }
+    }
     committer.commit(
       Seq(MetadataCommit.assertRefSnapshotId(mapper, ref,
         refExpected.getOrElse(parent))),
       Seq(MetadataCommit.addSnapshot(mapper, snap),
-        MetadataCommit.setSnapshotRef(mapper, ref, snapId)) ++ extraUpdates)
+        MetadataCommit.setSnapshotRef(mapper, ref, snapId)) ++
+        lineageUpdates ++ extraUpdates)
   }
 
   /** Same relocation rule as IcebergTable.resolve, usable pre-load. */
@@ -2019,16 +2047,17 @@ object IcebergWriter {
     snapId
   }
 
-  /** Table property that opts row-level deletes into the v3
-    * DELETION-VECTOR form (`graft.write.deletes = dv`): position deletes
-    * commit as `deletion-vector-v1` Puffin blobs instead of v2 parquet
-    * files. A property rather than `format-version = 3` in the metadata
-    * JSON: stamping v3 would claim the REST of v3 (row lineage,
-    * mandatory DV supersede semantics for foreign readers) that this
-    * writer does not provide — the DV payloads themselves are
-    * spec-exact, so flipping the trigger later is a one-line change. */
+  /** Row-level deletes in the v3 DELETION-VECTOR form (`deletion-
+    * vector-v1` Puffin blobs instead of v2 parquet files). Two triggers:
+    * the soft opt-in property `graft.write.deletes = dv` (DV files on an
+    * otherwise-v2 table — useful for staged migrations), or a DECLARED
+    * v3 table (`format-version = 3` stamped or pending via the table
+    * property), where the spec makes the DV form mandatory for new
+    * position deletes. */
   private[graft] def dvWriteMode(meta: TableMetadata): Boolean =
-    meta.properties.get("graft.write.deletes").contains("dv")
+    meta.properties.get("graft.write.deletes").contains("dv") ||
+      meta.formatVersion >= 3 ||
+      meta.properties.get("format-version").contains("3")
 
   /** Write a position set as v3 deletion vectors and return the delete
     * manifest's manifest-list record (None when `positions` is empty).
@@ -2345,8 +2374,16 @@ object IcebergWriter {
       val blobs = target.flatMap { c =>
         meta.fieldIds.get(c).map { fid =>
           val ndv = row.getAs[Long](s"__ndv_$c")
+          // payload: a REAL DataSketches-compact theta sketch (one
+          // bounded bottom-k job per column), so external engines can
+          // deserialize and MERGE it; types without a documented
+          // update() encoding keep the documented stand-in. The `ndv`
+          // property stays the planning value every reader consumes.
+          val payload = ThetaSketch.columnSketch(df, c)
+            .map(_.serialize())
+            .getOrElse(Puffin.thetaStandInPayload(ndv))
           Puffin.Blob(Puffin.ThetaBlobType, Seq(fid), sid, 0L,
-            Puffin.thetaStandInPayload(ndv), Map("ndv" -> ndv.toString))
+            payload, Map("ndv" -> ndv.toString))
         }
       }
       val pPath = new org.apache.hadoop.fs.Path(tableDir,

@@ -1,0 +1,245 @@
+package graft.iceberg
+
+import java.nio.charset.StandardCharsets
+
+/** Theta NDV sketches in the Apache DataSketches compact binary format —
+  * the payload the Iceberg spec mandates for Puffin
+  * `apache-datasketches-theta-v1` blobs, implemented from the PUBLISHED
+  * format documentation (datasketches.apache.org, "Theta Sketch
+  * Framework" + the memory-layout appendix; the library itself is not on
+  * this offline classpath):
+  *
+  *  - values hash through MurmurHash3 x64/128 (Appleby's public-domain
+  *    function) with the DataSketches default update seed 9001, taking
+  *    `h1 >>> 1` (63-bit positive); hash 0 is never retained;
+  *  - the sketch is bottom-k over distinct hashes (nominal k = 4096):
+  *    ≤ k distinct values is EXACT (theta = 2^63); beyond that the k
+  *    smallest are retained and theta = the (k+1)-th smallest hash, so
+  *    any reader computes `estimate = count / (theta / 2^63)`;
+  *  - compact serialization, little-endian, serialization version 3,
+  *    family 3 (COMPACT), flags READ_ONLY|COMPACT|ORDERED (+EMPTY):
+  *    preamble 1 long when empty, 2 longs in exact mode (curCount),
+  *    3 longs in estimation mode (curCount + thetaLong), then the
+  *    retained hashes sorted ascending;
+  *  - the 16-bit seed hash (bytes 6-7) is `murmur(seed)`'s low 16 bits —
+  *    what lets another engine verify both sketches used the same seed
+  *    before merging.
+  *
+  * Input encodings match the Java library's update() family so hashes
+  * agree cross-engine: integral types as the 8-byte little-endian long,
+  * floating point as `doubleToLongBits` (with -0.0 canonicalized to
+  * 0.0), strings as UTF-8 bytes, binary as raw bytes.
+  */
+object ThetaSketch {
+
+  val DefaultSeed = 9001L
+  val DefaultNominal = 4096
+
+  // -- MurmurHash3 x64/128 (public domain; Appleby) --------------------------
+
+  private def rotl(x: Long, r: Int): Long = (x << r) | (x >>> (64 - r))
+
+  private def fmix(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33
+    k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33
+    k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  /** 128-bit murmur of `data`, returning (h1, h2). Little-endian block
+    * packing, identical to hashing the equivalent long[] — which is how
+    * the Java library hashes long inputs. */
+  def murmur128(data: Array[Byte], seed: Long): (Long, Long) = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = seed
+    var h2 = seed
+    val nBlocks = data.length / 16
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < nBlocks) {
+      var k1 = bb.getLong(i * 16)
+      var k2 = bb.getLong(i * 16 + 8)
+      k1 *= c1; k1 = rotl(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = rotl(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = rotl(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = rotl(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+    val tail = nBlocks * 16
+    var k1 = 0L
+    var k2 = 0L
+    val rem = data.length & 15
+    if (rem > 8) {
+      var j = rem - 1
+      while (j >= 8) { k2 ^= (data(tail + j) & 0xffL) << ((j - 8) * 8); j -= 1 }
+      k2 *= c2; k2 = rotl(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    if (rem > 0) {
+      var j = math.min(rem, 8) - 1
+      while (j >= 0) { k1 ^= (data(tail + j) & 0xffL) << (j * 8); j -= 1 }
+      k1 *= c1; k1 = rotl(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= data.length.toLong; h2 ^= data.length.toLong
+    h1 += h2; h2 += h1
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 += h2; h2 += h1
+    (h1, h2)
+  }
+
+  // -- DataSketches value hashing --------------------------------------------
+
+  /** 63-bit theta hash of raw bytes; 0 means "rejected" (never retained,
+    * same as the library's screening). */
+  def hashBytes(b: Array[Byte], seed: Long = DefaultSeed): Long =
+    murmur128(b, seed)._1 >>> 1
+
+  def hashLong(v: Long, seed: Long = DefaultSeed): Long = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    hashBytes(b, seed)
+  }
+
+  def hashDouble(d: Double, seed: Long = DefaultSeed): Long =
+    hashLong(java.lang.Double.doubleToLongBits(
+      if (d == 0.0) 0.0 else d), seed) // canonicalizes -0.0, like update(double)
+
+  def hashString(s: String, seed: Long = DefaultSeed): Long =
+    if (s == null || s.isEmpty) 0L else hashBytes(s.getBytes(StandardCharsets.UTF_8), seed)
+
+  /** The preamble's 16-bit seed hash: murmur of the seed itself (as one
+    * long), low 16 bits — must be nonzero per the spec. */
+  def computeSeedHash(seed: Long): Short = {
+    val sh = (murmur128(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(seed).array(), 0L)
+      ._1 & 0xffffL).toShort
+    require(sh != 0, s"seed $seed produces seedHash 0 — pick another seed")
+    sh
+  }
+
+  lazy val defaultSeedHash: Short = computeSeedHash(DefaultSeed)
+
+  // -- compact sketch model --------------------------------------------------
+
+  private val SerVer = 3
+  private val FamilyCompact = 3
+  private val FlagReadOnly = 2
+  private val FlagEmpty = 4
+  private val FlagCompact = 8
+  private val FlagOrdered = 16
+
+  /** An ordered compact theta sketch: `entries` sorted ascending, all
+    * `< thetaLong`. `thetaLong = Long.MaxValue` ⇔ exact mode. */
+  final case class Compact(entries: Array[Long], thetaLong: Long,
+                           seedHash: Short) {
+    def isEmpty: Boolean = entries.isEmpty && thetaLong == Long.MaxValue
+    def estimate: Double =
+      if (isEmpty) 0.0
+      else entries.length / (thetaLong.toDouble / Long.MaxValue.toDouble)
+
+    def serialize(): Array[Byte] = {
+      val preLongs =
+        if (isEmpty) 1 else if (thetaLong == Long.MaxValue) 2 else 3
+      val bb = java.nio.ByteBuffer
+        .allocate(preLongs * 8 + entries.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val flags = FlagReadOnly | FlagCompact | FlagOrdered |
+        (if (isEmpty) FlagEmpty else 0)
+      bb.put(preLongs.toByte).put(SerVer.toByte).put(FamilyCompact.toByte)
+        .put(0.toByte).put(0.toByte).put(flags.toByte).putShort(seedHash)
+      if (!isEmpty) {
+        bb.putInt(entries.length).putInt(0)
+        if (thetaLong != Long.MaxValue) bb.putLong(thetaLong)
+        entries.foreach(bb.putLong)
+      }
+      bb.array()
+    }
+  }
+
+  /** Build from DISTINCT sorted-ascending 63-bit hashes (zeros already
+    * screened): exact when ≤ k remain, else bottom-k with theta = the
+    * (k+1)-th smallest. `hashes` may exceed k+1; only the prefix is
+    * consulted. */
+  def fromSortedHashes(hashes: Array[Long], k: Int = DefaultNominal,
+                       seedHash: Short = defaultSeedHash): Compact =
+    if (hashes.length <= k) Compact(hashes, Long.MaxValue, seedHash)
+    else Compact(hashes.take(k), hashes(k), seedHash)
+
+  // -- distributed per-column sketch build ------------------------------------
+
+  /** The theta sketch of one DataFrame column, built distributed: hash
+    * map-side (partial-aggregated distinct), then `orderBy(h).limit(k+1)`
+    * — Spark's TakeOrdered, a per-partition bottom-k that returns at most
+    * k+1 fixed-width longs to the driver no matter the corpus size. One
+    * job per analyzed column, paid only at ANALYZE time.
+    *
+    * None for column types with no documented DataSketches update()
+    * encoding (callers fall back to the documented stand-in payload).
+    * Dates hash as their epoch-day long, timestamps as epoch-micros —
+    * stated here because the Java library has no update(date); engines
+    * merging across writers must agree on the scalar encoding anyway.
+    */
+  def columnSketch(df: org.apache.spark.sql.DataFrame, c: String,
+                   k: Int = DefaultNominal): Option[Compact] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val hashCol: Option[org.apache.spark.sql.Column] =
+      df.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          Some(udf((v: java.lang.Long) =>
+            if (v == null) 0L else hashLong(v)).apply(col(c).cast("long")))
+        case DateType =>
+          Some(udf((v: java.lang.Long) =>
+            if (v == null) 0L else hashLong(v))
+            .apply(col(c).cast("int").cast("long")))
+        case TimestampType | TimestampNTZType =>
+          Some(udf((v: java.lang.Long) =>
+            if (v == null) 0L else hashLong(v))
+            .apply(col(c).cast("long") * lit(1000000L)))
+        case DoubleType | FloatType =>
+          Some(udf((v: java.lang.Double) =>
+            if (v == null) 0L else hashDouble(v)).apply(col(c).cast("double")))
+        case StringType =>
+          Some(udf((s: String) => hashString(s)).apply(col(c)))
+        case BinaryType =>
+          Some(udf((b: Array[Byte]) =>
+            if (b == null || b.isEmpty) 0L else hashBytes(b)).apply(col(c)))
+        case _ => None
+      }
+    hashCol.map { h =>
+      val hashes = df.select(h.as("__h")).filter(col("__h") =!= 0L)
+        .distinct().orderBy(col("__h")).limit(k + 1)
+        .collect().map(_.getLong(0))
+      fromSortedHashes(hashes, k)
+    }
+  }
+
+  /** Parse a compact theta sketch (ours or another engine's — any
+    * serVer-3 compact form). Loud on layout violations. */
+  def deserialize(bytes: Array[Byte]): Compact = {
+    require(bytes.length >= 8, s"theta sketch too short: ${bytes.length}")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val preLongs = bb.get(0) & 0x3f
+    val serVer = bb.get(1) & 0xff
+    val family = bb.get(2) & 0xff
+    val flags = bb.get(5) & 0xff
+    val seedHash = bb.getShort(6)
+    require(serVer == SerVer, s"unsupported theta serVer $serVer")
+    require(family == FamilyCompact, s"not a compact theta sketch: family $family")
+    require((flags & 1) == 0, "big-endian theta sketch unsupported")
+    if ((flags & FlagEmpty) != 0 || preLongs == 1)
+      return Compact(Array.empty, Long.MaxValue, seedHash)
+    val count = bb.getInt(8)
+    val thetaLong = if (preLongs >= 3) bb.getLong(16) else Long.MaxValue
+    val dataOff = preLongs * 8
+    require(bytes.length >= dataOff + count * 8,
+      s"theta sketch truncated: $count entries, ${bytes.length} bytes")
+    val entries = Array.tabulate(count)(i => bb.getLong(dataOff + i * 8))
+    Compact(entries, thetaLong, seedHash)
+  }
+}

@@ -428,7 +428,8 @@ class ProceduresSpec extends SparkSpec {
     assert(ndvProp >= 6 && ndvProp <= 8, s"blob ndv property, got $ndvProp")
 
     // the Puffin FILE round-trips: footer blobs match the metadata
-    // mirror, and the stand-in payload decodes to the same NDV
+    // mirror, and the payload is a REAL DataSketches-compact theta
+    // sketch whose (exact-mode) estimate agrees with the ndv property
     val pPath = new Path(sf.path)
     assert(pPath.getFileSystem(conf).getFileStatus(pPath).getLen
       === sf.fileSizeInBytes)
@@ -443,7 +444,11 @@ class ProceduresSpec extends SparkSpec {
         assert(b.get("properties").get("ndv").asLong == ndvProp)
         val payload = graft.iceberg.Puffin.readBlob(pPath, conf,
           b.get("offset").asLong, b.get("length").asInt)
-        assert(graft.iceberg.Puffin.decodeStandIn(payload).contains(ndvProp))
+        val sk = graft.iceberg.ThetaSketch.deserialize(payload)
+        // exact mode at this cardinality: the sketch IS the distinct set
+        assert(sk.thetaLong == Long.MaxValue &&
+          math.round(sk.estimate) >= 6 && math.round(sk.estimate) <= 8,
+          s"theta payload estimate ${sk.estimate} vs ndv property $ndvProp")
       }
     }
     assert(found, "cat column blob present in the Puffin footer")

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.iceberg.ThetaSketch
+
+/** The DataSketches-compact theta serialization: murmur3 x64/128 against
+  * published reference vectors, the byte layout against the documented
+  * compact format, round-trips, exactness ≤ k, estimation accuracy > k,
+  * and the cross-sketch merge rule an external engine would apply.
+  */
+class ThetaSketchSpec extends SparkSpec {
+
+  private def hex(l: Long) = f"0x$l%016x"
+
+  test("murmur3 x64/128 matches published reference vectors") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    // canonical smhasher-derived vectors, seed 0
+    assert(ThetaSketch.murmur128(Array.empty[Byte], 0L) == (0L, 0L))
+    val (h1a, h2a) = ThetaSketch.murmur128("hello".getBytes(UTF_8), 0L)
+    assert(hex(h1a) == "0xcbd8a7b341bd9b02" && hex(h2a) == "0x5b1e906a48ae1d19",
+      s"'hello': ${hex(h1a)} ${hex(h2a)}")
+    val (h1b, h2b) = ThetaSketch.murmur128("hello, world".getBytes(UTF_8), 0L)
+    assert(hex(h1b) == "0x342fac623a5ebc8e" && hex(h2b) == "0x4cdcbc079642414d",
+      s"'hello, world': ${hex(h1b)} ${hex(h2b)}")
+    // the classic fox vector is published as a 16-byte hex STRING
+    // ("6c1b07bc...437a"); as bytes that is the little-endian image of
+    // the two u64s below
+    val (h1c, h2c) = ThetaSketch.murmur128(
+      "The quick brown fox jumps over the lazy dog".getBytes(UTF_8), 0L)
+    val bytesC = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(h1c).putLong(h2c).array()
+    assert(bytesC.map(b => f"$b%02x").mkString ==
+      "6c1b07bc7bbc4be347939ac4a93c437a",
+      s"fox: ${hex(h1c)} ${hex(h2c)}")
+  }
+
+  test("value hashing: 63-bit, screened zero, canonical -0.0, seed hash") {
+    assert(ThetaSketch.hashLong(42L) > 0)
+    assert(ThetaSketch.hashString("") == 0L, "empty string screens out")
+    assert(ThetaSketch.hashString(null) == 0L)
+    assert(ThetaSketch.hashDouble(-0.0) == ThetaSketch.hashDouble(0.0),
+      "-0.0 canonicalizes like the library's update(double)")
+    assert(ThetaSketch.defaultSeedHash != 0,
+      "seed 9001 must produce a nonzero 16-bit seed hash")
+  }
+
+  test("compact layout golden bytes: empty, exact, estimation modes") {
+    val sh = ThetaSketch.defaultSeedHash
+    // EMPTY: 8 bytes, preLongs 1, serVer 3, family 3, flags RO|C|O|EMPTY
+    val e = ThetaSketch.Compact(Array.empty, Long.MaxValue, sh).serialize()
+    assert(e.length == 8)
+    assert(e(0) == 1 && e(1) == 3 && e(2) == 3 && e(3) == 0 && e(4) == 0)
+    assert((e(5) & 0xff) == (2 | 4 | 8 | 16), s"empty flags ${e(5)}")
+    val bbE = java.nio.ByteBuffer.wrap(e).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bbE.getShort(6) == sh)
+    // EXACT, 3 entries: preLongs 2, 16 + 24 bytes, count at offset 8,
+    // entries ascending from offset 16
+    val ents = Array(100L, 200L, 300L)
+    val x = ThetaSketch.Compact(ents, Long.MaxValue, sh).serialize()
+    assert(x.length == 16 + 24)
+    assert(x(0) == 2 && x(1) == 3 && x(2) == 3)
+    assert((x(5) & 0xff) == (2 | 8 | 16), s"exact flags ${x(5)}")
+    val bbX = java.nio.ByteBuffer.wrap(x).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bbX.getInt(8) == 3)
+    assert((0 until 3).map(i => bbX.getLong(16 + i * 8)) == Seq(100L, 200L, 300L))
+    // ESTIMATION: preLongs 3, thetaLong at offset 16, entries from 24
+    val th = Long.MaxValue / 2
+    val s = ThetaSketch.Compact(Array(10L, 20L), th, sh).serialize()
+    assert(s.length == 24 + 16)
+    assert(s(0) == 3)
+    val bbS = java.nio.ByteBuffer.wrap(s).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bbS.getInt(8) == 2 && bbS.getLong(16) == th && bbS.getLong(24) == 10L)
+  }
+
+  test("serialize/deserialize round-trips all three modes") {
+    val sh = ThetaSketch.defaultSeedHash
+    Seq(
+      ThetaSketch.Compact(Array.empty, Long.MaxValue, sh),
+      ThetaSketch.Compact(Array(7L), Long.MaxValue, sh),
+      ThetaSketch.Compact(Array(5L, 6L, 9L), Long.MaxValue, sh),
+      ThetaSketch.Compact(Array(1L, 2L, 3L, 4L), 1000L, sh)
+    ).foreach { c =>
+      val back = ThetaSketch.deserialize(c.serialize())
+      assert(back.entries.toSeq == c.entries.toSeq &&
+        back.thetaLong == c.thetaLong && back.seedHash == c.seedHash)
+    }
+  }
+
+  test("bottom-k semantics: exact ≤ k, ~2% estimation beyond k, and the " +
+      "external merge rule converges") {
+    val k = 256
+    def sketchOf(values: Seq[Long]) = {
+      val hs = values.map(ThetaSketch.hashLong(_)).filter(_ != 0L)
+        .distinct.sorted.toArray
+      ThetaSketch.fromSortedHashes(hs, k)
+    }
+    val small = sketchOf(1L to 200L)
+    assert(small.thetaLong == Long.MaxValue && small.estimate == 200.0,
+      "below k the sketch is exact")
+    val big = sketchOf(1L to 100000L)
+    assert(big.entries.length == k)
+    assert(math.abs(big.estimate - 100000) / 100000.0 < 0.15,
+      s"estimate ${big.estimate} for 100k distinct (k=$k)")
+    // merge as another engine would: union entries below min theta, re-cap
+    val a = sketchOf(1L to 60000L)
+    val b = sketchOf(40001L to 120000L)
+    val minTheta = math.min(a.thetaLong, b.thetaLong)
+    val merged = (a.entries ++ b.entries).distinct.filter(_ < minTheta).sorted
+    val m =
+      if (merged.length <= k) ThetaSketch.Compact(merged, minTheta, a.seedHash)
+      else ThetaSketch.Compact(merged.take(k), merged(k), a.seedHash)
+    assert(math.abs(m.estimate - 120000) / 120000.0 < 0.2,
+      s"merged estimate ${m.estimate} for 120k true distinct")
+  }
+
+  test("columnSketch: distributed build is exact below k and matches " +
+      "local hashing; unsupported types decline") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i % 300, s"s${i % 150}"))
+      .toDF("k", "s")
+    val ks = ThetaSketch.columnSketch(df, "k").get
+    assert(ks.thetaLong == Long.MaxValue && ks.estimate == 300.0)
+    // entries equal the locally-computed hash set (encoding agreement)
+    val local = (0L until 300L).map(ThetaSketch.hashLong(_)).sorted
+    assert(ks.entries.toSeq == local)
+    val ss = ThetaSketch.columnSketch(df, "s").get
+    assert(ss.estimate == 150.0)
+    val arr = Seq((1L, Array(1, 2))).toDF("k", "a")
+    assert(ThetaSketch.columnSketch(arr, "a").isEmpty,
+      "array columns have no DataSketches encoding -> stand-in fallback")
+  }
+
+  test("ANALYZE writes a deserializable theta payload into Puffin") {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Puffin}
+    import graft.iceberg.connector.GraftCatalog
+    import org.apache.hadoop.fs.Path
+    val warehouse = "/root/repo/target/theta-warehouse"
+    val conf = spark.sessionState.newHadoopConf()
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set("spark.sql.catalog.thcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.thcat.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS thcat.ns")
+    spark.sql(
+      """CREATE TABLE thcat.ns.t AS
+        |SELECT id % 37 AS k, concat('v', id % 11) AS v FROM range(500)"""
+        .stripMargin)
+    val dir = s"$warehouse/ns/t"
+    IcebergWriter.analyzeTable(spark, dir, Seq("k", "v"))
+    val t = new IcebergTable(dir, conf)
+    val stats = t.metadata.statistics.last
+    val footer = Puffin.readFooter(new Path(stats.path), conf)
+    val blobs = footer.get("blobs")
+    assert(blobs.size == 2)
+    (0 until blobs.size).foreach { i =>
+      val b = blobs.get(i)
+      val payload = Puffin.readBlob(new Path(stats.path), conf,
+        b.get("offset").asLong, b.get("length").asInt)
+      val sk = ThetaSketch.deserialize(payload)
+      val expected = if (b.get("fields").get(0).asInt ==
+        t.metadata.fieldIds("k")) 37.0 else 11.0
+      assert(sk.estimate == expected,
+        s"blob $i: sketch estimate ${sk.estimate}, want $expected")
+      assert(sk.seedHash == ThetaSketch.defaultSeedHash)
+    }
+  }
+}
