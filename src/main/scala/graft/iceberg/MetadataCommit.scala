@@ -54,6 +54,13 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
     * publish — the window a racing commit can land in. Production no-op. */
   protected def beforePublish(path: Path): Unit = ()
 
+  // The commit point below is create-new; on a store WITHOUT exclusive
+  // create (raw S3-style object stores: the PUT of the "create" happily
+  // overwrites a racing writer's version) two writers can both "win" the
+  // same vN and one table state silently vanishes. Refuse up front
+  // rather than corrupt quietly — checked once per scheme process-wide.
+  FsCommitter.requireAtomicCreate(tableDir, conf)
+
   override def currentRoot(mapper: ObjectMapper): ObjectNode = {
     val latest = TableMetadata.latestMetadataPath(tableDir, conf)
     val in = latest.getFileSystem(conf).open(latest)
@@ -123,6 +130,48 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
   }
 }
 
+object FsCommitter {
+
+  /** Filesystems whose `create(path, overwrite = false)` is a true
+    * exclusive-create commit point: the local FS, HDFS and its views,
+    * and ADLS Gen2 (abfs implements conditional create). Raw S3-style
+    * stores (s3/s3a/gs/oss/swift/wasb…) are NOT here — their "create" is
+    * a last-writer-wins PUT. */
+  private val DefaultAtomicSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "abfs", "abfss")
+
+  /** Conf escape hatch: comma-separated extra schemes whose store the
+    * operator asserts provides exclusive create (e.g. S3 behind a
+    * consistency layer, or a custom FS in tests). */
+  val AtomicSchemesConf = "graft.fs.atomic-create.schemes"
+
+  private val verdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+
+  private[iceberg] def requireAtomicCreate(tableDir: String,
+                                           conf: Configuration): Unit = {
+    val scheme = Option(new Path(tableDir).toUri.getScheme)
+      .orElse(Option(org.apache.hadoop.fs.FileSystem
+        .getDefaultUri(conf).getScheme))
+      .getOrElse("file").toLowerCase
+    val extras = conf.getTrimmedStrings(AtomicSchemesConf).toSet
+      .map((s: String) => s.toLowerCase)
+    val err = verdicts.computeIfAbsent(s"$scheme|${extras.mkString(",")}",
+      _ =>
+        if (DefaultAtomicSchemes(scheme) || extras(scheme)) None
+        else Some(
+          s"filesystem warehouse commits need exclusive create, and " +
+          s"scheme '$scheme' does not guarantee it (an object-store PUT " +
+          "overwrites a racing writer's commit — silent table " +
+          "corruption). Use an Iceberg REST catalog instead (set " +
+          "spark.sql.catalog.<name>.uri to the catalog service — its " +
+          "server owns the pointer and serializes commits), or, if this " +
+          s"store truly provides conditional create, add '$scheme' to " +
+          s"$AtomicSchemesConf"))
+    err.foreach(m => throw new UnsupportedOperationException(m))
+  }
+}
+
 /** The Iceberg REST spec's metadata update actions and requirements,
   * applied to a metadata.json document. ONE implementation serves the
   * filesystem committer, so every local write exercises the same
@@ -141,6 +190,20 @@ object MetadataCommit {
       case Some(id) => n.put("snapshot-id", id)
       case None => n.putNull("snapshot-id")
     }
+    n
+  }
+
+  def upgradeFormatVersion(mapper: ObjectMapper, to: Int): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "upgrade-format-version")
+    n.put("format-version", to)
+    n
+  }
+
+  def setNextRowId(mapper: ObjectMapper, nextRowId: Long): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "set-next-row-id")
+    n.put("next-row-id", nextRowId)
     n
   }
 
@@ -579,6 +642,26 @@ object MetadataCommit {
             props => u.get("removals").elements.asScala.foreach(r =>
               props.remove(r.asText): Unit)
           }
+
+        case "upgrade-format-version" =>
+          // spec: format version only moves UP (a downgrade would claim
+          // invariants the newer-format files don't honor)
+          val cur = Option(root.get("format-version")).map(_.asInt).getOrElse(1)
+          val to = u.get("format-version").asInt
+          require(to >= cur,
+            s"format-version cannot downgrade: $cur -> $to")
+          root.put("format-version", to)
+          // v3 row lineage starts counting at the upgrade: pre-upgrade
+          // rows carry no ids (the spec's upgraded-table semantics)
+          if (to >= 3 && !root.has("next-row-id")) root.put("next-row-id", 0L)
+
+        case "set-next-row-id" =>
+          // row-id ranges once assigned are immutable, so the counter is
+          // monotone — a lower value would re-issue ids already handed out
+          val cur = Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L)
+          val to = u.get("next-row-id").asLong
+          require(to >= cur, s"next-row-id cannot move backwards: $cur -> $to")
+          root.put("next-row-id", to)
 
         case other =>
           throw new IllegalArgumentException(s"unknown metadata update action: $other")

@@ -27,6 +27,11 @@ class AltFsSpec extends SparkSpec {
     // visible to every newHadoopConf() derived from the shared context
     spark.sparkContext.hadoopConfiguration
       .set(s"fs.$scheme.impl", classOf[GraftTestFileSystem].getName)
+    // the committer's atomicity guard only knows the built-in schemes;
+    // graftfs is a RawLocalFileSystem (true exclusive create), so the
+    // operator asserts it through the documented escape hatch
+    spark.sparkContext.hadoopConfiguration
+      .set(graft.iceberg.FsCommitter.AtomicSchemesConf, scheme)
     spark.sessionState.newHadoopConf()
   }
 
@@ -101,6 +106,34 @@ class AltFsSpec extends SparkSpec {
       s"one snapshot per micro-batch, got ${t.metadata.snapshots.size}")
     assert(spark.sql("SELECT COUNT(*) AS n FROM afs.ns.st").head.getLong(0) == 3)
   }
+
+  test("a scheme without exclusive create is REFUSED before any write, " +
+      "naming the REST catalog path") {
+    // same local FS, different scheme — and deliberately NOT asserted
+    // through the escape-hatch conf, so the committer must refuse it
+    val bad = "graftblob"
+    spark.sparkContext.hadoopConfiguration
+      .set(s"fs.$bad.impl", classOf[GraftBlobFileSystem].getName)
+    val c = spark.sessionState.newHadoopConf()
+    val dir = s"$bad://$localRoot-blob/ns/t"
+    val ex = intercept[UnsupportedOperationException](
+      new graft.iceberg.FsCommitter(dir, c))
+    assert(ex.getMessage.contains(bad) && ex.getMessage.contains("REST"),
+      s"refusal must name the scheme and the REST alternative: ${ex.getMessage}")
+    assert(ex.getMessage.contains(graft.iceberg.FsCommitter.AtomicSchemesConf),
+      "refusal must name the operator escape hatch")
+    // the escape hatch unblocks the same scheme
+    val c2 = spark.sessionState.newHadoopConf()
+    c2.set(graft.iceberg.FsCommitter.AtomicSchemesConf, s"graftfs,$bad")
+    new graft.iceberg.FsCommitter(dir, c2) // must not throw
+  }
+}
+
+/** A second alternate scheme, used UN-allowlisted to drive the
+  * atomicity-guard refusal. */
+class GraftBlobFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftblob"
+  override def getUri: java.net.URI = java.net.URI.create("graftblob:///")
 }
 
 /** `file:`-backed local filesystem that REPORTS a different scheme —
