@@ -29,7 +29,11 @@ final case class IcebergSnapshot(
     summary: Map[String, String],
     /** lineage pointer (spec `parent-snapshot-id`); None for the first
       * snapshot or metadata written by pre-lineage tools */
-    parentSnapshotId: Option[Long] = None)
+    parentSnapshotId: Option[Long] = None,
+    /** v3 row lineage: the first row id this snapshot's new rows were
+      * assigned (spec `first-row-id`); None on v1/v2 tables and on
+      * snapshots committed before a v3 upgrade */
+    firstRowId: Option[Long] = None)
 
 /** Blob entry of a spec `statistics` file as mirrored in table metadata:
   * the blob-metadata list carries the consumable summary (for theta
@@ -113,7 +117,10 @@ final case class TableMetadata(
       * (`analyze_table` writes one per run; expiration drops entries of
       * removed snapshots). NDV serving reads the mirrored blob
       * properties here, not the files. */
-    statistics: Seq[StatisticsFile] = Nil) {
+    statistics: Seq[StatisticsFile] = Nil,
+    /** v3 row lineage: the next row id to assign (spec `next-row-id`).
+      * None on v1/v2 metadata. */
+    nextRowId: Option[Long] = None) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -287,7 +294,8 @@ object TableMetadata {
           summary = Option(s.get("summary"))
             .map(n => n.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
             .getOrElse(Map.empty),
-          parentSnapshotId = Option(s.get("parent-snapshot-id")).map(_.asLong))
+          parentSnapshotId = Option(s.get("parent-snapshot-id")).map(_.asLong),
+          firstRowId = Option(s.get("first-row-id")).map(_.asLong))
       }
     TableMetadata(
       formatVersion = root.get("format-version").asInt,
@@ -349,6 +357,7 @@ object TableMetadata {
           if (r.isEmpty) None else Some(e.getKey -> r)
         }.toMap)
         .getOrElse(Map.empty),
+      nextRowId = Option(root.get("next-row-id")).map(_.asLong),
       statistics = Option(root.get("statistics"))
         .map(_.elements.asScala.toSeq).getOrElse(Nil)
         .map { s =>
