@@ -148,7 +148,36 @@ object SchemaEvolution {
         if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
         if (fieldIdx(ren.newName) >= 0) throw new IllegalArgumentException(
           s"column ${ren.newName} already exists")
-        fields.get(i).asInstanceOf[ObjectNode].put("name", ren.newName)
+        val node = fields.get(i).asInstanceOf[ObjectNode]
+        val fid = node.get("id").asInt
+        node.put("name", ren.newName)
+        // Record the OLD name in `schema.name-mapping.default` (same
+        // commit): parquet files resolve renames by field id, but
+        // ID-LESS data files (Avro/ORC imports) resolve BY NAME — without
+        // the alias, every import written under the old name silently
+        // reads NULL after this rename. The mapping merges: an entry per
+        // field id accumulates every name the field has gone by.
+        val currentMapping =
+          Option(propSets.get("schema.name-mapping.default")).map(_.asText)
+            .orElse(Option(root.get("properties"))
+              .flatMap(p => Option(p.get("schema.name-mapping.default")))
+              .map(_.asText))
+        val mapArr = currentMapping
+          .map(mapper.readTree(_).asInstanceOf[ArrayNode])
+          .getOrElse(mapper.createArrayNode())
+        (0 until mapArr.size).map(mapArr.get)
+          .find(e => Option(e.get("field-id")).exists(_.asInt == fid)) match {
+          case Some(e) =>
+            val names = e.get("names").asInstanceOf[ArrayNode]
+            if (!(0 until names.size).exists(j => names.get(j).asText == name))
+              names.add(name)
+          case None =>
+            val e = mapArr.addObject()
+            e.put("field-id", fid)
+            e.putArray("names").add(name)
+        }
+        propSets.put("schema.name-mapping.default",
+          mapper.writeValueAsString(mapArr))
         schemaChanged = true
 
       case del: TableChange.DeleteColumn =>

@@ -30,6 +30,10 @@ class LifecycleFuzzSpec extends SparkSpec {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lcf.ns")
 
     var avroImports = 0
+    var renames = 0
+    var evolutions = 0
+    var branchPublishes = 0
+    var branchAbandons = 0
     Seq(1207L, 4242L).foreach { seed =>
       val tbl = s"lcf.ns.fz$seed"
       val dir = s"$warehouse/ns/fz$seed"
@@ -42,6 +46,8 @@ class LifecycleFuzzSpec extends SparkSpec {
       val r = new scala.util.Random(seed)
       val model = scala.collection.mutable.Map.empty[Long, Long]
       var nextId = 0L
+      var vName = "v" // schema renames move it; every op resolves through it
+      var evolved = false // partition spec evolved at most once per table
       // snapshot id -> model state at that commit (only data-changing
       // ops move the snapshot; compact replaces files, state unchanged)
       val history = scala.collection.mutable.ArrayBuffer
@@ -51,7 +57,7 @@ class LifecycleFuzzSpec extends SparkSpec {
         new IcebergTable(dir, conf).metadata.currentSnapshotId.get
 
       def checkHead(op: String): Unit = {
-        val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k").collect()
+        val got = spark.sql(s"SELECT k, $vName FROM $tbl ORDER BY k").collect()
           .map(row => row.getLong(0) -> row.getLong(1)).toMap
         assert(got == model.toMap,
           s"seed=$seed after $op: table ${got.size} rows vs model " +
@@ -59,8 +65,8 @@ class LifecycleFuzzSpec extends SparkSpec {
             s"${(model.toSet diff got.toSet).take(5)}")
       }
 
-      (1 to 30).foreach { step =>
-        val op = r.nextInt(13) match {
+      (1 to 40).foreach { step =>
+        val op = r.nextInt(16) match {
           case 0 | 1 | 2 | 3 => // INSERT a fresh batch
             val n = 5 + r.nextInt(20)
             val rows = (0 until n).map { _ =>
@@ -97,7 +103,7 @@ class LifecycleFuzzSpec extends SparkSpec {
             val touched = model.keys.filter(k => k % m == rem)
             touched.foreach(k => model(k) = model(k) + bump)
             spark.sql(
-              s"UPDATE $tbl SET v = v + $bump WHERE k % $m = $rem")
+              s"UPDATE $tbl SET $vName = $vName + $bump WHERE k % $m = $rem")
             if (touched.isEmpty) "noop_update" else s"update($m,$rem)"
           case 9 => // compact: state must not move
             IcebergWriter.compact(spark, dir)
@@ -125,9 +131,9 @@ class LifecycleFuzzSpec extends SparkSpec {
               (k, v)
             }
             val schema = new org.apache.avro.Schema.Parser().parse(
-              """{"type":"record","name":"r","fields":[
-                |{"name":"k","type":"long"},
-                |{"name":"v","type":"long"}]}""".stripMargin)
+              s"""{"type":"record","name":"r","fields":[
+                 |{"name":"k","type":"long"},
+                 |{"name":"$vName","type":"long"}]}""".stripMargin)
             val af = new java.io.File(
               s"/root/repo/target/lcfuzz-src/fz$seed-$step.avro")
             af.getParentFile.mkdirs()
@@ -138,13 +144,57 @@ class LifecycleFuzzSpec extends SparkSpec {
             w.create(schema, af)
             rows.foreach { case (k, v) =>
               val rec = new org.apache.avro.generic.GenericData.Record(schema)
-              rec.put("k", k); rec.put("v", v)
+              rec.put("k", k); rec.put(vName, v)
               w.append(rec)
             }
             w.close()
             IcebergWriter.addFiles(spark, dir, Seq(af.getAbsolutePath))
             avroImports += 1
             s"avro_import($n)"
+          case 13 => // schema RENAME of the value column: values and
+                     // history must be untouched; field-id resolution
+                     // (parquet) and name mapping (orc/avro imports)
+                     // keep every older file readable
+            val nn = s"v$step"
+            spark.sql(s"ALTER TABLE $tbl RENAME COLUMN $vName TO $nn")
+            vName = nn
+            renames += 1
+            s"rename($nn)"
+          case 14 => // partition evolution (once): metadata-only commit,
+                     // later inserts fan out under the new spec, old
+                     // files keep scanning
+            if (evolved) "noop"
+            else {
+              spark.sql(s"ALTER TABLE $tbl ADD PARTITION FIELD bucket(4, k)")
+              evolved = true
+              evolutions += 1
+              "evolve_partition"
+            }
+          case 15 => // branch WAP cycle: create + staged write, then
+                     // either publish via fast_forward (model takes the
+                     // batch) or ABANDON (main must never see the rows)
+            val b = s"b$step"
+            spark.sql(s"ALTER TABLE $tbl CREATE BRANCH $b")
+            val n = 3 + r.nextInt(8)
+            val rows = (0 until n).map { _ =>
+              val k = nextId; nextId += 1
+              (k, r.nextInt(1000).toLong)
+            }
+            spark.conf.set("spark.wap.branch", b)
+            try spark.sql(s"INSERT INTO $tbl VALUES " +
+              rows.map { case (k, v) => s"($k, $v)" }.mkString(", "))
+            finally spark.conf.unset("spark.wap.branch")
+            if (r.nextBoolean()) {
+              spark.sql(s"CALL lcf.system.fast_forward(" +
+                s"table => 'ns.fz$seed', branch => 'main', to => '$b')")
+              rows.foreach { case (k, v) => model(k) = v }
+              branchPublishes += 1
+              s"wap_publish($b,$n)"
+            } else {
+              branchAbandons += 1
+              s"wap_abandon($b,$n)" // model unchanged — the gate IS that
+                                    // checkHead still matches
+            }
           case 11 => // rollback to a random recorded snapshot
             if (history.isEmpty) "noop"
             else {
@@ -165,7 +215,7 @@ class LifecycleFuzzSpec extends SparkSpec {
       // the same snapshot id after noops)
       history.distinctBy(_._1).foreach { case (sid, want) =>
         val got = spark.sql(
-          s"SELECT k, v FROM $tbl VERSION AS OF $sid ORDER BY k")
+          s"SELECT * FROM $tbl VERSION AS OF $sid ORDER BY k")
           .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
         assert(got == want,
           s"seed=$seed snapshot $sid drifted: ${got.size} rows vs " +
@@ -175,5 +225,11 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
     assert(avroImports >= 2,
       s"the seeded op mix must exercise avro imports, fired $avroImports")
+    assert(renames >= 2, s"op mix must exercise schema renames: $renames")
+    assert(evolutions >= 1,
+      s"op mix must exercise partition evolution: $evolutions")
+    assert(branchPublishes >= 1 && branchAbandons >= 1,
+      s"op mix must exercise both WAP outcomes: " +
+        s"published=$branchPublishes abandoned=$branchAbandons")
   }
 }
