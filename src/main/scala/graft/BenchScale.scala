@@ -174,6 +174,76 @@ object BenchScale {
       }
       report("bloom_admission", r, tBloom, nDocs, nAdmitted)
 
+      // streaming ingest throughput: the admission sink end-to-end —
+      // corpus+index tables seeded at r× (the stored archive scales),
+      // then N micro-batches of a FIXED incoming size drive the full
+      // loop (LSH probe against the STORED index + atomic two-table
+      // commit). Reported value = rows/s over the measured batches;
+      // flat-ish per-batch time as r grows is the design claim the
+      // batch bench could only infer.
+      {
+        import java.io.File
+        import org.apache.commons.io.FileUtils
+        import graft.iceberg.IcebergWriter
+        import graft.operators.Dedup
+        import graft.streaming.EventStream
+        val cDir = s"/root/repo/target/benchscale-adm-corpus-$r"
+        val iDir = s"/root/repo/target/benchscale-adm-index-$r"
+        Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+        val corpusSeed = all.select(col("doc_id"), col("text"))
+        val indexSeed = Dedup.minhashBandIndex(corpusSeed, "doc_id", "text",
+          numHashes = 32, bands = 16)
+        for ((d, sch) <- Seq(cDir -> corpusSeed.schema,
+                             iDir -> indexSeed.schema)) {
+          val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+            new com.fasterxml.jackson.databind.ObjectMapper(), d, sch,
+            Nil, Map.empty)
+          new File(s"$d/metadata").mkdirs()
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)
+        }
+        IcebergWriter.append(spark, cDir, corpusSeed)
+        IcebergWriter.append(spark, iDir, indexSeed)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val stream = mem.toDF.toDF("doc_id", "text")
+        val q = EventStream.icebergAdmissionSink(stream, cDir, iDir,
+            "doc_id", "text", numHashes = 32, bands = 16)
+          .option("checkpointLocation", s"$cDir/_ckpt")
+          .start()
+        val batchRows = 200
+        val nBatches = 3
+        // clone texts sampled from the live corpus (true rejects);
+        // bounded driver rows
+        val cloneTexts = corpusSeed.select(col("text"))
+          .limit(batchRows).collect().map(_.getString(0))
+        try {
+          // warm-up batch (stream start + first planner costs)
+          mem.addData((0 until batchRows).map(i =>
+            (80000000L + i, s"warmup novel document body $i words")): _*)
+          q.processAllAvailable()
+          val (tAdm2, _) = timed {
+            (1 to nBatches).foreach { b =>
+              // half clones of corpus docs (reject), half novel (admit) —
+              // the realistic mix; ids unique per batch
+              mem.addData((0 until batchRows).map { i =>
+                val id = 90000000L + b * 1000000L + i
+                if (i % 2 == 0) (id, s"novel stream doc $b-$i unique body")
+                else (id, cloneTexts(i % cloneTexts.length))
+              }: _*)
+              q.processAllAvailable()
+            }
+            ()
+          }
+          val rowsPerSec = (nBatches * batchRows) / tAdm2
+          report("stream_admission_rows_per_s", r, tAdm2, nDocs,
+            rowsPerSec.toLong)
+        } finally q.stop()
+        Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+      }
+
       // q117 core: corpus TF-IDF top-k — explode + two partial-merged
       // aggregates + a word-key join + per-doc bounded window.
       val (tTf, nTf) = timed2(
