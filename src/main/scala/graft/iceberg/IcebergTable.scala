@@ -504,11 +504,24 @@ final class IcebergTable private (
     * decided per-file here — compact to re-stamp ids after import. */
   private[graft] def needsNameMapping(spark: SparkSession,
                                       files: Seq[DataFileEntry]): Boolean =
-    nameMapping.nonEmpty && files.nonEmpty &&
-      (files.head.fileFormat.equalsIgnoreCase("ORC") || // ORC never has parquet ids
+    nameMapping.nonEmpty && files.nonEmpty && {
+      if (files.head.fileFormat.equalsIgnoreCase("ORC"))
+        // ORC never carries parquet field ids, but a file WRITTEN under
+        // the current schema (post-rename native write, or a compaction
+        // rewrite) resolves by name just fine — the mapping is only
+        // NEEDED when some file lacks a current column name. Probe every
+        // ORC file (footer schema reads, cached process-wide): the call
+        // sites pass pruned rewrite/delete candidate sets, not the whole
+        // table.
+        files.filter(_.fileFormat.equalsIgnoreCase("ORC")).exists { f =>
+          val inFile = fileSchemaColumns(spark, resolve(f.filePath), orc = true)
+          inFile.isEmpty || !metadata.schema.fieldNames.forall(inFile.contains)
+        }
+      else
         (try !spark.read.parquet(resolve(files.head.filePath)).schema.fields
           .exists(_.metadata.contains("parquet.field.id"))
-         catch { case _: Exception => false }))
+         catch { case _: Exception => false })
+    }
 
   /** Build the DataFrame for the current snapshot. Pushed `filters` drive
     * metadata pruning here AND are re-applied by Spark above the scan, so

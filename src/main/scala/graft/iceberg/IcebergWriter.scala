@@ -1442,6 +1442,14 @@ object IcebergWriter {
     // SAME commit. Added rows = the new data manifests of this commit
     // (sequence number == this snapshot id; carried manifests keep their
     // older sequence numbers).
+    //
+    // DOCUMENTED DEVIATION: rows REWRITTEN by compaction or
+    // copy-on-write receive FRESH ids (their new files count as added) —
+    // the spec's rewrite rule (carry original ids by materializing a
+    // _row_id column into the rewritten files) is not implemented.
+    // Lineage is therefore append-accurate: ids are never reused
+    // (monotone counter) and identify a row SINCE its last rewrite, but
+    // CDC consumers keying on _row_id see a rewrite as delete+reinsert.
     val lineageUpdates: Seq[JsonNode] = {
       val meta = committer.currentMetadata()
       val wantsV3 = meta.formatVersion >= 3 ||
@@ -1551,6 +1559,18 @@ object IcebergWriter {
       candidates.partition(_.fileFormat.equalsIgnoreCase("AVRO"))
     val (orcCands, pqCands) =
       colCands.partition(_.fileFormat.equalsIgnoreCase("ORC"))
+    // ORC resolves columns BY NAME; on a table with a name mapping
+    // (renames happened, or id-less imports exist) a pre-rename ORC file
+    // would read the renamed column as NULL here — mis-counting matches
+    // AND, worse, the CoW rewrite below would write the survivors back
+    // with that column nulled. Refuse before anything is written; the
+    // group-scan CoW path has the same guard (RowLevelOps).
+    if (orcCands.nonEmpty && table.needsNameMapping(spark, orcCands))
+      throw new UnsupportedOperationException(
+        "position-delete DELETE targets ORC files on a table with " +
+          "schema.name-mapping.default (renamed columns resolve by name " +
+          "and would read NULL) — run rewrite_data_files first to " +
+          "materialize the ORC files under the current schema")
     val matchedParts = Seq(
       if (pqCands.isEmpty) None
       else Some(spark.read.schema(meta.schema)

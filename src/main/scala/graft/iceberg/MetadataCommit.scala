@@ -650,6 +650,10 @@ object MetadataCommit {
           val to = u.get("format-version").asInt
           require(to >= cur,
             s"format-version cannot downgrade: $cur -> $to")
+          require(to <= 3,
+            s"format-version $to is beyond what this writer implements " +
+              "(max 3) — stamping it would claim invariants no commit " +
+              "here provides")
           root.put("format-version", to)
           // v3 row lineage starts counting at the upgrade: pre-upgrade
           // rows carry no ids (the spec's upgraded-table semantics)

@@ -98,11 +98,27 @@ object ThetaSketch {
   def hashBytes(b: Array[Byte], seed: Long = DefaultSeed): Long =
     murmur128(b, seed)._1 >>> 1
 
-  def hashLong(v: Long, seed: Long = DefaultSeed): Long = {
-    val b = java.nio.ByteBuffer.allocate(8)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
-    hashBytes(b, seed)
+  /** h1 of murmur128 over ONE 8-byte little-endian long, computed
+    * directly from the value — an 8-byte input is a single tail block,
+    * and the LE packing of a long IS the long, so the per-row UDFs this
+    * feeds allocate nothing. Bit-identical to
+    * `murmur128(leBytes(v), seed)` (asserted in the spec). */
+  private def murmur128LongH1(v: Long, seed: Long): Long = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = seed
+    var h2 = seed
+    var k1 = v
+    k1 *= c1; k1 = rotl(k1, 31); k1 *= c2; h1 ^= k1
+    h1 ^= 8L; h2 ^= 8L
+    h1 += h2; h2 += h1
+    h1 = fmix(h1); h2 = fmix(h2)
+    h1 += h2
+    h1
   }
+
+  def hashLong(v: Long, seed: Long = DefaultSeed): Long =
+    murmur128LongH1(v, seed) >>> 1
 
   def hashDouble(d: Double, seed: Long = DefaultSeed): Long =
     hashLong(java.lang.Double.doubleToLongBits(
@@ -193,13 +209,23 @@ object ThetaSketch {
           Some(udf((v: java.lang.Long) =>
             if (v == null) 0L else hashLong(v)).apply(col(c).cast("long")))
         case DateType =>
+          // epoch-day long (CAST(date AS int) is rejected by Spark's
+          // analyzer; unix_date is the supported conversion)
           Some(udf((v: java.lang.Long) =>
             if (v == null) 0L else hashLong(v))
-            .apply(col(c).cast("int").cast("long")))
-        case TimestampType | TimestampNTZType =>
+            .apply(expr(s"unix_date(`$c`)").cast("long")))
+        case TimestampType =>
+          // TRUE epoch-micros (CAST(ts AS long) yields SECONDS —
+          // sub-second precision would silently collapse the NDV)
           Some(udf((v: java.lang.Long) =>
             if (v == null) 0L else hashLong(v))
-            .apply(col(c).cast("long") * lit(1000000L)))
+            .apply(expr(s"unix_micros(`$c`)")))
+        case TimestampNTZType =>
+          // NTZ has no instant; pin the encoding to its UTC reading so
+          // the hash is session-timezone-independent
+          Some(udf((v: java.lang.Long) =>
+            if (v == null) 0L else hashLong(v))
+            .apply(expr(s"unix_micros(to_utc_timestamp(`$c`, 'UTC'))")))
         case DoubleType | FloatType =>
           Some(udf((v: java.lang.Double) =>
             if (v == null) 0L else hashDouble(v)).apply(col(c).cast("double")))
@@ -232,8 +258,16 @@ object ThetaSketch {
     require(serVer == SerVer, s"unsupported theta serVer $serVer")
     require(family == FamilyCompact, s"not a compact theta sketch: family $family")
     require((flags & 1) == 0, "big-endian theta sketch unsupported")
-    if ((flags & FlagEmpty) != 0 || preLongs == 1)
+    if ((flags & FlagEmpty) != 0 || bytes.length == 8)
       return Compact(Array.empty, Long.MaxValue, seedHash)
+    if (preLongs == 1) {
+      // DataSketches' SINGLE-ITEM form: preLongs 1, EMPTY clear, one
+      // retained hash directly after the preamble (16 bytes total) —
+      // misreading it as empty would report NDV 0 for NDV 1
+      require(bytes.length >= 16,
+        s"single-item theta sketch truncated: ${bytes.length} bytes")
+      return Compact(Array(bb.getLong(8)), Long.MaxValue, seedHash)
+    }
     val count = bb.getInt(8)
     val thetaLong = if (preLongs >= 3) bb.getLong(16) else Long.MaxValue
     val dataOff = preLongs * 8

@@ -194,6 +194,15 @@ final class GraftGroupScan(
           " which has no batch source — run rewrite_data_files first"))
     val (orcFiles, pqFiles) =
       plannedFiles.partition(_.fileFormat.equalsIgnoreCase("ORC"))
+    // the table-level guard samples the head file, which in a MIXED
+    // snapshot can be parquet (id-resolved, safe) while ORC files still
+    // resolve renamed columns by name to NULL — check the ORC subset
+    // explicitly before building its by-name scan
+    if (orcFiles.nonEmpty && table.needsNameMapping(spark, orcFiles))
+      throw new UnsupportedOperationException(
+        "copy-on-write rewrite reads ORC files by name, and this table " +
+          "carries schema.name-mapping.default (renamed columns would " +
+          "read NULL) — run rewrite_data_files first")
     def fl(fs: Seq[DataFileEntry]) =
       fs.map(f => (table.resolve(f.filePath), f.fileSizeInBytes))
     val batches = Seq(

@@ -49,20 +49,28 @@ object Dedup {
     */
   def exactKeepFirstByHash(df: DataFrame, textCol: String,
                            idCol: String): DataFrame = {
-    val text = coalesce(col(textCol), lit(""))
+    // NULL text stays its own group (groupBy's null bucket): length()
+    // of NULL is NULL, which never collides with empty text's (0, h) —
+    // a coalesce-to-"" here would merge groups exactKeepFirst keeps
+    // distinct and break the declared equality
     val fp = df.select(col(idCol).as("__id"),
-      length(text).as("text_len"), xxhash64(text).as("text_hash"))
+      length(col(textCol)).as("text_len"),
+      xxhash64(coalesce(col(textCol), lit(""))).as("text_hash"))
     val agg = fp.groupBy(col("text_len"), col("text_hash"))
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))
     val multi = agg.filter(col("dup_count") > 1)
     val unique = agg.filter(col("dup_count") === 1)
     // exact verify on the duplicate sliver only: rows whose fingerprint
     // repeats re-group by the REAL text, so colliding-but-different
-    // texts split correctly (each keeps its own min id)
-    val sliver = df.select(col(idCol).as("__id"), text.as("__text"),
-        length(text).as("text_len"), xxhash64(text).as("text_hash"))
-      .join(multi.select("text_len", "text_hash"),
-        Seq("text_len", "text_hash"), "left_semi")
+    // texts split correctly (each keeps its own min id). The semi join
+    // is null-safe on text_len (NULL fingerprints must find their
+    // group, not drop out of verification).
+    val sliver = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+        length(col(textCol)).as("text_len"),
+        xxhash64(coalesce(col(textCol), lit(""))).as("text_hash"))
+      .join(multi.select(col("text_len").as("__ml"), col("text_hash").as("__mh")),
+        col("text_len") <=> col("__ml") && col("text_hash") === col("__mh"),
+        "left_semi")
     val verified = sliver
       .groupBy(col("text_len"), col("text_hash"), col("__text"))
       .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))

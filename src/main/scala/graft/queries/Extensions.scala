@@ -982,7 +982,7 @@ object Extensions {
         |FROM (SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |      FROM documents GROUP BY text) g""".stripMargin,
     "q147_dedup_exact_hash" ->
-      """SELECT CAST(length(coalesce(text, '')) AS BIGINT) AS text_len,
+      """SELECT CAST(length(text) AS BIGINT) AS text_len,
         |       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text
         |ORDER BY keep_id ASC NULLS FIRST""".stripMargin,

@@ -594,6 +594,107 @@ object Relational {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc_nulls_first)),
 
+    // TPC-H Q6 (forecast revenue change): the purest scan-heavy shape —
+    // all three predicates push to the parquet scan, the aggregate is
+    // one partial-merged pass, zero joins, zero wide shuffles. Money in
+    // per-row integer cents for engine-exact sums.
+    "q148_tpch6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("bigint")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q14 (promotion effect): lineitem ⋈ part with a conditional
+    // aggregate — part is the broadcast side, the ratio is computed from
+    // two exact integer sums so the division is deterministic.
+    "q149_tpch14" -> ((s, d) => {
+      val disc = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100).cast("bigint")
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-10-01")))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0L)))
+            .as("promo_cents"),
+          sum(disc).as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          round(col("promo_cents") * lit(100.0) / col("total_cents"), 4)
+            .as("promo_pct"))
+    }),
+
+    // TPC-H Q19 (discounted revenue): the classic OR-of-brackets join
+    // predicate — Catalyst pushes the common l_partkey = p_partkey
+    // equi-condition into the join key and evaluates the bracket
+    // disjunction as a post-join filter; part stays broadcast.
+    "q150_tpch19" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val pt = t(s, d, "part")
+      val bracket =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .filter(bracket)
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("bigint")).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q10 (returned-item reporting): three-way join + top-20 by
+    // revenue — the shuffle lands on the customer grouping, nation rides
+    // broadcast, and the top-k is a TakeOrdered, not a full sort.
+    "q151_tpch10" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+              col("o_orderdate") < to_timestamp(lit("1996-07-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("bigint")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc_nulls_first)
+        .limit(20)),
+
+    // TPC-H Q7 (volume shipping): supplier-nation × customer-nation
+    // pairs across a year split — two broadcast nation joins under
+    // DIFFERENT aliases, grouped by (n1, n2, year).
+    "q152_tpch7" -> ((s, d) => {
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      t(s, d, "supplier")
+        .join(t(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("bigint")).as("volume_cents"))
+        .orderBy(col("supp_nation").asc_nulls_first,
+          col("cust_nation").asc_nulls_first, col("l_year").asc_nulls_first)
+    }),
+
     // Correlated SCALAR subquery (TPC-H Q17 shape): per-part average
     // quantity threshold. Catalyst decorrelates the inner aggregate into
     // a grouped join (`RewriteCorrelatedScalarSubquery`) — at 100 TB the
@@ -1245,6 +1346,71 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name ASC NULLS FIRST""".stripMargin
+        |ORDER BY revenue DESC, n_name ASC NULLS FIRST""".stripMargin,
+    "q148_tpch6" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+        |                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q149_tpch14" ->
+      """WITH j AS (
+        |  SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |              AS BIGINT) AS disc, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0 END)
+        |         AS promo_cents,
+        |       SUM(disc) AS total_cents,
+        |       ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0 END)
+        |             * 100.0 / SUM(disc), 4) AS promo_pct
+        |FROM j""".stripMargin,
+    "q150_tpch19" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q151_tpch10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |                    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_cents DESC, c_custkey ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
+    "q152_tpch7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+        |                    AS BIGINT)) AS BIGINT) AS volume_cents
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation ASC NULLS FIRST, cust_nation ASC NULLS FIRST,
+        |         l_year ASC NULLS FIRST""".stripMargin
   )
 }

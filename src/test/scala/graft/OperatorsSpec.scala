@@ -83,16 +83,15 @@ class DedupSpec extends SparkSpec {
     def decisions(df: org.apache.spark.sql.DataFrame) = df
       .select("keep_id", "dup_count").collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val byText = decisions(Dedup.exactKeepFirst(
-      withNulls.withColumn("text",
-        org.apache.spark.sql.functions.coalesce(col("text"), lit(""))),
-      "text", "doc_id"))
+    // compared on the RAW column: null text is its own group in both
+    // forms (groupBy's null bucket), distinct from empty text
+    val byText = decisions(Dedup.exactKeepFirst(withNulls, "text", "doc_id"))
     val byHash = decisions(Dedup.exactKeepFirstByHash(
       withNulls, "text", "doc_id"))
     assert(byHash == byText,
       s"hash-keyed decisions must equal text-keyed: $byHash vs $byText")
-    // null and "" coalesce to the same group (documented): ids 5,6,7
-    assert(byHash.contains((5L, 3L)))
+    // nulls (5,6) group together; empty text (7) stays separate
+    assert(byHash.contains((5L, 2L)) && byHash.contains((7L, 1L)))
     // duplicate groups carry the verified text fingerprint
     val out = Dedup.exactKeepFirstByHash(withNulls, "text", "doc_id")
     assert(out.columns.toSeq ==

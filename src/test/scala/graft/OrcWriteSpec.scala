@@ -160,6 +160,47 @@ class OrcWriteSpec extends SparkSpec {
       s"every even k in both formats must update, got ${r}")
   }
 
+  test("renamed column + ORC files: CoW and position-delete paths refuse " +
+      "instead of nulling the renamed column") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE owcat.ns.w9
+        |TBLPROPERTIES ('write.format-default' = 'orc') AS
+        |SELECT id AS k, CAST(id AS DOUBLE) AS x FROM range(100)""".stripMargin)
+    // the rename records the old name in schema.name-mapping.default —
+    // which is exactly the marker the ORC-rewrite guards key on (ORC
+    // resolves by name; pre-rename files would read `score` as NULL)
+    spark.sql("ALTER TABLE owcat.ns.w9 RENAME COLUMN x TO score")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val exDel = intercept[Exception](
+      spark.sql("DELETE FROM owcat.ns.w9 WHERE k >= 10 AND k < 20"))
+    assert(msgs(exDel).exists(_.contains("rewrite_data_files")),
+      s"range DELETE must refuse, got: ${msgs(exDel)}")
+    val exUpd = intercept[Exception](
+      spark.sql("UPDATE owcat.ns.w9 SET score = score + 1 WHERE k < 5"))
+    assert(msgs(exUpd).exists(m => m.contains("rewrite_data_files") ||
+      m.contains("compact")), s"UPDATE must refuse, got: ${msgs(exUpd)}")
+    // reads themselves are fine (the name mapping serves them)…
+    assert(spark.sql("SELECT COUNT(*) FROM owcat.ns.w9 WHERE score >= 0")
+      .collect()(0).getLong(0) == 100L)
+    // …and the documented unblock works: compaction rewrites the files
+    // under the CURRENT names (still ORC), after which row-level ops
+    // stop refusing — the guard probes actual file schemas, not just
+    // mapping presence
+    IcebergWriter.compact(spark, s"$warehouse/ns/w9")
+    spark.sql("UPDATE owcat.ns.w9 SET score = score + 1 WHERE k < 5")
+    spark.sql("DELETE FROM owcat.ns.w9 WHERE k >= 10 AND k < 20")
+    val t = new IcebergTable(s"$warehouse/ns/w9", conf)
+    assert(t.planFiles().forall(_.fileFormat == "ORC"))
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(score) AS s FROM owcat.ns.w9").collect()(0)
+    assert(r.getLong(0) == 90L)
+    assert(math.abs(r.getDouble(1) -
+      ((0L until 100L).filterNot(k => k >= 10 && k < 20).map(_.toDouble).sum
+        + 5)) < 1e-6, s"post-unblock ops must apply exactly, got $r")
+  }
+
   test("compaction honors the table's orc default; avro write refused") {
     freshCatalog()
     spark.sql(

@@ -35,6 +35,35 @@ class ThetaSketchSpec extends SparkSpec {
       s"fox: ${hex(h1c)} ${hex(h2c)}")
   }
 
+  test("hashLong's allocation-free fast path is bit-identical to the " +
+      "byte-array murmur") {
+    val probe = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      0x0123456789abcdefL) ++ (1 to 50).map(i => i * 1234567891011L)
+    probe.foreach { v =>
+      val viaBytes = ThetaSketch.murmur128(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array(),
+        ThetaSketch.DefaultSeed)._1 >>> 1
+      assert(ThetaSketch.hashLong(v) == viaBytes, s"value $v")
+    }
+  }
+
+  test("deserialize handles the DataSketches single-item form (preLongs " +
+      "1, EMPTY clear) — not misread as empty") {
+    val sh = ThetaSketch.defaultSeedHash
+    val hash = ThetaSketch.hashLong(42L)
+    val bb = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // preLongs 1, serVer 3, family 3, flags RO|COMPACT|ORDERED (no EMPTY)
+    bb.put(1.toByte).put(3.toByte).put(3.toByte).put(0.toByte).put(0.toByte)
+      .put((2 | 8 | 16).toByte).putShort(sh).putLong(hash)
+    val sk = ThetaSketch.deserialize(bb.array())
+    assert(sk.entries.toSeq == Seq(hash) && sk.estimate == 1.0,
+      s"single-item sketch must read 1 entry, got ${sk.entries.length}")
+    // and a genuinely empty 8-byte sketch still reads empty
+    assert(ThetaSketch.deserialize(ThetaSketch.Compact(
+      Array.empty, Long.MaxValue, sh).serialize()).isEmpty)
+  }
+
   test("value hashing: 63-bit, screened zero, canonical -0.0, seed hash") {
     assert(ThetaSketch.hashLong(42L) > 0)
     assert(ThetaSketch.hashString("") == 0L, "empty string screens out")
@@ -129,6 +158,31 @@ class ThetaSketchSpec extends SparkSpec {
     val arr = Seq((1L, Array(1, 2))).toDF("k", "a")
     assert(ThetaSketch.columnSketch(arr, "a").isEmpty,
       "array columns have no DataSketches encoding -> stand-in fallback")
+  }
+
+  test("columnSketch temporal encodings: date = epoch days, timestamp = " +
+      "TRUE epoch micros (sub-second NDV preserved)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val dates = spark.range(0, 100)
+      .select(expr("date_add(DATE'2024-01-01', CAST(id % 31 AS INT))").as("d"))
+    val ds = ThetaSketch.columnSketch(dates, "d").get
+    assert(ds.estimate == 31.0, s"31 distinct dates, got ${ds.estimate}")
+    // encoding agreement: sketch entries = hash of the epoch-day longs
+    val day0 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    val local = (0L until 31L).map(i => ThetaSketch.hashLong(day0 + i)).sorted
+    assert(ds.entries.toSeq == local, "date hashes must be epoch-day longs")
+    // timestamps differing only in MICROS must stay distinct (a
+    // seconds-truncating encoding would collapse them all)
+    val ts = spark.range(0, 50).select(
+      expr("timestamp_micros(1700000000000000 + id)").as("t"))
+    assert(ThetaSketch.columnSketch(ts, "t").get.estimate == 50.0,
+      "sub-second timestamp NDV must not collapse")
+    val ntz = spark.range(0, 20).select(
+      expr("CAST(timestamp_micros(1700000000000000 + id * 1000000) " +
+        "AS TIMESTAMP_NTZ)").as("t"))
+    assert(ThetaSketch.columnSketch(ntz, "t").get.estimate == 20.0,
+      "timestamp_ntz must sketch without an analyzer error")
   }
 
   test("ANALYZE writes a deserializable theta payload into Puffin") {
