@@ -33,50 +33,65 @@ object Dedup {
   /** Fingerprint-keyed exact dedup — [[exactKeepFirst]] without document
     * bodies as shuffle keys. At 100 TB `groupBy(text)` ships the FULL
     * corpus text through the exchange and compares megabyte strings in
-    * the aggregate hash map; here the only corpus-wide shuffle carries
-    * `(length, xxhash64(text), id)` — ~20 fixed bytes per row.
+    * the aggregate hash map; here the corpus-wide shuffle carries fixed
+    * bytes per row regardless of document length.
     *
-    * The result is still EXACT, not hash-trusting: fingerprint groups
-    * with `count > 1` (the only place a collision could hide) are
-    * re-verified by grouping the actual text — but only that duplicate
-    * sliver ever ships its text, and a genuine xxhash64+length collision
-    * splits into per-text groups instead of being silently merged.
+    * Two verification modes, both preserving [[exactKeepFirst]]'s keep
+    * decisions on real corpora:
+    *
+    *  - DEFAULT (`verifyTextExact = false`): the group key is
+    *    `(length, xxhash64, md5)` — ONE aggregation, one shuffle of
+    *    ~60 fixed bytes/row at EVERY duplicate rate. Equality is
+    *    cryptographic (a false merge needs a simultaneous length +
+    *    xxhash64 + md5 collision) — the same standard
+    *    [[paragraphDedup]]'s md5 winner election uses.
+    *  - `verifyTextExact = true`: fingerprint groups with `count > 1`
+    *    re-verify by grouping the REAL text, so even an md5-grade
+    *    collision splits correctly. The duplicate sliver ships its text
+    *    (twice: join + regroup) — measured SLOWER than the default, and
+    *    slower than text-keyed grouping itself, once the duplicate
+    *    fraction is high; reserve it for adversarial corpora.
     *
     * Output: one row per distinct TEXT — `(text_len, text_hash, keep_id,
     * dup_count)`. The keep decision on fixed-width keys is the honest
-    * 100 TB contract (callers semi-join `keep_id` to retain texts); the
-    * `(keep_id, dup_count)` multiset equals [[exactKeepFirst]]'s exactly.
+    * 100 TB contract (callers semi-join `keep_id` to retain texts). NULL
+    * text stays its own group (length(NULL) is NULL, never colliding
+    * with empty text's 0), exactly like `groupBy(text)`'s null bucket.
     */
-  def exactKeepFirstByHash(df: DataFrame, textCol: String,
-                           idCol: String): DataFrame = {
-    // NULL text stays its own group (groupBy's null bucket): length()
-    // of NULL is NULL, which never collides with empty text's (0, h) —
-    // a coalesce-to-"" here would merge groups exactKeepFirst keeps
-    // distinct and break the declared equality
-    val fp = df.select(col(idCol).as("__id"),
-      length(col(textCol)).as("text_len"),
-      xxhash64(coalesce(col(textCol), lit(""))).as("text_hash"))
-    val agg = fp.groupBy(col("text_len"), col("text_hash"))
-      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))
-    val multi = agg.filter(col("dup_count") > 1)
-    val unique = agg.filter(col("dup_count") === 1)
-    // exact verify on the duplicate sliver only: rows whose fingerprint
-    // repeats re-group by the REAL text, so colliding-but-different
-    // texts split correctly (each keeps its own min id). The semi join
-    // is null-safe on text_len (NULL fingerprints must find their
-    // group, not drop out of verification).
-    val sliver = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+  def exactKeepFirstByHash(df: DataFrame, textCol: String, idCol: String,
+                           verifyTextExact: Boolean = false): DataFrame = {
+    if (!verifyTextExact) {
+      df.select(col(idCol).as("__id"),
+          length(col(textCol)).as("text_len"),
+          xxhash64(coalesce(col(textCol), lit(""))).as("text_hash"),
+          md5(encode(coalesce(col(textCol), lit("")), "UTF-8")).as("__md5"))
+        .groupBy(col("text_len"), col("text_hash"), col("__md5"))
+        .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .select("text_len", "text_hash", "keep_id", "dup_count")
+    } else {
+      val fp = df.select(col(idCol).as("__id"),
         length(col(textCol)).as("text_len"),
         xxhash64(coalesce(col(textCol), lit(""))).as("text_hash"))
-      .join(multi.select(col("text_len").as("__ml"), col("text_hash").as("__mh")),
-        col("text_len") <=> col("__ml") && col("text_hash") === col("__mh"),
-        "left_semi")
-    val verified = sliver
-      .groupBy(col("text_len"), col("text_hash"), col("__text"))
-      .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))
-      .select("text_len", "text_hash", "keep_id", "dup_count")
-    unique.select("text_len", "text_hash", "keep_id", "dup_count")
-      .unionByName(verified)
+      val agg = fp.groupBy(col("text_len"), col("text_hash"))
+        .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      val multi = agg.filter(col("dup_count") > 1)
+      val unique = agg.filter(col("dup_count") === 1)
+      // exact verify on the duplicate sliver only; the semi join is
+      // null-safe on text_len (NULL fingerprints must find their group)
+      val sliver = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+          length(col(textCol)).as("text_len"),
+          xxhash64(coalesce(col(textCol), lit(""))).as("text_hash"))
+        .join(multi.select(col("text_len").as("__ml"),
+            col("text_hash").as("__mh")),
+          col("text_len") <=> col("__ml") && col("text_hash") === col("__mh"),
+          "left_semi")
+      val verified = sliver
+        .groupBy(col("text_len"), col("text_hash"), col("__text"))
+        .agg(min(col("__id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        .select("text_len", "text_hash", "keep_id", "dup_count")
+      unique.select("text_len", "text_hash", "keep_id", "dup_count")
+        .unionByName(verified)
+    }
   }
 
   // -- MinHash + LSH ---------------------------------------------------------

@@ -92,6 +92,10 @@ class DedupSpec extends SparkSpec {
       s"hash-keyed decisions must equal text-keyed: $byHash vs $byText")
     // nulls (5,6) group together; empty text (7) stays separate
     assert(byHash.contains((5L, 2L)) && byHash.contains((7L, 1L)))
+    // the text-exact verify mode agrees with both
+    val byHashExact = decisions(Dedup.exactKeepFirstByHash(
+      withNulls, "text", "doc_id", verifyTextExact = true))
+    assert(byHashExact == byText, "verifyTextExact mode must also agree")
     // duplicate groups carry the verified text fingerprint
     val out = Dedup.exactKeepFirstByHash(withNulls, "text", "doc_id")
     assert(out.columns.toSeq ==
