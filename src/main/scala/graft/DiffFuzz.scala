@@ -73,9 +73,15 @@ object DiffFuzz {
         }
         case "cat" =>
           val vs = catValues(c.name)
-          if (r.nextBoolean()) s"${c.name} = '${pick(r, vs)}'"
-          else s"${c.name} IN (${r.shuffle(vs).take(1 + r.nextInt(2))
-            .map(v => s"'$v'").mkString(", ")})"
+          r.nextInt(3) match {
+            case 0 => s"${c.name} = '${pick(r, vs)}'"
+            case 1 => s"${c.name} IN (${r.shuffle(vs).take(1 + r.nextInt(2))
+              .map(v => s"'$v'").mkString(", ")})"
+            case _ => // LIKE on a value prefix — identical semantics in
+                      // Spark and DuckDB for plain %-patterns
+              val v = pick(r, vs)
+              s"${c.name} LIKE '${v.take(1 + r.nextInt(math.max(1, v.length)))}%'"
+          }
         case "ts" =>
           val y = 1995 + r.nextInt(4)
           s"${c.name} ${pick(r, Seq("<", ">="))} TIMESTAMP '$y-0${1 + r.nextInt(9)}-15 00:00:00'"
@@ -151,11 +157,43 @@ object DiffFuzz {
        |) GROUP BY k ORDER BY k ASC NULLS FIRST""".stripMargin
   }
 
+  /** One deterministic STRING-function query: a random composition of
+    * scalar functions from the Spark∩DuckDB common dialect (UPPER,
+    * LOWER, SUBSTR, TRIM, REPLACE, REVERSE, LEFT, RIGHT, `||`) over a
+    * categorical column, grouped and counted. String semantics are an
+    * easy place for engines to drift (1-indexed SUBSTR bounds, empty-
+    * string edges, concat null-propagation) — all deterministic, so any
+    * mismatch is a real dialect bug. */
+  def genStringQuery(r: scala.util.Random): String = {
+    val (t, cols) = pick(r, tables.toSeq.sortBy(_._1))
+    val c = pick(r, cols.filter(_.kind == "cat")).name
+    def wrap(e: String, depth: Int): String =
+      if (depth == 0) e
+      else wrap(r.nextInt(9) match {
+        case 0 => s"UPPER($e)"
+        case 1 => s"LOWER($e)"
+        case 2 => s"SUBSTR($e, ${1 + r.nextInt(3)}, ${1 + r.nextInt(5)})"
+        case 3 => s"TRIM($e)"
+        case 4 => s"REPLACE($e, '${"AEIOU".charAt(r.nextInt(5))}', '_')"
+        case 5 => s"REVERSE($e)"
+        case 6 => s"LEFT($e, ${1 + r.nextInt(4)})"
+        case 7 => s"RIGHT($e, ${1 + r.nextInt(4)})"
+        case 8 => s"($e || '#${r.nextInt(10)}')"
+      }, depth - 1)
+    val e = wrap(c, 1 + r.nextInt(2))
+    val where = if (r.nextBoolean()) s"\nWHERE ${predicate(r, cols)}" else ""
+    s"""SELECT $e AS e, COUNT(*) AS n,
+       |       CAST(SUM(LENGTH($e)) AS BIGINT) AS tot_len
+       |FROM $t$where
+       |GROUP BY e ORDER BY e ASC NULLS FIRST""".stripMargin
+  }
+
   /** One deterministic aggregate query in the common dialect. */
   def genQuery(r: scala.util.Random): String = {
-    r.nextInt(6) match {
+    r.nextInt(8) match {
       case 0 => return genWindowQuery(r)
       case 1 => return genSetOpQuery(r)
+      case 2 => return genStringQuery(r)
       case _ => ()
     }
     // 1/3 of queries join two tables on a foreign key; predicates and

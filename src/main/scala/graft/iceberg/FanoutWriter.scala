@@ -114,15 +114,17 @@ private[graft] final class FanoutWriterFactory(
         schema, 1 to schema.length)
 
       private val isOrc = format.equalsIgnoreCase("ORC")
+      private val isAvro = format.equalsIgnoreCase("AVRO")
 
       /** One open data file behind a format-neutral face: parquet keeps
         * its shim writer; ORC funnels through Spark's own serializer
-        * ([[org.apache.spark.sql.execution.datasources.orc.GraftOrcWriteShim]]).
-        * `dataSize` is each format's flushed-bytes estimate, feeding the
-        * same size-based rollover. */
+        * ([[org.apache.spark.sql.execution.datasources.orc.GraftOrcWriteShim]]);
+        * Avro encodes through avro-core ([[AvroDataWrite]]). `dataSize`
+        * is each format's flushed-bytes estimate, feeding the same
+        * size-based rollover. */
       private final class OpenFile(val path: String) {
         private val pw: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
-          if (isOrc) null
+          if (isOrc || isAvro) null
           else org.apache.spark.sql.execution.datasources.parquet
             .GraftParquetWriteShim.open(path, schema, conf.value, codec)
         private val ow: org.apache.spark.sql.execution.datasources.orc
@@ -130,10 +132,16 @@ private[graft] final class FanoutWriterFactory(
           if (!isOrc) null
           else new org.apache.spark.sql.execution.datasources.orc
             .GraftOrcWriteShim.OrcRowFileWriter(path, schema, conf.value, codec)
+        private val aw: AvroDataWrite.AvroRowFileWriter =
+          if (!isAvro) null
+          else new AvroDataWrite.AvroRowFileWriter(path, schema, conf.value, codec)
         var rows = 0L
-        def write(r: InternalRow): Unit = if (isOrc) ow.write(r) else pw.write(r)
-        def dataSize: Long = if (isOrc) ow.dataSize else pw.getDataSize
-        def close(): Unit = if (isOrc) ow.close() else pw.close()
+        def write(r: InternalRow): Unit =
+          if (isOrc) ow.write(r) else if (isAvro) aw.write(r) else pw.write(r)
+        def dataSize: Long =
+          if (isOrc) ow.dataSize else if (isAvro) aw.dataSize else pw.getDataSize
+        def close(): Unit =
+          if (isOrc) ow.close() else if (isAvro) aw.close() else pw.close()
       }
 
       private val open = mutable.LinkedHashMap.empty[Seq[Any], OpenFile]
@@ -164,16 +172,20 @@ private[graft] final class FanoutWriterFactory(
         val p = new Path(f.path)
         val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
         // the task reads its OWN footer — local (or just-written object)
-        // bytes, one read per file, distributed across the cluster
+        // bytes, one read per file, distributed across the cluster.
+        // Avro has no footer stats: None is the sound default (files
+        // never pruned; row counts exact from the writer's own counter).
         val stats =
-          try Some(
+          if (isAvro) None
+          else try Some(
             if (isOrc)
               IcebergWriter.orcFooterStats(p, conf.value, schema, fieldIds)._2
             else IcebergWriter.footerStats(p, conf.value, schema, fieldIds)._2)
           catch { case NonFatal(_) => None }
         AddedDataFile(f.path, f.rows, len, stats,
           if (spec.isEmpty) None else Some(key), sortOrderId,
-          fileFormat = if (isOrc) "ORC" else "PARQUET")
+          fileFormat =
+            if (isOrc) "ORC" else if (isAvro) "AVRO" else "PARQUET")
       }
 
       override def write(row: InternalRow): Unit = {
@@ -188,7 +200,7 @@ private[graft] final class FanoutWriterFactory(
             open.remove(ek)
           }
           fileSeq += 1
-          val ext = if (isOrc) "orc" else "parquet"
+          val ext = if (isOrc) "orc" else if (isAvro) "avro" else "parquet"
           val nf = new OpenFile(s"$writeDir/part-$partitionId-$taskId-$fileSeq.$ext")
           open.put(key, nf)
           nf

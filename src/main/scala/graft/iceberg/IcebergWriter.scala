@@ -1079,18 +1079,23 @@ object IcebergWriter {
     * DataFrame-API twin of the DSv2 `ReplaceData` write path — one write
     * kernel, two entry points. */
   /** The table's data-file format (Iceberg `write.format-default`):
-    * PARQUET (our native default) or ORC. AVRO writes are refused loudly
-    * at plan time — this engine reads Avro data files but has no Avro
-    * write kernel (same stance the reference takes for every non-parquet
-    * format: `table.rs:291-293` builds only ParquetExec). */
+    * PARQUET (our native default), ORC, or AVRO — the full spec format
+    * matrix on the write side (the reference's entire engine is
+    * parquet-only: `table.rs:291-293` builds only ParquetExec). Avro
+    * writes additionally require every table column to be in the set the
+    * engine's own avro scan decodes back — checked at PLAN time, not
+    * after data lands. */
   private[graft] def tableWriteFormat(meta: TableMetadata): String =
     meta.properties.getOrElse("write.format-default", "parquet")
       .toLowerCase match {
       case "parquet" => "PARQUET"
       case "orc" => "ORC"
+      case "avro" =>
+        AvroDataWrite.requireWritable(meta.schema)
+        "AVRO"
       case other => throw new IllegalArgumentException(
         s"unsupported write.format-default '$other' " +
-          "(supported: parquet, orc; avro is read-only in this engine)")
+          "(supported: parquet, orc, avro)")
     }
 
   /** The table's `write.parquet.compression-codec` (Iceberg property;
@@ -1114,6 +1119,10 @@ object IcebergWriter {
       val c = meta.properties.getOrElse("write.orc.compression-codec", "zlib")
       org.apache.spark.sql.execution.datasources.orc
         .GraftOrcWriteShim.codecKind(c) // validate, loud on typos
+      c
+    } else if (format.equalsIgnoreCase("AVRO")) {
+      val c = meta.properties.getOrElse("write.avro.compression-codec", "gzip")
+      AvroDataWrite.codecFactory(c) // validate, loud on typos
       c
     } else tableCodec(meta)
 

@@ -973,6 +973,46 @@ object IcebergQueries {
           |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
     }),
 
+    // The AVRO write kernel (final format-matrix cell): CTAS under
+    // write.format-default=avro writes native Avro through the fanout
+    // kernel, and — because avro decode order IS the spec's row
+    // position — a merge-on-read RANGE delete applies position deletes
+    // to the files this engine itself wrote. Gates pin format,
+    // extension, and no-rewrite before the read-back aggregation.
+    "q153_avro_write" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = "/root/repo/target/q153-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q153")
+      s.conf.set("spark.sql.catalog.q153cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q153cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q153cat.ns")
+      s.sql(
+        """CREATE TABLE q153cat.ns.supp
+          |TBLPROPERTIES ('write.format-default' = 'avro',
+          |               'write.delete.mode' = 'merge-on-read') AS
+          |SELECT s_suppkey, s_nationkey, s_acctbal
+          |FROM supplier_src_q153""".stripMargin)
+      val dir = s"$warehouse/ns/supp"
+      // range DELETE → position deletes against avro-WRITTEN files
+      s.sql("DELETE FROM q153cat.ns.supp WHERE s_suppkey >= 3 AND s_suppkey < 7")
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      val files = t.planFiles()
+      require(files.nonEmpty && files.forall(_.fileFormat == "AVRO"),
+        s"q153: every data file must be AVRO, got ${files.map(_.fileFormat)}")
+      require(files.forall(_.filePath.endsWith(".avro")),
+        "q153: data files must carry the .avro extension")
+      require(t.hasDeletes,
+        "q153: the range DELETE must be merge-on-read (no rewrite)")
+      s.sql(
+        """SELECT s_nationkey, COUNT(*) AS n,
+          |       CAST(SUM(s_suppkey) AS BIGINT) AS sk,
+          |       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents
+          |FROM q153cat.ns.supp
+          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1403,6 +1443,13 @@ object IcebergQueries {
         |       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents
         |FROM supplier
         |WHERE s_suppkey % 5 <> 0
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q153_avro_write" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |       CAST(SUM(s_suppkey) AS BIGINT) AS sk,
+        |       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents
+        |FROM supplier
+        |WHERE NOT (s_suppkey >= 3 AND s_suppkey < 7)
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q68_zorder" ->
       """SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sq,

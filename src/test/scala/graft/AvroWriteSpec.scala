@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.iceberg.{IcebergTable, IcebergWriter}
+import graft.iceberg.connector.GraftCatalog
+
+/** The AVRO write kernel: `write.format-default = avro` routes the
+  * shared fanout writer through avro-core — the final cell of the spec's
+  * format matrix (reads + writes for parquet, ORC, and Avro). Unlike
+  * ORC, avro decode order IS the spec's row position, so avro-WRITTEN
+  * files keep the full merge-on-read surface.
+  */
+class AvroWriteSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/avrow-warehouse"
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def freshCatalog(): Unit = {
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set("spark.sql.catalog.awcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.awcat.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS awcat.ns")
+  }
+
+  test("CTAS with avro default writes .avro files; read-back exact " +
+      "including nulls; codec lands in the container header") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE awcat.ns.a1
+        |TBLPROPERTIES ('write.format-default' = 'avro',
+        |               'write.avro.compression-codec' = 'snappy') AS
+        |SELECT id AS k,
+        |       CASE WHEN id % 7 = 0 THEN NULL ELSE concat('v', id) END AS v
+        |FROM range(500)""".stripMargin)
+    val t = new IcebergTable(s"$warehouse/ns/a1", conf)
+    val files = t.planFiles()
+    assert(files.nonEmpty && files.forall(_.fileFormat == "AVRO"))
+    assert(files.forall(_.filePath.endsWith(".avro")))
+    assert(files.map(_.recordCount).sum == 500L, "exact writer row counts")
+    // container header carries the declared codec
+    val reader = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.mapred.FsInput(
+        new Path(t.resolve(files.head.filePath)), conf),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try assert(reader.getMetaString("avro.codec") == "snappy")
+    finally reader.close()
+    val r = spark.sql(
+      """SELECT COUNT(*) AS n, SUM(k) AS s,
+        |       COUNT(CASE WHEN v IS NULL THEN 1 END) AS nulls
+        |FROM awcat.ns.a1""".stripMargin).collect()(0)
+    assert(r.getLong(0) == 500L && r.getLong(1) == (0L until 500L).sum)
+    assert(r.getLong(2) == (0L until 500L).count(_ % 7 == 0))
+    assert(spark.sql("SELECT v FROM awcat.ns.a1 WHERE k = 43")
+      .collect()(0).getString(0) == "v43")
+  }
+
+  test("merge-on-read position deletes work on avro-WRITTEN files " +
+      "(true row positions — the capability ORC writes cannot have)") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE awcat.ns.a2
+        |TBLPROPERTIES ('write.format-default' = 'avro',
+        |               'write.delete.mode' = 'merge-on-read') AS
+        |SELECT id AS k, concat('v', id) AS v FROM range(300)""".stripMargin)
+    // a RANGE delete — not equality-expressible, needs true positions
+    spark.sql("DELETE FROM awcat.ns.a2 WHERE k >= 250 AND k < 280")
+    val t = new IcebergTable(s"$warehouse/ns/a2", conf)
+    assert(t.hasDeletes, "the range DELETE must stay merge-on-read")
+    assert(t.planFiles().forall(_.fileFormat == "AVRO"),
+      "data files must not be rewritten")
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(k) AS s FROM awcat.ns.a2").collect()(0)
+    assert(r.getLong(0) == 270L)
+    assert(r.getLong(1) == (0L until 300L).sum - (250L until 280L).sum)
+    // equality deletes stack on top
+    spark.sql("DELETE FROM awcat.ns.a2 WHERE k IN (1, 2)")
+    assert(spark.sql("SELECT COUNT(*) FROM awcat.ns.a2")
+      .collect()(0).getLong(0) == 268L)
+  }
+
+  test("date and timestamp columns round-trip exactly (micros preserved)") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE awcat.ns.a3
+        |TBLPROPERTIES ('write.format-default' = 'avro') AS
+        |SELECT id AS k,
+        |       date_add(DATE'2024-02-29', CAST(id AS INT)) AS d,
+        |       timestamp_micros(1700000000000123 + id) AS ts
+        |FROM range(10)""".stripMargin)
+    val rows = spark.sql(
+      "SELECT k, CAST(d AS STRING), CAST(ts AS STRING) " +
+        "FROM awcat.ns.a3 ORDER BY k").collect()
+    assert(rows(0).getString(1) == "2024-02-29")
+    assert(rows(1).getString(1) == "2024-03-01", "leap-day arithmetic survives")
+    assert(rows(0).getString(2).endsWith(".000123"),
+      s"micros must survive the round-trip, got ${rows(0).getString(2)}")
+  }
+
+  test("partitioned fanout writes avro per partition tuple; pruning via " +
+      "partition values still works (no column stats — doubt keeps)") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE awcat.ns.a4 (k BIGINT, g INT, v STRING)
+        |PARTITIONED BY (g)
+        |TBLPROPERTIES ('write.format-default' = 'avro')""".stripMargin)
+    spark.sql(
+      "INSERT INTO awcat.ns.a4 SELECT id, CAST(id % 3 AS INT), concat('v', id) FROM range(300)")
+    val t = new IcebergTable(s"$warehouse/ns/a4", conf)
+    assert(t.planFiles().forall(_.fileFormat == "AVRO"))
+    assert(t.planFiles().flatMap(_.partition.get("g")).toSet == Set(0, 1, 2))
+    assert(t.planFiles(Seq(org.apache.spark.sql.sources.EqualTo("g", 1)))
+      .flatMap(_.partition.get("g")).toSet == Set(1),
+      "partition pruning is metadata-keyed, no column stats needed")
+    assert(spark.sql("SELECT COUNT(*) FROM awcat.ns.a4 WHERE g = 1")
+      .collect()(0).getLong(0) == 100L)
+  }
+
+  test("compaction honors avro default and absorbs delete debt; " +
+      "unsupported column types refuse at plan time") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE awcat.ns.a5
+        |TBLPROPERTIES ('write.format-default' = 'avro',
+        |               'write.delete.mode' = 'merge-on-read') AS
+        |SELECT id AS k FROM range(200)""".stripMargin)
+    spark.sql("DELETE FROM awcat.ns.a5 WHERE k >= 150 AND k < 160")
+    IcebergWriter.compact(spark, s"$warehouse/ns/a5")
+    val t = new IcebergTable(s"$warehouse/ns/a5", conf)
+    assert(t.planFiles().forall(_.fileFormat == "AVRO"),
+      "compaction must not flip a declared-avro table to parquet")
+    assert(!t.hasDeletes, "compaction must absorb the delete files")
+    assert(spark.sql("SELECT COUNT(*) FROM awcat.ns.a5")
+      .collect()(0).getLong(0) == 190L)
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    val ex = intercept[Exception](spark.sql(
+      """CREATE TABLE awcat.ns.a6
+        |TBLPROPERTIES ('write.format-default' = 'avro') AS
+        |SELECT id AS k, array(1, 2) AS a FROM range(5)""".stripMargin))
+    // the refusal may come from the table-schema layer (arrays aren't
+    // Iceberg-writable here at all) or from the avro writability check —
+    // either way it is PLAN-time and loud
+    assert(msgs(ex).exists(m => m.contains("avro cannot write column") ||
+      m.contains("cannot write type")),
+      s"array column must refuse at plan time, got: ${msgs(ex)}")
+    // a type Iceberg accepts but avro-write does not (binary) hits the
+    // avro-specific check
+    val ex2 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE awcat.ns.a7 (k BIGINT, b BINARY)
+          |TBLPROPERTIES ('write.format-default' = 'avro')""".stripMargin)
+      spark.sql("INSERT INTO awcat.ns.a7 VALUES (1, CAST('x' AS BINARY))")
+    }
+    assert(msgs(ex2).exists(m => m.contains("avro cannot write column") ||
+      m.contains("cannot write type")),
+      s"binary column must refuse at plan time, got: ${msgs(ex2)}")
+  }
+}

@@ -201,7 +201,7 @@ class OrcWriteSpec extends SparkSpec {
         + 5)) < 1e-6, s"post-unblock ops must apply exactly, got $r")
   }
 
-  test("compaction honors the table's orc default; avro write refused") {
+  test("compaction honors the table's orc default; unknown format refused") {
     freshCatalog()
     spark.sql(
       """CREATE TABLE owcat.ns.w6
@@ -216,11 +216,11 @@ class OrcWriteSpec extends SparkSpec {
       .collect()(0).getLong(0) == 200L)
     val ex = intercept[Exception](spark.sql(
       """CREATE TABLE owcat.ns.w7
-        |TBLPROPERTIES ('write.format-default' = 'avro') AS
+        |TBLPROPERTIES ('write.format-default' = 'csv') AS
         |SELECT id FROM range(5)""".stripMargin))
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("write.format-default")),
-      s"avro default must fail at plan time, got: ${msgs(ex)}")
+      s"an unknown format must fail at plan time, got: ${msgs(ex)}")
   }
 }
