@@ -263,10 +263,12 @@ object BenchScale {
 
       // q147 core: exact dedup, text-keyed vs fingerprint-keyed. The
       // CLAIM is shuffle-bytes: groupBy(text) ships document bodies
-      // through the exchange, exactKeepFirstByHash ships ~20 fixed bytes
-      // per row plus the duplicate sliver's text. A listener sums
-      // shuffle WRITE bytes per variant; the reduction factor is the
-      // pinned number (time is reported too but noisy at toy scale).
+      // through the exchange; the default exactKeepFirstByHash groups
+      // ONCE on (length, xxhash64, md5) — ~60 fixed bytes per row at
+      // every duplicate rate (no sliver pass; that exists only under
+      // verifyTextExact). A listener sums shuffle WRITE bytes per
+      // variant; the reduction factor is the pinned number (time is
+      // reported too but noisy at toy scale).
       def shuffled[A](f: => A): (Double, Long, A) = {
         val bytes = new java.util.concurrent.atomic.AtomicLong
         val l = new org.apache.spark.scheduler.SparkListener {

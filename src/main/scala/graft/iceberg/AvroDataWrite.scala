@@ -41,20 +41,35 @@ object AvroDataWrite {
         "(supported: gzip, snappy, zstd, uncompressed)")
   }
 
+  /** True iff the type is in the avro-writable (= avro-readable) set. */
+  def writableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | StringType | DoubleType | FloatType |
+         BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
   /** Refuse-at-plan-time check: every column must be writable AND
-    * readable back by [[AvroDataRead]]. */
-  def requireWritable(schema: StructType): Unit =
+    * readable back by [[AvroDataRead]], and the whole record schema must
+    * CONSTRUCT (Avro rejects names parquet/ORC accept — hyphens, leading
+    * digits — and that must fail the statement, not a mid-job task). */
+  def requireWritable(schema: StructType): Unit = {
     schema.fields.foreach { f =>
-      f.dataType match {
-        case LongType | IntegerType | StringType | DoubleType | FloatType |
-             BooleanType | DateType | TimestampType => ()
-        case other => throw new UnsupportedOperationException(
+      if (!writableType(f.dataType))
+        throw new UnsupportedOperationException(
           s"write.format-default = avro cannot write column '${f.name}' " +
-            s"of type ${other.simpleString} (supported: bigint, int, " +
+            s"of type ${f.dataType.simpleString} (supported: bigint, int, " +
             "string, double, float, boolean, date, timestamp — the set " +
             "this engine's avro scan decodes back)")
-      }
     }
+    try avroSchema(schema)
+    catch { case e: org.apache.avro.SchemaParseException =>
+      throw new UnsupportedOperationException(
+        "write.format-default = avro rejects this schema: " + e.getMessage +
+          " (Avro field names are stricter than parquet/ORC — rename the " +
+          "column or choose another format)", e)
+    }
+    ()
+  }
 
   private def avroSchema(schema: StructType): Schema = {
     val fields = new java.util.ArrayList[Schema.Field](schema.length)
@@ -76,9 +91,18 @@ object AvroDataWrite {
       }
       // every field nullable (union with null, null default) — matches
       // how the fanout writer's parquet/ORC schemas treat nullability
-      fields.add(new Schema.Field(f.name,
+      val fld = new Schema.Field(f.name,
         Schema.createUnion(Schema.create(Schema.Type.NULL), base), null,
-        Schema.Field.NULL_DEFAULT_VALUE))
+        Schema.Field.NULL_DEFAULT_VALUE)
+      // the Iceberg spec REQUIRES Avro data-file fields to carry their
+      // `field-id` attribute — that is what lets an external id-resolving
+      // reader (java Iceberg et al.) survive renames on files this
+      // engine wrote. The stamped write schema carries the ids as
+      // `parquet.field.id` metadata (the fanout writer stamps every
+      // format's schema the same way).
+      if (f.metadata.contains("parquet.field.id"))
+        fld.addProp("field-id", f.metadata.getLong("parquet.field.id"))
+      fields.add(fld)
     }
     Schema.createRecord("r", null, "graft", false, fields)
   }

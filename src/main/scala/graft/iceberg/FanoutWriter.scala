@@ -44,8 +44,9 @@ private[graft] final case class AddedDataFile(
     stats: Option[IcebergWriter.FileColStats],
     partition: Option[Seq[Any]],
     sortOrderId: Option[Int] = None,
-    /** Manifest `file_format` value. Our own writers produce parquet
-      * only; `add_files` imports may register foreign ORC files. */
+    /** Manifest `file_format` value: PARQUET, ORC, or AVRO — whatever
+      * format the fanout kernel wrote (per `write.format-default`) or an
+      * `add_files` import registered. */
     fileFormat: String = "PARQUET")
 
 /** Commit message of one write task: the files it produced. */
@@ -60,8 +61,8 @@ private[graft] final case class WritePartitionField(
     sourceType: DataType,
     resultType: DataType)
 
-/** Executor-side fanout data-file writer (parquet or ORC, per the
-  * table's `write.format-default`) — the single write kernel behind
+/** Executor-side fanout data-file writer (parquet, ORC, or Avro, per
+  * the table's `write.format-default`) — the single write kernel behind
   * INSERT/CTAS commits, copy-on-write `ReplaceData` (UPDATE / MERGE /
   * range DELETE), and the streaming sink.
   *
@@ -95,7 +96,7 @@ private[graft] final class FanoutWriterFactory(
     sortOrderId: Option[Int] = None,
     codec: String = "snappy",
     targetFileBytes: Long = 512L << 20,
-    /** Data-file format, "PARQUET" or "ORC" (Iceberg
+    /** Data-file format — "PARQUET", "ORC", or "AVRO" (Iceberg
       * `write.format-default`): one kernel, per-format open/stats. */
     format: String = "PARQUET")
     extends Serializable {

@@ -705,6 +705,17 @@ final class IcebergTable private (
     }
   }
 
+  /** Per-field candidate source names for Avro decode (current name
+    * first, then name-mapping aliases) — the resolution plan
+    * [[scanAvroFiles]] and the connector's Avro group batch share. */
+  private[graft] def avroFieldCandidates(
+      fields: Seq[StructField]): Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] =
+    fields.map { f =>
+      val aliases = metadata.fieldIds.get(f.name).toSeq
+        .flatMap(id => nameMapping.getOrElse(id, Nil))
+      (f.name, (f.name +: aliases).distinct, f.dataType)
+    }
+
   /** Avro twin of [[fileSchemaColumns]]: header-only field-name probe,
     * cached process-wide, FAILURE PROPAGATES (never latched as "no
     * columns" — see missingPartitionColumns). */

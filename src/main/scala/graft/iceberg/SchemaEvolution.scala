@@ -132,6 +132,19 @@ object SchemaEvolution {
           s"column $name already exists")
         if (!add.isNullable) throw new UnsupportedOperationException(
           s"added column $name must be nullable: existing rows have no value for it")
+        // a declared-avro table must refuse the MUTATION that would
+        // brick every later write (INSERT, CoW, delete-debt compaction
+        // all re-validate the schema) — not the writes after it
+        val fmtProp = Option(root.get("properties"))
+          .flatMap(p => Option(p.get("write.format-default"))).map(_.asText)
+          .orElse(Option(propSets.get("write.format-default")).map(_.asText))
+        if (fmtProp.exists(_.equalsIgnoreCase("avro")) &&
+            !AvroDataWrite.writableType(add.dataType))
+          throw new UnsupportedOperationException(
+            s"cannot add column $name of type ${add.dataType.simpleString} " +
+              "to a table with write.format-default = avro — every later " +
+              "write would fail (avro-writable types: bigint, int, string, " +
+              "double, float, boolean, date, timestamp)")
         val fn = mapper.createObjectNode()
         fn.put("id", nextId())
         fn.put("name", name)
@@ -231,6 +244,21 @@ object SchemaEvolution {
         schemaChanged = true
 
       case p: TableChange.SetProperty =>
+        // flipping the write format to avro on a table whose CURRENT
+        // schema avro cannot encode is the same brick-every-write trap
+        // as adding an unwritable column — refuse at the flip
+        if (p.property == "write.format-default" &&
+            p.value.equalsIgnoreCase("avro")) {
+          val cur = org.apache.spark.sql.types.StructType(
+            (0 until fields.size).map { i =>
+              val f = fields.get(i)
+              org.apache.spark.sql.types.StructField(
+                f.get("name").asText,
+                TableMetadata.toSparkType(f.get("type")),
+                nullable = true)
+            })
+          AvroDataWrite.requireWritable(cur)
+        }
         propSets.put(p.property, p.value)
 
       case p: TableChange.RemoveProperty =>

@@ -181,19 +181,34 @@ final class GraftGroupScan(
     * agree on the exact file set. */
   val plannedFiles: Seq[DataFileEntry] = table.planFiles(filters.toSeq)
 
-  /** Per-format batches (a native-ORC or mixed-format table's groups
-    * rewrite like parquet ones): parquet and ORC each get Spark's own
-    * vectorized scan over their file subset, concatenated by
-    * [[GraftScanShims.unionBatch]]. Avro files cannot serve a group
-    * rewrite (no Spark source) — loud, with the materialize-first out. */
+  /** Per-format batches (a native-ORC, native-Avro, or mixed-format
+    * table's groups rewrite like parquet ones): parquet and ORC each get
+    * Spark's own vectorized scan over their file subset; Avro files get
+    * the row-based [[AvroGroupBatch]]; formats concatenate by
+    * [[GraftScanShims.unionBatch]]. One constraint survives: Spark's
+    * `BatchScanExec` refuses MIXED row/columnar partition sets, so Avro
+    * may not mix with parquet/ORC in one rewrite — loud, with the
+    * materialize-first out. An all-Avro (declared-avro) table rewrites
+    * fine. */
   private lazy val delegate: Batch = {
     val shims = org.apache.spark.sql.execution.datasources.GraftScanShims
-    plannedFiles.find(_.fileFormat.equalsIgnoreCase("AVRO")).foreach(f =>
+    val (avroFiles, colFiles) =
+      plannedFiles.partition(_.fileFormat.equalsIgnoreCase("AVRO"))
+    if (avroFiles.nonEmpty && colFiles.nonEmpty)
       throw new UnsupportedOperationException(
-        "copy-on-write rewrite targets Avro import " + f.filePath +
-          " which has no batch source — run rewrite_data_files first"))
+        "copy-on-write rewrite over a MIXED avro + parquet/ORC file set " +
+          "cannot execute in one scan (row-based avro partitions cannot " +
+          "join a columnar batch) — run rewrite_data_files first to " +
+          "unify the formats")
+    if (avroFiles.nonEmpty) {
+      val fields = table.avroFieldCandidates(requiredSchema.fields.toSeq)
+      AvroGroupBatch(
+        avroFiles.map(f => table.resolve(f.filePath)), fields,
+        new graft.iceberg.SerializableHadoopConf(
+          spark.sessionState.newHadoopConf()))
+    } else {
     val (orcFiles, pqFiles) =
-      plannedFiles.partition(_.fileFormat.equalsIgnoreCase("ORC"))
+      colFiles.partition(_.fileFormat.equalsIgnoreCase("ORC"))
     // the table-level guard samples the head file, which in a MIXED
     // snapshot can be parquet (id-resolved, safe) while ORC files still
     // resolve renamed columns by name to NULL — check the ORC subset
@@ -219,6 +234,7 @@ final class GraftGroupScan(
       case Seq() => shims.parquetBatchScan(spark, Nil,
         table.metadata.schema, requiredSchema, Array.empty).toBatch
       case many => shims.unionBatch(many)
+    }
     }
   }
 

@@ -120,6 +120,76 @@ class AvroWriteSpec extends SparkSpec {
       .collect()(0).getLong(0) == 100L)
   }
 
+  test("copy-on-write UPDATE and non-equality DELETE work on an " +
+      "all-avro table through the avro group batch") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE awcat.ns.a8
+        |TBLPROPERTIES ('write.format-default' = 'avro') AS
+        |SELECT id AS k, CAST(id AS DOUBLE) AS x,
+        |       date_add(DATE'2024-01-01', CAST(id % 5 AS INT)) AS d
+        |FROM range(200)""".stripMargin)
+    // CoW UPDATE: the group scan must read the avro files (row batch)
+    spark.sql("UPDATE awcat.ns.a8 SET x = x + 0.5 WHERE k % 2 = 0")
+    // CoW-mode range DELETE over a large fraction forces the rewrite
+    // branch too (fraction > 0.3 rewrites rather than position-deletes)
+    spark.sql("DELETE FROM awcat.ns.a8 WHERE k < 100")
+    val t = new IcebergTable(s"$warehouse/ns/a8", conf)
+    assert(t.planFiles().forall(_.fileFormat == "AVRO"),
+      "rewrites must honor the declared avro format")
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n, SUM(x) AS s FROM awcat.ns.a8").collect()(0)
+    assert(r.getLong(0) == 100L)
+    val want = (100L until 200L).map(k =>
+      k.toDouble + (if (k % 2 == 0) 0.5 else 0.0)).sum
+    assert(math.abs(r.getDouble(1) - want) < 1e-6,
+      s"update+delete must compose exactly: got ${r.getDouble(1)}, want $want")
+    // date column survives the rewrite through the catalyst converter
+    assert(spark.sql(
+      "SELECT CAST(d AS STRING) FROM awcat.ns.a8 WHERE k = 101")
+      .collect()(0).getString(0) == "2024-01-02")
+  }
+
+  test("written avro schemas carry Iceberg field-id attributes; " +
+      "schema evolution refuses mutations that would brick writes") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE awcat.ns.a9
+        |TBLPROPERTIES ('write.format-default' = 'avro') AS
+        |SELECT id AS k, concat('v', id) AS v FROM range(10)""".stripMargin)
+    val t = new IcebergTable(s"$warehouse/ns/a9", conf)
+    val reader = new org.apache.avro.file.DataFileReader[
+        org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.mapred.FsInput(
+        new Path(t.resolve(t.planFiles().head.filePath)), conf),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      val fs = reader.getSchema.getFields
+      (0 until fs.size).foreach { i =>
+        val f = fs.get(i)
+        val want = t.metadata.fieldIds(f.name)
+        assert(f.getObjectProp("field-id") != null &&
+          f.getObjectProp("field-id").toString.toInt == want,
+          s"field '${f.name}' must carry field-id $want (spec-required " +
+            "for Avro data files; external id-resolving readers key on it)")
+      }
+    } finally reader.close()
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    // ADD COLUMN of an avro-unwritable type must refuse AT THE ALTER
+    val ex = intercept[Exception](spark.sql(
+      "ALTER TABLE awcat.ns.a9 ADD COLUMN dec DECIMAL(10,2)"))
+    assert(msgs(ex).exists(_.contains("write.format-default = avro")),
+      s"ALTER must refuse the bricking mutation, got: ${msgs(ex)}")
+    // flipping a binary-columned table TO avro must refuse at the flip
+    spark.sql("CREATE TABLE awcat.ns.a10 (k BIGINT, b BINARY)")
+    val ex2 = intercept[Exception](spark.sql(
+      "ALTER TABLE awcat.ns.a10 SET TBLPROPERTIES ('write.format-default' = 'avro')"))
+    assert(msgs(ex2).exists(_.contains("avro cannot write column")),
+      s"format flip must refuse on unwritable schema, got: ${msgs(ex2)}")
+  }
+
   test("compaction honors avro default and absorbs delete debt; " +
       "unsupported column types refuse at plan time") {
     freshCatalog()
