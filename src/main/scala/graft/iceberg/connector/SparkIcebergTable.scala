@@ -491,7 +491,8 @@ final class GraftScanBuilder(table: IcebergTable,
       new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles,
         streamRef, maxFilesPerTrigger)
     else
-      new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles))
+      new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles),
+        streamRef, maxFilesPerTrigger)
   }
 }
 
@@ -983,19 +984,33 @@ final class GraftMicroBatchStream(
     val files = t.appendedFilesBetween(
       if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s, e)
     if (files.isEmpty) return Array.empty
-    // the streaming reader factory is a parquet Batch; an add_files
-    // ORC/Avro import landing mid-stream must refuse, not decode garbage
-    files.find(!_.fileFormat.equalsIgnoreCase("PARQUET")).foreach { f =>
-      throw new UnsupportedOperationException(
-        s"streaming read reached ${f.fileFormat} import ${f.filePath} — " +
-          "the micro-batch reader is parquet-only; rewrite_data_files " +
-          "the import away (batch reads of this table still work)")
+    // per-format micro-batches: an ALL-AVRO window (declared-avro
+    // streaming table) reads through the row-based avro batch; parquet
+    // windows keep the vectorized scan. A MIXED window (or ORC, which
+    // has no row-capable source here) refuses — Spark's scan exec
+    // cannot mix row and columnar partitions, and decoding garbage is
+    // worse than stopping. Each trigger plans its own exec, so
+    // per-window homogeneity is the right granularity.
+    if (files.forall(_.fileFormat.equalsIgnoreCase("AVRO")))
+      AvroGroupBatch(files.map(f => t.resolve(f.filePath)),
+          t.avroFieldCandidates(requiredSchema.fields.toSeq),
+          new graft.iceberg.SerializableHadoopConf(
+            spark.sessionState.newHadoopConf()))
+        .planInputPartitions()
+    else {
+      files.find(!_.fileFormat.equalsIgnoreCase("PARQUET")).foreach { f =>
+        throw new UnsupportedOperationException(
+          s"streaming read reached ${f.fileFormat} file ${f.filePath} in " +
+            "a mixed or ORC window — the micro-batch reader serves " +
+            "all-parquet or all-avro windows; rewrite_data_files to " +
+            "unify formats (batch reads of this table still work)")
+      }
+      org.apache.spark.sql.execution.datasources.GraftScanShims
+        .parquetBatchScan(spark,
+          files.map(f => (t.resolve(f.filePath), f.fileSizeInBytes)),
+          t.metadata.schema, requiredSchema, safeFilters(t))
+        .toBatch.planInputPartitions()
     }
-    org.apache.spark.sql.execution.datasources.GraftScanShims
-      .parquetBatchScan(spark,
-        files.map(f => (t.resolve(f.filePath), f.fileSizeInBytes)),
-        t.metadata.schema, requiredSchema, safeFilters(t))
-      .toBatch.planInputPartitions()
   }
 
   /** File-list-independent (schema + conf only), so one factory serves
@@ -1006,11 +1021,38 @@ final class GraftMicroBatchStream(
     * from FRESH metadata, same as planning — a schema evolution landing
     * mid-stream must shrink the safe set on BOTH paths, or the factory
     * would keep pushing a filter planning just excluded. */
-  override def createReaderFactory(): PartitionReaderFactory =
-    org.apache.spark.sql.execution.datasources.GraftScanShims
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val pq = org.apache.spark.sql.execution.datasources.GraftScanShims
       .parquetBatchScan(spark, Nil, table.metadata.schema, requiredSchema,
         safeFilters(fresh()))
       .toBatch.createReaderFactory()
+    val av = AvroGroupBatch(Nil,
+        fresh().avroFieldCandidates(requiredSchema.fields.toSeq),
+        new graft.iceberg.SerializableHadoopConf(
+          spark.sessionState.newHadoopConf()))
+      .createReaderFactory()
+    // dispatch by the partition type planInputPartitions emitted —
+    // per-window homogeneity keeps row/columnar consistent within a plan
+    new PartitionReaderFactory {
+      override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] = p match {
+        case _: AvroGroupBatch.AvroFileInput => av.createReader(p)
+        case _ => pq.createReader(p)
+      }
+      override def createColumnarReader(
+          p: org.apache.spark.sql.connector.read.InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[
+            org.apache.spark.sql.vectorized.ColumnarBatch] =
+        pq.createColumnarReader(p)
+      override def supportColumnarReads(
+          p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+        p match {
+          case _: AvroGroupBatch.AvroFileInput => false
+          case _ => pq.supportColumnarReads(p)
+        }
+    }
+  }
 
   override def commit(end: StreamingOffset): Unit = ()
   override def stop(): Unit = ()
@@ -1035,7 +1077,9 @@ final class GraftScan(
     filters: Array[Filter],
     requiredSchema: StructType,
     limit: Option[Int],
-    precomputedFiles: Option[Seq[DataFileEntry]] = None)
+    precomputedFiles: Option[Seq[DataFileEntry]] = None,
+    streamRef: String = "main",
+    maxFilesPerTrigger: Option[Int] = None)
     extends V1Scan with SupportsReportStatistics {
 
   /** Plan once: manifests are read a single time per query, shared by
@@ -1045,11 +1089,38 @@ final class GraftScan(
 
   override def readSchema(): StructType = requiredSchema
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    throw new UnsupportedOperationException(
-      "streaming reads need an append-only table on the native batch path " +
-        "(no v2 delete files, no metadata-only partition values, no limit); " +
-        "compact the table to materialize deletes first")
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // the V1 bridge serves tables the NATIVE batch path cannot — for
+    // streaming, only the APPEND-ONLY subset of those can follow a
+    // frontier: declared-avro tables (per-window row-based batches) and
+    // name-mapped tables stream fine; deletes / metadata-only partition
+    // values / LIMIT / row-identity projections cannot
+    val spark = org.apache.spark.sql.SparkSession.active
+    require(streamRef.nonEmpty,
+      "readStream with snapshot-id / as-of-timestamp is not supported: a " +
+        "stream follows the live table (or a branch via the `branch` " +
+        "option); a pinned snapshot has no append frontier to follow")
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"streaming reads need an append-only table: $why; compact or " +
+        "rewrite the table first")
+    if (table.hasDeletes) refuse("this table carries v2 delete files")
+    if (limit.nonEmpty) refuse("a LIMIT pushdown cannot follow a frontier")
+    if (requiredSchema.fieldNames.exists(n => n == "_file" || n == "_pos"))
+      refuse("_file/_pos row-identity projections are parquet-batch-only")
+    if (table.missingPartitionColumns(spark, files).nonEmpty)
+      refuse("partition values live only in metadata (re-injection is a " +
+        "batch-plan shape)")
+    // id-less PARQUET files resolve renames through name-mapping aliases
+    // that the micro-batch parquet reader cannot apply — streaming them
+    // would silently null renamed columns (avro windows are safe: their
+    // reader resolves by candidate names)
+    val pq = files.filter(_.fileFormat.equalsIgnoreCase("PARQUET"))
+    if (pq.nonEmpty && table.needsNameMapping(spark, pq))
+      refuse("id-less parquet files need schema.name-mapping.default, " +
+        "which the micro-batch reader cannot apply")
+    new GraftMicroBatchStream(spark, table, requiredSchema, filters,
+      streamRef, maxFilesPerTrigger)
+  }
 
   override def description(): String =
     s"GraftIcebergScan(files=${files.size}, pushed=${filters.mkString(", ")})"

@@ -339,4 +339,35 @@ class IcebergStreamSourceSpec extends SparkSpec {
     IcebergWriter.fastForward(conf, dir, from = "staging")
     assert(new graft.iceberg.IcebergTable(dir, conf).toDF(spark).count() == 6L)
   }
+
+  test("a declared-avro table streams: all-avro micro-batch windows " +
+      "read through the row-based avro batch") {
+    import java.io.File
+    val dir = createTable("src8")
+    spark.sql("ALTER TABLE strcat.ns.src8 SET TBLPROPERTIES " +
+      "('write.format-default' = 'avro')")
+    IcebergWriter.append(spark, dir, ids(0, 3)) // avro files now
+    val conf = spark.sessionState.newHadoopConf()
+    assert(new graft.iceberg.IcebergTable(dir, conf)
+      .planFiles().forall(_.fileFormat == "AVRO"), "setup: avro files")
+    val ckpt = new File("/root/repo/target/test-streamsrc-ckpt8")
+    val outDir = new File("/root/repo/target/test-streamsrc-out8")
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    def run(): Unit = {
+      val q = spark.readStream.table("strcat.ns.src8")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    IcebergWriter.append(spark, dir, ids(3, 7)) // second avro window
+    run()
+    val got = spark.read.parquet(outDir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == (0 until 7).map(i => (i.toLong, s"row$i")),
+      s"both avro windows must stream exactly once, got $got")
+  }
 }
