@@ -38,9 +38,47 @@ import org.apache.spark.sql.types._
 object AvroDataRead {
 
   /** One target column: output name, candidate source names in priority
-    * order, and the Spark type to decode into. */
+    * order, the Spark type to decode into, the Iceberg field id (when
+    * known), and whether the NAME's id binding shifted across schema
+    * history (rename landing on a reused name, drop + re-add). */
   final case class FieldSpec(name: String, sources: Seq[String],
-                             dataType: DataType)
+                             dataType: DataType,
+                             fieldId: Option[Int] = None,
+                             nameIdShifted: Boolean = false)
+
+  /** Resolve one target field against a FILE's schema — the single
+    * resolution rule both avro readers (the DataFrame scan and the DSv2
+    * group batch) share:
+    *
+    *  1. a file field whose `field-id` attribute equals the target's id
+    *     wins outright (files this engine writes carry the attribute —
+    *     spec-required — so renames and re-adds resolve like parquet);
+    *  2. a file that CARRIES field ids but has none matching reads the
+    *     column as absent (NULL) — never by name: on an id-bearing file
+    *     a bare name match would resurrect a renamed-away column's data
+    *     under a re-added name;
+    *  3. an id-LESS file (foreign import) resolves by candidate names —
+    *     but the bare CURRENT name is excluded when its id binding
+    *     shifted in schema history (`nameIdShifted`): the import's
+    *     same-named column belongs to the OLD field; only explicit
+    *     name-mapping aliases may match then.
+    */
+  def resolveField(fileSchema: Schema, spec: FieldSpec): Option[Schema.Field] = {
+    import scala.jdk.CollectionConverters._
+    val fileFields = fileSchema.getFields.asScala
+    def idOf(f: Schema.Field): Option[Int] =
+      Option(f.getObjectProp("field-id")).map(_.toString.toInt)
+    val fileHasIds = fileFields.exists(f => idOf(f).nonEmpty)
+    spec.fieldId match {
+      case Some(id) if fileHasIds => // rules 1 + 2: id-resolved or absent
+        fileFields.find(f => idOf(f).contains(id))
+      case _ => // rule 3: id-less file (or caller without ids)
+        val candidates =
+          if (spec.nameIdShifted) spec.sources.filterNot(_ == spec.name)
+          else spec.sources
+        candidates.flatMap(s => Option(fileSchema.getField(s))).headOption
+    }
+  }
 
   /** Distributed decode of `paths` into `fields` (+ optional (file, pos)
     * identity columns). One task per file — an Avro block stream is not
@@ -71,11 +109,11 @@ object AvroDataRead {
           _.addTaskCompletionListener[Unit](_ =>
             try reader.close() catch { case _: Exception => () }))
         // per-FILE resolution: position + converter for each target
+        // (field-id first, then guarded name candidates — resolveField)
         val fileSchema = reader.getSchema
         val plan: Array[(Int, AnyRef => Any)] =
           fields.map { f =>
-            f.sources.flatMap(s => Option(fileSchema.getField(s)))
-              .headOption match {
+            resolveField(fileSchema, f) match {
               case None => (-1, null)
               case Some(af) =>
                 (af.pos, converter(af.schema, f.dataType, f.name, p))

@@ -48,6 +48,20 @@ object AvroDataWrite {
     case _ => false
   }
 
+  /** Avro-legal field name check (Avro rejects hyphens, leading digits
+    * and other characters parquet/ORC accept) — the schema-evolution
+    * guard for avro tables: a column that can't NAME won't write. */
+  def requireValidName(name: String, context: String): Unit =
+    try { Schema.createRecord("probe", null, "graft", false,
+      java.util.List.of(new Schema.Field(name,
+        Schema.create(Schema.Type.LONG), null, null.asInstanceOf[AnyRef]))); () }
+    catch { case e: org.apache.avro.SchemaParseException =>
+      throw new UnsupportedOperationException(
+        s"$context: '$name' is not a legal Avro field name " +
+          s"(${e.getMessage}) and this table's write.format-default is " +
+          "avro — every later write would fail", e)
+    }
+
   /** Refuse-at-plan-time check: every column must be writable AND
     * readable back by [[AvroDataRead]], and the whole record schema must
     * CONSTRUCT (Avro rejects names parquet/ORC accept — hyphens, leading

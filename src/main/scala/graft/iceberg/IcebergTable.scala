@@ -664,16 +664,12 @@ final class IcebergTable private (
   private[graft] def scanAvroFiles(spark: SparkSession,
                                    files: Seq[DataFileEntry],
                                    withIds: Boolean): DataFrame = {
-    // candidates resolve PER FILE in the executor (current name first,
-    // then the name-mapping aliases) — a group mixing files written
-    // before and after a rename reads both correctly, and the driver
-    // opens nothing
+    // resolution PER FILE in the executor via the shared spec builder
+    // (field-id first on engine-written files, guarded name candidates
+    // on imports) — a group mixing files written before and after a
+    // rename reads both correctly, and the driver opens nothing
     def specs(fs: Seq[StructField]): Seq[AvroDataRead.FieldSpec] =
-      fs.map { f =>
-        val aliases = metadata.fieldIds.get(f.name).toSeq
-          .flatMap(id => nameMapping.getOrElse(id, Nil))
-        AvroDataRead.FieldSpec(f.name, (f.name +: aliases).distinct, f.dataType)
-      }
+      avroFieldSpecs(fs)
     val ids: Option[(String, String)] =
       if (withIds) Some((IcebergTable.FpCol, IcebergTable.PosCol)) else None
     // Identity-partition columns the files don't materialize come from
@@ -705,15 +701,20 @@ final class IcebergTable private (
     }
   }
 
-  /** Per-field candidate source names for Avro decode (current name
-    * first, then name-mapping aliases) — the resolution plan
-    * [[scanAvroFiles]] and the connector's Avro group batch share. */
-  private[graft] def avroFieldCandidates(
-      fields: Seq[StructField]): Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] =
+  /** Per-field resolution specs for Avro decode — THE builder both avro
+    * readers use ([[scanAvroFiles]] and the connector's group batch):
+    * current name + name-mapping aliases as candidates, the field id for
+    * id-first resolution against engine-written files, and the
+    * id-shifted flag that blocks a re-added name from resurrecting an
+    * old column's data out of id-less imports
+    * ([[AvroDataRead.resolveField]] is the single resolution rule). */
+  private[graft] def avroFieldSpecs(
+      fields: Seq[StructField]): Seq[AvroDataRead.FieldSpec] =
     fields.map { f =>
-      val aliases = metadata.fieldIds.get(f.name).toSeq
-        .flatMap(id => nameMapping.getOrElse(id, Nil))
-      (f.name, (f.name +: aliases).distinct, f.dataType)
+      val fid = metadata.fieldIds.get(f.name)
+      val aliases = fid.toSeq.flatMap(id => nameMapping.getOrElse(id, Nil))
+      AvroDataRead.FieldSpec(f.name, (f.name +: aliases).distinct,
+        f.dataType, fid, metadata.idShiftedNames.contains(f.name))
     }
 
   /** Avro twin of [[fileSchemaColumns]]: header-only field-name probe,

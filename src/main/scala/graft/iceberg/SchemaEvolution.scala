@@ -124,6 +124,11 @@ object SchemaEvolution {
 
     var schemaChanged = false
     val propSets = mapper.createObjectNode()
+    def isAvroTable: Boolean =
+      Option(propSets.get("write.format-default")).map(_.asText)
+        .orElse(Option(root.get("properties"))
+          .flatMap(p => Option(p.get("write.format-default"))).map(_.asText))
+        .exists(_.equalsIgnoreCase("avro"))
     val propRemovals = mapper.createArrayNode()
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -134,17 +139,17 @@ object SchemaEvolution {
           s"added column $name must be nullable: existing rows have no value for it")
         // a declared-avro table must refuse the MUTATION that would
         // brick every later write (INSERT, CoW, delete-debt compaction
-        // all re-validate the schema) — not the writes after it
-        val fmtProp = Option(root.get("properties"))
-          .flatMap(p => Option(p.get("write.format-default"))).map(_.asText)
-          .orElse(Option(propSets.get("write.format-default")).map(_.asText))
-        if (fmtProp.exists(_.equalsIgnoreCase("avro")) &&
-            !AvroDataWrite.writableType(add.dataType))
-          throw new UnsupportedOperationException(
-            s"cannot add column $name of type ${add.dataType.simpleString} " +
-              "to a table with write.format-default = avro — every later " +
-              "write would fail (avro-writable types: bigint, int, string, " +
-              "double, float, boolean, date, timestamp)")
+        // all re-validate the schema) — not the writes after it: type
+        // AND name (Avro rejects names parquet/ORC accept)
+        if (isAvroTable) {
+          if (!AvroDataWrite.writableType(add.dataType))
+            throw new UnsupportedOperationException(
+              s"cannot add column $name of type ${add.dataType.simpleString} " +
+                "to a table with write.format-default = avro — every later " +
+                "write would fail (avro-writable types: bigint, int, string, " +
+                "double, float, boolean, date, timestamp)")
+          AvroDataWrite.requireValidName(name, "ADD COLUMN")
+        }
         val fn = mapper.createObjectNode()
         fn.put("id", nextId())
         fn.put("name", name)
@@ -161,6 +166,8 @@ object SchemaEvolution {
         if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
         if (fieldIdx(ren.newName) >= 0) throw new IllegalArgumentException(
           s"column ${ren.newName} already exists")
+        if (isAvroTable)
+          AvroDataWrite.requireValidName(ren.newName, "RENAME COLUMN")
         val node = fields.get(i).asInstanceOf[ObjectNode]
         val fid = node.get("id").asInt
         node.put("name", ren.newName)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.iceberg.SerializableHadoopConf
+import graft.iceberg.{AvroDataRead, SerializableHadoopConf}
 
 /** DSv2 `Batch` over Avro data files — what lets copy-on-write rewrites
   * (UPDATE / MERGE / range DELETE under CoW) run on avro-written tables:
@@ -32,10 +32,10 @@ object AvroGroupBatch {
 
   final case class AvroFileInput(path: String) extends InputPartition
 
-  /** `fields`: output name + candidate source names + Spark type, in
-    * required-schema order. */
+  /** `fields`: the shared resolution specs ([[AvroDataRead.FieldSpec]],
+    * built by `IcebergTable.avroFieldSpecs`), in required-schema order. */
   def apply(files: Seq[String],
-            fields: Seq[(String, Seq[String], DataType)],
+            fields: Seq[AvroDataRead.FieldSpec],
             conf: SerializableHadoopConf): Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       files.map(AvroFileInput.apply).toArray
@@ -45,7 +45,7 @@ object AvroGroupBatch {
   }
 
   private final class AvroReaderFactory(
-      fields: Seq[(String, Seq[String], DataType)],
+      fields: Seq[AvroDataRead.FieldSpec],
       conf: SerializableHadoopConf)
       extends PartitionReaderFactory {
     override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -55,14 +55,23 @@ object AvroGroupBatch {
       val reader = new DataFileReader[GenericRecord](
         new FsInput(new Path(path), conf.value),
         new GenericDatumReader[GenericRecord]())
-      val fileSchema = reader.getSchema
-      val plan: Array[(Int, AnyRef => Any)] = fields.map {
-        case (out, sources, dt) =>
-          sources.flatMap(s => Option(fileSchema.getField(s))).headOption match {
-            case None => (-1, null)
-            case Some(af) => (af.pos, catalystConverter(af.schema, dt, out, path))
-          }
-      }.toArray
+      // plan construction can refuse (wrong logical type) — the reader
+      // is already open, so close it on the way out or the file handle
+      // leaks on every task retry
+      val plan: Array[(Int, AnyRef => Any)] =
+        try {
+          val fileSchema = reader.getSchema
+          fields.map { f =>
+            AvroDataRead.resolveField(fileSchema, f) match {
+              case None => (-1, null)
+              case Some(af) =>
+                (af.pos, catalystConverter(af.schema, f.dataType, f.name, path))
+            }
+          }.toArray
+        } catch { case t: Throwable =>
+          try reader.close() catch { case _: Exception => () }
+          throw t
+        }
       new PartitionReader[InternalRow] {
         private var row: InternalRow = _
         override def next(): Boolean =

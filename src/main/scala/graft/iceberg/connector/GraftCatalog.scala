@@ -252,8 +252,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           s"unsupported partition transform: $other")
       }
     }
+    val props = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
+    // a declared-avro table with an avro-unwritable column would be
+    // born write-dead (every INSERT fails) — refuse at CREATE, the same
+    // guard surface the ALTER-to-avro flip already has
+    if (props.get("write.format-default").exists(_.equalsIgnoreCase("avro")))
+      graft.iceberg.AvroDataWrite.requireWritable(schema)
     store.createTable(ident.namespace.toSeq, ident.name, schema, partitionCols,
-      Option(properties).map(_.asScala.toMap).getOrElse(Map.empty))
+      props)
     loadTable(ident)
   }
 

@@ -201,7 +201,7 @@ final class GraftGroupScan(
           "join a columnar batch) — run rewrite_data_files first to " +
           "unify the formats")
     if (avroFiles.nonEmpty) {
-      val fields = table.avroFieldCandidates(requiredSchema.fields.toSeq)
+      val fields = table.avroFieldSpecs(requiredSchema.fields.toSeq)
       AvroGroupBatch(
         avroFiles.map(f => table.resolve(f.filePath)), fields,
         new graft.iceberg.SerializableHadoopConf(

@@ -991,12 +991,23 @@ final class GraftMicroBatchStream(
     // cannot mix row and columnar partitions, and decoding garbage is
     // worse than stopping. Each trigger plans its own exec, so
     // per-window homogeneity is the right granularity.
-    if (files.forall(_.fileFormat.equalsIgnoreCase("AVRO")))
+    if (files.forall(_.fileFormat.equalsIgnoreCase("AVRO"))) {
+      // a mid-stream import whose identity-partition values live only
+      // in manifests would stream those columns as silent NULLs (the
+      // avro batch has no metadata re-injection) — refuse the window
+      val missing = t.missingPartitionColumns(spark, files)
+      if (missing.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"streaming window holds avro files whose partition columns " +
+            s"(${missing.mkString(", ")}) live only in metadata — the " +
+            "micro-batch reader cannot re-inject them; rewrite_data_files " +
+            "to materialize the columns")
       AvroGroupBatch(files.map(f => t.resolve(f.filePath)),
-          t.avroFieldCandidates(requiredSchema.fields.toSeq),
+          t.avroFieldSpecs(requiredSchema.fields.toSeq),
           new graft.iceberg.SerializableHadoopConf(
             spark.sessionState.newHadoopConf()))
         .planInputPartitions()
+    }
     else {
       files.find(!_.fileFormat.equalsIgnoreCase("PARQUET")).foreach { f =>
         throw new UnsupportedOperationException(
@@ -1027,7 +1038,7 @@ final class GraftMicroBatchStream(
         safeFilters(fresh()))
       .toBatch.createReaderFactory()
     val av = AvroGroupBatch(Nil,
-        fresh().avroFieldCandidates(requiredSchema.fields.toSeq),
+        fresh().avroFieldSpecs(requiredSchema.fields.toSeq),
         new graft.iceberg.SerializableHadoopConf(
           spark.sessionState.newHadoopConf()))
       .createReaderFactory()
@@ -1113,11 +1124,17 @@ final class GraftScan(
     // id-less PARQUET files resolve renames through name-mapping aliases
     // that the micro-batch parquet reader cannot apply — streaming them
     // would silently null renamed columns (avro windows are safe: their
-    // reader resolves by candidate names)
+    // reader resolves by field id / candidate names)
     val pq = files.filter(_.fileFormat.equalsIgnoreCase("PARQUET"))
     if (pq.nonEmpty && table.needsNameMapping(spark, pq))
       refuse("id-less parquet files need schema.name-mapping.default, " +
         "which the micro-batch reader cannot apply")
+    // ORC has no row-capable micro-batch source here — refuse at
+    // readStream time, not at the first trigger (a started-then-dead
+    // stream leaves a checkpoint behind)
+    if (files.exists(_.fileFormat.equalsIgnoreCase("ORC")))
+      refuse("ORC files have no micro-batch reader; rewrite_data_files " +
+        "them to parquet")
     new GraftMicroBatchStream(spark, table, requiredSchema, filters,
       streamRef, maxFilesPerTrigger)
   }

@@ -190,6 +190,50 @@ class AvroWriteSpec extends SparkSpec {
       s"format flip must refuse on unwritable schema, got: ${msgs(ex2)}")
   }
 
+  test("rename then re-add of the same name: old avro files read NULL " +
+      "for the new column (field-id resolution), never the old data") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE awcat.ns.a11
+        |TBLPROPERTIES ('write.format-default' = 'avro') AS
+        |SELECT id AS k, id * 7 AS a FROM range(10)""".stripMargin)
+    spark.sql("ALTER TABLE awcat.ns.a11 RENAME COLUMN a TO b")
+    spark.sql("ALTER TABLE awcat.ns.a11 ADD COLUMN a BIGINT")
+    // old files physically contain a field NAMED 'a' (the data of b);
+    // the new column 'a' has a fresh field id no old file carries
+    val rows = spark.sql(
+      "SELECT k, b, a FROM awcat.ns.a11 ORDER BY k").collect()
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 7),
+      "renamed column must keep its values (id-resolved)")
+    assert(rows.forall(_.isNullAt(2)),
+      "re-added name must read NULL from old files, not the old column's " +
+        "data — name-first resolution would silently resurrect it")
+    // and the CoW path (the group batch) resolves identically
+    spark.sql("UPDATE awcat.ns.a11 SET a = 1 WHERE k = 0")
+    val r0 = spark.sql("SELECT b, a FROM awcat.ns.a11 WHERE k = 0").collect()(0)
+    assert(r0.getLong(0) == 0 && r0.getLong(1) == 1)
+    val r1 = spark.sql("SELECT b, a FROM awcat.ns.a11 WHERE k = 1").collect()(0)
+    assert(r1.getLong(0) == 7 && r1.isNullAt(1),
+      "rewrite must preserve the NULL, not resurrect old 'a' data")
+    // avro-illegal names refuse at the ALTER on avro tables
+    def msgs(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ msgs(e.getCause)
+    val ex = intercept[Exception](spark.sql(
+      "ALTER TABLE awcat.ns.a11 ADD COLUMN `x-1` STRING"))
+    assert(msgs(ex).exists(_.contains("legal Avro field name")),
+      s"avro-illegal name must refuse at ALTER, got: ${msgs(ex)}")
+    val ex2 = intercept[Exception](spark.sql(
+      "ALTER TABLE awcat.ns.a11 RENAME COLUMN b TO `b-2`"))
+    assert(msgs(ex2).exists(_.contains("legal Avro field name")),
+      s"avro-illegal rename must refuse at ALTER, got: ${msgs(ex2)}")
+    // born-bricked CREATE refuses up front
+    val ex3 = intercept[Exception](spark.sql(
+      """CREATE TABLE awcat.ns.a12 (k BIGINT, b BINARY)
+        |TBLPROPERTIES ('write.format-default' = 'avro')""".stripMargin))
+    assert(msgs(ex3).exists(_.contains("avro cannot write column")),
+      s"CREATE with unwritable column must refuse, got: ${msgs(ex3)}")
+  }
+
   test("compaction honors avro default and absorbs delete debt; " +
       "unsupported column types refuse at plan time") {
     freshCatalog()
