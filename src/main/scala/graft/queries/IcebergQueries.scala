@@ -1440,14 +1440,16 @@ object IcebergQueries {
     "q146_orc_write" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |       CAST(SUM(s_suppkey) AS BIGINT) AS sk,
-        |       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents
+        |       CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS bal_cents
         |FROM supplier
         |WHERE s_suppkey % 5 <> 0
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q153_avro_write" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |       CAST(SUM(s_suppkey) AS BIGINT) AS sk,
-        |       SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS bal_cents
+        |       CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |         AS bal_cents
         |FROM supplier
         |WHERE NOT (s_suppkey >= 3 AND s_suppkey < 7)
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,

@@ -609,8 +609,10 @@ object Relational {
           count(lit(1)).as("n_items"))),
 
     // TPC-H Q14 (promotion effect): lineitem ⋈ part with a conditional
-    // aggregate — part is the broadcast side, the ratio is computed from
-    // two exact integer sums so the division is deterministic.
+    // aggregate — part is the broadcast side. The promotion ratio is
+    // emitted as integer basis points via integer division (DIV) so the
+    // output carries no floating-point column at all: both sums are
+    // positive, so truncating DIV matches DuckDB's // floor division.
     "q149_tpch14" -> ((s, d) => {
       val disc = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         * 100).cast("bigint")
@@ -622,9 +624,8 @@ object Relational {
           sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0L)))
             .as("promo_cents"),
           sum(disc).as("total_cents"))
-        .select(col("promo_cents"), col("total_cents"),
-          round(col("promo_cents") * lit(100.0) / col("total_cents"), 4)
-            .as("promo_pct"))
+        .selectExpr("promo_cents", "total_cents",
+          "CAST(promo_cents * 10000 DIV total_cents AS BIGINT) AS promo_bp")
     }),
 
     // TPC-H Q19 (discounted revenue): the classic OR-of-brackets join
@@ -1362,13 +1363,15 @@ object Relational {
         |              AS BIGINT) AS disc, p_type
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
-        |    AND l_shipdate < TIMESTAMP '1996-10-01')
-        |SELECT SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0 END)
-        |         AS promo_cents,
-        |       SUM(disc) AS total_cents,
-        |       ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0 END)
-        |             * 100.0 / SUM(disc), 4) AS promo_pct
-        |FROM j""".stripMargin,
+        |    AND l_shipdate < TIMESTAMP '1996-10-01'),
+        |a AS (
+        |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN disc ELSE 0 END)
+        |              AS BIGINT) AS promo_cents,
+        |         CAST(SUM(disc) AS BIGINT) AS total_cents
+        |  FROM j)
+        |SELECT promo_cents, total_cents,
+        |       CAST((promo_cents * 10000) // total_cents AS BIGINT) AS promo_bp
+        |FROM a""".stripMargin,
     "q150_tpch19" ->
       """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
         |                    AS BIGINT)) AS BIGINT) AS revenue_cents,

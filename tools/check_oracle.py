@@ -32,6 +32,28 @@ def frame_rows(df):
     return out
 
 
+def dtype_parity_errors(got, want):
+    """The driver materializes the oracle via pandas, where DuckDB HUGEINT
+    (SUM over BIGINT without an outer CAST) becomes float64 — so a column
+    that is integral on the Spark side but floating on the oracle side
+    hash-mismatches at the driver even when every value is equal. Flag
+    that class loudly instead of relying on the repr diff."""
+    errs = []
+    for c in got.columns:
+        if c not in want.columns:
+            continue
+        g_int = pd.api.types.is_integer_dtype(got[c])
+        g_flt = pd.api.types.is_float_dtype(got[c])
+        w_int = pd.api.types.is_integer_dtype(want[c])
+        w_flt = pd.api.types.is_float_dtype(want[c])
+        if g_int and w_flt:
+            errs.append(f"column '{c}': spark integral vs oracle float64 "
+                        "(HUGEINT widening — missing outer CAST(SUM(..) AS BIGINT)?)")
+        elif g_flt and w_int:
+            errs.append(f"column '{c}': spark floating vs oracle integral")
+    return errs
+
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -47,13 +69,20 @@ def main(outdir, sfdir):
             n_fail += 1
             continue
         try:
-            want = con.sql(sql).arrow().to_pandas(date_as_object=True)
+            # .df() is the driver's materialization path: HUGEINT → float64.
+            # (.arrow() keeps HUGEINT integral and CANNOT see the missing-cast
+            # class — do not switch back.)
+            want = con.sql(sql).df(date_as_object=True)
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
+        dterrs = dtype_parity_errors(got, want)
         g, w = frame_rows(got), frame_rows(want)
-        if sorted(got.columns.str.lower()) != sorted(want.columns.str.lower()):
+        if dterrs:
+            print(f"FAIL {name}: dtype parity — " + "; ".join(dterrs))
+            n_fail += 1
+        elif sorted(got.columns.str.lower()) != sorted(want.columns.str.lower()):
             print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(want.columns)}")
             n_fail += 1
         elif g == w:
