@@ -78,9 +78,24 @@ object DiffFuzz {
             case 1 => s"${c.name} IN (${r.shuffle(vs).take(1 + r.nextInt(2))
               .map(v => s"'$v'").mkString(", ")})"
             case _ => // LIKE on a value prefix — identical semantics in
-                      // Spark and DuckDB for plain %-patterns
+                      // Spark and DuckDB for plain %-patterns. Sampled
+                      // values containing % _ or ' must be escaped or the
+                      // pattern changes meaning; the escape char is `!`
+                      // (never backslash: the two engines disagree on
+                      // backslash handling INSIDE string literals).
               val v = pick(r, vs)
-              s"${c.name} LIKE '${v.take(1 + r.nextInt(math.max(1, v.length)))}%'"
+              val raw = v.take(1 + r.nextInt(math.max(1, v.length)))
+              val pat =
+                if (raw.exists(ch => ch == '%' || ch == '_' || ch == '!')) {
+                  val esc = raw.flatMap {
+                    case '!' => "!!"
+                    case '%' => "!%"
+                    case '_' => "!_"
+                    case ch => ch.toString
+                  }
+                  s"'${esc.replace("'", "''")}%' ESCAPE '!'"
+                } else s"'${raw.replace("'", "''")}%'"
+              s"${c.name} LIKE $pat"
           }
         case "ts" =>
           val y = 1995 + r.nextInt(4)
@@ -188,12 +203,61 @@ object DiffFuzz {
        |GROUP BY e ORDER BY e ASC NULLS FIRST""".stripMargin
   }
 
+  /** Fractional "money" columns per table — inputs for the money/ratio
+    * grammar below. */
+  private val moneyCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_totalprice"),
+    "lineitem" -> Seq("l_extendedprice"),
+    "customer" -> Seq("c_acctbal"))
+
+  /** One MONEY/RATIO query that enforces the repo's oracle dialect
+    * MECHANICALLY: fractional amounts aggregate as per-row integer cents
+    * with the OUTER BIGINT cast — `CAST(SUM(CAST(ROUND(x*100) AS BIGINT))
+    * AS BIGINT)` — because DuckDB widens SUM(BIGINT) to HUGEINT, which
+    * the driver's pandas materialization turns into float64 (the exact
+    * class that failed q146/q149/q153 in round 11); and ratios emit as
+    * integer basis points through `CAST(FLOOR(a * 10000.0 / b) AS
+    * BIGINT)` — the one integer-ratio spelling BOTH engines parse (Spark
+    * has DIV but DuckDB doesn't; DuckDB has // but Spark doesn't), exact
+    * while a*10000 stays under 2^53, which the corpus ranges guarantee.
+    * Never ROUND(double, d): a ULP coin-flip on a ratio is not a bug
+    * either engine has. */
+  def genMoneyQuery(r: scala.util.Random): String = {
+    val (t, ms) = pick(r, moneyCols.toSeq.sortBy(_._1))
+    val cols = tables(t)
+    val m = pick(r, ms)
+    val cents = s"CAST(ROUND($m * 100) AS BIGINT)"
+    val g = pick(r, cols.filter(_.kind == "cat")).name
+    val condPred = predicate(r, cols)
+    val aggs = Seq(
+      "COUNT(*) AS n",
+      s"CAST(SUM($cents) AS BIGINT) AS total_cents",
+      s"CAST(SUM(CASE WHEN $condPred THEN $cents ELSE 0 END) AS BIGINT)" +
+        " AS part_cents") ++
+      (if (r.nextBoolean())
+         Seq(s"CAST(MIN($cents) AS BIGINT) AS min_cents",
+           s"CAST(MAX($cents) AS BIGINT) AS max_cents")
+       else Nil)
+    val where = if (r.nextBoolean()) s"\nWHERE ${predicate(r, cols)}" else ""
+    // basis points of the conditional slice over the total, integer-only;
+    // groups can be all-zero under a narrow predicate, so guard the
+    // denominator the same way on both engines
+    s"""SELECT g, ${aggs.mkString(",\n       ")},
+       |       CASE WHEN SUM($cents) = 0 THEN CAST(-1 AS BIGINT)
+       |            ELSE CAST(FLOOR(SUM(CASE WHEN $condPred THEN $cents
+       |                                     ELSE 0 END) * 10000.0
+       |                            / SUM($cents)) AS BIGINT) END AS part_bp
+       |FROM (SELECT *, $g AS g FROM $t)$where
+       |GROUP BY g ORDER BY g ASC NULLS FIRST""".stripMargin
+  }
+
   /** One deterministic aggregate query in the common dialect. */
   def genQuery(r: scala.util.Random): String = {
-    r.nextInt(8) match {
+    r.nextInt(9) match {
       case 0 => return genWindowQuery(r)
       case 1 => return genSetOpQuery(r)
       case 2 => return genStringQuery(r)
+      case 3 => return genMoneyQuery(r)
       case _ => ()
     }
     // 1/3 of queries join two tables on a foreign key; predicates and
@@ -258,7 +322,22 @@ object DiffFuzz {
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
     new java.io.File(outDir).mkdirs()
     val r = new scala.util.Random(seed)
-    val queries = (0 until count).map(i => f"fz$i%04d" -> genQuery(r))
+    // 5th arg is a mode string: "money" restricts the corpus to the
+    // money/ratio grammar (oracle-dialect stress); "canary" appends one
+    // DELIBERATELY missing-cast query — Spark writes SUM(int) as int64
+    // while DuckDB widens to HUGEINT (float64 through the driver's
+    // pandas path), so the hardened check_oracle.py MUST flag it. A
+    // canary that passes means the local gate has lost parity with the
+    // driver's hash check again. Modes compose: "money,canary".
+    val mode = args.lift(4).getOrElse("")
+    val generated = (0 until count).map(i => f"fz$i%04d" ->
+      (if (mode.contains("money")) genMoneyQuery(r) else genQuery(r)))
+    val queries =
+      if (mode.contains("canary"))
+        generated :+ ("fzcanary_missing_cast" ->
+          ("SELECT o_orderstatus, SUM(o_orderkey) AS s FROM orders " +
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST"))
+      else generated
     var failed = 0
     queries.foreach { case (name, sql) =>
       try spark.sql(sql).coalesce(1).write.mode("overwrite")

@@ -278,22 +278,31 @@ final class IcebergTable private (
     else entries.filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
 
   /** Identity-partition source columns NOT materialized in the data files
-    * (must be re-injected from metadata); decided by one footer read. */
+    * (must be re-injected from metadata); decided by one footer read PER
+    * FORMAT GROUP — three formats can coexist in one snapshot, and a head
+    * file that materializes the columns (typical for files this engine
+    * wrote) must not mask an ORC/Avro import that lacks them: every
+    * caller treats the result as a refusal / re-injection guard, so a
+    * column counts as missing when ANY format's representative lacks it. */
   def missingPartitionColumns(spark: SparkSession, files: Seq[DataFileEntry]): Seq[String] = {
-    if (files.isEmpty) return Nil
-    val inFile =
-      if (files.head.fileFormat.equalsIgnoreCase("AVRO"))
-        // header-only read, no Spark job — and cached like the others.
-        // A read FAILURE propagates: mapping it to "no columns" would
-        // report every identity partition column missing and silently
-        // re-inject metadata values over columns the file actually has —
-        // the transient-error-latching mode fileSchemaColumns' comment
-        // warns about, made worse because here the wrong answer changes
-        // row VALUES, not just pruning.
-        fileSchemaColumnsAvro(resolve(files.head.filePath))
-      else fileSchemaColumns(spark, resolve(files.head.filePath),
-        orc = files.head.fileFormat.equalsIgnoreCase("ORC"))
-    metadata.identityPartitionColumns.filterNot(inFile.contains)
+    if (files.isEmpty || metadata.identityPartitionColumns.isEmpty) return Nil
+    val inAllFormats = files.groupBy(_.fileFormat.toUpperCase).values
+      .map { group =>
+        val rep = group.head
+        if (rep.fileFormat.equalsIgnoreCase("AVRO"))
+          // header-only read, no Spark job — and cached like the others.
+          // A read FAILURE propagates: mapping it to "no columns" would
+          // report every identity partition column missing and silently
+          // re-inject metadata values over columns the file actually has —
+          // the transient-error-latching mode fileSchemaColumns' comment
+          // warns about, made worse because here the wrong answer changes
+          // row VALUES, not just pruning.
+          fileSchemaColumnsAvro(resolve(rep.filePath))
+        else fileSchemaColumns(spark, resolve(rep.filePath),
+          orc = rep.fileFormat.equalsIgnoreCase("ORC"))
+      }
+      .reduce(_ intersect _)
+    metadata.identityPartitionColumns.filterNot(inAllFormats.contains)
   }
 
   /** Parsed manifest contents keyed by manifest path. Spark may call

@@ -2405,14 +2405,23 @@ object IcebergWriter {
           val ndv = row.getAs[Long](s"__ndv_$c")
           // payload: a REAL DataSketches-compact theta sketch (one
           // bounded bottom-k job per column), so external engines can
-          // deserialize and MERGE it; types without a documented
-          // update() encoding keep the documented stand-in. The `ndv`
-          // property stays the planning value every reader consumes.
-          val payload = ThetaSketch.columnSketch(df, c)
-            .map(_.serialize())
-            .getOrElse(Puffin.thetaStandInPayload(ndv))
+          // deserialize and MERGE it; types without an update()-
+          // compatible encoding keep the documented stand-in, MARKED
+          // with `graft.theta.stand-in` so an external engine can skip
+          // merging it. When the sketch is real, the blob's `ndv`
+          // property is the sketch's own estimate — property and
+          // payload must agree for engines that read only one of them.
+          val sketch = ThetaSketch.columnSketch(df, c)
+          val (payload, props) = sketch match {
+            case Some(sk) =>
+              (sk.serialize(),
+                Map("ndv" -> math.round(sk.estimate).toString))
+            case None =>
+              (Puffin.thetaStandInPayload(ndv),
+                Map("ndv" -> ndv.toString, "graft.theta.stand-in" -> "true"))
+          }
           Puffin.Blob(Puffin.ThetaBlobType, Seq(fid), sid, 0L,
-            payload, Map("ndv" -> ndv.toString))
+            payload, props)
         }
       }
       val pPath = new org.apache.hadoop.fs.Path(tableDir,

@@ -18,17 +18,18 @@ import org.apache.hadoop.fs.Path
   * where each blob entry carries `type`, `fields`, `snapshot-id`,
   * `sequence-number`, `offset`, `length`, and `properties`.
   *
-  * Blob PAYLOAD caveat, stated loudly: the spec's NDV blob type is
-  * `apache-datasketches-theta-v1`, whose payload is the DataSketches
-  * library's serialized compact theta sketch. That library is not on
-  * this classpath (offline build), and hand-rolling its binary format
-  * unverified would produce bytes OTHER engines deserialize wrongly —
-  * worse than absent. So [[thetaStandInPayload]] writes a DOCUMENTED
-  * deterministic stand-in (magic-prefixed sorted xxhash64 fingerprints)
-  * and every blob carries the `ndv` PROPERTY — which is what Iceberg's
-  * own readers consume for planning; only cross-engine sketch MERGING
-  * would open the payload, and a merger seeing the stand-in magic must
-  * re-analyze instead.
+  * Blob PAYLOAD: the spec's NDV blob type is
+  * `apache-datasketches-theta-v1`. Columns with an update()-compatible
+  * value encoding get a REAL DataSketches-compact sketch
+  * ([[ThetaSketch.columnSketch]], golden-byte-pinned against the
+  * published format), whose blob `ndv` property is the sketch's own
+  * estimate — property and payload always agree. Column types WITHOUT
+  * such an encoding fall back to [[thetaStandInPayload]], a DOCUMENTED
+  * deterministic stand-in (magic-prefixed big-endian NDV) whose blob is
+  * marked `graft.theta.stand-in = true` so an external engine can
+  * detect it WITHOUT opening the payload: planners reading the `ndv`
+  * property are unaffected; a cross-engine sketch MERGER seeing the
+  * marker (or the stand-in magic) must re-analyze instead.
   */
 object Puffin {
 

@@ -194,10 +194,15 @@ object ThetaSketch {
     * job per analyzed column, paid only at ANALYZE time.
     *
     * None for column types with no documented DataSketches update()
-    * encoding (callers fall back to the documented stand-in payload).
+    * encoding (callers fall back to the documented stand-in payload,
+    * marked `graft.theta.stand-in` in the blob properties).
     * Dates hash as their epoch-day long, timestamps as epoch-micros —
     * stated here because the Java library has no update(date); engines
     * merging across writers must agree on the scalar encoding anyway.
+    * Booleans and decimals hash through their Iceberg single-value
+    * BINARY serialization (boolean: one byte 0x00/0x01; decimal: the
+    * minimal big-endian two's-complement unscaled bytes) — the encoding
+    * the Puffin spec grounds column values in — via update(byte[]).
     */
   def columnSketch(df: org.apache.spark.sql.DataFrame, c: String,
                    k: Int = DefaultNominal): Option[Compact] = {
@@ -234,6 +239,14 @@ object ThetaSketch {
         case BinaryType =>
           Some(udf((b: Array[Byte]) =>
             if (b == null || b.isEmpty) 0L else hashBytes(b)).apply(col(c)))
+        case BooleanType =>
+          Some(udf((v: java.lang.Boolean) =>
+            if (v == null) 0L
+            else hashBytes(Array[Byte](if (v) 1 else 0))).apply(col(c)))
+        case _: DecimalType =>
+          Some(udf((v: java.math.BigDecimal) =>
+            if (v == null) 0L
+            else hashBytes(v.unscaledValue.toByteArray)).apply(col(c)))
         case _ => None
       }
     hashCol.map { h =>

@@ -189,7 +189,8 @@ object GraftScanShims {
   }
 
   private final class TaggedReaderFactory(
-      factories: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+      factories: Seq[org.apache.spark.sql.connector.read.PartitionReaderFactory],
+      allColumnar: Boolean)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
     override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
         : org.apache.spark.sql.connector.read.PartitionReader[
@@ -204,30 +205,44 @@ object GraftScanShims {
       val t = p.asInstanceOf[TaggedInputPartition]
       factories(t.tag).createColumnarReader(t.inner)
     }
+    // UNIFORM vote, not per-partition routing: `BatchScanExec` requires
+    // every partition of one scan to agree on row-vs-columnar, so a mixed
+    // parquet+ORC set where vectorization support diverges (nested types,
+    // enableVectorizedReader differences) must degrade the WHOLE scan to
+    // row-based reads — every file factory supports createReader — rather
+    // than fail at execution with the opaque mixed-partition error.
     override def supportColumnarReads(
-        p: org.apache.spark.sql.connector.read.InputPartition): Boolean = {
-      val t = p.asInstanceOf[TaggedInputPartition]
-      factories(t.tag).supportColumnarReads(t.inner)
-    }
+        p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+      allColumnar
   }
 
   /** Concatenate several Batches into one (a mixed parquet+ORC file set
     * behind a single DSv2 scan): partitions are tagged with their source
     * batch and routed back to that batch's reader factory on executors.
-    * Row-vs-columnar is decided PER PARTITION, which `BatchScanExec`
-    * supports only when all partitions agree — callers on the columnar
-    * path should check; the row-level-operation scans that use this read
-    * rows either way. */
+    * Row-vs-columnar is decided ONCE for the whole union at factory-
+    * creation time (columnar only when EVERY child factory supports it
+    * for EVERY partition; row-based otherwise), because `BatchScanExec`
+    * refuses mixed row/columnar partition sets. */
   def unionBatch(batches: Seq[org.apache.spark.sql.connector.read.Batch])
       : org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
-      override def planInputPartitions()
+      // planned once and reused: the factory's columnar vote must be
+      // computed over the exact partition set Spark executes
+      private lazy val parts
           : Array[org.apache.spark.sql.connector.read.InputPartition] =
         batches.zipWithIndex.flatMap { case (b, i) =>
           b.planInputPartitions().map(p => TaggedInputPartition(i, p))
         }.toArray
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = parts
       override def createReaderFactory()
-          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        new TaggedReaderFactory(batches.map(_.createReaderFactory()))
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+        val factories = batches.map(_.createReaderFactory())
+        val allColumnar = parts.nonEmpty && parts.forall { p =>
+          val t = p.asInstanceOf[TaggedInputPartition]
+          factories(t.tag).supportColumnarReads(t.inner)
+        }
+        new TaggedReaderFactory(factories, allColumnar)
+      }
     }
 }

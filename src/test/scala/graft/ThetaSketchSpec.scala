@@ -160,6 +160,32 @@ class ThetaSketchSpec extends SparkSpec {
       "array columns have no DataSketches encoding -> stand-in fallback")
   }
 
+  test("columnSketch boolean/decimal: Iceberg single-value binary " +
+      "encodings, exact NDV, local hash agreement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val bools = spark.range(0, 40).select(expr("id % 2 = 0").as("b"))
+    val bs = ThetaSketch.columnSketch(bools, "b").get
+    assert(bs.estimate == 2.0, s"2 distinct booleans, got ${bs.estimate}")
+    val localB = Seq(Array[Byte](0), Array[Byte](1))
+      .map(ThetaSketch.hashBytes(_)).sorted
+    assert(bs.entries.toSeq == localB,
+      "boolean hashes must be the single-byte 0x00/0x01 encoding")
+    val decs = spark.range(0, 90)
+      .select(expr("CAST((id % 45) * 1.25 AS DECIMAL(10,2))").as("d"))
+    val ds = ThetaSketch.columnSketch(decs, "d").get
+    assert(ds.estimate == 45.0, s"45 distinct decimals, got ${ds.estimate}")
+    // encoding agreement: minimal big-endian two's-complement unscaled
+    // bytes (java BigInteger.toByteArray) at the column's scale 2
+    val localD = (0L until 45L).map { i =>
+      val unscaled = java.math.BigDecimal.valueOf(i * 125, 2)
+        .setScale(2).unscaledValue.toByteArray
+      ThetaSketch.hashBytes(unscaled)
+    }.sorted
+    assert(ds.entries.toSeq == localD,
+      "decimal hashes must be the unscaled two's-complement bytes")
+  }
+
   test("columnSketch temporal encodings: date = epoch days, timestamp = " +
       "TRUE epoch micros (sub-second NDV preserved)") {
     import spark.implicits._
@@ -217,5 +243,57 @@ class ThetaSketchSpec extends SparkSpec {
         s"blob $i: sketch estimate ${sk.estimate}, want $expected")
       assert(sk.seedHash == ThetaSketch.defaultSeedHash)
     }
+  }
+
+  test("blob ndv property agrees with the payload estimate; stand-in " +
+      "blobs carry the graft.theta.stand-in marker") {
+    import graft.iceberg.{IcebergTable, IcebergWriter, Puffin}
+    import graft.iceberg.connector.GraftCatalog
+    import org.apache.hadoop.fs.Path
+    val warehouse = "/root/repo/target/theta-props-warehouse"
+    val conf = spark.sessionState.newHadoopConf()
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set("spark.sql.catalog.thpcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.thpcat.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS thpcat.ns")
+    // k sketches for real; the array column has no update()-compatible
+    // encoding and must fall back to the MARKED stand-in
+    spark.sql(
+      """CREATE TABLE thpcat.ns.t AS
+        |SELECT id % 23 AS k, array(id % 7, id % 3) AS a FROM range(400)"""
+        .stripMargin)
+    val dir = s"$warehouse/ns/t"
+    IcebergWriter.analyzeTable(spark, dir, Seq("k", "a"))
+    val t = new IcebergTable(dir, conf)
+    val stats = t.metadata.statistics.last
+    val footer = Puffin.readFooter(new Path(stats.path), conf)
+    val blobs = footer.get("blobs")
+    assert(blobs.size == 2)
+    var sawReal = false
+    var sawStandIn = false
+    (0 until blobs.size).foreach { i =>
+      val b = blobs.get(i)
+      val props = b.get("properties")
+      val payload = Puffin.readBlob(new Path(stats.path), conf,
+        b.get("offset").asLong, b.get("length").asInt)
+      if (b.get("fields").get(0).asInt == t.metadata.fieldIds("k")) {
+        sawReal = true
+        assert(props.get("graft.theta.stand-in") == null,
+          "a real sketch blob must NOT carry the stand-in marker")
+        val sk = ThetaSketch.deserialize(payload)
+        assert(props.get("ndv").asText.toLong == math.round(sk.estimate),
+          s"ndv property ${props.get("ndv")} must equal the payload " +
+            s"estimate ${sk.estimate}")
+      } else {
+        sawStandIn = true
+        assert(props.get("graft.theta.stand-in").asText == "true",
+          "stand-in blobs must be externally detectable via properties")
+        val ndv = Puffin.decodeStandIn(payload)
+          .getOrElse(fail("stand-in payload must decode"))
+        assert(ndv == props.get("ndv").asText.toLong,
+          "stand-in payload NDV must match the ndv property")
+      }
+    }
+    assert(sawReal && sawStandIn)
   }
 }
