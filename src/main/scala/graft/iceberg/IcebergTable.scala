@@ -545,22 +545,40 @@ final class IcebergTable private (
     */
   def toDF(spark: SparkSession, filters: Seq[Filter] = Nil,
            precomputed: Option[Seq[DataFileEntry]] = None,
-           keepIds: Boolean = false): DataFrame = {
-    import IcebergTable.{FpCol, PosCol}
+           keepIds: Boolean = false,
+           /** v3 row lineage: append a nullable `_row_id` column —
+             * `coalesce(materialized _row_id, manifest first_row_id +
+             * position)`, the spec's read rule. Null for rows of files
+             * with neither (pre-upgrade data, ORC placeholders). */
+           keepLineage: Boolean = false): DataFrame = {
+    import IcebergTable.{FpCol, PosCol, RowIdCol}
+    if (keepLineage) require(!metadata.schema.fieldNames.contains(RowIdCol),
+      s"cannot serve row lineage: a data column shadows the reserved " +
+        s"$RowIdCol name")
     val idFields = Seq(
       org.apache.spark.sql.types.StructField(FpCol, StringType, nullable = false),
       org.apache.spark.sql.types.StructField(PosCol,
         org.apache.spark.sql.types.LongType, nullable = false))
+    val lineageFields =
+      if (!keepLineage) Nil
+      else Seq(org.apache.spark.sql.types.StructField(RowIdCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
     val files = precomputed.getOrElse(planFiles(filters))
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        if (keepIds) StructType(metadata.schema.fields ++ idFields)
-        else metadata.schema)
+        StructType(metadata.schema.fields ++ lineageFields ++
+          (if (keepIds) idFields else Nil)))
 
     val deletes = if (hasDeletes) planDeletes() else Nil
+    val wantIds = keepIds || keepLineage
     val out =
-      if (deletes.isEmpty) scanFiles(spark, files, withIds = keepIds)
+      if (deletes.isEmpty) scanFiles(spark, files, withIds = wantIds,
+        matRowId = keepLineage,
+        // a lineage-only read over ORC files degrades to null lineage
+        // (no row positions exist) instead of refusing like identity
+        // consumers must
+        placeholderPos = keepLineage && !keepIds)
       else {
         // only files the delete set could touch pay the anti-joins; the
         // rest of the table streams straight through. On a 100 TB table
@@ -592,21 +610,44 @@ final class IcebergTable private (
                 "files have no row positions; run rewrite_data_files first")
           }
         }
-        val idCols = metadata.schema.fieldNames.toSeq ++ Seq(FpCol, PosCol)
+        val idCols = metadata.schema.fieldNames.toSeq ++
+          (if (keepLineage) Seq(RowIdCol) else Nil) ++ Seq(FpCol, PosCol)
         def norm(df: DataFrame) = df.select(idCols.map(col): _*)
         val parts = Seq(
           if (cands.isEmpty) None
           else Some(norm(applyDeletes(spark,
-            scanFiles(spark, cands, withIds = true, placeholderPos = orcInPlan),
+            scanFiles(spark, cands, withIds = true, placeholderPos = orcInPlan,
+              matRowId = keepLineage),
             cands, deletes))),
           if (rest.isEmpty) None
           else Some(norm(scanFiles(spark, rest, withIds = true,
-            placeholderPos = orcInPlan)))).flatten
+            placeholderPos = orcInPlan, matRowId = keepLineage)))).flatten
         parts.reduce(_ unionByName _) // files is non-empty ⇒ parts is too
       }
+    // Row-lineage completion (spec read rule): a materialized `_row_id`
+    // column wins; otherwise the file's manifest-assigned first_row_id
+    // plus the row's position. The per-file base joins in as a BROADCAST
+    // of one tiny row per data file — metadata-sized, never a shuffle of
+    // the data side.
+    val withLineage =
+      if (!keepLineage) out
+      else {
+        val baseRows = files.map(f =>
+          (normPath(resolve(f.filePath)), f.firstRowId.getOrElse(-1L)))
+        val baseDf = spark.createDataFrame(baseRows)
+          .toDF("__g_rl_fpn", "__g_rl_base")
+        out.withColumn("__g_rl_fpn", normPathExpr(col(FpCol)))
+          .join(broadcast(baseDf), Seq("__g_rl_fpn"), "left")
+          .withColumn(RowIdCol, coalesce(col(RowIdCol),
+            when(col("__g_rl_base") >= 0 && col(PosCol) >= 0,
+              col("__g_rl_base") + col(PosCol))))
+          .drop("__g_rl_fpn", "__g_rl_base")
+      }
     val keep = metadata.schema.fieldNames.toSeq ++
+      (if (keepLineage) Seq(RowIdCol) else Nil) ++
       (if (keepIds) Seq(FpCol, PosCol) else Nil)
-    if (deletes.isEmpty && !keepIds) out else out.select(keep.map(col): _*)
+    if (deletes.isEmpty && !keepIds && !keepLineage) out
+    else withLineage.select(keep.map(col): _*)
   }
 
   /** `(file_path, pos)` of every row this snapshot's EQUALITY deletes
@@ -643,7 +684,10 @@ final class IcebergTable private (
     */
   private def scanFiles(spark: SparkSession, files: Seq[DataFileEntry],
                         withIds: Boolean,
-                        placeholderPos: Boolean = false): DataFrame = {
+                        placeholderPos: Boolean = false,
+                        /** also read the materialized `_row_id` lineage
+                          * column (null where a file lacks it) */
+                        matRowId: Boolean = false): DataFrame = {
     // Mixed-format snapshots (native parquet + add_files ORC/Avro
     // imports) split into one scan per format and union — parquet and
     // ORC keep their multi-file vectorized scans; Avro decodes row-wise
@@ -655,12 +699,20 @@ final class IcebergTable private (
     val parts = Seq(
       if (parquetFiles.isEmpty) None
       else Some(scanFilesOneFormat(spark, parquetFiles, withIds,
-        orc = false, placeholderPos)),
+        orc = false, placeholderPos, matRowId)),
       if (orcFiles.isEmpty) None
       else Some(scanFilesOneFormat(spark, orcFiles, withIds, orc = true,
-        placeholderPos)),
+        placeholderPos, matRowId)),
       if (avroFiles.isEmpty) None
-      else Some(scanAvroFiles(spark, avroFiles, withIds))).flatten
+      else {
+        // avro files never materialize lineage (rewrites land in the
+        // table's declared format; avro decode has no such column):
+        // serve explicit nulls so the format union stays aligned
+        val av = scanAvroFiles(spark, avroFiles, withIds)
+        Some(if (!matRowId) av
+          else av.withColumn(IcebergTable.RowIdCol,
+            lit(null).cast(org.apache.spark.sql.types.LongType)))
+      }).flatten
     parts.reduce(_ unionByName _)
   }
 
@@ -739,7 +791,8 @@ final class IcebergTable private (
 
   private def scanFilesOneFormat(spark: SparkSession, files: Seq[DataFileEntry],
                                  withIds: Boolean, orc: Boolean,
-                                 placeholderPos: Boolean = false): DataFrame = {
+                                 placeholderPos: Boolean = false,
+                                 matRowId: Boolean = false): DataFrame = {
     val paths = files.map(f => resolve(f.filePath))
     val partCols = metadata.identityPartitionColumns
     val inFile = fileSchemaColumns(spark, paths.head, orc)
@@ -782,9 +835,21 @@ final class IcebergTable private (
     def read = spark.read
     // One multi-file scan per call through the format's own vectorized
     // source; ORC resolves columns by name (it has no parquet.field.id).
-    def load(schema: StructType, ps: Seq[String]): DataFrame =
+    // `matRowId` appends the reserved lineage column to the read schema:
+    // rewritten files materialize it (parquet resolves it by its
+    // reserved field id or name, ORC by name); files without it read
+    // nulls — exactly the precedence the coalesce in toDF needs.
+    def load(schema0: StructType, ps: Seq[String]): DataFrame = {
+      val schema =
+        if (!matRowId) schema0
+        else StructType(schema0.fields :+ org.apache.spark.sql.types.StructField(
+          IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
+          nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()))
       if (orc) read.schema(schema).orc(ps: _*)
       else read.schema(schema).parquet(ps: _*)
+    }
 
     val base =
       if (missing.isEmpty && needsNameMapping(spark, files)) {
@@ -804,6 +869,7 @@ final class IcebergTable private (
         val readSchema = StructType(pairs.map { case (src, f) =>
           StructField(src, f.dataType, f.nullable) })
         val renamed = pairs.map { case (src, f) => col(src).as(f.name) } ++
+          (if (matRowId) Seq(col(IcebergTable.RowIdCol)) else Nil) ++
           (if (!withIds) Nil
            else Seq(col(IcebergTable.FpCol), col(IcebergTable.PosCol)))
         withRowId(load(readSchema, paths))
@@ -818,6 +884,7 @@ final class IcebergTable private (
         // literals from manifest metadata, union by name.
         val dataSchema = StructType(metadata.schema.filterNot(f => missing.contains(f.name)))
         val keep = metadata.schema.fieldNames.toSeq ++
+          (if (matRowId) Seq(IcebergTable.RowIdCol) else Nil) ++
           (if (!withIds) Nil else Seq(IcebergTable.FpCol, IcebergTable.PosCol))
         val groups = files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
         groups.map { case (values, gfiles) =>
@@ -1298,6 +1365,13 @@ object IcebergTable {
     * through the merge-on-read anti joins. */
   private[iceberg] val FpCol = "__graft_file_path"
   private[iceberg] val PosCol = "__graft_row_pos"
+
+  /** v3 row lineage: the spec's reserved `_row_id` column name and field
+    * id — the PHYSICAL column rewrites materialize into data files (so
+    * compaction preserves ids across position changes) and the name the
+    * lineage read serves. */
+  private[graft] val RowIdCol = "_row_id"
+  private[graft] val RowIdFieldId = 2147483540L
 
   /** THE path-identity normalization every delete-application join and
     * supersede/absorb comparison hangs on: strip the URI scheme and

@@ -78,6 +78,7 @@ object IcebergWriter {
       |  {"name":"record_count","type":"long"},
       |  {"name":"file_size_in_bytes","type":"long"},
       |  {"name":"sort_order_id","type":["null","int"],"default":null},
+      |  {"name":"first_row_id","type":["null","long"],"default":null},
       |  ${kvFields("")}]}}]}""".stripMargin)
 
   /** Avro type of a transformed partition value, per its Spark result
@@ -122,6 +123,7 @@ object IcebergWriter {
          |    {"type":"record","name":"r102","fields":[$partFields]}],
          |   "default":null},
          |  {"name":"sort_order_id","type":["null","int"],"default":null},
+         |  {"name":"first_row_id","type":["null","long"],"default":null},
          |  ${kvFields("p")}]}}]}""".stripMargin)
   }
 
@@ -579,18 +581,43 @@ object IcebergWriter {
     }
     val totalBytes = t.planFiles().map(_.fileSizeInBytes).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df0 = t.toDF(spark)
-    val df =
+    // v3 row lineage: the rewrite MATERIALIZES each surviving row's
+    // _row_id into the new files (spec rewrite rule) — positions change,
+    // so the inherited first_row_id + pos identity would not survive;
+    // the physical column does, and the read coalesce prefers it.
+    val lineage = wantsLineage(t.metadata)
+    val df0 = t.toDF(spark, keepLineage = lineage)
+    val df1 =
       if (zorderCols.nonEmpty) ZOrder.cluster(df0, zorderCols, n)
       else if (sortCols.nonEmpty)
         df0.repartitionByRange(n, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df0.repartition(n)
+    val df = if (lineage) stampLineageField(df1) else df1
     // spec operation `replace`: same rows, different files — readers that
     // interpret operations (the changelog above all) must see compaction
     // as data movement, not as an overwrite's delete+insert churn
     commit(spark, tableDir, df, carryPrior = false,
       Map("operation" -> "replace"), committer)
+  }
+
+  /** True when commits to this table assign v3 row lineage (declared or
+    * already-upgraded format-version 3). */
+  private[graft] def wantsLineage(meta: TableMetadata): Boolean =
+    meta.formatVersion >= 3 ||
+      meta.properties.get("format-version").contains("3")
+
+  /** Stamp the reserved field id onto a df's `_row_id` column so the
+    * fanout parquet writer materializes it as the spec's lineage column
+    * (readable by field id or name). */
+  private def stampLineageField(df: DataFrame): DataFrame = {
+    import graft.iceberg.IcebergTable.{RowIdCol, RowIdFieldId}
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", RowIdFieldId).build()
+    df.select(df.schema.fieldNames.toSeq.map {
+      case RowIdCol => col(RowIdCol).as(RowIdCol, m)
+      case n => col(n)
+    }: _*)
   }
 
   /** Register EXISTING parquet or ORC files as a new append snapshot
@@ -964,13 +991,16 @@ object IcebergWriter {
     // paths are never reused) and equality deletes cannot re-apply (the
     // replacement files' sequence number exceeds every delete's);
     // rewrite_position_delete_files reclaims the dangling entries.
-    val df0 = t.toDF(spark, Nil, precomputed = Some(files))
-    val df =
+    val lineage = wantsLineage(meta)
+    val df0 = t.toDF(spark, Nil, precomputed = Some(files),
+      keepLineage = lineage)
+    val df1 =
       if (zorderCols.nonEmpty) ZOrder.cluster(df0, zorderCols, n)
       else if (sortCols.nonEmpty)
         df0.repartitionByRange(n, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df0.repartition(n)
+    val df = if (lineage) stampLineageField(df1) else df1
     val snapId0 = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val added = writeDataFiles(df, s"$tableDir/data/cw$snapId0-${uniq()}",
       meta, conf)
@@ -1010,12 +1040,28 @@ object IcebergWriter {
     val partSchema =
       if (spec.isEmpty) null
       else dfSchema.getField("partition").schema.getTypes.get(1)
+    // v3 row lineage: each new file's rows get ids [first_row_id,
+    // first_row_id + rows) — assigned ABSOLUTE here (base = the table's
+    // next-row-id, advanced by the same commit's set-next-row-id) so a
+    // later manifest rewrite that drops sibling entries cannot shift
+    // them. Files carrying a materialized `_row_id` column (rewrites)
+    // also get a range; the column takes precedence on read. A stale
+    // base cannot land: the commit's assert-ref requirement fails first.
+    var nextFileRowId: Option[Long] =
+      if (meta.formatVersion >= 3 ||
+          meta.properties.get("format-version").contains("3"))
+        Some(meta.nextRowId.getOrElse(0L))
+      else None
     val entries = added.map { f =>
       val d = new GenericData.Record(dfSchema)
       d.put("file_path", f.path)
       d.put("file_format", f.fileFormat)
       d.put("record_count", f.rows)
       d.put("file_size_in_bytes", f.bytes)
+      nextFileRowId.foreach { base =>
+        d.put("first_row_id", base)
+        nextFileRowId = Some(base + f.rows)
+      }
       if (spec.nonEmpty) f.partition.foreach { tup =>
         val pr = new GenericData.Record(partSchema)
         spec.zipWithIndex.foreach { case (p, i) => pr.put(p.name, tup(i)) }
@@ -1452,13 +1498,18 @@ object IcebergWriter {
     // (sequence number == this snapshot id; carried manifests keep their
     // older sequence numbers).
     //
-    // DOCUMENTED DEVIATION: rows REWRITTEN by compaction or
-    // copy-on-write receive FRESH ids (their new files count as added) —
-    // the spec's rewrite rule (carry original ids by materializing a
-    // _row_id column into the rewritten files) is not implemented.
-    // Lineage is therefore append-accurate: ids are never reused
-    // (monotone counter) and identify a row SINCE its last rewrite, but
-    // CDC consumers keying on _row_id see a rewrite as delete+reinsert.
+    // Rewrites PRESERVE row ids per the spec's rewrite rule:
+    // compaction (compact/compactWhere) and the partial-file rewrite of
+    // positionDeleteWhere materialize each surviving row's _row_id into
+    // the replacement files (the read-side coalesce prefers the column
+    // over first_row_id + pos). The counter still advances over the
+    // rewritten files' assigned ranges — ids are never reused, some are
+    // simply never served. DOCUMENTED DEVIATION (narrowed round 13):
+    // rows rewritten by the DSv2 ReplaceData path (SQL UPDATE / MERGE /
+    // copy-on-write DELETE through RowLevelOps) still receive FRESH ids
+    // — Spark's group-based rewrite controls that projection, and
+    // threading lineage through it is future work. CDC consumers keying
+    // on _row_id see THOSE rewrites as delete+reinsert.
     val lineageUpdates: Seq[JsonNode] = {
       val meta = committer.currentMetadata()
       val wantsV3 = meta.formatVersion >= 3 ||
@@ -1695,16 +1746,49 @@ object IcebergWriter {
           candidates.map(f => f.filePath -> f.fileFormat).toMap
         val (orcRw, pqRw) = rewrite.toSeq
           .partition(p => fmtOf.get(p).exists(_.equalsIgnoreCase("ORC")))
+        // v3 row lineage: surviving rows of a partially-deleted file keep
+        // their ids — read each row's _row_id (materialized column or
+        // manifest first_row_id + position) and materialize it into the
+        // replacement files. ORC sources have no row positions: their
+        // survivors' lineage degrades to null (same stance as the read).
+        val lineage = wantsLineage(meta)
+        import graft.iceberg.IcebergTable.{RowIdCol, RowIdFieldId}
+        def readSchema0 =
+          if (!lineage) meta.schema
+          else org.apache.spark.sql.types.StructType(meta.schema.fields :+
+            org.apache.spark.sql.types.StructField(RowIdCol,
+              org.apache.spark.sql.types.LongType, nullable = true,
+              metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id", RowIdFieldId).build()))
+        def withLineage(df: DataFrame): DataFrame =
+          if (!lineage) df
+          else {
+            val baseRows = candidates.map(f =>
+              (norm(table.resolve(f.filePath)), f.firstRowId.getOrElse(-1L)))
+            val baseDf = spark.createDataFrame(baseRows)
+              .toDF("__g_rl_fpn", "__g_rl_base")
+            df.withColumn("__g_rl_fpn",
+                table.normPathExpr(col("_metadata.file_path")))
+              .withColumn("__g_rl_pos", col("_metadata.row_index"))
+              .join(broadcast(baseDf), Seq("__g_rl_fpn"), "left")
+              .withColumn(RowIdCol, coalesce(col(RowIdCol),
+                when(col("__g_rl_base") >= 0,
+                  col("__g_rl_base") + col("__g_rl_pos"))))
+              .drop("__g_rl_fpn", "__g_rl_pos", "__g_rl_base")
+          }
         val srcParts = Seq(
           if (pqRw.isEmpty) None
-          else Some(spark.read.schema(meta.schema)
-            .parquet(pqRw.map(p => table.resolve(p)): _*)),
+          else Some(withLineage(spark.read.schema(readSchema0)
+            .parquet(pqRw.map(p => table.resolve(p)): _*))),
           if (orcRw.isEmpty) None
-          else Some(spark.read.schema(meta.schema)
+          else Some(spark.read.schema(readSchema0)
             .orc(orcRw.map(p => table.resolve(p)): _*))).flatten
-        val src = srcParts.reduce(_ unionByName _)
+        val keepCols = meta.schema.fieldNames.toSeq ++
+          (if (lineage) Seq(RowIdCol) else Nil)
+        val src0 = srcParts.reduce(_ unionByName _)
           .filter(!cond)
-          .select(meta.schema.fieldNames.map(col).toSeq: _*)
+          .select(keepCols.map(col): _*)
+        val src = if (lineage) stampLineageField(src0) else src0
         writeDataFiles(src, s"$tableDir/data/s$snapId-$u", meta, conf)
       }
 
@@ -2344,12 +2428,20 @@ object IcebergWriter {
     val meta = cmtr.currentMetadata()
     val t = IcebergTable.fromMetadata(tableDir, conf, meta)
     import org.apache.spark.sql.types.{BinaryType, StringType}
-    val analyzable = meta.schema.fields.filter(f => f.dataType match {
-      case _: org.apache.spark.sql.types.ArrayType |
-           _: org.apache.spark.sql.types.MapType |
-           _: org.apache.spark.sql.types.StructType => false
+    // NDV needs a hashable type: every scalar, plus arrays/structs of
+    // hashable types (approx_count_distinct's XxHash64 walks them).
+    // Maps are Spark-unhashable — the only truly un-analyzable shape.
+    // Nested columns get a MARKED stand-in theta blob (no DataSketches
+    // update() encoding exists for them), scalars a real sketch.
+    def ndvHashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => ndvHashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => ndvHashable(f.dataType))
       case _ => true
-    }).map(_.name).toSeq
+    }
+    val analyzable =
+      meta.schema.fields.filter(f => ndvHashable(f.dataType)).map(_.name).toSeq
     val target =
       if (columns.isEmpty) analyzable
       else {
@@ -2412,7 +2504,7 @@ object IcebergWriter {
           // property is the sketch's own estimate — property and
           // payload must agree for engines that read only one of them.
           val sketch = ThetaSketch.columnSketch(df, c)
-          val (payload, props) = sketch match {
+          val (payload, blobProps) = sketch match {
             case Some(sk) =>
               (sk.serialize(),
                 Map("ndv" -> math.round(sk.estimate).toString))
@@ -2421,7 +2513,7 @@ object IcebergWriter {
                 Map("ndv" -> ndv.toString, "graft.theta.stand-in" -> "true"))
           }
           Puffin.Blob(Puffin.ThetaBlobType, Seq(fid), sid, 0L,
-            payload, props)
+            payload, blobProps)
         }
       }
       val pPath = new org.apache.hadoop.fs.Path(tableDir,

@@ -58,7 +58,15 @@ final case class DataFileEntry(
     /** partition spec the containing manifest was written under — the
       * `partition` map's values are typed/named by THIS spec, which after
       * partition evolution differs from the table's default */
-    specId: Int = 0)
+    specId: Int = 0,
+    /** v3 row lineage: the row id of this file's first row — rows read
+      * as `firstRowId + position` unless the file materializes a
+      * `_row_id` column (rewrites do; the column wins). None on v1/v2
+      * manifests and on files added before a v3 upgrade. Written
+      * ABSOLUTE per file (not the spec's manifest-relative inheritance):
+      * a rewritten manifest that drops entries then cannot shift the
+      * survivors' ids. */
+    firstRowId: Option[Long] = None)
 
 /** One delete file from a v2 delete manifest: content 1 = position
   * deletes (rows of `file_path`, `pos`), content 2 = equality deletes
@@ -220,7 +228,8 @@ object ManifestIO {
               lowerBounds = opt(df, "lower_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
               upperBounds = opt(df, "upper_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
               sortOrderId = optLong(df, "sort_order_id").map(_.toInt),
-              specId = specId)
+              specId = specId,
+              firstRowId = optLong(df, "first_row_id"))
           }
         }
       }

@@ -526,9 +526,46 @@ object IcebergJson {
       location.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
     root.put("location", location)
     root.put("last-updated-ms", 0L)
-    root.put("last-column-id", schema.size)
     val fieldId = schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    // Nested list/map/struct element ids are allocated AFTER the
+    // top-level block (ids 1..n), depth-first — flat schemas keep the
+    // exact ids every existing table carries, and partition/sort-order
+    // source-id resolution stays positional on the top-level map.
+    var lastColumnId = schema.size
     def schemaNode(target: ObjectNode): Unit = {
+      var nextNested = schema.size
+      def nextId(): Int = { nextNested += 1; nextNested }
+      def typeNode(dt: DataType): com.fasterxml.jackson.databind.JsonNode = dt match {
+        case s: StructType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "struct")
+          val arr = o.putArray("fields")
+          s.fields.foreach { f =>
+            val fn = arr.addObject()
+            fn.put("id", nextId())
+            fn.put("name", f.name)
+            fn.put("required", !f.nullable)
+            fn.set[ObjectNode]("type", typeNode(f.dataType))
+          }
+          o
+        case a: ArrayType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "list")
+          o.put("element-id", nextId())
+          o.put("element-required", !a.containsNull)
+          o.set[ObjectNode]("element", typeNode(a.elementType))
+          o
+        case m: MapType =>
+          val o = mapper.createObjectNode()
+          o.put("type", "map")
+          o.put("key-id", nextId())
+          o.set[ObjectNode]("key", typeNode(m.keyType))
+          o.put("value-id", nextId())
+          o.put("value-required", !m.valueContainsNull)
+          o.set[ObjectNode]("value", typeNode(m.valueType))
+          o
+        case p => mapper.getNodeFactory.textNode(icebergType(p))
+      }
       target.put("type", "struct")
       target.put("schema-id", 0)
       val arr = target.putArray("fields")
@@ -537,12 +574,14 @@ object IcebergJson {
         fn.put("id", fieldId(f.name))
         fn.put("name", f.name)
         fn.put("required", !f.nullable)
-        fn.put("type", icebergType(f.dataType))
+        fn.set[com.fasterxml.jackson.databind.JsonNode]("type", typeNode(f.dataType))
       }
+      lastColumnId = nextNested
     }
     schemaNode(root.putObject("schema"))
     root.put("current-schema-id", 0)
     schemaNode(root.putArray("schemas").addObject())
+    root.put("last-column-id", lastColumnId)
     val specs = root.putArray("partition-specs")
     val spec = specs.addObject()
     spec.put("spec-id", 0)

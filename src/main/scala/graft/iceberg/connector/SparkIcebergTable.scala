@@ -74,7 +74,21 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
           org.apache.spark.sql.types.LongType
         override def isNullable: Boolean = false
         override def comment(): String = "row position in its data file"
-      })
+      }) ++
+      // v3 row lineage: `_row_id` — materialized column of rewritten
+      // files, else manifest first_row_id + position; null for rows
+      // predating the v3 upgrade. Only v3 tables serve it.
+      (if (table.metadata.formatVersion < 3)
+         Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
+       else Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = "_row_id"
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.LongType
+          override def isNullable: Boolean = true
+          override def comment(): String =
+            "v3 row lineage id (stable across rewrites)"
+        }))
 
   /** Writes go through the V1 bridge ([[GraftWriteBuilder]]): the commit
     * protocol is driver-side metadata bookkeeping around a distributed
@@ -481,7 +495,7 @@ final class GraftScanBuilder(table: IcebergTable,
     // off the parquet _metadata struct, which the raw batch scan's read
     // schema cannot carry
     val wantsRowId = requiredSchema.fieldNames
-      .exists(n => n == "_file" || n == "_pos")
+      .exists(n => n == "_file" || n == "_pos" || n == "_row_id")
     // ORC imports (add_files) also take the V1 bridge: the native Batch
     // is Spark's parquet reader — toDF dispatches per-format scans
     if (table.missingPartitionColumns(spark, staticFiles).isEmpty &&
@@ -1116,8 +1130,10 @@ final class GraftScan(
         "rewrite the table first")
     if (table.hasDeletes) refuse("this table carries v2 delete files")
     if (limit.nonEmpty) refuse("a LIMIT pushdown cannot follow a frontier")
-    if (requiredSchema.fieldNames.exists(n => n == "_file" || n == "_pos"))
-      refuse("_file/_pos row-identity projections are parquet-batch-only")
+    if (requiredSchema.fieldNames.exists(n =>
+        n == "_file" || n == "_pos" || n == "_row_id"))
+      refuse("_file/_pos/_row_id row-identity projections are " +
+        "parquet-batch-only")
     if (table.missingPartitionColumns(spark, files).nonEmpty)
       refuse("partition values live only in metadata (re-injection is a " +
         "batch-plan shape)")
@@ -1168,10 +1184,14 @@ final class GraftScan(
         // (Spark's conflict rule), so only non-schema names map.
         val dataCols = table.metadata.schema.fieldNames.toSet
         val isMetaCol = (n: String) =>
-          (n == "_file" || n == "_pos") && !dataCols.contains(n)
-        val wantsRowId = requiredSchema.fieldNames.exists(isMetaCol)
+          (n == "_file" || n == "_pos" || n == "_row_id") &&
+            !dataCols.contains(n)
+        val wantsRowId = requiredSchema.fieldNames
+          .exists(n => isMetaCol(n) && (n == "_file" || n == "_pos"))
+        val wantsLineage = requiredSchema.fieldNames
+          .exists(n => isMetaCol(n) && n == "_row_id")
         var df = table.toDF(spark, filters.toSeq, precomputed = Some(files),
-          keepIds = wantsRowId)
+          keepIds = wantsRowId, keepLineage = wantsLineage)
         // Re-apply pushed predicates inside the inner plan so the parquet
         // reader gets footer/row-group pushdown as well (A9) — except on
         // columns whose field id shifted across schema evolution: the
@@ -1189,7 +1209,7 @@ final class GraftScan(
             col(IcebergTable.FpCol).as("_file")
           case n if isMetaCol(n) && n == "_pos" =>
             col(IcebergTable.PosCol).as("_pos")
-          case n => col(n)
+          case n => col(n) // data columns; `_row_id` arrives under its own name
         }: _*)
         limit.foreach(n => df = df.limit(n))
         df.queryExecution.toRdd.asInstanceOf[RDD[Row]]

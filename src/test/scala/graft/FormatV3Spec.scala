@@ -105,6 +105,62 @@ class FormatV3Spec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM v3cat.ns.d").head.getLong(0) == 170L)
   }
 
+  test("_row_id is served, dense per commit, and STABLE across " +
+      "compaction (spec rewrite rule: rewrites materialize lineage)") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE v3cat.ns.rl (k BIGINT, v STRING)
+        |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+    spark.sql("INSERT INTO v3cat.ns.rl SELECT id, concat('a', id) FROM range(60)")
+    spark.sql("INSERT INTO v3cat.ns.rl SELECT id, concat('b', id) FROM range(60, 100)")
+    def lineageMap(): Map[Long, Long] =
+      spark.sql("SELECT k, _row_id FROM v3cat.ns.rl").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = lineageMap()
+    // both commits' ranges dense and disjoint: [0,60) then [60,100)
+    assert(before.values.toSeq.sorted == (0L until 100L),
+      s"ids must be dense 0..99: ${before.values.toSeq.sorted.take(10)}…")
+    assert((0L until 60L).forall(k => before(k) < 60),
+      "first commit's rows take the first range")
+    assert((60L until 100L).forall(k => before(k) >= 60),
+      "second commit's rows take the second range")
+    val dir = s"$warehouse/ns/rl"
+    IcebergWriter.compact(spark, dir)
+    val after = lineageMap()
+    assert(after == before,
+      s"compaction must preserve every row's _row_id: " +
+        s"${(after.toSet -- before.toSet).take(5)}")
+    // and the counter never reuses ids
+    assert(TableMetadata.load(dir, conf).nextRowId.exists(_ >= 100L))
+    // a second compaction reads the MATERIALIZED column and keeps it
+    IcebergWriter.compact(spark, dir)
+    assert(lineageMap() == before, "double compaction is still stable")
+  }
+
+  test("a partial-file CoW rewrite (position-delete path) keeps the " +
+      "surviving rows' _row_id") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE v3cat.ns.rd (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+    spark.sql("INSERT INTO v3cat.ns.rd SELECT id, id * 7 FROM range(80)")
+    val before = spark.sql("SELECT k, _row_id FROM v3cat.ns.rd").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = s"$warehouse/ns/rd"
+    // force the CoW rewrite branch (no merge-on-read): a small range
+    // delete rewrites the file, keeping survivors
+    IcebergWriter.positionDeleteWhere(spark, dir,
+      Seq(org.apache.spark.sql.sources.And(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("k", 20L),
+        org.apache.spark.sql.sources.LessThan("k", 30L))),
+      maxPosDeleteFraction = 0.0) // 0 ⇒ never position-delete, always rewrite
+    val after = spark.sql("SELECT k, _row_id FROM v3cat.ns.rd").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet -- (20L until 30L))
+    assert(after.forall { case (k, id) => before(k) == id },
+      s"survivors keep ids: ${after.filter { case (k, id) => before(k) != id }.take(5)}")
+  }
+
   test("lifecycle ops on a v3 table: model-checked mixed sequence") {
     freshCatalog()
     spark.sql(

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types._
+
+import graft.iceberg.IcebergTable
+import graft.iceberg.connector.GraftCatalog
+
+/** Nested types (list / map / struct) in the Iceberg table-schema layer
+  * (round 13, VERDICT r12 item 1): the catalog's metadata writer emits
+  * spec schema nodes with element ids for non-scalar columns, the
+  * metadata parser round-trips them, the fanout write kernel and the
+  * vectorized read path carry the values, and schema evolution keeps
+  * allocating ids beyond the nested block. The reference itself never
+  * exercises nested columns (its fixture `v1.metadata.json` is scalars
+  * only) — this is the extension surface a vector-bearing lakehouse
+  * (array<float> embeddings, SURVEY §1.4) needs.
+  */
+class NestedTypesSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/nested-warehouse"
+
+  private def freshCatalog(name: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.ns")
+  }
+
+  test("array<float> CTAS round-trips values and type through the catalog") {
+    freshCatalog("ntcat")
+    Tables.load(spark, sf, "embeddings").createOrReplaceTempView("emb_src_nt")
+    spark.sql(
+      """CREATE TABLE ntcat.ns.emb AS
+        |SELECT vec_id, embedding, label FROM emb_src_nt""".stripMargin)
+    val t = new IcebergTable(s"$warehouse/ns/emb",
+      spark.sessionState.newHadoopConf())
+    assert(t.metadata.schema("embedding").dataType
+      .isInstanceOf[ArrayType])
+    assert(t.metadata.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+    // values: element-wise checksum must match the source exactly
+    val got = spark.sql(
+      """SELECT CAST(SUM(CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE)
+        |    * 1000) AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS n,
+        |    CAST(SUM(size(embedding)) AS BIGINT) AS d
+        |FROM ntcat.ns.emb""".stripMargin).collect()(0)
+    val want = spark.sql(
+      """SELECT CAST(SUM(CAST(ROUND(CAST(element_at(embedding, 1) AS DOUBLE)
+        |    * 1000) AS BIGINT)) AS BIGINT) AS s, COUNT(*) AS n,
+        |    CAST(SUM(size(embedding)) AS BIGINT) AS d
+        |FROM emb_src_nt""".stripMargin).collect()(0)
+    assert(got == want, s"round-trip mismatch: $got vs $want")
+  }
+
+  test("nested ids are unique, allocated beyond the top-level block, " +
+      "and last-column-id covers them") {
+    freshCatalog("ntcat2")
+    spark.sql(
+      """CREATE TABLE ntcat2.ns.deep (
+        |  id BIGINT,
+        |  tags ARRAY<STRING>,
+        |  attrs MAP<STRING, INT>,
+        |  meta STRUCT<w: INT, h: INT, name: STRING>
+        |)""".stripMargin)
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = s"$warehouse/ns/deep"
+    val metaPath = graft.iceberg.TableMetadata.latestMetadataPath(dir, conf)
+    val fs = metaPath.getFileSystem(conf)
+    val in = fs.open(metaPath)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val schema = root.get("schemas").get(0)
+    // collect EVERY id in the schema tree
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      if (node.has("id")) ids += node.get("id").asInt
+      if (node.has("element-id")) ids += node.get("element-id").asInt
+      if (node.has("key-id")) ids += node.get("key-id").asInt
+      if (node.has("value-id")) ids += node.get("value-id").asInt
+      val it = node.elements()
+      while (it.hasNext) { val c = it.next(); if (!c.isValueNode) walk(c) }
+    }
+    walk(schema)
+    // 4 top-level + tags.element + attrs.{key,value} + meta.{w,h,name} = 10
+    assert(ids.size == 10, s"expected 10 ids, got ${ids.sorted}")
+    assert(ids.distinct.size == ids.size, s"duplicate ids: ${ids.sorted}")
+    assert(ids.sorted == (1 to 10), s"ids must be dense 1..10: ${ids.sorted}")
+    // top-level block keeps positional ids (compat with flat tables)
+    val top = schema.get("fields")
+    assert((0 until 4).forall(i => top.get(i).get("id").asInt == i + 1))
+    assert(root.get("last-column-id").asInt == 10,
+      s"last-column-id must cover nested ids, got ${root.get("last-column-id")}")
+    // both schema copies (v1 `schema` + `schemas[0]`) carry the SAME ids
+    val legacy = root.get("schema")
+    assert(legacy.toString == schema.toString.replaceFirst(
+      "\"schema-id\":0", "\"schema-id\":0") &&
+      legacy.get("fields").toString == top.toString,
+      "legacy `schema` node must match schemas[0]")
+  }
+
+  test("struct and map columns write and read back through the fanout kernel") {
+    freshCatalog("ntcat3")
+    spark.sql(
+      """CREATE TABLE ntcat3.ns.sm AS
+        |SELECT id,
+        |       named_struct('w', CAST(id % 7 AS INT),
+        |                    'h', CAST(id % 3 AS INT)) AS dims,
+        |       map('k' || CAST(id % 2 AS STRING), CAST(id AS INT)) AS kv,
+        |       array(id, id * 2) AS pair
+        |FROM range(100)""".stripMargin)
+    val rows = spark.sql(
+      """SELECT CAST(SUM(dims.w) AS BIGINT) AS sw,
+        |       CAST(SUM(dims.h) AS BIGINT) AS sh,
+        |       CAST(SUM(kv['k0']) AS BIGINT) AS k0,
+        |       CAST(SUM(kv['k1']) AS BIGINT) AS k1,
+        |       CAST(SUM(pair[1]) AS BIGINT) AS p2
+        |FROM ntcat3.ns.sm""".stripMargin).collect()(0)
+    val w = (0L until 100L).map(_ % 7).sum
+    val h = (0L until 100L).map(_ % 3).sum
+    val k0 = (0L until 100L).filter(_ % 2 == 0).sum
+    val k1 = (0L until 100L).filter(_ % 2 == 1).sum
+    assert(rows.getLong(0) == w && rows.getLong(1) == h)
+    assert(rows.getLong(2) == k0 && rows.getLong(3) == k1)
+    assert(rows.getLong(4) == (0L until 100L).map(_ * 2).sum)
+  }
+
+  test("INSERT, copy-on-write DELETE, and ADD COLUMN keep nested data " +
+      "and allocate fresh ids beyond the nested block") {
+    freshCatalog("ntcat4")
+    spark.sql(
+      """CREATE TABLE ntcat4.ns.ev AS
+        |SELECT id, array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT)) AS v
+        |FROM range(50)""".stripMargin)
+    spark.sql(
+      """INSERT INTO ntcat4.ns.ev
+        |SELECT id, array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT))
+        |FROM range(50, 80)""".stripMargin)
+    // CoW rewrite carries the array column through the fanout writer
+    spark.sql("DELETE FROM ntcat4.ns.ev WHERE id % 10 = 0")
+    spark.sql("ALTER TABLE ntcat4.ns.ev ADD COLUMN note STRING")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = s"$warehouse/ns/ev"
+    val metaPath = graft.iceberg.TableMetadata.latestMetadataPath(dir, conf)
+    val fs = metaPath.getFileSystem(conf)
+    val in = fs.open(metaPath)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    // ids: id=1, v=2, v.element=3 → the added column must take 4
+    assert(root.get("last-column-id").asInt == 4,
+      s"ADD COLUMN must allocate past the element id: ${root.get("last-column-id")}")
+    val got = spark.sql(
+      """SELECT COUNT(*) AS n, CAST(SUM(CAST(v[0] AS BIGINT)) AS BIGINT) AS s
+        |FROM ntcat4.ns.ev WHERE note IS NULL""".stripMargin).collect()(0)
+    val ids = (0L until 80L).filter(_ % 10 != 0)
+    assert(got.getLong(0) == ids.size && got.getLong(1) == ids.sum,
+      s"nested data must survive INSERT+DELETE+ALTER: $got")
+  }
+
+  test("analyze_table over an array column commits a MARKED stand-in " +
+      "theta blob; maps are refused as un-analyzable") {
+    freshCatalog("ntcat5")
+    spark.sql(
+      """CREATE TABLE ntcat5.ns.an AS
+        |SELECT id % 11 AS k, array(id % 5) AS a,
+        |       map('x', CAST(id AS INT)) AS m
+        |FROM range(200)""".stripMargin)
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = s"$warehouse/ns/an"
+    // maps are Spark-unhashable — must be refused with the analyzable list
+    val err = intercept[IllegalArgumentException] {
+      graft.iceberg.IcebergWriter.analyzeTable(spark, dir, Seq("m"))
+    }
+    assert(err.getMessage.contains("not analyzable"))
+    // default target: every analyzable column (k and a, not m)
+    graft.iceberg.IcebergWriter.analyzeTable(spark, dir)
+    val t = new IcebergTable(dir, conf)
+    val stats = t.metadata.statistics.last
+    val footer = graft.iceberg.Puffin.readFooter(new Path(stats.path), conf)
+    val blobs = footer.get("blobs")
+    assert(blobs.size == 2, s"k + a analyzed, got ${blobs.size} blobs")
+    val byField = (0 until blobs.size).map { i =>
+      blobs.get(i).get("fields").get(0).asInt -> blobs.get(i)
+    }.toMap
+    val kBlob = byField(t.metadata.fieldIds("k"))
+    val aBlob = byField(t.metadata.fieldIds("a"))
+    assert(kBlob.get("properties").get("graft.theta.stand-in") == null,
+      "scalar column gets a real sketch")
+    assert(aBlob.get("properties").get("graft.theta.stand-in").asText == "true",
+      "array column gets the marked stand-in")
+    assert(aBlob.get("properties").get("ndv").asText.toLong == 5L,
+      s"array NDV is exact at this size: ${aBlob.get("properties")}")
+  }
+}
