@@ -218,8 +218,12 @@ object DiffFuzz {
     * class that failed q146/q149/q153 in round 11); and ratios emit as
     * integer basis points through `CAST(FLOOR(a * 10000.0 / b) AS
     * BIGINT)` — the one integer-ratio spelling BOTH engines parse (Spark
-    * has DIV but DuckDB doesn't; DuckDB has // but Spark doesn't), exact
-    * while a*10000 stays under 2^53, which the corpus ranges guarantee.
+    * has DIV but DuckDB doesn't; DuckDB has // but Spark doesn't). The
+    * invariant the gate rests on: both engines run the SAME bigint →
+    * double conversion and IEEE-754 multiply/divide/floor, so the two
+    * sides agree bit-for-bit even when a*10000 exceeds 2^53 and the
+    * arithmetic is no longer exact (the small-SF fuzz corpora stay under
+    * the bound; larger scale factors rely on the identical-ops form).
     * Never ROUND(double, d): a ULP coin-flip on a ratio is not a bug
     * either engine has. */
   def genMoneyQuery(r: scala.util.Random): String = {

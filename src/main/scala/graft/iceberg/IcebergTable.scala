@@ -283,7 +283,16 @@ final class IcebergTable private (
     * file that materializes the columns (typical for files this engine
     * wrote) must not mask an ORC/Avro import that lacks them: every
     * caller treats the result as a refusal / re-injection guard, so a
-    * column counts as missing when ANY format's representative lacks it. */
+    * column counts as missing when ANY format's representative lacks it.
+    *
+    * RESIDUAL ASSUMPTION (documented limit): provenance is uniform
+    * WITHIN a format group — only `group.head` is probed, so a parquet
+    * group mixing engine-written files (columns materialized) with
+    * add_files imports (columns metadata-only) is decided by whichever
+    * file happens to be first. Import + native writes landing in one
+    * snapshot under the same format is not a shape this engine's own
+    * writers produce (add_files commits alone); callers relying on this
+    * guard after hand-mixing provenances should compact first. */
   def missingPartitionColumns(spark: SparkSession, files: Seq[DataFileEntry]): Seq[String] = {
     if (files.isEmpty || metadata.identityPartitionColumns.isEmpty) return Nil
     val inAllFormats = files.groupBy(_.fileFormat.toUpperCase).values

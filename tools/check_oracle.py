@@ -39,13 +39,18 @@ def dtype_parity_errors(got, want):
     hash-mismatches at the driver even when every value is equal. Flag
     that class loudly instead of relying on the repr diff."""
     errs = []
+    # case-insensitive column matching, mirroring the column-name gate
+    # below — an alias whose case differs between Spark and DuckDB must
+    # not silently escape the dtype check
+    want_by_lower = {c.lower(): c for c in want.columns}
     for c in got.columns:
-        if c not in want.columns:
+        wc = want_by_lower.get(c.lower())
+        if wc is None:
             continue
         g_int = pd.api.types.is_integer_dtype(got[c])
         g_flt = pd.api.types.is_float_dtype(got[c])
-        w_int = pd.api.types.is_integer_dtype(want[c])
-        w_flt = pd.api.types.is_float_dtype(want[c])
+        w_int = pd.api.types.is_integer_dtype(want[wc])
+        w_flt = pd.api.types.is_float_dtype(want[wc])
         if g_int and w_flt:
             errs.append(f"column '{c}': spark integral vs oracle float64 "
                         "(HUGEINT widening — missing outer CAST(SUM(..) AS BIGINT)?)")
