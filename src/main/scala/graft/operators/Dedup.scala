@@ -463,8 +463,22 @@ object Dedup {
     // corpus probe: band collision -> candidate (batch, corpus) id pairs
     // -> verify on the two texts. distinct() before the text joins so a
     // doc pair colliding in k bands verifies once, not k times.
-    val cIdx0 = corpusIndex.select(col(idCol).as("__cid"),
+    //
+    // TOUCHED-BUCKETS-FIRST (round 13): the stored index grows with the
+    // corpus, but a batch can only collide in the ≤ |batch| × bands
+    // buckets its own keys hash to — so the index is key-filtered to
+    // those buckets BEFORE anything else. The semi-join keeps WHOLE
+    // buckets (the filter is on the bucket key), so the probeMaxBucket
+    // cap below counts exactly the same sizes it counted over the full
+    // index. Previously the cap's groupBy ran over the ENTIRE index per
+    // batch — two full index passes whose cost grew linearly with the
+    // corpus (BenchScale stream_admission: 106 → 55 rows/s from 1× to
+    // 20×); now the full index is streamed once through a (typically
+    // broadcast) semi-join and every later stage sees only touched rows.
+    val cIdxAll = corpusIndex.select(col(idCol).as("__cid"),
       col("band"), col("band_hash"))
+    val batchKeys = bIdx.select(col("band"), col("band_hash")).distinct()
+    val cIdx0 = cIdxAll.join(batchKeys, Seq("band", "band_hash"), "left_semi")
     val cIdx =
       if (probeMaxBucket == Int.MaxValue) cIdx0
       else {
