@@ -344,9 +344,13 @@ final class IcebergTable private (
   }
 
   private def readManifestCached(m: ManifestFile): Seq[DataFileEntry] =
-    cachedIn(manifestCache, m.path)(
+    // the lineage-inheritance base rides in the manifest-LIST record, so
+    // it joins the cache key: the same manifest file re-listed under a
+    // different base (foreign inheritance-style metadata) must re-resolve
+    cachedIn(manifestCache, s"${m.path}#rl${m.firstRowId.getOrElse(-1L)}")(
       ManifestIO.readManifest(resolve(m.path), conf,
-        m.sequenceNumber, m.partitionSpecId))
+        m.sequenceNumber, m.partitionSpecId,
+        inheritFirstRowId = m.firstRowId))
 
   private def readManifestsParallel(ms: Seq[ManifestFile]): Seq[DataFileEntry] =
     if (ms.sizeIs <= 1) ms.flatMap(readManifestCached)
@@ -633,30 +637,37 @@ final class IcebergTable private (
             placeholderPos = orcInPlan, matRowId = keepLineage)))).flatten
         parts.reduce(_ unionByName _) // files is non-empty ⇒ parts is too
       }
-    // Row-lineage completion (spec read rule): a materialized `_row_id`
-    // column wins; otherwise the file's manifest-assigned first_row_id
-    // plus the row's position. The per-file base joins in as a BROADCAST
-    // of one tiny row per data file — metadata-sized, never a shuffle of
-    // the data side.
     val withLineage =
       if (!keepLineage) out
-      else {
-        val baseRows = files.map(f =>
-          (normPath(resolve(f.filePath)), f.firstRowId.getOrElse(-1L)))
-        val baseDf = spark.createDataFrame(baseRows)
-          .toDF("__g_rl_fpn", "__g_rl_base")
-        out.withColumn("__g_rl_fpn", normPathExpr(col(FpCol)))
-          .join(broadcast(baseDf), Seq("__g_rl_fpn"), "left")
-          .withColumn(RowIdCol, coalesce(col(RowIdCol),
-            when(col("__g_rl_base") >= 0 && col(PosCol) >= 0,
-              col("__g_rl_base") + col(PosCol))))
-          .drop("__g_rl_fpn", "__g_rl_base")
-      }
+      else completeRowLineage(spark, out, files, col(FpCol), col(PosCol))
     val keep = metadata.schema.fieldNames.toSeq ++
       (if (keepLineage) Seq(RowIdCol) else Nil) ++
       (if (keepIds) Seq(FpCol, PosCol) else Nil)
     if (deletes.isEmpty && !keepIds && !keepLineage) out
     else withLineage.select(keep.map(col): _*)
+  }
+
+  /** Row-lineage completion — THE spec read rule, shared by [[toDF]]'s
+    * lineage serving and the writer's rewrite materialization: a
+    * materialized `_row_id` column (already present in `df`) wins;
+    * otherwise the row's file-assigned `first_row_id` plus its position
+    * (guarded: no base or a placeholder position ⇒ null lineage). The
+    * per-file base joins in as a BROADCAST of one tiny row per data
+    * file — metadata-sized, never a shuffle of the data side. */
+  private[graft] def completeRowLineage(spark: SparkSession, df: DataFrame,
+      files: Seq[DataFileEntry], fpn: Column, pos: Column): DataFrame = {
+    import IcebergTable.RowIdCol
+    val baseRows = files.map(f =>
+      (normPath(resolve(f.filePath)), f.firstRowId.getOrElse(-1L)))
+    val baseDf = spark.createDataFrame(baseRows)
+      .toDF("__g_rl_fpn", "__g_rl_base")
+    df.withColumn("__g_rl_fpn", normPathExpr(fpn))
+      .withColumn("__g_rl_pos", pos)
+      .join(broadcast(baseDf), Seq("__g_rl_fpn"), "left")
+      .withColumn(RowIdCol, coalesce(col(RowIdCol),
+        when(col("__g_rl_base") >= 0 && col("__g_rl_pos") >= 0,
+          col("__g_rl_base") + col("__g_rl_pos"))))
+      .drop("__g_rl_fpn", "__g_rl_pos", "__g_rl_base")
   }
 
   /** `(file_path, pos)` of every row this snapshot's EQUALITY deletes
@@ -847,15 +858,26 @@ final class IcebergTable private (
     // `matRowId` appends the reserved lineage column to the read schema:
     // rewritten files materialize it (parquet resolves it by its
     // reserved field id or name, ORC by name); files without it read
-    // nulls — exactly the precedence the coalesce in toDF needs.
+    // nulls — exactly the precedence the coalesce in toDF needs. The
+    // field id is stamped ONLY when the base schema itself carries ids:
+    // the name-mapping branch deliberately builds an id-FREE schema for
+    // id-less imports, and one id-bearing column would flip Spark's
+    // parquet reader into field-id mode and fail on files with no ids
+    // (serving null lineage for such files is the documented behavior).
     def load(schema0: StructType, ps: Seq[String]): DataFrame = {
       val schema =
         if (!matRowId) schema0
-        else StructType(schema0.fields :+ org.apache.spark.sql.types.StructField(
-          IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
-          nullable = true,
-          metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()))
+        else {
+          val baseHasIds =
+            schema0.fields.exists(_.metadata.contains("parquet.field.id"))
+          val md =
+            if (baseHasIds) new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()
+            else org.apache.spark.sql.types.Metadata.empty
+          StructType(schema0.fields :+ org.apache.spark.sql.types.StructField(
+            IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
+            nullable = true, metadata = md))
+        }
       if (orc) read.schema(schema).orc(ps: _*)
       else read.schema(schema).parquet(ps: _*)
     }

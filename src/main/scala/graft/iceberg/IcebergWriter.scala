@@ -1048,10 +1048,7 @@ object IcebergWriter {
     // also get a range; the column takes precedence on read. A stale
     // base cannot land: the commit's assert-ref requirement fails first.
     var nextFileRowId: Option[Long] =
-      if (meta.formatVersion >= 3 ||
-          meta.properties.get("format-version").contains("3"))
-        Some(meta.nextRowId.getOrElse(0L))
-      else None
+      if (wantsLineage(meta)) Some(meta.nextRowId.getOrElse(0L)) else None
     val entries = added.map { f =>
       val d = new GenericData.Record(dfSchema)
       d.put("file_path", f.path)
@@ -1510,29 +1507,47 @@ object IcebergWriter {
     // — Spark's group-based rewrite controls that projection, and
     // threading lineage through it is future work. CDC consumers keying
     // on _row_id see THOSE rewrites as delete+reinsert.
-    val lineageUpdates: Seq[JsonNode] = {
+    val (lineageUpdates: Seq[JsonNode], lineageReqs: Seq[JsonNode]) = {
       val meta = committer.currentMetadata()
-      val wantsV3 = meta.formatVersion >= 3 ||
-        meta.properties.get("format-version").contains("3")
-      if (!wantsV3) Nil
+      if (!wantsLineage(meta)) (Nil, Nil)
       else {
-        val firstRowId = meta.nextRowId.getOrElse(0L)
-        snap.put("first-row-id", firstRowId)
-        val added = listRecs.iterator
-          .filter(r => r.get("content").asInstanceOf[Int] == 0 &&
+        val newDataManifests = listRecs.filter(r =>
+          r.get("content").asInstanceOf[Int] == 0 &&
             Option(r.get("sequence_number")).exists(_ == snapId))
+        // The base the manifest entries ACTUALLY carry, read back from
+        // the just-written manifest (one bounded local read): plan-time
+        // metadata (which stamped the entries) and this commit-build
+        // read can diverge under a rival commit, and the snapshot's
+        // first-row-id + counter must agree with the entries, not with
+        // whichever metadata happened to be fresh here.
+        val manifestBase: Option[Long] = newDataManifests.headOption
+          .flatMap(r => ManifestIO.firstEntryFirstRowId(
+            String.valueOf(r.get("manifest_path")), committer.conf))
+        val firstRowId = manifestBase.getOrElse(meta.nextRowId.getOrElse(0L))
+        snap.put("first-row-id", firstRowId)
+        val added = newDataManifests.iterator
           .map(r => Option(r.get("added_rows_count"))
             .map(_.asInstanceOf[Long]).getOrElse(0L))
           .sum
-        (if (meta.formatVersion < 3)
-           Seq(MetadataCommit.upgradeFormatVersion(mapper, 3))
-         else Nil) :+
-          MetadataCommit.setNextRowId(mapper, firstRowId + added)
+        val upds =
+          (if (meta.formatVersion < 3)
+             Seq(MetadataCommit.upgradeFormatVersion(mapper, 3))
+           else Nil) :+
+            MetadataCommit.setNextRowId(mapper, firstRowId + added)
+        // When the manifests carry assigned ranges, the commit must only
+        // land if the table's counter STILL equals their base — the ref
+        // assert alone cannot see a rival commit on another branch
+        // advancing next-row-id (duplicate-range hole). A conflict
+        // surfaces as CommitConflictException; the caller's retry
+        // re-plans and re-writes manifests under the fresh counter.
+        val reqs = manifestBase.toSeq.map(b =>
+          MetadataCommit.assertNextRowId(mapper, b))
+        (upds, reqs)
       }
     }
     committer.commit(
       Seq(MetadataCommit.assertRefSnapshotId(mapper, ref,
-        refExpected.getOrElse(parent))),
+        refExpected.getOrElse(parent))) ++ lineageReqs,
       Seq(MetadataCommit.addSnapshot(mapper, snap),
         MetadataCommit.setSnapshotRef(mapper, ref, snapId)) ++
         lineageUpdates ++ extraUpdates)
@@ -1762,20 +1777,8 @@ object IcebergWriter {
                 .putLong("parquet.field.id", RowIdFieldId).build()))
         def withLineage(df: DataFrame): DataFrame =
           if (!lineage) df
-          else {
-            val baseRows = candidates.map(f =>
-              (norm(table.resolve(f.filePath)), f.firstRowId.getOrElse(-1L)))
-            val baseDf = spark.createDataFrame(baseRows)
-              .toDF("__g_rl_fpn", "__g_rl_base")
-            df.withColumn("__g_rl_fpn",
-                table.normPathExpr(col("_metadata.file_path")))
-              .withColumn("__g_rl_pos", col("_metadata.row_index"))
-              .join(broadcast(baseDf), Seq("__g_rl_fpn"), "left")
-              .withColumn(RowIdCol, coalesce(col(RowIdCol),
-                when(col("__g_rl_base") >= 0,
-                  col("__g_rl_base") + col("__g_rl_pos"))))
-              .drop("__g_rl_fpn", "__g_rl_pos", "__g_rl_base")
-          }
+          else table.completeRowLineage(spark, df, candidates,
+            col("_metadata.file_path"), col("_metadata.row_index"))
         val srcParts = Seq(
           if (pqRw.isEmpty) None
           else Some(withLineage(spark.read.schema(readSchema0)

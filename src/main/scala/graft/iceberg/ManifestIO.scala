@@ -32,7 +32,12 @@ final case class ManifestFile(
     deletedRowsCount: Option[Long],
     /** v2 data sequence number — ADDED entries with a null entry-level
       * sequence inherit it (Iceberg inheritance rule) */
-    sequenceNumber: Option[Long] = None)
+    sequenceNumber: Option[Long] = None,
+    /** v3 row lineage: the manifest's starting row id — ADDED data
+      * entries with a null per-entry `first_row_id` inherit from it
+      * sequentially (the spec's inheritance form, which external
+      * writers use; this engine writes explicit per-entry values). */
+    firstRowId: Option[Long] = None)
 
 /** One live data file from a manifest: the unit of file-level pruning
   * (`pruning_statistics.rs:139-196`) and of scan planning
@@ -181,7 +186,8 @@ object ManifestIO {
           addedRowsCount = optLong(r, "added_rows_count", "added_rows"),
           existingRowsCount = optLong(r, "existing_rows_count", "existing_rows"),
           deletedRowsCount = optLong(r, "deleted_rows_count", "deleted_rows"),
-          sequenceNumber = optLong(r, "sequence_number", "seq_number"))
+          sequenceNumber = optLong(r, "sequence_number", "seq_number"),
+          firstRowId = optLong(r, "first_row_id"))
       }
       out.toSeq
     } finally reader.close()
@@ -193,10 +199,18 @@ object ManifestIO {
     */
   def readManifest(path: String, conf: Configuration,
                    inheritSeq: Option[Long] = None,
-                   specId: Int = 0): Seq[DataFileEntry] = {
+                   specId: Int = 0,
+                   /** v3 lineage inheritance base (manifest-list
+                     * `first_row_id`): ADDED data entries with a null
+                     * per-entry value are assigned sequentially from it,
+                     * incrementing by each assigned entry's record_count
+                     * — the spec's read rule for inheritance-style
+                     * writers. Explicit per-entry values always win. */
+                   inheritFirstRowId: Option[Long] = None): Seq[DataFileEntry] = {
     val reader = open(path, conf)
     try {
       val out = ArrayBuffer.empty[DataFileEntry]
+      var nextInheritedRowId: Option[Long] = inheritFirstRowId
       while (reader.hasNext) {
         val r = reader.next()
         val status = optLong(r, "status").map(_.toInt).getOrElse(1)
@@ -229,7 +243,17 @@ object ManifestIO {
               upperBounds = opt(df, "upper_bounds").map(kvMap(_)(bb)).getOrElse(Map.empty),
               sortOrderId = optLong(df, "sort_order_id").map(_.toInt),
               specId = specId,
-              firstRowId = optLong(df, "first_row_id"))
+              firstRowId = optLong(df, "first_row_id").orElse {
+                // inheritance: only ADDED entries consume from the
+                // manifest's range (EXISTING entries carry the explicit
+                // value their rewrite resolved)
+                if (status == 1) {
+                  val assigned = nextInheritedRowId
+                  assigned.foreach(b => nextInheritedRowId =
+                    Some(b + optLong(df, "record_count").getOrElse(0L)))
+                  assigned
+                } else None
+              })
           }
         }
       }
@@ -240,6 +264,28 @@ object ManifestIO {
   /** Live delete-file entries from a DELETE manifest (manifest-list
     * content = 1): position deletes (content 2... see Iceberg spec:
     * data_file.content 1 = POSITION_DELETES, 2 = EQUALITY_DELETES). */
+  /** The explicit `first_row_id` of a manifest's FIRST live data entry —
+    * the base the writing commit assigned its range from. One bounded
+    * read of a just-written local manifest; used by the lineage commit
+    * to anchor its set-next-row-id + assert-next-row-id on the SAME base
+    * the manifest entries carry (plan-time and commit-time metadata can
+    * diverge under a rival commit; the manifest is the truth). */
+  def firstEntryFirstRowId(path: String, conf: Configuration): Option[Long] = {
+    val reader = open(path, conf)
+    try {
+      while (reader.hasNext) {
+        val r = reader.next()
+        val status = optLong(r, "status").map(_.toInt).getOrElse(1)
+        if (status != 2) {
+          val df = r.get("data_file").asInstanceOf[GenericRecord]
+          if (optLong(df, "content").map(_.toInt).getOrElse(0) == 0)
+            return optLong(df, "first_row_id")
+        }
+      }
+      None
+    } finally reader.close()
+  }
+
   def readDeleteManifest(path: String, conf: Configuration,
                          inheritSeq: Option[Long] = None): Seq[DeleteFileEntry] = {
     val reader = open(path, conf)

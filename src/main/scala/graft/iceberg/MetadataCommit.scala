@@ -207,6 +207,18 @@ object MetadataCommit {
     n
   }
 
+  /** Requirement: the table's row-id counter still equals the base this
+    * commit's manifests assigned their `first_row_id` ranges from. The
+    * ref assert alone cannot see a rival commit on ANOTHER branch
+    * advancing `next-row-id` — without this, two branches could assign
+    * overlapping row-id ranges. */
+  def assertNextRowId(mapper: ObjectMapper, expected: Long): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "assert-next-row-id")
+    n.put("next-row-id", expected)
+    n
+  }
+
   def addSnapshot(mapper: ObjectMapper, snapshot: ObjectNode): ObjectNode = {
     val n = mapper.createObjectNode()
     n.put("action", "add-snapshot")
@@ -360,6 +372,14 @@ object MetadataCommit {
           if (actual == expected) None
           else Some(s"requirement failed: ref '$ref' is at " +
             s"${actual.getOrElse("absent")}, expected ${expected.getOrElse("absent")}")
+        case "assert-next-row-id" =>
+          val expected = r.get("next-row-id").asLong
+          // pre-upgrade metadata has no counter; the upgrade initializes
+          // it to 0, so absent compares as 0
+          val actual = Option(root.get("next-row-id")).map(_.asLong).getOrElse(0L)
+          if (actual == expected) None
+          else Some(s"requirement failed: next-row-id is $actual, " +
+            s"expected $expected (a rival commit assigned row ids first)")
         case "assert-current-schema-id" =>
           val expected = r.get("current-schema-id").asInt
           val actual = Option(root.get("current-schema-id")).map(_.asInt)

@@ -80,41 +80,10 @@ object SchemaEvolution {
     }
     def nextId(): Int = { lastColumnId += 1; lastColumnId }
 
-    /** Iceberg JSON type for an added column, allocating nested ids. */
-    def typeNode(dt: org.apache.spark.sql.types.DataType): com.fasterxml.jackson.databind.JsonNode = {
-      import org.apache.spark.sql.types._
-      dt match {
-        case s: StructType =>
-          val o = mapper.createObjectNode()
-          o.put("type", "struct")
-          val arr = o.putArray("fields")
-          s.fields.foreach { f =>
-            val fn = arr.addObject()
-            fn.put("id", nextId())
-            fn.put("name", f.name)
-            fn.put("required", !f.nullable)
-            fn.set[ObjectNode]("type", typeNode(f.dataType))
-          }
-          o
-        case a: ArrayType =>
-          val o = mapper.createObjectNode()
-          o.put("type", "list")
-          o.put("element-id", nextId())
-          o.put("element-required", !a.containsNull)
-          o.set[ObjectNode]("element", typeNode(a.elementType))
-          o
-        case m: MapType =>
-          val o = mapper.createObjectNode()
-          o.put("type", "map")
-          o.put("key-id", nextId())
-          o.set[ObjectNode]("key", typeNode(m.keyType))
-          o.put("value-id", nextId())
-          o.put("value-required", !m.valueContainsNull)
-          o.set[ObjectNode]("value", typeNode(m.valueType))
-          o
-        case p => mapper.getNodeFactory.textNode(IcebergJson.icebergType(p))
-      }
-    }
+    /** Iceberg JSON type for an added column, allocating nested ids —
+      * the shared serializer with this alter's id allocator injected. */
+    def typeNode(dt: org.apache.spark.sql.types.DataType): com.fasterxml.jackson.databind.JsonNode =
+      IcebergJson.typeNodeWithIds(mapper, dt, nextId _)
 
     def single(fieldNames: Array[String], change: String): String = {
       if (fieldNames.length != 1) throw new UnsupportedOperationException(

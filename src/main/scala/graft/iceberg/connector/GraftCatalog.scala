@@ -460,6 +460,48 @@ object IcebergJson {
     case other => throw new UnsupportedOperationException(s"cannot write type $other")
   }
 
+  /** THE Iceberg JSON type serializer (struct/list/map with injected id
+    * allocation; primitives as text nodes) — shared by view-spec schema
+    * nodes, table-metadata schema nodes, and schema evolution's ADD
+    * COLUMN, so the spec format cannot drift between write paths. The
+    * caller owns the id allocator: views number everything depth-first
+    * from 1; table metadata pins top-level ids positionally and
+    * allocates nested ids after the top-level block; evolution continues
+    * from `last-column-id`. */
+  def typeNodeWithIds(mapper: ObjectMapper, dt: DataType,
+                      nextId: () => Int): com.fasterxml.jackson.databind.JsonNode =
+    dt match {
+      case s: StructType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "struct")
+        val arr = o.putArray("fields")
+        s.fields.foreach { f =>
+          val fn = arr.addObject()
+          fn.put("id", nextId())
+          fn.put("name", f.name)
+          fn.put("required", !f.nullable)
+          fn.set[ObjectNode]("type", typeNodeWithIds(mapper, f.dataType, nextId))
+        }
+        o
+      case a: ArrayType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "list")
+        o.put("element-id", nextId())
+        o.put("element-required", !a.containsNull)
+        o.set[ObjectNode]("element", typeNodeWithIds(mapper, a.elementType, nextId))
+        o
+      case m: MapType =>
+        val o = mapper.createObjectNode()
+        o.put("type", "map")
+        o.put("key-id", nextId())
+        o.set[ObjectNode]("key", typeNodeWithIds(mapper, m.keyType, nextId))
+        o.put("value-id", nextId())
+        o.put("value-required", !m.valueContainsNull)
+        o.set[ObjectNode]("value", typeNodeWithIds(mapper, m.valueType, nextId))
+        o
+      case p => mapper.getNodeFactory.textNode(icebergType(p))
+    }
+
   /** An Iceberg-format schema node (struct with per-field ids, nested
     * list/map/struct supported) for view-spec metadata and REST
     * CreateTableRequest payloads. Field ids are assigned depth-first; the
@@ -468,38 +510,7 @@ object IcebergJson {
   def viewSchemaNode(mapper: ObjectMapper, schema: StructType): ObjectNode = {
     var id = 0
     def next(): Int = { id += 1; id }
-    def typeNode(dt: DataType): com.fasterxml.jackson.databind.JsonNode = dt match {
-      case s: StructType =>
-        val o = mapper.createObjectNode()
-        o.put("type", "struct")
-        val arr = o.putArray("fields")
-        s.fields.foreach { f =>
-          val fn = arr.addObject()
-          fn.put("id", next())
-          fn.put("name", f.name)
-          fn.put("required", !f.nullable)
-          fn.set[ObjectNode]("type", typeNode(f.dataType))
-        }
-        o
-      case a: ArrayType =>
-        val o = mapper.createObjectNode()
-        o.put("type", "list")
-        o.put("element-id", next())
-        o.put("element-required", !a.containsNull)
-        o.set[ObjectNode]("element", typeNode(a.elementType))
-        o
-      case m: MapType =>
-        val o = mapper.createObjectNode()
-        o.put("type", "map")
-        o.put("key-id", next())
-        o.set[ObjectNode]("key", typeNode(m.keyType))
-        o.put("value-id", next())
-        o.put("value-required", !m.valueContainsNull)
-        o.set[ObjectNode]("value", typeNode(m.valueType))
-        o
-      case p => mapper.getNodeFactory.textNode(icebergType(p))
-    }
-    val root = typeNode(schema).asInstanceOf[ObjectNode]
+    val root = typeNodeWithIds(mapper, schema, next _).asInstanceOf[ObjectNode]
     root.put("schema-id", 0)
     root
   }
@@ -535,37 +546,6 @@ object IcebergJson {
     def schemaNode(target: ObjectNode): Unit = {
       var nextNested = schema.size
       def nextId(): Int = { nextNested += 1; nextNested }
-      def typeNode(dt: DataType): com.fasterxml.jackson.databind.JsonNode = dt match {
-        case s: StructType =>
-          val o = mapper.createObjectNode()
-          o.put("type", "struct")
-          val arr = o.putArray("fields")
-          s.fields.foreach { f =>
-            val fn = arr.addObject()
-            fn.put("id", nextId())
-            fn.put("name", f.name)
-            fn.put("required", !f.nullable)
-            fn.set[ObjectNode]("type", typeNode(f.dataType))
-          }
-          o
-        case a: ArrayType =>
-          val o = mapper.createObjectNode()
-          o.put("type", "list")
-          o.put("element-id", nextId())
-          o.put("element-required", !a.containsNull)
-          o.set[ObjectNode]("element", typeNode(a.elementType))
-          o
-        case m: MapType =>
-          val o = mapper.createObjectNode()
-          o.put("type", "map")
-          o.put("key-id", nextId())
-          o.set[ObjectNode]("key", typeNode(m.keyType))
-          o.put("value-id", nextId())
-          o.put("value-required", !m.valueContainsNull)
-          o.set[ObjectNode]("value", typeNode(m.valueType))
-          o
-        case p => mapper.getNodeFactory.textNode(icebergType(p))
-      }
       target.put("type", "struct")
       target.put("schema-id", 0)
       val arr = target.putArray("fields")
@@ -574,7 +554,8 @@ object IcebergJson {
         fn.put("id", fieldId(f.name))
         fn.put("name", f.name)
         fn.put("required", !f.nullable)
-        fn.set[com.fasterxml.jackson.databind.JsonNode]("type", typeNode(f.dataType))
+        fn.set[com.fasterxml.jackson.databind.JsonNode]("type",
+          typeNodeWithIds(mapper, f.dataType, nextId _))
       }
       lastColumnId = nextNested
     }

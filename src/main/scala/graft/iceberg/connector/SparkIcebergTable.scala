@@ -77,8 +77,11 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       }) ++
       // v3 row lineage: `_row_id` — materialized column of rewritten
       // files, else manifest first_row_id + position; null for rows
-      // predating the v3 upgrade. Only v3 tables serve it.
-      (if (table.metadata.formatVersion < 3)
+      // predating the v3 upgrade. Served on v3 AND declared-v3 tables
+      // (property set, metadata not yet upgraded: lineage is assigned
+      // from the first commit, so the read side must already answer) —
+      // the same predicate the writer's assignment uses.
+      (if (!graft.iceberg.IcebergWriter.wantsLineage(table.metadata))
          Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn]
        else Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
         new org.apache.spark.sql.connector.catalog.MetadataColumn {
@@ -494,8 +497,12 @@ final class GraftScanBuilder(table: IcebergTable,
     // _file/_pos metadata columns also take the V1 bridge: they project
     // off the parquet _metadata struct, which the raw batch scan's read
     // schema cannot carry
+    // a DATA column named like a metadata column shadows it (Spark's
+    // conflict rule) and must stay on the native batch path
+    val dataColNames = table.metadata.schema.fieldNames.toSet
     val wantsRowId = requiredSchema.fieldNames
-      .exists(n => n == "_file" || n == "_pos" || n == "_row_id")
+      .exists(n => (n == "_file" || n == "_pos" || n == "_row_id") &&
+        !dataColNames.contains(n))
     // ORC imports (add_files) also take the V1 bridge: the native Batch
     // is Spark's parquet reader — toDF dispatches per-format scans
     if (table.missingPartitionColumns(spark, staticFiles).isEmpty &&

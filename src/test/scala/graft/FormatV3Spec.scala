@@ -161,6 +161,156 @@ class FormatV3Spec extends SparkSpec {
       s"survivors keep ids: ${after.filter { case (k, id) => before(k) != id }.take(5)}")
   }
 
+  test("_row_id serves over name-mapped id-less imports (null-safe, " +
+      "no field-id read crash) and on a declared-v3 table pre-upgrade") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE v3cat.ns.nm (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+    val dir = s"$warehouse/ns/nm"
+    // declared-v3, metadata not yet upgraded: the metadata column must
+    // already resolve (same predicate as the writer's assignment)
+    assert(spark.sql("SELECT k, _row_id FROM v3cat.ns.nm").collect().isEmpty)
+    // an id-LESS foreign parquet import + declared name mapping: the
+    // lineage read schema must NOT flip the reader into field-id mode
+    // (round-13 review finding: it crashed with 'expects field Ids')
+    val src = "/root/repo/target/v3-nm-src"
+    new Path(src).getFileSystem(conf).delete(new Path(src), true)
+    spark.range(30).selectExpr("id AS k", "id * 3 AS v")
+      .coalesce(1).write.parquet(src)
+    val file = new Path(src).getFileSystem(conf)
+      .listStatus(new Path(src)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    IcebergWriter.addFiles(spark, dir, Seq(file.toString))
+    spark.sql("""ALTER TABLE v3cat.ns.nm SET TBLPROPERTIES (
+      |'schema.name-mapping.default' =
+      |'[{"field-id":1,"names":["k"]},{"field-id":2,"names":["v"]}]')"""
+      .stripMargin)
+    val t = new IcebergTable(dir, conf)
+    assert(t.needsNameMapping(spark, t.planFiles()),
+      "fixture must actually exercise the name-mapping read branch")
+    val rows = spark.sql("SELECT k, _row_id FROM v3cat.ns.nm ORDER BY k")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows.size == 30, s"name-mapped read must still serve rows: ${rows.size}")
+    // the import's manifest assigned a base, and parquet row positions
+    // exist even without field ids — inherited lineage is served
+    assert(rows.values.forall(_.isDefined) &&
+      rows.values.flatten.toSeq.sorted == (0L until 30L),
+      s"inherited lineage over the id-less import: ${rows.toSeq.sortBy(_._1).take(5)}")
+  }
+
+  test("a rival commit advancing next-row-id between plan and publish is " +
+      "REFUSED (assert-next-row-id), not allowed to duplicate id ranges") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE v3cat.ns.race (k BIGINT)
+        |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+    spark.sql("INSERT INTO v3cat.ns.race SELECT id FROM range(10)")
+    val dir = s"$warehouse/ns/race"
+    assert(TableMetadata.load(dir, conf).nextRowId.contains(10L))
+    // a committer that lets a rival advance the counter AFTER this
+    // write's manifests were stamped (base = 10) but BEFORE its publish
+    // — the exact window the branch-ref assert cannot see
+    val racing = new graft.iceberg.FsCommitter(dir, conf) {
+      @volatile var fired = false
+      override def commit(requirements: Seq[com.fasterxml.jackson.databind.JsonNode],
+                          updates: Seq[com.fasterxml.jackson.databind.JsonNode]): Unit = {
+        if (!fired) {
+          fired = true
+          val m = new com.fasterxml.jackson.databind.ObjectMapper()
+          new graft.iceberg.FsCommitter(dir, conf).commit(Nil,
+            Seq(graft.iceberg.MetadataCommit.setNextRowId(m, 500L)))
+        }
+        super.commit(requirements, updates)
+      }
+    }
+    val df = spark.range(10, 15).selectExpr("id AS k")
+    intercept[graft.iceberg.CommitConflictException] {
+      IcebergWriter.append(spark, dir, df, committer = Some(racing))
+    }
+    // the refused commit must not have landed rows
+    assert(spark.sql("SELECT COUNT(*) FROM v3cat.ns.race").head.getLong(0) == 10L)
+    // the caller's retry (fresh plan) assigns from the rival's counter —
+    // no overlap with any previously assigned range
+    IcebergWriter.append(spark, dir, df)
+    val ids = spark.sql("SELECT _row_id FROM v3cat.ns.race").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.length == 15 && ids.distinct.length == 15,
+      s"row ids must stay unique: ${ids.mkString(",")}")
+    assert(ids.takeRight(5).forall(_ >= 500L),
+      s"retry assigns past the rival's counter: ${ids.takeRight(5).mkString(",")}")
+  }
+
+  test("manifest-level first_row_id INHERITANCE (the spec's form external " +
+      "writers use): null-valued ADDED entries assign sequentially") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = new java.io.File("/root/repo/target/v3-inherit")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    // a FOREIGN manifest: no per-entry first_row_id field at all
+    val mSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val mPath = new java.io.File(dir, "m1.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, mPath)
+    Seq(("a.parquet", 7L, 1), ("b.parquet", 5L, 1), ("c.parquet", 3L, 0))
+      .foreach { case (p, rc, status) =>
+        val d = new GenericData.Record(mSchema.getField("data_file").schema)
+        d.put("file_path", p); d.put("file_format", "PARQUET")
+        d.put("record_count", rc); d.put("file_size_in_bytes", 10L)
+        val e = new GenericData.Record(mSchema)
+        e.put("status", status) // c.parquet is EXISTING: must NOT inherit
+        e.put("data_file", d)
+        w.append(e)
+      }
+    w.close()
+    // a manifest LIST record carrying the manifest's first_row_id
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"},
+        |{"name":"content","type":"int"},
+        |{"name":"first_row_id","type":["null","long"],"default":null}]}"""
+        .stripMargin)
+    val mlPath = new java.io.File(dir, "snap.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](mlSchema))
+    lw.create(mlSchema, mlPath)
+    val lr = new GenericData.Record(mlSchema)
+    lr.put("manifest_path", mPath.getAbsolutePath)
+    lr.put("manifest_length", mPath.length)
+    lr.put("partition_spec_id", 0)
+    lr.put("content", 0)
+    lr.put("first_row_id", 100L)
+    lw.append(lr); lw.close()
+    import graft.iceberg.ManifestIO
+    val ml = ManifestIO.readManifestList(mlPath.getAbsolutePath, conf)
+    assert(ml.head.firstRowId.contains(100L),
+      s"manifest-list first_row_id must parse: ${ml.head}")
+    val entries = ManifestIO.readManifest(mPath.getAbsolutePath, conf,
+      inheritFirstRowId = ml.head.firstRowId)
+    val byPath = entries.map(e => e.filePath -> e.firstRowId).toMap
+    assert(byPath("a.parquet").contains(100L), s"first ADDED entry: $byPath")
+    assert(byPath("b.parquet").contains(107L),
+      s"second ADDED entry inherits base + previous record_count: $byPath")
+    assert(byPath("c.parquet").isEmpty,
+      s"EXISTING entries never inherit (spec: rewrites write explicit): $byPath")
+    // without a base (our own absolute-value manifests), nothing inherits
+    assert(ManifestIO.readManifest(mPath.getAbsolutePath, conf)
+      .forall(_.firstRowId.isEmpty))
+  }
+
   test("lifecycle ops on a v3 table: model-checked mixed sequence") {
     freshCatalog()
     spark.sql(
