@@ -193,11 +193,16 @@ object BenchScale {
         val corpusSeed = all.select(col("doc_id"), col("text"))
         val indexSeed = Dedup.minhashBandIndex(corpusSeed, "doc_id", "text",
           numHashes = 32, bands = 16)
-        for ((d, sch) <- Seq(cDir -> corpusSeed.schema,
-                             iDir -> indexSeed.schema)) {
+        // the INDEX table is partitioned bucket[32](band_hash): the
+        // admission sink pushes each batch's band_hash keys as an In
+        // filter, so the per-batch probe file-prunes to the touched
+        // buckets instead of scanning the whole index (IO ∝ batch)
+        for ((d, sch, parts) <- Seq(
+            (cDir, corpusSeed.schema, Seq.empty[(String, String)]),
+            (iDir, indexSeed.schema, Seq("band_hash" -> "bucket[32]")))) {
           val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
             new com.fasterxml.jackson.databind.ObjectMapper(), d, sch,
-            Nil, Map.empty)
+            parts, Map.empty)
           new File(s"$d/metadata").mkdirs()
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)

@@ -21,6 +21,12 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Cap on driver-collected probe keys for the storage-pruned
+    * admission path: |batch| × bands distinct longs. Micro-batches sit
+    * far under it; a bulk re-admission over it simply falls back to the
+    * full-index probe (correct, just unpruned). */
+  val MaxCollectedProbeKeys = 100000
+
   /** Exact dedup: keep one row per key set (hash-partitioned groupBy). */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
@@ -437,7 +443,18 @@ object Dedup {
       batch: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleSize: Int = 3,
       maxBucket: Int = 10000, probeMaxBucket: Int = 10000,
-      verify: (Column, Column) => Column = _ <=> _)
+      verify: (Column, Column) => Column = _ <=> _,
+      /** Storage-pruned probe (the 100 TB path): given the batch's
+        * distinct `band_hash` values (driver-collected, bounded by
+        * |batch| × bands and capped at [[MaxCollectedProbeKeys]]),
+        * return an index DataFrame covering AT LEAST those buckets — an
+        * Iceberg-stored index partitioned by `bucket[N](band_hash)`
+        * serves this with an `In` pushdown that file-prunes the scan,
+        * so per-batch index IO is ∝ batch, not corpus. The probe's
+        * semi-join re-enforces the key filter, so a provider returning
+        * MORE rows (or the cap falling back to `corpusIndex`) is always
+        * correct. */
+      prunedCorpusIndex: Option[Seq[Long] => DataFrame] = None)
       : (DataFrame, DataFrame) = {
     // Refuse a probe whose LSH parameters disagree with the ones the
     // stored index was built with (self-described via field metadata):
@@ -475,7 +492,15 @@ object Dedup {
     // corpus (BenchScale stream_admission: 106 → 55 rows/s from 1× to
     // 20×); now the full index is streamed once through a (typically
     // broadcast) semi-join and every later stage sees only touched rows.
-    val cIdxAll = corpusIndex.select(col(idCol).as("__cid"),
+    val indexSource = prunedCorpusIndex match {
+      case Some(provider) =>
+        val keys = bIdx.select(col("band_hash")).distinct()
+          .limit(MaxCollectedProbeKeys + 1).collect().map(_.getLong(0))
+        if (keys.length > MaxCollectedProbeKeys) corpusIndex // batch too big to enumerate
+        else provider(keys.toSeq)
+      case None => corpusIndex
+    }
+    val cIdxAll = indexSource.select(col(idCol).as("__cid"),
       col("band"), col("band_hash"))
     val batchKeys = bIdx.select(col("band"), col("band_hash")).distinct()
     val cIdx0 = cIdxAll.join(batchKeys, Seq("band", "band_hash"), "left_semi")

@@ -441,6 +441,16 @@ object EventStream {
             } else {
               val corpus = graft.iceberg.IcebergTable(s, corpusDir).toDF(s)
               val index = graft.iceberg.IcebergTable(s, indexDir).toDF(s)
+              // Storage-pruned probe: the batch's band_hash keys push
+              // into the index scan as an In filter, so an index table
+              // partitioned by bucket[N](band_hash) file-prunes the
+              // per-batch read (IO ∝ batch, not corpus). Unpartitioned
+              // indexes just skip pruning — the probe's semi-join keeps
+              // results identical either way.
+              val prunedIndex = (hashes: Seq[Long]) =>
+                graft.iceberg.IcebergTable(s, indexDir).toDF(s,
+                  Seq(org.apache.spark.sql.sources.In("band_hash",
+                    hashes.map(h => Long.box(h): Any).toArray)))
               // the admitted set is pinned (checkpointed band index +
               // deterministic flags), so both appends see the IDENTICAL
               // result; the batch band index is reused for the index
@@ -448,7 +458,8 @@ object EventStream {
               val (adm, bIdx) = graft.operators.Dedup
                 .incrementalAdmissionWithIndex(
                   index, corpus, batch.toDF, idCol, textCol,
-                  numHashes, bands, shingleSize)
+                  numHashes, bands, shingleSize,
+                  prunedCorpusIndex = Some(prunedIndex))
               val kept = adm.filter(col("keep"))
                 .drop("dup_of_corpus", "batch_dup", "keep")
                 .localCheckpoint(true)

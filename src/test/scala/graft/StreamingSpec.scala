@@ -403,6 +403,74 @@ class StreamingSpec extends SparkSpec {
     assert(IcebergTable(spark, iDir).metadata.snapshots.size == 3)
   }
 
+  test("admission sink over a bucket-partitioned index: identical " +
+      "admissions, and the probe's In pushdown actually prunes files") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import graft.operators.Dedup
+    val cDir = "/root/repo/target/test-admission-part-corpus"
+    val iDir = "/root/repo/target/test-admission-part-index"
+    Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+    import spark.implicits._
+    val corpusSeed = (0L until 40L).map(i =>
+      (i, s"seed corpus document number $i with distinct body text"))
+      .toDF("doc_id", "text")
+    val indexSeed = Dedup.minhashBandIndex(corpusSeed, "doc_id", "text",
+      numHashes = 32, bands = 16)
+    for ((d, sch, parts) <- Seq(
+        (cDir, corpusSeed.schema, Seq.empty[(String, String)]),
+        (iDir, indexSeed.schema, Seq("band_hash" -> "bucket[8]")))) {
+      val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+        new com.fasterxml.jackson.databind.ObjectMapper(), d, sch,
+        parts, Map.empty)
+      new File(s"$d/metadata").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)
+    }
+    IcebergWriter.append(spark, cDir, corpusSeed)
+    IcebergWriter.append(spark, iDir, indexSeed)
+    // the partitioned seed write fans out one file per touched bucket —
+    // a single-key In filter must prune to a strict subset
+    val t0 = IcebergTable(spark, iDir)
+    val allFiles = t0.planFiles().size
+    assert(allFiles >= 4, s"bucketed seed should span several files: $allFiles")
+    val oneKey = IcebergTable(spark, iDir).toDF(spark).limit(1)
+      .select("band_hash").as[Long].head()
+    val pruned = t0.planFiles(Seq(
+      org.apache.spark.sql.sources.In("band_hash", Array(Long.box(oneKey))))).size
+    assert(pruned < allFiles,
+      s"bucket pruning must bite: $pruned of $allFiles files kept")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    val q = EventStream.icebergAdmissionSink(stream, cDir, iDir,
+        "doc_id", "text", numHashes = 32, bands = 16)
+      .option("checkpointLocation", s"$cDir/_ckpt")
+      .start()
+    try {
+      mem.addData(
+        (100L, "seed corpus document number 7 with distinct body text"), // clone: reject
+        (101L, "a brand new admission-worthy document body"))            // admit
+      q.processAllAvailable()
+      mem.addData(
+        (102L, "a brand new admission-worthy document body"), // clone of 101: reject
+        (103L, "yet another novel body for the second batch"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = IcebergTable(spark, cDir).toDF(spark)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == ((0L until 40L) ++ Seq(101L, 103L)).sorted,
+      s"admissions over the partitioned index must match the exact semantics: " +
+        s"${ids.filter(_ >= 100L)}")
+    // index appends from the sink land under the bucket spec too
+    val idxT = IcebergTable(spark, iDir)
+    assert(idxT.toDF(spark).select("doc_id").distinct().count() == 42)
+    assert(idxT.planFiles().forall(_.partition.nonEmpty),
+      "every index data file (seed AND sink appends) carries its bucket tuple")
+  }
+
   test("admission sink: checkpoint replay after a post-commit crash is a no-op") {
     import java.io.File
     import org.apache.commons.io.FileUtils
