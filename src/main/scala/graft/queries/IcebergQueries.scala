@@ -1055,6 +1055,37 @@ object IcebergQueries {
           |GROUP BY label ORDER BY label""".stripMargin)
     }),
 
+    // Capstone bridge (round 13): ANN search over vectors STORED IN THE
+    // LAKEHOUSE. The embeddings live as a catalog-managed Iceberg table
+    // (array<float> through the nested-type schema layer), take a
+    // copy-on-write DELETE (the fanout rewrite must carry the array
+    // column through), and then serve Similarity.bruteForceTopK
+    // directly: the 4 probe vectors broadcast, the corpus scanned once
+    // with no big-side shuffle. The oracle reproduces the exact ranked
+    // neighbours — scores included — over the surviving rows of the
+    // source parquet, so Iceberg storage must be value-preserving for
+    // float arrays AND the scan must serve exactly the rows the DELETE
+    // left.
+    "q155_ann_iceberg" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      val warehouse = "/root/repo/target/q155-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "embeddings").createOrReplaceTempView("emb_src_q155")
+      s.conf.set("spark.sql.catalog.q155cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q155cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q155cat.ns")
+      s.sql(
+        """CREATE TABLE q155cat.ns.emb AS
+          |SELECT vec_id, embedding, label FROM emb_src_q155""".stripMargin)
+      s.sql("DELETE FROM q155cat.ns.emb WHERE vec_id % 7 = 3")
+      val emb = s.table("q155cat.ns.emb")
+      graft.functions.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), emb, k = 3)
+        .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1503,6 +1534,24 @@ object IcebergQueries {
         |FROM embeddings
         |WHERE vec_id % 5 <> 0
         |GROUP BY label ORDER BY label""".stripMargin,
+    "q155_ann_iceberg" -> {
+      def dotD(a: String, b: String) =
+        s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+      def cosD(a: String, b: String) =
+        s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+      s"""WITH live AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 3),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM live
+         |      WHERE vec_id < 5),
+         |scored AS (SELECT q_id, c.vec_id AS n_id,
+         |             ROUND(${cosD("q_vec", "c.embedding")}, 4) AS score
+         |           FROM q, live c WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, n_id, score,
+         |             CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |               ORDER BY score DESC, n_id ASC) AS BIGINT) AS rank
+         |           FROM scored)
+         |SELECT q_id, n_id, score, rank FROM ranked WHERE rank <= 3
+         |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+    },
     "q68_zorder" ->
       """SELECT COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sq,
         |       CAST(SUM(l_orderkey) AS BIGINT) AS sk
