@@ -200,40 +200,63 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       trainIters: Int = 0): DataFrame = {
-    val centRows =
-      if (trainIters <= 0) sampleCentroids(corpus, nCentroids, idCol, vecCol)
-      else kmeansCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
-    val centArr = centroidArray(centRows)
+    val centRows = ivfCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+    ivfScore(ivfProbes(queries, centRows, nProbe, idCol, vecCol),
+      ivfAssign(corpus, centRows, idCol, vecCol), k)
+  }
 
-    // Both sides assign via one [[NearestCentroids]] call per row — a
-    // runtime loop over the broadcast centroid array (generated code is
-    // one static call, independent of nCentroids; an unrolled
-    // per-centroid expression tree would be Janino-hostile at real-world
-    // centroid counts). Corpus: argmax (k=1), purely map-side, zero
-    // shuffle and zero row amplification. Queries: top-nProbe ids,
-    // exploded — no window, no shuffle on either side.
-    def nearest(vec: String, k: Int): Column =
-      GraftColumnShim.column(NearestCentroids(
-        GraftColumnShim.expression(col(vec)),
-        GraftColumnShim.expression(col("cents")), k))
+  /** The IVF coarse quantizer: `nCentroids` centroid rows (c_id, c_vec:
+    * array<double>, c_nrm) — a deterministic sample, or Lloyd's-refined
+    * when `trainIters > 0`. Exposed so a persisted index
+    * ([[graft.operators.VectorIndex]]) can store the EXACT rows the
+    * in-memory path computes and reproduce its results bit-for-bit. */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    if (trainIters <= 0) sampleCentroids(corpus, nCentroids, idCol, vecCol)
+    else kmeansCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
 
-    val bucketed = corpus
+  // Both sides assign via one [[NearestCentroids]] call per row — a
+  // runtime loop over the broadcast centroid array (generated code is
+  // one static call, independent of nCentroids; an unrolled
+  // per-centroid expression tree would be Janino-hostile at real-world
+  // centroid counts).
+  private def nearestCol(vec: String, k: Int): Column =
+    GraftColumnShim.column(NearestCentroids(
+      GraftColumnShim.expression(col(vec)),
+      GraftColumnShim.expression(col("cents")), k))
+
+  /** Corpus-side IVF assignment — each vector's single nearest centroid:
+    * (c_id, n_id, n_vec, n_nrm). Argmax (k=1), purely map-side against
+    * ONE broadcast centroid row: zero shuffle, zero row amplification.
+    * These rows ARE the posting lists a persisted index stores. */
+  def ivfAssign(corpus: DataFrame, centRows: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         l2Norm(col(vecCol)).as("n_nrm"))
-      .join(broadcast(centArr))
-      .withColumn("c_id", get(nearest("n_vec", 1), lit(0)))
-      .select(col("n_id"), col("n_vec"), col("n_nrm"), col("c_id"))
+      .join(broadcast(centroidArray(centRows)))
+      .withColumn("c_id", get(nearestCol("n_vec", 1), lit(0)))
+      .select(col("c_id"), col("n_id"), col("n_vec"), col("n_nrm"))
 
-    val probes = queries
+  /** Query-side IVF probes — each query exploded to its `nProbe` nearest
+    * centroid ids: (q_id, q_vec, q_nrm, c_id). Map-side over the same
+    * broadcast centroid row; no window, no shuffle. */
+  def ivfProbes(queries: DataFrame, centRows: DataFrame, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         l2Norm(col(vecCol)).as("q_nrm"))
-      .join(broadcast(centArr))
+      .join(broadcast(centroidArray(centRows)))
       .select(col("q_id"), col("q_vec"), col("q_nrm"),
-        explode(nearest("q_vec", nProbe)).as("c_id"))
+        explode(nearestCol("q_vec", nProbe)).as("c_id"))
 
-    // corpus rows live in exactly one bucket, so a (q, n) pair meets
-    // through at most one c_id — no dedup needed before ranking
-    val scored = broadcast(probes).join(bucketed, Seq("c_id"))
+  /** Candidate scoring + ranking shared by the in-memory and persisted
+    * IVF paths: broadcast-join probes to posting rows on the centroid
+    * id, score each candidate once, rank per query. A corpus row lives
+    * in exactly one bucket, so a (q, n) pair meets through at most one
+    * c_id — no dedup needed before ranking. */
+  def ivfScore(probes: DataFrame, postings: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(probes).join(postings, Seq("c_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosFromNorms(dot(col("q_vec"), col("n_vec")),

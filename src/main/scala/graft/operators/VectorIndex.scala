@@ -1,0 +1,107 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.In
+
+import graft.functions.Similarity
+import graft.iceberg.{IcebergTable, IcebergWriter}
+import graft.iceberg.connector.IcebergJson
+
+/** A persisted IVF(-flat) vector index AS Iceberg tables — the bridge
+  * between the ANN operators and the lakehouse storage layer, and the
+  * serving shape that survives 100 TB: build once (two passes over the
+  * corpus: train + assign), then every query batch reads only the
+  * posting lists it probes.
+  *
+  * Layout under `indexDir`:
+  *   - `centroids/` — (c_id, c_vec: array<double>, c_nrm): the coarse
+  *     quantizer, nCentroids rows, broadcast at probe time.
+  *   - `postings/` — (c_id, n_id, n_vec, n_nrm), PARTITIONED BY
+  *     identity(c_id): each centroid's posting list lands in its own
+  *     partition directory, with per-file c_id bounds in the manifests.
+  *
+  * Probe cost model: a query batch touches at most |queries| × nProbe
+  * distinct centroid ids. [[topK]] collects that (small, capped) id set
+  * on the driver and pushes it into the postings scan as an `In` filter,
+  * so identity-partition pruning reads ONLY the probed posting lists —
+  * per-batch index IO is the probed corpus fraction (≈ nProbe /
+  * nCentroids for balanced lists), not the corpus. This is the same
+  * collect-keys-then-prune shape as the streaming admission probe
+  * ([[Dedup.incrementalAdmissionWithIndex]]'s `prunedCorpusIndex`]]);
+  * both stay correct under a provider that returns MORE than the probed
+  * rows because the join re-enforces the key filter.
+  *
+  * Determinism contract: the stored centroid rows are the EXACT rows
+  * [[Similarity.ivfCentroids]] computes (array<double> and doubles
+  * round-trip parquet bit-for-bit, float vectors likewise), assignment
+  * and scoring reuse the same kernels — so [[topK]] over a stored index
+  * equals [[Similarity.ivfTopK]] over the live corpus with the same
+  * parameters, row for row (the spec pins this).
+  */
+object VectorIndex {
+
+  /** Cap on driver-collected probe centroid ids: |queries| × nProbe
+    * distinct values. Interactive/batch probe sets sit far under it; a
+    * probe wider than the cap falls back to the full postings scan
+    * (correct, just unpruned). */
+  val MaxCollectedProbeCentroids = 100000
+
+  /** Train the quantizer and persist both index tables. `corpus` is read
+    * twice (centroid training + assignment); the k-bounded centroid rows
+    * are collected once so k-means training is NOT re-run by the
+    * assignment pass. */
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
+      nCentroids: Int = 16, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // materialize the (k-bounded) centroid rows so the two downstream
+    // uses (centroid-table write, corpus assignment) don't re-train
+    val centRows = Similarity
+      .ivfCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
+      .localCheckpoint(true)
+    val postings = Similarity.ivfAssign(corpus, centRows, idCol, vecCol)
+    createTable(spark, s"$indexDir/centroids", centRows.schema, Nil)
+    createTable(spark, s"$indexDir/postings", postings.schema,
+      Seq("c_id" -> "identity"))
+    IcebergWriter.append(spark, s"$indexDir/centroids", centRows)
+    IcebergWriter.append(spark, s"$indexDir/postings", postings)
+  }
+
+  /** Approximate top-k over the stored index: broadcast the centroid
+    * table, compute each query's nProbe nearest centroid ids map-side,
+    * then scan ONLY those posting-list partitions (In-filter file
+    * pruning) and score/rank with the shared IVF kernel. */
+  def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxProbeCentroids: Int = MaxCollectedProbeCentroids): DataFrame = {
+    val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
+    val probes = Similarity.ivfProbes(queries, centRows, nProbe, idCol, vecCol)
+      .localCheckpoint(true) // probed ids are reused: once collected for
+                             // pruning, once joined for scoring
+    val cids = probes.select(col("c_id")).distinct()
+      .limit(maxProbeCentroids + 1).collect().map(_.get(0))
+    val postingsTable = IcebergTable(spark, s"$indexDir/postings")
+    val postings =
+      if (cids.length > maxProbeCentroids) postingsTable.toDF(spark)
+      else postingsTable.toDF(spark, Seq(In("c_id", cids)))
+    Similarity.ivfScore(probes, postings, k)
+  }
+
+  /** Seed an empty Iceberg table document at `dir` (object-store-safe:
+    * through the Hadoop FS of the path, like the catalog's CTAS). */
+  private def createTable(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[(String, String)]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaJson = IcebergJson.tableMetadata(
+      new ObjectMapper(), dir, schema, partitionCols, Map.empty)
+    val path = new Path(s"$dir/metadata/v1.metadata.json")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    try out.write(metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

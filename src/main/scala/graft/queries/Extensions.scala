@@ -263,6 +263,25 @@ object Extensions {
         .orderBy(col("q_id").asc_nulls_first)
     }),
 
+    // Persisted IVF index AS Iceberg tables (VectorIndex): the same
+    // provable clone-recall contract as q53, but the index is built ONCE
+    // into lakehouse storage (centroids + identity(c_id)-partitioned
+    // posting lists) and the probe reads only the In-pruned posting
+    // partitions — the ANN serving shape that survives 100 TB.
+    "q156_ivf_index_recall" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, d, "embeddings")
+      val dir = "/root/repo/target/q156-index"
+      val p = new Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.operators.VectorIndex.build(s, emb, dir, nCentroids = 16)
+      val clones = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.operators.VectorIndex.topK(s, dir, clones, k = 1, nProbe = 2)
+        .select(col("q_id"), col("n_id"), col("score"))
+        .orderBy(col("q_id").asc_nulls_first)
+    }),
+
     // IVF with k-means-TRAINED centroids (Lloyd's, 2 iterations): same
     // clone-recall contract — training moves centroids but assignment
     // stays deterministic on both sides, so exact duplicates still
@@ -1433,6 +1452,10 @@ object Extensions {
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
     "q56_ivf_trained_recall" ->
+      """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
+        |FROM embeddings WHERE vec_id < 50
+        |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
+    "q156_ivf_index_recall" ->
       """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
