@@ -69,6 +69,22 @@ object VectorIndex {
     IcebergWriter.append(spark, s"$indexDir/postings", postings)
   }
 
+  /** Append a vector batch to a stored index: assign against the STORED
+    * centroid table — so the quantizer, and therefore probe routing,
+    * never drifts from what [[build]] trained — and commit the new
+    * posting rows under the same identity(c_id) partition spec. O(batch)
+    * work: one map-side assignment pass over the batch plus one Iceberg
+    * append; the corpus is never re-read. Retraining (when drift between
+    * the stored centroids and the grown corpus warrants it) is a fresh
+    * [[build]] into a new indexDir, swapped atomically by the caller.
+    * Returns the committed snapshot id. */
+  def append(spark: SparkSession, indexDir: String, vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
+    IcebergWriter.append(spark, s"$indexDir/postings",
+      Similarity.ivfAssign(vectors, centRows, idCol, vecCol))
+  }
+
   /** Approximate top-k over the stored index: broadcast the centroid
     * table, compute each query's nProbe nearest centroid ids map-side,
     * then scan ONLY those posting-list partitions (In-filter file

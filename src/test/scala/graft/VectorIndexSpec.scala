@@ -61,6 +61,29 @@ class VectorIndexSpec extends SparkSpec {
       s"identity-partition pruning must bite: ${pruned.size} of ${all.size}")
   }
 
+  test("append routes new vectors through the STORED centroids and they " +
+      "retrieve immediately; appended files carry partition tuples") {
+    val adir = s"$dir-append"
+    FileUtils.deleteQuietly(new File(adir))
+    val seed = emb.filter(col("vec_id") < 300)
+    val late = emb.filter(col("vec_id") >= 300)
+    VectorIndex.build(spark, seed, adir, nCentroids = 8)
+    VectorIndex.append(spark, adir, late)
+    val t = IcebergTable(spark, s"$adir/postings")
+    assert(t.toDF(spark).count() == emb.count(),
+      "postings must cover seed + appended vectors exactly once")
+    assert(t.planFiles().forall(_.partition.nonEmpty),
+      "appended posting files carry their c_id partition tuple too")
+    // a clone of an APPENDED vector retrieves at score 1.0: the batch
+    // was assigned with the stored quantizer, so probe routing agrees
+    val lateId = late.select(min(col("vec_id"))).as[Long].head()
+    val clone = emb.filter(col("vec_id") === lateId)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val got = VectorIndex.topK(spark, adir, clone, k = 1, nProbe = 1)
+      .select(col("n_id"), col("score")).as[(Long, Double)].collect().toSeq
+    assert(got == Seq((lateId, 1.0)), s"appended clone must hit: $got")
+  }
+
   test("planted exact clones retrieve through the stored index with " +
       "probability 1 (the q53 contract, now over lakehouse storage)") {
     if (!new File(s"$dir/postings/metadata").exists())
