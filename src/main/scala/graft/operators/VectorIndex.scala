@@ -3,7 +3,7 @@ package graft.operators
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.sources.In
 
 import graft.functions.Similarity
@@ -83,6 +83,78 @@ object VectorIndex {
     val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
     IcebergWriter.append(spark, s"$indexDir/postings",
       Similarity.ivfAssign(vectors, centRows, idCol, vecCol))
+  }
+
+  /** Incremental vector admission: flag which rows of a NEW batch are
+    * exact vector duplicates of the stored corpus or of an earlier batch
+    * row — the embedding-side twin of
+    * [[Dedup.incrementalAdmissionWithIndex]], and the ingest loop a
+    * growing vector corpus runs (probe, drop duplicates, [[append]] the
+    * kept rows).
+    *
+    * Contract (exact, engine-portable): a row is `dup_of_corpus` iff
+    * some stored posting row has an IDENTICAL vector, and `batch_dup`
+    * iff an earlier (smaller-id) batch row does; `keep` is neither. The
+    * index is only the BLOCKING strategy: an identical vector always
+    * maps to its twin's argmax centroid cell (the assignment kernel is
+    * deterministic, ties broken on centroid id), so the probed candidate
+    * set provably contains every exact duplicate for any nProbe >= 1 —
+    * recall 1.0 by construction, no probabilistic caveat, and any SQL
+    * engine reproduces the output with plain equality tests (the q157
+    * oracle does exactly that). Near-duplicate admission by cosine is a
+    * different, candidate-recall contract — that is batch
+    * [[Similarity.semDedup]] territory, deliberately not folded in here.
+    *
+    * Scale shape: the batch is assigned map-side against the broadcast
+    * stored centroids (no shuffle); the corpus side reads ONLY the
+    * posting partitions the batch's cells touch (the same
+    * collect-keys-then-prune In pushdown as [[topK]], ≈ cells-touched /
+    * nCentroids of the index, capped with a full-scan fallback that
+    * stays correct); candidates are equality-verified on the vector.
+    * Batch-internal pairing is blocked by the same cells — quadratic
+    * only within a batch cell, bounded by batch size, never corpus.
+    * Unlike [[topK]] the q_id = n_id guard is NOT applied: a replayed
+    * row (same id, same vector) IS a corpus duplicate. */
+  def admit(spark: SparkSession, indexDir: String, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxProbeCentroids: Int = MaxCollectedProbeCentroids): DataFrame = {
+    val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
+    // one map-side assignment pass, reused by both probes AND by the
+    // caller-visible flags join (checkpointed: the pin also freezes the
+    // admitted set so retried writers see identical flags)
+    val asg = Similarity.ivfAssign(batch, centRows, idCol, vecCol)
+      .localCheckpoint(true)
+    val cids = asg.select(col("c_id")).distinct()
+      .limit(maxProbeCentroids + 1).collect().map(_.get(0))
+    val postingsTable = IcebergTable(spark, s"$indexDir/postings")
+    val postings =
+      if (cids.length > maxProbeCentroids) postingsTable.toDF(spark)
+      else postingsTable.toDF(spark, Seq(In("c_id", cids)))
+    // corpus probe: cell-equijoin then exact vector verify; broadcast
+    // the (small) batch side so the pruned posting scan never shuffles
+    val corpusDups = broadcast(
+        asg.select(col("c_id"), col("n_id").as("__bid"),
+          col("n_vec").as("__bvec")))
+      .join(postings, Seq("c_id"))
+      .filter(col("__bvec") <=> col("n_vec"))
+      .select(col("__bid").as(idCol)).distinct()
+    // batch-internal: pairs within a cell, earlier id wins (exact
+    // equality is transitive, so "has a smaller identical partner" ==
+    // "not the canonical minimum of its duplicate group")
+    val a = asg.select(col("c_id"), col("n_id"), col("n_vec"))
+    val b = asg.select(col("c_id").as("__pcid"), col("n_id").as("__pid"),
+      col("n_vec").as("__pvec"))
+    val batchDups = a.join(b,
+        col("c_id") === col("__pcid") && col("n_id") > col("__pid") &&
+          col("n_vec") <=> col("__pvec"))
+      .select(col("n_id").as(idCol)).distinct()
+    batch
+      .join(corpusDups.withColumn("dup_of_corpus", lit(true)),
+        Seq(idCol), "left")
+      .join(batchDups.withColumn("batch_dup", lit(true)),
+        Seq(idCol), "left")
+      .na.fill(false, Seq("dup_of_corpus", "batch_dup"))
+      .withColumn("keep", !col("dup_of_corpus") && !col("batch_dup"))
   }
 
   /** Approximate top-k over the stored index: broadcast the centroid

@@ -282,6 +282,32 @@ object Extensions {
         .orderBy(col("q_id").asc_nulls_first)
     }),
 
+    // Incremental ANN admission (VectorIndex.admit): a new vector batch
+    // is flagged dup_of_corpus / batch_dup / keep against the STORED
+    // index — exact-equality contract, probe-blocked through the pruned
+    // posting scan, so the oracle is plain SQL equality over the same
+    // parquet (the embedding twin of q87's LSH admission).
+    "q157_ann_admission" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, d, "embeddings")
+      val dir = "/root/repo/target/q157-index"
+      val p = new Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.operators.VectorIndex.build(s,
+        emb.filter(col("vec_id") >= 200), dir, nCentroids = 16)
+      val batch = emb.filter(col("vec_id") < 60)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb
+          .filter(col("vec_id") >= 200 && col("vec_id") < 230)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        .unionByName(emb.filter(col("vec_id") < 15)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+      graft.operators.VectorIndex.admit(s, dir, batch)
+        .select(col("vec_id"), col("dup_of_corpus"), col("batch_dup"),
+          col("keep"))
+        .orderBy(col("vec_id").asc_nulls_first)
+    }),
+
     // IVF with k-means-TRAINED centroids (Lloyd's, 2 iterations): same
     // clone-recall contract — training moves centroids but assignment
     // stays deterministic on both sides, so exact duplicates still
@@ -1459,6 +1485,29 @@ object Extensions {
       """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
+    "q157_ann_admission" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 200),
+        |batch AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id >= 200 AND vec_id < 230
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 15)
+        |SELECT b.vec_id,
+        |  EXISTS(SELECT 1 FROM corpus c
+        |         WHERE c.embedding = b.embedding) AS dup_of_corpus,
+        |  EXISTS(SELECT 1 FROM batch b2
+        |         WHERE b2.vec_id < b.vec_id
+        |           AND b2.embedding = b.embedding) AS batch_dup,
+        |  NOT EXISTS(SELECT 1 FROM corpus c
+        |             WHERE c.embedding = b.embedding)
+        |    AND NOT EXISTS(SELECT 1 FROM batch b2
+        |                   WHERE b2.vec_id < b.vec_id
+        |                     AND b2.embedding = b.embedding) AS keep
+        |FROM batch b ORDER BY vec_id ASC NULLS FIRST""".stripMargin,
     "q50_asof_join" ->
       """SELECT l.event_id, l.user_id,
         |  (SELECT r.event_id FROM events r

@@ -84,6 +84,50 @@ class VectorIndexSpec extends SparkSpec {
     assert(got == Seq((lateId, 1.0)), s"appended clone must hit: $got")
   }
 
+  test("admit flags corpus dups / batch dups / keeps exactly, and the " +
+      "admit->append ingest loop rejects a replayed row next batch") {
+    val adir = s"$dir-admit"
+    FileUtils.deleteQuietly(new File(adir))
+    VectorIndex.build(spark, emb.filter(col("vec_id") >= 200), adir,
+      nCentroids = 8)
+    // batch1: 10 new rows, 5 clones of corpus rows, 3 clones of the new
+    // rows (larger ids) -> keep / dup_of_corpus / batch_dup respectively
+    val batch1 = emb.filter(col("vec_id") < 10)
+      .unionByName(emb.filter(col("vec_id") >= 200 && col("vec_id") < 205)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      .unionByName(emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+    val adm1 = VectorIndex.admit(spark, adir, batch1)
+      .select(col("vec_id"), col("dup_of_corpus"), col("batch_dup"),
+        col("keep"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sorted.toSeq
+    assert(adm1 ==
+      (0L until 10L).map((_, false, false, true)) ++
+      (100200L until 100205L).map((_, true, false, false)) ++
+      (200000L until 200003L).map((_, false, true, false)),
+      s"batch1 flags: $adm1")
+    // the ingest loop: append ONLY the kept rows, then a clone of a
+    // batch1-kept row (and a literal replay, same id) both flag
+    // dup_of_corpus in batch2 — the cap fallback path agrees
+    VectorIndex.append(spark, adir,
+      VectorIndex.admit(spark, adir, batch1).filter(col("keep"))
+        .drop("dup_of_corpus", "batch_dup", "keep"))
+    val batch2 = emb.filter(col("vec_id") === 5)
+      .select((col("vec_id") + 300000L).as("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") === 7))
+      .unionByName(emb.filter(col("vec_id") === 50))
+    val adm2 = VectorIndex.admit(spark, adir, batch2)
+      .select(col("vec_id"), col("dup_of_corpus"), col("keep"))
+      .as[(Long, Boolean, Boolean)].collect().sorted.toSeq
+    assert(adm2 == Seq((7L, true, false), (50L, false, true),
+      (300005L, true, false)), s"batch2 flags: $adm2")
+    val adm2Fallback = VectorIndex.admit(spark, adir, batch2,
+        maxProbeCentroids = 0)
+      .select(col("vec_id"), col("dup_of_corpus"), col("keep"))
+      .as[(Long, Boolean, Boolean)].collect().sorted.toSeq
+    assert(adm2Fallback == adm2, "cap fallback changes IO, never flags")
+  }
+
   test("planted exact clones retrieve through the stored index with " +
       "probability 1 (the q53 contract, now over lakehouse storage)") {
     if (!new File(s"$dir/postings/metadata").exists())
