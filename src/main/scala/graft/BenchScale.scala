@@ -197,16 +197,9 @@ object BenchScale {
         // admission sink pushes each batch's band_hash keys as an In
         // filter, so the per-batch probe file-prunes to the touched
         // buckets instead of scanning the whole index (IO ∝ batch)
-        for ((d, sch, parts) <- Seq(
-            (cDir, corpusSeed.schema, Seq.empty[(String, String)]),
-            (iDir, indexSeed.schema, Seq("band_hash" -> "bucket[32]")))) {
-          val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-            new com.fasterxml.jackson.databind.ObjectMapper(), d, sch,
-            parts, Map.empty)
-          new File(s"$d/metadata").mkdirs()
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)
-        }
+        IcebergWriter.seedTable(spark, cDir, corpusSeed.schema)
+        IcebergWriter.seedTable(spark, iDir, indexSeed.schema,
+          Seq("band_hash" -> "bucket[32]"))
         IcebergWriter.append(spark, cDir, corpusSeed)
         IcebergWriter.append(spark, iDir, indexSeed)
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -377,6 +377,34 @@ object IcebergWriter {
     fs.getFileStatus(fsPath).getLen
   }
 
+  /** Seed an EMPTY Iceberg table document at `dir` (v1.metadata.json, no
+    * snapshot) — the pathless-catalog twin of CREATE TABLE, for tables
+    * addressed by location (vector indexes, streaming sinks, bench
+    * scratch). Goes through the path's Hadoop FileSystem, so any object
+    * store works (a java.nio write would silently only work for `file:`).
+    *
+    * REFUSES a dir that already holds table metadata: reads resolve the
+    * HIGHEST vN.metadata.json, so overwriting v1 under a surviving v2+
+    * would leave the stale version live and a later commit would silently
+    * merge old and new contents. Rebuild = drop (delete the dir) first. */
+  def seedTable(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[(String, String)] = Nil,
+      properties: Map[String, String] = Map.empty): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(s"$dir/metadata")
+    val fs = metaDir.getFileSystem(conf)
+    require(!fs.exists(metaDir),
+      s"$dir already holds Iceberg table metadata — the highest existing " +
+        "vN.metadata.json would stay live and later commits would merge " +
+        "stale contents; delete the table dir first to rebuild")
+    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
+      new ObjectMapper(), dir, schema, partitionCols, properties)
+    val out = fs.create(new Path(metaDir, "v1.metadata.json"), false)
+    try out.write(metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Commit `df` as a new append snapshot on the table at `tableDir`;
     * returns the new snapshot id (1, 2, 3, … — deterministic).
     * `summary` entries land in the snapshot's `summary` node (alongside

@@ -1,14 +1,11 @@
 package graft.operators
 
-import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.In
 
 import graft.functions.Similarity
 import graft.iceberg.{IcebergTable, IcebergWriter}
-import graft.iceberg.connector.IcebergJson
 
 /** A persisted IVF(-flat) vector index AS Iceberg tables — the bridge
   * between the ANN operators and the lakehouse storage layer, and the
@@ -49,10 +46,22 @@ object VectorIndex {
     * (correct, just unpruned). */
   val MaxCollectedProbeCentroids = 100000
 
+  /** `cap + 1` without Int overflow — `Int.MaxValue` is a natural
+    * "disable the cap" value (the sibling `probeMaxBucket` API documents
+    * it), and a raw `+ 1` would turn it into a negative `limit(...)`. */
+  private def capPlusOne(cap: Int): Int =
+    math.min(cap.toLong + 1, Int.MaxValue.toLong).toInt
+
   /** Train the quantizer and persist both index tables. `corpus` is read
     * twice (centroid training + assignment); the k-bounded centroid rows
     * are collected once so k-means training is NOT re-run by the
-    * assignment pass. */
+    * assignment pass. REFUSES an `indexDir` that already holds an index
+    * (via [[IcebergWriter.seedTable]]): reads resolve the highest
+    * metadata version, so re-seeding v1 under a surviving v2+ would
+    * leave the stale index live and the appends would merge old and new
+    * posting/centroid rows — duplicate neighbors, silently. Retraining
+    * is a fresh build into a NEW dir (or delete this one first), swapped
+    * atomically by the caller. */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
       nCentroids: Int = 16, trainIters: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -62,8 +71,8 @@ object VectorIndex {
       .ivfCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
       .localCheckpoint(true)
     val postings = Similarity.ivfAssign(corpus, centRows, idCol, vecCol)
-    createTable(spark, s"$indexDir/centroids", centRows.schema, Nil)
-    createTable(spark, s"$indexDir/postings", postings.schema,
+    IcebergWriter.seedTable(spark, s"$indexDir/centroids", centRows.schema)
+    IcebergWriter.seedTable(spark, s"$indexDir/postings", postings.schema,
       Seq("c_id" -> "identity"))
     IcebergWriter.append(spark, s"$indexDir/centroids", centRows)
     IcebergWriter.append(spark, s"$indexDir/postings", postings)
@@ -125,16 +134,20 @@ object VectorIndex {
     val asg = Similarity.ivfAssign(batch, centRows, idCol, vecCol)
       .localCheckpoint(true)
     val cids = asg.select(col("c_id")).distinct()
-      .limit(maxProbeCentroids + 1).collect().map(_.get(0))
+      .limit(capPlusOne(maxProbeCentroids)).collect().map(_.get(0))
     val postingsTable = IcebergTable(spark, s"$indexDir/postings")
     val postings =
       if (cids.length > maxProbeCentroids) postingsTable.toDF(spark)
       else postingsTable.toDF(spark, Seq(In("c_id", cids)))
-    // corpus probe: cell-equijoin then exact vector verify; broadcast
-    // the (small) batch side so the pruned posting scan never shuffles
-    val corpusDups = broadcast(
-        asg.select(col("c_id"), col("n_id").as("__bid"),
-          col("n_vec").as("__bvec")))
+    // corpus probe: cell-equijoin then exact vector verify. No forced
+    // broadcast: the batch side carries full vectors, and the bulk
+    // re-admission batches that trip the cap fallback are exactly the
+    // ones that would blow the broadcast limit — let the planner pick
+    // (small batches broadcast on size anyway; huge ones legitimately
+    // shuffle against the pruned or full posting scan).
+    val corpusDups = asg
+      .select(col("c_id"), col("n_id").as("__bid"),
+        col("n_vec").as("__bvec"))
       .join(postings, Seq("c_id"))
       .filter(col("__bvec") <=> col("n_vec"))
       .select(col("__bid").as(idCol)).distinct()
@@ -170,7 +183,7 @@ object VectorIndex {
       .localCheckpoint(true) // probed ids are reused: once collected for
                              // pruning, once joined for scoring
     val cids = probes.select(col("c_id")).distinct()
-      .limit(maxProbeCentroids + 1).collect().map(_.get(0))
+      .limit(capPlusOne(maxProbeCentroids)).collect().map(_.get(0))
     val postingsTable = IcebergTable(spark, s"$indexDir/postings")
     val postings =
       if (cids.length > maxProbeCentroids) postingsTable.toDF(spark)
@@ -178,18 +191,4 @@ object VectorIndex {
     Similarity.ivfScore(probes, postings, k)
   }
 
-  /** Seed an empty Iceberg table document at `dir` (object-store-safe:
-    * through the Hadoop FS of the path, like the catalog's CTAS). */
-  private def createTable(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      partitionCols: Seq[(String, String)]): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val metaJson = IcebergJson.tableMetadata(
-      new ObjectMapper(), dir, schema, partitionCols, Map.empty)
-    val path = new Path(s"$dir/metadata/v1.metadata.json")
-    val fs = path.getFileSystem(conf)
-    val out = fs.create(path, true)
-    try out.write(metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
 }

@@ -440,7 +440,13 @@ object EventStream {
               done = true // replayed batch: already committed
             } else {
               val corpus = graft.iceberg.IcebergTable(s, corpusDir).toDF(s)
-              val index = graft.iceberg.IcebergTable(s, indexDir).toDF(s)
+              // ONE table instance serves both the full-index DF and the
+              // pruned probe: both reads then resolve the SAME snapshot
+              // (a rival writer committing mid-batch cannot hand the
+              // probe a newer index than `index`), and the second
+              // metadata/manifest-list read is saved per micro-batch.
+              val idxTable = graft.iceberg.IcebergTable(s, indexDir)
+              val index = idxTable.toDF(s)
               // Storage-pruned probe: the batch's band_hash keys push
               // into the index scan as an In filter, so an index table
               // partitioned by bucket[N](band_hash) file-prunes the
@@ -448,7 +454,7 @@ object EventStream {
               // indexes just skip pruning — the probe's semi-join keeps
               // results identical either way.
               val prunedIndex = (hashes: Seq[Long]) =>
-                graft.iceberg.IcebergTable(s, indexDir).toDF(s,
+                idxTable.toDF(s,
                   Seq(org.apache.spark.sql.sources.In("band_hash",
                     hashes.map(h => Long.box(h): Any).toArray)))
               // the admitted set is pinned (checkpointed band index +

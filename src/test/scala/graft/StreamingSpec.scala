@@ -123,12 +123,7 @@ class StreamingSpec extends SparkSpec {
     FileUtils.deleteQuietly(new File(dir))
     import spark.implicits._
     val seed = Seq((0L, "init")).toDF("event_id", "tag")
-    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
-      seed.schema, Nil, Map.empty)
-    new File(s"$dir/metadata").mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    graft.iceberg.IcebergWriter.seedTable(spark, dir, seed.schema)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
@@ -159,12 +154,7 @@ class StreamingSpec extends SparkSpec {
     FileUtils.deleteQuietly(new File(dir))
     import spark.implicits._
     val seed = Seq((0L, "init")).toDF("event_id", "payload")
-    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
-      seed.schema, Nil, Map.empty)
-    new File(s"$dir/metadata").mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    graft.iceberg.IcebergWriter.seedTable(spark, dir, seed.schema)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
@@ -317,12 +307,7 @@ class StreamingSpec extends SparkSpec {
     FileUtils.deleteQuietly(new File(dir))
     import spark.implicits._
     val seed = Seq((0L, "init")).toDF("event_id", "tag")
-    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
-      seed.schema, Nil, Map.empty)
-    new File(s"$dir/metadata").mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    graft.iceberg.IcebergWriter.seedTable(spark, dir, seed.schema)
 
     val b0 = Seq((1L, "a")).toDF("event_id", "tag")
     assert(EventStream.commitBatchIfNew(b0, dir, 0L, "q1"), "first delivery commits")
@@ -355,13 +340,8 @@ class StreamingSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val indexSeed = Dedup.minhashBandIndex(corpusSeed, "doc_id", "text",
       numHashes = 32, bands = 16)
-    for ((d, sch) <- Seq(cDir -> corpusSeed.schema, iDir -> indexSeed.schema)) {
-      val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-        new com.fasterxml.jackson.databind.ObjectMapper(), d, sch, Nil, Map.empty)
-      new File(s"$d/metadata").mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)
-    }
+    for ((d, sch) <- Seq(cDir -> corpusSeed.schema, iDir -> indexSeed.schema))
+      graft.iceberg.IcebergWriter.seedTable(spark, d, sch)
     IcebergWriter.append(spark, cDir, corpusSeed)
     IcebergWriter.append(spark, iDir, indexSeed)
 
@@ -420,14 +400,8 @@ class StreamingSpec extends SparkSpec {
       numHashes = 32, bands = 16)
     for ((d, sch, parts) <- Seq(
         (cDir, corpusSeed.schema, Seq.empty[(String, String)]),
-        (iDir, indexSeed.schema, Seq("band_hash" -> "bucket[8]")))) {
-      val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-        new com.fasterxml.jackson.databind.ObjectMapper(), d, sch,
-        parts, Map.empty)
-      new File(s"$d/metadata").mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)
-    }
+        (iDir, indexSeed.schema, Seq("band_hash" -> "bucket[8]"))))
+      graft.iceberg.IcebergWriter.seedTable(spark, d, sch, parts)
     IcebergWriter.append(spark, cDir, corpusSeed)
     IcebergWriter.append(spark, iDir, indexSeed)
     // the partitioned seed write fans out one file per touched bucket —
@@ -483,13 +457,8 @@ class StreamingSpec extends SparkSpec {
     val corpusSeed = Seq((1L, "replay seed document body")).toDF("doc_id", "text")
     val indexSeed = Dedup.minhashBandIndex(corpusSeed, "doc_id", "text",
       numHashes = 32, bands = 16)
-    for ((d, sch) <- Seq(cDir -> corpusSeed.schema, iDir -> indexSeed.schema)) {
-      val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-        new com.fasterxml.jackson.databind.ObjectMapper(), d, sch, Nil, Map.empty)
-      new File(s"$d/metadata").mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$d/metadata/v1.metadata.json"), metaJson)
-    }
+    for ((d, sch) <- Seq(cDir -> corpusSeed.schema, iDir -> indexSeed.schema))
+      graft.iceberg.IcebergWriter.seedTable(spark, d, sch)
     IcebergWriter.append(spark, cDir, corpusSeed)
     IcebergWriter.append(spark, iDir, indexSeed)
 
@@ -548,12 +517,7 @@ class StreamingSpec extends SparkSpec {
     FileUtils.deleteQuietly(new File(dir))
     import spark.implicits._
     val seed = Seq((0L, "init")).toDF("event_id", "tag")
-    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
-      seed.schema, Nil, Map.empty)
-    new File(s"$dir/metadata").mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    graft.iceberg.IcebergWriter.seedTable(spark, dir, seed.schema)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
@@ -589,12 +553,7 @@ class StreamingSpec extends SparkSpec {
     FileUtils.deleteQuietly(new File(dir))
     import spark.implicits._
     val df0 = Seq((0L, "seed")).toDF("id", "tag")
-    val metaJson = graft.iceberg.connector.IcebergJson.tableMetadata(
-      new com.fasterxml.jackson.databind.ObjectMapper(), dir,
-      df0.schema, Nil, Map.empty)
-    new File(s"$dir/metadata").mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json"), metaJson)
+    graft.iceberg.IcebergWriter.seedTable(spark, dir, df0.schema)
     // 5 tiny append snapshots → ≥5 files, then one equality delete
     (1L to 5L).foreach(i =>
       IcebergWriter.append(spark, dir, Seq((i, s"row$i")).toDF("id", "tag")))
