@@ -378,6 +378,19 @@ object BenchScale {
         println(s"""{"stage":"ivf_index_pruning","replicas":$r,""" +
           s""""files_total":$ft,"files_probed":$fp}""")
       }
+      // q157 core: incremental admission of a FIXED-size batch against
+      // the same stored index — the per-batch ingest cost a growing
+      // vector corpus pays. 100 clones of corpus vectors (all flagged
+      // dup_of_corpus, kept = 0): assignment is map-side, the corpus
+      // read is the In-pruned posting scan of ≤100 touched cells, and
+      // with k ∝ √N the touched FRACTION shrinks as the corpus grows —
+      // per-batch time should stay ~flat while N grows 20×.
+      val admBatch = semAll.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      val (tAnnAdm, nAnnKeep) = timed2(
+        graft.operators.VectorIndex.admit(spark, ivfDir, admBatch)
+          .filter(col("keep")).count())
+      report("ann_admission", r, tAnnAdm, nSem, nAnnKeep)
       semAll.unpersist()
 
       // q65 core: the MEASURED storage-partitioned join (table builds

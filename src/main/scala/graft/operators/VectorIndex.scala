@@ -94,6 +94,20 @@ object VectorIndex {
       Similarity.ivfAssign(vectors, centRows, idCol, vecCol))
   }
 
+  /** Bound the small-file debt a stream of [[append]] batches accrues:
+    * every append fans out one file per TOUCHED posting partition, so
+    * after B batches a hot cell holds up to B small files and probe IO
+    * degrades from "one file per probed cell" toward "B files per
+    * probed cell". Compaction rewrites each posting list back toward
+    * `targetFileBytes`-sized files; identity(c_id) partitioning — and
+    * therefore probe routing, pruning, and results — is unchanged (the
+    * spec pins files-shrink + tuples-intact + topK row-identical). The
+    * centroid table is k rows and never needs it. Returns the rewrite
+    * snapshot id. */
+  def compact(spark: SparkSession, indexDir: String,
+      targetFileBytes: Long = 128L << 20): Long =
+    IcebergWriter.compact(spark, s"$indexDir/postings", targetFileBytes)
+
   /** Incremental vector admission: flag which rows of a NEW batch are
     * exact vector duplicates of the stored corpus or of an earlier batch
     * row — the embedding-side twin of

@@ -128,6 +128,50 @@ class VectorIndexSpec extends SparkSpec {
     assert(adm2Fallback == adm2, "cap fallback changes IO, never flags")
   }
 
+  test("compact collapses per-append posting files; partition tuples, " +
+      "pruning, and topK results are unchanged") {
+    val cdir = s"$dir-compact"
+    FileUtils.deleteQuietly(new File(cdir))
+    VectorIndex.build(spark, emb.filter(col("vec_id") < 100), cdir,
+      nCentroids = 4)
+    for (b <- 1 to 4)
+      VectorIndex.append(spark, cdir,
+        emb.filter(col("vec_id") >= b * 100 && col("vec_id") < (b + 1) * 100))
+    val t0 = IcebergTable(spark, s"$cdir/postings")
+    val before = t0.planFiles()
+    assert(before.size > 4, s"5 appends over 4 cells must leave >4 files")
+    val queries = emb.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val wantTop = rows(VectorIndex.topK(spark, cdir, queries, k = 3,
+      nProbe = 2))
+    VectorIndex.compact(spark, cdir)
+    val t1 = IcebergTable(spark, s"$cdir/postings")
+    val after = t1.planFiles()
+    assert(after.size < before.size,
+      s"compaction must shrink files: ${before.size} -> ${after.size}")
+    assert(after.forall(_.partition.nonEmpty),
+      "compacted posting files keep their c_id partition tuple")
+    val oneCid = after.head.partition.head._2
+    assert(t1.planFiles(Seq(
+        org.apache.spark.sql.sources.In("c_id", Array(oneCid)))).size
+      < after.size, "pruning still bites after compaction")
+    assert(rows(VectorIndex.topK(spark, cdir, queries, k = 3, nProbe = 2))
+      == wantTop, "compaction must not change probe results")
+    assert(t1.toDF(spark).count() == 500L, "row count preserved")
+  }
+
+  test("build refuses an indexDir that already holds an index") {
+    val bdir = s"$dir-rebuild"
+    FileUtils.deleteQuietly(new File(bdir))
+    VectorIndex.build(spark, emb.filter(col("vec_id") < 50), bdir,
+      nCentroids = 4)
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.build(spark, emb, bdir, nCentroids = 4)
+    }
+    assert(e.getMessage.contains("already holds Iceberg table metadata"),
+      s"rebuild-in-place must be refused loudly: ${e.getMessage}")
+  }
+
   test("planted exact clones retrieve through the stored index with " +
       "probability 1 (the q53 contract, now over lakehouse storage)") {
     if (!new File(s"$dir/postings/metadata").exists())
