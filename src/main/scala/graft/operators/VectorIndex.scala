@@ -140,7 +140,30 @@ object VectorIndex {
     * row (same id, same vector) IS a corpus duplicate. */
   def admit(spark: SparkSession, indexDir: String, batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxProbeCentroids: Int = MaxCollectedProbeCentroids): DataFrame = {
+      maxProbeCentroids: Int = MaxCollectedProbeCentroids): DataFrame =
+    admitWithAssignment(spark, indexDir, batch, idCol, vecCol,
+      maxProbeCentroids)._1
+
+  /** [[admit]] that ALSO returns the batch's (already-materialized)
+    * posting-row assignment — callers that append admitted rows to the
+    * index (the streaming ingest sink) filter it to the kept ids instead
+    * of re-running the assignment, and the checkpointed rows double as
+    * the determinism pin replayed/retried writers rely on. Returns
+    * (flags, assignment).
+    *
+    * `corpusAnchor`: when given (the streaming sink passes the corpus
+    * table), a posting row only counts as a corpus duplicate if its id
+    * also exists in the anchor — so index rows ORPHANED by a crash
+    * between the index and corpus commits (the one window the
+    * two-table publish protocol cannot close; see
+    * [[graft.streaming.EventStream.icebergVectorAdmissionSink]]) are
+    * benign bloat, never a replay-time false rejection that would lose
+    * the row from the corpus forever. */
+  def admitWithAssignment(spark: SparkSession, indexDir: String,
+      batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxProbeCentroids: Int = MaxCollectedProbeCentroids,
+      corpusAnchor: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
     // one map-side assignment pass, reused by both probes AND by the
     // caller-visible flags join (checkpointed: the pin also freezes the
@@ -159,10 +182,15 @@ object VectorIndex {
     // ones that would blow the broadcast limit — let the planner pick
     // (small batches broadcast on size anyway; huge ones legitimately
     // shuffle against the pruned or full posting scan).
+    val anchored = corpusAnchor match {
+      case Some(c) => postings.join(
+        c.select(col(idCol).as("n_id")), Seq("n_id"), "left_semi")
+      case None => postings
+    }
     val corpusDups = asg
       .select(col("c_id"), col("n_id").as("__bid"),
         col("n_vec").as("__bvec"))
-      .join(postings, Seq("c_id"))
+      .join(anchored, Seq("c_id"))
       .filter(col("__bvec") <=> col("n_vec"))
       .select(col("__bid").as(idCol)).distinct()
     // batch-internal: pairs within a cell, earlier id wins (exact
@@ -175,13 +203,14 @@ object VectorIndex {
         col("c_id") === col("__pcid") && col("n_id") > col("__pid") &&
           col("n_vec") <=> col("__pvec"))
       .select(col("n_id").as(idCol)).distinct()
-    batch
+    val flags = batch
       .join(corpusDups.withColumn("dup_of_corpus", lit(true)),
         Seq(idCol), "left")
       .join(batchDups.withColumn("batch_dup", lit(true)),
         Seq(idCol), "left")
       .na.fill(false, Seq("dup_of_corpus", "batch_dup"))
       .withColumn("keep", !col("dup_of_corpus") && !col("batch_dup"))
+    (flags, asg)
   }
 
   /** Approximate top-k over the stored index: broadcast the centroid

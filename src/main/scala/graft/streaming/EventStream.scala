@@ -502,6 +502,99 @@ object EventStream {
         }
     }
 
+  /** Streaming VECTOR corpus ingest with incremental ANN dedup — the
+    * embedding twin of [[icebergAdmissionSink]]: each micro-batch of
+    * (id, vector) rows is admitted against the LIVE corpus through its
+    * STORED IVF index ([[graft.operators.VectorIndex.admit]] — map-side
+    * assignment vs the broadcast stored centroids, corpus read = the
+    * In-pruned posting partitions the batch touches), and the admitted
+    * rows plus THEIR posting rows publish as ONE multi-table transaction
+    * ([[graft.iceberg.Transactions.commitAll]]).
+    *
+    * Same publish protocol as the LSH sink, same reasoning: INDEX
+    * first, ledger-carrying corpus last, so the one crash window the
+    * filesystem committer cannot close strands benign orphan POSTING
+    * rows. For vectors that benignity is NOT free — [[VectorIndex.admit]]
+    * verifies candidates against the posting row's own stored vector,
+    * so an orphan WOULD falsely reject its twin on replay (losing the
+    * row from the corpus forever). The sink therefore passes the corpus
+    * table as `corpusAnchor`: a posting row only counts as a duplicate
+    * if its id exists in the corpus, which drops orphans exactly like
+    * the LSH sink's text-verify join does (index bloat for maintenance
+    * — [[graft.operators.VectorIndex.compact]] — never a loss).
+    *
+    * No parameter pinning is needed (unlike the LSH sink's
+    * `graft.lsh.*` properties): the stored centroid table IS the
+    * quantizer — every probe and every append reads it, so batch and
+    * corpus can never disagree on routing.
+    *
+    * Exactly-once and rival-commit handling are inherited verbatim:
+    * batch-id ledger in the CORPUS table's snapshot summaries, bounded
+    * recompute-and-restage on [[graft.iceberg.CommitConflictException]],
+    * then a LOUD stream failure — never a swallowed conflict. */
+  def icebergVectorAdmissionSink(stream: DataFrame, corpusDir: String,
+                                 indexDir: String,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val qid = Option(
+            s.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
+          val conf = s.sessionState.newHadoopConf()
+          val maxAttempts = 3
+          var attempt = 0
+          var done = false
+          while (!done) {
+            attempt += 1
+            val meta = graft.iceberg.TableMetadata.load(corpusDir, conf)
+            if (lastCommittedBatchId(meta, qid).exists(_ >= batchId)) {
+              done = true // replayed batch: already committed
+            } else {
+              val corpus = graft.iceberg.IcebergTable(s, corpusDir).toDF(s)
+              // the admitted set is pinned (checkpointed assignment +
+              // deterministic flags), so both appends see the IDENTICAL
+              // result; the assignment is reused for the posting append
+              // instead of re-running it
+              val (adm, asg) = graft.operators.VectorIndex
+                .admitWithAssignment(s, indexDir, batch.toDF, idCol, vecCol,
+                  corpusAnchor = Some(corpus))
+              val kept = adm.filter(col("keep"))
+                .drop("dup_of_corpus", "batch_dup", "keep")
+                .localCheckpoint(true)
+              if (kept.isEmpty) done = true // all rejected: nothing to publish
+              else {
+                val keptAsg = asg.join(
+                  kept.select(col(idCol).as("n_id")), Seq("n_id"), "left_semi")
+                val summary =
+                  Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid)
+                // POSTINGS first, ledgered corpus last — see the scaladoc
+                val cIdx = graft.iceberg.Transactions.stage(
+                    new graft.iceberg.FsCommitter(s"$indexDir/postings",
+                      conf)) { c =>
+                  graft.iceberg.IcebergWriter.append(s, s"$indexDir/postings",
+                    keptAsg, committer = Some(c)); ()
+                }
+                val cCorpus = graft.iceberg.Transactions.stage(
+                    new graft.iceberg.FsCommitter(corpusDir, conf)) { c =>
+                  graft.iceberg.IcebergWriter.append(s, corpusDir, kept,
+                    summary = summary, committer = Some(c)); ()
+                }
+                try {
+                  graft.iceberg.Transactions.commitAll(Seq(cIdx, cCorpus))
+                  done = true
+                } catch {
+                  case e: graft.iceberg.CommitConflictException =>
+                    if (attempt >= maxAttempts) throw e
+                }
+              }
+            }
+          }
+        }
+    }
+
   /** Read the events parquet directory as a stream (file source), with the
     * same nanos→micros ts normalization as the batch loader.
     */

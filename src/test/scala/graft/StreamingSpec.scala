@@ -383,6 +383,58 @@ class StreamingSpec extends SparkSpec {
     assert(IcebergTable(spark, iDir).metadata.snapshots.size == 3)
   }
 
+  test("vector admission sink: batches dedupe against the live corpus " +
+      "through the stored IVF index, atomically") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import graft.operators.VectorIndex
+    val cDir = "/root/repo/target/test-vadmission-corpus"
+    val iDir = "/root/repo/target/test-vadmission-index"
+    Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    val corpusSeed = emb.filter(col("vec_id") >= 200)
+    IcebergWriter.seedTable(spark, cDir, corpusSeed.schema)
+    IcebergWriter.append(spark, cDir, corpusSeed)
+    VectorIndex.build(spark, corpusSeed, iDir, nCentroids = 8)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF.toDF("vec_id", "embedding")
+    val q = EventStream.icebergVectorAdmissionSink(stream, cDir, iDir)
+      .option("checkpointLocation", s"$cDir/_ckpt")
+      .start()
+    try {
+      // batch 0: a clone of corpus vec 200 (reject) + fresh vec 10 (admit)
+      mem.addData((900L, vecs(200L)), (10L, vecs(10L)))
+      q.processAllAvailable()
+      // batch 1: a clone of the vec batch 0 admitted — the probe must see
+      // it through the posting rows batch 0 appended (the loop feeds
+      // itself); plus a fresh vec and its in-batch duplicate
+      mem.addData((901L, vecs(10L)), (20L, vecs(20L)), (21L, vecs(20L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = IcebergTable(spark, cDir).toDF(spark)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == ((10L +: 20L +: (200L until 500L)).sorted),
+      s"corpus = seed + one admit per batch, got ${ids.size} ids")
+    // posting rows track the corpus exactly — the atomic pair means
+    // neither table can lead the other
+    val postings = IcebergTable(spark, s"$iDir/postings").toDF(spark)
+    assert(postings.count() == 302, "one posting row per corpus vector")
+    assert(postings.select("n_id").distinct().as[Long].collect().sorted.toSeq
+      == ids, "posting ids == corpus ids")
+    // one snapshot per table per non-empty admission (seed/build + 2)
+    assert(IcebergTable(spark, cDir).metadata.snapshots.size == 3)
+    assert(IcebergTable(spark, s"$iDir/postings")
+      .metadata.snapshots.size == 3)
+  }
+
   test("admission sink over a bucket-partitioned index: identical " +
       "admissions, and the probe's In pushdown actually prunes files") {
     import java.io.File

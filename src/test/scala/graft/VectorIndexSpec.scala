@@ -160,6 +160,33 @@ class VectorIndexSpec extends SparkSpec {
     assert(t1.toDF(spark).count() == 500L, "row count preserved")
   }
 
+  test("corpusAnchor drops orphan posting rows: a twin of an index row " +
+      "whose id is absent from the anchored corpus is NOT a corpus dup") {
+    val odir = s"$dir-orphan"
+    FileUtils.deleteQuietly(new File(odir))
+    VectorIndex.build(spark, emb.filter(col("vec_id") < 50), odir,
+      nCentroids = 4)
+    // the crash-window shape: posting rows exist for vec 45, but the
+    // corpus the sink committed only reaches vec 40
+    val corpus = emb.filter(col("vec_id") < 40)
+    val twin = emb.filter(col("vec_id") === 45)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val unanchored = VectorIndex.admit(spark, odir, twin)
+      .select(col("dup_of_corpus")).as[Boolean].head()
+    assert(unanchored, "without an anchor the orphan posting row flags")
+    val (anchored, _) = VectorIndex.admitWithAssignment(spark, odir, twin,
+      corpusAnchor = Some(corpus))
+    assert(!anchored.select(col("dup_of_corpus")).as[Boolean].head(),
+      "with the corpus anchor the orphan is benign and the twin is kept")
+    // a NON-orphan twin still flags through the anchor
+    val twin2 = emb.filter(col("vec_id") === 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val (a2, _) = VectorIndex.admitWithAssignment(spark, odir, twin2,
+      corpusAnchor = Some(corpus))
+    assert(a2.select(col("dup_of_corpus")).as[Boolean].head(),
+      "anchored admit still rejects real corpus duplicates")
+  }
+
   test("build refuses an indexDir that already holds an index") {
     val bdir = s"$dir-rebuild"
     FileUtils.deleteQuietly(new File(bdir))
