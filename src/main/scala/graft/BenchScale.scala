@@ -391,6 +391,65 @@ object BenchScale {
         graft.operators.VectorIndex.admit(spark, ivfDir, admBatch)
           .filter(col("keep")).count())
       report("ann_admission", r, tAnnAdm, nSem, nAnnKeep)
+
+      // streaming vector ingest: the ANN admission sink end-to-end —
+      // corpus + IVF index seeded at r× (the stored archive scales),
+      // then micro-batches of a FIXED 100 vectors drive the full loop
+      // (pruned posting probe + corpus-anchored verify + atomic
+      // two-table commit). rows/s over the measured batches; flat-ish
+      // per-batch time as r grows is the design claim.
+      {
+        import java.io.File
+        import org.apache.commons.io.FileUtils
+        import graft.iceberg.IcebergWriter
+        import graft.streaming.EventStream
+        val vcDir = s"/root/repo/target/benchscale-vadm-corpus-$r"
+        val viDir = s"/root/repo/target/benchscale-vadm-index-$r"
+        Seq(vcDir, viDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+        val vecSeed = semAll.select(col("vec_id"), col("embedding"))
+        IcebergWriter.seedTable(spark, vcDir, vecSeed.schema)
+        IcebergWriter.append(spark, vcDir, vecSeed)
+        graft.operators.VectorIndex.build(spark, vecSeed, viDir,
+          nCentroids = kCent)
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val mem = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])]
+        val stream = mem.toDF.toDF("vec_id", "embedding")
+        val q = EventStream.icebergVectorAdmissionSink(stream, vcDir, viDir)
+          .option("checkpointLocation", s"$vcDir/_ckpt")
+          .start()
+        val batchRows = 100
+        val nBatches = 3
+        // clone vectors sampled from the live corpus (true rejects);
+        // bounded driver rows
+        val cloneVecs = vecSeed.limit(batchRows)
+          .as[(Long, Array[Float])].collect().map(_._2)
+        try {
+          // warm-up batch (stream start + first planner costs): novels
+          mem.addData((0 until batchRows).map(i =>
+            (800000000L + i, cloneVecs(i % cloneVecs.length)
+              .map(x => x + 7.7f))): _*)
+          q.processAllAvailable()
+          val (tVAdm, _) = timed {
+            (1 to nBatches).foreach { b =>
+              // half exact clones of corpus vectors (reject), half novel
+              // (admit) — the realistic mix; ids unique per batch
+              mem.addData((0 until batchRows).map { i =>
+                val id = 900000000L + b * 1000000L + i
+                if (i % 2 == 0) (id, cloneVecs(i % cloneVecs.length))
+                else (id, cloneVecs(i % cloneVecs.length)
+                  .map(x => x * 0.5f + b + i))
+              }: _*)
+              q.processAllAvailable()
+            }
+            ()
+          }
+          report("stream_vector_admission_rows_per_s", r, tVAdm, nSem,
+            ((nBatches * batchRows) / tVAdm).toLong)
+        } finally q.stop()
+        Seq(vcDir, viDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+      }
       semAll.unpersist()
 
       // q65 core: the MEASURED storage-partitioned join (table builds

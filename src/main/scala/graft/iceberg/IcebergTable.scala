@@ -286,29 +286,42 @@ final class IcebergTable private (
     * column counts as missing when ANY format's representative lacks it.
     *
     * RESIDUAL ASSUMPTION (documented limit): provenance is uniform
-    * WITHIN a format group — only `group.head` is probed, so a parquet
-    * group mixing engine-written files (columns materialized) with
-    * add_files imports (columns metadata-only) is decided by whichever
-    * file happens to be first. Import + native writes landing in one
-    * snapshot under the same format is not a shape this engine's own
-    * writers produce (add_files commits alone); callers relying on this
-    * guard after hand-mixing provenances should compact first. */
+    * across each format group's two ENDS — `group.head` and
+    * `group.last` are both probed (one cached footer read each), so a
+    * parquet group leading with an engine-written file no longer masks
+    * an import at the tail or vice versa; only an interior minority
+    * between matching ends can still hide. Import + native writes
+    * landing in one snapshot under the same format is not a shape this
+    * engine's own writers produce (add_files commits alone); callers
+    * relying on this guard after hand-mixing provenances should
+    * compact first. */
   def missingPartitionColumns(spark: SparkSession, files: Seq[DataFileEntry]): Seq[String] = {
     if (files.isEmpty || metadata.identityPartitionColumns.isEmpty) return Nil
     val inAllFormats = files.groupBy(_.fileFormat.toUpperCase).values
-      .map { group =>
-        val rep = group.head
-        if (rep.fileFormat.equalsIgnoreCase("AVRO"))
-          // header-only read, no Spark job — and cached like the others.
-          // A read FAILURE propagates: mapping it to "no columns" would
-          // report every identity partition column missing and silently
-          // re-inject metadata values over columns the file actually has —
-          // the transient-error-latching mode fileSchemaColumns' comment
-          // warns about, made worse because here the wrong answer changes
-          // row VALUES, not just pruning.
-          fileSchemaColumnsAvro(resolve(rep.filePath))
-        else fileSchemaColumns(spark, resolve(rep.filePath),
-          orc = rep.fileFormat.equalsIgnoreCase("ORC"))
+      .flatMap { group =>
+        // probe BOTH ends of each format group (footer/header reads are
+        // cached process-wide, so this is at most one extra read per
+        // format): a group whose manifest order happens to lead with an
+        // engine-written file (columns materialized) no longer masks an
+        // add_files import at the tail (columns metadata-only), or vice
+        // versa. Residual assumption narrows to: provenance is uniform
+        // across the group's two ENDS — a mixed-provenance group with
+        // matching ends can still mask an interior minority, a shape
+        // this engine's own writers never produce (add_files commits
+        // alone); hand-mixed tables should compact first.
+        Seq(group.head, group.last).distinct.map { rep =>
+          if (rep.fileFormat.equalsIgnoreCase("AVRO"))
+            // header-only read, no Spark job — and cached like the others.
+            // A read FAILURE propagates: mapping it to "no columns" would
+            // report every identity partition column missing and silently
+            // re-inject metadata values over columns the file actually has —
+            // the transient-error-latching mode fileSchemaColumns' comment
+            // warns about, made worse because here the wrong answer changes
+            // row VALUES, not just pruning.
+            fileSchemaColumnsAvro(resolve(rep.filePath))
+          else fileSchemaColumns(spark, resolve(rep.filePath),
+            orc = rep.fileFormat.equalsIgnoreCase("ORC"))
+        }
       }
       .reduce(_ intersect _)
     metadata.identityPartitionColumns.filterNot(inAllFormats.contains)
