@@ -256,6 +256,85 @@ object DiffFuzz {
   }
 
   /** One deterministic aggregate query in the common dialect. */
+  /** Array/list-function differential grammar — the one grammar whose SQL
+    * DIFFERS per engine (Spark array_* vs DuckDB list_* names, same
+    * semantics), so it returns (sparkSql, duckSql). Templates reduce
+    * every array to a SCALAR (size, membership, k-th element, sorted
+    * fingerprint string, min/max cast to double): the comparator's
+    * repr-exact float check and pandas' differing array renderings make
+    * array-VALUED output columns untestable, and none of these scalars
+    * involves a float fold whose accumulation order could differ.
+    * `documents.text` is ASCII space-separated words (split/sort parity
+    * is byte-lexicographic on both engines); `embeddings.embedding` is
+    * float32[64], where element extraction and min/max widen to double
+    * bit-exactly. Out-of-range k: Spark try_element_at and DuckDB [k]
+    * both yield NULL. */
+  def genArrayQuery(r: scala.util.Random): (String, String) = {
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "spark", "the", "line",
+      "sort", "window", "a", "zebra", "quantum") // last two never occur
+    val m = pick(r, Seq(3, 5, 7, 11))
+    val rem = r.nextInt(m)
+    val ord = "ORDER BY doc_id ASC NULLS FIRST"
+    r.nextInt(7) match {
+      case 0 =>
+        val w = s"WHERE doc_id % $m = $rem"
+        (s"SELECT doc_id, size(split(text, ' ')) AS n_words, " +
+           s"size(array_distinct(split(text, ' '))) AS n_uniq " +
+           s"FROM documents $w $ord",
+         s"SELECT doc_id, len(string_split(text, ' ')) AS n_words, " +
+           s"len(list_distinct(string_split(text, ' '))) AS n_uniq " +
+           s"FROM documents $w $ord")
+      case 1 =>
+        val word = pick(r, vocab)
+        val g = pick(r, Seq("lang", "source"))
+        (s"SELECT $g, CAST(SUM(CASE WHEN array_contains(split(text, ' '), " +
+           s"'$word') THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, COUNT(*) AS n " +
+           s"FROM documents GROUP BY $g ORDER BY $g ASC NULLS FIRST",
+         s"SELECT $g, CAST(SUM(CASE WHEN list_contains(string_split(text, " +
+           s"' '), '$word') THEN 1 ELSE 0 END) AS BIGINT) AS n_hit, " +
+           s"COUNT(*) AS n FROM documents GROUP BY $g " +
+           s"ORDER BY $g ASC NULLS FIRST")
+      case 2 =>
+        val k = 1 + r.nextInt(8) // may exceed short docs: NULL on both
+        val w = s"WHERE doc_id % $m = $rem"
+        (s"SELECT doc_id, try_element_at(split(text, ' '), $k) AS w$k " +
+           s"FROM documents $w $ord",
+         s"SELECT doc_id, string_split(text, ' ')[$k] AS w$k " +
+           s"FROM documents $w $ord")
+      case 3 =>
+        val w = s"WHERE doc_id % $m = $rem"
+        (s"SELECT doc_id, array_join(array_sort(array_distinct(" +
+           s"split(text, ' '))), ',') AS fp FROM documents $w $ord",
+         s"SELECT doc_id, array_to_string(list_sort(list_distinct(" +
+           s"string_split(text, ' '))), ',') AS fp FROM documents $w $ord")
+      case 4 =>
+        val k = 1 + r.nextInt(64) // embedding dim is 64: always in range
+        val w = s"WHERE vec_id % $m = $rem"
+        val o = "ORDER BY vec_id ASC NULLS FIRST"
+        (s"SELECT vec_id, CAST(try_element_at(embedding, $k) AS DOUBLE) " +
+           s"AS x$k FROM embeddings $w $o",
+         s"SELECT vec_id, CAST(embedding[$k] AS DOUBLE) AS x$k " +
+           s"FROM embeddings $w $o")
+      case 5 =>
+        val w = s"WHERE vec_id % $m = $rem"
+        val o = "ORDER BY vec_id ASC NULLS FIRST"
+        (s"SELECT vec_id, CAST(array_max(embedding) AS DOUBLE) AS mx, " +
+           s"CAST(array_min(embedding) AS DOUBLE) AS mn FROM embeddings $w $o",
+         s"SELECT vec_id, CAST(list_max(embedding) AS DOUBLE) AS mx, " +
+           s"CAST(list_min(embedding) AS DOUBLE) AS mn FROM embeddings $w $o")
+      case _ =>
+        val w1 = pick(r, vocab); val w2 = pick(r, vocab)
+        val g = pick(r, Seq("lang", "source"))
+        (s"SELECT $g, CAST(SUM(CASE WHEN arrays_overlap(split(text, ' '), " +
+           s"array('$w1', '$w2')) THEN 1 ELSE 0 END) AS BIGINT) AS n_any " +
+           s"FROM documents GROUP BY $g ORDER BY $g ASC NULLS FIRST",
+         s"SELECT $g, CAST(SUM(CASE WHEN list_has_any(string_split(text, " +
+           s"' '), ['$w1', '$w2']) THEN 1 ELSE 0 END) AS BIGINT) AS n_any " +
+           s"FROM documents GROUP BY $g ORDER BY $g ASC NULLS FIRST")
+    }
+  }
+
   def genQuery(r: scala.util.Random): String = {
     r.nextInt(9) match {
       case 0 => return genWindowQuery(r)
@@ -322,7 +401,9 @@ object DiffFuzz {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    tables.keys.foreach(t =>
+    // the array grammar draws from documents/embeddings on top of the
+    // relational grammar's tables
+    (tables.keys.toSeq ++ Seq("documents", "embeddings")).foreach(t =>
       Tables.load(spark, sfDir, t).createOrReplaceTempView(t))
     new java.io.File(outDir).mkdirs()
     val r = new scala.util.Random(seed)
@@ -334,21 +415,29 @@ object DiffFuzz {
     // canary that passes means the local gate has lost parity with the
     // driver's hash check again. Modes compose: "money,canary".
     val mode = args.lift(4).getOrElse("")
-    val generated = (0 until count).map(i => f"fz$i%04d" ->
-      (if (mode.contains("money")) genMoneyQuery(r) else genQuery(r)))
+    // each entry is (name, (sparkSql, duckSql)) — identical for the ANSI
+    // grammars, per-dialect for the array grammar (array_* vs list_*)
+    val generated = (0 until count).map { i =>
+      f"fz$i%04d" -> {
+        if (mode.contains("money")) { val q = genMoneyQuery(r); (q, q) }
+        else if (mode.contains("array")) genArrayQuery(r)
+        else { val q = genQuery(r); (q, q) }
+      }
+    }
     val queries =
-      if (mode.contains("canary"))
-        generated :+ ("fzcanary_missing_cast" ->
-          ("SELECT o_orderstatus, SUM(o_orderkey) AS s FROM orders " +
-            "GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST"))
-      else generated
+      if (mode.contains("canary")) {
+        val c = "SELECT o_orderstatus, SUM(o_orderkey) AS s FROM orders " +
+          "GROUP BY o_orderstatus ORDER BY o_orderstatus ASC NULLS FIRST"
+        generated :+ ("fzcanary_missing_cast" -> (c, c))
+      } else generated
     var failed = 0
-    queries.foreach { case (name, sql) =>
-      try spark.sql(sql).coalesce(1).write.mode("overwrite")
+    queries.foreach { case (name, (sparkSql, _)) =>
+      try spark.sql(sparkSql).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed += 1
-        System.err.println(s"[fuzz] $name failed on Spark: ${e.getMessage}\n$sql")
+        System.err.println(
+          s"[fuzz] $name failed on Spark: ${e.getMessage}\n$sparkSql")
       }
     }
     def q(s: String): String = "\"" + s.flatMap {
@@ -359,7 +448,7 @@ object DiffFuzz {
       case c => c.toString
     } + "\""
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      queries.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      queries.map { case (k, (_, duckSql)) => s"${q(k)}: ${q(duckSql)}" }
         .mkString("{", ",", "}"))
     println(s"""{"fuzz_queries":$count,"spark_failures":$failed,"seed":$seed}""")
     spark.stop()
