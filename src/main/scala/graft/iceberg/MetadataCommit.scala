@@ -130,6 +130,32 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
   }
 }
 
+/** An [[FsCommitter]] whose READ state is frozen to the table's metadata
+  * as of construction: every read a staged write performs through it —
+  * and therefore the assert-ref requirement it emits — is against that
+  * frozen base, so a rival commit landing ANY time after construction
+  * fails the eventual publish with [[CommitConflictException]] instead
+  * of being silently built upon. This closes the probe-to-publish race
+  * in the streaming admission sinks: PIN first, then read/compute, then
+  * publish — a publish succeeds only if the table is still exactly what
+  * the probe saw, otherwise the whole attempt (bounded) recomputes
+  * against a fresh pin. The PUBLISH itself still arbitrates against the
+  * live table (fresh requirement check + create-new), so pinning can
+  * only narrow, never widen, what commits. */
+final class PinnedFsCommitter(dir: String, hconf: Configuration)
+    extends FsCommitter(dir, hconf) {
+  private val pinnedJson: String = {
+    val p = TableMetadata.latestMetadataPath(dir, hconf)
+    val in = p.getFileSystem(hconf).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+  override def currentRoot(mapper: ObjectMapper): ObjectNode =
+    mapper.readTree(pinnedJson).asInstanceOf[ObjectNode]
+  override def currentMetadata(): TableMetadata =
+    TableMetadata.fromJson(pinnedJson)
+}
+
 object FsCommitter {
 
   /** Filesystems whose `create(path, overwrite = false)` is a true

@@ -182,17 +182,34 @@ object VectorIndex {
     // ones that would blow the broadcast limit — let the planner pick
     // (small batches broadcast on size anyway; huge ones legitimately
     // shuffle against the pruned or full posting scan).
-    val anchored = corpusAnchor match {
-      case Some(c) => postings.join(
-        c.select(col(idCol).as("n_id")), Seq("n_id"), "left_semi")
-      case None => postings
-    }
-    val corpusDups = asg
+    // candidate (batch id, posting id) pairs from the pruned posting
+    // read: cell-equijoin then exact vector verify
+    val cand = asg
       .select(col("c_id"), col("n_id").as("__bid"),
         col("n_vec").as("__bvec"))
-      .join(anchored, Seq("c_id"))
+      .join(postings, Seq("c_id"))
       .filter(col("__bvec") <=> col("n_vec"))
-      .select(col("__bid").as(idCol)).distinct()
+      .select(col("__bid"), col("n_id"))
+      .localCheckpoint(true) // candidates are read twice under an anchor
+    val corpusDups = (corpusAnchor match {
+      case None => cand
+      case Some(c) =>
+        // anchor check is candidate-bounded, never O(corpus): the
+        // verified candidate ids (≤ |batch| × dup multiplicity) are
+        // collected and pushed into the corpus scan as an In filter —
+        // file-stat prunable, and the corpus is not touched at all when
+        // no candidate exists. Cap falls back to a full semi-join,
+        // correct just unpruned.
+        val ids = cand.select(col("n_id")).distinct()
+          .limit(capPlusOne(maxProbeCentroids)).collect().map(_.get(0))
+        val present =
+          if (ids.isEmpty) c.limit(0).select(col(idCol).as("n_id"))
+          else if (ids.length > maxProbeCentroids)
+            c.select(col(idCol).as("n_id"))
+          else c.filter(col(idCol).isInCollection(ids.toSeq))
+            .select(col(idCol).as("n_id"))
+        cand.join(present, Seq("n_id"), "left_semi")
+    }).select(col("__bid").as(idCol)).distinct()
     // batch-internal: pairs within a cell, earlier id wins (exact
     // equality is transitive, so "has a smaller identical partner" ==
     // "not the canonical minimum of its duplicate group")

@@ -343,6 +343,73 @@ object EventStream {
     }
   }
 
+  /** Shared exactly-once two-table publish loop of the admission sinks
+    * (LSH and vector): per attempt, check the batch-id ledger, PIN both
+    * tables ([[graft.iceberg.PinnedFsCommitter]] — every staged
+    * requirement then asserts the snapshot the probe read, so a rival
+    * commit landing anywhere between the probe and the publish forces a
+    * conflict→recompute instead of being silently built upon, closing
+    * the probe-to-publish duplicate-admission race), run `admitFn`
+    * against the pinned corpus and index table (returns (kept rows,
+    * their index rows), or None when the whole batch was rejected),
+    * stage the INDEX append then the ledgered corpus append on the SAME
+    * pinned committers, and [[graft.iceberg.Transactions.commitAll]].
+    * Empty index-row sets (a full crash-window replay: every posting
+    * row already published) stage only the corpus change. Conflicts
+    * recompute against fresh pins, bounded, then rethrow LOUDLY —
+    * foreachBatch would otherwise mark a swallowed batch done. */
+  private def publishAdmitted(s: SparkSession, corpusDir: String,
+      indexTableDir: String, batchId: Long, qid: String,
+      admitFn: (DataFrame, graft.iceberg.IcebergTable) =>
+        Option[(DataFrame, DataFrame)]): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    val maxAttempts = 3
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val corpusPin = new graft.iceberg.PinnedFsCommitter(corpusDir, conf)
+      val indexPin =
+        new graft.iceberg.PinnedFsCommitter(indexTableDir, conf)
+      val corpusMeta = corpusPin.currentMetadata()
+      if (lastCommittedBatchId(corpusMeta, qid).exists(_ >= batchId)) {
+        done = true // replayed batch: already committed
+      } else {
+        val corpus = graft.iceberg.IcebergTable
+          .fromMetadata(corpusDir, conf, corpusMeta).toDF(s)
+        val idxTable = graft.iceberg.IcebergTable
+          .fromMetadata(indexTableDir, conf, indexPin.currentMetadata())
+        admitFn(corpus, idxTable) match {
+          case None => done = true // all rejected: nothing to publish
+          case Some((kept, idxRows)) =>
+            val summary =
+              Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid)
+            // INDEX first, ledgered corpus last — see the sink scaladocs
+            val cIdx =
+              if (idxRows.isEmpty) None
+              else Some(graft.iceberg.Transactions.stage(indexPin) { c =>
+                graft.iceberg.IcebergWriter.append(s, indexTableDir,
+                  idxRows, committer = Some(c)); ()
+              })
+            val cCorpus = graft.iceberg.Transactions.stage(corpusPin) { c =>
+              graft.iceberg.IcebergWriter.append(s, corpusDir, kept,
+                summary = summary, committer = Some(c)); ()
+            }
+            try {
+              graft.iceberg.Transactions.commitAll(cIdx.toSeq :+ cCorpus)
+              done = true
+            } catch {
+              case e: graft.iceberg.CommitConflictException =>
+                // rival moved a table: recompute against fresh pins
+                // (never swallow — foreachBatch would mark the batch
+                // done and the admissions would be silently lost)
+                if (attempt >= maxAttempts) throw e
+            }
+        }
+      }
+    }
+  }
+
   /** Streaming corpus ingest with incremental dedup — the complete ingest
     * loop of a growing training corpus: each micro-batch is admitted
     * against the LIVE corpus through its STORED LSH band index
@@ -371,12 +438,17 @@ object EventStream {
     * a replay recomputes the same admission and rejects again.
     *
     * A rival commit on either table (maintenance compaction, a second
-    * admission stream) conflicts at publish time; the sink re-reads the
-    * moved tables, recomputes admission against the fresh state, and
-    * re-stages — a bounded number of times, then fails the stream
-    * LOUDLY. It never swallows the conflict: `foreachBatch` marks the
-    * batch done once this returns, so a swallowed conflict would not be
-    * retried — it would silently drop the batch's admissions.
+    * admission stream) conflicts at publish time — and because both
+    * tables are PINNED before the probe ([[publishAdmitted]]'s
+    * [[graft.iceberg.PinnedFsCommitter]]s), a rival landing even
+    * BETWEEN the probe and the publish conflicts too, so an admission
+    * computed against pre-rival state can never land (the
+    * probe-to-publish duplicate-admission race). The sink then re-pins,
+    * recomputes against the fresh state, and re-stages — a bounded
+    * number of times, then fails the stream LOUDLY. It never swallows
+    * the conflict: `foreachBatch` marks the batch done once this
+    * returns, so a swallowed conflict would not be retried — it would
+    * silently drop the batch's admissions.
     *
     * The LSH parameters are PINNED in the index table's properties
     * (`graft.lsh.*`): recorded on first contact, refused loudly on any
@@ -430,22 +502,11 @@ object EventStream {
               Seq(upd))
             catch { case _: graft.iceberg.CommitConflictException => () }
           }
-          val maxAttempts = 3
-          var attempt = 0
-          var done = false
-          while (!done) {
-            attempt += 1
-            val meta = graft.iceberg.TableMetadata.load(corpusDir, conf)
-            if (lastCommittedBatchId(meta, qid).exists(_ >= batchId)) {
-              done = true // replayed batch: already committed
-            } else {
-              val corpus = graft.iceberg.IcebergTable(s, corpusDir).toDF(s)
-              // ONE table instance serves both the full-index DF and the
-              // pruned probe: both reads then resolve the SAME snapshot
-              // (a rival writer committing mid-batch cannot hand the
-              // probe a newer index than `index`), and the second
-              // metadata/manifest-list read is saved per micro-batch.
-              val idxTable = graft.iceberg.IcebergTable(s, indexDir)
+          publishAdmitted(s, corpusDir, indexDir, batchId, qid,
+            (corpus, idxTable) => {
+              // ONE pinned table instance serves both the full-index DF
+              // and the pruned probe: both reads resolve the SAME
+              // snapshot, and the staged publish asserts it.
               val index = idxTable.toDF(s)
               // Storage-pruned probe: the batch's band_hash keys push
               // into the index scan as an In filter, so an index table
@@ -469,36 +530,10 @@ object EventStream {
               val kept = adm.filter(col("keep"))
                 .drop("dup_of_corpus", "batch_dup", "keep")
                 .localCheckpoint(true)
-              if (kept.isEmpty) done = true // all rejected: nothing to publish
-              else {
-                val keptIdx = bIdx.join(
-                  kept.select(col(idCol)), Seq(idCol), "left_semi")
-                val summary =
-                  Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid)
-                // INDEX first, ledgered corpus last — see the scaladoc
-                val cIdx = graft.iceberg.Transactions.stage(
-                    new graft.iceberg.FsCommitter(indexDir, conf)) { c =>
-                  graft.iceberg.IcebergWriter.append(s, indexDir, keptIdx,
-                    committer = Some(c)); ()
-                }
-                val cCorpus = graft.iceberg.Transactions.stage(
-                    new graft.iceberg.FsCommitter(corpusDir, conf)) { c =>
-                  graft.iceberg.IcebergWriter.append(s, corpusDir, kept,
-                    summary = summary, committer = Some(c)); ()
-                }
-                try {
-                  graft.iceberg.Transactions.commitAll(Seq(cIdx, cCorpus))
-                  done = true
-                } catch {
-                  case e: graft.iceberg.CommitConflictException =>
-                    // rival moved a table: recompute against fresh state
-                    // (never swallow — foreachBatch would mark the batch
-                    // done and the admissions would be silently lost)
-                    if (attempt >= maxAttempts) throw e
-                }
-              }
-            }
-          }
+              if (kept.isEmpty) None
+              else Some((kept, bIdx.join(
+                kept.select(col(idCol)), Seq(idCol), "left_semi")))
+            })
         }
     }
 
@@ -519,19 +554,25 @@ object EventStream {
     * so an orphan WOULD falsely reject its twin on replay (losing the
     * row from the corpus forever). The sink therefore passes the corpus
     * table as `corpusAnchor`: a posting row only counts as a duplicate
-    * if its id exists in the corpus, which drops orphans exactly like
-    * the LSH sink's text-verify join does (index bloat for maintenance
-    * — [[graft.operators.VectorIndex.compact]] — never a loss).
+    * if its id exists in the corpus (a candidate-bounded In-pruned
+    * check, never an O(corpus) join), which makes orphans exactly as
+    * benign as the LSH sink's text-verify join makes its own. The
+    * replayed publish then SKIPS re-appending posting rows whose ids
+    * already exist in the batch's own cells, so an orphan is healed
+    * into the normal one-copy state rather than duplicated — topK ranks
+    * every posting row, so duplicate rows would surface as duplicate
+    * ranks.
     *
     * No parameter pinning is needed (unlike the LSH sink's
     * `graft.lsh.*` properties): the stored centroid table IS the
     * quantizer — every probe and every append reads it, so batch and
     * corpus can never disagree on routing.
     *
-    * Exactly-once and rival-commit handling are inherited verbatim:
-    * batch-id ledger in the CORPUS table's snapshot summaries, bounded
-    * recompute-and-restage on [[graft.iceberg.CommitConflictException]],
-    * then a LOUD stream failure — never a swallowed conflict. */
+    * Exactly-once and rival-commit handling come from the shared
+    * [[publishAdmitted]] loop: batch-id ledger in the CORPUS table's
+    * snapshot summaries, both tables PINNED before the probe so a rival
+    * landing anywhere before the publish forces a recompute (bounded,
+    * then a LOUD stream failure — never a swallowed conflict). */
   def icebergVectorAdmissionSink(stream: DataFrame, corpusDir: String,
                                  indexDir: String,
                                  idCol: String = "vec_id",
@@ -543,17 +584,8 @@ object EventStream {
           val s = batch.sparkSession
           val qid = Option(
             s.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
-          val conf = s.sessionState.newHadoopConf()
-          val maxAttempts = 3
-          var attempt = 0
-          var done = false
-          while (!done) {
-            attempt += 1
-            val meta = graft.iceberg.TableMetadata.load(corpusDir, conf)
-            if (lastCommittedBatchId(meta, qid).exists(_ >= batchId)) {
-              done = true // replayed batch: already committed
-            } else {
-              val corpus = graft.iceberg.IcebergTable(s, corpusDir).toDF(s)
+          publishAdmitted(s, corpusDir, s"$indexDir/postings", batchId, qid,
+            (corpus, postingsTable) => {
               // the admitted set is pinned (checkpointed assignment +
               // deterministic flags), so both appends see the IDENTICAL
               // result; the assignment is reused for the posting append
@@ -564,34 +596,30 @@ object EventStream {
               val kept = adm.filter(col("keep"))
                 .drop("dup_of_corpus", "batch_dup", "keep")
                 .localCheckpoint(true)
-              if (kept.isEmpty) done = true // all rejected: nothing to publish
+              if (kept.isEmpty) None
               else {
                 val keptAsg = asg.join(
                   kept.select(col(idCol).as("n_id")), Seq("n_id"), "left_semi")
-                val summary =
-                  Map(BatchIdKey -> batchId.toString, QueryIdKey -> qid)
-                // POSTINGS first, ledgered corpus last — see the scaladoc
-                val cIdx = graft.iceberg.Transactions.stage(
-                    new graft.iceberg.FsCommitter(s"$indexDir/postings",
-                      conf)) { c =>
-                  graft.iceberg.IcebergWriter.append(s, s"$indexDir/postings",
-                    keptAsg, committer = Some(c)); ()
-                }
-                val cCorpus = graft.iceberg.Transactions.stage(
-                    new graft.iceberg.FsCommitter(corpusDir, conf)) { c =>
-                  graft.iceberg.IcebergWriter.append(s, corpusDir, kept,
-                    summary = summary, committer = Some(c)); ()
-                }
-                try {
-                  graft.iceberg.Transactions.commitAll(Seq(cIdx, cCorpus))
-                  done = true
-                } catch {
-                  case e: graft.iceberg.CommitConflictException =>
-                    if (attempt >= maxAttempts) throw e
-                }
+                // Replay hygiene: a crashed prior attempt may have
+                // PUBLISHED these very posting rows (the orphans the
+                // anchor just neutralized) — appending again would leave
+                // permanent duplicate posting rows, and topK ranks each
+                // copy (no per-id dedup in the kernel). An identical
+                // vector assigns to the identical cell, so the In-pruned
+                // read of the batch's own cells sees any orphan twin;
+                // drop ids that already have posting rows. Under the
+                // stream's id-uniqueness contract a same-id posting row
+                // can only be that orphan.
+                val touched = keptAsg.select(col("c_id")).distinct()
+                  .limit(100001).collect().map(_.get(0))
+                val existing =
+                  if (touched.length > 100000) postingsTable.toDF(s)
+                  else postingsTable.toDF(s,
+                    Seq(org.apache.spark.sql.sources.In("c_id", touched)))
+                Some((kept, keptAsg.join(existing.select(col("n_id")),
+                  Seq("n_id"), "left_anti")))
               }
-            }
-          }
+            })
         }
     }
 

@@ -435,6 +435,68 @@ class StreamingSpec extends SparkSpec {
       .metadata.snapshots.size == 3)
   }
 
+  test("vector admission sink heals the crash window: an orphaned " +
+      "posting row neither rejects its twin nor gets duplicated") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import graft.operators.VectorIndex
+    import graft.functions.Similarity
+    val cDir = "/root/repo/target/test-vadmission-orphan-corpus"
+    val iDir = "/root/repo/target/test-vadmission-orphan-index"
+    Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    val corpusSeed = emb.filter(col("vec_id") >= 400)
+    IcebergWriter.seedTable(spark, cDir, corpusSeed.schema)
+    IcebergWriter.append(spark, cDir, corpusSeed)
+    VectorIndex.build(spark, corpusSeed, iDir, nCentroids = 4)
+    // simulate the crash window of a previous attempt at THIS batch:
+    // its posting rows were published, the ledgered corpus append never
+    // happened — vec 33 is in the index but not the corpus
+    val orphan = emb.filter(col("vec_id") === 33)
+    val cents = IcebergTable(spark, s"$iDir/centroids").toDF(spark)
+    IcebergWriter.append(spark, s"$iDir/postings",
+      Similarity.ivfAssign(orphan, cents))
+    val postingsBefore = IcebergTable(spark, s"$iDir/postings")
+      .toDF(spark).filter(col("n_id") === 33).count()
+    assert(postingsBefore == 1)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF.toDF("vec_id", "embedding")
+    val q = EventStream.icebergVectorAdmissionSink(stream, cDir, iDir)
+      .option("checkpointLocation", s"$cDir/_ckpt")
+      .start()
+    try {
+      // the replayed batch: the orphaned row itself + a fresh row
+      mem.addData((33L, vecs(33L)), (44L, vecs(44L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val corpusIds = IcebergTable(spark, cDir).toDF(spark)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(corpusIds.contains(33L),
+      "the orphan must NOT reject its own replay — that would lose the " +
+        s"row from the corpus forever: $corpusIds")
+    assert(corpusIds.contains(44L))
+    val p33 = IcebergTable(spark, s"$iDir/postings").toDF(spark)
+      .filter(col("n_id") === 33).count()
+    assert(p33 == 1,
+      s"replay must not duplicate the orphan's posting row, got $p33")
+    val p44 = IcebergTable(spark, s"$iDir/postings").toDF(spark)
+      .filter(col("n_id") === 44).count()
+    assert(p44 == 1)
+    // and a later clone of the healed row is rejected normally
+    val adm = VectorIndex.admit(spark, iDir,
+      emb.filter(col("vec_id") === 33)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+    assert(adm.select(col("dup_of_corpus")).as[Boolean].head())
+  }
+
   test("admission sink over a bucket-partitioned index: identical " +
       "admissions, and the probe's In pushdown actually prunes files") {
     import java.io.File
