@@ -430,8 +430,10 @@ object EventStream {
     * orphan INDEX rows: the replay finds no corpus ledger entry,
     * recomputes the same (deterministic) admission, and re-commits —
     * orphan index rows point at ids absent from the corpus, so every
-    * future probe's verify join drops them (index bloat for
-    * maintenance, never a correctness loss). The reverse order would
+    * future probe's verify join drops them (never a correctness loss),
+    * and the replayed publish HEALS them back to one copy (its index
+    * append anti-joins ids already present in the batch's own buckets),
+    * so crashes do not accrete bloat either. The reverse order would
     * instead strand ledgered corpus rows WITHOUT index rows — docs
     * invisible to all future probes, i.e. permanent duplicate
     * admission. A batch whose rows are ALL rejected publishes nothing —
@@ -531,8 +533,28 @@ object EventStream {
                 .drop("dup_of_corpus", "batch_dup", "keep")
                 .localCheckpoint(true)
               if (kept.isEmpty) None
-              else Some((kept, bIdx.join(
-                kept.select(col(idCol)), Seq(idCol), "left_semi")))
+              else {
+                val keptIdx = bIdx.join(
+                  kept.select(col(idCol)), Seq(idCol), "left_semi")
+                // Replay hygiene (crash window, same shape as the vector
+                // sink): a crashed prior attempt may have published these
+                // index rows already — duplicates are correctness-benign
+                // here (candidate pairs are distinct()-ed before verify)
+                // but bloat the index once per crash. Identical text →
+                // identical band hashes, so the pruned read of the
+                // batch's own buckets sees any orphan twin; drop ids
+                // already indexed (same-id rows can only be that orphan
+                // under the stream's id-uniqueness contract).
+                val keys = keptIdx.select(col("band_hash")).distinct()
+                  .limit(graft.operators.Dedup.MaxCollectedProbeKeys + 1)
+                  .collect().map(_.getLong(0))
+                val existing =
+                  if (keys.length > graft.operators.Dedup.MaxCollectedProbeKeys)
+                    idxTable.toDF(s)
+                  else prunedIndex(keys.toSeq)
+                Some((kept, keptIdx.join(
+                  existing.select(col(idCol)), Seq(idCol), "left_anti")))
+              }
             })
         }
     }

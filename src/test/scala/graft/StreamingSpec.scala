@@ -435,6 +435,56 @@ class StreamingSpec extends SparkSpec {
       .metadata.snapshots.size == 3)
   }
 
+  test("LSH admission sink heals the crash window: an orphaned index " +
+      "row is not duplicated on replay and its doc still admits") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    import graft.operators.Dedup
+    val cDir = "/root/repo/target/test-admission-orphan-corpus"
+    val iDir = "/root/repo/target/test-admission-orphan-index"
+    Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
+    import spark.implicits._
+    val corpusSeed = Seq(
+      (1L, "the seed corpus carries this first document body")
+    ).toDF("doc_id", "text")
+    def bands16(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashBandIndex(df, "doc_id", "text",
+        numHashes = 32, bands = 16)
+    val indexSeed = bands16(corpusSeed)
+    IcebergWriter.seedTable(spark, cDir, corpusSeed.schema)
+    IcebergWriter.seedTable(spark, iDir, indexSeed.schema)
+    IcebergWriter.append(spark, cDir, corpusSeed)
+    IcebergWriter.append(spark, iDir, indexSeed)
+    // the crash window of a prior attempt at THIS batch: index rows for
+    // doc 7 were published, the ledgered corpus append never happened
+    val orphanDoc = Seq((7L, "a document whose first attempt crashed"))
+      .toDF("doc_id", "text")
+    IcebergWriter.append(spark, iDir, bands16(orphanDoc))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    val q = EventStream.icebergAdmissionSink(stream, cDir, iDir,
+        "doc_id", "text", numHashes = 32, bands = 16)
+      .option("checkpointLocation", s"$cDir/_ckpt")
+      .start()
+    try {
+      mem.addData((7L, "a document whose first attempt crashed"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val corpusIds = IcebergTable(spark, cDir).toDF(spark)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(corpusIds == Seq(1L, 7L),
+      s"the orphan must not reject its own replay: $corpusIds")
+    val n7 = IcebergTable(spark, iDir).toDF(spark)
+      .filter(col("doc_id") === 7).count()
+    assert(n7 == 16, s"index rows for the healed doc = bands exactly " +
+      s"once, got $n7")
+  }
+
   test("vector admission sink heals the crash window: an orphaned " +
       "posting row neither rejects its twin nor gets duplicated") {
     import java.io.File
