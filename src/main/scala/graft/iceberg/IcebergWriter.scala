@@ -1524,17 +1524,15 @@ object IcebergWriter {
     // older sequence numbers).
     //
     // Rewrites PRESERVE row ids per the spec's rewrite rule:
-    // compaction (compact/compactWhere) and the partial-file rewrite of
-    // positionDeleteWhere materialize each surviving row's _row_id into
-    // the replacement files (the read-side coalesce prefers the column
-    // over first_row_id + pos). The counter still advances over the
-    // rewritten files' assigned ranges — ids are never reused, some are
-    // simply never served. DOCUMENTED DEVIATION (narrowed round 13):
-    // rows rewritten by the DSv2 ReplaceData path (SQL UPDATE / MERGE /
-    // copy-on-write DELETE through RowLevelOps) still receive FRESH ids
-    // — Spark's group-based rewrite controls that projection, and
-    // threading lineage through it is future work. CDC consumers keying
-    // on _row_id see THOSE rewrites as delete+reinsert.
+    // compaction (compact/compactWhere), the partial-file rewrite of
+    // positionDeleteWhere, AND (since round 14) the DSv2 ReplaceData
+    // path (SQL UPDATE / MERGE / copy-on-write DELETE — `_row_id` rides
+    // Spark's required-metadata-attribute projection into the
+    // replacement files, see RowLevelOps) all materialize each surviving
+    // row's _row_id into the replacement files (the read-side coalesce
+    // prefers the column over first_row_id + pos). The counter still
+    // advances over the rewritten files' assigned ranges — ids are never
+    // reused, some are simply never served.
     val (lineageUpdates: Seq[JsonNode], lineageReqs: Seq[JsonNode]) = {
       val meta = committer.currentMetadata()
       if (!wantsLineage(meta)) (Nil, Nil)
@@ -1543,14 +1541,35 @@ object IcebergWriter {
           r.get("content").asInstanceOf[Int] == 0 &&
             Option(r.get("sequence_number")).exists(_ == snapId))
         // The base the manifest entries ACTUALLY carry, read back from
-        // the just-written manifest (one bounded local read): plan-time
-        // metadata (which stamped the entries) and this commit-build
-        // read can diverge under a rival commit, and the snapshot's
-        // first-row-id + counter must agree with the entries, not with
-        // whichever metadata happened to be fresh here.
-        val manifestBase: Option[Long] = newDataManifests.headOption
-          .flatMap(r => ManifestIO.firstEntryFirstRowId(
-            String.valueOf(r.get("manifest_path")), committer.conf))
+        // the just-written manifests (one bounded local read each):
+        // plan-time metadata (which stamped the entries) and this
+        // commit-build read can diverge under a rival commit, and the
+        // snapshot's first-row-id + counter must agree with the entries,
+        // not with whichever metadata happened to be fresh here. With
+        // several new data manifests the bases must form ONE contiguous
+        // range — verified, not assumed: a future commit path writing
+        // two manifests with a gap or overlap would otherwise silently
+        // assign duplicate row-id ranges.
+        val basesAndCounts: Seq[(Long, Long)] = newDataManifests.flatMap { r =>
+          val rows = Option(r.get("added_rows_count"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          ManifestIO.firstEntryFirstRowId(
+            String.valueOf(r.get("manifest_path")), committer.conf)
+            .map(b => (b, rows))
+        }
+        if (basesAndCounts.size > 1) {
+          val sorted = basesAndCounts.sortBy(_._1)
+          sorted.sliding(2).foreach {
+            case Seq((b1, n1), (b2, _)) => require(b1 + n1 == b2,
+              s"new data manifests carry non-contiguous row-id ranges " +
+                s"(base $b1 + $n1 rows, then base $b2) — the commit " +
+                "would assign overlapping or gapped lineage")
+            case _ => ()
+          }
+        }
+        val manifestBase: Option[Long] =
+          if (basesAndCounts.isEmpty) None
+          else Some(basesAndCounts.map(_._1).min)
         val firstRowId = manifestBase.getOrElse(meta.nextRowId.getOrElse(0L))
         snap.put("first-row-id", firstRowId)
         val added = newDataManifests.iterator

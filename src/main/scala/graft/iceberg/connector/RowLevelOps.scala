@@ -85,9 +85,32 @@ final class GraftRowLevelOperation(
     * set. Spark builds it once per operation (the runtime group-filter
     * subquery, if any, scans through the BASE table's regular builder,
     * not this one). */
-  @volatile private var configuredScan: GraftGroupScan = _
+  @volatile private var configuredScan: GraftGroupScanLike = _
 
   override def command(): RowLevelOperation.Command = cmd
+
+  /** v3 row lineage rides the rewrite as a REQUIRED METADATA ATTRIBUTE:
+    * Spark's own rewrites (`RewriteUpdateTable`/`RewriteMergeIntoTable`/
+    * `RewriteDeleteFromTable`) thread requested metadata columns from the
+    * scan through the rewritten plan into a separate metadata projection
+    * on the `ReplaceData` write (`MetadataColumn.PRESERVE_ON_UPDATE`
+    * defaults keep `_row_id` on updated and copied rows, null it for
+    * MERGE-inserted ones), and the write materializes it into the
+    * replacement files — the spec's "rewrites preserve row ids" rule,
+    * with null → fresh assignment via the new file's `first_row_id +
+    * pos` on read. Only requested when the table assigns lineage AND no
+    * data column shadows the reserved name (resolution is against the
+    * relation's metadata output, which excludes shadowed names). */
+  private def lineageOn: Boolean =
+    IcebergWriter.wantsLineage(table.metadata) &&
+      !table.metadata.schema.fieldNames.contains(IcebergTable.RowIdCol)
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (lineageOn)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(IcebergTable.RowIdCol))
+    else Array.empty
 
   /** Analysis-time construction must not throw (every DELETE builds one
     * of these before the metadata-only optimization runs) — capability
@@ -150,7 +173,17 @@ final class GraftRowLevelOperation(
 
       override def build(): Scan = {
         checkSupported()
-        val scan = new GraftGroupScan(SparkSession.active, table, filters, required)
+        // Lineage rewrites read through the V1 bridge: `_row_id` needs
+        // the row-identity machinery (`_metadata.row_index` + per-file
+        // first-row-id bases + materialized-column coalesce) that
+        // `IcebergTable.toDF(keepLineage)` already implements for every
+        // format — the raw vectorized batch cannot carry it. Non-lineage
+        // tables keep the vectorized group scan.
+        val scan: GraftGroupScanLike =
+          if (lineageOn)
+            new GraftLineageGroupScan(SparkSession.active, table, filters,
+              required)
+          else new GraftGroupScan(SparkSession.active, table, filters, required)
         configuredScan = scan
         scan
       }
@@ -164,6 +197,114 @@ final class GraftRowLevelOperation(
     }
 }
 
+/** What the replacement write needs from whichever group scan Spark
+  * configured: the exact planned file set its commit swaps out. */
+private[connector] trait GraftGroupScanLike extends Scan {
+  def plannedFiles: Seq[DataFileEntry]
+}
+
+/** The lineage-preserving affected-group scan (v3 tables): the same
+  * group semantics as [[GraftGroupScan]] — every row of every statically
+  * pruned file, pushed predicates as pruning hints only — but the
+  * requested `_row_id` metadata attribute rides [[IcebergTable.toDF]]'s
+  * row-identity machinery (materialized column coalesced with manifest
+  * `first_row_id` + `_metadata.row_index`, per-format). The row-level
+  * scan planning path accepts only DSv2 `Batch` scans (no V1 bridge), so
+  * the toDF plan is bridged: its physical RDD is materialized ON THE
+  * DRIVER at plan time (the lineage broadcast included) and each of its
+  * partitions is computed inside this scan's executor tasks. Sound
+  * because the lineage read plan is SHUFFLE-FREE by construction (file
+  * scan → projection → broadcast base join) — guarded loudly below. The
+  * rewrite read is row-based rather than vectorized: the price of
+  * carrying lineage, paid only by v3 tables.
+  */
+final class GraftLineageGroupScan(
+    spark: SparkSession,
+    table: IcebergTable,
+    filters: Array[Filter],
+    requiredSchema: StructType)
+    extends Scan with SupportsReportStatistics with GraftGroupScanLike {
+
+  /** Planned once, immutable: the write commit and the executed scan must
+    * agree on the exact file set. */
+  override val plannedFiles: Seq[DataFileEntry] = table.planFiles(filters.toSeq)
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def description(): String =
+    s"GraftLineageGroupScan(files=${plannedFiles.size}, " +
+      s"groupFilters=${filters.mkString(", ")})"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(plannedFiles.map(_.fileSizeInBytes).sum)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(plannedFiles.map(_.recordCount).sum)
+  }
+
+  override def toBatch: Batch = new Batch {
+    /** Driver-side: builds the physical plan (kicking off the tiny
+      * lineage-base broadcast) exactly once; executors compute its
+      * partitions inside this scan's tasks. */
+    private lazy val bridged: org.apache.spark.rdd.RDD[InternalRow] = {
+      import org.apache.spark.sql.functions.col
+      val s = org.apache.spark.sql.SparkSession.active
+      // NO row filters: copy-on-write must read every row of a matched
+      // file (non-matching ones are written back verbatim). toDF over
+      // the pinned file list reads exactly those files, lineage served.
+      val df = table
+        .toDF(s, Nil, precomputed = Some(plannedFiles), keepLineage = true)
+        .select(requiredSchema.fieldNames.toSeq.map(col): _*)
+      val rdd = df.queryExecution.toRdd
+      // The bridge computes a foreign RDD's partitions inside this
+      // scan's tasks — sound ONLY while that RDD is shuffle-free (its
+      // map stages would otherwise never have run). completeRowLineage
+      // is broadcast-only today; if a shuffle ever slips into the read
+      // plan, fail at PLAN time with a diagnosis, not executor-side
+      // with a missing-stage error.
+      def assertNoShuffle(r: org.apache.spark.rdd.RDD[_]): Unit =
+        r.dependencies.foreach {
+          case _: org.apache.spark.ShuffleDependency[_, _, _] =>
+            throw new IllegalStateException(
+              "lineage group scan needs a shuffle-free read plan; the " +
+                "toDF(keepLineage) plan grew a shuffle — fix the read " +
+                "plan or route this rewrite through compaction")
+          case d => assertNoShuffle(d.rdd)
+        }
+      assertNoShuffle(rdd)
+      rdd
+    }
+    override def planInputPartitions(): Array[InputPartition] =
+      bridged.partitions.map(p => GraftRddBridgePartition(p): InputPartition)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftRddBridgeReaderFactory(bridged)
+  }
+}
+
+/** One partition of the bridged lineage read plan (the inner RDD's own
+  * `Partition` object, shipped as-is). */
+private[connector] final case class GraftRddBridgePartition(
+    split: org.apache.spark.Partition) extends InputPartition
+
+/** Computes the bridged RDD's partition inside the enclosing scan task.
+  * The factory serializes the full (shuffle-free) RDD graph to executors
+  * — the same payload a normal task for that plan would carry. */
+private[connector] final class GraftRddBridgeReaderFactory(
+    rdd: org.apache.spark.rdd.RDD[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val it = rdd.iterator(p.asInstanceOf[GraftRddBridgePartition].split,
+      org.apache.spark.TaskContext.get())
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
 /** The affected-group scan: Spark's vectorized parquet batch over the
   * statically pruned file list, with NO data filters handed to the
   * reader (see [[GraftRowLevelOperation]] — group semantics require every
@@ -175,7 +316,7 @@ final class GraftGroupScan(
     table: IcebergTable,
     filters: Array[Filter],
     requiredSchema: StructType)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics with GraftGroupScanLike {
 
   /** Planned once, immutable: the write commit and the executed scan must
     * agree on the exact file set. */
@@ -263,7 +404,7 @@ final class GraftGroupScan(
   */
 final class GraftReplaceWrite(
     table: IcebergTable,
-    scanRef: () => GraftGroupScan,
+    scanRef: () => GraftGroupScanLike,
     writeSchema: StructType,
     committerOpt: Option[graft.iceberg.TableCommitter] = None)
     extends Write with RequiresDistributionAndOrdering {
@@ -287,13 +428,28 @@ final class GraftReplaceWrite(
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
       val meta = table.metadata
-      val stamped = StructType(writeSchema.fields.map { f =>
+      // v3 row lineage: the rewrite MATERIALIZES each surviving row's
+      // `_row_id` into the replacement files (spec rewrite rule) — Spark
+      // feeds it through the ReplaceData METADATA projection
+      // (`DataWriter.write(metadata, record)`), null for MERGE-inserted
+      // rows (fresh ids assigned on read via the new file's
+      // first_row_id + pos).
+      val lineage = IcebergWriter.wantsLineage(meta) &&
+        !meta.schema.fieldNames.contains(IcebergTable.RowIdCol)
+      val stamped0 = StructType(writeSchema.fields.map { f =>
         meta.fieldIds.get(f.name) match {
           case Some(id) => f.copy(metadata = new MetadataBuilder()
             .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
           case None => f
         }
       })
+      val stamped =
+        if (!lineage) stamped0
+        else StructType(stamped0.fields :+ org.apache.spark.sql.types.StructField(
+          IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
+          nullable = true,
+          new MetadataBuilder()
+            .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()))
       val idToName = meta.fieldIds.map(_.swap)
       val spec = meta.partitionSpec.map { p =>
         val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
@@ -305,14 +461,36 @@ final class GraftReplaceWrite(
       }
       val fmt = graft.iceberg.IcebergWriter.tableWriteFormat(meta)
       val inner = new graft.iceberg.FanoutWriterFactory(
-        writeDir, stamped, meta.fieldIds, spec,
+        writeDir, stamped,
+        if (lineage)
+          meta.fieldIds + (IcebergTable.RowIdCol -> IcebergTable.RowIdFieldId.toInt)
+        else meta.fieldIds,
+        spec,
         new graft.iceberg.SerializableHadoopConf(conf),
         codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
         targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
         format = fmt)
       new DataWriterFactory {
-        override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-          inner.createWriter(partitionId, taskId)
+        override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+          val w = inner.createWriter(partitionId, taskId)
+          if (!lineage) w
+          else new DataWriter[InternalRow] {
+            // one reused concat view per task: the inner writer encodes
+            // each row before write() returns, so reuse is safe
+            private val joined =
+              new org.apache.spark.sql.catalyst.expressions.JoinedRow
+            private val nullMeta: InternalRow =
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](null))
+            override def write(rec: InternalRow): Unit =
+              w.write(joined(rec, nullMeta))
+            override def write(metaRow: InternalRow, rec: InternalRow): Unit =
+              w.write(joined(rec, metaRow))
+            override def commit(): WriterCommitMessage = w.commit()
+            override def abort(): Unit = w.abort()
+            override def close(): Unit = w.close()
+          }
+        }
       }
     }
 

@@ -311,6 +311,63 @@ class FormatV3Spec extends SparkSpec {
       .forall(_.firstRowId.isEmpty))
   }
 
+  test("copy-on-write UPDATE, MERGE, and DELETE preserve _row_id (spec " +
+      "rewrite rule through Spark's ReplaceData metadata projection)") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE v3cat.ns.cw (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+    spark.sql("INSERT INTO v3cat.ns.cw SELECT id, id * 10 FROM range(50)")
+    spark.sql("INSERT INTO v3cat.ns.cw SELECT id, id * 10 FROM range(50, 80)")
+    def lineage(): Map[Long, Long] =
+      spark.sql("SELECT k, _row_id FROM v3cat.ns.cw").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = lineage()
+    assert(before.values.toSeq.sorted == (0L until 80L))
+
+    // UPDATE (default copy-on-write): updated AND copied rows keep ids
+    spark.sql("UPDATE v3cat.ns.cw SET v = v + 1 WHERE k % 4 = 0")
+    val afterUpdate = lineage()
+    assert(afterUpdate == before,
+      s"CoW UPDATE must preserve every _row_id: " +
+        s"${afterUpdate.filter { case (k, id) => before(k) != id }.take(5)}")
+    assert(spark.sql(
+      "SELECT CAST(SUM(v) AS BIGINT) FROM v3cat.ns.cw").head.getLong(0) ==
+      (0L until 80L).map(k => k * 10 + (if (k % 4 == 0) 1 else 0)).sum)
+
+    // MERGE: matched updates preserve, NOT MATCHED inserts get FRESH ids
+    spark.sql("CREATE TABLE v3cat.ns.src (k BIGINT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO v3cat.ns.src SELECT id, id * 100 FROM range(70, 90)")
+    spark.sql(
+      """MERGE INTO v3cat.ns.cw t USING v3cat.ns.src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+        .stripMargin)
+    val afterMerge = lineage()
+    assert((0L until 80L).forall(k => afterMerge(k) == before(k)),
+      s"MERGE must preserve existing rows' _row_id: " +
+        s"${(0L until 80L).filter(k => afterMerge(k) != before(k)).take(5)}")
+    val inserted = (80L until 90L).map(afterMerge)
+    assert(inserted.forall(_ >= 80L) && inserted.distinct.size == 10,
+      s"MERGE-inserted rows take fresh non-overlapping ids: $inserted")
+    assert(afterMerge.values.toSeq.distinct.size == 90,
+      "no id is served twice after the MERGE")
+
+    // copy-on-write DELETE (declared mode): survivors keep ids
+    spark.sql("ALTER TABLE v3cat.ns.cw SET TBLPROPERTIES (" +
+      "'write.delete.mode' = 'copy-on-write')")
+    spark.sql("DELETE FROM v3cat.ns.cw WHERE k >= 20 AND k < 30")
+    val afterDelete = lineage()
+    assert(afterDelete.keySet == afterMerge.keySet -- (20L until 30L))
+    assert(afterDelete.forall { case (k, id) => afterMerge(k) == id },
+      s"CoW DELETE survivors keep ids: " +
+        s"${afterDelete.filter { case (k, id) => afterMerge(k) != id }.take(5)}")
+    // the counter is monotone: rewrites assign (unserved) ranges, never reuse
+    val m = TableMetadata.load(s"$warehouse/ns/cw", conf)
+    assert(m.nextRowId.exists(_ >= 90L), s"counter monotone: ${m.nextRowId}")
+  }
+
   test("lifecycle ops on a v3 table: model-checked mixed sequence") {
     freshCatalog()
     spark.sql(

@@ -232,4 +232,136 @@ class LifecycleFuzzSpec extends SparkSpec {
       s"op mix must exercise both WAP outcomes: " +
         s"published=$branchPublishes abandoned=$branchAbandons")
   }
+
+  test("v3 row lineage is a MODEL INVARIANT across random lifecycle ops: " +
+      "a key's _row_id never changes, ids are never reused") {
+    val conf = spark.sessionState.newHadoopConf()
+    spark.conf.set("spark.sql.catalog.lcf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lcf.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lcf.ns")
+    Seq(777L).foreach { seed =>
+      val tbl = s"lcf.ns.v3fz$seed"
+      val dir = s"$warehouse/ns/v3fz$seed"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      // copy-on-write update/delete (the default) — THE rewrite paths
+      // whose lineage preservation round 14 added; equality deletes
+      // still route merge-on-read via deleteWhere, which is fine (they
+      // never rewrite surviving rows)
+      spark.sql(
+        s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
+          "TBLPROPERTIES ('format-version' = '3')")
+      val r = new scala.util.Random(seed)
+      val model = scala.collection.mutable.Map.empty[Long, Long]
+      // keys are globally unique (nextId monotone), so lineage has one
+      // rule: once key k is served with _row_id i, every later read of k
+      // serves i — across UPDATE, MERGE, CoW DELETE, compaction — and no
+      // id is ever served for two different keys.
+      val everSeen = scala.collection.mutable.Map.empty[Long, Long]
+      val usedIds = scala.collection.mutable.Map.empty[Long, Long] // id -> k
+      var nextId = 0L
+      def checkLineage(op: String): Unit = {
+        val got = spark.sql(s"SELECT k, v, _row_id FROM $tbl").collect()
+          .map(row => (row.getLong(0), row.getLong(1),
+            if (row.isNullAt(2)) None else Some(row.getLong(2)))).toSeq
+        assert(got.map(g => g._1 -> g._2).toMap == model.toMap,
+          s"seed=$seed after $op: data drift")
+        got.foreach { case (k, _, idOpt) =>
+          assert(idOpt.isDefined, s"seed=$seed after $op: k=$k null _row_id")
+          val id = idOpt.get
+          everSeen.get(k) match {
+            case Some(prev) => assert(prev == id,
+              s"seed=$seed after $op: k=$k _row_id drifted $prev -> $id")
+            case None =>
+              val prior = usedIds.get(id)
+              assert(prior.isEmpty,
+                s"seed=$seed after $op: fresh key k=$k reuses _row_id " +
+                  s"$id of k=$prior")
+              everSeen(k) = id
+              usedIds(id) = k
+          }
+        }
+      }
+      def compactIfDeletes(): Unit =
+        if (new IcebergTable(dir, conf).hasDeletes)
+          IcebergWriter.compact(spark, dir)
+      (1 to 30).foreach { step =>
+        val op = r.nextInt(10) match {
+          case 0 | 1 | 2 => // INSERT fresh keys: new contiguous id range
+            val n = 5 + r.nextInt(15)
+            val rows = (0 until n).map { _ =>
+              val k = nextId; nextId += 1
+              val v = r.nextInt(1000).toLong; model(k) = v; s"($k, $v)"
+            }
+            spark.sql(s"INSERT INTO $tbl VALUES ${rows.mkString(", ")}")
+            s"insert($n)"
+          case 3 | 4 => // CoW UPDATE (compact first if DVs outstanding —
+                        // the documented copy-on-write precondition)
+            val m = 2 + r.nextInt(4); val rem = r.nextInt(m)
+            val bump = 1 + r.nextInt(50)
+            compactIfDeletes()
+            model.keys.filter(_ % m == rem)
+              .foreach(k => model(k) = model(k) + bump)
+            spark.sql(s"UPDATE $tbl SET v = v + $bump WHERE k % $m = $rem")
+            s"cow_update($m,$rem)"
+          case 5 => // equality DELETE (merge-on-read, survivors untouched)
+            if (model.isEmpty) "noop"
+            else {
+              val keys = r.shuffle(model.keys.toSeq).take(1 + r.nextInt(3))
+              keys.foreach(model.remove)
+              spark.sql(s"DELETE FROM $tbl WHERE k IN (${keys.mkString(", ")})")
+              s"delete_eq(${keys.size})"
+            }
+          case 6 => // CoW range DELETE: survivors of rewritten files keep ids
+            if (nextId < 4) "noop"
+            else {
+              val a = math.abs(r.nextLong()) % nextId
+              val b = math.min(nextId, a + 1 + r.nextInt(8))
+              compactIfDeletes()
+              (a until b).foreach(model.remove)
+              spark.sql(s"DELETE FROM $tbl WHERE k >= $a AND k < $b")
+              s"delete_range($a,$b)"
+            }
+          case 7 => // MERGE: matched rows preserve, inserts take fresh ids
+            if (model.isEmpty) "noop"
+            else {
+              compactIfDeletes()
+              val hitLo = math.abs(r.nextLong()) % nextId
+              val hitHi = math.min(nextId, hitLo + 3)
+              val insN = 2 + r.nextInt(4)
+              val ins = (0 until insN).map { _ =>
+                val k = nextId; nextId += 1
+                val v = r.nextInt(1000).toLong; model(k) = v; (k, v)
+              }
+              val matched = (hitLo until hitHi).filter(model.contains)
+              matched.foreach(k => model(k) = model(k) * 2)
+              val srcRows = (matched.map(k => (k, 0L)) ++ ins)
+                .map { case (k, v) => s"($k, $v)" }
+              spark.sql(
+                s"""MERGE INTO $tbl t USING
+                   |(SELECT * FROM VALUES ${srcRows.mkString(", ")}
+                   |  AS s(k, v)) s ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET t.v = t.v * 2
+                   |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+                  .stripMargin)
+              s"merge($hitLo,$hitHi,+$insN)"
+            }
+          case 8 => // compact: pure rewrite, every id must survive
+            IcebergWriter.compact(spark, dir)
+            "compact"
+          case 9 => // INSERT OVERWRITE: all keys replaced by fresh ones
+            val n = 3 + r.nextInt(6)
+            model.clear()
+            val rows = (0 until n).map { _ =>
+              val k = nextId; nextId += 1
+              val v = r.nextInt(1000).toLong; model(k) = v; s"($k, $v)"
+            }
+            spark.sql(
+              s"INSERT OVERWRITE TABLE $tbl VALUES ${rows.mkString(", ")}")
+            s"overwrite($n)"
+        }
+        checkLineage(s"step $step: $op")
+      }
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 }
