@@ -21,12 +21,6 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Cap on driver-collected probe keys for the storage-pruned
-    * admission path: |batch| × bands distinct longs. Micro-batches sit
-    * far under it; a bulk re-admission over it simply falls back to the
-    * full-index probe (correct, just unpruned). */
-  val MaxCollectedProbeKeys = 100000
-
   /** Exact dedup: keep one row per key set (hash-partitioned groupBy). */
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     df.dropDuplicates(cols)
@@ -445,16 +439,18 @@ object Dedup {
       maxBucket: Int = 10000, probeMaxBucket: Int = 10000,
       verify: (Column, Column) => Column = _ <=> _,
       /** Storage-pruned probe (the 100 TB path): given the batch's
-        * distinct `band_hash` values (driver-collected, bounded by
-        * |batch| × bands and capped at [[MaxCollectedProbeKeys]]),
-        * return an index DataFrame covering AT LEAST those buckets — an
-        * Iceberg-stored index partitioned by `bucket[N](band_hash)`
-        * serves this with an `In` pushdown that file-prunes the scan,
-        * so per-batch index IO is ∝ batch, not corpus. The probe's
-        * semi-join re-enforces the key filter, so a provider returning
-        * MORE rows (or the cap falling back to `corpusIndex`) is always
+        * `band_hash` key column (|batch| × bands values, duplicates
+        * fine), return an index DataFrame covering AT LEAST those
+        * buckets — an Iceberg-stored index partitioned by
+        * `bucket[N](band_hash)` serves this through
+        * [[graft.iceberg.connector.RuntimeProbe.prunedByKeys]], whose
+        * runtime filter file-prunes the scan so per-batch index IO is
+        * ∝ batch, not corpus, with no driver-side key collect and no
+        * key-count cap (round 14; earlier rounds collected ≤100k keys
+        * with a full-scan fallback). The probe's semi-join re-enforces
+        * the key filter, so a provider returning MORE rows is always
         * correct. */
-      prunedCorpusIndex: Option[Seq[Long] => DataFrame] = None)
+      prunedCorpusIndex: Option[DataFrame => DataFrame] = None)
       : (DataFrame, DataFrame) = {
     // Refuse a probe whose LSH parameters disagree with the ones the
     // stored index was built with (self-described via field metadata):
@@ -493,11 +489,7 @@ object Dedup {
     // 20×); now the full index is streamed once through a (typically
     // broadcast) semi-join and every later stage sees only touched rows.
     val indexSource = prunedCorpusIndex match {
-      case Some(provider) =>
-        val keys = bIdx.select(col("band_hash")).distinct()
-          .limit(MaxCollectedProbeKeys + 1).collect().map(_.getLong(0))
-        if (keys.length > MaxCollectedProbeKeys) corpusIndex // batch too big to enumerate
-        else provider(keys.toSeq)
+      case Some(provider) => provider(bIdx.select(col("band_hash")))
       case None => corpusIndex
     }
     val cIdxAll = indexSource.select(col(idCol).as("__cid"),

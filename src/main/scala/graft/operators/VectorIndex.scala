@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.In
 
 import graft.functions.Similarity
 import graft.iceberg.{IcebergTable, IcebergWriter}
@@ -21,15 +20,17 @@ import graft.iceberg.{IcebergTable, IcebergWriter}
   *     partition directory, with per-file c_id bounds in the manifests.
   *
   * Probe cost model: a query batch touches at most |queries| × nProbe
-  * distinct centroid ids. [[topK]] collects that (small, capped) id set
-  * on the driver and pushes it into the postings scan as an `In` filter,
-  * so identity-partition pruning reads ONLY the probed posting lists —
-  * per-batch index IO is the probed corpus fraction (≈ nProbe /
-  * nCentroids for balanced lists), not the corpus. This is the same
-  * collect-keys-then-prune shape as the streaming admission probe
-  * ([[Dedup.incrementalAdmissionWithIndex]]'s `prunedCorpusIndex`]]);
-  * both stay correct under a provider that returns MORE than the probed
-  * rows because the join re-enforces the key filter.
+  * distinct centroid ids. [[topK]] joins the postings scan against that
+  * BROADCAST id set and [[graft.iceberg.connector.RuntimeProbe]] plants
+  * a dynamic-pruning subquery on the scan, so identity-partition pruning
+  * reads ONLY the probed posting lists — per-batch index IO is the
+  * probed corpus fraction (≈ nProbe / nCentroids for balanced lists),
+  * not the corpus, with no driver-side key collect and no key-count cap
+  * (round 14; rounds 12–13 collected the ids with a 100k full-scan
+  * fallback). The streaming admission probe
+  * ([[Dedup.incrementalAdmissionWithIndex]]'s `prunedCorpusIndex`) rides
+  * the same helper; both stay correct even when the runtime filter does
+  * not fire because the join re-enforces the key filter row-exactly.
   *
   * Determinism contract: the stored centroid rows are the EXACT rows
   * [[Similarity.ivfCentroids]] computes (array<double> and doubles
@@ -39,18 +40,6 @@ import graft.iceberg.{IcebergTable, IcebergWriter}
   * parameters, row for row (the spec pins this).
   */
 object VectorIndex {
-
-  /** Cap on driver-collected probe centroid ids: |queries| × nProbe
-    * distinct values. Interactive/batch probe sets sit far under it; a
-    * probe wider than the cap falls back to the full postings scan
-    * (correct, just unpruned). */
-  val MaxCollectedProbeCentroids = 100000
-
-  /** `cap + 1` without Int overflow — `Int.MaxValue` is a natural
-    * "disable the cap" value (the sibling `probeMaxBucket` API documents
-    * it), and a raw `+ 1` would turn it into a negative `limit(...)`. */
-  private def capPlusOne(cap: Int): Int =
-    math.min(cap.toLong + 1, Int.MaxValue.toLong).toInt
 
   /** Train the quantizer and persist both index tables. `corpus` is read
     * twice (centroid training + assignment); the k-bounded centroid rows
@@ -131,18 +120,16 @@ object VectorIndex {
     * Scale shape: the batch is assigned map-side against the broadcast
     * stored centroids (no shuffle); the corpus side reads ONLY the
     * posting partitions the batch's cells touch (the same
-    * collect-keys-then-prune In pushdown as [[topK]], ≈ cells-touched /
-    * nCentroids of the index, capped with a full-scan fallback that
-    * stays correct); candidates are equality-verified on the vector.
+    * runtime-filtered probe as [[topK]], ≈ cells-touched / nCentroids
+    * of the index, correct even when the filter does not fire);
+    * candidates are equality-verified on the vector.
     * Batch-internal pairing is blocked by the same cells — quadratic
     * only within a batch cell, bounded by batch size, never corpus.
     * Unlike [[topK]] the q_id = n_id guard is NOT applied: a replayed
     * row (same id, same vector) IS a corpus duplicate. */
   def admit(spark: SparkSession, indexDir: String, batch: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      maxProbeCentroids: Int = MaxCollectedProbeCentroids): DataFrame =
-    admitWithAssignment(spark, indexDir, batch, idCol, vecCol,
-      maxProbeCentroids)._1
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    admitWithAssignment(spark, indexDir, batch, idCol, vecCol)._1
 
   /** [[admit]] that ALSO returns the batch's (already-materialized)
     * posting-row assignment — callers that append admitted rows to the
@@ -162,20 +149,29 @@ object VectorIndex {
   def admitWithAssignment(spark: SparkSession, indexDir: String,
       batch: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxProbeCentroids: Int = MaxCollectedProbeCentroids,
-      corpusAnchor: Option[DataFrame] = None): (DataFrame, DataFrame) = {
-    val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
+      corpusAnchor: Option[DataFrame] = None,
+      /** Snapshot-pinned postings table (the streaming sink passes the
+        * instance its publish will assert), so the probe, the replay
+        * hygiene read, and the staged append all see ONE snapshot.
+        * None = resolve live. */
+      pinnedPostings: Option[IcebergTable] = None,
+      /** Snapshot-pinned centroid table. The quantizer is immutable
+        * after [[build]], so live resolution is usually fine; a pin
+        * removes even that read's raciness. */
+      pinnedCentroids: Option[IcebergTable] = None): (DataFrame, DataFrame) = {
+    val centRows = pinnedCentroids
+      .getOrElse(IcebergTable(spark, s"$indexDir/centroids")).toDF(spark)
     // one map-side assignment pass, reused by both probes AND by the
     // caller-visible flags join (checkpointed: the pin also freezes the
     // admitted set so retried writers see identical flags)
     val asg = Similarity.ivfAssign(batch, centRows, idCol, vecCol)
       .localCheckpoint(true)
-    val cids = asg.select(col("c_id")).distinct()
-      .limit(capPlusOne(maxProbeCentroids)).collect().map(_.get(0))
-    val postingsTable = IcebergTable(spark, s"$indexDir/postings")
-    val postings =
-      if (cids.length > maxProbeCentroids) postingsTable.toDF(spark)
-      else postingsTable.toDF(spark, Seq(In("c_id", cids)))
+    val postingsTable = pinnedPostings
+      .getOrElse(IcebergTable(spark, s"$indexDir/postings"))
+    // runtime-filtered probe: the batch's distinct cells broadcast into
+    // the postings scan, file-pruned at execution (no driver collect)
+    val postings = graft.iceberg.connector.RuntimeProbe
+      .prunedByKeys(spark, postingsTable, "c_id", asg.select(col("c_id")))
     // corpus probe: cell-equijoin then exact vector verify. No forced
     // broadcast: the batch side carries full vectors, and the bulk
     // re-admission batches that trip the cap fallback are exactly the
@@ -195,19 +191,20 @@ object VectorIndex {
       case None => cand
       case Some(c) =>
         // anchor check is candidate-bounded, never O(corpus): the
-        // verified candidate ids (≤ |batch| × dup multiplicity) are
-        // collected and pushed into the corpus scan as an In filter —
-        // file-stat prunable, and the corpus is not touched at all when
-        // no candidate exists. Cap falls back to a full semi-join,
-        // correct just unpruned.
-        val ids = cand.select(col("n_id")).distinct()
-          .limit(capPlusOne(maxProbeCentroids)).collect().map(_.get(0))
-        val present =
-          if (ids.isEmpty) c.limit(0).select(col(idCol).as("n_id"))
-          else if (ids.length > maxProbeCentroids)
-            c.select(col(idCol).as("n_id"))
-          else c.filter(col(idCol).isInCollection(ids.toSeq))
-            .select(col(idCol).as("n_id"))
+        // verified candidate ids (≤ |batch| × dup multiplicity)
+        // broadcast-semi-join into the corpus read. When the anchor is
+        // a DSv2 read of the pinned corpus table (the streaming sink's
+        // shape), the probe rule file-prunes that scan by the candidate
+        // ids at runtime — manifest id-bounds, no driver collect.
+        val candIds = cand.select(col("n_id")).distinct()
+        val marker = new org.apache.spark.sql.types.MetadataBuilder()
+          .putBoolean(
+            graft.iceberg.connector.GraftRuntimeProbeRule.Marker, true)
+          .build()
+        val present = c.select(col(idCol).as("n_id")).join(
+          org.apache.spark.sql.functions.broadcast(
+            candIds.select(col("n_id").as("n_id", marker))),
+          Seq("n_id"), "left_semi")
         cand.join(present, Seq("n_id"), "left_semi")
     }).select(col("__bid").as(idCol)).distinct()
     // batch-internal: pairs within a cell, earlier id wins (exact
@@ -236,18 +233,14 @@ object VectorIndex {
     * pruning) and score/rank with the shared IVF kernel. */
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      maxProbeCentroids: Int = MaxCollectedProbeCentroids): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
     val probes = Similarity.ivfProbes(queries, centRows, nProbe, idCol, vecCol)
-      .localCheckpoint(true) // probed ids are reused: once collected for
-                             // pruning, once joined for scoring
-    val cids = probes.select(col("c_id")).distinct()
-      .limit(capPlusOne(maxProbeCentroids)).collect().map(_.get(0))
+      .localCheckpoint(true) // probed ids are reused: once for the
+                             // pruning broadcast, once joined for scoring
     val postingsTable = IcebergTable(spark, s"$indexDir/postings")
-    val postings =
-      if (cids.length > maxProbeCentroids) postingsTable.toDF(spark)
-      else postingsTable.toDF(spark, Seq(In("c_id", cids)))
+    val postings = graft.iceberg.connector.RuntimeProbe
+      .prunedByKeys(spark, postingsTable, "c_id", probes.select(col("c_id")))
     Similarity.ivfScore(probes, postings, k)
   }
 

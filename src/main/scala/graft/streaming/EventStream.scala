@@ -360,7 +360,11 @@ object EventStream {
     * foreachBatch would otherwise mark a swallowed batch done. */
   private def publishAdmitted(s: SparkSession, corpusDir: String,
       indexTableDir: String, batchId: Long, qid: String,
-      admitFn: (DataFrame, graft.iceberg.IcebergTable) =>
+      /** Probe + admission against the two PINNED table instances
+        * (corpus, index) — every read inside must go through them so the
+        * staged publish's assert-refs verify exactly the snapshots the
+        * probe saw. */
+      admitFn: (graft.iceberg.IcebergTable, graft.iceberg.IcebergTable) =>
         Option[(DataFrame, DataFrame)]): Unit = {
     val conf = s.sessionState.newHadoopConf()
     val maxAttempts = 3
@@ -375,11 +379,11 @@ object EventStream {
       if (lastCommittedBatchId(corpusMeta, qid).exists(_ >= batchId)) {
         done = true // replayed batch: already committed
       } else {
-        val corpus = graft.iceberg.IcebergTable
-          .fromMetadata(corpusDir, conf, corpusMeta).toDF(s)
+        val corpusTable = graft.iceberg.IcebergTable
+          .fromMetadata(corpusDir, conf, corpusMeta)
         val idxTable = graft.iceberg.IcebergTable
           .fromMetadata(indexTableDir, conf, indexPin.currentMetadata())
-        admitFn(corpus, idxTable) match {
+        admitFn(corpusTable, idxTable) match {
           case None => done = true // all rejected: nothing to publish
           case Some((kept, idxRows)) =>
             val summary =
@@ -505,21 +509,22 @@ object EventStream {
             catch { case _: graft.iceberg.CommitConflictException => () }
           }
           publishAdmitted(s, corpusDir, indexDir, batchId, qid,
-            (corpus, idxTable) => {
+            (corpusTable, idxTable) => {
               // ONE pinned table instance serves both the full-index DF
               // and the pruned probe: both reads resolve the SAME
               // snapshot, and the staged publish asserts it.
+              val corpus = graft.iceberg.connector.RuntimeProbe
+                .dsv2Read(s, corpusTable)
               val index = idxTable.toDF(s)
-              // Storage-pruned probe: the batch's band_hash keys push
-              // into the index scan as an In filter, so an index table
+              // Storage-pruned probe: the batch's band_hash keys feed a
+              // runtime filter on the index scan, so an index table
               // partitioned by bucket[N](band_hash) file-prunes the
-              // per-batch read (IO ∝ batch, not corpus). Unpartitioned
-              // indexes just skip pruning — the probe's semi-join keeps
-              // results identical either way.
-              val prunedIndex = (hashes: Seq[Long]) =>
-                idxTable.toDF(s,
-                  Seq(org.apache.spark.sql.sources.In("band_hash",
-                    hashes.map(h => Long.box(h): Any).toArray)))
+              // per-batch read (IO ∝ batch, not corpus) with no driver
+              // key collect. Unpartitioned indexes just skip pruning —
+              // the probe's semi-join keeps results identical either way.
+              val prunedIndex = (keys: DataFrame) =>
+                graft.iceberg.connector.RuntimeProbe
+                  .prunedByKeys(s, idxTable, "band_hash", keys)
               // the admitted set is pinned (checkpointed band index +
               // deterministic flags), so both appends see the IDENTICAL
               // result; the batch band index is reused for the index
@@ -545,13 +550,7 @@ object EventStream {
                 // batch's own buckets sees any orphan twin; drop ids
                 // already indexed (same-id rows can only be that orphan
                 // under the stream's id-uniqueness contract).
-                val keys = keptIdx.select(col("band_hash")).distinct()
-                  .limit(graft.operators.Dedup.MaxCollectedProbeKeys + 1)
-                  .collect().map(_.getLong(0))
-                val existing =
-                  if (keys.length > graft.operators.Dedup.MaxCollectedProbeKeys)
-                    idxTable.toDF(s)
-                  else prunedIndex(keys.toSeq)
+                val existing = prunedIndex(keptIdx.select(col("band_hash")))
                 Some((kept, keptIdx.join(
                   existing.select(col(idCol)), Seq(idCol), "left_anti")))
               }
@@ -564,7 +563,7 @@ object EventStream {
     * (id, vector) rows is admitted against the LIVE corpus through its
     * STORED IVF index ([[graft.operators.VectorIndex.admit]] — map-side
     * assignment vs the broadcast stored centroids, corpus read = the
-    * In-pruned posting partitions the batch touches), and the admitted
+    * runtime-filter-pruned posting partitions the batch touches), and the admitted
     * rows plus THEIR posting rows publish as ONE multi-table transaction
     * ([[graft.iceberg.Transactions.commitAll]]).
     *
@@ -607,14 +606,20 @@ object EventStream {
           val qid = Option(
             s.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
           publishAdmitted(s, corpusDir, s"$indexDir/postings", batchId, qid,
-            (corpus, postingsTable) => {
+            (corpusTable, postingsTable) => {
               // the admitted set is pinned (checkpointed assignment +
               // deterministic flags), so both appends see the IDENTICAL
               // result; the assignment is reused for the posting append
-              // instead of re-running it
+              // instead of re-running it. The PINNED postings table is
+              // threaded into the probe (and the anchor is a DSv2 read
+              // of the pinned corpus, so the candidate-id check is
+              // runtime-file-pruned): probe, anchor, replay hygiene and
+              // staged append all see the snapshots the publish asserts.
               val (adm, asg) = graft.operators.VectorIndex
                 .admitWithAssignment(s, indexDir, batch.toDF, idCol, vecCol,
-                  corpusAnchor = Some(corpus))
+                  corpusAnchor = Some(graft.iceberg.connector.RuntimeProbe
+                    .dsv2Read(s, corpusTable)),
+                  pinnedPostings = Some(postingsTable))
               val kept = adm.filter(col("keep"))
                 .drop("dup_of_corpus", "batch_dup", "keep")
                 .localCheckpoint(true)
@@ -632,12 +637,9 @@ object EventStream {
                 // drop ids that already have posting rows. Under the
                 // stream's id-uniqueness contract a same-id posting row
                 // can only be that orphan.
-                val touched = keptAsg.select(col("c_id")).distinct()
-                  .limit(100001).collect().map(_.get(0))
-                val existing =
-                  if (touched.length > 100000) postingsTable.toDF(s)
-                  else postingsTable.toDF(s,
-                    Seq(org.apache.spark.sql.sources.In("c_id", touched)))
+                val existing = graft.iceberg.connector.RuntimeProbe
+                  .prunedByKeys(s, postingsTable, "c_id",
+                    keptAsg.select(col("c_id")))
                 Some((kept, keptAsg.join(existing.select(col("n_id")),
                   Seq("n_id"), "left_anti")))
               }

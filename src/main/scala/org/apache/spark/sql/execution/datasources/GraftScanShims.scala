@@ -216,6 +216,20 @@ object GraftScanShims {
       allColumnar
   }
 
+  /** A DataFrame over a DSv2 [[org.apache.spark.sql.connector.catalog.Table]]
+    * WITHOUT a catalog registration — the relation Spark's runtime
+    * filtering machinery (dynamic partition pruning, AQE broadcast
+    * reuse) operates on. `Dataset.ofRows` is `private[sql]`, hence this
+    * shim's package. */
+  def dsv2DataFrame(
+      spark: SparkSession,
+      table: org.apache.spark.sql.connector.catalog.Table)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(table, None, None))
+
   /** Concatenate several Batches into one (a mixed parquet+ORC file set
     * behind a single DSv2 scan): partitions are tagged with their source
     * batch and routed back to that batch's reader factory on executors.

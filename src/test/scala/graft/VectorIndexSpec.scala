@@ -36,11 +36,52 @@ class VectorIndexSpec extends SparkSpec {
     assert(stored == live, "persisted index must reproduce the live path")
     assert(stored.nonEmpty)
 
-    // the uncapped fallback (probe wider than maxProbeCentroids -> full
-    // postings scan) is identical too
-    val fallback = rows(VectorIndex.topK(spark, dir, queries, k = 5,
-      nProbe = 2, maxProbeCentroids = 0))
-    assert(fallback == stored, "cap fallback changes IO, never results")
+    // with runtime pruning off (the probe's join still enforces the key
+    // filter) results are identical — pruning changes IO, never rows
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "false")
+    try {
+      val fallback = rows(VectorIndex.topK(spark, dir, queries, k = 5,
+        nProbe = 2))
+      assert(fallback == stored, "unpruned probe changes IO, never results")
+    } finally spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+  }
+
+  test("the steady probe is RUNTIME-FILTERED: a dynamic pruning subquery " +
+      "lands on the postings scan, files prune at execution, and no " +
+      "driver collect runs in the probe path") {
+    if (!new File(s"$dir/postings/metadata").exists())
+      VectorIndex.build(spark, emb, dir, nCentroids = 8, trainIters = 2)
+    val queries = emb.filter(col("vec_id") < 4)
+    val df = VectorIndex.topK(spark, dir, queries, k = 3, nProbe = 2)
+    df.collect() // materialize THIS execution (AQE finalizes in place)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q) ++ allNodes(q.plan) ++ q.subqueries.flatMap(allNodes)
+      case other => Seq(other) ++ other.children.flatMap(allNodes) ++
+        other.subqueries.flatMap(allNodes)
+    }
+    val scans = allNodes(df.queryExecution.executedPlan)
+      .collect {
+        // the postings read is the only DSv2 batch scan in a topK plan
+        // (queries and centroids arrive as parquet / local reads)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[graft.iceberg.connector.GraftBatchScan] => b
+      }
+    assert(scans.nonEmpty, "postings must plan as a native DSv2 batch scan")
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      "the probe must carry a dynamic-pruning runtime filter:\n" +
+        df.queryExecution.executedPlan)
+    val g = scans.find(_.runtimeFilters.nonEmpty).get.scan
+      .asInstanceOf[graft.iceberg.connector.GraftBatchScan]
+    val staticFiles = IcebergTable(spark, s"$dir/postings").planFiles().size
+    assert(g.currentFiles.size < staticFiles,
+      s"runtime filter must file-prune the postings scan: " +
+        s"${g.currentFiles.size} of $staticFiles files survived")
   }
 
   test("probing scans only the touched posting-list partitions") {
@@ -121,11 +162,15 @@ class VectorIndexSpec extends SparkSpec {
       .as[(Long, Boolean, Boolean)].collect().sorted.toSeq
     assert(adm2 == Seq((7L, true, false), (50L, false, true),
       (300005L, true, false)), s"batch2 flags: $adm2")
-    val adm2Fallback = VectorIndex.admit(spark, adir, batch2,
-        maxProbeCentroids = 0)
-      .select(col("vec_id"), col("dup_of_corpus"), col("keep"))
-      .as[(Long, Boolean, Boolean)].collect().sorted.toSeq
-    assert(adm2Fallback == adm2, "cap fallback changes IO, never flags")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "false")
+    try {
+      val adm2Fallback = VectorIndex.admit(spark, adir, batch2)
+        .select(col("vec_id"), col("dup_of_corpus"), col("keep"))
+        .as[(Long, Boolean, Boolean)].collect().sorted.toSeq
+      assert(adm2Fallback == adm2, "unpruned probe changes IO, never flags")
+    } finally spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled")
   }
 
   test("compact collapses per-append posting files; partition tuples, " +
