@@ -264,6 +264,18 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Caller-provided quantizer rows: convert raw (id, vector) rows into
+    * the centroid row shape every IVF path consumes — the pretrained /
+    * externally-chosen-quantizer workflow (train offline on a sample,
+    * build the serving index with a FIXED quantizer), and the shape an
+    * engine-portable oracle can reproduce (the centroid set is plain
+    * SQL over the source rows, no sampling hash involved). */
+  def centroidRows(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).cast("long").as("c_id"),
+        col(vecCol).cast("array<double>").as("c_vec"))
+      .select(col("c_id"), col("c_vec"), l2Norm(col("c_vec")).as("c_nrm"))
+
   /** Deterministic pseudo-random centroid sample: the `n` corpus vectors
     * with the smallest `xxhash64(id)`, as (c_id, c_vec: array<double>,
     * c_nrm) rows. Vectors are cast to double so sampled and k-means-

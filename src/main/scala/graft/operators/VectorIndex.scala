@@ -59,6 +59,26 @@ object VectorIndex {
     val centRows = Similarity
       .ivfCentroids(corpus, nCentroids, trainIters, idCol, vecCol)
       .localCheckpoint(true)
+    writeIndex(spark, corpus, indexDir, centRows, idCol, vecCol)
+  }
+
+  /** [[build]] with a CALLER-PROVIDED quantizer: `centroids` is raw
+    * (idCol, vecCol) rows — the pretrained-quantizer workflow (train
+    * offline on a sample, freeze, build serving indexes against it), and
+    * the shape whose probe routing an external engine can reproduce
+    * exactly (the centroid SET is plain SQL over the source rows — the
+    * q158 recall oracle leans on this). Same refusal and layout rules as
+    * [[build]]. */
+  def buildWithCentroids(spark: SparkSession, corpus: DataFrame,
+      indexDir: String, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeIndex(spark, corpus, indexDir,
+      Similarity.centroidRows(centroids, idCol, vecCol).localCheckpoint(true),
+      idCol, vecCol)
+
+  private def writeIndex(spark: SparkSession, corpus: DataFrame,
+      indexDir: String, centRows: DataFrame,
+      idCol: String, vecCol: String): Unit = {
     val postings = Similarity.ivfAssign(corpus, centRows, idCol, vecCol)
     IcebergWriter.seedTable(spark, s"$indexDir/centroids", centRows.schema)
     IcebergWriter.seedTable(spark, s"$indexDir/postings", postings.schema,

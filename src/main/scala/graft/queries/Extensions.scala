@@ -308,6 +308,39 @@ object Extensions {
         .orderBy(col("vec_id").asc_nulls_first)
     }),
 
+    // MEASURED recall@10 of the stored IVF index's REAL approximation:
+    // topK with nProbe = 2 of the quantizer's cells versus the exact
+    // float top-10 over the same corpus — the committed evidence a user
+    // tuning nProbe gets (q156 pins clone recall = 1.0 by construction;
+    // this pins what the approximation actually recalls). The quantizer
+    // is a FIXED, SQL-expressible centroid set (vec_id % 25 = 0 through
+    // buildWithCentroids), so the oracle reproduces the probe routing —
+    // assignment argmax, per-query probe list, in-cell scoring — in
+    // plain SQL, and DuckDB recomputes BOTH sides. BENCH_NOTES carries
+    // the nProbe sweep this single point anchors.
+    "q158_ivf_approx_recall" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val emb = t(s, d, "embeddings")
+      val dir = "/root/repo/target/q158-index"
+      val p = new Path(dir)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.operators.VectorIndex.buildWithCentroids(s, emb, dir,
+        emb.filter(col("vec_id") % 25 === 0))
+      val qs = emb.filter(col("vec_id") < 15)
+      val approx = graft.operators.VectorIndex
+        .topK(s, dir, qs, k = 10, nProbe = 2)
+        .select(col("q_id"), col("n_id"))
+      val exact = Similarity.bruteForceTopK(qs, emb, k = 10)
+        .select(col("q_id"), col("n_id"))
+      val overlap = exact.join(approx, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      exact.select(col("q_id")).distinct()
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("hits"))
+        .withColumn("recall", round(col("hits").cast("double") / 10.0, 4))
+        .orderBy(col("q_id").asc_nulls_first)
+    }),
+
     // IVF with k-means-TRAINED centroids (Lloyd's, 2 iterations): same
     // clone-recall contract — training moves centroids but assignment
     // stays deterministic on both sides, so exact duplicates still
@@ -1485,6 +1518,49 @@ object Extensions {
       """SELECT vec_id + 100000 AS q_id, vec_id AS n_id, CAST(1.0 AS DOUBLE) AS score
         |FROM embeddings WHERE vec_id < 50
         |ORDER BY q_id ASC NULLS FIRST""".stripMargin,
+    "q158_ivf_approx_recall" -> {
+      def dotD(a: String, b: String) =
+        s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+      def cosD(a: String, b: String) =
+        s"${dotD(a, b)} / (sqrt(${dotD(a, a)}) * sqrt(${dotD(b, b)}))"
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec
+         |               FROM embeddings WHERE vec_id % 25 = 0),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |      WHERE vec_id < 15),
+         |asgr AS (SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.c_id,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosD("e.embedding", "c.c_vec")} DESC,
+         |                      c.c_id ASC) AS rn
+         |         FROM embeddings e, cents c),
+         |asg AS (SELECT n_id, n_vec, c_id FROM asgr WHERE rn = 1),
+         |prr AS (SELECT q_id, q_vec, c.c_id,
+         |          ROW_NUMBER() OVER (PARTITION BY q_id
+         |            ORDER BY ${cosD("q_vec", "c.c_vec")} DESC,
+         |                     c.c_id ASC) AS rn
+         |        FROM q, cents c),
+         |pr AS (SELECT q_id, q_vec, c_id FROM prr WHERE rn <= 2),
+         |cand AS (SELECT p.q_id, a.n_id,
+         |           ROUND(${cosD("p.q_vec", "a.n_vec")}, 4) AS score
+         |         FROM pr p JOIN asg a ON a.c_id = p.c_id
+         |         WHERE a.n_id <> p.q_id),
+         |apx AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |            ORDER BY score DESC, n_id ASC) AS rank FROM cand)
+         |        WHERE rank <= 10),
+         |exs AS (SELECT q_id, c.vec_id AS n_id,
+         |          ROUND(${cosD("q_vec", "c.embedding")}, 4) AS score
+         |        FROM q, embeddings c WHERE c.vec_id <> q_id),
+         |exr AS (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |            ORDER BY score DESC, n_id ASC) AS rank FROM exs)
+         |        WHERE rank <= 10),
+         |h AS (SELECT q_id, COUNT(*) AS h FROM exr JOIN apx
+         |      USING (q_id, n_id) GROUP BY q_id)
+         |SELECT qs.q_id, CAST(COALESCE(h.h, 0) AS BIGINT) AS hits,
+         |       ROUND(CAST(COALESCE(h.h, 0) AS DOUBLE) / 10.0, 4) AS recall
+         |FROM (SELECT DISTINCT q_id FROM q) qs LEFT JOIN h USING (q_id)
+         |ORDER BY q_id ASC NULLS FIRST""".stripMargin
+    },
     "q157_ann_admission" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 200),
