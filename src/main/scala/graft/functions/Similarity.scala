@@ -47,6 +47,23 @@ object Similarity {
       graft.functions.catalyst.SignedProjection(
         GraftColumnShim.expression(vec), k))
 
+  /** Broadcast-hint `df` only when the optimizer's size estimate fits
+    * the session's `autoBroadcastJoinThreshold`; otherwise leave the
+    * join strategy to the planner. The ANN kernels' query side is small
+    * BY CONVENTION, not by contract — a forced broadcast of an
+    * unbounded query batch (bulk re-scoring, a whole-corpus self-join)
+    * was an executor-OOM path. An un-hinted small batch still
+    * broadcasts at runtime: AQE re-plans the join from actual sizes, so
+    * the steady interactive case keeps its broadcast either way. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = {
+    val threshold =
+      df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
+  }
+
   /** Shared tail of every ANN variant: per-query top-k by (score desc,
     * neighbour id asc) — one place for the tie-break contract. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
@@ -66,9 +83,11 @@ object Similarity {
 
   /** Brute-force exact top-k nearest neighbours by cosine similarity.
     *
-    * Plan shape: `queries` is broadcast (it is the small side by
-    * construction — a handful of probe vectors), so the corpus is scanned
-    * exactly once with no shuffle of the big side; the per-query top-k is a
+    * Plan shape: `queries` is broadcast when its size estimate allows
+    * (the usual case — a handful of probe vectors; an over-threshold
+    * batch falls to the planner's choice, where AQE still broadcasts
+    * small runtime sizes), so the corpus is scanned exactly once with no
+    * shuffle of the big side; the per-query top-k is a
     * window over the (small) joined result. Each side's L2 norm is
     * projected ONCE before the join — the per-pair work is a single dot
     * product, not three. At 100 TB corpus scale this is one pass + a
@@ -86,7 +105,7 @@ object Similarity {
       l2Norm(col(vecCol)).as("q_nrm"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       l2Norm(col(vecCol)).as("n_nrm"))
-    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+    val scored = broadcastIfSmall(q).join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosFromNorms(dot(col("q_vec"), col("n_vec")),
           col("q_nrm"), col("n_nrm")), scoreScale).as("score"))
@@ -165,7 +184,7 @@ object Similarity {
           .as(Seq("tbl", "bucket")))
     val q = withBuckets(queries, "q_id", "q_vec", "q_nrm")
     val c = withBuckets(corpus, "n_id", "n_vec", "n_nrm")
-    val scored = broadcast(q).join(c, Seq("tbl", "bucket"))
+    val scored = broadcastIfSmall(q).join(c, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
       // a pair can collide in several tables; score each candidate once
       .dropDuplicates("q_id", "n_id")
@@ -256,7 +275,7 @@ object Similarity {
     * in exactly one bucket, so a (q, n) pair meets through at most one
     * c_id — no dedup needed before ranking. */
   def ivfScore(probes: DataFrame, postings: DataFrame, k: Int): DataFrame = {
-    val scored = broadcast(probes).join(postings, Seq("c_id"))
+    val scored = broadcastIfSmall(probes).join(postings, Seq("c_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosFromNorms(dot(col("q_vec"), col("n_vec")),

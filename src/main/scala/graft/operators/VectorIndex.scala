@@ -227,15 +227,18 @@ object VectorIndex {
           Seq("n_id"), "left_semi")
         cand.join(present, Seq("n_id"), "left_semi")
     }).select(col("__bid").as(idCol)).distinct()
-    // batch-internal: pairs within a cell, earlier id wins (exact
-    // equality is transitive, so "has a smaller identical partner" ==
-    // "not the canonical minimum of its duplicate group")
-    val a = asg.select(col("c_id"), col("n_id"), col("n_vec"))
-    val b = asg.select(col("c_id").as("__pcid"), col("n_id").as("__pid"),
-      col("n_vec").as("__pvec"))
-    val batchDups = a.join(b,
-        col("c_id") === col("__pcid") && col("n_id") > col("__pid") &&
-          col("n_vec") <=> col("__pvec"))
+    // batch-internal: earlier id wins — exact equality is transitive, so
+    // "has a smaller identical partner" == "not the canonical minimum of
+    // its duplicate group". Computed as ONE hash aggregation grouped BY
+    // THE VECTOR, not a within-cell pair join: map-side partial combine
+    // collapses even an all-identical batch to one row per task (the
+    // pair join was quadratic in the hottest cell — a planted
+    // 10k-identical batch ran 10^8 comparisons in one task), and the
+    // join back on the group key is linear in the batch.
+    val keepers = asg.groupBy(col("n_vec").as("__gvec"))
+      .agg(org.apache.spark.sql.functions.min(col("n_id")).as("__gmin"))
+    val batchDups = asg.join(keepers,
+        col("n_vec") <=> col("__gvec") && col("n_id") > col("__gmin"))
       .select(col("n_id").as(idCol)).distinct()
     val flags = batch
       .join(corpusDups.withColumn("dup_of_corpus", lit(true)),

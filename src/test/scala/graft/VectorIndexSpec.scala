@@ -232,6 +232,67 @@ class VectorIndexSpec extends SparkSpec {
       "anchored admit still rejects real corpus duplicates")
   }
 
+  test("a planted ALL-IDENTICAL batch admits through a linear plan: " +
+      "grouped-min batch pairing, no quadratic pair join, exact flags") {
+    val hdir = s"$dir-hotcell"
+    FileUtils.deleteQuietly(new File(hdir))
+    VectorIndex.build(spark, emb.filter(col("vec_id") < 50), hdir,
+      nCentroids = 4)
+    // 2000 copies of ONE vector, all landing in one cell — the shape
+    // that made the within-cell pair join quadratic in a single task
+    val one = emb.filter(col("vec_id") === 7).select(col("embedding"))
+      .crossJoin(spark.range(500000L, 502000L).toDF("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true) // the fixture's own crossJoin must not
+                             // show up in the admit plan under test
+    val adm = VectorIndex.admit(spark, hdir, one)
+    val plan = adm.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch pairing must stay an equi plan:\n$plan")
+    val rows = adm.select(col("vec_id"), col("dup_of_corpus"),
+        col("batch_dup"), col("keep"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 2000)
+    // vec 7 IS in the corpus: every copy is a corpus dup; and all but
+    // the smallest id are batch dups of the canonical minimum
+    assert(rows.forall(_._2), "identical-to-corpus rows all flag")
+    assert(!rows.head._3 && rows.tail.forall(_._3),
+      "exactly the non-minimum ids are batch dups")
+    assert(rows.forall(!_._4), "nothing admits")
+  }
+
+  test("over-threshold query batches lose the FORCED broadcast: the " +
+      "scoring join shuffles (or distributes the cartesian) and results " +
+      "are unchanged") {
+    if (!new File(s"$dir/postings/metadata").exists())
+      VectorIndex.build(spark, emb, dir, nCentroids = 8, trainIters = 2)
+    val qs = emb.filter(col("vec_id") < 6)
+    val wantIvf = rows(VectorIndex.topK(spark, dir, qs, k = 5, nProbe = 2))
+    val wantBf = Similarity.bruteForceTopK(qs, emb, k = 5)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().sorted.toSeq
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ivfDf = VectorIndex.topK(spark, dir, qs, k = 5, nProbe = 2)
+      val gotIvf = rows(ivfDf)
+      assert(gotIvf == wantIvf, "join strategy must not change results")
+      val plan = ivfDf.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"),
+        s"with broadcasts off the scoring join must shuffle:\n$plan")
+      val bfDf = Similarity.bruteForceTopK(qs, emb, k = 5)
+      val gotBf = bfDf.select(col("q_id"), col("n_id"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(gotBf == wantBf)
+      // the non-equi all-pairs scoring distributes as a cartesian, the
+      // sound over-threshold plan (a FORCED broadcast of an unbounded
+      // batch was the OOM path)
+      assert(bfDf.queryExecution.executedPlan.toString
+        .contains("CartesianProduct"),
+        "brute force without broadcast distributes the cartesian")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("build refuses an indexDir that already holds an index") {
     val bdir = s"$dir-rebuild"
     FileUtils.deleteQuietly(new File(bdir))
