@@ -247,6 +247,38 @@ object ThetaSketch {
           Some(udf((v: java.math.BigDecimal) =>
             if (v == null) 0L
             else hashBytes(v.unscaledValue.toByteArray)).apply(col(c)))
+        case ArrayType(et, _) if arrayElementEncoder(et).isDefined =>
+          // Array values hash through a canonical byte form grounded in
+          // the Iceberg SINGLE-VALUE binary serialization of each
+          // element (the same encoding bounds and defaults use):
+          //   int32-LE(length) ++ per element:
+          //     0x00 (null) | 0x01 ++ int32-LE(|bytes|) ++ bytes
+          // Length prefixes keep the form INJECTIVE (["ab","c"] never
+          // collides with ["a","bc"]); the null marker separates [null]
+          // from []. An external engine agreeing on this composition
+          // (element encoding is spec-fixed; the frame is documented
+          // here) merges these sketches like any scalar column's.
+          // Element types with no spec encoding (nested arrays, maps,
+          // structs, timestamps-in-arrays) keep the stand-in path.
+          val enc = arrayElementEncoder(et).get
+          val f = new org.apache.spark.sql.api.java.UDF1[Seq[Any], java.lang.Long] {
+            override def call(a: Seq[Any]): java.lang.Long = {
+              if (a == null) return 0L
+              val out = new java.io.ByteArrayOutputStream()
+              def le32(n: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+              out.write(le32(a.length))
+              a.foreach { v =>
+                if (v == null) out.write(0)
+                else {
+                  val b = enc(v)
+                  out.write(1); out.write(le32(b.length)); out.write(b)
+                }
+              }
+              hashBytes(out.toByteArray)
+            }
+          }
+          Some(udf(f, LongType).apply(col(c)))
         case _ => None
       }
     hashCol.map { h =>
@@ -254,6 +286,40 @@ object ThetaSketch {
         .distinct().orderBy(col("__h")).limit(k + 1)
         .collect().map(_.getLong(0))
       fromSortedHashes(hashes, k)
+    }
+  }
+
+  /** Iceberg single-value BINARY encoder for an array ELEMENT's external
+    * (UDF-visible) value — None for element types the spec gives no
+    * binary single-value form (or whose external representation is
+    * session-dependent, like timestamps). Kept in lockstep with
+    * [[SingleValue.encode]]'s type coverage. */
+  private def arrayElementEncoder(et: org.apache.spark.sql.types.DataType)
+      : Option[Any => Array[Byte]] = {
+    import org.apache.spark.sql.types._
+    def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(b); b.array()
+    }
+    et match {
+      case ByteType | ShortType | IntegerType =>
+        Some(v => le(4)(_.putInt(v.asInstanceOf[Number].intValue)))
+      case LongType =>
+        Some(v => le(8)(_.putLong(v.asInstanceOf[Number].longValue)))
+      case FloatType =>
+        Some(v => le(4)(_.putFloat(v.asInstanceOf[Number].floatValue)))
+      case DoubleType =>
+        Some(v => le(8)(_.putDouble(v.asInstanceOf[Number].doubleValue)))
+      case StringType =>
+        Some(v => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case BinaryType => Some(v => v.asInstanceOf[Array[Byte]])
+      case BooleanType =>
+        Some(v => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+      case _: DecimalType =>
+        Some(v => v.asInstanceOf[java.math.BigDecimal]
+          .unscaledValue.toByteArray)
+      case _ => None
     }
   }
 

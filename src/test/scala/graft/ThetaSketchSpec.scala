@@ -155,9 +155,61 @@ class ThetaSketchSpec extends SparkSpec {
     assert(ks.entries.toSeq == local)
     val ss = ThetaSketch.columnSketch(df, "s").get
     assert(ss.estimate == 150.0)
-    val arr = Seq((1L, Array(1, 2))).toDF("k", "a")
+    // arrays of spec-encodable elements build REAL sketches (round 14);
+    // nested arrays still have no element encoding -> stand-in fallback
+    val arr = Seq((1L, Array(Array(1, 2)))).toDF("k", "a")
     assert(ThetaSketch.columnSketch(arr, "a").isEmpty,
-      "array columns have no DataSketches encoding -> stand-in fallback")
+      "nested-array columns have no element encoding -> stand-in fallback")
+  }
+
+  test("columnSketch arrays: REAL mergeable payloads over the Iceberg " +
+      "single-value element encoding (injective frame), maps/nested " +
+      "still decline") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // 60 distinct int-array values; the frame must be injective enough
+    // that ["ab","c"] never collides with ["a","bc"]
+    val ints = spark.range(0, 600)
+      .select(expr("array(CAST(id % 60 AS INT), CAST(id % 6 AS INT))").as("a"))
+    val is = ThetaSketch.columnSketch(ints, "a").get
+    assert(is.thetaLong == Long.MaxValue && is.estimate == 60.0,
+      s"60 distinct int arrays, got ${is.estimate}")
+    // encoding agreement: locally recompute the canonical frame
+    def le32(n: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def frame(elems: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(le32(elems.length))
+      elems.foreach { b => out.write(1); out.write(le32(b.length)); out.write(b) }
+      out.toByteArray
+    }
+    val localI = (0L until 60L).map { i =>
+      ThetaSketch.hashBytes(frame(Seq(le32((i % 60).toInt), le32((i % 6).toInt))))
+    }.sorted
+    assert(is.entries.toSeq == localI,
+      "int-array hashes must be the framed single-value encoding")
+    // string arrays: length prefixes keep the form injective
+    val strs = Seq(Seq("ab", "c"), Seq("a", "bc"), Seq("abc"), Seq("abc", null),
+      Seq.empty[String]).toDF("a")
+    val ss = ThetaSketch.columnSketch(strs, "a").get
+    assert(ss.estimate == 5.0,
+      s"5 structurally distinct string arrays, got ${ss.estimate}")
+    // merge rule holds across two array sketches like any scalar column
+    val other = spark.range(0, 600)
+      .select(expr("array(CAST(id % 90 AS INT), CAST(id % 6 AS INT))").as("a"))
+    val os = ThetaSketch.columnSketch(other, "a").get
+    val minTheta = math.min(is.thetaLong, os.thetaLong)
+    val merged = (is.entries ++ os.entries).distinct
+      .filter(_ < minTheta).sorted
+    val m = ThetaSketch.Compact(merged, minTheta, is.seedHash)
+    val trueUnion = ((0L until 600L).map(i => ((i % 60).toInt, (i % 6).toInt)) ++
+      (0L until 600L).map(i => ((i % 90).toInt, (i % 6).toInt))).distinct.size
+    assert(math.round(m.estimate) == trueUnion,
+      s"merged estimate ${m.estimate} vs true union $trueUnion")
+    // maps still decline
+    val maps = spark.range(0, 10).select(expr("map(id, id)").as("m"))
+    assert(ThetaSketch.columnSketch(maps, "m").isEmpty,
+      "map columns decline (no canonical single-value order)")
   }
 
   test("columnSketch boolean/decimal: Iceberg single-value binary " +
@@ -256,12 +308,13 @@ class ThetaSketchSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.thpcat", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.thpcat.warehouse", warehouse)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS thpcat.ns")
-    // k sketches for real; the array column has no update()-compatible
-    // encoding and must fall back to the MARKED stand-in
+    // k sketches for real; the NESTED-array column has no element
+    // encoding and must fall back to the MARKED stand-in (flat arrays
+    // build real sketches since round 14)
     spark.sql(
       """CREATE TABLE thpcat.ns.t AS
-        |SELECT id % 23 AS k, array(id % 7, id % 3) AS a FROM range(400)"""
-        .stripMargin)
+        |SELECT id % 23 AS k, array(array(id % 7), array(id % 3)) AS a
+        |FROM range(400)""".stripMargin)
     val dir = s"$warehouse/ns/t"
     IcebergWriter.analyzeTable(spark, dir, Seq("k", "a"))
     val t = new IcebergTable(dir, conf)
