@@ -176,7 +176,8 @@ object IcebergWriter {
               nc += id -> stats.map(_.getNumNulls).sum
             val boundsOk = f.dataType match {
               case FloatType | DoubleType => false // NaN-unsound in footers
-              case IntegerType | DateType | LongType | StringType | BooleanType => true
+              case IntegerType | DateType | LongType | StringType |
+                   BooleanType | BinaryType => true
               case TimestampType | TimestampNTZType =>
                 // micros-int64 only: INT96 / millis footers don't decode
                 // to the micros shape the pruner compares
@@ -190,6 +191,8 @@ object IcebergWriter {
               case _ => false
             }
             def jvmOf(v: AnyRef): Any = v match {
+              case b: org.apache.parquet.io.api.Binary if f.dataType == BinaryType =>
+                b.getBytes
               case b: org.apache.parquet.io.api.Binary =>
                 new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8)
               case other => other
@@ -203,11 +206,32 @@ object IcebergWriter {
               def pick(vals: Seq[Any], keepLeft: Int => Boolean): Option[Any] =
                 vals.reduceOption((a, b) =>
                   if (Pruning.compare(a, b).exists(keepLeft)) a else b)
+              // Binary bounds follow the Iceberg truncation rule so a
+              // megabyte payload column costs ≤ 16 bytes per bound in
+              // every manifest entry: lower = 16-byte prefix (≤ the true
+              // min in unsigned lex order); upper = 16-byte prefix with
+              // its last non-0xFF byte incremented and the tail dropped
+              // (> every value sharing the prefix) — an all-0xFF prefix
+              // has no sound truncated upper, so none is recorded.
+              def truncLo(v: Any): Any = v match {
+                case b: Array[Byte] if b.length > 16 => b.take(16)
+                case o => o
+              }
+              def truncHi(v: Any): Option[Any] = v match {
+                case b: Array[Byte] if b.length > 16 =>
+                  val p = b.take(16)
+                  val i = p.lastIndexWhere(_ != -1)
+                  if (i < 0) None
+                  else Some(p.take(i) :+ ((p(i) & 0xff) + 1).toByte)
+                case o => Some(o)
+              }
               for {
-                mn <- pick(mins, _ <= 0); bs <- SingleValue.encode(mn, f.dataType)
+                mn <- pick(mins, _ <= 0)
+                bs <- SingleValue.encode(truncLo(mn), f.dataType)
               } lo += id -> bs
               for {
-                mx <- pick(maxs, _ >= 0); bs <- SingleValue.encode(mx, f.dataType)
+                mx <- pick(maxs, _ >= 0); tr <- truncHi(mx)
+                bs <- SingleValue.encode(tr, f.dataType)
               } hi += id -> bs
             }
           case _ => ()

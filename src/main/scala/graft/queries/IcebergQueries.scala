@@ -1086,6 +1086,46 @@ object IcebergQueries {
         .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
     }),
 
+    // Multimodal columns as Iceberg table CITIZENS: binary media payloads
+    // + typed metadata CTAS'd into a catalog table (binary bounds land in
+    // the manifests — the pruning surface the reference carries for
+    // BinaryType), a merge-on-read equality DELETE over the payload rows
+    // (delete files, no rewrite of megabyte payloads), and feature
+    // extraction running OFF THE ICEBERG SCAN (delete-applied) through
+    // the deterministic stub kernel — whose rolling-hash features the
+    // oracle reproduces bit-exactly in plain SQL (HUGEINT mod-2^64
+    // arithmetic). The real-codec twin stays q145 (rows-only: DuckDB
+    // cannot run ImageIO).
+    "q159_multimodal_iceberg" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      implicit val spark: SparkSession = s
+      val warehouse = "/root/repo/target/q159-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "documents").createOrReplaceTempView("docs_src_q159")
+      s.conf.set("spark.sql.catalog.q159cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q159cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q159cat.ns")
+      s.sql(
+        """CREATE TABLE q159cat.ns.media AS
+          |SELECT CAST(doc_id AS BIGINT) AS media_id,
+          |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          |       encode(text, 'UTF-8') AS payload,
+          |       CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+          |       CAST(16000 AS INT) AS sample_rate,
+          |       CAST(doc_id % 32 + 1 AS INT) AS n_frames
+          |FROM docs_src_q159""".stripMargin)
+      s.sql("DELETE FROM q159cat.ns.media WHERE kind = 'video'")
+      val feats = graft.operators.Multimodal
+        .extractFeatures(s.table("q159cat.ns.media")).toDF()
+      feats.select(Seq(col("media_id"), col("kind"), col("payload_len")) ++
+          (0 until graft.operators.Multimodal.FakeDecoder.featureDim).map(i =>
+            col("features")(i).cast("double").as(s"f$i")): _*)
+        .orderBy(col("media_id").asc_nulls_first)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1534,6 +1574,58 @@ object IcebergQueries {
         |FROM embeddings
         |WHERE vec_id % 5 <> 0
         |GROUP BY label ORDER BY label""".stripMargin,
+    // The stub kernel's rolling hash (h = h*31 + byte over the UTF-8
+    // payload, then per-feature golden-ratio mix) reproduced in exact
+    // HUGEINT mod-2^64 arithmetic; the REAL cast at the end mirrors the
+    // kernel's Float truncation bit-for-bit.
+    "q159_multimodal_iceberg" ->
+      """WITH media AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         text
+        |  FROM documents),
+        |live AS (SELECT * FROM media WHERE kind <> 'video'),
+        |hh AS (SELECT media_id, kind,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+        |         list_reduce(
+        |           list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |             COALESCE(list_transform(range(1, length(text) + 1),
+        |               i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT)),
+        |               [])),
+        |           (acc, b) -> (acc * 31 + b)
+        |             % 18446744073709551616::HUGEINT) AS hv
+        |       FROM live),
+        |f AS (SELECT media_id, kind, payload_len, i, hv,
+        |        (11400714819323198485::HUGEINT * i)
+        |          % 18446744073709551616::HUGEINT AS m
+        |      FROM hh, unnest(range(1, 9)) AS t(i)),
+        |x AS (SELECT media_id, kind, payload_len, i,
+        |        xor(CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+        |                 THEN hv - 18446744073709551616::HUGEINT
+        |                 ELSE hv END AS BIGINT),
+        |            CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+        |                 THEN m - 18446744073709551616::HUGEINT
+        |                 ELSE m END AS BIGINT)) AS xs
+        |      FROM f),
+        |u AS (SELECT media_id, kind, payload_len, i,
+        |        CAST(CAST(CAST(
+        |          (CASE WHEN xs < 0
+        |           THEN CAST(xs AS HUGEINT) + 18446744073709551616::HUGEINT
+        |           ELSE CAST(xs AS HUGEINT) END) // 2048 AS DOUBLE)
+        |          / 9007199254740992.0 AS REAL) AS DOUBLE) AS feat
+        |      FROM x)
+        |SELECT media_id, kind, payload_len,
+        |       MAX(CASE WHEN i = 1 THEN feat END) AS f0,
+        |       MAX(CASE WHEN i = 2 THEN feat END) AS f1,
+        |       MAX(CASE WHEN i = 3 THEN feat END) AS f2,
+        |       MAX(CASE WHEN i = 4 THEN feat END) AS f3,
+        |       MAX(CASE WHEN i = 5 THEN feat END) AS f4,
+        |       MAX(CASE WHEN i = 6 THEN feat END) AS f5,
+        |       MAX(CASE WHEN i = 7 THEN feat END) AS f6,
+        |       MAX(CASE WHEN i = 8 THEN feat END) AS f7
+        |FROM u GROUP BY media_id, kind, payload_len
+        |ORDER BY media_id ASC NULLS FIRST""".stripMargin,
     "q155_ann_iceberg" -> {
       def dotD(a: String, b: String) =
         s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"

@@ -140,4 +140,53 @@ class ImageCodecSpec extends SparkSpec {
     assert(rows.forall(r => r.getFloat(1) == 8.0f && r.getFloat(2) == 8.0f),
       "every decoded output must be truly 8x8")
   }
+
+  test("binary payload columns are Iceberg pruning citizens: manifest " +
+      "bounds recorded, Iceberg-truncated to <= 17 bytes, and planFiles " +
+      "prunes on them soundly") {
+    import org.apache.hadoop.fs.Path
+    import graft.iceberg.{IcebergTable, IcebergWriter}
+    val dir = "/root/repo/target/test-binary-bounds"
+    val conf = spark.sessionState.newHadoopConf()
+    new Path(dir).getFileSystem(conf).delete(new Path(dir), true)
+    import spark.implicits._
+    // two appends with disjoint payload prefixes, payloads > 16 bytes so
+    // the truncation rule is exercised
+    def payload(prefix: String, i: Int): Array[Byte] =
+      (prefix * 8 + s"-$i").getBytes("UTF-8")
+    val a = (0 until 20).map(i => (i.toLong, payload("aa", i))).toDF("id", "payload")
+    val b = (0 until 20).map(i => (100L + i, payload("zz", i))).toDF("id", "payload")
+    IcebergWriter.seedTable(spark, dir, a.schema)
+    IcebergWriter.append(spark, dir, a)
+    IcebergWriter.append(spark, dir, b)
+    val t = new IcebergTable(dir, conf)
+    val files = t.planFiles()
+    assert(files.size >= 2)
+    val pid = t.metadata.fieldIds("payload")
+    files.foreach { f =>
+      val lo = f.lowerBounds.get(pid)
+      val hi = f.upperBounds.get(pid)
+      assert(lo.isDefined && hi.isDefined,
+        s"binary payload bounds must be recorded: ${f.filePath}")
+      assert(lo.get.length <= 17 && hi.get.length <= 17,
+        s"bounds must be Iceberg-truncated: lo=${lo.get.length} " +
+          s"hi=${hi.get.length} bytes")
+    }
+    // pruning bites: an equality probe for a zz-payload drops the aa file
+    val probe = payload("zz", 3)
+    val kept = t.planFiles(Seq(
+      org.apache.spark.sql.sources.EqualTo("payload", probe)))
+    assert(kept.size < files.size && kept.nonEmpty,
+      s"binary bounds must prune: kept ${kept.size} of ${files.size}")
+    // soundness: the pruned file set still contains the probed row
+    // (toDF's filter arg prunes FILES; row filtering is the caller's)
+    val got = t.toDF(spark, Seq(
+        org.apache.spark.sql.sources.EqualTo("payload", probe)))
+      .filter(col("payload") === lit(probe)).count()
+    assert(got == 1L, s"exactly one zz-3 row, got $got")
+    // an out-of-range probe (prefix between the two) prunes everything
+    val none = t.planFiles(Seq(
+      org.apache.spark.sql.sources.EqualTo("payload", payload("mm", 0))))
+    assert(none.isEmpty, s"mid-range probe should prune all: ${none.size}")
+  }
 }
