@@ -64,7 +64,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-          "/root/repo/BENCH_FULL.json")), line + "\n")
+          "BENCH_FULL.json")), line + "\n") // cwd-relative: any checkout
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist BENCH_FULL.json: $e") }
     spark.stop()

@@ -160,12 +160,14 @@ class NestedTypesSpec extends SparkSpec {
       s"nested data must survive INSERT+DELETE+ALTER: $got")
   }
 
-  test("analyze_table over an array column commits a MARKED stand-in " +
+  test("analyze_table over a NESTED-array column commits a MARKED stand-in " +
       "theta blob; maps are refused as un-analyzable") {
     freshCatalog("ntcat5")
+    // the stand-in column is a NESTED array since round 14 (flat arrays
+    // of spec-encodable elements now build REAL mergeable sketches)
     spark.sql(
       """CREATE TABLE ntcat5.ns.an AS
-        |SELECT id % 11 AS k, array(id % 5) AS a,
+        |SELECT id % 11 AS k, array(array(id % 5)) AS a,
         |       map('x', CAST(id AS INT)) AS m
         |FROM range(200)""".stripMargin)
     val conf = spark.sessionState.newHadoopConf()
@@ -190,7 +192,7 @@ class NestedTypesSpec extends SparkSpec {
     assert(kBlob.get("properties").get("graft.theta.stand-in") == null,
       "scalar column gets a real sketch")
     assert(aBlob.get("properties").get("graft.theta.stand-in").asText == "true",
-      "array column gets the marked stand-in")
+      "nested-array column gets the marked stand-in")
     assert(aBlob.get("properties").get("ndv").asText.toLong == 5L,
       s"array NDV is exact at this size: ${aBlob.get("properties")}")
   }
