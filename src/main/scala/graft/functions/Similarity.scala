@@ -58,8 +58,12 @@ object Similarity {
   private def broadcastIfSmall(df: DataFrame): DataFrame = {
     val threshold =
       df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // analyzed-plan stats: already materialized on the Dataset (no
+    // second optimizer pass per kernel call) and CONSERVATIVE (no
+    // filter/pruning estimation) — exactly right for a gate that must
+    // only force a broadcast when provably small
     if (threshold > 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+        df.queryExecution.analyzed.stats.sizeInBytes <= threshold)
       broadcast(df)
     else df
   }

@@ -272,10 +272,19 @@ final class IcebergTable private (
   /** File-level pruning over already-planned entries — the runtime
     * (dynamic) filtering hook: join-key values arriving at execution time
     * shrink a static plan's file set without re-reading manifests. Sound
-    * for the same reason static pruning is (decode-doubt keeps). */
+    * for the same reason static pruning is (decode-doubt keeps). Applies
+    * the SAME transform rewrite as [[planFiles]]' file step so runtime
+    * keys prune bucket/truncate/temporal-partitioned files too (a
+    * bucket[N](band_hash) index's column bounds span the full hash range
+    * — only the transformed-space filter bites there). */
   def pruneFiles(entries: Seq[DataFileEntry], filters: Seq[Filter]): Seq[DataFileEntry] =
     if (filters.isEmpty) entries
-    else entries.filter(f => Pruning.mayMatchAll(filters, fileStats(f)))
+    else {
+      val partFilters = filters.flatMap(
+        PartitionTransforms.rewrite(_, c => fieldsBySource.getOrElse(c, Nil)))
+      entries.filter(f =>
+        Pruning.mayMatchAll(filters ++ partFilters, fileVirtualStats(f)))
+    }
 
   /** Identity-partition source columns NOT materialized in the data files
     * (must be re-injected from metadata); decided by one footer read PER

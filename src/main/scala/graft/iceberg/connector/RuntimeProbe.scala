@@ -52,24 +52,32 @@ object RuntimeProbe {
       .dsv2DataFrame(spark,
         new SparkIcebergTable(table.tableDir, table, writable = false))
 
+  /** The distinct non-null `keyCol` values of `keys`, cast to `castTo`
+    * and MARKER-stamped for [[GraftRuntimeProbeRule]] — the one place the
+    * marker contract (metadata key, cast rule, null/duplicate handling)
+    * lives. The cast matters: the equi-join key must resolve to a bare
+    * scan-side attribute for the runtime filter to translate to a source
+    * In filter (a Cast on the scan side would block it). */
+  def markedKeys(spark: SparkSession, keys: DataFrame, keyCol: String,
+      castTo: org.apache.spark.sql.types.DataType): DataFrame = {
+    ensureRule(spark)
+    val marker = new MetadataBuilder()
+      .putBoolean(GraftRuntimeProbeRule.Marker, true).build()
+    keys.select(col(keyCol).cast(castTo).as(keyCol, marker))
+      .filter(col(keyCol).isNotNull)
+      .distinct()
+  }
+
   /** The rows of `table` whose `keyCol` value appears in `keys` — an
     * index/posting-list probe whose per-batch IO is the touched
     * partitions, not the table. `keys` may carry duplicates, nulls
     * (never match) and extra columns; only its `keyCol` values matter. */
   def prunedByKeys(spark: SparkSession, table: IcebergTable,
       keyCol: String, keys: DataFrame): DataFrame = {
-    ensureRule(spark)
     val idx = dsv2Read(spark, table)
-    val dt = idx.schema(keyCol).dataType
-    val marker = new MetadataBuilder()
-      .putBoolean(GraftRuntimeProbeRule.Marker, true).build()
-    // cast to the index column's exact type: the equi-join key must be a
-    // bare scan-side attribute for the runtime filter to translate to a
-    // source In filter (a Cast on the scan side would block it)
-    val k = keys.select(col(keyCol).cast(dt).as(keyCol, marker))
-      .filter(col(keyCol).isNotNull)
-      .distinct()
-    idx.join(broadcast(k), Seq(keyCol))
+    idx.join(
+      broadcast(markedKeys(spark, keys, keyCol, idx.schema(keyCol).dataType)),
+      Seq(keyCol))
   }
 
   /** Idempotently register [[GraftRuntimeProbeRule]] on the session —

@@ -193,11 +193,10 @@ object VectorIndex {
     val postings = graft.iceberg.connector.RuntimeProbe
       .prunedByKeys(spark, postingsTable, "c_id", asg.select(col("c_id")))
     // corpus probe: cell-equijoin then exact vector verify. No forced
-    // broadcast: the batch side carries full vectors, and the bulk
-    // re-admission batches that trip the cap fallback are exactly the
-    // ones that would blow the broadcast limit — let the planner pick
-    // (small batches broadcast on size anyway; huge ones legitimately
-    // shuffle against the pruned or full posting scan).
+    // broadcast: the batch side carries full vectors and is unbounded —
+    // let the planner pick (small batches broadcast on size anyway;
+    // huge bulk re-admissions legitimately shuffle against the pruned
+    // posting scan).
     // candidate (batch id, posting id) pairs from the pruned posting
     // read: cell-equijoin then exact vector verify
     val cand = asg
@@ -215,17 +214,20 @@ object VectorIndex {
         // broadcast-semi-join into the corpus read. When the anchor is
         // a DSv2 read of the pinned corpus table (the streaming sink's
         // shape), the probe rule file-prunes that scan by the candidate
-        // ids at runtime — manifest id-bounds, no driver collect.
-        val candIds = cand.select(col("n_id")).distinct()
-        val marker = new org.apache.spark.sql.types.MetadataBuilder()
-          .putBoolean(
-            graft.iceberg.connector.GraftRuntimeProbeRule.Marker, true)
-          .build()
-        val present = c.select(col(idCol).as("n_id")).join(
-          org.apache.spark.sql.functions.broadcast(
-            candIds.select(col("n_id").as("n_id", marker))),
-          Seq("n_id"), "left_semi")
-        cand.join(present, Seq("n_id"), "left_semi")
+        // ids at runtime — manifest id-bounds, no driver collect. A
+        // candidate-free batch (the common ingest case) never touches
+        // the anchor at all — cand is checkpointed, so the emptiness
+        // check is a metadata peek, not a job.
+        if (cand.isEmpty) cand.select(col("__bid"))
+        else {
+          val anchorIds = c.select(col(idCol).as("n_id"))
+          val present = anchorIds.join(
+            org.apache.spark.sql.functions.broadcast(
+              graft.iceberg.connector.RuntimeProbe.markedKeys(
+                spark, cand, "n_id", anchorIds.schema("n_id").dataType)),
+            Seq("n_id"), "left_semi")
+          cand.join(present, Seq("n_id"), "left_semi")
+        }
     }).select(col("__bid").as(idCol)).distinct()
     // batch-internal: earlier id wins — exact equality is transitive, so
     // "has a smaller identical partner" == "not the canonical minimum of
@@ -234,10 +236,14 @@ object VectorIndex {
     // collapses even an all-identical batch to one row per task (the
     // pair join was quadratic in the hottest cell — a planted
     // 10k-identical batch ran 10^8 comparisons in one task), and the
-    // join back on the group key is linear in the batch.
-    val keepers = asg.groupBy(col("n_vec").as("__gvec"))
+    // join back on the group key is linear in the batch. Null vectors
+    // are excluded on BOTH sides (matching the old pair join, whose
+    // null c_id equi key never matched): a null embedding is degenerate
+    // input, not a duplicate of another null.
+    val nn = asg.filter(col("n_vec").isNotNull)
+    val keepers = nn.groupBy(col("n_vec").as("__gvec"))
       .agg(org.apache.spark.sql.functions.min(col("n_id")).as("__gmin"))
-    val batchDups = asg.join(keepers,
+    val batchDups = nn.join(keepers,
         col("n_vec") <=> col("__gvec") && col("n_id") > col("__gmin"))
       .select(col("n_id").as(idCol)).distinct()
     val flags = batch

@@ -1588,11 +1588,22 @@ object IcebergQueries {
         |live AS (SELECT * FROM media WHERE kind <> 'video'),
         |hh AS (SELECT media_id, kind,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+        |         -- the kernel hashes UTF-8 BYTES: expand each codepoint
+        |         -- to its UTF-8 encoding so parity holds beyond ASCII
         |         list_reduce(
         |           list_prepend(CAST(1125899906842597 AS HUGEINT),
-        |             COALESCE(list_transform(range(1, length(text) + 1),
-        |               i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS HUGEINT)),
-        |               [])),
+        |             COALESCE(flatten(list_transform(
+        |               list_transform(range(1, length(text) + 1),
+        |                 i -> CAST(ord(substr(text, CAST(i AS INT), 1))
+        |                      AS HUGEINT)),
+        |               cp -> CASE
+        |                 WHEN cp < 128 THEN [cp]
+        |                 WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+        |                 WHEN cp < 65536 THEN [224 + cp // 4096,
+        |                   128 + (cp // 64) % 64, 128 + cp % 64]
+        |                 ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+        |                   128 + (cp // 64) % 64, 128 + cp % 64]
+        |               END)), [])),
         |           (acc, b) -> (acc * 31 + b)
         |             % 18446744073709551616::HUGEINT) AS hv
         |       FROM live),

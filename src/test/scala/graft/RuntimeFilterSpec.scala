@@ -105,4 +105,53 @@ class RuntimeFilterSpec extends SparkSpec {
       s"runtime filter should keep vendor 1's 2 files, " +
         s"kept ${iceberg.get.currentFiles.size}")
   }
+
+  test("RuntimeProbe over a bucket[N]-partitioned index: the dynamic " +
+      "pruning filter lands and bucket-transform file pruning bites at " +
+      "execution (the LSH admission probe's shape)") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.IcebergWriter
+    import graft.operators.Dedup
+    val iDir = "/root/repo/target/test-rtprobe-bucket-index"
+    FileUtils.deleteQuietly(new File(iDir))
+    import spark.implicits._
+    val docs = (0L until 60L).map(i =>
+      (i, s"runtime probe corpus document $i with its own body"))
+      .toDF("doc_id", "text")
+    val idx0 = Dedup.minhashBandIndex(docs, "doc_id", "text",
+      numHashes = 32, bands = 16)
+    IcebergWriter.seedTable(spark, iDir, idx0.schema,
+      Seq("band_hash" -> "bucket[8]"))
+    IcebergWriter.append(spark, iDir, idx0)
+    val t = IcebergTable(spark, iDir)
+    val total = t.planFiles().size
+    assert(total >= 4, s"bucketed index should span several files: $total")
+    val keys = t.toDF(spark).select(col("band_hash")).limit(2)
+      .localCheckpoint(true)
+    val probed = graft.iceberg.connector.RuntimeProbe
+      .prunedByKeys(spark, t, "band_hash", keys)
+    assert(probed.count() > 0)
+    probed.collect() // materialize THIS execution for the plan walk
+    val scans = allNodes(probed.queryExecution.executedPlan).collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftBatchScan] => b
+    }
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      "the probe join must carry a dynamic-pruning runtime filter:\n" +
+        probed.queryExecution.executedPlan)
+    val g = scans.find(_.runtimeFilters.nonEmpty).get.scan
+      .asInstanceOf[GraftBatchScan]
+    assert(g.currentFiles.size < total,
+      s"bucket-transform runtime pruning must bite: " +
+        s"${g.currentFiles.size} of $total files survived")
+  }
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(q) ++ allNodes(q.plan) ++ q.subqueries.flatMap(allNodes)
+    case other =>
+      Seq(other) ++ other.children.flatMap(allNodes) ++
+        other.subqueries.flatMap(allNodes)
+  }
 }

@@ -262,6 +262,29 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows.forall(!_._4), "nothing admits")
   }
 
+  test("null-embedding batch rows are degenerate input, not duplicates: " +
+      "they admit (keep) and never flag each other as batch dups") {
+    val ndir = s"$dir-nulls"
+    FileUtils.deleteQuietly(new File(ndir))
+    VectorIndex.build(spark, emb.filter(col("vec_id") < 30), ndir,
+      nCentroids = 4)
+    val batch = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      .unionByName(spark.range(900100L, 900102L).toDF("vec_id")
+        .select(col("vec_id"),
+          lit(null).cast("array<float>").as("embedding")))
+    val rows = VectorIndex.admit(spark, ndir, batch)
+      .select(col("vec_id"), col("dup_of_corpus"), col("batch_dup"),
+        col("keep"))
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows.head == ((900003L, true, false, false)),
+      s"the real twin flags as corpus dup: ${rows.head}")
+    assert(rows.tail.forall(r => !r._2 && !r._3 && r._4),
+      s"null-embedding rows keep (matching the pre-r14 pair-join " +
+        s"semantics): ${rows.tail.toSeq}")
+  }
+
   test("over-threshold query batches lose the FORCED broadcast: the " +
       "scoring join shuffles (or distributes the cartesian) and results " +
       "are unchanged") {
