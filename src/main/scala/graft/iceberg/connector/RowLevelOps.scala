@@ -629,6 +629,24 @@ final class GraftDeltaOperation(
 
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
+  /** v3 row lineage through merge-on-read updates: `_row_id` rides the
+    * delta METADATA projection — an update's REINSERT half receives it
+    * (the column opts into `PRESERVE_ON_REINSERT`) and the writer
+    * materializes it into the appended file, so a MoR UPDATE/MERGE
+    * keeps the row's id exactly like the copy-on-write path; MERGE's
+    * NOT MATCHED inserts arrive through `insert` (no metadata) and take
+    * fresh ids. Same gating as [[GraftRowLevelOperation]]. */
+  private[connector] def lineageOn: Boolean =
+    IcebergWriter.wantsLineage(table.metadata) &&
+      !table.metadata.schema.fieldNames.contains(IcebergTable.RowIdCol)
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (lineageOn)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(IcebergTable.RowIdCol))
+    else Array.empty
+
   /** The table state this operation reads and deletes against: the WAP
     * branch head when `spark.wap.branch` names an existing branch (a
     * staged row-level op must see staged inserts), the current snapshot
@@ -705,13 +723,28 @@ final class GraftDeltaWrite(
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
       val meta = table.metadata
-      val stamped = StructType(writeSchema.fields.map { f =>
+      // v3 row lineage: an update's REINSERT half materializes the
+      // original `_row_id` into the appended file (delta metadata
+      // projection; null for fresh inserts) — same stamped extra column
+      // as the copy-on-write replacement write. DELETEs append no data
+      // rows, so their id-only schema stays untouched.
+      val lineage = cmd != RowLevelOperation.Command.DELETE &&
+        IcebergWriter.wantsLineage(meta) &&
+        !meta.schema.fieldNames.contains(IcebergTable.RowIdCol)
+      val stamped0 = StructType(writeSchema.fields.map { f =>
         meta.fieldIds.get(f.name) match {
           case Some(id) => f.copy(metadata = new MetadataBuilder()
             .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
           case None => f
         }
       })
+      val stamped =
+        if (!lineage) stamped0
+        else StructType(stamped0.fields :+ org.apache.spark.sql.types.StructField(
+          IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
+          nullable = true,
+          new MetadataBuilder()
+            .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()))
       val idToName = meta.fieldIds.map(_.swap)
       // a DELETE appends no data rows (only position-delete files) and
       // its write schema carries just the row id — there are no partition
@@ -728,14 +761,19 @@ final class GraftDeltaWrite(
         }
       val fmt = graft.iceberg.IcebergWriter.tableWriteFormat(meta)
       val inner = new graft.iceberg.FanoutWriterFactory(
-        writeDir, stamped, meta.fieldIds, spec,
+        writeDir, stamped,
+        if (lineage)
+          meta.fieldIds + (IcebergTable.RowIdCol -> IcebergTable.RowIdFieldId.toInt)
+        else meta.fieldIds,
+        spec,
         new graft.iceberg.SerializableHadoopConf(conf),
         codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
         targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
         format = fmt)
       new GraftDeltaWriterFactory(inner, writeDir,
         new graft.iceberg.SerializableHadoopConf(conf),
-        deleteCodec = graft.iceberg.IcebergWriter.deleteCodec(meta))
+        deleteCodec = graft.iceberg.IcebergWriter.deleteCodec(meta),
+        lineage = lineage)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -765,18 +803,33 @@ final class GraftDeltaWriterFactory(
     inner: graft.iceberg.FanoutWriterFactory,
     writeDir: String,
     conf: graft.iceberg.SerializableHadoopConf,
-    deleteCodec: String = "snappy")
+    deleteCodec: String = "snappy",
+    /** v3 row lineage: append the metadata `_row_id` (REINSERT halves of
+      * updates carry the original id; fresh inserts write null) as the
+      * stamped extra column of every appended data row. */
+    lineage: Boolean = false)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private var insertW: DataWriter[InternalRow] = _
       private val dels = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      private val nullMeta: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](null))
 
-      override def insert(row: InternalRow): Unit = {
+      private def writeData(row: InternalRow): Unit = {
         if (insertW == null) insertW = inner.createWriter(partitionId, taskId)
         insertW.write(row)
       }
+
+      override def insert(row: InternalRow): Unit =
+        writeData(if (lineage) joined(row, nullMeta) else row)
+
+      override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+        writeData(if (lineage) joined(row, meta) else row)
 
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels += ((id.getUTF8String(0).toString, id.getLong(1)))
@@ -785,7 +838,7 @@ final class GraftDeltaWriterFactory(
         * semantically correct anyway. */
       override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
         delete(meta, id)
-        insert(row)
+        reinsert(meta, row)
       }
 
       override def commit(): WriterCommitMessage = {

@@ -91,6 +91,15 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
           override def isNullable: Boolean = true
           override def comment(): String =
             "v3 row lineage id (stable across rewrites)"
+          /** Merge-on-read updates are delete + REINSERT
+            * (`representUpdateAsDeleteAndInsert`); the spec's "updates
+            * preserve row ids" therefore needs the reinserted row to
+            * carry its `_row_id` through the delta write — Spark's
+            * default nulls metadata on reinsert, this opts out.
+            * PRESERVE_ON_UPDATE/DELETE stay at their (true) defaults,
+            * which the copy-on-write path relies on. */
+          override def metadataInJSON(): String =
+            s"""{"${org.apache.spark.sql.connector.catalog.MetadataColumn.PRESERVE_ON_REINSERT}": true}"""
         }))
 
   /** Writes go through the V1 bridge ([[GraftWriteBuilder]]): the commit

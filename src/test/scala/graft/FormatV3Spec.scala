@@ -368,6 +368,50 @@ class FormatV3Spec extends SparkSpec {
     assert(m.nextRowId.exists(_ >= 90L), s"counter monotone: ${m.nextRowId}")
   }
 
+  test("merge-on-read UPDATE and MERGE preserve _row_id (the reinserted " +
+      "half carries it through the delta metadata projection)") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE v3cat.ns.mw (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('format-version' = '3',
+        |               'write.update.mode' = 'merge-on-read',
+        |               'write.merge.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql("INSERT INTO v3cat.ns.mw SELECT id, id * 10 FROM range(60)")
+    def lineage(): Map[Long, Long] =
+      spark.sql("SELECT k, _row_id FROM v3cat.ns.mw").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = lineage()
+    assert(before.values.toSeq.sorted == (0L until 60L))
+    // MoR UPDATE = position-delete + REINSERT: ids must survive the hop
+    spark.sql("UPDATE v3cat.ns.mw SET v = v + 7 WHERE k % 5 = 0")
+    val dir = s"$warehouse/ns/mw"
+    assert(new IcebergTable(dir, conf).hasDeletes,
+      "the UPDATE must stay merge-on-read (delete files outstanding)")
+    val afterUpdate = lineage()
+    assert(afterUpdate == before,
+      s"MoR UPDATE must preserve every _row_id: " +
+        s"${afterUpdate.filter { case (k, id) => before(k) != id }.take(5)}")
+    assert(spark.sql(
+      "SELECT CAST(SUM(v) AS BIGINT) FROM v3cat.ns.mw").head.getLong(0) ==
+      (0L until 60L).map(k => k * 10 + (if (k % 5 == 0) 7 else 0)).sum)
+    // MoR MERGE: matched rows preserve, NOT MATCHED inserts take fresh ids
+    spark.sql("CREATE TABLE v3cat.ns.msrc (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO v3cat.ns.msrc SELECT id, id * 100 FROM range(50, 70)")
+    spark.sql(
+      """MERGE INTO v3cat.ns.mw t USING v3cat.ns.msrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val afterMerge = lineage()
+    assert((0L until 60L).forall(k => afterMerge(k) == before(k)),
+      s"MoR MERGE must preserve existing rows' _row_id: " +
+        s"${(0L until 60L).filter(k => afterMerge(k) != before(k)).take(5)}")
+    val inserted = (60L until 70L).map(afterMerge)
+    assert(inserted.forall(_ >= 60L) && inserted.distinct.size == 10,
+      s"MERGE-inserted rows take fresh non-overlapping ids: $inserted")
+    assert(afterMerge.values.toSeq.distinct.size == 70,
+      "no id is served twice after the MoR MERGE")
+  }
+
   test("lifecycle ops on a v3 table: model-checked mixed sequence") {
     freshCatalog()
     spark.sql(

@@ -239,17 +239,21 @@ class LifecycleFuzzSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.lcf", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.lcf.warehouse", warehouse)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS lcf.ns")
-    Seq(777L).foreach { seed =>
+    // one copy-on-write seed, one merge-on-read seed: BOTH rewrite
+    // families must hold the invariant (CoW materializes _row_id into
+    // replacement files; MoR reinserts carry it through the delta
+    // metadata projection)
+    Seq((777L, false), (778L, true)).foreach { case (seed, mor) =>
       val tbl = s"lcf.ns.v3fz$seed"
       val dir = s"$warehouse/ns/v3fz$seed"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      // copy-on-write update/delete (the default) — THE rewrite paths
-      // whose lineage preservation round 14 added; equality deletes
-      // still route merge-on-read via deleteWhere, which is fine (they
-      // never rewrite surviving rows)
+      val modes =
+        if (mor) ", 'write.update.mode' = 'merge-on-read'" +
+          ", 'write.merge.mode' = 'merge-on-read'"
+        else ""
       spark.sql(
         s"CREATE TABLE $tbl (k BIGINT, v BIGINT) " +
-          "TBLPROPERTIES ('format-version' = '3')")
+          s"TBLPROPERTIES ('format-version' = '3'$modes)")
       val r = new scala.util.Random(seed)
       val model = scala.collection.mutable.Map.empty[Long, Long]
       // keys are globally unique (nextId monotone), so lineage has one
@@ -282,7 +286,7 @@ class LifecycleFuzzSpec extends SparkSpec {
         }
       }
       def compactIfDeletes(): Unit =
-        if (new IcebergTable(dir, conf).hasDeletes)
+        if (!mor && new IcebergTable(dir, conf).hasDeletes)
           IcebergWriter.compact(spark, dir)
       (1 to 30).foreach { step =>
         val op = r.nextInt(10) match {
