@@ -1287,7 +1287,54 @@ final class IcebergTable private (
     * so a bounded CDC window stays proportional to the change volume at
     * any table size.
     */
-  def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+  def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
+    changesBetweenImpl(spark, fromId, toId, withLineage = false)
+
+  /** [[changesBetween]] + true CDC UPDATE PAIRING over v3 row lineage:
+    * within each commit, a 'delete' and an 'insert' sharing the same
+    * `_row_id` are the two halves of one row's update — re-typed
+    * `update_before` / `update_after` — and pairs with IDENTICAL row
+    * content (copy-on-write rewrites carry untouched rows through new
+    * files) are CARRYOVERS, dropped entirely. Unpaired rows (true
+    * inserts/deletes, pre-lineage files serving null `_row_id`) keep
+    * their types. This is the changelog-view semantics engines build
+    * from user-declared identifier columns, grounded instead in the
+    * spec's own row identity — correct even when every column of a row
+    * changes. Output adds `_row_id` to [[changesBetween]]'s columns.
+    * Requires a lineage-assigning table (v3 / declared-v3). */
+  def changesWithUpdates(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    import IcebergTable.RowIdCol
+    require(IcebergWriter.wantsLineage(metadata),
+      "changesWithUpdates needs v3 row lineage (format-version = 3); " +
+        "use changesBetween / netChangesBetween on v2 tables")
+    val cs = changesBetweenImpl(spark, fromId, toId, withLineage = true)
+      .localCheckpoint(true) // three readers below; the window scan runs once
+    val schemaCols = metadata.schema.fieldNames.toSeq
+    val ided = cs.filter(col(RowIdCol).isNotNull)
+    val b = ided.filter(col("_change_type") === "delete")
+    val a = ided.filter(col("_change_type") === "insert")
+    val pairCols = Seq("_commit_snapshot_id", RowIdCol)
+    // row ids are unique per side within a commit, so the pair join is
+    // 1:1; the content comparison decides carryover vs update
+    val paired = b.as("b").join(a.as("a"),
+      pairCols.map(c => col(s"b.$c") === col(s"a.$c")).reduce(_ && _))
+    val changed = paired.filter(
+      !schemaCols.map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _))
+    def side(tag: String, tpe: String) = changed.select(
+      (schemaCols ++ Seq(RowIdCol)).map(c => col(s"$tag.$c")) ++ Seq(
+        lit(tpe).as("_change_type"),
+        col(s"$tag._commit_snapshot_id"),
+        col(s"$tag._change_ordinal")): _*)
+    val pairedKeys = paired
+      .select(pairCols.map(c => col(s"b.$c")): _*).distinct()
+    val rest = cs.join(pairedKeys, pairCols, "left_anti")
+    rest.unionByName(side("b", "update_before"))
+      .unionByName(side("a", "update_after"))
+  }
+
+  private def changesBetweenImpl(spark: SparkSession, fromId: Long,
+      toId: Long, withLineage: Boolean): DataFrame = {
+    import IcebergTable.RowIdCol
     val lineage = metadata.snapshotLineage
     def posOf(id: Long, which: String): Int =
       if (id == 0L) 0
@@ -1303,11 +1350,21 @@ final class IcebergTable private (
       s"changelog window is backwards: $fromId is after $toId")
 
     val schemaCols = metadata.schema.fieldNames.toSeq
+    val keepCols = schemaCols ++ (if (withLineage) Seq(RowIdCol) else Nil)
     def stamp(df: DataFrame, tpe: String, sid: Long, ordinal: Int): DataFrame =
-      df.select(schemaCols.map(col): _*)
+      df.select(keepCols.map(col): _*)
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_snapshot_id", lit(sid))
         .withColumn("_change_ordinal", lit(ordinal))
+    // serve each side's `_row_id` exactly like toDF(keepLineage):
+    // materialized column coalesced with the file's first_row_id + pos
+    def withRid(t: IcebergTable, df: DataFrame,
+        files: Seq[DataFileEntry]): DataFrame =
+      if (!withLineage) df
+      else t.completeRowLineage(spark, df, files,
+        col(IcebergTable.FpCol), col(IcebergTable.PosCol))
+    def orcIn(files: Seq[DataFileEntry]): Boolean =
+      files.exists(_.fileFormat.equalsIgnoreCase("ORC"))
 
     def norm(t: IcebergTable, path: String) = normPath(t.resolve(path))
 
@@ -1340,16 +1397,20 @@ final class IcebergTable private (
 
         val inserts =
           if (added.isEmpty) Nil
-          else Seq(stamp(s.scanFiles(spark, added, withIds = false),
+          else Seq(stamp(withRid(s, s.scanFiles(spark, added,
+              withIds = withLineage, placeholderPos = orcIn(added),
+              matRowId = withLineage), added),
             "insert", sid, ordinal))
         val fileDeletes =
           if (removed.isEmpty) Nil
           else {
             val pt = p.get
-            val base = pt.scanFiles(spark, removed, withIds = pDel.nonEmpty)
+            val base = pt.scanFiles(spark, removed,
+              withIds = withLineage || pDel.nonEmpty,
+              placeholderPos = orcIn(removed), matRowId = withLineage)
             val visible = if (pDel.isEmpty) base
               else pt.applyDeletes(spark, base, removed, pDel)
-            Seq(stamp(visible, "delete", sid, ordinal))
+            Seq(stamp(withRid(pt, visible, removed), "delete", sid, ordinal))
           }
         val rowDeletes =
           if (newDel.isEmpty) Nil
@@ -1361,10 +1422,12 @@ final class IcebergTable private (
               sFiles.filter(f => pPaths.contains(norm(s, f.filePath))), newDel)
             if (common.isEmpty) Nil
             else {
-              val base = s.scanFiles(spark, common, withIds = true)
-              val afterOld = (if (pDel.isEmpty) base
-                else s.applyDeletes(spark, base, common, pDel))
-                .select((schemaCols ++ Seq(IcebergTable.FpCol, IcebergTable.PosCol))
+              val base = s.scanFiles(spark, common, withIds = true,
+                matRowId = withLineage)
+              val afterOld = withRid(s,
+                if (pDel.isEmpty) base
+                else s.applyDeletes(spark, base, common, pDel), common)
+                .select((keepCols ++ Seq(IcebergTable.FpCol, IcebergTable.PosCol))
                   .map(col): _*)
               Seq(stamp(
                 s.rowsMatchedByDeletes(spark, afterOld, common, newDel),
@@ -1378,7 +1441,10 @@ final class IcebergTable private (
     if (parts.isEmpty) {
       import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(metadata.schema.fields ++ Seq(
+        StructType(metadata.schema.fields ++
+          (if (withLineage)
+             Seq(StructField(RowIdCol, LongType, nullable = true))
+           else Nil) ++ Seq(
           StructField("_change_type", StringType, nullable = false),
           StructField("_commit_snapshot_id", LongType, nullable = false),
           StructField("_change_ordinal", IntegerType, nullable = false))))

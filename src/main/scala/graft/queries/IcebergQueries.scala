@@ -1126,6 +1126,48 @@ object IcebergQueries {
         .orderBy(col("media_id").asc_nulls_first)
     }),
 
+    // True CDC update pairing over v3 row lineage (round 14): a
+    // copy-on-write UPDATE's changed rows emit as update_before /
+    // update_after PAIRS (keyed by the spec's own `_row_id`, not
+    // user-declared identifier columns), the rewrite's carried-through
+    // untouched rows are DROPPED as carryovers, and a CoW DELETE's
+    // removed rows stay plain deletes while its survivors cancel out —
+    // the oracle recomputes the whole change stream from relational
+    // semantics alone.
+    "q160_cdc_updates" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      val warehouse = "/root/repo/target/q160-warehouse"
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q160")
+      s.conf.set("spark.sql.catalog.q160cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q160cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q160cat.ns")
+      s.sql(
+        """CREATE TABLE q160cat.ns.cdc (k BIGINT, v STRING)
+          |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+      s.sql(
+        """INSERT INTO q160cat.ns.cdc
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM orders_src_q160 WHERE o_orderkey % 5 = 0""".stripMargin)
+      val dir = s"$warehouse/ns/cdc"
+      val s0 = new graft.iceberg.IcebergTable(dir, conf)
+        .metadata.snapshotLineage.last
+      s.sql("UPDATE q160cat.ns.cdc SET v = concat(v, '+') WHERE k % 20 = 0")
+      s.sql("DELETE FROM q160cat.ns.cdc WHERE k % 35 = 0")
+      s.sql(
+        """INSERT INTO q160cat.ns.cdc
+          |SELECT CAST(o_orderkey AS BIGINT) + 10000000, o_orderpriority
+          |FROM orders_src_q160 WHERE o_orderkey % 50 = 3""".stripMargin)
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      t.changesWithUpdates(s, s0, t.metadata.snapshotLineage.last)
+        .select(col("k"), col("v"), col("_change_type"),
+          col("_change_ordinal"))
+        .orderBy(col("k").asc_nulls_first, col("_change_ordinal").asc_nulls_first,
+          col("_change_type").asc_nulls_first)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1574,6 +1616,33 @@ object IcebergQueries {
         |FROM embeddings
         |WHERE vec_id % 5 <> 0
         |GROUP BY label ORDER BY label""".stripMargin,
+    "q160_cdc_updates" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS v
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |upd AS (
+        |  SELECT k, v AS v_old, v || '+' AS v_new FROM base WHERE k % 20 = 0),
+        |state1 AS (
+        |  SELECT b.k, COALESCE(u.v_new, b.v) AS v
+        |  FROM base b LEFT JOIN upd u USING (k)),
+        |ins AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) + 10000000 AS k,
+        |         o_orderpriority AS v
+        |  FROM orders WHERE o_orderkey % 50 = 3),
+        |stream AS (
+        |  SELECT k, v_old AS v, 'update_before' AS _change_type,
+        |         0 AS _change_ordinal FROM upd
+        |  UNION ALL
+        |  SELECT k, v_new, 'update_after', 0 FROM upd
+        |  UNION ALL
+        |  SELECT k, v, 'delete', 1 FROM state1 WHERE k % 35 = 0
+        |  UNION ALL
+        |  SELECT k, v, 'insert', 2 FROM ins)
+        |SELECT k, v, _change_type,
+        |       CAST(_change_ordinal AS INT) AS _change_ordinal
+        |FROM stream
+        |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
+        |         _change_type ASC NULLS FIRST""".stripMargin,
     // The stub kernel's rolling hash (h = h*31 + byte over the UTF-8
     // payload, then per-feature golden-ratio mix) reproduced in exact
     // HUGEINT mod-2^64 arithmetic; the REAL cast at the end mirrors the

@@ -227,4 +227,59 @@ class ChangelogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not in the table's snapshot lineage"))
   }
+
+  test("changesWithUpdates pairs rewrite halves by _row_id into " +
+      "update_before/update_after, drops carryovers, and keeps true " +
+      "inserts/deletes — CoW and MoR alike") {
+    val ns = fresh("clu")
+    spark.sql(
+      """CREATE TABLE clu.ns.u (k INT, v STRING)
+        |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+    spark.sql("INSERT INTO clu.ns.u SELECT CAST(id AS INT), concat('v', id) " +
+      "FROM range(20)")
+    val dir = s"$ns/u"
+    val s0 = lineage(dir).last
+    // CoW UPDATE: 5 rows change, 15 are carried through the rewrite
+    spark.sql("UPDATE clu.ns.u SET v = concat(v, '!') WHERE k % 4 = 0")
+    // MoR UPDATE (flip the mode): delete + REINSERT halves must pair too
+    spark.sql("ALTER TABLE clu.ns.u SET TBLPROPERTIES (" +
+      "'write.update.mode' = 'merge-on-read')")
+    spark.sql("UPDATE clu.ns.u SET v = concat(v, '?') WHERE k = 3")
+    // a true delete and a true insert keep their types
+    spark.sql("DELETE FROM clu.ns.u WHERE k IN (7, 11)")
+    spark.sql("INSERT INTO clu.ns.u VALUES (100, 'fresh')")
+    val t = new IcebergTable(dir, conf)
+    val cs = t.changesWithUpdates(spark, s0, lineage(dir).last)
+      .select("k", "v", "_change_type", "_change_ordinal").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    val byType = cs.groupBy(_._3)
+    // ordinal 0 (CoW UPDATE): exactly the 5 changed rows as pairs, NO
+    // carryovers of the 15 untouched rewritten rows
+    val ub0 = cs.filter(c => c._4 == 0 && c._3 == "update_before")
+    val ua0 = cs.filter(c => c._4 == 0 && c._3 == "update_after")
+    assert(ub0.map(_._1).sorted == Seq(0, 4, 8, 12, 16), s"befores: $ub0")
+    assert(ua0.map(c => (c._1, c._2)).sorted ==
+      Seq(0, 4, 8, 12, 16).map(k => (k, s"v$k!")), s"afters: $ua0")
+    assert(!cs.exists(c => c._4 == 0 && (c._3 == "insert" || c._3 == "delete")),
+      s"carryovers must be dropped: ${cs.filter(_._4 == 0)}")
+    // ordinal 1 (MoR UPDATE): one pair for k=3
+    assert(cs.filter(_._4 == 1).map(c => (c._1, c._2, c._3)).sorted == Seq(
+      (3, "v3", "update_before"), (3, "v3?", "update_after")),
+      s"MoR pair: ${cs.filter(_._4 == 1)}")
+    // ordinals 2/3: plain delete and insert keep their types
+    assert(cs.filter(_._4 == 2).map(c => (c._1, c._3)).sorted ==
+      Seq((7, "delete"), (11, "delete")))
+    assert(cs.filter(_._4 == 3) == Seq((100, "fresh", "insert", 3)))
+    assert(byType.keySet == Set("update_before", "update_after",
+      "insert", "delete"))
+    // v2 tables refuse loudly
+    spark.sql("CREATE TABLE clu.ns.v2t (k INT, v STRING)")
+    spark.sql("INSERT INTO clu.ns.v2t VALUES (1, 'a')")
+    val t2 = new IcebergTable(s"$ns/v2t", conf)
+    val e = intercept[IllegalArgumentException] {
+      t2.changesWithUpdates(spark, 0L, lineage(s"$ns/v2t").last)
+    }
+    assert(e.getMessage.contains("format-version"))
+  }
 }
