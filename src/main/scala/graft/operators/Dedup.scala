@@ -512,10 +512,25 @@ object Dedup {
       }
     val candC = bIdx.join(cIdx, Seq("band", "band_hash"))
       .select(col(idCol), col("__cid")).distinct()
+    // the verify join's CORPUS read is candidate-bounded at the storage
+    // layer: the candidate ids broadcast-semi-join into the corpus rows
+    // first, and when the corpus is a Graft DSv2 read (the streaming
+    // sink's shape) the runtime-probe rule file-prunes that scan by id
+    // bounds — per-batch corpus IO ∝ candidates, not corpus. With zero
+    // candidates the runtime In filter prunes every file (no read at
+    // all); a plain-DataFrame corpus just loses the file pruning, never
+    // rows (the semi join enforces the ids exactly).
+    val corpusRows = corpus.select(col(idCol).as("__cid"),
+      col(textCol).as("__ct"))
+    val prunedCorpusRows = corpusRows.join(
+      org.apache.spark.sql.functions.broadcast(
+        graft.iceberg.connector.RuntimeProbe.markedKeys(
+          corpus.sparkSession, candC.select(col("__cid")), "__cid",
+          corpusRows.schema("__cid").dataType)),
+      Seq("__cid"), "left_semi")
     val corpusDup = candC
       .join(bTxt.select(col(idCol), col(textCol).as("__bt")), Seq(idCol))
-      .join(corpus.select(col(idCol).as("__cid"),
-        col(textCol).as("__ct")), Seq("__cid"))
+      .join(prunedCorpusRows, Seq("__cid"))
       .filter(verify(col("__bt"), col("__ct")))
       .select(col(idCol)).distinct()
 
