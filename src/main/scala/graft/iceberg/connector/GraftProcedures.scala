@@ -20,7 +20,8 @@ import graft.iceberg.IcebergWriter
   *   CALL cat.system.fast_forward(table => 'ns.t', branch => 'main', to => 'audit')
   *   CALL cat.system.rollback_to_snapshot(table => 'ns.t', snapshot_id => 123)
   *   CALL cat.system.create_changelog_view(table => 'ns.t', changelog_view => 'v'
-  *     [, start_snapshot_id => ..., end_snapshot_id => ...])
+  *     [, start_snapshot_id => ..., end_snapshot_id => ...]
+  *     [, net_changes => 1 | compute_updates => 1])
   *   CALL cat.system.add_files(table => 'ns.t', source => '/dir/or/glob' [, branch => 'b'])
   * }}}
   *
@@ -186,7 +187,7 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "rollback_to_timestamp" => Seq("table", "timestamp")
       case "create_changelog_view" =>
         Seq("table", "changelog_view", "start_snapshot_id", "end_snapshot_id",
-          "net_changes")
+          "net_changes", "compute_updates")
       case "add_files" => Seq("table", "source", "branch")
       case "rewrite_position_delete_files" => Seq("table")
       case "cherrypick_snapshot" => Seq("table", "snapshot_id")
@@ -337,7 +338,20 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           case s: String => s.equalsIgnoreCase("true")
           case _ => false
         }
+        // compute_updates => 1 pairs rewrite halves into update_before/
+        // update_after by the v3 `_row_id` and drops carryovers
+        // (changesWithUpdates; refuses v2 tables loudly). Mutually
+        // exclusive with net_changes — they answer different consumers.
+        val updates = m.get("compute_updates").exists {
+          case l: Long => l != 0L
+          case s: String => s.equalsIgnoreCase("true")
+          case _ => false
+        }
+        require(!(net && updates),
+          "create_changelog_view: net_changes and compute_updates are " +
+            "mutually exclusive (net collapses the pairs updates re-type)")
         val df = if (net) t.table.netChangesBetween(spark, start, end)
+          else if (updates) t.table.changesWithUpdates(spark, start, end)
           else t.table.changesBetween(spark, start, end)
         df.createOrReplaceTempView(view)
         Seq(Row(view))

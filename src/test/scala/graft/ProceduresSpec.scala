@@ -177,6 +177,43 @@ class ProceduresSpec extends SparkSpec {
     assert(byType === Map("insert" -> 5L, "delete" -> 2L))
   }
 
+  test("create_changelog_view(compute_updates => 1) serves update pairs " +
+      "from SQL on a v3 table; refuses v2 and net_changes composition") {
+    val ns = fresh("pcat15")
+    spark.sql(
+      """CREATE TABLE pcat15.ns.t (k INT, v STRING)
+        |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+    spark.sql("INSERT INTO pcat15.ns.t SELECT CAST(id AS INT), " +
+      "concat('v', id) FROM range(10)")
+    val s0 = TableMetadata
+      .load(s"$ns/t", spark.sessionState.newHadoopConf())
+      .snapshotLineage.last
+    spark.sql("UPDATE pcat15.ns.t SET v = concat(v, '!') WHERE k < 3")
+    spark.sql(
+      s"CALL pcat15.system.create_changelog_view(table => 'ns.t', " +
+        s"changelog_view => 'tupd', start_snapshot_id => $s0, " +
+        "compute_updates => 1)")
+    val rows = spark.sql(
+      "SELECT k, v, _change_type FROM tupd ORDER BY k, _change_type")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == (0 until 3).flatMap(k => Seq(
+      (k, s"v$k!", "update_after"), (k, s"v$k", "update_before"))),
+      s"update pairs only (carryovers dropped): $rows")
+    // mutually exclusive with net_changes
+    val e = intercept[Exception](spark.sql(
+      "CALL pcat15.system.create_changelog_view(table => 'ns.t', " +
+        "changelog_view => 'x', net_changes => 1, compute_updates => 1)")
+      .collect())
+    assert(e.getMessage.contains("mutually exclusive"))
+    // v2 tables refuse with the documented message
+    spark.sql("CREATE TABLE pcat15.ns.t2 (k INT)")
+    spark.sql("INSERT INTO pcat15.ns.t2 VALUES (1)")
+    val e2 = intercept[Exception](spark.sql(
+      "CALL pcat15.system.create_changelog_view(table => 'ns.t2', " +
+        "changelog_view => 'y', compute_updates => 1)").collect())
+    assert(e2.getMessage.contains("format-version"))
+  }
+
   test("add_files: the documented migration recipe (import -> compact -> mix)") {
     val ns = fresh("pcat7")
     // id-less imports read through schema.name-mapping.default; mixing
