@@ -512,6 +512,10 @@ object Dedup {
       }
     val candC = bIdx.join(cIdx, Seq("band", "band_hash"))
       .select(col(idCol), col("__cid")).distinct()
+      // pinned: the candidate set feeds the verify join AND (as probe
+      // keys) the pruned corpus read below — without the pin the whole
+      // index-probe pipeline would re-run per consumer
+      .localCheckpoint(true)
     // the verify join's CORPUS read is candidate-bounded at the storage
     // layer: the candidate ids broadcast-semi-join into the corpus rows
     // first, and when the corpus is a Graft DSv2 read (the streaming
