@@ -1307,6 +1307,17 @@ final class IcebergTable private (
     require(IcebergWriter.wantsLineage(metadata),
       "changesWithUpdates needs v3 row lineage (format-version = 3); " +
         "use changesBetween / netChangesBetween on v2 tables")
+    require(!metadata.schema.fieldNames.contains(RowIdCol),
+      s"changesWithUpdates cannot serve row lineage: a data column " +
+        s"shadows the reserved $RowIdCol name")
+    // map columns have no null-safe equality in Spark, so the carryover
+    // content comparison cannot run — refuse loudly (changesBetween /
+    // netChangesBetween-with-care remain available)
+    val mapCols = metadata.schema.fields.filter(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]).map(_.name)
+    require(mapCols.isEmpty,
+      s"changesWithUpdates cannot compare map columns for carryover " +
+        s"detection (${mapCols.mkString(", ")}); use changesBetween")
     val cs = changesBetweenImpl(spark, fromId, toId, withLineage = true)
       .localCheckpoint(true) // three readers below; the window scan runs once
     val schemaCols = metadata.schema.fieldNames.toSeq
@@ -1315,9 +1326,12 @@ final class IcebergTable private (
     val a = ided.filter(col("_change_type") === "insert")
     val pairCols = Seq("_commit_snapshot_id", RowIdCol)
     // row ids are unique per side within a commit, so the pair join is
-    // 1:1; the content comparison decides carryover vs update
+    // 1:1; the content comparison decides carryover vs update. Pinned:
+    // three consumers below (both update sides + the anti-join keys)
+    // must not re-run the self-join and the full-row comparison
     val paired = b.as("b").join(a.as("a"),
       pairCols.map(c => col(s"b.$c") === col(s"a.$c")).reduce(_ && _))
+      .localCheckpoint(true)
     val changed = paired.filter(
       !schemaCols.map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _))
     def side(tag: String, tpe: String) = changed.select(

@@ -197,6 +197,51 @@ final class GraftRowLevelOperation(
     }
 }
 
+
+/** Shared write-side schema plumbing for the row-level operations: the
+  * field-id-stamped write schema (plus the reserved `_row_id` lineage
+  * column when requested), the fieldIds map the footer-stats lift uses,
+  * and the partition-spec fields resolved against the write schema —
+  * the same three values the CoW replacement write and the MoR delta
+  * write both need (and must keep identical). */
+private[connector] object RowLevelWriteSchemas {
+  def stampedSchema(meta: graft.iceberg.TableMetadata,
+      writeSchema: StructType, lineage: Boolean): StructType = {
+    val stamped0 = StructType(writeSchema.fields.map { f =>
+      meta.fieldIds.get(f.name) match {
+        case Some(id) => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+        case None => f
+      }
+    })
+    if (!lineage) stamped0
+    else StructType(stamped0.fields :+ org.apache.spark.sql.types.StructField(
+      IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
+      nullable = true,
+      new MetadataBuilder()
+        .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()))
+  }
+
+  def fieldIds(meta: graft.iceberg.TableMetadata,
+      lineage: Boolean): Map[String, Int] =
+    if (lineage)
+      meta.fieldIds + (IcebergTable.RowIdCol -> IcebergTable.RowIdFieldId.toInt)
+    else meta.fieldIds
+
+  def partitionFields(meta: graft.iceberg.TableMetadata,
+      writeSchema: StructType): Seq[graft.iceberg.WritePartitionField] = {
+    val idToName = meta.fieldIds.map(_.swap)
+    meta.partitionSpec.map { p =>
+      val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
+        s"partition source field id ${p.sourceId} not in schema"))
+      val idx = writeSchema.fieldIndex(src)
+      val st = writeSchema(idx).dataType
+      graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
+        graft.iceberg.PartitionTransforms.resultType(p.transform, st))
+    }
+  }
+}
+
 /** What the replacement write needs from whichever group scan Spark
   * configured: the exact planned file set its commit swaps out. */
 private[connector] trait GraftGroupScanLike extends Scan {
@@ -436,35 +481,12 @@ final class GraftReplaceWrite(
       // first_row_id + pos).
       val lineage = IcebergWriter.wantsLineage(meta) &&
         !meta.schema.fieldNames.contains(IcebergTable.RowIdCol)
-      val stamped0 = StructType(writeSchema.fields.map { f =>
-        meta.fieldIds.get(f.name) match {
-          case Some(id) => f.copy(metadata = new MetadataBuilder()
-            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
-          case None => f
-        }
-      })
-      val stamped =
-        if (!lineage) stamped0
-        else StructType(stamped0.fields :+ org.apache.spark.sql.types.StructField(
-          IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
-          nullable = true,
-          new MetadataBuilder()
-            .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()))
-      val idToName = meta.fieldIds.map(_.swap)
-      val spec = meta.partitionSpec.map { p =>
-        val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
-          s"partition source field id ${p.sourceId} not in schema"))
-        val idx = writeSchema.fieldIndex(src)
-        val st = writeSchema(idx).dataType
-        graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
-          graft.iceberg.PartitionTransforms.resultType(p.transform, st))
-      }
+      val stamped = RowLevelWriteSchemas.stampedSchema(meta, writeSchema, lineage)
+      val spec = RowLevelWriteSchemas.partitionFields(meta, writeSchema)
       val fmt = graft.iceberg.IcebergWriter.tableWriteFormat(meta)
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped,
-        if (lineage)
-          meta.fieldIds + (IcebergTable.RowIdCol -> IcebergTable.RowIdFieldId.toInt)
-        else meta.fieldIds,
+        RowLevelWriteSchemas.fieldIds(meta, lineage),
         spec,
         new graft.iceberg.SerializableHadoopConf(conf),
         codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
@@ -635,9 +657,13 @@ final class GraftDeltaOperation(
     * materializes it into the appended file, so a MoR UPDATE/MERGE
     * keeps the row's id exactly like the copy-on-write path; MERGE's
     * NOT MATCHED inserts arrive through `insert` (no metadata) and take
-    * fresh ids. Same gating as [[GraftRowLevelOperation]]. */
+    * fresh ids. Same gating as [[GraftRowLevelOperation]], plus: a
+    * DELETE appends no data rows and its writer ignores delete-side
+    * metadata, so requesting lineage there would only tax the whole
+    * scan with the `_row_id` serving machinery for nothing. */
   private[connector] def lineageOn: Boolean =
-    IcebergWriter.wantsLineage(table.metadata) &&
+    cmd != RowLevelOperation.Command.DELETE &&
+      IcebergWriter.wantsLineage(table.metadata) &&
       !table.metadata.schema.fieldNames.contains(IcebergTable.RowIdCol)
 
   override def requiredMetadataAttributes()
@@ -731,40 +757,17 @@ final class GraftDeltaWrite(
       val lineage = cmd != RowLevelOperation.Command.DELETE &&
         IcebergWriter.wantsLineage(meta) &&
         !meta.schema.fieldNames.contains(IcebergTable.RowIdCol)
-      val stamped0 = StructType(writeSchema.fields.map { f =>
-        meta.fieldIds.get(f.name) match {
-          case Some(id) => f.copy(metadata = new MetadataBuilder()
-            .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
-          case None => f
-        }
-      })
-      val stamped =
-        if (!lineage) stamped0
-        else StructType(stamped0.fields :+ org.apache.spark.sql.types.StructField(
-          IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
-          nullable = true,
-          new MetadataBuilder()
-            .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()))
-      val idToName = meta.fieldIds.map(_.swap)
+      val stamped = RowLevelWriteSchemas.stampedSchema(meta, writeSchema, lineage)
       // a DELETE appends no data rows (only position-delete files) and
       // its write schema carries just the row id — there are no partition
       // source columns to index and nothing for a fanout spec to cluster
       val spec =
         if (cmd == RowLevelOperation.Command.DELETE) Nil
-        else meta.partitionSpec.map { p =>
-          val src = idToName.getOrElse(p.sourceId, throw new IllegalArgumentException(
-            s"partition source field id ${p.sourceId} not in schema"))
-          val idx = writeSchema.fieldIndex(src)
-          val st = writeSchema(idx).dataType
-          graft.iceberg.WritePartitionField(p.name, p.transform, idx, st,
-            graft.iceberg.PartitionTransforms.resultType(p.transform, st))
-        }
+        else RowLevelWriteSchemas.partitionFields(meta, writeSchema)
       val fmt = graft.iceberg.IcebergWriter.tableWriteFormat(meta)
       val inner = new graft.iceberg.FanoutWriterFactory(
         writeDir, stamped,
-        if (lineage)
-          meta.fieldIds + (IcebergTable.RowIdCol -> IcebergTable.RowIdFieldId.toInt)
-        else meta.fieldIds,
+        RowLevelWriteSchemas.fieldIds(meta, lineage),
         spec,
         new graft.iceberg.SerializableHadoopConf(conf),
         codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
