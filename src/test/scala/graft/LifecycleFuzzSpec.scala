@@ -365,6 +365,32 @@ class LifecycleFuzzSpec extends SparkSpec {
         }
         checkLineage(s"step $step: $op")
       }
+      // END-OF-RUN CDC REPLAY: the paired update stream over the WHOLE
+      // window must reconstruct the final table exactly — inserts add,
+      // deletes remove, update_after replaces by _row_id, and dropped
+      // carryovers must not be missed state. This closes the loop
+      // between the lineage invariant (ids stable) and the changelog
+      // built ON those ids.
+      val head = new IcebergTable(dir, conf).metadata.snapshotLineage.last
+      val stream = new IcebergTable(dir, conf)
+        .changesWithUpdates(spark, 0L, head)
+        .select("k", "v", "_row_id", "_change_type", "_change_ordinal")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getInt(4)))
+        .sortBy(_._5)
+      val replay = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      stream.foreach {
+        case (k, v, rid, "insert", _) => replay(rid) = (k, v)
+        case (_, _, rid, "delete", _) => replay.remove(rid)
+        case (k, v, rid, "update_after", _) => replay(rid) = (k, v)
+        case (_, _, _, "update_before", _) => ()
+        case other => fail(s"unexpected change row: $other")
+      }
+      assert(replay.values.toMap == model.toMap,
+        s"seed=$seed: CDC replay of the update stream must equal the " +
+          s"final table (${replay.size} vs ${model.size} rows; " +
+          s"diff=${(replay.values.toSet diff model.toSet).take(5)})")
       spark.sql(s"DROP TABLE $tbl")
     }
   }
