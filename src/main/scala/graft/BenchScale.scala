@@ -187,8 +187,8 @@ object BenchScale {
         import graft.iceberg.IcebergWriter
         import graft.operators.Dedup
         import graft.streaming.EventStream
-        val cDir = s"/root/repo/target/benchscale-adm-corpus-$r"
-        val iDir = s"/root/repo/target/benchscale-adm-index-$r"
+        val cDir = graft.Scratch.dir(s"benchscale-adm-corpus-$r")
+        val iDir = graft.Scratch.dir(s"benchscale-adm-index-$r")
         Seq(cDir, iDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
         val corpusSeed = all.select(col("doc_id"), col("text"))
         val indexSeed = Dedup.minhashBandIndex(corpusSeed, "doc_id", "text",
@@ -350,7 +350,7 @@ object BenchScale {
       // per-batch IO grows ∝ √N while the corpus grows ∝ N; the
       // ivf_index_pruning line records files_probed/files_total
       // directly — deterministic evidence, unlike toy wall-clock.
-      val ivfDir = "/root/repo/target/benchscale-ivf"
+      val ivfDir = graft.Scratch.dir("benchscale-ivf")
       locally {
         val p = new org.apache.hadoop.fs.Path(ivfDir)
         p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
@@ -403,8 +403,8 @@ object BenchScale {
         import org.apache.commons.io.FileUtils
         import graft.iceberg.IcebergWriter
         import graft.streaming.EventStream
-        val vcDir = s"/root/repo/target/benchscale-vadm-corpus-$r"
-        val viDir = s"/root/repo/target/benchscale-vadm-index-$r"
+        val vcDir = graft.Scratch.dir(s"benchscale-vadm-corpus-$r")
+        val viDir = graft.Scratch.dir(s"benchscale-vadm-index-$r")
         Seq(vcDir, viDir).foreach(d => FileUtils.deleteQuietly(new File(d)))
         val vecSeed = semAll.select(col("vec_id"), col("embedding"))
         IcebergWriter.seedTable(spark, vcDir, vecSeed.schema)
@@ -482,7 +482,7 @@ object BenchScale {
   private def partitionOverwrite(spark: SparkSession, sfDir: String, r: Int): Double = {
     import org.apache.hadoop.fs.Path
     import graft.iceberg.connector.GraftCatalog
-    val warehouse = s"/root/repo/target/benchscale-po-$r"
+    val warehouse = graft.Scratch.dir(s"benchscale-po-$r")
     val conf = spark.sessionState.newHadoopConf()
     new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
     val ords = Tables.load(spark, sfDir, "orders")
@@ -520,7 +520,7 @@ object BenchScale {
   private def spjJoin(spark: SparkSession, sfDir: String, r: Int): Double = {
     import org.apache.hadoop.fs.Path
     import graft.iceberg.connector.GraftCatalog
-    val warehouse = s"/root/repo/target/benchscale-warehouse-$r"
+    val warehouse = graft.Scratch.dir(s"benchscale-warehouse-$r")
     val conf = spark.sessionState.newHadoopConf()
     new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
     val cust = Tables.load(spark, sfDir, "customer")
@@ -576,7 +576,7 @@ object BenchScale {
     import org.apache.hadoop.fs.Path
     import graft.iceberg.connector.GraftCatalog
     import graft.operators.IncrementalView
-    val warehouse = s"/root/repo/target/benchscale-mv-$r"
+    val warehouse = graft.Scratch.dir(s"benchscale-mv-$r")
     val conf = spark.sessionState.newHadoopConf()
     new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
     val li = Tables.load(spark, sfDir, "lineitem")

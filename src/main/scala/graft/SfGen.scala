@@ -24,7 +24,7 @@ object SfGen {
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("/root/repo/target/sf1.0-synth")
+    val dst = args.lift(1).getOrElse(graft.Scratch.dir("sf1.0-synth"))
     val replicas = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master("local[32]")

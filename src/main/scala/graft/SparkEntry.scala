@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{Extensions, IcebergQueries, Relational}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
   * `queries` is the full declared operator surface: the relational queries
   * the reference exposes through its embedded SQL engine (SURVEY §2.B,

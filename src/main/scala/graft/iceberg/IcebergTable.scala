@@ -1312,9 +1312,16 @@ final class IcebergTable private (
         s"shadows the reserved $RowIdCol name")
     // map columns have no null-safe equality in Spark, so the carryover
     // content comparison cannot run — refuse loudly (changesBetween /
-    // netChangesBetween-with-care remain available)
-    val mapCols = metadata.schema.fields.filter(
-      _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]).map(_.name)
+    // netChangesBetween-with-care remain available). Recursive: a map
+    // NESTED inside a struct/array fails <=> just the same (ADVICE r14)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val mapCols = metadata.schema.fields.filter(f => hasMap(f.dataType)).map(_.name)
     require(mapCols.isEmpty,
       s"changesWithUpdates cannot compare map columns for carryover " +
         s"detection (${mapCols.mkString(", ")}); use changesBetween")

@@ -308,9 +308,19 @@ object ThetaSketch {
       case LongType =>
         Some(v => le(8)(_.putLong(v.asInstanceOf[Number].longValue)))
       case FloatType =>
-        Some(v => le(4)(_.putFloat(v.asInstanceOf[Number].floatValue)))
+        // NOT the raw IEEE bytes: -0.0 normalizes to 0.0 and NaN to the
+        // canonical bit pattern (floatToIntBits does the latter), so
+        // array-element NDV agrees with SQL DISTINCT semantics — the
+        // same normalization the scalar path's hashDouble applies
+        Some(v => le(4)(_.putInt(java.lang.Float.floatToIntBits {
+          val f = v.asInstanceOf[Number].floatValue
+          if (f == 0.0f) 0.0f else f
+        })))
       case DoubleType =>
-        Some(v => le(8)(_.putDouble(v.asInstanceOf[Number].doubleValue)))
+        Some(v => le(8)(_.putLong(java.lang.Double.doubleToLongBits {
+          val d = v.asInstanceOf[Number].doubleValue
+          if (d == 0.0) 0.0 else d
+        })))
       case StringType =>
         Some(v => v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       case BinaryType => Some(v => v.asInstanceOf[Array[Byte]])

@@ -82,11 +82,25 @@ object RuntimeProbe {
 
   /** Idempotently register [[GraftRuntimeProbeRule]] on the session —
     * `experimental.extraOptimizations` needs no session-build-time
-    * configuration, so probes work on any caller's session. */
+    * configuration, so probes work on any caller's session.
+    *
+    * Known race, accepted: `extraOptimizations` is session-global mutable
+    * state synchronized only against this object — a user ASSIGNING their
+    * own rules concurrently can drop ours (read-modify-write on their
+    * side). Correctness survives a dropped rule by design: the probe's
+    * join enforces the key set row-exactly and the pruning is a
+    * best-effort IO reduction (`RuntimeFilterSpec` pins the
+    * identical-rows-without-the-rule property). */
   private def ensureRule(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(GraftRuntimeProbeRule))
       spark.experimental.extraOptimizations = cur :+ GraftRuntimeProbeRule
+  }
+
+  /** TEST SEAM: drop the rule from a session (the race above, forced). */
+  private[graft] def removeRuleForTest(spark: SparkSession): Unit = synchronized {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == GraftRuntimeProbeRule)
   }
 }
 
@@ -105,6 +119,20 @@ object GraftRuntimeProbeRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def marked(a: Attribute): Boolean =
     a.metadata.contains(Marker)
+
+  /** Exactly the keys-side shape [[RuntimeProbe.markedKeys]] produces
+    * once the optimizer has run (distinct() → single-column Aggregate;
+    * the broadcast hint is folded into the join by EliminateResolvedHint
+    * before extraOptimizations fire). Requiring it means a USER plan
+    * that happens to reuse a marked column in its own join can never
+    * opt into the rule — marker metadata alone is not enough
+    * (ADVICE r14). */
+  private def markedKeysShape(plan: LogicalPlan): Boolean = plan match {
+    case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+      a.output.size == 1 && marked(a.output.head) &&
+        a.groupingExpressions.size == 1
+    case _ => false
+  }
 
   /** The scan relation under a Project/Filter chain — None once a
     * dynamic-pruning filter is already present (idempotence). */
@@ -128,7 +156,7 @@ object GraftRuntimeProbeRule extends Rule[LogicalPlan] with PredicateHelper {
       val eqs = splitConjunctivePredicates(cond)
       def insert(scanSide: LogicalPlan, keysSide: LogicalPlan)
           : Option[LogicalPlan] =
-        graftScan(scanSide).flatMap { rel =>
+        graftScan(scanSide).filter(_ => markedKeysShape(keysSide)).flatMap { rel =>
           val pairs = eqs.collect {
             case EqualTo(a: AttributeReference, b: AttributeReference)
                 if rel.outputSet.contains(a) &&

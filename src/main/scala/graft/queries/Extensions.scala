@@ -271,7 +271,7 @@ object Extensions {
     "q156_ivf_index_recall" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val emb = t(s, d, "embeddings")
-      val dir = "/root/repo/target/q156-index"
+      val dir = graft.Scratch.dir("q156-index")
       val p = new Path(dir)
       p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       graft.operators.VectorIndex.build(s, emb, dir, nCentroids = 16)
@@ -290,7 +290,7 @@ object Extensions {
     "q157_ann_admission" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val emb = t(s, d, "embeddings")
-      val dir = "/root/repo/target/q157-index"
+      val dir = graft.Scratch.dir("q157-index")
       val p = new Path(dir)
       p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       graft.operators.VectorIndex.build(s,
@@ -321,7 +321,7 @@ object Extensions {
     "q158_ivf_approx_recall" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val emb = t(s, d, "embeddings")
-      val dir = "/root/repo/target/q158-index"
+      val dir = graft.Scratch.dir("q158-index")
       val p = new Path(dir)
       p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
       graft.operators.VectorIndex.buildWithCentroids(s, emb, dir,

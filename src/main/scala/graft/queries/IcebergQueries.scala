@@ -38,7 +38,7 @@ object IcebergQueries {
     // back through loadTable's view-expansion path — not a session temp
     // view (q3 covers that form)
     "q3b_persistent_view" -> ((s, d) => {
-      val warehouse = "/root/repo/target/q3b-warehouse"
+      val warehouse = graft.Scratch.dir("q3b-warehouse")
       Tables.load(s, d, "orders").createOrReplaceTempView("orders")
       s.conf.set("spark.sql.catalog.graftscratch", classOf[GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.graftscratch.warehouse", warehouse)
@@ -68,7 +68,7 @@ object IcebergQueries {
       import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.functions.col
       import graft.iceberg.IcebergWriter
-      val warehouse = "/root/repo/target/q54-warehouse"
+      val warehouse = graft.Scratch.dir("q54-warehouse")
       val tableDir = s"$warehouse/ns/region_tt"
       val conf = s.sessionState.newHadoopConf()
       val fs = new Path(warehouse).getFileSystem(conf)
@@ -102,7 +102,7 @@ object IcebergQueries {
     // group counts.
     "q55_sql_write" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q55-warehouse"
+      val warehouse = graft.Scratch.dir("q55-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q55")
@@ -141,7 +141,7 @@ object IcebergQueries {
     // equality path).
     "q58_sql_update" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q58-warehouse"
+      val warehouse = graft.Scratch.dir("q58-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q58")
@@ -165,7 +165,7 @@ object IcebergQueries {
     // Spark's RewriteMergeIntoTable over the same copy-on-write pair.
     "q59_sql_merge" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q59-warehouse"
+      val warehouse = graft.Scratch.dir("q59-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q59")
@@ -200,7 +200,7 @@ object IcebergQueries {
     // oracle gates the visible result.)
     "q60_pos_delete" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q60-warehouse"
+      val warehouse = graft.Scratch.dir("q60-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q60")
@@ -224,7 +224,7 @@ object IcebergQueries {
     // pins the cleanup; the oracle gates the surviving values).
     "q61_expire" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q61-warehouse"
+      val warehouse = graft.Scratch.dir("q61-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "region").createOrReplaceTempView("region_src_q61")
@@ -261,7 +261,7 @@ object IcebergQueries {
       import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.functions.col
       import graft.iceberg.{IcebergTable, IcebergWriter}
-      val warehouse = "/root/repo/target/q62-warehouse"
+      val warehouse = graft.Scratch.dir("q62-warehouse")
       val tableDir = s"$warehouse/ns/nation_inc"
       val conf = s.sessionState.newHadoopConf()
       val fs = new Path(warehouse).getFileSystem(conf)
@@ -306,7 +306,7 @@ object IcebergQueries {
     // (n_after/sk_after) each flips a column.
     "q64_wap" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q64-warehouse"
+      val warehouse = graft.Scratch.dir("q64-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q64")
@@ -359,7 +359,7 @@ object IcebergQueries {
     // hash-gate over main.
     "q72_cherrypick" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q72-warehouse"
+      val warehouse = graft.Scratch.dir("q72-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q72")
@@ -409,7 +409,7 @@ object IcebergQueries {
       import org.apache.hadoop.fs.Path
       import graft.iceberg.{FsCommitter, IcebergWriter, Transactions,
         CommitConflictException}
-      val warehouse = "/root/repo/target/q73-warehouse"
+      val warehouse = graft.Scratch.dir("q73-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q73")
@@ -474,7 +474,7 @@ object IcebergQueries {
 
     "q57_sql_delete" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q57-warehouse"
+      val warehouse = graft.Scratch.dir("q57-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q57")
@@ -499,7 +499,7 @@ object IcebergQueries {
     // physics, the oracle pins the values.
     "q68_zorder" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q68-warehouse"
+      val warehouse = graft.Scratch.dir("q68-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem_src_q68")
@@ -531,7 +531,7 @@ object IcebergQueries {
     // spec boundary.
     "q69_partition_evolution" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q69-warehouse"
+      val warehouse = graft.Scratch.dir("q69-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q69")
@@ -570,7 +570,7 @@ object IcebergQueries {
     // and its exactness are driver-gated.
     "q71_metadata_agg" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q71-warehouse"
+      val warehouse = graft.Scratch.dir("q71-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q71")
@@ -602,7 +602,7 @@ object IcebergQueries {
     // byte-identical to before the maintenance.
     "q74_delete_compaction" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q74-warehouse"
+      val warehouse = graft.Scratch.dir("q74-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q74")
@@ -642,7 +642,7 @@ object IcebergQueries {
     "q98_deletion_vector" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.functions.col
-      val warehouse = "/root/repo/target/q98-warehouse"
+      val warehouse = graft.Scratch.dir("q98-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q98")
@@ -689,7 +689,7 @@ object IcebergQueries {
     // update's one-character rename folded in) from the raw table.
     "q100_dv_write" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q100-warehouse"
+      val warehouse = graft.Scratch.dir("q100-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q100")
@@ -729,7 +729,7 @@ object IcebergQueries {
     // recomputes the post-overwrite table from the raw rows.
     "q106_partition_overwrite" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q106-warehouse"
+      val warehouse = graft.Scratch.dir("q106-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q106")
@@ -768,7 +768,7 @@ object IcebergQueries {
     // require()d — the safety property that makes zero-copy sound.
     "q120_snapshot_clone" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q120-warehouse"
+      val warehouse = graft.Scratch.dir("q120-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q120")
@@ -823,7 +823,7 @@ object IcebergQueries {
     "q132_orc_import" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.functions.col
-      val warehouse = "/root/repo/target/q132-warehouse"
+      val warehouse = graft.Scratch.dir("q132-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q132")
@@ -876,7 +876,7 @@ object IcebergQueries {
     // and the delete debt to be real; the oracle recomputes survivors.
     "q144_avro_import" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q144-warehouse"
+      val warehouse = graft.Scratch.dir("q144-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q144")
@@ -897,7 +897,7 @@ object IcebergQueries {
           |{"name":"s_suppkey","type":"long"},
           |{"name":"s_nationkey","type":"int"},
           |{"name":"s_acctbal","type":"double"}]}""".stripMargin)
-      val avroDir = new java.io.File("/root/repo/target/q144-src")
+      val avroDir = new java.io.File(graft.Scratch.dir("q144-src"))
       avroDir.mkdirs()
       val f = new java.io.File(avroDir, "supplier.avro")
       val w = new org.apache.avro.file.DataFileWriter[
@@ -937,7 +937,7 @@ object IcebergQueries {
     // and the declared codec before the read-back aggregation.
     "q146_orc_write" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q146-warehouse"
+      val warehouse = graft.Scratch.dir("q146-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q146")
@@ -981,7 +981,7 @@ object IcebergQueries {
     // extension, and no-rewrite before the read-back aggregation.
     "q153_avro_write" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q153-warehouse"
+      val warehouse = graft.Scratch.dir("q153-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q153")
@@ -1024,7 +1024,7 @@ object IcebergQueries {
     // (unique, beyond the top-level block, last-column-id covers them).
     "q154_nested_ctas" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q154-warehouse"
+      val warehouse = graft.Scratch.dir("q154-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "embeddings").createOrReplaceTempView("emb_src_q154")
@@ -1069,7 +1069,7 @@ object IcebergQueries {
     "q155_ann_iceberg" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.functions.col
-      val warehouse = "/root/repo/target/q155-warehouse"
+      val warehouse = graft.Scratch.dir("q155-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "embeddings").createOrReplaceTempView("emb_src_q155")
@@ -1100,7 +1100,7 @@ object IcebergQueries {
       import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.functions.col
       implicit val spark: SparkSession = s
-      val warehouse = "/root/repo/target/q159-warehouse"
+      val warehouse = graft.Scratch.dir("q159-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "documents").createOrReplaceTempView("docs_src_q159")
@@ -1137,7 +1137,7 @@ object IcebergQueries {
     "q160_cdc_updates" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       import org.apache.spark.sql.functions.col
-      val warehouse = "/root/repo/target/q160-warehouse"
+      val warehouse = graft.Scratch.dir("q160-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q160")
@@ -1177,7 +1177,7 @@ object IcebergQueries {
     // plumbing break hash-mismatches.
     "q75_cbo_stats" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q75-warehouse"
+      val warehouse = graft.Scratch.dir("q75-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q75")
@@ -1229,7 +1229,7 @@ object IcebergQueries {
     "q90_incremental_mv" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       import graft.operators.IncrementalView
-      val warehouse = "/root/repo/target/q90-warehouse"
+      val warehouse = graft.Scratch.dir("q90-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q90")
@@ -1277,7 +1277,7 @@ object IcebergQueries {
     // from-scratch recompute of the final rollup.
     "q97_mv_procedures" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q97-warehouse"
+      val warehouse = graft.Scratch.dir("q97-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q97")
@@ -1307,7 +1307,7 @@ object IcebergQueries {
 
     "q67_mor" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q67-warehouse"
+      val warehouse = graft.Scratch.dir("q67-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q67")
@@ -1343,7 +1343,7 @@ object IcebergQueries {
     // change ROWS (not just counts) are hash-gated.
     "q66_changelog" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q66-warehouse"
+      val warehouse = graft.Scratch.dir("q66-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "nation").createOrReplaceTempView("nation_src_q66")
@@ -1379,7 +1379,7 @@ object IcebergQueries {
     // the fact-fact join pattern: shuffle neither side, ever.
     "q65_spj" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
-      val warehouse = "/root/repo/target/q65-warehouse"
+      val warehouse = graft.Scratch.dir("q65-warehouse")
       val conf = s.sessionState.newHadoopConf()
       new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
       Tables.load(s, d, "customer").createOrReplaceTempView("customer_src_q65")

@@ -72,7 +72,7 @@ class RuntimeFilterSpec extends SparkSpec {
     // on purpose — a LocalRelation dim gets its Filter constant-folded
     // away (ConvertToLocalRelation), and DPP insertion requires a visible
     // selective predicate on the pruning side.
-    val vdir = "/root/repo/target/test-rf-vendors"
+    val vdir = graft.Scratch.dir("test-rf-vendors")
     Seq((1L, "keep"), (2L, "drop")).toDF("vendor_id", "tag")
       .write.mode("overwrite").parquet(vdir)
     spark.read.parquet(vdir).createOrReplaceTempView("vendors")
@@ -113,7 +113,7 @@ class RuntimeFilterSpec extends SparkSpec {
     import org.apache.commons.io.FileUtils
     import graft.iceberg.IcebergWriter
     import graft.operators.Dedup
-    val iDir = "/root/repo/target/test-rtprobe-bucket-index"
+    val iDir = graft.Scratch.dir("test-rtprobe-bucket-index")
     FileUtils.deleteQuietly(new File(iDir))
     import spark.implicits._
     val docs = (0L until 60L).map(i =>
@@ -144,6 +144,74 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(g.currentFiles.size < total,
       s"bucket-transform runtime pruning must bite: " +
         s"${g.currentFiles.size} of $total files survived")
+  }
+
+  test("probe correctness survives the rule being dropped (the " +
+      "ensureRule registration race): identical rows, just less pruning") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.IcebergWriter
+    val iDir = graft.Scratch.dir("test-rtprobe-norule")
+    FileUtils.deleteQuietly(new File(iDir))
+    import spark.implicits._
+    val rows = (0L until 40L).map(i => (i % 8, i, s"payload-$i"))
+      .toDF("bucket_key", "row_id", "payload")
+    IcebergWriter.seedTable(spark, iDir, rows.schema,
+      Seq("bucket_key" -> "identity"))
+    IcebergWriter.append(spark, iDir, rows)
+    val t = IcebergTable(spark, iDir)
+    val keys = Seq(1L, 3L, 1L).toDF("bucket_key")
+    val withRule = graft.iceberg.connector.RuntimeProbe
+      .prunedByKeys(spark, t, "bucket_key", keys)
+      .orderBy("row_id").collect()
+    // force the documented race's outcome: a user assignment dropped
+    // the rule between registration and planning
+    graft.iceberg.connector.RuntimeProbe.removeRuleForTest(spark)
+    try {
+      val without = graft.iceberg.connector.RuntimeProbe
+        .prunedByKeys(spark, t, "bucket_key", keys)
+      graft.iceberg.connector.RuntimeProbe.removeRuleForTest(spark)
+      val rowsWithout = without.orderBy("row_id").collect()
+      assert(rowsWithout.toSeq == withRule.toSeq,
+        "the probe join must enforce the key set row-exactly without the rule")
+    } finally {
+      // leave no half-registered state behind for later suites
+      graft.iceberg.connector.RuntimeProbe.removeRuleForTest(spark)
+    }
+  }
+
+  test("the probe rule never fires on user-composed plans reusing a " +
+      "marked column (non-markedKeys build shapes are ignored)") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    import graft.iceberg.IcebergWriter
+    val iDir = graft.Scratch.dir("test-rtprobe-usershape")
+    FileUtils.deleteQuietly(new File(iDir))
+    import spark.implicits._
+    val rows = (0L until 20L).map(i => (i % 4, i)).toDF("k", "v")
+    IcebergWriter.seedTable(spark, iDir, rows.schema, Nil)
+    IcebergWriter.append(spark, iDir, rows)
+    val t = IcebergTable(spark, iDir)
+    val idx = graft.iceberg.connector.RuntimeProbe.dsv2Read(spark, t)
+    // a user plan reusing marked keys BUT not the distinct-aggregate
+    // shape markedKeys produces (a union above it — a shape the
+    // optimizer cannot collapse back into the aggregate): the rule must
+    // decline — results still exact via the join itself. Note a plain
+    // projection decoration does NOT count as a user shape: the
+    // optimizer hoists it above the join, leaving exactly the probe
+    // aggregate, which is semantically a probe and fine to prune.
+    val marked = graft.iceberg.connector.RuntimeProbe
+      .markedKeys(spark, Seq(1L, 2L).toDF("k"), "k",
+        org.apache.spark.sql.types.LongType)
+    val userShape = marked.union(Seq(2L, 3L).toDF("k"))
+    val joined = idx.join(userShape, Seq("k"))
+    joined.collect()
+    val scans = allNodes(joined.queryExecution.executedPlan).collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftBatchScan] => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.runtimeFilters.isEmpty),
+      "a non-markedKeys build shape must not receive the pruning filter:\n" +
+        joined.queryExecution.executedPlan)
   }
 
   private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
