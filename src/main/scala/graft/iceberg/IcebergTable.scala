@@ -1297,17 +1297,31 @@ final class IcebergTable private (
     * content (copy-on-write rewrites carry untouched rows through new
     * files) are CARRYOVERS, dropped entirely. Unpaired rows (true
     * inserts/deletes, pre-lineage files serving null `_row_id`) keep
-    * their types. This is the changelog-view semantics engines build
-    * from user-declared identifier columns, grounded instead in the
-    * spec's own row identity — correct even when every column of a row
-    * changes. Output adds `_row_id` to [[changesBetween]]'s columns.
-    * Requires a lineage-assigning table (v3 / declared-v3). */
+    * their types. On a lineage-assigning table (v3 / declared-v3) the
+    * pairing key is the spec's own row identity — correct even when
+    * every column of a row changes — and the output adds `_row_id` to
+    * [[changesBetween]]'s columns. On a v2 table the pairing key is the
+    * schema's declared `identifier-field-ids` (`ALTER TABLE t SET
+    * IDENTIFIER FIELDS ...`) — the upstream changelog-view semantics
+    * for the v2 installed base — and the output matches
+    * [[changesBetween]]'s columns exactly. Requires one or the other. */
   def changesWithUpdates(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
     import IcebergTable.RowIdCol
-    require(IcebergWriter.wantsLineage(metadata),
-      "changesWithUpdates needs v3 row lineage (format-version = 3); " +
-        "use changesBetween / netChangesBetween on v2 tables")
-    require(!metadata.schema.fieldNames.contains(RowIdCol),
+    // pair on the spec's own row identity when the table assigns it
+    // (v3 lineage — correct even when every column changes); otherwise
+    // on the user-declared identifier fields (`identifier-field-ids`,
+    // the reference's SchemaV2 element, table.rs:371) — how engines
+    // pair updates on the v2 installed base. Identifier pairing assumes
+    // what the declaration means: identifier values are unique per
+    // commit side (the upstream changelog-view contract).
+    val v3 = IcebergWriter.wantsLineage(metadata)
+    val idNames = if (v3) Nil else metadata.identifierFieldNames
+    require(v3 || idNames.nonEmpty,
+      "changesWithUpdates needs v3 row lineage (format-version = 3) or " +
+        "declared identifier fields — ALTER TABLE t SET IDENTIFIER " +
+        "FIELDS (...) on v2 tables; changesBetween / netChangesBetween " +
+        "need neither")
+    if (v3) require(!metadata.schema.fieldNames.contains(RowIdCol),
       s"changesWithUpdates cannot serve row lineage: a data column " +
         s"shadows the reserved $RowIdCol name")
     // map columns have no null-safe equality in Spark, so the carryover
@@ -1325,24 +1339,30 @@ final class IcebergTable private (
     require(mapCols.isEmpty,
       s"changesWithUpdates cannot compare map columns for carryover " +
         s"detection (${mapCols.mkString(", ")}); use changesBetween")
-    val cs = changesBetweenImpl(spark, fromId, toId, withLineage = true)
+    val cs = changesBetweenImpl(spark, fromId, toId, withLineage = v3)
       .localCheckpoint(true) // three readers below; the window scan runs once
     val schemaCols = metadata.schema.fieldNames.toSeq
-    val ided = cs.filter(col(RowIdCol).isNotNull)
+    // the per-row pairing key: v3 = the spec-assigned _row_id; v2 = the
+    // declared identifier columns (required per spec, but imported files
+    // can violate that — a null key never pairs, it stays insert/delete)
+    val keyCols = if (v3) Seq(RowIdCol) else idNames
+    val ided = cs.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
     val b = ided.filter(col("_change_type") === "delete")
     val a = ided.filter(col("_change_type") === "insert")
-    val pairCols = Seq("_commit_snapshot_id", RowIdCol)
-    // row ids are unique per side within a commit, so the pair join is
-    // 1:1; the content comparison decides carryover vs update. Pinned:
-    // three consumers below (both update sides + the anti-join keys)
-    // must not re-run the self-join and the full-row comparison
+    val pairCols = "_commit_snapshot_id" +: keyCols
+    // pairing keys are unique per side within a commit (_row_id by
+    // construction; identifier values by declaration), so the pair join
+    // is 1:1; the content comparison decides carryover vs update.
+    // Pinned: three consumers below (both update sides + the anti-join
+    // keys) must not re-run the self-join and the full-row comparison
     val paired = b.as("b").join(a.as("a"),
       pairCols.map(c => col(s"b.$c") === col(s"a.$c")).reduce(_ && _))
       .localCheckpoint(true)
     val changed = paired.filter(
       !schemaCols.map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _))
+    val outCols = schemaCols ++ (if (v3) Seq(RowIdCol) else Nil)
     def side(tag: String, tpe: String) = changed.select(
-      (schemaCols ++ Seq(RowIdCol)).map(c => col(s"$tag.$c")) ++ Seq(
+      outCols.map(c => col(s"$tag.$c")) ++ Seq(
         lit(tpe).as("_change_type"),
         col(s"$tag._commit_snapshot_id"),
         col(s"$tag._change_ordinal")): _*)

@@ -120,7 +120,13 @@ final case class TableMetadata(
     statistics: Seq[StatisticsFile] = Nil,
     /** v3 row lineage: the next row id to assign (spec `next-row-id`).
       * None on v1/v2 metadata. */
-    nextRowId: Option[Long] = None) {
+    nextRowId: Option[Long] = None,
+    /** The current schema's `identifier-field-ids` (spec schema field;
+      * the reference builds its SchemaV2 with them, `table.rs:371`) —
+      * the declared row-identity columns. Empty when undeclared. Used to
+      * pair CDC updates on v2 tables (no row lineage) and as the
+      * default upsert key set. */
+    identifierFieldIds: Seq[Int] = Nil) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -163,6 +169,21 @@ final case class TableMetadata(
     * the reference supports — fixture `v1.metadata.json:70`). */
   def identityPartitionColumns: Seq[String] =
     partitionSpec.filter(_.transform == "identity").map(_.name)
+
+  /** Top-level column names of [[identifierFieldIds]], in declaration
+    * order. An id that resolves to no CURRENT column (dropped without
+    * clearing the identifier set — foreign metadata) is refused loudly:
+    * silently pairing on a partial key would mis-attribute updates. */
+  def identifierFieldNames: Seq[String] = {
+    if (identifierFieldIds.isEmpty) Nil
+    else {
+      val byId = fieldIds.map(_.swap)
+      identifierFieldIds.map(id => byId.getOrElse(id,
+        throw new IllegalStateException(
+          s"identifier-field-id $id resolves to no current schema column " +
+            s"(have: ${fieldIds.map { case (n, i) => s"$n=$i" }.mkString(", ")})")))
+    }
+  }
 
   /** The spec a manifest with this `partition_spec_id` was written under —
     * None when the id is unknown (foreign metadata that dropped the list),
@@ -358,6 +379,8 @@ object TableMetadata {
         }.toMap)
         .getOrElse(Map.empty),
       nextRowId = Option(root.get("next-row-id")).map(_.asLong),
+      identifierFieldIds = Option(sn.get("identifier-field-ids"))
+        .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil),
       statistics = Option(root.get("statistics"))
         .map(_.elements.asScala.toSeq).getOrElse(Nil)
         .map { s =>

@@ -176,6 +176,15 @@ object SchemaEvolution {
           if (!del.ifExists) throw new IllegalArgumentException(s"no such column: $name")
         } else {
           refusePartitionSource(name, "drop")
+          // dropping a declared identifier field would leave the
+          // identifier set dangling (CDC pairing, upsert defaults) —
+          // clear or change the identifier fields first
+          val idIds = Option(currentSchema.get("identifier-field-ids"))
+            .map(_.elements.asScala.map(_.asInt).toSet).getOrElse(Set.empty)
+          if (idIds.contains(fields.get(i).get("id").asInt))
+            throw new UnsupportedOperationException(
+              s"cannot drop column $name: it is a declared identifier field " +
+                "(ALTER TABLE ... SET/DROP IDENTIFIER FIELDS first)")
           if (fields.size == 1) throw new UnsupportedOperationException(
             "cannot drop the last column")
           fields.remove(i)
@@ -280,5 +289,111 @@ object SchemaEvolution {
         Seq(MetadataCommit.assertCurrentSchemaId(mapper, baseSchemaId))
       else Nil
     if (built.nonEmpty) cmtr.commit(requirements, built)
+  }
+
+  /** `ALTER TABLE t SET IDENTIFIER FIELDS a, b` — declare the spec's
+    * `identifier-field-ids` on the current schema (the reference's
+    * `SchemaV2.identifier_field_ids`, `table.rs:371`), committed as a
+    * NEW schema entry like every other evolution. Validation mirrors the
+    * Iceberg spec: identifier fields must be top-level, required
+    * (non-null), primitive, and not float/double (NaN breaks equality).
+    * A nullable column is refused rather than silently promoted —
+    * existing rows may hold nulls the metadata flip could not retract;
+    * declare `NOT NULL` at CREATE TABLE. Pass `names = Nil` via
+    * [[dropIdentifierFields]] to clear the declaration. */
+  def setIdentifierFields(tableDir: String, conf: Configuration,
+      names: Seq[String],
+      committer: Option[TableCommitter] = None): Unit = {
+    require(names.nonEmpty,
+      "SET IDENTIFIER FIELDS needs at least one column " +
+        "(DROP IDENTIFIER FIELDS clears the declaration)")
+    rewriteIdentifierFields(tableDir, conf, committer) { (fields, fieldAt, _) =>
+      names.map { name =>
+        val i = fieldAt(name)
+        if (i < 0) throw new IllegalArgumentException(
+          s"SET IDENTIFIER FIELDS: no such column: $name")
+        val f = fields.get(i)
+        if (!f.get("required").asBoolean) throw new UnsupportedOperationException(
+          s"identifier field $name must be required (NOT NULL): existing " +
+            "rows may hold nulls, so the column cannot be promoted here — " +
+            "declare it NOT NULL at CREATE TABLE")
+        val tpe = if (f.get("type").isTextual) f.get("type").asText else "nested"
+        if (tpe == "float" || tpe == "double" || !f.get("type").isTextual)
+          throw new UnsupportedOperationException(
+            s"identifier field $name has type $tpe — identifier fields " +
+              "must be primitive and not float/double (Iceberg spec)")
+        f.get("id").asInt
+      }
+    }
+  }
+
+  /** `ALTER TABLE t DROP IDENTIFIER FIELDS [a, b]` — remove the named
+    * columns from the declaration, or clear it entirely when no names
+    * are given. Removing a name that is not declared is refused (the
+    * user is operating on a stale mental model of the key). */
+  def dropIdentifierFields(tableDir: String, conf: Configuration,
+      names: Seq[String] = Nil,
+      committer: Option[TableCommitter] = None): Unit =
+    rewriteIdentifierFields(tableDir, conf, committer) { (fields, fieldAt, cur) =>
+      if (names.isEmpty) Nil
+      else {
+        val dropIds = names.map { name =>
+          val i = fieldAt(name)
+          if (i < 0) throw new IllegalArgumentException(
+            s"DROP IDENTIFIER FIELDS: no such column: $name")
+          val id = fields.get(i).get("id").asInt
+          if (!cur.contains(id)) throw new IllegalArgumentException(
+            s"DROP IDENTIFIER FIELDS: $name is not a declared identifier " +
+              "field")
+          id
+        }.toSet
+        cur.filterNot(dropIds)
+      }
+    }
+
+  /** Shared SET/DROP machinery: deep-copy the current schema, let
+    * `computeIds` produce the new identifier id list from (fields node,
+    * name→index, current ids), commit as add-schema + set-current-schema
+    * with the same base-schema assertion `alter` uses. */
+  private def rewriteIdentifierFields(tableDir: String, conf: Configuration,
+      committer: Option[TableCommitter])(
+      computeIds: (ArrayNode, String => Int, Seq[Int]) => Seq[Int]): Unit = {
+    val mapper = new ObjectMapper()
+    val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
+    val root = cmtr.currentRoot(mapper)
+    val currentSchema: ObjectNode = {
+      val currentId = Option(root.get("current-schema-id")).map(_.asInt)
+      val fromList = Option(root.get("schemas")).flatMap { arr =>
+        val all = arr.elements.asScala.toSeq
+        currentId.flatMap(id => all.find(_.get("schema-id").asInt == id))
+          .orElse(all.lastOption)
+      }
+      fromList.orElse(Option(root.get("schema")))
+        .getOrElse(throw new IllegalArgumentException("metadata has no schema"))
+        .deepCopy[ObjectNode]()
+    }
+    val fields = currentSchema.get("fields").asInstanceOf[ArrayNode]
+    def fieldAt(name: String): Int =
+      (0 until fields.size).find(i => fields.get(i).get("name").asText == name)
+        .getOrElse(-1)
+    val curIds = Option(currentSchema.get("identifier-field-ids"))
+      .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil)
+    val ids = computeIds(fields, fieldAt, curIds)
+    if (ids.isEmpty) currentSchema.remove("identifier-field-ids")
+    else {
+      val arr = currentSchema.putArray("identifier-field-ids")
+      ids.foreach(arr.add)
+    }
+    val baseSchemaId = Option(root.get("current-schema-id")).map(_.asInt)
+      .orElse(Option(currentSchema.get("schema-id")).map(_.asInt))
+      .getOrElse(0)
+    currentSchema.remove("schema-id")
+    val lastColumnId = Option(root.get("last-column-id")).map(_.asInt)
+      .getOrElse((0 until fields.size)
+        .map(i => fields.get(i).get("id").asInt).maxOption.getOrElse(0))
+    cmtr.commit(
+      Seq(MetadataCommit.assertCurrentSchemaId(mapper, baseSchemaId)),
+      Seq(MetadataCommit.addSchema(mapper, currentSchema, lastColumnId),
+        MetadataCommit.setCurrentSchema(mapper, -1)))
   }
 }

@@ -339,9 +339,11 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
           case _ => false
         }
         // compute_updates => 1 pairs rewrite halves into update_before/
-        // update_after by the v3 `_row_id` and drops carryovers
-        // (changesWithUpdates; refuses v2 tables loudly). Mutually
-        // exclusive with net_changes — they answer different consumers.
+        // update_after — by the v3 `_row_id`, or on v2 tables by the
+        // declared identifier fields — and drops carryovers
+        // (changesWithUpdates; refuses v2 tables WITHOUT identifier
+        // fields loudly). Mutually exclusive with net_changes — they
+        // answer different consumers.
         val updates = m.get("compute_updates").exists {
           case l: Long => l != 0L
           case s: String => s.equalsIgnoreCase("true")

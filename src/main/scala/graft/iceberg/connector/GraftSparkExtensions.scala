@@ -65,6 +65,12 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         GraftSqlParser.parseSortCols(cols))
     case WriteUnorderedRe(table) =>
       GraftWriteUnorderedCommand(delegate.parseMultipartIdentifier(table))
+    case SetIdFieldsRe(table, cols) =>
+      GraftSetIdentifierFieldsCommand(delegate.parseMultipartIdentifier(table),
+        GraftSqlParser.parseNameList(cols))
+    case DropIdFieldsRe(table, cols) =>
+      GraftDropIdentifierFieldsCommand(delegate.parseMultipartIdentifier(table),
+        Option(cols).map(GraftSqlParser.parseNameList).getOrElse(Nil))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -124,6 +130,24 @@ object GraftSqlParser {
       """\(?\s*([^();]+?)\s*\)?\s*;?\s*$""").r
   private[connector] val WriteUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  /** `ALTER TABLE t SET IDENTIFIER FIELDS a, b` / `... (a, b)` — the
+    * Iceberg SQL-extensions identifier-field DDL (stock Spark rejects
+    * the statement). Declares the spec's `identifier-field-ids`. */
+  private[connector] val SetIdFieldsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+SET\s+IDENTIFIER\s+FIELDS\s+""" +
+      """\(?\s*([^();]+?)\s*\)?\s*;?\s*$""").r
+  /** `ALTER TABLE t DROP IDENTIFIER FIELDS [a, b]` — remove named
+    * fields from the declaration, or clear it when no names given. */
+  private[connector] val DropIdFieldsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+IDENTIFIER\s+FIELDS""" +
+      """(?:\s+\(?\s*([^();]+?)\s*\)?)?\s*;?\s*$""").r
+
+  /** "a, `b`, c" → Seq("a", "b", "c") — bare column-name lists. */
+  private[connector] def parseNameList(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { tok =>
+      require(tok.matches("`[^`]+`|[\\w]+"), s"bad column name: '$tok'")
+      tok.stripPrefix("`").stripSuffix("`")
+    }
 
   /** "a ASC, b DESC, c" → Seq(("a","asc"), ("b","desc"), ("c","asc")). */
   private[connector] def parseSortCols(s: String): Seq[(String, String)] =
@@ -143,7 +167,7 @@ object GraftSqlParser {
   /** Resolve a statement's multipart table name to (GraftCatalog,
     * Identifier, its SparkIcebergTable) through the session's catalog
     * manager — same head-is-a-catalog rule the analyzer uses. */
-  private[connector] def resolveTable(spark: SparkSession, parts: Seq[String])
+  private[graft] def resolveTable(spark: SparkSession, parts: Seq[String])
       : (GraftCatalog, Identifier, SparkIcebergTable) = {
     require(parts.nonEmpty, "empty table name")
     val cm = spark.sessionState.catalogManager
@@ -288,6 +312,35 @@ final case class GraftWriteUnorderedCommand(table: Seq[String])
     val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
     graft.iceberg.SortOrderEvolution.writeUnordered(
       t.table.tableDir, t.table.conf, t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t SET IDENTIFIER FIELDS a, b` — declare the schema's
+  * `identifier-field-ids` ([[graft.iceberg.SchemaEvolution.setIdentifierFields]]):
+  * a new-schema metadata commit, no data movement. */
+final case class GraftSetIdentifierFieldsCommand(table: Seq[String],
+    cols: Seq[String]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    graft.iceberg.SchemaEvolution.setIdentifierFields(
+      t.table.tableDir, t.table.conf, cols, t.committerOpt)
+    cat.invalidateTable(ident)
+    Nil
+  }
+}
+
+/** `ALTER TABLE t DROP IDENTIFIER FIELDS [a, b]` — remove named fields
+  * from the declaration (bare form clears it). */
+final case class GraftDropIdentifierFieldsCommand(table: Seq[String],
+    cols: Seq[String]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, ident, t) = GraftSqlParser.resolveTable(spark, table)
+    graft.iceberg.SchemaEvolution.dropIdentifierFields(
+      t.table.tableDir, t.table.conf, cols, t.committerOpt)
     cat.invalidateTable(ident)
     Nil
   }

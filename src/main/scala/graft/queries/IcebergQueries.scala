@@ -1168,6 +1168,61 @@ object IcebergQueries {
           col("_change_type").asc_nulls_first)
     }),
 
+    // CDC update pairing on the v2 INSTALLED BASE: no row lineage —
+    // pairing is keyed by the schema's declared `identifier-field-ids`
+    // (ALTER TABLE ... SET IDENTIFIER FIELDS, the reference's SchemaV2
+    // element at table.rs:371). The window spans a copy-on-write UPDATE
+    // (rewritten-but-unchanged rows must drop as carryovers), a
+    // merge-on-read MERGE (matched update halves pair across the
+    // delete+reinsert; the unmatched row stays a plain insert), and a
+    // DELETE — the oracle recomputes the whole paired stream from
+    // relational semantics alone.
+    "q161_cdc_v2_identifier" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      val warehouse = graft.Scratch.dir("q161-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q161")
+      s.conf.set("spark.sql.catalog.q161cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q161cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q161cat.ns")
+      s.sql("CREATE TABLE q161cat.ns.cdc (k BIGINT NOT NULL, v STRING)")
+      s.sql("ALTER TABLE q161cat.ns.cdc SET IDENTIFIER FIELDS k")
+      s.sql(
+        """INSERT INTO q161cat.ns.cdc
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM orders_src_q161 WHERE o_orderkey % 5 = 0""".stripMargin)
+      val dir = s"$warehouse/ns/cdc"
+      val s0 = new graft.iceberg.IcebergTable(dir, conf)
+        .metadata.snapshotLineage.last
+      s.sql("UPDATE q161cat.ns.cdc SET v = concat(v, '+') WHERE k % 20 = 0")
+      // MoR from here on: the MERGE writes delete+reinsert deltas, and
+      // the later DELETE must also stay merge-on-read (a CoW rewrite
+      // would refuse against the MERGE's outstanding delete files)
+      s.sql("ALTER TABLE q161cat.ns.cdc SET TBLPROPERTIES (" +
+        "'write.merge.mode' = 'merge-on-read', " +
+        "'write.delete.mode' = 'merge-on-read')")
+      s.sql(
+        """MERGE INTO q161cat.ns.cdc t
+          |USING (SELECT CAST(o_orderkey AS BIGINT) AS k, 'M' AS v
+          |       FROM orders_src_q161
+          |       WHERE o_orderkey % 5 = 0 AND o_orderkey % 30 = 5
+          |       UNION ALL
+          |       SELECT CAST(o_orderkey AS BIGINT) + 20000000, 'N'
+          |       FROM orders_src_q161 WHERE o_orderkey % 50 = 7) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("DELETE FROM q161cat.ns.cdc WHERE k % 35 = 0")
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      t.changesWithUpdates(s, s0, t.metadata.snapshotLineage.last)
+        .select(col("k"), col("v"), col("_change_type"),
+          col("_change_ordinal"))
+        .orderBy(col("k").asc_nulls_first, col("_change_ordinal").asc_nulls_first,
+          col("_change_type").asc_nulls_first)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1638,6 +1693,42 @@ object IcebergQueries {
         |  SELECT k, v, 'delete', 1 FROM state1 WHERE k % 35 = 0
         |  UNION ALL
         |  SELECT k, v, 'insert', 2 FROM ins)
+        |SELECT k, v, _change_type,
+        |       CAST(_change_ordinal AS INT) AS _change_ordinal
+        |FROM stream
+        |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
+        |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q161_cdc_v2_identifier" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS v
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |upd AS (
+        |  SELECT k, v AS v_old, v || '+' AS v_new FROM base WHERE k % 20 = 0),
+        |state1 AS (
+        |  SELECT b.k, COALESCE(u.v_new, b.v) AS v
+        |  FROM base b LEFT JOIN upd u USING (k)),
+        |mupd AS (
+        |  SELECT k, v AS v_old, 'M' AS v_new FROM state1 WHERE k % 30 = 5),
+        |mins AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) + 20000000 AS k, 'N' AS v
+        |  FROM orders WHERE o_orderkey % 50 = 7),
+        |state2 AS (
+        |  SELECT s.k, COALESCE(m.v_new, s.v) AS v
+        |  FROM state1 s LEFT JOIN mupd m USING (k)
+        |  UNION ALL SELECT k, v FROM mins),
+        |stream AS (
+        |  SELECT k, v_old AS v, 'update_before' AS _change_type,
+        |         0 AS _change_ordinal FROM upd
+        |  UNION ALL
+        |  SELECT k, v_new, 'update_after', 0 FROM upd
+        |  UNION ALL
+        |  SELECT k, v_old, 'update_before', 1 FROM mupd
+        |  UNION ALL
+        |  SELECT k, v_new, 'update_after', 1 FROM mupd
+        |  UNION ALL
+        |  SELECT k, v, 'insert', 1 FROM mins
+        |  UNION ALL
+        |  SELECT k, v, 'delete', 2 FROM state2 WHERE k % 35 = 0)
         |SELECT k, v, _change_type,
         |       CAST(_change_ordinal AS INT) AS _change_ordinal
         |FROM stream

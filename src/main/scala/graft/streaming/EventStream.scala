@@ -302,9 +302,32 @@ object EventStream {
     * deduplicated batch reproduces the same table state (pure upserts
     * have no order-dependent effects), so at-least-once foreachBatch
     * delivery yields exactly-once table contents.
+    *
+    * `keys = Nil` (the default) resolves the key set from the target
+    * table's declared `identifier-field-ids` (`ALTER TABLE t SET
+    * IDENTIFIER FIELDS ...`) — the schema's own statement of row
+    * identity, so the CDC feed and the table cannot disagree on it.
     */
   def icebergUpsertSink(stream: DataFrame, tableName: String,
-                        keys: Seq[String], versionCol: Option[String] = None)
+                        keys: Seq[String] = Nil,
+                        versionCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val keysResolved = if (keys.nonEmpty) keys else {
+      val spark = stream.sparkSession
+      val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(tableName)
+      val (_, _, t) = graft.iceberg.connector.GraftSqlParser.resolveTable(spark, parts)
+      val ids = t.table.metadata.identifierFieldNames
+      require(ids.nonEmpty,
+        s"upsert sink: no keys given and $tableName declares no identifier " +
+          "fields — pass keys explicitly or ALTER TABLE ... SET IDENTIFIER " +
+          "FIELDS")
+      ids
+    }
+    upsertSinkWithKeys(stream, tableName, keysResolved, versionCol)
+  }
+
+  private def upsertSinkWithKeys(stream: DataFrame, tableName: String,
+                        keys: Seq[String], versionCol: Option[String])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(keys.nonEmpty, "upsert sink needs at least one key column")
     stream.writeStream.foreachBatch {

@@ -273,13 +273,61 @@ class ChangelogSpec extends SparkSpec {
     assert(cs.filter(_._4 == 3) == Seq((100, "fresh", "insert", 3)))
     assert(byType.keySet == Set("update_before", "update_after",
       "insert", "delete"))
-    // v2 tables refuse loudly
+    // v2 tables WITHOUT identifier fields refuse loudly, naming the fix
     spark.sql("CREATE TABLE clu.ns.v2t (k INT, v STRING)")
     spark.sql("INSERT INTO clu.ns.v2t VALUES (1, 'a')")
     val t2 = new IcebergTable(s"$ns/v2t", conf)
     val e = intercept[IllegalArgumentException] {
       t2.changesWithUpdates(spark, 0L, lineage(s"$ns/v2t").last)
     }
-    assert(e.getMessage.contains("format-version"))
+    assert(e.getMessage.contains("format-version") &&
+      e.getMessage.contains("SET IDENTIFIER"))
+  }
+
+  test("changesWithUpdates on a v2 table pairs by the declared " +
+      "identifier fields — CoW UPDATE, MoR MERGE, and key churn") {
+    val ns = fresh("cluid")
+    spark.sql("CREATE TABLE cluid.ns.u (k INT NOT NULL, v STRING)")
+    spark.sql("ALTER TABLE cluid.ns.u SET IDENTIFIER FIELDS k")
+    spark.sql("INSERT INTO cluid.ns.u SELECT CAST(id AS INT), " +
+      "concat('v', id) FROM range(20)")
+    val dir = s"$ns/u"
+    val s0 = lineage(dir).last
+    // ordinal 0 — CoW UPDATE: 5 rows change, 15 rewritten-but-identical
+    // rows must drop as carryovers
+    spark.sql("UPDATE cluid.ns.u SET v = concat(v, '!') WHERE k % 4 = 0")
+    // ordinal 1 — MoR MERGE: one matched update (delete+reinsert halves
+    // pair on k) and one unmatched insert (stays a plain insert)
+    spark.sql("ALTER TABLE cluid.ns.u SET TBLPROPERTIES (" +
+      "'write.merge.mode' = 'merge-on-read')")
+    spark.sql(
+      """MERGE INTO cluid.ns.u t
+        |USING (SELECT 3 AS k, 'merged' AS v
+        |       UNION ALL SELECT 200, 'fresh') s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // ordinal 2 — true deletes keep their type
+    spark.sql("DELETE FROM cluid.ns.u WHERE k IN (7, 11)")
+    val df = new IcebergTable(dir, conf)
+      .changesWithUpdates(spark, s0, lineage(dir).last)
+    // v2 output matches changesBetween's columns exactly — no _row_id
+    assert(!df.columns.contains("_row_id"), df.columns.mkString(","))
+    val cs = df.select("k", "v", "_change_type", "_change_ordinal").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    val ub0 = cs.filter(c => c._4 == 0 && c._3 == "update_before")
+    val ua0 = cs.filter(c => c._4 == 0 && c._3 == "update_after")
+    assert(ub0.map(c => (c._1, c._2)).sorted ==
+      Seq(0, 4, 8, 12, 16).map(k => (k, s"v$k")), s"befores: $ub0")
+    assert(ua0.map(c => (c._1, c._2)).sorted ==
+      Seq(0, 4, 8, 12, 16).map(k => (k, s"v$k!")), s"afters: $ua0")
+    assert(!cs.exists(c => c._4 == 0 && (c._3 == "insert" || c._3 == "delete")),
+      s"carryovers must be dropped: ${cs.filter(_._4 == 0)}")
+    assert(cs.filter(_._4 == 1).map(c => (c._1, c._2, c._3)).sorted == Seq(
+      (3, "merged", "update_after"), (3, "v3", "update_before"),
+      (200, "fresh", "insert")), s"MERGE window: ${cs.filter(_._4 == 1)}")
+    assert(cs.filter(_._4 == 2).map(c => (c._1, c._3)).sorted ==
+      Seq((7, "delete"), (11, "delete")))
   }
 }

@@ -553,6 +553,36 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("DROP TABLE restcat.rns.ev")
   }
 
+  test("REST: SET IDENTIFIER FIELDS round-trips the ids through the " +
+      "service's add-schema commit") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.idf")
+    spark.sql("CREATE TABLE restcat.rns.idf (id BIGINT NOT NULL, v STRING)")
+    spark.sql("ALTER TABLE restcat.rns.idf SET IDENTIFIER FIELDS id")
+    // the ids live in the SERVER's metadata document, inside the new
+    // current schema (not a property) — and a fresh load serves them
+    val doc = tables(("rns", "idf"))
+    val curId = doc.get("current-schema-id").asInt
+    val schemaNode = {
+      val it = doc.get("schemas").elements()
+      var found: com.fasterxml.jackson.databind.JsonNode = null
+      while (it.hasNext) {
+        val n = it.next(); if (n.get("schema-id").asInt == curId) found = n
+      }
+      found
+    }
+    assert(schemaNode != null && schemaNode.has("identifier-field-ids"),
+      s"server schema missing identifier-field-ids: $schemaNode")
+    val loaded = spark.sessionState.catalogManager.catalog("restcat")
+      .asInstanceOf[graft.iceberg.connector.GraftCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("rns"), "idf"))
+      .asInstanceOf[graft.iceberg.connector.SparkIcebergTable]
+    assert(loaded.table.metadata.identifierFieldNames == Seq("id"))
+    spark.sql("DROP TABLE restcat.rns.idf")
+  }
+
   test("REST: partition + sort-order evolution commit their update actions over the wire") {
     useRest()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")

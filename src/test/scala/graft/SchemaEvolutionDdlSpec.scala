@@ -133,6 +133,49 @@ class SchemaEvolutionDdlSpec extends SparkSpec {
       .collect()(0).getLong(0) == (0 until 10).filter(_ != 4).count(_ * 7 > 20))
   }
 
+  test("SET/DROP IDENTIFIER FIELDS: declared, validated, and round-tripped " +
+      "through schema evolution") {
+    freshCatalog("ddl9")
+    spark.sql("CREATE TABLE ddl9.ns.t (id BIGINT NOT NULL, " +
+      "cat STRING NOT NULL, score DOUBLE NOT NULL, note STRING)")
+    def meta = graft.iceberg.TableMetadata.load(
+      s"$wh/ns/t", spark.sessionState.newHadoopConf())
+    spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS id, cat")
+    assert(meta.identifierFieldNames == Seq("id", "cat"))
+    // the declaration SURVIVES unrelated evolution (deep-copied schema)
+    spark.sql("ALTER TABLE ddl9.ns.t ADD COLUMN extra BIGINT")
+    assert(meta.identifierFieldNames == Seq("id", "cat"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // dropping a declared identifier column refuses
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl9.ns.t DROP COLUMN cat") }
+    assert(msgs(e1).exists(_.contains("identifier field")))
+    // a nullable column cannot become an identifier field
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS note") }
+    assert(msgs(e2).exists(_.contains("required")))
+    // float/double cannot (NaN breaks identity equality)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS score") }
+    assert(msgs(e3).exists(_.contains("float/double")))
+    // the parenthesized form parses too; SET replaces the whole set
+    spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS (id)")
+    assert(meta.identifierFieldNames == Seq("id"))
+    spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS id, cat")
+    // DROP with names narrows; undeclared names refuse; bare DROP clears
+    spark.sql("ALTER TABLE ddl9.ns.t DROP IDENTIFIER FIELDS cat")
+    assert(meta.identifierFieldNames == Seq("id"))
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl9.ns.t DROP IDENTIFIER FIELDS cat") }
+    assert(msgs(e4).exists(_.contains("not a declared identifier")))
+    spark.sql("ALTER TABLE ddl9.ns.t DROP IDENTIFIER FIELDS")
+    assert(meta.identifierFieldIds.isEmpty)
+    // cleared: the column drop now goes through
+    spark.sql("ALTER TABLE ddl9.ns.t DROP COLUMN cat")
+    assert(!meta.schema.fieldNames.contains("cat"))
+  }
+
   test("evolution coexists with snapshots: time travel reads the old schema's data") {
     freshCatalog("ddl7")
     spark.sql("CREATE TABLE ddl7.ns.t (k BIGINT, v BIGINT)")

@@ -222,6 +222,45 @@ class StreamingSpec extends SparkSpec {
       s"upsert state wrong: $got")
   }
 
+  test("upsert sink defaults its keys from the table's declared " +
+      "identifier fields") {
+    import java.io.File
+    import org.apache.commons.io.FileUtils
+    val wh = graft.Scratch.dir("test-upsert-idf-wh")
+    val ckpt = graft.Scratch.dir("test-upsert-idf-ckpt")
+    FileUtils.deleteQuietly(new File(wh))
+    FileUtils.deleteQuietly(new File(ckpt))
+    spark.conf.set("spark.sql.catalog.upidcat",
+      classOf[graft.iceberg.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.upidcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS upidcat.ns")
+    spark.sql("CREATE TABLE upidcat.ns.docs (k BIGINT NOT NULL, v STRING)")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("k", "v")
+    // no identifier fields declared: the keyless sink refuses, naming
+    // the DDL that fixes it
+    val e = intercept[IllegalArgumentException](
+      EventStream.icebergUpsertSink(stream, "upidcat.ns.docs"))
+    assert(e.getMessage.contains("SET IDENTIFIER"))
+    spark.sql("ALTER TABLE upidcat.ns.docs SET IDENTIFIER FIELDS k")
+    val q = EventStream.icebergUpsertSink(stream, "upidcat.ns.docs")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      mem.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT k, v FROM upidcat.ns.docs ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c")),
+      s"identifier-keyed upsert state wrong: $got")
+  }
+
   test("MV sink keeps a stored rollup equal to a full recompute; replay no-ops") {
     import java.io.File
     import org.apache.commons.io.FileUtils
