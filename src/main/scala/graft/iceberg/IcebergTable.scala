@@ -391,7 +391,8 @@ final class IcebergTable private (
 
   private lazy val cachedDeletes: Seq[DeleteFileEntry] =
     manifests.filter(_.content == 1).flatMap(m =>
-      ManifestIO.readDeleteManifest(resolve(m.path), conf, m.sequenceNumber))
+      ManifestIO.readDeleteManifest(resolve(m.path), conf, m.sequenceNumber,
+        m.partitionSpecId))
 
   /** Manifest-level pruning counts only — (kept, total) — computed from
     * the manifest LIST alone (partition summaries), zero manifest reads.

@@ -91,7 +91,14 @@ final case class DeleteFileEntry(
     referencedDataFile: Option[String] = None,
     contentOffset: Option[Long] = None,
     contentSize: Option[Long] = None,
-    fileFormat: Option[String] = None) {
+    fileFormat: Option[String] = None,
+    /** partition tuple the delete file was written under (by spec-field
+      * name, JVM-typed like [[DataFileEntry.partition]]) — what the
+      * `partitions` metadata table attributes delete debt by. Empty for
+      * globally-scoped deletes. */
+    partition: Map[String, Any] = Map.empty,
+    /** spec id of the containing manifest (types [[partition]]). */
+    specId: Int = 0) {
   /** True for a v3 deletion-vector entry, false for a v2 parquet
     * position/equality delete file. Keyed on the declared PUFFIN format
     * (or a present content offset), so a malformed DV entry missing its
@@ -287,7 +294,8 @@ object ManifestIO {
   }
 
   def readDeleteManifest(path: String, conf: Configuration,
-                         inheritSeq: Option[Long] = None): Seq[DeleteFileEntry] = {
+                         inheritSeq: Option[Long] = None,
+                         specId: Int = 0): Seq[DeleteFileEntry] = {
     val reader = open(path, conf)
     try {
       val out = ArrayBuffer.empty[DeleteFileEntry]
@@ -315,7 +323,15 @@ object ManifestIO {
                 opt(df, "referenced_data_file").map(_.toString),
               contentOffset = optLong(df, "content_offset"),
               contentSize = optLong(df, "content_size_in_bytes"),
-              fileFormat = opt(df, "file_format").map(_.toString))
+              fileFormat = opt(df, "file_format").map(_.toString),
+              partition = opt(df, "partition").collect {
+                case p: GenericRecord =>
+                  import scala.jdk.CollectionConverters._
+                  p.getSchema.getFields.asScala.map { f =>
+                    f.name -> jvm(p.get(f.pos).asInstanceOf[AnyRef])
+                  }.toMap
+              }.getOrElse(Map.empty[String, Any]),
+              specId = specId)
           }
         }
       }

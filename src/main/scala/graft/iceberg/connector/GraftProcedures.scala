@@ -165,13 +165,17 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
     case "register_table" =>
       Seq(attr("snapshot_count", IntegerType),
         attr("current_snapshot_id", LongType))
+    case "rebuild_vector_index" =>
+      Seq(attr("index_epoch", StringType),
+        attr("postings_count", LongType))
     case other => throw new UnsupportedOperationException(
       s"unknown procedure system.$other (have: expire_snapshots, " +
         "remove_orphan_files, rewrite_data_files, rewrite_manifests, " +
         "fast_forward, rollback_to_snapshot, rollback_to_timestamp, " +
         "cherrypick_snapshot, create_changelog_view, add_files, " +
         "rewrite_position_delete_files, convert_equality_deletes, " +
-        "analyze_table, create_mv, refresh_mv, snapshot, register_table)")
+        "analyze_table, create_mv, refresh_mv, snapshot, register_table, " +
+        "rebuild_vector_index)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -197,12 +201,30 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "refresh_mv" => Seq("table")
       case "snapshot" => Seq("source_table", "table")
       case "register_table" => Seq("table", "metadata_file")
+      case "rebuild_vector_index" =>
+        Seq("index", "n_centroids", "train_iters", "id_col", "vec_col")
     }
     val m = bind(procedure, params, rawArgs)
     // `snapshot` / `register_table` CREATE their target table — it must
     // not resolve through loadTable like every other procedure's target.
     if (procedure == "snapshot" || procedure == "register_table")
       return runTableCreating(spark, m)
+    // `rebuild_vector_index` targets a VectorIndex DIRECTORY (the pair of
+    // centroid/posting tables under it), not a catalog table ident
+    if (procedure == "rebuild_vector_index") {
+      val indexDir = str(m, "index", procedure)
+      val n = if (m.contains("n_centroids"))
+        lng(m, "n_centroids", procedure).toInt else 16
+      val iters = if (m.contains("train_iters"))
+        lng(m, "train_iters", procedure).toInt else 0
+      val idc = if (m.contains("id_col")) str(m, "id_col", procedure)
+        else "vec_id"
+      val vc = if (m.contains("vec_col")) str(m, "vec_col", procedure)
+        else "embedding"
+      val (epoch, cnt) = graft.operators.VectorIndex.rebuild(
+        spark, indexDir, n, iters, idc, vc)
+      return Seq(Row(epoch, cnt))
+    }
     val tableParts = spark.sessionState.sqlParser
       .parseMultipartIdentifier(str(m, "table", procedure))
     val (cat, ident, t) =

@@ -102,27 +102,47 @@ object MetadataTables {
           byId.get(sid).flatMap(_.parentSnapshotId).map(Long.box).orNull,
           ancestors.contains(sid)) }
       })
-    // per-partition-tuple rollup of the CURRENT snapshot's live files
+    // per-partition-tuple rollup of the CURRENT snapshot's live files —
+    // data AND delete debt, all from manifest metadata (zero data IO):
+    // "how big is each partition, and how much merge-on-read debt does
+    // it carry" as one daily-driver query
     case "partitions" => new GraftMetadataTable(s"$parent.partitions",
       StructType(Seq(
         StructField("partition", StringType, nullable = true),
         StructField("spec_id", IntegerType, nullable = false),
         StructField("file_count", LongType, nullable = false),
         StructField("record_count", LongType, nullable = false),
-        StructField("total_size_in_bytes", LongType, nullable = false))),
+        StructField("total_size_in_bytes", LongType, nullable = false),
+        StructField("position_delete_file_count", LongType, nullable = false),
+        StructField("position_delete_record_count", LongType, nullable = false),
+        StructField("equality_delete_file_count", LongType, nullable = false),
+        StructField("equality_delete_record_count", LongType, nullable = false))),
       // keyed by (tuple, spec): after partition evolution the same-named
       // value can mean different transforms under different specs — the
-      // upstream `partitions` table splits them the same way
-      () => t.planFiles()
-        .groupBy(f => (
-          if (f.partition.isEmpty) null
-          else f.partition.toSeq.sortBy(_._1)
+      // upstream `partitions` table splits them the same way. Delete
+      // files attribute by their OWN manifest partition tuple (empty =
+      // globally-scoped, shown as the null partition); a tuple carrying
+      // only delete debt (data fully rewritten, debt not yet compacted)
+      // still gets its row.
+      () => {
+        def key(p: Map[String, Any], spec: Int): (String, Int) = (
+          if (p.isEmpty) null
+          else p.toSeq.sortBy(_._1)
             .map { case (k, v) => s"$k=$v" }.mkString(", "),
-          f.specId))
-        .toSeq.sortBy(g => (Option(g._1._1).getOrElse(""), g._1._2))
-        .map { case ((p, spec), fs) => Row(
-          p, spec, fs.size.toLong, fs.map(_.recordCount).sum,
-          fs.map(_.fileSizeInBytes).sum) })
+          spec)
+        val data = t.planFiles().groupBy(f => key(f.partition, f.specId))
+        val dels = t.planDeletes().groupBy(d => key(d.partition, d.specId))
+        (data.keySet ++ dels.keySet).toSeq
+          .sortBy(g => (Option(g._1).getOrElse(""), g._2))
+          .map { case k @ (p, spec) =>
+            val fs = data.getOrElse(k, Nil)
+            val ds = dels.getOrElse(k, Nil)
+            val (pos, eq) = ds.partition(_.content == 1)
+            Row(p, spec, fs.size.toLong, fs.map(_.recordCount).sum,
+              fs.map(_.fileSizeInBytes).sum,
+              pos.size.toLong, pos.map(_.recordCount).sum,
+              eq.size.toLong, eq.map(_.recordCount).sum) }
+      })
     // v2 delete files in force on the current snapshot — the merge-on-read
     // debt a compaction would materialize
     case "delete_files" => new GraftMetadataTable(s"$parent.delete_files",

@@ -259,18 +259,110 @@ object VectorIndex {
   /** Approximate top-k over the stored index: broadcast the centroid
     * table, compute each query's nProbe nearest centroid ids map-side,
     * then scan ONLY those posting-list partitions (In-filter file
-    * pruning) and score/rank with the shared IVF kernel. */
+    * pruning) and score/rank with the shared IVF kernel.
+    *
+    * Snapshot consistency: with no pins, both tables load through
+    * [[loadConsistent]] — a probe racing a [[rebuild]] sees the old
+    * index or the new one, never new centroids routing into old posting
+    * lists. Serving paths that already hold pinned tables (the
+    * streaming sink, a caller probing under concurrent maintenance)
+    * pass them in and skip the epoch handshake. */
   def topK(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pinnedCentroids: Option[IcebergTable] = None,
+      pinnedPostings: Option[IcebergTable] = None): DataFrame = {
+    val (centroidsTable, postingsTable) = (pinnedCentroids, pinnedPostings) match {
+      case (Some(c), Some(p)) => (c, p)
+      case (None, None) => loadConsistent(spark, indexDir)
+      case (c, p) => (
+        c.getOrElse(IcebergTable(spark, s"$indexDir/centroids")),
+        p.getOrElse(IcebergTable(spark, s"$indexDir/postings")))
+    }
+    val centRows = centroidsTable.toDF(spark)
     val probes = Similarity.ivfProbes(queries, centRows, nProbe, idCol, vecCol)
       .localCheckpoint(true) // probed ids are reused: once for the
                              // pruning broadcast, once joined for scoring
-    val postingsTable = IcebergTable(spark, s"$indexDir/postings")
     val postings = graft.iceberg.connector.RuntimeProbe
       .prunedByKeys(spark, postingsTable, "c_id", probes.select(col("c_id")))
     Similarity.ivfScore(probes, postings, k)
+  }
+
+  /** Table property both index tables carry after a [[rebuild]]: equal
+    * values mean the pair belongs to one rebuild generation. Tables from
+    * the original [[build]] carry none (also a consistent pair). */
+  private[graft] val EpochProp = "graft.index.epoch"
+
+  /** Load (centroids, postings) with MATCHING rebuild epochs. A probe
+    * landing inside [[rebuild]]'s two-pointer publish window could
+    * otherwise route new-quantizer probes into old posting lists —
+    * centroid ids would match the wrong lists, silently wrong
+    * neighbors. Bounded retry, then loud. */
+  def loadConsistent(spark: SparkSession, indexDir: String)
+      : (IcebergTable, IcebergTable) = {
+    var attempt = 0
+    while (true) {
+      val c = IcebergTable(spark, s"$indexDir/centroids")
+      val p = IcebergTable(spark, s"$indexDir/postings")
+      val ce = c.metadata.properties.get(EpochProp)
+      val pe = p.metadata.properties.get(EpochProp)
+      if (ce == pe) return (c, p)
+      attempt += 1
+      if (attempt >= 5) throw new IllegalStateException(
+        s"vector index $indexDir: centroid epoch $ce != postings epoch " +
+          s"$pe after $attempt reloads — a rebuild crashed mid-publish; " +
+          "re-run rebuild (or roll the tables back to a matching pair)")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Sanctioned quantizer retrain: rebuild BOTH index tables in place as
+    * ONE transaction ([[graft.iceberg.Transactions.commitAll]]) — the
+    * atomic swap [[build]]'s rebuild-in-place refusal points callers at.
+    * Data files for the new generation land before any pointer moves;
+    * the two pointers publish together (service-side single call on a
+    * transactional catalog; validate-then-publish with compensation on a
+    * filesystem warehouse), and both commits stamp a fresh shared
+    * [[EpochProp]] so [[loadConsistent]] probes can never pair
+    * generations across the window. Old probes holding pinned tables
+    * keep reading the old snapshots (files are never vacuumed here).
+    *
+    * `corpus` defaults to the index's OWN stored posting rows — pure
+    * retrain; pass the source table to also refresh membership. Returns
+    * (epoch, postingRows). */
+  def rebuild(spark: SparkSession, indexDir: String,
+      nCentroids: Int = 16, trainIters: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpus: Option[DataFrame] = None): (String, Long) = {
+    import graft.iceberg.{FsCommitter, Transactions}
+    val conf = spark.sessionState.newHadoopConf()
+    // pinned reads: the training/assignment input is one snapshot even
+    // while the overwrite below writes new files next to it
+    val postingsT = IcebergTable(spark, s"$indexDir/postings")
+    val corpusDf = corpus.getOrElse(
+      postingsT.toDF(spark).select(col("n_id").as(idCol),
+        col("n_vec").as(vecCol)))
+    val centRows = Similarity
+      .ivfCentroids(corpusDf, nCentroids, trainIters, idCol, vecCol)
+      .localCheckpoint(true)
+    val postings = Similarity.ivfAssign(corpusDf, centRows, idCol, vecCol)
+      .localCheckpoint(true) // row count is returned after the commit
+    val epoch = java.util.UUID.randomUUID().toString
+    def stamped(dir: String, df: DataFrame): Transactions.TableChange = {
+      val ch = Transactions.stage(new FsCommitter(dir, conf))(c =>
+        { IcebergWriter.overwrite(spark, dir, df, committer = Some(c)); () })
+      // ride the epoch on the SAME commit as the overwrite — two commits
+      // per table would reopen the very window this closes
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val upd = mapper.createObjectNode()
+      upd.put("action", "set-properties")
+      upd.putObject("updates").put(EpochProp, epoch)
+      ch.copy(updates = ch.updates :+ upd)
+    }
+    Transactions.commitAll(Seq(
+      stamped(s"$indexDir/centroids", centRows),
+      stamped(s"$indexDir/postings", postings)))
+    (epoch, postings.count())
   }
 
 }

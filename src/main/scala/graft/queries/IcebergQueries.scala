@@ -1223,6 +1223,55 @@ object IcebergQueries {
           col("_change_type").asc_nulls_first)
     }),
 
+    // `partitions` metadata table end-to-end: per-partition data +
+    // delete-debt rollup computed from MANIFEST metadata only (zero data
+    // IO — the daily "how big is each partition" operator question). The
+    // query writes a partitioned table, takes on merge-on-read delete
+    // debt (asserted visible in the debt columns), compacts it away, and
+    // serves the final per-partition record counts — which the oracle
+    // recomputes relationally from the source rows.
+    "q162_partitions_metadata" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q162-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q162")
+      s.conf.set("spark.sql.catalog.q162cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q162cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q162cat.ns")
+      s.sql(
+        """CREATE TABLE q162cat.ns.sup (
+          |  s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+          |PARTITIONED BY (s_nationkey)
+          |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(
+        """INSERT INTO q162cat.ns.sup
+          |SELECT CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT),
+          |       s_acctbal
+          |FROM supplier_src_q162""".stripMargin)
+      s.sql("DELETE FROM q162cat.ns.sup WHERE s_suppkey % 3 = 0")
+      // the debt columns must SEE the outstanding merge-on-read deletes
+      val debt = s.sql(
+        """SELECT CAST(SUM(position_delete_record_count +
+          |                equality_delete_record_count) AS BIGINT)
+          |FROM q162cat.ns.sup.`partitions`""".stripMargin)
+        .collect()(0).getLong(0)
+      require(debt > 0L, s"q162: expected visible delete debt, got $debt")
+      s.sql("CALL q162cat.system.rewrite_data_files(table => 'ns.sup')")
+      val rows = s.sql(
+        """SELECT `partition`, spec_id, file_count, record_count,
+          |       position_delete_record_count, equality_delete_record_count
+          |FROM q162cat.ns.sup.`partitions`""".stripMargin).collect()
+      require(rows.forall(r => r.getLong(2) > 0L),
+        s"q162: every partition must hold at least one live file")
+      require(rows.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L),
+        s"q162: compaction must have materialized the delete debt")
+      s.sql(
+        """SELECT `partition` AS part, spec_id, record_count
+          |FROM q162cat.ns.sup.`partitions`
+          |ORDER BY part""".stripMargin)
+    }),
+
     // CBO statistics end-to-end: ANALYZE stores NDVs, the scan serves
     // column stats (NDV from the analyze pass; min/max/nullCount FRESH
     // from manifests), catalyst folds them into attributeStats under
@@ -1698,6 +1747,15 @@ object IcebergQueries {
         |FROM stream
         |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
         |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q162_partitions_metadata" ->
+      """SELECT 's_nationkey=' || CAST(CAST(s_nationkey AS BIGINT) AS VARCHAR)
+        |         AS part,
+        |       CAST(0 AS INT) AS spec_id,
+        |       CAST(COUNT(*) AS BIGINT) AS record_count
+        |FROM supplier
+        |WHERE s_suppkey % 3 <> 0
+        |GROUP BY s_nationkey
+        |ORDER BY part""".stripMargin,
     "q161_cdc_v2_identifier" ->
       """WITH base AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS v

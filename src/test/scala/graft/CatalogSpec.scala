@@ -234,6 +234,43 @@ class CatalogSpec extends SparkSpec {
       "SELECT content, record_count FROM scratch.ns1.m2.delete_files").collect()
     assert(dels.length === 1 && dels.head.getString(0) === "EQUALITY_DELETES")
     assert(dels.head.getLong(1) === 2L)
+
+    // partitions table, FRESH after the delete commit: data aggregates
+    // must equal a files-table GROUP BY, and the new delete debt must be
+    // attributed with matching totals
+    val pAfter = spark.sql(
+      """SELECT partition, file_count, record_count, total_size_in_bytes,
+        |       position_delete_file_count, position_delete_record_count,
+        |       equality_delete_file_count, equality_delete_record_count
+        |FROM scratch.ns1.m2.partitions""".stripMargin).collect()
+    val fAgg = spark.sql(
+      """SELECT partition, COUNT(*) AS n,
+        |       CAST(SUM(record_count) AS BIGINT) AS rc,
+        |       CAST(SUM(file_size_in_bytes) AS BIGINT) AS sz
+        |FROM scratch.ns1.m2.files GROUP BY partition""".stripMargin).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    pAfter.filter(_.getLong(1) > 0).foreach { r =>
+      val (n, rc, sz) = fAgg(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == rc && r.getLong(3) == sz,
+        s"partitions row diverges from files aggregation: $r vs ${fAgg(r.getString(0))}")
+    }
+    assert(pAfter.map(_.getLong(6)).sum == 1L &&
+      pAfter.map(_.getLong(7)).sum == 2L,
+      s"equality delete debt must be attributed: ${pAfter.toSeq}")
+    assert(pAfter.map(_.getLong(4)).sum == 0L &&
+      pAfter.map(_.getLong(5)).sum == 0L)
+
+    // freshness across partition EVOLUTION: rows written under the new
+    // spec surface under their own spec_id, old rows keep theirs
+    spark.sql("ALTER TABLE scratch.ns1.m2 ADD PARTITION FIELD bucket(2, id)")
+    spark.sql("INSERT INTO scratch.ns1.m2 SELECT id, id % 2 FROM range(10, 14)")
+    val specs = spark.sql(
+      """SELECT spec_id, CAST(SUM(record_count) AS BIGINT) AS rc
+        |FROM scratch.ns1.m2.partitions GROUP BY spec_id ORDER BY spec_id"""
+        .stripMargin).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(specs == Seq((0, 10L), (1, 4L)),
+      s"per-spec partition rollup wrong: $specs")
     spark.sql("DROP TABLE scratch.ns1.m2")
   }
 

@@ -340,4 +340,59 @@ class VectorIndexSpec extends SparkSpec {
     assert(got == (0L until 20L).map(i => (i + 100000L, i, 1.0)),
       s"every clone must hit its source at score 1.0: $got")
   }
+
+  test("rebuild retrains in place as ONE transaction: both tables flip " +
+      "together, epochs match, results reproduce a fresh build, and a " +
+      "torn pair is refused by loadConsistent") {
+    val rdir = s"$dir-retrain"
+    FileUtils.deleteQuietly(new File(rdir))
+    val corpus = emb.filter(col("vec_id") < 120)
+    VectorIndex.build(spark, corpus, rdir, nCentroids = 4, trainIters = 1)
+    val queries = corpus.filter(col("vec_id") < 5)
+    // a probe that loaded the PRE-rebuild pair keeps serving it
+    val (oldC, oldP) = VectorIndex.loadConsistent(spark, rdir)
+    val before = rows(VectorIndex.topK(spark, rdir, queries, k = 3,
+      nProbe = 4, pinnedCentroids = Some(oldC), pinnedPostings = Some(oldP)))
+
+    // CALL surface: retrain with MORE centroids, one transaction
+    spark.conf.set("spark.sql.catalog.vixcat",
+      classOf[graft.iceberg.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vixcat.warehouse",
+      graft.Scratch.dir("vix-cat-wh"))
+    val r = spark.sql("CALL vixcat.system.rebuild_vector_index(" +
+      s"index => '$rdir', n_centroids => 8, train_iters => 2)").collect()(0)
+    assert(r.getLong(1) == 120L, s"rebuilt postings count: $r")
+
+    // both tables carry the SAME fresh epoch; loadConsistent serves them
+    val (c2, p2) = VectorIndex.loadConsistent(spark, rdir)
+    val ce = c2.metadata.properties(VectorIndex.EpochProp)
+    assert(ce == r.getString(0) &&
+      p2.metadata.properties(VectorIndex.EpochProp) == ce)
+    // the rebuilt index reproduces a from-scratch build with the same
+    // quantizer parameters (shared deterministic kernels)
+    val fdir = s"$dir-retrain-fresh"
+    FileUtils.deleteQuietly(new File(fdir))
+    VectorIndex.build(spark, corpus, fdir, nCentroids = 8, trainIters = 2)
+    val rebuilt = rows(VectorIndex.topK(spark, rdir, queries, k = 3, nProbe = 4))
+    assert(rebuilt == rows(VectorIndex.topK(spark, fdir, queries, k = 3,
+      nProbe = 4)), "rebuild must equal a fresh build, row for row")
+    // the pinned pre-rebuild probe still answers from the OLD snapshots
+    assert(rows(VectorIndex.topK(spark, rdir, queries, k = 3, nProbe = 4,
+      pinnedCentroids = Some(oldC), pinnedPostings = Some(oldP))) == before,
+      "pinned probes must keep serving the pre-rebuild generation")
+
+    // a TORN pair (epoch moved on one table only — the crash window) is
+    // refused loudly instead of pairing generations
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cmtr = new graft.iceberg.FsCommitter(
+      s"$rdir/centroids", spark.sessionState.newHadoopConf())
+    val upd = mapper.createObjectNode()
+    upd.put("action", "set-properties")
+    upd.putObject("updates").put(VectorIndex.EpochProp, "torn-epoch")
+    cmtr.commit(Nil, Seq(upd))
+    val e = intercept[IllegalStateException](
+      VectorIndex.loadConsistent(spark, rdir))
+    assert(e.getMessage.contains("rebuild crashed mid-publish"),
+      e.getMessage)
+  }
 }
