@@ -1235,12 +1235,18 @@ final class IcebergTable private (
         (normPath(resolve(d.filePath)), d.sequenceNumber.getOrElse(Long.MaxValue))))
         .toDF("__g_delsrcn", "__g_delseq")
 
-    val matched = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // (match source, condition) per delete kind/equality-id group. The
+    // union below is made DISJOINT by construction (each branch matches
+    // only rows earlier branches did not), so no dedup aggregation — the
+    // whole matched-rows plan is narrow scans + broadcast joins, which
+    // keeps every CDC window shuffle-free (what the streaming changelog
+    // source's RDD bridge requires, and one less exchange for batch).
+    val branches = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, org.apache.spark.sql.Column)]
     positionDeleteRows(spark, deletes.filter(_.content == 1)).foreach { pd =>
-      matched += out.join(pd,
+      branches += pd -> (
         out("__g_fpn") === pd("__g_dfpn") && out(PosCol) === pd("__g_dpos") &&
-          out("__g_dataseq") <= pd("__g_delseq"),
-        "left_semi")
+          out("__g_dataseq") <= pd("__g_delseq"))
     }
     val idToName = metadata.fieldIds.map(_.swap)
     deletes.filter(_.content == 2).groupBy(_.equalityIds).foreach {
@@ -1255,10 +1261,19 @@ final class IcebergTable private (
           .join(broadcast(deleteSeqDF(group)), Seq("__g_delsrcn"))
         val cond = eqCols.map(c => out(c) <=> ed(s"__g_del_$c")).reduce(_ && _) &&
           out("__g_dataseq") < ed("__g_delseq")
-        matched += out.join(ed, cond, "left_semi")
+        branches += ed -> cond
     }
-    if (matched.isEmpty) data.limit(0)
-    else matched.reduce(_.unionByName(_)).dropDuplicates(FpCol, PosCol)
+    if (branches.isEmpty) data.limit(0)
+    else {
+      // conditions reference `out`'s attributes; anti-join outputs keep
+      // exactly those attributes, so they resolve against `remaining` too
+      var remaining = out
+      branches.map { case (right, cond) =>
+        val m = remaining.join(right, cond, "left_semi")
+        remaining = remaining.join(right, cond, "left_anti")
+        m
+      }.reduce(_.unionByName(_))
+    }
   }
 
   // -- changelog (CDC) --------------------------------------------------------

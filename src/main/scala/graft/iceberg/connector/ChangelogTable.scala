@@ -1,0 +1,151 @@
+package graft.iceberg.connector
+
+import java.util.{Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => StreamingOffset}
+import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.iceberg.IcebergTable
+
+/** `cat.ns.tbl.changes` — the table's CDC changelog as a readable
+  * relation, batch AND streaming:
+  *
+  *  - `SELECT * FROM cat.ns.t.changes` = the full-history
+  *    [[IcebergTable.changesBetween]] rows (insert/delete typed, with
+  *    `_commit_snapshot_id` / `_change_ordinal` attribution);
+  *  - `spark.readStream.table("cat.ns.t.changes")` = a micro-batch
+  *    stream whose every batch is the change rows of the snapshot window
+  *    since the last frontier — INCLUDING deletes, updates (as their
+  *    delete+insert halves), and merge-on-read rows, which the
+  *    append-only table stream ([[GraftMicroBatchStream]]) refuses by
+  *    contract. Offsets are the same lineage-positioned snapshot ids,
+  *    so checkpoints restart mid-history exactly.
+  *
+  * Execution shape: each micro-batch materializes the window's
+  * `changesBetween` READ PLAN on the driver and ships it through the
+  * shuffle-free RDD bridge (the row-level scan's mechanism,
+  * [[GraftRddBridgeReaderFactory]]) — narrow scans of the window's
+  * added/removed files plus broadcast delete-application joins, IO ∝
+  * change volume. A window whose delete set outgrows the broadcast
+  * threshold plans a shuffle and is REFUSED loudly (use the batch
+  * changelog for bulk backfill) rather than executed wrongly.
+  */
+final class GraftChangelogTable(
+    tableName: String,
+    table: IcebergTable) extends Table with SupportsRead {
+
+  /** The changelog schema: the table's columns + change attribution
+    * (the exact column set/order `changesBetween` emits). */
+  val changeSchema: StructType = StructType(table.metadata.schema.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_snapshot_id", LongType, nullable = false),
+    StructField("_change_ordinal", IntegerType, nullable = false)))
+
+  override def name(): String = tableName
+  override def schema(): StructType = changeSchema
+
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = changeSchema
+        /** Batch: full-history changes through the V1 relation bridge
+          * (plans like any DataFrame — shuffles allowed here). */
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            ctx: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = ctx
+            override def schema: StructType = changeSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val t = new IcebergTable(table.tableDir, table.conf)
+              val head = t.metadata.snapshotLineage.lastOption.getOrElse(0L)
+              t.changesBetween(ctx.sparkSession, 0L, head).rdd
+            }
+          }.asInstanceOf[T]
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftChangelogMicroBatchStream(table, changeSchema)
+      }
+    }
+}
+
+/** Micro-batch CDC source over the snapshot lineage: offsets carry
+  * snapshot ids ordered by lineage POSITION (ids themselves carry no
+  * order), identical to the append-only stream's offset model — the two
+  * sources' checkpoints are interchangeable in meaning, only the row
+  * semantics differ. Follows `main`. */
+final class GraftChangelogMicroBatchStream(
+    table: IcebergTable,
+    changeSchema: StructType) extends MicroBatchStream {
+
+  private def fresh(): IcebergTable =
+    new IcebergTable(table.tableDir, table.conf)
+
+  private def head(t: IcebergTable): Long =
+    t.metadata.currentSnapshotId.filter(_ != -1L)
+      .getOrElse(GraftStreamOffset.BeforeAnySnapshot)
+
+  override def initialOffset(): StreamingOffset =
+    GraftStreamOffset(GraftStreamOffset.BeforeAnySnapshot)
+
+  override def latestOffset(): StreamingOffset = GraftStreamOffset(head(fresh()))
+
+  override def deserializeOffset(json: String): StreamingOffset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def commit(end: StreamingOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** The window's change plan, built per batch on the driver; the
+    * reader factory ships it to executors via the RDD bridge. Batches
+    * plan then execute sequentially, so one slot suffices. */
+  @volatile private var currentRdd: org.apache.spark.rdd.RDD[InternalRow] = _
+
+  override def planInputPartitions(
+      start: StreamingOffset, end: StreamingOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+    val e = end.asInstanceOf[GraftStreamOffset].snapshotId
+    if (e == s || e == GraftStreamOffset.BeforeAnySnapshot)
+      return Array.empty
+    val spark = org.apache.spark.sql.SparkSession.active
+    val t = fresh()
+    // a schema evolved mid-stream would change the emitted row shape
+    // under the fixed scan schema — refuse loudly, restart picks it up
+    require(StructType(t.metadata.schema.fields) ==
+        StructType(changeSchema.fields.dropRight(3)),
+      s"changelog stream over ${table.tableDir}: the table schema " +
+        "evolved mid-stream — restart the stream to adopt the new schema")
+    val from = if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s
+    val df = t.changesBetween(spark, from, e)
+    val rdd = df.queryExecution.toRdd
+    def assertNoShuffle(r: org.apache.spark.rdd.RDD[_]): Unit =
+      r.dependencies.foreach {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] =>
+          throw new IllegalStateException(
+            s"changelog stream window [$from, $e] planned a SHUFFLE " +
+              "(a delete set beyond the broadcast threshold): the " +
+              "micro-batch bridge cannot execute it — drain the backlog " +
+              "with the batch changelog (changesBetween / SELECT FROM " +
+              "t.changes) and restart the stream past it")
+        case d => assertNoShuffle(d.rdd)
+      }
+    assertNoShuffle(rdd)
+    currentRdd = rdd
+    rdd.partitions.map(p => GraftRddBridgePartition(p): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val rdd = currentRdd
+    require(rdd != null, "changelog stream: no planned window")
+    new GraftRddBridgeReaderFactory(rdd)
+  }
+}

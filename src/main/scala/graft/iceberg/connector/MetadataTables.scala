@@ -29,9 +29,12 @@ object MetadataTables {
   val names: Set[String] =
     Set("snapshots", "files", "manifests", "refs", "history", "partitions",
       "delete_files", "entries", "all_files", "all_manifests",
-      "metadata_log_entries", "position_deletes")
+      "metadata_log_entries", "position_deletes", "changes")
 
   def forName(parent: String, kind: String, t: IcebergTable): Table = kind match {
+    // the CDC changelog relation (batch + readStream) — not a
+    // driver-computed metadata view; see [[GraftChangelogTable]]
+    case "changes" => new GraftChangelogTable(parent, t)
     case "snapshots" => new GraftMetadataTable(s"$parent.snapshots",
       StructType(Seq(
         StructField("snapshot_id", LongType, nullable = false),
