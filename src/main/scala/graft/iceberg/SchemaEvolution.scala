@@ -33,6 +33,26 @@ object SchemaEvolution {
 
   import graft.iceberg.connector.IcebergJson
 
+  /** Deep copy of the CURRENT schema node (same preference order the
+    * reader uses: schemas-list by current-schema-id, last entry, legacy
+    * flat `schema`) + the schema id this edit derives from — ONE copy of
+    * the selection shared by [[alter]] and the identifier-field rewrites
+    * so the commit-base rule cannot drift between DDL families. */
+  private def currentSchemaAndBase(root: ObjectNode): (ObjectNode, Int) = {
+    val currentId = Option(root.get("current-schema-id")).map(_.asInt)
+    val fromList = Option(root.get("schemas")).flatMap { arr =>
+      val all = arr.elements.asScala.toSeq
+      currentId.flatMap(id => all.find(_.get("schema-id").asInt == id))
+        .orElse(all.lastOption)
+    }
+    val node = fromList.orElse(Option(root.get("schema")))
+      .getOrElse(throw new IllegalArgumentException("metadata has no schema"))
+      .deepCopy[ObjectNode]()
+    val baseId = currentId
+      .orElse(Option(node.get("schema-id")).map(_.asInt)).getOrElse(0)
+    (node, baseId)
+  }
+
   def alter(tableDir: String, conf: Configuration,
             changes: Seq[TableChange],
             committer: Option[TableCommitter] = None): Unit = {
@@ -40,18 +60,7 @@ object SchemaEvolution {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val root = cmtr.currentRoot(mapper)
 
-    // current schema node (same preference order the reader uses)
-    val currentSchema: ObjectNode = {
-      val currentId = Option(root.get("current-schema-id")).map(_.asInt)
-      val fromList = Option(root.get("schemas")).flatMap { arr =>
-        val all = arr.elements.asScala.toSeq
-        currentId.flatMap(id => all.find(_.get("schema-id").asInt == id))
-          .orElse(all.lastOption)
-      }
-      fromList.orElse(Option(root.get("schema")))
-        .getOrElse(throw new IllegalArgumentException("metadata has no schema"))
-        .deepCopy[ObjectNode]()
-    }
+    val (currentSchema, baseSchemaId) = currentSchemaAndBase(root)
     val fields = currentSchema.get("fields").asInstanceOf[ArrayNode]
 
     def fieldIdx(name: String): Int =
@@ -218,6 +227,16 @@ object SchemaEvolution {
         if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
         if (!n.nullable) throw new UnsupportedOperationException(
           s"cannot make column $name required: existing rows may hold nulls")
+        // identifier fields must stay required (spec): a nullable key
+        // would silently break CDC pairing and identifier-keyed MERGE
+        // (NULL never equals NULL) — same guard class as DROP COLUMN
+        val nullabilityIdIds = Option(currentSchema.get("identifier-field-ids"))
+          .map(_.elements.asScala.map(_.asInt).toSet).getOrElse(Set.empty)
+        if (nullabilityIdIds.contains(fields.get(i).get("id").asInt))
+          throw new UnsupportedOperationException(
+            s"cannot make column $name nullable: it is a declared " +
+              "identifier field (ALTER TABLE ... SET/DROP IDENTIFIER " +
+              "FIELDS first)")
         fields.get(i).asInstanceOf[ObjectNode].put("required", false)
         schemaChanged = true
 
@@ -259,11 +278,8 @@ object SchemaEvolution {
     // committer) — a client-computed id is a guess from a racy GET, so
     // set-current-schema uses the spec's -1 (= the schema added in this
     // commit) and an assert-current-schema-id requirement pins the base
-    // this edit was derived from: a concurrent evolution conflicts
-    // loudly instead of being silently shadowed.
-    val baseSchemaId = Option(root.get("current-schema-id")).map(_.asInt)
-      .orElse(Option(currentSchema.get("schema-id")).map(_.asInt))
-      .getOrElse(0)
+    // this edit was derived from ([[currentSchemaAndBase]]): a concurrent
+    // evolution conflicts loudly instead of being silently shadowed.
     currentSchema.remove("schema-id")
 
     val updates = Seq.newBuilder[com.fasterxml.jackson.databind.JsonNode]
@@ -361,17 +377,7 @@ object SchemaEvolution {
     val mapper = new ObjectMapper()
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val root = cmtr.currentRoot(mapper)
-    val currentSchema: ObjectNode = {
-      val currentId = Option(root.get("current-schema-id")).map(_.asInt)
-      val fromList = Option(root.get("schemas")).flatMap { arr =>
-        val all = arr.elements.asScala.toSeq
-        currentId.flatMap(id => all.find(_.get("schema-id").asInt == id))
-          .orElse(all.lastOption)
-      }
-      fromList.orElse(Option(root.get("schema")))
-        .getOrElse(throw new IllegalArgumentException("metadata has no schema"))
-        .deepCopy[ObjectNode]()
-    }
+    val (currentSchema, baseSchemaId) = currentSchemaAndBase(root)
     val fields = currentSchema.get("fields").asInstanceOf[ArrayNode]
     def fieldAt(name: String): Int =
       (0 until fields.size).find(i => fields.get(i).get("name").asText == name)
@@ -384,9 +390,6 @@ object SchemaEvolution {
       val arr = currentSchema.putArray("identifier-field-ids")
       ids.foreach(arr.add)
     }
-    val baseSchemaId = Option(root.get("current-schema-id")).map(_.asInt)
-      .orElse(Option(currentSchema.get("schema-id")).map(_.asInt))
-      .getOrElse(0)
     currentSchema.remove("schema-id")
     val lastColumnId = Option(root.get("last-column-id")).map(_.asInt)
       .getOrElse((0 until fields.size)

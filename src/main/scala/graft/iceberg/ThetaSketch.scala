@@ -257,7 +257,13 @@ object ThetaSketch {
           // collides with ["a","bc"]); the null marker separates [null]
           // from []. An external engine agreeing on this composition
           // (element encoding is spec-fixed; the frame is documented
-          // here) merges these sketches like any scalar column's.
+          // here) merges these sketches like any scalar column's — with
+          // ONE documented deviation from raw single-value bytes:
+          // float/double elements canonicalize -0.0 to 0.0 and NaN to
+          // the canonical bit pattern before encoding (see
+          // arrayElementEncoder), so NDV agrees with SQL DISTINCT; a
+          // merging engine must canonicalize identically, and sketches
+          // persisted before round 15 hash -0.0/NaN elements differently.
           // Element types with no spec encoding (nested arrays, maps,
           // structs, timestamps-in-arrays) keep the stand-in path.
           val enc = arrayElementEncoder(et).get

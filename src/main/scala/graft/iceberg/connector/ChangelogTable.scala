@@ -127,18 +127,12 @@ final class GraftChangelogMicroBatchStream(
     val from = if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s
     val df = t.changesBetween(spark, from, e)
     val rdd = df.queryExecution.toRdd
-    def assertNoShuffle(r: org.apache.spark.rdd.RDD[_]): Unit =
-      r.dependencies.foreach {
-        case _: org.apache.spark.ShuffleDependency[_, _, _] =>
-          throw new IllegalStateException(
-            s"changelog stream window [$from, $e] planned a SHUFFLE " +
-              "(a delete set beyond the broadcast threshold): the " +
-              "micro-batch bridge cannot execute it — drain the backlog " +
-              "with the batch changelog (changesBetween / SELECT FROM " +
-              "t.changes) and restart the stream past it")
-        case d => assertNoShuffle(d.rdd)
-      }
-    assertNoShuffle(rdd)
+    GraftRddBridge.assertNoShuffle(rdd,
+      s"changelog stream window [$from, $e] planned a SHUFFLE " +
+        "(a delete set beyond the broadcast threshold): the " +
+        "micro-batch bridge cannot execute it — drain the backlog " +
+        "with the batch changelog (changesBetween / SELECT FROM " +
+        "t.changes) and restart the stream past it")
     currentRdd = rdd
     rdd.partitions.map(p => GraftRddBridgePartition(p): InputPartition)
   }

@@ -123,9 +123,14 @@ object MetadataTables {
       // keyed by (tuple, spec): after partition evolution the same-named
       // value can mean different transforms under different specs — the
       // upstream `partitions` table splits them the same way. Delete
-      // files attribute by their OWN manifest partition tuple (empty =
-      // globally-scoped, shown as the null partition); a tuple carrying
-      // only delete debt (data fully rewritten, debt not yet compacted)
+      // attribution, most-specific first: the entry's OWN manifest
+      // partition tuple (foreign partition-scoped delete files); else
+      // the REFERENCED data file's tuple (v3 deletion vectors and
+      // single-target position deletes — this engine's native MoR
+      // debt); else the null-partition row, which for multi-file v2
+      // position deletes and equality deletes is semantically right —
+      // they genuinely apply across partitions. A tuple carrying only
+      // delete debt (data fully rewritten, debt not yet compacted)
       // still gets its row.
       () => {
         def key(p: Map[String, Any], spec: Int): (String, Int) = (
@@ -133,8 +138,16 @@ object MetadataTables {
           else p.toSeq.sortBy(_._1)
             .map { case (k, v) => s"$k=$v" }.mkString(", "),
           spec)
-        val data = t.planFiles().groupBy(f => key(f.partition, f.specId))
-        val dels = t.planDeletes().groupBy(d => key(d.partition, d.specId))
+        val files = t.planFiles()
+        val byPath: Map[String, (String, Int)] =
+          files.map(f => t.resolve(f.filePath) -> key(f.partition, f.specId))
+            .toMap
+        val data = files.groupBy(f => key(f.partition, f.specId))
+        val dels = t.planDeletes().groupBy { d =>
+          if (d.partition.nonEmpty) key(d.partition, d.specId)
+          else d.referencedDataFile.flatMap(r => byPath.get(t.resolve(r)))
+            .getOrElse(key(Map.empty, d.specId))
+        }
         (data.keySet ++ dels.keySet).toSeq
           .sortBy(g => (Option(g._1).getOrElse(""), g._2))
           .map { case k @ (p, spec) =>

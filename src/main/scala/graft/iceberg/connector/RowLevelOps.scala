@@ -301,22 +301,13 @@ final class GraftLineageGroupScan(
         .toDF(s, Nil, precomputed = Some(plannedFiles), keepLineage = true)
         .select(requiredSchema.fieldNames.toSeq.map(col): _*)
       val rdd = df.queryExecution.toRdd
-      // The bridge computes a foreign RDD's partitions inside this
-      // scan's tasks — sound ONLY while that RDD is shuffle-free (its
-      // map stages would otherwise never have run). completeRowLineage
-      // is broadcast-only today; if a shuffle ever slips into the read
-      // plan, fail at PLAN time with a diagnosis, not executor-side
-      // with a missing-stage error.
-      def assertNoShuffle(r: org.apache.spark.rdd.RDD[_]): Unit =
-        r.dependencies.foreach {
-          case _: org.apache.spark.ShuffleDependency[_, _, _] =>
-            throw new IllegalStateException(
-              "lineage group scan needs a shuffle-free read plan; the " +
-                "toDF(keepLineage) plan grew a shuffle — fix the read " +
-                "plan or route this rewrite through compaction")
-          case d => assertNoShuffle(d.rdd)
-        }
-      assertNoShuffle(rdd)
+      // completeRowLineage is broadcast-only today; if a shuffle ever
+      // slips into the read plan, fail at PLAN time with a diagnosis,
+      // not executor-side with a missing-stage error.
+      GraftRddBridge.assertNoShuffle(rdd,
+        "lineage group scan needs a shuffle-free read plan; the " +
+          "toDF(keepLineage) plan grew a shuffle — fix the read " +
+          "plan or route this rewrite through compaction")
       rdd
     }
     override def planInputPartitions(): Array[InputPartition] =
@@ -324,6 +315,21 @@ final class GraftLineageGroupScan(
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftRddBridgeReaderFactory(bridged)
   }
+}
+
+/** Shared contract of the RDD-bridge surfaces (the row-level group
+  * scan and the streaming changelog source): a foreign RDD's partitions
+  * compute inside another scan's tasks, which is sound ONLY while that
+  * RDD is shuffle-free — its map stages would otherwise never have run
+  * (broadcasts are fine; they materialize driver-side at toRdd). */
+private[connector] object GraftRddBridge {
+  def assertNoShuffle(r: org.apache.spark.rdd.RDD[_],
+      diagnosis: => String): Unit =
+    r.dependencies.foreach {
+      case _: org.apache.spark.ShuffleDependency[_, _, _] =>
+        throw new IllegalStateException(diagnosis)
+      case d => assertNoShuffle(d.rdd, diagnosis)
+    }
 }
 
 /** One partition of the bridged lineage read plan (the inner RDD's own

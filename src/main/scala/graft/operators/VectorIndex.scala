@@ -275,9 +275,11 @@ object VectorIndex {
     val (centroidsTable, postingsTable) = (pinnedCentroids, pinnedPostings) match {
       case (Some(c), Some(p)) => (c, p)
       case (None, None) => loadConsistent(spark, indexDir)
-      case (c, p) => (
-        c.getOrElse(IcebergTable(spark, s"$indexDir/centroids")),
-        p.getOrElse(IcebergTable(spark, s"$indexDir/postings")))
+      case _ => throw new IllegalArgumentException(
+        "topK pins both index tables or neither: a single pin would " +
+          "skip the epoch handshake and could pair one generation's " +
+          "centroids with the other's posting lists (load both via " +
+          "loadConsistent and pin the pair)")
     }
     val centRows = centroidsTable.toDF(spark)
     val probes = Similarity.ivfProbes(queries, centRows, nProbe, idCol, vecCol)
@@ -312,6 +314,10 @@ object VectorIndex {
         s"vector index $indexDir: centroid epoch $ce != postings epoch " +
           s"$pe after $attempt reloads — a rebuild crashed mid-publish; " +
           "re-run rebuild (or roll the tables back to a matching pair)")
+      // a rebuild's two pointers publish sequentially; give an IN-FLIGHT
+      // publish time to land its second pointer before concluding it
+      // crashed (object-store pointer writes take 100s of ms)
+      Thread.sleep(100L * attempt)
     }
     sys.error("unreachable")
   }
@@ -320,12 +326,14 @@ object VectorIndex {
     * ONE transaction ([[graft.iceberg.Transactions.commitAll]]) — the
     * atomic swap [[build]]'s rebuild-in-place refusal points callers at.
     * Data files for the new generation land before any pointer moves;
-    * the two pointers publish together (service-side single call on a
-    * transactional catalog; validate-then-publish with compensation on a
-    * filesystem warehouse), and both commits stamp a fresh shared
-    * [[EpochProp]] so [[loadConsistent]] probes can never pair
-    * generations across the window. Old probes holding pinned tables
-    * keep reading the old snapshots (files are never vacuumed here).
+    * the two pointers then publish via commitAll's FILESYSTEM path
+    * (validate-then-publish with compensation — index tables live at a
+    * directory pair, so the committers here are always [[FsCommitter]]s;
+    * a crash inside the tiny publish window can leave a torn pair), and
+    * both commits stamp a fresh shared [[EpochProp]] so
+    * [[loadConsistent]] probes REFUSE a torn pair instead of pairing
+    * generations. Old probes holding pinned tables keep reading the old
+    * snapshots (files are never vacuumed here).
     *
     * `corpus` defaults to the index's OWN stored posting rows — pure
     * retrain; pass the source table to also refresh membership. Returns

@@ -261,6 +261,23 @@ class CatalogSpec extends SparkSpec {
     assert(pAfter.map(_.getLong(4)).sum == 0L &&
       pAfter.map(_.getLong(5)).sum == 0L)
 
+    // v3 deletion-vector debt attributes to the REFERENCED data file's
+    // partition (each DV targets exactly one file) — the native MoR
+    // shape where per-partition attribution is exact
+    spark.sql("DROP TABLE IF EXISTS scratch.ns1.m2dv")
+    spark.sql("CREATE TABLE scratch.ns1.m2dv (id BIGINT, part BIGINT) " +
+      "PARTITIONED BY (part) TBLPROPERTIES ('format-version' = '3', " +
+      "'write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO scratch.ns1.m2dv SELECT id, id % 2 FROM range(10)")
+    spark.sql("DELETE FROM scratch.ns1.m2dv WHERE id >= 6 AND id % 2 = 0")
+    val dvParts = spark.sql(
+      """SELECT partition, position_delete_record_count
+        |FROM scratch.ns1.m2dv.`partitions` ORDER BY partition""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dvParts == Seq(("part=0", 2L), ("part=1", 0L)),
+      s"DV debt must land on the referenced file's partition: $dvParts")
+    spark.sql("DROP TABLE scratch.ns1.m2dv")
+
     // freshness across partition EVOLUTION: rows written under the new
     // spec surface under their own spec_id, old rows keep theirs
     spark.sql("ALTER TABLE scratch.ns1.m2 ADD PARTITION FIELD bucket(2, id)")

@@ -151,6 +151,11 @@ class SchemaEvolutionDdlSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       spark.sql("ALTER TABLE ddl9.ns.t DROP COLUMN cat") }
     assert(msgs(e1).exists(_.contains("identifier field")))
+    // and so does relaxing its NOT NULL (a nullable key breaks CDC
+    // pairing and identifier-keyed MERGE — NULL never equals NULL)
+    val e1b = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl9.ns.t ALTER COLUMN cat DROP NOT NULL") }
+    assert(msgs(e1b).exists(_.contains("identifier field")), msgs(e1b).mkString("|"))
     // a nullable column cannot become an identifier field
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS note") }
