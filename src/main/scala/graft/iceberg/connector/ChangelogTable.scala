@@ -55,7 +55,20 @@ final class GraftChangelogTable(
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // admission control: at most N window SNAPSHOTS per micro-batch
+    // (commit-granular — summaries carry no per-commit file counts to
+    // weight by, and a commit is never split). Without it the first
+    // batch is the whole pending history — on a long-lived table one
+    // batch replaying everything.
+    val maxSnapshots = Option(options.get("maxSnapshotsPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
+      n
+    }
+    // start the stream AFTER this snapshot instead of from table start
+    // (the checkpoint-less "resume from here" upstream streams offer)
+    val startSnapshot = Option(options.get("start-snapshot-id")).map(_.toLong)
     new ScanBuilder {
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = changeSchema
@@ -69,13 +82,16 @@ final class GraftChangelogTable(
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               val t = new IcebergTable(table.tableDir, table.conf)
               val head = t.metadata.snapshotLineage.lastOption.getOrElse(0L)
-              t.changesBetween(ctx.sparkSession, 0L, head).rdd
+              t.changesBetween(ctx.sparkSession,
+                startSnapshot.getOrElse(0L), head).rdd
             }
           }.asInstanceOf[T]
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftChangelogMicroBatchStream(table, changeSchema)
+          new GraftChangelogMicroBatchStream(table, changeSchema,
+            maxSnapshots, startSnapshot)
       }
     }
+  }
 }
 
 /** Micro-batch CDC source over the snapshot lineage: offsets carry
@@ -85,7 +101,19 @@ final class GraftChangelogTable(
   * semantics differ. Follows `main`. */
 final class GraftChangelogMicroBatchStream(
     table: IcebergTable,
-    changeSchema: StructType) extends MicroBatchStream {
+    changeSchema: StructType,
+    /** `maxSnapshotsPerTrigger`: at most N window snapshots per batch
+      * (commit-granular admission control; always ≥1 so progress is
+      * guaranteed and a commit is never split across batches). */
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    /** `start-snapshot-id`: stream changes AFTER this snapshot instead
+      * of the whole table history. Must still be in the lineage when
+      * the first batch plans — validated there, loudly. */
+    startSnapshotId: Option[Long] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private def fresh(): IcebergTable =
     new IcebergTable(table.tableDir, table.conf)
@@ -94,8 +122,54 @@ final class GraftChangelogMicroBatchStream(
     t.metadata.currentSnapshotId.filter(_ != -1L)
       .getOrElse(GraftStreamOffset.BeforeAnySnapshot)
 
+  /** AvailableNow pins the drain target at prepare time, so commits
+    * landing mid-drain don't extend the run (same contract as the
+    * append-only stream). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(head(fresh()))
+
+  /** ReadMaxFiles is the carrier (there is no ReadMaxSnapshots); the
+    * unit here is SNAPSHOTS, interpreted by [[latestOffset]] below. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxSnapshotsPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): StreamingOffset =
+    GraftStreamOffset(availableNowTarget.getOrElse(head(fresh())))
+
+  override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset = {
+    val t = fresh()
+    val headId = availableNowTarget.getOrElse(head(t))
+    limit match {
+      case mf: ReadMaxFiles =>
+        val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+        if (headId == s || headId == GraftStreamOffset.BeforeAnySnapshot)
+          return GraftStreamOffset(headId)
+        val lineage = t.metadata.snapshotLineage
+        val sPos = lineagePos(lineage, s, "start")
+        val hPos = lineagePos(lineage, headId, "end")
+        if (hPos <= sPos) return GraftStreamOffset(headId) // rollback window
+        GraftStreamOffset(lineage(math.min(hPos, sPos + mf.maxFiles) - 1))
+      case _ => GraftStreamOffset(headId)
+    }
+  }
+
+  private def lineagePos(lineage: Seq[Long], id: Long, which: String): Int =
+    if (id == GraftStreamOffset.BeforeAnySnapshot) 0
+    else lineage.lastIndexOf(id) match {
+      case -1 => throw new IllegalStateException(
+        s"changelog streaming $which offset: snapshot $id is no longer " +
+          s"in the table's snapshot lineage — it was expired or the " +
+          "history was rewritten; this checkpoint (or start-snapshot-id) " +
+          "cannot be resumed safely. Restart from a fresh frontier.")
+      case i => i + 1
+    }
+
   override def initialOffset(): StreamingOffset =
-    GraftStreamOffset(GraftStreamOffset.BeforeAnySnapshot)
+    GraftStreamOffset(startSnapshotId
+      .getOrElse(GraftStreamOffset.BeforeAnySnapshot))
 
   override def latestOffset(): StreamingOffset = GraftStreamOffset(head(fresh()))
 

@@ -326,6 +326,81 @@ object EventStream {
     upsertSinkWithKeys(stream, tableName, keysResolved, versionCol)
   }
 
+  /** CDC REPLICATION: apply a changelog stream (`spark.readStream.table
+    * ("cat.ns.src.changes")` — insert/delete rows, update halves as
+    * their delete+insert pair) to a REPLICA table, keyed on the
+    * replica's identifier fields (or explicit `keys`). After every
+    * micro-batch the replica equals the source as of the batch's
+    * snapshot frontier — offsets are commit-aligned, so batch
+    * boundaries never split a commit.
+    *
+    * Per batch, the NET effect per key is computed first (last change
+    * wins: commits ascend by `_change_ordinal`; within one commit the
+    * insert half of an update supersedes its delete half), then applied
+    * as ONE MERGE: matched+delete → DELETE, matched → UPDATE, unmatched
+    * non-delete → INSERT. Replay-safe by idempotence like the upsert
+    * sink: net-upserts re-apply to the same state, a net-delete of an
+    * absent key is a no-op. `update_before`/`update_after` types (a
+    * changesWithUpdates-shaped feed) are honored as delete/insert.
+    *
+    * 100 TB shape: per-batch work ∝ the window's change volume (one
+    * key-partitioned window over the batch + one MERGE through the
+    * row-level machinery — merge-on-read keeps write amplification at
+    * changed rows); the replica is never rescanned.
+    */
+  def icebergReplicaSink(changes: DataFrame, tableName: String,
+                         keys: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark0 = changes.sparkSession
+    val keysResolved = if (keys.nonEmpty) keys else {
+      val parts = spark0.sessionState.sqlParser.parseMultipartIdentifier(tableName)
+      val (_, _, t) = graft.iceberg.connector.GraftSqlParser.resolveTable(spark0, parts)
+      val ids = t.table.metadata.identifierFieldNames
+      require(ids.nonEmpty,
+        s"replica sink: no keys given and $tableName declares no identifier " +
+          "fields — pass keys explicitly or ALTER TABLE ... SET IDENTIFIER " +
+          "FIELDS")
+      ids
+    }
+    val metaCols = Set("_change_type", "_commit_snapshot_id", "_change_ordinal")
+    val dataCols = changes.columns.filterNot(metaCols.contains).toSeq
+    require(keysResolved.forall(dataCols.contains),
+      s"replica sink keys (${keysResolved.mkString(", ")}) must be columns " +
+        s"of the change stream (${dataCols.mkString(", ")})")
+    changes.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.expressions.Window
+          val spark = batch.sparkSession
+          val isInsert = col("_change_type").isin("insert", "update_after")
+          val net = batch.toDF
+            .withColumn("__g_rn", row_number().over(
+              Window.partitionBy(keysResolved.map(col): _*)
+                .orderBy(col("_change_ordinal").desc,
+                  when(isInsert, 1).otherwise(0).desc)))
+            .filter(col("__g_rn") === 1)
+            .withColumn("__g_del", !isInsert)
+            .select((dataCols.map(col) :+ col("__g_del")): _*)
+          val view = "__graft_replica_" + batchId + "_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          net.createOrReplaceTempView(view)
+          try {
+            val on = keysResolved.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+            val sets = dataCols.map(c => s"t.`$c` = s.`$c`").mkString(", ")
+            val cols = dataCols.map(c => s"`$c`").mkString(", ")
+            val vals = dataCols.map(c => s"s.`$c`").mkString(", ")
+            spark.sql(
+              s"""MERGE INTO $tableName t USING $view s ON $on
+                 |WHEN MATCHED AND s.__g_del THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET $sets
+                 |WHEN NOT MATCHED AND NOT s.__g_del
+                 |  THEN INSERT ($cols) VALUES ($vals)""".stripMargin)
+            ()
+          } finally { spark.catalog.dropTempView(view); () }
+        }
+    }
+  }
+
   private def upsertSinkWithKeys(stream: DataFrame, tableName: String,
                         keys: Seq[String], versionCol: Option[String])
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {

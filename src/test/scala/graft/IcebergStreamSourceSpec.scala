@@ -432,4 +432,105 @@ class IcebergStreamSourceSpec extends SparkSpec {
       "SELECT COUNT(*) FROM cdcsrc.ns.t.changes").collect()(0).getLong(0)
     assert(sqlCount == batch.size.toLong)
   }
+
+  test("changelog stream admission control: maxSnapshotsPerTrigger paces " +
+      "the backlog commit-granularly; start-snapshot-id skips history") {
+    val wh = graft.Scratch.dir("test-cdcpace-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.cdcpace", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdcpace.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdcpace.ns")
+    spark.sql("CREATE TABLE cdcpace.ns.t (k INT, v STRING)")
+    spark.sql("INSERT INTO cdcpace.ns.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO cdcpace.ns.t VALUES (3, 'c')")
+    spark.sql("DELETE FROM cdcpace.ns.t WHERE k = 1")
+    val dir = s"$wh/ns/t"
+    val conf = spark.sessionState.newHadoopConf()
+    val lin = graft.iceberg.TableMetadata.load(dir, conf).snapshotLineage
+    assert(lin.size == 3)
+
+    val ckpt = new File(graft.Scratch.dir("test-cdcpace-ckpt"))
+    val outDir = new File(graft.Scratch.dir("test-cdcpace-out"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    val q = spark.readStream
+      .option("maxSnapshotsPerTrigger", "1")
+      .table("cdcpace.ns.t.changes")
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    // three pending commits drained as (at least) three one-commit
+    // batches, and every batch's rows belong to exactly one ordinal
+    val withBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(withBatches.length == 3,
+      s"expected 3 paced one-commit batches, got ${withBatches.length}")
+    val got = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("_change_type"))).sorted.toSeq
+    assert(got == Seq((1, "delete"), (1, "insert"), (2, "insert"), (3, "insert")),
+      s"paced drain must still cover the whole history: $got")
+
+    // start-snapshot-id: a fresh stream beginning AFTER the first commit
+    val ckpt2 = new File(graft.Scratch.dir("test-cdcpace-ckpt2"))
+    val outDir2 = new File(graft.Scratch.dir("test-cdcpace-out2"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt2)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir2)
+    val q2 = spark.readStream
+      .option("start-snapshot-id", lin.head.toString)
+      .table("cdcpace.ns.t.changes")
+      .writeStream.format("parquet")
+      .option("path", outDir2.toString)
+      .option("checkpointLocation", ckpt2.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    val got2 = spark.read.parquet(outDir2.toString).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("_change_type"))).sorted.toSeq
+    assert(got2 == Seq((1, "delete"), (3, "insert")),
+      s"start-snapshot-id must skip the first commit's inserts: $got2")
+  }
+
+  test("CDC replication: a changes stream applied through " +
+      "icebergReplicaSink keeps the replica equal to the source") {
+    import graft.streaming.EventStream
+    val wh = graft.Scratch.dir("test-cdcrepl-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.cdcrep", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdcrep.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdcrep.ns")
+    spark.sql("CREATE TABLE cdcrep.ns.src (k BIGINT NOT NULL, v STRING) " +
+      "TBLPROPERTIES ('write.update.mode' = 'merge-on-read', " +
+      "'write.delete.mode' = 'merge-on-read')")
+    spark.sql("ALTER TABLE cdcrep.ns.src SET IDENTIFIER FIELDS k")
+    spark.sql("CREATE TABLE cdcrep.ns.dst (k BIGINT NOT NULL, v STRING)")
+    spark.sql("ALTER TABLE cdcrep.ns.dst SET IDENTIFIER FIELDS k")
+    spark.sql("INSERT INTO cdcrep.ns.src SELECT id, concat('a', id) FROM range(10)")
+    spark.sql("UPDATE cdcrep.ns.src SET v = concat(v, '!') WHERE k % 3 = 0")
+    spark.sql("DELETE FROM cdcrep.ns.src WHERE k IN (2, 5)")
+
+    val ckpt = new File(graft.Scratch.dir("test-cdcrepl-ckpt"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    def sync(): Unit = {
+      // keys default from the REPLICA's declared identifier fields
+      val q = EventStream.icebergReplicaSink(
+          spark.readStream.table("cdcrep.ns.src.changes"), "cdcrep.ns.dst")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    def table(name: String): Seq[(Long, String)] =
+      spark.sql(s"SELECT k, v FROM $name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    sync()
+    assert(table("cdcrep.ns.dst") == table("cdcrep.ns.src"),
+      "replica must equal the source after the first drain")
+    // key churn + a re-insert of a deleted key + another update
+    spark.sql("INSERT INTO cdcrep.ns.src VALUES (2, 'back'), (100, 'new')")
+    spark.sql("UPDATE cdcrep.ns.src SET v = 'flip' WHERE k = 7")
+    spark.sql("DELETE FROM cdcrep.ns.src WHERE k = 0")
+    sync()
+    assert(table("cdcrep.ns.dst") == table("cdcrep.ns.src"),
+      "replica must track the source across churn")
+    assert(table("cdcrep.ns.src").nonEmpty)
+  }
 }

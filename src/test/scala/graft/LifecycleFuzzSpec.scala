@@ -394,4 +394,130 @@ class LifecycleFuzzSpec extends SparkSpec {
       spark.sql(s"DROP TABLE $tbl")
     }
   }
+
+  test("v2 identifier-field CDC pairing is a MODEL INVARIANT across " +
+      "random lifecycle ops: replaying the paired stream by key " +
+      "reconstructs the final table exactly") {
+    val conf = spark.sessionState.newHadoopConf()
+    spark.conf.set("spark.sql.catalog.lcf", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lcf.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS lcf.ns")
+    // the v3 fuzz's rewrite mix, replayed on the v2 INSTALLED-BASE
+    // pairing: identity comes from declared identifier fields, not
+    // row lineage. One CoW seed, one MoR seed — both rewrite families.
+    Seq((881L, false), (882L, true)).foreach { case (seed, mor) =>
+      val tbl = s"lcf.ns.v2fz$seed"
+      val dir = s"$warehouse/ns/v2fz$seed"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val modes =
+        if (mor) ", 'write.update.mode' = 'merge-on-read'" +
+          ", 'write.merge.mode' = 'merge-on-read'" +
+          ", 'write.delete.mode' = 'merge-on-read'"
+        else ""
+      spark.sql(
+        s"CREATE TABLE $tbl (k BIGINT NOT NULL, v BIGINT) " +
+          s"TBLPROPERTIES ('write.owner' = 'fuzz'$modes)")
+      spark.sql(s"ALTER TABLE $tbl SET IDENTIFIER FIELDS k")
+      val r = new scala.util.Random(seed)
+      val model = scala.collection.mutable.Map.empty[Long, Long]
+      var nextId = 0L
+      def checkState(op: String): Unit = {
+        val got = spark.sql(s"SELECT k, v FROM $tbl").collect()
+          .map(row => row.getLong(0) -> row.getLong(1)).toMap
+        assert(got == model.toMap, s"seed=$seed after $op: data drift " +
+          s"(${got.size} vs ${model.size})")
+      }
+      def compactIfDeletes(): Unit =
+        if (!mor && new IcebergTable(dir, conf).hasDeletes)
+          IcebergWriter.compact(spark, dir)
+      (1 to 25).foreach { step =>
+        val op = r.nextInt(9) match {
+          case 0 | 1 | 2 =>
+            val n = 5 + r.nextInt(15)
+            val rows = (0 until n).map { _ =>
+              val k = nextId; nextId += 1
+              val v = r.nextInt(1000).toLong; model(k) = v; s"($k, $v)"
+            }
+            spark.sql(s"INSERT INTO $tbl VALUES ${rows.mkString(", ")}")
+            s"insert($n)"
+          case 3 | 4 =>
+            val m = 2 + r.nextInt(4); val rem = r.nextInt(m)
+            val bump = 1 + r.nextInt(50)
+            compactIfDeletes()
+            model.keys.filter(_ % m == rem)
+              .foreach(k => model(k) = model(k) + bump)
+            spark.sql(s"UPDATE $tbl SET v = v + $bump WHERE k % $m = $rem")
+            s"update($m,$rem)"
+          case 5 =>
+            if (model.isEmpty) "noop"
+            else {
+              val keys = r.shuffle(model.keys.toSeq).take(1 + r.nextInt(3))
+              keys.foreach(model.remove)
+              spark.sql(s"DELETE FROM $tbl WHERE k IN (${keys.mkString(", ")})")
+              s"delete_eq(${keys.size})"
+            }
+          case 6 =>
+            if (model.isEmpty) "noop"
+            else {
+              compactIfDeletes()
+              val hitLo = math.abs(r.nextLong()) % nextId
+              val hitHi = math.min(nextId, hitLo + 3)
+              val insN = 2 + r.nextInt(4)
+              val ins = (0 until insN).map { _ =>
+                val k = nextId; nextId += 1
+                val v = r.nextInt(1000).toLong; model(k) = v; (k, v)
+              }
+              val matched = (hitLo until hitHi).filter(model.contains)
+              matched.foreach(k => model(k) = model(k) * 2)
+              val srcRows = (matched.map(k => (k, 0L)) ++ ins)
+                .map { case (k, v) => s"($k, $v)" }
+              spark.sql(
+                s"""MERGE INTO $tbl t USING
+                   |(SELECT * FROM VALUES ${srcRows.mkString(", ")}
+                   |  AS s(k, v)) s ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET t.v = t.v * 2
+                   |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+                  .stripMargin)
+              s"merge($hitLo,$hitHi,+$insN)"
+            }
+          case 7 =>
+            IcebergWriter.compact(spark, dir)
+            "compact"
+          case 8 =>
+            val n = 3 + r.nextInt(6)
+            model.clear()
+            val rows = (0 until n).map { _ =>
+              val k = nextId; nextId += 1
+              val v = r.nextInt(1000).toLong; model(k) = v; s"($k, $v)"
+            }
+            spark.sql(
+              s"INSERT OVERWRITE TABLE $tbl VALUES ${rows.mkString(", ")}")
+            s"overwrite($n)"
+        }
+        checkState(s"step $step: $op")
+      }
+      // END-OF-RUN: replay the identifier-paired stream BY KEY (keys are
+      // globally unique in the op mix, so key identity == row identity)
+      val head = new IcebergTable(dir, conf).metadata.snapshotLineage.last
+      val stream = new IcebergTable(dir, conf)
+        .changesWithUpdates(spark, 0L, head)
+        .select("k", "v", "_change_type", "_change_ordinal")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+        .sortBy(_._4)
+      val replay = scala.collection.mutable.Map.empty[Long, Long]
+      stream.foreach {
+        case (k, v, "insert", _) => replay(k) = v
+        case (k, _, "delete", _) => replay.remove(k)
+        case (k, v, "update_after", _) => replay(k) = v
+        case (_, _, "update_before", _) => ()
+        case other => fail(s"unexpected change row: $other")
+      }
+      assert(replay.toMap == model.toMap,
+        s"seed=$seed: v2 identifier CDC replay must equal the final " +
+          s"table (${replay.size} vs ${model.size} rows; " +
+          s"diff=${(replay.toSet diff model.toSet).take(5)})")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 }
