@@ -1223,6 +1223,57 @@ object IcebergQueries {
           col("_change_type").asc_nulls_first)
     }),
 
+    // CDC REPLICATION end-to-end: source table (identifier fields
+    // declared) takes inserts, a CoW UPDATE, a MoR MERGE, and a DELETE;
+    // the replica is synced ONLY through the streaming changelog source
+    // (readStream over src.changes, paced one commit per micro-batch)
+    // applied by the identifier-keyed replica sink. The emitted rows are
+    // the REPLICA's, never the source's — the oracle recomputes the
+    // source's final state relationally, so any divergence anywhere in
+    // the pipeline (window planning, pairing, net-effect MERGE) is a
+    // hash mismatch. At 100 TB: per-batch work ∝ the commit's change
+    // volume; neither table is ever rescanned.
+    "q163_cdc_replication" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q163-warehouse")
+      val ckpt = graft.Scratch.dir("q163-ckpt")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      new Path(ckpt).getFileSystem(conf).delete(new Path(ckpt), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q163")
+      s.conf.set("spark.sql.catalog.q163cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q163cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q163cat.ns")
+      s.sql(
+        """CREATE TABLE q163cat.ns.src (k BIGINT NOT NULL, v STRING)
+          |TBLPROPERTIES ('write.merge.mode' = 'merge-on-read',
+          |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql("ALTER TABLE q163cat.ns.src SET IDENTIFIER FIELDS k")
+      s.sql("CREATE TABLE q163cat.ns.dst (k BIGINT NOT NULL, v STRING)")
+      s.sql("ALTER TABLE q163cat.ns.dst SET IDENTIFIER FIELDS k")
+      s.sql(
+        """INSERT INTO q163cat.ns.src
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM orders_src_q163 WHERE o_orderkey % 7 = 0""".stripMargin)
+      s.sql("UPDATE q163cat.ns.src SET v = concat(v, '*') WHERE k % 21 = 0")
+      s.sql(
+        """MERGE INTO q163cat.ns.src t
+          |USING (SELECT CAST(o_orderkey AS BIGINT) + 30000000 AS k, 'R' AS v
+          |       FROM orders_src_q163 WHERE o_orderkey % 60 = 11) s
+          |ON t.k = s.k
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("DELETE FROM q163cat.ns.src WHERE k % 35 = 7")
+      val q = graft.streaming.EventStream.icebergReplicaSink(
+          s.readStream.option("maxSnapshotsPerTrigger", "1")
+            .table("q163cat.ns.src.changes"),
+          "q163cat.ns.dst")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.sql("SELECT k, v FROM q163cat.ns.dst ORDER BY k ASC NULLS FIRST")
+    }),
+
     // `partitions` metadata table end-to-end: per-partition data +
     // delete-debt rollup computed from MANIFEST metadata only (zero data
     // IO — the daily "how big is each partition" operator question). The
@@ -1747,6 +1798,21 @@ object IcebergQueries {
         |FROM stream
         |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
         |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q163_cdc_replication" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS v
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |state1 AS (
+        |  SELECT k, CASE WHEN k % 21 = 0 THEN v || '*' ELSE v END AS v
+        |  FROM base),
+        |merged AS (
+        |  SELECT k, v FROM state1
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT) + 30000000 AS k, 'R' AS v
+        |  FROM orders WHERE o_orderkey % 60 = 11)
+        |SELECT k, v FROM merged
+        |WHERE k % 35 <> 7
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
     "q162_partitions_metadata" ->
       """SELECT 's_nationkey=' || CAST(CAST(s_nationkey AS BIGINT) AS VARCHAR)
         |         AS part,
