@@ -1158,7 +1158,7 @@ object IcebergQueries {
       s.sql("DELETE FROM q160cat.ns.cdc WHERE k % 35 = 0")
       s.sql(
         """INSERT INTO q160cat.ns.cdc
-          |SELECT CAST(o_orderkey AS BIGINT) + 10000000, o_orderpriority
+          |SELECT -CAST(o_orderkey AS BIGINT), o_orderpriority
           |FROM orders_src_q160 WHERE o_orderkey % 50 = 3""".stripMargin)
       val t = new graft.iceberg.IcebergTable(dir, conf)
       t.changesWithUpdates(s, s0, t.metadata.snapshotLineage.last)
@@ -1209,7 +1209,7 @@ object IcebergQueries {
           |       FROM orders_src_q161
           |       WHERE o_orderkey % 5 = 0 AND o_orderkey % 30 = 5
           |       UNION ALL
-          |       SELECT CAST(o_orderkey AS BIGINT) + 20000000, 'N'
+          |       SELECT -CAST(o_orderkey AS BIGINT), 'N'
           |       FROM orders_src_q161 WHERE o_orderkey % 50 = 7) s
           |ON t.k = s.k
           |WHEN MATCHED THEN UPDATE SET v = s.v
@@ -1258,7 +1258,7 @@ object IcebergQueries {
       s.sql("UPDATE q163cat.ns.src SET v = concat(v, '*') WHERE k % 21 = 0")
       s.sql(
         """MERGE INTO q163cat.ns.src t
-          |USING (SELECT CAST(o_orderkey AS BIGINT) + 30000000 AS k, 'R' AS v
+          |USING (SELECT -CAST(o_orderkey AS BIGINT) AS k, 'R' AS v
           |       FROM orders_src_q163 WHERE o_orderkey % 60 = 11) s
           |ON t.k = s.k
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
@@ -1781,7 +1781,7 @@ object IcebergQueries {
         |  SELECT b.k, COALESCE(u.v_new, b.v) AS v
         |  FROM base b LEFT JOIN upd u USING (k)),
         |ins AS (
-        |  SELECT CAST(o_orderkey AS BIGINT) + 10000000 AS k,
+        |  SELECT -CAST(o_orderkey AS BIGINT) AS k,
         |         o_orderpriority AS v
         |  FROM orders WHERE o_orderkey % 50 = 3),
         |stream AS (
@@ -1808,7 +1808,7 @@ object IcebergQueries {
         |merged AS (
         |  SELECT k, v FROM state1
         |  UNION ALL
-        |  SELECT CAST(o_orderkey AS BIGINT) + 30000000 AS k, 'R' AS v
+        |  SELECT -CAST(o_orderkey AS BIGINT) AS k, 'R' AS v
         |  FROM orders WHERE o_orderkey % 60 = 11)
         |SELECT k, v FROM merged
         |WHERE k % 35 <> 7
@@ -1834,7 +1834,7 @@ object IcebergQueries {
         |mupd AS (
         |  SELECT k, v AS v_old, 'M' AS v_new FROM state1 WHERE k % 30 = 5),
         |mins AS (
-        |  SELECT CAST(o_orderkey AS BIGINT) + 20000000 AS k, 'N' AS v
+        |  SELECT -CAST(o_orderkey AS BIGINT) AS k, 'N' AS v
         |  FROM orders WHERE o_orderkey % 50 = 7),
         |state2 AS (
         |  SELECT s.k, COALESCE(m.v_new, s.v) AS v

@@ -312,19 +312,26 @@ object EventStream {
                         keys: Seq[String] = Nil,
                         versionCol: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val keysResolved = if (keys.nonEmpty) keys else {
-      val spark = stream.sparkSession
+    upsertSinkWithKeys(stream, tableName,
+      resolveSinkKeys(stream.sparkSession, tableName, keys, "upsert sink"),
+      versionCol)
+  }
+
+  /** Key resolution shared by the CDC sinks: explicit `keys` win;
+    * otherwise the target table's declared identifier fields — the
+    * schema's own statement of row identity. */
+  private def resolveSinkKeys(spark: SparkSession, tableName: String,
+      keys: Seq[String], sinkName: String): Seq[String] =
+    if (keys.nonEmpty) keys else {
       val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(tableName)
       val (_, _, t) = graft.iceberg.connector.GraftSqlParser.resolveTable(spark, parts)
       val ids = t.table.metadata.identifierFieldNames
       require(ids.nonEmpty,
-        s"upsert sink: no keys given and $tableName declares no identifier " +
+        s"$sinkName: no keys given and $tableName declares no identifier " +
           "fields — pass keys explicitly or ALTER TABLE ... SET IDENTIFIER " +
           "FIELDS")
       ids
     }
-    upsertSinkWithKeys(stream, tableName, keysResolved, versionCol)
-  }
 
   /** CDC REPLICATION: apply a changelog stream (`spark.readStream.table
     * ("cat.ns.src.changes")` — insert/delete rows, update halves as
@@ -351,18 +358,12 @@ object EventStream {
   def icebergReplicaSink(changes: DataFrame, tableName: String,
                          keys: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val spark0 = changes.sparkSession
-    val keysResolved = if (keys.nonEmpty) keys else {
-      val parts = spark0.sessionState.sqlParser.parseMultipartIdentifier(tableName)
-      val (_, _, t) = graft.iceberg.connector.GraftSqlParser.resolveTable(spark0, parts)
-      val ids = t.table.metadata.identifierFieldNames
-      require(ids.nonEmpty,
-        s"replica sink: no keys given and $tableName declares no identifier " +
-          "fields — pass keys explicitly or ALTER TABLE ... SET IDENTIFIER " +
-          "FIELDS")
-      ids
-    }
-    val metaCols = Set("_change_type", "_commit_snapshot_id", "_change_ordinal")
+    val keysResolved = resolveSinkKeys(changes.sparkSession, tableName, keys,
+      "replica sink")
+    // _row_id: a changesWithUpdates-shaped feed on a v3 table carries
+    // the lineage column — change metadata, never a replica column
+    val metaCols = Set("_change_type", "_commit_snapshot_id",
+      "_change_ordinal", "_row_id")
     val dataCols = changes.columns.filterNot(metaCols.contains).toSeq
     require(keysResolved.forall(dataCols.contains),
       s"replica sink keys (${keysResolved.mkString(", ")}) must be columns " +
@@ -373,7 +374,33 @@ object EventStream {
           import org.apache.spark.sql.expressions.Window
           val spark = batch.sparkSession
           val isInsert = col("_change_type").isin("insert", "update_after")
-          val net = batch.toDF
+          // a NULL key can neither pair nor MERGE-match (NULL never
+          // equals NULL): silently keeping an arbitrary one per batch
+          // would diverge the replica — fail LOUDLY instead (identifier
+          // fields are required per spec; this catches explicit keys on
+          // nullable columns and imports violating the declaration)
+          val nullKeyed = batch.toDF.filter(
+            keysResolved.map(col(_).isNull).reduce(_ || _))
+          if (!nullKeyed.isEmpty) throw new IllegalStateException(
+            s"replica sink: batch $batchId carries NULL values in key " +
+              s"column(s) ${keysResolved.mkString(", ")} — a NULL key " +
+              "cannot be replicated by MERGE; repair the feed or key on " +
+              "non-null columns")
+          // drop CARRYOVERS first (a delete+insert of IDENTICAL content
+          // in the SAME commit — copy-on-write rewrites emit them for
+          // every untouched row of a rewritten file): without this the
+          // MERGE re-upserts whole rewritten files, making replica write
+          // amplification ∝ rewritten files instead of changed rows.
+          // Same-content rows with NULLs don't match the using-join and
+          // survive as redundant-but-harmless upserts.
+          val carryKey = Seq("_change_ordinal") ++ dataCols
+          val carry = batch.toDF
+            .groupBy(carryKey.map(col): _*)
+            .agg(org.apache.spark.sql.functions
+              .countDistinct(when(isInsert, 1).otherwise(0)).as("__g_nt"))
+            .filter(col("__g_nt") === 2).drop("__g_nt")
+          val cleaned = batch.toDF.join(carry, carryKey, "left_anti")
+          val net = cleaned
             .withColumn("__g_rn", row_number().over(
               Window.partitionBy(keysResolved.map(col): _*)
                 .orderBy(col("_change_ordinal").desc,

@@ -533,4 +533,60 @@ class IcebergStreamSourceSpec extends SparkSpec {
       "replica must track the source across churn")
     assert(table("cdcrep.ns.src").nonEmpty)
   }
+
+  test("replica sink: a changesWithUpdates-shaped feed (update halves + " +
+      "_row_id) applies; NULL keys fail loudly instead of diverging") {
+    import graft.streaming.EventStream
+    val wh = graft.Scratch.dir("test-cdcrepl2-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.cdcrep2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdcrep2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdcrep2.ns")
+    spark.sql("CREATE TABLE cdcrep2.ns.dst (k BIGINT NOT NULL, v STRING)")
+    spark.sql("ALTER TABLE cdcrep2.ns.dst SET IDENTIFIER FIELDS k")
+    spark.sql("INSERT INTO cdcrep2.ns.dst VALUES (1, 'old')")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // (k, v, _row_id, type, snapshot, ordinal) — the v3 paired shape;
+    // _row_id must be treated as change METADATA, not a replica column
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, String, Long, Int)]
+    val feed = mem.toDF.toDF("k", "v", "_row_id", "_change_type",
+      "_commit_snapshot_id", "_change_ordinal")
+    val ckpt = graft.Scratch.dir("test-cdcrepl2-ckpt")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt))
+    val q = EventStream.icebergReplicaSink(feed, "cdcrep2.ns.dst")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(
+        (1L, "old", 10L, "update_before", 7L, 0),
+        (1L, "new", 10L, "update_after", 7L, 0),
+        (2L, "fresh", 11L, "insert", 7L, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT k, v FROM cdcrep2.ns.dst ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "new"), (2L, "fresh")),
+      s"paired-feed apply wrong: $got")
+
+    // NULL key: the batch must fail LOUDLY, not silently pick a row
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Option[Long], String, String, Long, Int)]
+    val feed2 = mem2.toDF.toDF("k", "v", "_change_type",
+      "_commit_snapshot_id", "_change_ordinal")
+    val ckpt2 = graft.Scratch.dir("test-cdcrepl2-ckpt2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(ckpt2))
+    val q2 = EventStream.icebergReplicaSink(feed2, "cdcrep2.ns.dst")
+      .option("checkpointLocation", ckpt2).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      mem2.addData((None, "ghost", "insert", 8L, 0))
+      q2.processAllAvailable()
+      q2.awaitTermination(2000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("NULL values in key")),
+      s"expected the null-key refusal, got: ${msgs(e).mkString(" | ")}")
+  }
 }
