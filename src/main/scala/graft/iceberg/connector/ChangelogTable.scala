@@ -69,25 +69,39 @@ final class GraftChangelogTable(
     // start the stream AFTER this snapshot instead of from table start
     // (the checkpoint-less "resume from here" upstream streams offer)
     val startSnapshot = Option(options.get("start-snapshot-id")).map(_.toLong)
-    new ScanBuilder {
+    new ScanBuilder
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // column pruning: a CDC consumer projecting (key, _change_type)
+      // must not ship — or scan — every payload column. The pruned
+      // schema pushes through changesBetween's select into Catalyst's
+      // own scan-level pruning (the change plan is narrow scans +
+      // broadcast joins, so the projection reaches the parquet readers).
+      private var pruned: StructType = changeSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // keep the declared order; Spark may request columns reordered
+        pruned = StructType(changeSchema.fields.filter(f =>
+          requiredSchema.fieldNames.contains(f.name)))
       override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = changeSchema
+        private val scanSchema = pruned
+        override def readSchema(): StructType = scanSchema
         /** Batch: full-history changes through the V1 relation bridge
           * (plans like any DataFrame — shuffles allowed here). */
         override def toV1TableScan[T <: BaseRelation with TableScan](
             ctx: SQLContext): T =
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = ctx
-            override def schema: StructType = changeSchema
+            override def schema: StructType = scanSchema
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               val t = new IcebergTable(table.tableDir, table.conf)
               val head = t.metadata.snapshotLineage.lastOption.getOrElse(0L)
+              import org.apache.spark.sql.functions.col
               t.changesBetween(ctx.sparkSession,
-                startSnapshot.getOrElse(0L), head).rdd
+                  startSnapshot.getOrElse(0L), head)
+                .select(scanSchema.fieldNames.toSeq.map(col): _*).rdd
             }
           }.asInstanceOf[T]
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftChangelogMicroBatchStream(table, changeSchema,
+          new GraftChangelogMicroBatchStream(table, changeSchema, scanSchema,
             maxSnapshots, startSnapshot)
       }
     }
@@ -101,7 +115,12 @@ final class GraftChangelogTable(
   * semantics differ. Follows `main`. */
 final class GraftChangelogMicroBatchStream(
     table: IcebergTable,
+    /** the FULL changelog schema (table columns + change metadata) —
+      * what mid-stream schema drift is validated against */
     changeSchema: StructType,
+    /** the scan's (possibly column-pruned) output schema — the rows
+      * each micro-batch actually ships */
+    outputSchema: StructType,
     /** `maxSnapshotsPerTrigger`: at most N window snapshots per batch
       * (commit-granular admission control; always ≥1 so progress is
       * guaranteed and a commit is never split across batches). */
@@ -199,7 +218,14 @@ final class GraftChangelogMicroBatchStream(
       s"changelog stream over ${table.tableDir}: the table schema " +
         "evolved mid-stream — restart the stream to adopt the new schema")
     val from = if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s
-    val df = t.changesBetween(spark, from, e)
+    val df = {
+      import org.apache.spark.sql.functions.col
+      // pruned projection pushes through Catalyst into the window's
+      // parquet scans — a (key, _change_type) consumer reads key bytes,
+      // not every payload column
+      t.changesBetween(spark, from, e)
+        .select(outputSchema.fieldNames.toSeq.map(col): _*)
+    }
     val rdd = df.queryExecution.toRdd
     GraftRddBridge.assertNoShuffle(rdd,
       s"changelog stream window [$from, $e] planned a SHUFFLE " +

@@ -433,6 +433,42 @@ class IcebergStreamSourceSpec extends SparkSpec {
     assert(sqlCount == batch.size.toLong)
   }
 
+  test("changelog relation prunes columns: a (key, type) projection " +
+      "ships pruned rows on both the batch and streaming paths") {
+    val wh = graft.Scratch.dir("test-cdcprune-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.cdcpr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdcpr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdcpr.ns")
+    spark.sql("CREATE TABLE cdcpr.ns.t (k INT, v STRING, w STRING)")
+    spark.sql("INSERT INTO cdcpr.ns.t SELECT CAST(id AS INT), " +
+      "concat('v', id), concat('w', id) FROM range(6)")
+    spark.sql("DELETE FROM cdcpr.ns.t WHERE k = 2")
+    // batch: the projected relation serves exactly the pruned columns
+    val b = spark.sql(
+      "SELECT k, _change_type FROM cdcpr.ns.t.changes ORDER BY k, _change_type")
+    assert(b.schema.fieldNames.toSeq == Seq("k", "_change_type"))
+    val bRows = b.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(bRows == ((0 until 6).map(i => (i, "insert")) :+ ((2, "delete")))
+      .sortBy(identity), s"pruned batch rows: $bRows")
+    // streaming: the pruned projection pushes into the micro-batch scan
+    val ckpt = new File(graft.Scratch.dir("test-cdcprune-ckpt"))
+    val outDir = new File(graft.Scratch.dir("test-cdcprune-out"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    val q = spark.readStream.table("cdcpr.ns.t.changes")
+      .select("k", "_change_type")
+      .writeStream.format("parquet")
+      .option("path", outDir.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val sRows = spark.read.parquet(outDir.toString).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("_change_type")))
+      .sorted.toSeq
+    assert(sRows == bRows, s"stream pruned rows: $sRows")
+  }
+
   test("changelog stream admission control: maxSnapshotsPerTrigger paces " +
       "the backlog commit-granularly; start-snapshot-id skips history") {
     val wh = graft.Scratch.dir("test-cdcpace-wh")
