@@ -177,13 +177,14 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       val tbl = s"restfz.ns.rz$seed"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(
-        s"""CREATE TABLE $tbl (k BIGINT, v BIGINT) TBLPROPERTIES
+        s"""CREATE TABLE $tbl (k BIGINT NOT NULL, v BIGINT) TBLPROPERTIES
            |('write.delete.mode' = 'merge-on-read',
            | 'write.update.mode' = 'merge-on-read')""".stripMargin)
 
       val r = new scala.util.Random(seed)
       val model = mutable.Map.empty[Long, Long]
       var nextId = 0L
+      var idDeclared = false
       val history = mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
 
       def headSnapshot(): Long = {
@@ -212,7 +213,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       }
 
       (1 to 32).foreach { step =>
-        val op = r.nextInt(12) match {
+        val op = r.nextInt(13) match {
           case 0 | 1 | 2 | 3 => insertBatch(5 + r.nextInt(15))
           case 4 | 5 => // equality DELETE on sampled keys
             if (model.isEmpty) "noop"
@@ -255,7 +256,17 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
             spark.sql(
               s"INSERT OVERWRITE TABLE $tbl VALUES ${rows.mkString(", ")}")
             s"overwrite($n)"
-          case 11 => // rollback to a random recorded snapshot
+          case 11 => // identifier-fields DDL: an add-schema commit over
+                     // the REST transport (server-assigned schema id),
+                     // toggled so both SET and DROP round-trip
+            if (idDeclared) {
+              spark.sql(s"ALTER TABLE $tbl DROP IDENTIFIER FIELDS")
+              idDeclared = false; "drop_idf"
+            } else {
+              spark.sql(s"ALTER TABLE $tbl SET IDENTIFIER FIELDS k")
+              idDeclared = true; "set_idf"
+            }
+          case 12 => // rollback to a random recorded snapshot
             if (history.isEmpty) "noop"
             else {
               val (sid, want) = history(r.nextInt(history.size))
@@ -293,6 +304,19 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           conflictChecks += 1
         }
       }
+
+      // identifier-field declaration round-trips the REST transport:
+      // the fresh load serves exactly the toggled end state
+      val loadedIds = spark.sessionState.catalogManager.catalog("restfz")
+        .asInstanceOf[graft.iceberg.connector.GraftCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("ns"), s"rz$seed"))
+        .asInstanceOf[graft.iceberg.connector.SparkIcebergTable]
+        .table.metadata.identifierFieldNames
+      assert(loadedIds.nonEmpty == idDeclared &&
+        (!idDeclared || loadedIds == Seq("k")),
+        s"seed=$seed: identifier declaration drifted over REST: " +
+          s"declared=$idDeclared served=$loadedIds")
 
       // time-travel coherence through the REST-served metadata
       history.distinctBy(_._1).foreach { case (sid, want) =>
