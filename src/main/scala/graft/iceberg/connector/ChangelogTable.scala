@@ -71,11 +71,17 @@ final class GraftChangelogTable(
     val startSnapshot = Option(options.get("start-snapshot-id")).map(_.toLong)
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-      // column pruning: a CDC consumer projecting (key, _change_type)
-      // must not ship — or scan — every payload column. The pruned
-      // schema pushes through changesBetween's select into Catalyst's
-      // own scan-level pruning (the change plan is narrow scans +
-      // broadcast joins, so the projection reaches the parquet readers).
+      // column pruning, BATCH path only: a CDC consumer projecting
+      // (key, _change_type) pushes the pruned schema through
+      // changesBetween's select into Catalyst's own scan-level pruning
+      // (the change plan is narrow scans + broadcast joins, so the
+      // projection reaches the parquet readers). Spark 4.1's
+      // MicroBatchExecution builds the streaming scan WITHOUT the
+      // pushdown rule (newScanBuilder(options).build()
+      // .toMicroBatchStream — pruneColumns is never called on that
+      // path), so the STREAM always ships full change rows and Spark
+      // projects above the scan; the stream therefore takes the full
+      // schema below, deliberately.
       private var pruned: StructType = changeSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
         // keep the declared order; Spark may request columns reordered
@@ -94,14 +100,15 @@ final class GraftChangelogTable(
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               val t = new IcebergTable(table.tableDir, table.conf)
               val head = t.metadata.snapshotLineage.lastOption.getOrElse(0L)
-              import org.apache.spark.sql.functions.col
-              t.changesBetween(ctx.sparkSession,
-                  startSnapshot.getOrElse(0L), head)
-                .select(scanSchema.fieldNames.toSeq.map(col): _*).rdd
+              val df = t.changesBetween(ctx.sparkSession,
+                startSnapshot.getOrElse(0L), head)
+              // df(name), not col(name): a column name containing dots
+              // must resolve as the column, never nested-field access
+              df.select(scanSchema.fieldNames.toSeq.map(df(_)): _*).rdd
             }
           }.asInstanceOf[T]
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftChangelogMicroBatchStream(table, changeSchema, scanSchema,
+          new GraftChangelogMicroBatchStream(table, changeSchema,
             maxSnapshots, startSnapshot)
       }
     }
@@ -115,12 +122,10 @@ final class GraftChangelogTable(
   * semantics differ. Follows `main`. */
 final class GraftChangelogMicroBatchStream(
     table: IcebergTable,
-    /** the FULL changelog schema (table columns + change metadata) —
-      * what mid-stream schema drift is validated against */
+    /** the FULL changelog schema — the stream always ships full change
+      * rows (Spark's micro-batch planner applies no column pushdown;
+      * see the ScanBuilder note) and drift-validates against this */
     changeSchema: StructType,
-    /** the scan's (possibly column-pruned) output schema — the rows
-      * each micro-batch actually ships */
-    outputSchema: StructType,
     /** `maxSnapshotsPerTrigger`: at most N window snapshots per batch
       * (commit-granular admission control; always ≥1 so progress is
       * guaranteed and a commit is never split across batches). */
@@ -218,14 +223,7 @@ final class GraftChangelogMicroBatchStream(
       s"changelog stream over ${table.tableDir}: the table schema " +
         "evolved mid-stream — restart the stream to adopt the new schema")
     val from = if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s
-    val df = {
-      import org.apache.spark.sql.functions.col
-      // pruned projection pushes through Catalyst into the window's
-      // parquet scans — a (key, _change_type) consumer reads key bytes,
-      // not every payload column
-      t.changesBetween(spark, from, e)
-        .select(outputSchema.fieldNames.toSeq.map(col): _*)
-    }
+    val df = t.changesBetween(spark, from, e)
     val rdd = df.queryExecution.toRdd
     GraftRddBridge.assertNoShuffle(rdd,
       s"changelog stream window [$from, $e] planned a SHUFFLE " +
