@@ -1366,8 +1366,24 @@ final class IcebergTable private (
     val b = ided.filter(col("_change_type") === "delete")
     val a = ided.filter(col("_change_type") === "insert")
     val pairCols = "_commit_snapshot_id" +: keyCols
+    // identifier uniqueness is a DECLARATION, not a table invariant —
+    // imported/foreign files can violate it, and a duplicated key makes
+    // the pair join many-to-many, silently emitting mispaired update
+    // halves. Refuse loudly instead (the NULL-key twin of the replica
+    // sink's guard); _row_id (v3) is unique per side by construction.
+    if (!v3) {
+      val dup = ided.groupBy((pairCols :+ "_change_type").map(col): _*)
+        .count().filter(col("count") > lit(1L))
+        .select(keyCols.map(col): _*).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"changesWithUpdates: identifier fields (${idNames.mkString(", ")}) " +
+          s"are declared unique but commit data repeats key " +
+          s"${dup.head.mkString("[", ", ", "]")} on one side of a commit — " +
+          "the table's data violates its identifier-field declaration; " +
+          "fix the data or use changesBetween (no pairing)")
+    }
     // pairing keys are unique per side within a commit (_row_id by
-    // construction; identifier values by declaration), so the pair join
+    // construction; identifier values guarded above), so the pair join
     // is 1:1; the content comparison decides carryover vs update.
     // Pinned: three consumers below (both update sides + the anti-join
     // keys) must not re-run the self-join and the full-row comparison

@@ -2580,8 +2580,16 @@ object IcebergWriter {
           val sketch = ThetaSketch.columnSketch(df, c)
           val (payload, blobProps) = sketch match {
             case Some(sk) =>
+              // `graft.theta.encoding = 2`: hashing canonicalizes
+              // -0.0/NaN float/double ARRAY elements before encoding
+              // (ThetaSketch.arrayElementEncoder). Blobs written before
+              // the marker existed hash those values differently —
+              // merging across the encoding change double-counts them,
+              // so a merger must treat a missing/different encoding tag
+              // as merge-incompatible and re-analyze instead.
               (sk.serialize(),
-                Map("ndv" -> math.round(sk.estimate).toString))
+                Map("ndv" -> math.round(sk.estimate).toString,
+                  "graft.theta.encoding" -> "2"))
             case None =>
               (Puffin.thetaStandInPayload(ndv),
                 Map("ndv" -> ndv.toString, "graft.theta.stand-in" -> "true"))

@@ -30,6 +30,15 @@ import org.apache.hadoop.fs.Path
   * detect it WITHOUT opening the payload: planners reading the `ndv`
   * property are unaffected; a cross-engine sketch MERGER seeing the
   * marker (or the stand-in magic) must re-analyze instead.
+  *
+  * MERGE COMPATIBILITY: real sketch blobs carry
+  * `graft.theta.encoding = 2`, versioning the value→bytes hashing rule
+  * (encoding 2 canonicalizes -0.0/NaN float/double array elements;
+  * blobs written before the tag hashed them by raw IEEE bits). Two
+  * sketches for the same column are mergeable only when their encoding
+  * tags match — a merger seeing a missing or different tag must
+  * re-analyze rather than union, or canonicalized and raw hashes of the
+  * same value double-count.
   */
 object Puffin {
 

@@ -323,8 +323,12 @@ object SchemaEvolution {
     require(names.nonEmpty,
       "SET IDENTIFIER FIELDS needs at least one column " +
         "(DROP IDENTIFIER FIELDS clears the declaration)")
+    // The spec models identifier-field-ids as a SET: `SET IDENTIFIER
+    // FIELDS k, k` declares k once, not twice (duplicated ids would leak
+    // into CDC pair columns and MERGE ON clauses downstream).
+    val distinctNames = names.distinct
     rewriteIdentifierFields(tableDir, conf, committer) { (fields, fieldAt, _) =>
-      names.map { name =>
+      distinctNames.map { name =>
         val i = fieldAt(name)
         if (i < 0) throw new IllegalArgumentException(
           s"SET IDENTIFIER FIELDS: no such column: $name")

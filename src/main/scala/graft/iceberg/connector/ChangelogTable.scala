@@ -20,7 +20,10 @@ import graft.iceberg.IcebergTable
   *
   *  - `SELECT * FROM cat.ns.t.changes` = the full-history
   *    [[IcebergTable.changesBetween]] rows (insert/delete typed, with
-  *    `_commit_snapshot_id` / `_change_ordinal` attribution);
+  *    `_commit_snapshot_id` / `_change_ordinal` attribution). The
+  *    `start-snapshot-id` read option bounds BATCH reads too — the same
+  *    "changes after this snapshot" meaning as on the stream, so a
+  *    reader reusing its streaming options gets the same window;
   *  - `spark.readStream.table("cat.ns.t.changes")` = a micro-batch
   *    stream whose every batch is the change rows of the snapshot window
   *    since the last frontier — INCLUDING deletes, updates (as their

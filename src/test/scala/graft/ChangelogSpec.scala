@@ -330,4 +330,22 @@ class ChangelogSpec extends SparkSpec {
     assert(cs.filter(_._4 == 2).map(c => (c._1, c._3)).sorted ==
       Seq((7, "delete"), (11, "delete")))
   }
+
+  test("changesWithUpdates refuses loudly when commit data violates the " +
+      "identifier-field uniqueness declaration") {
+    val ns = fresh("cldup")
+    spark.sql("CREATE TABLE cldup.ns.d (k INT NOT NULL, v STRING)")
+    spark.sql("ALTER TABLE cldup.ns.d SET IDENTIFIER FIELDS k")
+    // one commit, duplicated key on the insert side: the pair join would
+    // go many-to-many and mispair silently — must refuse instead
+    spark.sql("INSERT INTO cldup.ns.d VALUES (1, 'a'), (1, 'b'), (2, 'c')")
+    val e = intercept[IllegalStateException] {
+      new IcebergTable(s"$ns/d", conf)
+        .changesWithUpdates(spark, 0L, lineage(s"$ns/d").last)
+    }
+    assert(e.getMessage.contains("identifier"), e.getMessage)
+    // changesBetween (no pairing) still serves the window
+    assert(new IcebergTable(s"$ns/d", conf)
+      .changesBetween(spark, 0L, lineage(s"$ns/d").last).count() == 3)
+  }
 }

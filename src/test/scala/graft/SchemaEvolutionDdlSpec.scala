@@ -167,6 +167,10 @@ class SchemaEvolutionDdlSpec extends SparkSpec {
     // the parenthesized form parses too; SET replaces the whole set
     spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS (id)")
     assert(meta.identifierFieldNames == Seq("id"))
+    // duplicated names dedupe (identifier-field-ids is a SET per spec;
+    // duplicate ids would leak into CDC pair columns and MERGE ON)
+    spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS id, id, cat")
+    assert(meta.identifierFieldNames == Seq("id", "cat"))
     spark.sql("ALTER TABLE ddl9.ns.t SET IDENTIFIER FIELDS id, cat")
     // DROP with names narrows; undeclared names refuse; bare DROP clears
     spark.sql("ALTER TABLE ddl9.ns.t DROP IDENTIFIER FIELDS cat")

@@ -333,6 +333,12 @@ class ThetaSketchSpec extends SparkSpec {
         sawReal = true
         assert(props.get("graft.theta.stand-in") == null,
           "a real sketch blob must NOT carry the stand-in marker")
+        // the value-hashing rule is versioned so a merger can detect
+        // blobs written under a different encoding (pre-r15 blobs hash
+        // -0.0/NaN array elements by raw IEEE bits) and re-analyze
+        // instead of double-counting
+        assert(props.get("graft.theta.encoding").asText == "2",
+          "real sketch blobs must carry the encoding version tag")
         val sk = ThetaSketch.deserialize(payload)
         assert(props.get("ndv").asText.toLong == math.round(sk.estimate),
           s"ndv property ${props.get("ndv")} must equal the payload " +
