@@ -44,7 +44,13 @@ object AvroDataRead {
   final case class FieldSpec(name: String, sources: Seq[String],
                              dataType: DataType,
                              fieldId: Option[Int] = None,
-                             nameIdShifted: Boolean = false)
+                             nameIdShifted: Boolean = false,
+                             /** v3 `initial-default` as the EXTERNAL
+                               * (Row) value: served when per-file
+                               * resolution finds the field ABSENT (the
+                               * spec's read rule) — a present field's
+                               * real null stays null. */
+                             default: Any = null)
 
   /** Resolve one target field against a FILE's schema — the single
     * resolution rule both avro readers (the DataFrame scan and the DSv2
@@ -111,12 +117,14 @@ object AvroDataRead {
         // per-FILE resolution: position + converter for each target
         // (field-id first, then guarded name candidates — resolveField)
         val fileSchema = reader.getSchema
-        val plan: Array[(Int, AnyRef => Any)] =
+        // absent field: -1 position, the row serves the spec default
+        // (initial-default for pre-column files; null otherwise)
+        val plan: Array[(Int, AnyRef => Any, Any)] =
           fields.map { f =>
             resolveField(fileSchema, f) match {
-              case None => (-1, null)
+              case None => (-1, null, f.default)
               case Some(af) =>
-                (af.pos, converter(af.schema, f.dataType, f.name, p))
+                (af.pos, converter(af.schema, f.dataType, f.name, p), null)
             }
           }.toArray
         var idx = -1L
@@ -132,9 +140,9 @@ object AvroDataRead {
             val vals = new Array[Any](plan.length + (if (withIds) 2 else 0))
             var i = 0
             while (i < plan.length) {
-              val (pos, conv) = plan(i)
+              val (pos, conv, dflt) = plan(i)
               vals(i) =
-                if (pos < 0) null
+                if (pos < 0) dflt
                 else {
                   val v = rec.get(pos)
                   if (v == null) null else conv(v)

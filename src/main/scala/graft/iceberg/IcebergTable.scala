@@ -818,7 +818,8 @@ final class IcebergTable private (
       val fid = metadata.fieldIds.get(f.name)
       val aliases = fid.toSeq.flatMap(id => nameMapping.getOrElse(id, Nil))
       AvroDataRead.FieldSpec(f.name, (f.name +: aliases).distinct,
-        f.dataType, fid, metadata.idShiftedNames.contains(f.name))
+        f.dataType, fid, metadata.idShiftedNames.contains(f.name),
+        default = DefaultValues.existenceDefaultExternal(f).orNull)
     }
 
   /** Avro twin of [[fileSchemaColumns]]: header-only field-name probe,
@@ -901,8 +902,12 @@ final class IcebergTable private (
             IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
             nullable = true, metadata = md))
         }
-      if (orc) read.schema(schema).orc(ps: _*)
-      else read.schema(schema).parquet(ps: _*)
+      // required-with-initial-default columns read as nullable (the
+      // reader refuses a missing required column before consulting
+      // EXISTS_DEFAULT); values served are the non-null default
+      val rs = DefaultValues.relaxForRead(schema)
+      if (orc) read.schema(rs).orc(ps: _*)
+      else read.schema(rs).parquet(ps: _*)
     }
 
     val base =
@@ -921,7 +926,13 @@ final class IcebergTable private (
           (src, f)
         }
         val readSchema = StructType(pairs.map { case (src, f) =>
-          StructField(src, f.dataType, f.nullable) })
+          // keep the initial-default (EXISTS_DEFAULT) so an id-less
+          // import missing the column still serves it — the only field
+          // metadata carried: ids stay off deliberately (see above)
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          if (f.metadata.contains("EXISTS_DEFAULT"))
+            mb.putString("EXISTS_DEFAULT", f.metadata.getString("EXISTS_DEFAULT"))
+          StructField(src, f.dataType, f.nullable, mb.build()) })
         val renamed = pairs.map { case (src, f) => col(src).as(f.name) } ++
           (if (matRowId) Seq(col(IcebergTable.RowIdCol)) else Nil) ++
           (if (!withIds) Nil
@@ -1306,6 +1317,25 @@ final class IcebergTable private (
   def changesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
     changesBetweenImpl(spark, fromId, toId, withLineage = false)
 
+  /** [[changesBetween]] + the v3 `_row_id` lineage column (the spec read
+    * rule: materialized column coalesced with the file's first_row_id +
+    * position; null for pre-lineage files) — what lets a downstream
+    * replica key on row identity instead of declared identifier fields.
+    * Plans one extra BROADCAST join per window (the per-file first-row-id
+    * list), still shuffle-free. Needs a lineage-assigning table. */
+  def changesBetween(spark: SparkSession, fromId: Long, toId: Long,
+                     withLineage: Boolean): DataFrame = {
+    if (withLineage) {
+      require(IcebergWriter.wantsLineage(metadata),
+        "changesBetween(withLineage = true) needs v3 row lineage — " +
+          "ALTER TABLE t SET TBLPROPERTIES ('format-version' = '3')")
+      require(!metadata.schema.fieldNames.contains(IcebergTable.RowIdCol),
+        s"cannot serve row lineage: a data column shadows the reserved " +
+          s"${IcebergTable.RowIdCol} name")
+    }
+    changesBetweenImpl(spark, fromId, toId, withLineage)
+  }
+
   /** [[changesBetween]] + true CDC UPDATE PAIRING over v3 row lineage:
     * within each commit, a 'delete' and an 'insert' sharing the same
     * `_row_id` are the two halves of one row's update — re-typed
@@ -1321,7 +1351,19 @@ final class IcebergTable private (
     * IDENTIFIER FIELDS ...`) — the upstream changelog-view semantics
     * for the v2 installed base — and the output matches
     * [[changesBetween]]'s columns exactly. Requires one or the other. */
-  def changesWithUpdates(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+  def changesWithUpdates(spark: SparkSession, fromId: Long, toId: Long): DataFrame =
+    changesWithUpdatesImpl(spark, fromId, toId)._1
+
+  /** [[changesWithUpdates]] + a cleanup handle: the pairing pins two
+    * intermediate localCheckpoints (the window's change rows and the
+    * paired halves) that a LONG-RUNNING caller — the streaming CDC
+    * source, one window per micro-batch — must release once it has
+    * materialized the result, or executor storage grows per batch. The
+    * batch API keeps today's process-lifetime pins (the returned plan
+    * still READS them; unpersisting before the consumer collects would
+    * break it — localCheckpoints cannot recompute). */
+  private[graft] def changesWithUpdatesImpl(spark: SparkSession, fromId: Long,
+      toId: Long): (DataFrame, () => Unit) = {
     import IcebergTable.RowIdCol
     // pair on the spec's own row identity when the table assigns it
     // (v3 lineage — correct even when every column changes); otherwise
@@ -1401,8 +1443,9 @@ final class IcebergTable private (
     val pairedKeys = paired
       .select(pairCols.map(c => col(s"b.$c")): _*).distinct()
     val rest = cs.join(pairedKeys, pairCols, "left_anti")
-    rest.unionByName(side("b", "update_before"))
+    val out = rest.unionByName(side("b", "update_before"))
       .unionByName(side("a", "update_after"))
+    (out, () => Seq(cs, paired).foreach(IcebergTable.unpinLocalCheckpoint))
   }
 
   private def changesBetweenImpl(spark: SparkSession, fromId: Long,
@@ -1564,6 +1607,18 @@ object IcebergTable {
     * lineage read serves. */
   private[graft] val RowIdCol = "_row_id"
   private[graft] val RowIdFieldId = 2147483540L
+
+  /** Release the storage behind a localCheckpoint'd DataFrame — the
+    * checkpointed blocks cannot recompute, so callers may only release
+    * AFTER every consumer of the plan has materialized (the streaming
+    * CDC source does, per micro-batch). */
+  private[graft] def unpinLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try lr.rdd.unpersist(blocking = false)
+        catch { case _: Exception => () }
+      case _ => ()
+    }
 
   /** THE path-identity normalization every delete-application join and
     * supersede/absorb comparison hangs on: strip the URI scheme and

@@ -49,6 +49,12 @@ final case class StatisticsFile(snapshotId: Long, path: String,
                                 fileFooterSizeInBytes: Long,
                                 blobs: Seq[StatisticsBlobMeta])
 
+/** A spec `partition-statistics` metadata entry: one partition-stats
+  * data file (parquet) computed against `snapshotId` — see
+  * [[PartitionStats]]. */
+final case class PartitionStatsFile(snapshotId: Long, path: String,
+                                    fileSizeInBytes: Long)
+
 /** A snapshot ref's retention knobs (all optional; Iceberg spec v2).
   * `maxSnapshotAgeMs`/`minSnapshotsToKeep` govern how much of a BRANCH's
   * history survives expiration; `maxRefAgeMs` ages out the ref itself
@@ -121,6 +127,10 @@ final case class TableMetadata(
     /** v3 row lineage: the next row id to assign (spec `next-row-id`).
       * None on v1/v2 metadata. */
     nextRowId: Option[Long] = None,
+    /** Spec `partition-statistics` field: per-snapshot partition-stats
+      * files ([[PartitionStats]] maintains them incrementally on append
+      * when declared; expiration drops entries of removed snapshots). */
+    partitionStatistics: Seq[PartitionStatsFile] = Nil,
     /** The current schema's `identifier-field-ids` (spec schema field;
       * the reference builds its SchemaV2 with them, `table.rs:371`) —
       * the declared row-identity columns. Empty when undeclared. Used to
@@ -284,11 +294,32 @@ object TableMetadata {
       // Consequence: data files must carry ids, as the Iceberg spec
       // requires of writers (IcebergWriter stamps them); a non-conformant
       // id-less file now fails fast instead of mis-reading.
+      val mb = new MetadataBuilder()
+        .putLong("iceberg.field-id", f.get("id").asLong)
+        .putLong("parquet.field.id", f.get("id").asLong)
+      // v3 default values ride Spark's own column-default field metadata:
+      // initial-default → EXISTS_DEFAULT (parquet/ORC readers fill a
+      // column ABSENT from the file with it — the spec's read rule,
+      // decided per file at footer-open time), write-default →
+      // CURRENT_DEFAULT (the analyzer fills INSERTs omitting the column).
+      // Parse failures are LOUD: silently dropping a declared default
+      // would serve NULL where the table contract says otherwise.
+      if (f.get("type").isTextual) {
+        val t = f.get("type").asText
+        Option(f.get("initial-default")).filterNot(_.isNull).foreach(d =>
+          mb.putString("EXISTS_DEFAULT", DefaultValues.jsonToSql(d, t)))
+        Option(f.get("write-default")).filterNot(_.isNull).foreach(d =>
+          mb.putString("CURRENT_DEFAULT", DefaultValues.jsonToSql(d, t)))
+      } else if (f.has("initial-default") || f.has("write-default")) {
+        val hasReal = Seq("initial-default", "write-default")
+          .exists(k => Option(f.get(k)).exists(!_.isNull))
+        if (hasReal) throw new UnsupportedOperationException(
+          s"column ${f.get("name").asText}: default values on nested " +
+            "types are not supported (primitive columns only)")
+      }
       StructField(f.get("name").asText, toSparkType(f.get("type")),
         nullable = !f.get("required").asBoolean,
-        metadata = new MetadataBuilder()
-          .putLong("iceberg.field-id", f.get("id").asLong)
-          .putLong("parquet.field.id", f.get("id").asLong).build())
+        metadata = mb.build())
     })
     val fieldIds = fields.map(f => f.get("name").asText -> f.get("id").asInt).toMap
     val specs = allSpecs(root)
@@ -379,6 +410,13 @@ object TableMetadata {
         }.toMap)
         .getOrElse(Map.empty),
       nextRowId = Option(root.get("next-row-id")).map(_.asLong),
+      partitionStatistics = Option(root.get("partition-statistics"))
+        .map(_.elements.asScala.toSeq).getOrElse(Nil)
+        .map(s => PartitionStatsFile(
+          snapshotId = s.get("snapshot-id").asLong,
+          path = s.get("statistics-path").asText,
+          fileSizeInBytes = Option(s.get("file-size-in-bytes"))
+            .map(_.asLong).getOrElse(0L))),
       identifierFieldIds = Option(sn.get("identifier-field-ids"))
         .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil),
       statistics = Option(root.get("statistics"))

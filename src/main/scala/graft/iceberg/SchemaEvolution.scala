@@ -100,6 +100,20 @@ object SchemaEvolution {
       fieldNames(0)
     }
 
+    // v3 default values (initial-default/write-default) need format
+    // version 3 — stamped, or declared via the `format-version = 3`
+    // property with the upgrade pending on the next write commit (the
+    // same declared-v3 rule row lineage uses).
+    def isV3: Boolean =
+      Option(root.get("format-version")).exists(_.asInt >= 3) ||
+        Option(root.get("properties"))
+          .flatMap(p => Option(p.get("format-version")))
+          .exists(_.asText == "3")
+    def requireV3(what: String): Unit =
+      if (!isV3) throw new UnsupportedOperationException(
+        s"$what needs Iceberg format-version 3 (ALTER TABLE ... SET " +
+          "TBLPROPERTIES ('format-version' = '3') first)")
+
     var schemaChanged = false
     val propSets = mapper.createObjectNode()
     def isAvroTable: Boolean =
@@ -113,8 +127,13 @@ object SchemaEvolution {
         val name = single(add.fieldNames, "ADD COLUMN")
         if (fieldIdx(name) >= 0) throw new IllegalArgumentException(
           s"column $name already exists")
-        if (!add.isNullable) throw new UnsupportedOperationException(
-          s"added column $name must be nullable: existing rows have no value for it")
+        // a DEFAULT makes existing rows well-defined, so NOT NULL becomes
+        // addable (the v3 spec's required-with-initial-default rule);
+        // without one, existing rows have no value for a required column
+        if (!add.isNullable && add.defaultValue == null)
+          throw new UnsupportedOperationException(
+            s"added column $name must be nullable: existing rows have no " +
+              "value for it (or declare a DEFAULT — format-version 3)")
         // a declared-avro table must refuse the MUTATION that would
         // brick every later write (INSERT, CoW, delete-debt compaction
         // all re-validate the schema) — not the writes after it: type
@@ -131,10 +150,55 @@ object SchemaEvolution {
         val fn = mapper.createObjectNode()
         fn.put("id", nextId())
         fn.put("name", name)
-        fn.put("required", false)
+        fn.put("required", !add.isNullable)
         fn.set[ObjectNode]("type", typeNode(add.dataType))
         Option(add.comment).foreach(fn.put("doc", _))
+        Option(add.defaultValue).foreach { dv =>
+          requireV3(s"ADD COLUMN $name ... DEFAULT")
+          DefaultValues.requireDefaultable(name, add.dataType, "ADD COLUMN")
+          val v = DefaultValues.analyzeDefault(name, add.dataType, dv,
+            "ALTER TABLE ... ADD COLUMN")
+          if (v == null) throw new UnsupportedOperationException(
+            s"ADD COLUMN $name: DEFAULT NULL is expressed by omitting " +
+              "the default")
+          // initial-default is fixed at add time (spec: immutable — it is
+          // what pre-column files read); write-default starts equal and
+          // moves via ALTER COLUMN ... SET DEFAULT
+          val json = DefaultValues.catalystToJson(mapper, v,
+            IcebergJson.icebergType(add.dataType))
+          fn.set[ObjectNode]("initial-default", json)
+          fn.set[ObjectNode]("write-default", json)
+        }
         fields.add(fn)
+        schemaChanged = true
+
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        val name = single(upd.fieldNames, "ALTER COLUMN DEFAULT")
+        val i = fieldIdx(name)
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
+        val node = fields.get(i).asInstanceOf[ObjectNode]
+        val dropping = upd.newCurrentDefault == null ||
+          Option(upd.newDefaultValue).forall(_.trim.isEmpty)
+        if (dropping) {
+          // DROP DEFAULT removes the WRITE default only — initial-default
+          // is immutable (files written before the column still read it)
+          node.remove("write-default")
+        } else {
+          requireV3(s"ALTER COLUMN $name SET DEFAULT")
+          if (!node.get("type").isTextual)
+            throw new UnsupportedOperationException(
+              s"ALTER COLUMN $name SET DEFAULT: defaults are supported " +
+                "on primitive columns only")
+          val icebergT = node.get("type").asText
+          val dt = TableMetadata.primitive(icebergT)
+          DefaultValues.requireDefaultable(name, dt, "ALTER COLUMN")
+          val v = DefaultValues.analyzeDefault(name, dt,
+            upd.newCurrentDefault, "ALTER TABLE ... ALTER COLUMN")
+          if (v == null) throw new UnsupportedOperationException(
+            s"ALTER COLUMN $name SET DEFAULT NULL: use DROP DEFAULT")
+          node.set[ObjectNode]("write-default",
+            DefaultValues.catalystToJson(mapper, v, icebergT))
+        }
         schemaChanged = true
 
       case ren: TableChange.RenameColumn =>

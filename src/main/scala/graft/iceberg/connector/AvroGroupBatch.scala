@@ -58,14 +58,19 @@ object AvroGroupBatch {
       // plan construction can refuse (wrong logical type) — the reader
       // is already open, so close it on the way out or the file handle
       // leaks on every task retry
-      val plan: Array[(Int, AnyRef => Any)] =
+      // absent field: the spec default (initial-default, carried on the
+      // spec as an EXTERNAL value) converted once to its CATALYST form
+      val plan: Array[(Int, AnyRef => Any, Any)] =
         try {
           val fileSchema = reader.getSchema
           fields.map { f =>
             AvroDataRead.resolveField(fileSchema, f) match {
-              case None => (-1, null)
+              case None => (-1, null,
+                org.apache.spark.sql.catalyst.CatalystTypeConverters
+                  .createToCatalystConverter(f.dataType)(f.default))
               case Some(af) =>
-                (af.pos, catalystConverter(af.schema, f.dataType, f.name, path))
+                (af.pos, catalystConverter(af.schema, f.dataType, f.name, path),
+                  null)
             }
           }.toArray
         } catch { case t: Throwable =>
@@ -81,9 +86,9 @@ object AvroGroupBatch {
             val vals = new Array[Any](plan.length)
             var i = 0
             while (i < plan.length) {
-              val (pos, conv) = plan(i)
+              val (pos, conv, dflt) = plan(i)
               vals(i) =
-                if (pos < 0) null
+                if (pos < 0) dflt
                 else {
                   val v = rec.get(pos)
                   if (v == null) null else conv(v)

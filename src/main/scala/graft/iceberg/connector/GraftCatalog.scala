@@ -1,7 +1,7 @@
 package graft.iceberg.connector
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.{Map => JMap}
+import java.util.{Map => JMap, Set => JSet}
 
 import scala.jdk.CollectionConverters._
 
@@ -59,6 +59,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   private var store: CatalogStore = _
   private[graft] def storeForTest: CatalogStore = store
   private val mapper = new ObjectMapper()
+
+  /** Declares v3 column-default support so Spark's analyzer ACCEPTS
+    * `DEFAULT` clauses in CREATE/ALTER DDL against this catalog (the
+    * values themselves live in schema-field metadata either way). */
+  override def capabilities(): JSet[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Lazy table cache (A15 without the eager mirror), guarded by the
     * store's freshness token (for the filesystem store, the latest
@@ -258,6 +265,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // guard surface the ALTER-to-avro flip already has
     if (props.get("write.format-default").exists(_.equalsIgnoreCase("avro")))
       graft.iceberg.AvroDataWrite.requireWritable(schema)
+    // column DEFAULTs are a v3 schema feature (initial-/write-default):
+    // a table born with them must be born format-version 3 — refuse
+    // rather than emit v2 metadata foreign readers would misread
+    if (schema.fields.exists(f => f.metadata.contains("CURRENT_DEFAULT") ||
+        f.metadata.contains("EXISTS_DEFAULT")) &&
+        !props.get("format-version").contains("3"))
+      throw new UnsupportedOperationException(
+        "CREATE TABLE with column DEFAULTs needs Iceberg format-version 3 " +
+          "— add TBLPROPERTIES ('format-version' = '3')")
     store.createTable(ident.namespace.toSeq, ident.name, schema, partitionCols,
       props)
     loadTable(ident)
@@ -481,6 +497,7 @@ object IcebergJson {
           fn.put("name", f.name)
           fn.put("required", !f.nullable)
           fn.set[ObjectNode]("type", typeNodeWithIds(mapper, f.dataType, nextId))
+          fieldDefaults(mapper, fn, f)
         }
         o
       case a: ArrayType =>
@@ -501,6 +518,28 @@ object IcebergJson {
         o
       case p => mapper.getNodeFactory.textNode(icebergType(p))
     }
+
+  /** Emit the v3 `initial-default` / `write-default` field attributes
+    * from Spark's column-default StructField metadata (the CREATE TABLE
+    * ... DEFAULT surface): `EXISTS_DEFAULT` → initial-default,
+    * `CURRENT_DEFAULT` → write-default, both analyzed against the
+    * column's type and folded to the spec's JSON single value. A DEFAULT
+    * NULL folds to null and is omitted (absent means no default). */
+  def fieldDefaults(mapper: ObjectMapper, fn: ObjectNode,
+                    f: org.apache.spark.sql.types.StructField): Unit = {
+    def put(metaKey: String, attr: String): Unit =
+      if (f.metadata.contains(metaKey)) {
+        graft.iceberg.DefaultValues.requireDefaultable(
+          f.name, f.dataType, "CREATE TABLE column")
+        val v = graft.iceberg.DefaultValues.analyzeSql(
+          f.name, f.dataType, f.metadata.getString(metaKey), "CREATE TABLE")
+        if (v != null)
+          fn.set[ObjectNode](attr, graft.iceberg.DefaultValues
+            .catalystToJson(mapper, v, icebergType(f.dataType)))
+      }
+    put("EXISTS_DEFAULT", "initial-default")
+    put("CURRENT_DEFAULT", "write-default")
+  }
 
   /** An Iceberg-format schema node (struct with per-field ids, nested
     * list/map/struct supported) for view-spec metadata and REST
@@ -531,8 +570,14 @@ object IcebergJson {
       properties: Map[String, String]): String = {
     val root = mapper.createObjectNode()
     // v2: tables this catalog creates may later carry row-level deletes
-    // (DELETE FROM commits equality-delete files), a v2 feature
-    root.put("format-version", 2)
+    // (DELETE FROM commits equality-delete files), a v2 feature. A table
+    // DECLARED v3 (`format-version = 3` property) is stamped v3 at birth
+    // — the first-commit upgrade stays for tables that flip later, but a
+    // v3-born table can carry v3 schema features (column defaults) in
+    // its very first metadata file.
+    val bornV3 = properties.get("format-version").contains("3")
+    root.put("format-version", if (bornV3) 3 else 2)
+    if (bornV3) root.put("next-row-id", 0L)
     root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
       location.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
     root.put("location", location)
@@ -556,6 +601,7 @@ object IcebergJson {
         fn.put("required", !f.nullable)
         fn.set[com.fasterxml.jackson.databind.JsonNode]("type",
           typeNodeWithIds(mapper, f.dataType, nextId _))
+        fieldDefaults(mapper, fn, f)
       }
       lastColumnId = nextNested
     }

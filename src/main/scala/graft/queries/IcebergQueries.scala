@@ -1233,6 +1233,49 @@ object IcebergQueries {
     // the pipeline (window planning, pairing, net-effect MERGE) is a
     // hash mismatch. At 100 TB: per-batch work ∝ the commit's change
     // volume; neither table is ever rescanned.
+    // Iceberg v3 default values end-to-end: ADD COLUMN ... DEFAULT is
+    // METADATA-ONLY at any table size — files written before the column
+    // serve the immutable initial-default (decided per file at the
+    // reader, zero plan-time IO), INSERTs omitting the column take the
+    // current write-default, and ALTER COLUMN SET DEFAULT moves only the
+    // write side. The oracle reconstructs the same table relationally.
+    "q164_default_values" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q164-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q164")
+      s.conf.set("spark.sql.catalog.q164cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q164cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q164cat.ns")
+      s.sql(
+        """CREATE TABLE q164cat.ns.t (k BIGINT, pri STRING)
+          |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+      s.sql(
+        """INSERT INTO q164cat.ns.t
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM orders_src_q164 WHERE o_orderkey % 3 = 0""".stripMargin)
+      // metadata-only: pre-column files below serve these defaults
+      s.sql("ALTER TABLE q164cat.ns.t ADD COLUMN seg STRING DEFAULT 'none'")
+      s.sql("ALTER TABLE q164cat.ns.t ADD COLUMN w INT NOT NULL DEFAULT 5")
+      s.sql(
+        """INSERT INTO q164cat.ns.t
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority,
+          |       o_orderpriority, CAST(o_orderkey % 4 AS INT)
+          |FROM orders_src_q164 WHERE o_orderkey % 3 = 1""".stripMargin)
+      s.sql("ALTER TABLE q164cat.ns.t ALTER COLUMN w SET DEFAULT 9")
+      // write-default fills the omitted column at INSERT analysis
+      s.sql(
+        """INSERT INTO q164cat.ns.t (k, pri, seg)
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority, 'late'
+          |FROM orders_src_q164 WHERE o_orderkey % 3 = 2""".stripMargin)
+      s.sql(
+        """SELECT seg, w, CAST(COUNT(*) AS BIGINT) AS cnt,
+          |       CAST(SUM(k) AS BIGINT) AS sum_k
+          |FROM q164cat.ns.t GROUP BY seg, w
+          |ORDER BY seg ASC NULLS FIRST, w ASC NULLS FIRST""".stripMargin)
+    }),
+
     "q163_cdc_replication" -> ((s, d) => {
       import org.apache.hadoop.fs.Path
       val warehouse = graft.Scratch.dir("q163-warehouse")
@@ -1798,6 +1841,21 @@ object IcebergQueries {
         |FROM stream
         |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
         |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q164_default_values" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, 'none' AS seg, 5 AS w
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT), o_orderpriority,
+        |         CAST(o_orderkey % 4 AS INT)
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT), 'late', 9
+        |  FROM orders WHERE o_orderkey % 3 = 2)
+        |SELECT seg, CAST(w AS INT) AS w, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM t GROUP BY seg, w
+        |ORDER BY seg ASC NULLS FIRST, w ASC NULLS FIRST""".stripMargin,
     "q163_cdc_replication" ->
       """WITH base AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS v

@@ -151,8 +151,8 @@ object GraftScanShims {
       spark,
       hconf,
       new GraftPrunedFileIndex(spark, files),
-      dataSchema,
-      readSchema,
+      graft.iceberg.DefaultValues.relaxForRead(dataSchema),
+      graft.iceberg.DefaultValues.relaxForRead(readSchema),
       StructType(Nil),
       pushedFilters,
       CaseInsensitiveStringMap.empty())
@@ -172,8 +172,8 @@ object GraftScanShims {
       spark,
       spark.sessionState.newHadoopConf(),
       new GraftPrunedFileIndex(spark, files),
-      dataSchema,
-      readSchema,
+      graft.iceberg.DefaultValues.relaxForRead(dataSchema),
+      graft.iceberg.DefaultValues.relaxForRead(readSchema),
       StructType(Nil),
       CaseInsensitiveStringMap.empty(),
       None,

@@ -34,6 +34,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     var evolutions = 0
     var branchPublishes = 0
     var branchAbandons = 0
+    var defaultOps = 0
     Seq(1207L, 4242L).foreach { seed =>
       val tbl = s"lcf.ns.fz$seed"
       val dir = s"$warehouse/ns/fz$seed"
@@ -48,41 +49,65 @@ class LifecycleFuzzSpec extends SparkSpec {
       var nextId = 0L
       var vName = "v" // schema renames move it; every op resolves through it
       var evolved = false // partition spec evolved at most once per table
-      // snapshot id -> model state at that commit (only data-changing
+      // v3 default-column state: once declared, every row's expected `d`
+      // is dModel(k) when the row was WRITTEN after the add (it carries
+      // the write-default of its insert), else the immutable
+      // initial-default (pre-add files and id-less imports missing the
+      // column serve it at the reader)
+      var dDeclared = false
+      var dInit = 0L
+      var dWrite = 0L
+      val dModel = scala.collection.mutable.Map.empty[Long, Long]
+      // snapshot id -> (model, dModel) at that commit (only data-changing
       // ops move the snapshot; compact replaces files, state unchanged)
       val history = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Map[Long, Long])]
+        .empty[(Long, Map[Long, Long], Map[Long, Long])]
 
       def headSnapshot(): Long =
         new IcebergTable(dir, conf).metadata.currentSnapshotId.get
 
-      def checkHead(op: String): Unit = {
-        val got = spark.sql(s"SELECT k, $vName FROM $tbl ORDER BY k").collect()
-          .map(row => row.getLong(0) -> row.getLong(1)).toMap
-        assert(got == model.toMap,
-          s"seed=$seed after $op: table ${got.size} rows vs model " +
-            s"${model.size}; diff=${(got.toSet diff model.toSet).take(5)} / " +
-            s"${(model.toSet diff got.toSet).take(5)}")
-      }
+      def checkHead(op: String): Unit =
+        if (!dDeclared) {
+          val got = spark.sql(s"SELECT k, $vName FROM $tbl ORDER BY k").collect()
+            .map(row => row.getLong(0) -> row.getLong(1)).toMap
+          assert(got == model.toMap,
+            s"seed=$seed after $op: table ${got.size} rows vs model " +
+              s"${model.size}; diff=${(got.toSet diff model.toSet).take(5)} / " +
+              s"${(model.toSet diff got.toSet).take(5)}")
+        } else {
+          val got = spark.sql(s"SELECT k, $vName, d FROM $tbl ORDER BY k")
+            .collect()
+            .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2)))
+            .toMap
+          val want = model.map { case (k, v) =>
+            k -> (v, dModel.getOrElse(k, dInit)) }.toMap
+          assert(got == want,
+            s"seed=$seed after $op: table ${got.size} rows vs model " +
+              s"${want.size}; diff=${(got.toSet diff want.toSet).take(5)} / " +
+              s"${(want.toSet diff got.toSet).take(5)}")
+        }
 
       (1 to 40).foreach { step =>
-        val op = r.nextInt(16) match {
-          case 0 | 1 | 2 | 3 => // INSERT a fresh batch
+        val op = r.nextInt(17) match {
+          case 0 | 1 | 2 | 3 => // INSERT a fresh batch (explicit column
+            // list: post-add-column inserts take the write-default for d)
             val n = 5 + r.nextInt(20)
             val rows = (0 until n).map { _ =>
               val k = nextId; nextId += 1
               val v = r.nextInt(1000).toLong
               model(k) = v
+              if (dDeclared) dModel(k) = dWrite
               s"($k, $v)"
             }
-            spark.sql(s"INSERT INTO $tbl VALUES ${rows.mkString(", ")}")
+            spark.sql(
+              s"INSERT INTO $tbl (k, $vName) VALUES ${rows.mkString(", ")}")
             s"insert($n)"
           case 4 | 5 => // equality DELETE on sampled keys
             if (model.isEmpty) "noop"
             else {
               val keys = r.shuffle(model.keys.toSeq)
                 .take(1 + r.nextInt(4))
-              keys.foreach(model.remove)
+              keys.foreach { k => model.remove(k); dModel.remove(k) }
               spark.sql(
                 s"DELETE FROM $tbl WHERE k IN (${keys.mkString(", ")})")
               s"delete_eq(${keys.mkString(",")})"
@@ -92,7 +117,7 @@ class LifecycleFuzzSpec extends SparkSpec {
             else {
               val a = math.abs(r.nextLong()) % nextId
               val b = math.min(nextId, a + 1 + r.nextInt(10))
-              (a until b).foreach(model.remove)
+              (a until b).foreach { k => model.remove(k); dModel.remove(k) }
               spark.sql(s"DELETE FROM $tbl WHERE k >= $a AND k < $b")
               s"delete_range($a,$b)"
             }
@@ -110,15 +135,17 @@ class LifecycleFuzzSpec extends SparkSpec {
             "compact"
           case 10 => // INSERT OVERWRITE: table truncates to the batch
             val n = 3 + r.nextInt(8)
-            model.clear()
+            model.clear(); dModel.clear()
             val rows = (0 until n).map { _ =>
               val k = nextId; nextId += 1
               val v = r.nextInt(1000).toLong
               model(k) = v
+              if (dDeclared) dModel(k) = dWrite
               s"($k, $v)"
             }
             spark.sql(
-              s"INSERT OVERWRITE TABLE $tbl VALUES ${rows.mkString(", ")}")
+              s"INSERT OVERWRITE TABLE $tbl (k, $vName) VALUES " +
+                rows.mkString(", "))
             s"overwrite($n)"
           case 12 => // import a foreign AVRO file: full MoR citizen, so
                      // every later op (range delete, update, compact,
@@ -173,6 +200,8 @@ class LifecycleFuzzSpec extends SparkSpec {
           case 15 => // branch WAP cycle: create + staged write, then
                      // either publish via fast_forward (model takes the
                      // batch) or ABANDON (main must never see the rows)
+            if (nextId == 0) "noop" // a branch needs a snapshot to anchor
+            else {
             val b = s"b$step"
             spark.sql(s"ALTER TABLE $tbl CREATE BRANCH $b")
             val n = 3 + r.nextInt(8)
@@ -181,13 +210,16 @@ class LifecycleFuzzSpec extends SparkSpec {
               (k, r.nextInt(1000).toLong)
             }
             spark.conf.set("spark.wap.branch", b)
-            try spark.sql(s"INSERT INTO $tbl VALUES " +
+            try spark.sql(s"INSERT INTO $tbl (k, $vName) VALUES " +
               rows.map { case (k, v) => s"($k, $v)" }.mkString(", "))
             finally spark.conf.unset("spark.wap.branch")
             if (r.nextBoolean()) {
               spark.sql(s"CALL lcf.system.fast_forward(" +
                 s"table => 'ns.fz$seed', branch => 'main', to => '$b')")
-              rows.foreach { case (k, v) => model(k) = v }
+              rows.foreach { case (k, v) =>
+                model(k) = v
+                if (dDeclared) dModel(k) = dWrite
+              }
               branchPublishes += 1
               s"wap_publish($b,$n)"
             } else {
@@ -195,27 +227,50 @@ class LifecycleFuzzSpec extends SparkSpec {
               s"wap_abandon($b,$n)" // model unchanged — the gate IS that
                                     // checkHead still matches
             }
-          case 11 => // rollback to a random recorded snapshot
+            }
+          case 11 => // rollback to a random recorded snapshot (schema is
+            // NOT snapshot-scoped: rows of pre-add snapshots read the
+            // current schema and serve the initial-default for d)
             if (history.isEmpty) "noop"
             else {
-              val (sid, want) = history(r.nextInt(history.size))
+              val (sid, want, wantD) = history(r.nextInt(history.size))
               spark.sql(s"CALL lcf.system.rollback_to_snapshot(" +
                 s"table => 'ns.fz$seed', snapshot_id => $sid)")
               model.clear(); model ++= want
+              dModel.clear(); dModel ++= wantD
               s"rollback($sid)"
+            }
+          case 16 => // v3 default-column lifecycle: first firing declares
+            // v3 (the live-upgrade flow) and adds a defaulted column —
+            // metadata-only, pre-add files serve the initial-default;
+            // later firings move the WRITE default (initial is immutable)
+            if (!dDeclared) {
+              spark.sql(
+                s"ALTER TABLE $tbl SET TBLPROPERTIES ('format-version' = '3')")
+              dInit = 100L + r.nextInt(900); dWrite = dInit
+              spark.sql(s"ALTER TABLE $tbl ADD COLUMN d BIGINT DEFAULT $dInit")
+              dDeclared = true
+              defaultOps += 1
+              s"add_default_col($dInit)"
+            } else {
+              dWrite = 100L + r.nextInt(900)
+              spark.sql(s"ALTER TABLE $tbl ALTER COLUMN d SET DEFAULT $dWrite")
+              defaultOps += 1
+              s"set_default($dWrite)"
             }
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
-        if (op != "noop" && sid > 0) history += ((sid, model.toMap))
+        if (op != "noop" && sid > 0)
+          history += ((sid, model.toMap, dModel.toMap))
       }
 
       // time-travel coherence: every recorded snapshot still reads the
       // state the model had at its commit (dedup: later ops may re-pin
       // the same snapshot id after noops)
-      history.distinctBy(_._1).foreach { case (sid, want) =>
+      history.distinctBy(_._1).foreach { case (sid, want, _) =>
         val got = spark.sql(
-          s"SELECT * FROM $tbl VERSION AS OF $sid ORDER BY k")
+          s"SELECT k, $vName FROM $tbl VERSION AS OF $sid ORDER BY k")
           .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
         assert(got == want,
           s"seed=$seed snapshot $sid drifted: ${got.size} rows vs " +
@@ -231,6 +286,8 @@ class LifecycleFuzzSpec extends SparkSpec {
     assert(branchPublishes >= 1 && branchAbandons >= 1,
       s"op mix must exercise both WAP outcomes: " +
         s"published=$branchPublishes abandoned=$branchAbandons")
+    assert(defaultOps >= 2,
+      s"op mix must exercise the default-column lifecycle: $defaultOps")
   }
 
   test("v3 row lineage is a MODEL INVARIANT across random lifecycle ops: " +

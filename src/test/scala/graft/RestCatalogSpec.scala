@@ -206,6 +206,10 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         doc.put("default-spec-id", 0)
         doc.put("current-snapshot-id", -1L)
         doc.putArray("snapshots")
+        // the REST spec keeps CreateTableRequest properties on the table
+        Option(req.get("properties"))
+          .foreach(p => doc.set[com.fasterxml.jackson.databind.JsonNode](
+            "properties", p))
         tables((ns, name)) = doc
         json(x, 200, loadResult(ns, name, doc))
       case ("GET", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
@@ -551,6 +555,25 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val r = spark.sql("SELECT id, note FROM restcat.rns.ev").collect()(0)
     assert((r.getLong(0), r.getString(1)) == ((5L, "hi")))
     spark.sql("DROP TABLE restcat.rns.ev")
+  }
+
+  test("REST: v3 column DEFAULTs round-trip through CreateTableRequest " +
+      "and the add-schema commit") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.dv")
+    // CREATE carries initial-/write-default in the request schema
+    spark.sql("CREATE TABLE restcat.rns.dv (id BIGINT, v STRING DEFAULT 'c') " +
+      "TBLPROPERTIES ('format-version' = '3')")
+    spark.sql("INSERT INTO restcat.rns.dv (id) VALUES (1)")
+    // ALTER commits the defaulted column via add-schema over the wire;
+    // the pre-column file serves the initial-default on read-back
+    spark.sql("ALTER TABLE restcat.rns.dv ADD COLUMN s INT DEFAULT 7")
+    spark.sql("INSERT INTO restcat.rns.dv VALUES (2, 'real', 8)")
+    assert(spark.sql("SELECT id, v, s FROM restcat.rns.dv ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1L, "c", 7), (2L, "real", 8)))
+    spark.sql("DROP TABLE restcat.rns.dv")
   }
 
   test("REST: SET IDENTIFIER FIELDS round-trips the ids through the " +

@@ -173,6 +173,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       "head and via time travel; a forced 409 leaves state intact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS restfz.ns")
     var conflictChecks = 0
+    var defaultOps = 0
     Seq(3301L, 9099L).foreach { seed =>
       val tbl = s"restfz.ns.rz$seed"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -185,41 +186,61 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       val model = mutable.Map.empty[Long, Long]
       var nextId = 0L
       var idDeclared = false
-      val history = mutable.ArrayBuffer.empty[(Long, Map[Long, Long])]
+      // v3 default-column state (the FS fuzzer's twin, over REST): rows
+      // written after the add carry their insert-time write-default;
+      // everything else serves the immutable initial-default
+      var dDeclared = false
+      var dInit = 0L
+      var dWrite = 0L
+      val dModel = mutable.Map.empty[Long, Long]
+      val history =
+        mutable.ArrayBuffer.empty[(Long, Map[Long, Long], Map[Long, Long])]
 
       def headSnapshot(): Long = {
         val doc = tables(("ns", s"rz$seed"))
         Option(doc.get("current-snapshot-id")).map(_.asLong).getOrElse(-1L)
       }
 
-      def checkHead(op: String): Unit = {
-        val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k").collect()
-          .map(row => row.getLong(0) -> row.getLong(1)).toMap
-        assert(got == model.toMap,
-          s"seed=$seed after $op: table ${got.size} rows vs model " +
-            s"${model.size}; diff=${(got.toSet diff model.toSet).take(5)} / " +
-            s"${(model.toSet diff got.toSet).take(5)}")
-      }
+      def checkHead(op: String): Unit =
+        if (!dDeclared) {
+          val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k").collect()
+            .map(row => row.getLong(0) -> row.getLong(1)).toMap
+          assert(got == model.toMap,
+            s"seed=$seed after $op: table ${got.size} rows vs model " +
+              s"${model.size}; diff=${(got.toSet diff model.toSet).take(5)} / " +
+              s"${(model.toSet diff got.toSet).take(5)}")
+        } else {
+          val got = spark.sql(s"SELECT k, v, d FROM $tbl ORDER BY k").collect()
+            .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2)))
+            .toMap
+          val want = model.map { case (k, v) =>
+            k -> (v, dModel.getOrElse(k, dInit)) }.toMap
+          assert(got == want,
+            s"seed=$seed after $op: table ${got.size} rows vs model " +
+              s"${want.size}; diff=${(got.toSet diff want.toSet).take(5)} / " +
+              s"${(want.toSet diff got.toSet).take(5)}")
+        }
 
       def insertBatch(n: Int): String = {
         val rows = (0 until n).map { _ =>
           val k = nextId; nextId += 1
           val v = r.nextInt(1000).toLong
           model(k) = v
+          if (dDeclared) dModel(k) = dWrite
           s"($k, $v)"
         }
-        spark.sql(s"INSERT INTO $tbl VALUES ${rows.mkString(", ")}")
+        spark.sql(s"INSERT INTO $tbl (k, v) VALUES ${rows.mkString(", ")}")
         s"insert($n)"
       }
 
       (1 to 32).foreach { step =>
-        val op = r.nextInt(13) match {
+        val op = r.nextInt(14) match {
           case 0 | 1 | 2 | 3 => insertBatch(5 + r.nextInt(15))
           case 4 | 5 => // equality DELETE on sampled keys
             if (model.isEmpty) "noop"
             else {
               val keys = r.shuffle(model.keys.toSeq).take(1 + r.nextInt(4))
-              keys.foreach(model.remove)
+              keys.foreach { k => model.remove(k); dModel.remove(k) }
               spark.sql(s"DELETE FROM $tbl WHERE k IN (${keys.mkString(", ")})")
               s"delete_eq(${keys.mkString(",")})"
             }
@@ -228,7 +249,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
             else {
               val a = math.abs(r.nextLong()) % nextId
               val b = math.min(nextId, a + 1 + r.nextInt(10))
-              (a until b).foreach(model.remove)
+              (a until b).foreach { k => model.remove(k); dModel.remove(k) }
               spark.sql(s"DELETE FROM $tbl WHERE k >= $a AND k < $b")
               s"delete_range($a,$b)"
             }
@@ -246,15 +267,16 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
             "compact"
           case 10 => // INSERT OVERWRITE: table truncates to the batch
             val n = 3 + r.nextInt(8)
-            model.clear()
+            model.clear(); dModel.clear()
             val rows = (0 until n).map { _ =>
               val k = nextId; nextId += 1
               val v = r.nextInt(1000).toLong
               model(k) = v
+              if (dDeclared) dModel(k) = dWrite
               s"($k, $v)"
             }
             spark.sql(
-              s"INSERT OVERWRITE TABLE $tbl VALUES ${rows.mkString(", ")}")
+              s"INSERT OVERWRITE TABLE $tbl (k, v) VALUES ${rows.mkString(", ")}")
             s"overwrite($n)"
           case 11 => // identifier-fields DDL: an add-schema commit over
                      // the REST transport (server-assigned schema id),
@@ -269,16 +291,35 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           case 12 => // rollback to a random recorded snapshot
             if (history.isEmpty) "noop"
             else {
-              val (sid, want) = history(r.nextInt(history.size))
+              val (sid, want, wantD) = history(r.nextInt(history.size))
               spark.sql(s"CALL restfz.system.rollback_to_snapshot(" +
                 s"table => 'ns.rz$seed', snapshot_id => $sid)")
               model.clear(); model ++= want
+              dModel.clear(); dModel ++= wantD
               s"rollback($sid)"
+            }
+          case 13 => // v3 default-column lifecycle over the REST
+            // transport: first firing declares v3 + adds the defaulted
+            // column (two add-schema/set-properties commits through the
+            // service); later firings move the WRITE default only
+            if (!dDeclared) {
+              spark.sql(
+                s"ALTER TABLE $tbl SET TBLPROPERTIES ('format-version' = '3')")
+              dInit = 100L + r.nextInt(900); dWrite = dInit
+              spark.sql(s"ALTER TABLE $tbl ADD COLUMN d BIGINT DEFAULT $dInit")
+              dDeclared = true; defaultOps += 1
+              s"add_default_col($dInit)"
+            } else {
+              dWrite = 100L + r.nextInt(900)
+              spark.sql(s"ALTER TABLE $tbl ALTER COLUMN d SET DEFAULT $dWrite")
+              defaultOps += 1
+              s"set_default($dWrite)"
             }
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
-        if (op != "noop" && sid > 0) history += ((sid, model.toMap))
+        if (op != "noop" && sid > 0)
+          history += ((sid, model.toMap, dModel.toMap))
 
         // forced 409 at a fixed mid-sequence point: the service refuses
         // the commit, the writer must SURFACE it (no silent success, no
@@ -300,7 +341,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           checkHead("after forced 409 (refused commit must not apply)")
           insertBatch(4) // retry path: service healthy again
           checkHead("retry after 409")
-          history += ((headSnapshot(), model.toMap))
+          history += ((headSnapshot(), model.toMap, dModel.toMap))
           conflictChecks += 1
         }
       }
@@ -319,9 +360,9 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           s"declared=$idDeclared served=$loadedIds")
 
       // time-travel coherence through the REST-served metadata
-      history.distinctBy(_._1).foreach { case (sid, want) =>
+      history.distinctBy(_._1).foreach { case (sid, want, _) =>
         val got = spark.sql(
-          s"SELECT * FROM $tbl VERSION AS OF $sid ORDER BY k")
+          s"SELECT k, v FROM $tbl VERSION AS OF $sid ORDER BY k")
           .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
         assert(got == want,
           s"seed=$seed snapshot $sid drifted over REST: ${got.size} rows " +
@@ -332,5 +373,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     assert(conflictChecks == 2, s"both seeds must exercise the forced 409")
     assert(conflictsServed >= 2,
       s"the stub must actually have served the injected 409s: $conflictsServed")
+    assert(defaultOps >= 1,
+      s"op mix must exercise the default-column lifecycle over REST: $defaultOps")
   }
 }

@@ -185,6 +185,107 @@ class SchemaEvolutionDdlSpec extends SparkSpec {
     assert(!meta.schema.fieldNames.contains("cat"))
   }
 
+  test("v3 column DEFAULTs: initial-default serves pre-column files, " +
+      "write-default fills INSERT omissions, SET/DROP move only the " +
+      "write side") {
+    freshCatalog("ddl10")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // defaults are a v3 schema feature: refused on v2 at CREATE and ALTER
+    val e0 = intercept[Exception] {
+      spark.sql("CREATE TABLE ddl10.ns.bad (k BIGINT, v STRING DEFAULT 'x')") }
+    assert(msgs(e0).exists(_.contains("format-version 3")), msgs(e0).mkString("|"))
+    spark.sql("CREATE TABLE ddl10.ns.v2t (k BIGINT)")
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl10.ns.v2t ADD COLUMN c INT DEFAULT 1") }
+    assert(msgs(e1).exists(_.contains("format-version 3")), msgs(e1).mkString("|"))
+
+    spark.sql("CREATE TABLE ddl10.ns.t (k BIGINT, v STRING DEFAULT 'x') " +
+      "TBLPROPERTIES ('format-version' = '3')")
+    val dir = s"$wh/ns/t"
+    def meta = graft.iceberg.TableMetadata.load(
+      dir, spark.sessionState.newHadoopConf())
+    // born v3: defaults never transit through v2 metadata
+    assert(meta.formatVersion == 3)
+    spark.sql("INSERT INTO ddl10.ns.t (k) VALUES (1)") // write-default fills
+    spark.sql("INSERT INTO ddl10.ns.t VALUES (2, 'real'), (3, NULL)")
+    // ADD COLUMN DEFAULT: files written BEFORE the column serve the
+    // initial-default (per-file, at the reader); an explicit NULL stays
+    spark.sql("ALTER TABLE ddl10.ns.t ADD COLUMN score DOUBLE DEFAULT 1.5")
+    // NOT NULL becomes addable WITH a default (v3 required-with-default)
+    spark.sql("ALTER TABLE ddl10.ns.t ADD COLUMN tag STRING NOT NULL DEFAULT 'n/a'")
+    assert(spark.sql("SELECT k, v, score, tag FROM ddl10.ns.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSeq ==
+      Seq((1L, "x", 1.5, "n/a"), (2L, "real", 1.5, "n/a"),
+        (3L, null, 1.5, "n/a")))
+    // SET DEFAULT moves the WRITE default; pre-column files keep serving
+    // the immutable initial-default
+    spark.sql("ALTER TABLE ddl10.ns.t ALTER COLUMN score SET DEFAULT 9.0")
+    spark.sql("INSERT INTO ddl10.ns.t (k) VALUES (4)")
+    // DROP DEFAULT removes only the write side
+    spark.sql("ALTER TABLE ddl10.ns.t ALTER COLUMN score DROP DEFAULT")
+    spark.sql("INSERT INTO ddl10.ns.t (k) VALUES (5)")
+    val rows = spark.sql("SELECT k, score FROM ddl10.ns.t ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    assert(rows == Seq((1L, 1.5), (2L, 1.5), (3L, 1.5), (4L, 9.0), (5L, null)),
+      rows.toString)
+    val scoreField = meta.schema.fields.find(_.name == "score").get
+    assert(scoreField.metadata.contains("EXISTS_DEFAULT"),
+      "initial-default is immutable — DROP DEFAULT must not remove it")
+    assert(!scoreField.metadata.contains("CURRENT_DEFAULT"),
+      "DROP DEFAULT removes the write-default")
+    // unsupported shapes refuse loudly at declaration
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl10.ns.t ADD COLUMN b BINARY DEFAULT X'0A'") }
+    assert(msgs(e2).exists(_.contains("BINARY defaults")), msgs(e2).mkString("|"))
+    // NOT NULL without a default still refuses (no value for old rows)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl10.ns.t ADD COLUMN r INT NOT NULL") }
+    assert(msgs(e3).exists(_.contains("DEFAULT")), msgs(e3).mkString("|"))
+  }
+
+  test("v3 column DEFAULTs serve across all three data formats and " +
+      "survive row-level rewrites") {
+    freshCatalog("ddl11")
+    for ((fmt, tbl) <- Seq("parquet" -> "pt", "orc" -> "ot", "avro" -> "at")) {
+      spark.sql(s"CREATE TABLE ddl11.ns.$tbl (k BIGINT) TBLPROPERTIES (" +
+        s"'format-version' = '3', 'write.format-default' = '$fmt')")
+      spark.sql(s"INSERT INTO ddl11.ns.$tbl VALUES (1)")
+      spark.sql(s"ALTER TABLE ddl11.ns.$tbl ADD COLUMN v STRING DEFAULT 'd-$fmt'")
+      spark.sql(s"INSERT INTO ddl11.ns.$tbl VALUES (2, 'real')")
+      assert(spark.sql(s"SELECT k, v FROM ddl11.ns.$tbl ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, s"d-$fmt"), (2L, "real")), s"format $fmt")
+    }
+    // typed battery on the parquet path: date/timestamp/decimal/float/bool
+    spark.sql("ALTER TABLE ddl11.ns.pt ADD COLUMN d DATE DEFAULT DATE'2020-02-29'")
+    spark.sql("ALTER TABLE ddl11.ns.pt ADD COLUMN ts TIMESTAMP_NTZ " +
+      "DEFAULT TIMESTAMP_NTZ'2021-03-04 05:06:07.123456'")
+    spark.sql("ALTER TABLE ddl11.ns.pt ADD COLUMN dec DECIMAL(9,2) DEFAULT 14.20")
+    spark.sql("ALTER TABLE ddl11.ns.pt ADD COLUMN f FLOAT DEFAULT 1.25")
+    spark.sql("ALTER TABLE ddl11.ns.pt ADD COLUMN bo BOOLEAN DEFAULT true")
+    val t = spark.sql("SELECT COUNT(DISTINCT d), COUNT(DISTINCT ts), " +
+      "COUNT(DISTINCT dec), COUNT(DISTINCT f), COUNT(DISTINCT bo), " +
+      "MIN(d), MIN(dec) FROM ddl11.ns.pt").collect()(0)
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3),
+      t.getLong(4)) == (1L, 1L, 1L, 1L, 1L))
+    assert(t.getDate(5).toString == "2020-02-29")
+    assert(t.getDecimal(6).toPlainString == "14.20")
+    // row-level ops over mixed files: CoW UPDATE + DELETE keep serving
+    // the default for untouched pre-column files and materialize it in
+    // rewritten ones
+    spark.sql("CREATE TABLE ddl11.ns.rl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('format-version' = '3')")
+    spark.sql("INSERT INTO ddl11.ns.rl SELECT id, concat('v', id) FROM range(10)")
+    spark.sql("ALTER TABLE ddl11.ns.rl ADD COLUMN s INT NOT NULL DEFAULT 7")
+    spark.sql("UPDATE ddl11.ns.rl SET v = 'u' WHERE k = 3")
+    spark.sql("DELETE FROM ddl11.ns.rl WHERE k = 5")
+    assert(spark.sql("SELECT SUM(s), COUNT(*) FROM ddl11.ns.rl WHERE s = 7")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((63L, 9L)))
+  }
+
   test("evolution coexists with snapshots: time travel reads the old schema's data") {
     freshCatalog("ddl7")
     spark.sql("CREATE TABLE ddl7.ns.t (k BIGINT, v BIGINT)")
