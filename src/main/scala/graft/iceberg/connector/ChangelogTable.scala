@@ -13,7 +13,7 @@ import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.iceberg.IcebergTable
+import graft.iceberg.{IcebergTable, IcebergWriter}
 
 /** `cat.ns.tbl.changes` — the table's CDC changelog as a readable
   * relation, batch AND streaming:
@@ -32,31 +32,117 @@ import graft.iceberg.IcebergTable
   *    contract. Offsets are the same lineage-positioned snapshot ids,
   *    so checkpoints restart mid-history exactly.
   *
-  * Execution shape: each micro-batch materializes the window's
-  * `changesBetween` READ PLAN on the driver and ships it through the
-  * shuffle-free RDD bridge (the row-level scan's mechanism,
-  * [[GraftRddBridgeReaderFactory]]) — narrow scans of the window's
-  * added/removed files plus broadcast delete-application joins, IO ∝
-  * change volume. A window whose delete set outgrows the broadcast
-  * threshold plans a shuffle and is REFUSED loudly (use the batch
-  * changelog for bulk backfill) rather than executed wrongly.
+  * SCHEMA-SHAPING read options (batch and stream alike; the relation's
+  * output schema is rewritten at analysis by
+  * [[GraftChangelogReshapeRule]], since a DSv2 `Table.schema()` cannot
+  * see options and Spark's micro-batch planner never calls
+  * `pruneColumns`):
+  *
+  *  - `compute-updates = true` — serve
+  *    [[IcebergTable.changesWithUpdates]] instead: within each commit,
+  *    delete+insert halves sharing the row identity re-type to
+  *    `update_before`/`update_after`, identical-content pairs (CoW
+  *    carryovers) drop. Identity is v3 `_row_id` when the table assigns
+  *    lineage (the output then adds `_row_id`), else the declared
+  *    identifier fields. Pairing NEVER crosses commits, so micro-batch
+  *    window splits (`maxSnapshotsPerTrigger`, checkpoint restarts)
+  *    cannot break pairs — stream ≡ batch by construction.
+  *  - `row-lineage = true` — add the v3 `_row_id` column to the plain
+  *    change rows ([[IcebergTable.changesBetween]] with lineage): what a
+  *    replica keys on instead of identifier fields. Needs a
+  *    lineage-assigning table.
+  *  - `columns = "a,b,_change_type"` — project INSIDE the window plan,
+  *    before rows are shipped: the stream twin of batch column pruning
+  *    (Spark 4.1's MicroBatchExecution never calls `pruneColumns`, so
+  *    without this option the stream ships full change rows and projects
+  *    above the scan). Declared column order is kept.
+  *
+  * Execution shape: each micro-batch materializes the window's change
+  * plan on the driver and ships it through the shuffle-free RDD bridge
+  * (the row-level scan's mechanism, [[GraftRddBridgeReaderFactory]]) —
+  * narrow scans of the window's added/removed files plus broadcast
+  * delete-application joins, IO ∝ change volume. A window whose delete
+  * set outgrows the broadcast threshold plans a shuffle and is REFUSED
+  * loudly (use the batch changelog for bulk backfill) rather than
+  * executed wrongly. `compute-updates` windows are different: the
+  * pairing itself plans joins, so the source EXECUTES the window at plan
+  * time (driver-blocking, cost ∝ change volume — the same jobs the
+  * batch API runs), pins the paired rows as a localCheckpoint, bridges
+  * that, and releases the previous window's pin each batch.
   */
 final class GraftChangelogTable(
     tableName: String,
-    table: IcebergTable) extends Table with SupportsRead {
+    table: IcebergTable,
+    /** Analysis-time schema override installed by
+      * [[GraftChangelogReshapeRule]] when schema-shaping options are
+      * present — `schema()` must agree with what the scan will emit. */
+    shapeOverride: Option[StructType] = None) extends Table with SupportsRead {
 
-  /** The changelog schema: the table's columns + change attribution
-    * (the exact column set/order `changesBetween` emits). */
-  val changeSchema: StructType = StructType(table.metadata.schema.fields ++ Seq(
+  private val attributionFields = Seq(
     StructField("_change_type", StringType, nullable = false),
     StructField("_commit_snapshot_id", LongType, nullable = false),
-    StructField("_change_ordinal", IntegerType, nullable = false)))
+    StructField("_change_ordinal", IntegerType, nullable = false))
+
+  /** The table's own columns — what the stream drift-validates against. */
+  private val tableDataSchema = StructType(table.metadata.schema.fields)
+
+  /** The default changelog schema: the table's columns + change
+    * attribution (the exact column set/order `changesBetween` emits). */
+  val changeSchema: StructType =
+    StructType(tableDataSchema.fields ++ attributionFields)
 
   override def name(): String = tableName
-  override def schema(): StructType = changeSchema
+  override def schema(): StructType = shapeOverride.getOrElse(changeSchema)
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  private def boolOpt(options: CaseInsensitiveStringMap, key: String): Boolean =
+    Option(options.get(key)).exists(_.toBoolean)
+
+  /** The schema the scan will emit under `options` — also the validator
+    * for the schema-shaping options (unknown columns, lineage on a
+    * non-lineage table, `_row_id` shadowing all refuse loudly HERE, at
+    * analysis, not at the first micro-batch). */
+  def shapedSchema(options: CaseInsensitiveStringMap): StructType = {
+    val computeUpdates = boolOpt(options, "compute-updates")
+    val v3 = IcebergWriter.wantsLineage(table.metadata)
+    if (boolOpt(options, "row-lineage") && !v3)
+      throw new UnsupportedOperationException(
+        s"$tableName: the row-lineage read option needs v3 row lineage — " +
+          "ALTER TABLE t SET TBLPROPERTIES ('format-version' = '3')")
+    val withLineage = boolOpt(options, "row-lineage") || (computeUpdates && v3)
+    if (withLineage &&
+        tableDataSchema.fieldNames.contains(IcebergTable.RowIdCol))
+      throw new UnsupportedOperationException(
+        s"$tableName cannot serve row lineage: a data column shadows the " +
+          s"reserved ${IcebergTable.RowIdCol} name")
+    val lineageFields =
+      if (withLineage)
+        Seq(StructField(IcebergTable.RowIdCol, LongType, nullable = true))
+      else Nil
+    val full = StructType(
+      tableDataSchema.fields ++ lineageFields ++ attributionFields)
+    Option(options.get("columns")).map(_.trim).filter(_.nonEmpty) match {
+      case None => full
+      case Some(cs) =>
+        val want = cs.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = want.filterNot(full.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"$tableName: the columns read option names unknown columns " +
+            s"${unknown.mkString(", ")} (available: " +
+            s"${full.fieldNames.mkString(", ")})")
+        StructType(full.fields.filter(f => want.contains(f.name)))
+    }
+  }
+
+  /** True when `options` change the emitted schema — the reshape rule's
+    * firing condition. */
+  def needsReshape(options: CaseInsensitiveStringMap): Boolean =
+    shapedSchema(options) != changeSchema
+
+  def withShape(options: CaseInsensitiveStringMap): GraftChangelogTable =
+    new GraftChangelogTable(tableName, table, Some(shapedSchema(options)))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // admission control: at most N window SNAPSHOTS per micro-batch
@@ -72,28 +158,31 @@ final class GraftChangelogTable(
     // start the stream AFTER this snapshot instead of from table start
     // (the checkpoint-less "resume from here" upstream streams offer)
     val startSnapshot = Option(options.get("start-snapshot-id")).map(_.toLong)
+    val computeUpdates = boolOpt(options, "compute-updates")
+    val emitted = shapedSchema(options) // validates the option combination
+    val withLineage =
+      !computeUpdates && emitted.fieldNames.contains(IcebergTable.RowIdCol)
     new ScanBuilder
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       // column pruning, BATCH path only: a CDC consumer projecting
-      // (key, _change_type) pushes the pruned schema through
-      // changesBetween's select into Catalyst's own scan-level pruning
-      // (the change plan is narrow scans + broadcast joins, so the
-      // projection reaches the parquet readers). Spark 4.1's
-      // MicroBatchExecution builds the streaming scan WITHOUT the
-      // pushdown rule (newScanBuilder(options).build()
-      // .toMicroBatchStream — pruneColumns is never called on that
-      // path), so the STREAM always ships full change rows and Spark
-      // projects above the scan; the stream therefore takes the full
-      // schema below, deliberately.
-      private var pruned: StructType = changeSchema
+      // (key, _change_type) pushes the pruned schema through the window
+      // plan's select into Catalyst's own scan-level pruning (the change
+      // plan is narrow scans + broadcast joins, so the projection
+      // reaches the parquet readers). Spark 4.1's MicroBatchExecution
+      // builds the streaming scan WITHOUT the pushdown rule
+      // (newScanBuilder(options).build().toMicroBatchStream —
+      // pruneColumns is never called on that path), so the STREAM takes
+      // the full option-shaped schema: the `columns` read option is the
+      // stream's projection surface.
+      private var pruned: StructType = emitted
       override def pruneColumns(requiredSchema: StructType): Unit =
         // keep the declared order; Spark may request columns reordered
-        pruned = StructType(changeSchema.fields.filter(f =>
+        pruned = StructType(emitted.fields.filter(f =>
           requiredSchema.fieldNames.contains(f.name)))
       override def build(): Scan = new V1Scan {
         private val scanSchema = pruned
         override def readSchema(): StructType = scanSchema
-        /** Batch: full-history changes through the V1 relation bridge
+        /** Batch: the windowed changes through the V1 relation bridge
           * (plans like any DataFrame — shuffles allowed here). */
         override def toV1TableScan[T <: BaseRelation with TableScan](
             ctx: SQLContext): T =
@@ -103,16 +192,20 @@ final class GraftChangelogTable(
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
               val t = new IcebergTable(table.tableDir, table.conf)
               val head = t.metadata.snapshotLineage.lastOption.getOrElse(0L)
-              val df = t.changesBetween(ctx.sparkSession,
-                startSnapshot.getOrElse(0L), head)
+              val from = startSnapshot.getOrElse(0L)
+              val df =
+                if (computeUpdates) t.changesWithUpdates(ctx.sparkSession,
+                  from, head)
+                else t.changesBetween(ctx.sparkSession, from, head, withLineage)
               // df(name), not col(name): a column name containing dots
               // must resolve as the column, never nested-field access
               df.select(scanSchema.fieldNames.toSeq.map(df(_)): _*).rdd
             }
           }.asInstanceOf[T]
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftChangelogMicroBatchStream(table, changeSchema,
-            maxSnapshots, startSnapshot)
+          new GraftChangelogMicroBatchStream(table, tableDataSchema,
+            scanSchema, computeUpdates, withLineage, maxSnapshots,
+            startSnapshot)
       }
     }
   }
@@ -125,10 +218,21 @@ final class GraftChangelogTable(
   * semantics differ. Follows `main`. */
 final class GraftChangelogMicroBatchStream(
     table: IcebergTable,
-    /** the FULL changelog schema — the stream always ships full change
-      * rows (Spark's micro-batch planner applies no column pushdown;
-      * see the ScanBuilder note) and drift-validates against this */
-    changeSchema: StructType,
+    /** the TABLE's data columns — drift-validated per batch: a schema
+      * evolved mid-stream would change the emitted row shape under the
+      * fixed scan schema */
+    tableSchema: StructType,
+    /** the stream's emitted schema: the option-shaped columns (Spark's
+      * micro-batch planner applies no column pushdown — the `columns`
+      * read option is the projection surface; see the ScanBuilder note) */
+    scanSchema: StructType,
+    /** `compute-updates`: pair update halves per window via
+      * [[IcebergTable.changesWithUpdates]] — the window executes at PLAN
+      * time (the pairing joins cannot ride the shuffle-free bridge) and
+      * ships as a pinned localCheckpoint, released next batch. */
+    computeUpdates: Boolean = false,
+    /** serve the v3 `_row_id` column on the plain (non-pairing) path */
+    withLineage: Boolean = false,
     /** `maxSnapshotsPerTrigger`: at most N window snapshots per batch
       * (commit-granular admission control; always ≥1 so progress is
       * guaranteed and a commit is never split across batches). */
@@ -203,13 +307,28 @@ final class GraftChangelogMicroBatchStream(
   override def deserializeOffset(json: String): StreamingOffset =
     GraftStreamOffset(json.trim.toLong)
 
-  override def commit(end: StreamingOffset): Unit = ()
-  override def stop(): Unit = ()
+  /** Pins release at batch COMPLETION, not at plan time: Spark may call
+    * `planInputPartitions` more than once for one batch (the V1-sink
+    * path re-plans), and a plan-time release would free the window a
+    * previously-created reader factory still references. */
+  override def commit(end: StreamingOffset): Unit = releasePinned()
+
+  override def stop(): Unit = releasePinned()
 
   /** The window's change plan, built per batch on the driver; the
     * reader factory ships it to executors via the RDD bridge. Batches
     * plan then execute sequentially, so one slot suffices. */
   @volatile private var currentRdd: org.apache.spark.rdd.RDD[InternalRow] = _
+
+  /** compute-updates only: the PREVIOUS window's localCheckpoint blocks,
+    * released when the next window plans (batches run sequentially — the
+    * previous batch has fully drained by then) and at stop(). */
+  @volatile private var pinned: Seq[org.apache.spark.sql.DataFrame] = Nil
+
+  private def releasePinned(): Unit = {
+    pinned.foreach(IcebergTable.unpinLocalCheckpoint)
+    pinned = Nil
+  }
 
   override def planInputPartitions(
       start: StreamingOffset, end: StreamingOffset): Array[InputPartition] = {
@@ -221,26 +340,79 @@ final class GraftChangelogMicroBatchStream(
     val t = fresh()
     // a schema evolved mid-stream would change the emitted row shape
     // under the fixed scan schema — refuse loudly, restart picks it up
-    require(StructType(t.metadata.schema.fields) ==
-        StructType(changeSchema.fields.dropRight(3)),
+    require(StructType(t.metadata.schema.fields) == tableSchema,
       s"changelog stream over ${table.tableDir}: the table schema " +
         "evolved mid-stream — restart the stream to adopt the new schema")
     val from = if (s == GraftStreamOffset.BeforeAnySnapshot) 0L else s
-    val df = t.changesBetween(spark, from, e)
-    val rdd = df.queryExecution.toRdd
-    GraftRddBridge.assertNoShuffle(rdd,
-      s"changelog stream window [$from, $e] planned a SHUFFLE " +
-        "(a delete set beyond the broadcast threshold): the " +
-        "micro-batch bridge cannot execute it — drain the backlog " +
-        "with the batch changelog (changesBetween / SELECT FROM " +
-        "t.changes) and restart the stream past it")
-    currentRdd = rdd
-    rdd.partitions.map(p => GraftRddBridgePartition(p): InputPartition)
+    if (computeUpdates) {
+      // the pairing joins cannot ride the shuffle-free bridge: EXECUTE
+      // the window now (driver-blocking, the same jobs the batch API
+      // runs, cost ∝ change volume), pin the paired rows, bridge the pin
+      val (df0, dropIntermediates) = t.changesWithUpdatesImpl(spark, from, e)
+      val projected = df0.select(scanSchema.fieldNames.toSeq.map(df0(_)): _*)
+      val mat = projected.localCheckpoint(true)
+      dropIntermediates() // the pairing's internal pins — result is pinned
+      pinned = pinned :+ mat // released at commit(end) / stop()
+      currentRdd = mat.queryExecution.toRdd
+    } else {
+      val df0 = t.changesBetween(spark, from, e, withLineage)
+      val df = df0.select(scanSchema.fieldNames.toSeq.map(df0(_)): _*)
+      val rdd = df.queryExecution.toRdd
+      GraftRddBridge.assertNoShuffle(rdd,
+        s"changelog stream window [$from, $e] planned a SHUFFLE " +
+          "(a delete set beyond the broadcast threshold): the " +
+          "micro-batch bridge cannot execute it — drain the backlog " +
+          "with the batch changelog (changesBetween / SELECT FROM " +
+          "t.changes) and restart the stream past it")
+      currentRdd = rdd
+    }
+    currentRdd.partitions
+      .map(p => GraftRddBridgePartition(p): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val rdd = currentRdd
     require(rdd != null, "changelog stream: no planned window")
     new GraftRddBridgeReaderFactory(rdd)
+  }
+}
+
+/** Analysis rule: a DSv2 `Table.schema()` cannot depend on read options,
+  * and Spark fixes a streaming relation's output at analysis — so the
+  * changelog's schema-SHAPING options (`compute-updates`, `row-lineage`,
+  * `columns`) rewrite the relation here: the table is swapped for a
+  * shape-pinned copy and the output attributes re-derived, before any
+  * downstream column resolves. Fires only when the options actually
+  * change the schema, and converges (the rewritten relation's output
+  * already matches). */
+object GraftChangelogReshapeRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Attribute
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+  import org.apache.spark.sql.catalyst.types.DataTypeUtils
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def sameShape(out: Seq[Attribute], s: StructType): Boolean =
+    out.map(a => (a.name, a.dataType)) ==
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case r @ StreamingRelationV2(_, _, t: GraftChangelogTable, opts, output,
+        _, _, _) if t.needsReshape(opts) &&
+          !sameShape(output, t.shapedSchema(opts)) =>
+      val shaped = t.withShape(opts)
+      r.copy(table = shaped,
+        output = DataTypeUtils.toAttributes(shaped.schema()))
+    case r: DataSourceV2Relation
+        if r.table.isInstanceOf[GraftChangelogTable] && {
+          val t = r.table.asInstanceOf[GraftChangelogTable]
+          t.needsReshape(r.options) &&
+            !sameShape(r.output, t.shapedSchema(r.options))
+        } =>
+      val shaped = r.table.asInstanceOf[GraftChangelogTable].withShape(r.options)
+      r.copy(table = shaped,
+        output = DataTypeUtils.toAttributes(shaped.schema()))
   }
 }

@@ -32,8 +32,14 @@ import graft.iceberg.IcebergWriter
   * which stock Spark rejects, so no accepted statement changes meaning.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // schema-shaping changelog read options (compute-updates,
+    // row-lineage, columns) rewrite the relation's output at analysis —
+    // a DSv2 Table.schema() cannot see options, and the micro-batch
+    // planner never calls pruneColumns (see GraftChangelogReshapeRule)
+    ext.injectResolutionRule(_ => GraftChangelogReshapeRule)
+  }
 }
 
 final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
