@@ -1470,6 +1470,18 @@ object IcebergWriter {
     commitSnapshot(cmtr, snapId, parent, listRecs,
       Map("operation" -> (if (carryPrior) "append" else "overwrite")) ++ summary,
       ref = branch, refExpected = refExpected, totals = totals)
+    // spec partition-statistics, incremental: previous snapshot's file +
+    // this commit's per-partition delta (a follow-up metadata-only
+    // commit; no-op unless graft.partition-statistics = true). Main-line
+    // appends only — branch commits and truncates leave no entry, and
+    // the `partitions` table falls back to the manifest recompute until
+    // compute_partition_stats restarts the chain.
+    if (carryPrior && branch == "main") {
+      val specNames = meta.partitionSpec.map(_.name)
+      PartitionStats.maintainOnAppend(spark, cmtr, snapId,
+        added.map(f => (
+          specNames.zip(f.partition.getOrElse(Nil)).toMap, f.rows, f.bytes)))
+    }
     snapId
   }
 

@@ -508,6 +508,30 @@ object MetadataCommit {
           // snapshot dies (the file itself is collected with the
           // snapshot's other unreachable files)
           filtered("statistics")
+          filtered("partition-statistics")
+
+        case "set-partition-statistics" =>
+          // spec metadata update: one partition-statistics file per
+          // snapshot — replace any prior entry for the same snapshot id
+          val sf = u.get("partition-statistics")
+          val sid = sf.get("snapshot-id").asLong
+          val kept = mapper.createArrayNode()
+          Option(root.get("partition-statistics"))
+            .foreach(_.elements.forEachRemaining { e =>
+              if (e.get("snapshot-id").asLong != sid) { kept.add(e); () }
+            })
+          kept.add(sf.deepCopy[JsonNode]())
+          root.set[JsonNode]("partition-statistics", kept)
+
+        case "remove-partition-statistics" =>
+          val sid = u.get("snapshot-id").asLong
+          Option(root.get("partition-statistics")).foreach { arr =>
+            val kept = mapper.createArrayNode()
+            arr.elements.forEachRemaining { e =>
+              if (e.get("snapshot-id").asLong != sid) { kept.add(e); () }
+            }
+            root.set[JsonNode]("partition-statistics", kept); ()
+          }
 
         case "set-statistics" =>
           // spec metadata update: one statistics file per snapshot —

@@ -1,0 +1,321 @@
+package graft.iceberg
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Iceberg `partition-statistics` files (spec "Partition Statistics"):
+  * one parquet file per snapshot holding the per-partition rollup —
+  * data record/file/byte counts plus outstanding merge-on-read delete
+  * debt — referenced from table metadata as
+  * `{snapshot-id, statistics-path, file-size-in-bytes}` entries.
+  *
+  * Why it matters at 100 TB: the `partitions` metadata table otherwise
+  * recomputes the rollup from EVERY manifest per query; the stats file
+  * makes it one small parquet read (O(partitions), not O(files)) and
+  * external-engine-readable.
+  *
+  * Maintenance model (opt-in via `graft.partition-statistics = true`):
+  *
+  *  - APPENDS maintain the file INCREMENTALLY — previous snapshot's file
+  *    + this commit's added files (delete debt cannot change on a pure
+  *    append, so it carries), the same pattern as the snapshot summary
+  *    totals. Cost per append: one small parquet read + write.
+  *  - Any other commit (row-level, delete, compaction, rollback) leaves
+  *    the new snapshot WITHOUT an entry — the spec allows gaps, the
+  *    `partitions` table falls back to the manifest recompute, and
+  *    `CALL cat.system.compute_partition_stats(table => ...)` rewrites a
+  *    fresh full rollup to restart the incremental chain.
+  *  - Snapshot expiration drops entries with their snapshots
+  *    (MetadataCommit `remove-snapshots`); [[TableClone]] strips
+  *    borrowed entries from registered copies.
+  *
+  * File schema: the spec's field names, with the unified partition
+  * tuple typed per transform result (identity/truncate = source type,
+  * bucket/year/month/hour = int, day = date) and parquet field ids
+  * stamped from the spec-field ids — plus one writer extra,
+  * `partition_repr`, the exact string rendering the `partitions`
+  * metadata table serves, so file-served and manifest-recomputed
+  * outputs are bit-identical.
+  */
+object PartitionStats {
+
+  val Prop = "graft.partition-statistics"
+
+  /** One partition's rollup (the `partitions` metadata table row +
+    * raw tuple values for the typed file column). */
+  final case class Entry(
+      partitionRepr: String, // null = the unpartitioned tuple
+      specId: Int,
+      dataFileCount: Long,
+      dataRecordCount: Long,
+      totalDataFileSizeInBytes: Long,
+      posDeleteFileCount: Long,
+      posDeleteRecordCount: Long,
+      eqDeleteFileCount: Long,
+      eqDeleteRecordCount: Long,
+      /** raw manifest-typed partition values by spec-field name — used
+        * only when WRITING the typed struct; empty when the entry was
+        * read back from a stats file (the repr carries identity) */
+      partitionValues: Map[String, Any] = Map.empty,
+      lastUpdatedAt: Option[Long] = None,
+      lastUpdatedSnapshotId: Option[Long] = None)
+
+  /** THE partition rendering both the `partitions` metadata table and
+    * the stats file's `partition_repr` use — one definition, so the
+    * file-served path and the manifest fallback can never drift. */
+  def reprOf(p: Map[String, Any]): String =
+    if (p.isEmpty) null
+    else p.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString(", ")
+
+  /** Full per-partition rollup of the CURRENT snapshot, manifest
+    * metadata only (zero data IO). Delete attribution, most-specific
+    * first: the delete entry's OWN partition tuple; else the referenced
+    * data file's tuple (DVs, single-target position deletes); else the
+    * null-partition row (multi-file v2 position deletes and equality
+    * deletes genuinely apply across partitions). */
+  def rollup(t: IcebergTable): Seq[Entry] = {
+    def key(p: Map[String, Any], spec: Int): (String, Int) =
+      (reprOf(p), spec)
+    val files = t.planFiles()
+    val byPath: Map[String, (Map[String, Any], Int)] =
+      files.map(f => t.resolve(f.filePath) -> ((f.partition, f.specId))).toMap
+    val data = files.groupBy(f => key(f.partition, f.specId))
+    val tuples = files.map(f => key(f.partition, f.specId) -> f.partition).toMap
+    val dels = t.planDeletes().groupBy { d =>
+      if (d.partition.nonEmpty) key(d.partition, d.specId)
+      else d.referencedDataFile
+        .flatMap(r => byPath.get(t.resolve(r)))
+        .map { case (p, s) => key(p, s) }
+        .getOrElse(key(Map.empty, d.specId))
+    }
+    val delTuples = t.planDeletes()
+      .filter(_.partition.nonEmpty)
+      .map(d => key(d.partition, d.specId) -> d.partition).toMap
+    (data.keySet ++ dels.keySet).toSeq
+      .sortBy(g => (Option(g._1).getOrElse(""), g._2))
+      .map { case k @ (repr, spec) =>
+        val fs = data.getOrElse(k, Nil)
+        val ds = dels.getOrElse(k, Nil)
+        val (pos, eq) = ds.partition(_.content == 1)
+        Entry(repr, spec, fs.size.toLong, fs.map(_.recordCount).sum,
+          fs.map(_.fileSizeInBytes).sum,
+          pos.size.toLong, pos.map(_.recordCount).sum,
+          eq.size.toLong, eq.map(_.recordCount).sum,
+          partitionValues =
+            tuples.get(k).orElse(delTuples.get(k)).getOrElse(Map.empty))
+      }
+  }
+
+  /** Spark type of one spec field in the stats file's partition struct —
+    * the transform's RESULT type per the spec. A source column that no
+    * longer exists falls back to string (rendered), never refused: old
+    * specs outlive their columns. */
+  private def fieldType(meta: TableMetadata, f: PartitionField): DataType = {
+    def sourceType: DataType = {
+      val byId = meta.fieldIds.map(_.swap)
+      byId.get(f.sourceId)
+        .flatMap(n => meta.schema.fields.find(_.name == n))
+        .map(_.dataType).getOrElse(StringType)
+    }
+    f.transform match {
+      case "identity" => sourceType
+      case t if t.startsWith("truncate") => sourceType
+      case t if t.startsWith("bucket") => IntegerType
+      case "year" | "month" | "hour" => IntegerType
+      case "day" => DateType
+      case _ => StringType
+    }
+  }
+
+  /** The spec's "unified partition type": one nullable field per
+    * spec-field name across ALL the table's specs, parquet field ids
+    * stamped from the spec-field ids (external engines project by id). */
+  def unifiedPartitionType(meta: TableMetadata): StructType = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    meta.partitionSpecs.toSeq.sortBy(_._1).flatMap(_._2).foreach { f =>
+      if (!seen.contains(f.name))
+        seen(f.name) = StructField(f.name, fieldType(meta, f), nullable = true,
+          new MetadataBuilder().putLong("parquet.field.id", f.fieldId).build())
+    }
+    StructType(seen.values.toSeq)
+  }
+
+  /** Manifest-typed raw value → the EXTERNAL Row value of `dt` (the
+    * same normalizations the scan's partition-literal re-injection
+    * applies: epoch-day ints become dates, micros become timestamps). */
+  private def external(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (n: java.lang.Number, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(n.longValue))
+    case (n: java.lang.Number, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(n.longValue, 1000000L),
+        Math.floorMod(n.longValue, 1000000L) * 1000L))
+    case (n: java.lang.Number, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(n.longValue, 1000000L),
+        (Math.floorMod(n.longValue, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (n: java.lang.Number, IntegerType) => n.intValue
+    case (n: java.lang.Number, LongType) => n.longValue
+    case (n: java.lang.Number, DoubleType) => n.doubleValue
+    case (n: java.lang.Number, FloatType) => n.floatValue
+    case (s, StringType) => s.toString
+    case (x, _) => x
+  }
+
+  private def fileSchema(meta: TableMetadata): StructType = StructType(Seq(
+    StructField("partition", unifiedPartitionType(meta), nullable = true),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("data_record_count", LongType, nullable = false),
+    StructField("data_file_count", IntegerType, nullable = false),
+    StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+    StructField("position_delete_record_count", LongType, nullable = true),
+    StructField("position_delete_file_count", IntegerType, nullable = true),
+    StructField("equality_delete_record_count", LongType, nullable = true),
+    StructField("equality_delete_file_count", IntegerType, nullable = true),
+    StructField("total_record_count", LongType, nullable = true),
+    StructField("last_updated_at", LongType, nullable = true),
+    StructField("last_updated_snapshot_id", LongType, nullable = true),
+    // writer extra: the `partitions` metadata table's exact rendering,
+    // so file-served output is bit-identical to the manifest fallback
+    StructField("partition_repr", StringType, nullable = true)))
+
+  /** Write the stats file for snapshot `sid`; returns (path, bytes). */
+  def writeFile(spark: SparkSession, tableDir: String,
+      meta: TableMetadata, sid: Long, rows: Seq[Entry]): (String, Long) = {
+    val schema = fileSchema(meta)
+    val pType = schema.head.dataType.asInstanceOf[StructType]
+    val data = rows.map { e =>
+      val tuple =
+        if (e.partitionValues.isEmpty && e.partitionRepr == null) null
+        else Row.fromSeq(pType.fields.toSeq.map(f =>
+          e.partitionValues.get(f.name)
+            .map(external(_, f.dataType)).orNull))
+      Row(tuple, e.specId, e.dataRecordCount, e.dataFileCount.toInt,
+        e.totalDataFileSizeInBytes, e.posDeleteRecordCount,
+        e.posDeleteFileCount.toInt, e.eqDeleteRecordCount,
+        e.eqDeleteFileCount.toInt, null,
+        e.lastUpdatedAt.map(Long.box).orNull,
+        e.lastUpdatedSnapshotId.map(Long.box).orNull,
+        e.partitionRepr)
+    }
+    val dir = new Path(tableDir,
+      s"metadata/partition-stats-$sid-${java.util.UUID.randomUUID()}")
+    // one small file: coalesce(1) then promote the part file to the
+    // spec's single statistics path
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), schema)
+      .coalesce(1).write.parquet(dir.toString)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(dir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"partition-stats write produced no parquet under $dir"))
+    val target = new Path(tableDir,
+      s"metadata/partition-stats-$sid-${java.util.UUID.randomUUID()}.parquet")
+    if (!fs.rename(part, target)) throw new IllegalStateException(
+      s"could not promote partition-stats file $part -> $target")
+    fs.delete(dir, true)
+    (target.toString, fs.getFileStatus(target).getLen)
+  }
+
+  /** Read a stats file back to entries (repr + counters; the typed
+    * tuple column is for external readers). */
+  def readFile(spark: SparkSession, path: String): Seq[Entry] =
+    spark.read.parquet(path)
+      .select("partition_repr", "spec_id", "data_file_count",
+        "data_record_count", "total_data_file_size_in_bytes",
+        "position_delete_file_count", "position_delete_record_count",
+        "equality_delete_file_count", "equality_delete_record_count",
+        "last_updated_at", "last_updated_snapshot_id")
+      .collect().toSeq.map { r =>
+        Entry(r.getAs[String](0), r.getInt(1), r.getInt(2).toLong,
+          r.getLong(3), r.getLong(4),
+          r.getInt(5).toLong, r.getLong(6), r.getInt(7).toLong, r.getLong(8),
+          lastUpdatedAt = if (r.isNullAt(9)) None else Some(r.getLong(9)),
+          lastUpdatedSnapshotId =
+            if (r.isNullAt(10)) None else Some(r.getLong(10)))
+      }
+
+  /** The REST-spec `set-partition-statistics` update action. */
+  def setAction(mapper: ObjectMapper, sid: Long, path: String,
+                size: Long): JsonNode = {
+    val n = mapper.createObjectNode()
+    n.put("action", "set-partition-statistics")
+    val f = n.putObject("partition-statistics")
+    f.put("snapshot-id", sid)
+    f.put("statistics-path", path)
+    f.put("file-size-in-bytes", size)
+    n
+  }
+
+  /** Full rollup for the current snapshot, written + committed — the
+    * `compute_partition_stats` procedure body and the incremental
+    * chain's bootstrap. Returns the written path. */
+  def computeAndCommit(spark: SparkSession,
+      committer: TableCommitter): String = {
+    val meta = committer.currentMetadata()
+    val sid = meta.currentSnapshotId.filter(_ != -1L).getOrElse(
+      throw new IllegalStateException(
+        "compute_partition_stats: the table has no snapshot yet"))
+    val t = new IcebergTable(committer.tableDir, committer.conf)
+    val now = System.currentTimeMillis
+    val rows = rollup(t).map(e => e.copy(
+      lastUpdatedAt = Some(now), lastUpdatedSnapshotId = Some(sid)))
+    val (path, size) = writeFile(spark, committer.tableDir, meta, sid, rows)
+    committer.commit(Nil,
+      Seq(setAction(new ObjectMapper(), sid, path, size)))
+    path
+  }
+
+  /** Post-append incremental maintenance: previous snapshot's file + the
+    * appended files' data-side delta (delete debt cannot change on a
+    * pure append — it carries). No-ops unless `graft.partition-statistics
+    * = true`; a parent WITHOUT an entry leaves the chain un-bootstrapped
+    * (run `compute_partition_stats` once) — EXCEPT a first commit, whose
+    * previous state is the empty rollup. */
+  def maintainOnAppend(spark: SparkSession, committer: TableCommitter,
+      snapId: Long,
+      /** this commit's files as (partition tuple by spec-field name,
+        * record count, bytes) — all written under the default spec */
+      added: Seq[(Map[String, Any], Long, Long)]): Unit = {
+    val meta = committer.currentMetadata()
+    if (!meta.properties.get(Prop).contains("true")) return
+    val snap = meta.snapshots.find(_.snapshotId == snapId).getOrElse(return)
+    val spec = meta.defaultSpecId
+    val prev: Option[Seq[Entry]] = snap.parentSnapshotId match {
+      case None => Some(Nil)
+      case Some(p) => meta.partitionStatistics.find(_.snapshotId == p)
+        .map(e => readFile(spark, e.path))
+    }
+    prev.foreach { prevRows =>
+      val delta = added.groupBy(f => (reprOf(f._1), spec))
+      val prevByKey = prevRows.map(e => (e.partitionRepr, e.specId) -> e).toMap
+      val merged = (prevByKey.keySet ++ delta.keySet).toSeq
+        .sortBy(g => (Option(g._1).getOrElse(""), g._2))
+        .map { case k @ (repr, sp) =>
+          val base = prevByKey.getOrElse(k,
+            Entry(repr, sp, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          delta.get(k) match {
+            case None => base
+            case Some(fs) => base.copy(
+              dataFileCount = base.dataFileCount + fs.size,
+              dataRecordCount = base.dataRecordCount + fs.map(_._2).sum,
+              totalDataFileSizeInBytes =
+                base.totalDataFileSizeInBytes + fs.map(_._3).sum,
+              partitionValues = fs.head._1,
+              lastUpdatedAt = Some(snap.timestampMs),
+              lastUpdatedSnapshotId = Some(snapId))
+          }
+        }
+      val (path, size) =
+        writeFile(spark, committer.tableDir, meta, snapId, merged)
+      committer.commit(Nil,
+        Seq(setAction(new ObjectMapper(), snapId, path, size)))
+    }
+  }
+}

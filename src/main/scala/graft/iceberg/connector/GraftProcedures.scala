@@ -153,6 +153,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       Seq(attr("converted_equality_files_count", IntegerType),
         attr("position_delete_rows_count", LongType),
         attr("snapshot_id", LongType))
+    case "compute_partition_stats" =>
+      Seq(attr("statistics_path", StringType))
     case "analyze_table" =>
       Seq(attr("analyzed_columns_count", IntegerType),
         attr("snapshot_id", LongType))
@@ -174,8 +176,8 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         "fast_forward, rollback_to_snapshot, rollback_to_timestamp, " +
         "cherrypick_snapshot, create_changelog_view, add_files, " +
         "rewrite_position_delete_files, convert_equality_deletes, " +
-        "analyze_table, create_mv, refresh_mv, snapshot, register_table, " +
-        "rebuild_vector_index)")
+        "analyze_table, compute_partition_stats, create_mv, refresh_mv, " +
+        "snapshot, register_table, rebuild_vector_index)")
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -197,6 +199,7 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
       case "cherrypick_snapshot" => Seq("table", "snapshot_id")
       case "convert_equality_deletes" => Seq("table")
       case "analyze_table" => Seq("table", "columns")
+      case "compute_partition_stats" => Seq("table")
       case "create_mv" => Seq("table", "mv", "keys", "sums")
       case "refresh_mv" => Seq("table")
       case "snapshot" => Seq("source_table", "table")
@@ -414,6 +417,13 @@ final case class GraftCallCommand(catalogName: String, procedure: String,
         val (sid, converted, rows) =
           IcebergWriter.convertEqualityDeletes(spark, dir, cmtr)
         Seq(Row(converted, rows, sid))
+      case "compute_partition_stats" =>
+        // full per-partition rollup written as the spec's
+        // partition-statistics file for the CURRENT snapshot — the
+        // bootstrap (and repair after row-level commits) of the
+        // incremental append-maintained chain (PartitionStats)
+        Seq(Row(graft.iceberg.PartitionStats.computeAndCommit(spark,
+          cmtr.getOrElse(new graft.iceberg.FsCommitter(dir, t.table.conf)))))
       case "analyze_table" =>
         val cols =
           if (m.contains("columns"))

@@ -133,31 +133,21 @@ object MetadataTables {
       // delete debt (data fully rewritten, debt not yet compacted)
       // still gets its row.
       () => {
-        def key(p: Map[String, Any], spec: Int): (String, Int) = (
-          if (p.isEmpty) null
-          else p.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k=$v" }.mkString(", "),
-          spec)
-        val files = t.planFiles()
-        val byPath: Map[String, (String, Int)] =
-          files.map(f => t.resolve(f.filePath) -> key(f.partition, f.specId))
-            .toMap
-        val data = files.groupBy(f => key(f.partition, f.specId))
-        val dels = t.planDeletes().groupBy { d =>
-          if (d.partition.nonEmpty) key(d.partition, d.specId)
-          else d.referencedDataFile.flatMap(r => byPath.get(t.resolve(r)))
-            .getOrElse(key(Map.empty, d.specId))
-        }
-        (data.keySet ++ dels.keySet).toSeq
-          .sortBy(g => (Option(g._1).getOrElse(""), g._2))
-          .map { case k @ (p, spec) =>
-            val fs = data.getOrElse(k, Nil)
-            val ds = dels.getOrElse(k, Nil)
-            val (pos, eq) = ds.partition(_.content == 1)
-            Row(p, spec, fs.size.toLong, fs.map(_.recordCount).sum,
-              fs.map(_.fileSizeInBytes).sum,
-              pos.size.toLong, pos.map(_.recordCount).sum,
-              eq.size.toLong, eq.map(_.recordCount).sum) }
+        // spec `partition-statistics` fast path: when the CURRENT
+        // snapshot has a stats file ([[graft.iceberg.PartitionStats]]),
+        // serve it — one small parquet read, O(partitions), instead of
+        // the O(files) manifest recompute below. Same rendering, same
+        // rollup definition, so the two paths are bit-identical.
+        val entries = t.metadata.currentSnapshotId.filter(_ != -1L)
+          .flatMap(sid =>
+            t.metadata.partitionStatistics.find(_.snapshotId == sid))
+          .map(e => graft.iceberg.PartitionStats.readFile(
+            org.apache.spark.sql.SparkSession.active, t.resolve(e.path)))
+          .getOrElse(graft.iceberg.PartitionStats.rollup(t))
+        entries.map(e => Row(e.partitionRepr, e.specId, e.dataFileCount,
+          e.dataRecordCount, e.totalDataFileSizeInBytes,
+          e.posDeleteFileCount, e.posDeleteRecordCount,
+          e.eqDeleteFileCount, e.eqDeleteRecordCount))
       })
     // v2 delete files in force on the current snapshot — the merge-on-read
     // debt a compaction would materialize

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, ViewCatalog, ViewInfo}
 import org.apache.spark.sql.types._
 
@@ -440,5 +441,103 @@ class CatalogSpec extends SparkSpec {
     assert(rows2.map(_.getFloat(1)).toSeq == Seq(2.5f, 8.4f),
       "expansion still works after the property rewrite")
     scratchCat.dropView(sIdent)
+  }
+
+  test("partition-statistics files: maintained incrementally on append " +
+      "when declared, served by the partitions table with " +
+      "manifest-recompute parity, re-bootstrapped by " +
+      "compute_partition_stats, dropped with expired snapshots") {
+    import graft.iceberg.{IcebergTable, PartitionStats, TableMetadata}
+    useCatalogs()
+    val conf = spark.sessionState.newHadoopConf()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.psns")
+    spark.sql("DROP TABLE IF EXISTS scratch.psns.p")
+    spark.sql(
+      """CREATE TABLE scratch.psns.p (k BIGINT, region BIGINT)
+        |PARTITIONED BY (region)
+        |TBLPROPERTIES ('graft.partition-statistics' = 'true',
+        |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+    val dir = s"$scratch/psns/p"
+    def meta = TableMetadata.load(dir, conf)
+    def servedRows() = spark.sql(
+      """SELECT `partition`, spec_id, file_count, record_count,
+        |       total_size_in_bytes, position_delete_file_count,
+        |       position_delete_record_count, equality_delete_file_count,
+        |       equality_delete_record_count
+        |FROM scratch.psns.p.`partitions` ORDER BY `partition`""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    def recomputedRows() = PartitionStats.rollup(new IcebergTable(dir, conf))
+      .map(e => Seq[Any](e.partitionRepr, e.specId, e.dataFileCount,
+        e.dataRecordCount, e.totalDataFileSizeInBytes,
+        e.posDeleteFileCount, e.posDeleteRecordCount,
+        e.eqDeleteFileCount, e.eqDeleteRecordCount))
+
+    spark.sql("INSERT INTO scratch.psns.p SELECT id, id % 3 FROM range(30)")
+    spark.sql("INSERT INTO scratch.psns.p SELECT id, id % 3 FROM range(30, 45)")
+    // one entry per append snapshot, chained incrementally from birth
+    val m1 = meta
+    assert(m1.partitionStatistics.size == 2,
+      s"entries: ${m1.partitionStatistics}")
+    assert(m1.partitionStatistics.map(_.snapshotId).toSet ==
+      m1.snapshots.map(_.snapshotId).toSet)
+    val fs = new Path(dir).getFileSystem(conf)
+    m1.partitionStatistics.foreach { e =>
+      assert(fs.getFileStatus(new Path(e.path)).getLen == e.fileSizeInBytes,
+        s"recorded size must match the file: $e")
+    }
+    // file-served output ≡ manifest recompute, bit-identical
+    assert(servedRows() == recomputedRows(), s"parity after appends:\n" +
+      s" served=${servedRows()}\n recomputed=${recomputedRows()}")
+    // the spec's typed tuple is readable by a PLAIN parquet reader
+    val current = m1.partitionStatistics
+      .find(e => m1.currentSnapshotId.contains(e.snapshotId)).get
+    val raw = spark.read.parquet(current.path)
+    assert(raw.schema("partition").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq == Seq("region"))
+    assert(raw.selectExpr("sum(data_record_count)").collect()(0).getLong(0) == 45L)
+    assert(raw.selectExpr("count(distinct partition.region)")
+      .collect()(0).getLong(0) == 3L)
+
+    // a merge-on-read DELETE leaves its snapshot WITHOUT an entry — the
+    // partitions table falls back to the manifest recompute and still
+    // shows the fresh delete debt
+    spark.sql("DELETE FROM scratch.psns.p WHERE k % 5 = 0")
+    val m2 = meta
+    assert(!m2.partitionStatistics.exists(e =>
+      m2.currentSnapshotId.contains(e.snapshotId)),
+      "row-level commits must not extend the incremental chain")
+    val debt = servedRows()
+    assert(debt == recomputedRows(), "fallback parity")
+    assert(debt.map(r => r(6).asInstanceOf[Long] + r(8).asInstanceOf[Long])
+      .sum > 0L,
+      s"the fallback must show the outstanding delete debt: $debt")
+
+    // compute_partition_stats bootstraps the chain again — including the
+    // debt columns — and the next append extends from it incrementally
+    spark.sql("CALL scratch.system.compute_partition_stats(table => 'psns.p')")
+    val m3 = meta
+    assert(m3.partitionStatistics.exists(e =>
+      m3.currentSnapshotId.contains(e.snapshotId)))
+    assert(servedRows() == recomputedRows(), "parity after bootstrap")
+    spark.sql("INSERT INTO scratch.psns.p SELECT id, id % 3 FROM range(45, 50)")
+    val m4 = meta
+    assert(m4.partitionStatistics.exists(e =>
+      m4.currentSnapshotId.contains(e.snapshotId)),
+      "append after bootstrap must extend the chain")
+    val afterAppend = servedRows()
+    assert(afterAppend == recomputedRows(), "parity after incremental append")
+    assert(afterAppend.map(r =>
+      r(6).asInstanceOf[Long] + r(8).asInstanceOf[Long]).sum > 0L,
+      "carried delete debt must survive the incremental append")
+
+    // snapshot expiration drops entries with their snapshots
+    spark.sql("CALL scratch.system.expire_snapshots(table => 'psns.p', " +
+      s"older_than => ${System.currentTimeMillis + 60000}, retain_last => 1)")
+    val m5 = meta
+    assert(m5.partitionStatistics.map(_.snapshotId).toSet.subsetOf(
+      m5.snapshots.map(_.snapshotId).toSet),
+      s"expired snapshots must shed their entries: ${m5.partitionStatistics}")
+    assert(servedRows() == recomputedRows(), "parity after expiration")
+    spark.sql("DROP TABLE scratch.psns.p")
   }
 }
