@@ -2146,15 +2146,63 @@ object IcebergWriter {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nRows = positions.count()
-      val delMl: Option[GenericRecord] = writeMergedPositionDeletes(
-        conf, tableDir, snapId, u, positions, nRows, meta.defaultSpecId)
-      // equality manifests drop (converted); data manifests and existing
-      // position-delete manifests pass through untouched
-      val keptPrior: Seq[GenericRecord] = prev.flatMap { m =>
-        if (m.content == 1 && eqManifests.exists(_._1 == m)) None
-        else Some(mlRec(resolveAgainst(meta, tableDir, m.path), m.length,
-          m.content, m.sequenceNumber, m.addedRowsCount,
-          m.partitionSpecId, m.partitions))
+      // representation follows the table's delete-write mode: v2 merged
+      // position parquet by default; on a DV table the converted debt
+      // lands as v3 deletion vectors (one roaring blob per affected
+      // file), absorbing that file's EXISTING positions (the spec's
+      // one-DV-per-file superset rule) so superseded DV entries — and
+      // v2 position files the new vectors fully cover — drop below
+      val dvMode = dvWriteMode(meta)
+      val (delMl: Option[GenericRecord], dvTargets: Set[String],
+          v2Drops: Set[String]) =
+        if (!dvMode)
+          (writeMergedPositionDeletes(
+            conf, tableDir, snapId, u, positions, nRows, meta.defaultSpecId),
+            Set.empty[String], Set.empty[String])
+        else {
+          val withRef = positions
+            .withColumn("__ref", t.normPathExpr(col("file_path")))
+            .select(col("__ref"), col("pos"))
+          // bounded driver read: the eq-affected file set (same class as
+          // the row-level writers' per-file planning)
+          val refs = withRef.select("__ref").distinct()
+            .collect().map(_.getString(0)).toSeq
+          if (refs.isEmpty) (None, Set.empty[String], Set.empty[String])
+          else {
+            val byNorm = t.planFiles()
+              .map(f => t.normPath(t.resolve(f.filePath)) -> f).toMap
+            val targets: Map[String, Long] = refs.map(r =>
+              r -> byNorm(r).sequenceNumber.getOrElse(-1L)).toMap
+            val all = dvAbsorbPositions(spark, t, targets)
+              .map(withRef.unionByName(_)).getOrElse(withRef)
+            val storedByNorm = refs.map(r => r -> byNorm(r).filePath).toMap
+            (writeDvManifest(spark, conf, tableDir, meta, snapId, u, all,
+              storedByNorm), refs.toSet,
+              dvConvergedV2Drops(spark, t, refs.toSet))
+          }
+        }
+      // equality manifests drop (converted); data manifests pass
+      // through; position-delete manifests pass through untouched in v2
+      // mode, and in DV mode shed the entries the new vectors absorbed
+      val keptPrior: Seq[GenericRecord] = prev.zipWithIndex.flatMap {
+        case (m, i) =>
+          val mPath = resolveAgainst(meta, tableDir, m.path)
+          val passThrough = Some(mlRec(mPath, m.length,
+            m.content, m.sequenceNumber, m.addedRowsCount,
+            m.partitionSpecId, m.partitions))
+          if (m.content == 1 && eqManifests.exists(_._1 == m)) None
+          else if (m.content == 1 && dvMode && dvTargets.nonEmpty)
+            dropSupersededDvEntries(mPath, conf, dvTargets,
+              p => t.normPath(t.resolve(p)),
+              new Path(s"$tableDir/metadata/m-ceq-s$snapId-$u-d$i.avro"),
+              dropV2 = v2Drops) match {
+              case None => passThrough
+              case Some((_, _, _, true)) => None // every entry superseded
+              case Some((newPath, rows, len, _)) =>
+                Some(mlRec(newPath, len, 1, m.sequenceNumber, Some(rows),
+                  m.partitionSpecId, m.partitions))
+            }
+          else passThrough
       }
       commitSnapshot(cmtr, snapId,
         meta.currentSnapshotId.filter(_ != -1L),

@@ -76,7 +76,14 @@ final class GraftChangelogTable(
     /** Analysis-time schema override installed by
       * [[GraftChangelogReshapeRule]] when schema-shaping options are
       * present — `schema()` must agree with what the scan will emit. */
-    shapeOverride: Option[StructType] = None) extends Table with SupportsRead {
+    shapeOverride: Option[StructType] = None,
+    /** Fresh metadata fetch (per stream batch and per batch scan):
+      * filesystem tables re-read metadata.json; REST-cataloged tables
+      * have none on disk, so the catalog passes a store-backed reload. */
+    reload: () => IcebergTable = null) extends Table with SupportsRead {
+
+  private val freshTable: () => IcebergTable = Option(reload)
+    .getOrElse(() => new IcebergTable(table.tableDir, table.conf))
 
   private val attributionFields = Seq(
     StructField("_change_type", StringType, nullable = false),
@@ -142,7 +149,8 @@ final class GraftChangelogTable(
     shapedSchema(options) != changeSchema
 
   def withShape(options: CaseInsensitiveStringMap): GraftChangelogTable =
-    new GraftChangelogTable(tableName, table, Some(shapedSchema(options)))
+    new GraftChangelogTable(tableName, table, Some(shapedSchema(options)),
+      freshTable)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // admission control: at most N window SNAPSHOTS per micro-batch
@@ -190,7 +198,7 @@ final class GraftChangelogTable(
             override def sqlContext: SQLContext = ctx
             override def schema: StructType = scanSchema
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-              val t = new IcebergTable(table.tableDir, table.conf)
+              val t = freshTable()
               val head = t.metadata.snapshotLineage.lastOption.getOrElse(0L)
               val from = startSnapshot.getOrElse(0L)
               val df =
@@ -205,7 +213,7 @@ final class GraftChangelogTable(
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangelogMicroBatchStream(table, tableDataSchema,
             scanSchema, computeUpdates, withLineage, maxSnapshots,
-            startSnapshot)
+            startSnapshot, freshTable)
       }
     }
   }
@@ -240,14 +248,18 @@ final class GraftChangelogMicroBatchStream(
     /** `start-snapshot-id`: stream changes AFTER this snapshot instead
       * of the whole table history. Must still be in the lineage when
       * the first batch plans — validated there, loudly. */
-    startSnapshotId: Option[Long] = None) extends MicroBatchStream
+    startSnapshotId: Option[Long] = None,
+    /** fresh metadata fetch (store-backed for REST tables) */
+    reload: () => IcebergTable = null) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
-  private def fresh(): IcebergTable =
-    new IcebergTable(table.tableDir, table.conf)
+  private val freshTable: () => IcebergTable = Option(reload)
+    .getOrElse(() => new IcebergTable(table.tableDir, table.conf))
+
+  private def fresh(): IcebergTable = freshTable()
 
   private def head(t: IcebergTable): Long =
     t.metadata.currentSnapshotId.filter(_ != -1L)
@@ -372,7 +384,16 @@ final class GraftChangelogMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val rdd = currentRdd
-    require(rdd != null, "changelog stream: no planned window")
+    // an EMPTY window plans no partitions yet Spark still asks for a
+    // factory (a fresh checkpoint at the current head does this): with
+    // zero partitions the factory is never invoked — any non-null one
+    // satisfies the contract
+    if (rdd == null) return new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+        throw new IllegalStateException(
+          "changelog stream: reader requested for an empty window")
+    }
     new GraftRddBridgeReaderFactory(rdd)
   }
 }

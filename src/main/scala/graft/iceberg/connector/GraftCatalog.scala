@@ -169,7 +169,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           store.tableExists(ns.init, ns.last)) {
         val parent = (ns :+ ident.name).mkString(".")
         MetadataTables.forName(parent, ident.name,
-          store.loadIcebergTable(ns.init, ns.last))
+          store.loadIcebergTable(ns.init, ns.last),
+          // store-backed reload: REST tables have no metadata.json on
+          // disk — per-batch freshness must go through the service
+          () => store.loadIcebergTable(ns.init, ns.last))
       }
       else throw new NoSuchTableException(ident)
     }

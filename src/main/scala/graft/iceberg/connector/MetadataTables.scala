@@ -31,10 +31,17 @@ object MetadataTables {
       "delete_files", "entries", "all_files", "all_manifests",
       "metadata_log_entries", "position_deletes", "changes")
 
-  def forName(parent: String, kind: String, t: IcebergTable): Table = kind match {
+  def forName(parent: String, kind: String, t: IcebergTable,
+              /** fresh metadata fetch — the changelog STREAM re-loads per
+                * batch, and a REST-cataloged table has no metadata.json on
+                * disk to re-read; the catalog passes its own store-backed
+                * reload */
+              reload: () => IcebergTable = null): Table = kind match {
     // the CDC changelog relation (batch + readStream) — not a
     // driver-computed metadata view; see [[GraftChangelogTable]]
-    case "changes" => new GraftChangelogTable(parent, t)
+    case "changes" => new GraftChangelogTable(parent, t,
+      reload = Option(reload).getOrElse(
+        () => new IcebergTable(t.tableDir, t.conf)))
     case "snapshots" => new GraftMetadataTable(s"$parent.snapshots",
       StructType(Seq(
         StructField("snapshot_id", LongType, nullable = false),

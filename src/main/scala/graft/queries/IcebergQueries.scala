@@ -1233,6 +1233,126 @@ object IcebergQueries {
     // the pipeline (window planning, pairing, net-effect MERGE) is a
     // hash mismatch. At 100 TB: per-batch work ∝ the commit's change
     // volume; neither table is ever rescanned.
+    // Spec partition-statistics end-to-end: appends maintain the
+    // per-snapshot stats file INCREMENTALLY (prev file + commit delta —
+    // O(1) per commit at any table size), a row-level commit breaks the
+    // chain, compute_partition_stats bootstraps it again, and the
+    // `partitions` metadata table serves FROM THE FILE — one small
+    // parquet read instead of the O(files) manifest recompute. The
+    // oracle recomputes per-partition record counts relationally.
+    "q165_partition_stats" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q165-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "supplier").createOrReplaceTempView("supplier_src_q165")
+      s.conf.set("spark.sql.catalog.q165cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q165cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q165cat.ns")
+      s.sql(
+        """CREATE TABLE q165cat.ns.sup (
+          |  s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+          |PARTITIONED BY (s_nationkey)
+          |TBLPROPERTIES ('graft.partition-statistics' = 'true',
+          |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(
+        """INSERT INTO q165cat.ns.sup
+          |SELECT CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT),
+          |       s_acctbal
+          |FROM supplier_src_q165 WHERE s_suppkey % 2 = 0""".stripMargin)
+      s.sql(
+        """INSERT INTO q165cat.ns.sup
+          |SELECT CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT),
+          |       s_acctbal
+          |FROM supplier_src_q165 WHERE s_suppkey % 2 = 1""".stripMargin)
+      def meta = graft.iceberg.TableMetadata.load(s"$warehouse/ns/sup", conf)
+      require(meta.partitionStatistics.exists(e =>
+        meta.currentSnapshotId.contains(e.snapshotId)),
+        "q165: appends must maintain the stats file incrementally")
+      // a merge-on-read DELETE breaks the chain; the bootstrap restores it
+      s.sql("DELETE FROM q165cat.ns.sup WHERE s_suppkey % 3 = 0")
+      require(!meta.partitionStatistics.exists(e =>
+        meta.currentSnapshotId.contains(e.snapshotId)),
+        "q165: a row-level commit must not extend the chain")
+      s.sql("CALL q165cat.system.compute_partition_stats(table => 'ns.sup')")
+      // further appends extend incrementally from the bootstrapped file
+      s.sql(
+        """INSERT INTO q165cat.ns.sup
+          |SELECT -CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT),
+          |       s_acctbal
+          |FROM supplier_src_q165 WHERE s_suppkey % 5 = 1""".stripMargin)
+      require(meta.partitionStatistics.exists(e =>
+        meta.currentSnapshotId.contains(e.snapshotId)),
+        "q165: append after bootstrap must extend the chain")
+      // served FROM the stats file (the entry above is the fast path)
+      s.sql(
+        """SELECT `partition` AS part, CAST(record_count AS BIGINT)
+          |         AS record_count
+          |FROM q165cat.ns.sup.`partitions`
+          |WHERE record_count > 0 -- the null-partition row carries only
+          |                       -- cross-partition delete debt
+          |ORDER BY part ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // The compute-updates CHANGELOG STREAM end-to-end: per-micro-batch
+    // update pairing (v3 _row_id identity) over insert, CoW UPDATE, MoR
+    // MERGE, and DELETE commits, drained one commit per batch — the
+    // oracle reconstructs the exact typed change stream relationally.
+    "q166_cdc_stream_updates" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q166-warehouse")
+      val ckpt = graft.Scratch.dir("q166-ckpt")
+      val out = graft.Scratch.dir("q166-out")
+      val conf = s.sessionState.newHadoopConf()
+      Seq(warehouse, ckpt, out).foreach(p =>
+        new Path(p).getFileSystem(conf).delete(new Path(p), true))
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q166")
+      s.conf.set("spark.sql.catalog.q166cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q166cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q166cat.ns")
+      s.sql(
+        """CREATE TABLE q166cat.ns.src (k BIGINT NOT NULL, v STRING)
+          |TBLPROPERTIES ('format-version' = '3',
+          |  'write.merge.mode' = 'merge-on-read',
+          |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(
+        """INSERT INTO q166cat.ns.src
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM orders_src_q166 WHERE o_orderkey % 6 = 0""".stripMargin)
+      s.sql("UPDATE q166cat.ns.src SET v = concat(v, '!') WHERE k % 18 = 0")
+      s.sql(
+        """MERGE INTO q166cat.ns.src t
+          |USING (SELECT CAST(o_orderkey AS BIGINT) AS k, 'M' AS v
+          |       FROM orders_src_q166 WHERE o_orderkey % 36 = 0
+          |       UNION ALL
+          |       SELECT -CAST(o_orderkey AS BIGINT), 'R'
+          |       FROM orders_src_q166 WHERE o_orderkey % 60 = 13) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("DELETE FROM q166cat.ns.src WHERE k % 30 = 6")
+      val q = s.readStream
+        .option("compute-updates", "true")
+        .option("maxSnapshotsPerTrigger", "1")
+        .table("q166cat.ns.src.changes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      // snapshot ids are sequential here (1 = insert … 4 = delete), so
+      // the commit id re-bases to a deterministic per-commit ordinal;
+      // _row_id stays out (engine-assigned identity, not oracle-stable)
+      s.read.parquet(out).createOrReplaceTempView("q166_drained")
+      s.sql(
+        """SELECT k, v, _change_type,
+          |       CAST(_commit_snapshot_id - 1 AS INT) AS _change_ordinal
+          |FROM q166_drained
+          |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
+          |         _change_type ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Iceberg v3 default values end-to-end: ADD COLUMN ... DEFAULT is
     // METADATA-ONLY at any table size — files written before the column
     // serve the immutable initial-default (decided per file at the
@@ -1836,6 +1956,50 @@ object IcebergQueries {
         |  SELECT k, v, 'delete', 1 FROM state1 WHERE k % 35 = 0
         |  UNION ALL
         |  SELECT k, v, 'insert', 2 FROM ins)
+        |SELECT k, v, _change_type,
+        |       CAST(_change_ordinal AS INT) AS _change_ordinal
+        |FROM stream
+        |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
+        |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q165_partition_stats" ->
+      """WITH rows AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS k,
+        |         CAST(s_nationkey AS BIGINT) AS n
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT -CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT)
+        |  FROM supplier WHERE s_suppkey % 5 = 1)
+        |SELECT 's_nationkey=' || CAST(n AS VARCHAR) AS part,
+        |       CAST(COUNT(*) AS BIGINT) AS record_count
+        |FROM rows GROUP BY n
+        |ORDER BY part ASC NULLS FIRST""".stripMargin,
+    "q166_cdc_stream_updates" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS v
+        |  FROM orders WHERE o_orderkey % 6 = 0),
+        |upd AS (
+        |  SELECT k, v AS v_old, v || '!' AS v_new FROM base WHERE k % 18 = 0),
+        |afterupd AS (
+        |  SELECT k, CASE WHEN k % 18 = 0 THEN v || '!' ELSE v END AS v
+        |  FROM base),
+        |mrg_new AS (
+        |  SELECT -CAST(o_orderkey AS BIGINT) AS k, 'R' AS v
+        |  FROM orders WHERE o_orderkey % 60 = 13),
+        |mrg_upd AS (
+        |  SELECT k, v AS v_old, 'M' AS v_new FROM afterupd WHERE k % 36 = 0),
+        |aftermrg AS (
+        |  SELECT k, CASE WHEN k % 36 = 0 THEN 'M' ELSE v END AS v
+        |  FROM afterupd
+        |  UNION ALL SELECT k, v FROM mrg_new),
+        |stream AS (
+        |  SELECT k, v, 'insert' AS _change_type, 0 AS _change_ordinal
+        |  FROM base
+        |  UNION ALL SELECT k, v_old, 'update_before', 1 FROM upd
+        |  UNION ALL SELECT k, v_new, 'update_after', 1 FROM upd
+        |  UNION ALL SELECT k, v_old, 'update_before', 2 FROM mrg_upd
+        |  UNION ALL SELECT k, v_new, 'update_after', 2 FROM mrg_upd
+        |  UNION ALL SELECT k, v, 'insert', 2 FROM mrg_new
+        |  UNION ALL SELECT k, v, 'delete', 3 FROM aftermrg WHERE k % 30 = 6)
         |SELECT k, v, _change_type,
         |       CAST(_change_ordinal AS INT) AS _change_ordinal
         |FROM stream

@@ -407,6 +407,68 @@ class ProceduresSpec extends SparkSpec {
       .head.getLong(0) === 1L)
   }
 
+  test("convert_equality_deletes on a DV table lands the converted debt " +
+      "as deletion vectors — one blob per affected file, no new v2 " +
+      "position files, prior DVs absorbed") {
+    val ns = fresh("pcat12d")
+    spark.sql("CREATE TABLE pcat12d.ns.t (k BIGINT, cat STRING) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read', " +
+      "'graft.write.deletes' = 'dv')")
+    spark.sql("INSERT INTO pcat12d.ns.t SELECT id, concat('c', id % 4) " +
+      "FROM range(0, 40)")
+    spark.sql("INSERT INTO pcat12d.ns.t SELECT id, concat('c', id % 4) " +
+      "FROM range(40, 80)")
+    // a range delete lands a DV (the table's position representation);
+    // IN deletes land equality files (representation-independent debt)
+    spark.sql("DELETE FROM pcat12d.ns.t WHERE k >= 70 AND k < 75")
+    spark.sql("DELETE FROM pcat12d.ns.t WHERE k IN (1, 2, 3)")
+    // k = 71 overlaps the DV — conversion must dedup into the superset
+    // vector, not double-delete or resurrect
+    spark.sql("DELETE FROM pcat12d.ns.t WHERE k IN (41, 42, 71)")
+    val dir = s"$ns/t"
+    def kinds(): (Int, Int, Int) = {
+      val d = new graft.iceberg.IcebergTable(dir, conf).planDeletes()
+      (d.count(p => p.content == 1 && p.isDv),
+        d.count(p => p.content == 1 && !p.isDv),
+        d.count(_.content == 2))
+    }
+    val (dvBefore, v2Before, eqBefore) = kinds()
+    assert(dvBefore >= 1 && eqBefore >= 2 && v2Before == 0,
+      s"setup: dv=$dvBefore v2=$v2Before eq=$eqBefore")
+    val expected = spark.sql("SELECT * FROM pcat12d.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    assert(expected.size === 80 - 5 - 3 - 3 + 1) // k=71 counted once
+
+    val Seq(row) = spark.sql(
+      "CALL pcat12d.system.convert_equality_deletes(table => 'ns.t')")
+      .collect().toSeq
+    assert(row.getInt(0) === eqBefore, "every equality file converted")
+    val (dvAfter, v2After, eqAfter) = kinds()
+    assert(eqAfter === 0, "no equality deletes survive conversion")
+    assert(v2After === 0,
+      "a DV table's converted debt must not land as v2 position files")
+    // at most ONE vector per referenced data file (spec superset rule):
+    // the k=70..74 DV was absorbed into its file's new vector
+    val dvs = new graft.iceberg.IcebergTable(dir, conf).planDeletes()
+      .filter(_.isDv)
+    assert(dvs.size === dvAfter)
+    val perFile = dvs.groupBy(_.referencedDataFile.get).values.map(_.size)
+    assert(perFile.forall(_ == 1),
+      s"one DV per data file after conversion: ${dvs.map(_.referencedDataFile)}")
+    val got = spark.sql("SELECT * FROM pcat12d.ns.t").collect()
+      .map(_.toString).sorted.toSeq
+    assert(got === expected, "conversion must not change live rows")
+    // idempotent
+    val Seq(row2) = spark.sql(
+      "CALL pcat12d.system.convert_equality_deletes(table => 'ns.t')")
+      .collect().toSeq
+    assert(row2.getInt(0) === 0)
+    // rows inserted after conversion escape the converted deletes
+    spark.sql("INSERT INTO pcat12d.ns.t VALUES (2, 'reborn')")
+    assert(spark.sql("SELECT count(*) FROM pcat12d.ns.t WHERE k = 2")
+      .head.getLong(0) === 1L)
+  }
+
   test("analyze_table NDVs reach the CBO through DSv2 column stats") {
     val ns = fresh("pcat13")
     spark.sql("CREATE TABLE pcat13.ns.t (k BIGINT, cat STRING)")
