@@ -7,6 +7,10 @@ object QBench {
     val spark = SparkSession.builder().master("local[32]").appName("qbench")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // same session shape as Bench/Verify: queries using CALL / graft
+      // DDL need the parser extension
+      .config("spark.sql.extensions",
+        classOf[graft.iceberg.connector.GraftSparkExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>

@@ -1359,9 +1359,12 @@ final class IcebergTable private (
     * paired halves) that a LONG-RUNNING caller — the streaming CDC
     * source, one window per micro-batch — must release once it has
     * materialized the result, or executor storage grows per batch. The
-    * batch API keeps today's process-lifetime pins (the returned plan
-    * still READS them; unpersisting before the consumer collects would
-    * break it — localCheckpoints cannot recompute). */
+    * batch API keeps the pins alive while the returned plan is reachable
+    * (unpersisting before the consumer collects would break it —
+    * localCheckpoints cannot recompute); once the caller drops the
+    * DataFrame, Spark's ContextCleaner reclaims the unreferenced
+    * checkpoint blocks, so repeated batch use is GC-bounded, not a
+    * process-lifetime leak. */
   private[graft] def changesWithUpdatesImpl(spark: SparkSession, fromId: Long,
       toId: Long): (DataFrame, () => Unit) = {
     import IcebergTable.RowIdCol

@@ -1478,9 +1478,20 @@ object IcebergWriter {
     // compute_partition_stats restarts the chain.
     if (carryPrior && branch == "main") {
       val specNames = meta.partitionSpec.map(_.name)
-      PartitionStats.maintainOnAppend(spark, cmtr, snapId,
+      // BEST-EFFORT: the data commit above already succeeded — a stats
+      // failure (rival commit's 409 on the follow-up, damaged prior
+      // stats file) must not make a committed INSERT report failure
+      // (the caller would retry and double-write). A skipped entry is
+      // spec-legal; the partitions table falls back to the manifest
+      // recompute and compute_partition_stats repairs the chain.
+      try PartitionStats.maintainOnAppend(spark, cmtr, snapId,
         added.map(f => (
           specNames.zip(f.partition.getOrElse(Nil)).toMap, f.rows, f.bytes)))
+      catch { case e: Exception =>
+        System.err.println(
+          s"[graft] partition-statistics maintenance skipped for " +
+            s"snapshot $snapId of $tableDir: ${e.getMessage}")
+      }
     }
     snapId
   }

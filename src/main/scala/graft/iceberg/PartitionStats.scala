@@ -55,9 +55,11 @@ object PartitionStats {
       posDeleteRecordCount: Long,
       eqDeleteFileCount: Long,
       eqDeleteRecordCount: Long,
-      /** raw manifest-typed partition values by spec-field name — used
-        * only when WRITING the typed struct; empty when the entry was
-        * read back from a stats file (the repr carries identity) */
+      /** partition tuple values by spec-field name, feeding the typed
+        * struct on write: manifest-typed on the rollup/delta paths,
+        * EXTERNAL (Row) values when read back from a stats file — the
+        * writer's `external` normalizes either form, so incremental
+        * rewrites re-emit carried partitions' tuples intact */
       partitionValues: Map[String, Any] = Map.empty,
       lastUpdatedAt: Option[Long] = None,
       lastUpdatedSnapshotId: Option[Long] = None)
@@ -167,22 +169,30 @@ object PartitionStats {
     case (x, _) => x
   }
 
-  private def fileSchema(meta: TableMetadata): StructType = StructType(Seq(
-    StructField("partition", unifiedPartitionType(meta), nullable = true),
-    StructField("spec_id", IntegerType, nullable = false),
-    StructField("data_record_count", LongType, nullable = false),
-    StructField("data_file_count", IntegerType, nullable = false),
-    StructField("total_data_file_size_in_bytes", LongType, nullable = false),
-    StructField("position_delete_record_count", LongType, nullable = true),
-    StructField("position_delete_file_count", IntegerType, nullable = true),
-    StructField("equality_delete_record_count", LongType, nullable = true),
-    StructField("equality_delete_file_count", IntegerType, nullable = true),
-    StructField("total_record_count", LongType, nullable = true),
-    StructField("last_updated_at", LongType, nullable = true),
-    StructField("last_updated_snapshot_id", LongType, nullable = true),
-    // writer extra: the `partitions` metadata table's exact rendering,
-    // so file-served output is bit-identical to the manifest fallback
-    StructField("partition_repr", StringType, nullable = true)))
+  private def fileSchema(meta: TableMetadata): StructType = {
+    // the spec assigns field ids 1..12 to these columns — id-resolving
+    // external readers project by them
+    def f(id: Int, name: String, dt: DataType, nullable: Boolean) =
+      StructField(name, dt, nullable,
+        new MetadataBuilder().putLong("parquet.field.id", id).build())
+    StructType(Seq(
+      f(1, "partition", unifiedPartitionType(meta), nullable = true),
+      f(2, "spec_id", IntegerType, nullable = false),
+      f(3, "data_record_count", LongType, nullable = false),
+      f(4, "data_file_count", IntegerType, nullable = false),
+      f(5, "total_data_file_size_in_bytes", LongType, nullable = false),
+      f(6, "position_delete_record_count", LongType, nullable = true),
+      f(7, "position_delete_file_count", IntegerType, nullable = true),
+      f(8, "equality_delete_record_count", LongType, nullable = true),
+      f(9, "equality_delete_file_count", IntegerType, nullable = true),
+      f(10, "total_record_count", LongType, nullable = true),
+      f(11, "last_updated_at", LongType, nullable = true),
+      f(12, "last_updated_snapshot_id", LongType, nullable = true),
+      // writer extra (NO field id — id-resolving readers skip it): the
+      // `partitions` metadata table's exact rendering, so file-served
+      // output is bit-identical to the manifest fallback
+      StructField("partition_repr", StringType, nullable = true)))
+  }
 
   /** Write the stats file for snapshot `sid`; returns (path, bytes). */
   def writeFile(spark: SparkSession, tableDir: String,
@@ -190,6 +200,9 @@ object PartitionStats {
     val schema = fileSchema(meta)
     val pType = schema.head.dataType.asInstanceOf[StructType]
     val data = rows.map { e =>
+      // values arrive either manifest-typed (rollup/delta paths) or
+      // already-external (entries read back from a prior file) —
+      // `external` normalizes the former and passes the latter through
       val tuple =
         if (e.partitionValues.isEmpty && e.partitionRepr == null) null
         else Row.fromSeq(pType.fields.toSeq.map(f =>
@@ -223,23 +236,56 @@ object PartitionStats {
     (target.toString, fs.getFileStatus(target).getLen)
   }
 
-  /** Read a stats file back to entries (repr + counters; the typed
-    * tuple column is for external readers). */
-  def readFile(spark: SparkSession, path: String): Seq[Entry] =
-    spark.read.parquet(path)
-      .select("partition_repr", "spec_id", "data_file_count",
-        "data_record_count", "total_data_file_size_in_bytes",
-        "position_delete_file_count", "position_delete_record_count",
-        "equality_delete_file_count", "equality_delete_record_count",
-        "last_updated_at", "last_updated_snapshot_id")
+  /** Read a stats file back to entries. The TYPED tuple is read back as
+    * `partitionValues` (external Row values, keyed by field name) so an
+    * incremental rewrite re-emits carried partitions' tuples instead of
+    * nulling them. Foreign spec-conformant files lacking the writer's
+    * `partition_repr` extra get their repr derived from the tuple
+    * (rendering may differ from raw manifest values for transformed
+    * fields — the counters stay exact). Optional counter columns absent
+    * from a foreign file read as zero. */
+  def readFile(spark: SparkSession, path: String): Seq[Entry] = {
+    val df = spark.read.parquet(path)
+    val have = df.schema.fieldNames.toSet
+    def colOr0(n: String, intTyped: Boolean) =
+      if (have.contains(n)) org.apache.spark.sql.functions.col(n)
+      else org.apache.spark.sql.functions.lit(
+        if (intTyped) 0 else 0L).as(n)
+    val withRepr =
+      if (have.contains("partition_repr")) df
+      else df.withColumn("partition_repr",
+        org.apache.spark.sql.functions.lit(null: String))
+    withRepr.select(
+        org.apache.spark.sql.functions.col("partition"),
+        org.apache.spark.sql.functions.col("partition_repr"),
+        org.apache.spark.sql.functions.col("spec_id"),
+        colOr0("data_file_count", intTyped = true),
+        org.apache.spark.sql.functions.col("data_record_count"),
+        colOr0("total_data_file_size_in_bytes", intTyped = false),
+        colOr0("position_delete_file_count", intTyped = true),
+        colOr0("position_delete_record_count", intTyped = false),
+        colOr0("equality_delete_file_count", intTyped = true),
+        colOr0("equality_delete_record_count", intTyped = false),
+        colOr0("last_updated_at", intTyped = false),
+        colOr0("last_updated_snapshot_id", intTyped = false))
       .collect().toSeq.map { r =>
-        Entry(r.getAs[String](0), r.getInt(1), r.getInt(2).toLong,
-          r.getLong(3), r.getLong(4),
-          r.getInt(5).toLong, r.getLong(6), r.getInt(7).toLong, r.getLong(8),
-          lastUpdatedAt = if (r.isNullAt(9)) None else Some(r.getLong(9)),
+        val tuple = Option(r.getAs[Row]("partition"))
+        val values: Map[String, Any] = tuple.map { t =>
+          t.schema.fieldNames.zipWithIndex.collect {
+            case (n, i) if !t.isNullAt(i) => n -> t.get(i)
+          }.toMap
+        }.getOrElse(Map.empty)
+        val repr = Option(r.getAs[String]("partition_repr"))
+          .getOrElse(reprOf(values))
+        Entry(repr, r.getInt(2), r.getInt(3).toLong,
+          r.getLong(4), r.getLong(5),
+          r.getInt(6).toLong, r.getLong(7), r.getInt(8).toLong, r.getLong(9),
+          partitionValues = values,
+          lastUpdatedAt = if (r.isNullAt(10)) None else Some(r.getLong(10)),
           lastUpdatedSnapshotId =
-            if (r.isNullAt(10)) None else Some(r.getLong(10)))
+            if (r.isNullAt(11)) None else Some(r.getLong(11)))
       }
+  }
 
   /** The REST-spec `set-partition-statistics` update action. */
   def setAction(mapper: ObjectMapper, sid: Long, path: String,

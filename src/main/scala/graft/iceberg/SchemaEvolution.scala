@@ -177,8 +177,13 @@ object SchemaEvolution {
         val i = fieldIdx(name)
         if (i < 0) throw new IllegalArgumentException(s"no such column: $name")
         val node = fields.get(i).asInstanceOf[ObjectNode]
-        val dropping = upd.newCurrentDefault == null ||
-          Option(upd.newDefaultValue).forall(_.trim.isEmpty)
+        // DROP DEFAULT arrives as a null/empty DefaultValue; a SET with
+        // an EXPRESSION-only DefaultValue (null SQL string, the DSv2 API
+        // allows either form) must not be misread as a drop
+        val dropping = upd.newCurrentDefault == null || {
+          val dv = upd.newCurrentDefault
+          Option(dv.getSql).forall(_.trim.isEmpty) && dv.getExpression == null
+        }
         if (dropping) {
           // DROP DEFAULT removes the WRITE default only — initial-default
           // is immutable (files written before the column still read it)

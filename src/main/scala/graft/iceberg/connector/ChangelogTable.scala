@@ -133,13 +133,17 @@ final class GraftChangelogTable(
     Option(options.get("columns")).map(_.trim).filter(_.nonEmpty) match {
       case None => full
       case Some(cs) =>
+        // case-insensitive like every other Spark column reference; the
+        // emitted schema keeps the DECLARED names and order
         val want = cs.split(",").map(_.trim).filter(_.nonEmpty)
-        val unknown = want.filterNot(full.fieldNames.contains)
+        val unknown = want.filterNot(w =>
+          full.fieldNames.exists(_.equalsIgnoreCase(w)))
         require(unknown.isEmpty,
           s"$tableName: the columns read option names unknown columns " +
             s"${unknown.mkString(", ")} (available: " +
             s"${full.fieldNames.mkString(", ")})")
-        StructType(full.fields.filter(f => want.contains(f.name)))
+        StructType(full.fields.filter(f =>
+          want.exists(_.equalsIgnoreCase(f.name))))
     }
   }
 

@@ -148,8 +148,18 @@ object MetadataTables {
         val entries = t.metadata.currentSnapshotId.filter(_ != -1L)
           .flatMap(sid =>
             t.metadata.partitionStatistics.find(_.snapshotId == sid))
-          .map(e => graft.iceberg.PartitionStats.readFile(
-            org.apache.spark.sql.SparkSession.active, t.resolve(e.path)))
+          .flatMap { e =>
+            // a foreign/damaged stats file must DEGRADE to the manifest
+            // recompute, never fail a query the fallback can answer
+            try Some(graft.iceberg.PartitionStats.readFile(
+              org.apache.spark.sql.SparkSession.active, t.resolve(e.path)))
+            catch { case ex: Exception =>
+              System.err.println(
+                s"[graft] partitions: stats file ${e.path} unreadable " +
+                  s"(${ex.getMessage}); recomputing from manifests")
+              None
+            }
+          }
           .getOrElse(graft.iceberg.PartitionStats.rollup(t))
         entries.map(e => Row(e.partitionRepr, e.specId, e.dataFileCount,
           e.dataRecordCount, e.totalDataFileSizeInBytes,

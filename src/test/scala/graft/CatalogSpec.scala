@@ -530,6 +530,19 @@ class CatalogSpec extends SparkSpec {
       r(6).asInstanceOf[Long] + r(8).asInstanceOf[Long]).sum > 0L,
       "carried delete debt must survive the incremental append")
 
+    // an append touching ONE partition must re-emit the untouched
+    // partitions' TYPED tuples intact in the new stats file (the spec
+    // identity column external readers key on), not null them
+    spark.sql("INSERT INTO scratch.psns.p SELECT id, 0 FROM range(50, 53)")
+    val m4b = meta
+    val cur4b = m4b.partitionStatistics
+      .find(e => m4b.currentSnapshotId.contains(e.snapshotId)).get
+    val raw4b = spark.read.parquet(cur4b.path)
+    assert(raw4b.selectExpr("count(distinct partition.region)")
+      .collect()(0).getLong(0) == 3L,
+      "carried partitions must keep their typed tuple values")
+    assert(servedRows() == recomputedRows(), "parity after one-partition append")
+
     // snapshot expiration drops entries with their snapshots
     spark.sql("CALL scratch.system.expire_snapshots(table => 'psns.p', " +
       s"older_than => ${System.currentTimeMillis + 60000}, retain_last => 1)")

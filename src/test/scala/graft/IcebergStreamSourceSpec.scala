@@ -657,6 +657,12 @@ class IcebergStreamSourceSpec extends SparkSpec {
       java.util.Map.of("columns", "k,_change_type"))
     val scan = table.newScanBuilder(opts).build()
     assert(scan.readSchema().fieldNames.toSeq == Seq("k", "_change_type"))
+    // names resolve case-insensitively (like every Spark column ref);
+    // the emitted schema keeps the DECLARED casing
+    val optsCi = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("columns", "K,_CHANGE_TYPE"))
+    assert(table.newScanBuilder(optsCi).build()
+      .readSchema().fieldNames.toSeq == Seq("k", "_change_type"))
     val stream = scan.toMicroBatchStream(
       graft.Scratch.dir("test-cdccols-ckpt2"))
     val parts = stream.planInputPartitions(stream.initialOffset(),
