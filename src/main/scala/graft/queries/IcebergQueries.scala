@@ -1318,8 +1318,8 @@ object IcebergQueries {
       s.sql(
         """INSERT INTO q166cat.ns.src
           |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
-          |FROM orders_src_q166 WHERE o_orderkey % 6 = 0""".stripMargin)
-      s.sql("UPDATE q166cat.ns.src SET v = concat(v, '!') WHERE k % 18 = 0")
+          |FROM orders_src_q166 WHERE o_orderkey % 12 = 0""".stripMargin)
+      s.sql("UPDATE q166cat.ns.src SET v = concat(v, '!') WHERE k % 24 = 0")
       s.sql(
         """MERGE INTO q166cat.ns.src t
           |USING (SELECT CAST(o_orderkey AS BIGINT) AS k, 'M' AS v
@@ -1331,9 +1331,11 @@ object IcebergQueries {
           |WHEN MATCHED THEN UPDATE SET v = s.v
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       s.sql("DELETE FROM q166cat.ns.src WHERE k % 30 = 6")
+      // two commits per window: pairing is per-commit, so the split
+      // exercises the window-boundary contract at half the batch count
       val q = s.readStream
         .option("compute-updates", "true")
-        .option("maxSnapshotsPerTrigger", "1")
+        .option("maxSnapshotsPerTrigger", "2")
         .table("q166cat.ns.src.changes")
         .writeStream.format("parquet")
         .option("path", out)
@@ -1976,11 +1978,11 @@ object IcebergQueries {
     "q166_cdc_stream_updates" ->
       """WITH base AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS v
-        |  FROM orders WHERE o_orderkey % 6 = 0),
+        |  FROM orders WHERE o_orderkey % 12 = 0),
         |upd AS (
-        |  SELECT k, v AS v_old, v || '!' AS v_new FROM base WHERE k % 18 = 0),
+        |  SELECT k, v AS v_old, v || '!' AS v_new FROM base WHERE k % 24 = 0),
         |afterupd AS (
-        |  SELECT k, CASE WHEN k % 18 = 0 THEN v || '!' ELSE v END AS v
+        |  SELECT k, CASE WHEN k % 24 = 0 THEN v || '!' ELSE v END AS v
         |  FROM base),
         |mrg_new AS (
         |  SELECT -CAST(o_orderkey AS BIGINT) AS k, 'R' AS v
