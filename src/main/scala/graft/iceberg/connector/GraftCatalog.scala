@@ -181,7 +181,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       def build(): SparkIcebergTable = {
         val tbl = store.loadIcebergTable(ns, ident.name)
         new SparkIcebergTable(fullName, tbl, writable = true,
-          Some(store.committerFor(ns, ident.name, tbl, tbl.conf)))
+          Some(store.committerFor(ns, ident.name, tbl, tbl.conf)),
+          // store-backed per-batch reload: streaming over REST tables
+          // must re-fetch through the service (no metadata.json on disk)
+          reload = () => store.loadIcebergTable(ns, ident.name))
       }
       store.tableToken(ns, ident.name) match {
         case None => build()

@@ -44,7 +44,11 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       * committer on `table.tableDir`; a REST-backed catalog passes its
       * `RestCommitter` so data commits POST to the service that owns the
       * metadata pointer. */
-    val committerOpt: Option[TableCommitter] = None)
+    val committerOpt: Option[TableCommitter] = None,
+    /** Fresh metadata fetch for STREAMING reads (per micro-batch):
+      * filesystem tables re-read metadata.json; REST tables have none on
+      * disk, so the catalog passes a store-backed reload. */
+    reload: () => IcebergTable = null)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -162,13 +166,15 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       return new GraftScanBuilder(table.asOfTimestamp(ms.toLong),
         streamRef = "", maxFilesPerTrigger = maxFiles))
     Option(options.get("branch")) match {
-      case None => new GraftScanBuilder(table, maxFilesPerTrigger = maxFiles)
+      case None => new GraftScanBuilder(table, maxFilesPerTrigger = maxFiles,
+        reload = reload)
       case Some(ref) =>
         val head = table.metadata.refs.getOrElse(ref,
           throw new IllegalArgumentException(
             s"ref '$ref' not found on $tableName " +
               s"(have: ${table.metadata.refs.keys.mkString(", ")})"))
-        new GraftScanBuilder(table.atSnapshot(head), ref, maxFiles)
+        new GraftScanBuilder(table.atSnapshot(head), ref, maxFiles,
+          reload = reload)
     }
   }
 
@@ -366,7 +372,9 @@ final class GraftScanBuilder(table: IcebergTable,
     streamRef: String = "main",
     /** Streaming admission control: cap each micro-batch at ~this many
       * appended files (snapshot-granular; ≥1 snapshot per batch). */
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    /** store-backed fresh metadata fetch for streams (REST tables) */
+    reload: () => IcebergTable = null)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -519,10 +527,10 @@ final class GraftScanBuilder(table: IcebergTable,
         staticFiles.forall(_.fileFormat.equalsIgnoreCase("PARQUET")) &&
         !table.needsNameMapping(spark, staticFiles))
       new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles,
-        streamRef, maxFilesPerTrigger)
+        streamRef, maxFilesPerTrigger, reload)
     else
       new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles),
-        streamRef, maxFilesPerTrigger)
+        streamRef, maxFilesPerTrigger, reload)
   }
 }
 
@@ -650,7 +658,8 @@ final class GraftBatchScan(
     requiredSchema: StructType,
     staticFiles: Seq[DataFileEntry],
     streamRef: String = "main",
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    reload: () => IcebergTable = null)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -863,7 +872,7 @@ final class GraftBatchScan(
         "stream follows the live table (or a branch via the `branch` " +
         "option); a pinned snapshot has no append frontier to follow")
     new GraftMicroBatchStream(spark, table, requiredSchema, filters, streamRef,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, reload)
   }
 }
 
@@ -901,7 +910,10 @@ final class GraftMicroBatchStream(
       * frontier snapshot-by-snapshot until ~N appended files accumulate
       * (snapshot-granular: always ≥1 snapshot, so progress is guaranteed
       * and a snapshot is never split across batches). */
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    /** store-backed fresh metadata fetch (REST tables have no
+      * metadata.json on disk to re-read per batch) */
+    reload: () => IcebergTable = null)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -955,7 +967,10 @@ final class GraftMicroBatchStream(
     }
   }
 
-  private def fresh(): IcebergTable = new IcebergTable(table.tableDir, table.conf)
+  private val freshTable: () => IcebergTable = Option(reload)
+    .getOrElse(() => new IcebergTable(table.tableDir, table.conf))
+
+  private def fresh(): IcebergTable = freshTable()
 
   private def head(t: IcebergTable): Long =
     if (ref == "main")
@@ -1120,7 +1135,8 @@ final class GraftScan(
     limit: Option[Int],
     precomputedFiles: Option[Seq[DataFileEntry]] = None,
     streamRef: String = "main",
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    reload: () => IcebergTable = null)
     extends V1Scan with SupportsReportStatistics {
 
   /** Plan once: manifests are read a single time per query, shared by
@@ -1168,7 +1184,7 @@ final class GraftScan(
       refuse("ORC files have no micro-batch reader; rewrite_data_files " +
         "them to parquet")
     new GraftMicroBatchStream(spark, table, requiredSchema, filters,
-      streamRef, maxFilesPerTrigger)
+      streamRef, maxFilesPerTrigger, reload)
   }
 
   override def description(): String =

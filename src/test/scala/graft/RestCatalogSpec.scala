@@ -557,6 +557,48 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("DROP TABLE restcat.rns.ev")
   }
 
+  test("REST: streaming sources follow commits THROUGH THE SERVICE — the " +
+      "append-only table stream and the CDC changelog stream both " +
+      "re-fetch per batch (no metadata.json exists on disk)") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.st")
+    spark.sql("CREATE TABLE restcat.rns.st (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO restcat.rns.st VALUES (1, 'a'), (2, 'b')")
+    val ckpt = new java.io.File(graft.Scratch.dir("test-reststream-ckpt"))
+    val outDir = new java.io.File(graft.Scratch.dir("test-reststream-out"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    def run(): Unit = {
+      val q = spark.readStream.table("restcat.rns.st")
+        .writeStream.format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    spark.sql("INSERT INTO restcat.rns.st VALUES (3, 'c')")
+    run() // the new commit is only visible via the service
+    assert(spark.read.parquet(outDir.toString).collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // CDC changelog stream over the same REST table
+    val ckpt2 = new java.io.File(graft.Scratch.dir("test-reststream-ckpt2"))
+    val outDir2 = new java.io.File(graft.Scratch.dir("test-reststream-out2"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt2)
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir2)
+    val q2 = spark.readStream.table("restcat.rns.st.changes")
+      .writeStream.format("parquet")
+      .option("path", outDir2.toString)
+      .option("checkpointLocation", ckpt2.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.read.parquet(outDir2.toString).collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq ==
+      Seq((1L, "insert"), (2L, "insert"), (3L, "insert")))
+    spark.sql("DROP TABLE restcat.rns.st")
+  }
+
   test("REST: v3 column DEFAULTs round-trip through CreateTableRequest " +
       "and the add-schema commit") {
     useRest()
