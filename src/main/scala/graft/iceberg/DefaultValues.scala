@@ -171,6 +171,11 @@ object DefaultValues {
         s"$what $name: BINARY defaults are not supported (Spark's " +
           "vectorized readers cannot fill binary constants for files " +
           "written before the column existed)")
+    case VariantType | NullType =>
+      throw new UnsupportedOperationException(
+        s"$what $name: VARIANT / VOID columns cannot carry defaults " +
+          "(the spec's single-value serialization has no encoding for " +
+          "them; unknown columns are always null)")
     case _ => ()
   }
 

@@ -117,6 +117,23 @@ private[graft] final class FanoutWriterFactory(
       private val isOrc = format.equalsIgnoreCase("ORC")
       private val isAvro = format.equalsIgnoreCase("AVRO")
 
+      // v3 `unknown` (VOID) columns are never stored in data files (the
+      // spec's rule): strip them from the physical write schema — readers
+      // serve the column as null because it is absent from every file.
+      // ORC/Avro tables cannot hold unknown columns (gated at DDL), so
+      // this only ever fires on the parquet path.
+      private val hasUnknown = schema.fields.exists(_.dataType == NullType)
+      private val writeSchema: StructType =
+        if (!hasUnknown) schema
+        else StructType(schema.fields.filterNot(_.dataType == NullType))
+      private val stripUnknown: UnsafeProjection =
+        if (!hasUnknown) null
+        else UnsafeProjection.create(
+          schema.fields.zipWithIndex.collect {
+            case (f, i) if f.dataType != NullType =>
+              BoundReference(i, f.dataType, f.nullable)
+          }.toSeq)
+
       /** One open data file behind a format-neutral face: parquet keeps
         * its shim writer; ORC funnels through Spark's own serializer
         * ([[org.apache.spark.sql.execution.datasources.orc.GraftOrcWriteShim]]);
@@ -127,7 +144,7 @@ private[graft] final class FanoutWriterFactory(
         private val pw: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
           if (isOrc || isAvro) null
           else org.apache.spark.sql.execution.datasources.parquet
-            .GraftParquetWriteShim.open(path, schema, conf.value, codec)
+            .GraftParquetWriteShim.open(path, writeSchema, conf.value, codec)
         private val ow: org.apache.spark.sql.execution.datasources.orc
             .GraftOrcWriteShim.OrcRowFileWriter =
           if (!isOrc) null
@@ -138,7 +155,8 @@ private[graft] final class FanoutWriterFactory(
           else new AvroDataWrite.AvroRowFileWriter(path, schema, conf.value, codec)
         var rows = 0L
         def write(r: InternalRow): Unit =
-          if (isOrc) ow.write(r) else if (isAvro) aw.write(r) else pw.write(r)
+          if (isOrc) ow.write(r) else if (isAvro) aw.write(r)
+          else pw.write(if (stripUnknown == null) r else stripUnknown(r))
         def dataSize: Long =
           if (isOrc) ow.dataSize else if (isAvro) aw.dataSize else pw.getDataSize
         def close(): Unit =

@@ -1184,7 +1184,15 @@ object IcebergWriter {
     meta.properties.getOrElse("write.format-default", "parquet")
       .toLowerCase match {
       case "parquet" => "PARQUET"
-      case "orc" => "ORC"
+      case "orc" =>
+        meta.schema.fields.find(f => graft.iceberg.connector.IcebergJson
+            .containsV3Type(f.dataType)).foreach { f =>
+          throw new UnsupportedOperationException(
+            s"write.format-default = orc cannot write column '${f.name}' " +
+              s"of type ${f.dataType.simpleString} — this engine's ORC " +
+              "kernel has no variant/unknown encoding (use parquet)")
+        }
+        "ORC"
       case "avro" =>
         AvroDataWrite.requireWritable(meta.schema)
         "AVRO"

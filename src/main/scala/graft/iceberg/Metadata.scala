@@ -246,6 +246,19 @@ object TableMetadata {
     case "binary"        => BinaryType
     case FixedRe(_)      => BinaryType
     case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+    // v3 semi-structured: Spark 4's native VariantType — the Parquet
+    // VARIANT annotated group (metadata/value[/typed_value]) both engines
+    // share, so files round-trip bit-compatibly with other v3 readers.
+    case "variant"       => VariantType
+    // v3 `unknown`: a column whose type is not yet known; always null,
+    // never stored in data files. NullType is Spark's exact analogue.
+    case "unknown"       => NullType
+    case "timestamp_ns" | "timestamptz_ns" =>
+      throw new UnsupportedOperationException(
+        s"iceberg type $t: Spark has no nanosecond timestamp type, so this " +
+          "engine cannot read or write it without silent precision loss — " +
+          "read the table with a nanos-capable engine, or migrate the " +
+          "column to timestamp/timestamptz (microseconds)")
     case other           => throw new IllegalArgumentException(s"unsupported iceberg primitive: $other")
   }
 

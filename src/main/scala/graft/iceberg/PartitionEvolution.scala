@@ -81,7 +81,9 @@ object PartitionEvolution {
                                  col: String): Unit = {
     val base = transform.takeWhile(_ != '[')
     val ok = base match {
-      case "identity" => true
+      // identity takes any SINGLE-VALUE type; variant has no manifest
+      // tuple encoding and unknown is always null — neither partitions
+      case "identity" => dt != VariantType && dt != NullType
       case "year" | "month" | "day" =>
         dt == DateType || dt == TimestampType || dt == TimestampNTZType
       case "hour" => dt == TimestampType || dt == TimestampNTZType
@@ -240,6 +242,12 @@ object SortOrderEvolution {
         throw new IllegalArgumentException(
           s"sort column '$name' not in schema " +
             s"(have: ${meta.schema.fieldNames.mkString(", ")})"))
+      meta.schema.find(_.name == name).map(_.dataType).foreach {
+        case VariantType | NullType => throw new UnsupportedOperationException(
+          s"sort column '$name' is VARIANT / VOID — variant values have " +
+            "no sort order and unknown columns are always null")
+        case _ => ()
+      }
       SortOrderField(id, "identity", dir)
     }
     val dupes = cols.map(_._1).groupBy(identity).collect {

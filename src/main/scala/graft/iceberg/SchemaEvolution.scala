@@ -116,11 +116,12 @@ object SchemaEvolution {
 
     var schemaChanged = false
     val propSets = mapper.createObjectNode()
-    def isAvroTable: Boolean =
+    def declaredFormat: Option[String] =
       Option(propSets.get("write.format-default")).map(_.asText)
         .orElse(Option(root.get("properties"))
           .flatMap(p => Option(p.get("write.format-default"))).map(_.asText))
-        .exists(_.equalsIgnoreCase("avro"))
+    def isAvroTable: Boolean = declaredFormat.exists(_.equalsIgnoreCase("avro"))
+    def isOrcTable: Boolean = declaredFormat.exists(_.equalsIgnoreCase("orc"))
     val propRemovals = mapper.createArrayNode()
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -147,6 +148,15 @@ object SchemaEvolution {
                 "double, float, boolean, date, timestamp)")
           AvroDataWrite.requireValidName(name, "ADD COLUMN")
         }
+        // v3 TYPES: variant / unknown (VOID) must not land in v2
+        // metadata a v2 reader would misparse — same rule as DEFAULTs
+        if (IcebergJson.containsV3Type(add.dataType))
+          requireV3(s"ADD COLUMN $name of type ${add.dataType.simpleString}")
+        if (isOrcTable && IcebergJson.containsV3Type(add.dataType))
+          throw new UnsupportedOperationException(
+            s"cannot add column $name of type ${add.dataType.simpleString} " +
+              "to a table with write.format-default = orc — this engine's " +
+              "ORC kernel has no variant/unknown encoding (use parquet)")
         val fn = mapper.createObjectNode()
         fn.put("id", nextId())
         fn.put("name", name)
@@ -332,6 +342,16 @@ object SchemaEvolution {
             })
           AvroDataWrite.requireWritable(cur)
         }
+        // same trap for ORC when the schema holds v3-only types
+        // (variant/unknown) — the ORC kernel has no encoding for them
+        if (p.property == "write.format-default" &&
+            p.value.equalsIgnoreCase("orc") &&
+            (0 until fields.size).exists(i => IcebergJson.containsV3Type(
+              TableMetadata.toSparkType(fields.get(i).get("type")))))
+          throw new UnsupportedOperationException(
+            "cannot set write.format-default = orc: the schema holds " +
+              "VARIANT/unknown columns this engine's ORC kernel cannot " +
+              "encode (use parquet)")
         propSets.put(p.property, p.value)
 
       case p: TableChange.RemoveProperty =>
@@ -407,10 +427,12 @@ object SchemaEvolution {
             "rows may hold nulls, so the column cannot be promoted here — " +
             "declare it NOT NULL at CREATE TABLE")
         val tpe = if (f.get("type").isTextual) f.get("type").asText else "nested"
-        if (tpe == "float" || tpe == "double" || !f.get("type").isTextual)
+        if (tpe == "float" || tpe == "double" || tpe == "variant" ||
+            tpe == "unknown" || !f.get("type").isTextual)
           throw new UnsupportedOperationException(
             s"identifier field $name has type $tpe — identifier fields " +
-              "must be primitive and not float/double (Iceberg spec)")
+              "must be primitive and not float/double/variant/unknown " +
+              "(Iceberg spec)")
         f.get("id").asInt
       }
     }

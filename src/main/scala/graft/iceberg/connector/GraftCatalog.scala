@@ -280,6 +280,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       throw new UnsupportedOperationException(
         "CREATE TABLE with column DEFAULTs needs Iceberg format-version 3 " +
           "— add TBLPROPERTIES ('format-version' = '3')")
+    // v3 TYPES (variant / VOID=unknown): the same birth rule — refuse to
+    // emit them into v2 metadata foreign readers would misparse
+    if (schema.fields.exists(f => IcebergJson.containsV3Type(f.dataType)) &&
+        !props.get("format-version").contains("3"))
+      throw new UnsupportedOperationException(
+        "CREATE TABLE with VARIANT / VOID (unknown) columns needs Iceberg " +
+          "format-version 3 — add TBLPROPERTIES ('format-version' = '3')")
+    // a variant/unknown partition source can never work (no transform
+    // result type, no manifest tuple encoding) — refuse at CREATE
+    partitionCols.foreach { case (col, transform) =>
+      schema.find(_.name == col).map(_.dataType).foreach {
+        case VariantType | NullType => throw new UnsupportedOperationException(
+          s"partition transform $transform($col): a VARIANT / VOID column " +
+            "cannot be a partition source")
+        case _ => ()
+      }
+    }
+    // this engine's ORC kernel has no variant/unknown encoding — a
+    // declared-orc table with one would be born write-dead
+    if (props.get("write.format-default").exists(_.equalsIgnoreCase("orc")) &&
+        schema.fields.exists(f => IcebergJson.containsV3Type(f.dataType)))
+      throw new UnsupportedOperationException(
+        "write.format-default = orc cannot store VARIANT / VOID (unknown) " +
+          "columns — use parquet")
     store.createTable(ident.namespace.toSeq, ident.name, schema, partitionCols,
       props)
     loadTable(ident)
@@ -479,7 +503,22 @@ object IcebergJson {
     case StringType       => "string"
     case BinaryType       => "binary"
     case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+    // v3: Spark's native VariantType ↔ the spec's `variant`; NullType
+    // (Spark's VOID, e.g. a CTAS `lit(null)` column) ↔ `unknown` —
+    // always-null, never stored in data files. Both v3-gated by callers.
+    case VariantType      => "variant"
+    case NullType         => "unknown"
     case other => throw new UnsupportedOperationException(s"cannot write type $other")
+  }
+
+  /** True when the type tree contains a v3-only type (variant / unknown)
+    * — the schema features that must never transit v2 metadata. */
+  def containsV3Type(dt: DataType): Boolean = dt match {
+    case VariantType | NullType => true
+    case s: StructType => s.fields.exists(f => containsV3Type(f.dataType))
+    case a: ArrayType  => containsV3Type(a.elementType)
+    case m: MapType    => containsV3Type(m.keyType) || containsV3Type(m.valueType)
+    case _ => false
   }
 
   /** THE Iceberg JSON type serializer (struct/list/map with injected id

@@ -1355,6 +1355,49 @@ object IcebergQueries {
           |         _change_type ASC NULLS FIRST""".stripMargin)
     }),
 
+    // Iceberg v3 VARIANT type end-to-end: Spark's native VariantType maps
+    // to the spec's `variant` and lands in data files as the Parquet
+    // VARIANT annotated group (metadata/value[/typed_value]) every v3
+    // reader shares. The gate writes heterogeneous payloads (objects AND
+    // bare scalars — the shape a JSON ingest feed actually has), takes
+    // merge-on-read position deletes over the variant files, and serves
+    // typed path extractions; the oracle reconstructs every extraction
+    // relationally from the source columns the JSON was built from.
+    "q167_variant_type" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q167-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "documents").createOrReplaceTempView("docs_src_q167")
+      s.conf.set("spark.sql.catalog.q167cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q167cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q167cat.ns")
+      s.sql(
+        """CREATE TABLE q167cat.ns.t (k BIGINT, v VARIANT)
+          |TBLPROPERTIES ('format-version' = '3',
+          |               'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(
+        """INSERT INTO q167cat.ns.t
+          |SELECT CAST(doc_id AS BIGINT),
+          |       CASE WHEN doc_id % 5 = 0
+          |            THEN parse_json(CAST(n_chars AS STRING))
+          |            ELSE parse_json(to_json(named_struct(
+          |              'lang', lang, 'chars', n_chars,
+          |              'tags', array(lang, source))))
+          |       END
+          |FROM docs_src_q167 WHERE doc_id % 3 <> 2""".stripMargin)
+      // merge-on-read: position deletes apply over untouched variant files
+      s.sql("DELETE FROM q167cat.ns.t WHERE k % 7 = 3")
+      s.sql(
+        """SELECT k,
+          |       variant_get(v, '$.lang', 'string')    AS lang,
+          |       variant_get(v, '$.chars', 'bigint')   AS chars,
+          |       variant_get(v, '$.tags[1]', 'string') AS tag1,
+          |       try_variant_get(v, '$', 'bigint')     AS scalar
+          |FROM q167cat.ns.t
+          |ORDER BY k ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Iceberg v3 default values end-to-end: ADD COLUMN ... DEFAULT is
     // METADATA-ONLY at any table size — files written before the column
     // serve the immutable initial-default (decided per file at the
@@ -2007,6 +2050,17 @@ object IcebergQueries {
         |FROM stream
         |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
         |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q167_variant_type" ->
+      """SELECT CAST(doc_id AS BIGINT) AS k,
+        |       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+        |       CASE WHEN doc_id % 5 = 0 THEN NULL
+        |            ELSE CAST(n_chars AS BIGINT) END AS chars,
+        |       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS tag1,
+        |       CASE WHEN doc_id % 5 = 0 THEN CAST(n_chars AS BIGINT)
+        |            ELSE NULL END AS scalar
+        |FROM documents
+        |WHERE doc_id % 3 <> 2 AND doc_id % 7 <> 3
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
     "q164_default_values" ->
       """WITH t AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k, 'none' AS seg, 5 AS w
