@@ -2581,20 +2581,24 @@ object IcebergWriter {
     val meta = cmtr.currentMetadata()
     val t = IcebergTable.fromMetadata(tableDir, conf, meta)
     import org.apache.spark.sql.types.{BinaryType, StringType}
-    // NDV needs a hashable type: every scalar, plus arrays/structs of
-    // hashable types (approx_count_distinct's XxHash64 walks them).
-    // Maps are Spark-unhashable — the only truly un-analyzable shape.
-    // Nested columns get a MARKED stand-in theta blob (no DataSketches
-    // update() encoding exists for them), scalars a real sketch.
-    def ndvHashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    // approx_count_distinct needs a Spark-hashable type: every scalar
+    // plus arrays/structs of them (XxHash64 walks those) — but not maps,
+    // variant, or unknown. Maps are still ANALYZABLE: their NDV comes
+    // from the canonical-encoding theta sketch itself (the same payload
+    // external engines merge); variant/unknown have no deterministic
+    // value encoding at all and stay outside the default analyze set.
+    def sparkHashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false
-      case a: org.apache.spark.sql.types.ArrayType => ndvHashable(a.elementType)
+      case org.apache.spark.sql.types.VariantType |
+           org.apache.spark.sql.types.NullType => false
+      case a: org.apache.spark.sql.types.ArrayType => sparkHashable(a.elementType)
       case s: org.apache.spark.sql.types.StructType =>
-        s.fields.forall(f => ndvHashable(f.dataType))
+        s.fields.forall(f => sparkHashable(f.dataType))
       case _ => true
     }
     val analyzable =
-      meta.schema.fields.filter(f => ndvHashable(f.dataType)).map(_.name).toSeq
+      meta.schema.fields.filter(f => sparkHashable(f.dataType) ||
+        ThetaSketch.canonicalEncoder(f.dataType).isDefined).map(_.name).toSeq
     val target =
       if (columns.isEmpty) analyzable
       else {
@@ -2606,7 +2610,14 @@ object IcebergWriter {
       }
     require(target.nonEmpty, "analyze_table: no analyzable columns")
     val df = t.toDF(spark)
-    val aggs = target.flatMap { c =>
+    // One bounded theta job per column, shared by the Puffin payload AND
+    // the NDV property for encoder-only columns (maps), whose type
+    // approx_count_distinct cannot hash.
+    val sketches: Map[String, Option[ThetaSketch.Compact]] =
+      target.map(c => c -> ThetaSketch.columnSketch(df, c)).toMap
+    val hashableTarget =
+      target.filter(c => sparkHashable(meta.schema(c).dataType))
+    val aggs = hashableTarget.flatMap { c =>
       val isLen = meta.schema(c).dataType match {
         case StringType | BinaryType => true
         case _ => false
@@ -2617,14 +2628,18 @@ object IcebergWriter {
              max(octet_length(col(c).cast("binary"))).as(s"__max_$c"))
          else Nil)
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val row =
+      if (aggs.isEmpty) null
+      else df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def ndvOf(c: String): Long =
+      if (hashableTarget.contains(c)) row.getAs[Long](s"__ndv_$c")
+      else sketches(c).map(sk => math.round(sk.estimate)).getOrElse(0L)
     val props = scala.collection.mutable.Map[String, String](
       "graft.stats.snapshot-id" ->
         meta.currentSnapshotId.getOrElse(-1L).toString)
     target.foreach { c =>
-      props(s"graft.stats.ndv.$c") =
-        row.getAs[Long](s"__ndv_$c").toString
-      if (row.schema.fieldNames.contains(s"__avg_$c")) {
+      props(s"graft.stats.ndv.$c") = ndvOf(c).toString
+      if (row != null && row.schema.fieldNames.contains(s"__avg_$c")) {
         Option(row.getAs[Any](s"__avg_$c")).foreach(v =>
           props(s"graft.stats.avglen.$c") =
             math.ceil(v.toString.toDouble).toLong.toString)
@@ -2647,7 +2662,7 @@ object IcebergWriter {
     val statUpd = {
       val blobs = target.flatMap { c =>
         meta.fieldIds.get(c).map { fid =>
-          val ndv = row.getAs[Long](s"__ndv_$c")
+          val ndv = ndvOf(c)
           // payload: a REAL DataSketches-compact theta sketch (one
           // bounded bottom-k job per column), so external engines can
           // deserialize and MERGE it; types without an update()-
@@ -2656,7 +2671,7 @@ object IcebergWriter {
           // merging it. When the sketch is real, the blob's `ndv`
           // property is the sketch's own estimate — property and
           // payload must agree for engines that read only one of them.
-          val sketch = ThetaSketch.columnSketch(df, c)
+          val sketch = sketches(c)
           val (payload, blobProps) = sketch match {
             case Some(sk) =>
               // `graft.theta.encoding = 2`: hashing canonicalizes

@@ -193,9 +193,11 @@ object ThetaSketch {
     * k+1 fixed-width longs to the driver no matter the corpus size. One
     * job per analyzed column, paid only at ANALYZE time.
     *
-    * None for column types with no documented DataSketches update()
-    * encoding (callers fall back to the documented stand-in payload,
-    * marked `graft.theta.stand-in` in the blob properties).
+    * None only for column types with no deterministic value encoding at
+    * all (variant, unknown — callers fall back to the documented
+    * stand-in payload, marked `graft.theta.stand-in` in the blob
+    * properties). Nested arrays/structs/maps build REAL mergeable
+    * payloads through [[canonicalEncoder]]'s documented frames.
     * Dates hash as their epoch-day long, timestamps as epoch-micros —
     * stated here because the Java library has no update(date); engines
     * merging across writers must agree on the scalar encoding anyway.
@@ -247,42 +249,26 @@ object ThetaSketch {
           Some(udf((v: java.math.BigDecimal) =>
             if (v == null) 0L
             else hashBytes(v.unscaledValue.toByteArray)).apply(col(c)))
-        case ArrayType(et, _) if arrayElementEncoder(et).isDefined =>
-          // Array values hash through a canonical byte form grounded in
-          // the Iceberg SINGLE-VALUE binary serialization of each
-          // element (the same encoding bounds and defaults use):
-          //   int32-LE(length) ++ per element:
-          //     0x00 (null) | 0x01 ++ int32-LE(|bytes|) ++ bytes
-          // Length prefixes keep the form INJECTIVE (["ab","c"] never
-          // collides with ["a","bc"]); the null marker separates [null]
-          // from []. An external engine agreeing on this composition
-          // (element encoding is spec-fixed; the frame is documented
-          // here) merges these sketches like any scalar column's — with
-          // ONE documented deviation from raw single-value bytes:
-          // float/double elements canonicalize -0.0 to 0.0 and NaN to
-          // the canonical bit pattern before encoding (see
-          // arrayElementEncoder), so NDV agrees with SQL DISTINCT; a
+        case dt @ (_: ArrayType | _: StructType | _: MapType)
+            if canonicalEncoder(dt).isDefined =>
+          // Nested values hash through a canonical byte form grounded in
+          // the Iceberg SINGLE-VALUE binary serialization of each leaf
+          // (the same encoding bounds and defaults use), composed by the
+          // frames documented on [[canonicalEncoder]]. Length prefixes
+          // keep the form INJECTIVE (["ab","c"] never collides with
+          // ["a","bc"]); null markers separate [null] from []. An
+          // external engine agreeing on this composition (leaf encoding
+          // is spec-fixed; the frames are documented here) merges these
+          // sketches like any scalar column's — with ONE documented
+          // deviation from raw single-value bytes: float/double leaves
+          // canonicalize -0.0 to 0.0 and NaN to the canonical bit
+          // pattern before encoding, so NDV agrees with SQL DISTINCT; a
           // merging engine must canonicalize identically, and sketches
           // persisted before round 15 hash -0.0/NaN elements differently.
-          // Element types with no spec encoding (nested arrays, maps,
-          // structs, timestamps-in-arrays) keep the stand-in path.
-          val enc = arrayElementEncoder(et).get
-          val f = new org.apache.spark.sql.api.java.UDF1[Seq[Any], java.lang.Long] {
-            override def call(a: Seq[Any]): java.lang.Long = {
-              if (a == null) return 0L
-              val out = new java.io.ByteArrayOutputStream()
-              def le32(n: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
-                .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
-              out.write(le32(a.length))
-              a.foreach { v =>
-                if (v == null) out.write(0)
-                else {
-                  val b = enc(v)
-                  out.write(1); out.write(le32(b.length)); out.write(b)
-                }
-              }
-              hashBytes(out.toByteArray)
-            }
+          val enc = canonicalEncoder(dt).get
+          val f = new org.apache.spark.sql.api.java.UDF1[Any, java.lang.Long] {
+            override def call(v: Any): java.lang.Long =
+              if (v == null) 0L else hashBytes(enc(v))
           }
           Some(udf(f, LongType).apply(col(c)))
         case _ => None
@@ -295,12 +281,131 @@ object ThetaSketch {
     }
   }
 
-  /** Iceberg single-value BINARY encoder for an array ELEMENT's external
-    * (UDF-visible) value — None for element types the spec gives no
-    * binary single-value form (or whose external representation is
-    * session-dependent, like timestamps). Kept in lockstep with
-    * [[SingleValue.encode]]'s type coverage. */
-  private def arrayElementEncoder(et: org.apache.spark.sql.types.DataType)
+  /** Canonical injective byte encoding of one external (UDF-visible)
+    * value of type `dt`, for nested-column NDV hashing. Leaves use the
+    * Iceberg SINGLE-VALUE binary serialization (kept in lockstep with
+    * [[SingleValue.encode]]'s coverage), temporal leaves their spec
+    * scalar (date = int32-LE epoch days, timestamp[_ntz] = int64-LE
+    * epoch micros, NTZ read at UTC — session-timezone-independent by
+    * construction). Composite frames (each documented so an external
+    * merger can reproduce them):
+    *   array:  int32-LE(length) ++ per element:
+    *             0x00 (null) | 0x01 ++ int32-LE(|bytes|) ++ bytes
+    *   struct: int32-LE(arity) ++ per field, in schema order, same
+    *             null-marked length-prefixed form
+    *   map:    entries sorted by key bytes (unsigned lexicographic —
+    *             maps are unordered, so the frame canonicalizes):
+    *             int32-LE(size) ++ per entry:
+    *               int32-LE(|key|) ++ key ++
+    *               0x00 (null value) | 0x01 ++ int32-LE(|val|) ++ val
+    * The array frame is byte-identical to the round-14 flat-array frame,
+    * so existing flat-array sketches stay mergeable under encoding tag 2;
+    * struct/map/nested-array sketches are NEW under that tag (those
+    * columns only ever had marked stand-ins before). None only for types
+    * with no deterministic encoding (variant, unknown). */
+  private[iceberg] def canonicalEncoder(dt: org.apache.spark.sql.types.DataType)
+      : Option[Any => Array[Byte]] = {
+    import org.apache.spark.sql.types._
+    def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(b); b.array()
+    }
+    def le32(n: Int): Array[Byte] = le(4)(_.putInt(n))
+    def frameInto(out: java.io.ByteArrayOutputStream,
+                  enc: Any => Array[Byte], v: Any): Unit =
+      if (v == null) out.write(0)
+      else {
+        val b = enc(v)
+        out.write(1); out.write(le32(b.length)); out.write(b)
+      }
+    // unsigned lexicographic byte compare (shorter prefix sorts first)
+    def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    dt match {
+      case ArrayType(et, _) =>
+        canonicalEncoder(et).map { enc => (v: Any) =>
+          val a = v.asInstanceOf[scala.collection.Seq[Any]]
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(le32(a.length))
+          a.foreach(e => frameInto(out, enc, e))
+          out.toByteArray
+        }
+      case s: StructType =>
+        val encs = s.fields.map(f => canonicalEncoder(f.dataType))
+        if (encs.exists(_.isEmpty)) None
+        else Some { (v: Any) =>
+          val r = v.asInstanceOf[org.apache.spark.sql.Row]
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(le32(encs.length))
+          var i = 0
+          while (i < encs.length) {
+            frameInto(out, encs(i).get, r.get(i))
+            i += 1
+          }
+          out.toByteArray
+        }
+      case m: MapType =>
+        for {
+          ke <- canonicalEncoder(m.keyType)
+          ve <- canonicalEncoder(m.valueType)
+        } yield { (v: Any) =>
+          val mp = v.asInstanceOf[scala.collection.Map[Any, Any]]
+          val entries = mp.toArray.map { case (k, mv) => (ke(k), mv) }
+            .sortWith((a, b) => cmpBytes(a._1, b._1) < 0)
+          val out = new java.io.ByteArrayOutputStream()
+          out.write(le32(entries.length))
+          entries.foreach { case (kb, mv) =>
+            out.write(le32(kb.length)); out.write(kb)
+            frameInto(out, ve, mv)
+          }
+          out.toByteArray
+        }
+      case DateType =>
+        Some { v =>
+          val epochDay = v match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay
+            case d: java.time.LocalDate => d.toEpochDay
+            case other => throw new IllegalArgumentException(
+              s"unexpected external date value: ${other.getClass}")
+          }
+          le(4)(_.putInt(epochDay.toInt))
+        }
+      case TimestampType =>
+        Some { v =>
+          val micros = v match {
+            case t: java.sql.Timestamp =>
+              math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+            case t: java.time.Instant =>
+              math.multiplyExact(t.getEpochSecond, 1000000L) + t.getNano / 1000L
+            case other => throw new IllegalArgumentException(
+              s"unexpected external timestamp value: ${other.getClass}")
+          }
+          le(8)(_.putLong(micros))
+        }
+      case TimestampNTZType =>
+        Some { v =>
+          val t = v.asInstanceOf[java.time.LocalDateTime]
+          le(8)(_.putLong(math.multiplyExact(
+            t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+            t.getNano / 1000L))
+        }
+      case p => primitiveEncoder(p)
+    }
+  }
+
+  /** Iceberg single-value BINARY encoder for one non-temporal primitive
+    * leaf — the round-14 element encodings, unchanged (golden-byte-pinned
+    * in ThetaSketchSpec). */
+  private def primitiveEncoder(et: org.apache.spark.sql.types.DataType)
       : Option[Any => Array[Byte]] = {
     import org.apache.spark.sql.types._
     def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {

@@ -160,40 +160,38 @@ class NestedTypesSpec extends SparkSpec {
       s"nested data must survive INSERT+DELETE+ALTER: $got")
   }
 
-  test("analyze_table over a NESTED-array column commits a MARKED stand-in " +
-      "theta blob; maps are refused as un-analyzable") {
+  test("analyze_table sketches EVERY nested shape for real — nested " +
+      "arrays, and maps (whose NDV comes from the sketch itself)") {
     freshCatalog("ntcat5")
-    // the stand-in column is a NESTED array since round 14 (flat arrays
-    // of spec-encodable elements now build REAL mergeable sketches)
     spark.sql(
       """CREATE TABLE ntcat5.ns.an AS
         |SELECT id % 11 AS k, array(array(id % 5)) AS a,
-        |       map('x', CAST(id AS INT)) AS m
+        |       map('x', CAST(id % 9 AS INT)) AS m
         |FROM range(200)""".stripMargin)
     val conf = spark.sessionState.newHadoopConf()
     val dir = s"$warehouse/ns/an"
-    // maps are Spark-unhashable — must be refused with the analyzable list
-    val err = intercept[IllegalArgumentException] {
-      graft.iceberg.IcebergWriter.analyzeTable(spark, dir, Seq("m"))
-    }
-    assert(err.getMessage.contains("not analyzable"))
-    // default target: every analyzable column (k and a, not m)
+    // default target: every column — maps included since round 16 (the
+    // canonical key-sorted frame gives them a real mergeable payload;
+    // approx_count_distinct still cannot hash them, so their NDV
+    // property is served FROM the sketch)
     graft.iceberg.IcebergWriter.analyzeTable(spark, dir)
     val t = new IcebergTable(dir, conf)
     val stats = t.metadata.statistics.last
     val footer = graft.iceberg.Puffin.readFooter(new Path(stats.path), conf)
     val blobs = footer.get("blobs")
-    assert(blobs.size == 2, s"k + a analyzed, got ${blobs.size} blobs")
+    assert(blobs.size == 3, s"k + a + m analyzed, got ${blobs.size} blobs")
     val byField = (0 until blobs.size).map { i =>
       blobs.get(i).get("fields").get(0).asInt -> blobs.get(i)
     }.toMap
-    val kBlob = byField(t.metadata.fieldIds("k"))
-    val aBlob = byField(t.metadata.fieldIds("a"))
-    assert(kBlob.get("properties").get("graft.theta.stand-in") == null,
-      "scalar column gets a real sketch")
-    assert(aBlob.get("properties").get("graft.theta.stand-in").asText == "true",
-      "nested-array column gets the marked stand-in")
-    assert(aBlob.get("properties").get("ndv").asText.toLong == 5L,
-      s"array NDV is exact at this size: ${aBlob.get("properties")}")
+    val expected = Map("k" -> 11L, "a" -> 5L, "m" -> 9L)
+    expected.foreach { case (c, ndv) =>
+      val blob = byField(t.metadata.fieldIds(c))
+      assert(blob.get("properties").get("graft.theta.stand-in") == null,
+        s"$c must get a real sketch, not the stand-in")
+      assert(blob.get("properties").get("ndv").asText.toLong == ndv,
+        s"$c NDV is exact at this size: ${blob.get("properties")}")
+    }
+    assert(t.metadata.properties("graft.stats.ndv.m").toLong == 9L,
+      "map NDV property is served from the sketch estimate")
   }
 }

@@ -155,16 +155,16 @@ class ThetaSketchSpec extends SparkSpec {
     assert(ks.entries.toSeq == local)
     val ss = ThetaSketch.columnSketch(df, "s").get
     assert(ss.estimate == 150.0)
-    // arrays of spec-encodable elements build REAL sketches (round 14);
-    // nested arrays still have no element encoding -> stand-in fallback
-    val arr = Seq((1L, Array(Array(1, 2)))).toDF("k", "a")
-    assert(ThetaSketch.columnSketch(arr, "a").isEmpty,
-      "nested-array columns have no element encoding -> stand-in fallback")
+    // nested arrays build REAL sketches through the recursive frame
+    // (round 16); only variant/unknown decline
+    val arr = Seq((1L, Array(Array(1, 2))), (2L, Array(Array(1), Array(2))))
+      .toDF("k", "a")
+    assert(ThetaSketch.columnSketch(arr, "a").get.estimate == 2.0,
+      "nested-array columns build real sketches via the recursive frame")
   }
 
   test("columnSketch arrays: REAL mergeable payloads over the Iceberg " +
-      "single-value element encoding (injective frame), maps/nested " +
-      "still decline") {
+      "single-value element encoding (injective frame)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
     // 60 distinct int-array values; the frame must be injective enough
@@ -206,10 +206,61 @@ class ThetaSketchSpec extends SparkSpec {
       (0L until 600L).map(i => ((i % 90).toInt, (i % 6).toInt))).distinct.size
     assert(math.round(m.estimate) == trueUnion,
       s"merged estimate ${m.estimate} vs true union $trueUnion")
-    // maps still decline
-    val maps = spark.range(0, 10).select(expr("map(id, id)").as("m"))
-    assert(ThetaSketch.columnSketch(maps, "m").isEmpty,
-      "map columns decline (no canonical single-value order)")
+  }
+
+  test("columnSketch structs/maps: real payloads via the documented " +
+      "frames — struct arity-prefixed, map entries key-sorted") {
+    import org.apache.spark.sql.functions.expr
+    def le32(n: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def cat(parts: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      parts.foreach(out.write)
+      out.toByteArray
+    }
+    def framed(b: Array[Byte]): Array[Byte] =
+      cat(Array[Byte](1), le32(b.length), b)
+    // structs: 40 distinct (int, string) pairs, one with a null field
+    val structs = spark.range(0, 400).select(
+      expr("named_struct('a', CAST(id % 40 AS INT), " +
+        "'b', IF(id % 40 = 7, NULL, CAST(id % 40 AS STRING)))").as("s"))
+    val ss = ThetaSketch.columnSketch(structs, "s").get
+    assert(ss.estimate == 40.0, s"40 distinct structs, got ${ss.estimate}")
+    val localS = (0 until 40).map { i =>
+      val a = framed(le32(i))
+      val b = if (i == 7) Array[Byte](0)
+        else framed(i.toString.getBytes("UTF-8"))
+      ThetaSketch.hashBytes(cat(le32(2), a, b))
+    }.sorted
+    assert(ss.entries.toSeq == localS,
+      "struct hashes must be the arity-prefixed framed field encoding")
+    // maps: construction order must not matter (entries sort by key
+    // bytes) — both column orders hash to the SAME canonical form
+    val m1 = spark.range(0, 30).select(
+      expr("map(CAST(id % 10 AS INT), 'x', CAST(id % 10 + 100 AS INT), 'y')")
+        .as("m"))
+    val m2 = spark.range(0, 30).select(
+      expr("map(CAST(id % 10 + 100 AS INT), 'y', CAST(id % 10 AS INT), 'x')")
+        .as("m"))
+    val s1 = ThetaSketch.columnSketch(m1, "m").get
+    val s2 = ThetaSketch.columnSketch(m2, "m").get
+    assert(s1.estimate == 10.0 && s1.entries.toSeq == s2.entries.toSeq,
+      "map sketches must canonicalize entry order (sorted by key bytes)")
+    // local frame agreement: int32-LE keys sort bytewise little-endian
+    val localM = (0 until 10).map { i =>
+      val (k1, k2) = (le32(i), le32(i + 100))
+      val e1 = cat(le32(k1.length), k1, framed("x".getBytes("UTF-8")))
+      val e2 = cat(le32(k2.length), k2, framed("y".getBytes("UTF-8")))
+      // unsigned-lex order of the two 4-byte LE keys: i < i+100 < 256
+      // means byte 0 decides (i vs i+100) for i+100 < 256
+      ThetaSketch.hashBytes(cat(le32(2), e1, e2))
+    }.sorted
+    assert(s1.entries.toSeq == localM,
+      "map hashes must be the key-sorted framed entry encoding")
+    // variant columns are the one shape that still declines
+    val v = spark.range(0, 3).select(expr("parse_json('1')").as("v"))
+    assert(ThetaSketch.columnSketch(v, "v").isEmpty,
+      "variant has no deterministic value encoding -> decline")
   }
 
   test("columnSketch boolean/decimal: Iceberg single-value binary " +
@@ -261,6 +312,12 @@ class ThetaSketchSpec extends SparkSpec {
         "AS TIMESTAMP_NTZ)").as("t"))
     assert(ThetaSketch.columnSketch(ntz, "t").get.estimate == 20.0,
       "timestamp_ntz must sketch without an analyzer error")
+    // timestamps INSIDE arrays (excluded until round 16): epoch-micros
+    // leaves make the frame session-timezone-independent
+    val tsArr = spark.range(0, 60).select(
+      expr("array(timestamp_micros(1700000000000000 + id % 12))").as("a"))
+    assert(ThetaSketch.columnSketch(tsArr, "a").get.estimate == 12.0,
+      "timestamp array elements must sketch via epoch micros")
   }
 
   test("ANALYZE writes a deserializable theta payload into Puffin") {
@@ -297,8 +354,18 @@ class ThetaSketchSpec extends SparkSpec {
     }
   }
 
-  test("blob ndv property agrees with the payload estimate; stand-in " +
-      "blobs carry the graft.theta.stand-in marker") {
+  test("stand-in payload round-trips and is externally detectable " +
+      "(defensive path — every concrete analyzable type now sketches real)") {
+    import graft.iceberg.Puffin
+    val p = Puffin.thetaStandInPayload(1234L)
+    assert(Puffin.decodeStandIn(p).contains(1234L))
+    // a REAL compact sketch must never decode as a stand-in
+    assert(Puffin.decodeStandIn(
+      ThetaSketch.fromSortedHashes(Array(1L)).serialize()).isEmpty)
+  }
+
+  test("blob ndv property agrees with the payload estimate; nested " +
+      "columns (arrays-of-arrays, maps) now carry REAL payloads") {
     import graft.iceberg.{IcebergTable, IcebergWriter, Puffin}
     import graft.iceberg.connector.GraftCatalog
     import org.apache.hadoop.fs.Path
@@ -308,51 +375,51 @@ class ThetaSketchSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.thpcat", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.thpcat.warehouse", warehouse)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS thpcat.ns")
-    // k sketches for real; the NESTED-array column has no element
-    // encoding and must fall back to the MARKED stand-in (flat arrays
-    // build real sketches since round 14)
+    // Every concrete column shape now carries a REAL payload: scalars,
+    // nested arrays (recursive frame, round 16) and MAPS — which
+    // approx_count_distinct cannot even hash, so their ndv property must
+    // come from the sketch itself.
     spark.sql(
       """CREATE TABLE thpcat.ns.t AS
-        |SELECT id % 23 AS k, array(array(id % 7), array(id % 3)) AS a
+        |SELECT id % 23 AS k, array(array(id % 7), array(id % 3)) AS a,
+        |       map(id % 11, CAST(id % 5 AS STRING)) AS m
         |FROM range(400)""".stripMargin)
     val dir = s"$warehouse/ns/t"
-    IcebergWriter.analyzeTable(spark, dir, Seq("k", "a"))
+    IcebergWriter.analyzeTable(spark, dir, Seq("k", "a", "m"))
     val t = new IcebergTable(dir, conf)
     val stats = t.metadata.statistics.last
     val footer = Puffin.readFooter(new Path(stats.path), conf)
     val blobs = footer.get("blobs")
-    assert(blobs.size == 2)
-    var sawReal = false
-    var sawStandIn = false
+    assert(blobs.size == 3)
+    val trueNdv = Map(
+      t.metadata.fieldIds("k") -> 23L,
+      // distinct (id%7, id%3) pairs over range(400): lcm(7,3)=21 values
+      t.metadata.fieldIds("a") -> 21L,
+      // distinct (id%11 -> id%5) maps: lcm(11,5)=55 values
+      t.metadata.fieldIds("m") -> 55L)
     (0 until blobs.size).foreach { i =>
       val b = blobs.get(i)
       val props = b.get("properties")
       val payload = Puffin.readBlob(new Path(stats.path), conf,
         b.get("offset").asLong, b.get("length").asInt)
-      if (b.get("fields").get(0).asInt == t.metadata.fieldIds("k")) {
-        sawReal = true
-        assert(props.get("graft.theta.stand-in") == null,
-          "a real sketch blob must NOT carry the stand-in marker")
-        // the value-hashing rule is versioned so a merger can detect
-        // blobs written under a different encoding (pre-r15 blobs hash
-        // -0.0/NaN array elements by raw IEEE bits) and re-analyze
-        // instead of double-counting
-        assert(props.get("graft.theta.encoding").asText == "2",
-          "real sketch blobs must carry the encoding version tag")
-        val sk = ThetaSketch.deserialize(payload)
-        assert(props.get("ndv").asText.toLong == math.round(sk.estimate),
-          s"ndv property ${props.get("ndv")} must equal the payload " +
-            s"estimate ${sk.estimate}")
-      } else {
-        sawStandIn = true
-        assert(props.get("graft.theta.stand-in").asText == "true",
-          "stand-in blobs must be externally detectable via properties")
-        val ndv = Puffin.decodeStandIn(payload)
-          .getOrElse(fail("stand-in payload must decode"))
-        assert(ndv == props.get("ndv").asText.toLong,
-          "stand-in payload NDV must match the ndv property")
-      }
+      assert(props.get("graft.theta.stand-in") == null,
+        "no analyzable column may fall back to the stand-in any more")
+      // the value-hashing rule is versioned so a merger can detect
+      // blobs written under a different encoding (pre-r15 blobs hash
+      // -0.0/NaN array elements by raw IEEE bits) and re-analyze
+      // instead of double-counting
+      assert(props.get("graft.theta.encoding").asText == "2",
+        "real sketch blobs must carry the encoding version tag")
+      val sk = ThetaSketch.deserialize(payload)
+      assert(props.get("ndv").asText.toLong == math.round(sk.estimate),
+        s"ndv property ${props.get("ndv")} must equal the payload " +
+          s"estimate ${sk.estimate}")
+      val fid = b.get("fields").get(0).asInt
+      assert(math.round(sk.estimate) == trueNdv(fid),
+        s"field $fid: estimate ${sk.estimate} != true NDV ${trueNdv(fid)}")
     }
-    assert(sawReal && sawStandIn)
+    // the graft.stats.ndv.* property for the MAP column (not
+    // Spark-hashable) is served from the sketch estimate
+    assert(t.metadata.properties("graft.stats.ndv.m").toLong == 55L)
   }
 }
