@@ -1385,21 +1385,15 @@ final class IcebergTable private (
     if (v3) require(!metadata.schema.fieldNames.contains(RowIdCol),
       s"changesWithUpdates cannot serve row lineage: a data column " +
         s"shadows the reserved $RowIdCol name")
-    // map columns have no null-safe equality in Spark, so the carryover
-    // content comparison cannot run — refuse loudly (changesBetween /
-    // netChangesBetween-with-care remain available). Recursive: a map
-    // NESTED inside a struct/array fails <=> just the same (ADVICE r14)
-    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => true
-      case s: org.apache.spark.sql.types.StructType =>
-        s.fields.exists(f => hasMap(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
-      case _ => false
-    }
-    val mapCols = metadata.schema.fields.filter(f => hasMap(f.dataType)).map(_.name)
-    require(mapCols.isEmpty,
-      s"changesWithUpdates cannot compare map columns for carryover " +
-        s"detection (${mapCols.mkString(", ")}); use changesBetween")
+    // map and variant columns have no null-safe equality in Spark, so
+    // the carryover content comparison cannot run — refuse loudly
+    // (changesBetween remains available). Recursive: a map NESTED inside
+    // a struct/array fails <=> just the same (ADVICE r14)
+    val badCols = metadata.schema.fields
+      .filter(f => IcebergTable.hasUncomparable(f.dataType)).map(_.name)
+    require(badCols.isEmpty,
+      s"changesWithUpdates cannot compare map/variant columns for " +
+        s"carryover detection (${badCols.mkString(", ")}); use changesBetween")
     val cs = changesBetweenImpl(spark, fromId, toId, withLineage = v3)
       .localCheckpoint(true) // three readers below; the window scan runs once
     val schemaCols = metadata.schema.fieldNames.toSeq
@@ -1582,6 +1576,14 @@ final class IcebergTable private (
     * caller's hands).
     */
   def netChangesBetween(spark: SparkSession, fromId: Long, toId: Long): DataFrame = {
+    // the content collapse groups by EVERY column; map/variant columns
+    // cannot be grouping keys in Spark — refuse with the alternative
+    // named instead of surfacing the planner's error
+    val badCols = metadata.schema.fields
+      .filter(f => IcebergTable.hasUncomparable(f.dataType)).map(_.name)
+    require(badCols.isEmpty,
+      s"netChangesBetween cannot group by map/variant columns " +
+        s"(${badCols.mkString(", ")}); use changesBetween")
     val cs = changesBetween(spark, fromId, toId)
     val cols = metadata.schema.fieldNames.toSeq
     val net = cs.groupBy(cols.map(col): _*)
@@ -1603,6 +1605,20 @@ object IcebergTable {
     * through the merge-on-read anti joins. */
   private[iceberg] val FpCol = "__graft_file_path"
   private[iceberg] val PosCol = "__graft_row_pos"
+
+  /** True when the type tree contains a shape Spark cannot compare or
+    * group by (`<=>`, GROUP BY): maps (anywhere in the tree) and
+    * variant. Gates the changelog ops that compare full row content. */
+  private[graft] def hasUncomparable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case org.apache.spark.sql.types.VariantType => true
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(f => hasUncomparable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      hasUncomparable(a.elementType)
+    case _ => false
+  }
 
   /** v3 row lineage: the spec's reserved `_row_id` column name and field
     * id — the PHYSICAL column rewrites materialize into data files (so

@@ -392,14 +392,26 @@ object EventStream {
           // MERGE re-upserts whole rewritten files, making replica write
           // amplification ∝ rewritten files instead of changed rows.
           // Same-content rows with NULLs don't match the using-join and
-          // survive as redundant-but-harmless upserts.
-          val carryKey = Seq("_change_ordinal") ++ dataCols
-          val carry = batch.toDF
+          // survive as redundant-but-harmless upserts. Map/variant
+          // columns cannot be grouping keys, so they compare through a
+          // to_json proxy — deterministic for the binary-identical
+          // values a rewrite emits on both sides (a false "match" needs
+          // every other column equal AND identical JSON rendering, i.e.
+          // identical content — dropping it is still correct).
+          val bschema = batch.schema
+          val proxied = dataCols.filter(c => graft.iceberg.IcebergTable
+            .hasUncomparable(bschema(c).dataType))
+          val withProxies = proxied.foldLeft(batch.toDF)((df, c) =>
+            df.withColumn(s"__g_cmp_$c", to_json(col(c))))
+          val carryKey = Seq("_change_ordinal") ++ dataCols.map(c =>
+            if (proxied.contains(c)) s"__g_cmp_$c" else c)
+          val carry = withProxies
             .groupBy(carryKey.map(col): _*)
             .agg(org.apache.spark.sql.functions
               .countDistinct(when(isInsert, 1).otherwise(0)).as("__g_nt"))
             .filter(col("__g_nt") === 2).drop("__g_nt")
-          val cleaned = batch.toDF.join(carry, carryKey, "left_anti")
+          val cleaned = withProxies.join(carry, carryKey, "left_anti")
+            .drop(proxied.map(c => s"__g_cmp_$c"): _*)
           val net = cleaned
             .withColumn("__g_rn", row_number().over(
               Window.partitionBy(keysResolved.map(col): _*)

@@ -193,6 +193,55 @@ class VariantSpec extends SparkSpec {
     }
   }
 
+  test("CDC over variant tables: the changes stream replicates through " +
+      "the to_json carryover proxy; content-comparing ops refuse loudly") {
+    freshCatalog("var7")
+    val ckpt = new java.io.File("target/variant-ckpt").getAbsolutePath
+    new Path(ckpt).getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new Path(ckpt), true)
+    spark.sql("""CREATE TABLE var7.ns.src (k BIGINT NOT NULL, v VARIANT)
+                 TBLPROPERTIES ('format-version' = '3',
+                                'write.delete.mode' = 'merge-on-read')""")
+    spark.sql("ALTER TABLE var7.ns.src SET IDENTIFIER FIELDS k")
+    spark.sql("""CREATE TABLE var7.ns.dst (k BIGINT NOT NULL, v VARIANT)
+                 TBLPROPERTIES ('format-version' = '3')""")
+    spark.sql("ALTER TABLE var7.ns.dst SET IDENTIFIER FIELDS k")
+    spark.sql("""INSERT INTO var7.ns.src
+      SELECT id, parse_json(concat('{"n": ', id, '}')) FROM range(0, 8)""")
+    // copy-on-write UPDATE: the rewritten file's untouched rows become
+    // carryovers the sink must drop THROUGH the to_json proxy (variant
+    // columns cannot be grouping keys)
+    spark.sql("""UPDATE var7.ns.src SET v = parse_json('{"n": -2}')
+                 WHERE k = 2""")
+    spark.sql("DELETE FROM var7.ns.src WHERE k = 5")
+    val q = graft.streaming.EventStream.icebergReplicaSink(
+        spark.readStream.option("maxSnapshotsPerTrigger", "1")
+          .table("var7.ns.src.changes"),
+        "var7.ns.dst")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.sql(
+      """SELECT k, variant_get(v, '$.n', 'bigint') AS n FROM var7.ns.dst
+         ORDER BY k""").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq ==
+      (0L until 8L).filter(_ != 5L).map(i => (i, if (i == 2) -2L else i)))
+    // full-row content comparison has no variant equality — loud refusal
+    val dir = s"$wh/ns/src"
+    val conf = spark.sessionState.newHadoopConf()
+    val t = new graft.iceberg.IcebergTable(dir, conf)
+    val snaps = t.metadata.snapshots.map(_.snapshotId)
+    val eUpd = intercept[IllegalArgumentException] {
+      t.changesWithUpdates(spark, 0L, snaps.last)
+    }
+    assert(eUpd.getMessage.contains("variant"))
+    val eNet = intercept[IllegalArgumentException] {
+      t.netChangesBetween(spark, 0L, snaps.last)
+    }
+    assert(eNet.getMessage.contains("variant"))
+  }
+
   test("timestamp_ns metadata refuses loudly, naming the migration path") {
     val json = """{
       "format-version": 3, "table-uuid": "00000000-0000-0000-0000-000000000001",
