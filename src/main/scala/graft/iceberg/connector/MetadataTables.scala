@@ -27,8 +27,9 @@ import graft.iceberg.IcebergTable
 object MetadataTables {
 
   val names: Set[String] =
-    Set("snapshots", "files", "manifests", "refs", "history", "partitions",
-      "delete_files", "entries", "all_files", "all_manifests",
+    Set("snapshots", "files", "data_files", "manifests", "refs", "history",
+      "partitions", "delete_files", "entries", "all_entries", "all_files",
+      "all_data_files", "all_delete_files", "all_manifests",
       "metadata_log_entries", "position_deletes", "changes")
 
   def forName(parent: String, kind: String, t: IcebergTable,
@@ -65,6 +66,12 @@ object MetadataTables {
         if (f.partition.isEmpty) null
         else f.partition.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(", "))))
+    // upstream-parity name: the CURRENT snapshot's live data files —
+    // exactly what `files` serves here (delete files live under
+    // `delete_files`, as upstream's files-table content split does)
+    case "data_files" => forName(parent, "files", t, reload) match {
+      case g: GraftMetadataTable => g.renamed(s"$parent.data_files")
+    }
     case "manifests" => new GraftMetadataTable(s"$parent.manifests",
       StructType(Seq(
         StructField("path", StringType, nullable = false),
@@ -222,43 +229,35 @@ object MetadataTables {
     // would re-read O(snapshots × manifests) Avro on a long-history
     // table where this shape reads O(manifests).
     case "all_files" => new GraftMetadataTable(s"$parent.all_files",
+      AllFilesSchema, () => allFilesRows(t))
+    // upstream-parity slices of the same distinct-manifest read
+    case "all_data_files" => new GraftMetadataTable(s"$parent.all_data_files",
+      AllFilesSchema, () => allFilesRows(t).filter(_.getInt(0) == 0))
+    case "all_delete_files" => new GraftMetadataTable(
+      s"$parent.all_delete_files",
+      AllFilesSchema, () => allFilesRows(t).filter(_.getInt(0) != 0))
+    // every manifest entry across ALL snapshots (each DISTINCT manifest
+    // read once, like all_files) — the full audit trail incl. DELETED
+    // (status 2) entries of manifests no longer referenced by head
+    case "all_entries" => new GraftMetadataTable(s"$parent.all_entries",
       StructType(Seq(
+        StructField("status", IntegerType, nullable = false),
+        StructField("sequence_number", LongType, nullable = true),
         StructField("content", IntegerType, nullable = false),
         StructField("file_path", StringType, nullable = false),
         StructField("file_format", StringType, nullable = false),
         StructField("record_count", LongType, nullable = false),
-        // null for delete files (DeleteFileEntry tracks blob/content
-        // size, not the container file's size)
-        StructField("file_size_in_bytes", LongType, nullable = true),
-        StructField("sequence_number", LongType, nullable = true))),
-      () => {
-        val manifests = t.metadata.snapshots
-          .flatMap(s => graft.iceberg.ManifestIO.readManifestList(
-            t.resolve(s.manifestList), t.conf))
-          .groupBy(m => t.resolve(m.path)).toSeq
-          .map { case (p, ms) => (p, ms.head) }
-        val dataRows = manifests.filter(_._2.content == 0)
-          .flatMap { case (p, m) => graft.iceberg.ManifestIO
-            .readManifest(p, t.conf, m.sequenceNumber, m.partitionSpecId)
-            .map(f => (f.filePath, Row(0, f.filePath, f.fileFormat,
-              f.recordCount, f.fileSizeInBytes,
-              f.sequenceNumber.map(Long.box).orNull))) }
-        val delRows = manifests.filter(_._2.content == 1)
-          .flatMap { case (p, m) => graft.iceberg.ManifestIO
-            .readDeleteManifest(p, t.conf, m.sequenceNumber)
-            .map(d => (d.filePath, Row(d.content, d.filePath,
-              d.fileFormat.getOrElse("PARQUET"), d.recordCount,
-              null, d.sequenceNumber.map(Long.box).orNull))) }
-        // the same file can be referenced by manifests of several
-        // snapshots under DIFFERENT sequence numbers; `.head` of an
-        // unordered group is nondeterministic across runs, so the
-        // representative is pinned to the largest sequence number (the
-        // most recent manifest's view; nulls sort first, so any known
-        // sequence beats unknown)
-        (dataRows ++ delRows).groupBy(_._1).toSeq.sortBy(_._1)
-          .map(_._2.maxBy(r => Option(r._2.get(5))
-            .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))._2)
-      })
+        StructField("file_size_in_bytes", LongType, nullable = false))),
+      () => t.metadata.snapshots
+        .flatMap(s => graft.iceberg.ManifestIO.readManifestList(
+          t.resolve(s.manifestList), t.conf))
+        .groupBy(m => t.resolve(m.path)).toSeq.sortBy(_._1)
+        .map { case (p, ms) => (p, ms.head) }
+        .flatMap { case (p, m) =>
+          graft.iceberg.ManifestIO.readRawEntries(p, t.conf, m.sequenceNumber)
+            .map(e => Row(e.status, e.sequenceNumber.map(Long.box).orNull,
+              e.content, e.filePath, e.fileFormat, e.recordCount,
+              e.fileSizeInBytes)) })
     // the vN.metadata.json trail the filesystem committer leaves — the
     // spec's metadata-log, served from one directory listing (foreign
     // layouts that don't version metadata files just show no rows)
@@ -306,6 +305,52 @@ object MetadataTables {
         })
     case other => throw new IllegalArgumentException(s"unknown metadata table $other")
   }
+
+  private val AllFilesSchema = StructType(Seq(
+    StructField("content", IntegerType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("file_format", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    // null for delete files (DeleteFileEntry tracks blob/content
+    // size, not the container file's size)
+    StructField("file_size_in_bytes", LongType, nullable = true),
+    StructField("sequence_number", LongType, nullable = true)))
+
+  /** Distinct live files (data AND delete — both are what external
+    * cleanup must NOT touch, matching upstream's all_files) across ALL
+    * snapshots. Each DISTINCT manifest is read once: successive
+    * snapshots share most manifests, so the naive per-snapshot plan
+    * would re-read O(snapshots × manifests) Avro on a long-history
+    * table where this shape reads O(manifests). Shared by all_files and
+    * its all_data_files / all_delete_files slices. */
+  private def allFilesRows(t: IcebergTable): Seq[Row] = {
+    val manifests = t.metadata.snapshots
+      .flatMap(s => graft.iceberg.ManifestIO.readManifestList(
+        t.resolve(s.manifestList), t.conf))
+      .groupBy(m => t.resolve(m.path)).toSeq
+      .map { case (p, ms) => (p, ms.head) }
+    val dataRows = manifests.filter(_._2.content == 0)
+      .flatMap { case (p, m) => graft.iceberg.ManifestIO
+        .readManifest(p, t.conf, m.sequenceNumber, m.partitionSpecId)
+        .map(f => (f.filePath, Row(0, f.filePath, f.fileFormat,
+          f.recordCount, f.fileSizeInBytes,
+          f.sequenceNumber.map(Long.box).orNull))) }
+    val delRows = manifests.filter(_._2.content == 1)
+      .flatMap { case (p, m) => graft.iceberg.ManifestIO
+        .readDeleteManifest(p, t.conf, m.sequenceNumber)
+        .map(d => (d.filePath, Row(d.content, d.filePath,
+          d.fileFormat.getOrElse("PARQUET"), d.recordCount,
+          null, d.sequenceNumber.map(Long.box).orNull))) }
+    // the same file can be referenced by manifests of several
+    // snapshots under DIFFERENT sequence numbers; `.head` of an
+    // unordered group is nondeterministic across runs, so the
+    // representative is pinned to the largest sequence number (the
+    // most recent manifest's view; nulls sort first, so any known
+    // sequence beats unknown)
+    (dataRows ++ delRows).groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.maxBy(r => Option(r._2.get(5))
+        .map(_.asInstanceOf[Long]).getOrElse(Long.MinValue))._2)
+  }
 }
 
 /** A read-only metadata table whose rows come from a DataFrame built at
@@ -348,6 +393,10 @@ final class GraftMetadataTable(
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** The same rows under another table name (upstream alias names). */
+  private[connector] def renamed(newName: String): GraftMetadataTable =
+    new GraftMetadataTable(newName, tableSchema, rows)
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava

@@ -349,6 +349,20 @@ class CatalogSpec extends SparkSpec {
     val pd = spark.sql(
       "SELECT pos FROM scratch.ns1.m3.position_deletes ORDER BY pos").collect()
     assert(pd.length == 2, s"two deleted positions, got ${pd.length}")
+
+    // upstream-parity names: data_files ≡ files; all_data_files /
+    // all_delete_files ≡ the content slices of all_files; all_entries
+    // covers every distinct manifest across snapshots (≥ head's entries)
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.m3.data_files")
+      .collect()(0).getLong(0) == liveFiles)
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.m3.all_data_files")
+      .collect()(0).getLong(0) == af.getLong(0))
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns1.m3.all_delete_files")
+      .collect()(0).getLong(0) == 1L)
+    val allE = spark.sql(
+      "SELECT COUNT(*) FROM scratch.ns1.m3.all_entries").collect()(0).getLong(0)
+    assert(allE >= entries.length,
+      s"all_entries ($allE) must cover at least head's entries (${entries.length})")
     spark.sql("DROP TABLE scratch.ns1.m3")
   }
 
