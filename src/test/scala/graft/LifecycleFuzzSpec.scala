@@ -35,6 +35,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     var branchPublishes = 0
     var branchAbandons = 0
     var defaultOps = 0
+    var variantOps = 0
     Seq(1207L, 4242L).foreach { seed =>
       val tbl = s"lcf.ns.fz$seed"
       val dir = s"$warehouse/ns/fz$seed"
@@ -58,37 +59,48 @@ class LifecycleFuzzSpec extends SparkSpec {
       var dInit = 0L
       var dWrite = 0L
       val dModel = scala.collection.mutable.Map.empty[Long, Long]
-      // snapshot id -> (model, dModel) at that commit (only data-changing
-      // ops move the snapshot; compact replaces files, state unchanged)
+      // v3 VARIANT column state: rows never touched by the set-payload
+      // op read NULL (inserts use explicit column lists); touched rows
+      // read the JSON the op wrote, compared through to_json
+      var isV3 = false
+      var pDeclared = false
+      val pModel = scala.collection.mutable.Map.empty[Long, String]
+      // snapshot id -> (model, dModel, pModel) at that commit (only
+      // data-changing ops move the snapshot; compact replaces files,
+      // state unchanged)
       val history = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Map[Long, Long], Map[Long, Long])]
+        .empty[(Long, Map[Long, Long], Map[Long, Long], Map[Long, String])]
 
       def headSnapshot(): Long =
         new IcebergTable(dir, conf).metadata.currentSnapshotId.get
 
-      def checkHead(op: String): Unit =
-        if (!dDeclared) {
-          val got = spark.sql(s"SELECT k, $vName FROM $tbl ORDER BY k").collect()
-            .map(row => row.getLong(0) -> row.getLong(1)).toMap
-          assert(got == model.toMap,
-            s"seed=$seed after $op: table ${got.size} rows vs model " +
-              s"${model.size}; diff=${(got.toSet diff model.toSet).take(5)} / " +
-              s"${(model.toSet diff got.toSet).take(5)}")
-        } else {
-          val got = spark.sql(s"SELECT k, $vName, d FROM $tbl ORDER BY k")
-            .collect()
-            .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2)))
-            .toMap
-          val want = model.map { case (k, v) =>
-            k -> (v, dModel.getOrElse(k, dInit)) }.toMap
-          assert(got == want,
-            s"seed=$seed after $op: table ${got.size} rows vs model " +
-              s"${want.size}; diff=${(got.toSet diff want.toSet).take(5)} / " +
-              s"${(want.toSet diff got.toSet).take(5)}")
-        }
+      def checkHead(op: String): Unit = {
+        val dSel = if (dDeclared) ", d" else ""
+        val pSel = if (pDeclared) ", to_json(p)" else ""
+        val got = spark.sql(s"SELECT k, $vName$dSel$pSel FROM $tbl ORDER BY k")
+          .collect().map { row =>
+            val k = row.getLong(0)
+            var i = 2
+            val d = if (dDeclared) { val x = row.getLong(i); i += 1; Some(x) }
+              else None
+            val p = if (pDeclared) {
+              if (row.isNullAt(i)) None else Some(row.getString(i))
+            } else None
+            k -> ((row.getLong(1), d, p))
+          }.toMap
+        val want = model.map { case (k, v) =>
+          k -> ((v,
+            if (dDeclared) Some(dModel.getOrElse(k, dInit)) else None,
+            if (pDeclared) pModel.get(k) else None))
+        }.toMap
+        assert(got == want,
+          s"seed=$seed after $op: table ${got.size} rows vs model " +
+            s"${want.size}; diff=${(got.toSet diff want.toSet).take(5)} / " +
+            s"${(want.toSet diff got.toSet).take(5)}")
+      }
 
       (1 to 40).foreach { step =>
-        val op = r.nextInt(17) match {
+        val op = r.nextInt(18) match {
           case 0 | 1 | 2 | 3 => // INSERT a fresh batch (explicit column
             // list: post-add-column inserts take the write-default for d)
             val n = 5 + r.nextInt(20)
@@ -107,7 +119,8 @@ class LifecycleFuzzSpec extends SparkSpec {
             else {
               val keys = r.shuffle(model.keys.toSeq)
                 .take(1 + r.nextInt(4))
-              keys.foreach { k => model.remove(k); dModel.remove(k) }
+              keys.foreach { k =>
+                model.remove(k); dModel.remove(k); pModel.remove(k) }
               spark.sql(
                 s"DELETE FROM $tbl WHERE k IN (${keys.mkString(", ")})")
               s"delete_eq(${keys.mkString(",")})"
@@ -117,7 +130,8 @@ class LifecycleFuzzSpec extends SparkSpec {
             else {
               val a = math.abs(r.nextLong()) % nextId
               val b = math.min(nextId, a + 1 + r.nextInt(10))
-              (a until b).foreach { k => model.remove(k); dModel.remove(k) }
+              (a until b).foreach { k =>
+                model.remove(k); dModel.remove(k); pModel.remove(k) }
               spark.sql(s"DELETE FROM $tbl WHERE k >= $a AND k < $b")
               s"delete_range($a,$b)"
             }
@@ -135,7 +149,7 @@ class LifecycleFuzzSpec extends SparkSpec {
             "compact"
           case 10 => // INSERT OVERWRITE: table truncates to the batch
             val n = 3 + r.nextInt(8)
-            model.clear(); dModel.clear()
+            model.clear(); dModel.clear(); pModel.clear()
             val rows = (0 until n).map { _ =>
               val k = nextId; nextId += 1
               val v = r.nextInt(1000).toLong
@@ -233,11 +247,12 @@ class LifecycleFuzzSpec extends SparkSpec {
             // current schema and serve the initial-default for d)
             if (history.isEmpty) "noop"
             else {
-              val (sid, want, wantD) = history(r.nextInt(history.size))
+              val (sid, want, wantD, wantP) = history(r.nextInt(history.size))
               spark.sql(s"CALL lcf.system.rollback_to_snapshot(" +
                 s"table => 'ns.fz$seed', snapshot_id => $sid)")
               model.clear(); model ++= want
               dModel.clear(); dModel ++= wantD
+              pModel.clear(); pModel ++= wantP
               s"rollback($sid)"
             }
           case 16 => // v3 default-column lifecycle: first firing declares
@@ -245,8 +260,9 @@ class LifecycleFuzzSpec extends SparkSpec {
             // metadata-only, pre-add files serve the initial-default;
             // later firings move the WRITE default (initial is immutable)
             if (!dDeclared) {
-              spark.sql(
+              if (!isV3) spark.sql(
                 s"ALTER TABLE $tbl SET TBLPROPERTIES ('format-version' = '3')")
+              isV3 = true
               dInit = 100L + r.nextInt(900); dWrite = dInit
               spark.sql(s"ALTER TABLE $tbl ADD COLUMN d BIGINT DEFAULT $dInit")
               dDeclared = true
@@ -258,17 +274,46 @@ class LifecycleFuzzSpec extends SparkSpec {
               defaultOps += 1
               s"set_default($dWrite)"
             }
+          case 17 => // v3 VARIANT column lifecycle: first firing flips v3
+            // (if needed) and adds the column — pre-add rows and
+            // explicit-column-list inserts read NULL; later firings
+            // write per-row JSON payloads through a merge-on-read UPDATE
+            // (variant rides the reinsert path) and the model compares
+            // them through to_json
+            if (!pDeclared) {
+              if (!isV3) spark.sql(
+                s"ALTER TABLE $tbl SET TBLPROPERTIES ('format-version' = '3')")
+              isV3 = true
+              spark.sql(s"ALTER TABLE $tbl ADD COLUMN p VARIANT")
+              pDeclared = true
+              variantOps += 1
+              "add_variant_col"
+            } else {
+              val m = 2 + r.nextInt(4)
+              val rem = r.nextInt(m)
+              val tag = r.nextInt(1000)
+              val touched = model.keys.filter(k => k % m == rem)
+              // variant metadata dictionaries SORT keys, so to_json
+              // renders them sorted regardless of construction order
+              touched.foreach(k => pModel(k) = s"""{"k":$k,"t":$tag}""")
+              spark.sql(
+                s"""UPDATE $tbl SET p = parse_json(
+                   |  concat('{"t": $tag, "k": ', k, '}'))
+                   |WHERE k % $m = $rem""".stripMargin)
+              variantOps += 1
+              if (touched.isEmpty) "noop_variant" else s"set_variant($m,$rem)"
+            }
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
         if (op != "noop" && sid > 0)
-          history += ((sid, model.toMap, dModel.toMap))
+          history += ((sid, model.toMap, dModel.toMap, pModel.toMap))
       }
 
       // time-travel coherence: every recorded snapshot still reads the
       // state the model had at its commit (dedup: later ops may re-pin
       // the same snapshot id after noops)
-      history.distinctBy(_._1).foreach { case (sid, want, _) =>
+      history.distinctBy(_._1).foreach { case (sid, want, _, _) =>
         val got = spark.sql(
           s"SELECT k, $vName FROM $tbl VERSION AS OF $sid ORDER BY k")
           .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
@@ -288,6 +333,8 @@ class LifecycleFuzzSpec extends SparkSpec {
         s"published=$branchPublishes abandoned=$branchAbandons")
     assert(defaultOps >= 2,
       s"op mix must exercise the default-column lifecycle: $defaultOps")
+    assert(variantOps >= 2,
+      s"op mix must exercise the variant-column lifecycle: $variantOps")
   }
 
   test("v3 row lineage is a MODEL INVARIANT across random lifecycle ops: " +

@@ -618,6 +618,33 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("DROP TABLE restcat.rns.dv")
   }
 
+  test("REST: v3 VARIANT and unknown columns round-trip the wire schema " +
+      "(CreateTableRequest types + add-schema commit)") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.vt")
+    spark.sql("""CREATE TABLE restcat.rns.vt (id BIGINT, p VARIANT)
+                 TBLPROPERTIES ('format-version' = '3')""")
+    spark.sql(
+      "INSERT INTO restcat.rns.vt SELECT 1L, parse_json('{\"a\": 5}')")
+    // ALTER commits a second variant column via add-schema over the wire
+    spark.sql("ALTER TABLE restcat.rns.vt ADD COLUMN q VARIANT")
+    spark.sql("INSERT INTO restcat.rns.vt SELECT 2L, parse_json('3'), " +
+      "parse_json('{\"b\": [1, 2]}')")
+    val got = spark.sql(
+      """SELECT id, variant_get(p, '$.a', 'bigint'),
+               variant_get(q, '$.b[1]', 'bigint')
+         FROM restcat.rns.vt ORDER BY id""").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(got == Seq((1L, Some(5L), None), (2L, None, Some(2L))))
+    // the reloaded schema (served from the service's metadata document)
+    // still types both as variant
+    import org.apache.spark.sql.types.VariantType
+    val sch = spark.table("restcat.rns.vt").schema
+    assert(sch("p").dataType == VariantType && sch("q").dataType == VariantType)
+    spark.sql("DROP TABLE restcat.rns.vt")
+  }
+
   test("REST: SET IDENTIFIER FIELDS round-trips the ids through the " +
       "service's add-schema commit") {
     useRest()
