@@ -292,11 +292,30 @@ object SchemaEvolution {
           case ("int", "long") => true
           case ("float", "double") => true
           case (DecRe(p1, s1), DecRe(p2, s2)) => s1 == s2 && p2.toInt >= p1.toInt
+          // v3 promotions: `unknown` was never stored in any data file,
+          // so promoting it to ANY type serves NULL for every existing
+          // row by missing-column resolution — trivially sound; `date`
+          // widens to `timestamp` (midnight reading) through Spark 4's
+          // parquet type-widening read, INT32 date pages decoded under a
+          // timestamp read schema
+          case ("unknown", _) => requireV3(s"ALTER COLUMN $name TYPE (from unknown)"); true
+          case ("date", "timestamp") =>
+            requireV3(s"ALTER COLUMN $name TYPE date -> timestamp")
+            // Spark's type-widening read (INT32 date pages under a
+            // timestamp read schema) exists for parquet only; ORC/Avro
+            // files written before the promotion would fail every later
+            // read — refuse the DDL, not the reads after it
+            if (isOrcTable || isAvroTable) throw new UnsupportedOperationException(
+              s"ALTER COLUMN $name TYPE date -> timestamp is supported on " +
+                "parquet tables only (ORC/Avro readers cannot widen date " +
+                "pages written before the promotion)")
+            true
           case (a, b) => a == b
         }
         if (!ok) throw new UnsupportedOperationException(
           s"unsafe type change $from -> $to for column $name (Iceberg allows " +
-            "int->long, float->double, decimal precision growth)")
+            "int->long, float->double, decimal precision growth; v3 adds " +
+            "unknown->any and date->timestamp)")
         node.put("type", to)
         schemaChanged = true
 

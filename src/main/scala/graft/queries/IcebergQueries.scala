@@ -1398,6 +1398,38 @@ object IcebergQueries {
           |ORDER BY k ASC NULLS FIRST""".stripMargin)
     }),
 
+    // Iceberg v3 type promotions end-to-end: `unknown -> bigint` (pre-
+    // promotion rows serve NULL — the column was never stored; later
+    // inserts store values) and `date -> timestamp` (pre-promotion INT32
+    // date pages read as midnight timestamps through Spark's parquet
+    // type-widening — zero rewrite at any table size). The oracle
+    // reconstructs both halves relationally.
+    "q168_type_promotion" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q168-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q168")
+      s.conf.set("spark.sql.catalog.q168cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q168cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q168cat.ns")
+      s.sql(
+        """CREATE TABLE q168cat.ns.t TBLPROPERTIES ('format-version' = '3')
+          |AS SELECT CAST(o_orderkey AS BIGINT) AS k, NULL AS u,
+          |          CAST(o_orderdate AS DATE) AS ts
+          |FROM orders_src_q168 WHERE o_orderkey % 4 = 0""".stripMargin)
+      s.sql("ALTER TABLE q168cat.ns.t ALTER COLUMN u TYPE BIGINT")
+      s.sql("ALTER TABLE q168cat.ns.t ALTER COLUMN ts TYPE TIMESTAMP_NTZ")
+      s.sql(
+        """INSERT INTO q168cat.ns.t
+          |SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+          |       CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP_NTZ)
+          |FROM orders_src_q168 WHERE o_orderkey % 4 = 1""".stripMargin)
+      s.sql(
+        """SELECT k, u, CAST(ts AS STRING) AS ts_str
+          |FROM q168cat.ns.t ORDER BY k ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Iceberg v3 default values end-to-end: ADD COLUMN ... DEFAULT is
     // METADATA-ONLY at any table size — files written before the column
     // serve the immutable initial-default (decided per file at the
@@ -2050,6 +2082,18 @@ object IcebergQueries {
         |FROM stream
         |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
         |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q168_type_promotion" ->
+      """WITH t AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(NULL AS BIGINT) AS u,
+        |         CAST(o_orderdate AS DATE) AS d
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT), CAST(o_custkey AS BIGINT),
+        |         CAST(o_orderdate AS DATE)
+        |  FROM orders WHERE o_orderkey % 4 = 1)
+        |SELECT k, u,
+        |       strftime(CAST(d AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_str
+        |FROM t ORDER BY k ASC NULLS FIRST""".stripMargin,
     "q167_variant_type" ->
       """SELECT CAST(doc_id AS BIGINT) AS k,
         |       CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,

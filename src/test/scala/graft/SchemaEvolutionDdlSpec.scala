@@ -78,6 +78,66 @@ class SchemaEvolutionDdlSpec extends SparkSpec {
       m.contains("not supported")))
   }
 
+  test("v3 promotions: unknown -> any serves NULL for history; " +
+      "date -> timestamp widens through the parquet read; v2 refuses both") {
+    freshCatalog("ddl4b")
+    // v2 table: both promotions refuse, naming the v3 requirement
+    spark.sql("CREATE TABLE ddl4b.ns.v2t (k BIGINT, d DATE)")
+    spark.sql("INSERT INTO ddl4b.ns.v2t VALUES (1, DATE'2024-03-05')")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE ddl4b.ns.v2t ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    }
+    assert(e2.getMessage.contains("format-version 3"))
+    // v3: unknown (VOID) promotes to BIGINT — pre-promotion rows read
+    // NULL (the column was never stored), later inserts store values
+    spark.sql("""CREATE TABLE ddl4b.ns.t TBLPROPERTIES ('format-version'='3')
+                 AS SELECT id AS k, NULL AS u,
+                    DATE'2024-01-01' + CAST(id AS INT) AS d
+                 FROM range(0, 4)""")
+    spark.sql("ALTER TABLE ddl4b.ns.t ALTER COLUMN u TYPE BIGINT")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    assert(spark.table("ddl4b.ns.t").schema("u").dataType == LongType)
+    spark.sql("INSERT INTO ddl4b.ns.t VALUES " +
+      "(100, 7, DATE'2024-02-01'), (101, 8, DATE'2024-02-02')")
+    val got = spark.sql(
+      "SELECT k, u FROM ddl4b.ns.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(got == (0L until 4L).map(i => (i, None)) ++
+      Seq((100L, Some(7L)), (101L, Some(8L))))
+    // v3: date -> timestamp — old INT32 date pages read as midnight
+    // timestamps through Spark's type-widening parquet read
+    spark.sql("ALTER TABLE ddl4b.ns.t ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    assert(spark.table("ddl4b.ns.t").schema("d").dataType == TimestampNTZType)
+    val days = spark.sql(
+      """SELECT k, CAST(d AS STRING) FROM ddl4b.ns.t
+         WHERE k IN (0, 100) ORDER BY k""").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(days == Seq((0L, "2024-01-01 00:00:00"),
+      (100L, "2024-02-01 00:00:00")), s"widened reads: $days")
+    // timestamptz is NOT a legal date promotion (spec: timestamp only)
+    val eTz = intercept[Exception] {
+      spark.sql("CREATE TABLE ddl4b.ns.t2 (d DATE) " +
+        "TBLPROPERTIES ('format-version'='3')")
+      spark.sql("ALTER TABLE ddl4b.ns.t2 ALTER COLUMN d TYPE TIMESTAMP_LTZ")
+    }
+    assert(eTz.getMessage.contains("unsafe") ||
+      eTz.getMessage.contains("NOT_SUPPORTED_CHANGE"))
+    // declared-ORC tables refuse date -> timestamp at the DDL: the ORC
+    // reader cannot widen date pages, so the promotion would brick
+    // every later read of pre-promotion files (probed empirically:
+    // FAILED_READ_FILE on the first post-DDL scan)
+    spark.sql("""CREATE TABLE ddl4b.ns.orct (d DATE)
+                 TBLPROPERTIES ('format-version' = '3',
+                                'write.format-default' = 'orc')""")
+    spark.sql("INSERT INTO ddl4b.ns.orct VALUES (DATE'2024-03-05')")
+    val eOrc = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE ddl4b.ns.orct ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    }
+    assert(eOrc.getMessage.contains("parquet tables only"))
+    assert(spark.sql("SELECT CAST(d AS STRING) FROM ddl4b.ns.orct")
+      .collect()(0).getString(0) == "2024-03-05", "reads must stay healthy")
+  }
+
   test("partition source columns refuse rename and drop") {
     freshCatalog("ddl5")
     spark.sql(

@@ -242,6 +242,34 @@ class VariantSpec extends SparkSpec {
     assert(eNet.getMessage.contains("variant"))
   }
 
+  test("variant columns emit no manifest bounds; sibling-column pruning " +
+      "still planned (100 TB soundness: no megabyte bounds, no lost skips)") {
+    freshCatalog("var8")
+    spark.sql("""CREATE TABLE var8.ns.t (k BIGINT, v VARIANT)
+                 TBLPROPERTIES ('format-version' = '3')""")
+    // two disjoint-k files (separate INSERTs → separate snapshots/files)
+    spark.sql("""INSERT INTO var8.ns.t
+      SELECT id, parse_json(concat('{"n": ', id, '}')) FROM range(0, 100)""")
+    spark.sql("""INSERT INTO var8.ns.t
+      SELECT id, parse_json(concat('{"n": ', id, '}'))
+      FROM range(1000, 1100)""")
+    val t = new graft.iceberg.IcebergTable(
+      s"$wh/ns/t", spark.sessionState.newHadoopConf())
+    val vId = t.metadata.fieldIds("v")
+    val kId = t.metadata.fieldIds("k")
+    t.planFiles().foreach { f =>
+      assert(!f.lowerBounds.contains(vId) && !f.upperBounds.contains(vId),
+        s"variant column must carry no bounds: ${f.filePath}")
+      assert(f.lowerBounds.contains(kId),
+        "sibling scalar columns keep their bounds")
+    }
+    // k-pruning still skips the non-matching file
+    import org.apache.spark.sql.sources.GreaterThan
+    val planned = t.planFiles(Seq(GreaterThan("k", 500L)))
+    assert(planned.size == 1,
+      s"bounds on k must prune one of two files, planned ${planned.size}")
+  }
+
   test("timestamp_ns metadata refuses loudly, naming the migration path") {
     val json = """{
       "format-version": 3, "table-uuid": "00000000-0000-0000-0000-000000000001",
