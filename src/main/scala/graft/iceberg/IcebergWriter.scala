@@ -941,7 +941,16 @@ object IcebergWriter {
                      * entries for other files still apply. The default
                      * refuses delete-bearing tables, because a rewrite
                      * that did NOT apply deletes would resurrect them. */
-                   carryDeleteManifests: Boolean = false): Long = {
+                   carryDeleteManifests: Boolean = false,
+                   /** With carryDeleteManifests: the delete-manifest
+                     * paths the delete-applying read actually consumed.
+                     * A delete manifest in the CURRENT snapshot outside
+                     * this set means a concurrent row-level delete landed
+                     * after planning — rewritten files (new sequence
+                     * number) would escape it, so the swap aborts with
+                     * the retry contract. None skips the check (callers
+                     * that pin `expectedSnapshotId` instead). */
+                   plannedDeleteManifests: Option[Set[String]] = None): Long = {
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     expectedSnapshotId.foreach { e =>
@@ -961,6 +970,16 @@ object IcebergWriter {
       "replaceFiles on a table with delete manifests: deletes must be " +
         "materialized (compact) before a copy-on-write rewrite, or rewritten " +
         "rows would resurrect them")
+    if (carryDeleteManifests) plannedDeleteManifests.foreach { known =>
+      val unseen = prev.filter(_.content == 1)
+        .map(m => resolveAgainst(meta, tableDir, m.path))
+        .filterNot(known.contains)
+      if (unseen.nonEmpty) throw new CommitConflictException(
+        s"copy-on-write swap aborted: ${unseen.size} delete manifest(s) " +
+          "landed after planning (concurrent row-level delete); rewritten " +
+          "files would escape them by sequence number — replan against " +
+          "fresh metadata and retry")
+    }
 
     val u = uniq()
     var droppedTotal = 0L

@@ -136,12 +136,6 @@ final class GraftRowLevelOperation(
           "branch. Publish the branch first (IcebergWriter.fastForward) " +
           "or unset spark.wap.branch; equality-predicate DELETEs do " +
           "stage to the branch")
-    if (table.hasDeletes)
-      throw new UnsupportedOperationException(
-        s"$tableName has outstanding v2 delete files: rewritten data files " +
-          "would take a new sequence number and escape them, resurrecting " +
-          s"deleted rows. Materialize deletes first (IcebergWriter.compact), "
-          + s"then re-run the ${cmd.name}")
     val spark = SparkSession.active
     val missing = table.missingPartitionColumns(spark, table.planFiles())
     if (missing.nonEmpty)
@@ -177,12 +171,17 @@ final class GraftRowLevelOperation(
         // the row-identity machinery (`_metadata.row_index` + per-file
         // first-row-id bases + materialized-column coalesce) that
         // `IcebergTable.toDF(keepLineage)` already implements for every
-        // format — the raw vectorized batch cannot carry it. Non-lineage
-        // tables keep the vectorized group scan.
+        // format — the raw vectorized batch cannot carry it. Tables with
+        // OUTSTANDING DELETE DEBT (v2 files or DVs) also read through
+        // toDF: the rewrite must materialize the deletions into the
+        // replacement files (which take a NEW sequence number and so
+        // escape every existing delete) — the raw vectorized group scan
+        // would resurrect deleted rows. Clean non-lineage tables keep
+        // the vectorized group scan.
         val scan: GraftGroupScanLike =
-          if (lineageOn)
+          if (lineageOn || table.hasDeletes)
             new GraftLineageGroupScan(SparkSession.active, table, filters,
-              required)
+              required, lineage = lineageOn)
           else new GraftGroupScan(SparkSession.active, table, filters, required)
         configuredScan = scan
         scan
@@ -246,6 +245,15 @@ private[connector] object RowLevelWriteSchemas {
   * configured: the exact planned file set its commit swaps out. */
 private[connector] trait GraftGroupScanLike extends Scan {
   def plannedFiles: Seq[DataFileEntry]
+  /** True when the executed read applied the table's delete files — the
+    * commit then carries delete manifests through (the rewrite
+    * MATERIALIZED the deletions) instead of refusing them. */
+  def appliedDeletes: Boolean = false
+  /** The delete-manifest paths the delete-applying read consumed,
+    * captured at PLAN time — the commit aborts on any delete manifest
+    * not in this set (a concurrent row-level delete landed after
+    * planning; rewritten files would escape it). */
+  def consumedDeleteManifests: Set[String] = Set.empty
 }
 
 /** The lineage-preserving affected-group scan (v3 tables): the same
@@ -267,17 +275,31 @@ final class GraftLineageGroupScan(
     spark: SparkSession,
     table: IcebergTable,
     filters: Array[Filter],
-    requiredSchema: StructType)
+    requiredSchema: StructType,
+    /** false = the toDF bridge is used for its DELETE APPLICATION only
+      * (a rewrite over outstanding v2/DV debt materializes the
+      * deletions); no `_row_id` is served. */
+    lineage: Boolean = true)
     extends Scan with SupportsReportStatistics with GraftGroupScanLike {
 
   /** Planned once, immutable: the write commit and the executed scan must
     * agree on the exact file set. */
   override val plannedFiles: Seq[DataFileEntry] = table.planFiles(filters.toSeq)
 
+  /** toDF applies every live delete file when any exist — captured here
+    * (with the manifests it will consume) so the commit can carry them
+    * through and detect concurrent deletes landing after planning. */
+  override val appliedDeletes: Boolean = table.hasDeletes
+  override val consumedDeleteManifests: Set[String] =
+    if (!appliedDeletes) Set.empty
+    else table.manifests.filter(_.content == 1)
+      .map(m => table.resolve(m.path)).toSet
+
   override def readSchema(): StructType = requiredSchema
 
   override def description(): String =
     s"GraftLineageGroupScan(files=${plannedFiles.size}, " +
+      s"lineage=$lineage, deletesApplied=$appliedDeletes, " +
       s"groupFilters=${filters.mkString(", ")})"
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -298,16 +320,20 @@ final class GraftLineageGroupScan(
       // file (non-matching ones are written back verbatim). toDF over
       // the pinned file list reads exactly those files, lineage served.
       val df = table
-        .toDF(s, Nil, precomputed = Some(plannedFiles), keepLineage = true)
+        .toDF(s, Nil, precomputed = Some(plannedFiles), keepLineage = lineage)
         .select(requiredSchema.fieldNames.toSeq.map(col): _*)
       val rdd = df.queryExecution.toRdd
-      // completeRowLineage is broadcast-only today; if a shuffle ever
-      // slips into the read plan, fail at PLAN time with a diagnosis,
-      // not executor-side with a missing-stage error.
+      // completeRowLineage is broadcast-only and delete application
+      // broadcasts its (small) delete sets; if a shuffle ever slips into
+      // the read plan (e.g. delete debt too large to broadcast), fail at
+      // PLAN time with a diagnosis, not executor-side with a
+      // missing-stage error.
       GraftRddBridge.assertNoShuffle(rdd,
-        "lineage group scan needs a shuffle-free read plan; the " +
-          "toDF(keepLineage) plan grew a shuffle — fix the read " +
-          "plan or route this rewrite through compaction")
+        "group-rewrite scan needs a shuffle-free read plan; the toDF " +
+          "plan grew a shuffle (lineage bases and delete sets broadcast " +
+          "when small) — compact or convert the delete debt first " +
+          "(rewrite_position_delete_files / IcebergWriter.compact), " +
+          "then re-run the rewrite")
       rdd
     }
     override def planInputPartitions(): Array[InputPartition] =
@@ -531,7 +557,14 @@ final class GraftReplaceWrite(
       }.toSeq.flatten
       IcebergWriter.replaceFiles(conf, table.tableDir,
         scan.plannedFiles.map(_.filePath).toSet, added, committerOpt,
-        removedEntries = scan.plannedFiles)
+        removedEntries = scan.plannedFiles,
+        // delete-applying reads materialized the deletions into the
+        // replacement files: delete manifests carry through, guarded
+        // against deletes that landed AFTER planning
+        carryDeleteManifests = scan.appliedDeletes,
+        plannedDeleteManifests =
+          if (scan.appliedDeletes) Some(scan.consumedDeleteManifests)
+          else None)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -1398,6 +1398,38 @@ object IcebergQueries {
           |ORDER BY k ASC NULLS FIRST""".stripMargin)
     }),
 
+    // Copy-on-write rewrite OVER outstanding merge-on-read delete debt:
+    // the rewrite reads delete-applied rows and its replacement files
+    // (new sequence number) escape the old delete files — the deletions
+    // MATERIALIZE instead of resurrecting, with no compaction step
+    // between the deletes and the UPDATE. The oracle replays the same
+    // ops relationally.
+    "q169_cow_over_debt" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q169-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q169")
+      s.conf.set("spark.sql.catalog.q169cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q169cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q169cat.ns")
+      s.sql(
+        """CREATE TABLE q169cat.ns.t (k BIGINT, pri STRING)
+          |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(
+        """INSERT INTO q169cat.ns.t
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM orders_src_q169 WHERE o_orderkey % 3 = 0""".stripMargin)
+      // equality debt + position debt, both still outstanding at UPDATE
+      s.sql("DELETE FROM q169cat.ns.t WHERE k % 21 = 6")
+      s.sql("DELETE FROM q169cat.ns.t WHERE k >= 3000 AND k < 4000")
+      // copy-on-write UPDATE over the debt (write.update.mode default)
+      s.sql("UPDATE q169cat.ns.t SET pri = concat(pri, '!') WHERE k % 9 = 3")
+      s.sql(
+        """SELECT k, pri FROM q169cat.ns.t
+          |ORDER BY k ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Iceberg v3 type promotions end-to-end: `unknown -> bigint` (pre-
     // promotion rows serve NULL — the column was never stored; later
     // inserts store values) and `date -> timestamp` (pre-promotion INT32
@@ -2082,6 +2114,16 @@ object IcebergQueries {
         |FROM stream
         |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
         |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q169_cow_over_debt" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |       CASE WHEN o_orderkey % 9 = 3
+        |            THEN o_orderpriority || '!'
+        |            ELSE o_orderpriority END AS pri
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0
+        |  AND o_orderkey % 21 <> 6
+        |  AND NOT (o_orderkey >= 3000 AND o_orderkey < 4000)
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
     "q168_type_promotion" ->
       """WITH t AS (
         |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(NULL AS BIGINT) AS u,

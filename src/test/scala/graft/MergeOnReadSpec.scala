@@ -140,6 +140,68 @@ class MergeOnReadSpec extends SparkSpec {
     assert(published === branch)
   }
 
+  test("copy-on-write rewrites over OUTSTANDING delete debt materialize " +
+      "the deletions — no resurrection (eq, position, and DV debt)") {
+    val ns = fresh("morcow")
+    // equality + position debt, then a CoW UPDATE over the same files
+    spark.sql("""CREATE TABLE morcow.ns.t (k BIGINT, v STRING)
+                 TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql(
+      "INSERT INTO morcow.ns.t SELECT id, concat('v', id) FROM range(0, 20)")
+    spark.sql("DELETE FROM morcow.ns.t WHERE k IN (3, 7)") // equality debt
+    spark.sql("DELETE FROM morcow.ns.t WHERE k >= 15 AND k < 17") // position debt
+    assert(new IcebergTable(s"$ns/t", conf).hasDeletes,
+      "precondition: outstanding v2 delete files")
+    // copy-on-write UPDATE (the default update mode): previously refused
+    spark.sql("UPDATE morcow.ns.t SET v = 'hit' WHERE k % 5 = 0")
+    val got = spark.sql("SELECT k, v FROM morcow.ns.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (0L until 20L)
+      .filterNot(Set(3L, 7L, 15L, 16L))
+      .map(k => (k, if (k % 5 == 0) "hit" else s"v$k"))
+    assert(got == want, s"deleted rows must NOT resurrect: $got")
+    // the rewrite materialized the deletions: the UPDATE's non-pushable
+    // predicate makes every file a candidate, so ALL files were replaced
+    // and their manifest record counts must already exclude 3/7/15/16
+    // (replacement files escape the old deletes by sequence number)
+    val t2 = new IcebergTable(s"$ns/t", conf)
+    val raw = t2.planFiles().map(_.recordCount).sum
+    assert(raw == want.size.toLong,
+      s"replacement files must hold exactly the surviving rows, got $raw")
+
+    // DV debt: same invariant through the Puffin deletion-vector path
+    spark.sql("""CREATE TABLE morcow.ns.dv (k BIGINT, v STRING)
+                 TBLPROPERTIES ('write.delete.mode' = 'merge-on-read',
+                                'graft.write.deletes' = 'dv')""")
+    spark.sql(
+      "INSERT INTO morcow.ns.dv SELECT id, concat('v', id) FROM range(0, 10)")
+    spark.sql("DELETE FROM morcow.ns.dv WHERE k >= 8")
+    spark.sql("UPDATE morcow.ns.dv SET v = 'hit' WHERE k = 2")
+    assert(spark.sql("SELECT k FROM morcow.ns.dv ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == (0L until 8L),
+      "DV-deleted rows must not resurrect through the rewrite")
+
+    // v3 lineage table with debt: _row_id survives the debt-materializing
+    // rewrite (the bridge serves lineage AND applies deletes)
+    spark.sql("""CREATE TABLE morcow.ns.v3 (k BIGINT, v STRING)
+                 TBLPROPERTIES ('format-version' = '3',
+                                'write.delete.mode' = 'merge-on-read')""")
+    spark.sql(
+      "INSERT INTO morcow.ns.v3 SELECT id, concat('v', id) FROM range(0, 10)")
+    val idsBefore = spark.sql("SELECT k, _row_id FROM morcow.ns.v3").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("DELETE FROM morcow.ns.v3 WHERE k = 4")
+    spark.sql("UPDATE morcow.ns.v3 SET v = 'hit' WHERE k = 6")
+    val after = spark.sql("SELECT k, v, _row_id FROM morcow.ns.v3 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(after.map(_._1).toSeq == (0L until 10L).filterNot(_ == 4L),
+      "v3 debt rewrite must not resurrect")
+    after.foreach { case (k, _, id) =>
+      assert(id == idsBefore(k), s"_row_id for k=$k must survive the rewrite")
+    }
+    assert(after.find(_._1 == 6L).get._2 == "hit")
+  }
+
   test("explicit copy-on-write under WAP still refuses loudly") {
     val ns = fresh("mor6")
     spark.sql(

@@ -263,11 +263,14 @@ class VariantSpec extends SparkSpec {
       assert(f.lowerBounds.contains(kId),
         "sibling scalar columns keep their bounds")
     }
-    // k-pruning still skips the non-matching file
+    // k-pruning still skips every file of the first (k < 100) insert
     import org.apache.spark.sql.sources.GreaterThan
+    val all = t.planFiles()
     val planned = t.planFiles(Seq(GreaterThan("k", 500L)))
-    assert(planned.size == 1,
-      s"bounds on k must prune one of two files, planned ${planned.size}")
+    assert(planned.map(_.recordCount).sum == 100L && planned.size < all.size,
+      s"bounds on k must prune the first insert's files: " +
+        s"${planned.size}/${all.size} planned, " +
+        s"${planned.map(_.recordCount).sum} rows")
   }
 
   test("timestamp_ns metadata refuses loudly, naming the migration path") {
