@@ -36,14 +36,20 @@ class LifecycleFuzzSpec extends SparkSpec {
     var branchAbandons = 0
     var defaultOps = 0
     var variantOps = 0
-    Seq(1207L, 4242L).foreach { seed =>
+    // seed 1207: merge-on-read UPDATEs (delta path); seed 4242:
+    // copy-on-write UPDATEs — every UPDATE op then rewrites over
+    // whatever merge-on-read delete debt the random sequence left
+    // outstanding (the r16 debt-materializing rewrite), while deletes
+    // stay merge-on-read so debt keeps accumulating between rewrites
+    Seq((1207L, true), (4242L, false)).foreach { case (seed, morUpdate) =>
       val tbl = s"lcf.ns.fz$seed"
       val dir = s"$warehouse/ns/fz$seed"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val updMode = if (morUpdate)
+        ", 'write.update.mode' = 'merge-on-read'" else ""
       spark.sql(
         s"""CREATE TABLE $tbl (k BIGINT, v BIGINT) TBLPROPERTIES
-           |('write.delete.mode' = 'merge-on-read',
-           | 'write.update.mode' = 'merge-on-read')""".stripMargin)
+           |('write.delete.mode' = 'merge-on-read'$updMode)""".stripMargin)
 
       val r = new scala.util.Random(seed)
       val model = scala.collection.mutable.Map.empty[Long, Long]
@@ -190,6 +196,10 @@ class LifecycleFuzzSpec extends SparkSpec {
             }
             w.close()
             IcebergWriter.addFiles(spark, dir, Seq(af.getAbsolutePath))
+            // copy-on-write rewrites refuse name-mapped (id-less) files;
+            // the CoW seed follows the documented recipe — compact to
+            // re-stamp field ids — so later UPDATEs stay exercisable
+            if (!morUpdate) IcebergWriter.compact(spark, dir)
             avroImports += 1
             s"avro_import($n)"
           case 13 => // schema RENAME of the value column: values and
