@@ -966,11 +966,14 @@ object IcebergWriter {
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
         resolveAgainst(meta, tableDir, s.manifestList), conf))
-    require(carryDeleteManifests || !prev.exists(_.content == 1),
-      "replaceFiles on a table with delete manifests: deletes must be " +
-        "materialized (compact) before a copy-on-write rewrite, or rewritten " +
-        "rows would resurrect them")
-    if (carryDeleteManifests) plannedDeleteManifests.foreach { known =>
+    // A delete manifest the planner did not see (for plan-aware callers,
+    // anything outside plannedDeleteManifests; for a clean-at-plan scan
+    // that is EVERY delete manifest) means a concurrent row-level delete
+    // landed after planning — rewritten files would escape it by
+    // sequence number, so abort with the RETRY contract (a replan sees
+    // the debt and takes the delete-applying read). Callers with no
+    // planned set keep the programmer-error require below.
+    plannedDeleteManifests.foreach { known =>
       val unseen = prev.filter(_.content == 1)
         .map(m => resolveAgainst(meta, tableDir, m.path))
         .filterNot(known.contains)
@@ -980,6 +983,10 @@ object IcebergWriter {
           "files would escape them by sequence number — replan against " +
           "fresh metadata and retry")
     }
+    require(carryDeleteManifests || !prev.exists(_.content == 1),
+      "replaceFiles on a table with delete manifests: deletes must be " +
+        "materialized (compact) before a copy-on-write rewrite, or rewritten " +
+        "rows would resurrect them")
 
     val u = uniq()
     var droppedTotal = 0L

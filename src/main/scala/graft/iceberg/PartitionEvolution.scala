@@ -77,7 +77,7 @@ object PartitionEvolution {
   /** Source types a transform accepts — checked at DDL time so a bad spec
     * fails the ALTER, not the first INSERT. Mirrors [[PartitionTransforms]]
     * (the evaluator) and the spec's transform/type table. */
-  private def validateSourceType(transform: String, dt: DataType,
+  private[graft] def validateSourceType(transform: String, dt: DataType,
                                  col: String): Unit = {
     val base = transform.takeWhile(_ != '[')
     val ok = base match {

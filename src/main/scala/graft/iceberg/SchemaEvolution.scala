@@ -152,6 +152,14 @@ object SchemaEvolution {
         // metadata a v2 reader would misparse — same rule as DEFAULTs
         if (IcebergJson.containsV3Type(add.dataType))
           requireV3(s"ADD COLUMN $name of type ${add.dataType.simpleString}")
+        // nested unknown has no writable parquet shape (only TOP-LEVEL
+        // unknown columns are stripped from data files) — same
+        // born-write-dead refusal as CREATE
+        if (IcebergJson.containsNestedUnknown(add.dataType))
+          throw new UnsupportedOperationException(
+            s"ADD COLUMN $name: VOID (unknown) nested inside a composite " +
+              "type cannot be stored in data files — add it as a " +
+              "top-level column or use a typed field")
         if (isOrcTable && IcebergJson.containsV3Type(add.dataType))
           throw new UnsupportedOperationException(
             s"cannot add column $name of type ${add.dataType.simpleString} " +
@@ -316,6 +324,20 @@ object SchemaEvolution {
           s"unsafe type change $from -> $to for column $name (Iceberg allows " +
             "int->long, float->double, decimal precision growth; v3 adds " +
             "unknown->any and date->timestamp)")
+        // a promoted column's stored defaults keep the OLD type's JSON
+        // serialization; date -> timestamp is the one promotion whose
+        // form changes — re-encode (midnight), or the next metadata load
+        // would fail parsing "2024-01-05" as a timestamp and brick the
+        // table. Numeric widenings parse unchanged (JSON numbers).
+        if (from == "date" && to == "timestamp")
+          Seq("initial-default", "write-default").foreach { attr =>
+            Option(node.get(attr)).filter(_.isTextual).foreach { d =>
+              node.put(attr, java.time.LocalDate.parse(d.asText)
+                .atStartOfDay()
+                .format(java.time.format.DateTimeFormatter
+                  .ISO_LOCAL_DATE_TIME))
+            }
+          }
         node.put("type", to)
         schemaChanged = true
 

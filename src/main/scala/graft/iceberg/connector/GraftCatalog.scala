@@ -287,15 +287,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       throw new UnsupportedOperationException(
         "CREATE TABLE with VARIANT / VOID (unknown) columns needs Iceberg " +
           "format-version 3 — add TBLPROPERTIES ('format-version' = '3')")
-    // a variant/unknown partition source can never work (no transform
-    // result type, no manifest tuple encoding) — refuse at CREATE
-    partitionCols.foreach { case (col, transform) =>
-      schema.find(_.name == col).map(_.dataType).foreach {
-        case VariantType | NullType => throw new UnsupportedOperationException(
-          s"partition transform $transform($col): a VARIANT / VOID column " +
-            "cannot be a partition source")
-        case _ => ()
+    // nested unknown has no writable parquet shape (top-level unknown is
+    // stripped from data files; a struct field cannot be) — refuse at
+    // CREATE, the table would be born write-dead
+    schema.fields.find(f => IcebergJson.containsNestedUnknown(f.dataType))
+      .foreach { f =>
+        throw new UnsupportedOperationException(
+          s"column '${f.name}': VOID (unknown) nested inside a composite " +
+            "type cannot be stored in data files — declare it as a " +
+            "TOP-LEVEL column (never stored, reads null) or use a typed " +
+            "field")
       }
+    // partition transform/source-type validation at CREATE — the same
+    // spec table ADD PARTITION FIELD enforces (identity refuses
+    // variant/void; temporal transforms need temporal sources; bad specs
+    // fail the DDL, not the first INSERT)
+    partitionCols.foreach { case (col, transform) =>
+      schema.find(_.name == col).foreach(f =>
+        graft.iceberg.PartitionEvolution.validateSourceType(
+          transform, f.dataType, col))
     }
     // this engine's ORC kernel has no variant/unknown encoding — a
     // declared-orc table with one would be born write-dead
@@ -509,6 +519,29 @@ object IcebergJson {
     case VariantType      => "variant"
     case NullType         => "unknown"
     case other => throw new UnsupportedOperationException(s"cannot write type $other")
+  }
+
+  /** True when NullType (unknown) appears NESTED inside a composite
+    * type. Top-level unknown columns are fine — the writer strips them
+    * from data files per the spec's never-stored rule — but a nested
+    * unknown has no writable parquet shape (Spark's writer refuses
+    * NullType inside groups), so a table holding one would be born
+    * write-dead. Refused at CREATE and ADD COLUMN. */
+  def containsNestedUnknown(dt: DataType): Boolean = {
+    def inner(d: DataType): Boolean = d match {
+      case NullType => true
+      case s: StructType => s.fields.exists(f => inner(f.dataType))
+      case a: ArrayType  => inner(a.elementType)
+      case m: MapType    => inner(m.keyType) || inner(m.valueType)
+      case _ => false
+    }
+    dt match {
+      case NullType => false
+      case s: StructType => s.fields.exists(f => inner(f.dataType))
+      case a: ArrayType  => inner(a.elementType)
+      case m: MapType    => inner(m.keyType) || inner(m.valueType)
+      case _ => false
+    }
   }
 
   /** True when the type tree contains a v3-only type (variant / unknown)

@@ -559,12 +559,12 @@ final class GraftReplaceWrite(
         scan.plannedFiles.map(_.filePath).toSet, added, committerOpt,
         removedEntries = scan.plannedFiles,
         // delete-applying reads materialized the deletions into the
-        // replacement files: delete manifests carry through, guarded
-        // against deletes that landed AFTER planning
+        // replacement files: delete manifests carry through. The planned
+        // set (empty for a clean-at-plan vectorized scan) turns ANY
+        // delete manifest that landed after planning into the
+        // CommitConflictException retry contract
         carryDeleteManifests = scan.appliedDeletes,
-        plannedDeleteManifests =
-          if (scan.appliedDeletes) Some(scan.consumedDeleteManifests)
-          else None)
+        plannedDeleteManifests = Some(scan.consumedDeleteManifests))
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -202,6 +202,28 @@ class MergeOnReadSpec extends SparkSpec {
     assert(after.find(_._1 == 6L).get._2 == "hit")
   }
 
+  test("a delete manifest landing AFTER a clean-at-plan rewrite aborts " +
+      "with the CommitConflictException retry contract") {
+    val ns = fresh("morrace")
+    spark.sql("""CREATE TABLE morrace.ns.t (k BIGINT, v STRING)
+                 TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql(
+      "INSERT INTO morrace.ns.t SELECT id, concat('v', id) FROM range(0, 10)")
+    val t = new IcebergTable(s"$ns/t", conf)
+    val planned = t.planFiles() // "plan time": no debt, nothing consumed
+    // the concurrent merge-on-read DELETE lands before the swap commits
+    spark.sql("DELETE FROM morrace.ns.t WHERE k >= 8")
+    val e = intercept[graft.iceberg.CommitConflictException] {
+      graft.iceberg.IcebergWriter.replaceFiles(conf, s"$ns/t",
+        planned.map(_.filePath).toSet, Seq.empty,
+        removedEntries = planned,
+        carryDeleteManifests = false,
+        plannedDeleteManifests = Some(Set.empty))
+    }
+    assert(e.getMessage.contains("landed after planning"),
+      s"retry contract, not a compact-first diagnosis: ${e.getMessage}")
+  }
+
   test("explicit copy-on-write under WAP still refuses loudly") {
     val ns = fresh("mor6")
     spark.sql(

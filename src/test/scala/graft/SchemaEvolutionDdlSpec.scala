@@ -136,6 +136,39 @@ class SchemaEvolutionDdlSpec extends SparkSpec {
     assert(eOrc.getMessage.contains("parquet tables only"))
     assert(spark.sql("SELECT CAST(d AS STRING) FROM ddl4b.ns.orct")
       .collect()(0).getString(0) == "2024-03-05", "reads must stay healthy")
+    // a DATE column carrying a DEFAULT: the promotion must re-encode the
+    // stored default to the timestamp JSON form, or the next metadata
+    // load fails parsing and bricks the table
+    spark.sql("""CREATE TABLE ddl4b.ns.defp (k BIGINT)
+                 TBLPROPERTIES ('format-version' = '3')""")
+    spark.sql("INSERT INTO ddl4b.ns.defp VALUES (1)")
+    spark.sql("ALTER TABLE ddl4b.ns.defp ADD COLUMN d DATE DEFAULT " +
+      "DATE'2024-01-05'")
+    spark.sql("ALTER TABLE ddl4b.ns.defp ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    spark.sql("INSERT INTO ddl4b.ns.defp (k) VALUES (2)")
+    val defGot = spark.sql(
+      "SELECT k, CAST(d AS STRING) FROM ddl4b.ns.defp ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(defGot == Seq((1L, "2024-01-05 00:00:00"),
+      (2L, "2024-01-05 00:00:00")),
+      s"promoted defaults must serve the midnight reading: $defGot")
+  }
+
+  test("nested VOID (unknown) refuses at CREATE and ADD COLUMN — a " +
+      "struct field cannot be stripped from data files") {
+    freshCatalog("ddl4c")
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql("""CREATE TABLE ddl4c.ns.bad
+                   TBLPROPERTIES ('format-version' = '3')
+                   AS SELECT id, named_struct('a', NULL) AS s FROM range(3)""")
+    }
+    assert(e1.getMessage.contains("nested inside a composite"))
+    spark.sql("CREATE TABLE ddl4c.ns.t (k BIGINT) " +
+      "TBLPROPERTIES ('format-version' = '3')")
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE ddl4c.ns.t ADD COLUMN s STRUCT<a: VOID>")
+    }
+    assert(e2.getMessage.contains("nested inside a composite"))
   }
 
   test("partition source columns refuse rename and drop") {

@@ -131,13 +131,15 @@ class VariantSpec extends SparkSpec {
       """SELECT CAST(SUM(variant_get(v, '$.n', 'bigint')) AS BIGINT)
          FROM var4.ns.t WHERE part = 'even'""").collect()(0).getLong(0)
     assert(evens == (0L until 8L).filter(_ % 2 == 0).sum)
-    // a variant column can never be a partition source
-    val e = intercept[UnsupportedOperationException] {
+    // a variant column can never be a partition source (the shared
+    // transform/type table refuses it at CREATE, like ADD PARTITION
+    // FIELD does)
+    val e = intercept[IllegalArgumentException] {
       spark.sql("""CREATE TABLE var4.ns.bad (k BIGINT, v VARIANT)
                    PARTITIONED BY (v)
                    TBLPROPERTIES ('format-version' = '3')""")
     }
-    assert(e.getMessage.contains("partition source"))
+    assert(e.getMessage.contains("cannot partition"))
   }
 
   test("variant refusals: identifier fields, sort order, ORC, defaults") {
