@@ -141,19 +141,22 @@ class RowLevelOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM rlo5.ns.t").collect()(0).getLong(0) == 6)
   }
 
-  test("rewrites refuse tables with outstanding delete files") {
+  test("rewrites over outstanding delete files materialize them " +
+      "(r16: the delete-applying bridge replaced the compact-first refusal)") {
     freshCatalog("rlo6")
     spark.sql("CREATE TABLE rlo6.ns.t (k BIGINT, v BIGINT)")
     spark.sql("INSERT INTO rlo6.ns.t SELECT id, id FROM range(0, 10)")
     spark.sql("DELETE FROM rlo6.ns.t WHERE k = 1") // merge-on-read delete file
-    val err = intercept[Exception] {
-      spark.sql("UPDATE rlo6.ns.t SET v = 0 WHERE k > 5")
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(err).exists(_.contains("resurrect")))
-
-    // after compaction (deletes materialized) the UPDATE proceeds
+    // the copy-on-write UPDATE now proceeds directly: its read applies
+    // the delete, so the rewritten files hold only surviving rows and
+    // k=1 can never resurrect
+    spark.sql("UPDATE rlo6.ns.t SET v = 0 WHERE k > 5")
+    assert(spark.sql("SELECT COUNT(*) FROM rlo6.ns.t WHERE v = 0 AND k > 5")
+      .collect()(0).getLong(0) == 4)
+    assert(spark.sql("SELECT COUNT(*) FROM rlo6.ns.t WHERE k = 1")
+      .collect()(0).getLong(0) == 0, "the MoR-deleted row must stay deleted")
+    assert(spark.sql("SELECT COUNT(*) FROM rlo6.ns.t").collect()(0).getLong(0) == 9)
+    // compaction afterwards still works and changes nothing
     graft.iceberg.IcebergWriter.compact(spark, s"$wh/ns/t")
     spark.sql("UPDATE rlo6.ns.t SET v = -5 WHERE k > 5")
     assert(spark.sql("SELECT COUNT(*) FROM rlo6.ns.t WHERE v = -5")
