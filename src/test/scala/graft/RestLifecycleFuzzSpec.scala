@@ -176,6 +176,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     var conflictChecks = 0
     var defaultOps = 0
     var replicaOps = 0
+    var variantRestOps = 0
     Seq(3301L, 9099L).foreach { seed =>
       val tbl = s"restfz.ns.rz$seed"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -195,6 +196,11 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       var dInit = 0L
       var dWrite = 0L
       val dModel = mutable.Map.empty[Long, Long]
+      // v3 VARIANT column over the REST transport: add-schema commit on
+      // the wire, payloads set via UPDATE, compared through to_json
+      var isV3 = false
+      var pDeclared = false
+      val pModel = mutable.Map.empty[Long, String]
       // CDC-replication state: a replica table kept in sync from
       // src.changes through icebergReplicaSink; re-bootstrapped after
       // ops replication cannot follow (rollback rewrites the frontier's
@@ -203,39 +209,47 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       var replicaStart = 0L
       val replicaCkpt = new java.io.File(
         graft.Scratch.dir(s"restfz-replica-ckpt-$seed"))
-      val history =
-        mutable.ArrayBuffer.empty[(Long, Map[Long, Long], Map[Long, Long])]
+      val history = mutable.ArrayBuffer
+        .empty[(Long, Map[Long, Long], Map[Long, Long], Map[Long, String])]
 
       def headSnapshot(): Long = {
         val doc = tables(("ns", s"rz$seed"))
         Option(doc.get("current-snapshot-id")).map(_.asLong).getOrElse(-1L)
       }
 
-      def checkHead(op: String): Unit =
-        if (!dDeclared) {
-          val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k").collect()
-            .map(row => row.getLong(0) -> row.getLong(1)).toMap
-          assert(got == model.toMap,
-            s"seed=$seed after $op: table ${got.size} rows vs model " +
-              s"${model.size}; diff=${(got.toSet diff model.toSet).take(5)} / " +
-              s"${(model.toSet diff got.toSet).take(5)}")
-        } else {
-          val got = spark.sql(s"SELECT k, v, d FROM $tbl ORDER BY k").collect()
-            .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2)))
-            .toMap
-          val want = model.map { case (k, v) =>
-            k -> (v, dModel.getOrElse(k, dInit)) }.toMap
-          assert(got == want,
-            s"seed=$seed after $op: table ${got.size} rows vs model " +
-              s"${want.size}; diff=${(got.toSet diff want.toSet).take(5)} / " +
-              s"${(want.toSet diff got.toSet).take(5)}")
-        }
+      def checkHead(op: String): Unit = {
+        val dSel = if (dDeclared) ", d" else ""
+        val pSel = if (pDeclared) ", to_json(p)" else ""
+        val got = spark.sql(s"SELECT k, v$dSel$pSel FROM $tbl ORDER BY k")
+          .collect().map { row =>
+            var i = 2
+            val d = if (dDeclared) { val x = row.getLong(i); i += 1; Some(x) }
+              else None
+            val pv = if (pDeclared) {
+              if (row.isNullAt(i)) None else Some(row.getString(i))
+            } else None
+            row.getLong(0) -> ((row.getLong(1), d, pv))
+          }.toMap
+        val want = model.map { case (k, v) =>
+          k -> ((v,
+            if (dDeclared) Some(dModel.getOrElse(k, dInit)) else None,
+            if (pDeclared) pModel.get(k) else None))
+        }.toMap
+        assert(got == want,
+          s"seed=$seed after $op: table ${got.size} rows vs model " +
+            s"${want.size}; diff=${(got.toSet diff want.toSet).take(5)} / " +
+            s"${(want.toSet diff got.toSet).take(5)}")
+      }
 
       def resetReplica(): Unit = {
         spark.sql(s"DROP TABLE IF EXISTS restfz.ns.rep$seed")
         val dCol = if (dDeclared) ", d BIGINT" else ""
+        val pCol = if (pDeclared) ", p VARIANT" else ""
+        val v3Props = if (pDeclared)
+          " TBLPROPERTIES ('format-version' = '3')" else ""
         spark.sql(
-          s"CREATE TABLE restfz.ns.rep$seed (k BIGINT NOT NULL, v BIGINT$dCol)")
+          s"CREATE TABLE restfz.ns.rep$seed " +
+            s"(k BIGINT NOT NULL, v BIGINT$dCol$pCol)$v3Props")
         org.apache.commons.io.FileUtils.deleteQuietly(replicaCkpt)
         // bootstrap = the source's current state; the stream then follows
         // changes AFTER the bootstrap snapshot
@@ -299,12 +313,13 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       }
 
       (1 to 32).foreach { step =>
-        val op = r.nextInt(15) match {
+        val op = r.nextInt(16) match {
           case 0 | 1 | 2 | 3 => insertBatch(5 + r.nextInt(15))
           case 4 | 5 => // equality DELETE on sampled keys
             if (model.isEmpty) "noop"
             else {
               val keys = r.shuffle(model.keys.toSeq).take(1 + r.nextInt(4))
+              keys.foreach(pModel.remove)
               keys.foreach { k => model.remove(k); dModel.remove(k) }
               spark.sql(s"DELETE FROM $tbl WHERE k IN (${keys.mkString(", ")})")
               s"delete_eq(${keys.mkString(",")})"
@@ -314,7 +329,8 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
             else {
               val a = math.abs(r.nextLong()) % nextId
               val b = math.min(nextId, a + 1 + r.nextInt(10))
-              (a until b).foreach { k => model.remove(k); dModel.remove(k) }
+              (a until b).foreach { k =>
+                model.remove(k); dModel.remove(k); pModel.remove(k) }
               spark.sql(s"DELETE FROM $tbl WHERE k >= $a AND k < $b")
               s"delete_range($a,$b)"
             }
@@ -332,7 +348,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
             "compact"
           case 10 => // INSERT OVERWRITE: table truncates to the batch
             val n = 3 + r.nextInt(8)
-            model.clear(); dModel.clear()
+            model.clear(); dModel.clear(); pModel.clear()
             val rows = (0 until n).map { _ =>
               val k = nextId; nextId += 1
               val v = r.nextInt(1000).toLong
@@ -356,11 +372,12 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           case 12 => // rollback to a random recorded snapshot
             if (history.isEmpty) "noop"
             else {
-              val (sid, want, wantD) = history(r.nextInt(history.size))
+              val (sid, want, wantD, wantP) = history(r.nextInt(history.size))
               spark.sql(s"CALL restfz.system.rollback_to_snapshot(" +
                 s"table => 'ns.rz$seed', snapshot_id => $sid)")
               model.clear(); model ++= want
               dModel.clear(); dModel ++= wantD
+              pModel.clear(); pModel ++= wantP
               replicaInit = false // a rollback rewrites the frontier's
                                   // meaning: replicas re-bootstrap
               s"rollback($sid)"
@@ -378,8 +395,9 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
             // column (two add-schema/set-properties commits through the
             // service); later firings move the WRITE default only
             if (!dDeclared) {
-              spark.sql(
+              if (!isV3) spark.sql(
                 s"ALTER TABLE $tbl SET TBLPROPERTIES ('format-version' = '3')")
+              isV3 = true
               dInit = 100L + r.nextInt(900); dWrite = dInit
               spark.sql(s"ALTER TABLE $tbl ADD COLUMN d BIGINT DEFAULT $dInit")
               dDeclared = true; defaultOps += 1
@@ -391,11 +409,38 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
               defaultOps += 1
               s"set_default($dWrite)"
             }
+          case 15 => // v3 VARIANT column over the REST transport: the
+            // add-schema commit carries the `variant` type on the wire;
+            // payloads land via UPDATE and flow through the CDC replica's
+            // MERGE (whose carryover collapse proxies variant via
+            // to_json) whenever a drain runs
+            if (!pDeclared) {
+              if (!isV3) spark.sql(
+                s"ALTER TABLE $tbl SET TBLPROPERTIES ('format-version' = '3')")
+              isV3 = true
+              spark.sql(s"ALTER TABLE $tbl ADD COLUMN p VARIANT")
+              pDeclared = true
+              replicaInit = false // the replica's shape changed too
+              variantRestOps += 1
+              "add_variant_col"
+            } else {
+              val m = 2 + r.nextInt(4)
+              val rem = r.nextInt(m)
+              val tag = r.nextInt(1000)
+              val touched = model.keys.filter(k => k % m == rem)
+              touched.foreach(k => pModel(k) = s"""{"k":$k,"t":$tag}""")
+              spark.sql(
+                s"""UPDATE $tbl SET p = parse_json(
+                   |  concat('{"t": $tag, "k": ', k, '}'))
+                   |WHERE k % $m = $rem""".stripMargin)
+              variantRestOps += 1
+              if (touched.isEmpty) "noop_variant" else s"set_variant($m,$rem)"
+            }
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
         if (op != "noop" && sid > 0)
-          history += ((sid, model.toMap, dModel.toMap))
+          history += ((sid, model.toMap, dModel.toMap, pModel.toMap))
 
         // forced 409 at a fixed mid-sequence point: the service refuses
         // the commit, the writer must SURFACE it (no silent success, no
@@ -417,7 +462,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           checkHead("after forced 409 (refused commit must not apply)")
           insertBatch(4) // retry path: service healthy again
           checkHead("retry after 409")
-          history += ((headSnapshot(), model.toMap, dModel.toMap))
+          history += ((headSnapshot(), model.toMap, dModel.toMap, pModel.toMap))
           conflictChecks += 1
         }
       }
@@ -436,7 +481,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           s"declared=$idDeclared served=$loadedIds")
 
       // time-travel coherence through the REST-served metadata
-      history.distinctBy(_._1).foreach { case (sid, want, _) =>
+      history.distinctBy(_._1).foreach { case (sid, want, _, _) =>
         val got = spark.sql(
           s"SELECT k, v FROM $tbl VERSION AS OF $sid ORDER BY k")
           .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
@@ -456,5 +501,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       s"op mix must exercise the default-column lifecycle over REST: $defaultOps")
     assert(replicaOps >= 1,
       s"op mix must exercise CDC-replication drains over REST: $replicaOps")
+    assert(variantRestOps >= 1,
+      s"op mix must exercise the variant column over REST: $variantRestOps")
   }
 }
