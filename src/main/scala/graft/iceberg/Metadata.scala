@@ -259,6 +259,12 @@ object TableMetadata {
           "engine cannot read or write it without silent precision loss — " +
           "read the table with a nanos-capable engine, or migrate the " +
           "column to timestamp/timestamptz (microseconds)")
+    case g if g == "geometry" || g.startsWith("geometry(") ||
+              g == "geography" || g.startsWith("geography(") =>
+      throw new UnsupportedOperationException(
+        s"iceberg type $g: Spark has no spatial column type and this " +
+          "engine ships no geo runtime — read the table with a " +
+          "spatial-capable engine, or store the WKB in a binary column")
     case other           => throw new IllegalArgumentException(s"unsupported iceberg primitive: $other")
   }
 

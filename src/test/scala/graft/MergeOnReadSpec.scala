@@ -202,6 +202,27 @@ class MergeOnReadSpec extends SparkSpec {
     assert(after.find(_._1 == 6L).get._2 == "hit")
   }
 
+  test("scan-class split: clean tables keep the vectorized group scan, " +
+      "debt tables route the delete-applying bridge (plan-asserted)") {
+    val ns = fresh("morplan")
+    spark.sql("""CREATE TABLE morplan.ns.t (k BIGINT, v STRING)
+                 TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql(
+      "INSERT INTO morplan.ns.t SELECT id, concat('v', id) FROM range(0, 10)")
+    def planOf(): String = spark.sql(
+      "EXPLAIN UPDATE morplan.ns.t SET v = 'x' WHERE k = 1")
+      .collect()(0).getString(0)
+    val clean = planOf()
+    assert(clean.contains("GraftGroupScan") &&
+      !clean.contains("GraftLineageGroupScan"),
+      s"clean table must plan the vectorized group scan:\n$clean")
+    spark.sql("DELETE FROM morplan.ns.t WHERE k = 5")
+    val debt = planOf()
+    assert(debt.contains("GraftLineageGroupScan") &&
+      debt.contains("deletesApplied=true"),
+      s"debt table must plan the delete-applying bridge:\n$debt")
+  }
+
   test("a delete manifest landing AFTER a clean-at-plan rewrite aborts " +
       "with the CommitConflictException retry contract") {
     val ns = fresh("morrace")

@@ -295,5 +295,10 @@ class VariantSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nanosecond") &&
       e.getMessage.contains("microseconds"))
+    // geometry/geography refuse the same way, naming the WKB fallback
+    val geo = intercept[UnsupportedOperationException] {
+      TableMetadata.fromJson(json.replace("timestamp_ns", "geometry"))
+    }
+    assert(geo.getMessage.contains("spatial") && geo.getMessage.contains("WKB"))
   }
 }
