@@ -587,18 +587,22 @@ final class IcebergTable private (
              * position)`, the spec's read rule. Null for rows of files
              * with neither (pre-upgrade data, ORC placeholders). */
            keepLineage: Boolean = false): DataFrame = {
-    import IcebergTable.{FpCol, PosCol, RowIdCol}
-    if (keepLineage) require(!metadata.schema.fieldNames.contains(RowIdCol),
+    import IcebergTable.{FpCol, PosCol, RowIdCol, LastUpdCol}
+    if (keepLineage) require(!metadata.schema.fieldNames.contains(RowIdCol) &&
+        !metadata.schema.fieldNames.contains(LastUpdCol),
       s"cannot serve row lineage: a data column shadows the reserved " +
-        s"$RowIdCol name")
+        s"$RowIdCol / $LastUpdCol names")
     val idFields = Seq(
       org.apache.spark.sql.types.StructField(FpCol, StringType, nullable = false),
       org.apache.spark.sql.types.StructField(PosCol,
         org.apache.spark.sql.types.LongType, nullable = false))
     val lineageFields =
       if (!keepLineage) Nil
-      else Seq(org.apache.spark.sql.types.StructField(RowIdCol,
-        org.apache.spark.sql.types.LongType, nullable = true))
+      else Seq(
+        org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(LastUpdCol,
+          org.apache.spark.sql.types.LongType, nullable = true))
     val files = precomputed.getOrElse(planFiles(filters))
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -647,7 +651,8 @@ final class IcebergTable private (
           }
         }
         val idCols = metadata.schema.fieldNames.toSeq ++
-          (if (keepLineage) Seq(RowIdCol) else Nil) ++ Seq(FpCol, PosCol)
+          (if (keepLineage) Seq(RowIdCol, LastUpdCol) else Nil) ++
+          Seq(FpCol, PosCol)
         def norm(df: DataFrame) = df.select(idCols.map(col): _*)
         val parts = Seq(
           if (cands.isEmpty) None
@@ -664,7 +669,7 @@ final class IcebergTable private (
       if (!keepLineage) out
       else completeRowLineage(spark, out, files, col(FpCol), col(PosCol))
     val keep = metadata.schema.fieldNames.toSeq ++
-      (if (keepLineage) Seq(RowIdCol) else Nil) ++
+      (if (keepLineage) Seq(RowIdCol, LastUpdCol) else Nil) ++
       (if (keepIds) Seq(FpCol, PosCol) else Nil)
     if (deletes.isEmpty && !keepIds && !keepLineage) out
     else withLineage.select(keep.map(col): _*)
@@ -679,18 +684,30 @@ final class IcebergTable private (
     * file — metadata-sized, never a shuffle of the data side. */
   private[graft] def completeRowLineage(spark: SparkSession, df: DataFrame,
       files: Seq[DataFileEntry], fpn: Column, pos: Column): DataFrame = {
-    import IcebergTable.RowIdCol
+    import IcebergTable.{RowIdCol, LastUpdCol}
     val baseRows = files.map(f =>
-      (normPath(resolve(f.filePath)), f.firstRowId.getOrElse(-1L)))
+      (normPath(resolve(f.filePath)), f.firstRowId.getOrElse(-1L),
+        f.sequenceNumber.getOrElse(-1L)))
     val baseDf = spark.createDataFrame(baseRows)
-      .toDF("__g_rl_fpn", "__g_rl_base")
-    df.withColumn("__g_rl_fpn", normPathExpr(fpn))
+      .toDF("__g_rl_fpn", "__g_rl_base", "__g_rl_seq")
+    // callers built before the sequence column existed (or whose scan
+    // path cannot materialize it) serve inherited-only values
+    val df0 =
+      if (df.columns.contains(LastUpdCol)) df
+      else df.withColumn(LastUpdCol,
+        lit(null).cast(org.apache.spark.sql.types.LongType))
+    df0.withColumn("__g_rl_fpn", normPathExpr(fpn))
       .withColumn("__g_rl_pos", pos)
       .join(broadcast(baseDf), Seq("__g_rl_fpn"), "left")
       .withColumn(RowIdCol, coalesce(col(RowIdCol),
         when(col("__g_rl_base") >= 0 && col("__g_rl_pos") >= 0,
           col("__g_rl_base") + col("__g_rl_pos"))))
-      .drop("__g_rl_fpn", "__g_rl_pos", "__g_rl_base")
+      // the sequence twin inherits per FILE (no position component);
+      // pre-lineage files (no first_row_id) serve null like _row_id
+      .withColumn(LastUpdCol, coalesce(col(LastUpdCol),
+        when(col("__g_rl_base") >= 0 && col("__g_rl_seq") >= 0,
+          col("__g_rl_seq"))))
+      .drop("__g_rl_fpn", "__g_rl_pos", "__g_rl_base", "__g_rl_seq")
   }
 
   /** `(file_path, pos)` of every row this snapshot's EQUALITY deletes
@@ -753,8 +770,11 @@ final class IcebergTable private (
         // serve explicit nulls so the format union stays aligned
         val av = scanAvroFiles(spark, avroFiles, withIds)
         Some(if (!matRowId) av
-          else av.withColumn(IcebergTable.RowIdCol,
-            lit(null).cast(org.apache.spark.sql.types.LongType)))
+          else av
+            .withColumn(IcebergTable.RowIdCol,
+              lit(null).cast(org.apache.spark.sql.types.LongType))
+            .withColumn(IcebergTable.LastUpdCol,
+              lit(null).cast(org.apache.spark.sql.types.LongType)))
       }).flatten
     parts.reduce(_ unionByName _)
   }
@@ -894,13 +914,17 @@ final class IcebergTable private (
         else {
           val baseHasIds =
             schema0.fields.exists(_.metadata.contains("parquet.field.id"))
-          val md =
+          def md(id: Long) =
             if (baseHasIds) new org.apache.spark.sql.types.MetadataBuilder()
-              .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()
+              .putLong("parquet.field.id", id).build()
             else org.apache.spark.sql.types.Metadata.empty
-          StructType(schema0.fields :+ org.apache.spark.sql.types.StructField(
-            IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
-            nullable = true, metadata = md))
+          StructType(schema0.fields ++ Seq(
+            org.apache.spark.sql.types.StructField(
+              IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
+              nullable = true, metadata = md(IcebergTable.RowIdFieldId)),
+            org.apache.spark.sql.types.StructField(
+              IcebergTable.LastUpdCol, org.apache.spark.sql.types.LongType,
+              nullable = true, metadata = md(IcebergTable.LastUpdFieldId))))
         }
       // required-with-initial-default columns read as nullable (the
       // reader refuses a missing required column before consulting
@@ -1626,6 +1650,16 @@ object IcebergTable {
     * lineage read serves. */
   private[graft] val RowIdCol = "_row_id"
   private[graft] val RowIdFieldId = 2147483540L
+
+  /** v3 row lineage's SECOND column: the sequence number of the commit
+    * that last wrote the row. Reserved name + field id per the spec.
+    * Null in a data file means "inherit the file's data sequence
+    * number"; rewrites of unchanged rows MATERIALIZE the old value
+    * (the replacement file's own sequence would misreport them as
+    * updated), while genuinely updated rows write null and so inherit
+    * the updating commit's sequence. */
+  private[graft] val LastUpdCol = "_last_updated_sequence_number"
+  private[graft] val LastUpdFieldId = 2147483539L
 
   /** Release the storage behind a localCheckpoint'd DataFrame — the
     * checkpointed blocks cannot recompute, so callers may only release

@@ -663,11 +663,13 @@ object IcebergWriter {
     * fanout parquet writer materializes it as the spec's lineage column
     * (readable by field id or name). */
   private def stampLineageField(df: DataFrame): DataFrame = {
-    import graft.iceberg.IcebergTable.{RowIdCol, RowIdFieldId}
-    val m = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong("parquet.field.id", RowIdFieldId).build()
+    import graft.iceberg.IcebergTable.{RowIdCol, RowIdFieldId,
+      LastUpdCol, LastUpdFieldId}
+    def m(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
     df.select(df.schema.fieldNames.toSeq.map {
-      case RowIdCol => col(RowIdCol).as(RowIdCol, m)
+      case RowIdCol => col(RowIdCol).as(RowIdCol, m(RowIdFieldId))
+      case LastUpdCol => col(LastUpdCol).as(LastUpdCol, m(LastUpdFieldId))
       case n => col(n)
     }: _*)
   }
@@ -1895,14 +1897,21 @@ object IcebergWriter {
         // replacement files. ORC sources have no row positions: their
         // survivors' lineage degrades to null (same stance as the read).
         val lineage = wantsLineage(meta)
-        import graft.iceberg.IcebergTable.{RowIdCol, RowIdFieldId}
+        import graft.iceberg.IcebergTable.{RowIdCol, RowIdFieldId,
+          LastUpdCol, LastUpdFieldId}
         def readSchema0 =
           if (!lineage) meta.schema
-          else org.apache.spark.sql.types.StructType(meta.schema.fields :+
-            org.apache.spark.sql.types.StructField(RowIdCol,
-              org.apache.spark.sql.types.LongType, nullable = true,
-              metadata = new org.apache.spark.sql.types.MetadataBuilder()
-                .putLong("parquet.field.id", RowIdFieldId).build()))
+          else {
+            def lm(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id).build()
+            org.apache.spark.sql.types.StructType(meta.schema.fields ++ Seq(
+              org.apache.spark.sql.types.StructField(RowIdCol,
+                org.apache.spark.sql.types.LongType, nullable = true,
+                metadata = lm(RowIdFieldId)),
+              org.apache.spark.sql.types.StructField(LastUpdCol,
+                org.apache.spark.sql.types.LongType, nullable = true,
+                metadata = lm(LastUpdFieldId))))
+          }
         def withLineage(df: DataFrame): DataFrame =
           if (!lineage) df
           else table.completeRowLineage(spark, df, candidates,
@@ -1915,7 +1924,7 @@ object IcebergWriter {
           else Some(spark.read.schema(readSchema0)
             .orc(orcRw.map(p => table.resolve(p)): _*))).flatten
         val keepCols = meta.schema.fieldNames.toSeq ++
-          (if (lineage) Seq(RowIdCol) else Nil)
+          (if (lineage) Seq(RowIdCol, LastUpdCol) else Nil)
         val src0 = srcParts.reduce(_ unionByName _)
           .filter(!cond)
           .select(keepCols.map(col): _*)

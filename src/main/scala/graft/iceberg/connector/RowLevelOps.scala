@@ -108,8 +108,11 @@ final class GraftRowLevelOperation(
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (lineageOn)
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(IcebergTable.RowIdCol))
+      Array(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(IcebergTable.RowIdCol),
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(IcebergTable.LastUpdCol))
     else Array.empty
 
   /** Analysis-time construction must not throw (every DELETE builds one
@@ -214,17 +217,25 @@ private[connector] object RowLevelWriteSchemas {
       }
     })
     if (!lineage) stamped0
-    else StructType(stamped0.fields :+ org.apache.spark.sql.types.StructField(
-      IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
-      nullable = true,
-      new MetadataBuilder()
-        .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()))
+    else StructType(stamped0.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(
+        IcebergTable.RowIdCol, org.apache.spark.sql.types.LongType,
+        nullable = true,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", IcebergTable.RowIdFieldId).build()),
+      org.apache.spark.sql.types.StructField(
+        IcebergTable.LastUpdCol, org.apache.spark.sql.types.LongType,
+        nullable = true,
+        new MetadataBuilder()
+          .putLong("parquet.field.id", IcebergTable.LastUpdFieldId).build())))
   }
 
   def fieldIds(meta: graft.iceberg.TableMetadata,
       lineage: Boolean): Map[String, Int] =
     if (lineage)
-      meta.fieldIds + (IcebergTable.RowIdCol -> IcebergTable.RowIdFieldId.toInt)
+      meta.fieldIds +
+        (IcebergTable.RowIdCol -> IcebergTable.RowIdFieldId.toInt) +
+        (IcebergTable.LastUpdCol -> IcebergTable.LastUpdFieldId.toInt)
     else meta.fieldIds
 
   def partitionFields(meta: graft.iceberg.TableMetadata,
@@ -535,7 +546,7 @@ final class GraftReplaceWrite(
               new org.apache.spark.sql.catalyst.expressions.JoinedRow
             private val nullMeta: InternalRow =
               new org.apache.spark.sql.catalyst.expressions
-                .GenericInternalRow(Array[Any](null))
+                .GenericInternalRow(Array[Any](null, null))
             override def write(rec: InternalRow): Unit =
               w.write(joined(rec, nullMeta))
             override def write(metaRow: InternalRow, rec: InternalRow): Unit =
@@ -708,8 +719,11 @@ final class GraftDeltaOperation(
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (lineageOn)
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(IcebergTable.RowIdCol))
+      Array(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(IcebergTable.RowIdCol),
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(IcebergTable.LastUpdCol))
     else Array.empty
 
   /** The table state this operation reads and deletes against: the WAP

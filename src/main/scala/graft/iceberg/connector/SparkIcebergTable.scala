@@ -104,6 +104,25 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
             * which the copy-on-write path relies on. */
           override def metadataInJSON(): String =
             s"""{"${org.apache.spark.sql.connector.catalog.MetadataColumn.PRESERVE_ON_REINSERT}": true}"""
+        },
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String =
+            graft.iceberg.IcebergTable.LastUpdCol
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            org.apache.spark.sql.types.LongType
+          override def isNullable: Boolean = true
+          override def comment(): String =
+            "v3 row lineage: sequence number of the commit that last " +
+              "wrote the row (null in files inherits the file's data " +
+              "sequence number)"
+          /** Copy-on-write rewrites: COPIED rows preserve their old
+            * value (PRESERVE_ON_UPDATE default true would also keep it
+            * on UPDATED rows — wrong: the spec says an updated row takes
+            * the updating commit's sequence, which writing null achieves
+            * via per-file inheritance). Merge-on-read reinserts keep
+            * Spark's null-on-reinsert default for the same reason. */
+          override def metadataInJSON(): String =
+            s"""{"${org.apache.spark.sql.connector.catalog.MetadataColumn.PRESERVE_ON_UPDATE}": false}"""
         }))
 
   /** Writes go through the V1 bridge ([[GraftWriteBuilder]]): the commit
@@ -518,7 +537,8 @@ final class GraftScanBuilder(table: IcebergTable,
     // conflict rule) and must stay on the native batch path
     val dataColNames = table.metadata.schema.fieldNames.toSet
     val wantsRowId = requiredSchema.fieldNames
-      .exists(n => (n == "_file" || n == "_pos" || n == "_row_id") &&
+      .exists(n => (n == "_file" || n == "_pos" || n == "_row_id" ||
+          n == graft.iceberg.IcebergTable.LastUpdCol) &&
         !dataColNames.contains(n))
     // ORC imports (add_files) also take the V1 bridge: the native Batch
     // is Spark's parquet reader — toDF dispatches per-format scans
@@ -1163,9 +1183,10 @@ final class GraftScan(
     if (table.hasDeletes) refuse("this table carries v2 delete files")
     if (limit.nonEmpty) refuse("a LIMIT pushdown cannot follow a frontier")
     if (requiredSchema.fieldNames.exists(n =>
-        n == "_file" || n == "_pos" || n == "_row_id"))
-      refuse("_file/_pos/_row_id row-identity projections are " +
-        "parquet-batch-only")
+        n == "_file" || n == "_pos" || n == "_row_id" ||
+          n == graft.iceberg.IcebergTable.LastUpdCol))
+      refuse("_file/_pos/_row_id/_last_updated_sequence_number " +
+        "row-identity projections are parquet-batch-only")
     if (table.missingPartitionColumns(spark, files).nonEmpty)
       refuse("partition values live only in metadata (re-injection is a " +
         "batch-plan shape)")
@@ -1216,12 +1237,14 @@ final class GraftScan(
         // (Spark's conflict rule), so only non-schema names map.
         val dataCols = table.metadata.schema.fieldNames.toSet
         val isMetaCol = (n: String) =>
-          (n == "_file" || n == "_pos" || n == "_row_id") &&
+          (n == "_file" || n == "_pos" || n == "_row_id" ||
+            n == graft.iceberg.IcebergTable.LastUpdCol) &&
             !dataCols.contains(n)
         val wantsRowId = requiredSchema.fieldNames
           .exists(n => isMetaCol(n) && (n == "_file" || n == "_pos"))
         val wantsLineage = requiredSchema.fieldNames
-          .exists(n => isMetaCol(n) && n == "_row_id")
+          .exists(n => isMetaCol(n) && (n == "_row_id" ||
+            n == graft.iceberg.IcebergTable.LastUpdCol))
         var df = table.toDF(spark, filters.toSeq, precomputed = Some(files),
           keepIds = wantsRowId, keepLineage = wantsLineage)
         // Re-apply pushed predicates inside the inner plan so the parquet

@@ -1398,6 +1398,40 @@ object IcebergQueries {
           |ORDER BY k ASC NULLS FIRST""".stripMargin)
     }),
 
+    // v3 row lineage, BOTH columns: `_last_updated_sequence_number`
+    // inherits each file's data sequence number, a copy-on-write UPDATE
+    // (here running OVER outstanding merge-on-read delete debt) moves
+    // ONLY the updated rows to the updating commit's sequence while
+    // copied rows keep theirs through the rewrite — the oracle
+    // reconstructs every row's expected sequence from the commit order.
+    "q170_lineage_seq" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      val warehouse = graft.Scratch.dir("q170-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_src_q170")
+      s.conf.set("spark.sql.catalog.q170cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q170cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q170cat.ns")
+      s.sql(
+        """CREATE TABLE q170cat.ns.t (k BIGINT, pri STRING)
+          |TBLPROPERTIES ('format-version' = '3',
+          |               'write.delete.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(
+        """INSERT INTO q170cat.ns.t
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM orders_src_q170 WHERE o_orderkey % 4 = 0""".stripMargin) // seq 1
+      s.sql(
+        """INSERT INTO q170cat.ns.t
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM orders_src_q170 WHERE o_orderkey % 4 = 1""".stripMargin) // seq 2
+      s.sql("DELETE FROM q170cat.ns.t WHERE k % 10 = 6") // seq 3, MoR debt
+      s.sql("UPDATE q170cat.ns.t SET pri = 'hit' WHERE k % 9 = 3") // seq 4, CoW
+      s.sql(
+        """SELECT k, pri, _last_updated_sequence_number AS seq
+          |FROM q170cat.ns.t ORDER BY k ASC NULLS FIRST""".stripMargin)
+    }),
+
     // Copy-on-write rewrite OVER outstanding merge-on-read delete debt:
     // the rewrite reads delete-applied rows and its replacement files
     // (new sequence number) escape the old delete files — the deletions
@@ -2114,6 +2148,16 @@ object IcebergQueries {
         |FROM stream
         |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
         |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q170_lineage_seq" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |       CASE WHEN o_orderkey % 9 = 3 THEN 'hit'
+        |            ELSE o_orderpriority END AS pri,
+        |       CAST(CASE WHEN o_orderkey % 9 = 3 THEN 4
+        |                 WHEN o_orderkey % 4 = 0 THEN 1
+        |                 ELSE 2 END AS BIGINT) AS seq
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1) AND o_orderkey % 10 <> 6
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
     "q169_cow_over_debt" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS k,
         |       CASE WHEN o_orderkey % 9 = 3

@@ -446,4 +446,61 @@ class FormatV3Spec extends SparkSpec {
     assert(m.snapshots.forall(_.firstRowId.nonEmpty),
       "every v3 commit assigns row lineage")
   }
+
+  test("_last_updated_sequence_number: inherits per file, UPDATED rows " +
+      "take the new commit's sequence, COPIED rows and compaction " +
+      "preserve the old one (CoW and MoR)") {
+    freshCatalog()
+    spark.sql("""CREATE TABLE v3cat.ns.seq (k BIGINT, v STRING)
+                 TBLPROPERTIES ('format-version' = '3')""")
+    def seqs(): Map[Long, Long] = {
+      val rows = spark.sql(
+        "SELECT k, _last_updated_sequence_number FROM v3cat.ns.seq")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(rows.values.forall(_.nonEmpty),
+        s"null _last_updated_sequence_number: $rows")
+      rows.map { case (k, v) => k -> v.get }
+    }
+    spark.sql("INSERT INTO v3cat.ns.seq SELECT id, 'a' FROM range(0, 4)")
+    spark.sql("INSERT INTO v3cat.ns.seq SELECT id, 'b' FROM range(10, 14)")
+    val s0 = seqs()
+    val (seqA, seqB) = (s0(0L), s0(10L))
+    assert(seqB > seqA, s"second commit must carry a later sequence: $s0")
+    assert((0L until 4L).forall(k => s0(k) == seqA) &&
+      (10L until 14L).forall(k => s0(k) == seqB),
+      s"inheritance serves the file's data sequence: $s0")
+    // copy-on-write UPDATE of ONE row: it takes the new sequence, the
+    // same file's COPIED rows keep the old one (materialized into the
+    // replacement file — its own data sequence is the new commit's)
+    spark.sql("UPDATE v3cat.ns.seq SET v = 'hit' WHERE k = 1")
+    val s1 = seqs()
+    assert(s1(1L) > seqB, s"updated row must take the updating sequence: $s1")
+    assert(s1(0L) == seqA && s1(2L) == seqA && s1(3L) == seqA,
+      s"copied rows must preserve their old sequence: $s1")
+    assert(s1(10L) == seqB, s"untouched files unchanged: $s1")
+    // compaction: pure data movement — every value preserved
+    graft.iceberg.IcebergWriter.compact(spark, s"$warehouse/ns/seq")
+    assert(seqs() == s1, "compaction must not move any row's sequence")
+    // merge-on-read UPDATE: the reinserted row takes the new sequence
+    spark.sql("""ALTER TABLE v3cat.ns.seq SET TBLPROPERTIES
+                 ('write.update.mode' = 'merge-on-read')""")
+    spark.sql("UPDATE v3cat.ns.seq SET v = 'mor' WHERE k = 12")
+    val s2 = seqs()
+    assert(s2(12L) > s1(12L),
+      s"merge-on-read updated row must take the new sequence: $s2")
+    assert(s2 - 12L == s1 - 12L, s"every other row unchanged: $s2 vs $s1")
+    // pre-v3 history: an upgraded table's pre-upgrade files serve null
+    spark.sql("CREATE TABLE v3cat.ns.up (k BIGINT)")
+    spark.sql("INSERT INTO v3cat.ns.up VALUES (1)")
+    spark.sql(
+      "ALTER TABLE v3cat.ns.up SET TBLPROPERTIES ('format-version' = '3')")
+    spark.sql("INSERT INTO v3cat.ns.up VALUES (2)")
+    val up = spark.sql(
+      "SELECT k, _last_updated_sequence_number FROM v3cat.ns.up")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(up(1L).isEmpty && up(2L).nonEmpty,
+      s"pre-upgrade files serve null lineage, post-upgrade inherit: $up")
+  }
 }
