@@ -586,7 +586,14 @@ final class IcebergTable private (
              * `coalesce(materialized _row_id, manifest first_row_id +
              * position)`, the spec's read rule. Null for rows of files
              * with neither (pre-upgrade data, ORC placeholders). */
-           keepLineage: Boolean = false): DataFrame = {
+           keepLineage: Boolean = false,
+           /** Hint the delete-application joins to BROADCAST their
+             * delete inputs instead of leaving the planner's estimate to
+             * decide — the RDD-bridged rewrite scan cannot execute a
+             * shuffle, and estimate-driven plans made the same rewrite
+             * pass or fail depending on session history. Callers gate on
+             * delete volume first. */
+           broadcastDeletes: Boolean = false): DataFrame = {
     import IcebergTable.{FpCol, PosCol, RowIdCol, LastUpdCol}
     if (keepLineage) require(!metadata.schema.fieldNames.contains(RowIdCol) &&
         !metadata.schema.fieldNames.contains(LastUpdCol),
@@ -659,7 +666,7 @@ final class IcebergTable private (
           else Some(norm(applyDeletes(spark,
             scanFiles(spark, cands, withIds = true, placeholderPos = orcInPlan,
               matRowId = keepLineage),
-            cands, deletes))),
+            cands, deletes, broadcastDeletes))),
           if (rest.isEmpty) None
           else Some(norm(scanFiles(spark, rest, withIds = true,
             placeholderPos = orcInPlan, matRowId = keepLineage)))).flatten
@@ -1025,7 +1032,8 @@ final class IcebergTable private (
     */
   private def applyDeletes(spark: SparkSession, data: DataFrame,
                            files: Seq[DataFileEntry],
-                           deletes: Seq[DeleteFileEntry]): DataFrame = {
+                           deletes: Seq[DeleteFileEntry],
+                           broadcastDeletes: Boolean = false): DataFrame = {
     import IcebergTable.{FpCol, PosCol}
     // per-data-file sequence numbers, joined on by normalized path
     // (driver-side list → broadcast; one row per file)
@@ -1042,7 +1050,8 @@ final class IcebergTable private (
         (normPath(resolve(d.filePath)), d.sequenceNumber.getOrElse(Long.MaxValue))))
         .toDF("__g_delsrcn", "__g_delseq")
 
-    positionDeleteRows(spark, deletes.filter(_.content == 1)).foreach { pd =>
+    positionDeleteRows(spark, deletes.filter(_.content == 1)).foreach { pd0 =>
+      val pd = if (broadcastDeletes) broadcast(pd0) else pd0
       out = out.join(pd,
         out("__g_fpn") === pd("__g_dfpn") && out(PosCol) === pd("__g_dpos") &&
           out("__g_dataseq") <= pd("__g_delseq"),
@@ -1055,11 +1064,12 @@ final class IcebergTable private (
         val eqCols = eqIds.map(id => idToName.getOrElse(id,
           throw new IllegalStateException(
             s"equality delete references unknown field id $id in $tableDir")))
-        val ed = spark.read.schema(eqDeleteReadSchema(eqCols))
+        val ed0 = spark.read.schema(eqDeleteReadSchema(eqCols))
           .parquet(group.map(d => resolve(d.filePath)): _*)
           .select(eqCols.map(c => col(c).as(s"__g_del_$c")) :+
             normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"): _*)
           .join(broadcast(deleteSeqDF(group)), Seq("__g_delsrcn"))
+        val ed = if (broadcastDeletes) broadcast(ed0) else ed0
         val cond = eqCols.map(c => out(c) <=> ed(s"__g_del_$c")).reduce(_ && _) &&
           out("__g_dataseq") < ed("__g_delseq")
         out = out.join(ed, cond, "left_anti")
@@ -1278,7 +1288,10 @@ final class IcebergTable private (
     // source's RDD bridge requires, and one less exchange for batch).
     val branches = scala.collection.mutable.ArrayBuffer
       .empty[(DataFrame, org.apache.spark.sql.Column)]
-    positionDeleteRows(spark, deletes.filter(_.content == 1)).foreach { pd =>
+    positionDeleteRows(spark, deletes.filter(_.content == 1)).foreach { pd0 =>
+      // deterministic hint: the CDC window's RDD bridge needs these
+      // joins broadcast regardless of the planner's size estimate
+      val pd = broadcast(pd0)
       branches += pd -> (
         out("__g_fpn") === pd("__g_dfpn") && out(PosCol) === pd("__g_dpos") &&
           out("__g_dataseq") <= pd("__g_delseq"))
@@ -1289,11 +1302,12 @@ final class IcebergTable private (
         val eqCols = eqIds.map(id => idToName.getOrElse(id,
           throw new IllegalStateException(
             s"equality delete references unknown field id $id in $tableDir")))
-        val ed = spark.read.schema(eqDeleteReadSchema(eqCols))
+        val ed0 = spark.read.schema(eqDeleteReadSchema(eqCols))
           .parquet(group.map(d => resolve(d.filePath)): _*)
           .select(eqCols.map(c => col(c).as(s"__g_del_$c")) :+
             normPathExpr(col("_metadata.file_path")).as("__g_delsrcn"): _*)
           .join(broadcast(deleteSeqDF(group)), Seq("__g_delsrcn"))
+        val ed = broadcast(ed0) // same bridge requirement as above
         val cond = eqCols.map(c => out(c) <=> ed(s"__g_del_$c")).reduce(_ && _) &&
           out("__g_dataseq") < ed("__g_delseq")
         branches += ed -> cond

@@ -330,8 +330,21 @@ final class GraftLineageGroupScan(
       // NO row filters: copy-on-write must read every row of a matched
       // file (non-matching ones are written back verbatim). toDF over
       // the pinned file list reads exactly those files, lineage served.
+      // DETERMINISTIC delete-input broadcasts (the planner's own
+      // size-estimate decision varied with session history, making the
+      // same rewrite pass or fail the shuffle-free assertion below) —
+      // gated on delete volume so an oversized debt refuses loudly
+      // instead of OOMing the driver on a forced broadcast.
+      val debtRows = table.planDeletes().map(_.recordCount).sum
+      val DebtCap = 50L * 1000 * 1000 // ~16 B/tuple ⇒ ≲1 GB broadcast
+      if (debtRows > DebtCap) throw new IllegalStateException(
+        s"copy-on-write rewrite over $debtRows outstanding deleted rows " +
+          s"exceeds the broadcastable cap ($DebtCap); compact or convert " +
+          "the delete debt first (rewrite_position_delete_files / " +
+          "IcebergWriter.compact), then re-run the rewrite")
       val df = table
-        .toDF(s, Nil, precomputed = Some(plannedFiles), keepLineage = lineage)
+        .toDF(s, Nil, precomputed = Some(plannedFiles), keepLineage = lineage,
+          broadcastDeletes = true)
         .select(requiredSchema.fieldNames.toSeq.map(col): _*)
       val rdd = df.queryExecution.toRdd
       // completeRowLineage is broadcast-only and delete application
