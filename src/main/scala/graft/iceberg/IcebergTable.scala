@@ -965,7 +965,9 @@ final class IcebergTable private (
             mb.putString("EXISTS_DEFAULT", f.metadata.getString("EXISTS_DEFAULT"))
           StructField(src, f.dataType, f.nullable, mb.build()) })
         val renamed = pairs.map { case (src, f) => col(src).as(f.name) } ++
-          (if (matRowId) Seq(col(IcebergTable.RowIdCol)) else Nil) ++
+          (if (matRowId)
+             Seq(col(IcebergTable.RowIdCol), col(IcebergTable.LastUpdCol))
+           else Nil) ++
           (if (!withIds) Nil
            else Seq(col(IcebergTable.FpCol), col(IcebergTable.PosCol)))
         withRowId(load(readSchema, paths))
@@ -980,7 +982,8 @@ final class IcebergTable private (
         // literals from manifest metadata, union by name.
         val dataSchema = StructType(metadata.schema.filterNot(f => missing.contains(f.name)))
         val keep = metadata.schema.fieldNames.toSeq ++
-          (if (matRowId) Seq(IcebergTable.RowIdCol) else Nil) ++
+          (if (matRowId) Seq(IcebergTable.RowIdCol, IcebergTable.LastUpdCol)
+           else Nil) ++
           (if (!withIds) Nil else Seq(IcebergTable.FpCol, IcebergTable.PosCol))
         val groups = files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
         groups.map { case (values, gfiles) =>

@@ -332,10 +332,14 @@ object SchemaEvolution {
         if (from == "date" && to == "timestamp")
           Seq("initial-default", "write-default").foreach { attr =>
             Option(node.get(attr)).filter(_.isTextual).foreach { d =>
+              // explicit pattern, NOT ISO_LOCAL_DATE_TIME: the latter
+              // omits the seconds field at midnight ("2024-01-05T00:00"),
+              // which stricter spec parsers ("YYYY-MM-DDTHH:MM:SS(.f)")
+              // in other engines would refuse to load
               node.put(attr, java.time.LocalDate.parse(d.asText)
                 .atStartOfDay()
                 .format(java.time.format.DateTimeFormatter
-                  .ISO_LOCAL_DATE_TIME))
+                  .ofPattern("yyyy-MM-dd'T'HH:mm:ss")))
             }
           }
         node.put("type", to)

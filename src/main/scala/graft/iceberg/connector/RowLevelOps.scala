@@ -13,6 +13,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.iceberg.{DataFileEntry, IcebergTable, IcebergWriter}
 
+/** Tunables for the row-level (CoW) paths. Each is read as a
+  * `spark.`-prefixed SESSION conf first (the caps guard this driver's
+  * memory), then a table property (travels with the table as its
+  * default), then the built-in default — so an operator with a bigger
+  * driver can raise a cap per-session without a rebuild or a table
+  * commit. */
+object RowLevelOps {
+  /** Max outstanding deleted ROWS a CoW rewrite will force-broadcast
+    * during delete application (default 50M ≈ 1 GB of position tuples). */
+  val MaxBroadcastDeleteRows = "graft.rewrite.max-broadcast-delete-rows"
+  /** Max ESTIMATED BYTES of that broadcast (default 1 GiB) — the row cap
+    * alone under-gates wide equality-delete tuples. */
+  val MaxBroadcastDeleteBytes = "graft.rewrite.max-broadcast-delete-bytes"
+}
+
 /** Group-based (copy-on-write) row-level operations: SQL `UPDATE`,
   * `MERGE INTO`, and `DELETE` with predicates equality deletes cannot
   * express. Spark's own analyzer rewrites (`RewriteUpdateTable`,
@@ -335,13 +350,53 @@ final class GraftLineageGroupScan(
       // same rewrite pass or fail the shuffle-free assertion below) —
       // gated on delete volume so an oversized debt refuses loudly
       // instead of OOMing the driver on a forced broadcast.
-      val debtRows = table.planDeletes().map(_.recordCount).sum
-      val DebtCap = 50L * 1000 * 1000 // ~16 B/tuple ⇒ ≲1 GB broadcast
-      if (debtRows > DebtCap) throw new IllegalStateException(
-        s"copy-on-write rewrite over $debtRows outstanding deleted rows " +
-          s"exceeds the broadcastable cap ($DebtCap); compact or convert " +
-          "the delete debt first (rewrite_position_delete_files / " +
-          "IcebergWriter.compact), then re-run the rewrite")
+      val debt = table.planDeletes()
+      val debtRows = debt.map(_.recordCount).sum
+      // Caps guard THIS driver's memory, so an explicitly-set session
+      // conf (`spark.`-prefixed) wins over the table property; the table
+      // property travels with the table as the default.
+      def cap(prop: String, dflt: Long): Long =
+        s.conf.getOption(s"spark.$prop")
+          .orElse(table.metadata.properties.get(prop)).map(_.toLong)
+          .getOrElse(dflt)
+      val rowCap = cap(RowLevelOps.MaxBroadcastDeleteRows,
+        50L * 1000 * 1000) // position tuples ~16 B ⇒ ≲1 GB broadcast
+      val byteCap = cap(RowLevelOps.MaxBroadcastDeleteBytes, 1L << 30)
+      // A row count alone under-gates EQUALITY deletes — their rows carry
+      // full data-column tuples, so a wide string/binary equality delete
+      // could pass a row cap yet build a multi-GB broadcast. Estimate
+      // bytes from the schema widths of the equality-id columns
+      // (variable-width types assumed 128 B — conservative, and the
+      // refusal names the property to raise when the estimate is unfair).
+      def width(dt: org.apache.spark.sql.types.DataType): Long = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case BooleanType | ByteType => 1L
+          case ShortType => 2L
+          case IntegerType | FloatType | DateType => 4L
+          case LongType | DoubleType | TimestampType | TimestampNTZType => 8L
+          case _: DecimalType => 16L
+          case _ => 128L
+        }
+      }
+      val byId = table.metadata.fieldIds.map(_.swap)
+      val debtBytes = debt.map { d =>
+        val perRow =
+          if (d.content == 2) math.max(16L, d.equalityIds.flatMap(byId.get)
+            .flatMap(n => table.metadata.schema.fields.find(_.name == n))
+            .map(f => width(f.dataType)).sum)
+          else 16L // position delete / DV: (path dict-ref, long position)
+        d.recordCount * perRow
+      }.sum
+      if (debtRows > rowCap || debtBytes > byteCap)
+        throw new IllegalStateException(
+          s"copy-on-write rewrite over $debtRows outstanding deleted rows " +
+            s"(~$debtBytes B estimated) exceeds the broadcastable cap " +
+            s"(${RowLevelOps.MaxBroadcastDeleteRows}=$rowCap, " +
+            s"${RowLevelOps.MaxBroadcastDeleteBytes}=$byteCap); compact " +
+            "or convert the delete debt first " +
+            "(rewrite_position_delete_files / IcebergWriter.compact) or " +
+            "raise the cap property, then re-run the rewrite")
       val df = table
         .toDF(s, Nil, precomputed = Some(plannedFiles), keepLineage = lineage,
           broadcastDeletes = true)

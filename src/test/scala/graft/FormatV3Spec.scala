@@ -200,6 +200,156 @@ class FormatV3Spec extends SparkSpec {
       s"inherited lineage over the id-less import: ${rows.toSeq.sortBy(_._1).take(5)}")
   }
 
+  test("_last_updated_sequence_number serves through the name-mapping " +
+      "branch WITH delete files present (r16 advice: matRowId kept only " +
+      "_row_id, so norm() crashed selecting the dropped column)") {
+    freshCatalog()
+    spark.sql(
+      """CREATE TABLE v3cat.ns.nm2 (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('format-version' = '3')""".stripMargin)
+    val dir = s"$warehouse/ns/nm2"
+    val src = "/root/repo/target/v3-nm2-src"
+    new Path(src).getFileSystem(conf).delete(new Path(src), true)
+    spark.range(30).selectExpr("id AS k", "id * 3 AS v")
+      .coalesce(1).write.parquet(src)
+    val file = new Path(src).getFileSystem(conf)
+      .listStatus(new Path(src)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    IcebergWriter.addFiles(spark, dir, Seq(file.toString))
+    spark.sql("""ALTER TABLE v3cat.ns.nm2 SET TBLPROPERTIES (
+      |'schema.name-mapping.default' =
+      |'[{"field-id":1,"names":["k"]},{"field-id":2,"names":["v"]}]')"""
+      .stripMargin)
+    // a merge-on-read delete: the read now routes candidates through the
+    // norm() projection that selects BOTH lineage columns
+    spark.sql("DELETE FROM v3cat.ns.nm2 WHERE k = 5")
+    val t = new IcebergTable(dir, conf)
+    assert(t.needsNameMapping(spark, t.planFiles()) && t.hasDeletes,
+      "fixture must exercise name-mapping + delete application together")
+    val expectSeq = t.planFiles().head.sequenceNumber
+    assert(expectSeq.isDefined, "import file must carry a sequence number")
+    val rows = spark.sql(
+      "SELECT k, _row_id, _last_updated_sequence_number FROM v3cat.ns.nm2")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+         (if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(rows.keySet == (0L until 30L).toSet - 5L,
+      s"MoR delete applies under the lineage read: ${rows.keySet.size} rows")
+    assert(rows.forall { case (k, (rid, _)) => rid.contains(k) },
+      s"inherited _row_id: ${rows.toSeq.sortBy(_._1).take(5)}")
+    assert(rows.values.forall(_._2 == expectSeq),
+      s"inherited _last_updated_sequence_number = $expectSeq: " +
+        s"${rows.toSeq.sortBy(_._1).take(5)}")
+  }
+
+  test("_last_updated_sequence_number survives the partition re-injection " +
+      "branch, materialized value beating per-file inheritance (r16 " +
+      "advice: the dropped column silently fell back to inheritance)") {
+    // Hand-built v3 table (external-writer layout): parquet data files
+    // carry only (id, v) — identity partition column p lives ONLY in the
+    // manifest tuple, forcing the re-injection scan branch. File A also
+    // MATERIALIZES _last_updated_sequence_number = 42 (a rewritten file's
+    // layout); file B doesn't and must inherit its entry's sequence.
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = "/root/repo/target/v3-partmeta-lineage"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    new java.io.File(s"$root/metadata").mkdirs()
+    new java.io.File(s"$root/data").mkdirs()
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    def dataFile(name: String, rows: Seq[Row], s: StructType): java.io.File = {
+      val d = s"$root/data/$name"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), s).write.parquet(d)
+      new java.io.File(d).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+    }
+    val withLineage = StructType(Seq(
+      StructField("id", LongType, nullable = true, fid(1)),
+      StructField("v", StringType, nullable = true, fid(3)),
+      StructField(IcebergTable.LastUpdCol, LongType, nullable = true,
+        fid(IcebergTable.LastUpdFieldId))))
+    val plain = StructType(withLineage.fields.take(2))
+    val fA = dataFile("a", Seq(Row(0L, "v0", 42L), Row(1L, "v1", 42L)),
+      withLineage)
+    val fB = dataFile("b", Seq(Row(2L, "v2"), Row(3L, "v3"), Row(4L, "v4")),
+      plain)
+    val manifestSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |    {"name":"p","type":["null","long"],"default":null}]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"first_row_id","type":["null","long"],"default":null}]}}]}"""
+        .stripMargin)
+    val dfS = manifestSchema.getField("data_file").schema
+    val partS = dfS.getField("partition").schema
+    def entry(f: java.io.File, p: Long, rows: Long, seq: Long,
+              firstRowId: Long): GenericRecord = {
+      val part = new GenericData.Record(partS); part.put("p", p)
+      val d = new GenericData.Record(dfS)
+      d.put("file_path", f.toString); d.put("file_format", "PARQUET")
+      d.put("partition", part); d.put("record_count", rows)
+      d.put("file_size_in_bytes", f.length)
+      d.put("first_row_id", firstRowId)
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 1); e.put("sequence_number", seq); e.put("data_file", d)
+      e
+    }
+    def writeAvro(path: java.io.File, s: Schema,
+                  recs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+      w.create(s, path); recs.foreach(w.append); w.close()
+    }
+    val m = new java.io.File(s"$root/metadata/m1.avro")
+    writeAvro(m, manifestSchema,
+      Seq(entry(fA, 5L, 2L, 7L, 0L), entry(fB, 7L, 3L, 9L, 10L)))
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"}]}""".stripMargin)
+    val ml = new GenericData.Record(mlSchema)
+    ml.put("manifest_path", m.toString); ml.put("manifest_length", m.length)
+    ml.put("partition_spec_id", 0)
+    writeAvro(new java.io.File(s"$root/metadata/snap-1.avro"), mlSchema,
+      Seq(ml))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"),
+      s"""{"format-version": 3, "location": "$root", "next-row-id": 20,
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "id", "required": false, "type": "long"},
+         |  {"id": 2, "name": "p", "required": false, "type": "long"},
+         |  {"id": 3, "name": "v", "required": false, "type": "string"}]},
+         |"partition-specs": [{"spec-id": 0, "fields": [
+         |  {"name": "p", "transform": "identity", "source-id": 2, "field-id": 1000}]}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 99,
+         |"snapshots": [{"snapshot-id": 99, "timestamp-ms": 0,
+         |  "manifest-list": "$root/metadata/snap-1.avro"}]}""".stripMargin)
+    val t = new IcebergTable(root, conf)
+    assert(t.missingPartitionColumns(spark, t.planFiles()) == Seq("p"),
+      "p must be metadata-only so the scan takes the re-injection branch")
+    val out = t.toDF(spark, Nil, keepLineage = true)
+      .select("id", "p", IcebergTable.RowIdCol, IcebergTable.LastUpdCol)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out == Map(
+      0L -> ((5L, 0L, 42L)), 1L -> ((5L, 1L, 42L)),
+      2L -> ((7L, 10L, 9L)), 3L -> ((7L, 11L, 9L)), 4L -> ((7L, 12L, 9L))),
+      s"materialized sequence (42) must win on file A, file B inherits: $out")
+  }
+
   test("a rival commit advancing next-row-id between plan and publish is " +
       "REFUSED (assert-next-row-id), not allowed to duplicate id ranges") {
     freshCatalog()

@@ -202,6 +202,63 @@ class MergeOnReadSpec extends SparkSpec {
     assert(after.find(_._1 == 6L).get._2 == "hit")
   }
 
+  test("the CoW-over-debt broadcast cap is a table/session PROPERTY: " +
+      "lowered cap refuses loudly, raised cap lets the rewrite land") {
+    val ns = fresh("morcap")
+    spark.sql("""CREATE TABLE morcap.ns.t (k BIGINT, v STRING)
+                 TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql(
+      "INSERT INTO morcap.ns.t SELECT id, concat('v', id) FROM range(0, 20)")
+    spark.sql("DELETE FROM morcap.ns.t WHERE k IN (3, 7)") // 2 debt rows
+    // TABLE property lowered below the debt ⇒ the rewrite must refuse
+    // with the diagnostic (not OOM at runtime), naming the property
+    spark.sql(s"""ALTER TABLE morcap.ns.t SET TBLPROPERTIES (
+      '${graft.iceberg.connector.RowLevelOps.MaxBroadcastDeleteRows}' = '1')""")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE morcap.ns.t SET v = 'hit' WHERE k % 5 = 0")
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("max-broadcast-delete-rows"),
+      s"refusal must name the cap property: ${rootMsg(e)}")
+    // SESSION conf overrides the table property upward ⇒ rewrite lands
+    spark.conf.set(
+      s"spark.${graft.iceberg.connector.RowLevelOps.MaxBroadcastDeleteRows}",
+      "1000000")
+    try {
+      // session conf wins over the (still-lowered) table property: the
+      // cap guards THIS driver's memory
+      spark.sql("UPDATE morcap.ns.t SET v = 'hit' WHERE k % 5 = 0")
+    } finally spark.conf.unset(
+      s"spark.${graft.iceberg.connector.RowLevelOps.MaxBroadcastDeleteRows}")
+    val got = spark.sql("SELECT k, v FROM morcap.ns.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (0L until 20L).filterNot(Set(3L, 7L))
+      .map(k => (k, if (k % 5 == 0) "hit" else s"v$k"))
+    assert(got == want, s"raised cap must let the rewrite land: $got")
+
+    // BYTE cap: equality-delete rows carry data-column tuples, so the
+    // byte estimate (schema widths, strings at 128 B) gates even when
+    // the row cap passes
+    spark.sql("""CREATE TABLE morcap.ns.b (k BIGINT, v STRING)
+                 TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    spark.sql(
+      "INSERT INTO morcap.ns.b SELECT id, concat('v', id) FROM range(0, 20)")
+    spark.sql("DELETE FROM morcap.ns.b WHERE k IN (3, 7)")
+    spark.conf.set(
+      s"spark.${graft.iceberg.connector.RowLevelOps.MaxBroadcastDeleteBytes}",
+      "8") // 2 eq-delete rows x ~8 B key >> 8
+    try {
+      val eb = intercept[Exception] {
+        spark.sql("UPDATE morcap.ns.b SET v = 'hit' WHERE k % 5 = 0")
+      }
+      assert(rootMsg(eb).contains("max-broadcast-delete-bytes"),
+        s"byte-cap refusal must name the property: ${rootMsg(eb)}")
+    } finally spark.conf.unset(
+      s"spark.${graft.iceberg.connector.RowLevelOps.MaxBroadcastDeleteBytes}")
+  }
+
   test("scan-class split: clean tables keep the vectorized group scan, " +
       "debt tables route the delete-applying bridge (plan-asserted)") {
     val ns = fresh("morplan")

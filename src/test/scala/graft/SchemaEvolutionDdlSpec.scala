@@ -152,6 +152,18 @@ class SchemaEvolutionDdlSpec extends SparkSpec {
     assert(defGot == Seq((1L, "2024-01-05 00:00:00"),
       (2L, "2024-01-05 00:00:00")),
       s"promoted defaults must serve the midnight reading: $defGot")
+    // the SERIALIZED form must carry the seconds field: the spec's
+    // single-value pattern is "YYYY-MM-DDTHH:MM:SS(.ffffff)", and
+    // ISO_LOCAL_DATE_TIME omits ":00" seconds at midnight — stricter
+    // engines would then refuse to load the metadata (r16 advice)
+    val metaDir = new java.io.File(s"$wh/ns/defp/metadata")
+    val latest = metaDir.listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val raw = java.nio.file.Files.readString(latest.toPath)
+    assert(raw.contains("2024-01-05T00:00:00"),
+      "re-encoded default must serialize with explicit seconds")
+    assert(!raw.contains("\"2024-01-05T00:00\""),
+      "the seconds-less ISO form must not appear in stored defaults")
   }
 
   test("nested VOID (unknown) refuses at CREATE and ADD COLUMN — a " +
