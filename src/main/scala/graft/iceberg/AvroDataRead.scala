@@ -92,7 +92,10 @@ object AvroDataRead {
     * the writer that made them; compact to parquet for native splittable
     * scans. */
   def rows(spark: SparkSession, paths: Seq[String], fields: Seq[FieldSpec],
-           ids: Option[(String, String)]): DataFrame = {
+           ids: Option[(String, String)],
+           /** catalog-vended per-table Hadoop overrides (storage
+             * credentials); the session conf stays untouched */
+           confOverrides: Map[String, String] = Map.empty): DataFrame = {
     val schema = StructType(
       fields.map(f => StructField(f.name, f.dataType, nullable = true)) ++
         (ids match {
@@ -102,7 +105,11 @@ object AvroDataRead {
             StructField(pos, LongType, nullable = false))
         }))
     val withIds = ids.nonEmpty
-    val confSer = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val confSer = {
+      val hc = spark.sessionState.newHadoopConf()
+      confOverrides.foreach { case (k, v) => hc.set(k, v) }
+      new SerializableHadoopConf(hc)
+    }
     val rdd = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 256)))
       .flatMap { p =>

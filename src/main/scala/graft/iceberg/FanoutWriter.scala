@@ -101,6 +101,21 @@ private[graft] final class FanoutWriterFactory(
     format: String = "PARQUET")
     extends Serializable {
 
+  // v3 geometry/geography columns are READ-ONLY in this engine (WKB
+  // passthrough): a conformant write must record the spec's geo
+  // bounding-box bounds in manifests, and byte-order bounds would
+  // corrupt pruning for spatial-capable readers. Fails at factory
+  // construction — driver-side, before any task launches.
+  schema.fields
+    .filter(_.metadata.contains(TableMetadata.GeoTypeKey))
+    .foreach { f =>
+      throw new UnsupportedOperationException(
+        s"column ${f.name} is " +
+          s"${f.metadata.getString(TableMetadata.GeoTypeKey)}: writes to " +
+          "geometry/geography tables are not supported (reads serve WKB " +
+          "bytes) — use a spatial-capable writer for this table")
+    }
+
   import FanoutWriterFactory.MaxOpenWriters
 
   def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =

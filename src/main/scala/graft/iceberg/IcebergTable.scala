@@ -30,7 +30,16 @@ final class IcebergTable private (
       * this is the first capability a lakehouse user asks for beyond
       * current-snapshot reads.
       */
-    val pinnedSnapshotId: Option[Long]) {
+    val pinnedSnapshotId: Option[Long],
+    /** Per-table Hadoop overrides vended by the catalog that loaded this
+      * table (Iceberg REST `LoadTableResult.config` /
+      * `storage-credentials`, translated to Hadoop keys). They are
+      * already merged into [[conf]] — metadata, manifest, and delete-file
+      * IO pick them up there — but Spark's file sources (V1 reads and
+      * the DSv2 batch scans) build their Hadoop conf from the SESSION,
+      * so every scan this table plans must ALSO thread these as
+      * per-relation options/overrides. Empty for non-vended tables. */
+    val vended: Map[String, String] = Map.empty) {
 
   def this(tableDir: String, conf: Configuration) =
     this(tableDir, conf, TableMetadata.load(tableDir, conf), None)
@@ -44,7 +53,7 @@ final class IcebergTable private (
       throw new IllegalArgumentException(
         s"snapshot $id not found in $tableDir (have: " +
           metadata.snapshots.map(_.snapshotId).mkString(", ") + ")")
-    new IcebergTable(tableDir, conf, metadata, Some(id))
+    new IcebergTable(tableDir, conf, metadata, Some(id), vended)
   }
 
   /** The snapshot current as of `timestampMs` (latest with commit time ≤
@@ -143,7 +152,8 @@ final class IcebergTable private (
       // uuid bounds are 16 raw bytes, not UTF-8 — refuse to decode (keep)
       val sourceId = spec.lift(idx).map(_.sourceId)
       val dt =
-        if (sourceId.exists(metadata.uuidFieldIds.contains)) NullType
+        if (sourceId.exists(id => metadata.uuidFieldIds.contains(id) ||
+            metadata.geoFieldIds.contains(id))) NullType
         else sourceId.flatMap(typeById.get)
           .getOrElse(metadata.schema.fields.find(_.name == attr).map(_.dataType).getOrElse(NullType))
       Some(ColStats(
@@ -162,7 +172,8 @@ final class IcebergTable private (
       // uuid bounds are 16 raw bytes, not the string form filters compare
       // against — refuse to decode them rather than prune unsoundly
       val dt =
-        if (metadata.uuidFieldIds.contains(id)) NullType
+        if (metadata.uuidFieldIds.contains(id) ||
+            metadata.geoFieldIds.contains(id)) NullType
         else typeById.getOrElse(id, NullType)
       ColStats(
         lower = f.lowerBounds.get(id).flatMap(SingleValue.decode(_, dt)),
@@ -180,6 +191,7 @@ final class IcebergTable private (
       for {
         srcName <- idToName.get(p.sourceId)
         if !metadata.uuidFieldIds.contains(p.sourceId)
+        if !metadata.geoFieldIds.contains(p.sourceId)
         dt <- typeById.get(p.sourceId)
       } yield srcName -> PartitionTransforms.FieldInfo(i, p.transform, dt)
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
@@ -205,7 +217,8 @@ final class IcebergTable private (
         if (j < 0 || j >= m.partitions.size) return None
         val dt = {
           val src = typeById.getOrElse(p.sourceId, NullType)
-          if (metadata.uuidFieldIds.contains(p.sourceId)) NullType
+          if (metadata.uuidFieldIds.contains(p.sourceId) ||
+              metadata.geoFieldIds.contains(p.sourceId)) NullType
           else PartitionTransforms.resultType(p.transform, src)
         }
         val s = m.partitions(j)
@@ -812,7 +825,7 @@ final class IcebergTable private (
       .filterNot(fileSchemaColumnsAvro(resolve(files.head.filePath)).contains)
     if (missing.isEmpty)
       AvroDataRead.rows(spark, files.map(f => resolve(f.filePath)),
-        specs(metadata.schema.fields.toSeq), ids)
+        specs(metadata.schema.fields.toSeq), ids, vended)
     else {
       val dataFields = metadata.schema.fields.toSeq
         .filterNot(f => missing.contains(f.name))
@@ -822,7 +835,8 @@ final class IcebergTable private (
       files.groupBy(f => missing.map(c => f.partition.getOrElse(c, null)))
         .map { case (values, gfiles) =>
           val group = AvroDataRead.rows(spark,
-            gfiles.map(f => resolve(f.filePath)), specs(dataFields), ids)
+            gfiles.map(f => resolve(f.filePath)), specs(dataFields), ids,
+            vended)
           missing.zip(values).foldLeft(group) { case (df, (name, value)) =>
             val dt = metadata.schema.fields.find(_.name == name)
               .map(_.dataType).getOrElse(StringType)
@@ -903,7 +917,11 @@ final class IcebergTable private (
     // turns it on for SQL users; direct toDF callers must set
     // spark.sql.parquet.fieldId.read.enabled themselves on evolved
     // tables (id-less read schemas are unaffected by the flag).
-    def read = spark.read
+    // catalog-vended per-table storage overrides ride as file-source
+    // options: Spark merges them into this relation's Hadoop conf
+    // (newHadoopConfWithOptions), which is the only per-table seam the
+    // V1 file sources expose — the session conf stays untouched
+    def read = spark.read.options(vended)
     // One multi-file scan per call through the format's own vectorized
     // source; ORC resolves columns by name (it has no parquet.field.id).
     // `matRowId` appends the reserved lineage column to the read schema:
@@ -1730,6 +1748,14 @@ object IcebergTable {
   def fromMetadata(location: String, conf: Configuration,
                    metadata: TableMetadata): IcebergTable =
     new IcebergTable(location, conf, metadata, None)
+
+  /** [[fromMetadata]] with catalog-vended per-table Hadoop overrides
+    * (must already be merged into `conf`; the map additionally rides
+    * every Spark file scan as per-relation options). */
+  def fromMetadata(location: String, conf: Configuration,
+                   metadata: TableMetadata,
+                   vended: Map[String, String]): IcebergTable =
+    new IcebergTable(location, conf, metadata, None, vended)
 
   /** Translate pushed-down source filters back to `Column` predicates so
     * the inner parquet scan gets its own footer-level pushdown too.

@@ -1283,6 +1283,18 @@ object IcebergWriter {
       df: DataFrame, writeDir: String, meta: TableMetadata,
       conf: org.apache.hadoop.conf.Configuration,
       sortOrderId: Option[Int] = None): Seq[AddedDataFile] = {
+    // geometry/geography tables are READ-ONLY here (WKB passthrough):
+    // keyed off the TABLE metadata because the input df's schema is
+    // caller-built and carries no spatial markers
+    if (meta.geoFieldIds.nonEmpty) {
+      val names = meta.fieldIds.collect {
+        case (n, id) if meta.geoFieldIds.contains(id) => n }
+      throw new UnsupportedOperationException(
+        s"table declares geometry/geography column(s) " +
+          s"${names.mkString(", ")}: writes are not supported (a " +
+          "conformant write must record the spec's geo bounding-box " +
+          "bounds) — reads serve WKB bytes; use a spatial-capable writer")
+    }
     val idByName = meta.fieldIds
     val stampedSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.map { f =>

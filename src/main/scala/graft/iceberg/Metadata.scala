@@ -79,6 +79,11 @@ final case class TableMetadata(
     /** field ids whose iceberg type is `uuid`: bounds are 16 raw bytes,
       * not UTF-8, so stats decoding must refuse them (keep, never prune) */
     uuidFieldIds: Set[Int],
+    /** Field ids of v3 geometry/geography columns: read as WKB binary;
+      * their manifest bounds are spec bounding-box points, NOT
+      * byte-comparable — pruning must doubt-keep (same rule class as
+      * uuid's raw-bytes bounds). */
+    geoFieldIds: Set[Int] = Set.empty,
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshot],
     properties: Map[String, String],
@@ -204,6 +209,17 @@ final case class TableMetadata(
 }
 
 object TableMetadata {
+
+  /** Field-metadata key carrying a column's original iceberg spatial type
+    * (`geometry[(crs)]` / `geography[(crs, algorithm)]`). Presence means:
+    * the Spark-visible type is WKB `BinaryType`, bounds must NOT be used
+    * for pruning (spec geo bounds are bounding-box points), and writes
+    * refuse. */
+  val GeoTypeKey = "iceberg.geo-type"
+
+  def isGeoType(t: String): Boolean =
+    t == "geometry" || t.startsWith("geometry(") ||
+      t == "geography" || t.startsWith("geography(")
   private val mapper = new ObjectMapper()
 
   /** Parse an Iceberg primitive/nested type string or node to a Spark type.
@@ -216,8 +232,12 @@ object TableMetadata {
     else node.get("type").asText match {
       case "struct" =>
         StructType(node.get("fields").elements.asScala.map { f =>
+          val mb = new MetadataBuilder()
+          if (f.get("type").isTextual && isGeoType(f.get("type").asText))
+            mb.putString(GeoTypeKey, f.get("type").asText)
           StructField(f.get("name").asText, toSparkType(f.get("type")),
-            nullable = !f.get("required").asBoolean)
+            nullable = !f.get("required").asBoolean,
+            metadata = mb.build())
         }.toSeq)
       case "list" =>
         ArrayType(toSparkType(node.get("element")),
@@ -259,12 +279,16 @@ object TableMetadata {
           "engine cannot read or write it without silent precision loss — " +
           "read the table with a nanos-capable engine, or migrate the " +
           "column to timestamp/timestamptz (microseconds)")
-    case g if g == "geometry" || g.startsWith("geometry(") ||
-              g == "geography" || g.startsWith("geography(") =>
-      throw new UnsupportedOperationException(
-        s"iceberg type $g: Spark has no spatial column type and this " +
-          "engine ships no geo runtime — read the table with a " +
-          "spatial-capable engine, or store the WKB in a binary column")
+    // v3 geometry/geography: the data-file representation IS WKB bytes
+    // (the spec's parquet encoding), so a BinaryType passthrough read
+    // serves the exact stored values — what the reference already prunes
+    // as plain Binary (`pruning_statistics.rs:233-238`). Spark has no
+    // spatial type, so the column reads as WKB BinaryType; fields are
+    // marked [[TableMetadata.GeoTypeKey]] so (a) pruning doubt-keeps
+    // them (the spec's geo bounds are bounding-box points, NOT
+    // byte-comparable), and (b) writes refuse (this engine cannot emit
+    // conformant geo bounds). Read-only surface by design.
+    case g if TableMetadata.isGeoType(g) => BinaryType
     case other           => throw new IllegalArgumentException(s"unsupported iceberg primitive: $other")
   }
 
@@ -325,6 +349,9 @@ object TableMetadata {
       // would serve NULL where the table contract says otherwise.
       if (f.get("type").isTextual) {
         val t = f.get("type").asText
+        // spatial columns keep their original type string on the field:
+        // the read type is WKB binary, but pruning and writes must know
+        if (isGeoType(t)) mb.putString(GeoTypeKey, t)
         Option(f.get("initial-default")).filterNot(_.isNull).foreach(d =>
           mb.putString("EXISTS_DEFAULT", DefaultValues.jsonToSql(d, t)))
         Option(f.get("write-default")).filterNot(_.isNull).foreach(d =>
@@ -377,6 +404,10 @@ object TableMetadata {
       defaultSpecId = specDefaultId,
       partitionSpecs = specs,
       uuidFieldIds = uuidIds,
+      geoFieldIds = fields.collect {
+        case f if f.get("type").isTextual && isGeoType(f.get("type").asText) =>
+          f.get("id").asInt
+      }.toSet,
       currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),
       snapshots = snapshots,
       properties = Option(root.get("properties"))

@@ -92,7 +92,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     store = (Option(options.get("uri")), Option(options.get("warehouse"))) match {
       case (Some(uri), _) =>
         new RestCatalogStore(uri, conf, Option(options.get("token")),
-          Option(options.get("page-size")).map(_.toInt))
+          Option(options.get("page-size")).map(_.toInt),
+          // OAuth2 client-credentials grant (the Iceberg REST property
+          // names: credential = client_id:client_secret, optional
+          // oauth2-server-uri + scope); overrides the static token
+          credential = Option(options.get("credential")),
+          oauthServerUri = Option(options.get("oauth2-server-uri")),
+          oauthScope = Option(options.get("scope")))
       case (None, Some(wh)) => new FsCatalogStore(new Path(wh), conf)
       case _ => throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse " +

@@ -45,13 +45,83 @@ final class RestCatalogStore(
       * followed through `next-page-token` — real catalogs (multi-tenant
       * services fronting thousands of namespaces) paginate server-side
       * whether or not the client asked. */
-    pageSize: Option[Int] = None) extends CatalogStore
+    pageSize: Option[Int] = None,
+    /** OAuth2 client-credentials grant: `client_id:client_secret` (the
+      * REST spec's `credential` property). When set, a bearer is obtained
+      * from [[tokenEndpoint]] before the first request, refreshed before
+      * its `expires_in` elapses, and re-fetched once on any 401 (server
+      * revoked/rotated the token early). A static [[bearerToken]] is
+      * ignored when a credential is configured — the grant owns auth. */
+    credential: Option[String] = None,
+    /** Token endpoint override (`oauth2-server-uri`); defaults to the
+      * spec's `{uri}/v1/oauth/tokens` route on the catalog host. */
+    oauthServerUri: Option[String] = None,
+    /** OAuth2 `scope` sent with the grant; the spec's default is
+      * `catalog`. */
+    oauthScope: Option[String] = None) extends CatalogStore
     with graft.iceberg.TransactionalCatalog {
 
   private val mapper = new ObjectMapper()
   private val http = HttpClient.newHttpClient()
 
   private val base = baseUri.stripSuffix("/")
+
+  // -- OAuth2 client-credentials flow ----------------------------------------
+
+  private def tokenEndpoint: String =
+    oauthServerUri.getOrElse(s"$base/v1/oauth/tokens")
+
+  /** (bearer, absolute expiry ms). Refresh happens 60 s BEFORE expiry so
+    * a token never dies mid-request chain; tokens without `expires_in`
+    * never expire client-side. */
+  @volatile private var oauthToken: Option[(String, Long)] = None
+
+  private def fetchOAuthToken(): String = synchronized {
+    // double-check under the lock: a rival thread may have refreshed
+    oauthToken match {
+      case Some((t, exp)) if System.currentTimeMillis() < exp - 60000 =>
+        return t
+      case _ =>
+    }
+    val (id, secret) = credential.map(_.split(":", 2)) match {
+      case Some(Array(i, s)) => (i, s)
+      case _ => throw new IllegalStateException(
+        "credential must take the form client_id:client_secret")
+    }
+    val form = Seq(
+      "grant_type" -> "client_credentials",
+      "client_id" -> id,
+      "client_secret" -> secret,
+      "scope" -> oauthScope.getOrElse("catalog"))
+      .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
+    val req = HttpRequest.newBuilder(URI.create(tokenEndpoint))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .method("POST", HttpRequest.BodyPublishers.ofString(form)).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2) throw new IllegalStateException(
+      s"OAuth2 token grant at $tokenEndpoint failed: " +
+        s"HTTP ${resp.statusCode()}: ${resp.body()}")
+    val node = mapper.readTree(resp.body())
+    val tok = Option(node.get("access_token")).map(_.asText).getOrElse(
+      throw new IllegalStateException(
+        s"OAuth2 token response carries no access_token: ${resp.body()}"))
+    val expiry = Option(node.get("expires_in"))
+      .map(e => System.currentTimeMillis() + e.asLong * 1000L)
+      .getOrElse(Long.MaxValue)
+    oauthToken = Some((tok, expiry))
+    tok
+  }
+
+  /** The Authorization bearer for the next request: the OAuth2 grant when
+    * a credential is configured (fetched/refreshed as needed), else the
+    * static token, else none. */
+  private def currentAuth(): Option[String] =
+    if (credential.isEmpty) bearerToken
+    else oauthToken match {
+      case Some((t, exp)) if System.currentTimeMillis() < exp - 60000 =>
+        Some(t)
+      case _ => Some(fetchOAuthToken())
+    }
 
   /** Route prefix from /v1/config: `overrides.prefix` wins, else
     * `defaults.prefix` (the spec's precedence — overrides beat client
@@ -78,15 +148,25 @@ final class RestCatalogStore(
 
   private def request(method: String, url: String,
                       body: Option[String]): (Int, String) = {
-    val b = HttpRequest.newBuilder(URI.create(url))
-      .header("Content-Type", "application/json")
-    bearerToken.foreach(t => b.header("Authorization", s"Bearer $t"))
-    val req = (body match {
-      case Some(json) => b.method(method, HttpRequest.BodyPublishers.ofString(json))
-      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
-    }).build()
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
+    def send(auth: Option[String]): (Int, String) = {
+      val b = HttpRequest.newBuilder(URI.create(url))
+        .header("Content-Type", "application/json")
+      auth.foreach(t => b.header("Authorization", s"Bearer $t"))
+      val req = (body match {
+        case Some(json) => b.method(method, HttpRequest.BodyPublishers.ofString(json))
+        case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+      }).build()
+      val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val first = send(currentAuth())
+    // 401 under a credential grant = the server revoked/rotated the token
+    // before its advertised expiry — re-authenticate ONCE and retry this
+    // request; a second 401 surfaces to the caller (bad credential).
+    if (first._1 == 401 && credential.isDefined) {
+      oauthToken = None
+      send(currentAuth())
+    } else first
   }
 
   private def expect2xx(method: String, url: String, body: Option[String]): JsonNode = {
@@ -183,7 +263,37 @@ final class RestCatalogStore(
     val metaNode = Option(result.get("metadata")).getOrElse(
       throw new IllegalStateException("LoadTableResult has no metadata document"))
     val metadata = TableMetadata.fromJson(mapper.writeValueAsString(metaNode))
-    IcebergTable.fromMetadata(metadata.location, conf, metadata)
+    val vended = vendedOverrides(result, metadata.location)
+    IcebergTable.fromMetadata(metadata.location,
+      if (vended.isEmpty) conf
+      else RestCatalogStore.applied(conf, vended),
+      metadata, vended)
+  }
+
+  /** Per-table storage configuration vended by the catalog, as Hadoop
+    * key→value overrides: the spec's `LoadTableResult.config` map plus
+    * any `storage-credentials` entry whose `prefix` covers the table
+    * location, translated via [[RestCatalogStore.icebergToHadoop]].
+    * Applied to a COPY of the base conf (metadata/manifest IO and the
+    * committer) AND threaded into every Spark file scan the table plans
+    * ([[IcebergTable.vended]]) — other tables and the catalog itself
+    * keep the base conf. Catalog-internal response keys with no
+    * filesystem meaning translate to nothing and are skipped. */
+  private def vendedOverrides(result: JsonNode,
+                              location: String): Map[String, String] = {
+    val overrides = scala.collection.mutable.LinkedHashMap[String, String]()
+    def absorb(node: JsonNode): Unit =
+      node.fields.asScala.foreach(e => overrides(e.getKey) = e.getValue.asText)
+    Option(result.get("config")).foreach(absorb)
+    Option(result.get("storage-credentials")).foreach(_.elements.asScala
+      .foreach { cred =>
+        val prefix = Option(cred.get("prefix")).map(_.asText).getOrElse("")
+        if (location.startsWith(prefix))
+          Option(cred.get("config")).foreach(absorb)
+      })
+    overrides.toSeq.flatMap { case (k, v) =>
+      RestCatalogStore.icebergToHadoop(k).map(_ -> v)
+    }.toMap
   }
 
   override def createTable(ns: Seq[String], name: String, schema: StructType,
@@ -298,7 +408,10 @@ final class RestCatalogStore(
 
   override def committerFor(ns: Seq[String], name: String, table: IcebergTable,
                             hconf: Configuration): graft.iceberg.TableCommitter =
-    new RestCommitter(this, ns, name, table.tableDir, hconf)
+    // the table's conf carries the vended per-table storage credentials
+    // from its load — the committer's data plane (manifests, metadata
+    // probes) must write under the same credentials the scan read with
+    new RestCommitter(this, ns, name, table.tableDir, table.conf)
 
   /** Spec `RenameTableRequest`/`RenameViewRequest` body: {source,
     * destination} identifiers. */
@@ -423,6 +536,33 @@ final class RestCatalogStore(
     * the service may substitute its own location in the stored document. */
   override def viewLocation(ns: Seq[String], name: String): String =
     v1(s"namespaces/${nsPath(ns)}/views/${enc(name)}")
+}
+
+object RestCatalogStore {
+  /** A copy of `base` with `overrides` applied (base stays untouched). */
+  private[connector] def applied(base: Configuration,
+                                 overrides: Map[String, String]): Configuration = {
+    val c = new Configuration(base)
+    overrides.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Vended-config key translation: Iceberg REST property names → Hadoop
+    * conf keys (the S3A family — the storage real managed catalogs vend
+    * credentials for — plus a `hadoop.`-prefixed verbatim escape hatch
+    * for any other filesystem). Keys with no filesystem meaning
+    * (catalog-internal hints like `client.pool-size`) map to None and are
+    * skipped — blindly `set`ting them would pollute the Hadoop conf. */
+  def icebergToHadoop(key: String): Option[String] = key match {
+    case "s3.access-key-id" => Some("fs.s3a.access.key")
+    case "s3.secret-access-key" => Some("fs.s3a.secret.key")
+    case "s3.session-token" => Some("fs.s3a.session.token")
+    case "s3.endpoint" => Some("fs.s3a.endpoint")
+    case "s3.path-style-access" => Some("fs.s3a.path.style.access")
+    case "client.region" => Some("fs.s3a.endpoint.region")
+    case k if k.startsWith("hadoop.") => Some(k.stripPrefix("hadoop."))
+    case _ => None
+  }
 }
 
 /** [[graft.iceberg.TableCommitter]] over the REST catalog: the data plane

@@ -521,15 +521,17 @@ final class GraftGroupScan(
       if (pqFiles.isEmpty) None
       else Some(shims.parquetBatchScan(spark, fl(pqFiles),
         table.metadata.schema, requiredSchema,
-        pushedFilters = Array.empty).toBatch),
+        pushedFilters = Array.empty, confOverrides = table.vended).toBatch),
       if (orcFiles.isEmpty) None
       else Some(shims.orcBatchScan(spark, fl(orcFiles),
         table.metadata.schema, requiredSchema,
-        pushedFilters = Array.empty).toBatch)).flatten
+        pushedFilters = Array.empty, confOverrides = table.vended).toBatch))
+      .flatten
     batches match {
       case Seq(one) => one
       case Seq() => shims.parquetBatchScan(spark, Nil,
-        table.metadata.schema, requiredSchema, Array.empty).toBatch
+        table.metadata.schema, requiredSchema, Array.empty,
+        confOverrides = table.vended).toBatch
       case many => shims.unionBatch(many)
     }
     }

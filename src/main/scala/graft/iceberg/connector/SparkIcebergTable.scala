@@ -262,6 +262,15 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
 }
 
 object SparkIcebergTable {
+  /** Apply catalog-vended per-table overrides to a fresh Hadoop conf
+    * (the session conf stays untouched). */
+  private[connector] def withOverrides(
+      c: org.apache.hadoop.conf.Configuration,
+      overrides: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    overrides.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** The session's write-audit-publish staging branch (the Iceberg
     * `spark.wap.branch` convention); `main` when unset. */
   def wapBranch(spark: org.apache.spark.sql.SparkSession): String =
@@ -709,7 +718,8 @@ final class GraftBatchScan(
         .parquetBatchScan(spark,
           files.map(f => (table.resolve(f.filePath), f.fileSizeInBytes)),
           table.metadata.schema, requiredSchema,
-          parquetSafe(filters ++ runtimeFilters)))
+          parquetSafe(filters ++ runtimeFilters),
+          confOverrides = table.vended))
     cached._2
   }
 
@@ -1070,7 +1080,8 @@ final class GraftMicroBatchStream(
       AvroGroupBatch(files.map(f => t.resolve(f.filePath)),
           t.avroFieldSpecs(requiredSchema.fields.toSeq),
           new graft.iceberg.SerializableHadoopConf(
-            spark.sessionState.newHadoopConf()))
+            SparkIcebergTable.withOverrides(
+              spark.sessionState.newHadoopConf(), t.vended)))
         .planInputPartitions()
     }
     else {
@@ -1084,7 +1095,8 @@ final class GraftMicroBatchStream(
       org.apache.spark.sql.execution.datasources.GraftScanShims
         .parquetBatchScan(spark,
           files.map(f => (t.resolve(f.filePath), f.fileSizeInBytes)),
-          t.metadata.schema, requiredSchema, safeFilters(t))
+          t.metadata.schema, requiredSchema, safeFilters(t),
+          confOverrides = t.vended)
         .toBatch.planInputPartitions()
     }
   }
@@ -1100,12 +1112,13 @@ final class GraftMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory = {
     val pq = org.apache.spark.sql.execution.datasources.GraftScanShims
       .parquetBatchScan(spark, Nil, table.metadata.schema, requiredSchema,
-        safeFilters(fresh()))
+        safeFilters(fresh()), confOverrides = table.vended)
       .toBatch.createReaderFactory()
     val av = AvroGroupBatch(Nil,
         fresh().avroFieldSpecs(requiredSchema.fields.toSeq),
         new graft.iceberg.SerializableHadoopConf(
-          spark.sessionState.newHadoopConf()))
+          SparkIcebergTable.withOverrides(
+            spark.sessionState.newHadoopConf(), table.vended)))
       .createReaderFactory()
     // dispatch by the partition type planInputPartitions emitted —
     // per-window homogeneity keeps row/columnar consistent within a plan

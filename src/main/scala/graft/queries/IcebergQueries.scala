@@ -1398,6 +1398,69 @@ object IcebergQueries {
           |ORDER BY k ASC NULLS FIRST""".stripMargin)
     }),
 
+    // v3 geometry: the data-file representation is WKB bytes, served as
+    // a BinaryType passthrough (pruning doubt-keeps geo bounds; writes
+    // refuse). The fixture takes the external-geo-table shape: WKB
+    // written while the column was declared binary, then the metadata
+    // document re-declares geometry — exactly what adopting a
+    // spatial-writer's table looks like. The oracle rebuilds each WKB
+    // point's hex from the same nation-keyed byte construction.
+    "q171_geometry_wkb" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.{col, hex, lower}
+      val warehouse = graft.Scratch.dir("q171-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      s.conf.set("spark.sql.catalog.q171cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q171cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q171cat.ns")
+      s.sql("""CREATE TABLE q171cat.ns.geo (k BIGINT, geom BINARY)
+               TBLPROPERTIES ('format-version' = '3')""")
+      // WKB point, little-endian: 01 | 01000000 | x:f64 | y:f64 — the
+      // coordinate doubles' byte patterns are single repeated bytes so
+      // DuckDB can reconstruct the hex relationally
+      val rows = Tables.load(s, d, "nation")
+        .select("n_nationkey", "n_regionkey").collect().map { r =>
+          val nk = r.get(0).asInstanceOf[Number].longValue
+          val rk = r.get(1).asInstanceOf[Number].longValue
+          (nk, Array[Byte](1, 1, 0, 0, 0) ++
+            Array.fill(8)((nk % 256).toByte) ++
+            Array.fill(8)((rk % 256).toByte))
+        }.toSeq
+      import s.implicits._
+      rows.toDF("k", "geom").createOrReplaceTempView("geo_src_q171")
+      s.sql("INSERT INTO q171cat.ns.geo SELECT k, geom FROM geo_src_q171")
+      // re-declare binary -> geometry in a new metadata version
+      val dir = s"$warehouse/ns/geo"
+      val fs = new Path(dir).getFileSystem(conf)
+      val latest = graft.iceberg.TableMetadata.latestMetadataPath(dir, conf)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = {
+        val in = fs.open(latest)
+        try mapper.readTree(in.readAllBytes())
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        finally in.close()
+      }
+      import scala.jdk.CollectionConverters._
+      root.get("schemas").elements.asScala
+        .flatMap(_.get("fields").elements.asScala)
+        .filter(_.get("name").asText == "geom")
+        .foreach(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("type", "geometry(srid:4326)"))
+      val ver = latest.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong
+      val out = fs.create(new Path(s"$dir/metadata/v${ver + 1}.metadata.json"))
+      try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+      // read back through the engine's geo surface (WKB passthrough);
+      // the geom predicate exercises the doubt-keep pruning path
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      require(t.metadata.geoFieldIds.nonEmpty, "fixture must be spatial")
+      t.toDF(s)
+        .filter(col("geom").isNotNull)
+        .select(col("k"), lower(hex(col("geom"))).as("wkb_hex"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // v3 row lineage, BOTH columns: `_last_updated_sequence_number`
     // inherits each file's data sequence number, a copy-on-write UPDATE
     // (here running OVER outstanding merge-on-read delete debt) moves
@@ -2148,6 +2211,14 @@ object IcebergQueries {
         |FROM stream
         |ORDER BY k ASC NULLS FIRST, _change_ordinal ASC NULLS FIRST,
         |         _change_type ASC NULLS FIRST""".stripMargin,
+    "q171_geometry_wkb" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       '0101000000'
+        |         || repeat(lower(lpad(to_hex(n_nationkey % 256), 2, '0')), 8)
+        |         || repeat(lower(lpad(to_hex(n_regionkey % 256), 2, '0')), 8)
+        |         AS wkb_hex
+        |FROM nation
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
     "q170_lineage_seq" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS k,
         |       CASE WHEN o_orderkey % 9 = 3 THEN 'hit'

@@ -141,12 +141,17 @@ object GraftScanShims {
       files: Seq[(String, Long)],
       dataSchema: StructType,
       readSchema: StructType,
-      pushedFilters: Array[Filter]): Scan = {
+      pushedFilters: Array[Filter],
+      /** catalog-vended per-table Hadoop overrides (storage
+        * credentials); scoped to this scan's conf like the field-id
+        * flag below */
+      confOverrides: Map[String, String] = Map.empty): Scan = {
     val hconf = spark.sessionState.newHadoopConf()
     // Iceberg resolves columns by field id, not name — that is what makes
     // schema-evolution renames read old files correctly. Scoped to this
     // scan's hadoopConf; no session conf is touched.
     hconf.setBoolean("spark.sql.parquet.fieldId.read.enabled", true)
+    confOverrides.foreach { case (k, v) => hconf.set(k, v) }
     ParquetScan(
       spark,
       hconf,
@@ -167,10 +172,15 @@ object GraftScanShims {
       files: Seq[(String, Long)],
       dataSchema: StructType,
       readSchema: StructType,
-      pushedFilters: Array[Filter]): Scan =
+      pushedFilters: Array[Filter],
+      confOverrides: Map[String, String] = Map.empty): Scan =
     org.apache.spark.sql.execution.datasources.v2.orc.OrcScan(
       spark,
-      spark.sessionState.newHadoopConf(),
+      locally {
+        val hconf = spark.sessionState.newHadoopConf()
+        confOverrides.foreach { case (k, v) => hconf.set(k, v) }
+        hconf
+      },
       new GraftPrunedFileIndex(spark, files),
       graft.iceberg.DefaultValues.relaxForRead(dataSchema),
       graft.iceberg.DefaultValues.relaxForRead(readSchema),

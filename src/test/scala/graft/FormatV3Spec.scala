@@ -200,6 +200,89 @@ class FormatV3Spec extends SparkSpec {
       s"inherited lineage over the id-less import: ${rows.toSeq.sortBy(_._1).take(5)}")
   }
 
+  test("v3 geometry: WKB binary passthrough read, doubt-keep pruning, " +
+      "write refusal, and metadata round-trip of the spatial type") {
+    freshCatalog()
+    // the external-geo-table shape: data files hold WKB bytes in a
+    // binary column; the metadata document declares geometry. Built by
+    // writing binary then flipping the declared type in a NEW metadata
+    // version (what adopting an externally-written geo table looks like).
+    spark.sql("""CREATE TABLE v3cat.ns.geo (k BIGINT, geom BINARY)
+                 TBLPROPERTIES ('format-version' = '3')""")
+    val dir = s"$warehouse/ns/geo"
+    import spark.implicits._
+    def wkbPoint(b1: Int, b2: Int): Array[Byte] =
+      Array[Byte](1, 1, 0, 0, 0) ++
+        Array.fill(8)(b1.toByte) ++ Array.fill(8)(b2.toByte)
+    Seq((1L, wkbPoint(3, 7)), (2L, wkbPoint(9, 2))).toDF("k", "geom")
+      .createOrReplaceTempView("geo_src")
+    spark.sql("INSERT INTO v3cat.ns.geo SELECT k, geom FROM geo_src")
+    // flip binary -> geometry(srid:4326) in a NEW metadata version
+    locally {
+      val fs = new Path(dir).getFileSystem(conf)
+      val latest = TableMetadata.latestMetadataPath(dir, conf)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = {
+        val in = fs.open(latest)
+        try mapper.readTree(in.readAllBytes())
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        finally in.close()
+      }
+      import scala.jdk.CollectionConverters._
+      root.get("schemas").elements.asScala
+        .flatMap(_.get("fields").elements.asScala)
+        .filter(_.get("name").asText == "geom")
+        .foreach(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("type", "geometry(srid:4326)"))
+      val v = latest.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+      val out = fs.create(new Path(s"$dir/metadata/v${v + 1}.metadata.json"))
+      try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    }
+    val t = new IcebergTable(dir, conf)
+    // type surface: WKB BinaryType, original type string on the field
+    val f = t.metadata.schema("geom")
+    assert(f.dataType == org.apache.spark.sql.types.BinaryType)
+    assert(f.metadata.getString(graft.iceberg.TableMetadata.GeoTypeKey) ==
+      "geometry(srid:4326)")
+    assert(t.metadata.geoFieldIds == Set(t.metadata.fieldIds("geom")))
+    // values round-trip bit-exactly
+    val rows = t.toDF(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("geom")).toMap
+    assert(rows.keySet == Set(1L, 2L) &&
+      java.util.Arrays.equals(rows(1L), wkbPoint(3, 7)) &&
+      java.util.Arrays.equals(rows(2L), wkbPoint(9, 2)),
+      "WKB bytes must pass through unchanged")
+    // pruning soundness: the file's stored bounds are byte-order (the
+    // writer recorded them while the column was declared binary), but
+    // geo bounds are bounding-box points in general — a geom predicate
+    // must DOUBT-KEEP, never byte-prune
+    val above = Array.fill[Byte](20)(0xFF.toByte) // > any stored value
+    val filt = Seq[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("geom", above))
+    assert(t.planFiles(filt).size == t.planFiles().size,
+      "geometry column bounds must never prune")
+    // writes refuse loudly (the engine cannot emit conformant geo bounds)
+    val e = intercept[Exception] {
+      graft.iceberg.IcebergWriter.append(spark, dir,
+        Seq((3L, wkbPoint(1, 1))).toDF("k", "geom"))
+    }
+    def msgs(x: Throwable): String = Iterator.iterate(x)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs(e).contains("geometry"),
+      s"write refusal must name the spatial type: ${msgs(e)}")
+    // metadata round-trip: a property commit preserves the declared
+    // spatial type verbatim (commits edit the JSON document, they never
+    // re-serialize from the Spark-visible schema)
+    spark.sql(
+      "ALTER TABLE v3cat.ns.geo SET TBLPROPERTIES ('comment' = 'geo table')")
+    val t2 = new IcebergTable(dir, conf)
+    assert(t2.metadata.schema("geom").metadata
+      .getString(graft.iceberg.TableMetadata.GeoTypeKey) ==
+        "geometry(srid:4326)",
+      "the spatial type must survive a metadata commit")
+  }
+
   test("_last_updated_sequence_number serves through the name-mapping " +
       "branch WITH delete files present (r16 advice: matRowId kept only " +
       "_row_id, so norm() crashed selecting the dropped column)") {

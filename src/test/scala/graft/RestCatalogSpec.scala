@@ -46,6 +46,20 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   @volatile private var configJson =
     """{"defaults":{},"overrides":{"prefix":"testwh"}}"""
 
+  // -- OAuth2 stub state -----------------------------------------------------
+  /** When true, every non-token route demands the CURRENT server-side
+    * bearer (the last one granted, unless a test rotates it out from
+    * under the client). */
+  @volatile private var requireAuth = false
+  @volatile private var serverToken: Option[String] = None
+  @volatile private var tokenTtlSeconds: Long = 3600L
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Raw form bodies of every grant request the stub received. */
+  private val tokenGrantsSeen = mutable.Buffer[String]()
+  /** Per-table LoadTableResult.config / storage-credentials JSON
+    * fragments, appended verbatim to loadResult. */
+  private val tableConfigJson = mutable.Map[(String, String), String]()
+
   // -- stub server -----------------------------------------------------------
 
   private def qparams(x: HttpExchange): Map[String, String] =
@@ -85,6 +99,35 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     def body: ObjectNode =
       mapper.readTree(new String(x.getRequestBody.readAllBytes(), UTF_8))
         .asInstanceOf[ObjectNode]
+    // OAuth2 token endpoint (un-prefixed, like the spec's default
+    // {uri}/v1/oauth/tokens): client-credentials grant against the
+    // fixed (cid, csec) pair; each grant rotates the server-side token
+    if (method == "POST" &&
+        path.stripPrefix("/v1/").split("/").toList == List("oauth", "tokens")) {
+      val form = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      tokenGrantsSeen.synchronized { tokenGrantsSeen += form }
+      val params = form.split("&").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> java.net.URLDecoder.decode(v, UTF_8)
+      }.toMap
+      if (!params.get("grant_type").contains("client_credentials") ||
+          !params.get("client_id").contains("cid") ||
+          !params.get("client_secret").contains("csec")) {
+        json(x, 401, """{"error":{"message":"invalid_client"}}""")
+      } else {
+        val tok = s"tok-${tokenCounter.incrementAndGet()}"
+        serverToken = Some(tok)
+        json(x, 200, s"""{"access_token":"$tok","token_type":"bearer",""" +
+          s""""expires_in":$tokenTtlSeconds}""")
+      }
+      return
+    }
+    if (requireAuth) {
+      val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+      if (serverToken.isEmpty || !auth.contains(s"Bearer ${serverToken.get}")) {
+        json(x, 401, """{"error":{"message":"unauthorized"}}""")
+        return
+      }
+    }
     (method, path.stripPrefix("/v1/").split("/").toList) match {
       case ("GET", "config" :: Nil) =>
         json(x, 200, configJson)
@@ -321,7 +364,12 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val res = mapper.createObjectNode()
     res.put("metadata-location", s"$dataRoot/$ns/$t/metadata/00001.metadata.json")
     res.set[ObjectNode]("metadata", doc)
-    mapper.writeValueAsString(res)
+    val base = mapper.writeValueAsString(res)
+    // vended per-table config rides the LoadTableResult, spec-shaped
+    tableConfigJson.get((ns, t)) match {
+      case Some(extra) => base.dropRight(1) + "," + extra + "}"
+      case None => base
+    }
   }
 
   override def beforeAll(): Unit = {
@@ -904,4 +952,153 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.getMessage.contains("already exists") ||
       e.getMessage.contains("409"), e.getMessage)
   }
+
+  test("REST OAuth2: client-credentials grant, expiry-driven mid-session " +
+      "refresh, and a 401 -> re-auth retry") {
+    requireAuth = true
+    serverToken = None
+    tokenTtlSeconds = 61 // refresh margin is 60 s -> client-side life 1 s
+    val before = tokenGrantsSeen.size
+    try {
+      val cat = s"restauth${System.nanoTime()}" // fresh store per run
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.uri", s"http://127.0.0.1:$port")
+      spark.conf.set(s"spark.sql.catalog.$cat.credential", "cid:csec")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.oans")
+      assert(namespaces.contains("oans"),
+        "authed namespace create must reach the stub")
+      assert(tokenGrantsSeen.size == before + 1,
+        s"one grant must cover config+exists+create: " +
+          s"${tokenGrantsSeen.size - before}")
+      assert(tokenGrantsSeen.last.contains("grant_type=client_credentials") &&
+        tokenGrantsSeen.last.contains("client_id=cid") &&
+        tokenGrantsSeen.last.contains("scope=catalog"),
+        s"spec-shaped grant body: ${tokenGrantsSeen.last}")
+
+      // mid-session refresh: the 61 s token leaves the 60 s refresh
+      // margin after ~1 s — the next call must re-grant BEFORE sending
+      Thread.sleep(1200)
+      tokenTtlSeconds = 3600 // the refreshed token is long-lived
+      assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+        .map(_.getString(0)).contains("oans"))
+      assert(tokenGrantsSeen.size == before + 2,
+        "an expiring token must refresh mid-session, not ride to a 401")
+
+      // 401 retry: rotate the server-side token OUT FROM UNDER the
+      // client (its bearer is still client-side-fresh) — the next call
+      // gets 401, re-authenticates once, and retries successfully
+      serverToken = Some("rotated-out-of-band")
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.oans2")
+      assert(namespaces.contains("oans2"),
+        "the 401'd call must re-auth and retry, not surface the 401")
+      assert(tokenGrantsSeen.size == before + 3,
+        s"exactly one re-grant for the revocation: " +
+          s"${tokenGrantsSeen.size - before}")
+    } finally {
+      requireAuth = false
+      serverToken = None
+      tokenTtlSeconds = 3600
+    }
+  }
+
+  test("REST vended credentials: LoadTableResult.config + " +
+      "storage-credentials reach the Hadoop conf the scan reads with") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    import spark.implicits._
+    // A table whose location lives on a scheme the SESSION cannot
+    // resolve — only the vended `hadoop.fs.graftvend.impl` mapping makes
+    // it readable, so a successful read PROVES the per-table conf is the
+    // one the scan used.
+    val localRoot = s"$dataRoot/vendns/vt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(localRoot))
+    assert(spark.sessionState.newHadoopConf().get("fs.graftvend.impl") == null,
+      "precondition: the session conf must NOT know the vended scheme")
+    val pdir = new File(s"$localRoot/data/f1")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      .select(
+        col("id").as("id", new MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()),
+        col("tag").as("tag", new MetadataBuilder()
+          .putLong("parquet.field.id", 2L).build()))
+      .coalesce(1).write.mode("overwrite").parquet(pdir.toString)
+    val pfile = pdir.listFiles.find(_.getName.endsWith(".parquet")).get
+    val dfSchema = manifestSchema.getField("data_file").schema
+    val entry = {
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", s"graftvend://${pfile.toString}")
+      df.put("file_format", "PARQUET")
+      df.put("record_count", 3L); df.put("file_size_in_bytes", pfile.length)
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 1); e.put("data_file", df)
+      e.asInstanceOf[GenericRecord]
+    }
+    val m = new File(s"$localRoot/metadata/m1.avro")
+    writeAvro(m, manifestSchema, Seq(entry))
+    val mlRec = new GenericData.Record(manifestListSchema)
+    mlRec.put("manifest_path", s"graftvend://${m.toString}")
+    mlRec.put("manifest_length", m.length)
+    mlRec.put("partition_spec_id", 0)
+    writeAvro(new File(s"$localRoot/metadata/snap-1.avro"), manifestListSchema,
+      Seq(mlRec.asInstanceOf[GenericRecord]))
+    val loc = s"graftvend://$localRoot"
+    val doc = mapper.readTree(
+      s"""{"format-version": 2, "location": "$loc",
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "id", "required": false, "type": "long"},
+         |  {"id": 2, "name": "tag", "required": false, "type": "string"}]},
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "timestamp-ms": 1000,
+         |  "manifest-list": "$loc/metadata/snap-1.avro"}]}""".stripMargin)
+      .asInstanceOf[ObjectNode]
+    namespaces += "vendns"
+    tables(("vendns", "vt")) = doc
+    // half the config via LoadTableResult.config (the fs impl — the
+    // load-bearing key), half via a prefix-scoped storage-credentials
+    // entry (a marker), plus an S3 key exercising the name translation
+    // and a catalog-internal key that must NOT leak into the conf
+    tableConfigJson(("vendns", "vt")) =
+      s""""config":{"hadoop.fs.graftvend.impl":"graft.GraftVendedFileSystem",
+         |"s3.access-key-id":"AKVENDED","client.pool-size":"4"},
+         |"storage-credentials":[
+         |  {"prefix":"$loc","config":{"hadoop.graft.test.cred":"vended"}},
+         |  {"prefix":"other://elsewhere",
+         |   "config":{"hadoop.graft.test.cred":"WRONG"}}]""".stripMargin
+    try {
+      // store-level: the loaded table's conf carries the translations
+      val store = new graft.iceberg.connector.RestCatalogStore(
+        s"http://127.0.0.1:$port", spark.sessionState.newHadoopConf(), None)
+      val t = store.loadIcebergTable(Seq("vendns"), "vt")
+      assert(t.conf.get("fs.graftvend.impl") == "graft.GraftVendedFileSystem")
+      assert(t.conf.get("fs.s3a.access.key") == "AKVENDED",
+        "s3.* keys must translate to fs.s3a.*")
+      assert(t.conf.get("graft.test.cred") == "vended",
+        "only the prefix-matching storage-credentials entry applies")
+      assert(t.conf.get("client.pool-size") == null &&
+        t.conf.get("pool-size") == null,
+        "catalog-internal keys must not leak into the Hadoop conf")
+      // end-to-end: the SQL read plans a scan over graftvend:// paths,
+      // resolvable only through the vended per-relation conf
+      useRest()
+      val got = spark.sql("SELECT id, tag FROM restcat.vendns.vt ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"vended-scheme scan must serve the rows: $got")
+      assert(spark.sessionState.newHadoopConf().get("fs.graftvend.impl") == null,
+        "the session conf must stay untouched after the read")
+    } finally {
+      tableConfigJson.remove(("vendns", "vt"))
+      tables.remove(("vendns", "vt"))
+    }
+  }
+}
+
+/** Local filesystem under a scheme only the vended per-table config
+  * registers — the offline stand-in for object storage reachable only
+  * with catalog-vended credentials. */
+class GraftVendedFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftvend"
+  override def getUri: java.net.URI = java.net.URI.create("graftvend:///")
 }
