@@ -1295,6 +1295,18 @@ object IcebergWriter {
           "conformant write must record the spec's geo bounding-box " +
           "bounds) — reads serve WKB bytes; use a spatial-capable writer")
     }
+    // nanosecond-timestamp tables are likewise READ-ONLY (BIGINT-nanos
+    // opt-in): this engine would stamp plain INT64 without the nanos
+    // annotation, silently changing the column's meaning for
+    // nanos-capable readers
+    if (meta.nsFieldIds.nonEmpty) {
+      val names = meta.fieldIds.collect {
+        case (n, id) if meta.nsFieldIds.contains(id) => n }
+      throw new UnsupportedOperationException(
+        s"table declares timestamp_ns/timestamptz_ns column(s) " +
+          s"${names.mkString(", ")}: writes are not supported under the " +
+          "BIGINT-nanos read opt-in — use a nanos-capable writer")
+    }
     val idByName = meta.fieldIds
     val stampedSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.map { f =>

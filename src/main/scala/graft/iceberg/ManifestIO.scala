@@ -159,6 +159,20 @@ object ManifestIO {
     case _ => Map.empty
   }
 
+  /** Encrypted files refuse at MANIFEST read with a typed message: a
+    * `key_metadata` on a data/delete file means its content is
+    * ciphertext, and proceeding would fail later with a raw parquet/avro
+    * decode error (or worse, read garbage). This engine ships no key
+    * management. */
+  private def requireUnencrypted(df: GenericRecord): Unit =
+    if (df.getSchema.getField("key_metadata") != null &&
+        df.get("key_metadata") != null)
+      throw new UnsupportedOperationException(
+        s"table encryption not supported: file ${df.get("file_path")} " +
+          "carries key_metadata (encrypted content) and this engine " +
+          "ships no key-management integration — read the table with an " +
+          "encryption-capable engine")
+
   /** JVM-ify an Avro value (Utf8 → String, ByteBuffer → bytes). */
   private def jvm(v: AnyRef): Any = v match {
     case u: org.apache.avro.util.Utf8 => u.toString
@@ -223,6 +237,7 @@ object ManifestIO {
         val status = optLong(r, "status").map(_.toInt).getOrElse(1)
         if (status != 2) {
           val df = r.get("data_file").asInstanceOf[GenericRecord]
+          requireUnencrypted(df)
           // v2 manifests may carry delete files (content != 0): not data.
           val content = optLong(df, "content").map(_.toInt).getOrElse(0)
           if (content == 0) {
@@ -304,6 +319,7 @@ object ManifestIO {
         val status = optLong(r, "status").map(_.toInt).getOrElse(1)
         if (status != 2) {
           val df = r.get("data_file").asInstanceOf[GenericRecord]
+          requireUnencrypted(df)
           val content = optLong(df, "content").map(_.toInt).getOrElse(0)
           if (content == 1 || content == 2) {
             val eqIds = opt(df, "equality_ids").collect {

@@ -84,6 +84,11 @@ final case class TableMetadata(
       * byte-comparable — pruning must doubt-keep (same rule class as
       * uuid's raw-bytes bounds). */
     geoFieldIds: Set[Int] = Set.empty,
+    /** Field ids of v3 `timestamp_ns`/`timestamptz_ns` columns (present
+      * only under the BIGINT-nanos read opt-in — otherwise the parse
+      * refused): read as epoch-nanos LongType; writes refuse. Their
+      * int64 bounds DO decode correctly as longs, so pruning stays on. */
+    nsFieldIds: Set[Int] = Set.empty,
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshot],
     properties: Map[String, String],
@@ -220,6 +225,20 @@ object TableMetadata {
   def isGeoType(t: String): Boolean =
     t == "geometry" || t.startsWith("geometry(") ||
       t == "geography" || t.startsWith("geography(")
+
+  /** Field-metadata key carrying a column's original nanosecond timestamp
+    * type (`timestamp_ns` / `timestamptz_ns`) when the BIGINT-nanos read
+    * opt-in is active. Presence means: the Spark-visible type is BIGINT
+    * epoch nanos, and writes refuse. */
+  val NsTypeKey = "iceberg.ns-type"
+
+  /** Opt-in switch (table property; also honored `spark.`-prefixed as a
+    * session conf): read `timestamp_ns`/`timestamptz_ns` columns
+    * losslessly as BIGINT epoch nanos instead of refusing. */
+  val NsAsBigintKey = "graft.read.timestamp-ns-as-bigint"
+
+  def isNsType(t: String): Boolean =
+    t == "timestamp_ns" || t == "timestamptz_ns"
   private val mapper = new ObjectMapper()
 
   /** Parse an Iceberg primitive/nested type string or node to a Spark type.
@@ -227,23 +246,29 @@ object TableMetadata {
     * reference's supported pruning set is the same shape
     * (`pruning_statistics.rs:202-242`).
     */
-  def toSparkType(node: JsonNode): DataType =
-    if (node.isTextual) primitive(node.asText)
+  def toSparkType(node: JsonNode): DataType = toSparkType(node, false)
+
+  def toSparkType(node: JsonNode, nsAsBigint: Boolean): DataType =
+    if (node.isTextual) primitive(node.asText, nsAsBigint)
     else node.get("type").asText match {
       case "struct" =>
         StructType(node.get("fields").elements.asScala.map { f =>
           val mb = new MetadataBuilder()
           if (f.get("type").isTextual && isGeoType(f.get("type").asText))
             mb.putString(GeoTypeKey, f.get("type").asText)
-          StructField(f.get("name").asText, toSparkType(f.get("type")),
+          if (f.get("type").isTextual && isNsType(f.get("type").asText))
+            mb.putString(NsTypeKey, f.get("type").asText)
+          StructField(f.get("name").asText,
+            toSparkType(f.get("type"), nsAsBigint),
             nullable = !f.get("required").asBoolean,
             metadata = mb.build())
         }.toSeq)
       case "list" =>
-        ArrayType(toSparkType(node.get("element")),
+        ArrayType(toSparkType(node.get("element"), nsAsBigint),
           containsNull = !Option(node.get("element-required")).exists(_.asBoolean))
       case "map" =>
-        MapType(toSparkType(node.get("key")), toSparkType(node.get("value")),
+        MapType(toSparkType(node.get("key"), nsAsBigint),
+          toSparkType(node.get("value"), nsAsBigint),
           valueContainsNull = !Option(node.get("value-required")).exists(_.asBoolean))
       case other => throw new IllegalArgumentException(s"unsupported iceberg type: $other")
     }
@@ -251,7 +276,9 @@ object TableMetadata {
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val FixedRe = """fixed\[(\d+)\]""".r
 
-  def primitive(t: String): DataType = t match {
+  def primitive(t: String): DataType = primitive(t, false)
+
+  def primitive(t: String, nsAsBigint: Boolean): DataType = t match {
     case "boolean"       => BooleanType
     case "int"           => IntegerType
     case "long"          => LongType
@@ -273,12 +300,25 @@ object TableMetadata {
     // v3 `unknown`: a column whose type is not yet known; always null,
     // never stored in data files. NullType is Spark's exact analogue.
     case "unknown"       => NullType
+    // v3 nanosecond timestamps: Spark has no nanos type, so the default
+    // is a loud refusal. The explicit opt-in (table property or
+    // `spark.`-prefixed session conf `graft.read.timestamp-ns-as-bigint`)
+    // serves the column LOSSLESSLY as BIGINT epoch nanos — the exact
+    // stored int64, no truncation; the consumer owns the interpretation.
+    // Writes stay refused either way (fields carry [[TableMetadata
+    // .NsTypeKey]]): this engine would stamp a plain INT64 without the
+    // nanos annotation, silently changing the column's meaning for
+    // nanos-capable readers.
     case "timestamp_ns" | "timestamptz_ns" =>
-      throw new UnsupportedOperationException(
+      if (nsAsBigint) LongType
+      else throw new UnsupportedOperationException(
         s"iceberg type $t: Spark has no nanosecond timestamp type, so this " +
           "engine cannot read or write it without silent precision loss — " +
-          "read the table with a nanos-capable engine, or migrate the " +
-          "column to timestamp/timestamptz (microseconds)")
+          "read the table with a nanos-capable engine, migrate the column " +
+          "to timestamp/timestamptz (microseconds), or opt in to a " +
+          "lossless BIGINT-nanos read with the " +
+          s"${TableMetadata.NsAsBigintKey} table property (or the " +
+          s"spark.${TableMetadata.NsAsBigintKey} session conf)")
     // v3 geometry/geography: the data-file representation IS WKB bytes
     // (the spec's parquet encoding), so a BinaryType passthrough read
     // serves the exact stored values — what the reference already prunes
@@ -327,8 +367,29 @@ object TableMetadata {
 
   def fromJson(json: String): TableMetadata = {
     val root = mapper.readTree(json)
+    // encrypted tables (v3 `encryption-keys`): this engine has no key
+    // management — refuse at metadata load with a typed message instead
+    // of failing later with a raw Avro/parquet decode error on
+    // ciphertext. An empty list means "nothing encrypted": proceed.
+    Option(root.get("encryption-keys")).filter(_.elements.hasNext).foreach {
+      keys =>
+        throw new UnsupportedOperationException(
+          "table encryption not supported: the metadata declares " +
+            s"${keys.size} encryption key(s) (`encryption-keys`) and this " +
+            "engine ships no key-management integration — read the table " +
+            "with an encryption-capable engine")
+    }
     val sn = schemaNode(root)
     val fields = sn.get("fields").elements.asScala.toSeq
+    val propsMap = Option(root.get("properties"))
+      .map(n => n.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty[String, String])
+    // ns-as-bigint opt-in: table property first (travels with the
+    // adopted table), `spark.`-prefixed session conf second (driver-side
+    // opt-in without a metadata edit)
+    val nsAsBigint = propsMap.get(NsAsBigintKey).exists(_.toBoolean) ||
+      org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+        s.conf.getOption(s"spark.$NsAsBigintKey").exists(_.toBoolean))
     val schema = StructType(fields.map { f =>
       // parquet.field.id: Spark's parquet reader resolves an id-bearing
       // read schema BY FIELD ID (the Iceberg contract) — which is what
@@ -352,6 +413,8 @@ object TableMetadata {
         // spatial columns keep their original type string on the field:
         // the read type is WKB binary, but pruning and writes must know
         if (isGeoType(t)) mb.putString(GeoTypeKey, t)
+        // nanosecond columns likewise (BIGINT-nanos read; writes refuse)
+        if (isNsType(t)) mb.putString(NsTypeKey, t)
         Option(f.get("initial-default")).filterNot(_.isNull).foreach(d =>
           mb.putString("EXISTS_DEFAULT", DefaultValues.jsonToSql(d, t)))
         Option(f.get("write-default")).filterNot(_.isNull).foreach(d =>
@@ -363,7 +426,7 @@ object TableMetadata {
           s"column ${f.get("name").asText}: default values on nested " +
             "types are not supported (primitive columns only)")
       }
-      StructField(f.get("name").asText, toSparkType(f.get("type")),
+      StructField(f.get("name").asText, toSparkType(f.get("type"), nsAsBigint),
         nullable = !f.get("required").asBoolean,
         metadata = mb.build())
     })
@@ -406,6 +469,10 @@ object TableMetadata {
       uuidFieldIds = uuidIds,
       geoFieldIds = fields.collect {
         case f if f.get("type").isTextual && isGeoType(f.get("type").asText) =>
+          f.get("id").asInt
+      }.toSet,
+      nsFieldIds = fields.collect {
+        case f if f.get("type").isTextual && isNsType(f.get("type").asText) =>
           f.get("id").asInt
       }.toSet,
       currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),

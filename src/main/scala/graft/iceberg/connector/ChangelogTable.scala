@@ -167,6 +167,17 @@ final class GraftChangelogTable(
       require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
       n
     }
+    // row-weighted admission: at most ~N CHANGE ROWS per micro-batch,
+    // still snapshot-granular (commits never split — pairing is
+    // commit-scoped). Weighted from manifest-list added/deleted row
+    // counts (metadata-scale, no data IO); an oversized single commit is
+    // admitted ALONE — bounded stall, guaranteed progress — instead of
+    // one bulk commit riding with the whole backlog.
+    val maxRows = Option(options.get("maxRowsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxRowsPerTrigger must be positive, got $n")
+      n
+    }
     // start the stream AFTER this snapshot instead of from table start
     // (the checkpoint-less "resume from here" upstream streams offer)
     val startSnapshot = Option(options.get("start-snapshot-id")).map(_.toLong)
@@ -217,7 +228,7 @@ final class GraftChangelogTable(
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftChangelogMicroBatchStream(table, tableDataSchema,
             scanSchema, computeUpdates, withLineage, maxSnapshots,
-            startSnapshot, freshTable)
+            startSnapshot, freshTable, maxRows)
       }
     }
   }
@@ -254,11 +265,16 @@ final class GraftChangelogMicroBatchStream(
       * the first batch plans — validated there, loudly. */
     startSnapshotId: Option[Long] = None,
     /** fresh metadata fetch (store-backed for REST tables) */
-    reload: () => IcebergTable = null) extends MicroBatchStream
+    reload: () => IcebergTable = null,
+    /** `maxRowsPerTrigger`: row-weighted, snapshot-granular admission —
+      * extend the window commit by commit while the cumulative change
+      * volume stays within budget; a commit is NEVER split (pairing is
+      * commit-scoped), so a single oversized commit is admitted alone. */
+    maxRowsPerTrigger: Option[Long] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   private val freshTable: () => IcebergTable = Option(reload)
     .getOrElse(() => new IcebergTable(table.tableDir, table.conf))
@@ -277,11 +293,18 @@ final class GraftChangelogMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(head(fresh()))
 
-  /** ReadMaxFiles is the carrier (there is no ReadMaxSnapshots); the
-    * unit here is SNAPSHOTS, interpreted by [[latestOffset]] below. */
-  override def getDefaultReadLimit: ReadLimit =
-    maxSnapshotsPerTrigger.map(ReadLimit.maxFiles)
-      .getOrElse(ReadLimit.allAvailable())
+  /** ReadMaxFiles carries the SNAPSHOT cap (there is no
+    * ReadMaxSnapshots), ReadMaxRows the row budget; both interpreted by
+    * [[latestOffset]] below, composed when both options are set. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = maxSnapshotsPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def reportLatestOffset(): StreamingOffset =
     GraftStreamOffset(availableNowTarget.getOrElse(head(fresh())))
@@ -289,19 +312,73 @@ final class GraftChangelogMicroBatchStream(
   override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset = {
     val t = fresh()
     val headId = availableNowTarget.getOrElse(head(t))
-    limit match {
-      case mf: ReadMaxFiles =>
-        val s = start.asInstanceOf[GraftStreamOffset].snapshotId
-        if (headId == s || headId == GraftStreamOffset.BeforeAnySnapshot)
-          return GraftStreamOffset(headId)
-        val lineage = t.metadata.snapshotLineage
-        val sPos = lineagePos(lineage, s, "start")
-        val hPos = lineagePos(lineage, headId, "end")
-        if (hPos <= sPos) return GraftStreamOffset(headId) // rollback window
-        GraftStreamOffset(lineage(math.min(hPos, sPos + mf.maxFiles) - 1))
-      case _ => GraftStreamOffset(headId)
+    // flatten the limit into (snapshot cap, row budget)
+    def flat(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case mf: ReadMaxFiles => (Some(mf.maxFiles), None)
+      case mr: ReadMaxRows => (None, Some(mr.maxRows))
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.toSeq.map(flat)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+      case _ => (None, None)
     }
+    val (maxSnaps, maxRows) = flat(limit)
+    if (maxSnaps.isEmpty && maxRows.isEmpty) return GraftStreamOffset(headId)
+    val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+    if (headId == s || headId == GraftStreamOffset.BeforeAnySnapshot)
+      return GraftStreamOffset(headId)
+    val lineage = t.metadata.snapshotLineage
+    val sPos = lineagePos(lineage, s, "start")
+    val hPos = lineagePos(lineage, headId, "end")
+    if (hPos <= sPos) return GraftStreamOffset(headId) // rollback window
+    val cap = math.min(hPos, maxSnaps.map(sPos + _).getOrElse(hPos))
+    val end = maxRows match {
+      case None => cap
+      case Some(budget) =>
+        // snapshot-granular row weighting: extend while the cumulative
+        // change volume fits; ALWAYS admit the first commit (progress —
+        // an oversized commit drains alone, it is never split)
+        var p = sPos
+        var spent = 0L
+        var stop = false
+        while (p < cap && !stop) {
+          val rows = changeVolumeOf(t, lineage, p)
+          if (p == sPos || spent + rows <= budget) {
+            spent = if (rows > Long.MaxValue - spent) Long.MaxValue
+                    else spent + rows
+            p += 1
+          } else stop = true
+        }
+        p
+    }
+    GraftStreamOffset(lineage(end - 1))
   }
+
+  /** Estimated change rows of the commit at lineage POSITION `p` (the
+    * snapshot `lineage(p)`): the added+deleted row counts of the
+    * manifests NEW in that snapshot vs its lineage parent — two
+    * manifest-list reads, metadata-scale, no data IO. Counts a
+    * non-conformant writer omitted read as UNKNOWN (Long.MaxValue):
+    * that commit fills any budget and is admitted alone — conservative,
+    * never starves. Cached per snapshot for the stream's lifetime
+    * (manifest lists are immutable). */
+  private val changeVolumeCache = scala.collection.mutable.Map[Long, Long]()
+
+  private def changeVolumeOf(t: IcebergTable, lineage: Seq[Long], p: Int): Long =
+    changeVolumeCache.getOrElseUpdate(lineage(p), {
+      val byId = t.metadata.snapshots.map(x => x.snapshotId -> x).toMap
+      def manifests(id: Long): Seq[graft.iceberg.ManifestFile] =
+        byId.get(id).map(s =>
+          graft.iceberg.ManifestIO.readManifestList(
+            t.resolve(s.manifestList), t.conf)).getOrElse(Nil)
+      val parentPaths: Set[String] =
+        if (p == 0) Set.empty else manifests(lineage(p - 1)).map(_.path).toSet
+      val fresh = manifests(lineage(p)).filterNot(m => parentPaths.contains(m.path))
+      val counts = fresh.map(m =>
+        for (a <- m.addedRowsCount; d <- m.deletedRowsCount.orElse(Some(0L)))
+          yield a + d)
+      if (counts.exists(_.isEmpty)) Long.MaxValue
+      else counts.flatten.sum
+    })
 
   private def lineagePos(lineage: Seq[Long], id: Long, which: String): Int =
     if (id == GraftStreamOffset.BeforeAnySnapshot) 0

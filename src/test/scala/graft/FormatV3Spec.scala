@@ -200,6 +200,187 @@ class FormatV3Spec extends SparkSpec {
       s"inherited lineage over the id-less import: ${rows.toSeq.sortBy(_._1).take(5)}")
   }
 
+  test("timestamp_ns: refused by default with the opt-in named; the " +
+      "BIGINT-nanos opt-in (session conf or table property) serves the " +
+      "exact stored int64; writes stay refused") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = "/root/repo/target/v3-ns-table"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    new java.io.File(s"$root/metadata").mkdirs()
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    // synthetic nanos-native layout: int64 epoch-nanos in the data file
+    // (a nanos-capable writer's physical representation), timestamp_ns
+    // in the metadata document
+    val nanos = Seq(1700000000000000001L, 1700000000000000002L)
+    val ws = StructType(Seq(
+      StructField("k", LongType, nullable = true, fid(1)),
+      StructField("ts", LongType, nullable = true, fid(2))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        nanos.zipWithIndex.map { case (n, i) => Row(i.toLong, n) }, 1), ws)
+      .write.parquet(s"$root/data/f1")
+    val pfile = new java.io.File(s"$root/data/f1").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val ms = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val dfS = ms.getField("data_file").schema
+    val d = new GenericData.Record(dfS)
+    d.put("file_path", pfile.toString); d.put("file_format", "PARQUET")
+    d.put("record_count", 2L); d.put("file_size_in_bytes", pfile.length)
+    val e0 = new GenericData.Record(ms)
+    e0.put("status", 1); e0.put("data_file", d)
+    def writeAvro(path: java.io.File, s: Schema,
+                  recs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](s))
+      w.create(s, path); recs.foreach(w.append); w.close()
+    }
+    val m = new java.io.File(s"$root/metadata/m1.avro")
+    writeAvro(m, ms, Seq(e0))
+    val mlSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"partition_spec_id","type":"int"}]}""".stripMargin)
+    val ml = new GenericData.Record(mlSchema)
+    ml.put("manifest_path", m.toString); ml.put("manifest_length", m.length)
+    ml.put("partition_spec_id", 0)
+    writeAvro(new java.io.File(s"$root/metadata/snap-1.avro"), mlSchema,
+      Seq(ml))
+    def metaJson(props: String): String =
+      s"""{"format-version": 3, "location": "$root", $props
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "k", "required": false, "type": "long"},
+         |  {"id": 2, "name": "ts", "required": false,
+         |   "type": "timestamp_ns"}]},
+         |"partition-specs": [{"spec-id": 0, "fields": []}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 99,
+         |"snapshots": [{"snapshot-id": 99, "timestamp-ms": 0,
+         |  "manifest-list": "$root/metadata/snap-1.avro"}]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v1.metadata.json"), metaJson(""))
+    val optKey = s"spark.${graft.iceberg.TableMetadata.NsAsBigintKey}"
+    spark.conf.unset(optKey)
+    // default: LOUD refusal naming the opt-in
+    val e = intercept[UnsupportedOperationException] {
+      new IcebergTable(root, conf)
+    }
+    assert(e.getMessage.contains("timestamp_ns") &&
+      e.getMessage.contains(graft.iceberg.TableMetadata.NsAsBigintKey),
+      e.getMessage)
+    // session-conf opt-in: lossless BIGINT nanos
+    spark.conf.set(optKey, "true")
+    try {
+      val t = new IcebergTable(root, conf)
+      assert(t.metadata.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(t.metadata.schema("ts").metadata
+        .getString(graft.iceberg.TableMetadata.NsTypeKey) == "timestamp_ns")
+      assert(t.metadata.nsFieldIds == Set(2))
+      val got = t.toDF(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> nanos(0), 1L -> nanos(1)),
+        s"exact stored nanos must serve: $got")
+      // writes stay refused under the opt-in
+      import spark.implicits._
+      val ew = intercept[Exception] {
+        graft.iceberg.IcebergWriter.append(spark, root,
+          Seq((9L, 1L)).toDF("k", "ts"))
+      }
+      def msgs(x: Throwable): String = Iterator.iterate(x)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs(ew).contains("timestamp_ns"), msgs(ew))
+    } finally spark.conf.unset(optKey)
+    // table-property opt-in: no session conf needed (the adopted table
+    // carries its own opt-in)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json"),
+      metaJson(s""""properties": {
+        |  "${graft.iceberg.TableMetadata.NsAsBigintKey}": "true"},"""
+        .stripMargin))
+    val t2 = new IcebergTable(root, conf)
+    assert(t2.metadata.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(t2.toDF(spark).count() == 2)
+  }
+
+  test("encrypted tables refuse LOUDLY: typed message at metadata load " +
+      "(encryption-keys) and at manifest read (key_metadata), not a raw " +
+      "decode error downstream") {
+    def meta(keys: String) =
+      s"""{"format-version": 3, "location": "/x", $keys
+         |"schema": {"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "k", "required": false, "type": "long"}]}}"""
+        .stripMargin
+    val e1 = intercept[UnsupportedOperationException] {
+      graft.iceberg.TableMetadata.fromJson(meta(
+        """"encryption-keys": [{"key-id": "k1",
+          |  "encrypted-key-metadata": "QUFBQQ=="}],""".stripMargin))
+    }
+    assert(e1.getMessage.contains("table encryption not supported"),
+      e1.getMessage)
+    // an EMPTY list means nothing is encrypted — loads normally
+    assert(graft.iceberg.TableMetadata.fromJson(
+      meta(""""encryption-keys": [],""")).formatVersion == 3)
+    assert(graft.iceberg.TableMetadata.fromJson(meta("")).formatVersion == 3)
+
+    // a manifest whose data file carries key_metadata (encrypted content)
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val ms = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"key_metadata","type":["null","bytes"],"default":null}]}}]}"""
+        .stripMargin)
+    val dfS = ms.getField("data_file").schema
+    def entry(keyMeta: Option[Array[Byte]]): GenericRecord = {
+      val d = new GenericData.Record(dfS)
+      d.put("file_path", "/x/data/f.parquet")
+      d.put("file_format", "PARQUET")
+      d.put("record_count", 1L); d.put("file_size_in_bytes", 10L)
+      keyMeta.foreach(b => d.put("key_metadata", java.nio.ByteBuffer.wrap(b)))
+      val e = new GenericData.Record(ms)
+      e.put("status", 1); e.put("data_file", d); e
+    }
+    def write(path: java.io.File, recs: Seq[GenericRecord]): Unit = {
+      path.getParentFile.mkdirs()
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ms))
+      w.create(ms, path); recs.foreach(w.append); w.close()
+    }
+    val root = "/root/repo/target/v3-enc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val enc = new java.io.File(s"$root/m-enc.avro")
+    write(enc, Seq(entry(Some(Array[Byte](1, 2, 3)))))
+    val e2 = intercept[UnsupportedOperationException] {
+      graft.iceberg.ManifestIO.readManifest(enc.toString, conf)
+    }
+    assert(e2.getMessage.contains("table encryption not supported") &&
+      e2.getMessage.contains("f.parquet"), e2.getMessage)
+    // a NULL key_metadata field is the unencrypted common case: reads fine
+    val plain = new java.io.File(s"$root/m-plain.avro")
+    write(plain, Seq(entry(None)))
+    assert(graft.iceberg.ManifestIO.readManifest(plain.toString, conf)
+      .map(_.filePath) == Seq("/x/data/f.parquet"))
+  }
+
   test("v3 geometry: WKB binary passthrough read, doubt-keep pruning, " +
       "write refusal, and metadata round-trip of the spatial type") {
     freshCatalog()

@@ -743,6 +743,78 @@ class IcebergStreamSourceSpec extends SparkSpec {
       s"start-snapshot-id must skip the first commit's inserts: $got2")
   }
 
+  test("changelog stream admission control: maxRowsPerTrigger splits the " +
+      "backlog BETWEEN commits (row-weighted), never WITHIN one — an " +
+      "oversized commit drains alone with pairing intact") {
+    val wh = graft.Scratch.dir("test-cdcrows-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.cdcrows", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdcrows.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdcrows.ns")
+    spark.sql("""CREATE TABLE cdcrows.ns.t (k INT NOT NULL, v STRING)
+                 TBLPROPERTIES ('format-version' = '3',
+                                'write.update.mode' = 'merge-on-read')""")
+    // commit A: 100 change rows — far over any budget below
+    spark.sql("INSERT INTO cdcrows.ns.t SELECT CAST(id AS INT), " +
+      "concat('a', id) FROM range(100)")
+    // commit B: a MoR update of 3 rows — 6 change rows (3 del + 3 ins)
+    spark.sql("UPDATE cdcrows.ns.t SET v = concat(v, '!') WHERE k < 3")
+    // commit C: 2 change rows
+    spark.sql("INSERT INTO cdcrows.ns.t VALUES (200, 'x'), (201, 'y')")
+
+    val ckpt = new File(graft.Scratch.dir("test-cdcrows-ckpt"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    // batchId -> (commit ids, row shapes) as each micro-batch lands
+    val seen = scala.collection.mutable.LinkedHashMap[
+      Long, (Set[Long], Seq[(Int, String, String)])]()
+    val q = spark.readStream
+      .option("compute-updates", "true")
+      .option("maxRowsPerTrigger", "7") // fits B (6), not B+C (8)
+      .table("cdcrows.ns.t.changes")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.collect()
+        seen.synchronized {
+          seen(id) = (rows.map(_.getAs[Long]("_commit_snapshot_id")).toSet,
+            rows.map(r => (r.getAs[Int]("k"), r.getAs[String]("v"),
+              r.getAs[String]("_change_type"))).toSeq)
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+
+    val nonEmpty = seen.values.filter(_._2.nonEmpty).toSeq
+    assert(nonEmpty.size == 3,
+      s"3 commits under a 7-row budget must drain as 3 batches " +
+        s"(100 | 6 | 2), got ${nonEmpty.map(_._2.size)}")
+    // BETWEEN commits only: every commit's rows land in exactly one batch
+    assert(nonEmpty.forall(_._1.size == 1),
+      s"each batch must hold exactly one commit: ${nonEmpty.map(_._1)}")
+    assert(nonEmpty.map(_._1.head).distinct.size == 3,
+      "the three commits must land in three distinct batches")
+    // WITHIN a commit never: the oversized commit A (100 rows > budget)
+    // drained complete in its single batch
+    assert(nonEmpty.map(_._2.size).toSet == Set(100, 6, 2),
+      s"batch sizes must be the per-commit volumes: " +
+        s"${nonEmpty.map(_._2.size)}")
+    // pairing intact: B's update halves share its one batch
+    val bBatch = nonEmpty.find(_._2.size == 6).get._2
+    assert(bBatch.count(_._3 == "update_before") == 3 &&
+      bBatch.count(_._3 == "update_after") == 3,
+      s"the update commit's pairs must stay in one batch: $bBatch")
+    // completeness: union equals the batch compute-updates surface
+    val conf = spark.sessionState.newHadoopConf()
+    val t = new graft.iceberg.IcebergTable(s"$wh/ns/t", conf)
+    val batchAll = t.changesWithUpdates(spark, 0L,
+      t.metadata.snapshotLineage.last).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"))).sorted.toSeq
+    assert(nonEmpty.flatMap(_._2).sorted == batchAll,
+      "the paced drain must still cover the whole history")
+  }
+
   test("CDC replication: a changes stream applied through " +
       "icebergReplicaSink keeps the replica equal to the source") {
     import graft.streaming.EventStream
