@@ -175,8 +175,13 @@ object PartitionStats {
     def f(id: Int, name: String, dt: DataType, nullable: Boolean) =
       StructField(name, dt, nullable,
         new MetadataBuilder().putLong("parquet.field.id", id).build())
-    StructType(Seq(
-      f(1, "partition", unifiedPartitionType(meta), nullable = true),
+    // a never-partitioned table has an EMPTY unified partition type:
+    // parquet refuses empty nested schemas, so the column is omitted
+    // entirely (readers treat a missing tuple as the null partition)
+    val pt = unifiedPartitionType(meta)
+    StructType(
+      (if (pt.fields.isEmpty) Nil
+       else Seq(f(1, "partition", pt, nullable = true))) ++ Seq(
       f(2, "spec_id", IntegerType, nullable = false),
       f(3, "data_record_count", LongType, nullable = false),
       f(4, "data_file_count", IntegerType, nullable = false),
@@ -198,23 +203,29 @@ object PartitionStats {
   def writeFile(spark: SparkSession, tableDir: String,
       meta: TableMetadata, sid: Long, rows: Seq[Entry]): (String, Long) = {
     val schema = fileSchema(meta)
-    val pType = schema.head.dataType.asInstanceOf[StructType]
+    val hasPartitionCol = schema.fieldNames.head == "partition"
     val data = rows.map { e =>
       // values arrive either manifest-typed (rollup/delta paths) or
       // already-external (entries read back from a prior file) —
       // `external` normalizes the former and passes the latter through
-      val tuple =
-        if (e.partitionValues.isEmpty && e.partitionRepr == null) null
-        else Row.fromSeq(pType.fields.toSeq.map(f =>
-          e.partitionValues.get(f.name)
-            .map(external(_, f.dataType)).orNull))
-      Row(tuple, e.specId, e.dataRecordCount, e.dataFileCount.toInt,
+      val tupleSeq =
+        if (!hasPartitionCol) Nil
+        else {
+          val pType = schema.head.dataType.asInstanceOf[StructType]
+          Seq(
+            if (e.partitionValues.isEmpty && e.partitionRepr == null) null
+            else Row.fromSeq(pType.fields.toSeq.map(f =>
+              e.partitionValues.get(f.name)
+                .map(external(_, f.dataType)).orNull)))
+        }
+      Row.fromSeq(tupleSeq ++ Seq(
+        e.specId, e.dataRecordCount, e.dataFileCount.toInt,
         e.totalDataFileSizeInBytes, e.posDeleteRecordCount,
         e.posDeleteFileCount.toInt, e.eqDeleteRecordCount,
         e.eqDeleteFileCount.toInt, null,
         e.lastUpdatedAt.map(Long.box).orNull,
         e.lastUpdatedSnapshotId.map(Long.box).orNull,
-        e.partitionRepr)
+        e.partitionRepr))
     }
     val dir = new Path(tableDir,
       s"metadata/partition-stats-$sid-${java.util.UUID.randomUUID()}")
@@ -251,10 +262,15 @@ object PartitionStats {
       if (have.contains(n)) org.apache.spark.sql.functions.col(n)
       else org.apache.spark.sql.functions.lit(
         if (intTyped) 0 else 0L).as(n)
-    val withRepr =
+    val withRepr0 =
       if (have.contains("partition_repr")) df
       else df.withColumn("partition_repr",
         org.apache.spark.sql.functions.lit(null: String))
+    // a never-partitioned table's file carries no partition column
+    val withRepr =
+      if (have.contains("partition")) withRepr0
+      else withRepr0.withColumn("partition",
+        org.apache.spark.sql.functions.lit(null))
     withRepr.select(
         org.apache.spark.sql.functions.col("partition"),
         org.apache.spark.sql.functions.col("partition_repr"),

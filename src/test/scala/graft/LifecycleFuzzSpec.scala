@@ -36,6 +36,8 @@ class LifecycleFuzzSpec extends SparkSpec {
     var branchAbandons = 0
     var defaultOps = 0
     var variantOps = 0
+    var statsOps = 0
+    var geoOps = 0
     // seed 1207: merge-on-read UPDATEs (delta path); seed 4242:
     // copy-on-write UPDATEs — every UPDATE op then rewrites over
     // whatever merge-on-read delete debt the random sequence left
@@ -105,8 +107,18 @@ class LifecycleFuzzSpec extends SparkSpec {
             s"${(want.toSet diff got.toSet).take(5)}")
       }
 
+      // partition-statistics chain state: once the maintenance property
+      // flips on, appends extend the chain incrementally; the stats op
+      // cross-checks whatever entry the chain left for the CURRENT
+      // snapshot against a from-scratch rollup, then re-bootstraps
+      var statsDeclared = false
+      // geometry side-fixture state (read-only surface): expected WKB by
+      // key, built once per seed
+      var geoDir: Option[String] = None
+      val geoModel = scala.collection.mutable.Map.empty[Long, Seq[Byte]]
+
       (1 to 40).foreach { step =>
-        val op = r.nextInt(18) match {
+        val op = r.nextInt(20) match {
           case 0 | 1 | 2 | 3 => // INSERT a fresh batch (explicit column
             // list: post-add-column inserts take the write-default for d)
             val n = 5 + r.nextInt(20)
@@ -313,6 +325,105 @@ class LifecycleFuzzSpec extends SparkSpec {
               variantOps += 1
               if (touched.isEmpty) "noop_variant" else s"set_variant($m,$rem)"
             }
+          case 18 => // partition-statistics lifecycle: validate whatever
+            // entry the incremental chain left for the CURRENT snapshot
+            // against a from-scratch rollup (the chain's correctness
+            // invariant), then (re-)bootstrap with the procedure — the
+            // random mix breaks the chain (deletes, overwrites,
+            // rollbacks) and appends must extend it again afterwards
+            if (new IcebergTable(dir, conf).metadata.currentSnapshotId
+                .forall(_ == -1L)) "noop"
+            else {
+              if (!statsDeclared) {
+                spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES (" +
+                  s"'${graft.iceberg.PartitionStats.Prop}' = 'true')")
+                statsDeclared = true
+              }
+              val t0 = new IcebergTable(dir, conf)
+              def shape(e: graft.iceberg.PartitionStats.Entry) =
+                (e.partitionRepr, e.specId, e.dataFileCount,
+                  e.dataRecordCount, e.totalDataFileSizeInBytes,
+                  e.posDeleteFileCount, e.posDeleteRecordCount,
+                  e.eqDeleteFileCount, e.eqDeleteRecordCount)
+              t0.metadata.partitionStatistics
+                .find(e => t0.metadata.currentSnapshotId.contains(e.snapshotId))
+                .foreach { entry =>
+                  val chain = graft.iceberg.PartitionStats
+                    .readFile(spark, entry.path).map(shape).sortBy(_.toString)
+                  val full = graft.iceberg.PartitionStats
+                    .rollup(t0).map(shape).sortBy(_.toString)
+                  assert(chain == full,
+                    s"seed=$seed step $step: incremental partition-stats " +
+                      s"chain drifted from the from-scratch rollup:\n " +
+                      s"chain=$chain\n full=$full")
+                }
+              spark.sql(s"CALL lcf.system.compute_partition_stats(" +
+                s"table => 'ns.fz$seed')")
+              statsOps += 1
+              "partition_stats"
+            }
+          case 19 => // geometry side fixture (read-only surface): first
+            // firing adopts an external-shape geo table (WKB written as
+            // binary, metadata re-declared geometry); every firing
+            // re-reads the WKB bit-exactly and re-asserts write refusal
+            // under whatever session state the random mix left behind
+            geoOps += 1
+            if (geoDir.isEmpty) {
+              val gtbl = s"lcf.ns.geo$seed"
+              val gdir = s"$warehouse/ns/geo$seed"
+              spark.sql(s"DROP TABLE IF EXISTS $gtbl")
+              spark.sql(s"CREATE TABLE $gtbl (k BIGINT, geom BINARY)")
+              val rows = (0 until 3).map { i =>
+                val wkb = (Array[Byte](1, 1, 0, 0, 0) ++
+                  Array.fill(16)((seed % 97 + i).toByte)).toSeq
+                geoModel(i.toLong) = wkb
+                (i.toLong, wkb.toArray)
+              }
+              import spark.implicits._
+              rows.toDF("k", "geom").createOrReplaceTempView(s"geo_fz_$seed")
+              spark.sql(s"INSERT INTO $gtbl SELECT k, geom FROM geo_fz_$seed")
+              val fs = new Path(gdir).getFileSystem(conf)
+              val latest = graft.iceberg.TableMetadata
+                .latestMetadataPath(gdir, conf)
+              val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+              val root = {
+                val in = fs.open(latest)
+                try mapper.readTree(in.readAllBytes())
+                  .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                finally in.close()
+              }
+              import scala.jdk.CollectionConverters._
+              root.get("schemas").elements.asScala
+                .flatMap(_.get("fields").elements.asScala)
+                .filter(_.get("name").asText == "geom")
+                .foreach(_.asInstanceOf[
+                  com.fasterxml.jackson.databind.node.ObjectNode]
+                  .put("type", "geometry"))
+              val ver = latest.getName.stripPrefix("v")
+                .stripSuffix(".metadata.json").toLong
+              val out = fs.create(
+                new Path(s"$gdir/metadata/v${ver + 1}.metadata.json"))
+              try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+              geoDir = Some(gdir)
+              "geo_adopt"
+            } else {
+              val t = new IcebergTable(geoDir.get, conf)
+              val got = t.toDF(spark).collect()
+                .map(row => row.getLong(0) ->
+                  row.getAs[Array[Byte]]("geom").toSeq).toMap
+              assert(got == geoModel.toMap,
+                s"seed=$seed step $step: geo WKB drifted: $got")
+              import spark.implicits._
+              val ge = intercept[Exception] {
+                graft.iceberg.IcebergWriter.append(spark, geoDir.get,
+                  Seq((9L, Array[Byte](1))).toDF("k", "geom"))
+              }
+              assert(Iterator.iterate(ge: Throwable)(_.getCause)
+                .takeWhile(_ != null)
+                .exists(x => Option(x.getMessage).exists(_.contains("geometry"))),
+                "geo write must refuse")
+              "geo_check"
+            }
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
@@ -345,6 +456,10 @@ class LifecycleFuzzSpec extends SparkSpec {
       s"op mix must exercise the default-column lifecycle: $defaultOps")
     assert(variantOps >= 2,
       s"op mix must exercise the variant-column lifecycle: $variantOps")
+    assert(statsOps >= 2,
+      s"op mix must exercise partition-statistics maintenance: $statsOps")
+    assert(geoOps >= 2,
+      s"op mix must exercise the geometry read surface: $geoOps")
   }
 
   test("v3 row lineage is a MODEL INVARIANT across random lifecycle ops: " +

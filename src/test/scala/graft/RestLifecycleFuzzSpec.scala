@@ -176,14 +176,20 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     var conflictChecks = 0
     var defaultOps = 0
     var replicaOps = 0
+    var lineageReplicaOps = 0
     var variantRestOps = 0
-    Seq(3301L, 9099L).foreach { seed =>
+    // seed 5515 runs v3 FROM CREATION with the replica keyed on the
+    // spec's row lineage (_row_id renamed into a data column) instead of
+    // the natural key — the invariant a lineage-native replica relies on
+    Seq((3301L, false), (9099L, false), (5515L, true)).foreach {
+      case (seed, lineageRep) =>
       val tbl = s"restfz.ns.rz$seed"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val v3Prop = if (lineageRep) ", 'format-version' = '3'" else ""
       spark.sql(
         s"""CREATE TABLE $tbl (k BIGINT NOT NULL, v BIGINT) TBLPROPERTIES
            |('write.delete.mode' = 'merge-on-read',
-           | 'write.update.mode' = 'merge-on-read')""".stripMargin)
+           | 'write.update.mode' = 'merge-on-read'$v3Prop)""".stripMargin)
 
       val r = new scala.util.Random(seed)
       val model = mutable.Map.empty[Long, Long]
@@ -198,7 +204,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       val dModel = mutable.Map.empty[Long, Long]
       // v3 VARIANT column over the REST transport: add-schema commit on
       // the wire, payloads set via UPDATE, compared through to_json
-      var isV3 = false
+      var isV3 = lineageRep
       var pDeclared = false
       val pModel = mutable.Map.empty[Long, String]
       // CDC-replication state: a replica table kept in sync from
@@ -245,26 +251,36 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
         spark.sql(s"DROP TABLE IF EXISTS restfz.ns.rep$seed")
         val dCol = if (dDeclared) ", d BIGINT" else ""
         val pCol = if (pDeclared) ", p VARIANT" else ""
+        // lineage-keyed replicas store the source's _row_id as their own
+        // data column `rid` and MERGE on it
+        val ridCol = if (lineageRep) ", rid BIGINT NOT NULL" else ""
         val v3Props = if (pDeclared)
           " TBLPROPERTIES ('format-version' = '3')" else ""
         spark.sql(
           s"CREATE TABLE restfz.ns.rep$seed " +
-            s"(k BIGINT NOT NULL, v BIGINT$dCol$pCol)$v3Props")
+            s"(k BIGINT NOT NULL, v BIGINT$dCol$pCol$ridCol)$v3Props")
         org.apache.commons.io.FileUtils.deleteQuietly(replicaCkpt)
         // bootstrap = the source's current state; the stream then follows
         // changes AFTER the bootstrap snapshot
-        spark.sql(s"INSERT INTO restfz.ns.rep$seed SELECT * FROM $tbl")
+        val ridSel = if (lineageRep) ", _row_id" else ""
+        spark.sql(
+          s"INSERT INTO restfz.ns.rep$seed SELECT *$ridSel FROM $tbl")
         replicaStart = headSnapshot()
         replicaInit = true
       }
 
       def drainReplica(op: String): Unit = {
+        val feed0 = spark.readStream
+          .option("start-snapshot-id", replicaStart.toString)
+          .option("maxSnapshotsPerTrigger", "1")
+          .option("row-lineage", lineageRep.toString)
+          .table(s"$tbl.changes")
+        val feed =
+          if (lineageRep) feed0.withColumnRenamed("_row_id", "rid")
+          else feed0
         val q = EventStream.icebergReplicaSink(
-          spark.readStream
-            .option("start-snapshot-id", replicaStart.toString)
-            .option("maxSnapshotsPerTrigger", "1")
-            .table(s"$tbl.changes"),
-          s"restfz.ns.rep$seed", keys = Seq("k"))
+          feed, s"restfz.ns.rep$seed",
+          keys = Seq(if (lineageRep) "rid" else "k"))
           .option("checkpointLocation", replicaCkpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -297,6 +313,25 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           assert(gotD == wantD,
             s"seed=$seed after $op: replica default column diverged; " +
               s"diff=${(gotD.toSet diff wantD.toSet).take(5)}")
+        }
+        if (lineageRep) {
+          // the lineage invariant a _row_id-keyed replica rests on:
+          // rid is unique, and the replica's (rid -> k, v) mapping is
+          // exactly the source's — a reused/changed _row_id anywhere in
+          // the random op history would corrupt this MERGE-keyed state
+          val gotRid = spark.sql(
+            s"SELECT rid, k, v FROM restfz.ns.rep$seed").collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+          assert(gotRid.map(_._1).distinct.length == gotRid.length,
+            s"seed=$seed after $op: replica rid values must be unique")
+          val srcRid = spark.sql(s"SELECT _row_id, k, v FROM $tbl").collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          assert(gotRid.toMap == srcRid,
+            s"seed=$seed after $op: lineage-keyed replica diverged from " +
+              s"the source's (_row_id -> row) mapping; diff=" +
+              s"${(gotRid.toSet diff srcRid.toSet).take(5)} / " +
+              s"${(srcRid.toSet diff gotRid.toSet).take(5)}")
+          lineageReplicaOps += 1
         }
       }
 
@@ -489,18 +524,27 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           s"seed=$seed snapshot $sid drifted over REST: ${got.size} rows " +
             s"vs model ${want.size}")
       }
-      // one final replication check per seed when a replica is live
-      if (replicaInit) { drainReplica("final"); replicaOps += 1 }
+      // one final replication check per seed when a replica is live; the
+      // lineage seed FORCES the bootstrap + change + drain cycle so the
+      // rid-keyed invariant runs regardless of the random walk's path
+      if (lineageRep) {
+        if (!replicaInit) resetReplica()
+        insertBatch(3)
+        drainReplica("final-lineage"); replicaOps += 1
+      } else if (replicaInit) { drainReplica("final"); replicaOps += 1 }
       spark.sql(s"DROP TABLE IF EXISTS restfz.ns.rep$seed")
       spark.sql(s"DROP TABLE $tbl")
     }
-    assert(conflictChecks == 2, s"both seeds must exercise the forced 409")
-    assert(conflictsServed >= 2,
+    assert(conflictChecks == 3, s"every seed must exercise the forced 409")
+    assert(conflictsServed >= 3,
       s"the stub must actually have served the injected 409s: $conflictsServed")
     assert(defaultOps >= 1,
       s"op mix must exercise the default-column lifecycle over REST: $defaultOps")
     assert(replicaOps >= 1,
       s"op mix must exercise CDC-replication drains over REST: $replicaOps")
+    assert(lineageReplicaOps >= 1,
+      "op mix must exercise the v3 row-lineage-keyed replica invariant: " +
+        s"$lineageReplicaOps")
     assert(variantRestOps >= 1,
       s"op mix must exercise the variant column over REST: $variantRestOps")
   }
