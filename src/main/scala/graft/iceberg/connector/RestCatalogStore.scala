@@ -147,10 +147,12 @@ final class RestCatalogStore(
   private def nsPath(ns: Seq[String]): String = enc(ns.mkString("\u001f"))
 
   private def request(method: String, url: String,
-                      body: Option[String]): (Int, String) = {
+                      body: Option[String],
+                      extraHeaders: Seq[(String, String)] = Nil): (Int, String) = {
     def send(auth: Option[String]): (Int, String) = {
       val b = HttpRequest.newBuilder(URI.create(url))
         .header("Content-Type", "application/json")
+      extraHeaders.foreach { case (k, v) => b.header(k, v) }
       auth.foreach(t => b.header("Authorization", s"Bearer $t"))
       val req = (body match {
         case Some(json) => b.method(method, HttpRequest.BodyPublishers.ofString(json))
@@ -254,7 +256,10 @@ final class RestCatalogStore(
 
   override def loadIcebergTable(ns: Seq[String], name: String): IcebergTable = {
     val (code, body) =
-      request("GET", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)
+      request("GET", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None,
+        // the spec's opt-in for credential vending: without this header
+        // many managed catalogs omit storage-credentials entirely
+        extraHeaders = Seq("X-Iceberg-Access-Delegation" -> "vended-credentials"))
     if (code == 404)
       throw new NoSuchElementException(s"table ${(ns :+ name).mkString(".")} not found")
     if (code / 100 != 2)

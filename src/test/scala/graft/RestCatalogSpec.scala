@@ -59,6 +59,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   /** Per-table LoadTableResult.config / storage-credentials JSON
     * fragments, appended verbatim to loadResult. */
   private val tableConfigJson = mutable.Map[(String, String), String]()
+  /** X-Iceberg-Access-Delegation values seen on table-load GETs. */
+  private val delegationSeen = mutable.Buffer[String]()
 
   // -- stub server -----------------------------------------------------------
 
@@ -256,6 +258,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         tables((ns, name)) = doc
         json(x, 200, loadResult(ns, name, doc))
       case ("GET", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        Option(x.getRequestHeaders.getFirst("X-Iceberg-Access-Delegation"))
+          .foreach(v => delegationSeen.synchronized { delegationSeen += v })
         tables.get((ns, t)) match {
           case Some(doc) => json(x, 200, loadResult(ns, t, doc))
           case None => json(x, 404, """{"error":{"message":"no such table"}}""")
@@ -1071,6 +1075,9 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       val store = new graft.iceberg.connector.RestCatalogStore(
         s"http://127.0.0.1:$port", spark.sessionState.newHadoopConf(), None)
       val t = store.loadIcebergTable(Seq("vendns"), "vt")
+      assert(delegationSeen.contains("vended-credentials"),
+        "table loads must opt in to credential vending via the " +
+          "X-Iceberg-Access-Delegation header")
       assert(t.conf.get("fs.graftvend.impl") == "graft.GraftVendedFileSystem")
       assert(t.conf.get("fs.s3a.access.key") == "AKVENDED",
         "s3.* keys must translate to fs.s3a.*")

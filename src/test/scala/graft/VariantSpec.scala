@@ -295,10 +295,15 @@ class VariantSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nanosecond") &&
       e.getMessage.contains("microseconds"))
-    // geometry/geography refuse the same way, naming the WKB fallback
-    val geo = intercept[UnsupportedOperationException] {
-      TableMetadata.fromJson(json.replace("timestamp_ns", "geometry"))
-    }
-    assert(geo.getMessage.contains("spatial") && geo.getMessage.contains("WKB"))
+    // geometry/geography READ as WKB binary since r17 (refuse-only
+    // before): the parse serves BinaryType with the spatial type kept on
+    // the field — writes and pruning key off it (FormatV3Spec gates the
+    // full surface)
+    val geo = TableMetadata.fromJson(json.replace("timestamp_ns", "geometry"))
+    assert(geo.schema("ts").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(geo.schema("ts").metadata
+      .getString(TableMetadata.GeoTypeKey) == "geometry")
+    assert(geo.geoFieldIds == Set(2))
   }
 }
