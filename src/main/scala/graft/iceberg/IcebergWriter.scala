@@ -411,6 +411,16 @@ object IcebergWriter {
     * HIGHEST vN.metadata.json, so overwriting v1 under a surviving v2+
     * would leave the stale version live and a later commit would silently
     * merge old and new contents. Rebuild = drop (delete the dir) first. */
+  /** The Hadoop conf a write runs under: the committer's when one is
+    * supplied — REST committers carry the catalog's vended per-table
+    * storage credentials, so the write DATA PLANE (parquet data files,
+    * manifests, stats files) uses the same credentials the scan read
+    * with — else a fresh session conf (the filesystem-warehouse
+    * behavior, unchanged: FS committers derive from the session conf). */
+  private def writeConf(spark: SparkSession,
+      committer: Option[TableCommitter]): org.apache.hadoop.conf.Configuration =
+    committer.map(_.conf).getOrElse(spark.sessionState.newHadoopConf())
+
   def seedTable(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[(String, String)] = Nil,
@@ -474,7 +484,7 @@ object IcebergWriter {
       spark: SparkSession, tableDir: String, added: Seq[AddedDataFile],
       removedPred: DataFileEntry => Boolean,
       committer: Option[TableCommitter], branch: String): Long = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val (baseSnap, parent, refExpected) = branchBase(meta, branch)
@@ -540,7 +550,7 @@ object IcebergWriter {
                      committer: Option[TableCommitter] = None,
                      branch: String = "main"): Long = {
     import org.apache.spark.sql.sources._
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val identityFields: Map[String, String] = {
@@ -589,7 +599,7 @@ object IcebergWriter {
       branch: String = "main"): Long = {
     if (added.isEmpty) return -1L
     val touched: Set[Seq[Any]] = added.flatMap(_.partition).toSet
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val specNames = meta.partitionSpec.map(_.name)
@@ -694,7 +704,7 @@ object IcebergWriter {
                committer: Option[TableCommitter] = None,
                branch: String = "main"): Long = {
     require(paths.nonEmpty, "addFiles: no files given")
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
@@ -815,7 +825,7 @@ object IcebergWriter {
                   committer: Option[TableCommitter] = None,
                   branch: String = "main"): Long = {
     import org.apache.spark.sql.sources.AlwaysTrue
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
@@ -1055,7 +1065,7 @@ object IcebergWriter {
                    zorderCols: Seq[String] = Nil): (Long, Int) = {
     require(sortCols.isEmpty || zorderCols.isEmpty,
       "choose sort OR zorder clustering, not both")
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val t = IcebergTable.fromMetadata(tableDir, conf, meta)
@@ -1439,7 +1449,7 @@ object IcebergWriter {
                      summary: Map[String, String] = Map.empty,
                      committer: Option[TableCommitter] = None,
                      branch: String = "main"): Long = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
@@ -1747,7 +1757,7 @@ object IcebergWriter {
       maxPosDeleteFraction: Double = 0.3,
       committer: Option[TableCommitter] = None,
       branch: String = "main"): Long = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta0 = cmtr.currentMetadata()
     // write-audit-publish: plan the matching pass against the BRANCH
@@ -2083,7 +2093,7 @@ object IcebergWriter {
   def rewritePositionDeleteFiles(spark: SparkSession, tableDir: String,
                                  committer: Option[TableCommitter] = None)
       : (Long, Int, Int) = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val t = IcebergTable.fromMetadata(tableDir, conf, meta)
@@ -2203,7 +2213,7 @@ object IcebergWriter {
   def convertEqualityDeletes(spark: SparkSession, tableDir: String,
                              committer: Option[TableCommitter] = None)
       : (Long, Int, Long) = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val t = IcebergTable.fromMetadata(tableDir, conf, meta)
@@ -2310,7 +2320,7 @@ object IcebergWriter {
                         dataFilePath: String, positions: Seq[Long],
                         committer: Option[TableCommitter] = None): Long = {
     require(positions.nonEmpty, "a deletion vector must delete something")
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val t = IcebergTable.fromMetadata(tableDir, conf, meta)
@@ -2635,7 +2645,7 @@ object IcebergWriter {
   def analyzeTable(spark: SparkSession, tableDir: String,
                    columns: Seq[String] = Nil,
                    committer: Option[TableCommitter] = None): (Long, Int) = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val t = IcebergTable.fromMetadata(tableDir, conf, meta)
@@ -2805,7 +2815,7 @@ object IcebergWriter {
       branch: String = "main",
       operation: String = "overwrite"): Long = {
     if (added.isEmpty && posDeletes.isEmpty) return -1L
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val (baseSnap, parent, refExpected) = branchBase(meta, branch)
@@ -2981,7 +2991,7 @@ object IcebergWriter {
   def expireSnapshots(spark: SparkSession, tableDir: String,
                       olderThanMs: Long, retainLast: Int = 1,
                       committer: Option[TableCommitter] = None): Int = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     requireGcEnabled(meta, tableDir, "expire_snapshots")
@@ -3103,7 +3113,7 @@ object IcebergWriter {
   def removeOrphanFiles(spark: SparkSession, tableDir: String,
                         olderThanMs: Long,
                         committer: Option[TableCommitter] = None): Int = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     requireGcEnabled(meta, tableDir, "remove_orphan_files")
@@ -3158,7 +3168,7 @@ object IcebergWriter {
   def rewriteManifests(spark: SparkSession, tableDir: String,
                        targetEntriesPerManifest: Int = 8192,
                        committer: Option[TableCommitter] = None): Long = {
-    val conf = spark.sessionState.newHadoopConf()
+    val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>

@@ -580,7 +580,9 @@ final class GraftReplaceWrite(
   override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: BatchWrite = new BatchWrite {
-    private val conf = SparkSession.active.sessionState.newHadoopConf()
+    // vended per-table storage credentials ride the write data plane
+    private val conf = SparkIcebergTable.withOverrides(
+      SparkSession.active.sessionState.newHadoopConf(), table.vended)
     private val writeDir =
       s"${table.tableDir}/data/rlo-${java.util.UUID.randomUUID.toString.take(12)}"
 
@@ -678,7 +680,9 @@ final class GraftDynamicOverwriteWrite(
   override def distributionStrictlyRequired(): Boolean = false
 
   override def toBatch: BatchWrite = new BatchWrite {
-    private val conf = SparkSession.active.sessionState.newHadoopConf()
+    // vended per-table storage credentials ride the write data plane
+    private val conf = SparkIcebergTable.withOverrides(
+      SparkSession.active.sessionState.newHadoopConf(), table.vended)
     private val writeDir =
       s"${table.tableDir}/data/dow-${java.util.UUID.randomUUID.toString.take(12)}"
 
@@ -865,7 +869,9 @@ final class GraftDeltaWrite(
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val spark = SparkSession.active
-    private val conf = spark.sessionState.newHadoopConf()
+    // vended per-table storage credentials ride the write data plane
+    private val conf = SparkIcebergTable.withOverrides(
+      spark.sessionState.newHadoopConf(), table.vended)
     private val branch = SparkIcebergTable.wapBranch(spark)
     private val writeDir =
       s"${table.tableDir}/data/mor-${java.util.UUID.randomUUID.toString.take(12)}"

@@ -1093,8 +1093,16 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
         s"vended-scheme scan must serve the rows: $got")
+      // the WRITE data plane runs under the vended credentials too: the
+      // INSERT's parquet/manifest writes land on the vended-only scheme
+      // (they would fail "No FileSystem for scheme" off the session conf)
+      spark.sql("INSERT INTO restcat.vendns.vt VALUES (4, 'd')")
+      val got2 = spark.sql("SELECT id, tag FROM restcat.vendns.vt ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got2 == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+        s"vended-scheme write + read-back: $got2")
       assert(spark.sessionState.newHadoopConf().get("fs.graftvend.impl") == null,
-        "the session conf must stay untouched after the read")
+        "the session conf must stay untouched after the read and write")
     } finally {
       tableConfigJson.remove(("vendns", "vt"))
       tables.remove(("vendns", "vt"))
