@@ -66,6 +66,17 @@ object DefaultValues {
       case "timestamptz" =>
         val i = OffsetDateTime.parse(node.asText).toInstant
         i.getEpochSecond * 1000000L + i.getNano / 1000L
+      // nanosecond timestamps reach here ONLY under the BIGINT-nanos
+      // read opt-in (the type parse refused otherwise): the default
+      // serves as epoch NANOS, matching the column's read representation
+      case "timestamp_ns" =>
+        val ldt = LocalDateTime.parse(node.asText)
+        Math.addExact(Math.multiplyExact(
+          ldt.toEpochSecond(ZoneOffset.UTC), 1000000000L), ldt.getNano.toLong)
+      case "timestamptz_ns" =>
+        val i = OffsetDateTime.parse(node.asText).toInstant
+        Math.addExact(Math.multiplyExact(
+          i.getEpochSecond, 1000000000L), i.getNano.toLong)
       case "string" | "uuid" => UTF8String.fromString(node.asText)
       case t if t == "binary" || t.startsWith("fixed") =>
         val hex = node.asText
@@ -83,7 +94,11 @@ object DefaultValues {
     * schema's `EXISTS_DEFAULT` / `CURRENT_DEFAULT` field metadata carries
     * (Catalyst `Literal.sql` round-trips through Spark's parser). */
   def jsonToSql(node: JsonNode, icebergType: String): String = {
-    val dt = TableMetadata.primitive(icebergType)
+    // nanosecond columns only exist Spark-side under the BIGINT-nanos
+    // read opt-in; this call is only reached when that parse succeeded,
+    // so resolve their type the same way instead of re-refusing here
+    val dt = TableMetadata.primitive(icebergType,
+      nsAsBigint = TableMetadata.isNsType(icebergType))
     Literal(jsonToCatalyst(node, icebergType), dt).sql
   }
 

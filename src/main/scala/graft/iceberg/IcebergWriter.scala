@@ -421,6 +421,13 @@ object IcebergWriter {
       committer: Option[TableCommitter]): org.apache.hadoop.conf.Configuration =
     committer.map(_.conf).getOrElse(spark.sessionState.newHadoopConf())
 
+  /** Catalog-vended per-table overrides for maintenance/rewrite READS:
+    * Spark's file sources build their Hadoop conf from the SESSION, so
+    * a compaction/CoW scan over a vended table must thread these as
+    * per-relation options exactly like plain scans do. */
+  private def vendedOf(committer: Option[TableCommitter]): Map[String, String] =
+    committer.map(_.vended).getOrElse(Map.empty)
+
   def seedTable(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType,
       partitionCols: Seq[(String, String)] = Nil,
@@ -490,7 +497,7 @@ object IcebergWriter {
     val (baseSnap, parent, refExpected) = branchBase(meta, branch)
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
     val table = {
-      val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+      val t = IcebergTable.fromMetadata(tableDir, conf, meta, vendedOf(committer))
       if (branch == "main" || !meta.refs.contains(branch)) t
       else t.atSnapshot(baseSnap.get.snapshotId)
     }
@@ -638,7 +645,7 @@ object IcebergWriter {
     require(sortCols.isEmpty || zorderCols.isEmpty,
       "choose sort OR zorder clustering, not both")
     val t = committer match {
-      case Some(c) => IcebergTable.fromMetadata(tableDir, c.conf, c.currentMetadata())
+      case Some(c) => IcebergTable.fromMetadata(tableDir, c.conf, c.currentMetadata(), c.vended)
       case None => IcebergTable(spark, tableDir)
     }
     val totalBytes = t.planFiles().map(_.fileSizeInBytes).sum
@@ -1068,7 +1075,7 @@ object IcebergWriter {
     val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
-    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta, vendedOf(committer))
     val files = t.planFiles(filters)
     if (files.size < 2) return (meta.currentSnapshotId.getOrElse(0L), 0)
     val bytes = files.map(_.fileSizeInBytes).sum
@@ -1767,7 +1774,7 @@ object IcebergWriter {
     val (baseSnap, parent, refExpected) = branchBase(meta0, branch)
     if (baseSnap.isEmpty) return -1L
     val table = {
-      val t = IcebergTable.fromMetadata(tableDir, conf, meta0)
+      val t = IcebergTable.fromMetadata(tableDir, conf, meta0, vendedOf(committer))
       if (branch == "main" || !meta0.refs.contains(branch)) t
       else t.atSnapshot(baseSnap.get.snapshotId)
     }
@@ -2096,7 +2103,7 @@ object IcebergWriter {
     val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
-    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta, vendedOf(committer))
     val noop = (meta.currentSnapshotId.getOrElse(-1L), 0, 0)
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
@@ -2216,7 +2223,7 @@ object IcebergWriter {
     val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
-    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta, vendedOf(committer))
     val noop = (meta.currentSnapshotId.getOrElse(-1L), 0, 0L)
     val prev: Seq[ManifestFile] = meta.currentSnapshot.toSeq.flatMap(s =>
       ManifestIO.readManifestList(
@@ -2323,7 +2330,7 @@ object IcebergWriter {
     val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
-    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta, vendedOf(committer))
     require(t.planFiles().exists(_.filePath == dataFilePath),
       s"addDeletionVector: $dataFilePath is not a live data file")
     val snapId = meta.snapshots.map(_.snapshotId).maxOption.getOrElse(0L) + 1L
@@ -2648,7 +2655,7 @@ object IcebergWriter {
     val conf = writeConf(spark, committer)
     val cmtr = committer.getOrElse(new FsCommitter(tableDir, conf))
     val meta = cmtr.currentMetadata()
-    val t = IcebergTable.fromMetadata(tableDir, conf, meta)
+    val t = IcebergTable.fromMetadata(tableDir, conf, meta, vendedOf(committer))
     import org.apache.spark.sql.types.{BinaryType, StringType}
     // approx_count_distinct needs a Spark-hashable type: every scalar
     // plus arrays/structs of them (XxHash64 walks those) — but not maps,
@@ -2837,7 +2844,7 @@ object IcebergWriter {
     // snapshot ever referenced it).
     val dvMode = dvWriteMode(meta) && posDeletes.nonEmpty
     lazy val dvTable: IcebergTable = {
-      val t0 = IcebergTable.fromMetadata(tableDir, conf, meta)
+      val t0 = IcebergTable.fromMetadata(tableDir, conf, meta, vendedOf(committer))
       if (branch == "main" || !meta.refs.contains(branch)) t0
       else t0.atSnapshot(baseSnap.get.snapshotId)
     }

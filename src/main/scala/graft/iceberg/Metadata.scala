@@ -234,11 +234,34 @@ object TableMetadata {
 
   /** Opt-in switch (table property; also honored `spark.`-prefixed as a
     * session conf): read `timestamp_ns`/`timestamptz_ns` columns
-    * losslessly as BIGINT epoch nanos instead of refusing. */
+    * losslessly as BIGINT epoch nanos instead of refusing.
+    *
+    * Caveat on the SESSION-CONF route: `SparkSession.getActiveSession`
+    * is thread-local, so a metadata parse on a thread without the
+    * session attached (custom pools, listeners) sees the opt-in off and
+    * REFUSES — loud, never wrong data, but an operation that succeeded
+    * on the query thread can fail elsewhere. The TABLE-PROPERTY route
+    * has no such dependence and is the durable opt-in; prefer it for
+    * anything beyond ad-hoc reads. */
   val NsAsBigintKey = "graft.read.timestamp-ns-as-bigint"
 
   def isNsType(t: String): Boolean =
     t == "timestamp_ns" || t == "timestamptz_ns"
+
+  /** Does any primitive anywhere in this type JSON (nested struct/list/
+    * map included) satisfy `pred`? */
+  private def typeTreeContains(node: JsonNode,
+                               pred: String => Boolean): Boolean =
+    if (node == null) false
+    else if (node.isTextual) pred(node.asText)
+    else node.get("type").asText match {
+      case "struct" => node.get("fields").elements.asScala
+        .exists(f => typeTreeContains(f.get("type"), pred))
+      case "list" => typeTreeContains(node.get("element"), pred)
+      case "map" => typeTreeContains(node.get("key"), pred) ||
+        typeTreeContains(node.get("value"), pred)
+      case _ => false
+    }
   private val mapper = new ObjectMapper()
 
   /** Parse an Iceberg primitive/nested type string or node to a Spark type.
@@ -467,12 +490,16 @@ object TableMetadata {
       defaultSpecId = specDefaultId,
       partitionSpecs = specs,
       uuidFieldIds = uuidIds,
+      // recursive: a geo/ns type NESTED in a struct/list/map registers
+      // its TOP-LEVEL column too — the write refusals key on these sets,
+      // and a nested spatial/nanos value written without its annotation
+      // would silently change the column's meaning for capable readers
       geoFieldIds = fields.collect {
-        case f if f.get("type").isTextual && isGeoType(f.get("type").asText) =>
+        case f if typeTreeContains(f.get("type"), isGeoType) =>
           f.get("id").asInt
       }.toSet,
       nsFieldIds = fields.collect {
-        case f if f.get("type").isTextual && isNsType(f.get("type").asText) =>
+        case f if typeTreeContains(f.get("type"), isNsType) =>
           f.get("id").asInt
       }.toSet,
       currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong),

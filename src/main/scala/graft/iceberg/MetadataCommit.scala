@@ -35,6 +35,12 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
 trait TableCommitter {
   def tableDir: String
   def conf: Configuration
+  /** Catalog-vended per-table Hadoop overrides (REST committers carry
+    * them; empty elsewhere). Already merged into [[conf]]; ALSO needed
+    * as a map because Spark's file sources build their Hadoop conf from
+    * the SESSION — maintenance reads must thread these per-relation
+    * exactly like [[IcebergTable.vended]] scans do. */
+  def vended: Map[String, String] = Map.empty
   /** Fresh metadata document (mutable root) — the commit base. */
   def currentRoot(mapper: ObjectMapper): ObjectNode
   /** Fresh parsed metadata (convenience over [[currentRoot]]). */

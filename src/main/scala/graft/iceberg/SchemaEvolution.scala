@@ -382,7 +382,11 @@ object SchemaEvolution {
               val f = fields.get(i)
               org.apache.spark.sql.types.StructField(
                 f.get("name").asText,
-                TableMetadata.toSparkType(f.get("type")),
+                // nsAsBigint: this validation only cares about avro
+                // encodability — an ns column must not make an unrelated
+                // property flip die with the nanos-refusal message
+                // (writes to ns tables refuse separately anyway)
+                TableMetadata.toSparkType(f.get("type"), nsAsBigint = true),
                 nullable = true)
             })
           AvroDataWrite.requireWritable(cur)
@@ -392,7 +396,8 @@ object SchemaEvolution {
         if (p.property == "write.format-default" &&
             p.value.equalsIgnoreCase("orc") &&
             (0 until fields.size).exists(i => IcebergJson.containsV3Type(
-              TableMetadata.toSparkType(fields.get(i).get("type")))))
+              TableMetadata.toSparkType(fields.get(i).get("type"),
+                nsAsBigint = true))))
           throw new UnsupportedOperationException(
             "cannot set write.format-default = orc: the schema holds " +
               "VARIANT/unknown columns this engine's ORC kernel cannot " +

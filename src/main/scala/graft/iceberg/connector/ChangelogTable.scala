@@ -330,7 +330,9 @@ final class GraftChangelogMicroBatchStream(
     val sPos = lineagePos(lineage, s, "start")
     val hPos = lineagePos(lineage, headId, "end")
     if (hPos <= sPos) return GraftStreamOffset(headId) // rollback window
-    val cap = math.min(hPos, maxSnaps.map(sPos + _).getOrElse(hPos))
+    // long arithmetic: sPos + Int.MaxValue must not wrap negative
+    val cap = math.min(hPos.toLong,
+      maxSnaps.map(m => sPos.toLong + m).getOrElse(hPos.toLong)).toInt
     val end = maxRows match {
       case None => cap
       case Some(budget) =>
@@ -342,7 +344,11 @@ final class GraftChangelogMicroBatchStream(
         var stop = false
         while (p < cap && !stop) {
           val rows = changeVolumeOf(t, lineage, p)
-          if (p == sPos || spent + rows <= budget) {
+          // saturating comparison: `spent + rows` overflows when a
+          // commit's volume is UNKNOWN (Long.MaxValue) — and a wrapped
+          // negative sum would admit the whole backlog, the exact stall
+          // this option exists to prevent
+          if (p == sPos || rows <= budget - spent) {
             spent = if (rows > Long.MaxValue - spent) Long.MaxValue
                     else spent + rows
             p += 1

@@ -290,12 +290,18 @@ final class RestCatalogStore(
     def absorb(node: JsonNode): Unit =
       node.fields.asScala.foreach(e => overrides(e.getKey) = e.getValue.asText)
     Option(result.get("config")).foreach(absorb)
-    Option(result.get("storage-credentials")).foreach(_.elements.asScala
-      .foreach { cred =>
-        val prefix = Option(cred.get("prefix")).map(_.asText).getOrElse("")
-        if (location.startsWith(prefix))
-          Option(cred.get("config")).foreach(absorb)
-      })
+    // the spec's selection rule: apply THE credential whose prefix is the
+    // LONGEST match for the table location — absorbing every match in
+    // list order would let a broad bucket-wide credential listed later
+    // overwrite the table-scoped one
+    Option(result.get("storage-credentials")).foreach { creds =>
+      val matching = creds.elements.asScala.toSeq
+        .map(c => (Option(c.get("prefix")).map(_.asText).getOrElse(""), c))
+        .filter { case (p, _) => location.startsWith(p) }
+      matching.sortBy(_._1.length).lastOption.foreach { case (_, cred) =>
+        Option(cred.get("config")).foreach(absorb)
+      }
+    }
     overrides.toSeq.flatMap { case (k, v) =>
       RestCatalogStore.icebergToHadoop(k).map(_ -> v)
     }.toMap
@@ -415,8 +421,12 @@ final class RestCatalogStore(
                             hconf: Configuration): graft.iceberg.TableCommitter =
     // the table's conf carries the vended per-table storage credentials
     // from its load — the committer's data plane (manifests, metadata
-    // probes) must write under the same credentials the scan read with
-    new RestCommitter(this, ns, name, table.tableDir, table.conf)
+    // probes) must write under the same credentials the scan read with.
+    // `hconf` is deliberately NOT used here (it is the FS store's seam):
+    // mixing a session conf into a vended table's commits would leak the
+    // wrong credentials into its data plane.
+    new RestCommitter(this, ns, name, table.tableDir, table.conf,
+      table.vended)
 
   /** Spec `RenameTableRequest`/`RenameViewRequest` body: {source,
     * destination} identifiers. */
@@ -579,7 +589,8 @@ object RestCatalogStore {
   */
 final class RestCommitter(
     store: RestCatalogStore, ns: Seq[String], name: String,
-    val tableDir: String, val conf: Configuration)
+    val tableDir: String, val conf: Configuration,
+    override val vended: Map[String, String] = Map.empty)
     extends graft.iceberg.CatalogBackedCommitter {
 
   override def txCatalog: graft.iceberg.TransactionalCatalog = store

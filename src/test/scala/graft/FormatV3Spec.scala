@@ -314,6 +314,41 @@ class FormatV3Spec extends SparkSpec {
     assert(t2.metadata.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType)
     assert(t2.toDF(spark).count() == 2)
+
+    // a DEFAULT on the ns column must not make the opted-in table
+    // unloadable (the single-value ISO form re-encodes as epoch NANOS)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/metadata/v3.metadata.json"),
+      metaJson(s""""properties": {
+        |  "${graft.iceberg.TableMetadata.NsAsBigintKey}": "true"},"""
+        .stripMargin).replace(
+        """"type": "timestamp_ns"}""",
+        """"type": "timestamp_ns",
+          | "initial-default": "2024-01-05T00:00:00.000000001"}""".stripMargin))
+    val t3 = new IcebergTable(root, conf)
+    val exists = t3.metadata.schema("ts").metadata.getString("EXISTS_DEFAULT")
+    assert(exists.contains("1704412800000000001"),
+      s"ns default must serve as epoch nanos, got $exists")
+  }
+
+  test("NESTED geometry/timestamp_ns register their top-level column for " +
+      "the write refusal (r17 review: top-level-only collection let " +
+      "nested spatial values be written without their annotation)") {
+    val meta = graft.iceberg.TableMetadata.fromJson(
+      """{"format-version": 3, "location": "/x",
+        |"properties": {"graft.read.timestamp-ns-as-bigint": "true"},
+        |"schema": {"type": "struct", "schema-id": 0, "fields": [
+        |  {"id": 1, "name": "k", "required": false, "type": "long"},
+        |  {"id": 2, "name": "s", "required": false, "type": {
+        |    "type": "struct", "fields": [
+        |      {"id": 3, "name": "g", "required": false, "type": "geometry"}]}},
+        |  {"id": 4, "name": "arr", "required": false, "type": {
+        |    "type": "list", "element-id": 5, "element-required": false,
+        |    "element": "timestamp_ns"}}]}}""".stripMargin)
+    assert(meta.geoFieldIds == Set(2),
+      s"struct-nested geometry must register its column: ${meta.geoFieldIds}")
+    assert(meta.nsFieldIds == Set(4),
+      s"list-nested timestamp_ns must register its column: ${meta.nsFieldIds}")
   }
 
   test("encrypted tables refuse LOUDLY: typed message at metadata load " +

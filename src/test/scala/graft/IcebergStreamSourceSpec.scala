@@ -813,6 +813,24 @@ class IcebergStreamSourceSpec extends SparkSpec {
         r.getAs[String]("_change_type"))).sorted.toSeq
     assert(nonEmpty.flatMap(_._2).sorted == batchAll,
       "the paced drain must still cover the whole history")
+
+    // Int.MaxValue as "effectively unlimited" must not wrap the cap
+    // arithmetic negative (r17 review: sPos + maxFiles overflowed)
+    val ckpt2 = new File(graft.Scratch.dir("test-cdcrows-ckpt2"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt2)
+    var rows2 = 0L
+    val q2 = spark.readStream
+      .option("maxSnapshotsPerTrigger", Int.MaxValue.toString)
+      .table("cdcrows.ns.t.changes")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows2 += df.count(); ()
+      }
+      .option("checkpointLocation", ckpt2.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    assert(rows2 == 100 + 6 + 2, // plain changes: 100 ins, 3 del + 3 ins, 2 ins
+      s"Int.MaxValue snapshot cap must drain the whole history: $rows2")
   }
 
   test("CDC replication: a changes stream applied through " +

@@ -1068,6 +1068,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
          |"s3.access-key-id":"AKVENDED","client.pool-size":"4"},
          |"storage-credentials":[
          |  {"prefix":"$loc","config":{"hadoop.graft.test.cred":"vended"}},
+         |  {"prefix":"graftvend://",
+         |   "config":{"hadoop.graft.test.cred":"BROAD"}},
          |  {"prefix":"other://elsewhere",
          |   "config":{"hadoop.graft.test.cred":"WRONG"}}]""".stripMargin
     try {
@@ -1082,7 +1084,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       assert(t.conf.get("fs.s3a.access.key") == "AKVENDED",
         "s3.* keys must translate to fs.s3a.*")
       assert(t.conf.get("graft.test.cred") == "vended",
-        "only the prefix-matching storage-credentials entry applies")
+        "the LONGEST-prefix storage-credentials entry must win — a broad " +
+          "scheme-wide credential listed later must not overwrite it")
       assert(t.conf.get("client.pool-size") == null &&
         t.conf.get("pool-size") == null,
         "catalog-internal keys must not leak into the Hadoop conf")
@@ -1101,6 +1104,14 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(got2 == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
         s"vended-scheme write + read-back: $got2")
+      // MAINTENANCE reads run under the vended credentials too:
+      // compaction scans the table through the committer's vended map
+      // (a session-conf scan would die No-FileSystem-for-scheme here)
+      spark.sql("CALL restcat.system.rewrite_data_files(table => 'vendns.vt')")
+        .collect()
+      val got3 = spark.sql("SELECT id, tag FROM restcat.vendns.vt ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got3 == got2, s"compaction over the vended scheme: $got3")
       assert(spark.sessionState.newHadoopConf().get("fs.graftvend.impl") == null,
         "the session conf must stay untouched after the read and write")
     } finally {
