@@ -40,6 +40,14 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
   private val failNextCommit = new AtomicBoolean(false)
   @volatile private var conflictsServed = 0
 
+  /** OAuth2 enforcement for the WHOLE fuzz run: every route demands the
+    * current grant, and the op loop rotates the server-side token out
+    * from under the client mid-walk — the re-auth retry must be
+    * transparent under arbitrary op interleavings. */
+  @volatile private var serverToken: Option[String] = None
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var grantsServed = 0
+
   @volatile private var server: HttpServer = _
   private def port: Int = server.getAddress.getPort
 
@@ -64,6 +72,30 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     def body: ObjectNode =
       mapper.readTree(new String(x.getRequestBody.readAllBytes(), UTF_8))
         .asInstanceOf[ObjectNode]
+    if (method == "POST" &&
+        path.stripPrefix("/v1/").split("/").toList == List("oauth", "tokens")) {
+      val form = new String(x.getRequestBody.readAllBytes(), UTF_8)
+      if (!form.contains("grant_type=client_credentials") ||
+          !form.contains("client_id=fzid") ||
+          !form.contains("client_secret=fzsec")) {
+        json(x, 401, """{"error":{"message":"invalid_client"}}""")
+      } else {
+        val tok = s"fz-tok-${tokenCounter.incrementAndGet()}"
+        serverToken = Some(tok)
+        grantsServed += 1
+        json(x, 200,
+          s"""{"access_token":"$tok","token_type":"bearer","expires_in":3600}""")
+      }
+      return
+    }
+    if (serverToken.isEmpty ||
+        !Option(x.getRequestHeaders.getFirst("Authorization"))
+          .contains(s"Bearer ${serverToken.get}")) {
+      // before the first grant the CLIENT must authenticate on its own;
+      // after a rotation its stale bearer gets this 401 and must re-auth
+      json(x, 401, """{"error":{"message":"unauthorized"}}""")
+      return
+    }
     (method, path.stripPrefix("/v1/").split("/").toList) match {
       case ("GET", "config" :: Nil) =>
         json(x, 200, """{"defaults":{},"overrides":{"prefix":"fuzzwh"}}""")
@@ -163,6 +195,9 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     server.start()
     spark.conf.set("spark.sql.catalog.restfz", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.restfz.uri", s"http://127.0.0.1:$port")
+    // the whole fuzz walk runs AUTHENTICATED: client-credentials grant,
+    // with mid-walk server-side rotations forcing re-auth retries
+    spark.conf.set("spark.sql.catalog.restfz.credential", "fzid:fzsec")
   }
 
   override def afterAll(): Unit = {
@@ -348,6 +383,10 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       }
 
       (1 to 32).foreach { step =>
+        // out-of-band token rotation every 7th step: the client's bearer
+        // is still fresh by ITS clock, so the next request 401s and must
+        // re-authenticate transparently — under whatever op comes next
+        if (step % 7 == 0) serverToken = Some(s"rotated-$seed-$step")
         val op = r.nextInt(16) match {
           case 0 | 1 | 2 | 3 => insertBatch(5 + r.nextInt(15))
           case 4 | 5 => // equality DELETE on sampled keys
@@ -545,6 +584,11 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     assert(lineageReplicaOps >= 1,
       "op mix must exercise the v3 row-lineage-keyed replica invariant: " +
         s"$lineageReplicaOps")
+    // the whole walk ran authenticated, and every mid-walk rotation
+    // forced a fresh grant: 3 seeds x 32 steps / 7 rotations, plus the
+    // initial grants — well over the seed count
+    assert(grantsServed > 12,
+      s"rotations must force re-auth grants under load: $grantsServed")
     assert(variantRestOps >= 1,
       s"op mix must exercise the variant column over REST: $variantRestOps")
   }
