@@ -47,6 +47,23 @@ trait CatalogStore {
                   partitionCols: Seq[(String, String)],
                   properties: Map[String, String]): Unit
   def dropTable(ns: Seq[String], name: String): Boolean
+
+  /** `DROP TABLE … PURGE`: deregister AND delete the table's files.
+    * Default (filesystem warehouse): drop the entry first — readers stop
+    * resolving the table before files disappear — then recursively
+    * delete the table location under the LOADED table's conf (so a
+    * vended-credential table purges under its own credentials). The REST
+    * store overrides this to delegate the data delete to the SERVICE via
+    * the spec's `purgeRequested=true`. Callers own the gc.enabled guard
+    * (a snapshot clone's files belong to its source). */
+  def purgeTable(ns: Seq[String], name: String, table: IcebergTable): Boolean = {
+    val dropped = dropTable(ns, name)
+    if (dropped) {
+      val loc = new Path(table.metadata.location)
+      loc.getFileSystem(table.conf).delete(loc, true)
+    }
+    dropped
+  }
   def renameTable(fromNs: Seq[String], fromName: String,
                   toNs: Seq[String], toName: String): Unit
 

@@ -343,6 +343,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     store.dropTable(ident.namespace.toSeq, ident.name)
   }
 
+  /** `DROP TABLE … PURGE`: deregister and physically delete the data.
+    * Refused on snapshot clones (`gc.enabled=false` — their files belong
+    * to the source table; plain DROP deregisters only), the same guard
+    * the destructive maintenance procedures use. */
+  override def purgeTable(ident: Identifier): Boolean = {
+    val t =
+      try store.loadIcebergTable(ident.namespace.toSeq, ident.name)
+      catch { case _: NoSuchElementException => return false }
+    if (t.metadata.properties.get("gc.enabled").contains("false"))
+      throw new UnsupportedOperationException(
+        s"DROP TABLE PURGE on ${ident.namespace.mkString(".")}." +
+          s"${ident.name} refused: gc.enabled=false (a snapshot clone — " +
+          "its data files belong to the source table; purging would " +
+          "corrupt it). DROP TABLE without PURGE deregisters only.")
+    invalidateTable(ident)
+    store.purgeTable(ident.namespace.toSeq, ident.name, t)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)

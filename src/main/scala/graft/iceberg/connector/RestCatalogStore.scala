@@ -351,6 +351,15 @@ final class RestCatalogStore(
   override def dropTable(ns: Seq[String], name: String): Boolean =
     request("DELETE", v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}"), None)._1 / 100 == 2
 
+  /** REST purge delegates the data delete to the SERVICE (the spec's
+    * `purgeRequested=true` on the DELETE route) — the catalog owns the
+    * storage there; a client-side recursive delete would race it. */
+  override def purgeTable(ns: Seq[String], name: String,
+                          table: IcebergTable): Boolean =
+    request("DELETE",
+      v1(s"namespaces/${nsPath(ns)}/tables/${enc(name)}?purgeRequested=true"),
+      None)._1 / 100 == 2
+
   /** The spec's `CommitTableRequest`: POST requirements + updates to the
     * table route. 409 = a requirement failed server-side (someone else
     * committed first) → [[graft.iceberg.CommitConflictException]], the

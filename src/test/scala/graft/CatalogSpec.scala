@@ -567,4 +567,45 @@ class CatalogSpec extends SparkSpec {
     assert(servedRows() == recomputedRows(), "parity after expiration")
     spark.sql("DROP TABLE scratch.psns.p")
   }
+
+  test("DROP TABLE PURGE deletes the files; a snapshot clone " +
+      "(gc.enabled=false) refuses the purge") {
+    useCatalogs()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.purgens")
+    def dirOf(t: String) = new java.io.File(s"$scratch/purgens/$t")
+
+    // NOTE: on the FILESYSTEM warehouse the directory IS the catalog
+    // registration, so plain DROP necessarily removes it too — the
+    // deregister-vs-purge distinction is real on the REST store
+    // (gated in RestCatalogSpec). PURGE here: entry AND files go.
+    spark.sql("DROP TABLE IF EXISTS scratch.purgens.gone")
+    spark.sql("CREATE TABLE scratch.purgens.gone (k BIGINT)")
+    spark.sql("INSERT INTO scratch.purgens.gone VALUES (1), (2), (3)")
+    assert(dirOf("gone").exists)
+    spark.sql("DROP TABLE scratch.purgens.gone PURGE")
+    assert(!spark.sql("SHOW TABLES IN scratch.purgens").collect()
+      .map(_.getString(1)).contains("gone"))
+    assert(!dirOf("gone").exists,
+      "PURGE must physically delete the table location")
+
+    // a clone shares the source's data files: PURGE must refuse loudly
+    spark.sql("DROP TABLE IF EXISTS scratch.purgens.src")
+    spark.sql("CREATE TABLE scratch.purgens.src (k BIGINT)")
+    spark.sql("INSERT INTO scratch.purgens.src VALUES (7)")
+    spark.sql("CALL scratch.system.snapshot(" +
+      "source_table => 'purgens.src', table => 'purgens.cl')")
+    val e = intercept[Exception] {
+      spark.sql("DROP TABLE scratch.purgens.cl PURGE")
+    }
+    def msgs(x: Throwable): String = Iterator.iterate(x)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs(e).contains("gc.enabled"),
+      s"clone purge must refuse naming the guard: ${msgs(e)}")
+    // the source's data survived the refusal
+    assert(spark.sql("SELECT k FROM scratch.purgens.src").collect()
+      .map(_.getLong(0)).toSeq == Seq(7L))
+    spark.sql("DROP TABLE scratch.purgens.cl") // plain drop is fine
+    spark.sql("DROP TABLE scratch.purgens.src PURGE")
+  }
 }

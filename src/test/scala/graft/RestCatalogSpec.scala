@@ -61,6 +61,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   private val tableConfigJson = mutable.Map[(String, String), String]()
   /** X-Iceberg-Access-Delegation values seen on table-load GETs. */
   private val delegationSeen = mutable.Buffer[String]()
+  /** Tables whose DELETE carried the spec's purgeRequested=true. */
+  private val purgesSeen = mutable.Buffer[String]()
 
   // -- stub server -----------------------------------------------------------
 
@@ -307,6 +309,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
             }
         }
       case ("DELETE", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        if (qparams(x).get("purgeRequested").contains("true"))
+          purgesSeen.synchronized { purgesSeen += s"$ns.$t" }
         if (tables.remove((ns, t)).isDefined) json(x, 204, "")
         else json(x, 404, """{"error":{"message":"no such table"}}""")
       // CommitTransactionRequest: every table's requirements are checked
@@ -955,6 +959,22 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         s"metadata_file => '$metaFile')").collect())
     assert(e.getMessage.contains("already exists") ||
       e.getMessage.contains("409"), e.getMessage)
+  }
+
+  test("REST: DROP TABLE deregisters only; DROP TABLE PURGE delegates the " +
+      "data delete to the service via purgeRequested=true") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.purgens")
+    spark.sql("DROP TABLE IF EXISTS restcat.purgens.a")
+    spark.sql("CREATE TABLE restcat.purgens.a (k BIGINT)")
+    spark.sql("DROP TABLE restcat.purgens.a")
+    assert(!purgesSeen.contains("purgens.a"),
+      "plain DROP must NOT request a purge from the service")
+    spark.sql("CREATE TABLE restcat.purgens.b (k BIGINT)")
+    spark.sql("DROP TABLE restcat.purgens.b PURGE")
+    assert(purgesSeen.contains("purgens.b"),
+      "PURGE must delegate the data delete via purgeRequested=true")
+    assert(!tables.contains(("purgens", "b")))
   }
 
   test("REST OAuth2: client-credentials grant, expiry-driven mid-session " +
