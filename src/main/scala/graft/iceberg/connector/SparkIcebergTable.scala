@@ -166,6 +166,13 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
       require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
       n
     }
+    // row-weighted admission, the changelog stream's twin: cap each
+    // micro-batch at ~N appended ROWS (snapshot-granular, >=1 snapshot)
+    val maxRows = Option(options.get("maxRowsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxRowsPerTrigger must be positive, got $n")
+      n
+    }
     // `snapshot-id` / `as-of-timestamp`: the DataFrame-reader twins of
     // `VERSION AS OF` / `TIMESTAMP AS OF` (upstream Iceberg's option
     // names). Mutually exclusive with each other and with `branch`.
@@ -186,14 +193,14 @@ final class SparkIcebergTable(tableName: String, val table: IcebergTable,
         streamRef = "", maxFilesPerTrigger = maxFiles))
     Option(options.get("branch")) match {
       case None => new GraftScanBuilder(table, maxFilesPerTrigger = maxFiles,
-        reload = reload)
+        reload = reload, maxRowsPerTrigger = maxRows)
       case Some(ref) =>
         val head = table.metadata.refs.getOrElse(ref,
           throw new IllegalArgumentException(
             s"ref '$ref' not found on $tableName " +
               s"(have: ${table.metadata.refs.keys.mkString(", ")})"))
         new GraftScanBuilder(table.atSnapshot(head), ref, maxFiles,
-          reload = reload)
+          reload = reload, maxRowsPerTrigger = maxRows)
     }
   }
 
@@ -402,7 +409,10 @@ final class GraftScanBuilder(table: IcebergTable,
       * appended files (snapshot-granular; ≥1 snapshot per batch). */
     maxFilesPerTrigger: Option[Int] = None,
     /** store-backed fresh metadata fetch for streams (REST tables) */
-    reload: () => IcebergTable = null)
+    reload: () => IcebergTable = null,
+    /** Streaming admission control: cap each micro-batch at ~this many
+      * appended ROWS (snapshot-granular; composes with the file cap). */
+    maxRowsPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -556,10 +566,10 @@ final class GraftScanBuilder(table: IcebergTable,
         staticFiles.forall(_.fileFormat.equalsIgnoreCase("PARQUET")) &&
         !table.needsNameMapping(spark, staticFiles))
       new GraftBatchScan(spark, table, filters, requiredSchema, staticFiles,
-        streamRef, maxFilesPerTrigger, reload)
+        streamRef, maxFilesPerTrigger, reload, maxRowsPerTrigger)
     else
       new GraftScan(table, filters, requiredSchema, limit, Some(staticFiles),
-        streamRef, maxFilesPerTrigger, reload)
+        streamRef, maxFilesPerTrigger, reload, maxRowsPerTrigger)
   }
 }
 
@@ -688,7 +698,8 @@ final class GraftBatchScan(
     staticFiles: Seq[DataFileEntry],
     streamRef: String = "main",
     maxFilesPerTrigger: Option[Int] = None,
-    reload: () => IcebergTable = null)
+    reload: () => IcebergTable = null,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
@@ -902,7 +913,7 @@ final class GraftBatchScan(
         "stream follows the live table (or a branch via the `branch` " +
         "option); a pinned snapshot has no append frontier to follow")
     new GraftMicroBatchStream(spark, table, requiredSchema, filters, streamRef,
-      maxFilesPerTrigger, reload)
+      maxFilesPerTrigger, reload, maxRowsPerTrigger)
   }
 }
 
@@ -943,12 +954,16 @@ final class GraftMicroBatchStream(
     maxFilesPerTrigger: Option[Int] = None,
     /** store-backed fresh metadata fetch (REST tables have no
       * metadata.json on disk to re-read per batch) */
-    reload: () => IcebergTable = null)
+    reload: () => IcebergTable = null,
+    /** `maxRowsPerTrigger`: the row-weighted twin — each batch advances
+      * the frontier until ~N appended ROWS accumulate (snapshot-granular
+      * like the file cap; composes with it, tighter bound wins). */
+    maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   /** `Trigger.AvailableNow` target: without this, Spark's wrapper for
     * non-AvailableNow sources IGNORES read limits and processes the whole
@@ -960,8 +975,15 @@ final class GraftMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(head(fresh()))
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def reportLatestOffset(): StreamingOffset =
     GraftStreamOffset(availableNowTarget.getOrElse(head(fresh())))
@@ -969,32 +991,48 @@ final class GraftMicroBatchStream(
   override def latestOffset(start: StreamingOffset, limit: ReadLimit): StreamingOffset = {
     val t = fresh()
     val headId = availableNowTarget.getOrElse(head(t))
-    limit match {
-      case mf: ReadMaxFiles =>
-        val s = start.asInstanceOf[GraftStreamOffset].snapshotId
-        if (headId == s || headId == GraftStreamOffset.BeforeAnySnapshot)
-          return GraftStreamOffset(headId)
-        val lineage = t.metadata.branchLineage(ref)
-        val sPos = lineagePos(lineage, s, "start")
-        val hPos = lineagePos(lineage, headId, "end")
-        if (hPos <= sPos) return GraftStreamOffset(headId) // rollback window
-        var pos = sPos
-        var files = 0
-        // advance at least one snapshot; stop once the budget is spent.
-        // per-snapshot file counts come from the same manifest-level diff
-        // planning uses; a non-append snapshot ends the batch here and
-        // fails LOUDLY in planInputPartitions (same contract as before)
-        while (pos < hPos && (files == 0 || files < mf.maxFiles)) {
-          val prevId = if (pos == 0) 0L else lineage(pos - 1)
-          val curId = lineage(pos) // snapshot at 1-based position pos+1
-          files +=
-            (try t.appendedFilesBetween(prevId, curId).size
-             catch { case _: UnsupportedOperationException => mf.maxFiles })
-          pos += 1
-        }
-        GraftStreamOffset(lineage(pos - 1))
-      case _ => GraftStreamOffset(headId)
+    // flatten the limit into (file cap, row budget); both compose —
+    // whichever bound fills first ends the batch
+    def flat(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case mf: ReadMaxFiles => (Some(mf.maxFiles), None)
+      case mr: ReadMaxRows => (None, Some(mr.maxRows))
+      case c: CompositeReadLimit =>
+        val parts = c.getReadLimits.toSeq.map(flat)
+        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+      case _ => (None, None)
     }
+    val (maxF, maxR) = flat(limit)
+    if (maxF.isEmpty && maxR.isEmpty) return GraftStreamOffset(headId)
+    val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+    if (headId == s || headId == GraftStreamOffset.BeforeAnySnapshot)
+      return GraftStreamOffset(headId)
+    val lineage = t.metadata.branchLineage(ref)
+    val sPos = lineagePos(lineage, s, "start")
+    val hPos = lineagePos(lineage, headId, "end")
+    if (hPos <= sPos) return GraftStreamOffset(headId) // rollback window
+    var pos = sPos
+    var files = 0L
+    var rows = 0L
+    // advance at least one snapshot; stop once EITHER budget is spent.
+    // per-snapshot counts come from the same manifest-level diff planning
+    // uses; a non-append snapshot ends the batch here and fails LOUDLY in
+    // planInputPartitions (same contract as before)
+    def spent: Boolean =
+      maxF.exists(files >= _) || maxR.exists(rows >= _)
+    while (pos < hPos && (pos == sPos || !spent)) {
+      val prevId = if (pos == 0) 0L else lineage(pos - 1)
+      val curId = lineage(pos) // snapshot at 1-based position pos+1
+      try {
+        val appended = t.appendedFilesBetween(prevId, curId)
+        files += appended.size
+        rows += appended.map(_.recordCount).sum
+      } catch {
+        case _: UnsupportedOperationException =>
+          files = Long.MaxValue; rows = Long.MaxValue
+      }
+      pos += 1
+    }
+    GraftStreamOffset(lineage(pos - 1))
   }
 
   private val freshTable: () => IcebergTable = Option(reload)
@@ -1169,7 +1207,8 @@ final class GraftScan(
     precomputedFiles: Option[Seq[DataFileEntry]] = None,
     streamRef: String = "main",
     maxFilesPerTrigger: Option[Int] = None,
-    reload: () => IcebergTable = null)
+    reload: () => IcebergTable = null,
+    maxRowsPerTrigger: Option[Long] = None)
     extends V1Scan with SupportsReportStatistics {
 
   /** Plan once: manifests are read a single time per query, shared by
@@ -1218,7 +1257,7 @@ final class GraftScan(
       refuse("ORC files have no micro-batch reader; rewrite_data_files " +
         "them to parquet")
     new GraftMicroBatchStream(spark, table, requiredSchema, filters,
-      streamRef, maxFilesPerTrigger, reload)
+      streamRef, maxFilesPerTrigger, reload, maxRowsPerTrigger)
   }
 
   override def description(): String =

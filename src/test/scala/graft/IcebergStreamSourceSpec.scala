@@ -270,6 +270,37 @@ class IcebergStreamSourceSpec extends SparkSpec {
         s"(${q.recentProgress.map(_.numInputRows).mkString(",")})")
   }
 
+  test("maxRowsPerTrigger paces the append stream by row volume " +
+      "(snapshot-granular; an oversized commit drains alone)") {
+    val wh = graft.Scratch.dir("test-rowpace-wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(new File(wh))
+    spark.conf.set("spark.sql.catalog.rowpace", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rowpace.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rowpace.ns")
+    spark.sql("CREATE TABLE rowpace.ns.t (k BIGINT)")
+    spark.sql("INSERT INTO rowpace.ns.t SELECT id FROM range(50)") // big
+    spark.sql("INSERT INTO rowpace.ns.t SELECT id FROM range(50, 55)") // 5
+    spark.sql("INSERT INTO rowpace.ns.t SELECT id FROM range(55, 58)") // 3
+
+    val ckpt = new File(graft.Scratch.dir("test-rowpace-ckpt"))
+    org.apache.commons.io.FileUtils.deleteQuietly(ckpt)
+    val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream
+      .option("maxRowsPerTrigger", "8")
+      .table("rowpace.ns.t")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count(); if (n > 0) sizes.synchronized { sizes += n }; ()
+      }
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    // the 50-row commit exceeds the 8-row budget: admitted ALONE (never
+    // split); the 5- and 3-row commits fit one batch together
+    assert(sizes.toSeq == Seq(50L, 8L),
+      s"row-weighted pacing must yield batches (50, 8): $sizes")
+  }
+
   test("branch option: the stream follows the staged branch, not main") {
     val dir = createTable("src6")
     val conf = spark.sessionState.newHadoopConf()
