@@ -59,8 +59,18 @@ trait CatalogStore {
   def purgeTable(ns: Seq[String], name: String, table: IcebergTable): Boolean = {
     val dropped = dropTable(ns, name)
     if (dropped) {
-      val loc = new Path(table.metadata.location)
-      loc.getFileSystem(table.conf).delete(loc, true)
+      // delete the table DIRECTORY, not metadata.location: the FS store's
+      // rename moves the directory without rewriting the stored location
+      // (IcebergTable.resolve remaps it on read), so the location can be
+      // stale — and might now belong to an unrelated recreated table
+      val loc = new Path(table.tableDir)
+      val fs = loc.getFileSystem(table.conf)
+      // Hadoop FileSystems report failure via the boolean — surface it
+      // rather than reporting a purge that left the files behind
+      if (fs.exists(loc) && !fs.delete(loc, true))
+        throw new IllegalStateException(
+          s"DROP TABLE PURGE: the catalog entry is gone but deleting " +
+            s"$loc failed — the data files remain; remove them manually")
     }
     dropped
   }

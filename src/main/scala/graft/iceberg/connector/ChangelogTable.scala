@@ -274,7 +274,7 @@ final class GraftChangelogMicroBatchStream(
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private val freshTable: () => IcebergTable = Option(reload)
     .getOrElse(() => new IcebergTable(table.tableDir, table.conf))
@@ -296,15 +296,8 @@ final class GraftChangelogMicroBatchStream(
   /** ReadMaxFiles carries the SNAPSHOT cap (there is no
     * ReadMaxSnapshots), ReadMaxRows the row budget; both interpreted by
     * [[latestOffset]] below, composed when both options are set. */
-  override def getDefaultReadLimit: ReadLimit = {
-    val lims = maxSnapshotsPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
-      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
-    lims match {
-      case Seq() => ReadLimit.allAvailable()
-      case Seq(one) => one
-      case many => ReadLimit.compositeLimit(many.toArray)
-    }
-  }
+  override def getDefaultReadLimit: ReadLimit =
+    StreamReadLimits.default(maxSnapshotsPerTrigger, maxRowsPerTrigger)
 
   override def reportLatestOffset(): StreamingOffset =
     GraftStreamOffset(availableNowTarget.getOrElse(head(fresh())))
@@ -313,15 +306,7 @@ final class GraftChangelogMicroBatchStream(
     val t = fresh()
     val headId = availableNowTarget.getOrElse(head(t))
     // flatten the limit into (snapshot cap, row budget)
-    def flat(l: ReadLimit): (Option[Int], Option[Long]) = l match {
-      case mf: ReadMaxFiles => (Some(mf.maxFiles), None)
-      case mr: ReadMaxRows => (None, Some(mr.maxRows))
-      case c: CompositeReadLimit =>
-        val parts = c.getReadLimits.toSeq.map(flat)
-        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
-      case _ => (None, None)
-    }
-    val (maxSnaps, maxRows) = flat(limit)
+    val (maxSnaps, maxRows) = StreamReadLimits.flatten(limit)
     if (maxSnaps.isEmpty && maxRows.isEmpty) return GraftStreamOffset(headId)
     val s = start.asInstanceOf[GraftStreamOffset].snapshotId
     if (headId == s || headId == GraftStreamOffset.BeforeAnySnapshot)

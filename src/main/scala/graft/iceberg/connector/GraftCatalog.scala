@@ -350,7 +350,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
   override def purgeTable(ident: Identifier): Boolean = {
     val t =
       try store.loadIcebergTable(ident.namespace.toSeq, ident.name)
-      catch { case _: NoSuchElementException => return false }
+      catch {
+        // REST maps 404 here; the FS store surfaces a missing directory
+        // as FileNotFound / "no metadata.json" — all mean "nothing to
+        // purge", the contract's false
+        case _: NoSuchElementException => return false
+        case _: java.io.FileNotFoundException => return false
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("no metadata.json") => return false
+      }
     if (t.metadata.properties.get("gc.enabled").contains("false"))
       throw new UnsupportedOperationException(
         s"DROP TABLE PURGE on ${ident.namespace.mkString(".")}." +

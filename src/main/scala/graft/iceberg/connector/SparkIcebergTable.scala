@@ -963,7 +963,7 @@ final class GraftMicroBatchStream(
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles, ReadMaxRows}
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   /** `Trigger.AvailableNow` target: without this, Spark's wrapper for
     * non-AvailableNow sources IGNORES read limits and processes the whole
@@ -975,15 +975,8 @@ final class GraftMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(head(fresh()))
 
-  override def getDefaultReadLimit: ReadLimit = {
-    val lims = maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
-      maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).toSeq
-    lims match {
-      case Seq() => ReadLimit.allAvailable()
-      case Seq(one) => one
-      case many => ReadLimit.compositeLimit(many.toArray)
-    }
-  }
+  override def getDefaultReadLimit: ReadLimit =
+    StreamReadLimits.default(maxFilesPerTrigger, maxRowsPerTrigger)
 
   override def reportLatestOffset(): StreamingOffset =
     GraftStreamOffset(availableNowTarget.getOrElse(head(fresh())))
@@ -993,15 +986,7 @@ final class GraftMicroBatchStream(
     val headId = availableNowTarget.getOrElse(head(t))
     // flatten the limit into (file cap, row budget); both compose —
     // whichever bound fills first ends the batch
-    def flat(l: ReadLimit): (Option[Int], Option[Long]) = l match {
-      case mf: ReadMaxFiles => (Some(mf.maxFiles), None)
-      case mr: ReadMaxRows => (None, Some(mr.maxRows))
-      case c: CompositeReadLimit =>
-        val parts = c.getReadLimits.toSeq.map(flat)
-        (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
-      case _ => (None, None)
-    }
-    val (maxF, maxR) = flat(limit)
+    val (maxF, maxR) = StreamReadLimits.flatten(limit)
     if (maxF.isEmpty && maxR.isEmpty) return GraftStreamOffset(headId)
     val s = start.asInstanceOf[GraftStreamOffset].snapshotId
     if (headId == s || headId == GraftStreamOffset.BeforeAnySnapshot)
@@ -1187,6 +1172,34 @@ final class GraftMicroBatchStream(
 
 final case class GraftStreamOffset(snapshotId: Long) extends StreamingOffset {
   override def json: String = snapshotId.toString
+}
+
+/** Shared ReadLimit handling for the snapshot-lineage streams (the
+  * append-only table stream and the CDC changelog stream): flatten a
+  * possibly-composite limit into (file/snapshot cap, row budget) and
+  * build the default limit from the configured options — ONE definition,
+  * so limit semantics cannot diverge between the two streams. */
+private[connector] object StreamReadLimits {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles, ReadMaxRows}
+
+  def flatten(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+    case mf: ReadMaxFiles => (Some(mf.maxFiles), None)
+    case mr: ReadMaxRows => (None, Some(mr.maxRows))
+    case c: CompositeReadLimit =>
+      val parts = c.getReadLimits.toSeq.map(flatten)
+      (parts.flatMap(_._1).minOption, parts.flatMap(_._2).minOption)
+    case _ => (None, None)
+  }
+
+  def default(maxFiles: Option[Int], maxRows: Option[Long]): ReadLimit = {
+    val lims = maxFiles.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxRows.map(n => ReadLimit.maxRows(n)).toSeq
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 }
 
 object GraftStreamOffset {
