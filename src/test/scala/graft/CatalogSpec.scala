@@ -607,5 +607,23 @@ class CatalogSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(7L))
     spark.sql("DROP TABLE scratch.purgens.cl") // plain drop is fine
     spark.sql("DROP TABLE scratch.purgens.src PURGE")
+
+    // rename staleness: metadata.location still names the OLD directory
+    // after ALTER RENAME (the FS store moves the dir without rewriting
+    // the stored location) — purging the renamed table must delete ITS
+    // directory, never the old path an unrelated recreated table now owns
+    spark.sql("DROP TABLE IF EXISTS scratch.purgens.ra")
+    spark.sql("DROP TABLE IF EXISTS scratch.purgens.rb")
+    spark.sql("CREATE TABLE scratch.purgens.ra (k BIGINT)")
+    spark.sql("INSERT INTO scratch.purgens.ra VALUES (1)")
+    spark.sql("ALTER TABLE scratch.purgens.ra RENAME TO purgens.rb")
+    spark.sql("CREATE TABLE scratch.purgens.ra (k BIGINT)") // reuses the path
+    spark.sql("INSERT INTO scratch.purgens.ra VALUES (42)")
+    spark.sql("DROP TABLE scratch.purgens.rb PURGE")
+    assert(!dirOf("rb").exists, "purge must delete the RENAMED directory")
+    assert(spark.sql("SELECT k FROM scratch.purgens.ra").collect()
+      .map(_.getLong(0)).toSeq == Seq(42L),
+      "the recreated table at the stale location must survive the purge")
+    spark.sql("DROP TABLE scratch.purgens.ra PURGE")
   }
 }
