@@ -186,10 +186,19 @@ object Dedup {
       banded: DataFrame, keys: Seq[String], payload: Seq[Column],
       maxBucket: Int): DataFrame = {
     val item = struct(payload: _*)
+    // the cap must prevent the hot bucket's aggregation buffer from ever
+    // MATERIALIZING, not drop it after collect_list already buffered
+    // millions of member structs in one reducer: a cheap partial-combined
+    // count elects the admissible buckets first, and only their members
+    // reach the list aggregation (the r17 review's OOM finding)
+    val admissible = banded
+      .groupBy(keys.map(col): _*).count()
+      .filter(col("count") >= 2 && col("count") <= maxBucket)
+      .drop("count")
     banded
+      .join(admissible, keys, "left_semi")
       .groupBy(keys.map(col): _*)
       .agg(collect_list(item).as("items"))
-      .filter(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a").getField("_id") < col("b").getField("_id"))
@@ -286,13 +295,16 @@ object Dedup {
                 (col("comp") < col("prev")).as("changed"))
         .localCheckpoint(true)
       converged = next.where(col("changed")).isEmpty
-      labels.unpersist()
+      // Dataset.unpersist is a NO-OP on a localCheckpoint'd frame (its
+      // blocks live outside the CacheManager): free the previous round's
+      // RDD blocks explicitly or 64 rounds of labels pile up in storage
+      graft.iceberg.IcebergTable.unpinLocalCheckpoint(labels)
       labels = next.select("id", "comp")
       i += 1
     }
     sym.unpersist()
     if (!converged) {
-      labels.unpersist()
+      graft.iceberg.IcebergTable.unpinLocalCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter iterations " +
           "— returning partially-merged labels would silently keep " +
@@ -308,10 +320,14 @@ object Dedup {
     * [[minhashCandidatePairs]]' output. */
   def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "qa", bCol: String = "qb"): DataFrame = {
+    // '__g_comp', not 'comp': the caller's df may legitimately carry a
+    // 'comp' column (a pipeline that already ran clustering) and an
+    // unprefixed join column would make every later reference ambiguous
     val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("comp", "__g_comp")
     df.join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .filter(col("comp").isNull || col("comp") === col(idCol))
-      .drop("comp")
+      .filter(col("__g_comp").isNull || col("__g_comp") === col(idCol))
+      .drop("__g_comp")
   }
 
   /** [[keepCanonical]] keeps each cluster's min-id member; real pipelines
@@ -331,12 +347,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val comps = connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
+      .withColumnRenamed("comp", "__g_comp")
     val clustered = df.join(comps, Seq(idCol))
     val rank = row_number().over(
-      Window.partitionBy(col("comp"))
+      Window.partitionBy(col("__g_comp"))
         .orderBy(quality.desc, col(idCol).asc))
     val winners = clustered.withColumn("__rk", rank)
-      .filter(col("__rk") === 1).drop("__rk", "comp")
+      .filter(col("__rk") === 1).drop("__rk", "__g_comp")
     df.join(comps, Seq(idCol), "left_anti").unionByName(winners)
   }
 
@@ -621,8 +638,11 @@ object Dedup {
         Seq(col(idCol).as("_id"), col("simhash").as("_sig")), maxBucket)
       .select(col("a._id").as("qa"), col("b._id").as("qb"),
         expr("bit_count(a._sig ^ b._sig)").cast("bigint").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: bit_count is map-side-cheap and most
+      // 16-bit chunk collisions are between unrelated docs — rejecting
+      // them before the exchange keeps the shuffle to the accepted pairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // -- n-gram Jaccard --------------------------------------------------------
@@ -721,8 +741,13 @@ object Dedup {
         array_join(col("ps").getField("para"), sep).as(textCol))
     // A doc whose every paragraph lost its election must still come back
     // (as the empty string) — downstream joins key on the id surviving.
-    df.select(col(idCol))
+    // NULL text stays NULL: rewriting it to '' would merge NULL-text docs
+    // with genuinely-empty ones under operators that deliberately keep
+    // NULL its own group (exactKeepFirstByHash's text_len NULL rule).
+    df.select(col(idCol), col(textCol).isNull.as("__g_wasnull"))
       .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+      .select(col(idCol),
+        when(col("__g_wasnull"), lit(null).cast("string"))
+          .otherwise(coalesce(col(textCol), lit(""))).as(textCol))
   }
 }

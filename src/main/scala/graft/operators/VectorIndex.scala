@@ -83,8 +83,33 @@ object VectorIndex {
     IcebergWriter.seedTable(spark, s"$indexDir/centroids", centRows.schema)
     IcebergWriter.seedTable(spark, s"$indexDir/postings", postings.schema,
       Seq("c_id" -> "identity"))
-    IcebergWriter.append(spark, s"$indexDir/centroids", centRows)
-    IcebergWriter.append(spark, s"$indexDir/postings", postings)
+    // ONE transaction for both appends, stamped with a shared epoch —
+    // two independent appends left a crash window whose torn result
+    // (centroids live, postings empty) both tables' MISSING epochs made
+    // loadConsistent bless as a consistent pair
+    val conf = spark.sessionState.newHadoopConf()
+    val epoch = java.util.UUID.randomUUID().toString
+    graft.iceberg.Transactions.commitAll(Seq(
+      stamped(spark, conf, epoch, s"$indexDir/centroids", centRows),
+      stamped(spark, conf, epoch, s"$indexDir/postings", postings)))
+  }
+
+  /** Stage `df` into `dir` (append or overwrite) with the shared rebuild
+    * epoch riding the SAME commit — the building block [[writeIndex]]
+    * and [[rebuild]] publish their two-table transactions from. */
+  private def stamped(spark: SparkSession,
+      conf: org.apache.hadoop.conf.Configuration, epoch: String,
+      dir: String, df: DataFrame, overwrite: Boolean = false)
+      : graft.iceberg.Transactions.TableChange = {
+    import graft.iceberg.{FsCommitter, Transactions}
+    val ch = Transactions.stage(new FsCommitter(dir, conf))(c =>
+      { if (overwrite) IcebergWriter.overwrite(spark, dir, df, committer = Some(c))
+        else IcebergWriter.append(spark, dir, df, committer = Some(c)); () })
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val upd = mapper.createObjectNode()
+    upd.put("action", "set-properties")
+    upd.putObject("updates").put(EpochProp, epoch)
+    ch.copy(updates = ch.updates :+ upd)
   }
 
   /** Append a vector batch to a stored index: assign against the STORED
@@ -98,9 +123,33 @@ object VectorIndex {
     * Returns the committed snapshot id. */
   def append(spark: SparkSession, indexDir: String, vectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
-    val centRows = IcebergTable(spark, s"$indexDir/centroids").toDF(spark)
-    IcebergWriter.append(spark, s"$indexDir/postings",
-      Similarity.ivfAssign(vectors, centRows, idCol, vecCol))
+    // racing a rebuild both ways: (a) PIN the postings base FIRST and
+    // check the centroid epoch against the PINNED epoch — a rebuild
+    // landing before the pin is seen as a mismatch and retried against
+    // the new generation; (b) the publish asserts the pinned base, so a
+    // rebuild landing AFTER the pin conflicts (CommitConflictException,
+    // the retry contract) instead of landing rows assigned by the stale
+    // quantizer inside the new generation's posting lists (silently
+    // unsearchable) or being dropped by the rebuild's pinned read.
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val committer =
+        new graft.iceberg.PinnedFsCommitter(s"$indexDir/postings", conf)
+      val postEpoch = committer.currentMetadata().properties.get(EpochProp)
+      val centT = IcebergTable(spark, s"$indexDir/centroids")
+      if (centT.metadata.properties.get(EpochProp) == postEpoch)
+        return IcebergWriter.append(spark, s"$indexDir/postings",
+          Similarity.ivfAssign(vectors, centT.toDF(spark), idCol, vecCol),
+          committer = Some(committer))
+      attempt += 1
+      if (attempt >= 5) throw new IllegalStateException(
+        s"vector index $indexDir: centroid and postings epochs disagree " +
+          s"after $attempt reloads — a rebuild crashed mid-publish; " +
+          "re-run rebuild before appending")
+      Thread.sleep(100L * attempt)
+    }
+    sys.error("unreachable")
   }
 
   /** Bound the small-file debt a stream of [[append]] batches accrues:
@@ -179,15 +228,33 @@ object VectorIndex {
         * after [[build]], so live resolution is usually fine; a pin
         * removes even that read's raciness. */
       pinnedCentroids: Option[IcebergTable] = None): (DataFrame, DataFrame) = {
-    val centRows = pinnedCentroids
-      .getOrElse(IcebergTable(spark, s"$indexDir/centroids")).toDF(spark)
+    // epoch handshake on EVERY pin combination — admit had none, so a
+    // rebuild landing between the live centroid read and the pinned
+    // postings probe paired the new quantizer with the old posting
+    // lists: every corpus duplicate missed, duplicates admitted forever.
+    // Both-None loads the matched pair; a single pin (the streaming
+    // sink's shape: postings pinned for its publish assert) resolves the
+    // partner live and REFUSES an epoch mismatch loudly.
+    val (centroidsTable, postingsTable) = (pinnedCentroids, pinnedPostings) match {
+      case (None, None) => loadConsistent(spark, indexDir)
+      case (c, p) =>
+        val cc = c.getOrElse(IcebergTable(spark, s"$indexDir/centroids"))
+        val pp = p.getOrElse(IcebergTable(spark, s"$indexDir/postings"))
+        val (ce, pe) = (cc.metadata.properties.get(EpochProp),
+          pp.metadata.properties.get(EpochProp))
+        if (ce != pe) throw new IllegalStateException(
+          s"vector index $indexDir: admission probe would pair centroid " +
+            s"epoch $ce with postings epoch $pe — a rebuild landed since " +
+            "the pinned snapshot; recompute the batch against the new " +
+            "generation (the publish assert would have conflicted anyway)")
+        (cc, pp)
+    }
+    val centRows = centroidsTable.toDF(spark)
     // one map-side assignment pass, reused by both probes AND by the
     // caller-visible flags join (checkpointed: the pin also freezes the
     // admitted set so retried writers see identical flags)
     val asg = Similarity.ivfAssign(batch, centRows, idCol, vecCol)
       .localCheckpoint(true)
-    val postingsTable = pinnedPostings
-      .getOrElse(IcebergTable(spark, s"$indexDir/postings"))
     // runtime-filtered probe: the batch's distinct cells broadcast into
     // the postings scan, file-pruned at execution (no driver collect)
     val postings = graft.iceberg.connector.RuntimeProbe
@@ -356,20 +423,13 @@ object VectorIndex {
     val postings = Similarity.ivfAssign(corpusDf, centRows, idCol, vecCol)
       .localCheckpoint(true) // row count is returned after the commit
     val epoch = java.util.UUID.randomUUID().toString
-    def stamped(dir: String, df: DataFrame): Transactions.TableChange = {
-      val ch = Transactions.stage(new FsCommitter(dir, conf))(c =>
-        { IcebergWriter.overwrite(spark, dir, df, committer = Some(c)); () })
-      // ride the epoch on the SAME commit as the overwrite — two commits
-      // per table would reopen the very window this closes
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val upd = mapper.createObjectNode()
-      upd.put("action", "set-properties")
-      upd.putObject("updates").put(EpochProp, epoch)
-      ch.copy(updates = ch.updates :+ upd)
-    }
+    // the epoch rides the SAME commit as each overwrite — two commits
+    // per table would reopen the very window this closes
     Transactions.commitAll(Seq(
-      stamped(s"$indexDir/centroids", centRows),
-      stamped(s"$indexDir/postings", postings)))
+      stamped(spark, conf, epoch, s"$indexDir/centroids", centRows,
+        overwrite = true),
+      stamped(spark, conf, epoch, s"$indexDir/postings", postings,
+        overwrite = true)))
     (epoch, postings.count())
   }
 
