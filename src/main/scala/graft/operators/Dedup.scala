@@ -181,25 +181,35 @@ object Dedup {
     * buffer. Buckets above the cap are dropped — at dedup scale a bucket
     * that large is itself the answer ("these are all near-identical"), not
     * pair-enumeration material.
+    *
+    * The cap must prevent the hot bucket's aggregation buffer from ever
+    * MATERIALIZING, not drop it after `collect_list` already buffered
+    * millions of member structs in one reducer. A two-pass election
+    * (`groupBy.count` + left-semi join back) achieves that but shuffles
+    * the banded set TWICE — measured ~2x on the minhash family — so the
+    * bound lives inside the aggregate instead:
+    * [[graft.functions.catalyst.BoundedCollectAgg]] collects at most
+    * `maxBucket` members per bucket and frees the list the moment the
+    * exact count passes the cap, on the update path AND both merge
+    * paths. One exchange, O(maxBucket) memory per key, and an over-cap
+    * bucket ships zero members through the shuffle.
     */
   private def bucketPairs(
       banded: DataFrame, keys: Seq[String], payload: Seq[Column],
       maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnShim
     val item = struct(payload: _*)
-    // the cap must prevent the hot bucket's aggregation buffer from ever
-    // MATERIALIZING, not drop it after collect_list already buffered
-    // millions of member structs in one reducer: a cheap partial-combined
-    // count elects the admissible buckets first, and only their members
-    // reach the list aggregation (the r17 review's OOM finding)
-    val admissible = banded
-      .groupBy(keys.map(col): _*).count()
-      .filter(col("count") >= 2 && col("count") <= maxBucket)
-      .drop("count")
+    val bounded = GraftColumnShim.column(
+      graft.functions.catalyst.BoundedCollectAgg(
+        GraftColumnShim.expression(item), maxBucket)
+        .toAggregateExpression())
     banded
-      .join(admissible, keys, "left_semi")
       .groupBy(keys.map(col): _*)
-      .agg(collect_list(item).as("items"))
-      .select(explode(col("items")).as("a"), col("items"))
+      .agg(bounded.as("bc"))
+      .filter(col("bc").getField("cnt") >= 2 &&
+        col("bc").getField("cnt") <= maxBucket)
+      .select(explode(col("bc").getField("items")).as("a"),
+        col("bc").getField("items").as("items"))
       .select(col("a"), explode(col("items")).as("b"))
       .filter(col("a").getField("_id") < col("b").getField("_id"))
   }

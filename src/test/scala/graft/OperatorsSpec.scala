@@ -254,6 +254,73 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 3L)) > 0.0 && j((1L, 3L)) < 1.0)
     assert(!j.contains((1L, 4L)))
   }
+
+  test("hot bucket above maxBucket is dropped; small buckets still pair") {
+    // 6 identical docs (every band bucket holds all 6) + 1 distinct pair
+    val hot = (10L to 15L).map(i =>
+      (i, "all these documents share exactly the same body text verbatim"))
+    val pair = Seq(
+      (20L, "a rare second group with its own matching body right here ok"),
+      (21L, "a rare second group with its own matching body right here ok"))
+    val df = (hot ++ pair).toDF("doc_id", "text")
+    // cap below the hot group: only the 2-doc bucket may emit pairs
+    val capped = Dedup.minhashCandidatePairs(df, "doc_id", "text",
+      numHashes = 32, bands = 8, maxBucket = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((20L, 21L)), s"got $capped")
+    // cap at exactly the hot-bucket size: boundary is inclusive
+    val atCap = Dedup.minhashCandidatePairs(df, "doc_id", "text",
+      numHashes = 32, bands = 8, maxBucket = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atCap.size == 15 + 1, s"6C2 hot pairs + 1: got ${atCap.size}")
+    // same guard on the simhash path
+    val sCapped = Dedup.simhashPairs(df, "doc_id", "text", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sCapped == Set((20L, 21L)), s"got $sCapped")
+  }
+
+  test("bucketPairs shuffles the banded set once (no election join)") {
+    // the hot-bucket guard must live INSIDE the aggregate: a pre-election
+    // (groupBy.count + semi join) plans a second exchange + join over the
+    // banded set — the r17 measured ~2x regression on this family
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftSemi"),
+      "bucket election must not plan a semi join over the banded set")
+    // the whole pipeline (signature window + band agg + final distinct)
+    // plans a fixed small number of exchanges; the election shape added
+    // one more plus a join — pin the ceiling
+    val nEx = "Exchange ".r.findAllIn(plan).size
+    assert(nEx <= 4, s"expected <= 4 exchanges, got $nEx in:\n$plan")
+  }
+
+  test("BoundedCollectAgg: exact count, list freed over cap, merge-safe") {
+    import org.apache.spark.sql.GraftColumnShim
+    val df = spark.range(0, 100, 1, 8) // 8 partitions force partial merges
+      .select((col("id") % 3).as("k"), col("id").as("v"))
+    val agg = GraftColumnShim.column(
+      graft.functions.catalyst.BoundedCollectAgg(
+        GraftColumnShim.expression(col("v")), 40).toAggregateExpression())
+    val got = df.groupBy("k").agg(agg.as("bc"))
+      .select(col("k"), col("bc.cnt"), size(col("bc.items")).as("n"),
+        col("bc.items").as("items"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getSeq[Long](3).toSet)).toMap
+    // keys 0/1 have 34/33 members (<= 40): full lists, exact counts
+    assert(got(0L)._1 == 34 && got(0L)._2 == 34)
+    assert(got(0L)._3 == (0L until 100L by 3).toSet)
+    assert(got(1L)._1 == 33 && got(1L)._2 == 33)
+    assert(got(2L)._1 == 33 && got(2L)._2 == 33)
+    // over-cap: exact count survives, items are empty (never buffered)
+    val agg2 = GraftColumnShim.column(
+      graft.functions.catalyst.BoundedCollectAgg(
+        GraftColumnShim.expression(col("v")), 10).toAggregateExpression())
+    val over = df.groupBy("k").agg(agg2.as("bc"))
+      .select(col("bc.cnt"), size(col("bc.items"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(over == Set((34L, 0), (33L, 0)), s"got $over")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
