@@ -53,6 +53,79 @@ private[graft] final case class AddedDataFile(
 private[graft] final case class GraftFilesCommit(files: Seq[AddedDataFile])
     extends WriterCommitMessage
 
+/** Table-metadata-derived write-type guards, computed ONCE driver-side
+  * ([[WriteTypeGuards.forTable]]) and threaded into every
+  * [[FanoutWriterFactory]] construction — V1 append, DSv2 row-level
+  * rewrites, dynamic overwrite, and the streaming sink all share one
+  * rulebook (the r17 review found the DSv2 paths missing the
+  * metadata-keyed checks the append path enforced).
+  *
+  *  - `geoByName`: top-level geometry/geography columns (name → declared
+  *    type string). Writable: WKB passthrough with spec bounding-box
+  *    POINT bounds tracked by the writer.
+  *  - `nsByName`: top-level timestamp_ns/timestamptz_ns columns under
+  *    the BIGINT-nanos opt-in (name → isAdjustedToUTC). Writable: exact
+  *    int64 nanos stamped with parquet's TIMESTAMP(NANOS) annotation.
+  *  - `refusals`: messages for shapes with no conformant engine write —
+  *    geo/ns NESTED inside struct/list/map (manifest bounds key on
+  *    top-level leaf ids; a nested spatial/nanos value written without
+  *    its annotation silently changes the column's meaning), geo/ns on
+  *    ORC/Avro, and geo/ns partition sources (no spec transform this
+  *    engine can evaluate on the passthrough representation).
+  */
+private[graft] final case class WriteTypeGuards(
+    geoByName: Map[String, String],
+    nsByName: Map[String, Boolean],
+    refusals: Seq[String])
+
+private[graft] object WriteTypeGuards {
+  val none: WriteTypeGuards = WriteTypeGuards(Map.empty, Map.empty, Nil)
+
+  def forTable(meta: TableMetadata, format: String): WriteTypeGuards = {
+    val geoByName = meta.schema.fields
+      .filter(_.metadata.contains(TableMetadata.GeoTypeKey))
+      .map(f => f.name -> f.metadata.getString(TableMetadata.GeoTypeKey))
+      .toMap
+    val nsByName = meta.schema.fields
+      .filter(_.metadata.contains(TableMetadata.NsTypeKey))
+      .map(f => f.name ->
+        (f.metadata.getString(TableMetadata.NsTypeKey) == "timestamptz_ns"))
+      .toMap
+    val refusals = Seq.newBuilder[String]
+    val special = meta.geoFieldIds ++ meta.nsFieldIds
+    if (special.nonEmpty) {
+      val topLevelSpecial = meta.schema.fields.collect {
+        case f if f.metadata.contains(TableMetadata.GeoTypeKey) ||
+          f.metadata.contains(TableMetadata.NsTypeKey) =>
+          meta.fieldIds(f.name)
+      }.toSet
+      val nested = special -- topLevelSpecial
+      if (nested.nonEmpty) {
+        val byId = meta.fieldIds.map(_.swap)
+        refusals += s"column(s) ${nested.toSeq.sorted.flatMap(byId.get)
+          .mkString(", ")} carry geometry/geography or timestamp_ns " +
+          "values NESTED inside struct/list/map: writes are not " +
+          "supported (this engine cannot emit conformant nested " +
+          "spatial/nanos encodings) — use a capable writer for this table"
+      }
+      if (!format.equalsIgnoreCase("PARQUET"))
+        refusals += "geometry/geography and timestamp_ns columns are " +
+          s"writable only with parquet data files (table write format " +
+          s"is $format)"
+      val specialSources = meta.partitionSpec.map(_.sourceId).toSet & special
+      if (specialSources.nonEmpty) {
+        val byId = meta.fieldIds.map(_.swap)
+        refusals += s"partition spec transforms source column(s) " +
+          s"${specialSources.toSeq.sorted.flatMap(byId.get).mkString(", ")} " +
+          "of geometry/geography or timestamp_ns type: no spec transform " +
+          "is evaluable on the passthrough representation — writes are " +
+          "not supported for this partitioning"
+      }
+    }
+    WriteTypeGuards(geoByName, nsByName, refusals.result())
+  }
+}
+
 /** One partition-spec field resolved against the write schema. */
 private[graft] final case class WritePartitionField(
     name: String,
@@ -98,23 +171,51 @@ private[graft] final class FanoutWriterFactory(
     targetFileBytes: Long = 512L << 20,
     /** Data-file format — "PARQUET", "ORC", or "AVRO" (Iceberg
       * `write.format-default`): one kernel, per-format open/stats. */
-    format: String = "PARQUET")
+    format: String = "PARQUET",
+    /** Table-metadata-derived type guards ([[WriteTypeGuards.forTable]]):
+      * refusal messages for shapes this engine cannot write conformantly
+      * (nested geo/ns, geo/ns on ORC/Avro, geo/ns partition sources) and
+      * the authoritative geo/ns column sets. Factory-site threading
+      * closes the r17 gap where DSv2 row-level paths missed the
+      * metadata-keyed refusals the V1 append path enforced. */
+    guards: WriteTypeGuards = WriteTypeGuards.none)
     extends Serializable {
 
-  // v3 geometry/geography columns are READ-ONLY in this engine (WKB
-  // passthrough): a conformant write must record the spec's geo
-  // bounding-box bounds in manifests, and byte-order bounds would
-  // corrupt pruning for spatial-capable readers. Fails at factory
-  // construction — driver-side, before any task launches.
-  schema.fields
-    .filter(_.metadata.contains(TableMetadata.GeoTypeKey))
-    .foreach { f =>
-      throw new UnsupportedOperationException(
-        s"column ${f.name} is " +
-          s"${f.metadata.getString(TableMetadata.GeoTypeKey)}: writes to " +
-          "geometry/geography tables are not supported (reads serve WKB " +
-          "bytes) — use a spatial-capable writer for this table")
-    }
+  // Type-guard refusals fail at factory construction — driver-side,
+  // before any task launches.
+  guards.refusals.headOption.foreach(m =>
+    throw new UnsupportedOperationException(m))
+
+  // v3 geometry/geography columns (WKB passthrough): tracked per open
+  // file so manifests record the spec's bounding-box POINT bounds —
+  // byte-order binary bounds would corrupt pruning for spatial-capable
+  // readers, so [[IcebergWriter.footerStats]] suppresses them and the
+  // writer's own WKB coordinate scan supplies the real ones. Column set
+  // = union of the threaded guards and the schema's own field markers
+  // (defense in depth: either side alone catches a mis-threaded call).
+  private val geoCols: Array[(Int, Int)] = schema.fields.zipWithIndex
+    .filter { case (f, _) => f.metadata.contains(TableMetadata.GeoTypeKey) ||
+      guards.geoByName.contains(f.name) }
+    .flatMap { case (f, i) => fieldIds.get(f.name).map(id => (i, id)) }
+
+  // v3 nanosecond timestamps under the BIGINT-nanos opt-in: the physical
+  // write is the exact int64, stamped with parquet's TIMESTAMP(NANOS)
+  // annotation (isAdjustedToUTC per the declared type) so nanos-capable
+  // readers keep the column's meaning.
+  private val nanosByName: Map[String, Boolean] = {
+    val fromSchema = schema.fields
+      .filter(_.metadata.contains(TableMetadata.NsTypeKey))
+      .map(f => f.name ->
+        (f.metadata.getString(TableMetadata.NsTypeKey) == "timestamptz_ns"))
+    (guards.nsByName ++ fromSchema).toMap
+  }
+
+  if ((geoCols.nonEmpty || nanosByName.nonEmpty) &&
+      !format.equalsIgnoreCase("PARQUET"))
+    throw new UnsupportedOperationException(
+      s"geometry/geography and timestamp_ns columns are writable only " +
+        s"with parquet data files (table write format is $format): this " +
+        "engine has no conformant spatial/nanos encoding for ORC or Avro")
 
   import FanoutWriterFactory.MaxOpenWriters
 
@@ -156,10 +257,16 @@ private[graft] final class FanoutWriterFactory(
         * is each format's flushed-bytes estimate, feeding the same
         * size-based rollover. */
       private final class OpenFile(val path: String) {
+        /** Per-geo-column running bounding box over every WKB value
+          * routed to this file (parallel to [[geoCols]]); [[finish]]
+          * turns non-empty boxes into the manifest's POINT bounds. */
+        val geoBoxes: Array[GeoWkb.BBox] =
+          Array.fill(geoCols.length)(new GeoWkb.BBox)
         private val pw: org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
           if (isOrc || isAvro) null
           else org.apache.spark.sql.execution.datasources.parquet
-            .GraftParquetWriteShim.open(path, writeSchema, conf.value, codec)
+            .GraftParquetWriteShim.open(path, writeSchema, conf.value, codec,
+              nanosByName)
         private val ow: org.apache.spark.sql.execution.datasources.orc
             .GraftOrcWriteShim.OrcRowFileWriter =
           if (!isOrc) null
@@ -209,13 +316,33 @@ private[graft] final class FanoutWriterFactory(
         // bytes, one read per file, distributed across the cluster.
         // Avro has no footer stats: None is the sound default (files
         // never pruned; row counts exact from the writer's own counter).
-        val stats =
+        val stats0 =
           if (isAvro) None
           else try Some(
             if (isOrc)
               IcebergWriter.orcFooterStats(p, conf.value, schema, fieldIds)._2
             else IcebergWriter.footerStats(p, conf.value, schema, fieldIds)._2)
           catch { case NonFatal(_) => None }
+        // geo columns: footer byte-order bounds are suppressed (unsound
+        // for WKB); record the spec's bounding-box POINT bounds from the
+        // writer's own coordinate scan instead. Geography boxes use the
+        // same plain min/max — a containing box, sound for pruning, and
+        // wider-than-minimal only across the antimeridian.
+        val stats = stats0.map { s =>
+          var lo = s.lower
+          var hi = s.upper
+          var g = 0
+          while (g < geoCols.length) {
+            val (_, fid) = geoCols(g)
+            val box = f.geoBoxes(g)
+            if (!box.isEmpty) {
+              lo = lo.updated(fid, GeoWkb.pointWkb(box.minX, box.minY))
+              hi = hi.updated(fid, GeoWkb.pointWkb(box.maxX, box.maxY))
+            }
+            g += 1
+          }
+          if (g == 0) s else s.copy(lower = lo, upper = hi)
+        }
         AddedDataFile(f.path, f.rows, len, stats,
           if (spec.isEmpty) None else Some(key), sortOrderId,
           fileFormat =
@@ -240,6 +367,16 @@ private[graft] final class FanoutWriterFactory(
           nf
         })
         f.write(data)
+        // geo bounds: one WKB coordinate walk per spatial value, fused
+        // into the write loop (the footer cannot supply these — parquet
+        // binary stats are byte-order). Exotic WKB kinds throw here,
+        // failing the task loudly before a non-conformant bound commits.
+        var g = 0
+        while (g < geoCols.length) {
+          val idx = geoCols(g)._1
+          if (!data.isNullAt(idx)) f.geoBoxes(g).merge(data.getBinary(idx))
+          g += 1
+        }
         f.rows += 1
         // size-based rollover (Iceberg `write.target-file-size-bytes`):
         // without it one task writing one partition produces ONE file of

@@ -176,6 +176,11 @@ object IcebergWriter {
               nc += id -> stats.map(_.getNumNulls).sum
             val boundsOk = f.dataType match {
               case FloatType | DoubleType => false // NaN-unsound in footers
+              // geo columns: parquet's byte-order binary bounds are NOT
+              // the spec's bounding-box POINT bounds — the fanout writer
+              // supplies the real ones from its WKB coordinate scan
+              case BinaryType
+                if f.metadata.contains(TableMetadata.GeoTypeKey) => false
               case IntegerType | DateType | LongType | StringType |
                    BooleanType | BinaryType => true
               case TimestampType | TimestampNTZType =>
@@ -1300,44 +1305,41 @@ object IcebergWriter {
       df: DataFrame, writeDir: String, meta: TableMetadata,
       conf: org.apache.hadoop.conf.Configuration,
       sortOrderId: Option[Int] = None): Seq[AddedDataFile] = {
-    // geometry/geography tables are READ-ONLY here (WKB passthrough):
-    // keyed off the TABLE metadata because the input df's schema is
-    // caller-built and carries no spatial markers
-    if (meta.geoFieldIds.nonEmpty) {
-      val names = meta.fieldIds.collect {
-        case (n, id) if meta.geoFieldIds.contains(id) => n }
-      throw new UnsupportedOperationException(
-        s"table declares geometry/geography column(s) " +
-          s"${names.mkString(", ")}: writes are not supported (a " +
-          "conformant write must record the spec's geo bounding-box " +
-          "bounds) — reads serve WKB bytes; use a spatial-capable writer")
-    }
-    // nanosecond-timestamp tables are likewise READ-ONLY (BIGINT-nanos
-    // opt-in): this engine would stamp plain INT64 without the nanos
-    // annotation, silently changing the column's meaning for
-    // nanos-capable readers
-    if (meta.nsFieldIds.nonEmpty) {
-      val names = meta.fieldIds.collect {
-        case (n, id) if meta.nsFieldIds.contains(id) => n }
-      throw new UnsupportedOperationException(
-        s"table declares timestamp_ns/timestamptz_ns column(s) " +
-          s"${names.mkString(", ")}: writes are not supported under the " +
-          "BIGINT-nanos read opt-in — use a nanos-capable writer")
-    }
+    // v3 geometry/geography (WKB passthrough) and timestamp_ns (BIGINT-
+    // nanos opt-in) columns ARE writable — with spec bounding-box POINT
+    // bounds / the parquet NANOS annotation — for top-level parquet
+    // columns; the remaining non-conformant shapes (nested, ORC/Avro,
+    // partition sources) refuse loudly here, keyed off the TABLE
+    // metadata because the input df's schema is caller-built and
+    // carries no spatial/nanos markers.
+    val fmt = tableWriteFormat(meta)
+    val guards = WriteTypeGuards.forTable(meta, fmt)
+    guards.refusals.headOption.foreach(m =>
+      throw new UnsupportedOperationException(m))
     val idByName = meta.fieldIds
+    val metaFieldByName = meta.schema.fields.map(f => f.name -> f).toMap
     val stampedSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.map { f =>
         idByName.get(f.name) match {
-          case Some(id) => f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+          case Some(id) =>
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong)
+            // carry the table's geo/ns markers onto the write schema so
+            // the fanout kernel and footerStats see them (bbox tracking,
+            // byte-bound suppression, NANOS annotation)
+            metaFieldByName.get(f.name).foreach { mf =>
+              Seq(TableMetadata.GeoTypeKey, TableMetadata.NsTypeKey)
+                .filter(mf.metadata.contains)
+                .foreach(k => mb.putString(k, mf.metadata.getString(k)))
+            }
+            f.copy(metadata = mb.build())
           case None => f
         }
       })
-    val fmt = tableWriteFormat(meta)
     val factory = new FanoutWriterFactory(writeDir, stampedSchema, idByName,
       writeSpecFields(meta, df.schema), new SerializableHadoopConf(conf),
-      sortOrderId, tableFormatCodec(meta, fmt), targetFileSize(meta), fmt)
+      sortOrderId, tableFormatCodec(meta, fmt), targetFileSize(meta), fmt,
+      guards)
     val dirPath = new Path(writeDir)
     val fs = dirPath.getFileSystem(conf)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)

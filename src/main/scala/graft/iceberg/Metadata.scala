@@ -86,8 +86,9 @@ final case class TableMetadata(
     geoFieldIds: Set[Int] = Set.empty,
     /** Field ids of v3 `timestamp_ns`/`timestamptz_ns` columns (present
       * only under the BIGINT-nanos read opt-in — otherwise the parse
-      * refused): read as epoch-nanos LongType; writes refuse. Their
-      * int64 bounds DO decode correctly as longs, so pruning stays on. */
+      * refused): read as epoch-nanos LongType; writes stamp the exact
+      * int64 with the parquet NANOS annotation. Their int64 bounds DO
+      * decode correctly as longs, so pruning stays on. */
     nsFieldIds: Set[Int] = Set.empty,
     currentSnapshotId: Option[Long],
     snapshots: Seq[IcebergSnapshot],
@@ -219,7 +220,8 @@ object TableMetadata {
     * (`geometry[(crs)]` / `geography[(crs, algorithm)]`). Presence means:
     * the Spark-visible type is WKB `BinaryType`, bounds must NOT be used
     * for pruning (spec geo bounds are bounding-box points), and writes
-    * refuse. */
+    * track WKB bounding boxes for the manifest bounds (top-level parquet
+    * columns; other shapes refuse — [[graft.iceberg.WriteTypeGuards]]). */
   val GeoTypeKey = "iceberg.geo-type"
 
   def isGeoType(t: String): Boolean =
@@ -229,21 +231,47 @@ object TableMetadata {
   /** Field-metadata key carrying a column's original nanosecond timestamp
     * type (`timestamp_ns` / `timestamptz_ns`) when the BIGINT-nanos read
     * opt-in is active. Presence means: the Spark-visible type is BIGINT
-    * epoch nanos, and writes refuse. */
+    * epoch nanos, and writes stamp the exact int64 with parquet's
+    * TIMESTAMP(NANOS) annotation (top-level parquet columns; other
+    * shapes refuse — [[graft.iceberg.WriteTypeGuards]]). */
   val NsTypeKey = "iceberg.ns-type"
 
   /** Opt-in switch (table property; also honored `spark.`-prefixed as a
     * session conf): read `timestamp_ns`/`timestamptz_ns` columns
-    * losslessly as BIGINT epoch nanos instead of refusing.
+    * losslessly as BIGINT epoch nanos instead of refusing. Under the
+    * opt-in, writes are ALSO accepted: the exact int64 is written with
+    * parquet's TIMESTAMP(NANOS) annotation (see
+    * [[graft.iceberg.WriteTypeGuards]]).
     *
-    * Caveat on the SESSION-CONF route: `SparkSession.getActiveSession`
-    * is thread-local, so a metadata parse on a thread without the
-    * session attached (custom pools, listeners) sees the opt-in off and
-    * REFUSES — loud, never wrong data, but an operation that succeeded
-    * on the query thread can fail elsewhere. The TABLE-PROPERTY route
-    * has no such dependence and is the durable opt-in; prefer it for
-    * anything beyond ad-hoc reads. */
+    * The SESSION-CONF route resolves through the thread-local active
+    * session when one is attached, falling back to the JVM default
+    * session and then to the last value any session-attached parse
+    * resolved ([[sessionNsOptIn]]) — so a committer or listener thread
+    * parsing the same document inside one operation follows the query
+    * thread's decision instead of refusing. The TABLE-PROPERTY route has
+    * no thread dependence at all and is the durable opt-in; prefer it
+    * for anything beyond ad-hoc reads. */
   val NsAsBigintKey = "graft.read.timestamp-ns-as-bigint"
+
+  /** Last session-conf opt-in value resolved by a parse that HAD a
+    * session to ask — the cross-thread fallback above. Multi-session
+    * drivers disagreeing on the conf get last-writer-wins here; the
+    * table property is the deterministic route for that shape. */
+  @volatile private var lastSessionNsOptIn: Boolean = false
+
+  private def sessionNsOptIn(): Boolean = {
+    val s = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    s match {
+      case Some(sess) =>
+        val v = try sess.conf.getOption(s"spark.$NsAsBigintKey")
+          .exists(_.toBoolean)
+        catch { case _: Throwable => lastSessionNsOptIn }
+        lastSessionNsOptIn = v
+        v
+      case None => lastSessionNsOptIn
+    }
+  }
 
   def isNsType(t: String): Boolean =
     t == "timestamp_ns" || t == "timestamptz_ns"
@@ -328,10 +356,11 @@ object TableMetadata {
     // `spark.`-prefixed session conf `graft.read.timestamp-ns-as-bigint`)
     // serves the column LOSSLESSLY as BIGINT epoch nanos — the exact
     // stored int64, no truncation; the consumer owns the interpretation.
-    // Writes stay refused either way (fields carry [[TableMetadata
-    // .NsTypeKey]]): this engine would stamp a plain INT64 without the
-    // nanos annotation, silently changing the column's meaning for
-    // nanos-capable readers.
+    // Under the same opt-in WRITES are accepted too (the dual rule):
+    // the exact int64 is written with parquet's TIMESTAMP(NANOS)
+    // annotation so the column keeps meaning a nanosecond timestamp for
+    // capable readers; nested/ORC/Avro/partition-source shapes refuse
+    // ([[graft.iceberg.WriteTypeGuards]]).
     case "timestamp_ns" | "timestamptz_ns" =>
       if (nsAsBigint) LongType
       else throw new UnsupportedOperationException(
@@ -349,8 +378,10 @@ object TableMetadata {
     // spatial type, so the column reads as WKB BinaryType; fields are
     // marked [[TableMetadata.GeoTypeKey]] so (a) pruning doubt-keeps
     // them (the spec's geo bounds are bounding-box points, NOT
-    // byte-comparable), and (b) writes refuse (this engine cannot emit
-    // conformant geo bounds). Read-only surface by design.
+    // byte-comparable), and (b) writes track per-file WKB bounding
+    // boxes and record the spec's POINT bounds in manifests (top-level
+    // parquet columns; exotic WKB kinds and nested/ORC/Avro shapes
+    // refuse loudly — [[graft.iceberg.WriteTypeGuards]], [[GeoWkb]]).
     case g if TableMetadata.isGeoType(g) => BinaryType
     case other           => throw new IllegalArgumentException(s"unsupported iceberg primitive: $other")
   }
@@ -411,8 +442,7 @@ object TableMetadata {
     // adopted table), `spark.`-prefixed session conf second (driver-side
     // opt-in without a metadata edit)
     val nsAsBigint = propsMap.get(NsAsBigintKey).exists(_.toBoolean) ||
-      org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
-        s.conf.getOption(s"spark.$NsAsBigintKey").exists(_.toBoolean))
+      sessionNsOptIn()
     val schema = StructType(fields.map { f =>
       // parquet.field.id: Spark's parquet reader resolves an id-bearing
       // read schema BY FIELD ID (the Iceberg contract) — which is what

@@ -606,7 +606,8 @@ final class GraftReplaceWrite(
         new graft.iceberg.SerializableHadoopConf(conf),
         codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
         targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
-        format = fmt)
+        format = fmt,
+        guards = graft.iceberg.WriteTypeGuards.forTable(meta, fmt))
       new DataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
           val w = inner.createWriter(partitionId, taskId)
@@ -710,7 +711,8 @@ final class GraftDynamicOverwriteWrite(
         new graft.iceberg.SerializableHadoopConf(conf),
         codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
         targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
-        format = fmt)
+        format = fmt,
+        guards = graft.iceberg.WriteTypeGuards.forTable(meta, fmt))
       new DataWriterFactory {
         override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
           inner.createWriter(partitionId, taskId)
@@ -901,7 +903,13 @@ final class GraftDeltaWrite(
         new graft.iceberg.SerializableHadoopConf(conf),
         codec = graft.iceberg.IcebergWriter.tableFormatCodec(meta, fmt),
         targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
-        format = fmt)
+        format = fmt,
+        // a MOR DELETE writes only position-delete files (no data rows
+        // carrying geo/ns values), so the type guards must not refuse it
+        guards =
+          if (cmd == RowLevelOperation.Command.DELETE)
+            graft.iceberg.WriteTypeGuards.none
+          else graft.iceberg.WriteTypeGuards.forTable(meta, fmt))
       new GraftDeltaWriterFactory(inner, writeDir,
         new graft.iceberg.SerializableHadoopConf(conf),
         deleteCodec = graft.iceberg.IcebergWriter.deleteCodec(meta),

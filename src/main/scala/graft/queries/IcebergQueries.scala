@@ -1461,6 +1461,137 @@ object IcebergQueries {
         .orderBy(col("k").asc_nulls_first)
     }),
 
+    // v3 geometry WRITE path (r18): unlike q171's adopt-then-read shape,
+    // here the table is declared spatial FIRST and the WKB rows are
+    // written BY THE ENGINE — the fanout writer parses each value's WKB
+    // coordinates and records the spec's bounding-box POINT bounds in
+    // the manifests (gated by a require below), then the read-back
+    // serves the bytes bit-exactly. Same DuckDB-reconstructable
+    // repeated-byte double patterns as q171.
+    "q172_geometry_write" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.{col, hex, lower}
+      val warehouse = graft.Scratch.dir("q172-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      s.conf.set("spark.sql.catalog.q172cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q172cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q172cat.ns")
+      s.sql("""CREATE TABLE q172cat.ns.geo (k BIGINT, geom BINARY)
+               TBLPROPERTIES ('format-version' = '3')""")
+      // declare the column spatial BEFORE any data lands
+      val dir = s"$warehouse/ns/geo"
+      val fs = new Path(dir).getFileSystem(conf)
+      val latest = graft.iceberg.TableMetadata.latestMetadataPath(dir, conf)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = {
+        val in = fs.open(latest)
+        try mapper.readTree(in.readAllBytes())
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        finally in.close()
+      }
+      import scala.jdk.CollectionConverters._
+      root.get("schemas").elements.asScala
+        .flatMap(_.get("fields").elements.asScala)
+        .filter(_.get("name").asText == "geom")
+        .foreach(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("type", "geometry(srid:4326)"))
+      val ver = latest.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong
+      val out = fs.create(new Path(s"$dir/metadata/v${ver + 1}.metadata.json"))
+      try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+      // ENGINE write onto the spatial table: WKB points whose coordinate
+      // doubles are repeated single bytes (valid tiny denormals)
+      val rows = Tables.load(s, d, "nation")
+        .select("n_nationkey", "n_regionkey").collect().map { r =>
+          val nk = r.get(0).asInstanceOf[Number].longValue
+          val rk = r.get(1).asInstanceOf[Number].longValue
+          (nk, Array[Byte](1, 1, 0, 0, 0) ++
+            Array.fill(8)((nk % 256).toByte) ++
+            Array.fill(8)((rk % 256).toByte))
+        }.toSeq
+      import s.implicits._
+      graft.iceberg.IcebergWriter.append(s, dir, rows.toDF("k", "geom"))
+      // the write MUST have recorded spec POINT bounds per data file
+      val t = new graft.iceberg.IcebergTable(dir, conf)
+      val geoId = t.metadata.fieldIds("geom")
+      t.planFiles().foreach { f =>
+        require(f.lowerBounds.contains(geoId) &&
+          f.upperBounds.contains(geoId),
+          s"engine-written geo file ${f.filePath} lacks POINT bounds")
+        // each bound parses as a plain 2D point
+        Seq(f.lowerBounds(geoId), f.upperBounds(geoId)).foreach { b =>
+          val bx = new graft.iceberg.GeoWkb.BBox
+          bx.merge(b)
+          require(!bx.isEmpty && bx.minX == bx.maxX && bx.minY == bx.maxY,
+            "geo bound must be a single POINT")
+        }
+      }
+      t.toDF(s)
+        .filter(col("geom").isNotNull)
+        .select(col("k"), lower(hex(col("geom"))).as("wkb_hex"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // v3 timestamp_ns WRITE path (r18): a BIGINT table's column is
+    // re-declared timestamp_ns with the BIGINT-nanos opt-in property,
+    // then the ENGINE appends epoch-nanos rows — written as the exact
+    // int64 stamped with parquet's TIMESTAMP(NANOS) annotation (the
+    // conformant v3 encoding) — and the read-back serves every stored
+    // nano losslessly. Pre-flip and post-flip rows interleave to prove
+    // plain-int64 and NANOS-annotated files read identically.
+    "q173_ns_write" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      val warehouse = graft.Scratch.dir("q173-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      s.conf.set("spark.sql.catalog.q173cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q173cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q173cat.ns")
+      s.sql("""CREATE TABLE q173cat.ns.evt (k BIGINT, ts_nanos BIGINT)
+               TBLPROPERTIES ('format-version' = '3')""")
+      Tables.load(s, d, "nation").selectExpr("CAST(n_nationkey AS BIGINT) AS k",
+          "CAST(1700000000000000000 + n_nationkey * 7 AS BIGINT) AS ts_nanos")
+        .filter(col("k") % 2 === 0)
+        .createOrReplaceTempView("ns_src_q173")
+      s.sql("INSERT INTO q173cat.ns.evt SELECT k, ts_nanos FROM ns_src_q173")
+      // re-declare long -> timestamp_ns + the opt-in property (the
+      // adopt-a-nanos-table shape)
+      val dir = s"$warehouse/ns/evt"
+      val fs = new Path(dir).getFileSystem(conf)
+      val latest = graft.iceberg.TableMetadata.latestMetadataPath(dir, conf)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = {
+        val in = fs.open(latest)
+        try mapper.readTree(in.readAllBytes())
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        finally in.close()
+      }
+      import scala.jdk.CollectionConverters._
+      root.get("schemas").elements.asScala
+        .flatMap(_.get("fields").elements.asScala)
+        .filter(_.get("name").asText == "ts_nanos")
+        .foreach(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("type", "timestamp_ns"))
+      root.`with`("properties")
+        .put(graft.iceberg.TableMetadata.NsAsBigintKey, "true")
+      val ver = latest.getName.stripPrefix("v")
+        .stripSuffix(".metadata.json").toLong
+      val out = fs.create(new Path(s"$dir/metadata/v${ver + 1}.metadata.json"))
+      try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+      // ENGINE write under the opt-in: the odd keys, exact nanos
+      import s.implicits._
+      val odd = Tables.load(s, d, "nation")
+        .selectExpr("CAST(n_nationkey AS BIGINT) AS k",
+          "CAST(1700000000000000000 + n_nationkey * 7 AS BIGINT) AS ts_nanos")
+        .filter(col("k") % 2 === 1)
+      graft.iceberg.IcebergWriter.append(s, dir, odd)
+      new graft.iceberg.IcebergTable(dir, conf).toDF(s)
+        .select(col("k"), col("ts_nanos"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // v3 row lineage, BOTH columns: `_last_updated_sequence_number`
     // inherits each file's data sequence number, a copy-on-write UPDATE
     // (here running OVER outstanding merge-on-read delete debt) moves
@@ -2217,6 +2348,20 @@ object IcebergQueries {
         |         || repeat(lower(lpad(to_hex(n_nationkey % 256), 2, '0')), 8)
         |         || repeat(lower(lpad(to_hex(n_regionkey % 256), 2, '0')), 8)
         |         AS wkb_hex
+        |FROM nation
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q172_geometry_write" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       '0101000000'
+        |         || repeat(lower(lpad(to_hex(n_nationkey % 256), 2, '0')), 8)
+        |         || repeat(lower(lpad(to_hex(n_regionkey % 256), 2, '0')), 8)
+        |         AS wkb_hex
+        |FROM nation
+        |ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q173_ns_write" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |       CAST(1700000000000000000 + n_nationkey * 7 AS BIGINT)
+        |         AS ts_nanos
         |FROM nation
         |ORDER BY k ASC NULLS FIRST""".stripMargin,
     "q170_lineage_seq" ->

@@ -44,11 +44,48 @@ object GraftParquetWriteShim {
     conf
   }
 
-  private final class Builder(path: Path)
+  private final class Builder(path: Path, nanos: Map[String, Boolean])
       extends ParquetWriter.Builder[InternalRow, Builder](path) {
     override def self(): Builder = this
     override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
-      new ParquetWriteSupport
+      if (nanos.isEmpty) new ParquetWriteSupport
+      else new NanosAnnotatingWriteSupport(nanos)
+  }
+
+  /** [[ParquetWriteSupport]] whose declared file schema re-types the named
+    * int64 columns as `TIMESTAMP(NANOS, isAdjustedToUTC)` — the Iceberg
+    * v3 parquet encoding of `timestamp_ns`/`timestamptz_ns`. The engine's
+    * Spark-side representation of those columns under the BIGINT-nanos
+    * opt-in is LongType (exact epoch nanos), so the physical write path
+    * (addLong, page encodings, field ids) is bit-identical to a plain
+    * int64 column; only the footer's logical-type annotation changes —
+    * which is precisely what keeps the column MEANING a nanosecond
+    * timestamp for other readers instead of silently degrading to a bare
+    * long (the r17 write-refusal rationale, now written conformantly).
+    */
+  private final class NanosAnnotatingWriteSupport(nanos: Map[String, Boolean])
+      extends ParquetWriteSupport {
+    override def init(configuration: Configuration): WriteSupport.WriteContext = {
+      val ctx = super.init(configuration)
+      import org.apache.parquet.schema._
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+      import scala.jdk.CollectionConverters._
+      val fields = ctx.getSchema.getFields.asScala.map {
+        case p: PrimitiveType if nanos.contains(p.getName) &&
+            p.getPrimitiveTypeName ==
+              PrimitiveType.PrimitiveTypeName.INT64 =>
+          val b = Types.primitive(
+              PrimitiveType.PrimitiveTypeName.INT64, p.getRepetition)
+            .as(LogicalTypeAnnotation.timestampType(
+              nanos(p.getName), TimeUnit.NANOS))
+          (if (p.getId != null) b.id(p.getId.intValue) else b)
+            .named(p.getName)
+        case other => other
+      }
+      new WriteSupport.WriteContext(
+        new MessageType(ctx.getSchema.getName, fields.asJava),
+        ctx.getExtraMetaData)
+    }
   }
 
   /** Iceberg `write.parquet.compression-codec` values → parquet codec.
@@ -64,11 +101,15 @@ object GraftParquetWriteShim {
         "(supported: snappy, zstd, gzip, uncompressed)")
   }
 
-  /** Open a parquet writer at `path`. The caller owns close(). */
+  /** Open a parquet writer at `path`. The caller owns close().
+    * `nanos` names the LongType columns to annotate as
+    * `TIMESTAMP(NANOS, isAdjustedToUTC)` (Iceberg `timestamp_ns`
+    * columns under the BIGINT-nanos opt-in). */
   def open(path: String, schema: StructType,
            base: Configuration,
-           codec: String = "snappy"): ParquetWriter[InternalRow] =
-    new Builder(new Path(path))
+           codec: String = "snappy",
+           nanos: Map[String, Boolean] = Map.empty): ParquetWriter[InternalRow] =
+    new Builder(new Path(path), nanos)
       .withConf(writeConf(base, schema))
       .withCompressionCodec(codecName(codec))
       .build()

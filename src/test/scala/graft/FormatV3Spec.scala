@@ -202,7 +202,7 @@ class FormatV3Spec extends SparkSpec {
 
   test("timestamp_ns: refused by default with the opt-in named; the " +
       "BIGINT-nanos opt-in (session conf or table property) serves the " +
-      "exact stored int64; writes stay refused") {
+      "exact stored int64; writes stamp NANOS-annotated int64") {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileWriter
     import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -292,21 +292,54 @@ class FormatV3Spec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Map(0L -> nanos(0), 1L -> nanos(1)),
         s"exact stored nanos must serve: $got")
-      // writes stay refused under the opt-in
+      // WRITES under the opt-in (the r17 dual): the exact int64 lands
+      // in the data file stamped with parquet's TIMESTAMP(NANOS)
+      // annotation, so the column keeps meaning a nanosecond timestamp
+      // for capable readers
       import spark.implicits._
-      val ew = intercept[Exception] {
-        graft.iceberg.IcebergWriter.append(spark, root,
-          Seq((9L, 1L)).toDF("k", "ts"))
-      }
-      def msgs(x: Throwable): String = Iterator.iterate(x)(_.getCause)
-        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
-        .mkString(" | ")
-      assert(msgs(ew).contains("timestamp_ns"), msgs(ew))
+      val nsVal = 1700000000000000009L
+      graft.iceberg.IcebergWriter.append(spark, root,
+        Seq((9L, nsVal)).toDF("k", "ts"))
+      val t2r = new IcebergTable(root, conf)
+      val got2 = t2r.toDF(spark).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == Map(0L -> nanos(0), 1L -> nanos(1), 9L -> nsVal),
+        s"engine-written nanos must round-trip exactly: $got2")
+      // footer annotation check on the engine-written file
+      val written = t2r.planFiles().map(_.filePath)
+        .filterNot(_.contains("/data/f1"))
+      assert(written.size == 1, s"expected one engine file, got $written")
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(written.head), conf))
+      try {
+        val pqSchema = rdr.getFooter.getFileMetaData.getSchema
+        val tsType = pqSchema.getType(
+          pqSchema.getFieldIndex("ts")).asPrimitiveType()
+        val ann = tsType.getLogicalTypeAnnotation
+        assert(ann.isInstanceOf[org.apache.parquet.schema
+          .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation],
+          s"ts must carry a timestamp annotation, got $ann")
+        val tsAnn = ann.asInstanceOf[org.apache.parquet.schema
+          .LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+        assert(tsAnn.getUnit == org.apache.parquet.schema
+          .LogicalTypeAnnotation.TimeUnit.NANOS, s"unit: ${tsAnn.getUnit}")
+        assert(!tsAnn.isAdjustedToUTC,
+          "timestamp_ns (no tz) must stamp isAdjustedToUTC=false")
+      } finally rdr.close()
+      // int64 nanos bounds decode as longs, so pruning stays live: a
+      // predicate beyond the new file's range prunes it
+      val keep = t2r.planFiles(Seq(
+        org.apache.spark.sql.sources.GreaterThan("ts", nsVal + 1))).size
+      assert(keep < t2r.planFiles().size,
+        "ns int64 bounds must prune (new file excluded)")
     } finally spark.conf.unset(optKey)
     // table-property opt-in: no session conf needed (the adopted table
     // carries its own opt-in)
+    // v5: past the engine append's v2 commit (a fresh file, not an
+    // overwrite — LocalFileSystem checksums pin committed versions)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/metadata/v2.metadata.json"),
+      java.nio.file.Paths.get(s"$root/metadata/v5.metadata.json"),
       metaJson(s""""properties": {
         |  "${graft.iceberg.TableMetadata.NsAsBigintKey}": "true"},"""
         .stripMargin))
@@ -318,7 +351,7 @@ class FormatV3Spec extends SparkSpec {
     // a DEFAULT on the ns column must not make the opted-in table
     // unloadable (the single-value ISO form re-encodes as epoch NANOS)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/metadata/v3.metadata.json"),
+      java.nio.file.Paths.get(s"$root/metadata/v6.metadata.json"),
       metaJson(s""""properties": {
         |  "${graft.iceberg.TableMetadata.NsAsBigintKey}": "true"},"""
         .stripMargin).replace(
@@ -417,7 +450,8 @@ class FormatV3Spec extends SparkSpec {
   }
 
   test("v3 geometry: WKB binary passthrough read, doubt-keep pruning, " +
-      "write refusal, and metadata round-trip of the spatial type") {
+      "engine writes with bounding-box POINT bounds, exotic-WKB refusal, " +
+      "and metadata round-trip of the spatial type") {
     freshCatalog()
     // the external-geo-table shape: data files hold WKB bytes in a
     // binary column; the metadata document declares geometry. Built by
@@ -477,16 +511,57 @@ class FormatV3Spec extends SparkSpec {
       org.apache.spark.sql.sources.EqualTo("geom", above))
     assert(t.planFiles(filt).size == t.planFiles().size,
       "geometry column bounds must never prune")
-    // writes refuse loudly (the engine cannot emit conformant geo bounds)
-    val e = intercept[Exception] {
-      graft.iceberg.IcebergWriter.append(spark, dir,
-        Seq((3L, wkbPoint(1, 1))).toDF("k", "geom"))
-    }
+    // ENGINE WRITES: WKB passthrough with spec bounding-box POINT bounds
+    // tracked by the writer's own coordinate scan (r17 refused here)
+    def pt(x: Double, y: Double) = graft.iceberg.GeoWkb.pointWkb(x, y)
+    graft.iceberg.IcebergWriter.append(spark, dir,
+      Seq((3L, pt(2.5, -1.0)), (4L, pt(-3.0, 8.5))).toDF("k", "geom")
+        .coalesce(1))
+    val tw = new IcebergTable(dir, conf)
+    val wrote = tw.toDF(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("geom")).toMap
+    assert(wrote.keySet == Set(1L, 2L, 3L, 4L) &&
+      java.util.Arrays.equals(wrote(3L), pt(2.5, -1.0)) &&
+      java.util.Arrays.equals(wrote(4L), pt(-3.0, 8.5)),
+      "engine-written WKB must round-trip bit-exactly")
+    // the new file's manifest bounds are the spec's bounding-box POINTs
+    // (lower = (minX, minY), upper = (maxX, maxY)), NOT byte-order bytes
+    val geoId = tw.metadata.fieldIds("geom")
+    val newFile = tw.planFiles().find(_.recordCount == 2).getOrElse(
+      fail("expected the 2-row engine-written file in the plan"))
+    assert(java.util.Arrays.equals(newFile.lowerBounds(geoId),
+      pt(-3.0, -1.0)), "geo lower bound must be POINT(minX minY)")
+    assert(java.util.Arrays.equals(newFile.upperBounds(geoId),
+      pt(2.5, 8.5)), "geo upper bound must be POINT(maxX maxY)")
+    // doubt-keep soundness holds WITH engine-written point bounds too:
+    // a geom equality predicate must never byte-prune the new file
+    val filt2 = Seq[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("geom", above))
+    assert(tw.planFiles(filt2).size == tw.planFiles().size,
+      "geo POINT bounds must never byte-prune")
+    // exotic WKB kinds refuse loudly (never a guessed bound): a Z-point
+    // (ISO type 1001) fails the write task
     def msgs(x: Throwable): String = Iterator.iterate(x)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" | ")
-    assert(msgs(e).contains("geometry"),
-      s"write refusal must name the spatial type: ${msgs(e)}")
+    val zPoint = java.nio.ByteBuffer.allocate(29)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(1001)
+      .putDouble(1).putDouble(2).putDouble(3).array()
+    val ez = intercept[Exception] {
+      graft.iceberg.IcebergWriter.append(spark, dir,
+        Seq((5L, zPoint)).toDF("k", "geom"))
+    }
+    assert(msgs(ez).contains("unsupported WKB"),
+      s"Z/M WKB must refuse loudly: ${msgs(ez)}")
+    // the DSv2 row-level path writes geo conformantly too (r17's factory
+    // refused on the schema marker): a CoW UPDATE rewrites WKB bit-exact
+    spark.sql("UPDATE v3cat.ns.geo SET k = k + 100 WHERE k = 3")
+    val afterUpd = new IcebergTable(dir, conf).toDF(spark).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("geom")).toMap
+    assert(afterUpd.keySet == Set(1L, 2L, 103L, 4L) &&
+      java.util.Arrays.equals(afterUpd(103L), pt(2.5, -1.0)),
+      "row-level rewrite must carry WKB through unchanged")
     // metadata round-trip: a property commit preserves the declared
     // spatial type verbatim (commits edit the JSON document, they never
     // re-serialize from the Spark-visible schema)
