@@ -175,13 +175,18 @@ object PartitionStats {
     def f(id: Int, name: String, dt: DataType, nullable: Boolean) =
       StructField(name, dt, nullable,
         new MetadataBuilder().putLong("parquet.field.id", id).build())
-    // a never-partitioned table has an EMPTY unified partition type:
-    // parquet refuses empty nested schemas, so the column is omitted
-    // entirely (readers treat a missing tuple as the null partition)
+    // spec field id 1 (`partition`) is REQUIRED by the file schema: a
+    // never-partitioned table must not reach here at all (callers refuse
+    // or no-op first — omitting the field, parquet's only out for an
+    // empty struct, would hand external id-resolving readers a
+    // nonconformant file; the r18 advice)
     val pt = unifiedPartitionType(meta)
+    if (pt.fields.isEmpty) throw new IllegalStateException(
+      "partition statistics require a partitioned table: the spec file " +
+        "schema's field 1 is the partition tuple and this table has no " +
+        "partition field in any spec")
     StructType(
-      (if (pt.fields.isEmpty) Nil
-       else Seq(f(1, "partition", pt, nullable = true))) ++ Seq(
+      Seq(f(1, "partition", pt, nullable = true)) ++ Seq(
       f(2, "spec_id", IntegerType, nullable = false),
       f(3, "data_record_count", LongType, nullable = false),
       f(4, "data_file_count", IntegerType, nullable = false),
@@ -321,6 +326,15 @@ object PartitionStats {
   def computeAndCommit(spark: SparkSession,
       committer: TableCommitter): String = {
     val meta = committer.currentMetadata()
+    // reference engines require a partitioned table for partition stats;
+    // an unpartitioned table's file would have to drop the spec's
+    // required `partition` field (id 1) — refuse instead of emitting a
+    // schema-variant file external readers may reject
+    if (unifiedPartitionType(meta).fields.isEmpty)
+      throw new UnsupportedOperationException(
+        "compute_partition_stats: partition statistics require a " +
+          "partitioned table (no partition field in any spec of " +
+          s"${committer.tableDir})")
     val sid = meta.currentSnapshotId.filter(_ != -1L).getOrElse(
       throw new IllegalStateException(
         "compute_partition_stats: the table has no snapshot yet"))
@@ -347,6 +361,10 @@ object PartitionStats {
       added: Seq[(Map[String, Any], Long, Long)]): Unit = {
     val meta = committer.currentMetadata()
     if (!meta.properties.get(Prop).contains("true")) return
+    // unpartitioned tables keep no partition-stats chain (see
+    // computeAndCommit): silently no-op — the declaring property may
+    // predate a partition-evolution that will make the table eligible
+    if (unifiedPartitionType(meta).fields.isEmpty) return
     val snap = meta.snapshots.find(_.snapshotId == snapId).getOrElse(return)
     val spec = meta.defaultSpecId
     val prev: Option[Seq[Entry]] = snap.parentSnapshotId match {

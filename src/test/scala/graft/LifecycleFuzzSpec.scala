@@ -38,6 +38,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     var variantOps = 0
     var statsOps = 0
     var geoOps = 0
+    var purgeCloneOps = 0
     // seed 1207: merge-on-read UPDATEs (delta path); seed 4242:
     // copy-on-write UPDATEs — every UPDATE op then rewrites over
     // whatever merge-on-read delete debt the random sequence left
@@ -118,7 +119,7 @@ class LifecycleFuzzSpec extends SparkSpec {
       val geoModel = scala.collection.mutable.Map.empty[Long, Seq[Byte]]
 
       (1 to 40).foreach { step =>
-        val op = r.nextInt(20) match {
+        val op = r.nextInt(21) match {
           case 0 | 1 | 2 | 3 => // INSERT a fresh batch (explicit column
             // list: post-add-column inserts take the write-default for d)
             val n = 5 + r.nextInt(20)
@@ -357,10 +358,29 @@ class LifecycleFuzzSpec extends SparkSpec {
                       s"chain drifted from the from-scratch rollup:\n " +
                       s"chain=$chain\n full=$full")
                 }
-              spark.sql(s"CALL lcf.system.compute_partition_stats(" +
-                s"table => 'ns.fz$seed')")
-              statsOps += 1
-              "partition_stats"
+              // r18: unpartitioned tables REFUSE the procedure (the spec
+              // file schema requires the partition tuple field) and the
+              // incremental chain must have stayed empty; partitioned
+              // (post-evolution) tables bootstrap as before
+              if (graft.iceberg.PartitionStats
+                  .unifiedPartitionType(t0.metadata).fields.isEmpty) {
+                assert(t0.metadata.partitionStatistics.isEmpty,
+                  s"seed=$seed step $step: unpartitioned table must keep " +
+                    "no partition-stats chain")
+                val e = intercept[Exception] {
+                  spark.sql(s"CALL lcf.system.compute_partition_stats(" +
+                    s"table => 'ns.fz$seed')")
+                }
+                assert(e.getMessage.contains("partitioned table"),
+                  s"seed=$seed step $step: ${e.getMessage}")
+                statsOps += 1
+                "partition_stats_refused"
+              } else {
+                spark.sql(s"CALL lcf.system.compute_partition_stats(" +
+                  s"table => 'ns.fz$seed')")
+                statsOps += 1
+                "partition_stats"
+              }
             }
           case 19 => // geometry side fixture (read-only surface): first
             // firing adopts an external-shape geo table (WKB written as
@@ -414,16 +434,60 @@ class LifecycleFuzzSpec extends SparkSpec {
               assert(got == geoModel.toMap,
                 s"seed=$seed step $step: geo WKB drifted: $got")
               import spark.implicits._
+              // r18: ENGINE writes are supported (bbox POINT bounds) —
+              // append a fresh valid WKB point and fold it into the model
+              val nk = 100L + geoOps
+              val wkb = (Array[Byte](1, 1, 0, 0, 0) ++
+                Array.fill(16)((seed % 89 + geoOps).toByte)).toSeq
+              graft.iceberg.IcebergWriter.append(spark, geoDir.get,
+                Seq((nk, wkb.toArray)).toDF("k", "geom"))
+              geoModel(nk) = wkb
+              val got2 = new IcebergTable(geoDir.get, conf).toDF(spark)
+                .collect().map(row => row.getLong(0) ->
+                  row.getAs[Array[Byte]]("geom").toSeq).toMap
+              assert(got2 == geoModel.toMap,
+                s"seed=$seed step $step: geo WKB after engine write: $got2")
+              // exotic WKB kinds still refuse loudly (never a guessed
+              // bound): a Z-point fails the write task
               val ge = intercept[Exception] {
                 graft.iceberg.IcebergWriter.append(spark, geoDir.get,
-                  Seq((9L, Array[Byte](1))).toDF("k", "geom"))
+                  Seq((999L, java.nio.ByteBuffer.allocate(29)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                    .put(1.toByte).putInt(1001).putDouble(1).putDouble(2)
+                    .putDouble(3).array())).toDF("k", "geom"))
               }
               assert(Iterator.iterate(ge: Throwable)(_.getCause)
                 .takeWhile(_ != null)
-                .exists(x => Option(x.getMessage).exists(_.contains("geometry"))),
-                "geo write must refuse")
+                .exists(x => Option(x.getMessage).exists(_.contains("WKB"))),
+                "exotic WKB write must refuse")
               "geo_check"
             }
+          case 20 => // purge-vs-clone under random interleaving (the r17
+            // purge contract): DROP TABLE PURGE on a snapshot clone
+            // refuses on gc.enabled=false and harms nothing; a plain
+            // purge really deletes the table directory
+            purgeCloneOps += 1
+            val pname = s"pg${seed}_$step"
+            spark.sql(s"CREATE TABLE lcf.ns.$pname (k BIGINT)")
+            spark.sql(s"INSERT INTO lcf.ns.$pname VALUES (1), (2)")
+            spark.sql(s"CALL lcf.system.snapshot(" +
+              s"source_table => 'ns.$pname', table => 'ns.${pname}_c')")
+            val pe = intercept[Exception] {
+              spark.sql(s"DROP TABLE lcf.ns.${pname}_c PURGE")
+            }
+            assert(Iterator.iterate(pe: Throwable)(_.getCause)
+              .takeWhile(_ != null).exists(x =>
+                Option(x.getMessage).exists(_.contains("gc.enabled"))),
+              s"seed=$seed step $step: clone purge must refuse: $pe")
+            // the refusal left both tables whole
+            assert(spark.sql(s"SELECT COUNT(*) FROM lcf.ns.${pname}_c")
+              .head.getLong(0) == 2L, "refused purge must not harm the clone")
+            spark.sql(s"DROP TABLE lcf.ns.${pname}_c") // deregister only
+            spark.sql(s"DROP TABLE lcf.ns.$pname PURGE")
+            val pdir = new Path(s"$warehouse/ns/$pname")
+            assert(!pdir.getFileSystem(conf).exists(pdir),
+              s"seed=$seed step $step: purge must delete the table dir")
+            "purge_clone"
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
@@ -458,6 +522,8 @@ class LifecycleFuzzSpec extends SparkSpec {
       s"op mix must exercise the variant-column lifecycle: $variantOps")
     assert(statsOps >= 2,
       s"op mix must exercise partition-statistics maintenance: $statsOps")
+    assert(purgeCloneOps >= 1,
+      s"op mix must exercise purge-vs-clone: $purgeCloneOps")
     assert(geoOps >= 2,
       s"op mix must exercise the geometry read surface: $geoOps")
   }
