@@ -6,6 +6,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.types.StructType
 
+import scala.jdk.CollectionConverters._
+
 import graft.iceberg.{IcebergTable, TableMetadata}
 
 /** Storage/transport seam behind [[GraftCatalog]]: where table and view
@@ -29,6 +31,26 @@ trait CatalogStore {
   def listNamespaces(parent: Seq[String]): Seq[Seq[String]]
   def namespaceExists(ns: Seq[String]): Boolean
   def createNamespace(ns: Seq[String]): Unit
+  /** Create with initial properties (`CREATE NAMESPACE … WITH
+    * PROPERTIES`). Default: create, then apply the properties as one
+    * update — the REST store overrides to ship them in the creation
+    * request itself (the spec's CreateNamespaceRequest.properties). */
+  def createNamespace(ns: Seq[String], properties: Map[String, String]): Unit = {
+    createNamespace(ns)
+    if (properties.nonEmpty)
+      updateNamespaceProperties(ns,
+        properties.toSeq.map { case (k, v) => k -> Some(v) })
+  }
+  /** Stored namespace properties (empty when the store keeps none). */
+  def namespaceProperties(ns: Seq[String]): Map[String, String] = Map.empty
+  /** `ALTER NAMESPACE … SET/UNSET PROPERTIES`, applied IN CALLER ORDER —
+    * `(k, Some(v))` sets, `(k, None)` removes, and a remove-then-set of
+    * the same key must end set (same contract as
+    * [[updateViewProperties]]). The warehouse store rewrites its
+    * properties document; the REST store POSTs the spec's
+    * `UpdateNamespacePropertiesRequest`. */
+  def updateNamespaceProperties(ns: Seq[String],
+                                changes: Seq[(String, Option[String])]): Unit
   /** False when the namespace does not exist; non-cascade drops of
     * non-empty namespaces must throw `IllegalStateException`. */
   def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean
@@ -153,6 +175,36 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
   }
 
   override def createNamespace(ns: Seq[String]): Unit = fs.mkdirs(dirFor(ns))
+
+  /** Namespace properties live in a dot-file INSIDE the namespace
+    * directory — a plain file, so the directory-shaped listings
+    * (`childDirs`) never mistake it for a table or child namespace. */
+  private def nsPropsPath(ns: Seq[String]): Path =
+    new Path(dirFor(ns), ".graft-namespace-properties.json")
+
+  override def namespaceProperties(ns: Seq[String]): Map[String, String] = {
+    val p = nsPropsPath(ns)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+      node.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }
+  }
+
+  override def updateNamespaceProperties(
+      ns: Seq[String], changes: Seq[(String, Option[String])]): Unit = {
+    if (!namespaceExists(ns)) throw new NoSuchElementException(
+      s"namespace ${ns.mkString(".")} does not exist")
+    val merged = changes.foldLeft(namespaceProperties(ns)) {
+      case (acc, (k, Some(v))) => acc + (k -> v)
+      case (acc, (k, None)) => acc - k
+    }
+    val node = mapper.createObjectNode()
+    merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val out = fs.create(nsPropsPath(ns), true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
 
   override def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean = {
     val dir = dirFor(ns)

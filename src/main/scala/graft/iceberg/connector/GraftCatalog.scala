@@ -124,15 +124,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    store.namespaceLocation(namespace.toSeq)
-      .map(l => Map("location" -> l)).getOrElse(Map.empty[String, String]).asJava
+    (store.namespaceLocation(namespace.toSeq)
+      .map(l => Map("location" -> l)).getOrElse(Map.empty[String, String]) ++
+      store.namespaceProperties(namespace.toSeq)).asJava
   }
 
-  override def createNamespace(namespace: Array[String], metadata: JMap[String, String]): Unit =
-    store.createNamespace(namespace.toSeq)
+  /** `location` is warehouse-derived in both stores: storing a
+    * user-supplied one as a plain property would make
+    * `loadNamespaceMetadata` REPORT a location no table placement
+    * honors — refuse instead of lying. */
+  private def refuseNamespaceLocation(keys: Iterable[String]): Unit =
+    if (keys.exists(_ == "location"))
+      throw new UnsupportedOperationException(
+        "custom namespace locations are not supported: table locations " +
+          "derive from the warehouse layout")
 
-  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("alterNamespace is not supported")
+  override def createNamespace(namespace: Array[String], metadata: JMap[String, String]): Unit = {
+    val props = Option(metadata).map(_.asScala.toMap).getOrElse(Map.empty)
+      // Spark stamps reserved entries (owner) on every CREATE NAMESPACE;
+      // they are session facts, not durable namespace properties
+      .filter { case (k, _) => k != "owner" }
+    refuseNamespaceLocation(props.keys)
+    store.createNamespace(namespace.toSeq, props)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val mapped = changes.map {
+      case s: NamespaceChange.SetProperty => s.property -> Option(s.value)
+      case r: NamespaceChange.RemoveProperty => r.property -> None
+      case other => throw new UnsupportedOperationException(
+        s"alterNamespace: unsupported change ${other.getClass.getSimpleName}")
+    }
+    refuseNamespaceLocation(mapped.map(_._1))
+    store.updateNamespaceProperties(namespace.toSeq, mapped.toSeq)
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val ns = namespace.toSeq

@@ -220,12 +220,42 @@ final class RestCatalogStore(
   override def namespaceExists(ns: Seq[String]): Boolean =
     ns.isEmpty || request("GET", v1(s"namespaces/${nsPath(ns)}"), None)._1 / 100 == 2
 
-  override def createNamespace(ns: Seq[String]): Unit = {
+  override def createNamespace(ns: Seq[String]): Unit =
+    createNamespace(ns, Map.empty)
+
+  override def createNamespace(ns: Seq[String],
+                               properties: Map[String, String]): Unit = {
     val req = mapper.createObjectNode()
     val arr = req.putArray("namespace")
     ns.foreach(arr.add)
-    req.putObject("properties")
+    val props = req.putObject("properties")
+    properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     expect2xx("POST", v1("namespaces"), Some(mapper.writeValueAsString(req)))
+  }
+
+  override def namespaceProperties(ns: Seq[String]): Map[String, String] = {
+    val node = expect2xx("GET", v1(s"namespaces/${nsPath(ns)}"), None)
+    Option(node.get("properties"))
+      .map(_.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** The spec's `POST /namespaces/{ns}/properties`
+    * (UpdateNamespacePropertiesRequest): one batch of removals +
+    * updates. The caller's in-order contract collapses to a final
+    * action per key (the service applies removals before updates, so a
+    * key in both would end SET — exactly the remove-then-set rule). */
+  override def updateNamespaceProperties(
+      ns: Seq[String], changes: Seq[(String, Option[String])]): Unit = {
+    val finalAction = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    changes.foreach { case (k, v) => finalAction.remove(k); finalAction(k) = v }
+    val req = mapper.createObjectNode()
+    val removals = req.putArray("removals")
+    finalAction.collect { case (k, None) => k }.foreach(removals.add)
+    val updates = req.putObject("updates")
+    finalAction.collect { case (k, Some(v)) => updates.put(k, v) }
+    expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/properties"),
+      Some(mapper.writeValueAsString(req)))
   }
 
   override def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean = {
@@ -293,11 +323,19 @@ final class RestCatalogStore(
     // the spec's selection rule: apply THE credential whose prefix is the
     // LONGEST match for the table location — absorbing every match in
     // list order would let a broad bucket-wide credential listed later
-    // overwrite the table-scoped one
+    // overwrite the table-scoped one. A prefix matches only on a PATH
+    // SEGMENT boundary (equal to the location, or followed by '/'):
+    // raw startsWith would let `…/foo` claim `…/foobar/…` and, being
+    // longer than a bucket-wide prefix, win the election with the wrong
+    // credentials (the r17 advice).
+    def segmentMatch(prefix: String): Boolean =
+      prefix.isEmpty || location == prefix ||
+        (location.startsWith(prefix) &&
+          (prefix.endsWith("/") || location.charAt(prefix.length) == '/'))
     Option(result.get("storage-credentials")).foreach { creds =>
       val matching = creds.elements.asScala.toSeq
         .map(c => (Option(c.get("prefix")).map(_.asText).getOrElse(""), c))
-        .filter { case (p, _) => location.startsWith(p) }
+        .filter { case (p, _) => segmentMatch(p) }
       matching.sortBy(_._1.length).lastOption.foreach { case (_, cred) =>
         Option(cred.get("config")).foreach(absorb)
       }

@@ -28,6 +28,7 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
 
   private val mapper = new ObjectMapper()
   private val namespaces = mutable.Set[String]()
+  private val nsProps = mutable.Map[String, Map[String, String]]()
   private val tables = mutable.Map[(String, String), ObjectNode]()
   private val views = mutable.Map[(String, String), ObjectNode]()
   private val dataRoot = "/root/repo/target/test-rest-warehouse"
@@ -139,13 +140,36 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         val items = namespaces.toSeq.sorted.map(n => s"""["${n}"]""")
         json(x, 200, paged(x, items, "namespaces"))
       case ("POST", "testwh" :: "namespaces" :: Nil) =>
-        val ns = body.get("namespace").elements.next().asText
+        val b = body // the stream reads once
+        val ns = b.get("namespace").elements.next().asText
         namespaces += ns
+        import scala.jdk.CollectionConverters._
+        nsProps(ns) = Option(b.get("properties"))
+          .map(_.properties.asScala.map(e => e.getKey -> e.getValue.asText)
+            .toMap).getOrElse(Map.empty)
         json(x, 200, s"""{"namespace":["$ns"],"properties":{}}""")
       case ("GET", "testwh" :: "namespaces" :: ns :: Nil) =>
-        if (namespaces.contains(ns))
-          json(x, 200, s"""{"namespace":["$ns"],"properties":{}}""")
+        if (namespaces.contains(ns)) {
+          val props = nsProps.getOrElse(ns, Map.empty).toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+          json(x, 200, s"""{"namespace":["$ns"],"properties":{$props}}""")
+        }
         else json(x, 404, """{"error":{"message":"no such namespace"}}""")
+      case ("POST", "testwh" :: "namespaces" :: ns :: "properties" :: Nil) =>
+        if (!namespaces.contains(ns))
+          json(x, 404, """{"error":{"message":"no such namespace"}}""")
+        else {
+          import scala.jdk.CollectionConverters._
+          val b = body // the stream reads once
+          val removals = Option(b.get("removals"))
+            .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+          val updates = Option(b.get("updates"))
+            .map(_.properties.asScala.map(e => e.getKey -> e.getValue.asText)
+              .toMap).getOrElse(Map.empty)
+          nsProps(ns) = (nsProps.getOrElse(ns, Map.empty) -- removals) ++ updates
+          json(x, 200,
+            s"""{"removed":[],"updated":[],"missing":[]}""")
+        }
       case ("DELETE", "testwh" :: "namespaces" :: ns :: Nil) =>
         if (tables.keys.exists(_._1 == ns) || views.keys.exists(_._1 == ns))
           json(x, 409, """{"error":{"message":"namespace not empty"}}""")
@@ -482,6 +506,30 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(namespaces.contains("rns"), "stub should have received the POST")
     val ns = spark.sql("SHOW NAMESPACES IN restcat").collect().map(_.getString(0))
     assert(ns.contains("rns"))
+  }
+
+  test("REST: namespace properties — create-with ships them, the " +
+      "properties endpoint batches removals+updates (remove-then-set " +
+      "ends set), ALTER NAMESPACE routes through it") {
+    val store = new graft.iceberg.connector.RestCatalogStore(
+      s"http://127.0.0.1:$port", spark.sessionState.newHadoopConf(), None)
+    store.createNamespace(Seq("npr"), Map("team" -> "data"))
+    assert(store.namespaceProperties(Seq("npr")) == Map("team" -> "data"))
+    store.updateNamespaceProperties(Seq("npr"), Seq(
+      "team" -> None, "tier" -> Some("gold"), "team" -> Some("ml")))
+    assert(store.namespaceProperties(Seq("npr")) ==
+      Map("tier" -> "gold", "team" -> "ml"),
+      "remove-then-set of one key must end set")
+    // the Spark DDL surface drives the same endpoint
+    useRest()
+    spark.sql("ALTER NAMESPACE restcat.npr SET PROPERTIES ('zone' = 'eu')")
+    spark.sql("ALTER NAMESPACE restcat.npr UNSET PROPERTIES ('team')")
+    assert(store.namespaceProperties(Seq("npr")) ==
+      Map("tier" -> "gold", "zone" -> "eu"))
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED restcat.npr")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Properties").exists(_.contains("zone")), desc.toString)
+    namespaces -= "npr"; nsProps -= "npr"
   }
 
   test("REST: prefix advertised under defaults (not overrides) still routes") {
@@ -1109,6 +1157,23 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       assert(t.conf.get("client.pool-size") == null &&
         t.conf.get("pool-size") == null,
         "catalog-internal keys must not leak into the Hadoop conf")
+      // prefix matching is PATH-SEGMENT-BOUNDED (r17 advice): a prefix
+      // that raw-startsWith-matches mid-segment (s3://b/foo vs
+      // s3://b/foobar) must NOT join the election — here the trap is
+      // longer than the scheme-wide entry and would win under raw
+      // startsWith, applying the wrong credentials
+      tables(("vendns", "vt2")) = doc // same location, fresh election
+      tableConfigJson(("vendns", "vt2")) =
+        s""""config":{"hadoop.fs.graftvend.impl":"graft.GraftVendedFileSystem"},
+           |"storage-credentials":[
+           |  {"prefix":"${loc.dropRight(1)}",
+           |   "config":{"hadoop.graft.test.cred":"TRAP"}},
+           |  {"prefix":"graftvend://",
+           |   "config":{"hadoop.graft.test.cred":"RIGHT"}}]""".stripMargin
+      val t2 = store.loadIcebergTable(Seq("vendns"), "vt2")
+      assert(t2.conf.get("graft.test.cred") == "RIGHT",
+        "a mid-segment prefix must not match: got " +
+          t2.conf.get("graft.test.cred"))
       // end-to-end: the SQL read plans a scan over graftvend:// paths,
       // resolvable only through the vended per-relation conf
       useRest()

@@ -305,9 +305,15 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       }
 
       def drainReplica(op: String): Unit = {
+        // r18: row-budgeted admission rides every drain — snapshot-
+        // granular (a commit never splits), so the replica's exactly-once
+        // pairing must survive arbitrary re-batching under churn; the
+        // tiny budget forces multi-batch drains whenever the random mix
+        // left more than a few changed rows outstanding
         val feed0 = spark.readStream
           .option("start-snapshot-id", replicaStart.toString)
           .option("maxSnapshotsPerTrigger", "1")
+          .option("maxRowsPerTrigger", "7")
           .option("row-lineage", lineageRep.toString)
           .table(s"$tbl.changes")
         val feed =
