@@ -327,7 +327,11 @@ private[graft] final class FanoutWriterFactory(
         // for WKB); record the spec's bounding-box POINT bounds from the
         // writer's own coordinate scan instead. Geography boxes use the
         // same plain min/max — a containing box, sound for pruning, and
-        // wider-than-minimal only across the antimeridian.
+        // wider-than-minimal only across the antimeridian. The override
+        // is AUTHORITATIVE both ways: an empty box (all values null or
+        // empty geometries) REMOVES any footer bound, so a write schema
+        // that lost its geo marker (and thus footerStats' suppression)
+        // can never leak byte-order bytes where a reader expects POINTs.
         val stats = stats0.map { s =>
           var lo = s.lower
           var hi = s.upper
@@ -338,6 +342,9 @@ private[graft] final class FanoutWriterFactory(
             if (!box.isEmpty) {
               lo = lo.updated(fid, GeoWkb.pointWkb(box.minX, box.minY))
               hi = hi.updated(fid, GeoWkb.pointWkb(box.maxX, box.maxY))
+            } else {
+              lo = lo - fid
+              hi = hi - fid
             }
             g += 1
           }

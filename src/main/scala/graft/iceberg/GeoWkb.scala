@@ -73,11 +73,13 @@ private[graft] object GeoWkb {
           "only 2D ISO kinds 1-6 are supported for engine writes — Z/M " +
           "coordinates, embedded SRIDs, and extended kinds need a " +
           "spatial-capable writer")
-    def needs(n: Int, what: String): Unit =
-      if (buf.remaining() < n) throw new UnsupportedOperationException(
+    def needs(n: Long, what: String): Unit =
+      if (n < 0 || buf.remaining() < n) throw new UnsupportedOperationException(
         s"malformed WKB: truncated $what")
     def readPoints(n: Int): Unit = {
-      needs(n * 16, s"coordinate run of $n point(s)")
+      // Long arithmetic: a hostile/corrupt count like 0x10000000 would
+      // overflow Int (n * 16 == 0) and slip past the bound check
+      needs(n.toLong * 16, s"coordinate run of $n point(s)")
       var i = 0
       while (i < n) { box.add(buf.getDouble(), buf.getDouble()); i += 1 }
     }

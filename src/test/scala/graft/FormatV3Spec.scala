@@ -557,11 +557,48 @@ class FormatV3Spec extends SparkSpec {
     // the DSv2 row-level path writes geo conformantly too (r17's factory
     // refused on the schema marker): a CoW UPDATE rewrites WKB bit-exact
     spark.sql("UPDATE v3cat.ns.geo SET k = k + 100 WHERE k = 3")
-    val afterUpd = new IcebergTable(dir, conf).toDF(spark).collect()
+    val tUpd = new IcebergTable(dir, conf)
+    val afterUpd = tUpd.toDF(spark).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("geom")).toMap
     assert(afterUpd.keySet == Set(1L, 2L, 103L, 4L) &&
       java.util.Arrays.equals(afterUpd(103L), pt(2.5, -1.0)),
       "row-level rewrite must carry WKB through unchanged")
+    // the REWRITTEN file's geo bounds are POINTs too (never byte-order
+    // footer bytes) — pins the DSv2 write path's bound override. The
+    // ADOPTED files keep their legacy byte-truncated binary bounds
+    // (written while the column was declared binary), so the check
+    // targets the rewrite output: the file holding k ∈ {4, 103}.
+    val kId = tUpd.metadata.fieldIds("k")
+    def kLong(b: Array[Byte]) = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val rewritten = tUpd.planFiles().find(f =>
+      f.lowerBounds.get(kId).exists(kLong(_) == 4L) &&
+        f.upperBounds.get(kId).exists(kLong(_) == 103L))
+      .getOrElse(fail("expected the rewritten file holding k in {4,103}"))
+    Seq(rewritten.lowerBounds(geoId), rewritten.upperBounds(geoId))
+      .foreach { b =>
+        val bx = new graft.iceberg.GeoWkb.BBox
+        bx.merge(b) // throws unless the bound parses as clean 2D WKB
+        assert(!bx.isEmpty && bx.minX == bx.maxX,
+          "the rewritten file's geo bound must be a single POINT")
+      }
+    // a file of ONLY empty geometries records NO geo bound at all (an
+    // empty bbox must remove, never leak, footer byte bounds)
+    val emptyLine = java.nio.ByteBuffer.allocate(9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(2).putInt(0).array()
+    graft.iceberg.IcebergWriter.append(spark, dir,
+      Seq((7L, emptyLine)).toDF("k", "geom").coalesce(1))
+    val tEmpty = new IcebergTable(dir, conf)
+    val ef = tEmpty.planFiles().find(f =>
+      f.recordCount == 1 && tEmpty.toDF(spark).count() >= 0 &&
+        f.lowerBounds.get(tEmpty.metadata.fieldIds("k"))
+          .exists(b => java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong == 7L))
+      .getOrElse(fail("expected the empty-geometry file"))
+    assert(!ef.lowerBounds.contains(geoId) &&
+      !ef.upperBounds.contains(geoId),
+      "an all-empty-geometry file must record no geo bounds")
     // metadata round-trip: a property commit preserves the declared
     // spatial type verbatim (commits edit the JSON document, they never
     // re-serialize from the Spark-visible schema)

@@ -96,6 +96,9 @@ class GeoWriteSpec extends AnyFunSuite {
       _.putDouble(2)), "byte-order")
     // truncated coordinate run
     refuses(le(_.put(1.toByte), _.putInt(1), _.putDouble(1)), "truncated")
+    // a hostile count that overflows Int*16 must refuse, not read past
+    refuses(le(_.put(1.toByte), _.putInt(2), _.putInt(0x10000000)),
+      "truncated")
     // trailing garbage after a complete geometry
     refuses(point(1, 2) ++ Array[Byte](0), "trailing")
     // multi nested deeper than one level (multi inside multi)
