@@ -31,8 +31,15 @@ private[graft] object GeoWkb {
     var maxY: Double = Double.NegativeInfinity
     def isEmpty: Boolean = minX > maxX
     def add(x: Double, y: Double): Unit = {
-      // NaN coordinates (the conventional empty-POINT encoding) are
-      // skipped: every comparison below is false for NaN
+      val xn = java.lang.Double.isNaN(x)
+      val yn = java.lang.Double.isNaN(y)
+      // one-sided NaN is NOT the empty-POINT convention, it is corrupt
+      // data: silently skipping just the NaN side would emit an
+      // inverted/infinite POINT bound (non-empty minX..maxX with
+      // minY=+Inf) that spatial readers would prune by — refuse loudly
+      if (xn != yn) throw new UnsupportedOperationException(
+        "malformed WKB: coordinate pair with a single NaN component")
+      if (xn) return // (NaN, NaN): the conventional empty POINT, skipped
       if (x < minX) minX = x
       if (x > maxX) maxX = x
       if (y < minY) minY = y
@@ -91,6 +98,8 @@ private[graft] object GeoWkb {
       case 3 => // Polygon
         needs(4, "Polygon ring count")
         val rings = buf.getInt()
+        if (rings < 0) throw new UnsupportedOperationException(
+          s"malformed WKB: negative ring count $rings")
         var r = 0
         while (r < rings) {
           needs(4, "ring count"); readPoints(buf.getInt()); r += 1
@@ -98,6 +107,8 @@ private[graft] object GeoWkb {
       case 4 | 5 | 6 => // Multi{Point,LineString,Polygon}: nested WKBs
         needs(4, "multi-geometry count")
         val n = buf.getInt()
+        if (n < 0) throw new UnsupportedOperationException(
+          s"malformed WKB: negative multi-geometry count $n")
         var i = 0
         while (i < n) { readGeom(buf, box, depth + 1); i += 1 }
       case other =>

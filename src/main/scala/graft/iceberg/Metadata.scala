@@ -244,34 +244,22 @@ object TableMetadata {
     * [[graft.iceberg.WriteTypeGuards]]).
     *
     * The SESSION-CONF route resolves through the thread-local active
-    * session when one is attached, falling back to the JVM default
-    * session and then to the last value any session-attached parse
-    * resolved ([[sessionNsOptIn]]) — so a committer or listener thread
-    * parsing the same document inside one operation follows the query
-    * thread's decision instead of refusing. The TABLE-PROPERTY route has
-    * no thread dependence at all and is the durable opt-in; prefer it
-    * for anything beyond ad-hoc reads. */
+    * session, falling back to the JVM-global DEFAULT session — which is
+    * what committer/listener/pool threads without an attached session
+    * see — so one operation's parses agree across threads in the
+    * single-session driver (the common shape). A thread seeing NEITHER
+    * session fails CLOSED (the loud refusal): a cached last-known value
+    * would fail OPEN, silently enabling nanos reads/writes for sessions
+    * and tables that never opted in. The TABLE-PROPERTY route has no
+    * thread dependence at all and is the durable opt-in; prefer it for
+    * anything beyond ad-hoc reads. A malformed conf value (anything but
+    * true/false) throws rather than being guessed. */
   val NsAsBigintKey = "graft.read.timestamp-ns-as-bigint"
 
-  /** Last session-conf opt-in value resolved by a parse that HAD a
-    * session to ask — the cross-thread fallback above. Multi-session
-    * drivers disagreeing on the conf get last-writer-wins here; the
-    * table property is the deterministic route for that shape. */
-  @volatile private var lastSessionNsOptIn: Boolean = false
-
-  private def sessionNsOptIn(): Boolean = {
-    val s = org.apache.spark.sql.SparkSession.getActiveSession
+  private def sessionNsOptIn(): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-    s match {
-      case Some(sess) =>
-        val v = try sess.conf.getOption(s"spark.$NsAsBigintKey")
-          .exists(_.toBoolean)
-        catch { case _: Throwable => lastSessionNsOptIn }
-        lastSessionNsOptIn = v
-        v
-      case None => lastSessionNsOptIn
-    }
-  }
+      .exists(_.conf.getOption(s"spark.$NsAsBigintKey").exists(_.toBoolean))
 
   def isNsType(t: String): Boolean =
     t == "timestamp_ns" || t == "timestamptz_ns"

@@ -202,8 +202,22 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     }
     val node = mapper.createObjectNode()
     merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    val out = fs.create(nsPropsPath(ns), true)
+    // write-then-promote (same discipline as table commits): a crash
+    // mid-write must never leave a truncated document that wedges every
+    // later read — readers see either the old file or the new one (or,
+    // in the delete→rename window, none, which serves as empty props:
+    // degraded, never a parse error)
+    val dest = nsPropsPath(ns)
+    val tmp = new Path(dest.getParent,
+      s".graft-namespace-properties.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"namespace properties promote failed: could not rename $tmp to $dest")
+    }
   }
 
   override def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean = {

@@ -155,9 +155,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case r: NamespaceChange.RemoveProperty => r.property -> None
       case other => throw new UnsupportedOperationException(
         s"alterNamespace: unsupported change ${other.getClass.getSimpleName}")
-    }
+    }.filter(_._1 != "owner") // same session-fact rule as createNamespace
     refuseNamespaceLocation(mapped.map(_._1))
-    store.updateNamespaceProperties(namespace.toSeq, mapped.toSeq)
+    if (mapped.nonEmpty)
+      store.updateNamespaceProperties(namespace.toSeq, mapped.toSeq)
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

@@ -276,6 +276,11 @@ class FormatV3Spec extends SparkSpec {
     val e = intercept[UnsupportedOperationException] {
       new IcebergTable(root, conf)
     }
+    // a malformed opt-in value surfaces, never guesses (fail-closed
+    // would silently refuse a deliberate opt-in; fail-open is worse)
+    spark.conf.set(optKey, "maybe")
+    try intercept[IllegalArgumentException] { new IcebergTable(root, conf) }
+    finally spark.conf.unset(optKey)
     assert(e.getMessage.contains("timestamp_ns") &&
       e.getMessage.contains(graft.iceberg.TableMetadata.NsAsBigintKey),
       e.getMessage)

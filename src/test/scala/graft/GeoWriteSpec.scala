@@ -99,6 +99,15 @@ class GeoWriteSpec extends AnyFunSuite {
     // a hostile count that overflows Int*16 must refuse, not read past
     refuses(le(_.put(1.toByte), _.putInt(2), _.putInt(0x10000000)),
       "truncated")
+    // one-sided NaN is corrupt data, not the empty-POINT convention —
+    // skipping just the NaN side would emit an inverted/infinite bound
+    refuses(point(5.0, Double.NaN), "NaN component")
+    refuses(point(Double.NaN, 7.0), "NaN component")
+    // negative counts refuse instead of silently reading as empty
+    refuses(le(_.put(1.toByte), _.putInt(4), _.putInt(-1)),
+      "negative multi-geometry count")
+    refuses(le(_.put(1.toByte), _.putInt(3), _.putInt(-2)),
+      "negative ring count")
     // trailing garbage after a complete geometry
     refuses(point(1, 2) ++ Array[Byte](0), "trailing")
     // multi nested deeper than one level (multi inside multi)

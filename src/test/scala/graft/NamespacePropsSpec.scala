@@ -71,6 +71,17 @@ class NamespacePropsSpec extends SparkSpec {
       NamespaceChange.removeProperty("zone"),
       NamespaceChange.setProperty("zone", "us"))
     assert(props()("zone") == "us")
+    // 'owner' is a session fact on BOTH entry points: ALTER drops it
+    // exactly like CREATE does (no error, nothing stored)
+    cat.alterNamespace(Array("npns"),
+      NamespaceChange.setProperty("owner", "somebody"))
+    assert(!props().contains("owner"))
+    // the promote leaves no stray tmp files behind
+    val nsDir = new Path(s"$scratch/npns")
+    val strays = nsDir.getFileSystem(spark.sessionState.newHadoopConf())
+      .listStatus(nsDir).map(_.getPath.getName)
+      .filter(_.endsWith(".tmp"))
+    assert(strays.isEmpty, s"stray tmp files: ${strays.toSeq}")
     // custom locations refuse loudly rather than recording a lie
     val e = intercept[UnsupportedOperationException] {
       spark.sql("CREATE NAMESPACE npcat.located LOCATION '/tmp/elsewhere'")
