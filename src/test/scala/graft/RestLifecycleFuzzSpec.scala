@@ -33,6 +33,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
 
   private val mapper = new ObjectMapper()
   private val namespaces = mutable.Set[String]()
+  private val nsPropsStore = mutable.Map[String, Map[String, String]]()
   private val tables = mutable.Map[(String, String), ObjectNode]()
   private val dataRoot = "/root/repo/target/rest-fuzz-warehouse"
   /** Next CommitTableRequest answers 409 WITHOUT applying (injected
@@ -47,6 +48,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
   @volatile private var serverToken: Option[String] = None
   private val tokenCounter = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var grantsServed = 0
+  private var nsPropsRestOps = 0
 
   @volatile private var server: HttpServer = _
   private def port: Int = server.getAddress.getPort
@@ -107,9 +109,27 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
         namespaces += ns
         json(x, 200, s"""{"namespace":["$ns"],"properties":{}}""")
       case ("GET", "fuzzwh" :: "namespaces" :: ns :: Nil) =>
-        if (namespaces.contains(ns))
-          json(x, 200, s"""{"namespace":["$ns"],"properties":{}}""")
+        if (namespaces.contains(ns)) {
+          val props = nsPropsStore.getOrElse(ns, Map.empty).toSeq.sortBy(_._1)
+            .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+          json(x, 200, s"""{"namespace":["$ns"],"properties":{$props}}""")
+        }
         else json(x, 404, """{"error":{"message":"no such namespace"}}""")
+      case ("POST", "fuzzwh" :: "namespaces" :: ns :: "properties" :: Nil) =>
+        if (!namespaces.contains(ns))
+          json(x, 404, """{"error":{"message":"no such namespace"}}""")
+        else {
+          import scala.jdk.CollectionConverters._
+          val b = body // the stream reads once
+          val removals = Option(b.get("removals"))
+            .map(_.elements.asScala.map(_.asText).toSeq).getOrElse(Nil)
+          val updates = Option(b.get("updates"))
+            .map(_.properties.asScala.map(e => e.getKey -> e.getValue.asText)
+              .toMap).getOrElse(Map.empty)
+          nsPropsStore(ns) =
+            (nsPropsStore.getOrElse(ns, Map.empty) -- removals) ++ updates
+          json(x, 200, """{"removed":[],"updated":[],"missing":[]}""")
+        }
       case ("GET", "fuzzwh" :: "namespaces" :: ns :: "tables" :: Nil) =>
         val ids = tables.keys.filter(_._1 == ns).map(_._2).toSeq.sorted
           .map(t => s"""{"namespace":["$ns"],"name":"$t"}""")
@@ -247,6 +267,8 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       // ops replication cannot follow (rollback rewrites the frontier's
       // meaning, a schema-adding op changes the replica's shape)
       var replicaInit = false
+      // namespace-properties model (op 16): seed-prefixed keys only
+      val nsPropsModel = mutable.Map.empty[String, String]
       var replicaStart = 0L
       val replicaCkpt = new java.io.File(
         graft.Scratch.dir(s"restfz-replica-ckpt-$seed"))
@@ -296,10 +318,16 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
             s"(k BIGINT NOT NULL, v BIGINT$dCol$pCol$ridCol)$v3Props")
         org.apache.commons.io.FileUtils.deleteQuietly(replicaCkpt)
         // bootstrap = the source's current state; the stream then follows
-        // changes AFTER the bootstrap snapshot
-        val ridSel = if (lineageRep) ", _row_id" else ""
-        spark.sql(
-          s"INSERT INTO restfz.ns.rep$seed SELECT *$ridSel FROM $tbl")
+        // changes AFTER the bootstrap snapshot. Columns are selected BY
+        // NAME in the replica's declared order: the SOURCE's physical
+        // order depends on which ADD COLUMN op fired first (d vs p), so
+        // a positional SELECT * mis-aligns under reshuffled op mixes
+        val cols = Seq("k", "v") ++
+          (if (dDeclared) Seq("d") else Nil) ++
+          (if (pDeclared) Seq("p") else Nil) ++
+          (if (lineageRep) Seq("_row_id") else Nil)
+        spark.sql(s"INSERT INTO restfz.ns.rep$seed " +
+          s"SELECT ${cols.mkString(", ")} FROM $tbl")
         replicaStart = headSnapshot()
         replicaInit = true
       }
@@ -393,7 +421,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
         // is still fresh by ITS clock, so the next request 401s and must
         // re-authenticate transparently — under whatever op comes next
         if (step % 7 == 0) serverToken = Some(s"rotated-$seed-$step")
-        val op = r.nextInt(16) match {
+        val op = r.nextInt(17) match {
           case 0 | 1 | 2 | 3 => insertBatch(5 + r.nextInt(15))
           case 4 | 5 => // equality DELETE on sampled keys
             if (model.isEmpty) "noop"
@@ -516,6 +544,34 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
               variantRestOps += 1
               if (touched.isEmpty) "noop_variant" else s"set_variant($m,$rem)"
             }
+          case 16 => // namespace-properties lifecycle over the REST
+            // transport (r18 surface): random SET/UNSET batches through
+            // ALTER NAMESPACE, model-checked against loadNamespaceMetadata
+            // after every mutation — interleaved with commits and the
+            // walk's token rotations, so the properties endpoint rides
+            // the same 401 re-auth machinery as everything else. Keys
+            // are seed-prefixed: the service-side map persists across
+            // seeds and unrelated leftovers must not fail the check.
+            val key = s"fz${seed}_k${r.nextInt(3)}"
+            if (nsPropsModel.contains(key) && r.nextBoolean()) {
+              spark.sql(s"ALTER NAMESPACE restfz.ns UNSET PROPERTIES ('$key')")
+              nsPropsModel.remove(key)
+            } else {
+              val v = s"v${r.nextInt(100)}"
+              spark.sql(
+                s"ALTER NAMESPACE restfz.ns SET PROPERTIES ('$key' = '$v')")
+              nsPropsModel(key) = v
+            }
+            import scala.jdk.CollectionConverters._
+            val served = spark.sessionState.catalogManager.catalog("restfz")
+              .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsNamespaces]
+              .loadNamespaceMetadata(Array("ns")).asScala
+              .filter(_._1.startsWith(s"fz${seed}_")).toMap
+            assert(served == nsPropsModel.toMap,
+              s"seed=$seed step $step: namespace props drifted: " +
+                s"served=$served model=$nsPropsModel")
+            nsPropsRestOps += 1
+            "ns_props"
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
@@ -595,6 +651,8 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     // initial grants — well over the seed count
     assert(grantsServed > 12,
       s"rotations must force re-auth grants under load: $grantsServed")
+    assert(nsPropsRestOps >= 1,
+      s"op mix must exercise namespace properties: $nsPropsRestOps")
     assert(variantRestOps >= 1,
       s"op mix must exercise the variant column over REST: $variantRestOps")
   }
