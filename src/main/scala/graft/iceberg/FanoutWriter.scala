@@ -193,10 +193,20 @@ private[graft] final class FanoutWriterFactory(
   // writer's own WKB coordinate scan supplies the real ones. Column set
   // = union of the threaded guards and the schema's own field markers
   // (defense in depth: either side alone catches a mis-threaded call).
-  private val geoCols: Array[(Int, Int)] = schema.fields.zipWithIndex
+  // The third element flags GEOGRAPHY columns: their edge kinds refuse
+  // inside the WKB walk (a vertex box does not bound geodesic edges —
+  // only Point/MultiPoint are writable), so a recorded geography bound
+  // is always exact.
+  private val geoCols: Array[(Int, Int, Boolean)] = schema.fields.zipWithIndex
     .filter { case (f, _) => f.metadata.contains(TableMetadata.GeoTypeKey) ||
       guards.geoByName.contains(f.name) }
-    .flatMap { case (f, i) => fieldIds.get(f.name).map(id => (i, id)) }
+    .flatMap { case (f, i) =>
+      val declared =
+        if (f.metadata.contains(TableMetadata.GeoTypeKey))
+          f.metadata.getString(TableMetadata.GeoTypeKey)
+        else guards.geoByName.getOrElse(f.name, "geometry")
+      fieldIds.get(f.name).map(id => (i, id, declared.startsWith("geography")))
+    }
 
   // v3 nanosecond timestamps under the BIGINT-nanos opt-in: the physical
   // write is the exact int64, stamped with parquet's TIMESTAMP(NANOS)
@@ -325,19 +335,21 @@ private[graft] final class FanoutWriterFactory(
           catch { case NonFatal(_) => None }
         // geo columns: footer byte-order bounds are suppressed (unsound
         // for WKB); record the spec's bounding-box POINT bounds from the
-        // writer's own coordinate scan instead. Geography boxes use the
-        // same plain min/max — a containing box, sound for pruning, and
-        // wider-than-minimal only across the antimeridian. The override
-        // is AUTHORITATIVE both ways: an empty box (all values null or
-        // empty geometries) REMOVES any footer bound, so a write schema
-        // that lost its geo marker (and thus footerStats' suppression)
-        // can never leak byte-order bytes where a reader expects POINTs.
+        // writer's own coordinate scan instead. For planar GEOMETRY the
+        // vertex min/max box contains every shape; GEOGRAPHY values were
+        // restricted to Point/MultiPoint in the write loop (geodesic
+        // edges are NOT contained by their vertices' planar box), so the
+        // box is exact there too. The override is AUTHORITATIVE both
+        // ways: an empty box (all values null or empty geometries)
+        // REMOVES any footer bound, so a write schema that lost its geo
+        // marker (and thus footerStats' suppression) can never leak
+        // byte-order bytes where a reader expects POINTs.
         val stats = stats0.map { s =>
           var lo = s.lower
           var hi = s.upper
           var g = 0
           while (g < geoCols.length) {
-            val (_, fid) = geoCols(g)
+            val (_, fid, _) = geoCols(g)
             val box = f.geoBoxes(g)
             if (!box.isEmpty) {
               lo = lo.updated(fid, GeoWkb.pointWkb(box.minX, box.minY))
@@ -376,12 +388,14 @@ private[graft] final class FanoutWriterFactory(
         f.write(data)
         // geo bounds: one WKB coordinate walk per spatial value, fused
         // into the write loop (the footer cannot supply these — parquet
-        // binary stats are byte-order). Exotic WKB kinds throw here,
-        // failing the task loudly before a non-conformant bound commits.
+        // binary stats are byte-order). Exotic WKB kinds — and any
+        // edge-bearing kind on a GEOGRAPHY column — throw here, failing
+        // the task loudly before a non-conformant bound commits.
         var g = 0
         while (g < geoCols.length) {
           val idx = geoCols(g)._1
-          if (!data.isNullAt(idx)) f.geoBoxes(g).merge(data.getBinary(idx))
+          if (!data.isNullAt(idx))
+            f.geoBoxes(g).merge(data.getBinary(idx), pointsOnly = geoCols(g)._3)
           g += 1
         }
         f.rows += 1

@@ -544,8 +544,8 @@ class FormatV3Spec extends SparkSpec {
       org.apache.spark.sql.sources.EqualTo("geom", above))
     assert(tw.planFiles(filt2).size == tw.planFiles().size,
       "geo POINT bounds must never byte-prune")
-    // exotic WKB kinds refuse loudly (never a guessed bound): a Z-point
-    // (ISO type 1001) fails the write task
+    // ISO Z kinds write since r19: the z ordinate is strided over and the
+    // manifest bound stays the exact x/y box
     def msgs(x: Throwable): String = Iterator.iterate(x)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" | ")
@@ -553,19 +553,35 @@ class FormatV3Spec extends SparkSpec {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .put(1.toByte).putInt(1001)
       .putDouble(1).putDouble(2).putDouble(3).array()
+    graft.iceberg.IcebergWriter.append(spark, dir,
+      Seq((5L, zPoint)).toDF("k", "geom").coalesce(1))
+    val tz = new IcebergTable(dir, conf)
+    val zFile = tz.planFiles().find(f =>
+      f.lowerBounds.get(tz.metadata.fieldIds("k")).exists(b =>
+        java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong == 5L))
+      .getOrElse(fail("expected the Z-point file"))
+    assert(java.util.Arrays.equals(zFile.lowerBounds(geoId), pt(1, 2)) &&
+      java.util.Arrays.equals(zFile.upperBounds(geoId), pt(1, 2)),
+      "Z-point bounds must be the x/y box, z strided over")
+    // EWKB flag bits still refuse loudly (never a guessed bound)
+    val ewkbPoint = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(0x80000001)
+      .putDouble(1).putDouble(2).array()
     val ez = intercept[Exception] {
       graft.iceberg.IcebergWriter.append(spark, dir,
-        Seq((5L, zPoint)).toDF("k", "geom"))
+        Seq((6L, ewkbPoint)).toDF("k", "geom"))
     }
     assert(msgs(ez).contains("unsupported WKB"),
-      s"Z/M WKB must refuse loudly: ${msgs(ez)}")
+      s"EWKB-flagged WKB must refuse loudly: ${msgs(ez)}")
     // the DSv2 row-level path writes geo conformantly too (r17's factory
     // refused on the schema marker): a CoW UPDATE rewrites WKB bit-exact
     spark.sql("UPDATE v3cat.ns.geo SET k = k + 100 WHERE k = 3")
     val tUpd = new IcebergTable(dir, conf)
     val afterUpd = tUpd.toDF(spark).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("geom")).toMap
-    assert(afterUpd.keySet == Set(1L, 2L, 103L, 4L) &&
+    assert(afterUpd.keySet == Set(1L, 2L, 103L, 4L, 5L) &&
       java.util.Arrays.equals(afterUpd(103L), pt(2.5, -1.0)),
       "row-level rewrite must carry WKB through unchanged")
     // the REWRITTEN file's geo bounds are POINTs too (never byte-order
@@ -614,6 +630,68 @@ class FormatV3Spec extends SparkSpec {
       .getString(graft.iceberg.TableMetadata.GeoTypeKey) ==
         "geometry(srid:4326)",
       "the spatial type must survive a metadata commit")
+  }
+
+  test("v3 geography: Point/MultiPoint engine writes record the exact " +
+      "vertex box; edge kinds refuse (a planar box does not bound " +
+      "geodesic edges — the r18 advice)") {
+    freshCatalog()
+    spark.sql("""CREATE TABLE v3cat.ns.geog (k BIGINT, geog BINARY)
+                 TBLPROPERTIES ('format-version' = '3')""")
+    val dir = s"$warehouse/ns/geog"
+    import spark.implicits._
+    // seed a row while the column is still binary, then flip the declared
+    // type to geography in a new metadata version (the adoption shape)
+    spark.sql("INSERT INTO v3cat.ns.geog SELECT CAST(1 AS BIGINT), " +
+      "CAST(NULL AS BINARY)")
+    locally {
+      val fs = new Path(dir).getFileSystem(conf)
+      val latest = TableMetadata.latestMetadataPath(dir, conf)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = {
+        val in = fs.open(latest)
+        try mapper.readTree(in.readAllBytes())
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        finally in.close()
+      }
+      import scala.jdk.CollectionConverters._
+      root.get("schemas").elements.asScala
+        .flatMap(_.get("fields").elements.asScala)
+        .filter(_.get("name").asText == "geog")
+        .foreach(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .put("type", "geography(srid:4326)"))
+      val v = latest.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+      val out = fs.create(new Path(s"$dir/metadata/v${v + 1}.metadata.json"))
+      try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    }
+    def pt(x: Double, y: Double) = graft.iceberg.GeoWkb.pointWkb(x, y)
+    // POINT writes succeed and record the exact vertex box
+    graft.iceberg.IcebergWriter.append(spark, dir,
+      Seq((2L, pt(170.0, 10.0)), (3L, pt(-65.0, -2.0))).toDF("k", "geog")
+        .coalesce(1))
+    val t = new IcebergTable(dir, conf)
+    val gid = t.metadata.fieldIds("geog")
+    val f = t.planFiles().find(_.recordCount == 2).getOrElse(
+      fail("expected the 2-row geography file"))
+    assert(java.util.Arrays.equals(f.lowerBounds(gid), pt(-65.0, -2.0)) &&
+      java.util.Arrays.equals(f.upperBounds(gid), pt(170.0, 10.0)),
+      "geography POINT bounds must be the exact vertex box")
+    // an antimeridian-crossing LINESTRING refuses: its geodesic lies in
+    // the longitude band the vertex box [-170, 170] EXCLUDES — recording
+    // that box would prune files holding matching rows
+    val line = java.nio.ByteBuffer.allocate(41)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(1.toByte).putInt(2).putInt(2)
+      .putDouble(170).putDouble(0).putDouble(-170).putDouble(0).array()
+    val e = intercept[Exception] {
+      graft.iceberg.IcebergWriter.append(spark, dir,
+        Seq((4L, line)).toDF("k", "geog"))
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("GEOGRAPHY"))),
+      "edge-bearing geography WKB must refuse loudly")
+    // the refused write committed nothing
+    assert(new IcebergTable(dir, conf).toDF(spark).count() == 3L)
   }
 
   test("_last_updated_sequence_number serves through the name-mapping " +

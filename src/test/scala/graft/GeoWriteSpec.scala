@@ -72,15 +72,72 @@ class GeoWriteSpec extends AnyFunSuite {
     assert((b2.minX, b2.minY, b2.maxX, b2.maxY) == ((3.0, 4.0, 3.0, 4.0)))
   }
 
-  test("refusals are loud: Z/M, EWKB flags, SRID, collection, malformed") {
+  test("ISO Z/M/ZM kinds stride their extra ordinates; x/y box is exact") {
+    // Z point (1001): z ordinate skipped, x/y bound
+    val zPoint = le(_.put(1.toByte), _.putInt(1001), _.putDouble(3),
+      _.putDouble(7), _.putDouble(99))
+    assert(box(zPoint) == ((3.0, 7.0, 3.0, 7.0)))
+    // M linestring (2002): 3 doubles per point
+    val mLine = le(_.put(1.toByte), _.putInt(2002), _.putInt(2),
+      _.putDouble(-1), _.putDouble(4), _.putDouble(11),
+      _.putDouble(2), _.putDouble(-5), _.putDouble(12))
+    assert(box(mLine) == ((-1.0, -5.0, 2.0, 4.0)))
+    // ZM polygon (3003): 4 doubles per point
+    val zmPoly = le(_.put(1.toByte), _.putInt(3003), _.putInt(1), _.putInt(3),
+      _.putDouble(0), _.putDouble(0), _.putDouble(1), _.putDouble(2),
+      _.putDouble(10), _.putDouble(5), _.putDouble(1), _.putDouble(2),
+      _.putDouble(0), _.putDouble(0), _.putDouble(1), _.putDouble(2))
+    assert(box(zmPoly) == ((0.0, 0.0, 10.0, 5.0)))
+    // Z multipoint: nested Z points, each with its own header
+    val zmp = le(_.put(1.toByte), _.putInt(1004), _.putInt(1), _.put(zPoint))
+    assert(box(zmp) == ((3.0, 7.0, 3.0, 7.0)))
+    // Z empty point: (NaN, NaN, NaN) skipped like the 2D convention
+    val zNan = le(_.put(1.toByte), _.putInt(1001), _.putDouble(Double.NaN),
+      _.putDouble(Double.NaN), _.putDouble(Double.NaN))
+    val bz = new GeoWkb.BBox; bz.merge(zNan)
+    assert(bz.isEmpty)
+    // a TRUNCATED Z run still refuses (stride-aware bound check)
+    val e = intercept[UnsupportedOperationException] {
+      new GeoWkb.BBox().merge(le(_.put(1.toByte), _.putInt(1001),
+        _.putDouble(1), _.putDouble(2)))
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("geography (pointsOnly): Point/MultiPoint bound; edge kinds refuse") {
+    val b = new GeoWkb.BBox
+    b.merge(point(170, 10), pointsOnly = true)
+    val mp = le(_.put(1.toByte), _.putInt(4), _.putInt(2),
+      _.put(point(-170, -10)), _.put(point(5, 6)))
+    b.merge(mp, pointsOnly = true)
+    assert((b.minX, b.minY, b.maxX, b.maxY) == ((-170.0, -10.0, 170.0, 10.0)))
+    def refuses(wkb: Array[Byte]): Unit = {
+      val e = intercept[UnsupportedOperationException] {
+        new GeoWkb.BBox().merge(wkb, pointsOnly = true)
+      }
+      assert(e.getMessage.contains("GEOGRAPHY"), e.getMessage)
+    }
+    // the antimeridian linestring from the advice: x=170 → x=-170 — its
+    // geodesic lies OUTSIDE the vertices' planar box, so it must refuse
+    refuses(le(_.put(1.toByte), _.putInt(2), _.putInt(2),
+      _.putDouble(170), _.putDouble(0), _.putDouble(-170), _.putDouble(0)))
+    // polygon and the multi edge kinds refuse too (outer and nested)
+    refuses(le(_.put(1.toByte), _.putInt(3), _.putInt(1), _.putInt(3),
+      _.putDouble(0), _.putDouble(0), _.putDouble(1), _.putDouble(0),
+      _.putDouble(0), _.putDouble(0)))
+    refuses(le(_.put(1.toByte), _.putInt(5), _.putInt(0)))
+    refuses(le(_.put(1.toByte), _.putInt(6), _.putInt(0)))
+  }
+
+  test("refusals are loud: EWKB flags, SRID, collection, malformed") {
     def refuses(wkb: Array[Byte], frag: String): Unit = {
       val e = intercept[UnsupportedOperationException] {
         new GeoWkb.BBox().merge(wkb)
       }
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    // ISO Z point (1001)
-    refuses(le(_.put(1.toByte), _.putInt(1001), _.putDouble(1),
+    // ISO offset beyond ZM (4001): not a defined dimension group
+    refuses(le(_.put(1.toByte), _.putInt(4001), _.putDouble(1),
       _.putDouble(2), _.putDouble(3)), "unsupported WKB")
     // EWKB Z flag
     refuses(le(_.put(1.toByte), _.putInt(0x80000001), _.putDouble(1),

@@ -448,13 +448,14 @@ class LifecycleFuzzSpec extends SparkSpec {
               assert(got2 == geoModel.toMap,
                 s"seed=$seed step $step: geo WKB after engine write: $got2")
               // exotic WKB kinds still refuse loudly (never a guessed
-              // bound): a Z-point fails the write task
+              // bound): an EWKB-flagged point fails the write task (ISO
+              // Z/M kinds write since r19 — the x/y box strides them)
               val ge = intercept[Exception] {
                 graft.iceberg.IcebergWriter.append(spark, geoDir.get,
-                  Seq((999L, java.nio.ByteBuffer.allocate(29)
+                  Seq((999L, java.nio.ByteBuffer.allocate(21)
                     .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                    .put(1.toByte).putInt(1001).putDouble(1).putDouble(2)
-                    .putDouble(3).array())).toDF("k", "geom"))
+                    .put(1.toByte).putInt(0x80000001).putDouble(1)
+                    .putDouble(2).array())).toDF("k", "geom"))
               }
               assert(Iterator.iterate(ge: Throwable)(_.getCause)
                 .takeWhile(_ != null)
