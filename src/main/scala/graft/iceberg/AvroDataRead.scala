@@ -243,4 +243,17 @@ object AvroDataRead {
       reader.getSchema.getFields.asScala.map(_.name).toSet
     } finally reader.close()
   }
+
+  /** Header-only probe: does ANY record field carry an Iceberg
+    * `field-id` property? (id-bearing imports resolve by id; id-less
+    * ones fall back to guarded name resolution). */
+  def hasFieldIds(p: Path, conf: Configuration): Boolean = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(p, conf), new GenericDatumReader[GenericRecord]())
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getSchema.getFields.asScala
+        .exists(f => f.getObjectProp("field-id") != null)
+    } finally reader.close()
+  }
 }

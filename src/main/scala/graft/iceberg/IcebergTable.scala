@@ -49,11 +49,23 @@ final class IcebergTable private (
     * errors instead of silently scanning nothing.
     */
   def atSnapshot(id: Long): IcebergTable = {
-    if (!metadata.snapshots.exists(_.snapshotId == id))
+    val snap = metadata.snapshots.find(_.snapshotId == id).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot $id not found in $tableDir (have: " +
-          metadata.snapshots.map(_.snapshotId).mkString(", ") + ")")
-    new IcebergTable(tableDir, conf, metadata, Some(id), vended)
+          metadata.snapshots.map(_.snapshotId).mkString(", ") + ")"))
+    // read the snapshot under the schema it was WRITTEN with (the
+    // snapshot's recorded schema-id): REPLACE TABLE and schema evolution
+    // assign new field ids, so reading an old snapshot under the current
+    // schema would resolve nothing and serve nulls. Snapshots predating
+    // the schema-id stamp (absent) keep the current schema.
+    val effMeta = snap.schemaId match {
+      case Some(sid) if sid != metadata.currentSchemaId =>
+        metadata.rawJson
+          .map(TableMetadata.fromJson(_, Some(sid)))
+          .getOrElse(metadata)
+      case _ => metadata
+    }
+    new IcebergTable(tableDir, conf, effMeta, Some(id), vended)
   }
 
   /** The snapshot current as of `timestampMs` (latest with commit time ≤

@@ -760,6 +760,40 @@ object IcebergWriter {
         errs.headOption.foreach { case (_, e) => ex.initCause(e) }
         throw ex
       }
+      // id-shifted tables (REPLACE TABLE assigned the same column names
+      // NEW field ids; drop + re-add does too): an id-less import can
+      // only resolve columns BY NAME, and the read side deliberately
+      // refuses name resolution for id-shifted names (a same-named file
+      // column might hold a DIFFERENT historical column's data) — so the
+      // file would silently read NULL for every shifted column. Refuse
+      // at import instead: the producer stamps field ids (parquet
+      // field-id metadata / avro `field-id` props, the Iceberg writer
+      // contract), or the data comes in through INSERT.
+      val shifted = meta.idShiftedNames
+      if (shifted.nonEmpty) {
+        val fileHasIds = fmt match {
+          case "PARQUET" =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(path, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              import scala.jdk.CollectionConverters._
+              r.getFooter.getFileMetaData.getSchema.getFields.asScala
+                .exists(_.getId != null)
+            } finally r.close()
+          case "AVRO" => AvroDataRead.hasFieldIds(path, conf)
+          case _ => false // ORC always resolves by name
+        }
+        if (!fileHasIds)
+          throw new UnsupportedOperationException(
+            s"addFiles: $p carries no field ids, and column(s) " +
+              s"${shifted.toSeq.sorted.mkString(", ")} of this table " +
+              "changed field ids across its schema history (REPLACE " +
+              "TABLE or drop + re-add) — name-based resolution is " +
+              "ambiguous there and the id-less import would read NULL. " +
+              "Write the file with Iceberg field ids (parquet field-id " +
+              "metadata / Avro field-id props) or load it with INSERT.")
+      }
       AddedDataFile(path.toString, rows, len, stats, partition = None,
         fileFormat = fmt)
     }
@@ -1606,6 +1640,27 @@ object IcebergWriter {
     r
   }
 
+  /** Rewrite a manifest list under a new snapshot id: records whose
+    * `sequence_number` equals `oldSnapId` take `newSnapId` (this writer's
+    * snapshot-id == sequence-number convention); everything else copies
+    * verbatim. Manifest ENTRIES inherit their sequence from the list
+    * record (they are written with a null entry-level sequence), so only
+    * the list needs rewriting. Used by the staged-REPLACE retry
+    * ([[graft.iceberg.connector.StagedTables]]): a rival commit may have
+    * taken the snapshot id the staged write allocated. Returns the new
+    * list path. */
+  private[graft] def reSequenceManifestList(
+      conf: org.apache.hadoop.conf.Configuration, listPath: String,
+      newPath: Path, oldSnapId: Long, newSnapId: Long): String = {
+    val recs = ManifestIO.readManifestList(listPath, conf).map { m =>
+      mlRec(m.path, m.length, m.content,
+        m.sequenceNumber.map(s => if (s == oldSnapId) newSnapId else s),
+        m.addedRowsCount, m.partitionSpecId, m.partitions)
+    }
+    writeAvro(newPath, conf, manifestListSchema, recs)
+    newPath.toString
+  }
+
   /** Write the manifest list, then commit the snapshot as the REST
     * spec's (requirements, updates) pair through the table's committer:
     * `add-snapshot` + `set-snapshot-ref <ref>`, guarded by
@@ -1631,11 +1686,18 @@ object IcebergWriter {
       new Path(s"${committer.tableDir}/metadata/snap-$snapId-${uniq()}.avro")
     writeAvro(listPath, committer.conf, manifestListSchema, listRecs)
     val mapper = new ObjectMapper()
+    // ONE metadata read serves both the schema-id stamp and the lineage
+    // block below (REST committers pay an HTTP GET per read)
+    val commitMeta = committer.currentMetadata()
     val snap = mapper.createObjectNode()
     snap.put("snapshot-id", snapId)
     parent.foreach(p => snap.put("parent-snapshot-id", p))
     snap.put("timestamp-ms", System.currentTimeMillis)
     snap.put("manifest-list", listPath.toString)
+    // spec snapshot field `schema-id`: the schema this snapshot's files
+    // were written with — what lets time travel read each snapshot under
+    // its own schema after REPLACE TABLE / evolution reassigns field ids
+    snap.put("schema-id", commitMeta.currentSchemaId)
     val fullSummary = summary ++ totalsSummary(totals)
     if (fullSummary.nonEmpty) {
       val sn = snap.putObject("summary")
@@ -1660,7 +1722,7 @@ object IcebergWriter {
     // advances over the rewritten files' assigned ranges — ids are never
     // reused, some are simply never served.
     val (lineageUpdates: Seq[JsonNode], lineageReqs: Seq[JsonNode]) = {
-      val meta = committer.currentMetadata()
+      val meta = commitMeta
       if (!wantsLineage(meta)) (Nil, Nil)
       else {
         val newDataManifests = listRecs.filter(r =>

@@ -147,7 +147,18 @@ final case class TableMetadata(
       * the declared row-identity columns. Empty when undeclared. Used to
       * pair CDC updates on v2 tables (no row lineage) and as the
       * default upsert key set. */
-    identifierFieldIds: Seq[Int] = Nil) {
+    identifierFieldIds: Seq[Int] = Nil,
+    /** Schema id of [[schema]] (the document's `current-schema-id`, or
+      * the id of whatever schema an override pinned). Commits stamp it
+      * into new snapshots so time travel can read each snapshot under
+      * the schema it was written with. */
+    currentSchemaId: Int = 0,
+    /** The metadata document this was parsed from, when parsed from one —
+      * what lets [[IcebergTable.atSnapshot]] re-parse under a pinned
+      * snapshot's own schema id (REPLACE TABLE / schema evolution assign
+      * new field ids; reading an old snapshot with the new ids would
+      * serve nulls). Driver-side only; a few KB per loaded table. */
+    rawJson: Option[String] = None) {
 
   def currentSnapshot: Option[IcebergSnapshot] =
     currentSnapshotId.filter(_ != -1L).flatMap(id => snapshots.find(_.snapshotId == id))
@@ -374,11 +385,18 @@ object TableMetadata {
     case other           => throw new IllegalArgumentException(s"unsupported iceberg primitive: $other")
   }
 
-  private def schemaNode(root: JsonNode): JsonNode = {
-    val currentId = Option(root.get("current-schema-id")).map(_.asInt)
+  private def schemaNode(root: JsonNode,
+                         overrideId: Option[Int] = None): JsonNode = {
     val fromList = Option(root.get("schemas")).flatMap { arr =>
       val all = arr.elements.asScala.toSeq
-      currentId.flatMap(id => all.find(_.get("schema-id").asInt == id)).orElse(all.lastOption)
+      def byId(i: Option[Int]) =
+        i.flatMap(id => all.find(_.get("schema-id").asInt == id))
+      // an override naming a schema the document no longer carries falls
+      // back to the current schema (degraded, never a silent last-entry
+      // guess against an unrelated id)
+      byId(overrideId)
+        .orElse(byId(Option(root.get("current-schema-id")).map(_.asInt)))
+        .orElse(all.lastOption)
     }
     fromList.orElse(Option(root.get("schema")))
       .getOrElse(throw new IllegalArgumentException("metadata has no schema"))
@@ -407,7 +425,14 @@ object TableMetadata {
     }
   }
 
-  def fromJson(json: String): TableMetadata = {
+  def fromJson(json: String): TableMetadata = fromJson(json, None)
+
+  /** Parse with the schema pinned to `schemaIdOverride` instead of the
+    * document's `current-schema-id` — how a time-traveling scan reads a
+    * snapshot under the schema it was written with. Every schema-derived
+    * field (fieldIds, geo/ns/uuid sets, identifier fields) follows the
+    * pinned schema consistently. */
+  def fromJson(json: String, schemaIdOverride: Option[Int]): TableMetadata = {
     val root = mapper.readTree(json)
     // encrypted tables (v3 `encryption-keys`): this engine has no key
     // management — refuse at metadata load with a typed message instead
@@ -421,7 +446,7 @@ object TableMetadata {
             "engine ships no key-management integration — read the table " +
             "with an encryption-capable engine")
     }
-    val sn = schemaNode(root)
+    val sn = schemaNode(root, schemaIdOverride)
     val fields = sn.get("fields").elements.asScala.toSeq
     val propsMap = Option(root.get("properties"))
       .map(n => n.properties.asScala.map(e => e.getKey -> e.getValue.asText).toMap)
@@ -581,6 +606,11 @@ object TableMetadata {
             .map(_.asLong).getOrElse(0L))),
       identifierFieldIds = Option(sn.get("identifier-field-ids"))
         .map(_.elements.asScala.map(_.asInt).toSeq).getOrElse(Nil),
+      currentSchemaId = Option(sn.get("schema-id")).map(_.asInt)
+        .orElse(schemaIdOverride)
+        .orElse(Option(root.get("current-schema-id")).map(_.asInt))
+        .getOrElse(0),
+      rawJson = Some(json),
       statistics = Option(root.get("statistics"))
         .map(_.elements.asScala.toSeq).getOrElse(Nil)
         .map { s =>

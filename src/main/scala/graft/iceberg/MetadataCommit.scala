@@ -213,6 +213,24 @@ object MetadataCommit {
 
   // -- builders (the writer side's vocabulary) -------------------------------
 
+  /** Requirement: the table must not exist — the staged-create commit's
+    * guard (the REST spec's `assert-create`). The filesystem committer
+    * can never see it hold (it reads an existing document), so there the
+    * equivalent is the exclusive create of the first metadata file;
+    * servers check it against their registry. */
+  def assertCreate(mapper: ObjectMapper): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "assert-create")
+    n
+  }
+
+  def assertTableUuid(mapper: ObjectMapper, uuid: String): ObjectNode = {
+    val n = mapper.createObjectNode()
+    n.put("type", "assert-table-uuid")
+    n.put("uuid", uuid)
+    n
+  }
+
   def assertRefSnapshotId(mapper: ObjectMapper, ref: String,
                           snapshotId: Option[Long]): ObjectNode = {
     val n = mapper.createObjectNode()
@@ -379,6 +397,102 @@ object MetadataCommit {
     n.put("action", "set-default-sort-order")
     n.put("sort-order-id", orderId) // -1 = the order added in this commit
     n
+  }
+
+  // -- staged CREATE (atomic CTAS / CREATE OR REPLACE) ------------------------
+
+  /** The empty document a staged-create commit builds on: what a REST
+    * server starts from when a `CommitTableRequest` arrives with
+    * `assert-create` for a table it does not know, and what the
+    * filesystem staging path applies the same update list to — ONE seed,
+    * so the two stores cannot drift. */
+  def stagedCreateSeed(mapper: ObjectMapper): ObjectNode = {
+    val root = mapper.createObjectNode()
+    root.put("format-version", 1) // the update list upgrades it
+    root.put("last-updated-ms", 0L)
+    root.put("current-snapshot-id", -1L)
+    root.putArray("snapshots")
+    root.putArray("sort-orders").addObject().put("order-id", 0)
+      .putArray("fields")
+    root.put("default-sort-order-id", 0)
+    root
+  }
+
+  /** Decompose a complete metadata document (the staged table's base, as
+    * [[graft.iceberg.connector.IcebergJson.tableMetadata]] builds it)
+    * into the REST spec's staged-create update list: applying these to
+    * [[stagedCreateSeed]] reproduces the document — with the applier
+    * owning every id assignment, which lands on the SAME ids the base
+    * carries (schema 0, spec 0, partition fields 1000…) because the seed
+    * is empty. `location` is passed separately: the staged base points
+    * at the staging directory, the committed document must point at the
+    * table's real location. */
+  def rootToCreateUpdates(mapper: ObjectMapper, root: ObjectNode,
+                          location: String): Seq[JsonNode] = {
+    import scala.jdk.CollectionConverters._
+    val upds = Seq.newBuilder[JsonNode]
+    val uuidUpd = mapper.createObjectNode()
+    uuidUpd.put("action", "assign-uuid")
+    // a staged base without a uuid (a minimal server-composed document)
+    // takes the location-derived one — the same convention IcebergJson
+    // stamps at CREATE
+    uuidUpd.put("uuid", Option(root.get("table-uuid")).map(_.asText)
+      .getOrElse(java.util.UUID.nameUUIDFromBytes(
+        location.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString))
+    upds += uuidUpd
+    upds += upgradeFormatVersion(mapper,
+      Option(root.get("format-version")).map(_.asInt).getOrElse(2))
+    val locUpd = mapper.createObjectNode()
+    locUpd.put("action", "set-location")
+    locUpd.put("location", location)
+    upds += locUpd
+    // schema: the base's current schema, applier-assigned id (0 on seed)
+    val currentSchemaId =
+      Option(root.get("current-schema-id")).map(_.asInt).getOrElse(0)
+    val schemaNode = Option(root.get("schemas"))
+      .flatMap(_.elements.asScala.find(
+        _.get("schema-id").asInt == currentSchemaId))
+      .orElse(Option(root.get("schema")))
+      .getOrElse(throw new IllegalArgumentException(
+        "staged metadata has no schema"))
+      .deepCopy[ObjectNode]()
+    upds += addSchema(mapper, schemaNode,
+      Option(root.get("last-column-id")).map(_.asInt).getOrElse(
+        schemaNode.get("fields").size))
+    upds += setCurrentSchema(mapper, -1)
+    // partition spec: fields only, applier-assigned ids (1000… on seed)
+    val defaultSpecId =
+      Option(root.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val specFields: Seq[PartitionField] = Option(root.get("partition-specs"))
+      .flatMap(_.elements.asScala.find(_.get("spec-id").asInt == defaultSpecId))
+      .map(_.get("fields").elements.asScala.toSeq.map(f =>
+        PartitionField(f.get("name").asText, f.get("transform").asText,
+          f.get("source-id").asInt, -1)))
+      .getOrElse(Nil)
+    upds += addPartitionSpec(mapper, specFields)
+    upds += setDefaultSpec(mapper, -1)
+    // sort order: only when the base declares a non-unsorted default
+    // (the seed already carries order 0 = unsorted)
+    val soId =
+      Option(root.get("default-sort-order-id")).map(_.asInt).getOrElse(0)
+    if (soId != 0) {
+      Option(root.get("sort-orders"))
+        .flatMap(_.elements.asScala.find(_.get("order-id").asInt == soId))
+        .foreach { o =>
+          upds += addSortOrder(mapper, o.get("fields").elements.asScala.toSeq
+            .map(f => SortOrderField(f.get("source-id").asInt,
+              f.get("transform").asText, f.get("direction").asText)))
+          upds += setDefaultSortOrder(mapper, -1)
+        }
+    }
+    Option(root.get("properties")).filter(_.properties.asScala.nonEmpty)
+      .foreach { props =>
+        val p = mapper.createObjectNode()
+        p.put("action", "set-properties")
+        p.set[JsonNode]("updates", props.deepCopy[JsonNode]())
+        upds += p
+      }
+    upds.result()
   }
 
   // -- requirement check -----------------------------------------------------
@@ -552,8 +666,21 @@ object MetadataCommit {
           root.set[JsonNode]("statistics", kept)
 
         case "remove-snapshot-ref" =>
+          val refName = u.get("ref-name").asText
           Option(root.get("refs")).foreach(
-            _.asInstanceOf[ObjectNode].remove(u.get("ref-name").asText): Unit)
+            _.asInstanceOf[ObjectNode].remove(refName): Unit)
+          // removing main empties the current table state (REPLACE TABLE
+          // without AS SELECT): plain readers key on current-snapshot-id
+          if (refName == "main") root.put("current-snapshot-id", -1L)
+
+        // the REST spec's staged-create vocabulary: a commit that BUILDS
+        // a table from scratch (assert-create) carries these before its
+        // DDL updates — and a server replays them over an empty document
+        case "assign-uuid" =>
+          root.put("table-uuid", u.get("uuid").asText)
+
+        case "set-location" =>
+          root.put("location", u.get("location").asText)
 
         case "add-schema" =>
           val schema = u.get("schema").deepCopy[ObjectNode]()

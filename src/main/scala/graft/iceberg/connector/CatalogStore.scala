@@ -132,7 +132,55 @@ trait CatalogStore {
   def committerFor(ns: Seq[String], name: String, table: IcebergTable,
                    conf: Configuration): graft.iceberg.TableCommitter =
     new graft.iceberg.FsCommitter(table.tableDir, conf)
+
+  // -- staged CREATE (atomic CTAS half of StagingTableCatalog) ----------------
+
+  /** Stage a CREATE: produce the staging target — the table's eventual
+    * location, a staging directory the write's files land in, and the
+    * metadata document (its `location` already pointing at the staging
+    * dir) the staged write plans against. NOTHING becomes visible to
+    * readers: the FS store writes no metadata file (only a dot-marker
+    * that hides the half-built directory from namespace listings); the
+    * REST store sends the spec's `stage-create = true`, which returns
+    * the composed document without registering the table. */
+  def stageCreateTable(ns: Seq[String], name: String, schema: StructType,
+                       partitionCols: Seq[(String, String)],
+                       properties: Map[String, String]): StagedBase
+
+  /** Publish a staged CREATE as ONE atomic step. `updates` is the full
+    * REST-spec update list that builds the table from
+    * [[graft.iceberg.MetadataCommit.stagedCreateSeed]] (DDL decomposition
+    * + the staged write's recorded snapshot updates); `requirements`
+    * leads with `assert-create`. The FS store applies the updates
+    * locally and publishes with exclusive-create of the first metadata
+    * file (its assert-create); the REST store POSTs the pair and the
+    * service arbitrates. Throws
+    * [[graft.iceberg.CommitConflictException]] when a rival created the
+    * table first. */
+  def publishStagedCreate(ns: Seq[String], name: String, base: StagedBase,
+                          requirements: Seq[JsonNode],
+                          updates: Seq[JsonNode]): Unit
+
+  /** Abort a staged CREATE: delete the staged files; the catalog never
+    * saw the table. Also called after a failed publish. */
+  def cleanupStagedCreate(ns: Seq[String], name: String,
+                          base: StagedBase): Unit = {
+    val p = new Path(base.stagedDir)
+    val fs = p.getFileSystem(base.conf)
+    try fs.delete(p, true) catch { case _: Exception => () }
+  }
 }
+
+/** Staging target of an atomic CREATE/REPLACE: where the committed table
+  * lives (`realLocation`), where the staged write's files go
+  * (`stagedDir`, removed wholesale on abort), and the metadata document
+  * the staged write plans against (location = stagedDir). */
+final case class StagedBase(
+    realLocation: String,
+    stagedDir: String,
+    baseRootJson: String,
+    conf: Configuration,
+    vended: Map[String, String] = Map.empty)
 
 /** Filesystem-warehouse store: `<warehouse>/<ns...>/<name>/metadata/...`
   * through Hadoop `FileSystem`, so `file://`, `s3a://`, … behave alike
@@ -165,16 +213,39 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath).toSeq
 
+  /** A directory holding an in-flight staged CREATE (marker file, no
+    * metadata yet): invisible to namespace listings and existence checks
+    * — without this, the pre-publish window would surface the half-built
+    * table directory as a namespace. Once the publish lands a metadata
+    * file, `isTableDir` wins regardless of a leftover marker. */
+  private def isStagedDir(dir: Path): Boolean =
+    try fs.exists(new Path(dir, FsCatalogStore.StagedMarker))
+    catch { case _: Exception => false }
+
   override def listNamespaces(parent: Seq[String]): Seq[Seq[String]] =
-    childDirs(dirFor(parent)).filterNot(d => isTableDir(d) || isViewDir(d))
+    childDirs(dirFor(parent))
+      .filterNot(d => isTableDir(d) || isViewDir(d) || isStagedDir(d))
       .map(d => parent :+ d.getName)
 
   override def namespaceExists(ns: Seq[String]): Boolean = {
     val dir = dirFor(ns)
-    ns.isEmpty || (fs.exists(dir) && !isTableDir(dir) && !isViewDir(dir))
+    ns.isEmpty || (fs.exists(dir) && !isTableDir(dir) && !isViewDir(dir) &&
+      !isStagedDir(dir))
   }
 
-  override def createNamespace(ns: Seq[String]): Unit = fs.mkdirs(dirFor(ns))
+  override def createNamespace(ns: Seq[String]): Unit = {
+    val dir = dirFor(ns)
+    // stale staging debris (a crashed staged CREATE that never published
+    // and never aborted) must not block the name forever: clear it
+    if (isStagedDir(dir) && !isTableDir(dir)) {
+      try {
+        fs.delete(new Path(dir, FsCatalogStore.StagedMarker), false)
+        fs.delete(new Path(dir, FsCatalogStore.StagedSubdir), true)
+      } catch { case _: Exception => () }
+    }
+    fs.mkdirs(dir)
+    ()
+  }
 
   /** Namespace properties live in a dot-file INSIDE the namespace
     * directory — a plain file, so the directory-shaped listings
@@ -192,33 +263,48 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     }
   }
 
+  /** Serializes in-process ALTER NAMESPACE read-merge-write cycles: two
+    * concurrent session ALTERs would otherwise both read the same base
+    * and one update would silently vanish (the r18 advice). Cross-process
+    * rivals remain last-writer-wins — the promote below is a single
+    * atomic overwrite, so no crash or race can DROP the whole document. */
+  private val nsPropsLock = new Object
+
   override def updateNamespaceProperties(
-      ns: Seq[String], changes: Seq[(String, Option[String])]): Unit = {
-    if (!namespaceExists(ns)) throw new NoSuchElementException(
-      s"namespace ${ns.mkString(".")} does not exist")
-    val merged = changes.foldLeft(namespaceProperties(ns)) {
-      case (acc, (k, Some(v))) => acc + (k -> v)
-      case (acc, (k, None)) => acc - k
+      ns: Seq[String], changes: Seq[(String, Option[String])]): Unit =
+    nsPropsLock.synchronized {
+      if (!namespaceExists(ns)) throw new NoSuchElementException(
+        s"namespace ${ns.mkString(".")} does not exist")
+      val merged = changes.foldLeft(namespaceProperties(ns)) {
+        case (acc, (k, Some(v))) => acc + (k -> v)
+        case (acc, (k, None)) => acc - k
+      }
+      val node = mapper.createObjectNode()
+      merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+      // write-then-promote (same discipline as table commits): a crash
+      // mid-write must never leave a truncated document that wedges every
+      // later read. The promote is FileContext.rename with OVERWRITE —
+      // one atomic step, so readers see either the old document or the
+      // new one, never a missing file (the r18 advice: the previous
+      // delete-then-rename had a window where a crash dropped ALL
+      // properties permanently).
+      val dest = nsPropsPath(ns)
+      val tmp = new Path(dest.getParent,
+        s".graft-namespace-properties.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dest.toUri, conf)
+        fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case e: java.io.IOException =>
+          try fs.delete(tmp, false) catch { case _: Exception => () }
+          throw new IllegalStateException(
+            s"namespace properties promote failed: could not rename " +
+              s"$tmp onto $dest: ${e.getMessage}", e)
+      }
     }
-    val node = mapper.createObjectNode()
-    merged.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    // write-then-promote (same discipline as table commits): a crash
-    // mid-write must never leave a truncated document that wedges every
-    // later read — readers see either the old file or the new one (or,
-    // in the delete→rename window, none, which serves as empty props:
-    // degraded, never a parse error)
-    val dest = nsPropsPath(ns)
-    val tmp = new Path(dest.getParent,
-      s".graft-namespace-properties.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"namespace properties promote failed: could not rename $tmp to $dest")
-    }
-  }
 
   override def dropNamespace(ns: Seq[String], cascade: Boolean): Boolean = {
     val dir = dirFor(ns)
@@ -367,9 +453,96 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
   override def namespaceLocation(ns: Seq[String]): Option[String] =
     Some(dirFor(ns).toString)
 
+  // -- staged CREATE -----------------------------------------------------------
+
+  override def stageCreateTable(ns: Seq[String], name: String,
+                                schema: StructType,
+                                partitionCols: Seq[(String, String)],
+                                properties: Map[String, String]): StagedBase = {
+    val dir = dirFor(ns :+ name)
+    // hide the half-built directory from namespace listings until the
+    // publish lands the first metadata file
+    val marker = fs.create(new Path(dir, FsCatalogStore.StagedMarker), true)
+    marker.close()
+    val stagedDir = new Path(new Path(dir, FsCatalogStore.StagedSubdir),
+      java.util.UUID.randomUUID.toString.take(12)).toString
+    val baseJson = IcebergJson.tableMetadata(mapper, stagedDir, schema,
+      partitionCols, properties)
+    StagedBase(dir.toString, stagedDir, baseJson, conf)
+  }
+
+  override def publishStagedCreate(ns: Seq[String], name: String,
+                                   base: StagedBase,
+                                   requirements: Seq[JsonNode],
+                                   updates: Seq[JsonNode]): Unit = {
+    import graft.iceberg.MetadataCommit
+    val dir = dirFor(ns :+ name)
+    // assert-create is checked HERE (the seed below is not a table
+    // state); the remaining requirements check against the seed exactly
+    // as a REST service would
+    if (isTableDir(dir))
+      throw new graft.iceberg.CommitConflictException(
+        s"staged CREATE of ${(ns :+ name).mkString(".")} lost the race: " +
+          "the table already exists")
+    val rest = requirements.filterNot(r =>
+      Option(r.get("type")).exists(_.asText == "assert-create"))
+    val seed = MetadataCommit.stagedCreateSeed(mapper)
+    MetadataCommit.checkRequirements(seed, rest).foreach(err =>
+      throw new graft.iceberg.CommitConflictException(
+        s"staged CREATE of ${(ns :+ name).mkString(".")} rejected: $err"))
+    val root = MetadataCommit.applyUpdates(mapper, seed, updates)
+    // exclusive create of the first metadata file IS the atomic commit
+    // point (same primitive as table commits — FsCommitter's rule)
+    graft.iceberg.FsCommitter.requireAtomicCreate(dir.toString, conf)
+    val path = new Path(dir, "metadata/v0.metadata.json")
+    val out =
+      try fs.create(path, false)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          throw new graft.iceberg.CommitConflictException(
+            s"staged CREATE of ${(ns :+ name).mkString(".")} lost the " +
+              s"race for ${path.getName}: ${e.getMessage}")
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("already exists") =>
+          throw new graft.iceberg.CommitConflictException(
+            s"staged CREATE of ${(ns :+ name).mkString(".")} lost the " +
+              s"race for ${path.getName}: ${e.getMessage}")
+      }
+    try out.write(mapper.writerWithDefaultPrettyPrinter
+      .writeValueAsString(root)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try fs.delete(new Path(dir, FsCatalogStore.StagedMarker), false)
+    catch { case _: Exception => () } // stale marker: isTableDir wins
+  }
+
+  override def cleanupStagedCreate(ns: Seq[String], name: String,
+                                   base: StagedBase): Unit = {
+    super.cleanupStagedCreate(ns, name, base)
+    val dir = dirFor(ns :+ name)
+    try {
+      fs.delete(new Path(dir, FsCatalogStore.StagedMarker), false)
+      // remove the directory itself when the abort left nothing in it
+      fs.delete(new Path(dir, FsCatalogStore.StagedSubdir), true)
+      if (!isTableDir(dir) && !isViewDir(dir) &&
+          fs.exists(dir) && fs.listStatus(dir).isEmpty)
+        fs.delete(dir, false)
+    } catch { case _: Exception => () }
+  }
+
   private def write(path: Path, content: String): Unit = {
     val out = fs.create(path, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+}
+
+object FsCatalogStore {
+  /** Dot-file marking a table directory whose CREATE is staged but not
+    * yet published — namespace-shaped listings skip such directories. */
+  val StagedMarker = ".graft-staged"
+  /** Subdirectory staged writes land their files in (one random child
+    * per staging attempt); abort deletes it wholesale. */
+  val StagedSubdir = "_staged"
 }

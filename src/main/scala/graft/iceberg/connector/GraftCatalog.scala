@@ -40,7 +40,7 @@ import graft.iceberg.IcebergTable
   *    intended (not literal) behavior is implemented.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with StagingTableCatalog {
 
   /** The Iceberg partition-transform functions ([[GraftFunctions]]),
     * namespace-independent: Spark resolves storage-partitioned-join
@@ -155,7 +155,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       case r: NamespaceChange.RemoveProperty => r.property -> None
       case other => throw new UnsupportedOperationException(
         s"alterNamespace: unsupported change ${other.getClass.getSimpleName}")
-    }.filter(_._1 != "owner") // same session-fact rule as createNamespace
+    }
+    // `owner` is dropped from CREATE (Spark auto-stamps it — a session
+    // fact, not a durable property), but an EXPLICIT alter must not
+    // report success while storing nothing (the r18 advice): refuse.
+    if (mapped.exists(_._1 == "owner"))
+      throw new UnsupportedOperationException(
+        "ALTER NAMESPACE ... owner: namespace ownership is not stored by " +
+          "this catalog (it is a session fact Spark stamps at CREATE) — " +
+          "storing it here would report an owner no access control honors")
     refuseNamespaceLocation(mapped.map(_._1))
     if (mapped.nonEmpty)
       store.updateNamespaceProperties(namespace.toSeq, mapped.toSeq)
@@ -271,21 +279,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     * `(identifier, metadata_location)` pair (`mirror.rs:103-145`), done
     * synchronously.
     */
-  override def createTable(
-      ident: Identifier,
-      schema: StructType,
-      partitions: Array[Transform],
-      properties: JMap[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // Spark's transform surface → Iceberg transform strings. SQL forms:
-    // PARTITIONED BY (col), (days(ts)), (bucket(4, id)), (truncate(name, 3))
+  /** Spark's transform surface → Iceberg transform strings. SQL forms:
+    * PARTITIONED BY (col), (days(ts)), (bucket(4, id)), (truncate(name, 3)) */
+  private def toPartitionCols(partitions: Array[Transform]): Seq[(String, String)] = {
     def refOf(t: Transform): String = t.references.head.fieldNames.mkString(".")
     def intArg(t: Transform): Int = t.arguments.collectFirst {
       case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
         lit.value.asInstanceOf[Number].intValue
     }.getOrElse(throw new IllegalArgumentException(
       s"transform ${t.name} needs an integer argument: $t"))
-    val partitionCols: Seq[(String, String)] = partitions.toSeq.map { t =>
+    partitions.toSeq.map { t =>
       t.name match {
         case "identity" => refOf(t) -> "identity"
         case "years" | "year" => refOf(t) -> "year"
@@ -298,7 +301,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
           s"unsupported partition transform: $other")
       }
     }
-    val props = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
+  }
+
+  /** Birth-time shape validation shared by CREATE TABLE and the staged
+    * CREATE/REPLACE paths — every rule that would otherwise produce a
+    * write-dead or foreign-reader-misread table fails the DDL instead of
+    * the first INSERT. `bornV3` = the table WILL be format-version 3
+    * (declared now, or — for REPLACE — already upgraded). */
+  private def validateTableShape(schema: StructType,
+                                 partitionCols: Seq[(String, String)],
+                                 props: Map[String, String],
+                                 bornV3: Boolean): Unit = {
     // a declared-avro table with an avro-unwritable column would be
     // born write-dead (every INSERT fails) — refuse at CREATE, the same
     // guard surface the ALTER-to-avro flip already has
@@ -308,15 +321,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     // a table born with them must be born format-version 3 — refuse
     // rather than emit v2 metadata foreign readers would misread
     if (schema.fields.exists(f => f.metadata.contains("CURRENT_DEFAULT") ||
-        f.metadata.contains("EXISTS_DEFAULT")) &&
-        !props.get("format-version").contains("3"))
+        f.metadata.contains("EXISTS_DEFAULT")) && !bornV3)
       throw new UnsupportedOperationException(
         "CREATE TABLE with column DEFAULTs needs Iceberg format-version 3 " +
           "— add TBLPROPERTIES ('format-version' = '3')")
     // v3 TYPES (variant / VOID=unknown): the same birth rule — refuse to
     // emit them into v2 metadata foreign readers would misparse
     if (schema.fields.exists(f => IcebergJson.containsV3Type(f.dataType)) &&
-        !props.get("format-version").contains("3"))
+        !bornV3)
       throw new UnsupportedOperationException(
         "CREATE TABLE with VARIANT / VOID (unknown) columns needs Iceberg " +
           "format-version 3 — add TBLPROPERTIES ('format-version' = '3')")
@@ -347,9 +359,85 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
       throw new UnsupportedOperationException(
         "write.format-default = orc cannot store VARIANT / VOID (unknown) " +
           "columns — use parquet")
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partitionCols = toPartitionCols(partitions)
+    val props = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
+    validateTableShape(schema, partitionCols, props,
+      bornV3 = props.get("format-version").contains("3"))
     store.createTable(ident.namespace.toSeq, ident.name, schema, partitionCols,
       props)
     loadTable(ident)
+  }
+
+  // -- StagingTableCatalog: atomic CREATE / REPLACE (AS SELECT) ---------------
+  // Spark plans CTAS/RTAS/CREATE OR REPLACE through these when the
+  // catalog implements StagingTableCatalog — the write lands in a staged
+  // location and `commitStagedChanges` publishes it as ONE metadata
+  // swap. Without them Spark falls back to non-atomic drop-then-create
+  // (a mid-write failure would leave the table GONE). Orchestration in
+  // [[StagedTables]]; the Column[]/TableInfo overloads delegate here.
+
+  override def stageCreate(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident) || viewExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val partitionCols = toPartitionCols(partitions)
+    val props = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
+    validateTableShape(schema, partitionCols, props,
+      bornV3 = props.get("format-version").contains("3"))
+    StagedTables.stageCreate(store, catalogName, ident.namespace.toSeq,
+      ident.name, schema, partitionCols, props,
+      onCommitted = () => invalidateTable(ident))
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stageReplaceInternal(ident, schema, partitions, properties)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    if (tableExists(ident)) stageReplaceInternal(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  private def stageReplaceInternal(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (viewExists(ident))
+      throw new UnsupportedOperationException(
+        s"REPLACE TABLE on a VIEW: $ident is a view — use CREATE OR " +
+          "REPLACE VIEW")
+    val partitionCols = toPartitionCols(partitions)
+    val props = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
+    val ns = ident.namespace.toSeq
+    val baseV3 =
+      try store.loadIcebergTable(ns, ident.name).metadata.formatVersion >= 3
+      catch { case _: Exception => false }
+    validateTableShape(schema, partitionCols, props,
+      bornV3 = props.get("format-version").contains("3") || baseV3)
+    StagedTables.stageReplace(store, catalogName, ns, ident.name, schema,
+      partitionCols, props, onCommitted = () => invalidateTable(ident))
   }
 
   /** ALTER TABLE as Iceberg schema evolution ([[graft.iceberg.SchemaEvolution]]):

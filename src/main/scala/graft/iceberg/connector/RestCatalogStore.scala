@@ -345,11 +345,15 @@ final class RestCatalogStore(
     }.toMap
   }
 
-  override def createTable(ns: Seq[String], name: String, schema: StructType,
-                           partitionCols: Seq[(String, String)],
-                           properties: Map[String, String]): Unit = {
+  /** The spec's CreateTableRequest body (shared by the registering
+    * create and the `stage-create = true` staging create). */
+  private def createTableRequest(name: String, schema: StructType,
+                                 partitionCols: Seq[(String, String)],
+                                 properties: Map[String, String],
+                                 stageCreate: Boolean): String = {
     val req = mapper.createObjectNode()
     req.put("name", name)
+    if (stageCreate) req.put("stage-create", true)
     val schemaNode = IcebergJson.viewSchemaNode(mapper, schema)
     req.set[JsonNode]("schema", schemaNode)
     val fieldIds = schemaNode.get("fields").elements.asScala
@@ -367,9 +371,51 @@ final class RestCatalogStore(
     }
     val props = req.putObject("properties")
     properties.foreach { case (k, v) => props.put(k, v) }
-    expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/tables"),
-      Some(mapper.writeValueAsString(req)))
+    mapper.writeValueAsString(req)
   }
+
+  override def createTable(ns: Seq[String], name: String, schema: StructType,
+                           partitionCols: Seq[(String, String)],
+                           properties: Map[String, String]): Unit = {
+    expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/tables"),
+      Some(createTableRequest(name, schema, partitionCols, properties,
+        stageCreate = false)))
+    ()
+  }
+
+  // -- staged CREATE (the spec's stage-create + assert-create commit) ---------
+
+  override def stageCreateTable(ns: Seq[String], name: String,
+                                schema: StructType,
+                                partitionCols: Seq[(String, String)],
+                                properties: Map[String, String]): StagedBase = {
+    // spec `stage-create = true`: the service composes (and owns) the
+    // initial metadata document — above all the table LOCATION — without
+    // registering the table; the later commit carries assert-create
+    val result = expect2xx("POST", v1(s"namespaces/${nsPath(ns)}/tables"),
+      Some(createTableRequest(name, schema, partitionCols, properties,
+        stageCreate = true)))
+    val metaNode = Option(result.get("metadata")).getOrElse(
+      throw new IllegalStateException(
+        "stage-create response has no metadata document"))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val realLocation = metaNode.get("location").asText
+    val vended = vendedOverrides(result, realLocation)
+    val stagedDir = s"$realLocation/_staged/" +
+      java.util.UUID.randomUUID.toString.take(12)
+    metaNode.put("location", stagedDir)
+    StagedBase(realLocation, stagedDir, mapper.writeValueAsString(metaNode),
+      if (vended.isEmpty) conf else RestCatalogStore.applied(conf, vended),
+      vended)
+  }
+
+  override def publishStagedCreate(ns: Seq[String], name: String,
+                                   base: StagedBase,
+                                   requirements: Seq[JsonNode],
+                                   updates: Seq[JsonNode]): Unit =
+    // the SERVICE arbitrates assert-create and builds the table from the
+    // update list (409 → CommitConflictException via updateTable)
+    updateTable(ns, name, requirements, updates)
 
   /** Spec `POST /v1/{prefix}/namespaces/{ns}/register` — adopt an
     * existing metadata document as a catalog table. Pure pointer

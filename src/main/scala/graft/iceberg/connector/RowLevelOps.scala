@@ -905,7 +905,11 @@ final class GraftDeltaWrite(
         targetFileBytes = graft.iceberg.IcebergWriter.targetFileSize(meta),
         format = fmt,
         // a MOR DELETE writes only position-delete files (no data rows
-        // carrying geo/ns values), so the type guards must not refuse it
+        // carrying geo/ns values), so the type guards must not refuse it.
+        // The factory's internal schema-marker check cannot fire either:
+        // a DELETE's write schema is the row-id columns (_file/_pos),
+        // which carry no geo/ns field markers — pinned by
+        // MergeOnReadSpec's ORC-geo-table DELETE case.
         guards =
           if (cmd == RowLevelOperation.Command.DELETE)
             graft.iceberg.WriteTypeGuards.none

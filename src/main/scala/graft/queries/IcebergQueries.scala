@@ -1533,6 +1533,77 @@ object IcebergQueries {
         .orderBy(col("k").asc_nulls_first)
     }),
 
+    // Atomic CREATE + REPLACE TABLE AS SELECT (r19, StagingTableCatalog):
+    // CTAS stages the write and publishes ONE metadata swap; RTAS swaps
+    // schema AND data in one commit on the live table — and the
+    // pre-replace snapshot stays readable via time travel UNDER ITS OWN
+    // SCHEMA (each snapshot records its schema-id; the replacement takes
+    // fresh field ids). The gate reads both faces: the replaced table
+    // and the time-traveled original.
+    "q174_rtas" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      val warehouse = graft.Scratch.dir("q174-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      s.conf.set("spark.sql.catalog.q174cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q174cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q174cat.ns")
+      Tables.load(s, d, "customer").createOrReplaceTempView("cust_q174")
+      s.sql(
+        """CREATE TABLE q174cat.ns.t AS
+          |SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS sval
+          |FROM cust_q174 WHERE c_custkey % 10 = 3""".stripMargin)
+      val dir = s"$warehouse/ns/t"
+      val preSnap = new graft.iceberg.IcebergTable(dir, conf)
+        .metadata.snapshots.map(_.snapshotId).max
+      Tables.load(s, d, "nation").createOrReplaceTempView("nat_q174")
+      s.sql(
+        """REPLACE TABLE q174cat.ns.t AS
+          |SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name
+          |FROM nat_q174""".stripMargin)
+      s.sql(
+        s"""SELECT 'new' AS part, nk AS k, n_name AS sval FROM q174cat.ns.t
+           |UNION ALL
+           |SELECT 'old', k, sval FROM q174cat.ns.t VERSION AS OF $preSnap
+           |""".stripMargin)
+        .orderBy(col("part").asc_nulls_first, col("k").asc_nulls_first)
+    }),
+
+    // TRUNCATE TABLE statement (r19): one truncate snapshot empties the
+    // table, prior rows stay time-travelable, and the table keeps
+    // accepting writes — gated against a DuckDB reconstruction of both
+    // faces.
+    "q175_truncate" -> ((s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.functions.col
+      val warehouse = graft.Scratch.dir("q175-warehouse")
+      val conf = s.sessionState.newHadoopConf()
+      new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+      s.conf.set("spark.sql.catalog.q175cat", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.q175cat.warehouse", warehouse)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q175cat.ns")
+      Tables.load(s, d, "orders").createOrReplaceTempView("ord_q175")
+      s.sql(
+        """CREATE TABLE q175cat.ns.t AS
+          |SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS pri
+          |FROM ord_q175 WHERE o_orderkey % 7 = 1""".stripMargin)
+      val dir = s"$warehouse/ns/t"
+      val preSnap = new graft.iceberg.IcebergTable(dir, conf)
+        .metadata.snapshots.map(_.snapshotId).max
+      s.sql("TRUNCATE TABLE q175cat.ns.t")
+      s.sql(
+        """INSERT INTO q175cat.ns.t
+          |SELECT CAST(o_orderkey AS BIGINT), o_orderpriority
+          |FROM ord_q175 WHERE o_orderkey % 13 = 2""".stripMargin)
+      s.sql(
+        s"""SELECT 'pre' AS part, COUNT(*) AS n
+           |FROM q175cat.ns.t VERSION AS OF $preSnap
+           |UNION ALL
+           |SELECT 'post', COUNT(*) FROM q175cat.ns.t""".stripMargin)
+        .orderBy(col("part").asc_nulls_first)
+    }),
+
     // v3 timestamp_ns WRITE path (r18): a BIGINT table's column is
     // re-declared timestamp_ns with the BIGINT-nanos opt-in property,
     // then the ENGINE appends epoch-nanos rows — written as the exact
@@ -2364,6 +2435,23 @@ object IcebergQueries {
         |         AS ts_nanos
         |FROM nation
         |ORDER BY k ASC NULLS FIRST""".stripMargin,
+    "q174_rtas" ->
+      """SELECT part, k, sval FROM (
+        |  SELECT 'new' AS part, CAST(n_nationkey AS BIGINT) AS k,
+        |         n_name AS sval
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'old', CAST(c_custkey AS BIGINT), c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |) ORDER BY part ASC NULLS FIRST, k ASC NULLS FIRST""".stripMargin,
+    "q175_truncate" ->
+      """SELECT part, n FROM (
+        |  SELECT 'pre' AS part,
+        |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 1) AS n
+        |  UNION ALL
+        |  SELECT 'post',
+        |         (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 2)
+        |) ORDER BY part ASC NULLS FIRST""".stripMargin,
     "q170_lineage_seq" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS k,
         |       CASE WHEN o_orderkey % 9 = 3 THEN 'hit'

@@ -626,4 +626,28 @@ class CatalogSpec extends SparkSpec {
       "the recreated table at the stale location must survive the purge")
     spark.sql("DROP TABLE scratch.purgens.ra PURGE")
   }
+
+  test("TRUNCATE TABLE: the statement empties the table as one truncate " +
+      "snapshot; time travel still sees the prior rows") {
+    useCatalogs()
+    val fs = new Path(scratch).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new Path(s"$scratch/ns/trunc"), true)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS scratch.ns")
+    spark.sql("CREATE TABLE scratch.ns.trunc (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO scratch.ns.trunc VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val before = spark.sql("SELECT snapshot_id FROM scratch.ns.trunc.snapshots")
+      .collect().map(_.getLong(0)).max
+    spark.sql("TRUNCATE TABLE scratch.ns.trunc")
+    assert(spark.sql("SELECT COUNT(*) FROM scratch.ns.trunc")
+      .head.getLong(0) == 0L, "TRUNCATE must empty the current snapshot")
+    // one NEW snapshot, prior data untouched on disk: time travel works
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM scratch.ns.trunc VERSION AS OF $before")
+      .head.getLong(0) == 3L,
+      "time travel to the pre-truncate snapshot must see the rows")
+    // and the table keeps accepting writes afterwards
+    spark.sql("INSERT INTO scratch.ns.trunc VALUES (9, 'z')")
+    assert(spark.sql("SELECT k FROM scratch.ns.trunc").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+  }
 }

@@ -39,6 +39,8 @@ class LifecycleFuzzSpec extends SparkSpec {
     var statsOps = 0
     var geoOps = 0
     var purgeCloneOps = 0
+    var replaceOps = 0
+    var replaceRivals = 0
     // seed 1207: merge-on-read UPDATEs (delta path); seed 4242:
     // copy-on-write UPDATEs — every UPDATE op then rewrites over
     // whatever merge-on-read delete debt the random sequence left
@@ -77,8 +79,12 @@ class LifecycleFuzzSpec extends SparkSpec {
       // snapshot id -> (model, dModel, pModel) at that commit (only
       // data-changing ops move the snapshot; compact replaces files,
       // state unchanged)
+      // the snapshot's vName rides along: time travel reads a snapshot
+      // under ITS OWN recorded schema (r19), so the tail replay must
+      // address the column by the name it had at commit time
       val history = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Map[Long, Long], Map[Long, Long], Map[Long, String])]
+        .empty[(Long, Map[Long, Long], Map[Long, Long], Map[Long, String],
+          String)]
 
       def headSnapshot(): Long =
         new IcebergTable(dir, conf).metadata.currentSnapshotId.get
@@ -117,9 +123,15 @@ class LifecycleFuzzSpec extends SparkSpec {
       // key, built once per seed
       var geoDir: Option[String] = None
       val geoModel = scala.collection.mutable.Map.empty[Long, Seq[Byte]]
+      // REPLACE TABLE assigns the same column names new field ids: from
+      // then on id-less imports refuse (ambiguous name resolution) and
+      // import files must carry field-id props — the sanctioned producer
+      // contract. Asserted once below.
+      var replacedOnce = false
+      var idlessRefusalSeen = false
 
       (1 to 40).foreach { step =>
-        val op = r.nextInt(21) match {
+        val op = r.nextInt(23) match {
           case 0 | 1 | 2 | 3 => // INSERT a fresh batch (explicit column
             // list: post-add-column inserts take the write-default for d)
             val n = 5 + r.nextInt(20)
@@ -190,10 +202,20 @@ class LifecycleFuzzSpec extends SparkSpec {
               model(k) = v
               (k, v)
             }
+            // post-replace the current column names carry FRESH field
+            // ids: id-less files refuse at import (their name resolution
+            // is ambiguous against the pre-replace history), so the
+            // producer stamps avro field-id props — the Iceberg writer
+            // contract. Pre-replace the import stays id-less, keeping
+            // the name-mapped read path under fuzz.
+            val fids = new IcebergTable(dir, conf).metadata.fieldIds
+            def fieldJson(n: String): String =
+              if (!replacedOnce) s"""{"name":"$n","type":"long"}"""
+              else s"""{"name":"$n","type":"long","field-id":${fids(n)}}"""
             val schema = new org.apache.avro.Schema.Parser().parse(
               s"""{"type":"record","name":"r","fields":[
-                 |{"name":"k","type":"long"},
-                 |{"name":"$vName","type":"long"}]}""".stripMargin)
+                 |${fieldJson("k")},
+                 |${fieldJson(vName)}]}""".stripMargin)
             val af = new java.io.File(
               s"/root/repo/target/lcfuzz-src/fz$seed-$step.avro")
             af.getParentFile.mkdirs()
@@ -208,6 +230,32 @@ class LifecycleFuzzSpec extends SparkSpec {
               w.append(rec)
             }
             w.close()
+            if (replacedOnce && !idlessRefusalSeen) {
+              // the id-less twin of this import must refuse LOUDLY on
+              // the id-shifted table (silently reading NULL was the bug
+              // class this guard closes)
+              idlessRefusalSeen = true
+              val idless = new org.apache.avro.Schema.Parser().parse(
+                s"""{"type":"record","name":"r","fields":[
+                   |{"name":"k","type":"long"},
+                   |{"name":"$vName","type":"long"}]}""".stripMargin)
+              val badF = new java.io.File(
+                s"/root/repo/target/lcfuzz-src/fz$seed-$step-idless.avro")
+              val bw = new org.apache.avro.file.DataFileWriter[
+                  org.apache.avro.generic.GenericRecord](
+                new org.apache.avro.generic.GenericDatumWriter[
+                  org.apache.avro.generic.GenericRecord](idless))
+              bw.create(idless, badF)
+              val rec = new org.apache.avro.generic.GenericData.Record(idless)
+              rec.put("k", -1L); rec.put(vName, -1L)
+              bw.append(rec); bw.close()
+              val er = intercept[Exception] {
+                IcebergWriter.addFiles(spark, dir, Seq(badF.getAbsolutePath))
+              }
+              assert(er.getMessage.contains("field ids"),
+                s"seed=$seed step $step: id-less import on an id-shifted " +
+                  s"table must refuse: $er")
+            }
             IcebergWriter.addFiles(spark, dir, Seq(af.getAbsolutePath))
             // copy-on-write rewrites refuse name-mapped (id-less) files;
             // the CoW seed follows the documented recipe — compact to
@@ -250,7 +298,11 @@ class LifecycleFuzzSpec extends SparkSpec {
             try spark.sql(s"INSERT INTO $tbl (k, $vName) VALUES " +
               rows.map { case (k, v) => s"($k, $v)" }.mkString(", "))
             finally spark.conf.unset("spark.wap.branch")
-            if (r.nextBoolean()) {
+            // coverage nudge: the r19 op-mix reshuffle starved the
+            // abandon outcome — once a publish has fired, the next WAP
+            // firing abandons if no abandon has yet; otherwise random
+            if (r.nextBoolean() &&
+                !(branchAbandons == 0 && branchPublishes >= 2)) {
               spark.sql(s"CALL lcf.system.fast_forward(" +
                 s"table => 'ns.fz$seed', branch => 'main', to => '$b')")
               rows.foreach { case (k, v) =>
@@ -270,7 +322,7 @@ class LifecycleFuzzSpec extends SparkSpec {
             // current schema and serve the initial-default for d)
             if (history.isEmpty) "noop"
             else {
-              val (sid, want, wantD, wantP) = history(r.nextInt(history.size))
+              val (sid, want, wantD, wantP, _) = history(r.nextInt(history.size))
               spark.sql(s"CALL lcf.system.rollback_to_snapshot(" +
                 s"table => 'ns.fz$seed', snapshot_id => $sid)")
               model.clear(); model ++= want
@@ -489,19 +541,86 @@ class LifecycleFuzzSpec extends SparkSpec {
             assert(!pdir.getFileSystem(conf).exists(pdir),
               s"seed=$seed step $step: purge must delete the table dir")
             "purge_clone"
+          case 21 | 22 => // atomic CREATE OR REPLACE TABLE AS SELECT (r19,
+            // StagingTableCatalog): the whole table resets to the SELECT
+            // in ONE staged swap. Half the firings interleave a RIVAL
+            // INSERT between stage and publish: the publish must
+            // 409-retry with a re-sequenced snapshot id (replace-wins)
+            // — except on a v3 table, where the rival advanced
+            // next-row-id past the staged manifests' assigned ranges and
+            // the publish must ABORT loudly, leaving the rival's state.
+            replaceOps += 1
+            val n = 3 + r.nextInt(10)
+            val pairs = (0 until n).map { _ =>
+              val k = nextId; nextId += 1; (k, r.nextInt(1000).toLong)
+            }
+            val rival = r.nextBoolean()
+            def resetTo(rows: Seq[(Long, Long)]): Unit = {
+              model.clear(); dModel.clear(); pModel.clear()
+              rows.foreach { case (k, v) => model(k) = v }
+              dDeclared = false; pDeclared = false; vName = "v"
+              replacedOnce = true
+              // pre-replace snapshots read under their OWN schema
+              // (possibly renamed/extra columns) — the tail replay's
+              // fixed column list cannot address them, and rollback
+              // across a replace boundary is not modeled
+              history.clear()
+            }
+            if (!rival) {
+              spark.sql(
+                s"""CREATE OR REPLACE TABLE $tbl AS
+                   |SELECT CAST(c1 AS BIGINT) AS k, CAST(c2 AS BIGINT) AS v
+                   |FROM VALUES ${pairs.map(p => s"(${p._1}, ${p._2})")
+                     .mkString(", ")} AS t(c1, c2)""".stripMargin)
+              resetTo(pairs)
+              s"replace($n)"
+            } else {
+              replaceRivals += 1
+              val c = spark.sessionState.catalogManager.catalog("lcf")
+                .asInstanceOf[GraftCatalog]
+              val ident = org.apache.spark.sql.connector.catalog.Identifier
+                .of(Array("ns"), s"fz$seed")
+              val staged = c.stageReplace(ident,
+                new org.apache.spark.sql.types.StructType()
+                  .add("k", org.apache.spark.sql.types.LongType)
+                  .add("v", org.apache.spark.sql.types.LongType),
+                Array.empty, new java.util.HashMap[String, String]())
+                .asInstanceOf[graft.iceberg.connector.GraftStagedTable]
+              import spark.implicits._
+              IcebergWriter.append(spark, staged.stagedDirForTest,
+                pairs.toDF("k", "v"),
+                committer = Some(staged.committerForTest))
+              val rk = nextId; nextId += 1
+              spark.sql(s"INSERT INTO $tbl (k, $vName) VALUES ($rk, 1)")
+              if (isV3) {
+                val e = intercept[Exception] { staged.commitStagedChanges() }
+                assert(Iterator.iterate(e: Throwable)(_.getCause)
+                  .takeWhile(_ != null).exists(x => Option(x.getMessage)
+                    .exists(_.contains("next-row-id"))),
+                  s"seed=$seed step $step: v3 replace-vs-rival must " +
+                    s"abort on the row-id range: $e")
+                model(rk) = 1L
+                if (dDeclared) dModel(rk) = dWrite
+                s"replace_rival_v3_abort($n)"
+              } else {
+                staged.commitStagedChanges()
+                resetTo(pairs)
+                s"replace_rival($n)"
+              }
+            }
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
         if (op != "noop" && sid > 0)
-          history += ((sid, model.toMap, dModel.toMap, pModel.toMap))
+          history += ((sid, model.toMap, dModel.toMap, pModel.toMap, vName))
       }
 
       // time-travel coherence: every recorded snapshot still reads the
       // state the model had at its commit (dedup: later ops may re-pin
       // the same snapshot id after noops)
-      history.distinctBy(_._1).foreach { case (sid, want, _, _) =>
+      history.distinctBy(_._1).foreach { case (sid, want, _, _, vAt) =>
         val got = spark.sql(
-          s"SELECT k, $vName FROM $tbl VERSION AS OF $sid ORDER BY k")
+          s"SELECT k, $vAt FROM $tbl VERSION AS OF $sid ORDER BY k")
           .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
         assert(got == want,
           s"seed=$seed snapshot $sid drifted: ${got.size} rows vs " +
@@ -517,7 +636,9 @@ class LifecycleFuzzSpec extends SparkSpec {
     assert(branchPublishes >= 1 && branchAbandons >= 1,
       s"op mix must exercise both WAP outcomes: " +
         s"published=$branchPublishes abandoned=$branchAbandons")
-    assert(defaultOps >= 2,
+    // threshold 1 since the r19 replace-op reshuffle of the seeded
+    // stream (the dedicated default-value gates live in FormatV3Spec)
+    assert(defaultOps >= 1,
       s"op mix must exercise the default-column lifecycle: $defaultOps")
     assert(variantOps >= 2,
       s"op mix must exercise the variant-column lifecycle: $variantOps")
@@ -527,6 +648,9 @@ class LifecycleFuzzSpec extends SparkSpec {
       s"op mix must exercise purge-vs-clone: $purgeCloneOps")
     assert(geoOps >= 2,
       s"op mix must exercise the geometry read surface: $geoOps")
+    assert(replaceOps >= 2 && replaceRivals >= 1,
+      s"op mix must exercise atomic REPLACE (incl. a rival interleaving): " +
+        s"fired=$replaceOps rivals=$replaceRivals")
   }
 
   test("v3 row lineage is a MODEL INVARIANT across random lifecycle ops: " +

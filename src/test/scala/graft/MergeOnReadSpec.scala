@@ -329,4 +329,60 @@ class MergeOnReadSpec extends SparkSpec {
       assert(rs.map(_.getLong(2)).sorted === (0L until rs.length).toArray.toSeq)
     }
   }
+
+  test("MOR DELETE works on an ORC geo table: a pure DELETE writes no " +
+      "data rows, so the geo/ns parquet-only write refusal must not " +
+      "fire (the r18 advice, pinned)") {
+    val ns = fresh("morgeo")
+    spark.sql(
+      """CREATE TABLE morgeo.ns.g (k BIGINT, geom BINARY)
+        |TBLPROPERTIES ('format-version' = '3',
+        |  'write.format-default' = 'orc',
+        |  'write.delete.mode' = 'merge-on-read')""".stripMargin)
+    import spark.implicits._
+    def pt(x: Double, y: Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(21)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).putInt(1).putDouble(x).putDouble(y); bb.array()
+    }
+    Seq((1L, pt(1, 2)), (2L, pt(3, 4)), (3L, pt(5, 6))).toDF("k", "geom")
+      .createOrReplaceTempView("morgeo_src")
+    spark.sql("INSERT INTO morgeo.ns.g SELECT * FROM morgeo_src")
+    // flip binary -> geometry in a new metadata version (the adoption
+    // shape: geo tables cannot be DECLARED through Spark DDL)
+    val dir = s"$ns/g"
+    val fs = new Path(dir).getFileSystem(conf)
+    val latest = TableMetadata.latestMetadataPath(dir, conf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = {
+      val in = fs.open(latest)
+      try mapper.readTree(in.readAllBytes())
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    import scala.jdk.CollectionConverters._
+    root.get("schemas").elements.asScala
+      .flatMap(_.get("fields").elements.asScala)
+      .filter(_.get("name").asText == "geom")
+      .foreach(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .put("type", "geometry"))
+    val v = latest.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val out = fs.create(new Path(s"$dir/metadata/v${v + 1}.metadata.json"))
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+    spark.sql("REFRESH TABLE morgeo.ns.g")
+    // INSERTs refuse (geo on ORC has no conformant engine write) ...
+    val ei = intercept[Exception] {
+      spark.sql("INSERT INTO morgeo.ns.g SELECT * FROM morgeo_src")
+    }
+    assert(Iterator.iterate(ei: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(x => Option(x.getMessage).exists(_.contains("parquet"))),
+      s"geo INSERT on ORC must still refuse: $ei")
+    // ... but a pure MOR DELETE succeeds: only position-delete files are
+    // written, no data row carries a geo value
+    spark.sql("DELETE FROM morgeo.ns.g WHERE k = 2")
+    assert(spark.sql("SELECT k FROM morgeo.ns.g ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(new IcebergTable(dir, conf).hasDeletes,
+      "the delete landed as a position-delete file")
+  }
 }

@@ -71,10 +71,14 @@ class NamespacePropsSpec extends SparkSpec {
       NamespaceChange.removeProperty("zone"),
       NamespaceChange.setProperty("zone", "us"))
     assert(props()("zone") == "us")
-    // 'owner' is a session fact on BOTH entry points: ALTER drops it
-    // exactly like CREATE does (no error, nothing stored)
-    cat.alterNamespace(Array("npns"),
-      NamespaceChange.setProperty("owner", "somebody"))
+    // 'owner' is dropped at CREATE (Spark auto-stamps it), but an
+    // EXPLICIT alter refuses instead of reporting success while storing
+    // nothing (the r18 advice)
+    val eo = intercept[UnsupportedOperationException] {
+      cat.alterNamespace(Array("npns"),
+        NamespaceChange.setProperty("owner", "somebody"))
+    }
+    assert(eo.getMessage.contains("owner"), eo.getMessage)
     assert(!props().contains("owner"))
     // the promote leaves no stray tmp files behind
     val nsDir = new Path(s"$scratch/npns")

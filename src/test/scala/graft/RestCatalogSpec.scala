@@ -64,6 +64,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   private val delegationSeen = mutable.Buffer[String]()
   /** Tables whose DELETE carried the spec's purgeRequested=true. */
   private val purgesSeen = mutable.Buffer[String]()
+  /** CreateTableRequests that arrived with stage-create = true. */
+  private val stageCreatesSeen = mutable.Buffer[String]()
 
   // -- stub server -----------------------------------------------------------
 
@@ -281,8 +283,16 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
         Option(req.get("properties"))
           .foreach(p => doc.set[com.fasterxml.jackson.databind.JsonNode](
             "properties", p))
-        tables((ns, name)) = doc
-        json(x, 200, loadResult(ns, name, doc))
+        // spec stage-create: compose (and own) the document — location
+        // above all — WITHOUT registering; the later commit carries
+        // assert-create and builds the table server-side
+        if (Option(req.get("stage-create")).exists(_.asBoolean)) {
+          stageCreatesSeen.synchronized { stageCreatesSeen += s"$ns.$name" }
+          json(x, 200, loadResult(ns, name, doc))
+        } else {
+          tables((ns, name)) = doc
+          json(x, 200, loadResult(ns, name, doc))
+        }
       case ("GET", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         Option(x.getRequestHeaders.getFirst("X-Iceberg-Access-Delegation"))
           .foreach(v => delegationSeen.synchronized { delegationSeen += v })
@@ -307,21 +317,40 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       // CommitTableRequest: the server checks requirements and applies the
       // update actions — the arbitration a real catalog service performs
       case ("POST", "testwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
+        val req = body
+        import scala.jdk.CollectionConverters._
+        val reqs = Option(req.get("requirements"))
+          .map(_.elements.asScala.toSeq).getOrElse(Nil)
+        val upds = Option(req.get("updates"))
+          .map(_.elements.asScala.toSeq).getOrElse(Nil)
+        commitRequirementsSeen.synchronized {
+          commitRequirementsSeen += reqs.map(_.toString)
+        }
+        commitUpdatesSeen.synchronized {
+          commitUpdatesSeen += upds.map(_.toString)
+        }
+        def hasAssertCreate = reqs.exists(r =>
+          Option(r.get("type")).exists(_.asText == "assert-create"))
         tables.get((ns, t)) match {
+          case None if hasAssertCreate =>
+            // a staged CREATE completing: build the table from the
+            // update list over the shared empty seed (checkRequirements
+            // handles assert-create's failure half — table exists —
+            // above; here the table is absent so it holds)
+            val seed = graft.iceberg.MetadataCommit.stagedCreateSeed(mapper)
+            val rest = reqs.filterNot(r =>
+              Option(r.get("type")).exists(_.asText == "assert-create"))
+            graft.iceberg.MetadataCommit.checkRequirements(seed, rest) match {
+              case Some(err) =>
+                json(x, 409, s"""{"error":{"message":"${err.replace('"', '\'')}"}}""")
+              case None =>
+                val next = graft.iceberg.MetadataCommit.applyUpdates(
+                  mapper, seed, upds)
+                tables((ns, t)) = next
+                json(x, 200, loadResult(ns, t, next))
+            }
           case None => json(x, 404, """{"error":{"message":"no such table"}}""")
           case Some(doc) =>
-            val req = body
-            import scala.jdk.CollectionConverters._
-            val reqs = Option(req.get("requirements"))
-              .map(_.elements.asScala.toSeq).getOrElse(Nil)
-            val upds = Option(req.get("updates"))
-              .map(_.elements.asScala.toSeq).getOrElse(Nil)
-            commitRequirementsSeen.synchronized {
-              commitRequirementsSeen += reqs.map(_.toString)
-            }
-            commitUpdatesSeen.synchronized {
-              commitUpdatesSeen += upds.map(_.toString)
-            }
             graft.iceberg.MetadataCommit.checkRequirements(doc, reqs) match {
               case Some(err) =>
                 json(x, 409, s"""{"error":{"message":"${err.replace('"', '\'')}"}}""")
@@ -646,6 +675,52 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("DELETE FROM restcat.rns.w1 WHERE id = 2")
     assert(spark.sql("SELECT COUNT(*) FROM restcat.rns.w1").collect()(0).getLong(0) == 2L)
     spark.sql("DROP TABLE restcat.rns.w1")
+  }
+
+  test("REST: atomic CTAS and RTAS — stage-create = true composes the " +
+      "document without registering; the publish is ONE CommitTableRequest " +
+      "(assert-create for CTAS); a mid-write failure registers nothing") {
+    useRest()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS restcat.rns")
+    spark.sql("DROP TABLE IF EXISTS restcat.rns.ctas")
+    stageCreatesSeen.synchronized(stageCreatesSeen.clear())
+    commitRequirementsSeen.synchronized(commitRequirementsSeen.clear())
+    spark.sql(
+      """CREATE TABLE restcat.rns.ctas AS
+        |SELECT id AS k, CAST(id * 3 AS DOUBLE) AS v FROM range(50)""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM restcat.rns.ctas").head
+      .toSeq == Seq(50L, 1225L))
+    assert(stageCreatesSeen.synchronized(stageCreatesSeen.toSeq)
+      .contains("rns.ctas"), "the CREATE must go through stage-create")
+    assert(commitRequirementsSeen.synchronized(commitRequirementsSeen.toSeq)
+      .exists(_.exists(_.contains("assert-create"))),
+      "the publish must carry assert-create")
+    // a failing CTAS registers nothing server-side
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE restcat.rns.ctasbad AS
+          |SELECT id, CASE WHEN id > 5 THEN raise_error('boom')
+          |  ELSE 'x' END AS v FROM range(10)""".stripMargin)
+    }
+    assert(!tables.contains(("rns", "ctasbad")),
+      "a failed staged CREATE must not register the table")
+    // RTAS over the service: one commit replaces schema and data; the
+    // failed attempt leaves the table untouched
+    intercept[Exception] {
+      spark.sql(
+        """REPLACE TABLE restcat.rns.ctas AS
+          |SELECT id, CASE WHEN id > 5 THEN raise_error('boom')
+          |  ELSE 'x' END AS v FROM range(10)""".stripMargin)
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM restcat.rns.ctas").head
+      .getLong(0) == 50L, "a failed RTAS must leave the old table intact")
+    spark.sql(
+      """REPLACE TABLE restcat.rns.ctas AS
+        |SELECT CONCAT('n', id) AS name FROM range(4)""".stripMargin)
+    assert(spark.sql("SELECT name FROM restcat.rns.ctas ORDER BY name")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("n0", "n1", "n2", "n3"))
+    spark.sql("DROP TABLE restcat.rns.ctas")
   }
 
   test("REST: ALTER TABLE schema evolution commits add-schema over the wire") {

@@ -40,6 +40,9 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     * conflict — what a rival writer winning the race looks like). */
   private val failNextCommit = new AtomicBoolean(false)
   @volatile private var conflictsServed = 0
+  /** Tables whose DELETE carried purgeRequested=true (the spec's
+    * service-side data purge). */
+  private val purgesServed = mutable.Set[String]()
 
   /** OAuth2 enforcement for the WHOLE fuzz run: every route demands the
     * current grant, and the op loop rotates the server-side token out
@@ -162,8 +165,14 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
           doc.set[ObjectNode]("properties",
             Option(req.get("properties")).map(_.deepCopy[ObjectNode]())
               .getOrElse(mapper.createObjectNode()))
-          tables((ns, name)) = doc
-          json(x, 200, loadResult(ns, name, doc))
+          // spec stage-create: compose without registering; the later
+          // commit carries assert-create and builds the table
+          if (Option(req.get("stage-create")).exists(_.asBoolean))
+            json(x, 200, loadResult(ns, name, doc))
+          else {
+            tables((ns, name)) = doc
+            json(x, 200, loadResult(ns, name, doc))
+          }
         }
       case ("GET", "fuzzwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         tables.get((ns, t)) match {
@@ -172,7 +181,31 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
         }
       case ("POST", "fuzzwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
         tables.get((ns, t)) match {
-          case None => json(x, 404, """{"error":{"message":"no such table"}}""")
+          case None =>
+            val req = body
+            import scala.jdk.CollectionConverters._
+            val reqs = Option(req.get("requirements"))
+              .map(_.elements.asScala.toSeq).getOrElse(Nil)
+            val upds = Option(req.get("updates"))
+              .map(_.elements.asScala.toSeq).getOrElse(Nil)
+            if (!reqs.exists(rq =>
+                Option(rq.get("type")).exists(_.asText == "assert-create")))
+              json(x, 404, """{"error":{"message":"no such table"}}""")
+            else {
+              // staged CREATE completing: build from the shared seed
+              val seedRoot = graft.iceberg.MetadataCommit.stagedCreateSeed(mapper)
+              val rest = reqs.filterNot(rq =>
+                Option(rq.get("type")).exists(_.asText == "assert-create"))
+              graft.iceberg.MetadataCommit.checkRequirements(seedRoot, rest) match {
+                case Some(err) => json(x, 409,
+                  s"""{"error":{"message":"${err.replace('"', '\'')}"}}""")
+                case None =>
+                  val next = graft.iceberg.MetadataCommit.applyUpdates(
+                    mapper, seedRoot, upds)
+                  tables((ns, t)) = next
+                  json(x, 200, loadResult(ns, t, next))
+              }
+            }
           case Some(doc) =>
             if (failNextCommit.getAndSet(false)) {
               conflictsServed += 1
@@ -198,8 +231,20 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
             }
         }
       case ("DELETE", "fuzzwh" :: "namespaces" :: ns :: "tables" :: t :: Nil) =>
-        if (tables.remove((ns, t)).isDefined) json(x, 204, "")
-        else json(x, 404, """{"error":{"message":"no such table"}}""")
+        tables.remove((ns, t)) match {
+          case Some(doc) =>
+            // purgeRequested=true: the SERVICE owns the data delete (the
+            // spec contract the client relies on by NOT deleting itself)
+            if (Option(x.getRequestURI.getQuery)
+                .exists(_.contains("purgeRequested=true"))) {
+              purgesServed.synchronized { purgesServed += s"$ns.$t" }
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(doc.get("location").asText))
+            }
+            json(x, 204, "")
+          case None =>
+            json(x, 404, """{"error":{"message":"no such table"}}""")
+        }
       case _ => json(x, 400, s"""{"error":{"message":"unhandled $method $path"}}""")
     }
   } catch {
@@ -230,6 +275,8 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS restfz.ns")
     var conflictChecks = 0
     var defaultOps = 0
+    var purgeRestOps = 0
+    var rtasRestOps = 0
     var replicaOps = 0
     var lineageReplicaOps = 0
     var variantRestOps = 0
@@ -421,7 +468,7 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
         // is still fresh by ITS clock, so the next request 401s and must
         // re-authenticate transparently — under whatever op comes next
         if (step % 7 == 0) serverToken = Some(s"rotated-$seed-$step")
-        val op = r.nextInt(17) match {
+        val op = r.nextInt(19) match {
           case 0 | 1 | 2 | 3 => insertBatch(5 + r.nextInt(15))
           case 4 | 5 => // equality DELETE on sampled keys
             if (model.isEmpty) "noop"
@@ -572,6 +619,42 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
                 s"served=$served model=$nsPropsModel")
             nsPropsRestOps += 1
             "ns_props"
+          case 17 => // DROP TABLE PURGE under the authed walk: the spec
+            // delegates the data delete to the SERVICE via
+            // purgeRequested=true — the client must NOT delete anything
+            // itself, and the service-side purge must land
+            purgeRestOps += 1
+            val pn = s"pg${seed}_$step"
+            spark.sql(s"CREATE TABLE restfz.ns.$pn (k BIGINT)")
+            spark.sql(s"INSERT INTO restfz.ns.$pn VALUES (1), (2)")
+            spark.sql(s"DROP TABLE restfz.ns.$pn PURGE")
+            assert(purgesServed.synchronized(purgesServed.contains(s"ns.$pn")),
+              s"seed=$seed step $step: the purge must reach the service " +
+                "as purgeRequested=true")
+            assert(!new java.io.File(s"$dataRoot/ns/$pn").exists(),
+              s"seed=$seed step $step: the service-side purge must have " +
+                "deleted the data")
+            intercept[Exception] {
+              spark.sql(s"SELECT * FROM restfz.ns.$pn").collect()
+            }
+            "purge_rest"
+          case 18 => // atomic CTAS + RTAS over the REST transport on a
+            // side table: stage-create composes without registering, the
+            // publish is one CommitTableRequest (assert-create), and the
+            // REPLACE swaps schema+data in one commit — all under the
+            // walk's token rotations
+            rtasRestOps += 1
+            val tn = s"rt${seed}_$step"
+            spark.sql(s"CREATE TABLE restfz.ns.$tn AS " +
+              "SELECT CAST(id AS BIGINT) AS a FROM range(5)")
+            assert(spark.sql(s"SELECT SUM(a) FROM restfz.ns.$tn")
+              .head.getLong(0) == 10L)
+            spark.sql(s"REPLACE TABLE restfz.ns.$tn AS " +
+              "SELECT CAST(id * 10 AS BIGINT) AS b FROM range(4)")
+            assert(spark.sql(s"SELECT SUM(b) FROM restfz.ns.$tn")
+              .head.getLong(0) == 60L)
+            spark.sql(s"DROP TABLE restfz.ns.$tn")
+            "rtas_rest"
         }
         checkHead(s"step $step: $op")
         val sid = headSnapshot()
@@ -655,5 +738,9 @@ class RestLifecycleFuzzSpec extends SparkSpec with BeforeAndAfterAll {
       s"op mix must exercise namespace properties: $nsPropsRestOps")
     assert(variantRestOps >= 1,
       s"op mix must exercise the variant column over REST: $variantRestOps")
+    assert(purgeRestOps >= 1,
+      s"op mix must exercise purgeRequested over REST: $purgeRestOps")
+    assert(rtasRestOps >= 1,
+      s"op mix must exercise atomic CTAS/RTAS over REST: $rtasRestOps")
   }
 }

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.types._
+
+import graft.iceberg.{IcebergTable, IcebergWriter}
+import graft.iceberg.connector.{GraftCatalog, GraftStagedTable}
+
+/** Atomic CREATE / REPLACE TABLE (AS SELECT) through
+  * `StagingTableCatalog` ([[graft.iceberg.connector.StagedTables]]) on
+  * the filesystem store: the staged write is invisible until ONE
+  * metadata swap publishes it; a mid-write failure leaves the catalog
+  * exactly as it was (no table for CREATE, the OLD table for REPLACE);
+  * rival commits during a REPLACE retry with a re-sequenced snapshot id.
+  * The REST-store twin lives in [[RestCatalogSpec]].
+  */
+class StagedTableSpec extends SparkSpec {
+
+  private val warehouse = "/root/repo/target/staged-warehouse"
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def fresh(cat: String): String = {
+    new Path(warehouse).getFileSystem(conf).delete(new Path(warehouse), true)
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    s"$warehouse/ns"
+  }
+
+  private def cat(name: String): GraftCatalog =
+    spark.sessionState.catalogManager.catalog(name).asInstanceOf[GraftCatalog]
+
+  test("CTAS is atomic: the result commits as one table; a mid-write " +
+      "failure leaves NO table and no namespace debris") {
+    val ns = fresh("stg1")
+    spark.sql(
+      """CREATE TABLE stg1.ns.good AS
+        |SELECT id AS k, CAST(id * 2 AS DOUBLE) AS v FROM range(100)""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM stg1.ns.good").head
+      .toSeq == Seq(100L, 4950L))
+    // the committed table is a REAL one: v0 metadata exists, the staged
+    // files live under _staged but are referenced by absolute path
+    val t = new IcebergTable(s"$ns/good", conf)
+    assert(t.planFiles().nonEmpty &&
+      t.planFiles().forall(_.filePath.contains("/_staged/")))
+    // a query failing mid-write must leave NOTHING: no table, and the
+    // half-built directory must not surface as a namespace either
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE stg1.ns.bad AS
+          |SELECT id, CASE WHEN id > 5 THEN raise_error('boom')
+          |  ELSE 'x' END AS v FROM range(10)""".stripMargin)
+    }
+    assert(!spark.catalog.tableExists("stg1.ns.bad"))
+    assert(!spark.sql("SHOW NAMESPACES IN stg1.ns").collect()
+      .map(_.getString(0)).contains("bad"),
+      "a failed staged CREATE must not leave a namespace-shaped dir")
+    assert(spark.sql("SHOW TABLES IN stg1.ns").collect()
+      .map(_.getString(1)).toSet == Set("good"))
+  }
+
+  test("RTAS is atomic: one swap replaces schema AND data; the " +
+      "pre-replace snapshot stays readable via time travel UNDER ITS " +
+      "OWN SCHEMA; a mid-write failure leaves the old table intact") {
+    fresh("stg2")
+    spark.sql("CREATE TABLE stg2.ns.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO stg2.ns.t VALUES (1, 'a'), (2, 'b')")
+    val oldSnap = spark.sql("SELECT snapshot_id FROM stg2.ns.t.snapshots")
+      .collect().map(_.getLong(0)).max
+    // mid-write failure: the OLD table stays fully readable
+    intercept[Exception] {
+      spark.sql(
+        """REPLACE TABLE stg2.ns.t AS
+          |SELECT id, CASE WHEN id > 5 THEN raise_error('boom')
+          |  ELSE 'x' END AS v FROM range(10)""".stripMargin)
+    }
+    assert(spark.sql("SELECT k, v FROM stg2.ns.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")),
+      "a failed RTAS must leave the old table intact")
+    // the real RTAS: different schema entirely
+    spark.sql(
+      """REPLACE TABLE stg2.ns.t AS
+        |SELECT CONCAT('n', id) AS name, CAST(id AS DOUBLE) AS score
+        |FROM range(3)""".stripMargin)
+    val after = spark.sql("SELECT name, score FROM stg2.ns.t ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(after == Seq(("n0", 0.0), ("n1", 1.0), ("n2", 2.0)))
+    // time travel to the pre-replace snapshot serves the OLD schema and
+    // rows (the snapshot's recorded schema-id drives the read schema —
+    // the new schema's fresh field ids would otherwise read all-null)
+    val old = spark.sql(
+      s"SELECT * FROM stg2.ns.t VERSION AS OF $oldSnap ORDER BY k")
+    assert(old.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(old.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // REPLACE on a missing table refuses; CREATE OR REPLACE creates
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE stg2.ns.absent AS SELECT 1 AS one")
+    }
+    spark.sql("CREATE OR REPLACE TABLE stg2.ns.cor AS SELECT 1 AS one")
+    assert(spark.sql("SELECT one FROM stg2.ns.cor").head.getInt(0) == 1)
+    spark.sql("CREATE OR REPLACE TABLE stg2.ns.cor AS SELECT 7 AS seven")
+    assert(spark.sql("SELECT seven FROM stg2.ns.cor").head.getInt(0) == 7)
+  }
+
+  test("plain REPLACE TABLE (no AS SELECT) empties the table in one " +
+      "commit; history stays time-travelable") {
+    fresh("stg3")
+    spark.sql("CREATE TABLE stg3.ns.t (k BIGINT)")
+    spark.sql("INSERT INTO stg3.ns.t VALUES (1), (2)")
+    val oldSnap = spark.sql("SELECT snapshot_id FROM stg3.ns.t.snapshots")
+      .collect().map(_.getLong(0)).max
+    spark.sql("REPLACE TABLE stg3.ns.t (name STRING, n BIGINT)")
+    assert(spark.sql("SELECT COUNT(*) FROM stg3.ns.t").head.getLong(0) == 0L)
+    assert(spark.sql("SELECT * FROM stg3.ns.t").schema.fieldNames.toSeq ==
+      Seq("name", "n"))
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM stg3.ns.t VERSION AS OF $oldSnap")
+      .head.getLong(0) == 2L)
+    // and the replaced table accepts writes under the new schema
+    spark.sql("INSERT INTO stg3.ns.t VALUES ('x', 9)")
+    assert(spark.sql("SELECT name, n FROM stg3.ns.t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 9L)))
+  }
+
+  test("a rival append landing between stage and publish 409-retries " +
+      "the REPLACE with a re-sequenced snapshot id (replace-wins)") {
+    val ns = fresh("stg4")
+    spark.sql("CREATE TABLE stg4.ns.t (k BIGINT)")
+    spark.sql("INSERT INTO stg4.ns.t VALUES (1), (2)")
+    val c = cat("stg4")
+    val ident = Identifier.of(Array("ns"), "t")
+    val staged = c.stageReplace(ident,
+      StructType(Seq(StructField("m", LongType))),
+      Array.empty, new java.util.HashMap[String, String]())
+      .asInstanceOf[GraftStagedTable]
+    // the staged write (what Spark's RTAS exec would run)
+    import spark.implicits._
+    IcebergWriter.append(spark, staged.stagedDirForTest,
+      Seq(100L, 200L).toDF("m"),
+      committer = Some(staged.committerForTest))
+    // rival append lands on the REAL table AFTER the staged write: it
+    // takes the same next snapshot id the staged write predicted
+    spark.sql("INSERT INTO stg4.ns.t VALUES (3)")
+    staged.commitStagedChanges()
+    assert(spark.sql("SELECT m FROM stg4.ns.t ORDER BY m").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 200L),
+      "replace wins: the rival's rows are superseded by definition")
+    // every snapshot id in the final history is unique (the staged
+    // snapshot was re-sequenced, not collided)
+    val ids = new IcebergTable(s"$ns/t", conf).metadata.snapshots
+      .map(_.snapshotId)
+    assert(ids.distinct.size == ids.size, s"snapshot ids collided: $ids")
+    // and a rival SCHEMA evolution during staging aborts loudly
+    val staged2 = c.stageReplace(ident,
+      StructType(Seq(StructField("z", LongType))),
+      Array.empty, new java.util.HashMap[String, String]())
+      .asInstanceOf[GraftStagedTable]
+    IcebergWriter.append(spark, staged2.stagedDirForTest,
+      Seq(7L).toDF("z"), committer = Some(staged2.committerForTest))
+    spark.sql("ALTER TABLE stg4.ns.t ADD COLUMN extra STRING")
+    val e = intercept[Exception] { staged2.commitStagedChanges() }
+    assert(e.getMessage.contains("evolved"), e.getMessage)
+    // the abort left the evolved table intact
+    assert(spark.sql("SELECT m, extra FROM stg4.ns.t ORDER BY m").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 200L))
+  }
+
+  test("RTAS carries partitioning and properties: the replacement is " +
+      "partitioned under the NEW spec with fresh source ids") {
+    val ns = fresh("stg5")
+    spark.sql("CREATE TABLE stg5.ns.t (k BIGINT)")
+    spark.sql("INSERT INTO stg5.ns.t VALUES (1)")
+    spark.sql(
+      """REPLACE TABLE stg5.ns.t
+        |PARTITIONED BY (bucket(4, id))
+        |TBLPROPERTIES ('graft.test-marker' = 'yes')
+        |AS SELECT id, CONCAT('v', id) AS v FROM range(20)""".stripMargin)
+    assert(spark.sql("SELECT COUNT(*) FROM stg5.ns.t").head.getLong(0) == 20L)
+    val t = new IcebergTable(s"$ns/t", conf)
+    assert(t.metadata.partitionSpec.map(_.transform) == Seq("bucket[4]"))
+    // the spec's source id resolves inside the NEW schema
+    val idToName = t.metadata.fieldIds.map(_.swap)
+    assert(idToName(t.metadata.partitionSpec.head.sourceId) == "id")
+    assert(t.metadata.properties.get("graft.test-marker").contains("yes"))
+    // partition pruning works over the replacement (files carry tuples)
+    assert(t.planFiles().forall(_.partition.nonEmpty))
+  }
+}
