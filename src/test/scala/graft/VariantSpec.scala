@@ -182,7 +182,9 @@ class VariantSpec extends SparkSpec {
     def walk(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq
         .flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
-    val files = walk(new java.io.File(s"$wh/ns/t/data"))
+    // walk the whole table dir: a staged CTAS (r19 StagingTableCatalog)
+    // lands its data files under _staged/<uuid>/data
+    val files = walk(new java.io.File(s"$wh/ns/t"))
       .filter(_.getName.endsWith(".parquet"))
     assert(files.nonEmpty)
     files.foreach { f =>
