@@ -3189,14 +3189,16 @@ object IcebergWriter {
     val meta = cmtr.currentMetadata()
     requireGcEnabled(meta, tableDir, "remove_orphan_files")
     def norm(s: String) = IcebergTable.normPathStatic(s)
-    val referenced: Set[String] =
-      meta.snapshots.flatMap(s => referencedPaths(conf, tableDir, meta, s)._2)
-        .map(norm).toSet
+    // BOTH halves of the referenced set: data file paths for the data
+    // sweep, manifest/list paths too for the _staged sweep below (a
+    // committed staged REPLACE keeps its manifests inside its staging
+    // dir — deleting those would break every snapshot referencing them)
+    val referenced: Set[String] = meta.snapshots.flatMap { s =>
+      val (metaPaths, dataPaths) = referencedPaths(conf, tableDir, meta, s)
+      metaPaths ++ dataPaths
+    }.map(norm).toSet
     val dataRoot = new Path(s"$tableDir/data")
-    val fs = dataRoot.getFileSystem(conf)
-    if (!fs.exists(dataRoot)) return 0
-    val topLevel = fs.listStatus(dataRoot).toSeq
-    val (dirs, rootFiles) = topLevel.partition(_.isDirectory)
+    val fs = new Path(tableDir).getFileSystem(conf)
     import scala.collection.parallel.CollectionConverters._
     def filesUnder(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(p, true)
@@ -3204,18 +3206,46 @@ object IcebergWriter {
       while (it.hasNext) b += it.next()
       b.result()
     }
-    val all = rootFiles.filter(!_.isDirectory) ++
-      dirs.par.map(d => filesUnder(d.getPath)).seq.flatten
-    val orphans = all.filter { st =>
-      st.getModificationTime < olderThanMs &&
-        !referenced.contains(norm(st.getPath.toString)) &&
-        // Spark job bookkeeping files are not data; cheap to skip
-        !st.getPath.getName.startsWith("_")
-    }
-    orphans.count { st =>
-      try fs.delete(st.getPath, false)
-      catch { case scala.util.control.NonFatal(_) => false }
-    }
+    def sweep(all: Seq[org.apache.hadoop.fs.FileStatus]): Int =
+      all.filter { st =>
+        st.getModificationTime < olderThanMs &&
+          !referenced.contains(norm(st.getPath.toString)) &&
+          // Spark job bookkeeping files are not data; cheap to skip
+          !st.getPath.getName.startsWith("_")
+      }.count { st =>
+        try fs.delete(st.getPath, false)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    val dataDeleted =
+      if (!fs.exists(dataRoot)) 0
+      else {
+        val topLevel = fs.listStatus(dataRoot).toSeq
+        val (dirs, rootFiles) = topLevel.partition(_.isDirectory)
+        sweep(rootFiles.filter(!_.isDirectory) ++
+          dirs.par.map(d => filesUnder(d.getPath)).seq.flatten)
+      }
+    // the staging area (atomic CREATE/REPLACE, r19): a COMMITTED staged
+    // write's files live here referenced by absolute path (kept — they
+    // are in `referenced`); what this sweep collects is crashed-staging
+    // debris and staged files whose snapshots have since expired. An
+    // IN-FLIGHT staging is protected the same way in-flight writes into
+    // data/ are: its files are younger than any sane `olderThanMs`.
+    // Staging dirs the sweep empties are removed wholesale.
+    val stagedRoot = new Path(tableDir,
+      graft.iceberg.connector.FsCatalogStore.StagedSubdir)
+    val stagedDeleted =
+      if (!fs.exists(stagedRoot)) 0
+      else {
+        val n = sweep(filesUnder(stagedRoot))
+        try {
+          fs.listStatus(stagedRoot).filter(_.isDirectory).foreach { d =>
+            if (filesUnder(d.getPath).isEmpty) fs.delete(d.getPath, true)
+          }
+          if (fs.listStatus(stagedRoot).isEmpty) fs.delete(stagedRoot, false)
+        } catch { case scala.util.control.NonFatal(_) => () }
+        n
+      }
+    dataDeleted + stagedDeleted
   }
 
   /** Consolidate the current snapshot's small data manifests into fewer,

@@ -263,6 +263,49 @@ class MaintenanceSpec extends SparkSpec {
     stray3.delete()
   }
 
+  test("removeOrphanFiles sweeps the _staged area: crashed-staging " +
+      "debris goes, a committed staged write's referenced files stay") {
+    import spark.implicits._
+    val dir = "/root/repo/target/test-orphans-staged"
+    // the committed-staged shape: a real RTAS through the catalog, so
+    // the table's live files sit under _staged/<uuid>/
+    val wh = "/root/repo/target/test-orphans-staged-wh"
+    val conf = spark.sessionState.newHadoopConf()
+    new org.apache.hadoop.fs.Path(wh).getFileSystem(conf)
+      .delete(new org.apache.hadoop.fs.Path(wh), true)
+    spark.conf.set("spark.sql.catalog.orphcat",
+      classOf[graft.iceberg.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.orphcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE orphcat.ns")
+    spark.sql("CREATE TABLE orphcat.ns.t (k BIGINT)")
+    spark.sql("INSERT INTO orphcat.ns.t VALUES (1), (2)")
+    spark.sql("REPLACE TABLE orphcat.ns.t AS SELECT id AS m FROM range(5)")
+    val tdir = s"$wh/ns/t"
+    // crashed-staging debris: a staging dir that never published/aborted
+    val debris = new File(s"$tdir/_staged/deadbeef0000/data/part-crash.parquet")
+    debris.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(debris.toPath, "junk")
+    val n = IcebergWriter.removeOrphanFiles(spark, tdir,
+      olderThanMs = System.currentTimeMillis + 60000)
+    assert(n >= 1, s"the crashed-staging debris must be collected, got $n")
+    assert(!debris.exists)
+    assert(!new File(s"$tdir/_staged/deadbeef0000").exists,
+      "an emptied staging dir is removed wholesale")
+    // the LIVE staged files (referenced by the replace's snapshot,
+    // incl. their manifests inside the staging dir) survived
+    assert(spark.sql("SELECT m FROM orphcat.ns.t ORDER BY m").collect()
+      .map(_.getLong(0)).toSeq == (0L to 4L),
+      "referenced staged files must survive the sweep")
+    // and time travel across the replace still reads (old data files in
+    // data/ referenced by retained snapshots survived too)
+    val oldSnap = new IcebergTable(tdir, conf).metadata.snapshots
+      .map(_.snapshotId).min
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM orphcat.ns.t VERSION AS OF $oldSnap")
+      .head.getLong(0) == 2L)
+    val _ = dir
+  }
+
   test("rewriteManifests merges per-commit manifests, reads unchanged") {
     import spark.implicits._
     val dir = "/root/repo/target/test-rewrite-manifests"

@@ -188,4 +188,21 @@ class StagedTableSpec extends SparkSpec {
     // partition pruning works over the replacement (files carry tuples)
     assert(t.planFiles().forall(_.partition.nonEmpty))
   }
+
+  test("self-referential RTAS: REPLACE TABLE t AS SELECT ... FROM t " +
+      "reads the OLD table while staging the replacement") {
+    fresh("stg6")
+    spark.sql("CREATE TABLE stg6.ns.t (k BIGINT)")
+    spark.sql("INSERT INTO stg6.ns.t VALUES (1), (2), (3)")
+    spark.sql(
+      """REPLACE TABLE stg6.ns.t AS
+        |SELECT k * 10 AS k10 FROM stg6.ns.t WHERE k <> 2""".stripMargin)
+    assert(spark.sql("SELECT k10 FROM stg6.ns.t ORDER BY k10").collect()
+      .map(_.getLong(0)).toSeq == Seq(10L, 30L))
+    // and again on top of the replacement (the chain keeps working)
+    spark.sql(
+      "REPLACE TABLE stg6.ns.t AS SELECT k10 + 1 AS k11 FROM stg6.ns.t")
+    assert(spark.sql("SELECT k11 FROM stg6.ns.t ORDER BY k11").collect()
+      .map(_.getLong(0)).toSeq == Seq(11L, 31L))
+  }
 }
