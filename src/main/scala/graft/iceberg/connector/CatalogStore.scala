@@ -236,8 +236,14 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
   override def createNamespace(ns: Seq[String]): Unit = {
     val dir = dirFor(ns)
     // stale staging debris (a crashed staged CREATE that never published
-    // and never aborted) must not block the name forever: clear it
-    if (isStagedDir(dir) && !isTableDir(dir)) {
+    // and never aborted) must not block the name forever: clear it.
+    // AGE-GATED: a fresh marker is indistinguishable from an IN-FLIGHT
+    // staged CTAS, and deleting its half-written staged files would let
+    // the publish still succeed (exclusive v0 create) while committing
+    // metadata that references now-missing files — a silently corrupt
+    // table. Only markers older than StagedDebrisAgeMs (no live staging
+    // attempt runs that long) are treated as debris.
+    if (isStagedDir(dir) && !isTableDir(dir) && stagedMarkerIsStale(dir)) {
       try {
         fs.delete(new Path(dir, FsCatalogStore.StagedMarker), false)
         fs.delete(new Path(dir, FsCatalogStore.StagedSubdir), true)
@@ -246,6 +252,16 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     fs.mkdirs(dir)
     ()
   }
+
+  /** True when the staged marker's modification time is old enough that
+    * the staging attempt that wrote it is certainly dead. Unreadable
+    * mtime counts as fresh — never destroy what we cannot date. */
+  private def stagedMarkerIsStale(dir: Path): Boolean =
+    try {
+      val st = fs.getFileStatus(new Path(dir, FsCatalogStore.StagedMarker))
+      System.currentTimeMillis() - st.getModificationTime >
+        FsCatalogStore.StagedDebrisAgeMs
+    } catch { case _: Exception => false }
 
   /** Namespace properties live in a dot-file INSIDE the namespace
     * directory — a plain file, so the directory-shaped listings
@@ -523,11 +539,20 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     val dir = dirFor(ns :+ name)
     try {
       fs.delete(new Path(dir, FsCatalogStore.StagedMarker), false)
-      // remove the directory itself when the abort left nothing in it
-      fs.delete(new Path(dir, FsCatalogStore.StagedSubdir), true)
-      if (!isTableDir(dir) && !isViewDir(dir) &&
-          fs.exists(dir) && fs.listStatus(dir).isEmpty)
-        fs.delete(dir, false)
+      // Only THIS attempt's staging dir (base.stagedDir, removed by
+      // super) belongs to the caller. A committed staged table keeps its
+      // data/manifest files under `_staged/<uuid>` by absolute path, so
+      // when a rival staged CREATE won the publish race (isTableDir),
+      // wiping the whole `_staged` subdir would delete the WINNER's
+      // just-committed files — data loss on exactly the race path the
+      // conflict handling exists for. Leftover sibling debris is the
+      // remove_orphan_files sweep's job, not this abort's.
+      if (!isTableDir(dir)) {
+        // remove the directory itself when the abort left nothing in it
+        fs.delete(new Path(dir, FsCatalogStore.StagedSubdir), true)
+        if (!isViewDir(dir) && fs.exists(dir) && fs.listStatus(dir).isEmpty)
+          fs.delete(dir, false)
+      }
     } catch { case _: Exception => () }
   }
 
@@ -543,6 +568,12 @@ object FsCatalogStore {
     * yet published — namespace-shaped listings skip such directories. */
   val StagedMarker = ".graft-staged"
   /** Subdirectory staged writes land their files in (one random child
-    * per staging attempt); abort deletes it wholesale. */
+    * per staging attempt); abort deletes this attempt's child only —
+    * committed staged tables keep files under `_staged/<uuid>`. */
   val StagedSubdir = "_staged"
+
+  /** Staged-marker age beyond which createNamespace may treat the
+    * directory as crashed-CTAS debris and clear it (1 hour — far longer
+    * than any live staging attempt between stage and publish/abort). */
+  val StagedDebrisAgeMs: Long = 60L * 60 * 1000
 }

@@ -431,9 +431,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ViewCatalog
     val partitionCols = toPartitionCols(partitions)
     val props = Option(properties).map(_.asScala.toMap).getOrElse(Map.empty)
     val ns = ident.namespace.toSeq
+    // Only "table absent" may downgrade to false — a transient metadata
+    // load failure must surface, not silently misjudge the format
+    // version and refuse a valid v3 REPLACE with a misleading error.
     val baseV3 =
       try store.loadIcebergTable(ns, ident.name).metadata.formatVersion >= 3
-      catch { case _: Exception => false }
+      catch { case _: NoSuchElementException => false }
     validateTableShape(schema, partitionCols, props,
       bornV3 = props.get("format-version").contains("3") || baseV3)
     StagedTables.stageReplace(store, catalogName, ns, ident.name, schema,

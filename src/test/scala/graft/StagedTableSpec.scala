@@ -205,4 +205,60 @@ class StagedTableSpec extends SparkSpec {
     assert(spark.sql("SELECT k11 FROM stg6.ns.t ORDER BY k11").collect()
       .map(_.getLong(0)).toSeq == Seq(11L, 31L))
   }
+
+  test("a LOSING staged CREATE's abort must not delete the winner's " +
+      "committed files (both live under the table's _staged area)") {
+    val ns = fresh("stg7")
+    val c = cat("stg7")
+    val ident = Identifier.of(Array("ns"), "t")
+    // loser stages first (marker + its own _staged/<uuid> child) ...
+    val loser = c.stageCreate(ident,
+      StructType(Seq(StructField("m", LongType))),
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+      new java.util.HashMap[String, String]())
+      .asInstanceOf[GraftStagedTable]
+    import spark.implicits._
+    IcebergWriter.append(spark, loser.stagedDirForTest,
+      Seq(7L).toDF("m"), committer = Some(loser.committerForTest))
+    // ... rival CTAS wins the publish race: its data files stay under
+    // _staged/<uuid> by absolute path
+    spark.sql(
+      "CREATE TABLE stg7.ns.t AS SELECT id AS k FROM range(50)")
+    assert(spark.sql("SELECT COUNT(*) FROM stg7.ns.t").head.getLong(0) == 50L)
+    // the loser's publish loses, and its abort path runs cleanup — which
+    // must remove ONLY the loser's staging child, never the whole
+    // _staged subdir holding the winner's committed data
+    intercept[Exception] { loser.commitStagedChanges() }
+    loser.abortStagedChanges()
+    assert(spark.sql("SELECT COUNT(*), SUM(k) FROM stg7.ns.t").head
+      .toSeq == Seq(50L, 1225L),
+      "losing abort wiped the winner's committed data files")
+    val t = new IcebergTable(s"$ns/t", conf)
+    val fsys = new Path(ns).getFileSystem(conf)
+    assert(t.planFiles().forall(f => fsys.exists(new Path(f.filePath))),
+      "committed data files missing after rival abort")
+  }
+
+  test("createNamespace age-gates staged-debris cleanup: a FRESH marker " +
+      "(in-flight staged CTAS) keeps its files; a stale one is cleared") {
+    fresh("stg8")
+    val fsys = new Path(warehouse).getFileSystem(conf)
+    val dir = new Path(s"$warehouse/pending")
+    val marker = new Path(dir, ".graft-staged")
+    val stagedFile = new Path(dir, "_staged/u1/part-0.parquet")
+    fsys.create(marker, true).close()
+    val out = fsys.create(stagedFile, true); out.write(1); out.close()
+    // fresh marker: an in-flight staged CTAS — CREATE NAMESPACE must not
+    // delete its half-written files
+    spark.sql("CREATE NAMESPACE stg8.pending")
+    assert(fsys.exists(stagedFile),
+      "CREATE NAMESPACE deleted an in-flight staged CTAS's files")
+    // stale marker (older than the debris age gate): crashed attempt —
+    // now the cleanup may clear it so the name is not blocked forever
+    val old = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    fsys.setTimes(marker, old, old)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS stg8.pending")
+    assert(!fsys.exists(stagedFile) && !fsys.exists(marker),
+      "stale staged debris was not cleared")
+  }
 }
