@@ -1466,54 +1466,82 @@ final class IcebergTable private (
       s"changesWithUpdates cannot compare map/variant columns for " +
         s"carryover detection (${badCols.mkString(", ")}); use changesBetween")
     val cs = changesBetweenImpl(spark, fromId, toId, withLineage = v3)
-      .localCheckpoint(true) // three readers below; the window scan runs once
+      .localCheckpoint(true) // two readers below; the window scan runs once
     val schemaCols = metadata.schema.fieldNames.toSeq
     // the per-row pairing key: v3 = the spec-assigned _row_id; v2 = the
     // declared identifier columns (required per spec, but imported files
     // can violate that — a null key never pairs, it stays insert/delete)
     val keyCols = if (v3) Seq(RowIdCol) else idNames
-    val ided = cs.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
-    val b = ided.filter(col("_change_type") === "delete")
-    val a = ided.filter(col("_change_type") === "insert")
     val pairCols = "_commit_snapshot_id" +: keyCols
-    // identifier uniqueness is a DECLARATION, not a table invariant —
-    // imported/foreign files can violate it, and a duplicated key makes
-    // the pair join many-to-many, silently emitting mispaired update
-    // halves. Refuse loudly instead (the NULL-key twin of the replica
-    // sink's guard); _row_id (v3) is unique per side by construction.
-    if (!v3) {
-      val dup = ided.groupBy((pairCols :+ "_change_type").map(col): _*)
-        .count().filter(col("count") > lit(1L))
-        .select(keyCols.map(col): _*).limit(1).collect()
-      if (dup.nonEmpty) throw new IllegalStateException(
-        s"changesWithUpdates: identifier fields (${idNames.mkString(", ")}) " +
-          s"are declared unique but commit data repeats key " +
-          s"${dup.head.mkString("[", ", ", "]")} on one side of a commit — " +
-          "the table's data violates its identifier-field declaration; " +
-          "fix the data or use changesBetween (no pairing)")
-    }
-    // pairing keys are unique per side within a commit (_row_id by
-    // construction; identifier values guarded above), so the pair join
-    // is 1:1; the content comparison decides carryover vs update.
-    // Pinned: three consumers below (both update sides + the anti-join
-    // keys) must not re-run the self-join and the full-row comparison
-    val paired = b.as("b").join(a.as("a"),
-      pairCols.map(c => col(s"b.$c") === col(s"a.$c")).reduce(_ && _))
-      .localCheckpoint(true)
-    val changed = paired.filter(
-      !schemaCols.map(c => col(s"b.$c") <=> col(s"a.$c")).reduce(_ && _))
     val outCols = schemaCols ++ (if (v3) Seq(RowIdCol) else Nil)
-    def side(tag: String, tpe: String) = changed.select(
-      outCols.map(c => col(s"$tag.$c")) ++ Seq(
+    // Pairing as ONE aggregation over the window (was: an eagerly
+    // checkpointed pair self-join + an anti-join back + a driver-side
+    // v2 dup-check collect — three exchanges and up to two extra Spark
+    // jobs per commit window). Keys are unique per side within a commit
+    // (_row_id by construction; identifier declaration guarded below),
+    // so each (commit, key) group holds at most one delete and one
+    // insert: grouping the window once and deciding carryover / update /
+    // passthrough per group shuffles each change row exactly once.
+    val carried = outCols ++
+      Seq("_change_type", "_commit_snapshot_id", "_change_ordinal")
+    val rowStruct = struct(carried.map(col): _*)
+    val grouped = cs
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(pairCols.map(col): _*)
+      .agg(
+        collect_list(when(col("_change_type") === "delete", rowStruct))
+          .as("__dels"),
+        collect_list(when(col("_change_type") === "insert", rowStruct))
+          .as("__ins"))
+    // identifier uniqueness is a DECLARATION, not a table invariant —
+    // imported/foreign files can violate it, and a duplicated key would
+    // silently mispair update halves. Refuse loudly instead (the
+    // NULL-key twin of the replica sink's guard); _row_id (v3) is
+    // unique per side by construction. The guard is free here: the
+    // group's own side counts carry it, where the join form paid a
+    // separate driver collect per window.
+    val guarded =
+      if (v3) grouped
+      else {
+        val msg = concat(
+          lit("changesWithUpdates: identifier fields " +
+            s"(${idNames.mkString(", ")}) are declared unique but commit " +
+            "data repeats key ["),
+          concat_ws(", ", keyCols.map(c => col(c).cast("string")): _*),
+          lit("] on one side of a commit — the table's data violates its " +
+            "identifier-field declaration; fix the data or use " +
+            "changesBetween (no pairing)"))
+        grouped.withColumn("__dels",
+          when(size(col("__dels")) > 1 || size(col("__ins")) > 1,
+            raise_error(msg)).otherwise(col("__dels")))
+      }
+    val d0 = element_at(col("__dels"), 1)
+    val i0 = element_at(col("__ins"), 1)
+    val sameContent =
+      schemaCols.map(c => d0.getField(c) <=> i0.getField(c)).reduce(_ && _)
+    def retyped(src: Column, tpe: String) = struct(
+      outCols.map(c => src.getField(c).as(c)) ++ Seq(
         lit(tpe).as("_change_type"),
-        col(s"$tag._commit_snapshot_id"),
-        col(s"$tag._change_ordinal")): _*)
-    val pairedKeys = paired
-      .select(pairCols.map(c => col(s"b.$c")): _*).distinct()
-    val rest = cs.join(pairedKeys, pairCols, "left_anti")
-    val out = rest.unionByName(side("b", "update_before"))
-      .unionByName(side("a", "update_after"))
-    (out, () => Seq(cs, paired).foreach(IcebergTable.unpinLocalCheckpoint))
+        src.getField("_commit_snapshot_id").as("_commit_snapshot_id"),
+        src.getField("_change_ordinal").as("_change_ordinal")): _*)
+    // slice(dels, 1, 0) = a typed empty array (a bare array() would not
+    // carry the struct element type)
+    val emitted = when(
+      size(col("__dels")) === 1 && size(col("__ins")) === 1,
+      when(sameContent, slice(col("__dels"), 1, 0)) // carryover: drop both
+        .otherwise(array(retyped(d0, "update_before"),
+          retyped(i0, "update_after"))))
+      .otherwise(concat(col("__dels"), col("__ins"))) // unpaired: as-is
+    val pairedOut = guarded.select(explode(emitted).as("__r"))
+      .select(carried.map(c => col("__r").getField(c).as(c)): _*)
+    // null pairing keys never pair — pre-lineage files (v3) / violated
+    // identifier declarations (v2) pass through unchanged, OUTSIDE the
+    // aggregate so a null-key-heavy commit cannot pile into one group
+    val nullKeyed = cs
+      .filter(keyCols.map(col(_).isNull).reduce(_ || _))
+      .select(carried.map(col): _*)
+    val out = pairedOut.unionByName(nullKeyed)
+    (out, () => IcebergTable.unpinLocalCheckpoint(cs))
   }
 
   private def changesBetweenImpl(spark: SparkSession, fromId: Long,

@@ -336,14 +336,19 @@ class ChangelogSpec extends SparkSpec {
     val ns = fresh("cldup")
     spark.sql("CREATE TABLE cldup.ns.d (k INT NOT NULL, v STRING)")
     spark.sql("ALTER TABLE cldup.ns.d SET IDENTIFIER FIELDS k")
-    // one commit, duplicated key on the insert side: the pair join would
-    // go many-to-many and mispair silently — must refuse instead
+    // one commit, duplicated key on the insert side: the pairing would
+    // go many-to-many and mispair silently — must refuse instead. The
+    // guard rides the pairing aggregate itself (raise_error inside the
+    // one-exchange plan — no separate driver-side dup-check job per
+    // window), so it surfaces when the window executes.
     spark.sql("INSERT INTO cldup.ns.d VALUES (1, 'a'), (1, 'b'), (2, 'c')")
-    val e = intercept[IllegalStateException] {
+    val e = intercept[Exception] {
       new IcebergTable(s"$ns/d", conf)
-        .changesWithUpdates(spark, 0L, lineage(s"$ns/d").last)
+        .changesWithUpdates(spark, 0L, lineage(s"$ns/d").last).collect()
     }
-    assert(e.getMessage.contains("identifier"), e.getMessage)
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("identifier"), messages(e))
     // changesBetween (no pairing) still serves the window
     assert(new IcebergTable(s"$ns/d", conf)
       .changesBetween(spark, 0L, lineage(s"$ns/d").last).count() == 3)
