@@ -669,6 +669,35 @@ class CurationOpsSpec extends SparkSpec {
       s"profiler must scan the input once:\n$plan")
   }
 
+  test("profiler two-level hash form matches the single-agg form on " +
+      "nulls, decimals, timestamps, booleans, negatives, and empty input") {
+    import graft.operators.Profiler
+    import java.sql.Timestamp
+    val df = Seq[(java.lang.Long, java.lang.Double, String,
+        java.math.BigDecimal, Timestamp, java.lang.Boolean)](
+      (10L, -2.5, "zz", new java.math.BigDecimal("12.30"),
+        Timestamp.valueOf("1995-03-01 10:00:00.15"), true),
+      (9L, 0.0, "a", new java.math.BigDecimal("9.05"),
+        Timestamp.valueOf("1995-03-01 10:00:00.2"), false),
+      (null, null, null, null, null, null),
+      (9L, 1e15, "a", new java.math.BigDecimal("-4.00"),
+        Timestamp.valueOf("2001-12-31 23:59:59"), false))
+      .toDF("l", "d", "s", "dec", "ts", "b")
+    val cols = Seq("l", "d", "s", "dec", "ts", "b")
+    def rows(got: org.apache.spark.sql.DataFrame) =
+      got.collect().map(r => (r.getString(0), r.toSeq.drop(1))).toMap
+    assert(rows(Profiler.profile(df, cols)) ==
+      rows(Profiler.profileSingleAgg(df, cols)))
+    // empty input still yields one row per column in both forms
+    val empty = df.limit(0)
+    assert(rows(Profiler.profile(empty, cols)) ==
+      rows(Profiler.profileSingleAgg(empty, cols)))
+    // exotic types (arrays) take the single-agg fallback and still work
+    val arr = Seq((Seq(1, 2), 1L), (Seq(9), 2L)).toDF("a", "k")
+    val gotArr = rows(Profiler.profile(arr, Seq("a", "k")))
+    assert(gotArr("a").head == 2L && gotArr("k").head == 2L)
+  }
+
   test("gopher battery symbol and alpha rules see planted spam") {
     val spam = (Seq.fill(30)("### ... ###") ++ Seq("the", "a")).mkString(" ")
     val got = graft.operators.QualityFilters
