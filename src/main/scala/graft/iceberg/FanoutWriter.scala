@@ -14,15 +14,43 @@ import org.apache.spark.sql.types._
 
 /** `Configuration` is not `Serializable`; it is `Writable`. Spark's own
   * wrapper is `private[spark]`, so this is the same three-liner on the
-  * graft side. */
+  * graft side — plus a serialized-bytes cache: `Configuration.write`
+  * walks and emits EVERY merged property (~a thousand entries), and it
+  * runs once per Spark job (task-closure serialization), which sampling
+  * showed as ~15% of a small commit's driver time. Query bodies build
+  * one Configuration and run many jobs against it, so the bytes are
+  * cached per Configuration identity and reused while the property
+  * count is unchanged (these confs are never mutated after first use;
+  * the size check catches the accidental add/remove anyway). */
 final class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {
   @throws[IOException]
-  private def writeObject(out: ObjectOutputStream): Unit = value.write(out)
+  private def writeObject(out: ObjectOutputStream): Unit =
+    out.write(SerializableHadoopConf.bytesFor(value))
   @throws[IOException]
   private def readObject(in: ObjectInputStream): Unit = {
     value = new Configuration(false)
     value.readFields(in)
+  }
+}
+
+object SerializableHadoopConf {
+  // weak keys: cached bytes die with the Configuration they serialize
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Configuration, (Int, Array[Byte])]())
+
+  private def bytesFor(conf: Configuration): Array[Byte] = {
+    val size = conf.size()
+    val hit = cache.get(conf)
+    if (hit != null && hit._1 == size) return hit._2
+    val bos = new java.io.ByteArrayOutputStream(64 * 1024)
+    val dos = new java.io.DataOutputStream(bos)
+    conf.write(dos)
+    dos.flush()
+    val bytes = bos.toByteArray
+    cache.put(conf, (size, bytes))
+    bytes
   }
 }
 

@@ -449,6 +449,7 @@ object IcebergWriter {
     val out = fs.create(new Path(metaDir, "v1.metadata.json"), false)
     try out.write(metaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    TableMetadata.writeVersionHint(dir, 1L, conf)
   }
 
   /** Commit `df` as a new append snapshot on the table at `tableDir`;

@@ -636,15 +636,42 @@ object TableMetadata {
 
   private val VersionedName = """(?:v(\d+)|(\d+)-[-0-9a-fA-F]+)\.metadata\.json""".r
 
+  /** Best-effort pointer at the current metadata version, written by
+    * [[FsCommitter.publishAfter]] after every successful commit (the
+    * HadoopTableOperations idiom). Purely advisory: a stale (low) hint is
+    * healed by probing forward, a hint pointing at an expired/absent
+    * version falls back to the listing, and external writers that never
+    * write a hint keep the listing path. */
+  val VersionHintFile = "version-hint.text"
+
   /** Latest metadata file under `<tableDir>/metadata/`, supporting both
     * `vN.metadata.json` (fixture style) and `NNNNN-uuid.metadata.json`
     * (Spark-writer style) names. All I/O goes through Hadoop FileSystem so
     * `file://`, `s3a://`, … work alike (reference A10 object-store
     * indirection, `table.rs:116-126`, is this indirection in Spark).
+    *
+    * Resolution is hint-first (round 20): the metadata directory also
+    * holds every manifest and manifest list, so the listing is O(commit
+    * history) FS work — measured as the second-hottest driver frame in a
+    * commit loop, and on an object store a LIST per table load. With the
+    * hint the common case is 3 point lookups (read hint, confirm vN,
+    * probe vN+1), independent of history length. The probe loop heals a
+    * stale hint left by a crash between publish and hint write; any
+    * doubt (missing/corrupt hint, hinted version absent) falls back to
+    * the full listing. Engines other than this one only write the
+    * uuid-form names — they never write a hint, so their tables always
+    * take the listing path.
     */
   def latestMetadataPath(tableDir: String, conf: Configuration): Path = {
     val dir = new Path(tableDir, "metadata")
     val fs = dir.getFileSystem(conf)
+    hintedVersion(fs, dir).foreach { h =>
+      if (fs.exists(new Path(dir, s"v$h.metadata.json"))) {
+        var v = h
+        while (fs.exists(new Path(dir, s"v${v + 1}.metadata.json"))) v += 1
+        return new Path(dir, s"v$v.metadata.json")
+      }
+    }
     val candidates = fs.listStatus(dir).map(_.getPath).toSeq
       .flatMap { p =>
         p.getName match {
@@ -656,6 +683,29 @@ object TableMetadata {
       throw new IllegalArgumentException(s"no metadata.json under $dir")
     candidates.maxBy(_._1)._2
   }
+
+  private def hintedVersion(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: Path): Option[Long] =
+    try {
+      val p = new Path(dir, VersionHintFile)
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      Some(s.toLong).filter(_ >= 0)
+    } catch { case _: Exception => None }
+
+  /** Best-effort hint write after a successful commit: overwrite is fine
+    * (the hint is advisory and monotone under the create-new commit
+    * point), failure is fine (readers heal or fall back). */
+  private[iceberg] def writeVersionHint(tableDir: String, version: Long,
+                                        conf: Configuration): Unit =
+    try {
+      val p = new Path(new Path(tableDir, "metadata"), VersionHintFile)
+      val out = p.getFileSystem(conf).create(p, true)
+      try out.write(version.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () }
 
   def load(tableDir: String, conf: Configuration): TableMetadata = {
     val p = latestMetadataPath(tableDir, conf)

@@ -132,6 +132,10 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
     try out.write(mapper.writerWithDefaultPrettyPrinter.writeValueAsString(next)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // advisory fast-path pointer for latestMetadataPath: best-effort,
+    // AFTER the create-new commit point (a crash here just leaves a
+    // stale hint the probe loop heals)
+    TableMetadata.writeVersionHint(tableDir, version + 1, conf)
     path
   }
 }

@@ -201,7 +201,17 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
       else fs.listStatus(md).map(_.getPath).filter(_.getName.endsWith(suffix)).toSeq
     } catch { case _: Exception => Nil }
 
-  private def isTableDir(dir: Path): Boolean = metaFiles(dir, ".metadata.json").nonEmpty
+  // Fast path first: FsCommitter leaves an advisory version-hint file
+  // after every commit, so one point lookup answers "is this a table"
+  // without listing a metadata directory that also holds every manifest
+  // (O(commit history) per existence check otherwise — a hot frame in
+  // commit-loop sampling). Freshly created tables (v0/v1 only, no commit
+  // yet) and foreign-written tables fall back to the listing.
+  private def isTableDir(dir: Path): Boolean =
+    (try fs.exists(new Path(dir,
+      s"metadata/${graft.iceberg.TableMetadata.VersionHintFile}"))
+    catch { case _: Exception => false }) ||
+      metaFiles(dir, ".metadata.json").nonEmpty
   // `.view.json` is the pre-view-spec format this catalog wrote before
   // round 3; still recognized (and up-converted on read) so existing
   // warehouses don't lose their views
@@ -358,6 +368,7 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     val json = IcebergJson.tableMetadata(mapper, dir.toString, schema,
       partitionCols, properties)
     write(new Path(dir, "metadata/v0.metadata.json"), json)
+    TableMetadata.writeVersionHint(dir.toString, 0L, conf)
   }
 
   override def dropTable(ns: Seq[String], name: String): Boolean = {
@@ -529,6 +540,7 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
       .writeValueAsString(root)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    TableMetadata.writeVersionHint(dir.toString, 0L, conf)
     try fs.delete(new Path(dir, FsCatalogStore.StagedMarker), false)
     catch { case _: Exception => () } // stale marker: isTableDir wins
   }

@@ -341,10 +341,15 @@ class FormatV3Spec extends SparkSpec {
     } finally spark.conf.unset(optKey)
     // table-property opt-in: no session conf needed (the adopted table
     // carries its own opt-in)
-    // v5: past the engine append's v2 commit (a fresh file, not an
-    // overwrite — LocalFileSystem checksums pin committed versions)
+    // v3: the CONTIGUOUS next version after the engine append's v2
+    // commit (a fresh file, not an overwrite — LocalFileSystem checksums
+    // pin committed versions). Contiguity matters: version resolution is
+    // hint-first with a probe-forward (the HadoopTableOperations
+    // semantics) — an external writer dropping a GAPPED version number
+    // is outside the Hadoop-table layout contract and invisible to
+    // Iceberg's own Hadoop catalog too.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/metadata/v5.metadata.json"),
+      java.nio.file.Paths.get(s"$root/metadata/v3.metadata.json"),
       metaJson(s""""properties": {
         |  "${graft.iceberg.TableMetadata.NsAsBigintKey}": "true"},"""
         .stripMargin))
@@ -356,7 +361,7 @@ class FormatV3Spec extends SparkSpec {
     // a DEFAULT on the ns column must not make the opted-in table
     // unloadable (the single-value ISO form re-encodes as epoch NANOS)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$root/metadata/v6.metadata.json"),
+      java.nio.file.Paths.get(s"$root/metadata/v4.metadata.json"),
       metaJson(s""""properties": {
         |  "${graft.iceberg.TableMetadata.NsAsBigintKey}": "true"},"""
         .stripMargin).replace(
