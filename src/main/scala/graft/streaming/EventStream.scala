@@ -370,7 +370,12 @@ object EventStream {
         s"of the change stream (${dataCols.mkString(", ")})")
     changes.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
+        // ONE pass answers both pre-flight questions (emptiness + NULL
+        // keys) — these were two separate driver jobs per micro-batch
+        val pre = batch.toDF.agg(count(lit(1)),
+          count(when(keysResolved.map(col(_).isNull).reduce(_ || _), 1)))
+          .collect()(0)
+        if (pre.getLong(0) > 0L) {
           import org.apache.spark.sql.expressions.Window
           val spark = batch.sparkSession
           val isInsert = col("_change_type").isin("insert", "update_after")
@@ -379,9 +384,7 @@ object EventStream {
           // would diverge the replica — fail LOUDLY instead (identifier
           // fields are required per spec; this catches explicit keys on
           // nullable columns and imports violating the declaration)
-          val nullKeyed = batch.toDF.filter(
-            keysResolved.map(col(_).isNull).reduce(_ || _))
-          if (!nullKeyed.isEmpty) throw new IllegalStateException(
+          if (pre.getLong(1) > 0L) throw new IllegalStateException(
             s"replica sink: batch $batchId carries NULL values in key " +
               s"column(s) ${keysResolved.mkString(", ")} — a NULL key " +
               "cannot be replicated by MERGE; repair the feed or key on " +
