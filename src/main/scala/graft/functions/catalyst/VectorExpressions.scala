@@ -528,6 +528,65 @@ object SumCharLengths {
   }
 }
 
+/** All word-shingle hashes of a token array in ONE map-side projection:
+  * position i yields Spark's exact `xxhash64(ws[i], …, ws[i+n-1])` chain
+  * (seed 42, per-child XxHash64Function step, null children skipped), for
+  * i in 0..m-n; an array shorter than the shingle size yields one hash
+  * chained over all its elements — bit-identical to the former
+  * posexplode + window-`lead` formulation, WITHOUT the (id, token)
+  * shuffle + per-partition sort the window needed. With this the minhash
+  * pipeline's only exchange carries partially-aggregated signature
+  * buffers (numHashes longs per doc), never token strings. */
+case class ShingleHashes(child: Expression, shingleSize: Int)
+  extends UnaryExpression {
+  require(shingleSize >= 1, s"shingleSize=$shingleSize out of range")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingleHashes expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHashes.compute(a.asInstanceOf[ArrayData], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.catalyst.ShingleHashes$$.MODULE$$
+         |  .compute($a, $shingleSize);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def compute(ws: ArrayData, n: Int): GenericArrayData = {
+    val m = ws.numElements()
+    val count = if (m == 0) 0 else math.max(1, m - n + 1)
+    val out = new Array[Long](count)
+    val f = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    var i = 0
+    while (i < count) {
+      var seed = 42L
+      var j = i
+      val end = math.min(i + n, m)
+      while (j < end) {
+        if (!ws.isNullAt(j))
+          seed = f.hash(ws.getUTF8String(j), StringType, seed)
+        j += 1
+      }
+      out(i) = seed
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** MinHash signature aggregate: for hash family k (0 until numHashes),
   * tracks `min(xxhash64(k, shingleHash))` over the group and returns the
   * signature as array<long> — bit-identical to the former `numHashes`

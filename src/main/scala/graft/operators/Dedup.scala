@@ -109,38 +109,36 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleSize: Int = 3): DataFrame = {
     // Codegen-first design. Higher-order functions (transform/aggregate)
-    // are CodegenFallback — interpreted, lambda-boxing per element — so a
-    // "pure projection" formulation is CPU-bound at scale. Instead every
-    // operator here is whole-stage-codegen'd: posexplode words, a window
-    // `lead` to form each n-gram shingle as ONE multi-arg xxhash64 (no
-    // shingle strings are ever built), then k per-seed min-aggregates.
-    // Shuffles: one hash partition on the doc id for the window; the
-    // groupBy then reuses that partitioning. Shuffled rows are (id, long).
-    import org.apache.spark.sql.expressions.Window
+    // are CodegenFallback — interpreted, lambda-boxing per element — so
+    // the shingle chain is a dedicated codegen'd expression
+    // ([[graft.functions.catalyst.ShingleHashes]]): every n-gram hash of
+    // a document computes MAP-SIDE from its token array, bit-identical
+    // to Spark's multi-arg xxhash64 over the window-`lead` formulation
+    // rounds 1–19 used — but with NO exchange before aggregation. The
+    // pipeline's ONLY shuffle now carries the partially-aggregated
+    // (id, numHashes-long signature buffer) rows; the former shape
+    // shuffled every (id, token) row for the window and sorted each
+    // partition by position. At corpus scale that was the dominant
+    // shuffle of the whole dedup family (tokens ≈ the corpus bytes).
+    //
     // Documents shorter than the shingle size (including null/empty text)
     // fall back to ONE whole-text shingle in the same single scan: their
     // token array is replaced by [coalesce(text, '')], so short exact
-    // duplicates still become dedup candidates and no document vanishes.
+    // duplicates still become dedup candidates and no document vanishes
+    // (ShingleHashes chains over ALL elements of a shorter-than-n array —
+    // exactly the xxhash64-skips-null-leads behavior of the window form).
     val toks0 = TextFunctions.tokens(col(textCol))
     val isFull = coalesce(size(toks0) >= shingleSize, lit(false))
-    val toks = df
-      .select(col(idCol), isFull.as("full"),
-        when(isFull, toks0)
-          .otherwise(array(coalesce(col(textCol), lit("")))).as("ws"))
-      .select(col(idCol), col("full"), size(col("ws")).as("nw"),
-        posexplode(col("ws")).as(Seq("pos", "w")))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    // xxhash64 skips null children, so for the single whole-text row the
-    // null leads reduce it to xxhash64(text) — no special case needed
-    val shingleHash = xxhash64(
-      col("w") +: (1 until shingleSize).map(j => lead(col("w"), j).over(win)): _*)
-    val sh = toks
-      .select(col(idCol), col("full"), col("nw"), col("pos"), shingleHash.as("sh"))
-      .filter(!col("full") || col("pos") <= col("nw") - shingleSize)
+    import org.apache.spark.sql.GraftColumnShim
+    val ws = when(isFull, toks0)
+      .otherwise(array(coalesce(col(textCol), lit(""))))
+    val shingles = GraftColumnShim.column(
+      graft.functions.catalyst.ShingleHashes(
+        GraftColumnShim.expression(ws), shingleSize))
+    val sh = df.select(col(idCol), explode(shingles).as("sh"))
     // one typed aggregate with a primitive numHashes-slot buffer (same
     // class-size rationale as SimhashVotes; values bit-identical to the
     // former per-family min(xxhash64(k, sh)) columns)
-    import org.apache.spark.sql.GraftColumnShim
     val sigAgg = GraftColumnShim.column(
       graft.functions.catalyst.MinHashAgg(
         GraftColumnShim.expression(col("sh")), numHashes)
