@@ -663,13 +663,30 @@ object Extensions {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("text"),
           ((col("doc_id") * 37) % 101).as("quality"))
-      val anchors = docs.groupBy(col("text"))
+      // duplicate-text grouping on the (length, xxhash64, md5)
+      // fingerprint — the exactKeepFirstByHash convention: equality is
+      // cryptographic, and the group/join exchanges carry ~60 fixed
+      // bytes per row instead of shipping every document text through
+      // BOTH the anchor aggregation and the pair join (at corpus scale
+      // those two exchanges were ~2x the corpus bytes). NULL text keeps
+      // its own group via the null-safe length key, exactly like
+      // groupBy(text)'s null bucket.
+      val fp = docs.select(col("doc_id"), col("quality"),
+        length(col("text")).as("__tl"),
+        xxhash64(coalesce(col("text"), lit(""))).as("__th"),
+        md5(encode(coalesce(col("text"), lit("")), "UTF-8")).as("__tm"))
+      val anchors = fp.groupBy(col("__tl"), col("__th"), col("__tm"))
         .agg(min(col("doc_id")).as("qa"), count(lit(1)).as("n"))
         .filter(col("n") > 1)
-      val pairs = docs.join(anchors, Seq("text"))
+        .select(col("__tl").as("__tl2"), col("__th").as("__th2"),
+          col("__tm").as("__tm2"), col("qa"))
+      val pairs = fp.join(anchors,
+          col("__tl") <=> col("__tl2") && col("__th") === col("__th2") &&
+            col("__tm") === col("__tm2"))
         .filter(col("doc_id") =!= col("qa"))
         .select(col("qa"), col("doc_id").as("qb"))
-      Dedup.keepCanonicalBy(docs, "doc_id", col("quality"), pairs)
+      Dedup.keepCanonicalBy(docs.select(col("doc_id"), col("quality")),
+          "doc_id", col("quality"), pairs)
         .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),
