@@ -21,18 +21,22 @@ object TextFunctions {
   def wordCount(text: Column): Column = size(tokens(text)).cast("bigint")
 
   /** Word n-gram shingles (n consecutive words, space-joined), distinct.
-    * Guarded: Spark's `sequence(1, 0)` yields a *descending* [1, 0], so
-    * short documents must short-circuit to an empty array explicitly.
+    * One codegen'd kernel call per row
+    * ([[graft.functions.catalyst.ShingleStrings]]); the
+    * `transform(sequence(...))` higher-order formulation it replaces is
+    * interpreted lambda dispatch per element — the round-21 profile
+    * found it as the last interpreted expression on a bench hot path
+    * (decontamination evaluates it across the whole corpus side).
+    * Output is bit-identical: short/empty documents yield the empty
+    * array (the old `otherwise(array())` arm, kept via coalesce for
+    * null text), distinctness keeps first-occurrence order.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", slice(w, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    coalesce(
+      org.apache.spark.sql.GraftColumnShim.column(
+        graft.functions.catalyst.ShingleStrings(
+          org.apache.spark.sql.GraftColumnShim.expression(tokens(text)), n)),
+      array().cast("array<string>"))
 
   // -- quality scoring ------------------------------------------------------
 

@@ -587,6 +587,77 @@ object ShingleHashes {
   }
 }
 
+/** Distinct word n-gram shingle STRINGS of a token array in one static
+  * JVM call per row — the exact-string twin of [[ShingleHashes]], and a
+  * drop-in for the former
+  * `array_distinct(transform(sequence(1, m-n+1), i => concat_ws(" ",
+  * slice(w, i, n))))` formulation in `TextFunctions.shingles`: `transform`
+  * is a higher-order function (interpreted lambda dispatch with
+  * per-element boxing — the hot-path class this codebase bans), and the
+  * decontamination / n-gram-Jaccard / Gopher-repetition operators
+  * evaluate it once per corpus row. Semantics replicated bit-for-bit:
+  * arrays shorter than `n` yield the EMPTY array (not a short chain —
+  * unlike the hash twin), shingles join with a single space skipping
+  * null elements (`concat_ws`), and distinctness keeps first-occurrence
+  * order (`array_distinct`). Null input propagates null; callers that
+  * need the old `otherwise(array())` shape coalesce above.
+  */
+case class ShingleStrings(child: Expression, shingleSize: Int)
+  extends UnaryExpression {
+  require(shingleSize >= 1, s"shingleSize=$shingleSize out of range")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingleStrings expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleStrings.compute(a.asInstanceOf[ArrayData], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.catalyst.ShingleStrings$$.MODULE$$
+         |  .compute($a, $shingleSize);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(ws: ArrayData, n: Int): GenericArrayData = {
+    val m = ws.numElements()
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    // LinkedHashSet = array_distinct's first-occurrence order
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (ws.isNullAt(i + j)) null else ws.getUTF8String(i + j)
+        j += 1
+      }
+      // concatWs skips nulls — exactly concat_ws, and it copies bytes,
+      // so the emitted strings own their storage
+      seen.add(UTF8String.concatWs(Sep, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** MinHash signature aggregate: for hash family k (0 until numHashes),
   * tracks `min(xxhash64(k, shingleHash))` over the group and returns the
   * signature as array<long> — bit-identical to the former `numHashes`

@@ -16,6 +16,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) == Seq.empty)
   }
 
+  test("shingles (codegen ShingleStrings) matches the HOF formulation exactly") {
+    // the r21 codegen kernel must be bit-identical to the expression it
+    // replaced: when(size>=n, array_distinct(transform(sequence(1, m-n+1),
+    // i => concat_ws(" ", slice(w, i, n))))).otherwise(array())
+    def oldShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val w = split(text, " ")
+      when(size(w) >= n,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val rows = Seq(
+      "one two three four five",
+      "one two",             // shorter than n
+      "",                    // empty text -> [""] token
+      "a a a a a a",         // heavy repeats: distinct order matters
+      "x  y z w",            // double space -> empty token mid-array
+      " lead and trail ",    // leading/trailing empties from split -1
+      "exactly three words", // m == n
+      null.asInstanceOf[String])
+    for (n <- Seq(1, 2, 3, 4)) {
+      val df = rows.toDF("text")
+      val got = df.select(TextFunctions.shingles(col("text"), n).as("s"))
+        .collect().map(r => r.getSeq[String](0))
+      val want = df.select(oldShingles(col("text"), n).as("s"))
+        .collect().map(r => r.getSeq[String](0))
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+  }
+
   test("redactPII replaces each shape with its tag; piiCount audits them") {
     val df = Seq(
       "mail bob.smith+x@corp.example.org now",
