@@ -684,6 +684,48 @@ object TableMetadata {
     candidates.maxBy(_._1)._2
   }
 
+  /** [[latestMetadataPath]] for COMMIT bases. The hint fast path probes
+    * only `vN.metadata.json` names, so it can miss a newer
+    * `NNNNN-uuid.metadata.json` committed by an EXTERNAL engine (this
+    * resolver supports both forms, but only this engine writes hints) —
+    * and a commit built on that stale base would silently drop the
+    * external commit (ADVICE r20, medium). Commits are rare relative to
+    * loads and already perform several FS round-trips, so the commit
+    * base always takes the full LISTING (which sees both name forms and
+    * strictly dominates the hint); READS keep the O(1) hint path — a
+    * hint-lagged read serves a consistent earlier snapshot, never lost
+    * data, and the next commit both arbitrates via create-new and
+    * re-heals the hint. */
+  private[iceberg] def latestMetadataPathForCommit(
+      tableDir: String, conf: Configuration): Path = {
+    val dir = new Path(tableDir, "metadata")
+    val fs = dir.getFileSystem(conf)
+    val candidates = fs.listStatus(dir).map(_.getPath).toSeq
+      .flatMap { p =>
+        p.getName match {
+          case VersionedName(v1, v2) => Some(Option(v1).getOrElse(v2).toLong -> p)
+          case _ => None
+        }
+      }
+    if (candidates.isEmpty)
+      throw new IllegalArgumentException(s"no metadata.json under $dir")
+    candidates.maxBy(_._1)._2
+  }
+
+  /** Fast table-existence probe: the hint names a version AND that
+    * version's metadata file exists — two point lookups, no listing. A
+    * bare leftover hint with no metadata.json (external cleanup, partial
+    * copy) returns false so callers fall through to their listing check
+    * instead of reporting a table that would fail at load (ADVICE r20). */
+  private[graft] def hintedTableExists(tableDir: String,
+                                       conf: Configuration): Boolean =
+    try {
+      val dir = new Path(tableDir, "metadata")
+      val fs = dir.getFileSystem(conf)
+      hintedVersion(fs, dir)
+        .exists(h => fs.exists(new Path(dir, s"v$h.metadata.json")))
+    } catch { case _: Exception => false }
+
   private def hintedVersion(fs: org.apache.hadoop.fs.FileSystem,
                             dir: Path): Option[Long] =
     try {

@@ -67,6 +67,17 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
   // rather than corrupt quietly — checked once per scheme process-wide.
   FsCommitter.requireAtomicCreate(tableDir, conf)
 
+  // Resolution split (r21, ADVICE r20): the PUBLISH BASE (rootAndPath /
+  // latestPath below) resolves AUTHORITATIVELY — full listing, both name
+  // forms — because a commit built on a hint-stale base would silently
+  // drop an external engine's uuid-form commit. Pre-publish READS
+  // (currentRoot / currentMetadata here, and PinnedFsCommitter's pin)
+  // keep the O(1) hint path: whatever they build, the publish re-reads
+  // the authoritative base and re-checks every requirement against it,
+  // so a hint-lagged pre-read surfaces as a retryable
+  // CommitConflictException (assert-refs fail against the true root) or
+  // applies cleanly to the true root — never silent loss. Commits are
+  // rare relative to loads, so only the publish pays the listing.
   override def currentRoot(mapper: ObjectMapper): ObjectNode = {
     val latest = TableMetadata.latestMetadataPath(tableDir, conf)
     val in = latest.getFileSystem(conf).open(latest)
@@ -87,7 +98,7 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
   /** Fresh metadata document plus the path it was read from — the commit
     * base for [[publishAfter]]. */
   private[iceberg] def rootAndPath(mapper: ObjectMapper): (ObjectNode, Path) = {
-    val latest = TableMetadata.latestMetadataPath(tableDir, conf)
+    val latest = TableMetadata.latestMetadataPathForCommit(tableDir, conf)
     val in = latest.getFileSystem(conf).open(latest)
     val root = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
     (root, latest)
@@ -96,7 +107,7 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
   /** Current latest metadata path, for is-ours checks during transaction
     * compensation. */
   private[iceberg] def latestPath(): Path =
-    TableMetadata.latestMetadataPath(tableDir, conf)
+    TableMetadata.latestMetadataPathForCommit(tableDir, conf)
 
   /** The publish half of [[commit]]: write `next` as the version after
     * `latest`, create-new as the commit point. Returns the created path.
@@ -155,6 +166,10 @@ class FsCommitter(val tableDir: String, val conf: Configuration)
 final class PinnedFsCommitter(dir: String, hconf: Configuration)
     extends FsCommitter(dir, hconf) {
   private val pinnedJson: String = {
+    // hint path is fine here: a hint-lagged pin's staged assert-refs
+    // fail against the publish's AUTHORITATIVE base (rootAndPath) and
+    // the caller recomputes from a fresh pin — see FsCommitter's
+    // resolution-split note
     val p = TableMetadata.latestMetadataPath(dir, hconf)
     val in = p.getFileSystem(hconf).open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

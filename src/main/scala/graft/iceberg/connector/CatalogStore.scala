@@ -202,15 +202,16 @@ final class FsCatalogStore(warehouse: Path, conf: Configuration) extends Catalog
     } catch { case _: Exception => Nil }
 
   // Fast path first: FsCommitter leaves an advisory version-hint file
-  // after every commit, so one point lookup answers "is this a table"
-  // without listing a metadata directory that also holds every manifest
-  // (O(commit history) per existence check otherwise — a hot frame in
-  // commit-loop sampling). Freshly created tables (v0/v1 only, no commit
-  // yet) and foreign-written tables fall back to the listing.
+  // after every commit, so two point lookups answer "is this a table"
+  // (the hint AND the metadata file it names — a bare leftover hint with
+  // no metadata.json must not report a table that would fail at load,
+  // ADVICE r20) without listing a metadata directory that also holds
+  // every manifest (O(commit history) per existence check otherwise — a
+  // hot frame in commit-loop sampling). Freshly created tables (v0/v1
+  // only, no commit yet), foreign-written tables, and orphan hints fall
+  // back to the listing.
   private def isTableDir(dir: Path): Boolean =
-    (try fs.exists(new Path(dir,
-      s"metadata/${graft.iceberg.TableMetadata.VersionHintFile}"))
-    catch { case _: Exception => false }) ||
+    graft.iceberg.TableMetadata.hintedTableExists(dir.toString, conf) ||
       metaFiles(dir, ".metadata.json").nonEmpty
   // `.view.json` is the pre-view-spec format this catalog wrote before
   // round 3; still recognized (and up-converted on read) so existing
