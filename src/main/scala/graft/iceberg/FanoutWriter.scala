@@ -19,9 +19,10 @@ import org.apache.spark.sql.types._
   * runs once per Spark job (task-closure serialization), which sampling
   * showed as ~15% of a small commit's driver time. Query bodies build
   * one Configuration and run many jobs against it, so the bytes are
-  * cached per Configuration identity and reused while the property
-  * count is unchanged (these confs are never mutated after first use;
-  * the size check catches the accidental add/remove anyway). */
+  * cached per Configuration identity and reused while a content
+  * fingerprint over every (key, value) entry is unchanged — mutating
+  * an existing property's VALUE invalidates too, not just add/remove
+  * (the r20 size()-only check's staleness hole, ADVICE r20). */
 final class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {
   @throws[IOException]
@@ -38,18 +39,37 @@ object SerializableHadoopConf {
   // weak keys: cached bytes die with the Configuration they serialize
   private val cache =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[Configuration, (Int, Array[Byte])]())
+      new java.util.WeakHashMap[Configuration, (Long, Array[Byte])]())
+
+  /** Order-independent content fingerprint over every merged property.
+    * One pass of CACHED String.hashCodes plus arithmetic — orders of
+    * magnitude cheaper than `Configuration.write`'s UTF-8 encode of the
+    * same entries — and it changes when any property VALUE changes, not
+    * just the count (the r20 cache invalidated on `size()` alone, which
+    * shipped stale bytes to tasks if a caller mutated an existing key
+    * after first use; ADVICE r20). */
+  private def fingerprint(conf: Configuration): Long = {
+    var h = conf.size().toLong << 32
+    val it = conf.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      // sum of per-entry hashes: iteration order of the underlying
+      // Properties map must not matter
+      h += e.getKey.hashCode.toLong * 31L + e.getValue.hashCode.toLong
+    }
+    h
+  }
 
   private def bytesFor(conf: Configuration): Array[Byte] = {
-    val size = conf.size()
+    val fp = fingerprint(conf)
     val hit = cache.get(conf)
-    if (hit != null && hit._1 == size) return hit._2
+    if (hit != null && hit._1 == fp) return hit._2
     val bos = new java.io.ByteArrayOutputStream(64 * 1024)
     val dos = new java.io.DataOutputStream(bos)
     conf.write(dos)
     dos.flush()
     val bytes = bos.toByteArray
-    cache.put(conf, (size, bytes))
+    cache.put(conf, (fp, bytes))
     bytes
   }
 }
