@@ -35,9 +35,15 @@ import org.apache.spark.sql.types._
   *  - decimal columns group on their scale-fixed string rendering
   *    (injective) and min/max on the double widening (monotone).
   *  - string columns group and min/max on the value itself.
-  *  - boolean/date/timestamp columns group and min/max on their string
-  *    rendering — injective and order-preserving (fixed-width date/time
-  *    fields; fractional seconds compare digit-wise as decimals).
+  *  - boolean columns group and min/max on their string rendering —
+  *    injective and order-preserving ("false" < "true").
+  *  - date/timestamp columns group on their string rendering (injective)
+  *    but min/max on the TYPED value carried alongside (fixed-width
+  *    int/long internally, so still hash-aggregable): the rendering is
+  *    NOT order-preserving at the edges — BCE years ('-0044') compare
+  *    reversed among themselves and years >= 10000 gain a digit
+  *    (ADVICE r20) — while the typed min/max is the single-agg form's
+  *    exact ordering and rendering.
   *  - any other type (array/struct/map/binary/interval) falls back to
   *    the original single-aggregate form, whose typed MIN/MAX ordering
   *    a string rendering would not preserve.
@@ -53,14 +59,22 @@ object Profiler {
   private case object Fractional extends Kind // group+minmax on double
   private case object DecimalKind extends Kind // group on string, minmax dbl
   private case object Stringy extends Kind // group+minmax on string render
+  private case object Temporal extends Kind // group on string, minmax TYPED
   private case object Exotic extends Kind // single-agg fallback
 
   private def kindOf(dt: DataType): Kind = dt match {
     case ByteType | ShortType | IntegerType | LongType => Integral
     case FloatType | DoubleType => Fractional
     case _: DecimalType => DecimalKind
-    case StringType => Stringy
-    case BooleanType | DateType | TimestampType | TimestampNTZType => Stringy
+    // boolean's render is order-preserving ("false" < "true")
+    case StringType | BooleanType => Stringy
+    // date/timestamp renderings are NOT order-preserving at the edges
+    // (BCE years render '-0044' and compare reversed among themselves;
+    // years >= 10000 gain a digit) — min/max must use the TYPED value,
+    // which is fixed-width (int/long internally) and therefore still
+    // hash-aggregates (ADVICE r20). The string render stays the group
+    // key (injective), the typed slot rides along for min/max only.
+    case DateType | TimestampType | TimestampNTZType => Temporal
     case _ => Exotic
   }
 
@@ -73,9 +87,14 @@ object Profiler {
     val nullS = lit(null).cast("string")
     val nullD = lit(null).cast("double")
     val nullL = lit(null).cast("long")
+    val nullDt = lit(null).cast("date")
+    val nullTs = lit(null).cast("timestamp")
+    val nullNt = lit(null).cast("timestamp_ntz")
     // one narrow struct per profiled column, exploded to rows: the
     // shuffle carries (col, key-value, null-flag) — fixed small bytes
-    // per row — instead of the Expand form's x(N+1) full-width rows
+    // per row — instead of the Expand form's x(N+1) full-width rows.
+    // Temporal columns additionally carry their TYPED value (4/8 fixed
+    // bytes) so min/max use typed ordering, not the render's.
     val pairs = df.select(explode(array(cols.map { c =>
       val (sv, dv, lv) = kinds(c) match {
         case Integral => (nullS, nullD, col(c).cast("long"))
@@ -83,10 +102,20 @@ object Profiler {
         case DecimalKind => (col(c).cast("string"), col(c).cast("double"), nullL)
         case _ => (col(c).cast("string"), nullD, nullL)
       }
+      val (tvd, tvt, tvn) =
+        if (kinds(c) != Temporal) (nullDt, nullTs, nullNt)
+        else types(c) match {
+          case DateType => (col(c), nullTs, nullNt)
+          case TimestampType => (nullDt, col(c), nullNt)
+          case _ => (nullDt, nullTs, col(c))
+        }
       struct(lit(c).as("cn"), sv.as("sv"), dv.as("dv"), lv.as("lv"),
+        tvd.as("tvd"), tvt.as("tvt"), tvn.as("tvn"),
         col(c).isNull.as("isn"))
     }: _*)).as("p")).select(col("p.*"))
-    val lvl1 = pairs.groupBy("cn", "sv", "dv", "lv", "isn")
+    // the typed temporal slots are injective functions of the render
+    // (sv), so adding them to the group key changes no group boundaries
+    val lvl1 = pairs.groupBy("cn", "sv", "dv", "lv", "tvd", "tvt", "tvn", "isn")
       .agg(count(lit(1)).as("cnt"))
     val lvl2 = lvl1.groupBy("cn").agg(
       sum(when(!col("isn"), col("cnt")).otherwise(0L)).as("n"),
@@ -94,7 +123,10 @@ object Profiler {
       count(when(!col("isn"), lit(1))).as("n_distinct"),
       min(col("sv")).as("smin"), max(col("sv")).as("smax"),
       min(col("dv")).as("dmin"), max(col("dv")).as("dmax"),
-      min(col("lv")).as("lmin"), max(col("lv")).as("lmax"))
+      min(col("lv")).as("lmin"), max(col("lv")).as("lmax"),
+      min(col("tvd")).as("tdmin"), max(col("tvd")).as("tdmax"),
+      min(col("tvt")).as("ttmin"), max(col("tvt")).as("ttmax"),
+      min(col("tvn")).as("tnmin"), max(col("tvn")).as("tnmax"))
     def minmax(c: String, mn: Boolean): Column = {
       val (d, l, s) =
         if (mn) (col("dmin"), col("lmin"), col("smin"))
@@ -102,6 +134,16 @@ object Profiler {
       kinds(c) match {
         case Integral => round(l.cast("double"), 4).cast("string")
         case Fractional | DecimalKind => round(d, 4).cast("string")
+        case Temporal =>
+          val t = (types(c), mn) match {
+            case (DateType, true) => col("tdmin")
+            case (DateType, false) => col("tdmax")
+            case (TimestampType, true) => col("ttmin")
+            case (TimestampType, false) => col("ttmax")
+            case (_, true) => col("tnmin")
+            case (_, false) => col("tnmax")
+          }
+          t.cast("string") // the single-agg form's exact rendering
         case _ => s
       }
     }

@@ -696,6 +696,17 @@ class CurationOpsSpec extends SparkSpec {
     val arr = Seq((Seq(1, 2), 1L), (Seq(9), 2L)).toDF("a", "k")
     val gotArr = rows(Profiler.profile(arr, Seq("a", "k")))
     assert(gotArr("a").head == 2L && gotArr("k").head == 2L)
+    // date/timestamp min/max use TYPED ordering (r21, ADVICE r20): the
+    // string render misorders BCE years among themselves and years with
+    // five digits — these rows diverge under lexicographic min/max
+    val edges = Seq(
+      java.sql.Date.valueOf(java.time.LocalDate.of(-44, 3, 15)),
+      java.sql.Date.valueOf(java.time.LocalDate.of(-202, 1, 1)),
+      java.sql.Date.valueOf(java.time.LocalDate.of(10000, 1, 1)),
+      java.sql.Date.valueOf(java.time.LocalDate.of(1995, 6, 1)),
+      null.asInstanceOf[java.sql.Date]).toDF("dt")
+    assert(rows(Profiler.profile(edges, Seq("dt"))) ==
+      rows(Profiler.profileSingleAgg(edges, Seq("dt"))))
   }
 
   test("gopher battery symbol and alpha rules see planted spam") {
