@@ -59,7 +59,16 @@ object BpeTrainer {
   def train(df: DataFrame, textCol: String, numMerges: Int,
             minCount: Long = 2L, mergesPerRound: Int = 1): Seq[Merge] = {
     require(mergesPerRound >= 1, s"mergesPerRound=$mergesPerRound")
-    var words = wordTable(df, textCol).localCheckpoint(true)
+    // LAZY localCheckpoints (r21): each round's pair-count collect
+    // materializes the pending symbol-table checkpoint as part of its
+    // own job, so a round costs ONE Spark job instead of two (eager
+    // checkpoint + collect) — job count ∝ merges is the training loop's
+    // driver-bound term (guide §7.3), the counts themselves unchanged.
+    // The PREVIOUS round's blocks release only after the collect that
+    // materialized their successor (a lazy checkpoint still reads its
+    // parent when first computed).
+    var words = wordTable(df, textCol).localCheckpoint(false)
+    var prevWords: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -77,6 +86,9 @@ object BpeTrainer {
         .filter(col("cnt") >= minCount)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(math.max(want * 4, 4)).collect()
+      // this round's collect materialized `words`; its parent is free
+      prevWords.foreach(_.unpersist())
+      prevWords = None
       if (top.isEmpty) done = true
       else {
         val used = scala.collection.mutable.Set[String]()
@@ -93,11 +105,12 @@ object BpeTrainer {
         val next = words
           .select(round.foldLeft(col("sym")) { case (c, (l, r, _)) =>
             mergeCol(c, l, r) }.as("sym"), col("wc"))
-          .localCheckpoint(true)
-        words.unpersist()
+          .localCheckpoint(false)
+        prevWords = Some(words)
         words = next
       }
     }
+    prevWords.foreach(_.unpersist())
     words.unpersist()
     merges.result()
   }
