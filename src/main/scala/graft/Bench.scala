@@ -54,7 +54,15 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"timing":"min","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // cpus + the session's effective parallelism ride along so the
+    // driver's scaling harness can VERIFY the core-count setting took
+    // (r20's suspect_cpus_ignored flag: ratios ≈1 at sf0.1 are
+    // overhead-bound physics, not an ignored env var — now provable
+    // from the artifact alone). Additions only; the timed protocol and
+    // every existing key are unchanged.
+    val par = spark.sparkContext.defaultParallelism
+    val cpusN = cpus.trim.toIntOption.getOrElse(par) // local[*] etc.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"timing":"min","cpus":$cpusN,"parallelism":$par,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a truncated tail of this process's stdout
     // (BENCH_r11/r12 lost per-query times for q1–q43 three rounds
