@@ -1465,8 +1465,17 @@ final class IcebergTable private (
     require(badCols.isEmpty,
       s"changesWithUpdates cannot compare map/variant columns for " +
         s"carryover detection (${badCols.mkString(", ")}); use changesBetween")
+    // LAZY checkpoint (r21): the consumer's first action — the streaming
+    // source's result pin, the batch caller's collect — materializes the
+    // window scan INSIDE its own job, so a window costs one driver job
+    // round instead of two (jstack: the eager form's standalone
+    // checkpoint job held ~25% of q166's stream-thread time). The
+    // two-reader single-scan property is preserved: the pairing
+    // aggregate's map stage computes (and thereby pins) every window
+    // partition before the null-key union branch runs in the result
+    // stage, which then reads the pinned blocks.
     val cs = changesBetweenImpl(spark, fromId, toId, withLineage = v3)
-      .localCheckpoint(true) // two readers below; the window scan runs once
+      .localCheckpoint(false)
     val schemaCols = metadata.schema.fieldNames.toSeq
     // the per-row pairing key: v3 = the spec-assigned _row_id; v2 = the
     // declared identifier columns (required per spec, but imported files

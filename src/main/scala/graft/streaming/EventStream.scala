@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
+  /** Replica-sink batch-pin bound (rows): at or above this change
+    * volume the micro-batch localCheckpoints once and the sink's 2-3
+    * downstream passes read pinned blocks instead of re-executing the
+    * window's scans through the RDD bridge; below it the pin job costs
+    * more than the re-scans (measured at bench scale). */
+  private[graft] val ReplicaPinMinRows = 1000000L
+
   /** Hourly tumbling-window counts + value sums per event type.
     * Works on both batch and streaming inputs (`window()` is supported in
     * both); in streaming mode pair with [[withWatermark]].
@@ -375,6 +382,21 @@ object EventStream {
         val pre = batch.toDF.agg(count(lit(1)),
           count(when(keysResolved.map(col(_).isNull).reduce(_ || _), 1)))
           .collect()(0)
+        // PIN large batches once (r21): the carryover group + anti-join,
+        // the net-change window, and the MERGE's source each re-execute
+        // the window's scans through the RDD bridge — 2-3 window
+        // executions per batch (guide §5: cache when reused and
+        // recompute is expensive). Below the row bound the pin job costs
+        // more than the re-scans (measured at bench scale: the pin
+        // regressed q163 ~8%), so tiny windows skip it; at change
+        // volumes where the re-scan actually hurts, the count the
+        // pre-flight already collected flips the trade. Released in the
+        // finally — foreachBatch completes the batch on return.
+        val pinned =
+          if (pre.getLong(0) >= EventStream.ReplicaPinMinRows)
+            Some(batch.toDF.localCheckpoint(true))
+          else None
+        try {
         if (pre.getLong(0) > 0L) {
           import org.apache.spark.sql.expressions.Window
           val spark = batch.sparkSession
@@ -404,8 +426,8 @@ object EventStream {
           val bschema = batch.schema
           val proxied = dataCols.filter(c => graft.iceberg.IcebergTable
             .hasUncomparable(bschema(c).dataType))
-          val withProxies = proxied.foldLeft(batch.toDF)((df, c) =>
-            df.withColumn(s"__g_cmp_$c", to_json(col(c))))
+          val withProxies = proxied.foldLeft(pinned.getOrElse(batch.toDF))(
+            (df, c) => df.withColumn(s"__g_cmp_$c", to_json(col(c))))
           val carryKey = Seq("_change_ordinal") ++ dataCols.map(c =>
             if (proxied.contains(c)) s"__g_cmp_$c" else c)
           val carry = withProxies
@@ -440,6 +462,8 @@ object EventStream {
             ()
           } finally { spark.catalog.dropTempView(view); () }
         }
+        } finally pinned.foreach(
+          graft.iceberg.IcebergTable.unpinLocalCheckpoint)
     }
   }
 
