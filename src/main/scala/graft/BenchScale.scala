@@ -52,11 +52,18 @@ object BenchScale {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replicaList = args.lift(1).getOrElse("1,10")
       .split(",").map(_.trim.toInt).toSeq
+    // honor the driver's core-count env like Bench does (r21, VERDICT
+    // item 2): BenchScale's replicated corpora are compute-bound where
+    // the sf0.1 bench is overhead-bound, so THIS is the surface where
+    // 8-vs-32-core ratios can actually separate; `cpus` rides every
+    // output line so the scaling harness can verify the setting took
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    cpusLabel = cpus.trim.toIntOption.getOrElse(32).toString
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(s"local[$cpus]")
       .config("spark.sql.extensions",
         "graft.iceberg.connector.GraftSparkExtensions")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -511,11 +518,15 @@ object BenchScale {
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
+  /** Core count label for the report lines (set by main from
+    * SPARK_GRAFT_CPUS). */
+  @volatile private var cpusLabel: String = "32"
+
   private def report(stage: String, replicas: Int, secs: Double,
                      nDocs: Long, rows: Long): Unit =
     println(s"""{"stage":"$stage","replicas":$replicas,""" +
       s""""secs":${math.round(secs * 1000) / 1000.0},"docs":$nDocs,""" +
-      s""""rows":$rows}""")
+      s""""rows":$rows,"cpus":$cpusLabel}""")
 
   private def spjJoin(spark: SparkSession, sfDir: String, r: Int): Double = {
     import org.apache.hadoop.fs.Path
