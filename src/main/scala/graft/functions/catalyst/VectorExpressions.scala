@@ -656,6 +656,262 @@ object ShingleStrings {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** concat_ws(" ", parts) over `ws[i..i+n)` — nulls skipped, exactly
+    * Spark's ConcatWs (shared by the shingle/boilerplate/span kernels). */
+  private[catalyst] def gramAt(ws: ArrayData, i: Int, n: Int,
+      parts: Array[UTF8String], sep: UTF8String): UTF8String = {
+    var j = 0
+    while (j < n) {
+      parts(j) = if (ws.isNullAt(i + j)) null else ws.getUTF8String(i + j)
+      j += 1
+    }
+    UTF8String.concatWs(sep, parts: _*)
+  }
+
+  private[catalyst] val Sep0: UTF8String = Sep
+}
+
+/** Boilerplate pass-2 rewrite in one static JVM call per row — replaces
+  * the interpreted `filter(starts, i => inGrams(...)) → transform →
+  * array_except → transform(keptIdx, element_at)` chain (each a
+  * CodegenFallback higher-order function; the rewrite ran O(words)
+  * interpreted lambda dispatches per document). Semantics are
+  * bit-identical: every window of `n` words whose space-joined gram
+  * (concat_ws — nulls skipped) is in `grams` marks its positions
+  * covered; `cleaned` re-joins the uncovered words with single spaces
+  * (concat_ws again: null words skipped, empty words kept), `removed` =
+  * the number of covered positions. Null input array propagates null;
+  * the caller maps it to (null text, 0 removed) like the old form.
+  */
+case class RemoveNgrams(child: Expression, grams: Seq[String], n: Int)
+  extends UnaryExpression {
+  require(n >= 1, s"n=$n out of range")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cleaned", StringType, nullable = false),
+    StructField("removed", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"removeNgrams expects array<string>, got ${other.simpleString}")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](grams.size * 2)
+    grams.foreach(g => s.add(UTF8String.fromString(g)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    RemoveNgrams.compute(a.asInstanceOf[ArrayData], set, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftGramSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.catalyst.RemoveNgrams$$.MODULE$$
+         |  .compute($a, $setRef, $n);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RemoveNgrams =
+    copy(child = newChild)
+}
+
+object RemoveNgrams {
+  def compute(ws: ArrayData, grams: java.util.HashSet[UTF8String],
+      n: Int): InternalRow = {
+    val m = ws.numElements()
+    val cover = new Array[Boolean](m)
+    if (m >= n && !grams.isEmpty) {
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        if (grams.contains(
+            ShingleStrings.gramAt(ws, i, n, parts, ShingleStrings.Sep0))) {
+          var j = i
+          while (j < i + n) { cover(j) = true; j += 1 }
+        }
+        i += 1
+      }
+    }
+    joinUncovered(ws, cover, m)
+  }
+
+  /** (cleaned = uncovered words space-joined, removed = covered count) —
+    * shared with [[StripSpans]]. */
+  private[catalyst] def joinUncovered(ws: ArrayData, drop: Array[Boolean],
+      m: Int): InternalRow = {
+    var removed = 0
+    var kept = 0
+    var p = 0
+    while (p < m) {
+      if (drop(p)) removed += 1
+      else if (!ws.isNullAt(p)) kept += 1 // concat_ws skips null words
+      p += 1
+    }
+    val parts = new Array[UTF8String](kept)
+    var k = 0
+    p = 0
+    while (p < m) {
+      if (!drop(p) && !ws.isNullAt(p)) { parts(k) = ws.getUTF8String(p); k += 1 }
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.concatWs(ShingleStrings.Sep0, parts: _*),
+      removed)
+  }
+}
+
+/** All positioned k-shingles of a token array — (start, gram) structs,
+  * one static call per row; the exact-substring dedup's explode source
+  * (replaces its interpreted `transform(sequence(...), i => struct(i,
+  * concat_ws(...)))`). Grams join with a single space skipping null
+  * words (concat_ws); arrays shorter than `k` yield the empty array.
+  * Null input propagates null (callers coalesce to empty, matching the
+  * old `otherwise(array())` arm). */
+case class PositionedShingles(child: Expression, shingleSize: Int)
+  extends UnaryExpression {
+  require(shingleSize >= 1, s"shingleSize=$shingleSize out of range")
+
+  private val elem = StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("g", StringType, nullable = false)))
+
+  override def dataType: DataType = ArrayType(elem, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"positionedShingles expects array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    PositionedShingles.compute(a.asInstanceOf[ArrayData], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.catalyst.PositionedShingles$$.MODULE$$
+         |  .compute($a, $shingleSize);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionedShingles = copy(child = newChild)
+}
+
+object PositionedShingles {
+  def compute(ws: ArrayData, k: Int): GenericArrayData = {
+    val m = ws.numElements()
+    if (m < k) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](m - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= m - k) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        i, ShingleStrings.gramAt(ws, i, k, parts, ShingleStrings.Sep0))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Exact-substring dedup's positional rewrite in one static call —
+  * replaces the interpreted `ranges → array_except → array_except →
+  * transform(keptIdx, element_at)` chain. A position is dropped iff it
+  * lies inside some span of `starts` and inside NO span of `pstarts`
+  * (each span is k positions). `cleaned` re-joins the surviving words
+  * (concat_ws: null words skipped), `removed` counts dropped positions.
+  * Null `starts`/`pstarts` mean "no spans" (the old coalesce-to-empty);
+  * null word array propagates null, the caller maps it like the old
+  * form. */
+case class StripSpans(words: Expression, starts: Expression,
+    pstarts: Expression, spanLen: Int) extends Expression {
+  require(spanLen >= 1, s"spanLen=$spanLen out of range")
+
+  override def children: Seq[Expression] = Seq(words, starts, pstarts)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cleaned", StringType, nullable = false),
+    StructField("removed", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (words.dataType, starts.dataType, pstarts.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _),
+          ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"stripSpans expects (array<string>, array<int>, array<int>), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val w = words.eval(input)
+    if (w == null) return null // null text propagates; caller maps it
+    StripSpans.compute(w.asInstanceOf[ArrayData],
+      starts.eval(input).asInstanceOf[ArrayData],
+      pstarts.eval(input).asInstanceOf[ArrayData], spanLen)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val wc = words.genCode(ctx)
+    val stc = starts.genCode(ctx)
+    val pc = pstarts.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      code"""
+        ${wc.code}
+        boolean ${ev.isNull} = ${wc.isNull};
+        $javaType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${stc.code}
+          ${pc.code}
+          ${ev.value} = graft.functions.catalyst.StripSpans$$.MODULE$$
+            .compute(${wc.value},
+              ${stc.isNull} ? null : ${stc.value},
+              ${pc.isNull} ? null : ${pc.value}, $spanLen);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): StripSpans =
+    copy(words = newChildren(0), starts = newChildren(1),
+      pstarts = newChildren(2))
+}
+
+object StripSpans {
+  def compute(ws: ArrayData, starts: ArrayData, pstarts: ArrayData,
+      k: Int): InternalRow = {
+    val m = ws.numElements()
+    val drop = new Array[Boolean](m)
+    def mark(arr: ArrayData, into: Array[Boolean]): Unit = {
+      if (arr == null) return
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          var p = math.max(0, arr.getInt(i))
+          val end = math.min(m, arr.getInt(i) + k)
+          while (p < end) { into(p) = true; p += 1 }
+        }
+        i += 1
+      }
+    }
+    mark(starts, drop)
+    if (pstarts != null && pstarts.numElements() > 0) {
+      val prot = new Array[Boolean](m)
+      mark(pstarts, prot)
+      var p = 0
+      while (p < m) { if (prot(p)) drop(p) = false; p += 1 }
+    }
+    RemoveNgrams.joinUncovered(ws, drop, m)
+  }
 }
 
 /** MinHash signature aggregate: for hash family k (0 until numHashes),

@@ -31,13 +31,14 @@ object Boilerplate {
   def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
                      n: Int, minDf: Long, topK: Int): DataFrame = {
     require(n >= 1 && topK >= 1)
-    val w = split(col(textCol), " ")
-    df.select(col(idCol), w.as("__w"))
-      .select(col(idCol), explode(
-        when(size(col("__w")) >= n,
-          transform(sequence(lit(0), size(col("__w")) - n),
-            i => concat_ws(" ", slice(col("__w"), i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+    // the shared codegen'd shingle kernel (r21): per-doc distinct grams
+    // map-side — the per-(doc, gram) set after `.distinct()` is
+    // identical to the former duplicate-emitting transform's, the
+    // distinct-doc counts therefore too, with the interpreted
+    // per-position lambda dispatch gone
+    df.select(col(idCol),
+        explode(graft.functions.TextFunctions.shingles(col(textCol), n))
+          .as("gram"))
       .distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -57,27 +58,26 @@ object Boilerplate {
   def removeNgrams(df: DataFrame, textCol: String, grams: Seq[String],
                    n: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnShim
-    def inGrams(c: Column): Column = GraftColumnShim.column(
-      graft.functions.catalyst.InStringSet(
-        GraftColumnShim.expression(c), grams))
-    val w = split(col(textCol), " ")
-    val m = size(w)
-    val starts = when(m >= n, sequence(lit(0), m - n))
-      .otherwise(array().cast("array<int>"))
-    val hitStarts = filter(starts,
-      i => inGrams(concat_ws(" ", slice(w, i + 1, lit(n)))))
-    val covered = array_distinct(flatten(
-      transform(hitStarts, i => sequence(i, i + n - 1))))
-    val keptIdx = array_except(sequence(lit(0), m - 1), covered)
+    // one codegen'd kernel call per row (r21): the former
+    // `filter(starts, inGrams) → transform → array_except → transform
+    // (keptIdx, element_at)` chain was four higher-order functions —
+    // interpreted lambda dispatch, O(words) per document each. The
+    // kernel probes the same hash set per window, marks covered
+    // positions, and re-joins the survivors; output bit-identical
+    // (gated by the OperatorsSpec parity test).
+    val res = GraftColumnShim.column(
+      graft.functions.catalyst.RemoveNgrams(
+        GraftColumnShim.expression(split(col(textCol), " ")), grams, n))
     // NULL text stays NULL: concat_ws over the propagated null would
     // quietly coerce absent documents into present-but-empty ones,
     // changing downstream dedup keys and counts
-    df.withColumn("cleaned",
+    df.withColumn("__g_bp", res)
+      .withColumn("cleaned",
         when(col(textCol).isNull, lit(null).cast("string"))
-          .otherwise(concat_ws(" ",
-            transform(keptIdx, p => element_at(w, p + 1)))))
+          .otherwise(col("__g_bp").getField("cleaned")))
       .withColumn("n_removed_words",
-        coalesce(size(covered), lit(0)).cast("long"))
+        coalesce(col("__g_bp").getField("removed"), lit(0)).cast("long"))
+      .drop("__g_bp")
   }
 
   /** The composed operator: detect boilerplate, strip it everywhere. */

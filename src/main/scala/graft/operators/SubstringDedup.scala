@@ -50,16 +50,18 @@ object SubstringDedup {
   private def spanRoles(df: DataFrame, idCol: String, textCol: String,
                         k: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"span length must be >= 1, got $k")
-    val w = split(col(textCol), " ")
+    import org.apache.spark.sql.GraftColumnShim
+    // positioned shingles via one codegen'd kernel call per row (r21):
+    // the former transform(sequence(...), i => struct(i, concat_ws(...)))
+    // was interpreted lambda dispatch per position; output identical
+    // (same (start, gram) rows, short arrays empty, null text no rows)
+    val pos = GraftColumnShim.column(
+      graft.functions.catalyst.PositionedShingles(
+        GraftColumnShim.expression(split(col(textCol), " ")), k))
     val occ = df
-      .select(col(idCol).as("__id"), w.as("__w"))
-      .select(col("__id"), explode(
-        when(size(col("__w")) >= k,
-          transform(sequence(lit(0), size(col("__w")) - k),
-            i => struct(i.as("start"),
-              concat_ws(" ", slice(col("__w"), i + 1, lit(k))).as("g"))))
-          .otherwise(array().cast("array<struct<start:int,g:string>>")))
-        .as("o"))
+      .select(col(idCol).as("__id"),
+        explode(coalesce(pos,
+          array().cast("array<struct<start:int,g:string>>"))).as("o"))
       .select(col("__id"), col("o.start").as("start"), col("o.g").as("g"))
     val firsts = occ.groupBy(col("g")).agg(
       count(lit(1)).as("__n"),
@@ -100,20 +102,24 @@ object SubstringDedup {
       .agg(collect_list(col("start")).as("__pstarts"))
     val joined = df.join(covered, Seq(idCol), "left")
       .join(protectedS, Seq(idCol), "left")
-    val w = split(col(textCol), " ")
-    val m = size(w)
-    def ranges(c: Column): Column = array_distinct(flatten(transform(
-      coalesce(c, array().cast("array<int>")),
-      s => sequence(s, s + k - 1))))
-    val cov = array_except(ranges(col("__starts")), ranges(col("__pstarts")))
-    val keptIdx = array_except(sequence(lit(0), m - 1), cov)
+    import org.apache.spark.sql.GraftColumnShim
+    // positional cover + rebuild in one codegen'd kernel call (r21): the
+    // former ranges → array_except → array_except → transform rebuild
+    // was a chain of interpreted higher-order functions per document;
+    // the kernel marks covered-minus-protected positions and re-joins
+    // the survivors — identical output (OperatorsSpec parity test)
+    val res = GraftColumnShim.column(
+      graft.functions.catalyst.StripSpans(
+        GraftColumnShim.expression(split(col(textCol), " ")),
+        GraftColumnShim.expression(col("__starts")),
+        GraftColumnShim.expression(col("__pstarts")), k))
     joined
+      .withColumn("__g_ss", res)
       .withColumn("cleaned",
         when(col(textCol).isNull, lit(null).cast("string"))
-          .otherwise(concat_ws(" ",
-            transform(keptIdx, p => element_at(w, p + 1)))))
+          .otherwise(col("__g_ss").getField("cleaned")))
       .withColumn("n_removed_words",
-        coalesce(size(cov), lit(0)).cast("long"))
-      .drop("__starts", "__pstarts")
+        coalesce(col("__g_ss").getField("removed"), lit(0)).cast("long"))
+      .drop("__starts", "__pstarts", "__g_ss")
   }
 }

@@ -48,6 +48,119 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("removeNgrams kernel matches the HOF formulation exactly") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.GraftColumnShim
+    // the r21 codegen kernel vs the literal old higher-order chain
+    def oldRemove(df: DataFrame, textCol: String, grams: Seq[String],
+                  n: Int): DataFrame = {
+      def inGrams(c: Column): Column = GraftColumnShim.column(
+        graft.functions.catalyst.InStringSet(
+          GraftColumnShim.expression(c), grams))
+      val w = split(col(textCol), " ")
+      val m = size(w)
+      val starts = when(m >= n, sequence(lit(0), m - n))
+        .otherwise(array().cast("array<int>"))
+      val hitStarts = filter(starts,
+        i => inGrams(concat_ws(" ", slice(w, i + 1, lit(n)))))
+      val covered = array_distinct(flatten(
+        transform(hitStarts, i => sequence(i, i + n - 1))))
+      val keptIdx = array_except(sequence(lit(0), m - 1), covered)
+      df.withColumn("cleaned",
+          when(col(textCol).isNull, lit(null).cast("string"))
+            .otherwise(concat_ws(" ",
+              transform(keptIdx, p => element_at(w, p + 1)))))
+        .withColumn("n_removed_words",
+          coalesce(size(covered), lit(0)).cast("long"))
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(200)
+      .unionByName(Seq(
+        (9001L, "x  y z x  y"), // double spaces: empty-string words
+        (9002L, " lead trail "),
+        (9003L, ""), (9004L, null.asInstanceOf[String]),
+        (9005L, "a b c a b c a b")).toDF("doc_id", "text"))
+    val grams = graft.operators.Boilerplate
+      .frequentNgrams(corpus, "doc_id", "text", n = 3, minDf = 3L, topK = 20)
+      .collect().map(_.getString(0)).toSeq ++ Seq("a b c", "x  y")
+    def rows(df: DataFrame) = df
+      .select(col("doc_id"), col("cleaned"), col("n_removed_words"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(rows(graft.operators.Boilerplate
+        .removeNgrams(corpus, "text", grams, 3)) ==
+      rows(oldRemove(corpus, "text", grams, 3)))
+  }
+
+  test("stripRepeatedSpans kernels match the HOF formulation exactly") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    // the literal old operator (positioned-shingle transform + ranges/
+    // array_except rewrite) vs the r21 kernels, over a real corpus slice
+    def oldStrip(df: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame = {
+      val w0 = split(col(textCol), " ")
+      val occ = df
+        .select(col(idCol).as("__id"), w0.as("__w"))
+        .select(col("__id"), explode(
+          when(size(col("__w")) >= k,
+            transform(sequence(lit(0), size(col("__w")) - k),
+              i => struct(i.as("start"),
+                concat_ws(" ", slice(col("__w"), i + 1, lit(k))).as("g"))))
+            .otherwise(array().cast("array<struct<start:int,g:string>>")))
+          .as("o"))
+        .select(col("__id"), col("o.start").as("start"), col("o.g").as("g"))
+      val firsts = occ.groupBy(col("g")).agg(
+        count(lit(1)).as("__n"),
+        min(struct(col("__id"), col("start"))).as("__first"))
+        .filter(col("__n") >= 2)
+      val tagged = occ.join(firsts, Seq("g"))
+        .withColumn("__isFirst",
+          col("__id") === col("__first.__id") &&
+            col("start") === col("__first.start"))
+      val nonFirst = tagged.filter(!col("__isFirst"))
+        .select(col("__id").as(idCol), col("start"))
+      val firstSpans = tagged.filter(col("__isFirst"))
+        .select(col("__id").as(idCol), col("start"))
+      val covered = nonFirst.groupBy(col(idCol))
+        .agg(collect_list(col("start")).as("__starts"))
+      val protectedS = firstSpans.groupBy(col(idCol))
+        .agg(collect_list(col("start")).as("__pstarts"))
+      val joined = df.join(covered, Seq(idCol), "left")
+        .join(protectedS, Seq(idCol), "left")
+      val w = split(col(textCol), " ")
+      val m = size(w)
+      def ranges(c: Column): Column = array_distinct(flatten(transform(
+        coalesce(c, array().cast("array<int>")),
+        s => sequence(s, s + k - 1))))
+      val cov = array_except(ranges(col("__starts")), ranges(col("__pstarts")))
+      val keptIdx = array_except(sequence(lit(0), m - 1), cov)
+      joined
+        .withColumn("cleaned",
+          when(col(textCol).isNull, lit(null).cast("string"))
+            .otherwise(concat_ws(" ",
+              transform(keptIdx, p => element_at(w, p + 1)))))
+        .withColumn("n_removed_words",
+          coalesce(size(cov), lit(0)).cast("long"))
+        .drop("__starts", "__pstarts")
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(150)
+      .unionByName(Seq(
+        (9001L, "p q r s p q r s"),
+        (9002L, "x  y z x  y z"), // double spaces inside repeated spans
+        (9003L, ""), (9004L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    def rows(df: DataFrame) = df
+      .select(col("doc_id"), col("cleaned"), col("n_removed_words"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(rows(graft.operators.SubstringDedup
+        .stripRepeatedSpans(corpus, "doc_id", "text", k = 3)) ==
+      rows(oldStrip(corpus, "doc_id", "text", k = 3)))
+  }
+
   test("redactPII replaces each shape with its tag; piiCount audits them") {
     val df = Seq(
       "mail bob.smith+x@corp.example.org now",
